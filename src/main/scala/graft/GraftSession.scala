@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * Notes on scale: these settings are tuned for the local[N] test rig but the
+  * same knobs are what a 1000-executor deployment would set differently —
+  * shuffle partitions sized to ~128MB per task, AQE on for runtime re-planning
+  * (skew-join splitting, partition coalescing), broadcast threshold for the
+  * dimension tables of the star schema.
+  */
+object GraftSession {
+
+  /** Apply graft's canonical SQL settings to an existing builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    // Reference semantics: failed casts yield NULL (e.g. unparsable money ->
+    // NULL, /root/reference/scrapers/vgsi/source.py:134-167). Spark 4 defaults
+    // to ANSI mode (errors); we keep the permissive cast semantics.
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Schema drift across append batches is the norm in the reference lake
+    // (union_by_name, /root/reference/src/engine/database.py:275).
+    .config("spark.sql.parquet.mergeSchema", "false") // opt-in per read
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    // The events table stores TIMESTAMP(NANOS) which Spark's vectorized
+    // parquet reader rejects; read as long and convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.ui.explainMode", "formatted")
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession
+        .builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.Tables
+import graft.scd.Scd
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** Window-function coverage (SURVEY.md §2.5 — the reference's analytic core):
+  * current-state (W1), change detection via lag (W2), SCD2 version numbering
+  * (W3/W4), changed-since (W5), plus running totals, rollup and gap-based
+  * sessionization.
+  *
+  * All windows partition by `user_id` (the entity key). At 100 TB this is one
+  * hash shuffle per query; key cardinality = |users| keeps partitions
+  * balanced, and a lake bucketed by the entity key would eliminate the
+  * shuffle entirely.
+  */
+object WindowQueries {
+
+  /** W1 — current state: latest event per user via the Scd library. */
+  private val q11 = Q(
+    "q11_current_state",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Scd
+        .currentState(T.events, $"user_id", $"ts", $"event_id")
+        .select($"user_id", $"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1
+      ORDER BY user_id
+    """.trim)
+  )
+
+  /** W2 — change detection: count of event-type transitions per user. */
+  private val q12 = Q(
+    "q12_change_detect",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Scd
+        .withPrevHash(T.events, $"user_id", $"event_type", $"ts", $"event_id")
+        .filter($"prev_hash".isNotNull && $"prev_hash" =!= $"event_type")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_changes"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_changes
+      FROM (SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events)
+      WHERE prev IS NOT NULL AND prev <> event_type
+      GROUP BY user_id
+      ORDER BY user_id
+    """.trim)
+  )
+
+  /** W3 — SCD2 version chain: rows where content (md5 of props) changed,
+    * numbered ascending per entity. Mirrors
+    * /root/reference/scrapers/vgsi/source.py:813-837.
+    */
+  private val q13 = Q(
+    "q13_scd2_versions",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val base = T.events.filter($"user_id" < 20).withColumn("row_hash", md5($"props"))
+      Scd
+        .withVersions(base, $"user_id", $"row_hash", $"ts", $"event_id")
+        .select($"user_id", $"event_id", $"version")
+        .orderBy($"user_id", $"version")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+      FROM (SELECT user_id, event_id, ts, md5(props) AS h,
+                   lag(md5(props)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+            FROM events WHERE user_id < 20)
+      WHERE ph IS NULL OR h <> ph
+      ORDER BY user_id, version
+    """.trim)
+  )
+
+  /** W5 — changed-since: rows after a cutoff whose content differs from the
+    * previous observation. Mirrors
+    * /root/reference/scrapers/vgsi/source.py:840-864.
+    */
+  private val q14 = Q(
+    "q14_changed_since",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val base = T.events.withColumn("row_hash", md5($"props"))
+      Scd
+        .changedSince(base, $"user_id", $"row_hash", ts("2024-01-15"), $"ts", $"event_id")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+        .orderBy($"ts_us".desc, $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM (SELECT user_id, event_id, ts, md5(props) AS h,
+                   lag(md5(props)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+            FROM events)
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ph IS NOT NULL AND h <> ph
+      ORDER BY ts_us DESC, event_id
+    """.trim)
+  )
+
+  /** Running total per entity — explicit ROWS UNBOUNDED PRECEDING frame,
+    * exact cents so the running double is bit-identical in both engines.
+    */
+  private val q15 = Q(
+    "q15_running_sum",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events
+        .filter($"user_id" < 5)
+        .select(
+          $"user_id",
+          $"event_id",
+          round(sum(cents($"value")).over(w) / 100.0, 2).as("running_value")
+        )
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             ROUND(SUM(CAST(ROUND(value*100,0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_value
+      FROM events WHERE user_id < 5
+      ORDER BY user_id, event_id
+    """.trim)
+  )
+
+  /** ROLLUP — hierarchical aggregate with a grouping indicator (free with
+    * Catalyst; the reference has no grouping-sets but SURVEY §2.4 notes them
+    * as available-if-wanted).
+    */
+  private val q16 = Q(
+    "q16_rollup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.events
+        .rollup($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(cents($"value")) / 100.0, 2).as("total_value"),
+          grouping($"event_type").cast("int").as("grp")
+        )
+        .orderBy($"grp", $"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             ROUND(SUM(CAST(ROUND(value*100,0) AS BIGINT)) / 100.0, 2) AS total_value,
+             CAST(GROUPING(event_type) AS INT) AS grp
+      FROM events
+      GROUP BY ROLLUP(event_type)
+      ORDER BY grp, event_type
+    """.trim)
+  )
+
+  /** Gap-based sessionization (6h inactivity) — lag + conditional flag +
+    * running sum as session id, then per-session aggregate. Two windows over
+    * the same (user_id) partitioning → Catalyst reuses one shuffle+sort.
+    */
+  private val q17 = Q(
+    "q17_sessionize",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val gapUs = 6L * 3600 * 1000000
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn(
+          "new_session",
+          when(lag($"us", 1).over(w).isNull || $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L)
+        )
+        .withColumn("session_id", sum($"new_session").over(wRun))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"), min($"us").as("start_us"), max($"us").as("end_us"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 21600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM base
+      ), sessions AS (
+        SELECT user_id, event_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17)
+}

@@ -1,0 +1,83 @@
+package graft.scd
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-time SCD Type-2 over an append-only lake.
+  *
+  * The reference derives versioning/current-state/change-detection entirely at
+  * query time with window functions over `(uuid, scraped_at, row_hash)`
+  * (/root/reference/scrapers/vgsi/source.py:813-864, README.md:125-136). These
+  * are the Spark-native equivalents, generic over key/ordering/hash columns.
+  *
+  * Scale notes: every operator here induces exactly one hash-partition shuffle
+  * on the entity key — the minimal plan for windowed SCD. At 100 TB the key
+  * cardinality (one entity = one group) is high, so partitions stay balanced;
+  * if the lake is bucketed by the key at write time the shuffle disappears
+  * entirely (Spark reuses the bucketing as the window's required
+  * distribution).
+  */
+object Scd {
+
+  /** W1 — current state: latest row per entity. One window + filter; Spark has
+    * no QUALIFY so the windowed column is filtered then dropped.
+    */
+  def currentState(df: DataFrame, key: Column, order: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W2 — change detection: previous content hash alongside each row. */
+  def withPrevHash(df: DataFrame, key: Column, hash: Column, order: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("prev_hash", lag(hash, 1).over(w))
+  }
+
+  /** W2+W3 — the SCD2 version chain: rows where content changed (or first
+    * observation), numbered ascending per entity as `version`.
+    */
+  def withVersions(df: DataFrame, key: Column, hash: Column, order: Column*): DataFrame = {
+    val changed = withPrevHash(df, key, hash, order: _*)
+      .filter(col("prev_hash").isNull || hash =!= col("prev_hash"))
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    changed.withColumn("version", row_number().over(w)).drop("prev_hash")
+  }
+
+  /** W4 — full version history for one entity, ordered by version.
+    * The equality predicate on the key is pushed into the parquet scan
+    * (row-group skipping via min/max stats), so this is a point query even
+    * over a large lake.
+    */
+  def history(df: DataFrame, key: Column, keyValue: Any, hash: Column, order: Column*): DataFrame =
+    withVersions(df.filter(key === lit(keyValue)), key, hash, order: _*)
+      .orderBy(col("version"))
+
+  /** W5 — entities whose content changed at-or-after `since`. */
+  def changedSince(df: DataFrame, key: Column, hash: Column, since: Column, order: Column*): DataFrame = {
+    val ordExpr = order
+    withPrevHash(df, key, hash, ordExpr: _*)
+      .filter(order.head >= since && col("prev_hash").isNotNull && hash =!= col("prev_hash"))
+      .orderBy(order.head.desc)
+  }
+
+  /** J2 — refresh dedup: drop incoming rows whose content hash already exists.
+    * The existing-hash side is `DISTINCT row_hash` — orders of magnitude
+    * smaller than the fact data — so we broadcast it and the anti-join is a
+    * map-side hash probe with zero shuffle of the new data.
+    */
+  def refreshDedup(newRows: DataFrame, existing: DataFrame, hashCol: String = "row_hash"): DataFrame =
+    newRows.join(
+      broadcast(existing.select(hashCol).distinct()),
+      Seq(hashCol),
+      "left_anti"
+    )
+
+  /** S9 — upsert for a small dimension table (vanilla Spark has no MERGE):
+    * union the updates over the base and keep the newest row per key via W1.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: Column, order: Column*): DataFrame =
+    currentState(base.unionByName(updates, allowMissingColumns = true), key, order: _*)
+}
