@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   private def allQ: Seq[Q] =
-    RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all
+    RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

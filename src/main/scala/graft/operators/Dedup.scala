@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+  * SimHash, and n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - Signatures (minhash/simhash/fingerprints) are pure per-row expression
+  *    pipelines — no shuffle, fully codegen'd, embarrassingly parallel.
+  *  - Candidate generation joins on (band, bucket) — an equi-join Spark hash
+  *    partitions; bucket cardinality grows with corpus size so partitions
+  *    stay balanced (the whole point of banding: ~|corpus|/bucket pairs
+  *    instead of |corpus|² pairwise comparisons).
+  *  - Exact dedup is one hash aggregate on the content digest — map-side
+  *    partial aggregation collapses duplicates before the shuffle.
+  */
+object Dedup {
+
+  /** Character k-shingles of a text column (k consecutive chars, 1 shingle
+    * per offset). Short texts yield a single whole-text shingle.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => substr(text, i, lit(k))
+    )
+
+  /** MinHash signature: for hash family h, min over shingles of
+    * md5("h:" + shingle). Lexicographic min of the hex digest is a uniform
+    * order on the 128-bit hash space, so this is a valid minwise family.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$h:"), s))))
+    }: _*)
+
+  /** LSH banding: the signature is cut into `bands` groups of `rows` hashes;
+    * each band's bucket id is the digest of its slice. Two docs collide in a
+    * band iff that band's rows all match.
+    */
+  def lshBandBuckets(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(",", slice(signature, b * rows + 1, rows)))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via MinHash + LSH: docs sharing any band
+    * bucket. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(charShingles(col(textCol), shingleK), numHashes).as("sig")
+    )
+    val bucketed = sig
+      .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
+      .toDF("doc_id", "band", "bucket")
+    bucketed
+      .as("a")
+      .join(
+        bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** 32-bit SimHash over whitespace tokens. Bit i of each token's md5 (the
+    * high bit of hex digit i) votes +1/-1; the fingerprint sets bit i where
+    * the vote sum is positive. Pure expression fold — no shuffle.
+    */
+  def simhash32(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    def bitVotes(w: Column): Column =
+      transform(
+        sequence(lit(1), lit(32)),
+        i => when(substr(md5(w), i, lit(1)).isInCollection(hexHigh), lit(1)).otherwise(lit(-1))
+      )
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0), 32),
+      (acc, w) => zip_with(acc, bitVotes(w), (a, b) => a + b)
+    )
+    val powers = array((0 until 32).map(i => lit(1L << (31 - i))): _*)
+    aggregate(
+      zip_with(votes, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (a, x) => a + x
+    )
+  }
+
+  /** Exact duplicate groups by content digest: canonical (min) id + copy
+    * count per distinct content.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly one row (min id) per distinct content. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word 3-grams (space-joined token triples), used as the Jaccard unit. */
+  def wordTrigrams(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2)))
+    )
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
+    * Inverted-index style: explode distinct grams, self-join on gram to get
+    * intersection counts, combine with per-doc set sizes. The gram join is
+    * the scalable formulation (no |corpus|² cross join); at extreme scale
+    * add prefix filtering (PPJoin) on rare grams.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = grams
+      .as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Deduplication query surface over the `documents` corpus — exact,
+  * MinHash+LSH, SimHash (banded), and n-gram Jaccard. Each is an oracle-
+  * checked query; the library implementations live in [[Dedup]].
+  */
+object DedupQueries {
+
+  /** Exact dedup groups over a corpus with genuine duplicates (the corpus
+    * unioned with an id-shifted copy of itself): hash-groupBy on the content
+    * digest, map-side combine collapses copies before the shuffle.
+    */
+  private val q22 = Q(
+    "q22_dedup_exact",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val docs = T.documents.select($"doc_id", $"text")
+      val union = docs.unionByName(docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      Dedup
+        .exactDupGroups(union, "doc_id", "text")
+        .orderBy($"canonical_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000, text FROM documents
+      )
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM u GROUP BY 1 ORDER BY canonical_id
+    """.trim)
+  )
+
+  /** Exact dedup keep-one: survivor ids after dropping duplicate content
+    * (window top-1 per content hash — same plan family as SCD current-state).
+    */
+  private val q23 = Q(
+    "q23_dedup_drop",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val docs = T.documents.select($"doc_id", $"text")
+      val union = docs.unionByName(docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      Dedup
+        .dropExactDups(union, "doc_id", "text")
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000, text FROM documents)
+      ) WHERE rn = 1 ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Word-trigram Jaccard near-dup pairs (threshold 0.2) via the inverted-
+    * index join — no |corpus|² cross join anywhere in the plan.
+    */
+  private val q24 = Q(
+    "q24_ngram_jaccard",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .ngramJaccardPairs(T.documents, "doc_id", "text", 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS g FROM toks),
+      sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM i JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.2
+      ORDER BY doc_a, doc_b
+    """.trim)
+  )
+
+  /** MinHash+LSH candidate pairs: 5-char shingles → 12 minhashes → 4 bands
+    * of 3 → docs sharing any band bucket. The band-bucket equi-join is what
+    * makes this sub-quadratic at scale.
+    */
+  private val q25 = Q(
+    "q25_minhash_lsh",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH sh AS (SELECT doc_id, [substr(text, i, 5) for i in range(1, greatest(len(text)-3, 2))] AS s FROM documents),
+      sig AS (SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || ':' || sg) for sg in s]) for h in range(0, 12)] AS sig FROM sh),
+      bands AS (SELECT doc_id, b.b AS band, md5(array_to_string(sig[b.b*3+1:b.b*3+3], ',')) AS bucket
+                FROM sig, (SELECT unnest(range(0,4)) AS b) b)
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      ORDER BY doc_a, doc_b
+    """.trim)
+  )
+
+  /** SimHash near-dup pairs with hamming <= 3, computed with a byte-band
+    * join: 4 bands of 8 bits; hamming <= 3 pigeonholes at least one band to
+    * match exactly, so the banded equi-join finds EXACTLY the same pairs as
+    * a naive cross join (which is what the oracle runs) — sub-quadratic with
+    * identical results.
+    */
+  private val q26 = Q(
+    "q26_simhash_pairs",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val sh = T.documents.select($"doc_id", Dedup.simhash32($"text").as("simhash"))
+      val banded = sh.select(
+        $"doc_id",
+        $"simhash",
+        posexplode(array((0 until 4).map(j => shiftright($"simhash", 8 * j).bitwiseAND(lit(255L))): _*))
+      ).toDF("doc_id", "simhash", "band", "band_val")
+      banded
+        .as("a")
+        .join(
+          banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id")
+        )
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+        )
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+      bits AS (SELECT doc_id, i.i AS i,
+                      CASE WHEN substr(md5(w), i.i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+               FROM words, (SELECT unnest(range(1, 33)) AS i) i),
+      sums AS (SELECT doc_id, i, SUM(b) AS s FROM bits GROUP BY 1, 2),
+      sh AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << (32 - i)) ELSE 0 END) AS simhash FROM sums GROUP BY 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force: broadcast the (small) query set against the corpus scan —
+  *    exact, O(|Q|·|C|·d), the right baseline and the verifier for ANN.
+  *  - LSH (random ±1 hyperplanes): bucket both sides by sign-bit sketch and
+  *    only rank within buckets — the 100 TB path: the corpus is hashed once
+  *    (pure map), candidates come from an equi-join on the bucket id, and
+  *    each bucket holds ~|C|/2^planes rows.
+  *
+  * All arithmetic is explicit float→double widening with sequential
+  * accumulation so results are bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1.0 hyperplanes derived from md5("plane:h:i") — the same
+    * planes are reproducible in any engine (used to build the SQL oracle).
+    */
+  def hyperplanes(planes: Int, dim: Int): Seq[Array[Double]] = {
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { h =>
+      Array.tabulate(dim) { i =>
+        val d = mdAlg.digest(s"plane:$h:$i".getBytes("UTF-8"))
+        if ((d(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign-bit LSH bucket: bit h set iff dot(e, plane_h) > 0. */
+  def lshBucket(e: Column, planeVecs: Seq[Array[Double]]): Column = {
+    val bits = planeVecs.zipWithIndex.map { case (p, h) =>
+      val pv = array(p.map(lit): _*)
+      when(dot(e, pv) > 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded). */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qe: array<float>)
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      k: Int
+  ): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos")
+      )
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k: rank only within the query's LSH bucket. */
+  def annTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planeVecs: Seq[Array[Double]]
+  ): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("qe"), planeVecs))
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), planeVecs))
+    val scored = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

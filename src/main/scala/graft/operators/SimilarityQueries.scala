@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity-search query surface over the `embeddings` table: exact
+  * brute-force cosine top-k (the baseline/verifier) and sign-bit LSH ANN
+  * (the scale path). Library code in [[Similarity]].
+  */
+object SimilarityQueries {
+
+  private val dotSql =
+    "list_sum([CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE) for i in range(1, 65)])"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql.format(a, b)}) / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
+
+  /** Exact top-5 cosine neighbors for the first 5 vectors. Queries broadcast;
+    * corpus scanned once; per-query ranking via window top-k.
+    */
+  private val q27 = Q(
+    "q27_embed_topk",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val queries = T.embeddings.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity
+        .bruteForceTopK(queries, T.embeddings, 5)
+        .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      s AS (SELECT qid, vec_id, ${cosSql("qe", "embedding")} AS cos
+            FROM embeddings, q WHERE qid <> vec_id)
+      SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+        SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
+        FROM s
+      ) WHERE rank <= 5
+      ORDER BY qid, rank
+    """.trim)
+  )
+
+  /** LSH-bucketed approximate top-k: 8 deterministic ±1 hyperplanes bucket
+    * both sides; ranking happens only within the query's bucket (~1/256 of
+    * the corpus). The oracle replays the identical planes as SQL literals.
+    */
+  private val q28 = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val planeValues = planes.zipWithIndex
+      .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    Q(
+      "q28_ann_lsh",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val queries = T.embeddings.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+        Similarity
+          .annTopK(queries, T.embeddings, 5, planes)
+          .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rank")
+      },
+      Some(s"""
+        WITH pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
+        b AS (SELECT vec_id,
+                     SUM(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * p[i] for i in range(1, 65)]) > 0
+                              THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+              FROM embeddings, pl GROUP BY vec_id),
+        eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM eb WHERE vec_id < 5),
+        s AS (SELECT q.qid, c.vec_id, ${cosSql("q.qe", "c.embedding")} AS cos
+              FROM eb c JOIN q ON c.bucket = q.bucket AND q.qid <> c.vec_id)
+        SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+          SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
+          FROM s
+        ) WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q27, q28)
+}
