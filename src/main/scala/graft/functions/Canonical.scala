@@ -57,9 +57,9 @@ object Canonical {
     * dropped, all values stringified, metadata columns excluded.
     */
   val MetadataCols: Set[String] = Set(
-    "scraped_at", "row_hash", "uuid", "property_uuid", "vgsi_url",
-    "created_at", "updated_at", "id", "pid", "bid",
-    "session_ts", "batch_id", "scope_key"
+    "id", "version", "row_hash", "effective_from", "effective_to",
+    "is_current", "loaded_at", "updated_at", "created_at", "scraped_at",
+    "city_id", "vgsi_url", "photo_paths", "photo_local_path"
   )
 
   def canonicalJson(df: DataFrame, exclude: Set[String] = MetadataCols): Column = {

@@ -1,0 +1,46 @@
+package graft.ingest
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Token-interval rate limiter (D3) — the Spark re-expression of the
+  * reference's limiter (/root/reference/src/engine/engine.py:38-93):
+  * reserve the next slot optimistically under a short lock, sleep outside
+  * the lock.
+  *
+  * Distribution note (SURVEY.md §7 risks): the reference's limiter is
+  * process-global; on a cluster each executor JVM holds one limiter, so the
+  * per-JVM rate must be globalRate / numExecutors — the divided rate is the
+  * caller's responsibility and [[forKey]] gives one shared instance per JVM
+  * per source key.
+  */
+final class RateLimiter(ratePerSec: Double) extends Serializable {
+  @transient private lazy val lock = new Object
+  @transient private var nextSlotNanos: Long = 0L
+  private val intervalNanos: Long =
+    if (ratePerSec <= 0) 0L else (1e9 / ratePerSec).toLong
+
+  @volatile var acquired: Long = 0L
+
+  /** Block until a request slot is available. */
+  def acquire(): Unit = {
+    if (intervalNanos == 0) { acquired += 1; return }
+    val wait = lock.synchronized {
+      val now = System.nanoTime()
+      val slot = math.max(nextSlotNanos, now)
+      nextSlotNanos = slot + intervalNanos
+      slot - now
+    }
+    if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+    acquired += 1
+  }
+}
+
+object RateLimiter {
+  private val instances = new ConcurrentHashMap[String, RateLimiter]()
+
+  /** One limiter per (key) per executor JVM — all tasks of a source on this
+    * executor share the budget.
+    */
+  def forKey(key: String, ratePerSec: Double): RateLimiter =
+    instances.computeIfAbsent(key, _ => new RateLimiter(ratePerSec))
+}

@@ -1,0 +1,76 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+
+/** JSON checkpoint documents, one per scope, kept doc-shape-compatible with
+  * the reference (/root/reference/src/engine/database.py:181-214):
+  * `{"scope_key","last_entry_id","total_scraped","checkpoint_time"}`.
+  *
+  * Driver-side (checkpoints are tiny); written through the Hadoop FS API so
+  * the same code works against HDFS/S3 on a cluster. Resume uses an
+  * ordered-ID filter (ids > last) rather than the reference's fragile
+  * string-compare trim (engine.py:164-167) — see SURVEY.md §7 risks.
+  */
+final case class Checkpoint(
+    scopeKey: String,
+    lastEntryId: String,
+    totalScraped: Long,
+    checkpointTime: String
+)
+
+object Checkpoints {
+
+  private def path(root: String, scope: String) = new Path(s"$root/_checkpoints/$scope.json")
+
+  def save(spark: SparkSession, root: String, cp: Checkpoint): Unit = {
+    val p = path(root, cp.scopeKey)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json =
+      s"""{"scope_key": ${q(cp.scopeKey)}, "last_entry_id": ${q(cp.lastEntryId)}, "total_scraped": ${cp.totalScraped}, "checkpoint_time": ${q(cp.checkpointTime)}}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(spark: SparkSession, root: String, scope: String): Option[Checkpoint] = {
+    val p = path(root, scope)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(
+        Checkpoint(
+          scopeKey = field(raw, "scope_key"),
+          lastEntryId = field(raw, "last_entry_id"),
+          totalScraped = field(raw, "total_scraped").toLong,
+          checkpointTime = field(raw, "checkpoint_time")
+        )
+      )
+    }
+  }
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Minimal field extractor for the fixed checkpoint doc shape. */
+  private def field(json: String, key: String): String = {
+    val m = ("\"" + key + "\"\\s*:\\s*(\"((\\\\.|[^\"])*)\"|[0-9]+)").r
+    m.findFirstMatchIn(json) match {
+      case Some(g) =>
+        val v = g.group(1)
+        if (v.startsWith("\"")) v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+        else v
+      case None => throw new IllegalArgumentException(s"checkpoint missing $key: $json")
+    }
+  }
+}

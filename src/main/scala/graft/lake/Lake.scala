@@ -1,0 +1,101 @@
+package graft.lake
+
+import graft.functions.Canonical
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The append-only Parquet lake: directory-per-table under a scope namespace
+  * (`root/<scope>/<table>/...`), mirroring the reference layout
+  * (/root/reference/src/engine/database.py:156-160, README.md:98-116).
+  *
+  * Contracts preserved from the reference:
+  *  - append-only, never mutate (SCD2 derives versions at query time);
+  *  - every row stamped with `scraped_at` + content `row_hash`
+  *    (database.py:135-137);
+  *  - schema drift tolerated: reads union-by-name across files
+  *    (database.py:275 → mergeSchema);
+  *  - compaction merges a session's small files, other sessions untouched
+  *    (database.py:246-288).
+  *
+  * Scale notes: writes go through Spark's committer (task-retry safe,
+  * at-least-once like the reference — dedup stays query-time by design,
+  * README.md:118-121). Each table dir can later be bucketed by the entity
+  * key to eliminate the SCD window shuffle.
+  */
+object Lake {
+
+  def tablePath(root: String, scope: String, table: String): String =
+    s"$root/$scope/$table"
+
+  /** Stamp engine metadata: ingestion timestamp (one per batch, not per row —
+    * database.py:128) and the canonical content hash.
+    */
+  def stampMetadata(df: DataFrame, scrapedAt: java.sql.Timestamp): DataFrame =
+    df.withColumn("scraped_at", lit(scrapedAt))
+      .withColumn("row_hash", Canonical.rowHash(df))
+
+  /** Append one batch to a table (ZSTD parquet, new files only). */
+  def append(df: DataFrame, root: String, scope: String, table: String): Unit =
+    df.write
+      .mode("append")
+      .option("compression", "zstd")
+      .parquet(tablePath(root, scope, table))
+
+  /** Schema-merging read across all of a table's files. */
+  def read(spark: SparkSession, root: String, scope: String, table: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(tablePath(root, scope, table))
+
+  /** Distinct content hashes of a table — the preload set for refresh dedup
+    * (database.py:86-106). Column-pruned: only row_hash is read from disk.
+    */
+  def existingHashes(spark: SparkSession, root: String, scope: String, table: String): DataFrame =
+    read(spark, root, scope, table).select("row_hash").distinct()
+
+  /** Scope discovery: non-underscore child dirs of the lake root
+    * (/root/reference/src/engine/base.py:90-99).
+    */
+  def scopes(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else
+      fs.listStatus(p)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(_.startsWith("_"))
+        .sorted
+        .toSeq
+  }
+
+  def tables(spark: SparkSession, root: String, scope: String): Seq[String] = {
+    val p = new Path(s"$root/$scope")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Compaction (D9): rewrite a table's many small files as `target` files,
+    * atomically swapping via a temp dir + rename. Schema-merging read, so
+    * drifted files unify. Unlike the reference (single file), `target` scales
+    * with table size — one file per ~128MB is the useful default on a
+    * cluster.
+    */
+  def compact(spark: SparkSession, root: String, scope: String, table: String, target: Int = 1): Unit = {
+    val path = tablePath(root, scope, table)
+    val tmp = s"$path.__compact_tmp"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(path)
+      .coalesce(target)
+      .write
+      .mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(tmp)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
+}

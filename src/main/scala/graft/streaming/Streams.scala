@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming expression of the engine's incremental semantics
+  * (SURVEY.md §2.10). The reference has no true streaming — incrementality is
+  * cron `refresh-all` + append-only writes + query-time change detection —
+  * but the same capabilities map 1:1 onto a streaming pipeline:
+  *
+  *  - hash-dedup (J2)  → `withWatermark` + `dropDuplicates("row_hash")`
+  *  - cron refresh     → `Trigger.AvailableNow` over the lake dir
+  *  - change report    → windowed aggregation over event time
+  *
+  * State scale: dropDuplicates keeps one row per hash within the watermark
+  * horizon — bounded state, hash-partitioned across executors.
+  */
+object Streams {
+
+  /** File stream over a lake table directory. */
+  def readTableStream(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(path)
+
+  /** Continuous hash-dedup: at-least-once appends become effectively-once
+    * downstream. `eventTimeCol` must be a timestamp column.
+    */
+  def dedupByHash(stream: DataFrame, eventTimeCol: String, watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark).dropDuplicates("row_hash")
+
+  /** Windowed change counts per entity-key column — the streaming version of
+    * the changed-since report (W5).
+    */
+  def windowedCounts(
+      stream: DataFrame,
+      eventTimeCol: String,
+      keyCol: String,
+      windowLen: String = "10 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col(s"window.start").as("window_start"),
+        col(keyCol),
+        col("n")
+      )
+}

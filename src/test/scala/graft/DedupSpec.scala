@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and parquet files"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups collapse identical content") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    val dup = g.filter($"n_copies" === 2).select($"canonical_id").as[Long].head()
+    assert(dup == 1L)
+    assert(Dedup.dropExactDups(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup
+      .minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never
+  }
+
+  test("simhash: identical content -> identical hash; near-dup within small hamming") {
+    val sh = docs.select($"doc_id", Dedup.simhash32($"text").as("s")).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(hamming <= 6, s"near-dup hamming=$hamming")
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(far > hamming, s"unrelated hamming=$far should exceed near-dup")
+  }
+
+  test("ngram jaccard scores near-dups high and unrelated low") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 0.0)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("cosine similarity: identical vectors -> 1.0, orthogonal -> 0.0") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val top = Similarity
+      .bruteForceTopK(q, vecs, 2)
+      .select($"vec_id", round($"cos", 6).as("cos"))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(top(3L) == 1.0) // same direction
+    assert(top(2L) == 0.0) // orthogonal
+  }
+
+  test("language id picks marker-matching language") {
+    val df = Seq(
+      (1L, "der hund und die katze ist nicht da"),
+      (2L, "the cat and the dog is a friend of mine"),
+      (3L, "le chat et les chiens est une merveille")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr"))
+  }
+}

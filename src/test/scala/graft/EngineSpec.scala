@@ -1,0 +1,144 @@
+package graft
+
+import graft.ingest._
+import graft.lake.{Checkpoints, Lake}
+import graft.scd.Scd
+import graft.sources._
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** Fake HTTP-free source, the analogue of the reference's test fakes
+  * (/root/reference/tests/test_engine.py:101-112).
+  */
+class FakeSource(
+    data: Map[Long, ScrapeResult],
+    failFor: Set[Long] = Set.empty,
+    invalidFor: Set[Long] = Set.empty
+) extends Source {
+  override def name = "fake"
+  override def ratePerSec: Double = 0 // unthrottled in tests
+  override def maxRetries: Int = 0
+  override def scrapeOne(id: Long): ScrapeResult =
+    if (invalidFor(id)) throw new InvalidEntryException(s"invalid $id")
+    else if (failFor(id)) throw new RuntimeException(s"boom $id")
+    else data(id)
+}
+
+object FakeSource {
+  def prop(pid: Long, owner: String, value: Double): ScrapeResult =
+    ScrapeResult(
+      property = Property(
+        pid = pid,
+        town_name = Some("Testville"),
+        address = Some(s"$pid Main St"),
+        owner = Some(owner),
+        account_number = None,
+        sale_price = Some(value * 1.1),
+        assessment_value = Some(value),
+        appraisal_value = Some(value * 1.05),
+        building_count = Some(1),
+        land_size_acres = Some(0.5),
+        extra_fields = None
+      ),
+      buildings = Seq(
+        Building(0, Some(1950), Some(2000.0), Some(400000.0), Some(350000.0), Some(85), None,
+          Map("style" -> "Colonial", "grade" -> "Good"),
+          Seq(SubArea("BAS", Some("base"), Some(1000.0), Some(800.0)), SubArea("", None, None, None)))
+      ),
+      ownership = Seq(Ownership(Some(owner), Some(value * 1.1), Some("2020-05-15")))
+    )
+}
+
+/** End-to-end ingestion slice (SURVEY.md §7 minimum slice +
+  * /root/reference/tests/test_engine.py:344-546 scenarios): load → lake →
+  * re-scrape with one change → current state + 2-version history + refresh
+  * hash-dedup; plus circuit breaker, invalid-skip, checkpoint resume.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkData(values: Map[Long, Double]): Map[Long, ScrapeResult] =
+    values.map { case (pid, v) => pid -> FakeSource.prop(pid, s"Owner$pid", v) }
+
+  test("load -> change -> refresh: current state, 2-version history, hash dedup") {
+    val root = tmpDir("lake")
+    val ids = (1L to 10L).toSeq
+    val v1 = mkData(ids.map(i => i -> (1000.0 * i)).toMap)
+
+    val s1 = Engine.runLoad(spark, new FakeSource(v1), ids, root, "testville",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(s1.scraped == 10)
+    assert(s1.rowsWritten("properties") == 10)
+    assert(s1.rowsWritten("sub_areas") == 10) // empty-code footer rows dropped
+
+    // second pass: pid 3 changed, everything else identical
+    val v2 = mkData(ids.map(i => i -> (if (i == 3) 9999.0 else 1000.0 * i)).toMap)
+    val s2 = Engine.runRefresh(spark, new FakeSource(v2), root, "testville",
+      IngestConfig(workers = 2, checkpoint = false))
+    // refresh writes ONLY the changed property row
+    assert(s2.rowsWritten("properties") == 1)
+
+    val props = Lake.read(spark, root, "testville", "properties")
+    assert(props.count() == 11) // append-only: 10 + 1 changed
+
+    // current state reflects the change
+    val cur = Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash")
+    assert(cur.count() == 10)
+    val changed = cur.filter($"pid" === 3).select($"assessment_value").as[Double].head()
+    assert(changed == 9999.0)
+
+    // history: changed pid has 2 versions, untouched pid has 1
+    val hist3 = Scd.withVersions(props.filter($"pid" === 3), $"uuid", $"row_hash", $"scraped_at", $"row_hash")
+    assert(hist3.count() == 2)
+    val hist5 = Scd.withVersions(props.filter($"pid" === 5), $"uuid", $"row_hash", $"scraped_at", $"row_hash")
+    assert(hist5.count() == 1)
+  }
+
+  test("invalid entries are skipped silently, not errors (D6)") {
+    val root = tmpDir("lake")
+    val ids = (1L to 5L).toSeq
+    val src = new FakeSource(mkData(ids.map(i => i -> 100.0).toMap), invalidFor = Set(2L, 4L))
+    val s = Engine.runLoad(spark, src, ids, root, "t", IngestConfig(workers = 1, checkpoint = false, compactAfter = false))
+    assert(s.scraped == 3 && s.invalid == 2 && s.errors == 0)
+  }
+
+  test("errors are counted; circuit breaker aborts on consecutive failures (D5)") {
+    val root = tmpDir("lake")
+    val ids = (1L to 10L).toSeq
+    val flaky = new FakeSource(mkData(ids.map(i => i -> 100.0).toMap), failFor = Set(7L))
+    val s = Engine.runLoad(spark, flaky, ids, root, "t",
+      IngestConfig(workers = 1, maxConsecutiveErrors = 3, checkpoint = false, compactAfter = false))
+    assert(s.errors == 1 && s.scraped == 9)
+
+    val broken = new FakeSource(mkData(ids.map(i => i -> 100.0).toMap), failFor = (4L to 8L).toSet)
+    intercept[SparkException] {
+      Engine.runLoad(spark, broken, ids, root, "t2",
+        IngestConfig(workers = 1, maxConsecutiveErrors = 3, checkpoint = false, compactAfter = false))
+    }
+  }
+
+  test("checkpoint resume skips already-loaded ids (D8)") {
+    val root = tmpDir("lake")
+    val data = mkData((1L to 20L).map(i => i -> 100.0 * i).toMap)
+    val s1 = Engine.runLoad(spark, new FakeSource(data), (1L to 10L), root, "c", IngestConfig(workers = 2))
+    assert(s1.scraped == 10)
+    val cp = Checkpoints.load(spark, root, "c")
+    assert(cp.exists(_.lastEntryId == "10"))
+
+    val s2 = Engine.runLoad(spark, new FakeSource(data), (1L to 20L), root, "c", IngestConfig(workers = 2))
+    assert(s2.scraped == 10) // only 11..20
+    assert(Lake.read(spark, root, "c", "properties").count() == 20)
+  }
+
+  test("compaction merges session files and preserves rows (D9)") {
+    val root = tmpDir("lake")
+    val data = mkData((1L to 6L).map(i => i -> 10.0 * i).toMap)
+    Engine.runLoad(spark, new FakeSource(data), (1L to 6L), root, "z",
+      IngestConfig(workers = 4, checkpoint = false, compactAfter = true))
+    val dir = new java.io.File(s"$root/z/properties")
+    val parquets = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquets == 1) // compacted from up to 4 task files
+    assert(Lake.read(spark, root, "z", "properties").count() == 6)
+    assert(Lake.scopes(spark, root) == Seq("z")) // _checkpoints skipped
+  }
+}

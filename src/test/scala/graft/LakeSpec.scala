@@ -1,0 +1,54 @@
+package graft
+
+import graft.lake.{Checkpoint, Checkpoints, Lake}
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append-only writes + schema-merging read (S2/S3)") {
+    val root = tmpDir("lake")
+    Lake.append(Seq((1, "a")).toDF("id", "name"), root, "s", "t")
+    // drifted schema: new column appears in a later batch
+    Lake.append(Seq((2, "b", 9.5)).toDF("id", "name", "score"), root, "s", "t")
+    val df = Lake.read(spark, root, "s", "t")
+    assert(df.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(df.count() == 2)
+    assert(df.filter($"id" === 1).select($"score").head().isNullAt(0))
+  }
+
+  test("stampMetadata adds scraped_at + 32-char row_hash") {
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val df = Lake.stampMetadata(Seq((1, "x")).toDF("pid", "v"), ts)
+    val row = df.select($"scraped_at".cast("string"), $"row_hash").head()
+    assert(row.getString(0).startsWith("2024-06-01 12:00:00"))
+    assert(row.getString(1).matches("[0-9a-f]{32}"))
+  }
+
+  test("existingHashes is the distinct row_hash set") {
+    val root = tmpDir("lake")
+    val ts = new java.sql.Timestamp(0)
+    val df = Lake.stampMetadata(Seq((1, "x"), (2, "x"), (1, "x")).toDF("pid", "v"), ts)
+    Lake.append(df, root, "s", "t")
+    assert(Lake.existingHashes(spark, root, "s", "t").count() == 2) // (1,x) dup collapses
+  }
+
+  test("checkpoint round-trip with escaping") {
+    val root = tmpDir("lake")
+    val cp = Checkpoint("scope \"q\"", "123", 456L, "2024-01-01T00:00:00Z")
+    Checkpoints.save(spark, root, cp)
+    assert(Checkpoints.load(spark, root, "scope \"q\"") == Some(cp))
+    assert(Checkpoints.load(spark, root, "nope").isEmpty)
+  }
+
+  test("compact keeps data and reduces file count") {
+    val root = tmpDir("lake")
+    (1 to 5).foreach(i => Lake.append(Seq((i, s"v$i")).toDF("id", "v"), root, "s", "t"))
+    val before = new java.io.File(s"$root/s/t").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 5)
+    Lake.compact(spark, root, "s", "t")
+    val after = new java.io.File(s"$root/s/t").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    assert(Lake.read(spark, root, "s", "t").count() == 5)
+  }
+}
