@@ -1,0 +1,52 @@
+package graft.examples
+
+import graft.{GraftSession, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Micro-bench scratchpad for operator variants (not part of the bench gate). */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val T = Tables(spark, dir)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    time("jaccard current")(Dedup.ngramJaccardPairs(T.documents, "doc_id", "text", 0.2).count())
+
+    // variant: grams cached
+    val grams = T.documents
+      .select($"doc_id", explode(array_distinct(Dedup.wordTrigrams($"text"))).as("g"))
+      .cache()
+    time("grams materialize")(grams.count())
+    time("jaccard w/ cached grams") {
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = grams.as("a")
+        .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .count()
+    }
+    grams.unpersist()
+
+    // variant: trigrams via native SQL-side generation (no HOF element_at)
+    val grams2 = T.documents
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(lower(text),'\\\\s+'))-2, 1))," +
+          " i -> concat_ws(' ', slice(split(lower(text),'\\\\s+'), i, 3))))")).as("g"))
+    time("grams via slice")(grams2.count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Native Catalyst expressions for the hashing-heavy dedup operators.
+  *
+  * The expression-composition versions (nested transform/aggregate over
+  * md5) are semantically identical but evaluate through Spark's interpreted
+  * higher-order-function path — ~12 md5 calls per shingle for a 12-hash
+  * signature. These single-pass native expressions compute one md5 per
+  * shingle/token and derive the hash family with integer arithmetic,
+  * participate in whole-stage codegen (doGenCode emits a static call), and
+  * keep the operators shuffle-free. ~20-40x faster at corpus scale, same
+  * results (the DuckDB oracle replays the identical arithmetic in SQL).
+  */
+object HashSupport {
+  val P: Long = 2147483647L // 2^31-1; a*h+b stays < 2^47, no overflow
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def md5Hex(s: String): String = {
+    val d = digests.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 15 hex chars of md5 as a positive long, reduced mod P —
+    * identical to DuckDB `('0x' || substr(md5(s),1,15))::BIGINT % P`.
+    */
+  def md5Long(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16) % P
+
+  /** MinHash signature over character k-shingles: element j is
+    * min over shingles of (a_j * md5Long(shingle) + b_j) mod P.
+    */
+  def minhash(text: String, k: Int, a: Array[Long], b: Array[Long]): Array[Long] = {
+    val n = a.length
+    val mins = Array.fill(n)(Long.MaxValue)
+    val last = math.max(text.length - k, 0)
+    var off = 0
+    while (off <= last) {
+      val h = md5Long(text.substring(off, math.min(off + k, text.length)))
+      var j = 0
+      while (j < n) {
+        val v = (a(j) * h + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      off += 1
+    }
+    mins
+  }
+
+  /** 32-bit SimHash over lowercase whitespace tokens; bit i (MSB-first of
+    * the low 32 bits) is set when the +-1 votes from each token's md5 hex
+    * digit high-bits sum positive. Matches the SQL formulation exactly.
+    */
+  def simhash32(text: String): Long = {
+    val votes = new Array[Int](32)
+    val tokens = text.toLowerCase.split("\\s+")
+    var t = 0
+    while (t < tokens.length) {
+      val hex = md5Hex(tokens(t))
+      var i = 0
+      while (i < 32) {
+        // hex alphabet is 0-9a-f, so c >= '8' <=> high bit of the nibble
+        if (hex.charAt(i) >= '8') votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      if (votes(i) > 0) out |= 1L << (31 - i)
+      i += 1
+    }
+    out
+  }
+}
+
+object NGramSupport {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Space-joined lowercase word n-grams, one per token offset; documents
+    * shorter than n yield a single gram of all tokens. Semantics identical
+    * to the transform/element_at composition and the DuckDB list-slice
+    * comprehension, in one JVM pass.
+    */
+  def wordNGrams(text: String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.split("\\s+")
+    val m = math.max(toks.length - n + 1, 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n && i + j < toks.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<string> word n-grams expression (codegen-enabled). */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramSupport.wordNGrams(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramSupport.wordNGrams($c.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** array<long> MinHash signature expression (codegen-enabled). */
+case class MinHashSignature(child: Expression, k: Int, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      HashSupport.minhash(input.asInstanceOf[UTF8String].toString, k, aArr, bArr)
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aArr", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("bArr", bArr, "long[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+           |  graft.functions.HashSupport.minhash($c.toString(), $k, $aRef, $bRef));""".stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** long SimHash32 expression (codegen-enabled). */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.simhash32(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashSupport.simhash32($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
+    copy(child = newChild)
+}
+
+object HashExprs {
+  /** Deterministic odd multipliers / offsets for the minhash family. */
+  def seeds(n: Int): (Seq[Long], Seq[Long]) = {
+    val a = (0 until n).map(i => (2L * i + 1) * 2654435761L % 32749 + 1)
+    val b = (0 until n).map(i => (i + 1) * 40503L % 30011)
+    (a, b)
+  }
+
+  def minhashSignature(text: Column, k: Int, n: Int): Column = {
+    val (a, b) = seeds(n)
+    ColumnShim.column(MinHashSignature(ColumnShim.expression(text), k, a, b))
+  }
+
+  def simhash32(text: Column): Column =
+    ColumnShim.column(SimHash32Expr(ColumnShim.expression(text)))
+
+  def wordNGrams(text: Column, n: Int): Column =
+    ColumnShim.column(WordNGrams(ColumnShim.expression(text), n))
+}

@@ -28,22 +28,23 @@ object Dedup {
       i => substr(text, i, lit(k))
     )
 
-  /** MinHash signature: for hash family h, min over shingles of
-    * md5("h:" + shingle). Lexicographic min of the hex digest is a uniform
-    * order on the 128-bit hash space, so this is a valid minwise family.
+  /** MinHash signature via the native single-pass expression
+    * ([[graft.functions.HashExprs.minhashSignature]]): one md5 per shingle,
+    * integer hash family (a_j·h + b_j mod 2³¹-1). The earlier
+    * expression-composition version (12 md5 calls per shingle through
+    * interpreted higher-order functions) was ~20x slower at corpus scale.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$h:"), s))))
-    }: _*)
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    graft.functions.HashExprs.minhashSignature(text, shingleK, numHashes)
 
   /** LSH banding: the signature is cut into `bands` groups of `rows` hashes;
-    * each band's bucket id is the digest of its slice. Two docs collide in a
-    * band iff that band's rows all match.
+    * each band's bucket id is its slice rendered as a string (the join key —
+    * no digest needed). Two docs collide in a band iff that band's rows all
+    * match.
     */
   def lshBandBuckets(signature: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws(",", slice(signature, b * rows + 1, rows)))
+      array_join(transform(slice(signature, b * rows + 1, rows), _.cast("string")), ",")
     }: _*)
 
   /** Candidate near-duplicate pairs via MinHash + LSH: docs sharing any band
@@ -60,7 +61,7 @@ object Dedup {
     val rows = numHashes / bands
     val sig = df.select(
       col(idCol).as("doc_id"),
-      minhashSignature(charShingles(col(textCol), shingleK), numHashes).as("sig")
+      minhashSignature(col(textCol), shingleK, numHashes).as("sig")
     )
     val bucketed = sig
       .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
@@ -76,31 +77,14 @@ object Dedup {
       .distinct()
   }
 
-  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-
-  /** 32-bit SimHash over whitespace tokens. Bit i of each token's md5 (the
-    * high bit of hex digit i) votes +1/-1; the fingerprint sets bit i where
-    * the vote sum is positive. Pure expression fold — no shuffle.
+  /** 32-bit SimHash over lowercase whitespace tokens via the native
+    * single-pass codegen expression ([[graft.functions.HashExprs.simhash32]]).
+    * Bit i of each token's md5 (the high bit of hex digit i) votes +1/-1;
+    * the fingerprint sets bit i where the vote sum is positive. Pure per-row
+    * expression — no shuffle.
     */
-  def simhash32(text: Column): Column = {
-    val tokens = split(lower(text), "\\s+")
-    def bitVotes(w: Column): Column =
-      transform(
-        sequence(lit(1), lit(32)),
-        i => when(substr(md5(w), i, lit(1)).isInCollection(hexHigh), lit(1)).otherwise(lit(-1))
-      )
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0), 32),
-      (acc, w) => zip_with(acc, bitVotes(w), (a, b) => a + b)
-    )
-    val powers = array((0 until 32).map(i => lit(1L << (31 - i))): _*)
-    aggregate(
-      zip_with(votes, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
-      lit(0L),
-      (a, x) => a + x
-    )
-  }
+  def simhash32(text: Column): Column =
+    graft.functions.HashExprs.simhash32(text)
 
   /** Exact duplicate groups by content digest: canonical (min) id + copy
     * count per distinct content.
@@ -116,14 +100,11 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word 3-grams (space-joined token triples), used as the Jaccard unit. */
-  def wordTrigrams(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2)))
-    )
-  }
+  /** Word 3-grams (space-joined lowercase token triples), used as the
+    * Jaccard unit — native single-pass codegen expression.
+    */
+  def wordTrigrams(text: Column): Column =
+    graft.functions.HashExprs.wordNGrams(text, 3)
 
   /** Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
     * Inverted-index style: explode distinct grams, self-join on gram to get
@@ -132,8 +113,13 @@ object Dedup {
     * add prefix filtering (PPJoin) on rare grams.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // The gram table feeds three plan branches (both join sides + sizes);
+    // persist so shingling runs once. Spark's ContextCleaner reclaims the
+    // blocks once the result plan is unreferenced; at cluster scale swap for
+    // an explicit checkpoint of the gram table.
     val grams = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = grams
       .as("a")

@@ -82,28 +82,39 @@ object DedupQueries {
     """.trim)
   )
 
-  /** MinHash+LSH candidate pairs: 5-char shingles → 12 minhashes → 4 bands
-    * of 3 → docs sharing any band bucket. The band-bucket equi-join is what
-    * makes this sub-quadratic at scale.
+  /** MinHash+LSH candidate pairs: 5-char shingles → 12 minhashes (native
+    * single-pass expression: one md5 per shingle + integer hash family) →
+    * 4 bands of 3 → docs sharing any band bucket. The band-bucket equi-join
+    * is what makes this sub-quadratic at scale.
     */
-  private val q25 = Q(
-    "q25_minhash_lsh",
-    (s, dir) => {
-      val T = Tables(s, dir); import s.implicits._
-      Dedup
-        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
-        .orderBy($"doc_a", $"doc_b")
-    },
-    Some("""
-      WITH sh AS (SELECT doc_id, [substr(text, i, 5) for i in range(1, greatest(len(text)-3, 2))] AS s FROM documents),
-      sig AS (SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || ':' || sg) for sg in s]) for h in range(0, 12)] AS sig FROM sh),
-      bands AS (SELECT doc_id, b.b AS band, md5(array_to_string(sig[b.b*3+1:b.b*3+3], ',')) AS bucket
-                FROM sig, (SELECT unnest(range(0,4)) AS b) b)
-      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-      ORDER BY doc_a, doc_b
-    """.trim)
-  )
+  private val q25 = {
+    val (sa, sb) = graft.functions.HashExprs.seeds(12)
+    val sigList = sa
+      .zip(sb)
+      .map { case (a, b) => s"list_min([(h*$a + $b) % 2147483647 for h in hs])" }
+      .mkString("[", ", ", "]")
+    Q(
+      "q25_minhash_lsh",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        Dedup
+          .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id,
+                           [('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT % 2147483647
+                            for i in range(1, greatest(len(text)-3, 2))] AS hs
+                    FROM documents),
+        sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+        bands AS (SELECT doc_id, b.b AS band, array_to_string(sig[b.b*3+1:b.b*3+3], ',') AS bucket
+                  FROM sig, (SELECT unnest(range(0,4)) AS b) b)
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        ORDER BY doc_a, doc_b
+      """.trim)
+    )
+  }
 
   /** SimHash near-dup pairs with hamming <= 3, computed with a byte-band
     * join: 4 bands of 8 bits; hamming <= 3 pigeonholes at least one band to
@@ -138,9 +149,9 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""
-      WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+      WITH words AS (SELECT doc_id, md5(unnest(regexp_split_to_array(lower(text), '\s+'))) AS h FROM documents),
       bits AS (SELECT doc_id, i.i AS i,
-                      CASE WHEN substr(md5(w), i.i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
+                      CASE WHEN substr(h, i.i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS b
                FROM words, (SELECT unnest(range(1, 33)) AS i) i),
       sums AS (SELECT doc_id, i, SUM(b) AS s FROM bits GROUP BY 1, 2),
       sh AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << (32 - i)) ELSE 0 END) AS simhash FROM sums GROUP BY 1)
