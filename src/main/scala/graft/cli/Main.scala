@@ -1,0 +1,133 @@
+package graft.cli
+
+import graft.GraftSession
+import graft.ingest.{Engine, IngestConfig}
+import graft.lake.{Checkpoints, CityRegistry, Lake}
+import graft.scd.Scd
+import graft.sources.vgsi.{VgsiSource, VgsiParser}
+import org.apache.spark.sql.functions._
+
+/** CLI surface mirroring the reference's commands and defaults
+  * (/root/reference/src/scrape.py:125-216):
+  *
+  *   graft load vgsi <city> [--entry-id-min N] [--entry-id-max N] [flags]
+  *   graft refresh vgsi <city> [flags]
+  *   graft refresh-all [--data-dir D]
+  *   graft admin scopes|tables|compact|checkpoint|current|history|changed [args]
+  *
+  * Flags (reference defaults): --workers 4, --rate 5, --max-errors 50,
+  * --data-dir data.
+  */
+object Main {
+
+  private case class Args(
+      positional: Vector[String] = Vector.empty,
+      flags: Map[String, String] = Map.empty
+  ) {
+    def flag(name: String, default: String): String = flags.getOrElse(name, default)
+  }
+
+  private def parseArgs(argv: Array[String]): Args =
+    argv.foldLeft((Args(), Option.empty[String])) {
+      case ((acc, Some(pending)), v) => (acc.copy(flags = acc.flags + (pending -> v)), None)
+      case ((acc, None), a) if a.startsWith("--") => (acc, Some(a.stripPrefix("--")))
+      case ((acc, None), p) => (acc.copy(positional = acc.positional :+ p), None)
+    }._1
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    if (args.positional.isEmpty) { usage(); sys.exit(2) }
+
+    val spark = GraftSession.local(
+      cores = args.flag("cores", "8").toInt,
+      shufflePartitions = args.flag("cores", "8").toInt
+    )
+    val root = args.flag("data-dir", "data")
+    val config = IngestConfig(
+      workers = args.flag("workers", "4").toInt,
+      maxConsecutiveErrors = args.flag("max-errors", "50").toInt
+    )
+
+    try args.positional.head match {
+      case "load" | "refresh" =>
+        val Vector(cmd, sourceName, city) = args.positional.take(3)
+        require(sourceName == "vgsi", s"unknown source: $sourceName")
+        val baseUrl = CityRegistry
+          .cityUrl(spark, root, city)
+          .orElse(args.flags.get("base-url"))
+          .getOrElse(sys.error(s"city '$city' not in registry; pass --base-url"))
+        val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
+          ratePerSec = args.flag("rate", "5").toDouble)
+        val stats =
+          if (cmd == "load") {
+            val min = args.flag("entry-id-min", "1").toLong
+            val max = args.flag("entry-id-max", "1000").toLong
+            Engine.runLoad(spark, source, min to max, root, city, config)
+          } else Engine.runRefresh(spark, source, root, city, config)
+        println(s"${args.positional.head} $city: scraped=${stats.scraped} errors=${stats.errors} " +
+          s"invalid=${stats.invalid} written=${stats.rowsWritten.toSeq.sorted.filter(_._2 > 0)}")
+        // post-refresh change report (P9 + W5, vgsi/source.py:955-966)
+        if (cmd == "refresh") {
+          val props = Lake.read(spark, root, city, "properties")
+          val display = Seq("pid", "address", "owner", "assessment_value", "scraped_at")
+            .filter(props.columns.contains)
+          Scd
+            .changedSince(props, col("uuid"), col("row_hash"),
+              current_timestamp() - expr("INTERVAL 1 DAY"), col("scraped_at"))
+            .select(display.map(col): _*)
+            .show(20, truncate = false)
+        }
+
+      case "refresh-all" => // D10 — every scope of every registered source
+        var failures = 0
+        Lake.scopes(spark, root).foreach { scope =>
+          try {
+            val baseUrl = CityRegistry.cityUrl(spark, root, scope).getOrElse {
+              throw new IllegalStateException(s"no registry url for $scope")
+            }
+            val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
+              ratePerSec = args.flag("rate", "5").toDouble)
+            val stats = Engine.runRefresh(spark, source, root, scope, config)
+            println(s"refresh $scope: scraped=${stats.scraped} errors=${stats.errors}")
+          } catch {
+            case e: Exception =>
+              failures += 1
+              System.err.println(s"refresh $scope failed: ${e.getMessage}")
+          }
+        }
+        if (failures > 0) sys.exit(1)
+
+      case "admin" =>
+        args.positional.lift(1).getOrElse("scopes") match {
+          case "scopes" => Lake.scopes(spark, root).foreach(println)
+          case "tables" => Lake.tables(spark, root, args.positional(2)).foreach(println)
+          case "compact" =>
+            val scope = args.positional(2)
+            Lake.tables(spark, root, scope).foreach(t => Lake.compact(spark, root, scope, t))
+            println(s"compacted $scope")
+          case "checkpoint" => println(Checkpoints.load(spark, root, args.positional(2)))
+          case "current" =>
+            val props = Lake.read(spark, root, args.positional(2), "properties")
+            Scd.currentState(props, col("uuid"), col("scraped_at"), col("row_hash"))
+              .show(20, truncate = false)
+          case "history" =>
+            val props = Lake.read(spark, root, args.positional(2), "properties")
+            Scd.history(props, col("uuid"), args.positional(3), col("row_hash"), col("scraped_at"))
+              .show(truncate = false)
+          case other => sys.error(s"unknown admin command: $other")
+        }
+
+      case other =>
+        usage()
+        sys.error(s"unknown command: $other")
+    } finally spark.stop()
+  }
+
+  private def usage(): Unit = println(
+    """usage: graft <load|refresh|refresh-all|admin> [args]
+      |  load vgsi <city> --entry-id-min 1 --entry-id-max 1000 [--workers 4 --rate 5 --data-dir data --base-url URL]
+      |  refresh vgsi <city> [flags]
+      |  refresh-all [--data-dir data]
+      |  admin scopes|tables <scope>|compact <scope>|checkpoint <scope>|current <scope>|history <scope> <uuid>
+      |""".stripMargin)
+}

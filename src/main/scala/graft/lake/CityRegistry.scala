@@ -1,0 +1,64 @@
+package graft.lake
+
+import graft.scd.Scd
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S9/S10 — the cities dimension: a small managed parquet table with
+  * upsert-on-key and point lookup, replacing the reference's DuckDB
+  * `main.cities` singleton (/root/reference/scrapers/vgsi/source.py:687-779).
+  *
+  * Vanilla Spark has no `ON CONFLICT DO UPDATE`; the upsert is the
+  * union + key-window rewrite from [[Scd.upsert]], materialized atomically
+  * (write tmp, swap). The table is dimension-sized (≈90 rows for CT) so a
+  * full rewrite is the right cost model; at warehouse scale this would be a
+  * Delta/Iceberg MERGE instead.
+  */
+object CityRegistry {
+
+  private def path(root: String) = s"$root/_meta/cities"
+
+  def load(spark: SparkSession, root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path(root))) else None
+  }
+
+  /** Upsert (city_key unique): newest row per key wins, `created_at` of the
+    * first observation is preserved for existing keys.
+    */
+  def upsert(spark: SparkSession, root: String, cities: DataFrame): Unit = {
+    val now = current_timestamp()
+    val incoming = cities
+      .withColumn("created_at", now)
+      .withColumn("updated_at", now)
+    val merged = load(spark, root) match {
+      case None => incoming
+      case Some(existing) =>
+        // preserve original created_at on conflict (reference DO UPDATE
+        // keeps the row id/created_at, updating the mutable columns)
+        val createdAt = existing.select(col("city_key"), col("created_at").as("__orig_created"))
+        Scd
+          .upsert(existing, incoming, col("city_key"), col("updated_at"))
+          .join(createdAt, Seq("city_key"), "left")
+          .withColumn("created_at", coalesce(col("__orig_created"), col("created_at")))
+          .drop("__orig_created")
+    }
+    val tmp = path(root) + ".__tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path(root)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path(root)))
+  }
+
+  /** S10 — point lookup: city_key → url. */
+  def cityUrl(spark: SparkSession, root: String, cityKey: String): Option[String] =
+    load(spark, root).flatMap { df =>
+      df.filter(col("city_key") === cityKey)
+        .select("url")
+        .collect()
+        .headOption
+        .map(_.getString(0))
+    }
+}

@@ -50,10 +50,15 @@ object Flatten {
       Canonical.deterministicUuid(col("property.pid"), canon)
     )
 
-    val properties = withUuid.select(
-      col("uuid") +: col("property.pid").as("pid") +:
-        propertyHashFields.map(f => col(s"property.$f").as(f)): _*
-    )
+    // U2 — in-batch dedup on uuid (the reference's seen_uuids skip,
+    // vgsi/source.py:595-601): duplicate scrapes of one entity within a
+    // batch write once.
+    val properties = withUuid
+      .select(
+        col("uuid") +: col("property.pid").as("pid") +:
+          propertyHashFields.map(f => col(s"property.$f").as(f)): _*
+      )
+      .dropDuplicates("uuid")
 
     def child(arrayCol: String, fields: Seq[String]): DataFrame = {
       val exploded = withUuid

@@ -1,0 +1,100 @@
+package graft.sources.ct
+
+import graft.functions.Canonical
+import graft.lake.Lake
+import graft.scd.Scd
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CT Socrata open-data source (S6/S7) — behavioral port of
+  * /root/reference/scrapers/llc_ct_data/source.py: five registry datasets,
+  * paginated JSON fetch ($limit/$offset pages of 50,000), rename
+  * `id → business_id` for the businesses dataset, fixed scope
+  * `llc_ct_data`.
+  *
+  * Spark shape: page keys (`"dataset:offset"`, the reference's entry-key
+  * format) are distributed over executors; each task fetches its page and
+  * yields raw JSON lines; `spark.read.json` infers the drifting Socrata
+  * schema (all-string values, occasional nesting — schema-on-read exactly
+  * like the reference's Arrow inference).
+  */
+object CtDataSource {
+
+  /** dataset id → table name (source.py:32-38). */
+  val Datasets: Map[String, String] = Map(
+    "n7gp-d28j" -> "businesses",
+    "ah3s-bes7" -> "filings",
+    "qh2m-n44y" -> "agents",
+    "ka36-64k6" -> "principals",
+    "enwv-52we" -> "name_changes"
+  )
+
+  val PageSize: Int = 50000
+  val Scope: String = "llc_ct_data"
+
+  /** Entry keys for one dataset given its row count (S7 count-probe sizing):
+    * `"<dataset>:<offset>"` pages (source.py:105-135,212-227).
+    */
+  def pageKeys(datasetId: String, totalRows: Long): Seq[String] =
+    (0L until math.max(totalRows, 1L) by PageSize.toLong).map(off => s"$datasetId:$off")
+
+  def splitKey(key: String): (String, Long) = {
+    val i = key.lastIndexOf(':')
+    if (i < 0) (key, 0L) else (key.substring(0, i), key.substring(i + 1).toLong)
+  }
+
+  /** Ingest one dataset: fetch pages in parallel tasks, schema-on-read the
+    * JSON rows, apply the businesses rename (P7), stamp metadata, append.
+    * `fetchPage(datasetId, offset, limit)` returns the page as JSON-lines
+    * (one object per row); tests inject fakes.
+    */
+  def loadDataset(
+      spark: SparkSession,
+      datasetId: String,
+      totalRows: Long,
+      fetchPage: (String, Long, Int) => Seq[String],
+      root: String,
+      refresh: Boolean = false
+  ): (String, Long) = {
+    import spark.implicits._
+    val table = Datasets.getOrElse(datasetId, datasetId)
+    val keys = pageKeys(datasetId, totalRows)
+
+    val jsonLines = spark
+      .createDataset(keys)
+      .repartition(math.min(keys.size, 32))
+      .flatMap { key =>
+        val (ds, off) = splitKey(key)
+        fetchPage(ds, off, PageSize)
+      }
+
+    var df = spark.read.json(jsonLines)
+    if (table == "businesses" && df.columns.contains("id"))
+      df = df.withColumnRenamed("id", "business_id") // source.py:41-43,156-159
+
+    val stamped = Lake.stampMetadata(df, new java.sql.Timestamp(System.currentTimeMillis()))
+    val toWrite =
+      if (refresh && Lake.tables(spark, root, Scope).contains(table))
+        Scd.refreshDedup(stamped, Lake.read(spark, root, Scope, table))
+      else stamped
+    val n = toWrite.count()
+    if (n > 0) Lake.append(toWrite, root, Scope, table)
+    table -> n
+  }
+
+  /** D10 — refresh-all over every registered dataset. */
+  def loadAll(
+      spark: SparkSession,
+      counts: Map[String, Long],
+      fetchPage: (String, Long, Int) => Seq[String],
+      root: String,
+      refresh: Boolean = false
+  ): Map[String, Long] =
+    Datasets.keys.toSeq.sorted.map { ds =>
+      loadDataset(spark, ds, counts.getOrElse(ds, 0L), fetchPage, root, refresh)
+    }.toMap
+
+  /** Canonical content hash parity helper for CT rows (used in tests). */
+  def hashCols(df: DataFrame): DataFrame =
+    df.withColumn("row_hash", Canonical.rowHash(df))
+}

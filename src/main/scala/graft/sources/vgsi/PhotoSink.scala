@@ -1,0 +1,60 @@
+package graft.sources.vgsi
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** S11 — building-photo binary sink + read-back
+  * (/root/reference/scrapers/vgsi/source.py:647-679).
+  *
+  * Side-effecting `foreachPartition` writer: each task downloads its
+  * partition's photos; idempotent via existence check (re-runs and task
+  * retries skip already-written files); `default.jpg` placeholders are
+  * filtered in the plan, not per row. Read-back uses Spark's binaryFile
+  * source, giving the multimodal (path, length, content) DataFrame shape.
+  */
+object PhotoSink {
+
+  /** Download photos for (city, pid, photo_url) rows. Returns the count
+    * attempted (files actually fetched, not skipped).
+    */
+  def downloadPhotos(
+      items: DataFrame,
+      outputDir: String,
+      fetchBytes: String => Array[Byte]
+  ): Long = {
+    val spark = items.sparkSession
+    val downloaded = spark.sparkContext.longAccumulator("photos_downloaded")
+    items
+      .filter(col("photo_url").isNotNull && !lower(col("photo_url")).contains("default.jpg"))
+      .select(col("city"), col("pid"), col("photo_url"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val city = r.getString(0)
+          val pid = r.getLong(1)
+          val url = r.getString(2)
+          val dir = Paths.get(outputDir, city)
+          Files.createDirectories(dir)
+          val target = dir.resolve(s"$pid.jpg")
+          if (!Files.exists(target)) {
+            Files.write(target, fetchBytes(url))
+            downloaded.add(1)
+          }
+        }
+      }
+    downloaded.value
+  }
+
+  /** Read the photo store back as a binary DataFrame:
+    * (path, modificationTime, length, content) + parsed (city, pid).
+    */
+  def readPhotos(spark: SparkSession, outputDir: String): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(outputDir)
+      .withColumn("city", element_at(split(col("path"), "/"), -2))
+      .withColumn("pid", regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1).cast("long"))
+}

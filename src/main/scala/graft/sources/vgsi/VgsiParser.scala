@@ -1,0 +1,242 @@
+package graft.sources.vgsi
+
+import graft.ingest.InvalidEntryException
+import graft.sources._
+
+/** VGSI parcel-page parser — behavioral port of the reference's parse layer
+  * (/root/reference/scrapers/vgsi/source.py:256-579): span-indexed property
+  * extraction with the PROPERTY_TAGS mapping, indexed building blocks with
+  * construction/sub-area tables, generic normalized-header tables with
+  * "No Data" sentinel, money/int/float coercion, unknown-span capture into
+  * extra_fields.
+  *
+  * Typed-core + escape-hatch design: the analytic columns land in the typed
+  * [[Property]] model; the remaining PROPERTY_TAGS fields (mblu, co_owner,
+  * sale_date, book/page, land_* descriptors, zip_code, …) are preserved —
+  * never dropped — in the extra_fields JSON alongside genuinely unknown
+  * MainContent_lbl* spans, queryable with from_json at read time. The lake
+  * tolerates schema drift either way (mergeSchema).
+  */
+object VgsiParser {
+
+  val PropertyTags: Map[String, String] = Map(
+    "MainContent_lblPid" -> "pid",
+    "MainContent_lblAcctNum" -> "account_number",
+    "MainContent_lblMblu" -> "mblu",
+    "lblTownName" -> "town_name",
+    "MainContent_lblLocation" -> "address",
+    "MainContent_lblGenOwner" -> "owner",
+    "MainContent_lblAddr1" -> "owner_address",
+    "MainContent_lblCoOwner" -> "co_owner",
+    "MainContent_lblPrice" -> "sale_price",
+    "MainContent_lblCertificate" -> "certificate",
+    "MainContent_lblSaleDate" -> "sale_date",
+    "MainContent_lblBp" -> "book_page",
+    "MainContent_lblBookLabel" -> "book_label",
+    "MainContent_lblBook" -> "book",
+    "MainContent_lblPageLabel" -> "page_label",
+    "MainContent_lblPage" -> "page",
+    "MainContent_lblInstrument" -> "label_instrument",
+    "MainContent_lblGenAssessment" -> "assessment_value",
+    "MainContent_lblGenAppraisal" -> "appraisal_value",
+    "MainContent_lblBldCount" -> "building_count",
+    "MainContent_lblUseCode" -> "land_use_code",
+    "MainContent_lblUseCodeDescription" -> "building_use",
+    "MainContent_lblAltApproved" -> "land_alt_approved",
+    "MainContent_lblZone" -> "land_zone",
+    "MainContent_lblNbhd" -> "land_neighborhood_code",
+    "MainContent_lblLndFront" -> "land_frontage",
+    "MainContent_lblDepth" -> "land_depth",
+    "MainContent_lblLndAsmt" -> "land_assessed_value",
+    "MainContent_lblLndAppr" -> "land_appraised_value",
+    "MainContent_lblZip" -> "zip_code"
+  )
+
+  private val LandSizeIds = Seq("MainContent_lblLndSize", "MainContent_lblLndAcres")
+  private val KnownSpanIds = PropertyTags.keySet ++ LandSizeIds
+
+  private val TypedFields = Set(
+    "pid", "town_name", "address", "owner", "account_number", "sale_price",
+    "assessment_value", "appraisal_value", "building_count"
+  )
+
+  val ErrorAction = "./Error.aspx?Message=There+was+an+error+loading+the+parcel."
+
+  // --- coercions (F1-F5, source.py:134-174) ---
+  def cleanString(v: String): Option[String] = Option(v).map(_.trim).filter(_.nonEmpty)
+  def money(v: String): Option[Double] =
+    cleanString(v).map(_.replace("$", "").replace(",", "")).flatMap(s => s.toDoubleOption)
+  def toDouble(v: String): Option[Double] = cleanString(v).flatMap(_.toDoubleOption)
+  def toInt(v: String): Option[Int] = cleanString(v).flatMap(s => s.toDoubleOption.map(_.toInt))
+  def normalizeHeader(h: String): String =
+    h.trim.toLowerCase.stripSuffix(":").replace(" ", "_").replace("&", "and")
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def toJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
+      .mkString("{", ", ", "}")
+
+  /** Throws [[InvalidEntryException]] when the page is the VGSI error form
+    * (source.py:225-228).
+    */
+  def checkValid(html: String, pid: Long): Unit =
+    Html.attrOf(html, "form", "id", "form1", "action").foreach { action =>
+      if (action == ErrorAction) throw new InvalidEntryException(s"PID $pid doesn't exist")
+    }
+
+  def parse(html: String, pid: Long): ScrapeResult = {
+    checkValid(html, pid)
+    val spans = Html.spanIndex(html)
+
+    val raw: Map[String, String] = PropertyTags.flatMap { case (id, field) =>
+      spans.get(id).map(field -> _)
+    }
+    val landSize = LandSizeIds.collectFirst { case id if spans.contains(id) => spans(id) }
+
+    // unknown MainContent_lbl* spans + non-core typed tags → extra_fields
+    val unknownSpans = spans.collect {
+      case (id, t) if id.startsWith("MainContent_lbl") && !KnownSpanIds(id) && t.nonEmpty => id -> t
+    }
+    val overflowTags = raw.collect { case (f, v) if !TypedFields(f) && v.trim.nonEmpty => f -> v.trim }
+    val extras = unknownSpans ++ overflowTags
+    val extraJson = if (extras.nonEmpty) Some(toJson(extras)) else None
+
+    val property = Property(
+      pid = pid,
+      town_name = raw.get("town_name").flatMap(cleanString),
+      address = raw.get("address").flatMap(cleanString),
+      owner = raw.get("owner").flatMap(cleanString),
+      account_number = raw.get("account_number").flatMap(cleanString),
+      sale_price = raw.get("sale_price").flatMap(money),
+      assessment_value = raw.get("assessment_value").flatMap(money),
+      appraisal_value = raw.get("appraisal_value").flatMap(money),
+      building_count = raw.get("building_count").flatMap(toInt),
+      land_size_acres = landSize.flatMap(toDouble),
+      extra_fields = extraJson
+    )
+
+    val buildings = parseBuildings(html, spans, property.building_count.getOrElse(0))
+
+    ScrapeResult(
+      property = property,
+      buildings = buildings,
+      ownership = tableRows(html, "MainContent_grdSales", Set("sale_price")).map { r =>
+        Ownership(
+          owner = r.get("owner").flatMap(cleanString),
+          sale_price = r.get("sale_price").flatMap(money),
+          sale_date = r.get("sale_date").flatMap(cleanString)
+        )
+      },
+      appraisals = tableRows(html, "MainContent_grdHistoryValuesAppr",
+        Set("improvements", "land", "total")).map(valuation),
+      assessments = tableRows(html, "MainContent_grdHistoryValuesAsmt",
+        Set("improvements", "land", "total")).map(valuation),
+      extra_features = tableRows(html, "MainContent_grdXf", Set("value", "assessed_value")).map(feature),
+      outbuildings = tableRows(html, "MainContent_grdOb", Set("value", "assessed_value")).map(feature)
+    )
+  }
+
+  private def valuation(r: Map[String, String]): Valuation = Valuation(
+    valuation_year = r.get("valuation_year").orElse(r.get("year")).flatMap(cleanString),
+    improvements = r.get("improvements").flatMap(money),
+    land = r.get("land").flatMap(money),
+    total = r.get("total").flatMap(money)
+  )
+
+  private def feature(r: Map[String, String]): Feature = Feature(
+    code = r.get("code").flatMap(cleanString),
+    sub_code = r.get("sub_code").flatMap(cleanString),
+    description = r.get("description").flatMap(cleanString),
+    value = r.get("value").orElse(r.get("assessed_value")).flatMap(money)
+  )
+
+  /** Indexed building blocks: prefixes MainContent_ctl0{bid+2}, probing up
+    * to building_count+3 slots; a block with neither year nor area is
+    * skipped (source.py:340-411).
+    */
+  def parseBuildings(html: String, spans: Map[String, String], buildingCount: Int): Seq[Building] =
+    (0 until buildingCount + 3).flatMap { bid =>
+      val prefix = s"MainContent_ctl0${bid + 2}"
+      val year = spans.get(s"${prefix}_lblYearBuilt")
+      val area = spans.get(s"${prefix}_lblBldArea")
+      if (year.isEmpty && area.isEmpty) None
+      else {
+        val photo = Html
+          .attrOf(html, "img", "id", s"${prefix}_imgPhoto", "src")
+          .filter(src => src.nonEmpty && !src.toLowerCase.contains("default.jpg"))
+        Some(
+          Building(
+            bid = bid,
+            year_built = year.flatMap(toInt),
+            building_area = area.map(_.replace(",", "")).flatMap(toDouble),
+            replacement_cost = spans.get(s"${prefix}_lblRcn").flatMap(money),
+            less_depreciation = spans.get(s"${prefix}_lblRcnld").flatMap(money),
+            pct_good = spans.get(s"${prefix}_lblPctGood").flatMap(toInt),
+            photo_url = photo,
+            construction = parseConstruction(html, prefix),
+            sub_areas = parseSubAreas(html, prefix)
+          )
+        )
+      }
+    }
+
+  /** Key/value construction table (source.py:414-431). */
+  def parseConstruction(html: String, prefix: String): Map[String, String] =
+    Html
+      .tableRows(html, s"${prefix}_grdCns")
+      .getOrElse(Nil)
+      .collect {
+        case cells if cells.length >= 2 && cells(1).trim.nonEmpty =>
+          normalizeHeader(cells.head) -> cells(1).trim
+      }
+      .toMap
+
+  /** Sub-area rows; empty code (the "Total" footer) skipped
+    * (source.py:434-459).
+    */
+  def parseSubAreas(html: String, prefix: String): Seq[SubArea] =
+    Html.tableRows(html, s"${prefix}_grdSub").getOrElse(Nil) match {
+      case rows if rows.length < 2 => Nil
+      case rows =>
+        rows.tail.collect {
+          case cells if cells.length >= 4 && cells.head.trim.nonEmpty =>
+            SubArea(
+              code = cells.head.trim,
+              description = cleanString(cells(1)),
+              gross_area = toDouble(cells(2).replace(",", "")),
+              living_area = toDouble(cells(3).replace(",", ""))
+            )
+        }
+    }
+
+  /** Generic normalized-header table (source.py:462-501): header row
+    * normalized (lowercase, spaces→_, &→and), "No Data" sentinel → empty,
+    * money fields coerced, all-empty rows dropped. Returns raw string maps;
+    * money validation happens in the typed conversion.
+    */
+  def tableRows(html: String, tableId: String, moneyFields: Set[String]): Seq[Map[String, String]] = {
+    if (Html.tableText(html, tableId).exists(_.contains("No Data"))) return Nil
+    Html.tableRows(html, tableId).getOrElse(Nil) match {
+      case rows if rows.length < 2 => Nil
+      case rows =>
+        val headers = rows.head.map(normalizeHeader)
+        if (headers.isEmpty) Nil
+        else
+          rows.tail
+            .map(cells => headers.zip(cells).filter(_._2.trim.nonEmpty).toMap)
+            .filter(_.nonEmpty)
+    }
+  }
+
+  def vgsiUrl(baseUrl: String, pid: Long): String = s"${baseUrl}Parcel.aspx?pid=$pid"
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.lake.CityRegistry
+
+class CityRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert inserts, updates on conflict, preserves created_at; point lookup") {
+    val root = tmpDir("cities")
+    val v1 = Seq(
+      ("newhaven", "New Haven", "ct", "https://gis.vgsi.com/newhavenct/", "vgsi"),
+      ("hartford", "Hartford", "ct", "https://gis.vgsi.com/hartfordct/", "vgsi")
+    ).toDF("city_key", "city_name", "state", "url", "type")
+    CityRegistry.upsert(spark, root, v1)
+    assert(CityRegistry.cityUrl(spark, root, "newhaven").contains("https://gis.vgsi.com/newhavenct/"))
+    assert(CityRegistry.cityUrl(spark, root, "nowhere").isEmpty)
+    val created0 = CityRegistry.load(spark, root).get
+      .filter($"city_key" === "newhaven").select($"created_at").head().getTimestamp(0)
+
+    Thread.sleep(5)
+    val v2 = Seq(
+      ("newhaven", "New Haven", "ct", "https://gis.vgsi.com/newhaven2ct/", "vgsi"), // changed url
+      ("stamford", "Stamford", "ct", "https://gis.vgsi.com/stamfordct/", "vgsi") // new key
+    ).toDF("city_key", "city_name", "state", "url", "type")
+    CityRegistry.upsert(spark, root, v2)
+
+    val after = CityRegistry.load(spark, root).get
+    assert(after.count() == 3)
+    assert(CityRegistry.cityUrl(spark, root, "newhaven").contains("https://gis.vgsi.com/newhaven2ct/"))
+    val created1 = after.filter($"city_key" === "newhaven").select($"created_at").head().getTimestamp(0)
+    assert(created1 == created0) // created_at survives the update
+  }
+}

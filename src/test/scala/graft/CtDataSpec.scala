@@ -1,0 +1,72 @@
+package graft
+
+import graft.lake.Lake
+import graft.sources.ct.CtDataSource
+
+/** CT Socrata ingestion — mirrors /root/reference/tests/test_llc_ct_data.py
+  * scenarios: flatten/rename, pagination, load+refresh with both versions
+  * visible in the append-only lake.
+  */
+class CtDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fakeFetch(rowsByDataset: Map[String, Seq[String]]): (String, Long, Int) => Seq[String] =
+    (ds, off, limit) => rowsByDataset.getOrElse(ds, Nil).slice(off.toInt, off.toInt + limit)
+
+  test("pagination keys: 120001 rows -> 3 pages of dataset:offset") {
+    assert(
+      CtDataSource.pageKeys("n7gp-d28j", 120001L) ==
+        Seq("n7gp-d28j:0", "n7gp-d28j:50000", "n7gp-d28j:100000")
+    )
+    assert(CtDataSource.splitKey("n7gp-d28j:50000") == ("n7gp-d28j", 50000L))
+    assert(CtDataSource.pageKeys("x", 0L) == Seq("x:0")) // at least one probe page
+  }
+
+  test("businesses load renames id -> business_id and writes the scope table") {
+    val root = tmpDir("ct")
+    val rows = Seq(
+      """{"id": "001", "name": "Test Corp", "status": "Active"}""",
+      """{"id": "002", "name": "Other LLC", "status": "Dissolved"}"""
+    )
+    val (table, n) = CtDataSource.loadDataset(
+      spark, "n7gp-d28j", rows.size.toLong, fakeFetch(Map("n7gp-d28j" -> rows)), root)
+    assert(table == "businesses" && n == 2)
+    val df = Lake.read(spark, root, CtDataSource.Scope, "businesses")
+    assert(df.columns.contains("business_id") && !df.columns.contains("id"))
+    assert(df.columns.contains("row_hash") && df.columns.contains("scraped_at"))
+    assert(df.filter($"status" === "Active").select($"business_id").as[String].head() == "001")
+  }
+
+  test("refresh writes only changed rows; history keeps both versions") {
+    val root = tmpDir("ct")
+    val v1 = Seq(
+      """{"id": "001", "name": "Test Corp", "status": "Active"}""",
+      """{"id": "002", "name": "Other LLC", "status": "Active"}"""
+    )
+    CtDataSource.loadDataset(spark, "n7gp-d28j", 2L, fakeFetch(Map("n7gp-d28j" -> v1)), root)
+
+    val v2 = Seq(
+      """{"id": "001", "name": "Test Corp", "status": "Active"}""",
+      """{"id": "002", "name": "Other LLC", "status": "Dissolved"}"""
+    )
+    val (_, n) = CtDataSource.loadDataset(
+      spark, "n7gp-d28j", 2L, fakeFetch(Map("n7gp-d28j" -> v2)), root, refresh = true)
+    assert(n == 1) // only the changed business
+
+    val df = Lake.read(spark, root, CtDataSource.Scope, "businesses")
+    assert(df.count() == 3)
+    assert(df.filter($"business_id" === "002").count() == 2) // both versions visible
+  }
+
+  test("loadAll covers every registered dataset (D10)") {
+    val root = tmpDir("ct")
+    val data = CtDataSource.Datasets.keys.map { ds =>
+      ds -> Seq(s"""{"unique_key": "$ds-1", "v": "x"}""")
+    }.toMap
+    val written = CtDataSource.loadAll(spark, data.map { case (k, v) => k -> v.size.toLong }, fakeFetch(data), root)
+    assert(written.keySet == CtDataSource.Datasets.values.toSet)
+    assert(written.values.forall(_ == 1L))
+    assert(Lake.tables(spark, root, CtDataSource.Scope).sorted ==
+      CtDataSource.Datasets.values.toSeq.sorted)
+  }
+}

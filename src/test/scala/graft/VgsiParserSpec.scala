@@ -1,0 +1,153 @@
+package graft
+
+import graft.ingest.InvalidEntryException
+import graft.sources.vgsi.{Html, VgsiParser, VgsiSource}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser unit tests with inline HTML fixtures mirroring the reference's
+  * suite (/root/reference/tests/test_scraper.py:114-652).
+  */
+class VgsiParserSpec extends AnyFunSuite {
+
+  private def page(body: String) =
+    s"""<html><body><form id="form1" action="./Parcel.aspx"><span id="lblTownName">Testville</span>$body</form></body></html>"""
+
+  private val propertyPage = page("""
+    <span id="MainContent_lblPid">42</span>
+    <span id="MainContent_lblAcctNum"> ACC-99 </span>
+    <span id="MainContent_lblLocation">12 MAIN ST</span>
+    <span id="MainContent_lblGenOwner">DOE JOHN</span>
+    <span id="MainContent_lblPrice">$350,000.00</span>
+    <span id="MainContent_lblGenAssessment">$210,500</span>
+    <span id="MainContent_lblGenAppraisal">$320,000.50</span>
+    <span id="MainContent_lblBldCount">1</span>
+    <span id="MainContent_lblLndAcres">1.50</span>
+    <span id="MainContent_lblSaleDate">05/15/2020</span>
+    <span id="MainContent_lblNewMystery">surprise value</span>
+    <span id="MainContent_ctl02_lblYearBuilt">1950</span>
+    <span id="MainContent_ctl02_lblBldArea">2,000</span>
+    <span id="MainContent_ctl02_lblRcn">$400,000</span>
+    <span id="MainContent_ctl02_lblRcnld">$350,000</span>
+    <span id="MainContent_ctl02_lblPctGood">85</span>
+    <img id="MainContent_ctl02_imgPhoto" src="photos/42.jpg"/>
+    <table id="MainContent_ctl02_grdCns">
+      <tr><td>Style:</td><td>Colonial</td></tr>
+      <tr><td>Heat Type</td><td>Forced Air</td></tr>
+      <tr><td>AC &amp; Vent</td><td>Central</td></tr>
+      <tr><td>Empty Val:</td><td></td></tr>
+    </table>
+    <table id="MainContent_ctl02_grdSub">
+      <tr><th>Code</th><th>Description</th><th>Gross Area</th><th>Living Area</th></tr>
+      <tr><td>BAS</td><td>Base</td><td>1,000</td><td>800</td></tr>
+      <tr><td></td><td>Total</td><td>1,000</td><td>800</td></tr>
+    </table>
+    <table id="MainContent_grdSales">
+      <tr><th>Owner</th><th>Sale Price</th><th>Sale Date</th></tr>
+      <tr><td>DOE JOHN</td><td>$350,000</td><td>05/15/2020</td></tr>
+      <tr><td>SMITH A</td><td></td><td>01/01/1999</td></tr>
+    </table>
+    <table id="MainContent_grdHistoryValuesAppr">
+      <tr><th>Valuation Year</th><th>Improvements</th><th>Land</th><th>Total</th></tr>
+      <tr><td>2023</td><td>$200,000</td><td>$100,000</td><td>$300,000</td></tr>
+    </table>
+    <table id="MainContent_grdXf">
+      <tr><th>Code</th><th>Description</th><th>Value</th></tr>
+      <tr><td colspan="3">No Data for Parcel</td></tr>
+    </table>
+  """)
+
+  test("property fields parse with money/int/float coercion") {
+    val r = VgsiParser.parse(propertyPage, 42L)
+    val p = r.property
+    assert(p.pid == 42L)
+    assert(p.town_name.contains("Testville"))
+    assert(p.account_number.contains("ACC-99")) // trimmed
+    assert(p.address.contains("12 MAIN ST"))
+    assert(p.owner.contains("DOE JOHN"))
+    assert(p.sale_price.contains(350000.0))
+    assert(p.assessment_value.contains(210500.0))
+    assert(p.appraisal_value.contains(320000.5))
+    assert(p.building_count.contains(1))
+    assert(p.land_size_acres.contains(1.5))
+  }
+
+  test("unknown MainContent_lbl spans + non-core tags preserved in extra_fields") {
+    val r = VgsiParser.parse(propertyPage, 42L)
+    val extra = r.property.extra_fields.get
+    assert(extra.contains(""""MainContent_lblNewMystery": "surprise value""""))
+    assert(extra.contains(""""sale_date": "05/15/2020"""")) // non-core tag kept
+  }
+
+  test("building parses with comma-number area and photo url") {
+    val b = VgsiParser.parse(propertyPage, 42L).buildings.head
+    assert(b.bid == 0)
+    assert(b.year_built.contains(1950))
+    assert(b.building_area.contains(2000.0))
+    assert(b.replacement_cost.contains(400000.0))
+    assert(b.less_depreciation.contains(350000.0))
+    assert(b.pct_good.contains(85))
+    assert(b.photo_url.contains("photos/42.jpg"))
+  }
+
+  test("default.jpg photo becomes None") {
+    val html = page("""
+      <span id="MainContent_lblBldCount">1</span>
+      <span id="MainContent_ctl02_lblYearBuilt">1990</span>
+      <img id="MainContent_ctl02_imgPhoto" src="images/default.jpg"/>""")
+    assert(VgsiParser.parse(html, 1L).buildings.head.photo_url.isEmpty)
+  }
+
+  test("construction table: normalized keys, empty values dropped") {
+    val cns = VgsiParser.parse(propertyPage, 42L).buildings.head.construction
+    assert(cns == Map("style" -> "Colonial", "heat_type" -> "Forced Air", "ac_and_vent" -> "Central"))
+  }
+
+  test("sub-areas skip the empty-code Total footer") {
+    val subs = VgsiParser.parse(propertyPage, 42L).buildings.head.sub_areas
+    assert(subs.map(_.code) == Seq("BAS"))
+    assert(subs.head.gross_area.contains(1000.0))
+    assert(subs.head.living_area.contains(800.0))
+  }
+
+  test("sales table: normalized headers, empty cells null, both rows kept") {
+    val own = VgsiParser.parse(propertyPage, 42L).ownership
+    assert(own.length == 2)
+    assert(own.head.owner.contains("DOE JOHN"))
+    assert(own.head.sale_price.contains(350000.0))
+    assert(own.head.sale_date.contains("05/15/2020"))
+    assert(own(1).sale_price.isEmpty)
+  }
+
+  test("appraisals parse; No Data sentinel yields empty extra_features") {
+    val r = VgsiParser.parse(propertyPage, 42L)
+    assert(r.appraisals.head == graft.sources.Valuation(Some("2023"), Some(200000.0), Some(100000.0), Some(300000.0)))
+    assert(r.extra_features.isEmpty)
+  }
+
+  test("error-form page raises InvalidEntryException") {
+    val html =
+      s"""<html><form id="form1" action="${VgsiParser.ErrorAction}"></form></html>"""
+    intercept[InvalidEntryException](VgsiParser.parse(html, 7L))
+  }
+
+  test("zero/absent building count yields no buildings when no spans") {
+    val r = VgsiParser.parse(page("""<span id="MainContent_lblPid">1</span>"""), 1L)
+    assert(r.buildings.isEmpty)
+  }
+
+  test("html text extraction: nested tags, entities, whitespace") {
+    assert(Html.text("<b>Hello</b>&nbsp;<i>World &amp; Co</i>") == "Hello World & Co")
+    assert(Html.textById("<span id=\"x\">  a  <br/> b </span>", "span", "x").contains("a b"))
+  }
+
+  test("city list regex extracts city keys from index hrefs (S8)") {
+    val html = """
+      <a href="https://gis.vgsi.com/newhavenct/">New Haven</a>
+      <a href="https://gis.vgsi.com/hartfordct/">Hartford</a>
+      <a href="https://other.com/nothere/">x</a>"""
+    val cities = VgsiSource.parseCityList(html)
+    assert(cities("newhaven") == "https://gis.vgsi.com/newhavenct/")
+    assert(cities("hartford") == "https://gis.vgsi.com/hartfordct/")
+    assert(cities.size == 2)
+  }
+}
