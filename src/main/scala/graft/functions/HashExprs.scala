@@ -96,6 +96,60 @@ object HashSupport {
   }
 }
 
+object DotSupport {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Sequential dot product with explicit element-wise widening to double —
+    * bit-identical to `SUM(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))`
+    * accumulated in index order (the DuckDB oracle formulation).
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+/** double dot-product over two numeric arrays (codegen-enabled) — replaces
+  * the interpreted zip_with+aggregate composition in the similarity path.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotSupport.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left),
+      isFloat(right)
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotSupport.dot($a, $b, $lf, $rf)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object NGramSupport {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
@@ -203,4 +257,7 @@ object HashExprs {
 
   def wordNGrams(text: Column, n: Int): Column =
     ColumnShim.column(WordNGrams(ColumnShim.expression(text), n))
+
+  def arrayDot(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

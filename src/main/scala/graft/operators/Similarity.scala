@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen dot product (sequential double accumulation — matches
+    * the SQL oracle's index-order sum exactly; see
+    * [[graft.functions.DotSupport]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    graft.functions.HashExprs.arrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
