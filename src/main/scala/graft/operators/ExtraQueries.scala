@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** Additional relational coverage: set operations, multi-column distinct
+  * counts, calendar bucketing, pivot-style conditional aggregation, exact
+  * quantiles (SURVEY.md §2.4/§2.6 "available free" extensions).
+  */
+object ExtraQueries {
+
+  /** INTERSECT / EXCEPT — hash-based set ops; both sides are small key
+    * projections so Catalyst plans them as aggregates over a single
+    * shuffle each.
+    */
+  private val q34 = Q(
+    "q34_setops",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val mayCust = T.orders
+        .filter($"o_orderdate" >= ts("1996-05-01") && $"o_orderdate" < ts("1996-06-01"))
+        .select($"o_custkey")
+      val junCust = T.orders
+        .filter($"o_orderdate" >= ts("1996-06-01") && $"o_orderdate" < ts("1996-07-01"))
+        .select($"o_custkey")
+      val both = mayCust.intersect(junCust).withColumn("kind", lit("both"))
+      val mayOnly = mayCust.except(junCust).withColumn("kind", lit("may_only"))
+      both.unionByName(mayOnly).orderBy($"kind", $"o_custkey")
+    },
+    Some("""
+      WITH may AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-05-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'),
+           jun AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
+      SELECT o_custkey, 'both' AS kind FROM (SELECT o_custkey FROM may INTERSECT SELECT o_custkey FROM jun)
+      UNION ALL
+      SELECT o_custkey, 'may_only' AS kind FROM (SELECT o_custkey FROM may EXCEPT SELECT o_custkey FROM jun)
+      ORDER BY kind, o_custkey
+    """.trim)
+  )
+
+  /** COUNT(DISTINCT) per group — expand-based distinct aggregation. */
+  private val q35 = Q(
+    "q35_count_distinct",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"l_partkey").as("n_part"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim)
+  )
+
+  /** Calendar bucketing (F13 family): events per day. */
+  private val q36 = Q(
+    "q36_date_trunc",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.events
+        .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(cents($"value")) / 100.0, 2).as("total_value"))
+        .orderBy($"day")
+    },
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n,
+             ROUND(SUM(CAST(ROUND(value*100,0) AS BIGINT)) / 100.0, 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY day
+    """.trim)
+  )
+
+  /** Pivot-style conditional aggregation: event-type counts as columns per
+    * user — the portable formulation (Spark `pivot` and DuckDB `PIVOT`
+    * desugar to exactly this).
+    */
+  private val q37 = Q(
+    "q37_pivot_counts",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggs = types.map(t => sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n_$t"))
+      T.events
+        .groupBy($"user_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+      FROM events GROUP BY user_id ORDER BY user_id
+    """.trim)
+  )
+
+  /** Exact interpolated quantiles over exact cents (both engines use the
+    * same linear interpolation on the sorted set; inputs are integer cents
+    * so interpolation arithmetic is bit-deterministic).
+    */
+  private val q38 = Q(
+    "q38_quantiles",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.orders
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("percentile(CAST(ROUND(o_totalprice*100,0) AS BIGINT), 0.5)").as("median_cents"),
+          expr("percentile(CAST(ROUND(o_totalprice*100,0) AS BIGINT), 0.9)").as("p90_cents"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          $"o_orderstatus",
+          round($"median_cents" / 100.0, 2).as("median"),
+          round($"p90_cents" / 100.0, 2).as("p90"),
+          $"n"
+        )
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             ROUND(quantile_cont(CAST(ROUND(o_totalprice*100,0) AS BIGINT), 0.5) / 100.0, 2) AS median,
+             ROUND(quantile_cont(CAST(ROUND(o_totalprice*100,0) AS BIGINT), 0.9) / 100.0, 2) AS p90,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38)
+}
