@@ -47,6 +47,20 @@ object MicroBench {
         "array_distinct(transform(sequence(1, greatest(size(split(lower(text),'\\\\s+'))-2, 1))," +
           " i -> concat_ws(' ', slice(split(lower(text),'\\\\s+'), i, 3))))")).as("g"))
     time("grams via slice")(grams2.count())
+
+    // q20 money-string construction variants
+    val centsCol = round($"o_totalprice" * 100, 0).cast("long")
+    val dollars = (centsCol / 100).cast("long")
+    val rem = centsCol % 100
+    time("money via format_number") {
+      T.orders.select(concat(lit("$"), format_number(dollars, 0), lit("."),
+        lpad(rem.cast("string"), 2, "0")).as("m")).filter(length($"m") > 3).count()
+    }
+    time("money via regexp group") {
+      T.orders.select(concat(lit("$"),
+        regexp_replace(dollars.cast("string"), "(\\d)(?=(\\d{3})+$)", "$1,"), lit("."),
+        lpad(rem.cast("string"), 2, "0")).as("m")).filter(length($"m") > 3).count()
+    }
     spark.stop()
   }
 }

@@ -152,9 +152,12 @@ object Engine {
           if (refresh && Lake.tables(spark, root, scope).contains(table))
             Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
           else stamped
-        val n = toWrite.count()
-        if (n > 0) Lake.append(toWrite, root, scope, table)
-        table -> n
+        // D11 — row counts via observe() on the write action itself: one
+        // execution per table instead of count()+write double-compute.
+        val obs = org.apache.spark.sql.Observation()
+        Lake.append(toWrite.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows")), root, scope, table)
+        table -> obs.get("rows").asInstanceOf[Long]
       }
 
       if (config.checkpoint && ids.nonEmpty) {

@@ -77,6 +77,30 @@ object Lake {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
   }
 
+  /** Bucketed materialization of a lake table: hash-bucket + sort by the
+    * entity key so every SCD window / self-join / refresh group-by on that
+    * key runs WITHOUT an Exchange — the scan's bucketing satisfies the
+    * required distribution. This is the 100 TB form of the lake: the
+    * shuffle cost is paid once at write time, every subsequent analytic
+    * query gets co-location for free (verified by BucketingSpec: the
+    * currentState plan over a bucketed table contains no Exchange).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      key: String,
+      buckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("compression", "zstd")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(tableName)
+
   /** Compaction (D9): rewrite a table's many small files as `target` files,
     * atomically swapping via a temp dir + rename. Schema-merging read, so
     * drifted files unify. Unlike the reference (single file), `target` scales
