@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
   * SimHash, and n-gram Jaccard.
   *
+  * Algorithms follow the public literature — minwise hashing (Broder,
+  * "On the resemblance and containment of documents", 1997), LSH banding
+  * (Indyk & Motwani 1998; the banded formulation popularized by Mining of
+  * Massive Datasets ch. 3), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) — implementations are
+  * original Spark-first code.
+  *
   * Design for 100 TB:
   *  - Signatures (minhash/simhash/fingerprints) are pure per-row expression
   *    pipelines — no shuffle, fully codegen'd, embarrassingly parallel.

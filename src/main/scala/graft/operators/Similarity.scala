@@ -5,6 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
+  * Sign-bit LSH follows Charikar's hyperplane-rounding scheme (STOC 2002);
+  * the broadcast-query brute-force baseline is the standard distributed
+  * top-k pattern (cf. the top-k similarity-search literature in PAPERS.md).
   *
   * Two paths:
   *  - brute-force: broadcast the (small) query set against the corpus scan —
