@@ -21,12 +21,19 @@ import org.apache.spark.sql.functions._
 object Flatten {
 
   /** Business columns of the property struct (metadata excluded per
-    * /root/reference/src/engine/hash.py:7-24).
+    * /root/reference/src/engine/hash.py:7-24) — the full typed
+    * PROPERTY_TAGS set.
     */
   private val propertyHashFields = Seq(
     "town_name", "address", "owner", "account_number", "sale_price",
     "assessment_value", "appraisal_value", "building_count",
-    "land_size_acres", "extra_fields"
+    "land_size_acres", "extra_fields",
+    "mblu", "owner_address", "co_owner", "certificate", "sale_date",
+    "book_page", "book_label", "book", "page_label", "page",
+    "label_instrument", "land_use_code", "building_use",
+    "land_alt_approved", "land_zone", "land_neighborhood_code",
+    "land_frontage", "land_depth", "land_assessed_value",
+    "land_appraised_value", "zip_code"
   )
 
   /** Deliberate divergence from the reference: vgsi/source.py:332 derives
@@ -82,6 +89,7 @@ object Flatten {
         col("c.less_depreciation").as("less_depreciation"),
         col("c.pct_good").as("pct_good"),
         col("c.photo_url").as("photo_url"),
+        col("c.sketch_url").as("sketch_url"),
         when(size(map_keys(col("c.construction"))) > 0, to_json(col("c.construction")))
           .otherwise(lit(null).cast("string"))
           .as("construction_json")

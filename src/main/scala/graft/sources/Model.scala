@@ -22,7 +22,8 @@ final case class Building(
     pct_good: Option[Int],
     photo_url: Option[String],
     construction: Map[String, String],
-    sub_areas: Seq[SubArea]
+    sub_areas: Seq[SubArea],
+    sketch_url: Option[String] = None
 )
 
 final case class Ownership(
@@ -45,6 +46,13 @@ final case class Feature(
     value: Option[Double]
 )
 
+/** Full typed PROPERTY_TAGS column set
+  * (/root/reference/scrapers/vgsi/source.py:43-74 + land_size_acres):
+  * 29 tag fields + pid + extra_fields. Fields beyond the analytic core
+  * default to None so fixtures/demos stay terse. (Scala 2.13 case classes
+  * over 22 fields lose tupled/unapply, which nothing here uses; Spark
+  * product encoders reflect on constructor parameters and are unaffected.)
+  */
 final case class Property(
     pid: Long,
     town_name: Option[String],
@@ -56,7 +64,28 @@ final case class Property(
     appraisal_value: Option[Double],
     building_count: Option[Int],
     land_size_acres: Option[Double],
-    extra_fields: Option[String]
+    extra_fields: Option[String],
+    mblu: Option[String] = None,
+    owner_address: Option[String] = None,
+    co_owner: Option[String] = None,
+    certificate: Option[String] = None,
+    sale_date: Option[String] = None,
+    book_page: Option[String] = None,
+    book_label: Option[String] = None,
+    book: Option[String] = None,
+    page_label: Option[String] = None,
+    page: Option[String] = None,
+    label_instrument: Option[String] = None,
+    land_use_code: Option[String] = None,
+    building_use: Option[String] = None,
+    land_alt_approved: Option[String] = None,
+    land_zone: Option[String] = None,
+    land_neighborhood_code: Option[String] = None,
+    land_frontage: Option[Double] = None,
+    land_depth: Option[Double] = None,
+    land_assessed_value: Option[Double] = None,
+    land_appraised_value: Option[Double] = None,
+    zip_code: Option[String] = None
 )
 
 final case class ScrapeResult(

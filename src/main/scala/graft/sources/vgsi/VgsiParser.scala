@@ -55,10 +55,11 @@ object VgsiParser {
   private val LandSizeIds = Seq("MainContent_lblLndSize", "MainContent_lblLndAcres")
   private val KnownSpanIds = PropertyTags.keySet ++ LandSizeIds
 
-  private val TypedFields = Set(
-    "pid", "town_name", "address", "owner", "account_number", "sale_price",
-    "assessment_value", "appraisal_value", "building_count"
+  private val MoneyFields = Set(
+    "sale_price", "assessment_value", "appraisal_value",
+    "land_assessed_value", "land_appraised_value"
   )
+  private val FloatFields = Set("land_frontage", "land_depth")
 
   val ErrorAction = "./Error.aspx?Message=There+was+an+error+loading+the+parcel."
 
@@ -103,26 +104,49 @@ object VgsiParser {
     }
     val landSize = LandSizeIds.collectFirst { case id if spans.contains(id) => spans(id) }
 
-    // unknown MainContent_lbl* spans + non-core typed tags → extra_fields
+    // unknown MainContent_lbl* spans → extra_fields (never dropped,
+    // vgsi/source.py:301-311); all known tags land in typed columns
     val unknownSpans = spans.collect {
       case (id, t) if id.startsWith("MainContent_lbl") && !KnownSpanIds(id) && t.nonEmpty => id -> t
     }
-    val overflowTags = raw.collect { case (f, v) if !TypedFields(f) && v.trim.nonEmpty => f -> v.trim }
-    val extras = unknownSpans ++ overflowTags
-    val extraJson = if (extras.nonEmpty) Some(toJson(extras)) else None
+    val extraJson = if (unknownSpans.nonEmpty) Some(toJson(unknownSpans)) else None
+
+    def str(f: String): Option[String] = raw.get(f).flatMap(cleanString)
+    def mon(f: String): Option[Double] = raw.get(f).flatMap(money)
 
     val property = Property(
       pid = pid,
-      town_name = raw.get("town_name").flatMap(cleanString),
-      address = raw.get("address").flatMap(cleanString),
-      owner = raw.get("owner").flatMap(cleanString),
-      account_number = raw.get("account_number").flatMap(cleanString),
-      sale_price = raw.get("sale_price").flatMap(money),
-      assessment_value = raw.get("assessment_value").flatMap(money),
-      appraisal_value = raw.get("appraisal_value").flatMap(money),
+      town_name = str("town_name"),
+      address = str("address"),
+      owner = str("owner"),
+      account_number = str("account_number"),
+      sale_price = mon("sale_price"),
+      assessment_value = mon("assessment_value"),
+      appraisal_value = mon("appraisal_value"),
       building_count = raw.get("building_count").flatMap(toInt),
       land_size_acres = landSize.flatMap(toDouble),
-      extra_fields = extraJson
+      extra_fields = extraJson,
+      mblu = str("mblu"),
+      owner_address = str("owner_address"),
+      co_owner = str("co_owner"),
+      certificate = str("certificate"),
+      sale_date = str("sale_date"),
+      book_page = str("book_page"),
+      book_label = str("book_label"),
+      book = str("book"),
+      page_label = str("page_label"),
+      page = str("page"),
+      label_instrument = str("label_instrument"),
+      land_use_code = str("land_use_code"),
+      building_use = str("building_use"),
+      land_alt_approved = str("land_alt_approved"),
+      land_zone = str("land_zone"),
+      land_neighborhood_code = str("land_neighborhood_code"),
+      land_frontage = raw.get("land_frontage").flatMap(toDouble),
+      land_depth = raw.get("land_depth").flatMap(toDouble),
+      land_assessed_value = mon("land_assessed_value"),
+      land_appraised_value = mon("land_appraised_value"),
+      zip_code = str("zip_code")
     )
 
     val buildings = parseBuildings(html, spans, property.building_count.getOrElse(0))
@@ -184,7 +208,8 @@ object VgsiParser {
             pct_good = spans.get(s"${prefix}_lblPctGood").flatMap(toInt),
             photo_url = photo,
             construction = parseConstruction(html, prefix),
-            sub_areas = parseSubAreas(html, prefix)
+            sub_areas = parseSubAreas(html, prefix),
+            sketch_url = Html.attrOf(html, "img", "alt", "Building Layout", "src")
           )
         )
       }

@@ -71,11 +71,12 @@ class VgsiParserSpec extends AnyFunSuite {
     assert(p.land_size_acres.contains(1.5))
   }
 
-  test("unknown MainContent_lbl spans + non-core tags preserved in extra_fields") {
+  test("unknown MainContent_lbl spans preserved in extra_fields; known tags typed") {
     val r = VgsiParser.parse(propertyPage, 42L)
     val extra = r.property.extra_fields.get
     assert(extra.contains(""""MainContent_lblNewMystery": "surprise value""""))
-    assert(extra.contains(""""sale_date": "05/15/2020"""")) // non-core tag kept
+    assert(!extra.contains("sale_date")) // known tag is a typed column now
+    assert(r.property.sale_date.contains("05/15/2020"))
   }
 
   test("building parses with comma-number area and photo url") {
