@@ -56,6 +56,12 @@ object MicroBench {
       T.orders.select(concat(lit("$"), format_number(dollars, 0), lit("."),
         lpad(rem.cast("string"), 2, "0")).as("m")).filter(length($"m") > 3).count()
     }
+    // q28 anatomy: replicate the bench order (dedup trio first)
+    for (n <- Seq("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash_pairs",
+                  "q27_embed_topk", "q28_ann_lsh", "q28_ann_lsh")) {
+      time(s"bench-order $n")(graft.SparkEntry.queries(n)(spark, dir).count())
+    }
+
     time("money via regexp group") {
       T.orders.select(concat(lit("$"),
         regexp_replace(dollars.cast("string"), "(\\d)(?=(\\d{3})+$)", "$1,"), lit("."),

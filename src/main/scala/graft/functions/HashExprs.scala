@@ -150,6 +150,61 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object LshSupport {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Sign-bit LSH bucket: bit h set iff dot(v, plane_h) > 0. One pass over
+    * all planes — emitting this as a single expression keeps the generated
+    * whole-stage code small (8 inlined dot-product expressions measurably
+    * bloat Janino compilation).
+    */
+  def bucket(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    var out = 0L
+    var h = 0
+    while (h < planes.length) {
+      val p = planes(h)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * p(i)
+        i += 1
+      }
+      if (acc > 0) out |= 1L << h
+      h += 1
+    }
+    out
+  }
+}
+
+/** long sign-bit LSH bucket over fixed hyperplanes (codegen-enabled). */
+case class LshBucket(child: Expression, planes: Seq[Array[Double]]) extends UnaryExpression {
+  import org.apache.spark.sql.types.FloatType
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val planeArr: Array[Array[Double]] = planes.toArray
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshSupport.bucket(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planeArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    val f = isFloat
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshSupport.bucket($c, $ref, $f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 object NGramSupport {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
@@ -260,4 +315,7 @@ object HashExprs {
 
   def arrayDot(a: Column, b: Column): Column =
     ColumnShim.column(ArrayDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    ColumnShim.column(LshBucket(ColumnShim.expression(v), planes))
 }

@@ -46,14 +46,11 @@ object Similarity {
     }
   }
 
-  /** Sign-bit LSH bucket: bit h set iff dot(e, plane_h) > 0. */
-  def lshBucket(e: Column, planeVecs: Seq[Array[Double]]): Column = {
-    val bits = planeVecs.zipWithIndex.map { case (p, h) =>
-      val pv = array(p.map(lit): _*)
-      when(dot(e, pv) > 0, lit(1L << h)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit LSH bucket: bit h set iff dot(e, plane_h) > 0 — single native
+    * expression over all planes (one pass, small generated code).
+    */
+  def lshBucket(e: Column, planeVecs: Seq[Array[Double]]): Column =
+    graft.functions.HashExprs.lshBucket(e, planeVecs)
 
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def bruteForceTopK(
