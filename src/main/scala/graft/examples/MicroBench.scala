@@ -62,6 +62,17 @@ object MicroBench {
       time(s"bench-order $n")(graft.SparkEntry.queries(n)(spark, dir).count())
     }
 
+    // skew: 2M rows, 95% on one key — salted vs plain shuffle join
+    val skewed = spark.range(2000000)
+      .select((when($"id" % 20 =!= 0, lit(1L)).otherwise($"id" % 1000)).as("k"), $"id".as("v"))
+    val dim = spark.range(1000).select($"id".as("k"), concat(lit("name"), $"id").as("name"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("skewed join plain")(skewed.join(dim, Seq("k")).count())
+    time("skewed join salted")(graft.operators.Skew.saltedJoin(skewed, dim, "k", 16).count())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     time("money via regexp group") {
       T.orders.select(concat(lit("$"),
         regexp_replace(dollars.cast("string"), "(\\d)(?=(\\d{3})+$)", "$1,"), lit("."),
