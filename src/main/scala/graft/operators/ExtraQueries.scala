@@ -139,5 +139,26 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38)
+  /** Sketch aggregates (HLL count-distinct, approximate percentiles) — no
+    * SQL oracle by design: approximation algorithms differ across engines,
+    * so the driver records the weaker rows-only check. Exact twins are
+    * q35/q38.
+    */
+  private val q39 = Q(
+    "q39_approx_sketches",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy($"l_returnflag")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39)
 }

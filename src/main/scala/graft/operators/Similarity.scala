@@ -71,7 +71,16 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Approximate top-k: rank only within the query's LSH bucket. */
+  /** Approximate top-k: rank only within the query's LSH bucket.
+    *
+    * Recall caveat (observed on the synthetic corpus): on uniform random
+    * unit vectors sign-bit LSH has near-zero top-k recall — there is no
+    * cluster structure for the buckets to exploit, and a query's true
+    * neighbors land in other buckets. On real embedding corpora (which are
+    * strongly clustered) recall is far higher; increase recall by probing
+    * neighboring buckets (multi-probe: flip 1-2 bucket bits) or unioning
+    * several independent plane sets.
+    */
   def annTopK(
       queries: DataFrame,
       corpus: DataFrame,
