@@ -74,6 +74,21 @@ object LakeDemo {
       .show(truncate = false)
 
     println(s"== scopes: ${Lake.scopes(spark, root)}  checkpoint: ${Checkpoints.load(spark, root, "demoville")}")
+
+    println("== streaming refresh (AvailableNow): staged batch -> hash-dedup append")
+    val staging = s"$root/_staging/properties"
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    // stage a batch: one row duplicating lake content, one genuinely new
+    val cur = Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash")
+    val dupRow = cur.filter($"pid" === 5).drop("scraped_at", "row_hash")
+    val newRow = dupRow.withColumn("pid", lit(99L)).withColumn("assessment_value", lit(123.0))
+    Lake.append(Lake.stampMetadata(dupRow.unionByName(newRow), ts), root, "_staging", "properties")
+    val schema = Lake.read(spark, root, "_staging", "properties").schema
+    val q = graft.streaming.Streams.refreshStream(
+      spark, schema, Lake.tablePath(root, "_staging", "properties"),
+      root, "demoville", "properties", s"$root/_cp/properties")
+    q.awaitTermination()
+    println(s"   lake after streamed refresh: ${Lake.read(spark, root, "demoville", "properties").count()} rows")
     spark.stop()
   }
 }

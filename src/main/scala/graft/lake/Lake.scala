@@ -42,6 +42,25 @@ object Lake {
       .option("compression", "zstd")
       .parquet(tablePath(root, scope, table))
 
+  /** Partitioned append: the given columns become directory levels
+    * (`table/col=value/...`), so equality/range predicates on them prune at
+    * file-listing time — no row-group is even opened. The right layout for
+    * time-partitioned lakes at 100 TB (partition by ingest date; scope is
+    * already a directory level).
+    */
+  def appendPartitioned(
+      df: DataFrame,
+      root: String,
+      scope: String,
+      table: String,
+      partitionCols: Seq[String]
+  ): Unit =
+    df.write
+      .mode("append")
+      .option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
+      .parquet(tablePath(root, scope, table))
+
   /** Schema-merging read across all of a table's files. */
   def read(spark: SparkSession, root: String, scope: String, table: String): DataFrame =
     spark.read

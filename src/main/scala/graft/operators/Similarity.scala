@@ -71,6 +71,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe ANN: each query also probes the buckets at hamming
+    * distance 1 from its own (flip each of the `planes` bits) — the
+    * standard recall lever for sign-bit LSH: candidates grow ~(planes+1)×
+    * while staying ~(planes+1)/2^planes of the corpus.
+    */
+  def annTopKMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planeVecs: Seq[Array[Double]]
+  ): DataFrame = {
+    val nPlanes = planeVecs.length
+    val qb = queries
+      .withColumn("__b", lshBucket(col("qe"), planeVecs))
+      .withColumn(
+        "bucket",
+        explode(array((col("__b") +: (0 until nPlanes).map(h => col("__b").bitwiseXOR(lit(1L << h)))): _*))
+      )
+      .drop("__b")
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), planeVecs))
+    val scored = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+      .dropDuplicates("qid", "vec_id") // a candidate can match several probes
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: rank only within the query's LSH bucket.
     *
     * Recall caveat (observed on the synthetic corpus): on uniform random

@@ -78,5 +78,48 @@ object SimilarityQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q27, q28)
+  /** Multi-probe ANN: queries probe their own bucket plus the 8 buckets at
+    * hamming distance 1 — the standard recall lever. Oracle replays the
+    * probe expansion with an unnested probe list.
+    */
+  private val q40 = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val planeValues = planes.zipWithIndex
+      .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    Q(
+      "q40_ann_multiprobe",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val queries = T.embeddings.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+        Similarity
+          .annTopKMultiProbe(queries, T.embeddings, 5, planes)
+          .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rank")
+      },
+      Some(s"""
+        WITH pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
+        b AS (SELECT vec_id,
+                     SUM(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * p[i] for i in range(1, 65)]) > 0
+                              THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+              FROM embeddings, pl GROUP BY vec_id),
+        eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+        q0 AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM eb WHERE vec_id < 5),
+        probes AS (SELECT qid, bucket FROM q0
+                   UNION
+                   SELECT q0.qid, xor(q0.bucket, (1::BIGINT << hh.h)) AS bucket
+                   FROM q0, (SELECT unnest(range(0, 8)) AS h) hh),
+        qd AS (SELECT p.qid, q0.qe, p.bucket FROM probes p JOIN q0 ON p.qid = q0.qid),
+        s AS (SELECT DISTINCT qd.qid, c.vec_id, ${cosSql("qd.qe", "c.embedding")} AS cos
+              FROM eb c JOIN qd ON c.bucket = qd.bucket AND qd.qid <> c.vec_id)
+        SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+          SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
+          FROM s
+        ) WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q27, q28, q40)
 }

@@ -132,5 +132,57 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33)
+  /** The composed corpus-cleaning audit (CorpusPipeline.report): length →
+    * language → quality → exact-dup → near-dup gates, counts per outcome.
+    * The oracle recomposes the identical gate chain from the per-operator
+    * oracle formulations (q29/q31/q30/q22/q24).
+    */
+  private val q41 = Q(
+    "q41_corpus_clean",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      CorpusPipeline.report(T.documents, "doc_id", "text")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      m AS (SELECT doc_id, text, len(t) AS n,
+                   len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','it','on','for'))) AS n_stop,
+                   list_sum(list_transform(t, w -> len(w))) AS total_len,
+                   len(list_filter(t, w -> w IN ('der','die','das','und','nicht','ist'))) AS s_de,
+                   len(list_filter(t, w -> w IN ('el','los','las','una','es','y'))) AS s_es,
+                   len(list_filter(t, w -> w IN ('le','les','des','une','est','et'))) AS s_fr,
+                   len(list_filter(t, w -> w IN ('the','a','of','and','is','to'))) AS s_en
+            FROM toks),
+      q AS (SELECT doc_id, text, n,
+                   CASE WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en THEN 'de'
+                        WHEN s_es > s_fr AND s_es > s_en THEN 'es'
+                        WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS lang_pred,
+                   0.3 * (CAST(n_stop AS DOUBLE) / n)
+                     + 0.3 * least((CAST(total_len AS DOUBLE) / n) / 8.0, 1.0)
+                     + 0.4 * least(CAST(n AS DOUBLE) / 50.0, 1.0) AS quality
+            FROM m),
+      ex AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS xr FROM documents),
+      gs AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS gs FROM toks),
+      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT % 2147483647 AS g FROM gs),
+      sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      near AS (SELECT DISTINCT doc_b FROM (
+                 SELECT doc_a, doc_b, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+                 FROM i JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+               ) WHERE jaccard >= 0.8),
+      ann AS (SELECT q.doc_id,
+                     CASE WHEN q.n < 10 THEN 'too_short'
+                          WHEN q.lang_pred NOT IN ('en') THEN 'wrong_lang'
+                          WHEN q.quality < 0.3 THEN 'low_quality'
+                          WHEN ex.xr > 1 THEN 'exact_dup'
+                          WHEN near.doc_b IS NOT NULL THEN 'near_dup'
+                          ELSE 'kept' END AS outcome
+              FROM q JOIN ex ON q.doc_id = ex.doc_id
+                     LEFT JOIN near ON q.doc_id = near.doc_b)
+      SELECT outcome, COUNT(*) AS n FROM ann GROUP BY 1 ORDER BY outcome
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41)
 }

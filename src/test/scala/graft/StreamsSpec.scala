@@ -34,6 +34,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("refreshStream: AvailableNow drains staging, dedups against lake, checkpoint survives restart") {
+    val base = tmpDir("refresh_stream")
+    val staging = s"$base/staging"
+    val root = s"$base/lake"
+    val cp = s"$base/cp"
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+    def stamped(rows: Seq[(Long, String)]) = Lake.stampMetadata(rows.toDF("pid", "v"), ts)
+
+    // batch 1: two fresh rows; batch 2: one dup content + one new
+    stamped(Seq((1L, "a"), (2L, "b"))).write.mode("append").parquet(staging)
+    stamped(Seq((2L, "b"), (3L, "c"))).write.mode("append").parquet(staging)
+
+    val schema = spark.read.parquet(staging).schema
+    val q1 = Streams.refreshStream(spark, schema, staging, root, "s", "t", cp)
+    q1.awaitTermination()
+    val afterFirst = Lake.read(spark, root, "s", "t")
+    assert(afterFirst.count() == 3) // (2,b) duplicate dropped
+
+    // restart with a new staged file: checkpoint skips the old files
+    stamped(Seq((3L, "c"), (4L, "d"))).write.mode("append").parquet(staging)
+    val q2 = Streams.refreshStream(spark, schema, staging, root, "s", "t", cp)
+    q2.awaitTermination()
+    val afterSecond = Lake.read(spark, root, "s", "t")
+    assert(afterSecond.count() == 4) // only (4,d) appended
+    assert(afterSecond.select($"pid").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("windowed counts over event time") {
     val root = tmpDir("stream")
     val rows = Seq(
