@@ -98,20 +98,26 @@ object Main {
         if (failures > 0) sys.exit(1)
 
       case "admin" =>
+        def requireScope(s: String): String = {
+          val known = Lake.scopes(spark, root)
+          if (!known.contains(s))
+            sys.error(s"scope '$s' not found under $root; available: ${known.mkString(", ")}")
+          s
+        }
         args.positional.lift(1).getOrElse("scopes") match {
           case "scopes" => Lake.scopes(spark, root).foreach(println)
-          case "tables" => Lake.tables(spark, root, args.positional(2)).foreach(println)
+          case "tables" => Lake.tables(spark, root, requireScope(args.positional(2))).foreach(println)
           case "compact" =>
-            val scope = args.positional(2)
+            val scope = requireScope(args.positional(2))
             Lake.tables(spark, root, scope).foreach(t => Lake.compact(spark, root, scope, t))
             println(s"compacted $scope")
-          case "checkpoint" => println(Checkpoints.load(spark, root, args.positional(2)))
+          case "checkpoint" => println(Checkpoints.load(spark, root, requireScope(args.positional(2))))
           case "current" =>
-            val props = Lake.read(spark, root, args.positional(2), "properties")
+            val props = Lake.read(spark, root, requireScope(args.positional(2)), "properties")
             Scd.currentState(props, col("uuid"), col("scraped_at"), col("row_hash"))
               .show(20, truncate = false)
           case "history" =>
-            val props = Lake.read(spark, root, args.positional(2), "properties")
+            val props = Lake.read(spark, root, requireScope(args.positional(2)), "properties")
             Scd.history(props, col("uuid"), args.positional(3), col("row_hash"), col("scraped_at"))
               .show(truncate = false)
           case other => sys.error(s"unknown admin command: $other")
