@@ -27,12 +27,23 @@ object Main {
     def flag(name: String, default: String): String = flags.getOrElse(name, default)
   }
 
-  private def parseArgs(argv: Array[String]): Args =
-    argv.foldLeft((Args(), Option.empty[String])) {
-      case ((acc, Some(pending)), v) => (acc.copy(flags = acc.flags + (pending -> v)), None)
+  private val KnownFlags = Set(
+    "data-dir", "workers", "rate", "max-errors", "cores",
+    "entry-id-min", "entry-id-max", "base-url"
+  )
+
+  private def parseArgs(argv: Array[String]): Args = {
+    val (args, pending) = argv.foldLeft((Args(), Option.empty[String])) {
+      case ((acc, Some(p)), v) => (acc.copy(flags = acc.flags + (p -> v)), None)
       case ((acc, None), a) if a.startsWith("--") => (acc, Some(a.stripPrefix("--")))
       case ((acc, None), p) => (acc.copy(positional = acc.positional :+ p), None)
-    }._1
+    }
+    pending.foreach(p => sys.error(s"flag --$p requires a value"))
+    val unknown = args.flags.keySet.diff(KnownFlags)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown flag(s): ${unknown.map("--" + _).mkString(", ")}; known: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")}")
+    args
+  }
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
@@ -79,20 +90,27 @@ object Main {
         }
 
       case "refresh-all" => // D10 — every scope of every registered source
+        // Each source owns its scopes (the reference iterates per-source
+        // scope keys): VGSI scopes are the ones in the city registry; the
+        // CT scope belongs to CtDataSource and needs live dataset counts,
+        // so it is skipped here with a notice rather than failed.
         var failures = 0
         Lake.scopes(spark, root).foreach { scope =>
-          try {
-            val baseUrl = CityRegistry.cityUrl(spark, root, scope).getOrElse {
-              throw new IllegalStateException(s"no registry url for $scope")
-            }
-            val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
-              ratePerSec = args.flag("rate", "5").toDouble)
-            val stats = Engine.runRefresh(spark, source, root, scope, config)
-            println(s"refresh $scope: scraped=${stats.scraped} errors=${stats.errors}")
-          } catch {
-            case e: Exception =>
-              failures += 1
-              System.err.println(s"refresh $scope failed: ${e.getMessage}")
+          CityRegistry.cityUrl(spark, root, scope) match {
+            case None =>
+              println(s"skip $scope: not a registered VGSI city " +
+                s"(CT data refreshes via CtDataSource.loadAll with live counts)")
+            case Some(baseUrl) =>
+              try {
+                val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
+                  ratePerSec = args.flag("rate", "5").toDouble)
+                val stats = Engine.runRefresh(spark, source, root, scope, config)
+                println(s"refresh $scope: scraped=${stats.scraped} errors=${stats.errors}")
+              } catch {
+                case e: Exception =>
+                  failures += 1
+                  System.err.println(s"refresh $scope failed: ${e.getMessage}")
+              }
           }
         }
         if (failures > 0) sys.exit(1)

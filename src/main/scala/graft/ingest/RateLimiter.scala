@@ -38,9 +38,12 @@ final class RateLimiter(ratePerSec: Double) extends Serializable {
 object RateLimiter {
   private val instances = new ConcurrentHashMap[String, RateLimiter]()
 
-  /** One limiter per (key) per executor JVM — all tasks of a source on this
-    * executor share the budget.
+  /** One limiter per (key, rate) per executor JVM — all tasks of a source
+    * on this executor share the budget. The rate participates in the cache
+    * key: a later caller asking for a different rate for the same source
+    * gets a limiter honoring THAT rate rather than silently inheriting the
+    * first one's.
     */
   def forKey(key: String, ratePerSec: Double): RateLimiter =
-    instances.computeIfAbsent(key, _ => new RateLimiter(ratePerSec))
+    instances.computeIfAbsent(s"$key@$ratePerSec", _ => new RateLimiter(ratePerSec))
 }

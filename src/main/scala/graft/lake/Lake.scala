@@ -93,7 +93,13 @@ object Lake {
     val p = new Path(s"$root/$scope")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    else
+      fs.listStatus(p)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(n => n.contains(".__")) // compaction work dirs are not tables
+        .sorted
+        .toSeq
   }
 
   /** Bucketed materialization of a lake table: hash-bucket + sort by the
@@ -120,15 +126,19 @@ object Lake {
       .sortBy(key)
       .saveAsTable(tableName)
 
-  /** Compaction (D9): rewrite a table's many small files as `target` files,
-    * atomically swapping via a temp dir + rename. Schema-merging read, so
-    * drifted files unify. Unlike the reference (single file), `target` scales
-    * with table size — one file per ~128MB is the useful default on a
-    * cluster.
+  /** Compaction (D9): rewrite a table's many small files as `target` files.
+    * Swap order is crash-safe for DATA (not fully atomic — HDFS-like
+    * filesystems have no multi-dir atomic swap): write tmp → move the live
+    * dir aside → move tmp into place → drop the old dir. A crash mid-swap
+    * leaves the data in exactly one of `<table>.__old` or `<table>` (never
+    * deleted-before-replaced), and work dirs are excluded from [[tables]]
+    * listings. Unlike the reference (single file), `target` scales with
+    * table size — one file per ~128MB is the useful default on a cluster.
     */
   def compact(spark: SparkSession, root: String, scope: String, table: String, target: Int = 1): Unit = {
     val path = tablePath(root, scope, table)
     val tmp = s"$path.__compact_tmp"
+    val old = s"$path.__old"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.read
       .option("mergeSchema", "true")
@@ -138,7 +148,9 @@ object Lake {
       .mode("overwrite")
       .option("compression", "zstd")
       .parquet(tmp)
-    fs.delete(new Path(path), true)
+    fs.delete(new Path(old), true) // clear any previous failed swap
+    fs.rename(new Path(path), new Path(old))
     fs.rename(new Path(tmp), new Path(path))
+    fs.delete(new Path(old), true)
   }
 }

@@ -130,11 +130,11 @@ object Multimodal {
     * task instead of a row count — media corpora are heavily skewed.
     */
   def repartitionByBytes(df: DataFrame, contentCol: String, targetBytes: Long): DataFrame = {
-    val totalBytes = df
-      .agg(sum(octet_length(col(contentCol))))
-      .head()
-      .getLong(0)
-    val parts = math.max((totalBytes / targetBytes).toInt, 1)
-    df.repartition(parts)
+    val row = df.agg(sum(octet_length(col(contentCol)))).head()
+    if (row.isNullAt(0)) df // empty input: sum is NULL
+    else {
+      val parts = math.max((row.getLong(0) / targetBytes).toInt, 1)
+      df.repartition(parts)
+    }
   }
 }

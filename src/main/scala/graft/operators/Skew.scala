@@ -23,6 +23,13 @@ object Skew {
       salts: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right/full outer would emit one null-extended row PER SALT for
+    // unmatched right keys — refuse rather than silently duplicate
+    val ok = Set("inner", "left", "left_outer", "leftouter")
+    require(
+      ok.contains(joinType.toLowerCase.replace("_", "")) || ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only (got $joinType): the replicated right side would duplicate unmatched right rows"
+    )
     val salted = left.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
     val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

@@ -52,20 +52,17 @@ object Flatten {
       ("pid" -> col("property.pid")) +:
         identityFields.map(f => f -> col(s"property.$f")): _*
     )
-    val withUuid = base.withColumn(
-      "uuid",
-      Canonical.deterministicUuid(col("property.pid"), canon)
-    )
-
-    // U2 — in-batch dedup on uuid (the reference's seen_uuids skip,
-    // vgsi/source.py:595-601): duplicate scrapes of one entity within a
-    // batch write once.
-    val properties = withUuid
-      .select(
-        col("uuid") +: col("property.pid").as("pid") +:
-          propertyHashFields.map(f => col(s"property.$f").as(f)): _*
-      )
+    // U2 — in-batch dedup on uuid BEFORE fan-out (the reference's
+    // seen_uuids skip, vgsi/source.py:595-601): a duplicate scrape of one
+    // entity within a batch is dropped entirely — children included.
+    val withUuid = base
+      .withColumn("uuid", Canonical.deterministicUuid(col("property.pid"), canon))
       .dropDuplicates("uuid")
+
+    val properties = withUuid.select(
+      col("uuid") +: col("property.pid").as("pid") +:
+        propertyHashFields.map(f => col(s"property.$f").as(f)): _*
+    )
 
     def child(arrayCol: String, fields: Seq[String]): DataFrame = {
       val exploded = withUuid

@@ -10,12 +10,10 @@ import graft.sources._
   * "No Data" sentinel, money/int/float coercion, unknown-span capture into
   * extra_fields.
   *
-  * Typed-core + escape-hatch design: the analytic columns land in the typed
-  * [[Property]] model; the remaining PROPERTY_TAGS fields (mblu, co_owner,
-  * sale_date, book/page, land_* descriptors, zip_code, …) are preserved —
-  * never dropped — in the extra_fields JSON alongside genuinely unknown
-  * MainContent_lbl* spans, queryable with from_json at read time. The lake
-  * tolerates schema drift either way (mergeSchema).
+  * All 30 PROPERTY_TAGS land in typed [[Property]] columns; genuinely
+  * unknown MainContent_lbl* spans are preserved — never dropped — in the
+  * extra_fields JSON (queryable with from_json). The lake tolerates schema
+  * drift regardless (mergeSchema).
   */
 object VgsiParser {
 
@@ -54,12 +52,6 @@ object VgsiParser {
 
   private val LandSizeIds = Seq("MainContent_lblLndSize", "MainContent_lblLndAcres")
   private val KnownSpanIds = PropertyTags.keySet ++ LandSizeIds
-
-  private val MoneyFields = Set(
-    "sale_price", "assessment_value", "appraisal_value",
-    "land_assessed_value", "land_appraised_value"
-  )
-  private val FloatFields = Set("land_frontage", "land_depth")
 
   val ErrorAction = "./Error.aspx?Message=There+was+an+error+loading+the+parcel."
 
@@ -154,19 +146,17 @@ object VgsiParser {
     ScrapeResult(
       property = property,
       buildings = buildings,
-      ownership = tableRows(html, "MainContent_grdSales", Set("sale_price")).map { r =>
+      ownership = tableRows(html, "MainContent_grdSales").map { r =>
         Ownership(
           owner = r.get("owner").flatMap(cleanString),
           sale_price = r.get("sale_price").flatMap(money),
           sale_date = r.get("sale_date").flatMap(cleanString)
         )
       },
-      appraisals = tableRows(html, "MainContent_grdHistoryValuesAppr",
-        Set("improvements", "land", "total")).map(valuation),
-      assessments = tableRows(html, "MainContent_grdHistoryValuesAsmt",
-        Set("improvements", "land", "total")).map(valuation),
-      extra_features = tableRows(html, "MainContent_grdXf", Set("value", "assessed_value")).map(feature),
-      outbuildings = tableRows(html, "MainContent_grdOb", Set("value", "assessed_value")).map(feature)
+      appraisals = tableRows(html, "MainContent_grdHistoryValuesAppr").map(valuation),
+      assessments = tableRows(html, "MainContent_grdHistoryValuesAsmt").map(valuation),
+      extra_features = tableRows(html, "MainContent_grdXf").map(feature),
+      outbuildings = tableRows(html, "MainContent_grdOb").map(feature)
     )
   }
 
@@ -246,10 +236,11 @@ object VgsiParser {
 
   /** Generic normalized-header table (source.py:462-501): header row
     * normalized (lowercase, spaces→_, &→and), "No Data" sentinel → empty,
-    * money fields coerced, all-empty rows dropped. Returns raw string maps;
-    * money validation happens in the typed conversion.
+    * all-empty rows dropped. Returns raw string maps; the money coercion
+    * that the reference does inline here happens in the typed converters
+    * ([[valuation]]/[[feature]]/ownership mapping) instead.
     */
-  def tableRows(html: String, tableId: String, moneyFields: Set[String]): Seq[Map[String, String]] = {
+  def tableRows(html: String, tableId: String): Seq[Map[String, String]] = {
     if (Html.tableText(html, tableId).exists(_.contains("No Data"))) return Nil
     Html.tableRows(html, tableId).getOrElse(Nil) match {
       case rows if rows.length < 2 => Nil

@@ -51,7 +51,15 @@ object StatefulSessions {
             val cents = math.round(e.value * 100)
             cur match {
               case Some(s) if e.tsMs - s.lastMs <= gapMs =>
-                cur = Some(s.copy(lastMs = e.tsMs, nEvents = s.nEvents + 1, totalCents = s.totalCents + cents))
+                // min/max guards: a late event from a previous micro-batch
+                // must not regress the session window
+                cur = Some(
+                  s.copy(
+                    startMs = math.min(s.startMs, e.tsMs),
+                    lastMs = math.max(s.lastMs, e.tsMs),
+                    nEvents = s.nEvents + 1,
+                    totalCents = s.totalCents + cents
+                  ))
               case Some(s) =>
                 closed ::= SessionOut(userId, s.startMs, s.lastMs, s.nEvents, s.totalCents / 100.0)
                 cur = Some(SessionState(e.tsMs, e.tsMs, 1, cents))

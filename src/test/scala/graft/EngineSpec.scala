@@ -94,6 +94,17 @@ class EngineSpec extends SparkSpec {
     assert(hist5.count() == 1)
   }
 
+  test("duplicate entry ids in one batch write once across ALL tables (U2)") {
+    val root = tmpDir("lake")
+    val data = mkData(Map(1L -> 100.0, 2L -> 200.0))
+    val s = Engine.runLoad(spark, new FakeSource(data), Seq(1L, 1L, 2L, 1L), root, "dup",
+      IngestConfig(workers = 2, checkpoint = false, compactAfter = false))
+    assert(s.rowsWritten("properties") == 2)
+    assert(s.rowsWritten("buildings") == 2) // children deduped with the entry
+    assert(s.rowsWritten("sub_areas") == 2)
+    assert(s.rowsWritten("ownership") == 2)
+  }
+
   test("invalid entries are skipped silently, not errors (D6)") {
     val root = tmpDir("lake")
     val ids = (1L to 5L).toSeq
