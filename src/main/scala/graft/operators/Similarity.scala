@@ -100,6 +100,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) index: k-means centroids over the corpus; each
+    * vector is assigned to its nearest centroid's posting list. Queries
+    * probe the `nProbe` nearest centroids and rank only those lists —
+    * the standard quantization-based ANN scale path, complementing the
+    * hash-based LSH variant. Built on spark.ml KMeans (seeded,
+    * deterministic); at 100 TB the assignment is a broadcast of k
+    * centroid vectors against the corpus scan, and posting lists are just
+    * a `cluster` column the bucket-join groups by.
+    */
+  def ivfIndex(corpus: DataFrame, k: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = corpus.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(featurized)
+    val assigned = model.transform(featurized).withColumnRenamed("prediction", "cluster").drop("features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe the nProbe nearest centroids per query, then exact-rank within
+    * the probed posting lists.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qe)
+      indexed: DataFrame, // (vec_id, embedding, cluster) from ivfIndex
+      centroids: Array[Array[Double]],
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    // distance of qe to each centroid, take nProbe nearest cluster ids
+    val centroidDists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(sumSq(c)) - lit(2.0) * dot(col("qe"), array(c.map(lit): _*))).as("d"),
+        lit(i).as("cluster")
+      )
+    }
+    val probed = queries
+      .withColumn("__cands", array_sort(array(centroidDists: _*)))
+      .withColumn("cluster", explode(slice(col("__cands"), 1, nProbe).getField("cluster")))
+      .drop("__cands")
+    val scored = indexed
+      .join(broadcast(probed), Seq("cluster"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def sumSq(a: Array[Double]): Double = a.map(x => x * x).sum
+
   /** Approximate top-k: rank only within the query's LSH bucket.
     *
     * Recall caveat (observed on the synthetic corpus): on uniform random

@@ -121,5 +121,24 @@ object SimilarityQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q27, q28, q40)
+  /** IVF ANN (k-means posting lists, nProbe=2 of 8). No SQL oracle —
+    * k-means has no cross-engine twin — so the driver records the rows-only
+    * check; IvfSpec proves nProbe=k reduces exactly to brute force.
+    */
+  private val q42 = Q(
+    "q42_ann_ivf",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val corpus = T.embeddings.select($"vec_id", $"embedding")
+      val (indexed, centroids) = Similarity.ivfIndex(corpus, k = 8)
+      val queries = corpus.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity
+        .ivfTopK(queries, indexed, centroids, nProbe = 2, k = 5)
+        .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+        .orderBy($"qid", $"rank")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42)
 }
