@@ -61,6 +61,10 @@ object Main {
 
     try args.positional.head match {
       case "load" | "refresh" =>
+        if (args.positional.length < 3) {
+          usage()
+          sys.error(s"${args.positional.head} needs a source and a city, e.g. `graft ${args.positional.head} vgsi newhaven`")
+        }
         val Vector(cmd, sourceName, city) = args.positional.take(3)
         require(sourceName == "vgsi", s"unknown source: $sourceName")
         val baseUrl = CityRegistry

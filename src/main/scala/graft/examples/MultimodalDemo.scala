@@ -25,8 +25,8 @@ object MultimodalDemo {
       ("demoville", 3L, "http://x/a.jpg"),
       ("otherville", 4L, "http://x/c.jpg")
     ).toDF("city", "pid", "photo_url")
-    val fetched = PhotoSink.downloadPhotos(items, dir, url => s"JPEG-DATA:$url:${url.length}".getBytes)
-    println(s"downloaded=$fetched")
+    val (fetched, failed) = PhotoSink.downloadPhotos(items, dir, url => s"JPEG-DATA:$url:${url.length}".getBytes)
+    println(s"downloaded=$fetched failed=$failed")
 
     // 2. read back as a binary DataFrame and lift to the media schema
     val media = PhotoSink

@@ -173,7 +173,7 @@ object Engine {
         )
       }
       if (config.compactAfter)
-        Lake.tables(spark, root, scope).foreach(t => Lake.compact(spark, root, scope, t))
+        Lake.tables(spark, root, scope).foreach(t => Lake.compactIfNeeded(spark, root, scope, t))
 
       IngestStats(okAcc.value, errAcc.value, invAcc.value, written)
     } finally results.unpersist()

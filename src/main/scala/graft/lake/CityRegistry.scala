@@ -44,12 +44,21 @@ object CityRegistry {
           .withColumn("created_at", coalesce(col("__orig_created"), col("created_at")))
           .drop("__orig_created")
     }
-    val tmp = path(root) + ".__tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path(root))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path(root)), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path(root)))
+    val p = new org.apache.hadoop.fs.Path(path(root))
+    val tmp = new org.apache.hadoop.fs.Path(path(root) + ".__tmp")
+    val old = new org.apache.hadoop.fs.Path(path(root) + ".__old")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // move-aside swap with checked renames (same order as Lake.compact):
+    // the registry always survives at `p` or `old`, never deleted first
+    fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"cities upsert: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(old)) fs.rename(old, p)
+      throw new java.io.IOException(s"cities upsert: could not move new registry into $p (rolled back)")
+    }
+    fs.delete(old, true)
   }
 
   /** S10 — point lookup: city_key → url. */

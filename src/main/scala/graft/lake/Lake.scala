@@ -135,22 +135,48 @@ object Lake {
     * listings. Unlike the reference (single file), `target` scales with
     * table size — one file per ~128MB is the useful default on a cluster.
     */
-  def compact(spark: SparkSession, root: String, scope: String, table: String, target: Int = 1): Unit = {
+  def compact(spark: SparkSession, root: String, scope: String, table: String, target: Int = 0): Unit = {
     val path = tablePath(root, scope, table)
     val tmp = s"$path.__compact_tmp"
     val old = s"$path.__old"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // target <= 0: size the output at ~128MB per file from the dir's bytes
+    val t =
+      if (target > 0) target
+      else {
+        val bytes = fs.getContentSummary(new Path(path)).getLength
+        math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+      }
     spark.read
       .option("mergeSchema", "true")
       .parquet(path)
-      .coalesce(target)
+      .coalesce(t)
       .write
       .mode("overwrite")
       .option("compression", "zstd")
       .parquet(tmp)
     fs.delete(new Path(old), true) // clear any previous failed swap
-    fs.rename(new Path(path), new Path(old))
-    fs.rename(new Path(tmp), new Path(path))
+    // Hadoop FS signals rename failure by returning false — check both
+    // steps and roll back so the data always lives at `path` or `old`.
+    if (!fs.rename(new Path(path), new Path(old)))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(new Path(old), new Path(path)) // roll back
+      throw new java.io.IOException(s"compact: could not move compacted data into $path (rolled back)")
+    }
     fs.delete(new Path(old), true)
+  }
+
+  /** Compact only when the table has accumulated at least `minFiles` data
+    * files — repeated small refreshes then skip the full rewrite, keeping
+    * cumulative compaction I/O near-linear instead of quadratic.
+    */
+  def compactIfNeeded(spark: SparkSession, root: String, scope: String, table: String, minFiles: Int = 4): Unit = {
+    val p = new Path(tablePath(root, scope, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val nFiles = fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (nFiles >= minFiles) compact(spark, root, scope, table)
+    }
   }
 }

@@ -37,26 +37,33 @@ object CorpusPipeline {
     val exactW = Window.partitionBy(md5(text)).orderBy(id)
     val withExact = measured.withColumn("__exact_rank", row_number().over(exactW))
 
-    // near-dedup: candidate pairs above the Jaccard threshold; greedily drop
-    // the larger id of each pair (deterministic)
+    // gate reasons BEFORE near-dedup (language gate precedes quality: the
+    // quality heuristics are language-specific)
+    val gated = withExact.withColumn(
+      "__gate",
+      when(col("__tokens") < cfg.minTokens, "too_short")
+        .when(!col("__lang").isInCollection(cfg.allowedLangs), "wrong_lang")
+        .when(col("__quality") < cfg.minQuality, "low_quality")
+        .when(col("__exact_rank") > 1, "exact_dup")
+    )
+
+    // near-dedup runs among GATE SURVIVORS only: a doc already dropped by
+    // an earlier gate must not eliminate its (valid) near-duplicate
+    // partner — otherwise a cluster of copies could lose every
+    // representative. Greedily drop the larger id of each surviving pair.
+    val survivors = gated.filter(col("__gate").isNull).select(id.as(idCol), text.as(textCol))
     val nearDropIds = Dedup
-      .ngramJaccardPairs(docs, idCol, textCol, cfg.nearDupJaccard)
+      .ngramJaccardPairs(survivors, idCol, textCol, cfg.nearDupJaccard)
       .select(col("doc_b").as("__drop_id"))
       .distinct()
 
-    withExact
+    gated
       .join(broadcast(nearDropIds), id === col("__drop_id"), "left")
       .withColumn(
         "drop_reason",
-        // language gate precedes quality: the quality heuristics
-        // (stopword ratio) are language-specific
-        when(col("__tokens") < cfg.minTokens, "too_short")
-          .when(!col("__lang").isInCollection(cfg.allowedLangs), "wrong_lang")
-          .when(col("__quality") < cfg.minQuality, "low_quality")
-          .when(col("__exact_rank") > 1, "exact_dup")
-          .when(col("__drop_id").isNotNull, "near_dup")
+        coalesce(col("__gate"), when(col("__drop_id").isNotNull, "near_dup"))
       )
-      .drop("__tokens", "__quality", "__lang", "__exact_rank", "__drop_id")
+      .drop("__tokens", "__quality", "__lang", "__exact_rank", "__drop_id", "__gate")
   }
 
   def clean(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame =

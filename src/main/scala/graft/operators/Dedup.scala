@@ -124,13 +124,14 @@ object Dedup {
     // persist so shingling runs once. Spark's ContextCleaner reclaims the
     // blocks once the result plan is unreferenced; at cluster scale swap for
     // an explicit checkpoint of the gram table. Grams are joined by a
-    // 31-bit md5-derived integer key (cheaper shuffle + probes than the
-    // gram strings; the oracle hashes identically so results stay exact).
+    // 60-bit md5-derived integer key (cheaper shuffle + probes than the
+    // gram strings; 60 bits keeps birthday collisions negligible even at
+    // ~10^8 distinct grams, and the oracle hashes identically).
     val grams = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
         col("doc_id"),
-        pmod(conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long"), lit(2147483647L)).as("g")
+        conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g")
       )
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

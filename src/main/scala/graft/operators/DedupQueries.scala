@@ -71,7 +71,7 @@ object DedupQueries {
     Some("""
       WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
       gs AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS gs FROM toks),
-      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT % 2147483647 AS g FROM gs),
+      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM gs),
       sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
       i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
             FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)

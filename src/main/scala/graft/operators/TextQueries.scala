@@ -162,8 +162,15 @@ object TextQueries {
                      + 0.4 * least(CAST(n AS DOUBLE) / 50.0, 1.0) AS quality
             FROM m),
       ex AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS xr FROM documents),
-      gs AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS gs FROM toks),
-      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT % 2147483647 AS g FROM gs),
+      gate AS (SELECT q.doc_id,
+                      CASE WHEN q.n < 10 THEN 'too_short'
+                           WHEN q.lang_pred NOT IN ('en') THEN 'wrong_lang'
+                           WHEN q.quality < 0.3 THEN 'low_quality'
+                           WHEN ex.xr > 1 THEN 'exact_dup' END AS g
+               FROM q JOIN ex ON q.doc_id = ex.doc_id),
+      gs AS (SELECT t.doc_id, unnest(list_distinct([array_to_string(t.t[i:i+2], ' ') for i in range(1, greatest(len(t.t)-1, 2))])) AS gs
+             FROM toks t JOIN gate ON t.doc_id = gate.doc_id AND gate.g IS NULL),
+      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM gs),
       sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
       i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
             FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -171,15 +178,9 @@ object TextQueries {
                  SELECT doc_a, doc_b, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
                  FROM i JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
                ) WHERE jaccard >= 0.8),
-      ann AS (SELECT q.doc_id,
-                     CASE WHEN q.n < 10 THEN 'too_short'
-                          WHEN q.lang_pred NOT IN ('en') THEN 'wrong_lang'
-                          WHEN q.quality < 0.3 THEN 'low_quality'
-                          WHEN ex.xr > 1 THEN 'exact_dup'
-                          WHEN near.doc_b IS NOT NULL THEN 'near_dup'
-                          ELSE 'kept' END AS outcome
-              FROM q JOIN ex ON q.doc_id = ex.doc_id
-                     LEFT JOIN near ON q.doc_id = near.doc_b)
+      ann AS (SELECT gate.doc_id,
+                     coalesce(gate.g, CASE WHEN near.doc_b IS NOT NULL THEN 'near_dup' END, 'kept') AS outcome
+              FROM gate LEFT JOIN near ON gate.doc_id = near.doc_b)
       SELECT outcome, COUNT(*) AS n FROM ann GROUP BY 1 ORDER BY outcome
     """.trim)
   )

@@ -60,6 +60,9 @@ object CtDataSource {
     val table = Datasets.getOrElse(datasetId, datasetId)
     val keys = pageKeys(datasetId, totalRows)
 
+    // Persist the fetched pages: json schema inference, dedup and the
+    // write would otherwise EACH re-run the HTTP flatMap (3x API traffic,
+    // and the written rows could differ from the inferred ones).
     val jsonLines = spark
       .createDataset(keys)
       .repartition(math.min(keys.size, 32))
@@ -67,19 +70,23 @@ object CtDataSource {
         val (ds, off) = splitKey(key)
         fetchPage(ds, off, PageSize)
       }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var df = spark.read.json(jsonLines)
-    if (table == "businesses" && df.columns.contains("id"))
-      df = df.withColumnRenamed("id", "business_id") // source.py:41-43,156-159
+    try {
+      var df = spark.read.json(jsonLines)
+      if (table == "businesses" && df.columns.contains("id"))
+        df = df.withColumnRenamed("id", "business_id") // source.py:41-43,156-159
 
-    val stamped = Lake.stampMetadata(df, new java.sql.Timestamp(System.currentTimeMillis()))
-    val toWrite =
-      if (refresh && Lake.tables(spark, root, Scope).contains(table))
-        Scd.refreshDedup(stamped, Lake.read(spark, root, Scope, table))
-      else stamped
-    val n = toWrite.count()
-    if (n > 0) Lake.append(toWrite, root, Scope, table)
-    table -> n
+      val stamped = Lake.stampMetadata(df, new java.sql.Timestamp(System.currentTimeMillis()))
+      val toWrite =
+        if (refresh && Lake.tables(spark, root, Scope).contains(table))
+          Scd.refreshDedup(stamped, Lake.read(spark, root, Scope, table))
+        else stamped
+      // row count from observe() on the write action itself (one pass)
+      val obs = org.apache.spark.sql.Observation()
+      Lake.append(toWrite.observe(obs, count(lit(1)).as("rows")), root, Scope, table)
+      table -> obs.get("rows").asInstanceOf[Long]
+    } finally jsonLines.unpersist()
   }
 
   /** D10 — refresh-all over every registered dataset. */

@@ -15,9 +15,12 @@ import scala.util.matching.Regex
   */
 object Html {
 
+  // &amp; must decode LAST: decoding it first would turn a double-escaped
+  // "&amp;lt;" into "&lt;" and then wrongly into "<"
   private val entities = Seq(
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " "
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&"
   )
 
   def decode(s: String): String =

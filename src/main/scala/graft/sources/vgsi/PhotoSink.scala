@@ -16,16 +16,21 @@ import java.nio.file.{Files, Paths}
   */
 object PhotoSink {
 
-  /** Download photos for (city, pid, photo_url) rows. Returns the count
-    * attempted (files actually fetched, not skipped).
+  /** Download photos for (city, pid, photo_url) rows. Per-photo failures
+    * are counted and skipped — one bad URL must not abort the job (the
+    * reference logs-and-continues per photo, source.py:656-667). Files are
+    * written via tmp + atomic move so a killed task never leaves a
+    * truncated photo that the existence check would then skip forever.
+    * Returns (downloaded, failed).
     */
   def downloadPhotos(
       items: DataFrame,
       outputDir: String,
       fetchBytes: String => Array[Byte]
-  ): Long = {
+  ): (Long, Long) = {
     val spark = items.sparkSession
     val downloaded = spark.sparkContext.longAccumulator("photos_downloaded")
+    val failed = spark.sparkContext.longAccumulator("photos_failed")
     items
       .filter(col("photo_url").isNotNull && !lower(col("photo_url")).contains("default.jpg"))
       .select(col("city"), col("pid"), col("photo_url"))
@@ -34,16 +39,22 @@ object PhotoSink {
           val city = r.getString(0)
           val pid = r.getLong(1)
           val url = r.getString(2)
-          val dir = Paths.get(outputDir, city)
-          Files.createDirectories(dir)
-          val target = dir.resolve(s"$pid.jpg")
-          if (!Files.exists(target)) {
-            Files.write(target, fetchBytes(url))
-            downloaded.add(1)
+          try {
+            val dir = Paths.get(outputDir, city)
+            Files.createDirectories(dir)
+            val target = dir.resolve(s"$pid.jpg")
+            if (!Files.exists(target)) {
+              val tmp = dir.resolve(s".$pid.jpg.tmp")
+              Files.write(tmp, fetchBytes(url))
+              Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              downloaded.add(1)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => failed.add(1)
           }
         }
       }
-    downloaded.value
+    (downloaded.value, failed.value)
   }
 
   /** Read the photo store back as a binary DataFrame:
