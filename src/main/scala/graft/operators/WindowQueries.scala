@@ -210,5 +210,43 @@ object WindowQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17)
+  /** As-of (time travel): each user's state as of a cutoff — latest
+    * observation at or before it (Scd.asOf = filtered W1).
+    */
+  private val q43 = Q(
+    "q43_asof",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Scd
+        .asOf(T.events, $"user_id", ts("2024-01-15"), $"ts", $"event_id")
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1
+      ORDER BY user_id
+    """.trim)
+  )
+
+  /** Spark's native session_window operator (gap-close sessions as a
+    * groupBy key). Rows-only check: DuckDB has no session_window builtin,
+    * and the q17 lag/cumsum formulation is the oracle-checked equivalent.
+    */
+  private val q44 = Q(
+    "q44_session_window",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.events
+        .groupBy($"user_id", session_window($"ts", "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"w.start").as("start_us"), unix_micros($"w.end").as("end_us"), $"n_events")
+        .orderBy($"user_id", $"start_us")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44)
 }

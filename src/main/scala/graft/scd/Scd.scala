@@ -63,6 +63,13 @@ object Scd {
       .orderBy(order.head.desc)
   }
 
+  /** As-of query: each entity's state as of `ts` — the latest observation at
+    * or before the cutoff (time travel over the append-only lake; the
+    * natural extension of W1 the SURVEY §2.3 notes).
+    */
+  def asOf(df: DataFrame, key: Column, ts: Column, order: Column*): DataFrame =
+    currentState(df.filter(order.head <= ts), key, order: _*)
+
   /** J2 — refresh dedup: drop incoming rows whose content hash already exists.
     * The existing-hash side is `DISTINCT row_hash` — orders of magnitude
     * smaller than the fact data — so we broadcast it and the anti-join is a
