@@ -62,6 +62,15 @@ class StreamsSpec extends SparkSpec {
     assert(afterSecond.select($"pid").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("native session_window (q44) produces the same sessions as the lag/cumsum formulation (q17)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.SparkEntry.queries("q44_session_window")(spark, dir)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted.toSeq
+    val b = graft.SparkEntry.queries("q17_sessionize")(spark, dir)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("windowed counts over event time") {
     val root = tmpDir("stream")
     val rows = Seq(
