@@ -20,7 +20,13 @@ object CityRegistry {
 
   def load(spark: SparkSession, root: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path(root))
+    val old = new org.apache.hadoop.fs.Path(path(root) + ".__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a swap killed between its two renames leaves the
+    // only copy at .__old — promote it back before reading, otherwise the
+    // next upsert would rebuild from nothing and delete it
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new java.io.IOException(s"cities registry: found orphaned $old but could not restore it to $p")
     if (fs.exists(p)) Some(spark.read.parquet(path(root))) else None
   }
 
@@ -55,8 +61,10 @@ object CityRegistry {
     if (fs.exists(p) && !fs.rename(p, old))
       throw new java.io.IOException(s"cities upsert: could not move $p aside")
     if (!fs.rename(tmp, p)) {
-      if (fs.exists(old)) fs.rename(old, p)
-      throw new java.io.IOException(s"cities upsert: could not move new registry into $p (rolled back)")
+      val restored = fs.exists(old) && fs.rename(old, p)
+      throw new java.io.IOException(
+        s"cities upsert: could not move new registry into $p " +
+          (if (restored) "(rolled back)" else s"(ROLLBACK FAILED — data is at $old, recover manually)"))
     }
     fs.delete(old, true)
   }

@@ -161,8 +161,10 @@ object Lake {
     if (!fs.rename(new Path(path), new Path(old)))
       throw new java.io.IOException(s"compact: could not move $path aside")
     if (!fs.rename(new Path(tmp), new Path(path))) {
-      fs.rename(new Path(old), new Path(path)) // roll back
-      throw new java.io.IOException(s"compact: could not move compacted data into $path (rolled back)")
+      val restored = fs.rename(new Path(old), new Path(path))
+      throw new java.io.IOException(
+        s"compact: could not move compacted data into $path " +
+          (if (restored) "(rolled back)" else s"(ROLLBACK FAILED — data is at $old, recover manually)"))
     }
     fs.delete(new Path(old), true)
   }
@@ -175,8 +177,18 @@ object Lake {
     val p = new Path(tablePath(root, scope, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val nFiles = fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (nFiles >= minFiles) compact(spark, root, scope, table)
+      // hive-partitioned tables (day=... subdirs) need PER-PARTITION
+      // compaction — a whole-table rewrite would flatten the partition
+      // layout. Deferred; skip them here rather than corrupt the layout.
+      val partitioned = fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (!partitioned) {
+        var nFiles = 0
+        val it = fs.listFiles(p, true)
+        while (nFiles < minFiles && it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+        }
+        if (nFiles >= minFiles) compact(spark, root, scope, table)
+      }
     }
   }
 }

@@ -39,15 +39,18 @@ object CorpusPipeline {
 
     // gate reasons BEFORE near-dedup (language gate precedes quality: the
     // quality heuristics are language-specific)
-    // persisted: feeds both the survivor set (near-dup input) and the
-    // final annotated output
+    // NOT persisted: the gate stage is cheap per-row expression work and a
+    // library function has no clean unpersist point — a pinned cache per
+    // annotate() call would leak across invocations. (The expensive gram
+    // table inside ngramJaccardPairs stays persisted; ContextCleaner
+    // reclaims it with the plan.)
     val gated = withExact.withColumn(
       "__gate",
       when(col("__tokens") < cfg.minTokens, "too_short")
         .when(!col("__lang").isInCollection(cfg.allowedLangs), "wrong_lang")
         .when(col("__quality") < cfg.minQuality, "low_quality")
         .when(col("__exact_rank") > 1, "exact_dup")
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )
 
     // near-dedup runs among GATE SURVIVORS only: a doc already dropped by
     // an earlier gate must not eliminate its (valid) near-duplicate

@@ -82,10 +82,16 @@ object CtDataSource {
         if (refresh && Lake.tables(spark, root, Scope).contains(table))
           Scd.refreshDedup(stamped, Lake.read(spark, root, Scope, table))
         else stamped
-      // row count from observe() on the write action itself (one pass)
-      val obs = org.apache.spark.sql.Observation()
-      Lake.append(toWrite.observe(obs, count(lit(1)).as("rows")), root, Scope, table)
-      table -> obs.get("rows").asInstanceOf[Long]
+      // cheap emptiness probe over the cached pages first: a no-change
+      // refresh must not append a schema-only parquet file (file-count
+      // creep would trigger pointless compactions)
+      if (toWrite.isEmpty) table -> 0L
+      else {
+        // row count from observe() on the write action itself (one pass)
+        val obs = org.apache.spark.sql.Observation()
+        Lake.append(toWrite.observe(obs, count(lit(1)).as("rows")), root, Scope, table)
+        table -> obs.get("rows").asInstanceOf[Long]
+      }
     } finally jsonLines.unpersist()
   }
 

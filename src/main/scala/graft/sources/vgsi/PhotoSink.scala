@@ -44,9 +44,15 @@ object PhotoSink {
             Files.createDirectories(dir)
             val target = dir.resolve(s"$pid.jpg")
             if (!Files.exists(target)) {
-              val tmp = dir.resolve(s".$pid.jpg.tmp")
+              // per-attempt-unique tmp name: duplicate rows or speculative
+              // attempts must not interleave writes into one tmp file;
+              // REPLACE_EXISTING lets the losing attempt's (identical)
+              // bytes land harmlessly
+              val tmp = dir.resolve(s".$pid.${java.util.UUID.randomUUID()}.tmp")
               Files.write(tmp, fetchBytes(url))
-              Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               downloaded.add(1)
             }
           } catch {

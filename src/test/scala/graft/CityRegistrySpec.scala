@@ -30,4 +30,19 @@ class CityRegistrySpec extends SparkSpec {
     val created1 = after.filter($"city_key" === "newhaven").select($"created_at").head().getTimestamp(0)
     assert(created1 == created0) // created_at survives the update
   }
+
+  test("load recovers a registry stranded at .__old by a crashed swap") {
+    val root = tmpDir("cities")
+    val v1 = Seq(("a", "A", "ct", "http://a/", "vgsi")).toDF("city_key", "city_name", "state", "url", "type")
+    CityRegistry.upsert(spark, root, v1)
+    // simulate a swap crash: the live dir was moved aside, new never landed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_meta/cities")
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$root/_meta/cities.__old")))
+    assert(CityRegistry.cityUrl(spark, root, "a").contains("http://a/")) // recovered
+    // and a subsequent upsert keeps the recovered rows
+    CityRegistry.upsert(spark, root,
+      Seq(("b", "B", "ct", "http://b/", "vgsi")).toDF("city_key", "city_name", "state", "url", "type"))
+    assert(CityRegistry.load(spark, root).get.count() == 2)
+  }
 }

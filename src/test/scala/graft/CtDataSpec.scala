@@ -58,6 +58,18 @@ class CtDataSpec extends SparkSpec {
     assert(df.filter($"business_id" === "002").count() == 2) // both versions visible
   }
 
+  test("a zero-change refresh appends no file at all") {
+    val root = tmpDir("ct")
+    val rows = Seq("""{"id": "001", "name": "X", "status": "Active"}""")
+    CtDataSource.loadDataset(spark, "n7gp-d28j", 1L, fakeFetch(Map("n7gp-d28j" -> rows)), root)
+    val dir = new java.io.File(s"$root/${CtDataSource.Scope}/businesses")
+    val before = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    val (_, n) = CtDataSource.loadDataset(spark, "n7gp-d28j", 1L, fakeFetch(Map("n7gp-d28j" -> rows)), root, refresh = true)
+    assert(n == 0)
+    val after = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == before) // no schema-only junk file
+  }
+
   test("loadAll covers every registered dataset (D10)") {
     val root = tmpDir("ct")
     val data = CtDataSource.Datasets.keys.map { ds =>
