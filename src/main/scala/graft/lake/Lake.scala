@@ -169,6 +169,56 @@ object Lake {
     fs.delete(new Path(old), true)
   }
 
+  /** Per-partition compaction for hive-partitioned tables: each leaf
+    * partition directory is compacted independently (layout preserved,
+    * partitions untouched by other writers unaffected). The per-leaf swap
+    * is the same checked move-aside sequence as [[compact]].
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      root: String,
+      scope: String,
+      table: String,
+      minFilesPerPartition: Int = 4
+  ): Unit = {
+    val base = new Path(tablePath(root, scope, table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+
+    def leafDirs(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      val (partDirs, _) = children.partition(_.getName.contains("="))
+      if (partDirs.isEmpty) Seq(p)
+      else partDirs.toSeq.flatMap(leafDirs)
+    }
+
+    leafDirs(base).filterNot(_ == base).foreach { leaf =>
+      val nFiles = fs.listStatus(leaf).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (nFiles >= minFilesPerPartition) {
+        val tmp = new Path(leaf.toString + ".__compact_tmp")
+        val old = new Path(leaf.toString + ".__old")
+        spark.read
+          .option("mergeSchema", "true")
+          .parquet(leaf.toString)
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .option("compression", "zstd")
+          .parquet(tmp.toString)
+        fs.delete(old, true)
+        if (!fs.rename(leaf, old))
+          throw new java.io.IOException(s"compactPartitioned: could not move $leaf aside")
+        if (!fs.rename(tmp, leaf)) {
+          val restored = fs.rename(old, leaf)
+          throw new java.io.IOException(
+            s"compactPartitioned: could not move compacted data into $leaf " +
+              (if (restored) "(rolled back)" else s"(ROLLBACK FAILED — data is at $old)"))
+        }
+        fs.delete(old, true)
+      }
+    }
+  }
+
   /** Compact only when the table has accumulated at least `minFiles` data
     * files — repeated small refreshes then skip the full rewrite, keeping
     * cumulative compaction I/O near-linear instead of quadratic.

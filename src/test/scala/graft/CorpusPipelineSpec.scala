@@ -40,6 +40,24 @@ class CorpusPipelineSpec extends SparkSpec {
       "exact_dup" -> 1L, "near_dup" -> 1L, "low_quality" -> 1L))
   }
 
+  test("compactPartitioned merges files per partition and preserves the layout") {
+    val root = tmpDir("plake")
+    (1 to 5).foreach { i =>
+      Lake.appendPartitioned(
+        Seq(("2024-01-01", i.toLong, s"a$i"), ("2024-01-02", (100 + i).toLong, s"b$i"))
+          .toDF("day", "pid", "v"),
+        root, "s", "t", Seq("day"))
+    }
+    def files(day: String) =
+      new java.io.File(s"$root/s/t/day=$day").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01") == 5)
+    Lake.compactPartitioned(spark, root, "s", "t", minFilesPerPartition = 4)
+    assert(files("2024-01-01") == 1 && files("2024-01-02") == 1)
+    val back = spark.read.parquet(Lake.tablePath(root, "s", "t"))
+    assert(back.count() == 10)
+    assert(back.filter($"day" === "2024-01-02").count() == 5) // partition column intact
+  }
+
   test("partitioned lake append prunes partitions at file-listing time") {
     val root = tmpDir("plake")
     val df = Seq(
