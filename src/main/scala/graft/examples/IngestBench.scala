@@ -30,7 +30,21 @@ object IngestBench {
       IngestConfig(workers = 32, checkpoint = false, compactAfter = true))
     val sec = (System.nanoTime() - t0) / 1e9
     val props = Lake.read(spark, root, "bench", "properties").count()
-    println(f"""{"metric":"ingest_entries_per_sec","value":${stats.scraped / sec}%.1f,"entries":${stats.scraped},"invalid":${stats.invalid},"seconds":$sec%.1f,"properties_rows":$props}""")
+
+    // SCD analytics over the freshly built lake
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = Lake.read(spark, root, "bench", "properties")
+    def time(f: => Long): (Double, Long) = {
+      val s = System.nanoTime(); val n = f; ((System.nanoTime() - s) / 1e9, n)
+    }
+    val (curSec, curN) = time(
+      graft.scd.Scd.currentState(table, $"uuid", $"scraped_at", $"row_hash").count())
+    val (histSec, histN) = time(
+      graft.scd.Scd.withVersions(table, $"uuid", $"row_hash", $"scraped_at").count())
+
+    println(
+      f"""{"metric":"ingest_entries_per_sec","value":${stats.scraped / sec}%.1f,"entries":${stats.scraped},"invalid":${stats.invalid},"seconds":$sec%.1f,"properties_rows":$props,"current_state_sec":$curSec%.2f,"current_state_rows":$curN,"versions_sec":$histSec%.2f,"versions_rows":$histN}""")
     spark.stop()
   }
 }
