@@ -248,5 +248,33 @@ object WindowQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44)
+  /** Field-level change sets: which columns changed per observation — the
+    * column-granular refinement of the row-hash change detection.
+    */
+  private val q45 = Q(
+    "q45_field_changes",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Scd
+        .fieldChanges(T.events.filter($"user_id" < 10), $"user_id",
+          Seq("event_type", "value"), $"ts", $"event_id")
+        .filter(!$"is_first" && size($"changed_fields") > 0)
+        .select($"user_id", $"event_id", array_join($"changed_fields", ",").as("changed"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             array_to_string(list_filter([
+               CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 'event_type' END,
+               CASE WHEN value IS DISTINCT FROM lag(value) OVER w THEN 'value' END
+             ], x -> x IS NOT NULL), ',') AS changed
+      FROM events
+      WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      QUALIFY lag(ts) OVER w IS NOT NULL AND changed <> ''
+      ORDER BY user_id, event_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45)
 }

@@ -63,6 +63,24 @@ object Scd {
       .orderBy(order.head.desc)
   }
 
+  /** Field-level change detection: for each observation, the sorted list of
+    * `fields` whose value differs (null-safely) from the entity's previous
+    * observation — the column-granular refinement of W2's row-hash compare.
+    * First observations get an empty list and `is_first` = true.
+    */
+  def fieldChanges(df: DataFrame, key: Column, fields: Seq[String], order: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val markers = fields.sorted.map { f =>
+      when(!(col(f) <=> lag(col(f), 1).over(w)), lit(f)).otherwise(lit(null).cast("string"))
+    }
+    df.withColumn("is_first", lag(order.head, 1).over(w).isNull)
+      .withColumn(
+        "changed_fields",
+        when(col("is_first"), array().cast("array<string>"))
+          .otherwise(filter(array(markers: _*), x => x.isNotNull))
+      )
+  }
+
   /** As-of query: each entity's state as of `ts` — the latest observation at
     * or before the cutoff (time travel over the append-only lake; the
     * natural extension of W1 the SURVEY §2.3 notes).

@@ -47,6 +47,28 @@ class ScdSpec extends SparkSpec {
     assert(kept.select($"row_hash").as[String].collect().toSeq == Seq("h3"))
   }
 
+  test("fieldChanges reports the exact changed columns, null-safely") {
+    val obs = Seq(
+      ("u1", 1, Some("a"), Some(10)),
+      ("u1", 2, Some("a"), Some(20)), // value changed
+      ("u1", 3, None, Some(20)), // name -> null (null-safe: a change)
+      ("u1", 4, None, Some(20)) // nothing changed
+    ).toDF("uuid", "t", "name", "value")
+    val got = Scd
+      .fieldChanges(obs, $"uuid", Seq("name", "value"), $"t")
+      .select($"t", $"is_first", $"changed_fields")
+      .as[(Int, Boolean, Seq[String])]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(got == Seq(
+      (1, true, Nil),
+      (2, false, Seq("value")),
+      (3, false, Seq("name")),
+      (4, false, Nil)
+    ))
+  }
+
   test("upsert keeps newest row per key (S9)") {
     val base = Seq(("k1", 1, "old"), ("k2", 1, "keep")).toDF("key", "t", "v")
     val updates = Seq(("k1", 2, "new"), ("k3", 1, "ins")).toDF("key", "t", "v")
