@@ -160,5 +160,79 @@ object ExtraQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39)
+  /** The full ranking-window family over one shared window definition:
+    * ntile / percent_rank / cume_dist / dense_rank / first_value /
+    * last_value (the unbounded-following frame for last_value is explicit —
+    * the default frame would return the current row).
+    */
+  private val q46 = Q(
+    "q46_rank_family",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders
+        .filter($"o_custkey" < 50)
+        .select(
+          $"o_custkey",
+          $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          dense_rank().over(w).as("dr"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(wFull).as("last_ok")
+        )
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             CAST(dense_rank() OVER w AS INT) AS dr,
+             first_value(o_orderkey) OVER w AS first_ok,
+             last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+      FROM orders
+      WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey
+    """.trim)
+  )
+
+  /** String-function family parity: translate, reverse, repeat, lpad/rpad,
+    * substring arithmetic.
+    */
+  private val q47 = Q(
+    "q47_string_family",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.part
+        .select(
+          $"p_partkey",
+          translate($"p_brand", "B#", "b-").as("brand_norm"),
+          reverse($"p_name").as("name_rev"),
+          lpad($"p_partkey".cast("string"), 8, "0").as("key_padded"),
+          rpad($"p_brand", 12, ".").as("brand_padded"),
+          substring($"p_name", 2, 5).as("name_mid"),
+          repeat(lit("*"), ($"p_size" % 5).cast("int") + 1).as("stars")
+        )
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             translate(p_brand, 'B#', 'b-') AS brand_norm,
+             reverse(p_name) AS name_rev,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+             rpad(p_brand, 12, '.') AS brand_padded,
+             substr(p_name, 2, 5) AS name_mid,
+             repeat('*', CAST(p_size % 5 AS INT) + 1) AS stars
+      FROM part
+      ORDER BY p_partkey
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47)
 }
