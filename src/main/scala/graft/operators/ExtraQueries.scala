@@ -234,5 +234,61 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47)
+  /** Conditional/boolean aggregate family: count_if, bool_and, bool_or. */
+  private val q48 = Q(
+    "q48_conditional_aggs",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          count_if($"l_quantity" > 25).as("n_bulk"),
+          count_if($"l_discount" === 0.0).as("n_nodisc"),
+          bool_and($"l_quantity" > 0).as("all_positive"),
+          bool_or($"l_tax" > 0.07).as("any_high_tax")
+        )
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(*) FILTER (l_quantity > 25) AS BIGINT) AS n_bulk,
+             CAST(COUNT(*) FILTER (l_discount = 0.0) AS BIGINT) AS n_nodisc,
+             bool_and(l_quantity > 0) AS all_positive,
+             bool_or(l_tax > 0.07) AS any_high_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim)
+  )
+
+  /** Array aggregation: collect_list is unordered by contract, so the
+    * deterministic form is sort_array(collect_list(...)) — matched by
+    * DuckDB's list_sort(list(...)).
+    */
+  private val q49 = Q(
+    "q49_array_agg",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.orders
+        .filter($"o_custkey" < 30)
+        .groupBy($"o_custkey")
+        .agg(
+          array_join(sort_array(collect_list($"o_orderstatus")), "").as("status_seq"),
+          array_join(
+            sort_array(collect_list(date_format($"o_orderdate", "yyyy"))),
+            ","
+          ).as("years"),
+          count(lit(1)).as("n")
+        )
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      SELECT o_custkey,
+             array_to_string(list_sort(list(o_orderstatus)), '') AS status_seq,
+             array_to_string(list_sort(list(strftime(o_orderdate, '%Y'))), ',') AS years,
+             COUNT(*) AS n
+      FROM orders WHERE o_custkey < 30
+      GROUP BY o_custkey ORDER BY o_custkey
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49)
 }
