@@ -290,5 +290,66 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49)
+  /** Date arithmetic family: ship delay in days, calendar field extraction.
+    * (Spark `datediff(end, start)` == DuckDB `date_diff('day', start, end)`;
+    * Spark `dayofweek` is 1-based Sunday, DuckDB `dow` 0-based Sunday —
+    * aligned by subtracting 1.)
+    */
+  private val q50 = Q(
+    "q50_date_family",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.lineitem
+        .join(T.orders, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_orderkey" < 200)
+        .select(
+          $"l_orderkey",
+          $"l_linenumber",
+          datediff($"l_shipdate", $"o_orderdate").as("ship_delay_days"),
+          year($"l_shipdate").as("ship_year"),
+          month($"l_shipdate").as("ship_month"),
+          (dayofweek($"l_shipdate") - 1).as("ship_dow")
+        )
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_delay_days,
+             CAST(extract(year FROM l_shipdate) AS INT) AS ship_year,
+             CAST(extract(month FROM l_shipdate) AS INT) AS ship_month,
+             CAST(extract(dow FROM l_shipdate) AS INT) AS ship_dow
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber
+    """.trim)
+  )
+
+  /** GROUPING SETS through the spark.sql surface (the E3 path: the same
+    * SQL the reference would hand to DuckDB runs on a temp view).
+    */
+  private val q51 = Q(
+    "q51_grouping_sets",
+    (s, dir) => {
+      val T = Tables(s, dir)
+      T.orders.createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT CAST(o_orderkey % 3 AS INT) AS g1, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INT) + 2 * CAST(GROUPING(CAST(o_orderkey % 3 AS INT)) AS INT) AS grp
+        FROM orders_v
+        GROUP BY GROUPING SETS ((CAST(o_orderkey % 3 AS INT), o_orderstatus), (CAST(o_orderkey % 3 AS INT)), ())
+        ORDER BY grp, g1, o_orderstatus
+      """)
+    },
+    Some("""
+      SELECT CAST(o_orderkey % 3 AS INT) AS g1, o_orderstatus,
+             COUNT(*) AS n,
+             CAST(GROUPING(o_orderstatus) AS INT) + 2 * CAST(GROUPING(CAST(o_orderkey % 3 AS INT)) AS INT) AS grp
+      FROM orders
+      GROUP BY GROUPING SETS ((CAST(o_orderkey % 3 AS INT), o_orderstatus), (CAST(o_orderkey % 3 AS INT)), ())
+      ORDER BY grp, g1, o_orderstatus
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51)
 }
