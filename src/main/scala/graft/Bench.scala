@@ -26,14 +26,16 @@ object Bench {
     // min of two timed runs per query: this host shows 2-3x wall-clock
     // noise between runs, and the min is the better estimate of the
     // query's actual cost (both runs execute fully; no result caching
-    // between them beyond the OS page cache both benefit from)
+    // between them beyond the OS page cache both benefit from).
+    // A throwing query reports -1.0 — a failure marker, never a time.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
       }
-      name -> math.min(once(), once())
+      val times = Seq(once(), once()).flatten
+      name -> (if (times.size == 2) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

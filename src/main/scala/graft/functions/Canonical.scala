@@ -38,9 +38,13 @@ object Canonical {
   def commaNumber(c: Column): Column =
     cleanString(regexp_replace(c, ",", "")).cast("double")
 
-  /** F6 — header/key normalization: lowercase, spaces->_, &->and, strip `:`
-    * (/root/reference/scrapers/vgsi/source.py:421-424). Plain-Scala twin for
-    * renaming column names at ingest.
+  /** F6-style name normalization for COLUMN NAMES at ingest: lowercase,
+    * whitespace runs -> _, & -> and, strip ALL colons. NOTE: this is the
+    * column-level normalizer used by q19 (whose oracle mirrors this exact
+    * regexp chain); the reference-exact HTML header/key normalization
+    * (trailing-colon strip only, single-space replace —
+    * source.py:421-424,477-479) lives in
+    * [[graft.sources.vgsi.VgsiParser.normalizeHeader]].
     */
   def normalizeName(s: String): String =
     s.toLowerCase.replace("&", "and").replaceAll("\\s+", "_").replace(":", "")
@@ -67,16 +71,18 @@ object Canonical {
     canonicalJsonOf(cols.map(n => n -> col(n)): _*)
   }
 
-  def canonicalJsonOf(fields: (String, Column)*): Column = {
-    val entries = fields.sortBy(_._1).map { case (n, c) =>
-      struct(lit(n).as("key"), c.cast("string").as("value"))
-    }
-    to_json(
-      map_from_entries(
-        filter(array(entries: _*), e => e.getField("value").isNotNull)
+  def canonicalJsonOf(fields: (String, Column)*): Column =
+    if (fields.isEmpty) lit("{}") // empty untyped array would fail analysis
+    else {
+      val entries = fields.sortBy(_._1).map { case (n, c) =>
+        struct(lit(n).as("key"), c.cast("string").as("value"))
+      }
+      to_json(
+        map_from_entries(
+          filter(array(entries: _*), e => e.getField("value").isNotNull)
+        )
       )
-    )
-  }
+    }
 
   /** F7 — content row hash: MD5 hex (32 chars) of the canonical JSON
     * (/root/reference/src/engine/hash.py:7-40).

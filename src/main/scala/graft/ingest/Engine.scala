@@ -16,6 +16,11 @@ import org.apache.spark.util.LongAccumulator
 trait Source extends Serializable {
   def name: String
   def scrapeOne(entryId: Long): ScrapeResult
+
+  /** Where refresh discovers known entry ids: (table, column) — the
+    * reference's `entry_id_source` string contract (base.py:38-42).
+    */
+  def entryIdSource: (String, String) = ("properties", "pid")
   def ratePerSec: Double = 5.0
   def maxRetries: Int = 3
 }
@@ -24,7 +29,13 @@ final case class IngestConfig(
     workers: Int = 4,
     maxConsecutiveErrors: Int = 50, // 0 = unlimited (engine.py:119)
     compactAfter: Boolean = true,
-    checkpoint: Boolean = true
+    checkpoint: Boolean = true,
+    /** Entries per incremental batch: each batch is scraped, written and
+      * checkpointed as its own Spark job, so a mid-run abort (circuit
+      * breaker, crash) keeps all completed batches — the D7/D8 forward-
+      * progress guarantee of the reference's batch/checkpoint loop.
+      */
+    checkpointEvery: Int = 1000
 )
 
 final case class IngestStats(
@@ -35,19 +46,28 @@ final case class IngestStats(
 )
 
 /** Ingestion engine (D1/D2): the reference's thread-pool load/refresh loop
-  * re-expressed as a Spark batch job.
+  * re-expressed as a sequence of Spark batch jobs.
   *
-  *  - Entry IDs become a Dataset repartitioned to `workers` — Spark's task
-  *    scheduler replaces the bounded-prefetch future loop (D4).
+  *  - Entry IDs are processed in `checkpointEvery`-sized batches; within a
+  *    batch they repartition to `workers` tasks — Spark's scheduler replaces
+  *    the bounded-prefetch future loop (D4). Each batch appends and
+  *    checkpoints before the next starts (D7/D8): aborts lose at most one
+  *    batch of work, like the reference's flush-every-N loop.
   *  - Fetch+parse runs in `mapPartitions` with a per-JVM rate limiter (D3),
   *    retry/backoff (S5/S6), invalid-entry skip (D6), and a consecutive-
   *    error circuit breaker (D5): `maxConsecutiveErrors` failures in a row
-  *    inside any partition abort the job (task failure → job abort, the
-  *    Spark-native analogue of cancelling outstanding futures).
+  *    inside any partition abort the run (after Spark's own task retries —
+  *    note that on a cluster a retried task re-fetches its partition and
+  *    accumulator counts are at-least-once, the standard Spark caveat for
+  *    transformation-side accumulators).
   *  - Flatten fans the nested results into relational tables (§2.8 UDTF
   *    dual), metadata is stamped, and (refresh) the content-hash anti-join
   *    (J2) drops unchanged rows before the append — broadcast build side,
   *    zero shuffle of the new data.
+  *  - Entries that exhaust their retries are counted as errors and NOT
+  *    retried by later resumed loads (the checkpoint advances past them,
+  *    matching the reference's checkpoint loop); `runRefresh` re-scrapes
+  *    every known entry and recovers them.
   *
   * At 100 TB scale results and tables stay distributed end to end; only the
   * entry-ID list (ids are small — thousands per scope, vs GBs of page data),
@@ -64,7 +84,9 @@ object Engine {
       config: IngestConfig = IngestConfig()
   ): IngestStats = run(spark, source, entryIds, root, scope, config, refresh = false)
 
-  /** Refresh: known IDs from the lake, re-scrape, write only changed rows. */
+  /** Refresh: known IDs from the lake (the source's entryIdSource table and
+    * column), re-scrape, write only changed rows.
+    */
   def runRefresh(
       spark: SparkSession,
       source: Source,
@@ -73,9 +95,10 @@ object Engine {
       config: IngestConfig = IngestConfig()
   ): IngestStats = {
     import spark.implicits._
+    val (idTable, idCol) = source.entryIdSource
     val known = Lake
-      .read(spark, root, scope, "properties")
-      .select("pid")
+      .read(spark, root, scope, idTable)
+      .select(idCol)
       .distinct()
       .as[Long]
       .collect()
@@ -93,14 +116,11 @@ object Engine {
       config: IngestConfig,
       refresh: Boolean
   ): IngestStats = {
-    import spark.implicits._
-
     // Resume: ordered-ID filter past the checkpoint (replaces the
     // reference's string-compare trim, engine.py:164-167).
-    val resumeFrom: Option[Long] =
-      if (config.checkpoint && !refresh)
-        Checkpoints.load(spark, root, scope).map(_.lastEntryId.toLong)
-      else None
+    val prior: Option[Checkpoint] =
+      if (config.checkpoint) Checkpoints.load(spark, root, scope) else None
+    val resumeFrom: Option[Long] = if (refresh) None else prior.map(_.lastEntryId.toLong)
     val ids = resumeFrom.fold(entryIds)(last => entryIds.filter(_ > last))
     if (ids.isEmpty)
       return IngestStats(0, 0, 0, Map.empty)
@@ -109,11 +129,55 @@ object Engine {
     val invAcc: LongAccumulator = spark.sparkContext.longAccumulator("invalid_entries")
     val okAcc: LongAccumulator = spark.sparkContext.longAccumulator("scraped")
 
+    val priorTotal = prior.map(_.totalScraped).getOrElse(0L)
+    val writtenTotals = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val batchSize = math.max(config.checkpointEvery, 1)
+
+    ids.grouped(batchSize).foreach { batch =>
+      val written = runBatch(spark, source, batch, root, scope, config, refresh, okAcc, errAcc, invAcc)
+      written.foreach { case (t, n) => writtenTotals(t) += n }
+      // Checkpoint after every completed batch (D8): loads advance the
+      // last-id cursor; refresh runs leave the load cursor untouched
+      // (resume is a load-only concept, and a refresh overwrite would
+      // corrupt total_scraped accounting).
+      if (config.checkpoint && !refresh) {
+        Checkpoints.save(
+          spark,
+          root,
+          Checkpoint(
+            scopeKey = scope,
+            lastEntryId = batch.max.toString,
+            totalScraped = priorTotal + okAcc.value, // cumulative, engine.py:329-334
+            checkpointTime = java.time.Instant.now().toString
+          )
+        )
+      }
+    }
+
+    if (config.compactAfter)
+      Lake.tables(spark, root, scope).foreach(t => Lake.compactIfNeeded(spark, root, scope, t))
+
+    IngestStats(okAcc.value, errAcc.value, invAcc.value, writtenTotals.toMap)
+  }
+
+  private def runBatch(
+      spark: SparkSession,
+      source: Source,
+      batch: Seq[Long],
+      root: String,
+      scope: String,
+      config: IngestConfig,
+      refresh: Boolean,
+      okAcc: LongAccumulator,
+      errAcc: LongAccumulator,
+      invAcc: LongAccumulator
+  ): Map[String, Long] = {
+    import spark.implicits._
     val src = source
     val maxConsecutive = config.maxConsecutiveErrors
 
     val results: Dataset[ScrapeResult] = spark
-      .createDataset(ids)
+      .createDataset(batch)
       .repartition(config.workers)
       .mapPartitions { it =>
         val limiter = RateLimiter.forKey(src.name, src.ratePerSec)
@@ -146,36 +210,24 @@ object Engine {
     // Cache the nested results once: all 8 table writes share the scrape.
     results.cache()
     try {
-      val written = tables.map { case (table, df) =>
+      tables.map { case (table, df) =>
         val stamped = Lake.stampMetadata(df, scrapedAt)
         val toWrite =
           if (refresh && Lake.tables(spark, root, scope).contains(table))
             Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
           else stamped
-        // D11 — row counts via observe() on the write action itself: one
-        // execution per table instead of count()+write double-compute.
-        val obs = org.apache.spark.sql.Observation()
-        Lake.append(toWrite.observe(obs, org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("rows")), root, scope, table)
-        table -> obs.get("rows").asInstanceOf[Long]
+        // Empty batches write no file at all: schema-only parquet creep
+        // would repeatedly trigger compaction (same guard as CtDataSource).
+        if (toWrite.isEmpty) table -> 0L
+        else {
+          // D11 — row counts via observe() on the write action itself: one
+          // execution per table instead of count()+write double-compute.
+          val obs = org.apache.spark.sql.Observation()
+          Lake.append(toWrite.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows")), root, scope, table)
+          table -> obs.get("rows").asInstanceOf[Long]
+        }
       }
-
-      if (config.checkpoint && ids.nonEmpty) {
-        Checkpoints.save(
-          spark,
-          root,
-          Checkpoint(
-            scopeKey = scope,
-            lastEntryId = ids.max.toString,
-            totalScraped = okAcc.value,
-            checkpointTime = java.time.Instant.ofEpochMilli(scrapedAt.getTime).toString
-          )
-        )
-      }
-      if (config.compactAfter)
-        Lake.tables(spark, root, scope).foreach(t => Lake.compactIfNeeded(spark, root, scope, t))
-
-      IngestStats(okAcc.value, errAcc.value, invAcc.value, written)
     } finally results.unpersist()
   }
 }

@@ -56,12 +56,10 @@ object Scd {
       .orderBy(col("version"))
 
   /** W5 — entities whose content changed at-or-after `since`. */
-  def changedSince(df: DataFrame, key: Column, hash: Column, since: Column, order: Column*): DataFrame = {
-    val ordExpr = order
-    withPrevHash(df, key, hash, ordExpr: _*)
+  def changedSince(df: DataFrame, key: Column, hash: Column, since: Column, order: Column*): DataFrame =
+    withPrevHash(df, key, hash, order: _*)
       .filter(order.head >= since && col("prev_hash").isNotNull && hash =!= col("prev_hash"))
       .orderBy(order.head.desc)
-  }
 
   /** Field-level change detection: for each observation, the sorted list of
     * `fields` whose value differs (null-safely) from the entity's previous

@@ -65,17 +65,18 @@ object Html {
       .toMap
 
   /** Rows (header row included) of the table with the given id, as cell
-    * text lists; both th and td cells.
+    * text lists. `cellTags` selects which cells count: "t[dh]" (th+td, the
+    * default — header parsing) or "td" (data cells only — mirrors
+    * BeautifulSoup's `tr.find_all("td")` used by the reference for body
+    * rows, so pages with th-labeled rows don't leak header text as data).
     */
-  def tableRows(html: String, tableId: String): Option[Seq[Seq[String]]] =
+  def tableRows(html: String, tableId: String, cellTags: String = "t[dh]"): Option[Seq[Seq[String]]] =
     innerByAttr(html, "table", "id", tableId).map { inner =>
+      val cell = ("(?is)<" + cellTags + "\\b[^>]*>(.*?)</" + cellTags + ">").r
       "(?is)<tr\\b[^>]*>(.*?)</tr>".r
         .findAllMatchIn(inner)
         .map { tr =>
-          "(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>".r
-            .findAllMatchIn(tr.group(1))
-            .map(td => text(td.group(1)))
-            .toSeq
+          cell.findAllMatchIn(tr.group(1)).map(td => text(td.group(1))).toSeq
         }
         .toSeq
     }

@@ -205,10 +205,13 @@ object VgsiParser {
       }
     }
 
-  /** Key/value construction table (source.py:414-431). */
+  /** Key/value construction table — td cells only, like the reference's
+    * `tr.find_all("td")` (source.py:414-431): a th header row contributes
+    * nothing.
+    */
   def parseConstruction(html: String, prefix: String): Map[String, String] =
     Html
-      .tableRows(html, s"${prefix}_grdCns")
+      .tableRows(html, s"${prefix}_grdCns", cellTags = "td")
       .getOrElse(Nil)
       .collect {
         case cells if cells.length >= 2 && cells(1).trim.nonEmpty =>
@@ -242,15 +245,23 @@ object VgsiParser {
     */
   def tableRows(html: String, tableId: String): Seq[Map[String, String]] = {
     if (Html.tableText(html, tableId).exists(_.contains("No Data"))) return Nil
+    // headers from the first row's th+td (reference rows[0].find_all(["th",
+    // "td"])); body values from td only (reference tr.find_all("td"))
     Html.tableRows(html, tableId).getOrElse(Nil) match {
       case rows if rows.length < 2 => Nil
       case rows =>
         val headers = rows.head.map(normalizeHeader)
         if (headers.isEmpty) Nil
-        else
-          rows.tail
+        else {
+          // same <tr> list, td-only cells: the header row yields an empty
+          // cell list and is dropped by tail; any other all-th row filters
+          // out as an empty map
+          Html.tableRows(html, tableId, cellTags = "td")
+            .getOrElse(Nil)
+            .tail
             .map(cells => headers.zip(cells).filter(_._2.trim.nonEmpty).toMap)
             .filter(_.nonEmpty)
+        }
     }
   }
 

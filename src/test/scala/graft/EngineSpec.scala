@@ -128,6 +128,40 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("incremental batches: a breaker trip keeps earlier batches' data and checkpoint (D7/D8)") {
+    val root = tmpDir("lake")
+    val data = mkData((1L to 10L).map(i => i -> 100.0 * i).toMap)
+    // ids 6-10 all fail -> batch 2 trips the breaker; batch 1 (1-5) must survive
+    val broken = new FakeSource(data, failFor = (6L to 10L).toSet)
+    intercept[org.apache.spark.SparkException] {
+      Engine.runLoad(spark, broken, 1L to 10L, root, "inc",
+        IngestConfig(workers = 1, maxConsecutiveErrors = 3, checkpointEvery = 5, compactAfter = false))
+    }
+    assert(Lake.read(spark, root, "inc", "properties").count() == 5)
+    val cp = Checkpoints.load(spark, root, "inc")
+    assert(cp.exists(_.lastEntryId == "5"))
+    // resume with a healed source completes only the remainder, and the
+    // checkpoint total accumulates across runs
+    val s2 = Engine.runLoad(spark, new FakeSource(data), 1L to 10L, root, "inc",
+      IngestConfig(workers = 1, checkpointEvery = 5, compactAfter = false))
+    assert(s2.scraped == 5)
+    assert(Lake.read(spark, root, "inc", "properties").count() == 10)
+    assert(Checkpoints.load(spark, root, "inc").exists(_.totalScraped == 10))
+  }
+
+  test("zero-change refresh appends no files (empty-append guard)") {
+    val root = tmpDir("lake")
+    val data = mkData(Map(1L -> 1.0, 2L -> 2.0))
+    Engine.runLoad(spark, new FakeSource(data), Seq(1L, 2L), root, "z2",
+      IngestConfig(workers = 1, checkpoint = false, compactAfter = false))
+    def nFiles = new java.io.File(s"$root/z2/properties").listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    val s = Engine.runRefresh(spark, new FakeSource(data), root, "z2",
+      IngestConfig(workers = 1, checkpoint = false, compactAfter = false))
+    assert(s.rowsWritten.values.sum == 0)
+    assert(nFiles == before)
+  }
+
   test("checkpoint resume skips already-loaded ids (D8)") {
     val root = tmpDir("lake")
     val data = mkData((1L to 20L).map(i => i -> 100.0 * i).toMap)

@@ -103,6 +103,18 @@ class VgsiParserSpec extends AnyFunSuite {
     assert(cns == Map("style" -> "Colonial", "heat_type" -> "Forced Air", "ac_and_vent" -> "Central"))
   }
 
+  test("construction table th header row contributes nothing (td-only, like the reference)") {
+    val html = page("""
+      <span id="MainContent_lblBldCount">1</span>
+      <span id="MainContent_ctl02_lblYearBuilt">1990</span>
+      <table id="MainContent_ctl02_grdCns">
+        <tr><th>Field</th><th>Value</th></tr>
+        <tr><td>Style:</td><td>Ranch</td></tr>
+      </table>""")
+    val cns = VgsiParser.parse(html, 1L).buildings.head.construction
+    assert(cns == Map("style" -> "Ranch")) // no phantom "field" -> "Value"
+  }
+
   test("sub-areas skip the empty-code Total footer") {
     val subs = VgsiParser.parse(propertyPage, 42L).buildings.head.sub_areas
     assert(subs.map(_.code) == Seq("BAS"))
