@@ -26,8 +26,12 @@ object IngestBench {
       maxRetries = 0
     )
     val t0 = System.nanoTime()
+    // bulk-load configuration: large incremental batches (the
+    // checkpointEvery knob trades abort-loss granularity for per-batch job
+    // overhead; a politeness-limited live scrape wants small batches, an
+    // unthrottled bulk load wants big ones)
     val stats = Engine.runLoad(spark, source, 1L to n.toLong, root, "bench",
-      IngestConfig(workers = 32, checkpoint = false, compactAfter = true))
+      IngestConfig(workers = 32, checkpoint = false, compactAfter = true, checkpointEvery = 25000))
     val sec = (System.nanoTime() - t0) / 1e9
     val props = Lake.read(spark, root, "bench", "properties").count()
 

@@ -210,22 +210,46 @@ object Engine {
     // Cache the nested results once: all 8 table writes share the scrape.
     results.cache()
     try {
+      // One aggregate over the nested results yields every table's pre-dedup
+      // row count — a single action instead of a per-table emptiness probe
+      // (8 tables x N batches of actions added up).
+      import org.apache.spark.sql.functions._
+      val childSizes = Seq("buildings", "ownership", "appraisals", "assessments",
+        "extra_features", "outbuildings")
+      val sizeRow = results
+        .toDF()
+        .agg(
+          count(lit(1)).as("entries"),
+          childSizes.map(c => coalesce(sum(size(col(c))), lit(0L)).as(c)) :+
+            coalesce(
+              sum(aggregate(col("buildings"), lit(0), (acc, b) => acc + size(b.getField("sub_areas")))),
+              lit(0L)
+            ).as("sub_areas"): _*
+        )
+        .head()
+      val preCounts: Map[String, Long] =
+        (Seq("properties" -> sizeRow.getLong(0)) ++
+          (childSizes :+ "sub_areas").zipWithIndex.map { case (c, i) => c -> sizeRow.getLong(i + 1) }).toMap
+
       tables.map { case (table, df) =>
-        val stamped = Lake.stampMetadata(df, scrapedAt)
-        val toWrite =
-          if (refresh && Lake.tables(spark, root, scope).contains(table))
-            Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
-          else stamped
-        // Empty batches write no file at all: schema-only parquet creep
-        // would repeatedly trigger compaction (same guard as CtDataSource).
-        if (toWrite.isEmpty) table -> 0L
+        if (preCounts.getOrElse(table, 1L) == 0L) table -> 0L // nothing scraped for this table
         else {
-          // D11 — row counts via observe() on the write action itself: one
-          // execution per table instead of count()+write double-compute.
-          val obs = org.apache.spark.sql.Observation()
-          Lake.append(toWrite.observe(obs, org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("rows")), root, scope, table)
-          table -> obs.get("rows").asInstanceOf[Long]
+          val stamped = Lake.stampMetadata(df, scrapedAt)
+          val isRefreshDedup = refresh && Lake.tables(spark, root, scope).contains(table)
+          val toWrite =
+            if (isRefreshDedup) Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
+            else stamped
+          // Refresh can dedup a non-empty batch down to zero rows — probe
+          // so a no-change refresh writes no schema-only file (file-count
+          // creep triggers pointless compactions).
+          if (isRefreshDedup && toWrite.isEmpty) table -> 0L
+          else {
+            // D11 — row counts via observe() on the write action itself: one
+            // execution per table instead of count()+write double-compute.
+            val obs = org.apache.spark.sql.Observation()
+            Lake.append(toWrite.observe(obs, count(lit(1)).as("rows")), root, scope, table)
+            table -> obs.get("rows").asInstanceOf[Long]
+          }
         }
       }
     } finally results.unpersist()
