@@ -205,6 +205,195 @@ case class LshBucket(child: Expression, planes: Seq[Array[Double]]) extends Unar
     copy(child = newChild)
 }
 
+object IntersectSupport {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Intersection size of two ascending-sorted long arrays via two-pointer
+    * merge — O(n+m), zero allocation. The built-in array_intersect falls
+    * back to a generic O(n·m) interpreted scan for non-atomic element types
+    * and builds a hash set per row for atomic ones; a near-dup verify stage
+    * evaluates this once per candidate pair, so the merge path matters.
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var out = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { out += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    out
+  }
+
+  /** Intersection size of two arrays of 2-field long structs, both sorted
+    * ascending by (field0, field1) — the PPJoin rarity order (df, gram key).
+    * Same two-pointer merge; operating directly on the ranked struct arrays
+    * avoids materializing a second per-doc gram array just for verification.
+    */
+  def sortedStructIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var out = 0L
+    while (i < n && j < m) {
+      val x = a.getStruct(i, 2)
+      val y = b.getStruct(j, 2)
+      val c0 = java.lang.Long.compare(x.getLong(0), y.getLong(0))
+      val c = if (c0 != 0) c0 else java.lang.Long.compare(x.getLong(1), y.getLong(1))
+      if (c == 0) { out += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    out
+  }
+}
+
+/** long intersection size of two sorted array<long> columns (codegen-enabled).
+  * Both inputs MUST be sorted ascending (e.g. via sort_array) and duplicate-
+  * free for set semantics.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSupport.sortedIntersectSize(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectSupport.sortedIntersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): SortedIntersectSize = copy(left = newLeft, right = newRight)
+}
+
+/** long intersection size of two array<struct<long,long>> columns, both
+  * sorted ascending by (field0, field1) (codegen-enabled).
+  */
+case class SortedStructIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSupport.sortedStructIntersectSize(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"graft.functions.IntersectSupport.sortedStructIntersectSize($a, $b)"
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): SortedStructIntersectSize = copy(left = newLeft, right = newRight)
+}
+
+object TextStatsSupport {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** One pass over the lowercase whitespace tokens of `text`, producing every
+    * count the text-analysis operators need: token count, distinct-token
+    * count, total character length, stopword hits, and per-marker-set hits.
+    *
+    * Semantics replicate the expression composition exactly: tokenization is
+    * `split(lower(text), "\\s+")` with Spark's limit=-1 (trailing empty
+    * tokens kept), lowercase is UTF8String.toLowerCase (locale-independent,
+    * same as the `lower` function), and lengths count code points (same as
+    * the `length` function). The HOF composition walks the token array once
+    * per statistic through the interpreted lambda path (~7 passes for the
+    * corpus gates); this walks it once, codegen'd.
+    */
+  def stats(
+      text: UTF8String,
+      stop: java.util.HashSet[String],
+      markers: Array[java.util.HashSet[String]]
+  ): InternalRow = {
+    val toks = WS.split(text.toLowerCase.toString, -1)
+    val uniq = new java.util.HashSet[String](toks.length * 2)
+    val marks = new Array[Int](markers.length)
+    var totalLen = 0
+    var nStop = 0
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      totalLen += w.codePointCount(0, w.length)
+      uniq.add(w)
+      if (stop.contains(w)) nStop += 1
+      var m = 0
+      while (m < markers.length) {
+        if (markers(m).contains(w)) marks(m) += 1
+        m += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](toks.length, uniq.size, totalLen, nStop, new GenericArrayData(marks))
+    )
+  }
+
+  def toSet(words: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.length * 2)
+    words.foreach(s.add)
+    s
+  }
+}
+
+/** struct<n:int, n_unique:int, total_len:int, n_stop:int, marks:array<int>>
+  * text statistics in one token pass (codegen-enabled). `marks(i)` counts
+  * tokens in `markerSets(i)`.
+  */
+case class TextStats(child: Expression, stop: Seq[String], markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("n_unique", IntegerType, nullable = false),
+      StructField("total_len", IntegerType, nullable = false),
+      StructField("n_stop", IntegerType, nullable = false),
+      StructField("marks", ArrayType(IntegerType, containsNull = false), nullable = false)
+    )
+  )
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val stopSet = TextStatsSupport.toSet(stop)
+  @transient private lazy val markerArr = markerSets.map(TextStatsSupport.toSet).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsSupport.stats(input.asInstanceOf[UTF8String], stopSet, markerArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    val markRef = ctx.addReferenceObj("markerArr", markerArr, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsSupport.stats($c, $stopRef, $markRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 object NGramSupport {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
@@ -318,4 +507,15 @@ object HashExprs {
 
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     ColumnShim.column(LshBucket(ColumnShim.expression(v), planes))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def sortedStructIntersectSize(a: Column, b: Column): Column =
+    ColumnShim.column(
+      SortedStructIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b))
+    )
+
+  def textStats(text: Column, stop: Seq[String], markerSets: Seq[Seq[String]]): Column =
+    ColumnShim.column(TextStats(ColumnShim.expression(text), stop, markerSets))
 }

@@ -5,13 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed training-data cleaning pipeline: length gate → quality gate
-  * → language filter → exact dedup → near-dedup (MinHash candidates
-  * verified by trigram Jaccard). Every dropped row carries its first
-  * matching `drop_reason`, so the pipeline doubles as a corpus audit — the
-  * kept/dropped split plus reasons is what a data team actually reviews.
+  * → language filter → exact dedup → near-dedup (exact trigram-Jaccard
+  * pairs via PPJoin prefix filtering — see [[Dedup.ngramJaccardPairs]]).
+  * Every dropped row carries its first matching `drop_reason`, so the
+  * pipeline doubles as a corpus audit — the kept/dropped split plus reasons
+  * is what a data team actually reviews.
   *
   * Everything is column-level composition of the operator library; the only
-  * shuffles are the two dedup stages (hash aggregate + band join), both
+  * shuffles are the two dedup stages (hash aggregate + prefix join), both
   * sub-quadratic.
   */
 object CorpusPipeline {
@@ -39,11 +40,11 @@ object CorpusPipeline {
 
     // gate reasons BEFORE near-dedup (language gate precedes quality: the
     // quality heuristics are language-specific)
-    // NOT persisted: the gate stage is cheap per-row expression work and a
-    // library function has no clean unpersist point — a pinned cache per
-    // annotate() call would leak across invocations. (The expensive gram
-    // table inside ngramJaccardPairs stays persisted; ContextCleaner
-    // reclaims it with the plan.)
+    // Persisted: the gated table feeds two plan branches (the near-dup
+    // survivor set and the final annotate join), and the exact-dup window
+    // shuffle would otherwise run twice. Spark's ContextCleaner reclaims the
+    // blocks once the result plan is unreferenced (same contract as the gram
+    // table inside ngramJaccardPairs).
     val gated = withExact.withColumn(
       "__gate",
       when(col("__tokens") < cfg.minTokens, "too_short")
@@ -51,6 +52,7 @@ object CorpusPipeline {
         .when(col("__quality") < cfg.minQuality, "low_quality")
         .when(col("__exact_rank") > 1, "exact_dup")
     )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dedup runs among GATE SURVIVORS only: a doc already dropped by
     // an earlier gate must not eliminate its (valid) near-duplicate

@@ -113,40 +113,93 @@ object Dedup {
   def wordTrigrams(text: Column): Column =
     graft.functions.HashExprs.wordNGrams(text, 3)
 
-  /** Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
-    * Inverted-index style: explode distinct grams, self-join on gram to get
-    * intersection counts, combine with per-doc set sizes. The gram join is
-    * the scalable formulation (no |corpus|² cross join); at extreme scale
-    * add prefix filtering (PPJoin) on rare grams.
+  /** Near-duplicate pairs by n-gram Jaccard similarity >= threshold, using
+    * PPJoin-style prefix filtering (Xiao, Wang, Lin & Yu, "Efficient
+    * similarity joins for near duplicate detection", WWW 2008) — exact: the
+    * output is identical to the naive all-pairs formulation.
+    *
+    * Plan shape (the scale story):
+    *  1. distinct grams per doc, keyed by a 60-bit md5-derived integer
+    *     (cheaper shuffle/probes than gram strings; birthday collisions
+    *     negligible even at ~10^8 distinct grams, and the oracle hashes
+    *     identically);
+    *  2. a global total order on grams by (document frequency asc, key asc)
+    *     — one count window over g, no global sort;
+    *  3. per doc, only the PREFIX (the sz - ceil(t·sz) + 1 RAREST grams) is
+    *     exploded into the self-join. Two docs with Jaccard >= t must share
+    *     a prefix gram, so candidate generation touches hot grams only for
+    *     docs whose rarest grams are themselves hot — this is what removes
+    *     the count² blow-up of a full inverted-index join;
+    *  4. candidates are verified exactly via array_intersect of the full
+    *     gram sets (a pair of equi-joins on doc_id, no re-shingling).
+    *
+    * A length filter (least(sz) >= t·greatest(sz)) prunes candidates before
+    * verification. The rounded-jaccard output filter means a pair with true
+    * J in [t - 5e-5, t) still rounds up into the result, so candidate
+    * generation runs at threshold t - 5e-5 (prefixes only lengthen — recall
+    * is preserved, exactness is unaffected).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    // The gram table feeds three plan branches (both join sides + sizes);
-    // persist so shingling runs once. Spark's ContextCleaner reclaims the
-    // blocks once the result plan is unreferenced; at cluster scale swap for
-    // an explicit checkpoint of the gram table. Grams are joined by a
-    // 60-bit md5-derived integer key (cheaper shuffle + probes than the
-    // gram strings; 60 bits keeps birthday collisions negligible even at
-    // ~10^8 distinct grams, and the oracle hashes identically).
+    // Candidate-generation threshold: relaxed for round(j,4) >= t semantics,
+    // minus a float-noise epsilon so ceil() can only lengthen the prefix.
+    val tCand = threshold - 5e-5 - 1e-9
+    // The ranked doc table feeds both prefix-join sides and both verify
+    // sides: persist it so shingling + ranking run once. ContextCleaner
+    // reclaims the blocks once the result plan is unreferenced; at cluster
+    // scale swap for an explicit checkpoint. (The gram table itself has a
+    // single consumer — no persist.)
     val grams = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
         col("doc_id"),
         conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g")
       )
+    // Global order = (document frequency asc, gram key asc): struct sort is
+    // lexicographic by field, so sort_array ranks each doc's grams rarest
+    // first without any global sort or rank assignment. Document frequency
+    // comes from an unbounded count window over g — ONE exchange of the gram
+    // table (vs an aggregate + join back, which exchanges it twice).
+    val freq = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+    // One gram-set view per doc: rarity-sorted (df, g) structs. The rarity
+    // order is itself a total order, so the same array feeds both the prefix
+    // slice and the two-pointer verification merge.
+    val docs = grams
+      .withColumn("df", freq)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
+      .select(col("doc_id"), col("ranked"), size(col("ranked")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = grams
+    val prefixLen = greatest((col("sz") - ceil(col("sz") * tCand) + 1).cast("int"), lit(1))
+    val prefixes = docs
+      .select(col("doc_id"), col("sz"), explode(slice(col("ranked"), lit(1), prefixLen)).as("pg"))
+      .select(col("doc_id"), col("sz"), col("pg.g").as("g"))
+    val candidates = prefixes
       .as("a")
-      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(
+        prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) >= greatest(col("a.sz"), col("b.sz")) * tCand
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification: codegen'd two-pointer merge over the rarity-sorted
+    // gram structs — O(sz_a + sz_b) per candidate pair, no per-row hash set.
+    candidates
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
       .select(
         col("doc_a"),
         col("doc_b"),
-        round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jaccard")
+        graft.functions.HashExprs
+          .sortedStructIntersectSize(col("da.ranked"), col("db.ranked"))
+          .as("inter"),
+        col("da.sz").as("sa"),
+        col("db.sz").as("sb")
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("inter") / (col("sa") + col("sb") - col("inter")), 4).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }

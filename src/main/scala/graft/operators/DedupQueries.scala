@@ -57,8 +57,10 @@ object DedupQueries {
     """.trim)
   )
 
-  /** Word-trigram Jaccard near-dup pairs (threshold 0.2) via the inverted-
-    * index join — no |corpus|² cross join anywhere in the plan.
+  /** Word-trigram Jaccard near-dup pairs (threshold 0.2) via PPJoin prefix
+    * filtering — exact (identical output to the oracle's full inverted-index
+    * join) but only each doc's rarest grams enter the self-join, so hot-gram
+    * count² blow-up is gone.
     */
   private val q24 = Q(
     "q24_ngram_jaccard",

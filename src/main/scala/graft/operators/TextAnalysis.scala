@@ -12,44 +12,10 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
-
-  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
-
-  /** Mean token length as exact-int division (sum of lengths / count).
-    * Returned unrounded: the division of exact ints is bit-deterministic,
-    * while a final round() can disagree across engines on .5 boundaries.
-    */
-  def meanTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    val totalLen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
-    totalLen.cast("double") / size(t)
-  }
-
   val StopWords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
-  def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
-    size(filter(t, w => w.isInCollection(StopWords))).cast("double") / size(t)
-  }
-
-  /** Composite quality score in [0,1]: stopword presence, token-length
-    * plausibility, document length. Deterministic double arithmetic from
-    * exact integer counts.
-    */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
-    val n = size(t)
-    val stopR = size(filter(t, w => w.isInCollection(StopWords))).cast("double") / n
-    val totalLen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
-    val meanLen = totalLen.cast("double") / n
-    val lenScore = least(meanLen / lit(8.0), lit(1.0))
-    val sizeScore = least(n.cast("double") / lit(50.0), lit(1.0))
-    lit(0.3) * stopR + lit(0.3) * lenScore + lit(0.4) * sizeScore
-  }
-
-  /** Marker-word language ID. Ties / no markers fall through to 'en'. */
+  /** Marker-word language ID sets. Ties / no markers fall through to 'en'. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
     "es" -> Seq("el", "los", "las", "una", "es", "y"),
@@ -57,14 +23,54 @@ object TextAnalysis {
     "en" -> Seq("the", "a", "of", "and", "is", "to")
   )
 
+  /** All token-level counts in one native pass (see
+    * [[graft.functions.TextStats]]): the derived operators below read struct
+    * fields, and identical sibling calls within one projection collapse to a
+    * single evaluation under whole-stage-codegen subexpression elimination.
+    * Semantics (tokenization, lowercase, code-point lengths) are those of the
+    * previous split/filter/aggregate composition — the DuckDB oracles are
+    * unchanged.
+    */
+  private def stats(text: Column): Column =
+    graft.functions.HashExprs.textStats(text, StopWords, LangMarkers.map(_._2))
+
+  def tokenCount(text: Column): Column = stats(text).getField("n")
+
+  def uniqueTokenCount(text: Column): Column = stats(text).getField("n_unique")
+
+  /** Mean token length as exact-int division (sum of lengths / count).
+    * Returned unrounded: the division of exact ints is bit-deterministic,
+    * while a final round() can disagree across engines on .5 boundaries.
+    */
+  def meanTokenLen(text: Column): Column = {
+    val s = stats(text)
+    s.getField("total_len").cast("double") / s.getField("n")
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val s = stats(text)
+    s.getField("n_stop").cast("double") / s.getField("n")
+  }
+
+  /** Composite quality score in [0,1]: stopword presence, token-length
+    * plausibility, document length. Deterministic double arithmetic from
+    * exact integer counts.
+    */
+  def qualityScore(text: Column): Column = {
+    val s = stats(text)
+    val n = s.getField("n")
+    val stopR = s.getField("n_stop").cast("double") / n
+    val meanLen = s.getField("total_len").cast("double") / n
+    val lenScore = least(meanLen / lit(8.0), lit(1.0))
+    val sizeScore = least(n.cast("double") / lit(50.0), lit(1.0))
+    lit(0.3) * stopR + lit(0.3) * lenScore + lit(0.4) * sizeScore
+  }
+
   def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(t, w => w.isInCollection(markers)))
-    }
+    val marks = stats(text).getField("marks")
     // argmax with declaration-order priority (de > es > fr > en on ties of
     // the leaders, 'en' default when all zero)
-    val Seq(de, es, fr, en) = scores.map(_._2)
+    val Seq(de, es, fr, en) = LangMarkers.indices.map(i => element_at(marks, i + 1))
     when(de > es && de > fr && de > en, "de")
       .when(es > fr && es > en, "es")
       .when(fr > en, "fr")
