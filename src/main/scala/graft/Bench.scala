@@ -23,19 +23,24 @@ object Bench {
       r.join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
         .groupBy(col("r_name")).count().collect()
     }
-    // min of two timed runs per query: this host shows 2-3x wall-clock
+    // min of three timed runs per query: this host shows 2-3x wall-clock
     // noise between runs, and the min is the better estimate of the
-    // query's actual cost (both runs execute fully; no result caching
-    // between them beyond the OS page cache both benefit from).
-    // A throwing query reports -1.0 — a failure marker, never a time.
+    // query's actual cost. Every run executes fully: the session cache is
+    // cleared before each rep, so a query that persists intermediates
+    // (the near-dup family) cannot serve rep N from rep N-1's blocks —
+    // min-of-N measures the query's compute, not a cache hit. (The OS page
+    // cache is shared by all reps; that is the steady state a real cluster
+    // sees too.) A throwing query reports -1.0 — a failure marker, never
+    // a time.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Option[Double] = {
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
       }
-      val times = Seq(once(), once()).flatten
-      name -> (if (times.size == 2) times.min else -1.0)
+      val times = Seq(once(), once(), once()).flatten
+      name -> (if (times.size == 3) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
