@@ -232,8 +232,13 @@ object WindowQueries {
   )
 
   /** Spark's native session_window operator (gap-close sessions as a
-    * groupBy key). Rows-only check: DuckDB has no session_window builtin,
-    * and the q17 lag/cumsum formulation is the oracle-checked equivalent.
+    * groupBy key). DuckDB has no session_window builtin, but the operator
+    * is SQL-expressible as gaps-and-islands (same CTE family as q17):
+    * Spark merges an event into the running session while it falls
+    * strictly inside [session_start, last_event + gap) — the session end
+    * is exclusive — so the island break is `diff >= gap` (q17's hand-rolled
+    * sessionizer breaks on `diff > gap`), and the window end Spark reports
+    * is max(event ts) + gap.
     */
   private val q44 = Q(
     "q44_session_window",
@@ -245,7 +250,26 @@ object WindowQueries {
         .select($"user_id", unix_micros($"w.start").as("start_us"), unix_micros($"w.end").as("end_us"), $"n_events")
         .orderBy($"user_id", $"start_us")
     },
-    None
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 21600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM base
+      ), sessions AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+      )
+      SELECT user_id, MIN(us) AS start_us, MAX(us) + 21600000000 AS end_us, COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id, sid
+      ORDER BY user_id, start_us
+    """.trim)
   )
 
   /** Field-level change sets: which columns changed per observation — the
