@@ -116,12 +116,16 @@ object Engine {
       config: IngestConfig,
       refresh: Boolean
   ): IngestStats = {
+    // Resume correctness depends on ascending IDs (each batch checkpoints
+    // batch.max and resume filters ids > last), so sort+dedup here rather
+    // than trusting the caller's ordering.
+    val ordered = entryIds.distinct.sorted
     // Resume: ordered-ID filter past the checkpoint (replaces the
     // reference's string-compare trim, engine.py:164-167).
     val prior: Option[Checkpoint] =
       if (config.checkpoint) Checkpoints.load(spark, root, scope) else None
     val resumeFrom: Option[Long] = if (refresh) None else prior.map(_.lastEntryId.toLong)
-    val ids = resumeFrom.fold(entryIds)(last => entryIds.filter(_ > last))
+    val ids = resumeFrom.fold(ordered)(last => ordered.filter(_ > last))
     if (ids.isEmpty)
       return IngestStats(0, 0, 0, Map.empty)
 

@@ -24,16 +24,31 @@ object Checkpoints {
 
   private def path(root: String, scope: String) = new Path(s"$root/_checkpoints/$scope.json")
 
+  /** Atomic save: write to a tmp path, then rename into place. A crash
+    * mid-write leaves at worst a stale previous checkpoint (re-scrape of one
+    * batch), never a truncated doc that would poison every later resume.
+    */
   def save(spark: SparkSession, root: String, cp: Checkpoint): Unit = {
     val p = path(root, cp.scopeKey)
+    val tmp = new Path(p.toString + ".__tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json =
       s"""{"scope_key": ${q(cp.scopeKey)}, "last_entry_id": ${q(cp.lastEntryId)}, "total_scraped": ${cp.totalScraped}, "checkpoint_time": ${q(cp.checkpointTime)}}"""
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // Hadoop rename-over-existing returns false on most filesystems: remove
+    // the old doc first. Crash between delete and rename loses only the
+    // cursor (= re-scrape one batch; appends are dedup-safe), not the lake.
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"checkpoint save: could not move $tmp into place")
   }
 
+  /** Load, degrading to None on a malformed/truncated doc — matching the
+    * reference's JSONDecodeError/KeyError fallback (database.py:203-214):
+    * a bad checkpoint means "start over", never a permanently wedged scope.
+    */
   def load(spark: SparkSession, root: String, scope: String): Option[Checkpoint] = {
     val p = path(root, scope)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -43,14 +58,18 @@ object Checkpoints {
       val raw =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(
-        Checkpoint(
-          scopeKey = field(raw, "scope_key"),
-          lastEntryId = field(raw, "last_entry_id"),
-          totalScraped = field(raw, "total_scraped").toLong,
-          checkpointTime = field(raw, "checkpoint_time")
+      try
+        Some(
+          Checkpoint(
+            scopeKey = field(raw, "scope_key"),
+            lastEntryId = field(raw, "last_entry_id"),
+            totalScraped = field(raw, "total_scraped").toLong,
+            checkpointTime = field(raw, "checkpoint_time")
+          )
         )
-      )
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException => None
+      }
     }
   }
 

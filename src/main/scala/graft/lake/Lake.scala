@@ -134,6 +134,12 @@ object Lake {
     * deleted-before-replaced), and work dirs are excluded from [[tables]]
     * listings. Unlike the reference (single file), `target` scales with
     * table size — one file per ~128MB is the useful default on a cluster.
+    *
+    * SINGLE WRITER per table assumed (same as the reference's post-session
+    * compaction): an append landing between the tmp rewrite and the swap
+    * would be moved aside and deleted with `old`. Run compaction only when
+    * no concurrent writer can touch the table (e.g. post-session, as
+    * [[graft.ingest.Engine]] does).
     */
   def compact(spark: SparkSession, root: String, scope: String, table: String, target: Int = 0): Unit = {
     val path = tablePath(root, scope, table)

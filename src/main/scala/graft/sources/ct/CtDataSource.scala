@@ -1,7 +1,7 @@
 package graft.sources.ct
 
 import graft.functions.Canonical
-import graft.lake.Lake
+import graft.lake.{Checkpoint, Checkpoints, Lake}
 import graft.scd.Scd
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,6 +47,14 @@ object CtDataSource {
     * JSON rows, apply the businesses rename (P7), stamp metadata, append.
     * `fetchPage(datasetId, offset, limit)` returns the page as JSON-lines
     * (one object per row); tests inject fakes.
+    *
+    * Crash-safe (D8, mirroring the engine loop): pages are processed in
+    * `pagesPerBatch` groups, each appended and checkpointed
+    * (`_checkpoints/llc_ct_data.<table>.json`, cursor = last completed
+    * offset) before the next starts. A rerun after a partial load resumes
+    * past completed pages, and every append into an EXISTING table goes
+    * through the content-hash dedup — so the one crash window (appended but
+    * not yet checkpointed) re-fetches a batch without duplicating its rows.
     */
   def loadDataset(
       spark: SparkSession,
@@ -54,12 +62,43 @@ object CtDataSource {
       totalRows: Long,
       fetchPage: (String, Long, Int) => Seq[String],
       root: String,
-      refresh: Boolean = false
+      refresh: Boolean = false,
+      checkpoint: Boolean = true,
+      pagesPerBatch: Int = 64
   ): (String, Long) = {
-    import spark.implicits._
     val table = Datasets.getOrElse(datasetId, datasetId)
-    val keys = pageKeys(datasetId, totalRows)
+    val cpScope = s"$Scope.$table"
+    val allKeys = pageKeys(datasetId, totalRows)
+    // Refresh re-fetches everything (dedup drops unchanged rows); plain
+    // loads resume past the last checkpointed offset.
+    val resumeFrom: Option[Long] =
+      if (refresh || !checkpoint) None
+      else Checkpoints.load(spark, root, cpScope).map(_.lastEntryId.toLong)
+    val keys = resumeFrom.fold(allKeys)(last => allKeys.filter(k => splitKey(k)._2 > last))
+    if (keys.isEmpty) return table -> 0L
 
+    var written = 0L
+    keys.grouped(math.max(pagesPerBatch, 1)).foreach { batch =>
+      written += loadPages(spark, batch, table, fetchPage, root)
+      if (checkpoint) {
+        val done = batch.map(k => splitKey(k)._2).max
+        Checkpoints.save(
+          spark,
+          root,
+          Checkpoint(cpScope, done.toString, written, java.time.Instant.now().toString))
+      }
+    }
+    table -> written
+  }
+
+  private def loadPages(
+      spark: SparkSession,
+      keys: Seq[String],
+      table: String,
+      fetchPage: (String, Long, Int) => Seq[String],
+      root: String
+  ): Long = {
+    import spark.implicits._
     // Persist the fetched pages: json schema inference, dedup and the
     // write would otherwise EACH re-run the HTTP flatMap (3x API traffic,
     // and the written rows could differ from the inferred ones).
@@ -78,19 +117,21 @@ object CtDataSource {
         df = df.withColumnRenamed("id", "business_id") // source.py:41-43,156-159
 
       val stamped = Lake.stampMetadata(df, new java.sql.Timestamp(System.currentTimeMillis()))
+      // Dedup against ANY existing table (not just refresh): makes reruns
+      // after a crash-before-checkpoint idempotent.
       val toWrite =
-        if (refresh && Lake.tables(spark, root, Scope).contains(table))
+        if (Lake.tables(spark, root, Scope).contains(table))
           Scd.refreshDedup(stamped, Lake.read(spark, root, Scope, table))
         else stamped
       // cheap emptiness probe over the cached pages first: a no-change
       // refresh must not append a schema-only parquet file (file-count
       // creep would trigger pointless compactions)
-      if (toWrite.isEmpty) table -> 0L
+      if (toWrite.isEmpty) 0L
       else {
         // row count from observe() on the write action itself (one pass)
         val obs = org.apache.spark.sql.Observation()
         Lake.append(toWrite.observe(obs, count(lit(1)).as("rows")), root, Scope, table)
-        table -> obs.get("rows").asInstanceOf[Long]
+        obs.get("rows").asInstanceOf[Long]
       }
     } finally jsonLines.unpersist()
   }

@@ -3,6 +3,24 @@ package graft
 import graft.lake.Lake
 import graft.sources.ct.CtDataSource
 
+/** JVM-static fetch fake: task closures are serialized even in local mode,
+  * so per-page call counts and the crash switch live in a companion-style
+  * object (one JVM in local[n]) rather than captured test fields.
+  */
+object CtCrashState {
+  @volatile var failAt: Long = -1L
+  @volatile var pages: Map[Long, Seq[String]] = Map.empty
+  val calls = scala.collection.concurrent.TrieMap[Long, Int]()
+  def reset(p: Map[Long, Seq[String]], failAt: Long): Unit = {
+    this.pages = p; this.failAt = failAt; calls.clear()
+  }
+  def fetch: (String, Long, Int) => Seq[String] = (_, off, _) => {
+    calls.put(off, calls.getOrElse(off, 0) + 1)
+    if (off == failAt) throw new RuntimeException(s"fake HTTP failure at offset $off")
+    pages.getOrElse(off, Nil)
+  }
+}
+
 /** CT Socrata ingestion — mirrors /root/reference/tests/test_llc_ct_data.py
   * scenarios: flatten/rename, pagination, load+refresh with both versions
   * visible in the append-only lake.
@@ -68,6 +86,31 @@ class CtDataSpec extends SparkSpec {
     assert(n == 0)
     val after = dir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(after == before) // no schema-only junk file
+  }
+
+  test("crash mid-load: rerun resumes past checkpointed pages, no duplicate rows") {
+    val root = tmpDir("ct")
+    val pages = Map( // offset -> page rows (multi-page without 50k fixtures)
+      0L -> Seq("""{"id": "a1", "v": "1"}""", """{"id": "a2", "v": "2"}"""),
+      50000L -> Seq("""{"id": "b1", "v": "3"}"""),
+      100000L -> Seq("""{"id": "c1", "v": "4"}""", """{"id": "c2", "v": "5"}""")
+    )
+    CtCrashState.reset(pages, failAt = 100000L)
+    intercept[Exception] {
+      CtDataSource.loadDataset(spark, "n7gp-d28j", 150000L, CtCrashState.fetch, root,
+        pagesPerBatch = 1)
+    }
+    // pages 0 and 50000 landed and checkpointed before the crash
+    assert(Lake.read(spark, root, CtDataSource.Scope, "businesses").count() == 3)
+
+    CtCrashState.failAt = -1L // heal and rerun the same load
+    val (_, n) = CtDataSource.loadDataset(spark, "n7gp-d28j", 150000L, CtCrashState.fetch, root,
+      pagesPerBatch = 1)
+    assert(n == 2) // only the crashed page's rows
+    assert(CtCrashState.calls.getOrElse(0L, 0) == 1) // page 0 never re-fetched
+    val df = Lake.read(spark, root, CtDataSource.Scope, "businesses")
+    assert(df.count() == 5)
+    assert(df.select($"business_id").distinct().count() == 5) // idempotent, no dupes
   }
 
   test("loadAll covers every registered dataset (D10)") {

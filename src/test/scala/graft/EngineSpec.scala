@@ -175,6 +175,23 @@ class EngineSpec extends SparkSpec {
     assert(Lake.read(spark, root, "c", "properties").count() == 20)
   }
 
+  test("caller-supplied unsorted ids: batches checkpoint in ID order, resume is exact") {
+    val root = tmpDir("lake")
+    val data = mkData((1L to 10L).map(i => i -> 100.0 * i).toMap)
+    val shuffled = Seq(9L, 2L, 7L, 4L, 10L, 1L, 6L, 3L, 8L, 5L, 2L) // dup + unsorted
+    // ids 6-10 fail -> sorted batch 2 trips; batch 1 must be exactly 1..5
+    intercept[SparkException] {
+      Engine.runLoad(spark, new FakeSource(data, failFor = (6L to 10L).toSet), shuffled, root, "uns",
+        IngestConfig(workers = 1, maxConsecutiveErrors = 3, checkpointEvery = 5, compactAfter = false))
+    }
+    assert(Checkpoints.load(spark, root, "uns").exists(_.lastEntryId == "5"))
+    assert(Lake.read(spark, root, "uns", "properties").count() == 5)
+    val s2 = Engine.runLoad(spark, new FakeSource(data), shuffled, root, "uns",
+      IngestConfig(workers = 1, checkpointEvery = 5, compactAfter = false))
+    assert(s2.scraped == 5) // only 6..10; 1..5 skipped by resume despite shuffle
+    assert(Lake.read(spark, root, "uns", "properties").count() == 10)
+  }
+
   test("compaction merges session files and preserves rows (D9)") {
     val root = tmpDir("lake")
     val data = mkData((1L to 6L).map(i => i -> 10.0 * i).toMap)

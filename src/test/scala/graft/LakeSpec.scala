@@ -41,6 +41,20 @@ class LakeSpec extends SparkSpec {
     assert(Checkpoints.load(spark, root, "nope").isEmpty)
   }
 
+  test("malformed checkpoint degrades to None instead of wedging the scope") {
+    val root = tmpDir("lake")
+    val dir = new java.io.File(s"$root/_checkpoints")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "bad.json").toPath,
+      """{"scope_key": "bad", "last_entry_""".getBytes("UTF-8")) // truncated mid-save
+    assert(Checkpoints.load(spark, root, "bad").isEmpty)
+    // and a good save over it recovers (atomic tmp+rename leaves no junk)
+    Checkpoints.save(spark, root, Checkpoint("bad", "7", 7L, "2024-01-01T00:00:00Z"))
+    assert(Checkpoints.load(spark, root, "bad").exists(_.lastEntryId == "7"))
+    assert(!dir.listFiles().exists(_.getName.endsWith(".__tmp")))
+  }
+
   test("compact keeps data and reduces file count") {
     val root = tmpDir("lake")
     (1 to 5).foreach(i => Lake.append(Seq((i, s"v$i")).toDF("id", "v"), root, "s", "t"))
