@@ -23,6 +23,18 @@ trait Source extends Serializable {
   def entryIdSource: (String, String) = ("properties", "pid")
   def ratePerSec: Double = 5.0
   def maxRetries: Int = 3
+
+  /** Optional photo hook — the `get_photo_items_fn` contract
+    * (base.py:48-53): extract (photo_url, entry_id) download items from one
+    * scrape result. None = source has no photos.
+    */
+  def photoItems: Option[ScrapeResult => Seq[(String, Long)]] = None
+
+  /** Photo fetcher (the `download_fn` dual, source.py:647-669); invoked on
+    * executors, one call per not-yet-downloaded photo.
+    */
+  def fetchPhoto(url: String): Array[Byte] =
+    throw new UnsupportedOperationException(s"$name: photoItems set but fetchPhoto not implemented")
 }
 
 final case class IngestConfig(
@@ -35,7 +47,12 @@ final case class IngestConfig(
       * breaker, crash) keeps all completed batches — the D7/D8 forward-
       * progress guarantee of the reference's batch/checkpoint loop.
       */
-    checkpointEvery: Int = 1000
+    checkpointEvery: Int = 1000,
+    /** When set and the source defines [[Source.photoItems]], each batch's
+      * photos are downloaded here during the load — the reference's
+      * `download_photos` flag + photo_dir (engine.py:210-217).
+      */
+    photoDir: Option[String] = None
 )
 
 final case class IngestStats(
@@ -214,6 +231,16 @@ object Engine {
     // Cache the nested results once: all 8 table writes share the scrape.
     results.cache()
     try {
+      // Photo hook (S11, engine.py:210-217): derive this batch's download
+      // items from the cached results and run the side-effecting sink —
+      // per-photo failures are counted, never fatal (PhotoSink contract).
+      for (dir <- config.photoDir; itemsFn <- src.photoItems) {
+        val items = results
+          .flatMap(itemsFn(_))
+          .toDF("photo_url", "pid")
+          .withColumn("city", org.apache.spark.sql.functions.lit(scope))
+        graft.sources.vgsi.PhotoSink.downloadPhotos(items, dir, src.fetchPhoto)
+      }
       // One aggregate over the nested results yields every table's pre-dedup
       // row count — a single action instead of a per-table emptiness probe
       // (8 tables x N batches of actions added up).

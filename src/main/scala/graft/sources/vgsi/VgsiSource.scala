@@ -57,9 +57,25 @@ final case class VgsiSource(
     baseUrl: String,
     fetch: (String, Long) => String,
     override val ratePerSec: Double = 5.0,
-    override val maxRetries: Int = 3
+    override val maxRetries: Int = 3,
+    /** Photo byte fetcher; None disables the load-time photo hook even when
+      * the engine's photoDir is set (tests inject fakes).
+      */
+    photoFetch: Option[String => Array[Byte]] = None
 ) extends Source {
   override def name: String = s"vgsi:$baseUrl"
   override def scrapeOne(pid: Long): ScrapeResult =
     VgsiParser.parse(fetch(baseUrl, pid), pid)
+
+  /** One item per building photo — the reference's `_get_photo_items`
+    * (source.py:672-679); default.jpg placeholders are filtered in
+    * [[PhotoSink.downloadPhotos]]'s plan.
+    */
+  override def photoItems: Option[ScrapeResult => Seq[(String, Long)]] =
+    photoFetch.map { _ => r =>
+      r.buildings.flatMap(_.photo_url.map(_ -> r.property.pid))
+    }
+
+  override def fetchPhoto(url: String): Array[Byte] =
+    photoFetch.fold(super.fetchPhoto(url))(_(url))
 }

@@ -49,6 +49,13 @@ object FakeSource {
     )
 }
 
+/** Executor-side fetch counter for the photo-hook test (local[*] shares the
+  * JVM, so a static AtomicInteger observes executor calls).
+  */
+object PhotoFakes {
+  val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** End-to-end ingestion slice (SURVEY.md §7 minimum slice +
   * /root/reference/tests/test_engine.py:344-546 scenarios): load → lake →
   * re-scrape with one change → current state + 2-version history + refresh
@@ -190,6 +197,46 @@ class EngineSpec extends SparkSpec {
       IngestConfig(workers = 1, checkpointEvery = 5, compactAfter = false))
     assert(s2.scraped == 5) // only 6..10; 1..5 skipped by resume despite shuffle
     assert(Lake.read(spark, root, "uns", "properties").count() == 10)
+  }
+
+  test("photos download during load when photoDir is set (S11 hook, test_engine.py:316-341)") {
+    val root = tmpDir("lake")
+    val photoDir = tmpDir("photos")
+    PhotoFakes.fetches.set(0)
+    val data = mkData(Map(1L -> 100.0, 2L -> 200.0, 3L -> 300.0)).map { case (pid, r) =>
+      // pid 2's photo is a default.jpg placeholder -> must be skipped in-plan
+      val url = if (pid == 2) "http://host/images/default.jpg" else s"http://host/photos/$pid.jpg"
+      pid -> r.copy(buildings = r.buildings.map(_.copy(photo_url = Some(url))))
+    }
+    val src = new FakeSource(data) {
+      override def photoItems: Option[ScrapeResult => Seq[(String, Long)]] =
+        Some(r => r.buildings.flatMap(_.photo_url.map(_ -> r.property.pid)))
+      override def fetchPhoto(url: String): Array[Byte] = {
+        PhotoFakes.fetches.incrementAndGet(); url.getBytes("UTF-8")
+      }
+    }
+    val cfg = IngestConfig(workers = 2, checkpoint = false, compactAfter = false,
+      photoDir = Some(photoDir))
+    Engine.runLoad(spark, src, Seq(1L, 2L, 3L), root, "pv", cfg)
+
+    def photo(pid: Long) = new java.io.File(s"$photoDir/pv/$pid.jpg")
+    assert(photo(1).exists() && photo(3).exists())
+    assert(!photo(2).exists()) // placeholder filtered
+    assert(new String(java.nio.file.Files.readAllBytes(photo(1).toPath), "UTF-8") ==
+      "http://host/photos/1.jpg")
+    assert(PhotoFakes.fetches.get() == 2)
+
+    // rerun over the same scope: the existence check makes downloads idempotent
+    Engine.runLoad(spark, src, Seq(1L, 2L, 3L), root, "pv", cfg)
+    assert(PhotoFakes.fetches.get() == 2) // nothing re-fetched
+  }
+
+  test("no photoDir (or no photoItems) -> load runs with zero photo side effects") {
+    val root = tmpDir("lake")
+    val data = mkData(Map(1L -> 100.0))
+    val s = Engine.runLoad(spark, new FakeSource(data), Seq(1L), root, "np",
+      IngestConfig(workers = 1, checkpoint = false, compactAfter = false))
+    assert(s.scraped == 1) // fetchPhoto default throws, but is never invoked
   }
 
   test("compaction merges session files and preserves rows (D9)") {
