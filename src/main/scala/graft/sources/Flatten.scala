@@ -36,6 +36,38 @@ object Flatten {
     "land_appraised_value", "zip_code"
   )
 
+  /** Construction-key → buildings-column mapping (vgsi/source.py:92-122
+    * CNS_MAPPING, applied at :614-624). Two source spellings may feed one
+    * column (interior_flr_1/interior_floor_1); the reference's dict loop is
+    * last-write-wins, so later spellings take precedence.
+    */
+  private val cnsMapping: Seq[(String, String)] = Seq(
+    "style" -> "style", "model" -> "model", "grade" -> "grade",
+    "stories" -> "stories", "occupancy" -> "occupancy",
+    "exterior_wall_1" -> "exterior_wall_1", "exterior_wall_2" -> "exterior_wall_2",
+    "roof_structure" -> "roof_structure", "roof_cover" -> "roof_cover",
+    "interior_wall_1" -> "interior_wall_1", "interior_wall_2" -> "interior_wall_2",
+    "interior_flr_1" -> "interior_floor_1", "interior_flr_2" -> "interior_floor_2",
+    "interior_floor_1" -> "interior_floor_1", "interior_floor_2" -> "interior_floor_2",
+    "heat_fuel" -> "heat_fuel", "heat_type" -> "heat_type", "ac_type" -> "ac_type",
+    "total_bedrooms" -> "total_bedrooms", "total_bthrms" -> "total_bthrms",
+    "total_half_baths" -> "total_half_baths", "total_xtra_fixtrs" -> "total_xtra_fixtrs",
+    "total_rooms" -> "total_rooms", "bath_style" -> "bath_style",
+    "kitchen_style" -> "kitchen_style", "interior_condition" -> "interior_condition",
+    "fin_bsmnt_area" -> "fin_bsmnt_area", "fin_bsmnt_qual" -> "fin_bsmnt_qual",
+    "nbhd_code" -> "nbhd_code"
+  )
+
+  /** Per destination column: source keys in coalesce order (highest
+    * precedence first = last-written in the reference's loop).
+    */
+  private val cnsByDst: Seq[(String, Seq[String])] = {
+    val dsts = cnsMapping.map(_._2).distinct
+    dsts.map(d => d -> cnsMapping.collect { case (s, `d`) => s }.reverse)
+  }
+
+  private val cnsKnownKeys: Seq[String] = cnsMapping.map(_._1)
+
   /** Deliberate divergence from the reference: vgsi/source.py:332 derives
     * the uuid from pid + the FULL parsed content dict, so any content change
     * mints a new uuid — silently detaching the uuid-keyed SCD2 history the
@@ -72,24 +104,37 @@ object Flatten {
       )
     }
 
-    // construction map → JSON string column (unknown keys preserved —
-    // the extra_fields escape hatch of vgsi/source.py:614-624)
+    // construction map → typed columns (CNS_MAPPING) + extra_fields JSON of
+    // unknown keys, sorted for determinism — nothing is ever dropped
+    // (vgsi/source.py:614-624). construction_json keeps the raw map too.
+    val cns = col("c.construction")
+    val cnsCols = cnsByDst.map { case (dst, srcs) =>
+      coalesce(srcs.map(cns.getItem(_)): _*).as(dst)
+    }
+    val unknownCns = map_filter(cns, (k, _) => !array_contains(typedLit(cnsKnownKeys), k))
+    val cnsExtra =
+      when(size(map_keys(unknownCns)) > 0,
+        to_json(map_from_entries(array_sort(map_entries(unknownCns)))))
+        .otherwise(lit(null).cast("string"))
+        .as("extra_fields")
     val buildings = withUuid
       .select(col("uuid").as("property_uuid"), col("property.pid").as("pid"), explode(col("buildings")).as("c"))
       .select(
-        col("property_uuid"),
-        col("pid"),
-        col("c.bid").as("bid"),
-        col("c.year_built").as("year_built"),
-        col("c.building_area").as("building_area"),
-        col("c.replacement_cost").as("replacement_cost"),
-        col("c.less_depreciation").as("less_depreciation"),
-        col("c.pct_good").as("pct_good"),
-        col("c.photo_url").as("photo_url"),
-        col("c.sketch_url").as("sketch_url"),
-        when(size(map_keys(col("c.construction"))) > 0, to_json(col("c.construction")))
-          .otherwise(lit(null).cast("string"))
-          .as("construction_json")
+        col("property_uuid") +:
+          col("pid") +:
+          col("c.bid").as("bid") +:
+          col("c.year_built").as("year_built") +:
+          col("c.building_area").as("building_area") +:
+          col("c.replacement_cost").as("replacement_cost") +:
+          col("c.less_depreciation").as("less_depreciation") +:
+          col("c.pct_good").as("pct_good") +:
+          col("c.photo_url").as("photo_url") +:
+          col("c.sketch_url").as("sketch_url") +:
+          cnsCols :+
+          cnsExtra :+
+          when(size(map_keys(cns)) > 0, to_json(cns))
+            .otherwise(lit(null).cast("string"))
+            .as("construction_json"): _*
       )
 
     val subAreas = withUuid
