@@ -235,9 +235,12 @@ object Lake {
     if (fs.exists(p)) {
       // hive-partitioned tables (day=... subdirs) need PER-PARTITION
       // compaction — a whole-table rewrite would flatten the partition
-      // layout. Deferred; skip them here rather than corrupt the layout.
+      // layout — so dispatch them to the per-leaf variant (threshold is
+      // applied per leaf there: partitions other sessions wrote stay
+      // untouched, like the reference's session-scoped compaction).
       val partitioned = fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.contains("="))
-      if (!partitioned) {
+      if (partitioned) compactPartitioned(spark, root, scope, table, minFiles)
+      else {
         var nFiles = 0
         val it = fs.listFiles(p, true)
         while (nFiles < minFiles && it.hasNext) {

@@ -55,6 +55,31 @@ class LakeSpec extends SparkSpec {
     assert(!dir.listFiles().exists(_.getName.endsWith(".__tmp")))
   }
 
+  test("compactIfNeeded auto-compacts hive-partitioned tables per leaf, layout intact") {
+    val root = tmpDir("lake")
+    // 5 small appends into each of two day partitions
+    (1 to 5).foreach { i =>
+      Lake.appendPartitioned(
+        Seq((i, "2024-01-01"), (i, "2024-01-02")).toDF("id", "day"),
+        root, "s", "t", Seq("day"))
+    }
+    def leafFiles(day: String) =
+      new java.io.File(s"$root/s/t/day=$day").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(leafFiles("2024-01-01") == 5)
+    Lake.compactIfNeeded(spark, root, "s", "t")
+    assert(leafFiles("2024-01-01") == 1 && leafFiles("2024-01-02") == 1)
+    // layout intact: partition column still prunes, rows preserved
+    val back = Lake.read(spark, root, "s", "t")
+    assert(back.count() == 10)
+    assert(back.filter($"day" === "2024-01-02").count() == 5)
+    assert(back.columns.sorted.toSeq == Seq("day", "id"))
+    // below-threshold leaves stay untouched on a later pass
+    Lake.appendPartitioned(Seq((9, "2024-01-03")).toDF("id", "day"), root, "s", "t", Seq("day"))
+    Lake.compactIfNeeded(spark, root, "s", "t")
+    assert(leafFiles("2024-01-03") == 1) // 1 file < minFiles -> not rewritten (still 1)
+    assert(Lake.read(spark, root, "s", "t").count() == 11)
+  }
+
   test("compact keeps data and reduces file count") {
     val root = tmpDir("lake")
     (1 to 5).foreach(i => Lake.append(Seq((i, s"v$i")).toDF("id", "v"), root, "s", "t"))
