@@ -103,6 +103,14 @@ object Engine {
 
   /** Refresh: known IDs from the lake (the source's entryIdSource table and
     * column), re-scrape, write only changed rows.
+    *
+    * The known-ID set is NEVER collected whole: the distributed distinct is
+    * range-bucketed into ≈`checkpointEvery`-sized slices and each slice is
+    * collected lazily just before its batch runs — driver memory holds one
+    * batch of IDs at a time, so a lake with billions of entities refreshes
+    * with the same bounded footprint as a thousand-row one. (Bucket sizes
+    * track ID-space density: heavy clustering inflates a bucket, but only
+    * to that cluster's size, never the full set.)
     */
   def runRefresh(
       spark: SparkSession,
@@ -111,17 +119,51 @@ object Engine {
       scope: String,
       config: IngestConfig = IngestConfig()
   ): IngestStats = {
-    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val (idTable, idCol) = source.entryIdSource
     val known = Lake
       .read(spark, root, scope, idTable)
-      .select(idCol)
+      .select(col(idCol).cast("long").as("id"))
       .distinct()
-      .as[Long]
-      .collect()
-      .sorted
-      .toSeq
-    run(spark, source, known, root, scope, config, refresh = true)
+    known.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batches = rangeBatches(known, math.max(config.checkpointEvery, 1))
+      runBatches(spark, source, batches, root, scope, config, refresh = true, priorTotal = 0L)
+    } finally known.unpersist()
+  }
+
+  /** Slice a distinct-ID DataFrame into ascending, ≈batchSize-sized ranges;
+    * each `next()` collects only its own range (one narrow filter over the
+    * cached distinct — no full-set materialization anywhere).
+    */
+  private[graft] def rangeBatches(
+      known: org.apache.spark.sql.DataFrame,
+      batchSize: Int
+  ): Iterator[Seq[Long]] = {
+    import org.apache.spark.sql.functions._
+    val spark = known.sparkSession
+    import spark.implicits._
+    val bounds = known.agg(min("id"), max("id"), count("id")).head()
+    if (bounds.isNullAt(2) || bounds.getLong(2) == 0L) return Iterator.empty
+    val (lo, hi, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val nBuckets = math.max(1L, math.ceil(n.toDouble / batchSize).toLong)
+    // ceil-divide the span so nBuckets*width covers [lo, hi] without
+    // Long overflow on wide spans (width >= 1)
+    val span = hi - lo + 1
+    val width = math.max(1L, span / nBuckets + (if (span % nBuckets == 0) 0 else 1))
+    Iterator
+      .iterate(lo)(_ + width)
+      .takeWhile(start => start <= hi && start >= lo) // >= lo guards overflow
+      .map { start =>
+        val endExcl = if (hi - start < width) hi + 1 else start + width
+        known
+          .filter($"id" >= start && $"id" < endExcl)
+          .orderBy("id")
+          .as[Long]
+          .collect()
+          .toSeq
+      }
+      .filter(_.nonEmpty)
   }
 
   private def run(
@@ -145,16 +187,34 @@ object Engine {
     val ids = resumeFrom.fold(ordered)(last => ordered.filter(_ > last))
     if (ids.isEmpty)
       return IngestStats(0, 0, 0, Map.empty)
+    val batchSize = math.max(config.checkpointEvery, 1)
+    runBatches(spark, source, ids.grouped(batchSize), root, scope, config, refresh,
+      prior.map(_.totalScraped).getOrElse(0L))
+  }
 
+  /** Shared batch loop: loads feed it pre-sorted in-memory slices, refresh
+    * feeds it lazily-collected range buckets — either way one batch of IDs
+    * is live on the driver at a time.
+    */
+  private def runBatches(
+      spark: SparkSession,
+      source: Source,
+      batches: Iterator[Seq[Long]],
+      root: String,
+      scope: String,
+      config: IngestConfig,
+      refresh: Boolean,
+      priorTotal: Long
+  ): IngestStats = {
     val errAcc: LongAccumulator = spark.sparkContext.longAccumulator("scrape_errors")
     val invAcc: LongAccumulator = spark.sparkContext.longAccumulator("invalid_entries")
     val okAcc: LongAccumulator = spark.sparkContext.longAccumulator("scraped")
 
-    val priorTotal = prior.map(_.totalScraped).getOrElse(0L)
     val writtenTotals = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    val batchSize = math.max(config.checkpointEvery, 1)
+    var ranAny = false
 
-    ids.grouped(batchSize).foreach { batch =>
+    batches.foreach { batch =>
+      ranAny = true
       val written = runBatch(spark, source, batch, root, scope, config, refresh, okAcc, errAcc, invAcc)
       written.foreach { case (t, n) => writtenTotals(t) += n }
       // Checkpoint after every completed batch (D8): loads advance the
@@ -175,7 +235,7 @@ object Engine {
       }
     }
 
-    if (config.compactAfter)
+    if (ranAny && config.compactAfter)
       Lake.tables(spark, root, scope).foreach(t => Lake.compactIfNeeded(spark, root, scope, t))
 
     IngestStats(okAcc.value, errAcc.value, invAcc.value, writtenTotals.toMap)

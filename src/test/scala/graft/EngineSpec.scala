@@ -239,6 +239,32 @@ class EngineSpec extends SparkSpec {
     assert(s.scraped == 1) // fetchPhoto default throws, but is never invoked
   }
 
+  test("rangeBatches: wide sparse ID space slices to ascending covering batches") {
+    // sparse 64-bit-ish spread — the shape that would OOM a naive collect at scale
+    val ids = (1L to 100L).map(i => i * 1000003L + (i % 7) * 17L)
+    val known = ids.toDF("id")
+    val batches = Engine.rangeBatches(known, 10).toList
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    assert(batches.flatten == ids.sorted.toList) // exact cover, ascending
+    assert(batches.map(_.max).sliding(2).forall(p => p.size < 2 || p(0) < p(1)))
+    // empty set -> no batches
+    assert(Engine.rangeBatches(spark.emptyDataset[Long].toDF("id"), 10).isEmpty)
+    // single id
+    assert(Engine.rangeBatches(Seq(42L).toDF("id"), 10).toList == List(Seq(42L)))
+  }
+
+  test("refresh runs bucket-by-bucket (checkpointEvery slices) and re-scrapes every known id") {
+    val root = tmpDir("lake")
+    val ids = (1L to 30L).map(i => i * 997L) // sparse ids
+    val data = mkData(ids.map(i => i -> 100.0).toMap)
+    Engine.runLoad(spark, new FakeSource(data), ids, root, "rb",
+      IngestConfig(workers = 2, checkpoint = false, compactAfter = false))
+    val s = Engine.runRefresh(spark, new FakeSource(data), root, "rb",
+      IngestConfig(workers = 2, checkpoint = false, compactAfter = false, checkpointEvery = 7))
+    assert(s.scraped == 30) // every known entity re-scraped across ~5 buckets
+    assert(s.rowsWritten.values.sum == 0) // nothing changed -> hash dedup drops all
+  }
+
   test("compaction merges session files and preserves rows (D9)") {
     val root = tmpDir("lake")
     val data = mkData((1L to 6L).map(i => i -> 10.0 * i).toMap)
