@@ -93,6 +93,80 @@ object Dedup {
   def simhash32(text: Column): Column =
     graft.functions.HashExprs.simhash32(text)
 
+  /** 64-bit SimHash (two votes per md5 hex digit) — the 100 TB fingerprint:
+    * twice the bits of [[simhash32]], so random fingerprint collisions (and
+    * therefore spurious band-bucket candidates) fall off by ~2^32.
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.HashExprs.simhash64(text)
+
+  /** Near-dup pairs at hamming distance <= maxHamming over 64-bit SimHash
+    * fingerprints, via Manku-style multi-table permuted banding (Manku,
+    * Jain & Das Sarma, "Detecting near-duplicates for web crawling",
+    * WWW 2007 §3): split the fingerprint into `blocks` contiguous blocks
+    * and build one join table per combination of `blocks - maxHamming`
+    * block indices, keyed on those blocks' concatenated bits.
+    *
+    * EXACT by pigeonhole: <= maxHamming differing bits touch at most
+    * maxHamming blocks, so some (blocks - maxHamming)-subset of blocks is
+    * untouched and its table keys the pair together. vs the fixed
+    * 8-bit-band scheme of q26: keys here carry ~64·(1 - d/B) bits (32+ at
+    * B=6, d=3 — billions of buckets instead of 256 per band), which is what
+    * keeps bucket occupancy O(1) and the join sub-quadratic at corpus
+    * scale; the price is C(B, B-d) tables (20 at B=6,d=3) instead of 4.
+    */
+  def simhash64Pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    bandedFingerprintPairs(
+      df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp")),
+      maxHamming,
+      blocks
+    )
+
+  /** The banding join itself, over a (doc_id, fp) frame — separated so specs
+    * can drive it with synthetic fingerprints and prove recall is exact.
+    */
+  private[graft] def bandedFingerprintPairs(
+      fps: DataFrame,
+      maxHamming: Int,
+      blocks: Int
+  ): DataFrame = {
+    require(blocks > maxHamming, s"need blocks > maxHamming, got $blocks <= $maxHamming")
+    val keep = blocks - maxHamming
+    // contiguous block layout over the 64 bits (low-to-high), wider blocks first
+    val sizes = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockVal(i: Int): Column =
+      shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+    // one packed-long key per block combination: combo bits total <= 64·keep/B
+    // + table id in the high bits, so the join key stays a single long
+    val combos = (0 until blocks).combinations(keep).toSeq
+    val keys = combos.zipWithIndex.map { case (c, t) =>
+      val packedBits = c.map(sizes(_)).sum
+      val packed = c.foldLeft((lit(0L), 0)) { case ((acc, shift), i) =>
+        (acc.bitwiseOR(shiftleft(blockVal(i), shift)), shift + sizes(i))
+      }._1
+      require(packedBits + 5 <= 63, s"key overflow: $packedBits bits + table id")
+      packed.bitwiseOR(lit(t.toLong << (63 - 5))).as(s"k$t")
+    }
+    val keyed = fps.select(col("doc_id"), col("fp"), explode(array(keys: _*)).as("bk"))
+    keyed
+      .as("a")
+      .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact duplicate groups by content digest: canonical (min) id + copy
     * count per distinct content.
     */

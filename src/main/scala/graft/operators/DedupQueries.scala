@@ -166,5 +166,44 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26)
+  /** 64-bit SimHash near-dup pairs at hamming <= 3 via Manku multi-table
+    * permuted banding (B=6 blocks, C(6,3)=20 tables keyed on ~32-bit block
+    * combinations) — the scale-safe twin of q26's fixed-256-bucket scheme:
+    * same exact-recall guarantee, but bucket cardinality grows with the
+    * key width instead of saturating, so candidate pairs stay ~linear in
+    * corpus size at 100 TB. The oracle cross-joins fingerprints computed
+    * bit-for-bit the same way (two votes per md5 hex digit, bit 63 folded
+    * in as -2^63 to stay in signed BIGINT range).
+    */
+  private val q52 = Q(
+    "q52_simhash64_pairs",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .simhash64Pairs(T.documents, "doc_id", "text", maxHamming = 3, blocks = 6)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH words AS (SELECT doc_id, md5(unnest(regexp_split_to_array(lower(text), '\s+'))) AS h FROM documents),
+      bits AS (SELECT doc_id, j.j AS j,
+                      CASE WHEN (CASE WHEN j.j % 2 = 0
+                                      THEN substr(h, j.j // 2 + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                                      ELSE substr(h, j.j // 2 + 1, 1) IN ('4','5','6','7','c','d','e','f') END)
+                           THEN 1 ELSE -1 END AS b
+               FROM words, (SELECT unnest(range(0, 64)) AS j) j),
+      sums AS (SELECT doc_id, j, SUM(b) AS s FROM bits GROUP BY 1, 2),
+      sh AS (SELECT doc_id,
+                    COALESCE(SUM(CASE WHEN s > 0 THEN
+                      (CASE WHEN j = 0 THEN -9223372036854775808 ELSE (1::BIGINT << (63 - j)) END)
+                    ELSE 0 END), 0)::BIGINT AS fp
+             FROM sums GROUP BY 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY doc_a, doc_b
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52)
 }

@@ -82,6 +82,48 @@ class DedupSpec extends SparkSpec {
     assert(pairsA == pairsB)
   }
 
+  test("simhash64 banding recall is exact for (64 bits, 6 blocks, hamming<=3)") {
+    // seeded synthetic fingerprints: random base points plus engineered
+    // near-pairs at hamming 1,2,3 (must be found) and 4 (must be excluded)
+    val rnd = new scala.util.Random(20240811L)
+    val bases = (0 until 120).map(i => (i.toLong, rnd.nextLong()))
+    def flip(fp: Long, k: Int): Long = {
+      var out = fp
+      val picked = scala.collection.mutable.Set[Int]()
+      while (picked.size < k) picked += rnd.nextInt(64)
+      picked.foreach(b => out ^= 1L << b)
+      out
+    }
+    val derived = (0 until 40).map { i =>
+      val (_, fp) = bases(i % bases.size)
+      (1000L + i, flip(fp, i % 4 + 1)) // hamming 1..4 from its base
+    }
+    val fps = (bases ++ derived).toDF("doc_id", "fp")
+    val banded = Dedup.bandedFingerprintPairs(fps, maxHamming = 3, blocks = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over all pairs
+    val all = (bases ++ derived)
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the engineered near-pairs actually exercised recall
+    assert(brute.exists(_._3 == 3)) // includes the boundary distance
+  }
+
+  test("simhash64: 2 votes per hex digit agree with simhash32 on the shared bits") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val (h32, h64) = df.select(Dedup.simhash32($"text"), Dedup.simhash64($"text"))
+      .as[(Long, Long)].head()
+    // bit i of simhash32 (high bit of hex digit i) == bit 2i of simhash64
+    (0 until 32).foreach { i =>
+      val b32 = (h32 >> (31 - i)) & 1L
+      val b64 = (h64 >> (63 - 2 * i)) & 1L
+      assert(b32 == b64, s"digit $i: simhash32 bit $b32 != simhash64 even bit $b64")
+    }
+  }
+
   test("language id picks marker-matching language") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),
