@@ -73,6 +73,26 @@ object LakeDemo {
       .orderBy($"version")
       .show(truncate = false)
 
+    // The reference README's flagship SQL (README.md:125-136) through
+    // spark.sql — QUALIFY is DuckDB sugar Spark lacks, so it's spelled as
+    // the window+filter rewrite (same plan Scd.currentState/qualify build);
+    // the changed-rows LAG query runs verbatim.
+    println("== flagship SQL via spark.sql: current state + changed rows")
+    spark.sql(s"""
+      SELECT pid, owner, assessment_value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY scraped_at DESC) AS rn
+        FROM parquet.`$root/demoville/properties`
+      ) WHERE rn = 1 ORDER BY pid
+    """).show(3, truncate = false)
+    spark.sql(s"""
+      SELECT pid, row_hash, prev_hash FROM (
+          SELECT *,
+              LAG(row_hash) OVER (PARTITION BY uuid ORDER BY scraped_at) AS prev_hash
+          FROM parquet.`$root/demoville/properties`
+      )
+      WHERE prev_hash IS NOT NULL AND row_hash != prev_hash
+    """).show(truncate = false)
+
     println(s"== scopes: ${Lake.scopes(spark, root)}  checkpoint: ${Checkpoints.load(spark, root, "demoville")}")
 
     println("== streaming refresh (AvailableNow): staged batch -> hash-dedup append")

@@ -140,5 +140,37 @@ object SimilarityQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42)
+  /** IVF with every posting list probed (nProbe = k-means k): the index
+    * path — centroid assignment, posting lists, probe join, within-list
+    * ranking — must reproduce brute-force top-k EXACTLY, which makes the
+    * whole IVF pipeline oracle-checkable (the driver-run twin of IvfSpec's
+    * nProbe=k ≡ bruteForce property; q42 keeps the production nProbe=2
+    * shape). Oracle = plain exact cosine top-k: probing all lists is
+    * equivalent by construction, so KMeans' cluster geometry cancels out.
+    */
+  private val q53 = Q(
+    "q53_ann_ivf_exact",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val corpus = T.embeddings.select($"vec_id", $"embedding")
+      val (indexed, centroids) = Similarity.ivfIndex(corpus, k = 8)
+      val queries = corpus.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity
+        .ivfTopK(queries, indexed, centroids, nProbe = 8, k = 5)
+        .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      s AS (SELECT qid, vec_id, ${cosSql("qe", "embedding")} AS cos
+            FROM embeddings, q WHERE qid <> vec_id)
+      SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+        SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
+        FROM s
+      ) WHERE rank <= 5
+      ORDER BY qid, rank
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53)
 }

@@ -30,6 +30,17 @@ object Scd {
       .drop("__rn")
   }
 
+  /** DuckDB-QUALIFY sugar (README.md:127-128): filter rows by a window
+    * predicate without hand-managing the helper column —
+    * `Scd.qualify(df, row_number().over(w) === 1)` is the Spark spelling of
+    * `QUALIFY ROW_NUMBER() OVER (...) = 1`. Catalyst plans the window once;
+    * the helper column never outlives the filter.
+    */
+  def qualify(df: DataFrame, predicate: Column): DataFrame =
+    df.withColumn("__qualify", predicate)
+      .filter(col("__qualify"))
+      .drop("__qualify")
+
   /** W2 — change detection: previous content hash alongside each row. */
   def withPrevHash(df: DataFrame, key: Column, hash: Column, order: Column*): DataFrame = {
     val w = Window.partitionBy(key).orderBy(order: _*)

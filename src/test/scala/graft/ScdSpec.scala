@@ -23,6 +23,17 @@ class ScdSpec extends SparkSpec {
     assert(got == Map("u1" -> 200, "u2" -> 900))
   }
 
+  test("qualify filters by a window predicate (DuckDB QUALIFY sugar)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"uuid").orderBy($"t".desc)
+    val cur = Scd.qualify(lake, row_number().over(w) === 1)
+    assert(cur.columns.toSeq == lake.columns.toSeq) // helper column dropped
+    val got = cur.select($"uuid", $"value").as[(String, Int)].collect().toMap
+    assert(got == Map("u1" -> 200, "u2" -> 900))
+    // agrees with currentState on the same lake
+    assert(cur.collect().toSet == Scd.currentState(lake, $"uuid", $"t").collect().toSet)
+  }
+
   test("withVersions numbers only content changes (W2+W3)") {
     val v = Scd.withVersions(lake, $"uuid", $"row_hash", $"t")
     val got = v.select($"uuid", $"t", $"version").as[(String, Int, Int)].collect().toSet
