@@ -128,6 +128,56 @@ object Dedup {
       blocks
     )
 
+  /** Embedding-cosine near-duplicate pairs: sign-bit LSH banding for
+    * candidate generation + exact cosine verification at `threshold` —
+    * the dedup-shaped sibling of the ANN family ([[Similarity]]).
+    *
+    * Candidates: `planes.size / bands` hyperplane sign bits per band; two
+    * vectors collide in a band iff every one of its planes agrees, so
+    * candidate generation is a band-bucket equi-join (sub-quadratic — no
+    * all-pairs scan), and only candidates pay the exact cosine. Recall is
+    * approximate by construction (a qualifying pair agreeing in no band is
+    * missed); more/narrower bands raise recall at more candidate cost —
+    * the q28/q40 recall lever applied to dedup. Deterministic: fixed
+    * planes mean reruns (and the replayed-plane oracle) see identical
+    * buckets.
+    */
+  def embedNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      planes: Seq[Array[Double]],
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(planes.size % bands == 0, s"planes ${planes.size} not divisible by bands $bands")
+    val perBand = planes.size / bands
+    val emb = col("emb")
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until perBand)
+        .map { j =>
+          val p = planes(b * perBand + j)
+          when(Similarity.dot(emb, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val keyed = df
+      .select(col(idCol).as("doc_id"), col(embCol).as("emb"), explode(array(bandCols: _*)).as("bk"))
+    keyed
+      .as("a")
+      .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.emb").as("ea"),
+        col("b.emb").as("eb")
+      )
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), Similarity.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** The banding join itself, over a (doc_id, fp) frame — separated so specs
     * can drive it with synthetic fingerprints and prove recall is exact.
     */

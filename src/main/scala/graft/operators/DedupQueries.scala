@@ -205,5 +205,59 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52)
+  /** Embedding-cosine near-dup pairs (the vector-space member of the dedup
+    * family): the corpus is unioned with an id-shifted, slightly-perturbed
+    * copy of itself (first component +0.05 — q22's planted-duplicate pattern
+    * in vector space), and the operator must find exactly the planted pairs:
+    * sign-bit LSH bands (16 planes, 4 bands of 4 bits) generate candidates
+    * in a bucket equi-join; only candidates pay the exact cosine, verified
+    * at 0.9 (organic pairs top out at ~0.6 in this corpus, so the planted
+    * pairs are cleanly separable). The oracle replays the identical planes
+    * as SQL literals, so both engines see the same buckets, candidates and
+    * cosines.
+    */
+  private val q54 = {
+    val planes = Similarity.hyperplanes(16, 64)
+    val planeValues = planes.zipWithIndex
+      .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    Q(
+      "q54_embed_neardup",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val base = T.embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        val near = base.select(
+          ($"vec_id" + 1000000).as("vec_id"),
+          transform($"emb", (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("emb")
+        )
+        Dedup
+          .embedNearDupPairs(base.unionByName(near), "vec_id", "emb", planes, bands = 4, threshold = 0.9)
+          .select($"doc_a", $"doc_b", round($"cos", 4).as("cos"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH base AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb FROM embeddings),
+        near AS (SELECT vec_id + 1000000 AS vec_id,
+                        [CASE WHEN i = 1 THEN emb[i] + 0.05 ELSE emb[i] END for i in range(1, 65)] AS emb
+                 FROM base),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM near),
+        pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
+        sk AS (SELECT vec_id, h // 4 AS band,
+                      SUM(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, 65)]) > 0
+                               THEN (1::BIGINT << (h % 4)) ELSE 0 END) AS bucket
+               FROM u, pl GROUP BY 1, 2),
+        eb AS (SELECT u.vec_id, u.emb, sk.band, sk.bucket FROM u JOIN sk USING (vec_id)),
+        cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                 FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        sc AS (SELECT doc_a, doc_b,
+                      (list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)])) /
+                      (sqrt(list_sum([x.emb[i] * x.emb[i] for i in range(1, 65)])) *
+                       sqrt(list_sum([y.emb[i] * y.emb[i] for i in range(1, 65)]))) AS cos
+               FROM cand JOIN u x ON cand.doc_a = x.vec_id JOIN u y ON cand.doc_b = y.vec_id)
+        SELECT doc_a, doc_b, ROUND(cos, 4) AS cos FROM sc WHERE cos >= 0.9 ORDER BY doc_a, doc_b
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54)
 }

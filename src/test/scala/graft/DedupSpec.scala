@@ -124,6 +124,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup: planted near-copy found at 0.9, orthogonal pair excluded") {
+    val planes = graft.operators.Similarity.hyperplanes(16, 4)
+    val e1 = Seq(1.0, 2.0, 3.0, 4.0)
+    val near = Seq(1.05, 2.0, 3.0, 4.0) // tiny perturbation -> cos ~ 1
+    val ortho = Seq(-4.0, 3.0, -2.0, 1.0)
+    val df = Seq((1L, e1), (2L, near), (3L, ortho)).toDF("doc_id", "emb")
+    val got = Dedup.embedNearDupPairs(df, "doc_id", "emb", planes, bands = 4, threshold = 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("language id picks marker-matching language") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),
