@@ -95,6 +95,63 @@ object HashSupport {
     out
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * local algorithms for document fingerprinting", SIGMOD 2003): k-gram
+    * Rabin-Karp rolling hashes over the code points of `text`, then the
+    * minimum of each w-hash sliding window (monotonic-deque, O(n) total —
+    * not O(n·w)), distinct and sorted. Guarantee: any shared substring of
+    * length >= w + k - 1 between two documents yields at least one shared
+    * fingerprint. Arithmetic is term-wise `(cp · B^j mod M)` summed mod M
+    * so the SQL oracle can replay it exactly in BIGINTs.
+    */
+  def winnowing(text: String, k: Int, w: Int): Array[Long] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    val M = P
+    val B = 257L
+    // B^(k-1), B^(k-2), ..., 1 (mod M)
+    val pw = new Array[Long](k)
+    pw(k - 1) = 1L
+    var j = k - 2
+    while (j >= 0) { pw(j) = pw(j + 1) * B % M; j -= 1 }
+    val nh = n - k + 1
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      var acc = 0L
+      var t = 0
+      while (t < k) { acc += cps(i + t) * pw(t) % M; t += 1 }
+      hs(i) = acc % M
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nh <= w) {
+      var min = hs(0)
+      var x = 1
+      while (x < nh) { if (hs(x) < min) min = hs(x); x += 1 }
+      selected.add(min)
+    } else {
+      // sliding-window minimum via monotonic deque of indices
+      val deque = new Array[Int](nh)
+      var head = 0
+      var tail = 0 // [head, tail)
+      var s = 0
+      while (s < nh) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(s)) tail -= 1
+        deque(tail) = s; tail += 1
+        if (deque(head) <= s - w) head += 1
+        if (s >= w - 1) selected.add(hs(deque(head)))
+        s += 1
+      }
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   /** 64-bit SimHash — the scale form of [[simhash32]] (twice the bits →
     * vastly fewer random collisions at corpus scale). Two votes per md5 hex
     * digit: bit 2i from the nibble's 8-bit, bit 2i+1 from its 4-bit, packed
@@ -513,6 +570,31 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<long> winnowing-fingerprint expression (codegen-enabled): distinct
+  * sorted sliding-window minima of k-gram rolling hashes.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      HashSupport.winnowing(input.asInstanceOf[UTF8String].toString, k, w)
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+           |  graft.functions.HashSupport.winnowing($c.toString(), $k, $w));""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprints =
+    copy(child = newChild)
+}
+
 /** long SimHash64 expression (codegen-enabled). */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -546,6 +628,9 @@ object HashExprs {
 
   def simhash64(text: Column): Column =
     ColumnShim.column(SimHash64Expr(ColumnShim.expression(text)))
+
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowingFingerprints(ColumnShim.expression(text), k, w))
 
   def wordNGrams(text: Column, n: Int): Column =
     ColumnShim.column(WordNGrams(ColumnShim.expression(text), n))

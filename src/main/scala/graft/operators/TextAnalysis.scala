@@ -90,4 +90,16 @@ object TextAnalysis {
     */
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Rolling-hash winnowing fingerprints (Schleimer-Wilkerson-Aiken,
+    * SIGMOD 2003) over the whitespace-normalized document: k-gram
+    * Rabin-Karp hashes, then the distinct sliding-window minima (window w).
+    * Any two documents sharing a substring of length >= w + k - 1 share a
+    * fingerprint — the MOSS-style partial-overlap detector, complementing
+    * [[fingerprint]]'s whole-document equality. O(n) per row (monotonic
+    * deque inside a codegen expression), no shuffle.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
+    graft.functions.HashExprs.winnowingFingerprints(
+      trim(regexp_replace(lower(text), "\\s+", " ")), k, w)
 }

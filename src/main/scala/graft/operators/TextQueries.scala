@@ -185,5 +185,39 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41)
+  /** Rolling-hash winnowing fingerprints exploded to (doc_id, fp) rows —
+    * the partial-overlap detector of the fingerprint family (q32 is
+    * whole-document equality). The oracle replays the identical Rabin-Karp
+    * arithmetic (term-wise mod, B=257, M=2^31-1, k=5, w=8) over the same
+    * normalized code points; both sides emit distinct window minima.
+    */
+  private val q55 = {
+    val k = 5; val w = 8; val M = 2147483647L; val B = 257L
+    // B^(k-1) ... B^0 mod M, same as HashSupport.winnowing's table
+    val pw = Array.iterate(1L, k)(_ * B % M).reverse
+    val pwLit = pw.mkString("[", ", ", "]")
+    Q(
+      "q55_winnowing",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        T.documents
+          .select($"doc_id", explode(TextAnalysis.winnowingFingerprints($"text", k, w)).as("fp"))
+          .orderBy($"doc_id", $"fp")
+      },
+      Some(s"""
+        WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+        cs AS (SELECT doc_id, [ord(substr(t, i, 1))::BIGINT for i in range(1, len(t)+1)] AS c FROM norm),
+        hs AS (SELECT doc_id, [list_sum([(c[i+j-1] * $pwLit[j]) % $M for j in range(1, $k+1)]) % $M
+                               for i in range(1, len(c)-$k+2)] AS hs
+               FROM cs WHERE len(c) >= $k),
+        sel AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+                       ELSE [list_min(hs[s:s+${w - 1}]) for s in range(1, len(hs)-$w+2)] END)) AS fp
+                FROM hs)
+        SELECT doc_id, fp::BIGINT AS fp FROM sel ORDER BY doc_id, fp
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55)
 }

@@ -135,6 +135,42 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("winnowing: shared substring >= w+k-1 chars -> shared fingerprint; deque == naive minima") {
+    import graft.functions.HashSupport
+    // naive O(n·w) reference for the deque implementation
+    def naive(text: String, k: Int = 5, w: Int = 8): Seq[Long] = {
+      val M = 2147483647L; val B = 257L
+      val pw = Array.iterate(1L, k)(_ * B % M).reverse
+      val cps = text.codePoints().toArray
+      if (cps.length < k) return Nil
+      val hs = (0 to cps.length - k).map(i => (0 until k).map(j => cps(i + j) * pw(j) % M).sum % M)
+      val sel = if (hs.size <= w) Set(hs.min) else hs.sliding(w).map(_.min).toSet
+      sel.toSeq.sorted
+    }
+    val cases = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "tiny", // < k chars -> empty
+      "exactly", // nh <= w branch
+      "aaaaaaaaaaaaaaaaaaaaaaa", // constant hashes (tie-heavy)
+      "abababababababababababababab" // periodic
+    )
+    cases.foreach { t =>
+      assert(HashSupport.winnowing(t, 5, 8).toSeq == naive(t), s"mismatch for: $t")
+    }
+    // the winnowing guarantee through the column surface
+    val shared = "the identical shared passage appears in both documents verbatim"
+    val df = Seq(
+      (1L, s"unique prefix alpha then $shared and an alpha tail"),
+      (2L, s"totally different beginning $shared with closing words"),
+      (3L, "nothing in common with the others at all here")
+    ).toDF("doc_id", "text")
+    val fps = df
+      .select($"doc_id", graft.operators.TextAnalysis.winnowingFingerprints($"text").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty) // shared passage detected
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty) // unrelated docs disjoint
+  }
+
   test("language id picks marker-matching language") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),
