@@ -178,6 +178,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** MOSS-style near-dup pairs by shared winnowing fingerprints
+    * ([[TextAnalysis.winnowingFingerprints]]): inverted fingerprint index →
+    * pair counts → `shared >= minShared`.
+    *
+    * Scale shape: winnowing selects ~2/(w+1) of the k-gram hashes, so the
+    * inverted index is ~(w+1)/2× smaller than a full gram index before any
+    * filtering, and boilerplate fingerprints (shared by > maxDfFrac of the
+    * corpus — the hot keys that make posting-list self-joins quadratic) are
+    * dropped up front, exactly the stop-gram control PPJoin achieves with
+    * prefixes. Join output is then bounded by cap·|postings|, not count².
+    */
+  def winnowingOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      maxDfFrac: Double = 0.05,
+      minShared: Int = 5
+  ): DataFrame = {
+    val nDocs = df.count()
+    val fps = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp")
+    )
+    // document frequency per fingerprint via ONE count window over fp (the
+    // PPJoin trick: no aggregate+join-back double exchange)
+    val dfw = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))
+    val kept = fps
+      .withColumn("__df", dfw)
+      .filter(col("__df") <= lit(nDocs * maxDfFrac))
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept
+      .as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** The banding join itself, over a (doc_id, fp) frame — separated so specs
     * can drive it with synthetic fingerprints and prove recall is exact.
     */

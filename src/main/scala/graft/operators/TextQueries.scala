@@ -219,5 +219,43 @@ object TextQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55)
+  /** MOSS-style near-dup pairs over the winnowing fingerprints: inverted
+    * fingerprint index with boilerplate fingerprints dropped (document
+    * frequency > 5% of the corpus — the hot-key control), pairs ranked by
+    * shared-fingerprint count. Finds the corpus's organic partial-overlap
+    * near-dups (not just planted full copies).
+    */
+  private val q56 = {
+    val k = 5; val w = 8; val M = 2147483647L; val B = 257L
+    val pw = Array.iterate(1L, k)(_ * B % M).reverse
+    val pwLit = pw.mkString("[", ", ", "]")
+    Q(
+      "q56_winnowing_overlap",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        Dedup
+          .winnowingOverlapPairs(T.documents, "doc_id", "text", k, w, maxDfFrac = 0.05, minShared = 5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+        cs AS (SELECT doc_id, [ord(substr(t, i, 1))::BIGINT for i in range(1, len(t)+1)] AS c FROM norm),
+        hs AS (SELECT doc_id, [list_sum([(c[i+j-1] * $pwLit[j]) % $M for j in range(1, $k+1)]) % $M
+                               for i in range(1, len(c)-$k+2)] AS hs
+               FROM cs WHERE len(c) >= $k),
+        sel AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+                       ELSE [list_min(hs[s:s+${w - 1}]) for s in range(1, len(hs)-$w+2)] END)) AS fp
+                FROM hs),
+        keep AS (SELECT fp FROM sel GROUP BY fp
+                 HAVING count(*) <= (SELECT count(*) FROM documents) * 0.05),
+        f AS (SELECT doc_id, fp FROM sel JOIN keep USING (fp)),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared FROM p WHERE shared >= 5 ORDER BY doc_a, doc_b
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56)
 }
