@@ -153,17 +153,21 @@ object Dedup {
     require(planes.size % bands == 0, s"planes ${planes.size} not divisible by bands $bands")
     val perBand = planes.size / bands
     val emb = col("emb")
+    // one native lshBucket expression per band (single pass over the vector
+    // per band); per-doc norm computed ONCE here, not per candidate pair
     val bandCols = (0 until bands).map { b =>
-      val bucket = (0 until perBand)
-        .map { j =>
-          val p = planes(b * perBand + j)
-          when(Similarity.dot(emb, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
-        }
-        .reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
+      struct(
+        lit(b).as("band"),
+        Similarity.lshBucket(emb, planes.slice(b * perBand, (b + 1) * perBand)).as("bucket")
+      )
     }
     val keyed = df
-      .select(col(idCol).as("doc_id"), col(embCol).as("emb"), explode(array(bandCols: _*)).as("bk"))
+      .select(
+        col(idCol).as("doc_id"),
+        col(embCol).as("emb"),
+        Similarity.norm(col(embCol)).as("nrm"),
+        explode(array(bandCols: _*)).as("bk")
+      )
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -171,10 +175,16 @@ object Dedup {
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         col("a.emb").as("ea"),
-        col("b.emb").as("eb")
+        col("b.emb").as("eb"),
+        col("a.nrm").as("na"),
+        col("b.nrm").as("nb")
       )
       .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"), Similarity.cosine(col("ea"), col("eb")).as("cos"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos")
+      )
       .filter(col("cos") >= threshold)
   }
 

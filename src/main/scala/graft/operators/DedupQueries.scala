@@ -209,15 +209,17 @@ object DedupQueries {
     * family): the corpus is unioned with an id-shifted, slightly-perturbed
     * copy of itself (first component +0.05 — q22's planted-duplicate pattern
     * in vector space), and the operator must find exactly the planted pairs:
-    * sign-bit LSH bands (16 planes, 4 bands of 4 bits) generate candidates
-    * in a bucket equi-join; only candidates pay the exact cosine, verified
+    * sign-bit LSH bands (32 planes, 4 bands of 8 bits — 256 buckets per
+    * band keeps bucket occupancy, and so candidate pairs, sub-quadratic)
+    * generate candidates in a bucket equi-join; only candidates pay the
+    * exact cosine (with per-doc norms precomputed once), verified
     * at 0.9 (organic pairs top out at ~0.6 in this corpus, so the planted
     * pairs are cleanly separable). The oracle replays the identical planes
     * as SQL literals, so both engines see the same buckets, candidates and
     * cosines.
     */
   private val q54 = {
-    val planes = Similarity.hyperplanes(16, 64)
+    val planes = Similarity.hyperplanes(32, 64)
     val planeValues = planes.zipWithIndex
       .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
       .mkString(", ")
@@ -242,9 +244,9 @@ object DedupQueries {
                  FROM base),
         u AS (SELECT * FROM base UNION ALL SELECT * FROM near),
         pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
-        sk AS (SELECT vec_id, h // 4 AS band,
+        sk AS (SELECT vec_id, h // 8 AS band,
                       SUM(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, 65)]) > 0
-                               THEN (1::BIGINT << (h % 4)) ELSE 0 END) AS bucket
+                               THEN (1::BIGINT << (h % 8)) ELSE 0 END) AS bucket
                FROM u, pl GROUP BY 1, 2),
         eb AS (SELECT u.vec_id, u.emb, sk.band, sk.bucket FROM u JOIN sk USING (vec_id)),
         cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) joins at scale.
+  *
+  * Spark plans a plain non-equi predicate (`p.ts BETWEEN i.start AND i.end`)
+  * as BroadcastNestedLoopJoin — O(points × intervals), a scale-killer the
+  * moment the interval side outgrows a broadcast. The standard fix is
+  * bucketization: quantize time into fixed-width buckets, explode each
+  * interval onto the buckets it covers, map each point to its single
+  * bucket, equi-join on the bucket and re-check the exact predicate. Cost
+  * becomes O(points + Σ interval-bucket copies + candidate matches),
+  * shuffled on the bucket key like any equi-join — AQE/skew handling and
+  * all.
+  */
+object RangeJoin {
+
+  /** Join `points` (numeric `pointCol`, e.g. unix micros) to `intervals`
+    * rows whose `[startCol, endCol]` (inclusive both ends) contain the
+    * point, via `bucketWidth`-wide buckets.
+    *
+    * Pick `bucketWidth` near the p95 interval length: an interval explodes
+    * to `(end-start)/width + 1..2` bucket copies, so much-longer-than-width
+    * intervals multiply the interval side, and a much-wider width inflates
+    * candidate pairs per bucket. Columns must be non-negative (integer DIV
+    * truncation = floor there); the two inputs must not share column names.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty, s"point/interval column collision: ${dup.mkString(", ")}")
+    val pts = points.withColumn("__bucket", expr(s"`$pointCol` DIV $bucketWidth"))
+    val ivs = intervals.withColumn(
+      "__bucket",
+      explode(sequence(expr(s"`$startCol` DIV $bucketWidth"), expr(s"`$endCol` DIV $bucketWidth")))
+    )
+    pts
+      .join(ivs, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -300,5 +300,75 @@ object WindowQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45)
+  /** Time-RANGE window frame: per event, activity in the trailing hour —
+    * `RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW` over unix-micro
+    * ordering (Spark's rangeBetween needs a numeric ordering column; both
+    * engines use identical RANGE-with-ties semantics: every row whose `us`
+    * falls in the window counts, tied timestamps included). Completes the
+    * window-frame family: q15 is the ROWS frame, this is the RANGE frame.
+    */
+  private val q57 = Q(
+    "q57_range_frame",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"us")
+        .rangeBetween(-3600L * 1000000, Window.currentRow)
+      T.events
+        .filter($"user_id" < 20)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("sum_last_hour_ids", sum($"event_id").over(w))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, us,
+             COUNT(*) OVER w AS n_last_hour,
+             CAST(SUM(event_id) OVER w AS BIGINT) AS sum_last_hour_ids
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE user_id < 20)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id
+    """.trim)
+  )
+
+  /** Range join (interval containment) via [[RangeJoin.pointInInterval]]:
+    * per-user weekly activity spans [first event, last event] joined against
+    * ALL users' events falling inside each span — arbitrary overlapping
+    * intervals, resolved by a bucketized equi-join (bucket = the week, so an
+    * interval covers at most 2 buckets) instead of the nested-loop plan a
+    * raw BETWEEN join would get. The oracle runs the naive BETWEEN join —
+    * identical results, different plan.
+    */
+  private val q58 = {
+    val week = 604800000000L // µs
+    Q(
+      "q58_range_join",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val base = T.events
+          .filter($"user_id" < 10)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        val intervals = base
+          .groupBy($"user_id".as("iv_user"), expr(s"us DIV $week").as("wk"))
+          .agg(min($"us").as("start_us"), max($"us").as("end_us"))
+        RangeJoin
+          .pointInInterval(base, "us", intervals, "start_us", "end_us", bucketWidth = week)
+          .groupBy($"iv_user", $"wk")
+          .agg(count(lit(1)).as("n_in_span"))
+          .orderBy($"iv_user", $"wk")
+      },
+      Some(s"""
+        WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE user_id < 10),
+        iv AS (SELECT user_id AS iv_user, us // $week AS wk,
+                      min(us) AS start_us, max(us) AS end_us
+               FROM base GROUP BY 1, 2)
+        SELECT iv_user, wk, count(*) AS n_in_span
+        FROM iv JOIN base ON base.us BETWEEN iv.start_us AND iv.end_us
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45, q57, q58)
 }

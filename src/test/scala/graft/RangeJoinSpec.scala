@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** Bucketized interval join ≡ the naive non-equi join, including bucket-
+  * boundary edges (point on a bucket edge, interval spanning buckets,
+  * inclusive endpoints, empty matches).
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInInterval equals naive BETWEEN join across bucket boundaries") {
+    val points = Seq(
+      (1L, 0L), (2L, 9L), (3L, 10L), (4L, 15L), (5L, 19L), (6L, 20L), (7L, 35L), (8L, 99L)
+    ).toDF("pid", "t")
+    val intervals = Seq(
+      (100L, 0L, 9L),   // exactly one bucket (width 10)
+      (200L, 5L, 25L),  // spans 3 buckets
+      (300L, 10L, 10L), // degenerate single-point on a bucket edge
+      (400L, 36L, 40L), // matches nothing
+      (500L, 18L, 21L)  // crosses one boundary
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoin
+      .pointInInterval(points, "t", intervals, "lo", "hi", bucketWidth = 10L)
+      .select($"pid", $"iid")
+      .as[(Long, Long)].collect().toSet
+    val naive = points
+      .join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"pid", $"iid")
+      .as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(naive.contains((1L, 100L)) && naive.contains((3L, 300L)) && naive.contains((6L, 500L)))
+    assert(!naive.exists(_._2 == 400L))
+  }
+
+  test("column collision between sides is rejected") {
+    val p = Seq((1L, 2L)).toDF("t", "x")
+    val iv = Seq((1L, 2L, 3L)).toDF("lo", "hi", "x")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, "t", iv, "lo", "hi", 10L)
+    }
+  }
+}
