@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample(fraction)` is NOT reproducible at scale: the draw depends on
+  * partition layout, so re-reading the same lake after a compaction (or on a
+  * cluster with different parallelism) yields a different sample. Every
+  * sampler here instead hashes a stable row key, so the same row is in or
+  * out of the sample forever — across runs, engines and repartitionings —
+  * which is what a training corpus needs (held-out splits must not leak
+  * between pipeline re-runs).
+  *
+  * The hash is the repo's portable 60-bit md5 prefix, so an external system
+  * (or the DuckDB oracle) can reproduce the exact membership decision.
+  */
+object Sampling {
+
+  /** Portable 60-bit hash of a key — same value as DuckDB's
+    * `('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT`.
+    */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keeps rows whose key hashes into the
+    * accept band (`numerator/denominator` of the hash space). A pure map —
+    * no shuffle, filter runs pre-shuffle at the scan, and the expected
+    * sample is uniform under md5's mixing. Use disjoint bands (e.g. `% 100
+    * < 5` vs `>= 95`) to carve non-overlapping train/validation splits.
+    */
+  def bernoulli(df: DataFrame, key: Column, numerator: Int, denominator: Int): DataFrame = {
+    require(denominator > 0 && numerator >= 0 && numerator <= denominator, "need 0 <= num <= den")
+    df.filter(hash60(key) % denominator < numerator)
+  }
+
+  /** Deterministic stratified fixed-size sample: exactly `n` rows per
+    * stratum (fewer if the stratum is smaller), chosen by smallest key hash
+    * — a uniform draw without replacement — tie-broken by the key itself.
+    *
+    * One hash shuffle on the strata columns. Each stratum sorts within one
+    * task, so this exact form wants strata of executor-memory size; for a
+    * huge stratum, pre-thin with [[bernoulli]] at a few × n/|stratum| first
+    * (membership stays deterministic — the pre-filter only removes rows the
+    * top-n would never pick, provided the band is generous enough to keep
+    * ≥ n survivors) and apply the same top-n to the survivors.
+    */
+  def stratified(df: DataFrame, strata: Seq[Column], key: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(strata: _*).orderBy(hash60(key).asc, key.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+}

@@ -370,5 +370,39 @@ object WindowQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45, q57, q58)
+  /** As-of JOIN between two event streams (the two-table generalization of
+    * q43's single-table time travel): each 'view' event picks up the same
+    * user's most recent 'purchase' at-or-before it via [[AsOfJoin.backward]]
+    * — one hash shuffle on the key, no nested-loop join, NULLs where no
+    * purchase precedes. The oracle computes identical semantics as a
+    * rank-filtered inequality join (fine for DuckDB at oracle scale; the
+    * Spark plan is the one that survives 100 TB).
+    */
+  private val q59 = Q(
+    "q59_asof_join",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val base = T.events.select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type", $"value")
+      val l = base.filter($"event_type" === "view").select($"user_id", $"event_id", $"us")
+      val r = base
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_event_id"), $"us".as("p_us"), $"value".as("p_value"))
+      AsOfJoin
+        .backward(l, r, Seq("user_id"), "us", "p_us", "p_event_id")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+           r AS (SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS p_us, value AS p_value
+                 FROM events WHERE event_type = 'purchase'),
+           j AS (SELECT l.event_id, r.p_event_id, r.p_us, r.p_value,
+                        row_number() OVER (PARTITION BY l.event_id ORDER BY r.p_us DESC, r.p_event_id DESC) AS rn
+                 FROM l JOIN r ON l.user_id = r.user_id AND r.p_us <= l.us)
+      SELECT l.user_id, l.event_id, l.us, j.p_event_id, j.p_us, j.p_value
+      FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+      ORDER BY l.user_id, l.event_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45, q57, q58, q59)
 }

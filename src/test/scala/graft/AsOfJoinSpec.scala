@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: probe events per user; right: reference quotes per user
+  private def left = Seq(
+    (1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"),
+    (2L, 100L, "d"),
+    (3L, 100L, "e")
+  ).toDF("user_id", "ts", "tag")
+
+  private def right = Seq(
+    (1L, 90L, 10L, 1.0), (1L, 100L, 11L, 2.0), (1L, 150L, 12L, 3.0),
+    (2L, 300L, 20L, 4.0)
+  ).toDF("user_id", "q_ts", "q_id", "q_val")
+
+  test("backward picks most recent right row at-or-before each left row") {
+    val out = AsOfJoin
+      .backward(left, right, Seq("user_id"), "ts", "q_ts", "q_id")
+      .orderBy($"user_id", $"ts")
+      .select($"user_id", $"ts", $"tag", $"q_id", $"q_val")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 50L, "c", -1L, -1.0),       // nothing at-or-before 50
+      (1L, 100L, "a", 11L, 2.0),       // inclusive: q_ts == ts matches
+      (1L, 200L, "b", 12L, 3.0),       // latest preceding
+      (2L, 100L, "d", -1L, -1.0),      // right row is in the future
+      (3L, 100L, "e", -1L, -1.0)       // key absent on right side
+    ))
+  }
+
+  test("ties among equal right timestamps resolve to the greatest tiebreak") {
+    val dupRight = Seq((1L, 100L, 5L, 1.0), (1L, 100L, 9L, 2.0)).toDF("user_id", "q_ts", "q_id", "q_val")
+    val probe = Seq((1L, 100L, "x")).toDF("user_id", "ts", "tag")
+    val out = AsOfJoin.backward(probe, dupRight, Seq("user_id"), "ts", "q_ts", "q_id").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("q_id") == 9L)
+  }
+
+  test("matches the rank-filtered inequality-join formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(300)(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "ts", "lid")
+    val r = Seq.tabulate(300)(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble())).toDF("k", "r_ts", "rid", "v")
+    val fast = AsOfJoin.backward(l, r, Seq("k"), "ts", "r_ts", "rid")
+      .select($"k", $"ts", $"lid", $"rid")
+    // naive: inequality join + top-1 per left row (BroadcastNestedLoopJoin — fine at test scale)
+    val joined = l.join(r, l("k") === r("k") && r("r_ts") <= l("ts"), "left")
+      .select(l("k"), $"ts", $"lid", $"r_ts", $"rid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"r_ts".desc_nulls_last, $"rid".desc_nulls_last)
+    val naive = joined.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"k", $"ts", $"lid", $"rid")
+    val a = fast.orderBy($"lid").collect().toSeq
+    val b = naive.orderBy($"lid").collect().toSeq
+    assert(a == b)
+  }
+
+  test("plan has no nested-loop join — single hash shuffle + window") {
+    val plan = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "q_ts", "q_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
