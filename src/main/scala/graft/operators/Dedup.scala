@@ -378,4 +378,27 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Collapse similarity pairs into duplicate clusters: (doc_id, cluster)
+    * for every doc touched by a pair, cluster = smallest member id. The
+    * transitive-closure step every pair generator above feeds into —
+    * see [[Graph.connectedComponents]] for the scale argument.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    Graph
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster")
+
+  /** Keep-one-per-cluster corpus dedup: drop every doc that belongs to a
+    * near-dup cluster and is not its smallest member. Docs untouched by any
+    * pair survive unchanged (left_anti join against the non-survivor set —
+    * no full-corpus shuffle, the tiny cluster assignment broadcasts).
+    */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -85,39 +85,42 @@ object DedupQueries {
     """.trim)
   )
 
-  /** MinHash+LSH candidate pairs: 5-char shingles → 12 minhashes (native
-    * single-pass expression: one md5 per shingle + integer hash family) →
-    * 4 bands of 3 → docs sharing any band bucket. The band-bucket equi-join
-    * is what makes this sub-quadratic at scale.
+  /** q25/q62/q63 shared oracle SQL: the MinHash band-bucket candidate pairs
+    * as a CTE chain ending in `pairs(doc_a, doc_b)`.
     */
-  private val q25 = {
+  private val minhashPairsCte: String = {
     val (sa, sb) = graft.functions.HashExprs.seeds(12)
     val sigList = sa
       .zip(sb)
       .map { case (a, b) => s"list_min([(h*$a + $b) % 2147483647 for h in hs])" }
       .mkString("[", ", ", "]")
-    Q(
-      "q25_minhash_lsh",
-      (s, dir) => {
-        val T = Tables(s, dir); import s.implicits._
-        Dedup
-          .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
-          .orderBy($"doc_a", $"doc_b")
-      },
-      Some(s"""
-        WITH sh AS (SELECT doc_id,
-                           [('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT % 2147483647
-                            for i in range(1, greatest(len(text)-3, 2))] AS hs
-                    FROM documents),
-        sig AS (SELECT doc_id, $sigList AS sig FROM sh),
-        bands AS (SELECT doc_id, b.b AS band, array_to_string(sig[b.b*3+1:b.b*3+3], ',') AS bucket
-                  FROM sig, (SELECT unnest(range(0,4)) AS b) b)
-        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-        ORDER BY doc_a, doc_b
-      """.trim)
-    )
+    s"""sh AS (SELECT doc_id,
+       |           [('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT % 2147483647
+       |            for i in range(1, greatest(len(text)-3, 2))] AS hs
+       |    FROM documents),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+       |bands AS (SELECT doc_id, b.b AS band, array_to_string(sig[b.b*3+1:b.b*3+3], ',') AS bucket
+       |          FROM sig, (SELECT unnest(range(0,4)) AS b) b),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |          FROM bands a JOIN bands b2
+       |          ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id)""".stripMargin
   }
+
+  /** MinHash+LSH candidate pairs: 5-char shingles → 12 minhashes (native
+    * single-pass expression: one md5 per shingle + integer hash family) →
+    * 4 bands of 3 → docs sharing any band bucket. The band-bucket equi-join
+    * is what makes this sub-quadratic at scale.
+    */
+  private val q25 = Q(
+    "q25_minhash_lsh",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"WITH $minhashPairsCte SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b")
+  )
 
   /** SimHash near-dup pairs with hamming <= 3, computed with a byte-band
     * join: 4 bands of 8 bits; hamming <= 3 pigeonholes at least one band to
@@ -261,5 +264,66 @@ object DedupQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54)
+  /** q62/q63 shared oracle SQL: min-label transitive closure over the
+    * MinHash pairs as a recursive CTE — `reach(id, comp)` holds every
+    * (node, candidate-label) pair, and MIN(comp) per id is the component.
+    * The `r.comp < e.b` guard prunes labels that can never be a minimum;
+    * the true component min always survives it (min < every other member).
+    */
+  private val reachCte: String =
+    s"""$minhashPairsCte,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id WHERE r.comp < e.b
+       |)""".stripMargin
+
+  /** Near-dup clusters: connected components over the q25 candidate pairs —
+    * every doc touched by a pair labeled with its cluster's smallest id.
+    * Spark side runs alternating small-star/large-star rounds
+    * ([[Graph.connectedComponents]]); the oracle computes the same fixpoint
+    * as a recursive min-label closure (fine at oracle scale; quadratic in
+    * cluster size, which is exactly why the Spark side doesn't do it).
+    */
+  private val q62 = Q(
+    "q62_neardup_clusters",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val pairs = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      Dedup.nearDupClusters(pairs).orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $reachCte
+      SELECT id AS doc_id, MIN(comp) AS cluster FROM reach GROUP BY id ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Keep-one-per-cluster dedup of the corpus: survivors after dropping
+    * every non-minimal member of each near-dup cluster (pairs → components →
+    * left_anti). The end-to-end "deduplicate my corpus" operation.
+    */
+  private val q63 = Q(
+    "q63_neardup_dropped",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val pairs = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      Dedup
+        .dropNearDups(T.documents, "doc_id", pairs)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $reachCte
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (
+        SELECT id FROM (SELECT id, MIN(comp) AS c FROM reach GROUP BY id) WHERE c < id
+      )
+      ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63)
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the collapse step of near-dedup.
+  *
+  * The pair generators ([[Dedup.minhashCandidatePairs]], simhash/winnowing
+  * pairs, [[Dedup.embedNearDupPairs]]) emit similarity EDGES; an actual
+  * deduplicated corpus needs the transitive closure: duplicate CLUSTERS and
+  * one survivor per cluster. Transitivity matters — A~B and B~C puts A and C
+  * in one cluster even when the A–C pair was never emitted.
+  *
+  * Algorithm: alternating small-star / large-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+  * Beyond", SoCC 2014). Each round is expressed as a per-node min +
+  * re-attach — implemented here as groupBy + self-join on the SAME key (one
+  * hash shuffle, and Catalyst reuses the exchange for both sides), never as
+  * a per-node neighbor list, so a node of any degree (the hot cluster at
+  * 100 TB) stays within normal shuffle machinery instead of one task's
+  * memory. Converges in O(log n) alternating rounds on real graphs; each
+  * round's output is localCheckpoint'ed to truncate the iterative lineage
+  * (without it the plan doubles per round and planning time explodes).
+  *
+  * Driver involvement is iteration CONTROL only (a count+checksum action per
+  * round to detect the fixpoint) — never edge data.
+  */
+object Graph {
+
+  /** Edges (a, b) after one large-star round: every neighbor v > u of any
+    * node u is re-attached to m = min(N(u) ∪ u).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a"), least(col("mb"), col("a")).as("m"))
+    sym.join(mins, "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Edges after one small-star round: orient each edge high→low, re-attach
+    * every low neighbor (and the high node itself) to the minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val mins = oriented.groupBy("a").agg(min("b").as("m"))
+    oriented.join(mins, "a")
+      .select(col("b").as("v"), col("m"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionByName(mins.select(col("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges  DataFrame with two node-id columns (any integral type);
+    *               self-loops are ignored, direction is irrelevant
+    * @return (id, component) for every node appearing in `edges`, where
+    *         `component` is the smallest node id in the node's component.
+    *         Isolated nodes never appear in an edge list — union them in
+    *         with `component = id` at the call site if needed.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50
+  ): DataFrame = {
+    val spark: SparkSession = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .localCheckpoint(true)
+
+    // Fixpoint detection: an order-insensitive 64-bit checksum + count of the
+    // canonical (low, high) edge set. One aggregate action per round; cheap
+    // next to the round's own shuffles. (Probabilistically exact; a 64-bit
+    // collision on BOTH count and sum across one round is negligible.)
+    def sig(d: DataFrame): (Long, Long) = {
+      val r = d
+        .select(least($"a", $"b").as("l"), greatest($"a", $"b").as("h"))
+        .distinct()
+        .agg(count(lit(1)), sum(xxhash64($"l", $"h")))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = sig(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = sig(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // Post-fixpoint the edge set is a union of stars (v, min). A node can
+    // still carry >1 edge transiently-shaped inputs; min() collapses them.
+    val nodes = edges
+      .select(col(srcCol).cast("long").as("id"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("id")))
+      .distinct()
+    val star = e
+      .select(greatest($"a", $"b").as("id"), least($"a", $"b").as("c"))
+      .groupBy("id")
+      .agg(min($"c").as("c"))
+    nodes
+      .join(star, Seq("id"), "left")
+      .select($"id", coalesce($"c", $"id").as("component"))
+  }
+}

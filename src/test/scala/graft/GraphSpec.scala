@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph
+      .connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("chain collapses to one component labeled by its minimum") {
+    // 5-4, 4-3, 3-2, 2-1: transitivity must label all five with 1
+    val got = cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components, direction and self-loops are irrelevant") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (3L, 3L), (3L, 4L), (10L, 20L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 20L -> 10L))
+  }
+
+  test("matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // reference: plain union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = edges
+        .flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // component label = min node id among members present in edge list
+          val root = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).filter(m => find(m.toInt) == root).min
+        }).toMap
+      assert(cc(edges) == want, s"trial $trial")
+    }
+  }
+
+  test("star graph with a hot center stays join-based (high degree is fine)") {
+    val center = 0L
+    val edges = (1L to 500L).map(i => (center, i))
+    val got = cc(edges)
+    assert(got.size == 501 && got.values.forall(_ == 0L))
+  }
+
+  test("dropNearDups keeps exactly one survivor per cluster plus untouched docs") {
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "body")
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs).select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // clusters {2,5,9}->keep 2, {3,4}->keep 3; 1,6,7,8,10 untouched
+    assert(kept == Seq(1L, 2L, 3L, 6L, 7L, 8L, 10L))
+  }
+}
