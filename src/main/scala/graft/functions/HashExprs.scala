@@ -481,6 +481,71 @@ case class TextStats(child: Expression, stop: Seq[String], markerSets: Seq[Seq[S
     copy(child = newChild)
 }
 
+object RepStatsSupport {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Repetition statistics (the Gopher-style repetition quality signals) in
+    * one pass over the lowercase whitespace tokens: token count, the count
+    * of the most frequent token, bigram count, and the count of the most
+    * frequent bigram. Tokenization matches `split(lower(text), "\\s+")`
+    * exactly (limit -1: trailing empties kept), so the DuckDB oracle's
+    * regexp_split_to_array sees the same tokens.
+    *
+    * Per-row transient hash maps only — nothing escapes the row, so the
+    * expression stays a pure codegen'd map at any corpus size.
+    */
+  def stats(text: UTF8String): InternalRow = {
+    val toks = WS.split(text.toLowerCase.toString, -1)
+    val uni = new java.util.HashMap[String, Int](toks.length * 2)
+    var topUni = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = uni.merge(toks(i), 1, Integer.sum)
+      if (c > topUni) topUni = c
+      i += 1
+    }
+    val nBi = math.max(toks.length - 1, 0)
+    val bi = new java.util.HashMap[String, Int](nBi * 2)
+    var topBi = 0
+    i = 0
+    while (i < nBi) {
+      val c = bi.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+      if (c > topBi) topBi = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length, topUni, nBi, topBi))
+  }
+}
+
+/** struct<n:int, top_unigram:int, n_bigrams:int, top_bigram:int> repetition
+  * statistics in one token pass (codegen-enabled).
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("top_unigram", IntegerType, nullable = false),
+      StructField("n_bigrams", IntegerType, nullable = false),
+      StructField("top_bigram", IntegerType, nullable = false)
+    )
+  )
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepStatsSupport.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepStatsSupport.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 object NGramSupport {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
@@ -651,4 +716,7 @@ object HashExprs {
 
   def textStats(text: Column, stop: Seq[String], markerSets: Seq[Seq[String]]): Column =
     ColumnShim.column(TextStats(ColumnShim.expression(text), stop, markerSets))
+
+  def repStats(text: Column): Column =
+    ColumnShim.column(RepStats(ColumnShim.expression(text)))
 }

@@ -191,33 +191,36 @@ object TextQueries {
     * arithmetic (term-wise mod, B=257, M=2^31-1, k=5, w=8) over the same
     * normalized code points; both sides emit distinct window minima.
     */
-  private val q55 = {
+  /** q55/q56/q64 shared oracle SQL: the winnowing fingerprints of every
+    * document as a CTE chain ending in `sel(doc_id, fp)` (k=5, w=8 — the
+    * defaults of [[TextAnalysis.winnowingFingerprints]]).
+    */
+  private val winnowCte: String = {
     val k = 5; val w = 8; val M = 2147483647L; val B = 257L
     // B^(k-1) ... B^0 mod M, same as HashSupport.winnowing's table
     val pw = Array.iterate(1L, k)(_ * B % M).reverse
     val pwLit = pw.mkString("[", ", ", "]")
-    Q(
-      "q55_winnowing",
-      (s, dir) => {
-        val T = Tables(s, dir); import s.implicits._
-        T.documents
-          .select($"doc_id", explode(TextAnalysis.winnowingFingerprints($"text", k, w)).as("fp"))
-          .orderBy($"doc_id", $"fp")
-      },
-      Some(s"""
-        WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
-        cs AS (SELECT doc_id, [ord(substr(t, i, 1))::BIGINT for i in range(1, len(t)+1)] AS c FROM norm),
-        hs AS (SELECT doc_id, [list_sum([(c[i+j-1] * $pwLit[j]) % $M for j in range(1, $k+1)]) % $M
-                               for i in range(1, len(c)-$k+2)] AS hs
-               FROM cs WHERE len(c) >= $k),
-        sel AS (SELECT doc_id, unnest(list_distinct(
-                  CASE WHEN len(hs) <= $w THEN [list_min(hs)]
-                       ELSE [list_min(hs[s:s+${w - 1}]) for s in range(1, len(hs)-$w+2)] END)) AS fp
-                FROM hs)
-        SELECT doc_id, fp::BIGINT AS fp FROM sel ORDER BY doc_id, fp
-      """.trim)
-    )
+    s"""norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |cs AS (SELECT doc_id, [ord(substr(t, i, 1))::BIGINT for i in range(1, len(t)+1)] AS c FROM norm),
+       |hs AS (SELECT doc_id, [list_sum([(c[i+j-1] * $pwLit[j]) % $M for j in range(1, $k+1)]) % $M
+       |                       for i in range(1, len(c)-$k+2)] AS hs
+       |       FROM cs WHERE len(c) >= $k),
+       |sel AS (SELECT doc_id, unnest(list_distinct(
+       |          CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+       |               ELSE [list_min(hs[s:s+${w - 1}]) for s in range(1, len(hs)-$w+2)] END)) AS fp
+       |        FROM hs)""".stripMargin
   }
+
+  private val q55 = Q(
+    "q55_winnowing",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.documents
+        .select($"doc_id", explode(TextAnalysis.winnowingFingerprints($"text", 5, 8)).as("fp"))
+        .orderBy($"doc_id", $"fp")
+    },
+    Some(s"WITH $winnowCte SELECT doc_id, fp::BIGINT AS fp FROM sel ORDER BY doc_id, fp")
+  )
 
   /** MOSS-style near-dup pairs over the winnowing fingerprints: inverted
     * fingerprint index with boilerplate fingerprints dropped (document
@@ -225,37 +228,138 @@ object TextQueries {
     * shared-fingerprint count. Finds the corpus's organic partial-overlap
     * near-dups (not just planted full copies).
     */
-  private val q56 = {
-    val k = 5; val w = 8; val M = 2147483647L; val B = 257L
-    val pw = Array.iterate(1L, k)(_ * B % M).reverse
-    val pwLit = pw.mkString("[", ", ", "]")
-    Q(
-      "q56_winnowing_overlap",
-      (s, dir) => {
-        val T = Tables(s, dir); import s.implicits._
-        Dedup
-          .winnowingOverlapPairs(T.documents, "doc_id", "text", k, w, maxDfFrac = 0.05, minShared = 5)
-          .orderBy($"doc_a", $"doc_b")
-      },
-      Some(s"""
-        WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
-        cs AS (SELECT doc_id, [ord(substr(t, i, 1))::BIGINT for i in range(1, len(t)+1)] AS c FROM norm),
-        hs AS (SELECT doc_id, [list_sum([(c[i+j-1] * $pwLit[j]) % $M for j in range(1, $k+1)]) % $M
-                               for i in range(1, len(c)-$k+2)] AS hs
-               FROM cs WHERE len(c) >= $k),
-        sel AS (SELECT doc_id, unnest(list_distinct(
-                  CASE WHEN len(hs) <= $w THEN [list_min(hs)]
-                       ELSE [list_min(hs[s:s+${w - 1}]) for s in range(1, len(hs)-$w+2)] END)) AS fp
-                FROM hs),
-        keep AS (SELECT fp FROM sel GROUP BY fp
-                 HAVING count(*) <= (SELECT count(*) FROM documents) * 0.05),
-        f AS (SELECT doc_id, fp FROM sel JOIN keep USING (fp)),
-        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-              FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        SELECT doc_a, doc_b, shared FROM p WHERE shared >= 5 ORDER BY doc_a, doc_b
-      """.trim)
-    )
-  }
+  private val q56 = Q(
+    "q56_winnowing_overlap",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .winnowingOverlapPairs(T.documents, "doc_id", "text", 5, 8, maxDfFrac = 0.05, minShared = 5)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH $winnowCte,
+      keep AS (SELECT fp FROM sel GROUP BY fp
+               HAVING count(*) <= (SELECT count(*) FROM documents) * 0.05),
+      f AS (SELECT doc_id, fp FROM sel JOIN keep USING (fp)),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared FROM p WHERE shared >= 5 ORDER BY doc_a, doc_b
+    """.trim)
+  )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56)
+  /** Benchmark decontamination ([[Decontaminate.overlaps]]): a deterministic
+    * ~2% hash band of the corpus plays the evaluation benchmark; every
+    * remaining doc sharing >= 5 winnowing fingerprints (i.e. a substring of
+    * >= 12 normalized chars in common, five times over) with a benchmark doc
+    * is flagged with its contamination source and evidence count. The
+    * corpus side is a shuffle-free map probed against a broadcast benchmark
+    * index — one scan at any corpus size.
+    */
+  private val q64 = Q(
+    "q64_decontaminate",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isBench = Sampling.hash60($"doc_id") % 100 >= 98
+      Decontaminate
+        .overlaps(T.documents.filter(!isBench), T.documents.filter(isBench), "doc_id", "text")
+        .orderBy($"doc_id", $"bench_id")
+    },
+    Some(s"""
+      WITH $winnowCte,
+      bench_ids AS (SELECT doc_id FROM documents
+                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98),
+      bf AS (SELECT doc_id AS bench_id, fp FROM sel WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+      tf AS (SELECT doc_id, fp FROM sel WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+      o AS (SELECT tf.doc_id, bf.bench_id, count(*) AS shared
+            FROM tf JOIN bf ON tf.fp = bf.fp GROUP BY 1, 2)
+      SELECT doc_id, bench_id, shared FROM o WHERE shared >= 5 ORDER BY doc_id, bench_id
+    """.trim)
+  )
+
+  /** Gopher-style repetition signals via the one-pass [[RepStats]] native
+    * expression: most-frequent unigram/bigram counts and fractions per doc.
+    * Fractions are raw divisions of exact integers (bit-deterministic; see
+    * Qdef). The oracle rebuilds the same counts from unnested gram rows.
+    */
+  private val q65 = Q(
+    "q65_repetition",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.documents
+        .select($"doc_id", graft.functions.HashExprs.repStats($"text").as("r"))
+        .filter($"r.n" >= 2)
+        .select(
+          $"doc_id",
+          $"r.n".as("n_tokens"),
+          $"r.top_unigram".as("top_unigram_n"),
+          $"r.n_bigrams".as("n_bigrams"),
+          $"r.top_bigram".as("top_bigram_n"),
+          ($"r.top_unigram".cast("double") / $"r.n").as("top_unigram_frac"),
+          ($"r.top_bigram".cast("double") / $"r.n_bigrams").as("top_bigram_frac")
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      uc AS (SELECT doc_id, MAX(c) AS top_uni, CAST(SUM(c) AS BIGINT) AS n
+             FROM (SELECT doc_id, g, count(*) AS c
+                   FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2)
+             GROUP BY 1),
+      bg AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, greatest(len(t), 2))]) AS g
+             FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+             FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+      SELECT uc.doc_id, CAST(uc.n AS INT) AS n_tokens, CAST(top_uni AS INT) AS top_unigram_n,
+             CAST(n_bi AS INT) AS n_bigrams, CAST(top_bi AS INT) AS top_bigram_n,
+             top_uni / uc.n AS top_unigram_frac, top_bi / n_bi AS top_bigram_frac
+      FROM uc JOIN bc USING (doc_id) WHERE uc.n >= 2 ORDER BY uc.doc_id
+    """.trim)
+  )
+
+  /** PII detect + redact ([[Pii]]): emails and dashed phone numbers are
+    * planted deterministically from doc_id (the corpus itself is PII-free),
+    * then counted and scrubbed; the md5 of the scrubbed text is the
+    * redaction-correctness witness both engines must agree on.
+    */
+  private val q66 = Q(
+    "q66_pii_scrub",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val planted = when(
+        pmod($"doc_id", lit(3)) === 0,
+        concat($"text", lit(" contact user"), $"doc_id", lit("@example.com now"))
+      ).when(
+        pmod($"doc_id", lit(3)) === 1,
+        concat($"text", lit(" call 555-"),
+          lpad(pmod($"doc_id" * 7, lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod($"doc_id" * 13, lit(10000)).cast("string"), 4, "0"))
+      ).otherwise($"text")
+      T.documents
+        .select($"doc_id", planted.as("t"))
+        .select(
+          $"doc_id",
+          Pii.emailCount($"t").as("n_emails"),
+          Pii.phoneCount($"t").as("n_phones"),
+          md5(Pii.scrub($"t")).as("scrub_md5")
+        )
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH p AS (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+                        WHEN doc_id % 3 = 1 THEN text || ' call 555-' ||
+                             lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+                             lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS t
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS INT) AS n_phones,
+             md5(regexp_replace(regexp_replace(t, '${Pii.EmailRe}', '<EMAIL>', 'g'),
+                                '${Pii.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+      FROM p ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66)
 }
