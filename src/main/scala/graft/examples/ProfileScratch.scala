@@ -1,16 +1,14 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.operators.{CorpusPipeline, Dedup, TextAnalysis}
-import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph}
 
-/** Dev scratchpad: stage-by-stage timing of the near-dup path. */
+/** Dev scratchpad: stage-by-stage timing of the near-dup cluster path. */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     val T = Tables(spark, dir)
 
     def time(label: String)(f: => Long): Unit = {
@@ -19,48 +17,61 @@ object ProfileScratch {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
 
-    val docs = T.documents.select($"doc_id", $"text")
-    time("count docs")(docs.count())
-    time("gates only") {
-      docs
-        .withColumn("__tokens", TextAnalysis.tokenCount($"text"))
-        .withColumn("__quality", TextAnalysis.qualityScore($"text"))
-        .withColumn("__lang", TextAnalysis.langId($"text"))
-        .filter($"__tokens" >= 10).count()
+    val pairsLazy = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", 5, 12, 4)
+    time("pairs (lazy recompute)")(pairsLazy.count())
+    val pairs = pairsLazy.localCheckpoint(true)
+
+    // instrumented round-by-round timing of the CC loop
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        val mins = sym.groupBy("a").agg(min("b").as("mb"))
+          .select(col("a"), least(col("mb"), col("a")).as("m"))
+        sym.join(mins, "a").filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val oriented = e.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b"))
+        val mins = oriented.groupBy("a").agg(min("b").as("m"))
+        oriented.join(mins, "a").select(col("b").as("v"), col("m"))
+          .filter(col("v") =!= col("m")).select(col("v").as("a"), col("m").as("b"))
+          .unionByName(mins.select(col("a"), col("m").as("b"))).distinct()
+      }
+      var e = pairs.select(greatest(col("doc_a"), col("doc_b")).as("a"), least(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+      def sig(d: DataFrame): (Long, Long) = {
+        val r = d.agg(count(lit(1)), sum(xxhash64(col("a"), col("b")))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var t = System.nanoTime()
+      var prev = sig(e)
+      println(f"  round 0 (init): ${(System.nanoTime() - t) / 1e9}%.2f s, ${prev._1} edges")
+      var converged = false
+      var it = 0
+      while (!converged && it < 50) {
+        t = System.nanoTime()
+        e = smallStar(largeStar(e)).localCheckpoint(false)
+        val cur = sig(e)
+        println(f"  round ${it + 1}: ${(System.nanoTime() - t) / 1e9}%.2f s, ${cur._1} edges")
+        converged = cur == prev
+        prev = cur
+        it += 1
+      }
     }
-    val grams = docs
-      .select($"doc_id", explode(array_distinct(Dedup.wordTrigrams($"text"))).as("gs"))
-      .select($"doc_id", conv(substring(md5($"gs"), 1, 15), 16, 10).cast("long").as("g"))
-      .persist()
-    time("grams build")(grams.count())
-    val freq = grams.groupBy($"g").agg(count(lit(1)).as("df"))
-    val ranked = grams.join(freq, "g").groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"g"))).as("ranked"),
-           sort_array(collect_list($"g")).as("gsort"))
-      .select($"doc_id", $"ranked", $"gsort", size($"gsort").as("sz"))
-      .persist()
-    time("docs rank build")(ranked.count())
-    val tCand = 0.2 - 5e-5 - 1e-9
-    val prefixLen = greatest(($"sz" - ceil($"sz" * tCand) + 1).cast("int"), lit(1))
-    val prefixes = ranked
-      .select($"doc_id", $"sz", explode(slice($"ranked", lit(1), prefixLen)).as("pg"))
-      .select($"doc_id", $"sz", $"pg.g".as("g"))
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.sz"), col("b.sz")) >= greatest(col("a.sz"), col("b.sz")) * tCand)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().persist()
-    time("candidates t=0.2")(cand.count())
-    time("verify t=0.2") {
-      cand.join(ranked.as("da"), $"doc_a" === col("da.doc_id"))
-        .join(ranked.as("db"), $"doc_b" === col("db.doc_id"))
-        .select($"doc_a", $"doc_b",
-          graft.functions.HashExprs.sortedIntersectSize(col("da.gsort"), col("db.gsort")).as("inter"),
-          col("da.sz").as("sa"), col("db.sz").as("sb"))
-        .filter(round($"inter" / ($"sa" + $"sb" - $"inter"), 4) >= 0.2).count()
+    time("cc on checkpointed pairs")(Graph.connectedComponents(pairs, "doc_a", "doc_b").count())
+    time("cc again (warm)")(Graph.connectedComponents(pairs, "doc_a", "doc_b").count())
+    time("full q62 shape") {
+      Graph
+        .connectedComponents(
+          Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", 5, 12, 4),
+          "doc_a",
+          "doc_b"
+        )
+        .count()
     }
-    time("full q41")(CorpusPipeline.report(T.documents, "doc_id", "text").count())
     spark.stop()
   }
 }

@@ -84,6 +84,42 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH similarity EDGES for clustering: per (band, bucket), a star
+    * (bucket-min → member) instead of [[minhashCandidatePairs]]'s all-pairs.
+    *
+    * The connected components of these stars are EXACTLY the components of
+    * the full pair set (a bucket's star and its clique connect the same
+    * member set), but the edge count is linear in corpus size instead of
+    * quadratic in bucket occupancy — a hot bucket (boilerplate near-dups at
+    * 100 TB) emits |bucket| edges, not |bucket|²/2. One window over the
+    * bucket key replaces the bucket self-join entirely. Feed this to
+    * [[Graph.connectedComponents]] / [[nearDupClusters]]; use the pair form
+    * only when the per-pair list itself is the product.
+    */
+  def minhashClusterEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("sig")
+    )
+    val bucketed = sig
+      .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
+      .toDF("doc_id", "band", "bucket")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    bucketed
+      .withColumn("doc_a", min(col("doc_id")).over(w))
+      .filter(col("doc_a") < col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** 32-bit SimHash over lowercase whitespace tokens via the native
     * single-pass codegen expression ([[graft.functions.HashExprs.simhash32]]).
     * Bit i of each token's md5 (the high bit of hex digit i) votes +1/-1;

@@ -292,8 +292,8 @@ object DedupQueries {
     "q62_neardup_clusters",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
-      val pairs = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
-      Dedup.nearDupClusters(pairs).orderBy($"doc_id")
+      val edges = Dedup.minhashClusterEdges(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      Dedup.nearDupClusters(edges).orderBy($"doc_id")
     },
     Some(s"""
       WITH RECURSIVE $reachCte
@@ -309,9 +309,9 @@ object DedupQueries {
     "q63_neardup_dropped",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
-      val pairs = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      val edges = Dedup.minhashClusterEdges(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
       Dedup
-        .dropNearDups(T.documents, "doc_id", pairs)
+        .dropNearDups(T.documents, "doc_id", edges)
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
     },

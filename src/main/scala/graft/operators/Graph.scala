@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Edges (a, b) after one large-star round: every neighbor v > u of any
-    * node u is re-attached to m = min(N(u) ∪ u).
+    * node u is re-attached to m = min(N(u) ∪ u). Output is NOT deduplicated
+    * — the following small-star round ends in a distinct anyway, and
+    * skipping it here saves a shuffle per round.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -37,7 +39,6 @@ object Graph {
     sym.join(mins, "a")
       .filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** Edges after one small-star round: orient each edge high→low, re-attach
@@ -74,22 +75,24 @@ object Graph {
     val spark: SparkSession = edges.sparkSession
     import spark.implicits._
 
+    // Canonicalize once (high, low): every later round's edges come out of
+    // smallStar already in this orientation and deduplicated, so the
+    // signature below never needs its own canonicalization shuffle.
     var e = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .select(greatest($"s", $"d").as("a"), least($"s", $"d").as("b"))
       .filter($"a" =!= $"b")
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
-    // Fixpoint detection: an order-insensitive 64-bit checksum + count of the
-    // canonical (low, high) edge set. One aggregate action per round; cheap
-    // next to the round's own shuffles. (Probabilistically exact; a 64-bit
-    // collision on BOTH count and sum across one round is negligible.)
+    // Fixpoint detection: an order-insensitive 64-bit checksum + count of
+    // the (already canonical, already distinct) edge set. This aggregate is
+    // the ONE action per round — it also materializes the round's lazy
+    // localCheckpoint, so each round costs a single Spark job.
+    // (Probabilistically exact; a 64-bit collision on BOTH count and sum
+    // across one round is negligible.)
     def sig(d: DataFrame): (Long, Long) = {
-      val r = d
-        .select(least($"a", $"b").as("l"), greatest($"a", $"b").as("h"))
-        .distinct()
-        .agg(count(lit(1)), sum(xxhash64($"l", $"h")))
-        .head()
+      val r = d.agg(count(lit(1)), sum(xxhash64($"a", $"b"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
@@ -97,7 +100,7 @@ object Graph {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = sig(e)
       converged = cur == prev
       prev = cur

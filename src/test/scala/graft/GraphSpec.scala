@@ -51,6 +51,21 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 501 && got.values.forall(_ == 0L))
   }
 
+  test("minhashClusterEdges yields identical components to minhashCandidatePairs") {
+    val docs = (1L to 60L)
+      .map(i => (i, if (i % 3 == 0) s"shared duplicate content block number ${i % 9} repeated here"
+                 else s"unique document $i with its own words ${i * 17}"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 5, 12, 4)
+    val stars = Dedup.minhashClusterEdges(docs, "doc_id", "text", 5, 12, 4)
+    assert(stars.count() <= pairs.count())
+    val a = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.connectedComponents(stars, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("dropNearDups keeps exactly one survivor per cluster plus untouched docs") {
     val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "body")
     val pairs = Seq((2L, 5L), (5L, 9L), (3L, 4L)).toDF("doc_a", "doc_b")
