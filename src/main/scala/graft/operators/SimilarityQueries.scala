@@ -172,5 +172,42 @@ object SimilarityQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53)
+  /** TF-IDF cosine top-k ([[TfIdf.topKSimilar]]): sparse-vector textual
+    * similarity through a df-capped inverted term index. The idf is a
+    * scaled exact integer, so dot products are BIGINT sums — the cosine is
+    * bit-identical regardless of distributed partial-aggregation order
+    * (see TfIdf scaladoc); the oracle replays the same integer arithmetic.
+    */
+  private val q67 = Q(
+    "q67_tfidf_topk",
+    (s, dir) => {
+      val T = graft.Tables(s, dir); import s.implicits._
+      TfIdf
+        .topKSimilar(T.documents, "doc_id", "text", k = 3, maxDfFrac = 0.5)
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM documents),
+      w AS (SELECT doc_id, term, tf * (((SELECT n FROM nn) + 1) * 100 // (df + 1)) AS w
+            FROM tf JOIN dfx USING (term)
+            WHERE df <= (SELECT n FROM nn) * 0.5),
+      norms AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS nsq FROM w GROUP BY 1),
+      dots AS (SELECT a.doc_id AS doc_id, b.doc_id AS sim_id, CAST(SUM(a.w*b.w) AS BIGINT) AS dot
+               FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+      cosd AS (SELECT dots.doc_id, sim_id, CAST(dot AS DOUBLE) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cos
+               FROM dots JOIN norms na ON dots.doc_id = na.doc_id
+                         JOIN norms nb ON dots.sim_id = nb.doc_id)
+      SELECT doc_id, rank, sim_id, cos FROM (
+        SELECT doc_id, sim_id, cos,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, sim_id ASC) AS INT) AS rank
+        FROM cosd
+      ) WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67)
 }

@@ -102,4 +102,34 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.functions.HashExprs.winnowingFingerprints(
       trim(regexp_replace(lower(text), "\\s+", " ")), k, w)
+
+  /** Overlapping token-window chunks — the context-window splitter of a
+    * training pipeline. Each chunk is `chunkSize` whitespace tokens starting
+    * every `stride` tokens (stride < chunkSize ⇒ overlap); the tail chunk is
+    * short rather than dropped, and a doc shorter than one chunk yields
+    * itself. Pure per-row array expression (explode at the call site): no
+    * shuffle, and chunk identity is (doc, start) — deterministic under any
+    * partitioning.
+    *
+    * @return array<struct<start:int, ntok:int, chunk:string>> — token start
+    *         offset, tokens in the chunk, and the space-joined chunk text.
+    */
+  def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = split(text, "\\s+")
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - chunkSize + stride - 1) / lit(stride)).cast("int") + 1)
+    transform(
+      sequence(lit(0), nChunks - 1),
+      i => {
+        val sl = slice(toks, i * stride + 1, lit(chunkSize))
+        struct(
+          (i * stride).cast("int").as("start"),
+          size(sl).as("ntok"),
+          concat_ws(" ", sl).as("chunk")
+        )
+      }
+    )
+  }
 }

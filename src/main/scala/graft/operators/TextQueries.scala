@@ -361,5 +361,32 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66)
+  /** Overlapping token-window chunking ([[TextAnalysis.tokenChunks]],
+    * 64-token windows every 48 tokens): (doc, start, ntok, chunk-md5) rows.
+    * The md5 witnesses the exact chunk text; ntok witnesses the tail-chunk
+    * semantics (short tail kept, short doc yields itself).
+    */
+  private val q68 = Q(
+    "q68_chunking",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.documents
+        .select($"doc_id", explode(TextAnalysis.tokenChunks($"text", 64, 48)).as("c"))
+        .select($"doc_id", $"c.start".as("start"), $"c.ntok".as("ntok"), md5($"c.chunk").as("chunk_md5"))
+        .orderBy($"doc_id", $"start")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      c AS (SELECT doc_id, t,
+                   CASE WHEN len(t) <= 64 THEN 1 ELSE (len(t) - 64 + 47) // 48 + 1 END AS nc
+            FROM t),
+      x AS (SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c)
+      SELECT doc_id, CAST(i * 48 AS INT) AS start,
+             CAST(len(t[i*48+1 : i*48+64]) AS INT) AS ntok,
+             md5(array_to_string(t[i*48+1 : i*48+64], ' ')) AS chunk_md5
+      FROM x ORDER BY doc_id, start
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68)
 }
