@@ -1,0 +1,74 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional data skipping.
+  *
+  * Parquet readers prune whole files/row-groups from min/max footer stats,
+  * but stats only help if the layout makes them narrow. Sorting by one
+  * column gives perfect pruning on that column and none on any other;
+  * interleaving the bits of several columns' normalized ranks clusters rows
+  * so every participating column has narrow per-file ranges — a filter on
+  * ANY of them skips most files. This is the standard lakehouse layout
+  * optimization for the "big fact table queried by several independent
+  * keys" shape, applied at write (or compaction) time: the cost is one
+  * range-partitioning shuffle, paid once, amortized over every later scan.
+  *
+  * Implementation is pure Column arithmetic (codegen'd, no UDF):
+  * per-column linear normalization to `bitsPerCol`-bit ranks, then bit
+  * interleave. Normalization bounds come from one tiny min/max aggregate
+  * (driver receives 2 numbers per column — scale-free). Linear ranks are
+  * right for roughly uniform keys; for heavily skewed columns substitute
+  * quantile cut-points (approxQuantile) for the linear map — the interleave
+  * and write path below stay identical.
+  */
+object ZOrder {
+
+  /** Morton interleave of the given columns' normalized ranks.
+    *
+    * @param ranks       columns already normalized to [0, 2^bitsPerCol)
+    * @param bitsPerCol  bits kept per column; cols.size * bitsPerCol <= 63
+    */
+  def interleaveBits(ranks: Seq[Column], bitsPerCol: Int): Column = {
+    require(ranks.nonEmpty && ranks.size * bitsPerCol <= 63, "need cols*bits <= 63")
+    val n = ranks.size
+    ranks.zipWithIndex
+      .map { case (r, i) =>
+        (0 until bitsPerCol)
+          .map(b => shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * n + i))
+          .reduce(_ bitwiseOR _)
+      }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** The z-value column for `cols` of `df`, normalizing each column to
+    * `bitsPerCol` bits via its min/max (one small aggregate job).
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 16): Column = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nb = (1L << bitsPerCol) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      if (hi == lo) lit(0L)
+      else least(greatest(((col(c).cast("double") - lo) * nb / (hi - lo)), lit(0.0)), lit(nb.toDouble))
+        .cast("long")
+    }
+    interleaveBits(ranks, bitsPerCol)
+  }
+
+  /** Write `df` as `numFiles` z-clustered parquet files: range-partition on
+    * the z-value (so files own disjoint z-ranges ⇒ compact hyper-rectangles
+    * of the key space), sort within each file (narrow row-group stats too),
+    * drop the helper column, write. One shuffle total.
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String, numFiles: Int): Unit =
+    df.withColumn("__z", zValue(df, cols))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.lake.ZOrder
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40k rows over a 2D key space, uniform — the "fact table queried by two
+  // independent keys" shape
+  private def data = {
+    val rnd = new scala.util.Random(11)
+    Seq.fill(40000)((rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong, rnd.nextDouble()))
+      .toDF("x", "y", "v")
+  }
+
+  /** Files whose [min,max] stats overlap the predicate range — what a
+    * stats-based reader would have to scan.
+    */
+  private def overlappingFiles(dir: String, colName: String, lo: Long, hi: Long): (Int, Int) = {
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val hits = files.count { f =>
+      val r = spark.read.parquet(f).agg(min(col(colName)), max(col(colName))).head()
+      r.getLong(0) <= hi && r.getLong(1) >= lo
+    }
+    (hits, files.length)
+  }
+
+  test("z-ordered layout prunes on BOTH dimensions; linear sort prunes on one") {
+    val zdir = Files.createTempDirectory("zorder").toString
+    val sdir = Files.createTempDirectory("sorted").toString
+    ZOrder.writeZOrdered(data, Seq("x", "y"), zdir, numFiles = 16)
+    data.repartitionByRange(16, $"x").sortWithinPartitions($"x").write.mode("overwrite").parquet(sdir)
+
+    // a 1/16-wide slice in each dimension
+    val (zx, zn) = overlappingFiles(zdir, "x", 0, 625)
+    val (zy, _)  = overlappingFiles(zdir, "y", 0, 625)
+    val (sx, sn) = overlappingFiles(sdir, "x", 0, 625)
+    val (sy, _)  = overlappingFiles(sdir, "y", 0, 625)
+
+    assert(zn == 16 && sn == 16)
+    assert(sx <= 2, s"x-sorted layout should nail x-filters, scanned $sx/16")
+    assert(sy == 16, s"x-sorted layout cannot prune y-filters, scanned $sy/16")
+    assert(zx <= 6 && zy <= 6, s"z-order should prune both dims, scanned x=$zx y=$zy of 16")
+  }
+
+  test("z-ordering preserves the data exactly") {
+    val dir = Files.createTempDirectory("zorder2").toString
+    val df = data
+    ZOrder.writeZOrdered(df, Seq("x", "y"), dir, numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 40000)
+    val a = df.agg(sum($"x"), sum($"y"), sum($"v")).head()
+    val b = back.agg(sum($"x"), sum($"y"), sum($"v")).head()
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+    assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-6)
+    assert(back.columns.toSeq == Seq("x", "y", "v")) // helper column dropped
+  }
+
+  test("interleave places low bits of each column adjacently") {
+    val df = Seq((3L, 1L)).toDF("a", "b")
+    // a=0b11, b=0b01, 2 bits each → z = b1 a1 b0 a0 = 0b0111 = 7
+    val z = df.select(ZOrder.interleaveBits(Seq($"a", $"b"), 2).as("z")).head().getLong(0)
+    assert(z == 7L)
+  }
+
+  test("constant column degrades gracefully (rank 0, no division by zero)") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "c")
+    val dir = Files.createTempDirectory("zorder3").toString
+    ZOrder.writeZOrdered(df, Seq("x", "c"), dir, numFiles = 2)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+}
