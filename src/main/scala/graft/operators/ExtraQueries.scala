@@ -351,5 +351,71 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51)
+  /** One-pass column profiling ([[Profile.numeric]]): null rate, exact
+    * distinct count and numeric range per column, melted to long format —
+    * the pre-flight data-quality audit. Oracle is a per-column UNION ALL
+    * generated from the SAME column list (no drift).
+    */
+  private val profileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_discount")
+
+  private val q69 = Q(
+    "q69_profile",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Profile.numeric(T.lineitem, profileCols).orderBy($"col_name")
+    },
+    Some(
+      profileCols
+        .map(c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(count($c) AS BIGINT) AS n_nonnull,
+             | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             | CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val
+             | FROM lineitem""".stripMargin.replace("\n", "")
+        )
+        .mkString(" UNION ALL ") + " ORDER BY col_name"
+    )
+  )
+
+  /** Conversion funnel ([[Funnel.stages]]): signup → view → purchase in
+    * timestamp order per user, stage counts. Ordering matters (a purchase
+    * before the signup must not convert) — the oracle chains three
+    * min-at-or-after aggregations; the Spark side folds the same chain over
+    * per-user arrays in ONE shuffle.
+    */
+  private val q70 = Q(
+    "q70_funnel",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Funnel
+        .stages(
+          T.events.select($"user_id", $"event_type", unix_micros($"ts").as("us")),
+          "user_id",
+          "event_type",
+          "us",
+          Seq("signup", "view", "purchase"),
+          maxGap = Some(2L * 86400L * 1000000L) // each step within 2 days
+        )
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND us >= t1 AND us <= t1 + 172800000000 GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us >= t2 AND us <= t2 + 172800000000 GROUP BY 1)
+      SELECT stage, CAST(count(*) AS BIGINT) AS users FROM (
+        SELECT s1.user_id,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS stage
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id
+      ) GROUP BY stage ORDER BY stage
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Funnel, Profile}
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) = rows.toSeq.toDF("user_id", "event_type", "us")
+
+  test("ordering matters: a purchase before signup does not convert") {
+    val events = ev(
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "purchase", 5L), (2L, "signup", 10L), (2L, "view", 20L),  // purchase too early -> stage 2
+      (3L, "signup", 10L),                                           // stage 1
+      (4L, "view", 10L), (4L, "purchase", 20L)                       // no signup -> excluded
+    )
+    val got = Funnel.stages(events, "user_id", "event_type", "us", Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(3 -> 1L, 2 -> 1L, 1 -> 1L))
+  }
+
+  test("same-timestamp step counts as reached (at-or-after)") {
+    val events = ev((1L, "signup", 10L), (1L, "view", 10L), (1L, "purchase", 10L))
+    val got = Funnel.stages(events, "user_id", "event_type", "us", Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(3 -> 1L))
+  }
+
+  test("chain picks the earliest valid step, not any step") {
+    // view at 5 (too early) and 50; purchase at 40 — purchase must compare
+    // against view@50? No: earliest valid view is 50, purchase@40 < 50 -> stage 2.
+    val events = ev((1L, "signup", 10L), (1L, "view", 5L), (1L, "view", 50L), (1L, "purchase", 40L))
+    val got = Funnel.stages(events, "user_id", "event_type", "us", Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(2 -> 1L))
+  }
+
+  test("profile reports nulls, distincts and ranges per column") {
+    val df = Seq(
+      (Some(1L), Some(1.0)), (Some(2L), None), (Some(2L), Some(3.5)), (None, Some(3.5))
+    ).toDF("a", "b")
+    val p = Profile.numeric(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(p("a") == ((4L, 3L, 2L, 1.0, 2.0)))
+    assert(p("b") == ((4L, 3L, 2L, 1.0, 3.5)))
+  }
+}
