@@ -417,5 +417,40 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70)
+  /** Cohort retention: users grouped by first-activity week, tracked by
+    * how many are active k weeks later. Two distinct-aggregations and one
+    * user-key join — the (user, week) activity set is the shuffled unit,
+    * never the raw event stream; cohort output is weeks × offsets rows.
+    */
+  private val q71 = Q(
+    "q71_retention",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val activity = T.events
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+        .distinct()
+      val cohorts = activity.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      activity
+        .join(cohorts, "user_id")
+        .select(
+          $"user_id",
+          date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
+          (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset")
+        )
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""
+      WITH activity AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+             CAST(datediff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM activity JOIN cohorts USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70, q71)
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full corpus → training-chunks journey, composed from the operator
+  * library end to end:
+  *
+  *   1. quality gates + exact/near dedup   ([[CorpusPipeline.clean]])
+  *   2. repetition gate                    ([[graft.functions.RepStats]])
+  *   3. benchmark decontamination          ([[Decontaminate.clean]])
+  *   4. cluster-level near-dup collapse    ([[Dedup.minhashClusterEdges]] →
+  *                                          [[Graph.connectedComponents]])
+  *   5. PII redaction                      ([[Pii.scrub]])
+  *   6. overlapping context-window chunks  ([[TextAnalysis.tokenChunks]])
+  *
+  * Ordering is deliberate: per-row gates (1–2) run first so the join-bearing
+  * stages (3–4) see the smallest possible corpus; PII scrubbing runs after
+  * dedup/decontamination so fingerprints are computed over original text
+  * (redaction placeholders would otherwise create artificial shared
+  * substrings across unrelated docs); chunking runs last, after every
+  * document-level decision.
+  *
+  * Shuffle inventory = the sum of its parts (each documented at its
+  * operator): per-row gates are scan-speed maps, dedup/decontamination are
+  * the sub-quadratic bucket joins, chunking is a pure explode. Nothing in
+  * the composition adds a shuffle of its own.
+  */
+object TrainingPipeline {
+
+  final case class Config(
+      corpus: CorpusPipeline.Config = CorpusPipeline.Config(),
+      maxTopBigramFrac: Double = 0.2,
+      decontamMinShared: Int = 5,
+      chunkSize: Int = 64,
+      chunkStride: Int = 48
+  )
+
+  /** @return (chunks, audit): training-ready chunk rows
+    *         (doc_id, start, ntok, chunk) and a per-stage surviving-doc
+    *         count audit (lazy — materialized when the audit is acted on).
+    */
+  def prepare(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()
+  ): (DataFrame, DataFrame) = {
+    val id = col(idCol)
+    val text = col(textCol)
+
+    val gated = CorpusPipeline.clean(docs, idCol, textCol, cfg.corpus)
+
+    val rep = graft.functions.HashExprs.repStats(text)
+    val unrepeated = gated.filter(
+      rep.getField("n_bigrams") === 0 ||
+        rep.getField("top_bigram").cast("double") / rep.getField("n_bigrams") <= cfg.maxTopBigramFrac
+    )
+
+    val decontaminated =
+      Decontaminate.clean(unrepeated, bench, idCol, textCol, minShared = cfg.decontamMinShared)
+
+    val deduped = Dedup.dropNearDups(
+      decontaminated,
+      idCol,
+      Dedup.minhashClusterEdges(decontaminated, idCol, textCol)
+    )
+
+    val scrubbed = deduped.withColumn(textCol, Pii.scrub(text))
+
+    val chunks = scrubbed
+      .select(id.as("doc_id"), explode(TextAnalysis.tokenChunks(text, cfg.chunkSize, cfg.chunkStride)).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"), col("c.ntok").as("ntok"), col("c.chunk").as("chunk"))
+
+    val audit = Seq(
+      "1_input" -> docs,
+      "2_gated" -> gated,
+      "3_unrepeated" -> unrepeated,
+      "4_decontaminated" -> decontaminated,
+      "5_deduped" -> deduped,
+      "6_chunks" -> chunks
+    ).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
+      .reduce(_ unionByName _)
+
+    (chunks, audit)
+  }
+}
