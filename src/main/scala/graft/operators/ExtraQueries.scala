@@ -426,19 +426,21 @@ object ExtraQueries {
     "q71_retention",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
-      val activity = T.events
+      // ONE user-key shuffle: per-user week SETS (distinct by construction,
+      // partial-aggregated map-side), cohort = array_min — replaces the
+      // distinct + cohort-agg + join formulation (5 exchanges -> 3).
+      val byUser = T.events
         .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
-        .distinct()
-      val cohorts = activity.groupBy($"user_id").agg(min($"week").as("cohort_week"))
-      activity
-        .join(cohorts, "user_id")
+        .groupBy($"user_id")
+        .agg(collect_set($"week").as("weeks"))
+      byUser
+        .select($"user_id", array_min($"weeks").as("cohort_week"), explode($"weeks").as("week"))
         .select(
-          $"user_id",
           date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
           (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset")
         )
         .groupBy($"cohort_week", $"week_offset")
-        .agg(countDistinct($"user_id").as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy($"cohort_week", $"week_offset")
     },
     Some("""

@@ -36,6 +36,38 @@ object Sampling {
     df.filter(hash60(key) % denominator < numerator)
   }
 
+  /** Deterministic weighted Bernoulli sample: row kept with probability
+    * `weight` (a per-row column in [0,1]) — e.g. a quality score, so
+    * higher-quality documents are over-represented in the training mix.
+    * Membership compares the key hash band against the weight, so it is
+    * exactly as reproducible as [[bernoulli]]: same row, same decision, on
+    * any cluster and any engine. Pure map, no shuffle.
+    *
+    * Resolution is 1/2^20 (~1e-6) — the comparison uses a 20-bit hash band
+    * so the weight→threshold arithmetic stays exact in both engines.
+    */
+  def weighted(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter((hash60(key) % (1L << 20)).cast("double") < weight * (1L << 20))
+
+  /** Deterministic per-group mixture sampling: each row's keep-rate comes
+    * from its group's entry in `rates` (numerator out of `denominator`);
+    * groups absent from `rates` are dropped. THE training-mixture
+    * operation: "20% of web, 100% of books, 5% of logs" as one scan —
+    * membership is key-hashed (stable across reruns/engines), the rate
+    * lookup is a literal CASE (no join), and the filter runs scan-side.
+    */
+  def mixture(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      rates: Map[String, Int],
+      denominator: Int
+  ): DataFrame = {
+    require(denominator > 0 && rates.values.forall(n => n >= 0 && n <= denominator), "bad rates")
+    val rate = rates.foldLeft(lit(-1)) { case (acc, (g, n)) => when(group === g, lit(n)).otherwise(acc) }
+    df.filter(hash60(key) % denominator < rate)
+  }
+
   /** Deterministic stratified fixed-size sample: exactly `n` rows per
     * stratum (fewer if the stratum is smaller), chosen by smallest key hash
     * — a uniform draw without replacement — tie-broken by the key itself.

@@ -67,5 +67,69 @@ object SamplingQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q60, q61)
+  /** Quality-weighted subsampling ([[Sampling.weighted]]): keep probability
+    * = the q30 quality score, so the sample tilts toward higher-quality
+    * docs while staying hash-deterministic. The weight×2^20 threshold
+    * arithmetic is exact-double both sides, so membership is reproducible.
+    */
+  private val q72 = Q(
+    "q72_weighted_sample",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Sampling
+        .weighted(
+          T.documents.withColumn("quality", TextAnalysis.qualityScore($"text")),
+          $"doc_id",
+          $"quality"
+        )
+        .select($"doc_id", $"quality")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n,
+                   len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','on','for'))) AS n_stop,
+                   list_sum(list_transform(toks, w -> len(w))) AS total_len
+            FROM t),
+      q AS (SELECT doc_id,
+                   0.3 * (CAST(n_stop AS DOUBLE) / n)
+                     + 0.3 * least((CAST(total_len AS DOUBLE) / n) / 8.0, 1.0)
+                     + 0.4 * least(CAST(n AS DOUBLE) / 50.0, 1.0) AS quality
+            FROM m)
+      SELECT doc_id, quality FROM q
+      WHERE CAST(${duckHash("doc_id")} % 1048576 AS DOUBLE) < quality * 1048576
+      ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Per-source mixture assembly ([[Sampling.mixture]]): each source keeps
+    * its own deterministic fraction — "the training mix" as one scan-side
+    * filter (rate lookup is a literal CASE, membership is key-hashed, no
+    * join, no shuffle). Sources absent from the mix drop out entirely.
+    */
+  private val q73 = Q(
+    "q73_mixture",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Sampling
+        .mixture(
+          T.documents,
+          $"source",
+          $"doc_id",
+          Map("src0" -> 100, "src1" -> 50, "src2" -> 20, "src3" -> 5),
+          denominator = 100
+        )
+        .select($"doc_id", $"source", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, source, lang FROM documents
+      WHERE ${duckHash("doc_id")} % 100 <
+            CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                        WHEN 'src2' THEN 20 WHEN 'src3' THEN 5 ELSE -1 END
+      ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73)
 }

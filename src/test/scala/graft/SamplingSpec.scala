@@ -41,6 +41,35 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weighted sampling: zero weight keeps nothing, one keeps everything, rate tracks weight") {
+    val w = docs.withColumn("w", ($"id" % 2).cast("double")) // half 0.0, half 1.0
+    val kept = Sampling.weighted(w, $"id", $"w").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ % 2 == 1) && kept.size == 1000)
+    val half = Sampling.weighted(docs.withColumn("w", lit(0.5)), $"id", $"w").count()
+    assert(half > 880 && half < 1120, s"p=0.5 of 2000 should be ~1000, got $half")
+  }
+
+  test("mixture applies per-group rates and drops unlisted groups") {
+    val byGrp = Sampling
+      .mixture(docs, $"grp", $"id", Map("0" -> 100, "1" -> 50, "2" -> 0), denominator = 100)
+      .groupBy($"grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy($"grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("0") == full("0"))                  // 100%
+    assert(byGrp.getOrElse("2", 0L) == 0L)           // explicit 0%
+    assert(!byGrp.contains("3"))                     // unlisted -> dropped
+    assert(byGrp("1") > full("1") / 4 && byGrp("1") < full("1") * 3 / 4) // ~50%
+  }
+
+  test("mixture membership is consistent with bernoulli on the same band") {
+    // a group at rate n/d keeps exactly the rows bernoulli(n/d) keeps
+    val g0 = docs.filter($"grp" === "4")
+    val viaMixture = Sampling.mixture(docs, $"grp", $"id", Map("4" -> 30), 100)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val viaBernoulli = Sampling.bernoulli(g0, $"id", 30, 100)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(viaMixture == viaBernoulli)
+  }
+
   test("bernoulli filter stays a scan-side map (no shuffle in the plan)") {
     val plan = Sampling.bernoulli(docs, $"id", 5, 100).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
