@@ -54,6 +54,25 @@ object Dedup {
       array_join(transform(slice(signature, b * rows + 1, rows), _.cast("string")), ",")
     }: _*)
 
+  /** (doc_id, band, bucket) rows — the MinHash LSH index of a corpus. Pure
+    * map (signature expression + explode); at scale this is what you
+    * precompute and STORE alongside the lake so later batches probe it
+    * without re-reading the corpus ([[probeNewDocs]]).
+    */
+  def minhashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("doc_id"), minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+      .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
+      .toDF("doc_id", "band", "bucket")
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH: docs sharing any band
     * bucket. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
@@ -65,14 +84,7 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): DataFrame = {
-    val rows = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("sig")
-    )
-    val bucketed = sig
-      .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
-      .toDF("doc_id", "band", "bucket")
+    val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
     bucketed
       .as("a")
       .join(
@@ -104,14 +116,7 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): DataFrame = {
-    val rows = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("sig")
-    )
-    val bucketed = sig
-      .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
-      .toDF("doc_id", "band", "bucket")
+    val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
     bucketed
       .withColumn("doc_a", min(col("doc_id")).over(w))
@@ -413,6 +418,35 @@ object Dedup {
         round(col("inter") / (col("sa") + col("sb") - col("inter")), 4).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental dedup probe: which NEW docs near-duplicate an EXISTING
+    * corpus doc. The continuous-ingestion path — the corpus index
+    * (`corpusBuckets`, from [[minhashBuckets]], in practice precomputed and
+    * stored with the lake) is joined only against the new batch's buckets,
+    * so each batch costs O(batch) signature work + a bucket join against
+    * the index, never a corpus rescan or an all-pairs check.
+    *
+    * @return (new_id, dup_of) distinct — one row per (new doc, matched
+    *         corpus doc) bucket collision.
+    */
+  def probeNewDocs(
+      newDocs: DataFrame,
+      corpusBuckets: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    val nb = minhashBuckets(newDocs, idCol, textCol, shingleK, numHashes, bands)
+    nb.as("n")
+      .join(
+        corpusBuckets.as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket")
+      )
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+      .distinct()
   }
 
   /** Collapse similarity pairs into duplicate clusters: (doc_id, cluster)

@@ -325,5 +325,35 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63)
+  /** Incremental dedup probe ([[Dedup.probeNewDocs]]): a deterministic 10%
+    * hash band plays the "new batch", the rest is the indexed corpus; every
+    * new doc colliding with a corpus doc in any MinHash band is flagged
+    * with its duplicate source. The corpus index is the stored-once
+    * artifact; the batch never triggers a corpus rescan. Oracle: the shared
+    * pair CTE restricted to (new, old) pairs in either orientation.
+    */
+  private val q74 = Q(
+    "q74_incremental_probe",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isNew = Sampling.hash60($"doc_id") % 10 === 0
+      val index = Dedup.minhashBuckets(T.documents.filter(!isNew), "doc_id", "text")
+      Dedup
+        .probeNewDocs(T.documents.filter(isNew), index, "doc_id", "text")
+        .orderBy($"new_id", $"dup_of")
+    },
+    Some(s"""
+      WITH $minhashPairsCte,
+      nw AS (SELECT doc_id FROM documents
+             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0),
+      x AS (SELECT doc_a AS new_id, doc_b AS dup_of FROM pairs
+            WHERE doc_a IN (SELECT doc_id FROM nw) AND doc_b NOT IN (SELECT doc_id FROM nw)
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+            WHERE doc_b IN (SELECT doc_id FROM nw) AND doc_a NOT IN (SELECT doc_id FROM nw))
+      SELECT new_id, dup_of FROM x ORDER BY new_id, dup_of
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74)
 }
