@@ -27,9 +27,18 @@ object Streams {
 
   /** Continuous hash-dedup: at-least-once appends become effectively-once
     * downstream. `eventTimeCol` must be a timestamp column.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT `dropDuplicates("row_hash")`:
+    * with a plain dropDuplicates whose subset omits the event-time column,
+    * the dedup state store grows FOREVER (the watermark cannot expire keys
+    * it can't see) — a guaranteed OOM on an unbounded stream. Within-
+    * watermark semantics expire each hash once the watermark passes its
+    * first-seen time, bounding state to the duplicate-arrival horizon —
+    * which is exactly the at-least-once redelivery window this dedup
+    * exists to absorb.
     */
   def dedupByHash(stream: DataFrame, eventTimeCol: String, watermark: String = "1 hour"): DataFrame =
-    stream.withWatermark(eventTimeCol, watermark).dropDuplicates("row_hash")
+    stream.withWatermark(eventTimeCol, watermark).dropDuplicatesWithinWatermark("row_hash")
 
   /** The refresh pipeline as Structured Streaming (the SURVEY §2.10
     * capability upgrade): watch a staging directory of stamped raw batches;
