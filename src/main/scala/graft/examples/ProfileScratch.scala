@@ -17,7 +17,7 @@ object ProfileScratch {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
 
-    val pairsLazy = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", 5, 12, 4)
+    val pairsLazy = Dedup.minhashClusterEdges(T.documents, "doc_id", "text", 5, 12, 4)
     time("pairs (lazy recompute)")(pairsLazy.count())
     val pairs = pairsLazy.localCheckpoint(true)
 
@@ -66,7 +66,7 @@ object ProfileScratch {
     time("full q62 shape") {
       Graph
         .connectedComponents(
-          Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", 5, 12, 4),
+          Dedup.minhashClusterEdges(T.documents, "doc_id", "text", 5, 12, 4),
           "doc_a",
           "doc_b"
         )

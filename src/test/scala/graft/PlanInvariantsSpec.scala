@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape assertions for the round-3 query surface: the properties that
+  * make each query survive a 100× scale-up, checked against the actual
+  * executed plan (not eyeballed). Complements ExplainCheck (interactive) and
+  * the per-operator plan tests in AsOfJoinSpec/SamplingSpec/BucketingSpec.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("no query surface plan contains a nested-loop or cartesian join") {
+    // the all-pairs trap every similarity/temporal operator must avoid
+    for (q <- Seq("q59_asof_join", "q62_neardup_clusters", "q64_decontaminate",
+                  "q67_tfidf_topk", "q70_funnel", "q74_incremental_probe")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("decontamination and incremental probe broadcast the small side") {
+    for (q <- Seq("q64_decontaminate", "q74_incremental_probe"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q should broadcast its index side")
+  }
+
+  test("funnel is a single user-key shuffle before the stage aggregate") {
+    val exchanges = "Exchange".r.findAllIn(plan("q70_funnel")).size
+    assert(exchanges <= 3, s"q70 should shuffle once on user + tiny agg + sort, found $exchanges exchanges")
+  }
+
+  test("retention is collect_set-based: three exchanges, no join") {
+    val p = plan("q71_retention")
+    assert(!p.contains("Join"), "q71 should not join")
+    assert("Exchange".r.findAllIn(p).size <= 3)
+  }
+
+  test("mixture/weighted sampling plans contain no exchange at all") {
+    for (q <- Seq("q60_sample_bernoulli", "q72_weighted_sample", "q73_mixture")) {
+      // allow only the final global-sort exchange of the oracle ORDER BY
+      val p = plan(q)
+      val nonSort = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(nonSort == 0, s"$q should filter scan-side with no hash shuffle, found $nonSort")
+    }
+  }
+
+  test("profile is one aggregation pass over one scan") {
+    val p = plan("q69_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q69 must scan lineitem exactly once")
+  }
+}
