@@ -50,10 +50,15 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val nb = (1L << bitsPerCol) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-      if (hi == lo) lit(0L)
-      else least(greatest(((col(c).cast("double") - lo) * nb / (hi - lo)), lit(0.0)), lit(nb.toDouble))
-        .cast("long")
+      // null min/max = empty input (or all-null column): constant rank
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        if (hi == lo) lit(0L)
+        else
+          least(greatest(((col(c).cast("double") - lo) * nb / (hi - lo)), lit(0.0)), lit(nb.toDouble))
+            .cast("long")
+      }
     }
     interleaveBits(ranks, bitsPerCol)
   }

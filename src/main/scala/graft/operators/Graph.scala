@@ -113,6 +113,7 @@ object Graph {
     val nodes = edges
       .select(col(srcCol).cast("long").as("id"))
       .unionByName(edges.select(col(dstCol).cast("long").as("id")))
+      .filter($"id".isNotNull) // a null endpoint is no node (its edges were dropped above)
       .distinct()
     val star = e
       .select(greatest($"a", $"b").as("id"), least($"a", $"b").as("c"))
