@@ -388,5 +388,41 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68)
+  /** Sub-document (paragraph-level) dedup: non-overlapping 64-token blocks
+    * ([[TextAnalysis.tokenChunks]] with stride = size) hashed and grouped —
+    * blocks appearing in more than one place are boilerplate candidates
+    * (the composition of the chunker with the exact-dedup shape; document-
+    * level dedup misses these when the surrounding text differs). Pure
+    * map + one hash aggregate with map-side combine.
+    */
+  private val q75 = Q(
+    "q75_paragraph_dedup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      T.documents
+        .select($"doc_id", explode(TextAnalysis.tokenChunks($"text", 64, 64)).as("c"))
+        .select($"doc_id", md5($"c.chunk").as("block_md5"))
+        .groupBy($"block_md5")
+        .agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occur"),
+          min($"doc_id").as("first_doc")
+        )
+        .filter($"n_occur" > 1)
+        .orderBy($"block_md5")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      c AS (SELECT doc_id, t,
+                   CASE WHEN len(t) <= 64 THEN 1 ELSE (len(t) - 64 + 63) // 64 + 1 END AS nc
+            FROM t),
+      x AS (SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c),
+      b AS (SELECT doc_id, md5(array_to_string(t[i*64+1 : i*64+64], ' ')) AS block_md5 FROM x)
+      SELECT block_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_occur, MIN(doc_id) AS first_doc
+      FROM b GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY block_md5
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75)
 }
