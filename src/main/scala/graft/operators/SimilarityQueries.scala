@@ -209,5 +209,41 @@ object SimilarityQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67)
+  /** Filtered vector search: top-k cosine restricted to corpus rows passing
+    * a METADATA predicate (lang + length here) — the retrieval shape every
+    * RAG/search stack needs. The filter applies BEFORE ranking (a
+    * post-filtered top-k would silently return < k rows), and at scale it
+    * composes with the ANN paths the same way: predicate → bucket probe →
+    * rank, with the metadata join pushed below the distance computation.
+    */
+  private val q76 = Q(
+    "q76_filtered_ann",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val meta = T.documents.select($"doc_id", $"lang", $"n_chars")
+      val corpus = T.embeddings
+        .join(meta, $"vec_id" === $"doc_id")
+        .filter($"lang" === "en" && $"n_chars" >= 200)
+        .select($"vec_id", $"embedding")
+      val queries = T.embeddings.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity
+        .bruteForceTopK(queries, corpus, 5)
+        .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+      c AS (SELECT vec_id, embedding FROM embeddings JOIN m ON vec_id = doc_id),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      s AS (SELECT qid, vec_id, ${cosSql("qe", "embedding")} AS cos
+            FROM c, q WHERE qid <> vec_id)
+      SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+        SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
+        FROM s
+      ) WHERE rank <= 5
+      ORDER BY qid, rank
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76)
 }
