@@ -32,7 +32,13 @@ object Bench {
     // cache is shared by all reps; that is the steady state a real cluster
     // sees too.) A throwing query reports -1.0 — a failure marker, never
     // a time.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration on a subset
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q62_neardup_clusters,q63_neardup_dropped);
+    // the driver never sets it, so its runs always cover every query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Option[Double] = {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()

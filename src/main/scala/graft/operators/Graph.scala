@@ -75,44 +75,65 @@ object Graph {
     val spark: SparkSession = edges.sparkSession
     import spark.implicits._
 
+    // Scan the caller's edge plan exactly ONCE: the input is often itself an
+    // expensive pipeline (q62/q63 feed the full MinHash+window plan in), and
+    // both the canonical edge set and the node list below need it. A narrow
+    // two-long-column local checkpoint decouples everything downstream from
+    // the input plan's cost.
+    val raw = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .localCheckpoint(false)
+
     // Canonicalize once (high, low): every later round's edges come out of
     // smallStar already in this orientation and deduplicated, so the
-    // signature below never needs its own canonicalization shuffle.
-    var e = edges
-      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    // convergence check below never needs its own canonicalization shuffle.
+    var e = raw
       .select(greatest($"s", $"d").as("a"), least($"s", $"d").as("b"))
       .filter($"a" =!= $"b")
       .distinct()
       .localCheckpoint(false)
 
-    // Fixpoint detection: an order-insensitive 64-bit checksum + count of
-    // the (already canonical, already distinct) edge set. This aggregate is
-    // the ONE action per round — it also materializes the round's lazy
-    // localCheckpoint, so each round costs a single Spark job.
-    // (Probabilistically exact; a 64-bit collision on BOTH count and sum
-    // across one round is negligible.)
-    def sig(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)), sum(xxhash64($"a", $"b"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // Fixpoint detection: the rounds are converged exactly when the edge set
+    // is a disjoint union of min-hub stars — every node has out-degree ≤ 1
+    // AND no hub (b side) also appears as a spoke (a side). Both rounds only
+    // ever emit high→low edges, so a disjoint star's hub is its component's
+    // minimum, and small/large-star preserve connectivity, so disjoint stars
+    // ARE the final components. Checking the structural property directly
+    // (instead of comparing against the previous round's edge set) detects
+    // the fixpoint right after the last productive round — no trailing
+    // "nothing changed" round. One groupBy job per round. The check MUST be
+    // a full action (count, not isEmpty/take): computing every partition is
+    // what materializes the round's lazy localCheckpoint — a partial action
+    // would leave it pending and every later round would recompute the
+    // entire lineage back to the caller's input plan.
+    def isStarForm(d: DataFrame): Boolean = {
+      val roles = d
+        .select($"a".as("n"), lit(1L).as("sp"), lit(0L).as("hb"))
+        .unionByName(d.select($"b".as("n"), lit(0L).as("sp"), lit(1L).as("hb")))
+      roles
+        .groupBy($"n")
+        .agg(sum($"sp").as("sp"), sum($"hb").as("hb"))
+        .filter($"sp" > 1L || ($"sp" > 0L && $"hb" > 0L))
+        .count() == 0L
     }
 
-    var prev = sig(e)
+    // No pre-loop check: a non-converged input needs round 1 anyway, and on
+    // an already-star-form input round 1 is the identity (both rounds map
+    // disjoint min-hub stars to themselves), so the first check still fires.
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       e = smallStar(largeStar(e)).localCheckpoint(false)
-      val cur = sig(e)
-      converged = cur == prev
-      prev = cur
+      converged = isStarForm(e)
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 
     // Post-fixpoint the edge set is a union of stars (v, min). A node can
     // still carry >1 edge transiently-shaped inputs; min() collapses them.
-    val nodes = edges
-      .select(col(srcCol).cast("long").as("id"))
-      .unionByName(edges.select(col(dstCol).cast("long").as("id")))
+    val nodes = raw
+      .select($"s".as("id"))
+      .unionByName(raw.select($"d".as("id")))
       .filter($"id".isNotNull) // a null endpoint is no node (its edges were dropped above)
       .distinct()
     val star = e
