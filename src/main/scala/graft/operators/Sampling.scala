@@ -84,4 +84,26 @@ object Sampling {
     val w = Window.partitionBy(strata: _*).orderBy(hash60(key).asc, key.asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Deterministic global shuffle + sharding for training-order
+    * reproducibility: every row gets a (shard, pos) assignment — shard by
+    * key-hash modulus, position by ascending hash within the shard — so the
+    * exact same training order falls out on any cluster, any partition
+    * layout, any engine, and any rerun. THE "shuffle the corpus before
+    * training" step, without a nondeterministic `rand()` in sight.
+    *
+    * One hash shuffle on `shard`, then an in-partition sort: Spark's
+    * row_number window sorts each shard inside its own task — there is no
+    * global sort barrier. Size `numShards` so one shard's keys fit a task
+    * (at 100 TB: thousands of shards), which is also exactly the file
+    * granularity a training loader wants to range-read. Write with
+    * `.write.partitionBy("shard")` and the layout matches the assignment.
+    */
+  def shard(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = hash60(key)
+    val w = Window.partitionBy(pmod(h, lit(numShards))).orderBy(h.asc, key.asc)
+    df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

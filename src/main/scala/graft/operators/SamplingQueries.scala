@@ -131,5 +131,28 @@ object SamplingQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73)
+  /** Deterministic shuffle-shard ([[Sampling.shard]]): the corpus dealt
+    * into 8 shards with a reproducible training order — shard by key-hash
+    * modulus, position by ascending hash within the shard. The oracle
+    * reproduces the identical (shard, pos) assignment from the same
+    * md5-prefix hash, proving the order is an engine-independent property
+    * of the keys, not of any runtime's partitioning.
+    */
+  private val q78 = Q(
+    "q78_shuffle_shard",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Sampling
+        .shard(T.documents.select($"doc_id", $"source"), $"doc_id", 8)
+        .orderBy($"shard", $"pos")
+    },
+    Some(s"""
+      WITH h AS (SELECT doc_id, source, ${duckHash("doc_id")} AS h FROM documents)
+      SELECT doc_id, source, CAST(h % 8 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM h ORDER BY shard, pos
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78)
 }

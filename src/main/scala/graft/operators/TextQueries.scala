@@ -424,5 +424,37 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75)
+  /** CCNet-style LM quality scoring ([[LmScore]]): a unigram model trained
+    * on the corpus' English slice scores every document by mean smoothed
+    * inverse token probability (exact-integer thousandths — see the
+    * determinism note on LmScore). The oracle rebuilds the identical model
+    * and costs in DuckDB; the one floating-point step is the same final
+    * division of agreed integers on both sides.
+    */
+  private val q77 = Q(
+    "q77_lm_quality",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      LmScore
+        .score(T.documents, "doc_id", "text", T.documents.filter($"lang" === "en"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH rt AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                  FROM documents WHERE lang = 'en'),
+      vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM rt GROUP BY term),
+      tv AS (SELECT CAST(SUM(cnt) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS tv FROM vocab),
+      dt AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+             FROM documents),
+      c AS (SELECT doc_id,
+                   COALESCE((SELECT tv FROM tv) * 1000 // (v.cnt + 1),
+                            (SELECT tv FROM tv) * 1000) AS cost
+            FROM dt LEFT JOIN vocab v USING (term))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(CAST(SUM(cost) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000) AS lm_score
+      FROM c GROUP BY doc_id ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77)
 }

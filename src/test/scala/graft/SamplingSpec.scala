@@ -74,4 +74,26 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.bernoulli(docs, $"id", 5, 100).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("shard covers every row with dense 1..n positions per shard") {
+    val out = Sampling.shard(docs, $"id", 8).cache()
+    assert(out.count() == 2000)
+    val byShard = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"),
+           countDistinct($"pos").as("nd"))
+      .collect()
+    assert(byShard.length == 8)
+    byShard.foreach { r =>
+      val (n, lo, hi, nd) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo == 1L && hi == n && nd == n, s"shard ${r.getInt(0)}: positions not dense 1..$n")
+    }
+    out.unpersist()
+  }
+
+  test("shard assignment and order are invariant to partition layout") {
+    def runOn(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shard(d, $"id", 8).select($"id", $"shard", $"pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(runOn(docs.repartition(1)) == runOn(docs.repartition(13, $"grp")))
+  }
 }
