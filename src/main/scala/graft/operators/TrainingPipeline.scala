@@ -8,18 +8,21 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality gates + exact/near dedup   ([[CorpusPipeline.clean]])
   *   2. repetition gate                    ([[graft.functions.RepStats]])
-  *   3. benchmark decontamination          ([[Decontaminate.clean]])
-  *   4. cluster-level near-dup collapse    ([[Dedup.minhashClusterEdges]] →
+  *   3. LM fluency gate (optional)         ([[LmScore.score]] vs a
+  *                                          reference slice, CCNet-style)
+  *   4. benchmark decontamination          ([[Decontaminate.clean]])
+  *   5. cluster-level near-dup collapse    ([[Dedup.minhashClusterEdges]] →
   *                                          [[Graph.connectedComponents]])
-  *   5. PII redaction                      ([[Pii.scrub]])
-  *   6. overlapping context-window chunks  ([[TextAnalysis.tokenChunks]])
+  *   6. PII redaction                      ([[Pii.scrub]])
+  *   7. overlapping context-window chunks  ([[TextAnalysis.tokenChunks]])
   *
   * Ordering is deliberate: per-row gates (1–2) run first so the join-bearing
-  * stages (3–4) see the smallest possible corpus; PII scrubbing runs after
-  * dedup/decontamination so fingerprints are computed over original text
-  * (redaction placeholders would otherwise create artificial shared
-  * substrings across unrelated docs); chunking runs last, after every
-  * document-level decision.
+  * stages (3–5) see the smallest possible corpus; the LM gate sits before
+  * them for the same reason (its own cost is a broadcast join, cheaper than
+  * what it saves downstream); PII scrubbing runs after dedup/decontamination
+  * so fingerprints are computed over original text (redaction placeholders
+  * would otherwise create artificial shared substrings across unrelated
+  * docs); chunking runs last, after every document-level decision.
   *
   * Shuffle inventory = the sum of its parts (each documented at its
   * operator): per-row gates are scan-speed maps, dedup/decontamination are
@@ -31,6 +34,7 @@ object TrainingPipeline {
   final case class Config(
       corpus: CorpusPipeline.Config = CorpusPipeline.Config(),
       maxTopBigramFrac: Double = 0.2,
+      lmMaxScore: Double = Double.MaxValue,
       decontamMinShared: Int = 5,
       chunkSize: Int = 64,
       chunkStride: Int = 48
@@ -45,7 +49,8 @@ object TrainingPipeline {
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      cfg: Config = Config()
+      cfg: Config = Config(),
+      lmRef: Option[DataFrame] = None
   ): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val text = col(textCol)
@@ -58,8 +63,22 @@ object TrainingPipeline {
         rep.getField("top_bigram").cast("double") / rep.getField("n_bigrams") <= cfg.maxTopBigramFrac
     )
 
+    // Optional CCNet-style fluency gate: keep docs whose mean smoothed
+    // inverse token probability vs the reference model is at most
+    // lmMaxScore. One id-hash semi-join back onto the corpus (the score
+    // table is one row per doc — too big to broadcast at scale).
+    val fluent = lmRef match {
+      case Some(ref) =>
+        val keep = LmScore
+          .score(unrepeated, idCol, textCol, ref)
+          .filter(col("lm_score") <= cfg.lmMaxScore)
+          .select(col("doc_id").as("__keep"))
+        unrepeated.join(keep, id === col("__keep"), "left_semi")
+      case None => unrepeated
+    }
+
     val decontaminated =
-      Decontaminate.clean(unrepeated, bench, idCol, textCol, minShared = cfg.decontamMinShared)
+      Decontaminate.clean(fluent, bench, idCol, textCol, minShared = cfg.decontamMinShared)
 
     val deduped = Dedup.dropNearDups(
       decontaminated,
@@ -77,9 +96,10 @@ object TrainingPipeline {
       "1_input" -> docs,
       "2_gated" -> gated,
       "3_unrepeated" -> unrepeated,
-      "4_decontaminated" -> decontaminated,
-      "5_deduped" -> deduped,
-      "6_chunks" -> chunks
+      "4_fluent" -> fluent,
+      "5_decontaminated" -> decontaminated,
+      "6_deduped" -> deduped,
+      "7_chunks" -> chunks
     ).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
       .reduce(_ unionByName _)
 

@@ -36,12 +36,34 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(a("1_input") == 6)
     assert(a("2_gated") == 4)           // -exact dup (2), -short (6)
     assert(a("3_unrepeated") == 3)      // -spam (4)
-    assert(a("4_decontaminated") == 2)  // -contaminated (3)
-    assert(a("5_deduped") == 2)         // no near-dups remain
-    assert(a("6_chunks") >= 2)
+    assert(a("4_fluent") == 3)          // gate off by default: pass-through
+    assert(a("5_decontaminated") == 2)  // -contaminated (3)
+    assert(a("6_deduped") == 2)         // no near-dups remain
+    assert(a("7_chunks") >= 2)
 
     val texts = chunks.filter($"doc_id" === 5L).select($"chunk").collect().map(_.getString(0)).mkString(" ")
     assert(!texts.contains("someone@example.com") && texts.contains("<EMAIL>"))
+  }
+
+  test("LM fluency gate drops the out-of-distribution doc when a reference is supplied") {
+    // doc 7 passes length/quality/repetition gates but is token salad far
+    // from the reference distribution; with the LM gate on it must go.
+    val salad = (1 to 40).map(i => s"zxq${i}v wk${i}jh").mkString(" ") +
+      " plus enough plain filler words to be long and varied for the simple gates"
+    val withSalad = corpus.union(Seq((7L, salad)).toDF("doc_id", "text"))
+    val ref = Seq((200L, filler(1) + " " + filler(2) + " " + filler(3))).toDF("doc_id", "text")
+
+    val (chunksOff, _) = TrainingPipeline.prepare(withSalad, bench, "doc_id", "text")
+    val keptOff = chunksOff.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptOff.contains(7L), "without the gate the salad doc survives")
+
+    val cfg = TrainingPipeline.Config(lmMaxScore = 50.0)
+    val (chunksOn, audit) = TrainingPipeline.prepare(withSalad, bench, "doc_id", "text", cfg, Some(ref))
+    val keptOn = chunksOn.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(!keptOn.contains(7L), s"LM gate should drop the salad doc, kept $keptOn")
+    assert(keptOn.contains(1L), "fluent docs must survive the gate")
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("4_fluent") < a("3_unrepeated"))
   }
 
   test("every surviving doc's tokens are fully covered by its chunks") {
