@@ -424,6 +424,51 @@ object TextQueries {
     """.trim)
   )
 
+  /** Image-header metadata ([[Multimodal.sniffImage]]): every document
+    * wrapped in a valid PNG container (signature + IHDR with dimensions
+    * derived from its own fields), then the REAL header parser recovers
+    * format and pixel size from the binary. The oracle re-parses the same
+    * blob independently — byte offsets in hex-string domain — so the two
+    * engines agree only if the construction AND the parse are both
+    * byte-exact. Sniffing is a scan-side per-row map; no shuffle.
+    */
+  private val q79 = Q(
+    "q79_image_header_meta",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val w = ($"n_chars" % 1024 + 1).cast("int")
+      val h = ($"doc_id" % 768 + 1).cast("int")
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        unhex(lpad(hex(w), 8, "0")),
+        unhex(lpad(hex(h), 8, "0")),
+        unhex(lit("0806000000")),
+        $"text".cast("binary")
+      )
+      Multimodal
+        .withImageMeta(T.documents.select($"doc_id", png.as("content")), "content")
+        .select($"doc_id", $"img_format", $"img_width", $"img_height")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               from_hex('89504E470D0A1A0A0000000D49484452') ||
+               from_hex(lpad(to_hex(n_chars % 1024 + 1), 8, '0')) ||
+               from_hex(lpad(to_hex(doc_id % 768 + 1), 8, '0')) ||
+               from_hex('0806000000') || encode(text) AS content
+        FROM documents),
+      hx AS (SELECT doc_id, hex(content) AS hx FROM b)
+      SELECT doc_id,
+             CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+                   AND substr(hx, 25, 8) = '49484452'
+                  THEN 'png' END AS img_format,
+             CAST(('0x' || substr(hx, 33, 8))::BIGINT AS INT) AS img_width,
+             CAST(('0x' || substr(hx, 41, 8))::BIGINT AS INT) AS img_height
+      FROM hx ORDER BY doc_id
+    """.trim)
+  )
+
   /** CCNet-style LM quality scoring ([[LmScore]]): a unigram model trained
     * on the corpus' English slice scores every document by mean smoothed
     * inverse token probability (exact-integer thousandths — see the
@@ -456,5 +501,5 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79)
 }

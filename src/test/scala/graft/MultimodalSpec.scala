@@ -55,4 +55,41 @@ class MultimodalSpec extends SparkSpec {
     assert(repart.rdd.getNumPartitions >= 2)
     assert(repart.count() == 4)
   }
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("sniffImage reads real PNG/GIF/BMP/JPEG headers") {
+    // PNG signature + IHDR: 3 x 2
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000003 00000002 0806000000")
+    assert(Multimodal.sniffImage(png).contains(("png", 3, 2)))
+    // GIF89a logical screen 10 x 11 (little-endian)
+    val gif = hexBytes("474946383961 0A00 0B00")
+    assert(Multimodal.sniffImage(gif).contains(("gif", 10, 11)))
+    // BMP DIB header: width 20, height -23 (top-down) -> |height|
+    val bmp = hexBytes("424D 00000000 00000000 36000000 28000000 14000000 E9FFFFFF")
+    assert(Multimodal.sniffImage(bmp).contains(("bmp", 20, 23)))
+    // JPEG: SOI + APP0(JFIF) + SOF0 with height 120, width 160
+    val jpg = hexBytes("FFD8 FFE0 0010 4A46494600010100000100010000 FFC0 0011 08 0078 00A0 03")
+    assert(Multimodal.sniffImage(jpg).contains(("jpeg", 160, 120)))
+  }
+
+  test("sniffImage rejects garbage, truncation, and desynced streams") {
+    assert(Multimodal.sniffImage(null).isEmpty)
+    assert(Multimodal.sniffImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.sniffImage("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.sniffImage(hexBytes("89504E47")).isEmpty)           // PNG sig cut short
+    assert(Multimodal.sniffImage(hexBytes("FFD8 0042 4242")).isEmpty)     // JPEG desync
+  }
+
+  test("withImageMeta appends sniffed columns scan-side, NULL for non-images") {
+    import spark.implicits._
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000003 00000002 0806000000")
+    val df = Seq((1L, png), (2L, "plain bytes".getBytes)).toDF("id", "content")
+    val out = Multimodal.withImageMeta(df, "content")
+    val rows = out.orderBy($"id").collect()
+    assert(rows(0).getString(2) == "png" && rows(0).getInt(3) == 3 && rows(0).getInt(4) == 2)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
