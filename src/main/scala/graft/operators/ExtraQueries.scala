@@ -454,5 +454,98 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70, q71)
+  /** Correlation/covariance from EXACT integer moments. Spark's (and every
+    * engine's) builtin `corr` accumulates floating-point co-moments, whose
+    * value depends on partial-aggregation order — the same query can return
+    * different last bits run-to-run on a cluster. Here the five moment sums
+    * (Σq, Σp, Σq², Σp², Σqp over integer quantity and integer cents) are
+    * DECIMAL(38,0)/HUGEINT-exact and order-independent; Pearson r and
+    * population covariance come out of one deterministic double expression
+    * at the very end. Same one-pass, map-side-combinable aggregate shape as
+    * the builtin — determinism costs nothing extra at 100 TB.
+    */
+  private val q80 = Q(
+    "q80_exact_corr",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val dec = "decimal(38,0)"
+      val q = $"l_quantity".cast("long")
+      val p = Qh.cents($"l_extendedprice")
+      val m = T.lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(q.cast(dec)).as("sq"),
+          sum(p.cast(dec)).as("sp"),
+          sum((q * q).cast(dec)).as("sqq"),
+          sum((p * p).cast(dec)).as("spp"),
+          sum((q * p).cast(dec)).as("sqp")
+        )
+      m.select(
+        $"l_returnflag",
+        $"n".cast("long").as("n"),
+        (($"n" * $"sqp" - $"sq" * $"sp").cast("double") /
+          (sqrt(($"n" * $"sqq" - $"sq" * $"sq").cast("double")) *
+            sqrt(($"n" * $"spp" - $"sp" * $"sp").cast("double")))).as("corr_qty_price"),
+        (($"n" * $"sqp" - $"sq" * $"sp").cast("double") /
+          ($"n".cast("double") * $"n".cast("double"))).as("covar_pop_qty_price")
+      ).orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sq,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT) AS sp,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sqq,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT) AS spp,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT) AS sqp
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             CAST(n AS BIGINT) AS n,
+             CAST(n*sqp - sq*sp AS DOUBLE) /
+               (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE)))
+               AS corr_qty_price,
+             CAST(n*sqp - sq*sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS covar_pop_qty_price
+      FROM m ORDER BY l_returnflag
+    """.trim)
+  )
+
+  /** Equi-width histogram in PURE INTEGER arithmetic: prices binned over
+    * integer cents (bin width 520500 cents = the [900, 105000] dollar range
+    * in 20 bins), clamped to [0, 19]. A float `width_bucket` would make bin
+    * membership of boundary values depend on each engine's division
+    * rounding; integer binning is bit-identical everywhere, which is what a
+    * distribution sketch feeding downstream decisions needs. One
+    * map-side-combinable aggregate, bucket id computed scan-side.
+    */
+  private val q81 = Q(
+    "q81_histogram",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val pc = Qh.cents($"l_extendedprice")
+      T.lineitem
+        .select(pc.as("pc"))
+        .select(
+          least(greatest(expr("(pc - 90000L) DIV 520500L"), lit(0L)), lit(19L)).cast("int").as("bucket"),
+          $"pc"
+        )
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), min($"pc").as("min_cents"), max($"pc").as("max_cents"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH c AS (SELECT CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS pc FROM lineitem)
+      SELECT CAST(LEAST(GREATEST((pc - 90000) // 520500, 0), 19) AS INT) AS bucket,
+             COUNT(*) AS n,
+             CAST(MIN(pc) AS BIGINT) AS min_cents,
+             CAST(MAX(pc) AS BIGINT) AS max_cents
+      FROM c GROUP BY 1 ORDER BY bucket
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70, q71, q80, q81)
 }
