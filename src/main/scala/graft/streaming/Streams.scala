@@ -78,6 +78,41 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus intake: the training-data quality gates applied to an
+    * unbounded document stream. The per-row gates (token count, language id,
+    * quality score — all single-pass codegen expressions from
+    * [[graft.operators.TextAnalysis]]) are stateless maps, so they stream
+    * for free at scan speed; exact dedup becomes content-hash
+    * `dropDuplicatesWithinWatermark` (the only stateful step — state
+    * bounded by the watermark horizon, hash-partitioned). The batch
+    * pipeline's join-bearing stages (near-dedup, decontamination) stay
+    * batch: run them over each landed micro-batch or the daily partition —
+    * the standard lambda split for corpus construction.
+    *
+    * Dropped rows are filtered, not annotated — a stream wants the clean
+    * feed; route the complement through the same gates negated if an audit
+    * stream is needed.
+    */
+  def gatedDocStream(
+      stream: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      cfg: graft.operators.CorpusPipeline.Config = graft.operators.CorpusPipeline.Config(),
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import graft.operators.TextAnalysis
+    val text = col(textCol)
+    stream
+      .filter(
+        TextAnalysis.tokenCount(text) >= cfg.minTokens &&
+          TextAnalysis.langId(text).isInCollection(cfg.allowedLangs) &&
+          TextAnalysis.qualityScore(text) >= cfg.minQuality
+      )
+      .withColumn("row_hash", md5(text))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("row_hash")
+  }
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */

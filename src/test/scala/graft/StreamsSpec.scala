@@ -71,6 +71,28 @@ class StreamsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("gatedDocStream filters by the corpus gates and dedups content on the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val fluent = "the quick brown fox jumps over the lazy dog and keeps running through the field today"
+    mem.addData(
+      (1L, fluent, ts),                               // kept
+      (2L, fluent, ts),                               // exact dup -> deduped
+      (3L, "short", ts),                              // too few tokens
+      (4L, "le renard brun rapide saute par dessus le chien paresseux et il continue de courir", ts) // wrong lang
+    )
+    val gated = graft.streaming.Streams.gatedDocStream(
+      mem.toDF().toDF("doc_id", "text", "event_ts"), "text", "event_ts")
+    val q = gated.writeStream.format("memory").queryName("gated_docs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gated_docs").select($"doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"expected only doc 1 to pass the gates, got $got")
+    } finally q.stop()
+  }
+
   test("windowed counts over event time") {
     val root = tmpDir("stream")
     val rows = Seq(
