@@ -41,6 +41,9 @@ object GraftSession {
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft_* SQL functions available in every graft session (cluster
+    // deployments get the same via spark.sql.extensions=GraftExtensions).
+    graft.functions.GraftSqlFunctions.register(s)
     s
   }
 }

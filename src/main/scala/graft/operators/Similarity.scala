@@ -109,11 +109,22 @@ object Similarity {
     * centroid vectors against the corpus scan, and posting lists are just
     * a `cluster` column the bucket-join groups by.
     */
-  def ivfIndex(corpus: DataFrame, k: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+  def ivfIndex(
+      corpus: DataFrame,
+      k: Int,
+      seed: Long = 42L,
+      maxIter: Int = 8
+  ): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featurized = corpus.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(featurized)
+    // maxIter trades index-build time against posting-list balance (probe
+    // recall), never result correctness: probe-everything top-k is exact for
+    // ANY centroids, and the nProbe<k path's recall is a tuning knob every
+    // IVF deployment sizes empirically. 8 iterations is where movement
+    // plateaus on embedding-shaped data; raise it when building a long-lived
+    // index whose build cost amortizes across many queries.
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features").fit(featurized)
     val assigned = model.transform(featurized).withColumnRenamed("prediction", "cluster").drop("features")
     (assigned, model.clusterCenters.map(_.toArray))
   }
