@@ -51,4 +51,31 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan("q69_profile")
     assert("Scan parquet".r.findAllIn(p).size == 1, "q69 must scan lineitem exactly once")
   }
+
+  test("LM scoring broadcasts the vocabulary; the corpus side never hash-shuffles rows") {
+    val p = plan("q77_lm_quality")
+    assert(p.contains("BroadcastHashJoin"), "q77 must broadcast the unigram model")
+    assert(!p.contains("SortMergeJoin"), "q77 must not shuffle-join the corpus against the vocab")
+  }
+
+  test("shuffle-shard is one hash exchange (the shard key), not a global sort of the data") {
+    val p = plan("q78_shuffle_shard")
+    // one hash partitioning for the window + the final presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q78 should shuffle once on the shard key:\n$p")
+  }
+
+  test("image sniffing adds no exchange beyond the presentation sort") {
+    val p = plan("q79_image_header_meta")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      "q79 must sniff scan-side")
+  }
+
+  test("exact-moment stats are single-pass aggregates over one scan") {
+    for (q <- Seq("q80_exact_corr", "q81_histogram")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q must scan lineitem exactly once")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+  }
 }
