@@ -1,0 +1,179 @@
+package graft.sources.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.Property
+import graft.sources.vgsi.VgsiParser
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The VGSI property source as a DataSource V2 table:
+  *
+  * {{{
+  *   spark.read.format("graft-vgsi")
+  *     .option("numPartitions", 8)
+  *     .load("/data/vgsi-pages")       // directory of <pid>.html captures
+  * }}}
+  *
+  * This is the Spark-native spelling of the reference's scraper read path
+  * (engine.py run_load): instead of an imperative driver loop, the pages
+  * become a TABLE — every downstream tool (SQL, streaming ingestion via
+  * file listing, the lake writer) composes with it for free.
+  *
+  * Scale mechanics, all real:
+  *  - PARTITION PLANNING: the page files are split into `numPartitions`
+  *    input partitions (contiguous pid ranges after a sort, so per-town
+  *    captures stay roughly together); each partition is one task, the
+  *    parser is constructed once per task and rows stream through it.
+  *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): a query that
+  *    selects 2 of Property's 33 columns materializes exactly those 2 —
+  *    visible as the narrowed ReadSchema in `.explain`.
+  *  - The HTML fetch here is a local/posix file read (this environment is
+  *    zero-egress); a deployment fetches page bodies from its capture
+  *    store — the partition/reader shape does not change.
+  *
+  * Parse failures (the reference's invalid-parcel error form) yield no row,
+  * mirroring Engine's invalid-skip (D6) — the table is the VALID parcels.
+  */
+class VgsiHtmlDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-vgsi"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VgsiHtmlDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new VgsiHtmlTable(new CaseInsensitiveStringMap(properties))
+}
+
+object VgsiHtmlDataSource {
+  val schema: StructType = Encoders.product[Property].schema
+
+  /** List `<pid>.html` files under `dir`, sorted by pid. */
+  def listPages(dir: String): Seq[(Long, String)] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+    files.toSeq
+      .flatMap { f =>
+        val n = f.getName
+        if (n.endsWith(".html"))
+          scala.util.Try(n.stripSuffix(".html").toLong).toOption.map(_ -> f.getAbsolutePath)
+        else None
+      }
+      .sortBy(_._1)
+  }
+}
+
+final class VgsiHtmlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-vgsi:${options.get("path")}"
+  override def schema(): StructType = VgsiHtmlDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new VgsiScanBuilder(opts)
+}
+
+final class VgsiScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = VgsiHtmlDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-vgsi: .load(path) with the page directory is required"))
+    val numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(8)
+    new VgsiScan(path, numPartitions, required)
+  }
+}
+
+final class VgsiScan(path: String, numPartitions: Int, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pages = VgsiHtmlDataSource.listPages(path)
+    if (pages.isEmpty) Array.empty
+    else {
+      val n = math.min(numPartitions, pages.size)
+      // contiguous pid-range chunks of near-equal size
+      pages
+        .grouped(math.ceil(pages.size.toDouble / n).toInt)
+        .map(chunk => VgsiInputPartition(chunk.map(_._2).toArray): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new VgsiReaderFactory(required)
+}
+
+final case class VgsiInputPartition(files: Array[String]) extends InputPartition
+
+final class VgsiReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VgsiPartitionReader(partition.asInstanceOf[VgsiInputPartition].files, required)
+}
+
+/** One task's reader: parser + row serializer constructed once per task
+  * (the per-partition-init contract), page files streamed through.
+  */
+final class VgsiPartitionReader(files: Array[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val enc = ExpressionEncoder[Property]().resolveAndBind()
+  private val serialize = enc.createSerializer()
+  private val fullSchema = enc.schema
+  private val fieldIdx = required.fieldNames.map(fullSchema.fieldIndex)
+  private val fieldTypes = fieldIdx.map(fullSchema(_).dataType)
+
+  private var i = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && i < files.length) {
+      val file = files(i)
+      i += 1
+      val pid = new java.io.File(file).getName.stripSuffix(".html").toLong
+      val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val r = VgsiParser.parse(html, pid)
+        val full = serialize(r.property)
+        val vals = new Array[Any](fieldIdx.length)
+        var j = 0
+        while (j < fieldIdx.length) {
+          vals(j) = full.get(fieldIdx(j), fieldTypes(j))
+          j += 1
+        }
+        current = new GenericInternalRow(vals)
+      } catch {
+        // invalid parcel (the VGSI error form): skip, like Engine D6.
+        // Anything else propagates and fails the task - a parser bug must
+        // not silently thin the table.
+        case _: graft.ingest.InvalidEntryException => ()
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
