@@ -106,4 +106,39 @@ object Sampling {
     df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Sequence packing: assign every document a (shard, bin) so that
+    * concatenating each bin's documents in shard order yields ~`maxTokens`
+    * training sequences — the packing step between "clean corpus" and
+    * "batches the trainer reads". A document lands in the bin its FIRST
+    * token falls into under continuous concatenation (documents are not
+    * split; the standard boundary-respecting greedy packing).
+    *
+    * Deterministic like [[shard]]: order within a shard is the portable key
+    * hash, the prefix sum is an exact BIGINT window over that total order,
+    * and `bin = (prefix - n) DIV maxTokens` is integer arithmetic — the
+    * same packing falls out on any cluster, rerun, or engine. One hash
+    * shuffle on `shard`; the prefix sum runs inside each shard's task (no
+    * global sort), so `numShards` is sized exactly like shard()'s.
+    */
+  def packSequences(
+      df: DataFrame,
+      key: Column,
+      tokens: Column,
+      numShards: Int,
+      maxTokens: Long
+  ): DataFrame = {
+    require(numShards > 0 && maxTokens > 0, "need positive numShards and maxTokens")
+    val h = hash60(key)
+    val shardCol = pmod(h, lit(numShards)).cast("int")
+    val w = Window
+      .partitionBy(shardCol)
+      .orderBy(h.asc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardCol)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(__cum - n_tokens) DIV ${maxTokens}L"))
+      .drop("__cum")
+  }
 }

@@ -154,5 +154,40 @@ object SamplingQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78)
+  /** Sequence packing ([[Sampling.packSequences]]): the corpus packed into
+    * ~512-token training bins across 4 shards — shard and in-shard order by
+    * the portable key hash, bin by exact-integer prefix sum. The oracle
+    * reproduces the identical (shard, bin) for every document, proving the
+    * trainer's batch composition is a property of the data, not the run.
+    */
+  private val q82 = Q(
+    "q82_sequence_packing",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Sampling
+        .packSequences(
+          T.documents.select($"doc_id", $"text"),
+          $"doc_id",
+          TextAnalysis.tokenCount($"text"),
+          numShards = 4,
+          maxTokens = 512L
+        )
+        .select($"doc_id", $"shard", $"bin", $"n_tokens")
+        .orderBy($"shard", $"bin", $"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+                        CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n,
+                        ${duckHash("doc_id")} AS h
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(h % 4 AS INT) AS shard, n,
+                   CAST(SUM(n) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, shard, (cum - n) // 512 AS bin, n AS n_tokens
+      FROM c ORDER BY shard, bin, doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82)
 }

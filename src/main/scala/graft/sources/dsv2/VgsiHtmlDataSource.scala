@@ -89,27 +89,81 @@ final class VgsiHtmlTable(options: CaseInsensitiveStringMap) extends Table with 
 
 final class VgsiScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
 
   private var required: StructType = VgsiHtmlDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** pid predicates are decidable from the FILE NAME — pushing them down
+    * prunes pages before a single byte of HTML is read or parsed (the
+    * source-level analogue of partition pruning). Everything else stays a
+    * post-scan filter (returned as unsupported).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(VgsiScanBuilder.pidPredicate(_).isDefined)
+    pushed = accepted
+    rejected // Spark keeps evaluating these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-vgsi: .load(path) with the page directory is required"))
     val numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(8)
-    new VgsiScan(path, numPartitions, required)
+    val pidPred: Long => Boolean =
+      pid => pushed.forall(f => VgsiScanBuilder.pidPredicate(f).forall(_(pid)))
+    new VgsiScan(path, numPartitions, required, pidPred)
   }
 }
 
-final class VgsiScan(path: String, numPartitions: Int, required: StructType) extends Scan with Batch {
+object VgsiScanBuilder {
+  import org.apache.spark.sql.sources._
+
+  private def lit(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case _ => None
+  }
+
+  /** The filename-decidable subset of Spark's filter algebra on `pid`. */
+  def pidPredicate(f: Filter): Option[Long => Boolean] = f match {
+    case EqualTo("pid", v) => lit(v).map(x => _ == x)
+    case GreaterThan("pid", v) => lit(v).map(x => _ > x)
+    case GreaterThanOrEqual("pid", v) => lit(v).map(x => _ >= x)
+    case LessThan("pid", v) => lit(v).map(x => _ < x)
+    case LessThanOrEqual("pid", v) => lit(v).map(x => _ <= x)
+    case In("pid", vs) =>
+      val longs = vs.flatMap(lit)
+      if (longs.length == vs.length) Some(longs.toSet.contains _) else None
+    case And(l, r) =>
+      for (pl <- pidPredicate(l); pr <- pidPredicate(r)) yield (p: Long) => pl(p) && pr(p)
+    case Or(l, r) =>
+      for (pl <- pidPredicate(l); pr <- pidPredicate(r)) yield (p: Long) => pl(p) || pr(p)
+    case Not(c) => pidPredicate(c).map(pc => (p: Long) => !pc(p))
+    case IsNotNull("pid") => Some(_ => true) // pid is never null in a listed file
+    case _ => None
+  }
+}
+
+final class VgsiScan(
+    path: String,
+    numPartitions: Int,
+    required: StructType,
+    pidPred: Long => Boolean = _ => true
+) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val pages = VgsiHtmlDataSource.listPages(path)
+    val pages = VgsiHtmlDataSource.listPages(path).filter { case (pid, _) => pidPred(pid) }
     if (pages.isEmpty) Array.empty
     else {
       val n = math.min(numPartitions, pages.size)

@@ -96,4 +96,28 @@ class SamplingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(runOn(docs.repartition(1)) == runOn(docs.repartition(13, $"grp")))
   }
+
+  test("packSequences: bins fill to capacity, respect document boundaries, and are deterministic") {
+    val sized = docs.withColumn("ntok", ($"id" % 37 + 3).cast("long"))
+    val out = Sampling.packSequences(sized, $"id", $"ntok", numShards = 4, maxTokens = 100L).cache()
+    assert(out.count() == 2000)
+    val perBin = out.groupBy($"shard", $"bin")
+      .agg(sum($"n_tokens").as("tok"), max($"n_tokens").as("biggest"))
+      .collect()
+    perBin.foreach { r =>
+      // a bin can only exceed capacity by the tail of its last document
+      assert(r.getLong(2) < 100L + r.getLong(3),
+        s"shard ${r.getInt(0)} bin ${r.getLong(1)} holds ${r.getLong(2)} tokens")
+    }
+    // bins are contiguous from 0 within every shard
+    out.groupBy($"shard").agg(min($"bin").as("lo"), max($"bin").as("hi"), countDistinct($"bin").as("nd"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == 0L && r.getLong(3) == r.getLong(2) + 1, s"holes in shard ${r.getInt(0)}")
+      }
+    val again = Sampling.packSequences(sized.repartition(11, $"grp"), $"id", $"ntok", 4, 100L)
+      .select($"id", $"shard", $"bin").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val first = out.select($"id", $"shard", $"bin").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(first == again)
+    out.unpersist()
+  }
 }
