@@ -355,5 +355,35 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74)
+  /** Entity resolution ([[EntityResolution.blockedEditDistancePairs]]):
+    * same-entity candidates among customer names — prefix blocking keeps
+    * the join sub-quadratic, integer levenshtein verifies. Restricted to a
+    * deterministic key slice so the pair count stays bounded at any SF.
+    */
+  private val q83 = Q(
+    "q83_entity_pairs",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      EntityResolution
+        .blockedEditDistancePairs(
+          T.customer.filter($"c_custkey" < 500).select($"c_custkey", $"c_name"),
+          "c_custkey",
+          "c_name",
+          blockLen = 16,
+          maxDist = 1
+        )
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey AS id, c_name AS s, substr(c_name, 1, 16) AS blk
+                 FROM customer WHERE c_custkey < 500)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 1
+      ORDER BY id_a, id_b
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83)
 }
