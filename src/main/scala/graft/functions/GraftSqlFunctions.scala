@@ -58,7 +58,12 @@ object GraftSqlFunctions {
   )
 
   private def info(name: String, arity: String): ExpressionInfo =
-    new ExpressionInfo(HashExprs.getClass.getName, null, name)
+    new ExpressionInfo(
+      HashExprs.getClass.getName,
+      null,
+      name,
+      s"$name$arity - graft native codegen expression",
+      "")
 
   private def safeBuilder(
       name: String,

@@ -40,7 +40,7 @@ object LmScore {
     */
   def unigramCounts(ref: DataFrame, textCol: String): DataFrame =
     ref
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
 
@@ -57,7 +57,7 @@ object LmScore {
     require(tv > 0, "reference slice is empty - no model to score against")
     val toks = docs.select(
       col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("term")
+      explode(TextAnalysis.tokens(col(textCol))).as("term")
     )
     toks
       .join(broadcast(vocab), Seq("term"), "left")

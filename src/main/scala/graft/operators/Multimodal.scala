@@ -157,7 +157,15 @@ object Multimodal {
       (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
       Some(("gif", le16(6), le16(8)))
     } else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
-      Some(("bmp", le32(18).toInt, math.abs(le32(22).toInt)))
+      // Positive identification requires a known DIB header size at offset
+      // 14 — 'BM' alone matches ordinary text ("BMW …"). Core (v2) headers
+      // carry 16-bit dims; the BITMAPINFOHEADER family carries 32-bit.
+      le32(14).toInt match {
+        case 12 => Some(("bmp", le16(18), le16(20)))
+        case 40 | 52 | 56 | 64 | 108 | 124 =>
+          Some(("bmp", le32(18).toInt, math.abs(le32(22).toInt)))
+        case _ => None
+      }
     } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk FF-marker segments to the first start-of-frame.
       var i = 2

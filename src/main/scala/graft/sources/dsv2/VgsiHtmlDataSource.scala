@@ -117,6 +117,7 @@ final class VgsiScanBuilder(options: CaseInsensitiveStringMap)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-vgsi: .load(path) with the page directory is required"))
     val numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(8)
+    require(numPartitions > 0, s"graft-vgsi: numPartitions must be positive, got $numPartitions")
     val pidPred: Long => Boolean =
       pid => pushed.forall(f => VgsiScanBuilder.pidPredicate(f).forall(_(pid)))
     new VgsiScan(path, numPartitions, required, pidPred)

@@ -108,9 +108,10 @@ object Streams {
           TextAnalysis.langId(text).isInCollection(cfg.allowedLangs) &&
           TextAnalysis.qualityScore(text) >= cfg.minQuality
       )
-      .withColumn("row_hash", md5(text))
+      .withColumn("__content_md5", md5(text))
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark("row_hash")
+      .dropDuplicatesWithinWatermark("__content_md5")
+      .drop("__content_md5") // internal dedup key; NOT the lake's row_hash (F7)
   }
 
   /** Windowed change counts per entity-key column — the streaming version of

@@ -9,7 +9,7 @@ class EntityResolutionSpec extends SparkSpec {
     (1L, "ACME CORP"),
     (2L, "ACME CORP."),   // dist 1 to #1 -> pair
     (3L, "ACME COMPANY"), // dist > 2 to both
-    (4L, "BCME CORP"),    // first char differs: other block (documented recall bound)
+    (4L, "AXME CORP"),    // typo in position 2: outside a 4-char block, inside a 1-char block
     (5L, "ZETA LLC")
   ).toDF("id", "name")
 
@@ -19,14 +19,16 @@ class EntityResolutionSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1)))
   }
 
-  test("blocking bounds recall by design: a first-character typo lands outside the block") {
-    val pairs = EntityResolution.blockedEditDistancePairs(recs, "id", "name", 4, 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(!pairs.contains((1L, 4L)), "cross-block pair must be invisible (that's the trade)")
-    // with a 1-char block it IS found - the key choice is the recall knob
+  test("block length is the recall knob: a typo inside the block key hides a pair") {
+    // dist("ACME CORP", "AXME CORP") = 1, but the typo sits inside the
+    // 4-char block key -> invisible at blockLen 4 (the documented trade)
+    val strict = EntityResolution.blockedEditDistancePairs(recs, "id", "name", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!strict.contains((1L, 4L)), "cross-block pair must be invisible at blockLen 4")
+    // a 1-char block ('A') puts them back in the same candidate set
     val loose = EntityResolution.blockedEditDistancePairs(recs, "id", "name", 1, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(!loose.contains((1L, 4L)), "A-vs-B first char still differs even at blockLen 1")
+    assert(loose.contains((1L, 4L)), "blockLen 1 must recover the in-key typo pair")
   }
 
   test("the candidate join is an equi-join on the block key, never a cartesian") {

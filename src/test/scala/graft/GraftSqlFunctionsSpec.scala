@@ -56,9 +56,22 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(n > 1)
   }
 
-  test("the extensions plug-in injects every function") {
-    // instantiating the plug-in and applying it must register all builders
-    new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftSqlFunctions.functions.map(_._1).distinct.size == GraftSqlFunctions.functions.size)
+  test("the extensions plug-in registers working builders into a function registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // exercise the exact path a session built with
+    // spark.sql.extensions=GraftExtensions runs at construction time:
+    // inject into a SparkSessionExtensions, materialize its registry, and
+    // evaluate a looked-up builder end to end
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.GraftExtensionsTestHook
+      .materializeFunctions(ext, new SimpleFunctionRegistry)
+    GraftSqlFunctions.functions.foreach { case (n, _, _) =>
+      assert(reg.functionExists(FunctionIdentifier(n)), s"$n missing from injected registry")
+    }
+    val e = reg.lookupFunction(FunctionIdentifier("graft_simhash64"), Seq(Literal("plug-in path")))
+    assert(e.eval(null) == HashSupport.simhash64("plug-in path"))
   }
 }

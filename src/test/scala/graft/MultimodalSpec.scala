@@ -66,9 +66,12 @@ class MultimodalSpec extends SparkSpec {
     // GIF89a logical screen 10 x 11 (little-endian)
     val gif = hexBytes("474946383961 0A00 0B00")
     assert(Multimodal.sniffImage(gif).contains(("gif", 10, 11)))
-    // BMP DIB header: width 20, height -23 (top-down) -> |height|
+    // BMP BITMAPINFOHEADER (dib size 40): width 20, height -23 (top-down) -> |height|
     val bmp = hexBytes("424D 00000000 00000000 36000000 28000000 14000000 E9FFFFFF")
     assert(Multimodal.sniffImage(bmp).contains(("bmp", 20, 23)))
+    // BMP core header (dib size 12): 16-bit dims 20 x 23
+    val bmpCore = hexBytes("424D 00000000 00000000 1A000000 0C000000 1400 1700 0100 0100")
+    assert(Multimodal.sniffImage(bmpCore).contains(("bmp", 20, 23)))
     // JPEG: SOI + APP0(JFIF) + SOF0 with height 120, width 160
     val jpg = hexBytes("FFD8 FFE0 0010 4A46494600010100000100010000 FFC0 0011 08 0078 00A0 03")
     assert(Multimodal.sniffImage(jpg).contains(("jpeg", 160, 120)))
@@ -80,6 +83,8 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffImage("not an image at all".getBytes).isEmpty)
     assert(Multimodal.sniffImage(hexBytes("89504E47")).isEmpty)           // PNG sig cut short
     assert(Multimodal.sniffImage(hexBytes("FFD8 0042 4242")).isEmpty)     // JPEG desync
+    // 'BM'-prefixed text is NOT a bitmap (no valid DIB header size at offset 14)
+    assert(Multimodal.sniffImage("BMW quarterly report for 2024, all divisions".getBytes).isEmpty)
   }
 
   test("withImageMeta appends sniffed columns scan-side, NULL for non-images") {

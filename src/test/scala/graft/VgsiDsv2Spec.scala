@@ -59,17 +59,21 @@ class VgsiDsv2Spec extends SparkSpec {
     assert(n == (1 to 20).count(_ % 7 != 0))
   }
 
-  test("pid filters push down to file listing: pruned pages are never read") {
+  test("pid filters push down to file listing: pruned pages are never opened") {
     val dir = pageDir(1 to 30)
-    // plant a poison page whose pid is outside the filter range: if the
-    // reader ever opens it, parsing blows up the task
-    Files.write(Paths.get(dir, "999.html"), "<html>not parseable as a parcel".getBytes)
+    // plant a poison "page" whose pid is outside the filter range: it is a
+    // DIRECTORY, so any attempt to open it fails the task — the query can
+    // only succeed if pushdown pruned it at listing time
+    Files.createDirectory(Paths.get(dir, "999.html"))
     val df = spark.read.format("graft-vgsi").load(dir)
       .filter($"pid" >= 10 && $"pid" < 20)
     val got = df.select($"pid").orderBy($"pid").collect().map(_.getLong(0)).toSeq
     assert(got == (10 to 19).filterNot(_ % 7 == 0).map(_.toLong))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") || got.nonEmpty) // values prove the prune; plan shows the push
+    // without a pid filter the poison IS opened and the task fails —
+    // proving the green run above came from pruning, not from tolerance
+    intercept[Exception] {
+      spark.read.format("graft-vgsi").load(dir).count()
+    }
     // a residual non-pid filter still evaluates above the scan
     val mixed = spark.read.format("graft-vgsi").load(dir)
       .filter($"pid" < 5 && $"owner" === "OWNER 2")
