@@ -547,5 +547,38 @@ object ExtraQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70, q71, q80, q81)
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL, native in
+    * Spark 4): per-source sketches built in one pass, then UNIONED into the
+    * overall estimate — no second scan. This is the incremental-analytics
+    * contract at 100 TB: persist each ingest batch's binary sketch column,
+    * and any later rollup (per day, per source, whole corpus) is a cheap union
+    * of kilobyte sketches instead of a re-aggregation of the raw data.
+    * Approximation ⇒ rows-only driver check (cross-engine sketch estimates
+    * legitimately differ); SketchSpec pins the estimates to the exact
+    * distinct counts within the configured error bound.
+    */
+  private val q84 = Q(
+    "q84_mergeable_sketches",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val perSource = T.documents
+        .groupBy($"source")
+        .agg(
+          hll_sketch_agg($"doc_id", lit(14)).as("sk"),
+          count(lit(1)).as("n")
+        )
+      val overall = perSource.agg(
+        lit("__all__").as("source"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est_distinct"),
+        sum($"n").as("n")
+      )
+      perSource
+        .select($"source", hll_sketch_estimate($"sk").as("est_distinct"), $"n")
+        .unionByName(overall)
+        .orderBy($"source")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70, q71, q80, q81, q84)
 }
