@@ -74,7 +74,7 @@ object HashSupport {
     */
   def simhash32(text: String): Long = {
     val votes = new Array[Int](32)
-    val tokens = text.toLowerCase.split("\\s+")
+    val tokens = text.toLowerCase.split("\\s+", -1)
     var t = 0
     while (t < tokens.length) {
       val hex = md5Hex(tokens(t))
@@ -159,7 +159,7 @@ object HashSupport {
     */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
-    val tokens = text.toLowerCase.split("\\s+")
+    val tokens = text.toLowerCase.split("\\s+", -1)
     var t = 0
     while (t < tokens.length) {
       val hex = md5Hex(tokens(t))
@@ -555,7 +555,7 @@ object NGramSupport {
     * comprehension, in one JVM pass.
     */
   def wordNGrams(text: String, n: Int): ArrayData = {
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase.split("\\s+", -1)
     val m = math.max(toks.length - n + 1, 1)
     val out = new Array[Any](m)
     var i = 0

@@ -121,9 +121,16 @@ object Engine {
   ): IngestStats = {
     import org.apache.spark.sql.functions.col
     val (idTable, idCol) = source.entryIdSource
-    val known = Lake
-      .read(spark, root, scope, idTable)
+    val raw = Lake.read(spark, root, scope, idTable)
+    // Fail loudly on an ID column that doesn't survive the long cast: a
+    // silent NULL here would drop those entities from every range bucket
+    // and they would quietly never be re-scraped.
+    val unparseable = raw.filter(col(idCol).isNotNull && col(idCol).cast("long").isNull).count()
+    require(unparseable == 0L,
+      s"runRefresh: $unparseable '$idCol' values in $idTable are not castable to long")
+    val known = raw
       .select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull)
       .distinct()
     known.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -147,17 +154,19 @@ object Engine {
     if (bounds.isNullAt(2) || bounds.getLong(2) == 0L) return Iterator.empty
     val (lo, hi, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     val nBuckets = math.max(1L, math.ceil(n.toDouble / batchSize).toLong)
-    // ceil-divide the span so nBuckets*width covers [lo, hi] without
-    // Long overflow on wide spans (width >= 1)
-    val span = hi - lo + 1
-    val width = math.max(1L, span / nBuckets + (if (span % nBuckets == 0) 0 else 1))
+    // All span/cursor arithmetic in BigInt: a full-width ID range
+    // (hi - lo + 1, or hi + 1 at Long.MaxValue) overflows Long, which would
+    // collapse width to 1 (one filter per ID value = a hung refresh) or
+    // wrap the final bound (silently dropping the last IDs).
+    val width = (BigInt(hi) - BigInt(lo) + 1 + nBuckets - 1) / nBuckets // ceil, >= 1
     Iterator
-      .iterate(lo)(_ + width)
-      .takeWhile(start => start <= hi && start >= lo) // >= lo guards overflow
-      .map { start =>
-        val endExcl = if (hi - start < width) hi + 1 else start + width
+      .iterate(BigInt(lo))(_ + width)
+      .takeWhile(_ <= hi)
+      .map { startB =>
+        val start = startB.toLong
+        val endIncl = (startB + width - 1).min(BigInt(hi)).toLong
         known
-          .filter($"id" >= start && $"id" < endExcl)
+          .filter($"id" >= start && $"id" <= endIncl)
           .orderBy("id")
           .as[Long]
           .collect()

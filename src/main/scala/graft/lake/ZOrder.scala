@@ -67,13 +67,25 @@ object ZOrder {
     * the z-value (so files own disjoint z-ranges ⇒ compact hyper-rectangles
     * of the key space), sort within each file (narrow row-group stats too),
     * drop the helper column, write. One shuffle total.
+    *
+    * `bitsPerCol` defaults so the interleave fits 63 bits for ANY column
+    * count (16 bits up to 3 columns, then 63/n) — pass it explicitly to
+    * weight resolution differently.
     */
-  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String, numFiles: Int): Unit =
-    df.withColumn("__z", zValue(df, cols))
+  def writeZOrdered(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      numFiles: Int,
+      bitsPerCol: Int = 0
+  ): Unit = {
+    val bits = if (bitsPerCol > 0) bitsPerCol else math.min(16, 63 / math.max(cols.size, 1))
+    df.withColumn("__z", zValue(df, cols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write
       .mode("overwrite")
       .parquet(path)
+  }
 }

@@ -47,6 +47,10 @@ object AsOfJoin {
     val overlap = left.columns.toSet.intersect(payload.toSet)
     require(overlap.isEmpty, s"left/right column collision: ${overlap.mkString(", ")}")
     require(payload.contains(rightTs) && payload.contains(rightTie), "rightTs/rightTie must be right columns")
+    require(
+      right.schema(rightTie).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightTie '$rightTie' must be numeric: a lossy cast would NULL the tiebreak and make " +
+        "equal-timestamp picks partition-layout-dependent")
 
     val l = left
       .withColumn("__ts", col(leftTs))
@@ -55,6 +59,10 @@ object AsOfJoin {
       .withColumn("__p", lit(null).cast(org.apache.spark.sql.types.StructType(
         right.select(payload.map(col): _*).schema.fields)))
     val r = right
+      // a NULL-timestamped right row is at-or-before nothing (matching the
+      // inequality-join semantics); dropped here, NOT sorted nulls-first
+      // where it would wrongly attach to every left row
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(rightTie).cast("long"))

@@ -257,6 +257,11 @@ object Dedup {
     // document frequency per fingerprint via ONE count window over fp (the
     // PPJoin trick: no aggregate+join-back double exchange)
     val dfw = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))
+    // Persisted because both sides of the self-join read it; the blocks are
+    // reclaimed by Spark's ContextCleaner once the returned plan is
+    // unreferenced (same lifecycle contract as CorpusPipeline's gated
+    // table) — callers holding many results long-term should unpersist via
+    // sparkSession.sharedState.cacheManager if storage pressure matters.
     val kept = fps
       .withColumn("__df", dfw)
       .filter(col("__df") <= lit(nDocs * maxDfFrac))

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * A float idf (ln-based) would make the cosine depend on partial-sum order
   * at 100 TB — same value twice is not guaranteed. Overflow headroom:
   * weight <= tf·(N+1)·100 stays far under 2^63 for any realistic tf and
-  * corpus slice per term (documented bound, not an accident).
+  * corpus slice per term; the SQUARED products inside norms and dots exceed
+  * 2^63 much earlier (~6e7 docs), so those multiplies run in DECIMAL(38,0)
+  * — exact to 38 digits, which bounds w below ~1e19 (documented bound, not
+  * an accident).
   */
 object TfIdf {
 
@@ -65,12 +68,17 @@ object TfIdf {
   ): DataFrame = {
     val w = weights(df, idCol, textCol, maxDfFrac)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+    // w-products in DECIMAL(38,0): w itself is bounded by tf*(N+1)*100, but
+    // w*w squares that — a LongType product wraps silently once the corpus
+    // passes ~6e7 docs (negative nsq -> NaN cosines). Casting the OPERANDS
+    // keeps the multiply exact; values stay far under 38 digits.
+    val dw = "decimal(19,0)"
+    val norms = w.groupBy("doc_id").agg(sum(col("w").cast(dw) * col("w").cast(dw)).as("nsq"))
     val dots = w
       .as("a")
       .join(w.as("b"), col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("sim_id"))
-      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .agg(sum(col("a.w").cast(dw) * col("b.w").cast(dw)).as("dot"))
     val cos = dots
       .join(norms.select(col("doc_id").as("__na"), col("nsq").as("nsq_a")), col("doc_id") === col("__na"))
       .join(norms.select(col("doc_id").as("__nb"), col("nsq").as("nsq_b")), col("sim_id") === col("__nb"))

@@ -71,21 +71,26 @@ object CtDataSource {
     val allKeys = pageKeys(datasetId, totalRows)
     // Refresh re-fetches everything (dedup drops unchanged rows); plain
     // loads resume past the last checkpointed offset.
-    val resumeFrom: Option[Long] =
+    val prior: Option[Checkpoint] =
       if (refresh || !checkpoint) None
-      else Checkpoints.load(spark, root, cpScope).map(_.lastEntryId.toLong)
-    val keys = resumeFrom.fold(allKeys)(last => allKeys.filter(k => splitKey(k)._2 > last))
+      else Checkpoints.load(spark, root, cpScope)
+    val keys = prior.map(_.lastEntryId.toLong).fold(allKeys)(last => allKeys.filter(k => splitKey(k)._2 > last))
     if (keys.isEmpty) return table -> 0L
 
+    // Cumulative accounting survives resume: the doc carries the lifetime
+    // total, this run adds to it. Refresh never writes the checkpoint at
+    // all (same contract as Engine.runBatches) — it would clobber the load
+    // cursor and reset the total to the refresh's mostly-deduped count.
+    val priorTotal = prior.map(_.totalScraped).getOrElse(0L)
     var written = 0L
     keys.grouped(math.max(pagesPerBatch, 1)).foreach { batch =>
       written += loadPages(spark, batch, table, fetchPage, root)
-      if (checkpoint) {
+      if (checkpoint && !refresh) {
         val done = batch.map(k => splitKey(k)._2).max
         Checkpoints.save(
           spark,
           root,
-          Checkpoint(cpScope, done.toString, written, java.time.Instant.now().toString))
+          Checkpoint(cpScope, done.toString, priorTotal + written, java.time.Instant.now().toString))
       }
     }
     table -> written

@@ -62,6 +62,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a NULL right timestamp matches nothing (at-or-before semantics, not nulls-first)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, Option.empty[Long], 5L)).toDF("k", "r_ts", "rid")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "r_ts", "rid").collect()
+    assert(out.length == 1 && out.head.isNullAt(3), "null-ts right row must not attach")
+  }
+
+  test("a non-numeric tiebreak column is rejected instead of silently cast to NULL") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, 50L, "uuid-a")).toDF("k", "r_ts", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("k"), "ts", "r_ts", "rid")
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("plan has no nested-loop join — single hash shuffle + window") {
     val plan = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "q_ts", "q_id")
       .queryExecution.executedPlan.toString

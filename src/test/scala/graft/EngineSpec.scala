@@ -251,6 +251,12 @@ class EngineSpec extends SparkSpec {
     assert(Engine.rangeBatches(spark.emptyDataset[Long].toDF("id"), 10).isEmpty)
     // single id
     assert(Engine.rangeBatches(Seq(42L).toDF("id"), 10).toList == List(Seq(42L)))
+    // full-width Long range: span and end-bound arithmetic must not wrap
+    // (a wrapped span degraded to one filter per ID value; a wrapped end
+    // bound silently dropped Long.MaxValue from the refresh)
+    val extremes = Seq(Long.MinValue, -7L, 0L, 42L, Long.MaxValue - 1, Long.MaxValue)
+    val wide = Engine.rangeBatches(extremes.toDF("id"), 2).toList
+    assert(wide.flatten == extremes.sorted.toList, s"lost IDs at the range edges: $wide")
   }
 
   test("refresh runs bucket-by-bucket (checkpointEvery slices) and re-scrapes every known id") {
