@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through instead of routing it
+// via sbt's logger: the driver parses Bench/Verify JSON lines from stdout,
+// and the logger's "[info] " prefix breaks line-oriented json parsing
+// (BENCH_r01/r02 both recorded "parsed": null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
