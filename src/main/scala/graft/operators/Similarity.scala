@@ -160,6 +160,124 @@ object Similarity {
 
   private def sumSq(a: Array[Double]): Double = a.map(x => x * x).sum
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+  // Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-bound ANN scale
+  // path that complements the hash-based (LSH) and partition-based (IVF)
+  // variants above. The d-dim vector is split into m subvectors; each
+  // subvector is quantized to one of ksub sub-centroids, so a vector is
+  // stored as m small codes (d=64 float32 → m=8 byte codes = 32×
+  // compression). Query-time ranking is ADC (asymmetric distance
+  // computation): the query precomputes an m×ksub table of exact
+  // subvector→centroid distances ONCE, and every corpus row's approximate
+  // distance is just m table lookups over its codes — no decode and no
+  // d-dim arithmetic on the corpus side. At 100 TB that is the whole point:
+  // the scan reads m bytes per row instead of 4·d, the query table is a
+  // broadcast, and there is no shuffle anywhere in the probe.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic data-independent PQ codebook: values derived from
+    * md5("pq:s:j:i") mapped into [-1, 1) — reproducible in any engine, which
+    * is what makes the ADC pipeline oracle-checkable end to end (the same
+    * trick as [[hyperplanes]]). For quality on a real corpus train the
+    * codebook instead ([[pqTrainKMeans]]); every downstream operator takes
+    * the codebook as a value and works with either.
+    *
+    * @return codebooks(s)(j) = sub-centroid j of subspace s (dsub doubles)
+    */
+  def pqCodebook(m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(m, ksub, dsub) { (s, j, i) =>
+      val d = mdAlg.digest(s"pq:$s:$j:$i".getBytes("UTF-8"))
+      val u = ((d(0) & 0xffL) << 24 | (d(1) & 0xffL) << 16 | (d(2) & 0xffL) << 8 | (d(3) & 0xffL)).toDouble / (1L << 32).toDouble
+      u * 2.0 - 1.0
+    }
+  }
+
+  /** Data-trained PQ codebook: one seeded k-means per subspace over the
+    * corpus's subvectors (m passes over one cached projection — index-build
+    * cost, amortized across every query the index ever serves).
+    */
+  def pqTrainKMeans(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      seed: Long = 42L,
+      maxIter: Int = 8
+  ): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cached = corpus.select(col(vecCol)).cache()
+    try {
+      Array.tabulate(m) { s =>
+        val sub = cached.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter).fit(sub)
+        model.clusterCenters.map(_.toArray)
+      }
+    } finally cached.unpersist()
+  }
+
+  /** PQ-encode the corpus: `codes(s) = argmin_j ||x_s - C[s][j]||²`, computed
+    * as `argmin_j (||C[s][j]||² - 2·x_s·C[s][j])` (the `||x_s||²` term is
+    * constant across j), ties broken by smallest j. A pure scan-side map —
+    * the codebook rides along as plan literals, nothing shuffles.
+    */
+  def pqEncode(corpus: DataFrame, vecCol: String, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val cands = cb.zipWithIndex.map { case (c, j) =>
+        struct(
+          (lit(sumSq(c)) - lit(2.0) * dot(sub, array(c.map(lit): _*))).as("d"),
+          lit(j).as("j")
+        )
+      }
+      array_sort(array(cands: _*)).getItem(0).getField("j")
+    }
+    corpus.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: rank by approximate squared L2
+    * distance `Σ_s ||q_s - C[s][codes_s]||²`. The per-query distance table
+    * is built as plan expressions on the (small, broadcast) query side; the
+    * corpus side does only `zip_with` table lookups + a left-fold sum —
+    * sequential and deterministic, so the oracle reproduces it bit-for-bit.
+    *
+    * @return (qid, vec_id, rank, adist) — rank 1 = nearest by ADC
+    */
+  def pqTopK(
+      queries: DataFrame, // (qid, qe: array<float>)
+      encoded: DataFrame, // (vec_id, codes: array<int>) from pqEncode
+      codebooks: Array[Array[Array[Double]]],
+      k: Int
+  ): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val table = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col("qe"), s * dsub + 1, dsub)
+      array(cb.map { c =>
+        (dot(sub, sub) + lit(sumSq(c))) - lit(2.0) * dot(sub, array(c.map(lit): _*))
+      }: _*)
+    }: _*)
+    val qt = queries.withColumn("__qt", table)
+    val scored = encoded
+      .join(broadcast(qt), col("qid") =!= col("vec_id"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), col("__qt"), (cd, t) => element_at(t, cd + lit(1))),
+          lit(0.0),
+          (acc, x) => acc + x
+        ).as("adist")
+      )
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: rank only within the query's LSH bucket.
     *
     * Recall caveat (observed on the synthetic corpus): on uniform random

@@ -245,5 +245,60 @@ object SimilarityQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76)
+  /** Product-quantization ADC top-k ([[Similarity.pqTopK]]): the corpus is
+    * stored as 8 codes/vector (one per 8-dim subspace, 16 sub-centroids
+    * each) and ranked by table-lookup distance — no d-dim arithmetic on the
+    * corpus side. The codebook is deterministic ([[Similarity.pqCodebook]]),
+    * so the oracle replays the ENTIRE pipeline — encode argmin, per-query
+    * distance table, ordered left-fold ADC sum — as SQL over the identical
+    * codebook literals. (Data-trained codebooks via
+    * [[Similarity.pqTrainKMeans]] swap in without touching the operators;
+    * PqSpec covers that path's recall.)
+    */
+  private val q85 = {
+    val m = 8; val ksub = 16; val dsub = 8
+    val cb = Similarity.pqCodebook(m, ksub, dsub)
+    val cbValues = (for { s <- 0 until m; j <- 0 until ksub } yield
+      s"($s, $j, [${cb(s)(j).mkString(", ")}])").mkString(", ")
+    Q(
+      "q85_pq_adc",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val corpus = T.embeddings.select($"vec_id", $"embedding")
+        val encoded = Similarity.pqEncode(corpus, "embedding", cb).select($"vec_id", $"codes")
+        val queries = corpus.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+        Similarity
+          .pqTopK(queries, encoded, cb, 5)
+          .select($"qid", $"vec_id", $"rank", round($"adist", 4).as("adist"))
+          .orderBy($"qid", $"rank")
+      },
+      Some(s"""
+        WITH cb AS (SELECT * FROM (VALUES $cbValues) AS t(s, j, c)),
+        d AS (SELECT vec_id, cb.s, cb.j,
+                list_sum([cb.c[i] * cb.c[i] for i in range(1, ${dsub + 1})])
+                - 2 * list_sum([CAST(embedding[cb.s * $dsub + i] AS DOUBLE) * cb.c[i] for i in range(1, ${dsub + 1})]) AS dd
+              FROM embeddings, cb),
+        codes AS (SELECT vec_id, s, j FROM (
+                    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn FROM d
+                  ) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        qd AS (SELECT qid, cb.s, cb.j,
+                 (list_sum([CAST(qe[cb.s * $dsub + i] AS DOUBLE) * CAST(qe[cb.s * $dsub + i] AS DOUBLE) for i in range(1, ${dsub + 1})])
+                  + list_sum([cb.c[i] * cb.c[i] for i in range(1, ${dsub + 1})]))
+                 - 2 * list_sum([CAST(qe[cb.s * $dsub + i] AS DOUBLE) * cb.c[i] for i in range(1, ${dsub + 1})]) AS qdd
+               FROM q, cb),
+        ad AS (SELECT qd.qid, codes.vec_id, list_sum(list(qd.qdd ORDER BY qd.s)) AS adist
+               FROM codes JOIN qd ON codes.s = qd.s AND codes.j = qd.j
+               WHERE qd.qid <> codes.vec_id
+               GROUP BY qd.qid, codes.vec_id)
+        SELECT qid, vec_id, rank, ROUND(adist, 4) AS adist FROM (
+          SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank, adist
+          FROM ad
+        ) WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85)
 }
