@@ -132,4 +132,42 @@ object TextAnalysis {
       }
     )
   }
+
+  /** Corpus vocabulary with exact term and document frequencies — the
+    * tokenizer-training / vocabulary-pruning primitive. Two-level
+    * aggregation: the (term, doc) level combines map-side BEFORE the term
+    * shuffle, so a heavy hitter ("the" in half the corpus) arrives at its
+    * reducer as one partial row per upstream partition, never as raw token
+    * occurrences — frequency skew is absorbed by partial aggregation, which
+    * is exactly why exact counts stay feasible at 100 TB. (For a
+    * fixed-memory approximate path see [[heavyHittersSketch]].)
+    *
+    * @return (term, tf, df): total occurrences and distinct-document count
+    */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+
+  /** Approximate heavy hitters: a Count-Min sketch over the token stream
+    * (Cormode & Muthukrishnan, J.Algorithms 2005). Fixed memory regardless
+    * of vocabulary size, mergeable across partitions/sources (the
+    * distributed build merges per-partition sketches), estimates are
+    * one-sided: `true ≤ estimate ≤ true + eps·N` with the configured
+    * confidence. The exact [[vocabulary]] is the verifier.
+    */
+  def heavyHittersSketch(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): org.apache.spark.util.sketch.CountMinSketch =
+    docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .stat
+      .countMinSketch("term", eps, confidence, seed)
 }

@@ -501,5 +501,28 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79)
+  /** Corpus vocabulary top-k ([[TextAnalysis.vocabulary]]): exact term and
+    * document frequencies for the 20 most frequent tokens — the
+    * tokenizer-training primitive. The (tf DESC, term ASC) order is total,
+    * so the LIMIT is deterministic; the Spark plan is explode →
+    * two-level hash aggregate → TakeOrdered (no global sort).
+    */
+  private val q86 = Q(
+    "q86_vocab_topk",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      TextAnalysis
+        .vocabulary(T.documents, "doc_id", "text")
+        .orderBy($"tf".desc, $"term")
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+      g AS (SELECT term, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY term)
+      SELECT term, tf, df FROM g ORDER BY tf DESC, term LIMIT 20
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86)
 }
