@@ -476,4 +476,35 @@ object Dedup {
       .select(col("doc_id").as("__loser"))
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
+
+  /** Keep the BEST doc per near-dup cluster, ranked by a caller-supplied
+    * quality expression (ties → smallest id) — what a production dedup
+    * keeps, rather than the arbitrary min-id member: near-identical docs
+    * usually differ in boilerplate/truncation and the highest-quality copy
+    * should survive. Docs untouched by any pair are their own singleton
+    * cluster and always survive.
+    *
+    * Scale shape: the cluster assignment (tiny — only docs that collided)
+    * broadcasts onto the corpus scan; the top-1 ranking windows only over
+    * clustered docs, never the whole corpus, and cluster sizes are bounded
+    * by near-dup semantics, so the window carries no corpus-scale skew.
+    *
+    * @return df's rows that survive, plus a `cluster` column
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame, quality: Column): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .select(col("doc_id").as("__cid"), col("cluster").as("__cluster"))
+    val clustered = df
+      .join(broadcast(clusters), col(idCol) === col("__cid"), "left")
+      .withColumn("cluster", coalesce(col("__cluster"), col(idCol)))
+      .drop("__cid", "__cluster")
+      .withColumn("__q", quality)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col(idCol).asc)
+    clustered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__q")
+  }
 }

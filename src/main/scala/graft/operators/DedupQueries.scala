@@ -385,5 +385,45 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83)
+  /** Quality-ranked cluster dedup ([[Dedup.keepBestPerCluster]]): keep the
+    * HIGHEST-quality member of each near-dup cluster instead of the
+    * arbitrary min-id one (production pipelines keep the best copy; the
+    * near-identical siblings differ in truncation/boilerplate). Quality is
+    * the q30 composite score — exact-integer-derived doubles, so the
+    * cross-engine ranking is stable. Oracle: the q62 recursive closure
+    * joined with the q30 quality formula, top-1 per cluster.
+    */
+  private val q87 = Q(
+    "q87_cluster_best",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val edges = Dedup.minhashClusterEdges(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      Dedup
+        .keepBestPerCluster(T.documents, "doc_id", edges, TextAnalysis.qualityScore($"text"))
+        .select($"doc_id", $"cluster")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $reachCte,
+      comp AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id),
+      t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n,
+                   len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','on','for'))) AS n_stop,
+                   list_sum(list_transform(toks, w -> len(w))) AS total_len
+            FROM t),
+      q AS (SELECT doc_id,
+                   0.3 * (CAST(n_stop AS DOUBLE) / n)
+                     + 0.3 * least((CAST(total_len AS DOUBLE) / n) / 8.0, 1.0)
+                     + 0.4 * least(CAST(n AS DOUBLE) / 50.0, 1.0) AS quality
+            FROM m),
+      cl AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster, q.quality
+             FROM documents d LEFT JOIN comp ON d.doc_id = comp.id JOIN q ON d.doc_id = q.doc_id)
+      SELECT doc_id, cluster FROM (
+        SELECT doc_id, cluster, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn
+        FROM cl
+      ) WHERE rn = 1 ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87)
 }

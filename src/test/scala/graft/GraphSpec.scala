@@ -73,4 +73,22 @@ class GraphSpec extends SparkSpec {
     // clusters {2,5,9}->keep 2, {3,4}->keep 3; 1,6,7,8,10 untouched
     assert(kept == Seq(1L, 2L, 3L, 6L, 7L, 8L, 10L))
   }
+
+  test("keepBestPerCluster keeps the highest-quality member, ties to smallest id") {
+    val docs = Seq(
+      (1L, "d1", 0.5), (2L, "d2", 0.1), (3L, "d3", 0.9), (4L, "d4", 0.9),
+      (5L, "d5", 0.7), (6L, "d6", 0.2), (9L, "d9", 0.7)
+    ).toDF("doc_id", "body", "q")
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup
+      .keepBestPerCluster(docs, "doc_id", pairs, $"q")
+      .select($"doc_id", $"cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+      .toSeq
+    // {2,5,9}: best q is 0.7 shared by 5 and 9 -> keep 5 (smaller id);
+    // {3,4}: q tie at 0.9 -> keep 3; singletons 1, 6 survive as themselves
+    assert(kept == Seq(1L -> 1L, 3L -> 3L, 5L -> 2L, 6L -> 6L))
+  }
 }
