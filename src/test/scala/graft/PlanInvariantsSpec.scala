@@ -78,4 +78,26 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q must not join")
     }
   }
+
+  test("PQ ADC probe broadcasts the query table; the encoded corpus never hash-shuffles pre-rank") {
+    val p = plan("q85_pq_adc")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "q85 must broadcast the per-query distance tables")
+    assert(!p.contains("SortMergeJoin"), "q85 must not shuffle-join the corpus")
+    // exactly one hash exchange: the per-query top-k window rank
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q85 should shuffle only for the rank window:\n$p")
+  }
+
+  test("vocabulary is two-level partial aggregation ending in TakeOrdered, no global sort") {
+    val p = plan("q86_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), "q86 top-k must be TakeOrdered, not sort+limit")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "q86 must plan partial+final aggregates at both (term,doc) and term levels")
+  }
+
+  test("cluster-best dedup broadcasts the cluster assignment onto the corpus scan") {
+    val p = plan("q87_cluster_best")
+    assert(p.contains("BroadcastHashJoin"), "q87 must broadcast the cluster assignment")
+  }
 }
