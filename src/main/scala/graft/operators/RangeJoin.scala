@@ -48,4 +48,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pairs (l, r) with
+    * `[lStart,lEnd] ∩ [rStart,rEnd] ≠ ∅` (inclusive ends), bucketized like
+    * [[pointInInterval]]. Both sides explode onto the buckets they cover
+    * and equi-join on the bucket; a pair sharing several buckets is emitted
+    * exactly once — only at the FIRST bucket both intervals cover
+    * (`bucket = max(lStart, rStart) DIV width`), which replaces the
+    * distinct-shuffle a naive dedup would need. Same sizing rule: pick
+    * `bucketWidth` near the p95 interval length. Columns must be
+    * non-negative integers; the two inputs must not share column names.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"left/right column collision: ${dup.mkString(", ")}")
+    def exploded(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bucket",
+      explode(sequence(expr(s"`$s` DIV $bucketWidth"), expr(s"`$e` DIV $bucketWidth")))
+    )
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") === expr(s"greatest(`$lStart`, `$rStart`) DIV $bucketWidth"))
+      .drop("__bucket")
+  }
 }

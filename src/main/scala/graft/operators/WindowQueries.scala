@@ -404,5 +404,42 @@ object WindowQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45, q57, q58, q59)
+  /** Interval-OVERLAP join ([[RangeJoin.intervalOverlap]]): concurrent
+    * weekly activity spans between two user populations — the two-sided
+    * generalization of q58's point-in-interval. Both interval sets explode
+    * onto week-wide buckets and equi-join; each overlapping pair is emitted
+    * exactly once (at the first shared bucket) with no distinct shuffle,
+    * and the plan never contains a nested-loop join. The oracle runs the
+    * naive inequality join (fine at oracle scale).
+    */
+  private val q88 = {
+    val week = 604800000000L // µs
+    Q(
+      "q88_interval_overlap",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val base = T.events.select($"user_id", unix_micros($"ts").as("us"))
+        def spans(lo: Int, hi: Int, p: String) = base
+          .filter($"user_id" >= lo && $"user_id" < hi)
+          .groupBy($"user_id".as(s"${p}_user"), expr(s"us DIV $week").as(s"${p}_wk"))
+          .agg(min($"us").as(s"${p}_start"), max($"us").as(s"${p}_end"))
+        RangeJoin
+          .intervalOverlap(spans(0, 5, "a"), "a_start", "a_end", spans(5, 10, "b"), "b_start", "b_end", week)
+          .select($"a_user", $"a_wk", $"b_user", $"b_wk")
+          .orderBy($"a_user", $"a_wk", $"b_user", $"b_wk")
+      },
+      Some(s"""
+        WITH base AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        a AS (SELECT user_id AS a_user, us // $week AS a_wk, min(us) AS a_start, max(us) AS a_end
+              FROM base WHERE user_id >= 0 AND user_id < 5 GROUP BY 1, 2),
+        b AS (SELECT user_id AS b_user, us // $week AS b_wk, min(us) AS b_start, max(us) AS b_end
+              FROM base WHERE user_id >= 5 AND user_id < 10 GROUP BY 1, 2)
+        SELECT a_user, a_wk, b_user, b_wk
+        FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        ORDER BY 1, 2, 3, 4
+      """.trim)
+    )
+  }
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q43, q44, q45, q57, q58, q59, q88)
 }

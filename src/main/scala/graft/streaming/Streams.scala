@@ -114,6 +114,39 @@ object Streams {
       .drop("__content_md5") // internal dedup key; NOT the lake's row_hash (F7)
   }
 
+  /** Streaming incremental dedup probe — the streaming twin of
+    * [[graft.operators.Dedup.probeNewDocs]] (q74): every arriving document's
+    * MinHash band buckets probe a STATIC corpus bucket index through a
+    * stream-static equi-join. Stateless by design — no watermark, no state
+    * store: a doc's verdict depends only on the static index, so cross-batch
+    * state buys nothing. The signature computation is a pure projection
+    * (codegen expressions) and streams at scan speed; the index side is
+    * broadcast when small or shuffle-joined per micro-batch — the same plan
+    * the batch probe gets.
+    *
+    * A doc colliding in several bands emits one row per colliding
+    * (band, corpus doc); collapse to per-doc verdicts batch-locally in the
+    * sink (`foreachBatch` + `dropDuplicates` is batch-scoped there) — the
+    * streaming-global `distinct` the batch probe uses would otherwise grow
+    * state forever.
+    */
+  def probeStream(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusBuckets: DataFrame
+  ): DataFrame = {
+    import graft.operators.Dedup
+    Dedup
+      .minhashBuckets(newDocs, idCol, textCol)
+      .as("n")
+      .join(
+        corpusBuckets.as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket")
+      )
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"), col("n.band").as("band"))
+  }
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */

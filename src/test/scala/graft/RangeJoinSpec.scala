@@ -41,4 +41,29 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInInterval(p, "t", iv, "lo", "hi", 10L)
     }
   }
+
+  test("intervalOverlap equals the naive overlap join and emits each pair exactly once") {
+    val a = Seq(
+      (1L, 0L, 9L),   // one bucket
+      (2L, 5L, 35L),  // spans 4 buckets
+      (3L, 40L, 40L), // degenerate point on a bucket edge
+      (4L, 90L, 95L)  // overlaps nothing
+    ).toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 8L, 12L),  // crosses a boundary; overlaps 1 and 2
+      (20L, 30L, 45L), // overlaps 2 and 3 — shares MULTIPLE buckets with 2
+      (30L, 50L, 60L)  // overlaps nothing
+    ).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin
+      .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = 10L)
+      .select($"aid", $"bid")
+      .as[(Long, Long)].collect().toSeq // NOT a set: duplicates must show up
+    val naive = a
+      .join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"aid", $"bid")
+      .as[(Long, Long)].collect().toSet
+    assert(got.size == got.toSet.size, s"pair emitted more than once: $got")
+    assert(got.toSet == naive)
+    assert(naive == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
 }

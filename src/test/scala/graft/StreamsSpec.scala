@@ -111,4 +111,43 @@ class StreamsSpec extends SparkSpec {
       assert(got == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("probeStream flags the same dups as the batch probe (stream-static join, stateless)") {
+    import graft.operators.Dedup
+    val root = tmpDir("probe_stream")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely unrelated corpus text about parquet shuffles and joins"),
+      (12L, "a third corpus document with its own distinctive wording here")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 10
+      (2L, "brand new content that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    newDocs.write.parquet(s"$root/new")
+
+    val index = Dedup.minhashBuckets(corpus, "doc_id", "text")
+    val stream = Streams.readTableStream(spark, newDocs.schema, s"$root/new")
+    val flagged = Streams.probeStream(stream, "doc_id", "text", index)
+    assert(flagged.isStreaming, "probeStream must stay a streaming plan")
+
+    val q = flagged.writeStream.format("memory").queryName("probe_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .table("probe_out")
+        .select($"new_id", $"dup_of")
+        .distinct()
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      val batch = Dedup
+        .probeNewDocs(spark.read.parquet(s"$root/new"), index, "doc_id", "text")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      assert(got == batch)
+      assert(got.contains((1L, 10L)) && !got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
