@@ -425,5 +425,37 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87)
+  /** Cross-source duplication matrix: near-dup pair counts per (source,
+    * source) bucket — the curation question "which of my sources copy each
+    * other" (mirror detection, source weighting before mixture q73). Pair
+    * orientation is canonicalized with least/greatest so the matrix is
+    * upper-triangular. Scale: the pair list is tiny next to the corpus and
+    * joins it on doc_id (the corpus primary key) twice; the final matrix is
+    * |sources|² rows.
+    */
+  private val q89 = Q(
+    "q89_source_dup_matrix",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val pairs = Dedup.minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      val meta = T.documents.select($"doc_id", $"source")
+      pairs
+        .join(meta.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+        .join(meta.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+        .select(least($"sa", $"sb").as("src_a"), greatest($"sa", $"sb").as("src_b"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""
+      WITH $minhashPairsCte,
+      m AS (SELECT doc_id, source FROM documents)
+      SELECT least(ma.source, mb.source) AS src_a, greatest(ma.source, mb.source) AS src_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs JOIN m ma ON pairs.doc_a = ma.doc_id JOIN m mb ON pairs.doc_b = mb.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89)
 }
