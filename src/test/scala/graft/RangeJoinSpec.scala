@@ -66,4 +66,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet == naive)
     assert(naive == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
+
+  test("property: random intervals — bucketized results equal naive for several widths") {
+    val rnd = new scala.util.Random(42)
+    def randIntervals(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(200).toLong
+      (i.toLong, lo, lo + rnd.nextInt(40).toLong)
+    }
+    for (trial <- 1 to 3; width <- Seq(1L, 7L, 64L, 1000L)) {
+      val a = randIntervals(40, "a").toDF("aid", "a_lo", "a_hi")
+      val b = randIntervals(40, "b").toDF("bid", "b_lo", "b_hi")
+      val got = RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", width)
+        .select($"aid", $"bid").as[(Long, Long)].collect().toSeq
+      val naive = a
+        .join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+        .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+      assert(got.size == got.toSet.size, s"trial $trial width $width: duplicate emission")
+      assert(got.toSet == naive, s"trial $trial width $width")
+
+      val pts = randIntervals(60, "p").map(t => (t._1, t._2)).toDF("pid", "t")
+      val gotP = RangeJoin
+        .pointInInterval(pts, "t", b, "b_lo", "b_hi", width)
+        .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+      val naiveP = pts
+        .join(b, $"t" >= $"b_lo" && $"t" <= $"b_hi")
+        .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+      assert(gotP == naiveP, s"trial $trial width $width (points)")
+    }
+  }
 }
