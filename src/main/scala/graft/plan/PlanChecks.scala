@@ -1,0 +1,79 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+/** Plan contracts as a first-class API: the properties that decide whether a
+  * pipeline survives a 100× scale-up — shuffle counts, join strategies,
+  * scan multiplicity — queryable from the physical plan, so they can be
+  * ASSERTED in CI instead of eyeballed in `.explain` output.
+  *
+  * {{{
+  *   val report = PlanChecks.inspect(df)
+  *   assert(report.hashExchanges <= 1, report.render)   // one shuffle budget
+  *   assert(!report.hasAllPairsJoin)                    // no O(n²) trap
+  * }}}
+  *
+  * Checks run against the pre-execution physical plan (inside the AQE
+  * wrapper when present): adaptive execution may still coalesce partitions
+  * or upgrade a sort-merge join to broadcast at runtime, but it never ADDS
+  * a shuffle or an all-pairs join — so a plan that passes here can only get
+  * better, never worse. This is the same altitude the engine's own
+  * PlanInvariantsSpec asserts at.
+  */
+object PlanChecks {
+
+  final case class Report(
+      hashExchanges: Int,
+      broadcastHashJoins: Int,
+      sortMergeJoins: Int,
+      nestedLoopJoins: Int,
+      cartesianProducts: Int,
+      parquetScans: Int,
+      planString: String
+  ) {
+    /** An O(left×right) join — a scale-killer unless one side is tiny by
+      * construction (e.g. a handful of broadcast query vectors).
+      */
+    def hasAllPairsJoin: Boolean = nestedLoopJoins > 0 || cartesianProducts > 0
+
+    def shuffleFree: Boolean = hashExchanges == 0
+
+    def render: String =
+      s"hashExchanges=$hashExchanges broadcastHashJoins=$broadcastHashJoins " +
+        s"sortMergeJoins=$sortMergeJoins nestedLoopJoins=$nestedLoopJoins " +
+        s"cartesianProducts=$cartesianProducts parquetScans=$parquetScans\n$planString"
+  }
+
+  /** Strip the AQE wrapper (and any reused-exchange indirection) down to
+    * the inspectable plan tree. `executedPlan` inside the wrapper is the
+    * CURRENT physical plan — the post-EnsureRequirements initial plan
+    * before the query runs (`inputPlan` would show the tree before
+    * exchanges are inserted, which is useless for shuffle accounting).
+    */
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  def inspect(df: DataFrame): Report = {
+    val plan = unwrap(df.queryExecution.executedPlan)
+    val all = plan.collectWithSubqueries { case n => n }
+    Report(
+      hashExchanges = all.count {
+        case e: ShuffleExchangeExec => e.outputPartitioning.isInstanceOf[HashPartitioning]
+        case _ => false
+      },
+      broadcastHashJoins = all.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      sortMergeJoins = all.count(_.isInstanceOf[SortMergeJoinExec]),
+      nestedLoopJoins = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      cartesianProducts = all.count(_.isInstanceOf[CartesianProductExec]),
+      parquetScans = all.count(n => n.nodeName.startsWith("Scan parquet") || n.nodeName == "BatchScan"),
+      planString = plan.toString
+    )
+  }
+}

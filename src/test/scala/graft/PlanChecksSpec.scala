@@ -1,0 +1,54 @@
+package graft
+
+import graft.plan.PlanChecks
+import org.apache.spark.sql.functions._
+
+/** PlanChecks sees what the plan actually contains: shuffles, join
+  * strategies, all-pairs traps, scan multiplicity.
+  */
+class PlanChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("a pure scan-side filter is shuffle-free; a groupBy is not") {
+    val ds = spark.range(0, 1000, 1, 8).withColumn("k", $"id" % 10)
+    assert(PlanChecks.inspect(ds.filter($"id" > 10)).shuffleFree)
+    val agg = PlanChecks.inspect(ds.groupBy($"k").count())
+    assert(agg.hashExchanges == 1, agg.render)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(PlanChecks.inspect(li.filter($"l_quantity" > 10)).shuffleFree)
+  }
+
+  test("broadcast vs sort-merge vs nested-loop joins are distinguished") {
+    val a = spark.read.parquet(s"$dir/orders.parquet")
+    val b = spark.read.parquet(s"$dir/customer.parquet")
+    val bhj = PlanChecks.inspect(a.join(broadcast(b), $"o_custkey" === $"c_custkey"))
+    assert(bhj.broadcastHashJoins == 1 && bhj.sortMergeJoins == 0, bhj.render)
+
+    val smj = PlanChecks.inspect(
+      a.hint("merge").join(b.hint("merge"), $"o_custkey" === $"c_custkey"))
+    assert(smj.sortMergeJoins == 1, smj.render)
+
+    val nlj = PlanChecks.inspect(a.join(broadcast(b), $"o_custkey" =!= $"c_custkey"))
+    assert(nlj.hasAllPairsJoin, nlj.render)
+  }
+
+  test("scan multiplicity: self-join reads the table twice, a single agg once") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val once = PlanChecks.inspect(li.groupBy($"l_orderkey").count())
+    assert(once.parquetScans == 1, once.render)
+    val twice = li.as("a").join(li.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_linenumber") < col("b.l_linenumber"))
+    assert(PlanChecks.inspect(twice).parquetScans == 2)
+  }
+
+  test("the engine's own scale-critical queries pass their contracts through the API") {
+    // q60 bernoulli sample: scan-side filter, no shuffle at all
+    val q60 = PlanChecks.inspect(SparkEntry.queries("q60_sample_bernoulli")(spark, dir))
+    assert(q60.hashExchanges == 0, q60.render)
+    // q77 LM scoring: vocab broadcast, corpus never sort-merge-joined
+    val q77 = PlanChecks.inspect(SparkEntry.queries("q77_lm_quality")(spark, dir))
+    assert(q77.broadcastHashJoins >= 1 && q77.sortMergeJoins == 0, q77.render)
+  }
+}
