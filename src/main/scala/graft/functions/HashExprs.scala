@@ -660,6 +660,127 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int) extends Unar
     copy(child = newChild)
 }
 
+object PqSupport {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** PQ code assignment: `codes(s) = argmin_j (||C[s][j]||² − 2·x_s·C[s][j])`,
+    * ties to smallest j. One tight pass, no allocation beyond the output —
+    * the scan-side cost that dominates PQ index builds at corpus scale.
+    * MUST rank by exactly the value the composed-expression/oracle forms
+    * compute (precomputed `cNorms(s)(j)` minus 2·(index-order double dot)),
+    * so the chosen code is bit-identical to theirs.
+    */
+  def assignCodes(
+      v: ArrayData,
+      cb: Array[Array[Array[Double]]],
+      cNorms: Array[Array[Double]],
+      isFloat: Boolean
+  ): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val subCb = cb(s)
+      val norms = cNorms(s)
+      val dsub = subCb(0).length
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < subCb.length) {
+        val c = subCb(j)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) v.getFloat(off + i).toDouble else v.getDouble(off + i)
+          acc += x * c(i)
+          i += 1
+        }
+        val d = norms(j) - 2.0 * acc
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC distance: left fold over subspaces of the per-query distance
+    * table at the row's code — same accumulation order as the
+    * aggregate(zip_with(...)) composition and the oracle's ordered
+    * list_sum, so results are bit-identical.
+    */
+  def adcDistance(codes: ArrayData, table: ArrayData): Double = {
+    var acc = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      acc += table.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
+/** PQ code assignment (codegen-enabled); input vector length must be ≥
+  * m·dsub. The codebook rides into generated code as a reference object —
+  * no per-row construction, no 128-way expression tree for Janino to chew.
+  */
+case class PqAssignCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{FloatType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val normArr: Array[Array[Double]] =
+    cbArr.map(_.map(c => c.map(x => x * x).sum))
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqSupport.assignCodes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cbArr, normArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[][][]")
+    val nRef = ctx.addReferenceObj("pqNorms", normArr, "double[][]")
+    val f = isFloat
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqSupport.assignCodes($c, $cbRef, $nRef, $f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssignCodes =
+    copy(child = newChild)
+}
+
+/** ADC table-lookup distance (codegen-enabled): codes array<int> ×
+  * per-query table array<array<double>> → double.
+  */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(codes: Any, table: Any): Any =
+    PqSupport.adcDistance(
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      table.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.PqSupport.adcDistance($c, $t)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** long SimHash64 expression (codegen-enabled). */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -702,6 +823,13 @@ object HashExprs {
 
   def arrayDot(a: Column, b: Column): Column =
     ColumnShim.column(ArrayDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def pqAssignCodes(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(
+      PqAssignCodes(ColumnShim.expression(v), codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
+
+  def pqAdcDistance(codes: Column, table: Column): Column =
+    ColumnShim.column(PqAdcDistance(ColumnShim.expression(codes), ColumnShim.expression(table)))
 
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     ColumnShim.column(LshBucket(ColumnShim.expression(v), planes))

@@ -224,27 +224,17 @@ object Similarity {
   /** PQ-encode the corpus: `codes(s) = argmin_j ||x_s - C[s][j]||²`, computed
     * as `argmin_j (||C[s][j]||² - 2·x_s·C[s][j])` (the `||x_s||²` term is
     * constant across j), ties broken by smallest j. A pure scan-side map —
-    * the codebook rides along as plan literals, nothing shuffles.
+    * one native codegen expression ([[graft.functions.PqAssignCodes]]; an
+    * m×ksub array_sort-of-structs composition is 100+ subexpressions for
+    * Janino and falls off whole-stage codegen), nothing shuffles.
     */
-  def pqEncode(corpus: DataFrame, vecCol: String, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val dsub = codebooks(0)(0).length
-    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col(vecCol), s * dsub + 1, dsub)
-      val cands = cb.zipWithIndex.map { case (c, j) =>
-        struct(
-          (lit(sumSq(c)) - lit(2.0) * dot(sub, array(c.map(lit): _*))).as("d"),
-          lit(j).as("j")
-        )
-      }
-      array_sort(array(cands: _*)).getItem(0).getField("j")
-    }
-    corpus.withColumn("codes", array(codeCols: _*))
-  }
+  def pqEncode(corpus: DataFrame, vecCol: String, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.withColumn("codes", graft.functions.HashExprs.pqAssignCodes(col(vecCol), codebooks))
 
   /** ADC top-k over a PQ-encoded corpus: rank by approximate squared L2
     * distance `Σ_s ||q_s - C[s][codes_s]||²`. The per-query distance table
     * is built as plan expressions on the (small, broadcast) query side; the
-    * corpus side does only `zip_with` table lookups + a left-fold sum —
+    * corpus side does only native table lookups + a left-fold sum —
     * sequential and deterministic, so the oracle reproduces it bit-for-bit.
     *
     * @return (qid, vec_id, rank, adist) — rank 1 = nearest by ADC
@@ -268,11 +258,9 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id"),
-        aggregate(
-          zip_with(col("codes"), col("__qt"), (cd, t) => element_at(t, cd + lit(1))),
-          lit(0.0),
-          (acc, x) => acc + x
-        ).as("adist")
+        // native table-lookup fold (same accumulation order as the oracle's
+        // ordered list_sum); the corpus-side per-row cost is m lookups
+        graft.functions.HashExprs.pqAdcDistance(col("codes"), col("__qt")).as("adist")
       )
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
