@@ -454,6 +454,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs that CROSS a split assignment — the train/validation
+    * LEAKAGE check: a validation doc with a near-duplicate in train inflates
+    * eval scores, and a random split of a deduplicated-but-not-clustered
+    * corpus produces exactly these pairs. Returns each crossing pair with
+    * both split labels; empty result = clean split. Same cost shape as the
+    * pair generator itself (the split join touches only paired docs).
+    */
+  def crossSplitPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      split: Column,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    val labeled = df.select(col(idCol), split.as("__split"))
+    minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes, bands)
+      .join(labeled.select(col(idCol).as("doc_a"), col("__split").as("split_a")), "doc_a")
+      .join(labeled.select(col(idCol).as("doc_b"), col("__split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
   /** Collapse similarity pairs into duplicate clusters: (doc_id, cluster)
     * for every doc touched by a pair, cluster = smallest member id. The
     * transitive-closure step every pair generator above feeds into —

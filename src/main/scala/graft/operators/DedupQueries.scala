@@ -457,5 +457,35 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89)
+  /** Train/validation leakage report ([[Dedup.crossSplitPairs]]): near-dup
+    * pairs whose members land on opposite sides of the deterministic 80/20
+    * hash split — the eval-integrity check every training pipeline needs
+    * before trusting validation numbers. Split membership uses the portable
+    * md5-prefix hash (q60's), so the oracle reproduces the exact split AND
+    * the exact pairs.
+    */
+  private val q90 = Q(
+    "q90_split_leakage",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val split = when(Sampling.hash60($"doc_id") % 10 < 8, "train").otherwise("val")
+      Dedup
+        .crossSplitPairs(T.documents, "doc_id", "text", split)
+        .select($"doc_a", $"split_a", $"doc_b", $"split_b")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH $minhashPairsCte,
+      sp AS (SELECT doc_id,
+                    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                         THEN 'train' ELSE 'val' END AS split
+             FROM documents)
+      SELECT doc_a, sa.split AS split_a, doc_b, sb.split AS split_b
+      FROM pairs JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
+      WHERE sa.split <> sb.split
+      ORDER BY doc_a, doc_b
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90)
 }

@@ -31,6 +31,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never
   }
 
+  test("crossSplitPairs reports only pairs straddling the split") {
+    // 1/2/4 are mutual (near-)dups; 3 never pairs — all pairs inside train
+    val sameSide = Dedup
+      .crossSplitPairs(docs, "doc_id", "text", when($"doc_id".isin(1L, 2L, 4L), "train").otherwise("val"))
+      .count()
+    assert(sameSide == 0L, "a pair inside one split is not leakage")
+    val crossing = Dedup
+      .crossSplitPairs(docs, "doc_id", "text", when($"doc_id" === 1L, "train").otherwise("val"))
+      .select($"doc_a", $"split_a", $"doc_b", $"split_b")
+      .as[(Long, String, Long, String)]
+      .collect()
+    assert(crossing.exists(c => c._1 == 1L && c._3 == 4L && c._2 != c._4))
+  }
+
   test("simhash: identical content -> identical hash; near-dup within small hamming") {
     val sh = docs.select($"doc_id", Dedup.simhash32($"text").as("s")).as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(4L))
