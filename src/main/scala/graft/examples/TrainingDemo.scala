@@ -1,13 +1,14 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.operators.{LmScore, Sampling, TrainingPipeline}
+import graft.operators.{Dedup, LmScore, Sampling, TrainingPipeline}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus → training-shards walkthrough on the test lake:
   * clean (gates + dedup + decontamination + PII) → LM fluency gate →
-  * chunk → deterministic shuffle-shard → sequence packing — every stage
-  * an operator from the library, every decision reproducible by key hash.
+  * chunk → deterministic shuffle-shard → sequence packing → split-leakage
+  * audit — every stage an operator from the library, every decision
+  * reproducible by key hash.
   *
   * Run: sbt "runMain graft.examples.TrainingDemo /root/testdata/sf0.001"
   */
@@ -56,6 +57,13 @@ object TrainingDemo {
       )
       .orderBy(col("shard"))
       .show()
+
+    // eval-integrity audit: after an 80/20 hash split of the RAW corpus,
+    // how many near-dup pairs would straddle train/val? (The cluster-dedup
+    // stage above is what keeps this honest — here we show the raw count.)
+    println("=== split-leakage pairs (raw corpus, 80/20 hash split) ===")
+    val split = when(Sampling.hash60(col("doc_id")) % 10 < 8, "train").otherwise("val")
+    println(s"leaking pairs: ${Dedup.crossSplitPairs(corpus, "doc_id", "text", split).count()}")
 
     spark.stop()
   }
