@@ -677,6 +677,13 @@ object PqSupport {
       isFloat: Boolean
   ): ArrayData = {
     val m = cb.length
+    // fail LOUDLY on a short vector: UnsafeArrayData getters do not bounds-
+    // check, so without this a truncated embedding would silently encode
+    // garbage read from adjacent buffer memory
+    val need = m * cb(0)(0).length
+    if (v.numElements() < need)
+      throw new IllegalArgumentException(
+        s"pq_assign_codes: vector has ${v.numElements()} elements, codebook needs $need")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -712,11 +719,19 @@ object PqSupport {
     * list_sum, so results are bit-identical.
     */
   def adcDistance(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    if (table.numElements() < m)
+      throw new IllegalArgumentException(
+        s"pq_adc_distance: table has ${table.numElements()} subspaces, codes have $m")
     var acc = 0.0
     var s = 0
-    val m = codes.numElements()
     while (s < m) {
-      acc += table.getArray(s).getDouble(codes.getInt(s))
+      val t = table.getArray(s)
+      val c = codes.getInt(s)
+      if (c < 0 || c >= t.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc_distance: code $c out of range for a ${t.numElements()}-centroid subspace")
+      acc += t.getDouble(c)
       s += 1
     }
     acc

@@ -517,17 +517,24 @@ object Dedup {
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame, quality: Column): DataFrame = {
     val clusters = nearDupClusters(pairs)
       .select(col("doc_id").as("__cid"), col("cluster").as("__cluster"))
-    val clustered = df
-      .join(broadcast(clusters), col(idCol) === col("__cid"), "left")
-      .withColumn("cluster", coalesce(col("__cluster"), col(idCol)))
-      .drop("__cid", "__cluster")
+    // Rank ONLY the docs that collided into a cluster (inner join against
+    // the tiny assignment); the untouched majority of the corpus must never
+    // enter the window — a left-join-then-rank formulation would shuffle
+    // and sort the whole corpus and evaluate `quality` on every row.
+    val inCluster = df
+      .join(broadcast(clusters), col(idCol) === col("__cid"))
       .withColumn("__q", quality)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster"))
+      .partitionBy(col("__cluster"))
       .orderBy(col("__q").desc, col(idCol).asc)
-    clustered
+    val best = inCluster
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__q")
+      .withColumn("cluster", col("__cluster"))
+      .drop("__rn", "__q", "__cid", "__cluster")
+    val untouched = df
+      .join(broadcast(clusters), col(idCol) === col("__cid"), "left_anti")
+      .withColumn("cluster", col(idCol).cast("long"))
+    best.unionByName(untouched)
   }
 }

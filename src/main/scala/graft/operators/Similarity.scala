@@ -208,7 +208,14 @@ object Similarity {
   ): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dim = corpus
+      .select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0)
+      .head(1)
+      .headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqTrainKMeans: corpus is empty or '$vecCol' has no non-empty vectors"))
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val cached = corpus.select(col(vecCol)).cache()

@@ -49,20 +49,27 @@ object PlanChecks {
         s"cartesianProducts=$cartesianProducts parquetScans=$parquetScans\n$planString"
   }
 
-  /** Strip the AQE wrapper (and any reused-exchange indirection) down to
-    * the inspectable plan tree. `executedPlan` inside the wrapper is the
-    * CURRENT physical plan — the post-EnsureRequirements initial plan
-    * before the query runs (`inputPlan` would show the tree before
-    * exchanges are inserted, which is useless for shuffle accounting).
+  /** Every node of the plan, recursing through BOTH the AQE wrappers and
+    * subquery plans. With AQE on, each subquery is its own
+    * AdaptiveSparkPlanExec and that wrapper is a LEAF node — a plain
+    * `collectWithSubqueries` never sees inside it, so a scalar subquery
+    * hiding a full shuffle (or a cartesian join) would be invisible to the
+    * counts. `executedPlan` inside a wrapper is the CURRENT physical plan —
+    * post-EnsureRequirements, so exchanges are present (`inputPlan` is the
+    * tree before they're inserted, useless for shuffle accounting).
     */
-  private def unwrap(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan
-    case other => other
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case other =>
+      other +: (other.children.flatMap(allNodes) ++ other.subqueries.flatMap(allNodes))
   }
 
   def inspect(df: DataFrame): Report = {
-    val plan = unwrap(df.queryExecution.executedPlan)
-    val all = plan.collectWithSubqueries { case n => n }
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val all = allNodes(plan)
     Report(
       hashExchanges = all.count {
         case e: ShuffleExchangeExec => e.outputPartitioning.isInstanceOf[HashPartitioning]
