@@ -129,6 +129,21 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** The `nProbe` nearest centroid ids for a query vector, as an array
+    * column — shared by the in-memory IVF probe and the persistent
+    * [[VectorIndex]] (whose partition-pruned read wants the cluster list
+    * as a column to explode).
+    */
+  def nearestCentroids(qe: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val centroidDists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(sumSq(c)) - lit(2.0) * dot(qe, array(c.map(lit): _*))).as("d"),
+        lit(i).as("cluster")
+      )
+    }
+    slice(array_sort(array(centroidDists: _*)), 1, nProbe).getField("cluster")
+  }
+
   /** Probe the nProbe nearest centroids per query, then exact-rank within
     * the probed posting lists.
     */
@@ -139,17 +154,8 @@ object Similarity {
       nProbe: Int,
       k: Int
   ): DataFrame = {
-    // distance of qe to each centroid, take nProbe nearest cluster ids
-    val centroidDists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        (lit(sumSq(c)) - lit(2.0) * dot(col("qe"), array(c.map(lit): _*))).as("d"),
-        lit(i).as("cluster")
-      )
-    }
     val probed = queries
-      .withColumn("__cands", array_sort(array(centroidDists: _*)))
-      .withColumn("cluster", explode(slice(col("__cands"), 1, nProbe).getField("cluster")))
-      .drop("__cands")
+      .withColumn("cluster", explode(nearestCentroids(col("qe"), centroids, nProbe)))
     val scored = indexed
       .join(broadcast(probed), Seq("cluster"))
       .filter(col("qid") =!= col("vec_id"))
@@ -246,20 +252,27 @@ object Similarity {
     *
     * @return (qid, vec_id, rank, adist) — rank 1 = nearest by ADC
     */
+  /** Per-query ADC distance table: `table(s)(j) = ||q_s - C[s][j]||²`,
+    * built as plan expressions over the query vector column (evaluated on
+    * the small query side only — the corpus never touches d-dim math).
+    */
+  def pqQueryTable(qe: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(qe, s * dsub + 1, dsub)
+      array(cb.map { c =>
+        (dot(sub, sub) + lit(sumSq(c))) - lit(2.0) * dot(sub, array(c.map(lit): _*))
+      }: _*)
+    }: _*)
+  }
+
   def pqTopK(
       queries: DataFrame, // (qid, qe: array<float>)
       encoded: DataFrame, // (vec_id, codes: array<int>) from pqEncode
       codebooks: Array[Array[Array[Double]]],
       k: Int
   ): DataFrame = {
-    val dsub = codebooks(0)(0).length
-    val table = array(codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col("qe"), s * dsub + 1, dsub)
-      array(cb.map { c =>
-        (dot(sub, sub) + lit(sumSq(c))) - lit(2.0) * dot(sub, array(c.map(lit): _*))
-      }: _*)
-    }: _*)
-    val qt = queries.withColumn("__qt", table)
+    val qt = queries.withColumn("__qt", pqQueryTable(col("qe"), codebooks))
     val scored = encoded
       .join(broadcast(qt), col("qid") =!= col("vec_id"))
       .select(

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Similarity, VectorIndex}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Persistent IVF-PQ index: build → reopen round-trip, partition-pruned
+  * probe reads, and recall on clustered data.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 tight clusters in 16-d, 50 points each (ANN-friendly geometry)
+  private def clustered: Seq[(Long, Seq[Float])] = {
+    val rnd = new Random(7)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+  }
+
+  test("build → open round-trip; probe results identical; partition pruning active") {
+    val dir = tmpDir("vindex")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val built = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val reopened = VectorIndex.open(spark, dir)
+    assert(reopened.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    assert(reopened.codebooks.flatten.map(_.toSeq).toSeq == built.codebooks.flatten.map(_.toSeq).toSeq)
+
+    // the realistic probe shape: a FILTERED SCAN of a query table — the
+    // selective predicate is what dynamic partition pruning keys on (an
+    // in-memory literal query set constant-folds to a LocalRelation and
+    // leaves nothing for the DPP rule to see)
+    corpus.write.parquet(s"$dir/queries_src")
+    val queries = spark.read
+      .parquet(s"$dir/queries_src")
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val a = VectorIndex.query(spark, built, queries, nProbe = 2, k = 5)
+    val b = VectorIndex.query(spark, reopened, queries, nProbe = 2, k = 5)
+    val rows = a.select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(rows == b.select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet)
+    assert(rows.nonEmpty)
+
+    // the probe must not read the whole postings table: the cluster join
+    // key is a partition column, so dynamic partition pruning kicks in
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"expected a DPP filter on the postings scan:\n$plan")
+  }
+
+  test("top-1 on tight clusters: same-cluster recall ≥ 0.9 through the persisted index") {
+    val dir = tmpDir("vindex_recall")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val queries = corpus.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val top1 = VectorIndex
+      .query(spark, h, queries, nProbe = 1, k = 1)
+      .select($"qid", $"vec_id")
+      .as[(Long, Long)]
+      .collect()
+    assert(top1.length == 20)
+    val hits = top1.count { case (q, v) => q % 4 == v % 4 }
+    assert(hits >= 18, s"same-cluster top-1 hits: $hits/20")
+  }
+
+  test("probe-everything through the index equals in-memory PQ ADC ranking") {
+    val dir = tmpDir("vindex_exact")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val queries = corpus.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val viaIndex = VectorIndex
+      .query(spark, h, queries, nProbe = 4, k = 5)
+      .select($"qid", $"vec_id", $"rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    val encoded = Similarity.pqEncode(corpus, "embedding", h.codebooks).select($"vec_id", $"codes")
+    val inMemory = Similarity
+      .pqTopK(queries, encoded, h.codebooks, 5)
+      .select($"qid", $"vec_id", $"rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    assert(viaIndex == inMemory)
+  }
+}
