@@ -229,7 +229,15 @@ object Similarity {
       Array.tabulate(m) { s =>
         val sub = cached.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
         val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter).fit(sub)
-        model.clusterCenters.map(_.toArray)
+        val centers = model.clusterCenters.map(_.toArray)
+        // k-means returns fewer than k centers when a subspace has fewer
+        // distinct subvectors — a ragged codebook breaks every downstream
+        // consumer (codes index into ksub entries), so fail loudly here
+        require(
+          centers.length == ksub,
+          s"pqTrainKMeans: subspace $s yielded ${centers.length} < $ksub centers " +
+            "(too few distinct subvectors); lower ksub or m")
+        centers
       }
     } finally cached.unpersist()
   }
@@ -244,14 +252,6 @@ object Similarity {
   def pqEncode(corpus: DataFrame, vecCol: String, codebooks: Array[Array[Array[Double]]]): DataFrame =
     corpus.withColumn("codes", graft.functions.HashExprs.pqAssignCodes(col(vecCol), codebooks))
 
-  /** ADC top-k over a PQ-encoded corpus: rank by approximate squared L2
-    * distance `Σ_s ||q_s - C[s][codes_s]||²`. The per-query distance table
-    * is built as plan expressions on the (small, broadcast) query side; the
-    * corpus side does only native table lookups + a left-fold sum —
-    * sequential and deterministic, so the oracle reproduces it bit-for-bit.
-    *
-    * @return (qid, vec_id, rank, adist) — rank 1 = nearest by ADC
-    */
   /** Per-query ADC distance table: `table(s)(j) = ||q_s - C[s][j]||²`,
     * built as plan expressions over the query vector column (evaluated on
     * the small query side only — the corpus never touches d-dim math).
@@ -266,6 +266,16 @@ object Similarity {
     }: _*)
   }
 
+  /** ADC top-k over a PQ-encoded corpus: rank by approximate squared L2
+    * distance `Σ_s ||q_s - C[s][codes_s]||²`. The per-query distance table
+    * is built as plan expressions on the (small, broadcast) query side; the
+    * corpus side does only native table lookups + a left-fold sum —
+    * sequential and deterministic, so the oracle reproduces it bit-for-bit.
+    * Candidates with `vec_id == qid` are excluded (queries drawn from the
+    * corpus don't match themselves).
+    *
+    * @return (qid, vec_id, rank, adist) — rank 1 = nearest by ADC
+    */
   def pqTopK(
       queries: DataFrame, // (qid, qe: array<float>)
       encoded: DataFrame, // (vec_id, codes: array<int>) from pqEncode

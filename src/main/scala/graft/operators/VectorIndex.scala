@@ -92,15 +92,29 @@ object VectorIndex {
       .select($"s", $"j", $"c")
       .as[(Int, Int, Seq[Double])]
       .collect()
+    require(
+      centroids.nonEmpty && cbRows.nonEmpty,
+      s"VectorIndex.open: no centroid/codebook rows under $dir — missing or partially-built index")
     val m = cbRows.map(_._1).max + 1
     val ksub = cbRows.map(_._2).max + 1
     val codebooks = Array.ofDim[Array[Double]](m, ksub)
     cbRows.foreach { case (s, j, c) => codebooks(s)(j) = c.toArray }
+    // a ragged artifact (some (s,j) rows missing) would otherwise surface
+    // as an NPE deep inside query-table construction
+    require(
+      codebooks.forall(sub => sub != null && sub.forall(_ != null)),
+      s"VectorIndex.open: ragged codebook under $dir (expected $m×$ksub dense rows)")
     Handle(dir, centroids, codebooks)
   }
 
   /** ADC top-k over the persisted index: probe nProbe lists per query.
     * Returns (qid, vec_id, rank, adist), rank 1 = nearest by quantized L2.
+    *
+    * @param excludeSelf drop candidates whose `vec_id` equals the query's
+    *        `qid` — correct when queries are drawn from the corpus itself
+    *        (the default, matching the in-memory top-k operators); set
+    *        false for an EXTERNAL query set, where a coincidental id
+    *        collision must not silently delete a true neighbor.
     *
     * Dynamic partition pruning fires when `queries` carries a selective
     * predicate over a real source (the standard shape: a filtered scan of
@@ -111,24 +125,26 @@ object VectorIndex {
     * works, it just scans every posting file.
     */
   def query(
-      spark: SparkSession,
       h: Handle,
       queries: DataFrame, // (qid, qe: array<float>)
       nProbe: Int,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probed = queries
-      .withColumn("cluster", explode(Similarity.nearestCentroids(col("qe"), h.centroids, nProbe)))
+      // the ADC table is built BEFORE the probe explode — one m×ksub table
+      // per query, duplicated (not recomputed) across its nProbe rows
       .withColumn("__qt", Similarity.pqQueryTable(col("qe"), h.codebooks))
+      .withColumn("cluster", explode(Similarity.nearestCentroids(col("qe"), h.centroids, nProbe)))
       .select(col("qid"), col("cluster"), col("__qt"))
-    val postings = spark.read.parquet(s"${h.dir}/postings")
+    val postings = queries.sparkSession.read.parquet(s"${h.dir}/postings")
     val scored = postings
       // the broadcast keeps the probe side tiny AND makes `cluster` a DPP
       // candidate: the partition filter on the postings scan is derived at
       // runtime from the probed cluster set
       .join(broadcast(probed), Seq("cluster"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(
         col("qid"),
         col("vec_id"),

@@ -37,8 +37,8 @@ class VectorIndexSpec extends SparkSpec {
       .parquet(s"$dir/queries_src")
       .filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val a = VectorIndex.query(spark, built, queries, nProbe = 2, k = 5)
-    val b = VectorIndex.query(spark, reopened, queries, nProbe = 2, k = 5)
+    val a = VectorIndex.query(built, queries, nProbe = 2, k = 5)
+    val b = VectorIndex.query(reopened, queries, nProbe = 2, k = 5)
     val rows = a.select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
     assert(rows == b.select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet)
     assert(rows.nonEmpty)
@@ -55,7 +55,7 @@ class VectorIndexSpec extends SparkSpec {
     val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
     val queries = corpus.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding".as("qe"))
     val top1 = VectorIndex
-      .query(spark, h, queries, nProbe = 1, k = 1)
+      .query(h, queries, nProbe = 1, k = 1)
       .select($"qid", $"vec_id")
       .as[(Long, Long)]
       .collect()
@@ -70,7 +70,7 @@ class VectorIndexSpec extends SparkSpec {
     val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
     val queries = corpus.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qe"))
     val viaIndex = VectorIndex
-      .query(spark, h, queries, nProbe = 4, k = 5)
+      .query(h, queries, nProbe = 4, k = 5)
       .select($"qid", $"vec_id", $"rank")
       .as[(Long, Long, Int)]
       .collect()
