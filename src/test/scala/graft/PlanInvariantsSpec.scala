@@ -6,25 +6,33 @@ package graft
   * the per-operator plan tests in AsOfJoinSpec/SamplingSpec/BucketingSpec.
   */
 class PlanInvariantsSpec extends SparkSpec {
+  import graft.plan.PlanChecks
 
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  private def report(q: String): PlanChecks.Report =
+    PlanChecks.inspect(SparkEntry.queries(q)(spark, dir))
+
   test("no query surface plan contains a nested-loop or cartesian join") {
-    // the all-pairs trap every similarity/temporal operator must avoid
+    // the all-pairs trap every similarity/temporal operator must avoid —
+    // asserted through the same PlanChecks API users get (q88's overlap
+    // join included: bucketization is exactly what keeps it out of BNLJ)
     for (q <- Seq("q59_asof_join", "q62_neardup_clusters", "q64_decontaminate",
-                  "q67_tfidf_topk", "q70_funnel", "q74_incremental_probe")) {
-      val p = plan(q)
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
-      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+                  "q67_tfidf_topk", "q70_funnel", "q74_incremental_probe",
+                  "q88_interval_overlap", "q90_split_leakage")) {
+      val r = report(q)
+      assert(!r.hasAllPairsJoin, s"$q has an all-pairs join:\n${r.render}")
     }
   }
 
   test("decontamination and incremental probe broadcast the small side") {
-    for (q <- Seq("q64_decontaminate", "q74_incremental_probe"))
-      assert(plan(q).contains("BroadcastHashJoin"), s"$q should broadcast its index side")
+    for (q <- Seq("q64_decontaminate", "q74_incremental_probe")) {
+      val r = report(q)
+      assert(r.broadcastHashJoins >= 1, s"$q should broadcast its index side:\n${r.render}")
+    }
   }
 
   test("funnel is a single user-key shuffle before the stage aggregate") {
