@@ -743,10 +743,20 @@ object PqSupport {
   * no per-row construction, no 128-way expression tree for Janino to chew.
   */
 case class PqAssignCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
-  import org.apache.spark.sql.types.{FloatType, IntegerType}
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  // Input-type contract: without it an array<int>/array<long> child passes
+  // analysis and getFloat/getDouble misreads the unsafe buffer at eval.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_assign_codes requires array<float> or array<double>, got ${other.catalogString}")
+  }
 
   @transient private lazy val cbArr: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
@@ -778,10 +788,22 @@ case class PqAssignCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]]) ex
   */
 case class PqAdcDistance(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  import org.apache.spark.sql.types.DoubleType
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  // codes must be array<int>, table array<array<double>> — anything else
+  // would misread the unsafe buffers at eval; fail at analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        "pq_adc_distance requires (array<int>, array<array<double>>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+  }
 
   override protected def nullSafeEval(codes: Any, table: Any): Any =
     PqSupport.adcDistance(

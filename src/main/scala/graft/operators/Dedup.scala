@@ -166,7 +166,30 @@ object Dedup {
     bandedFingerprintPairs(
       df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp")),
       maxHamming,
-      blocks
+      blocks,
+      bits = 64
+    )
+
+  /** 32-bit twin of [[simhash64Pairs]] — same Manku multi-table permuted
+    * banding over [[simhash32]] fingerprints (exact at `maxHamming` by the
+    * same pigeonhole), just `bits = 32`. At B=6, d=3 each of the C(6,3)=20
+    * tables keys on ~16 block bits (~65k buckets), vs the 256 buckets/band
+    * a fixed 4×8-bit scheme saturates at — candidates stay sub-quadratic
+    * as the corpus grows. Prefer the 64-bit form for new pipelines; this
+    * exists because 32-bit fingerprints are what some legacy stores hold.
+    */
+  def simhash32Pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    bandedFingerprintPairs(
+      df.select(col(idCol).as("doc_id"), simhash32(col(textCol)).as("fp")),
+      maxHamming,
+      blocks,
+      bits = 32
     )
 
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH banding for
@@ -277,16 +300,21 @@ object Dedup {
 
   /** The banding join itself, over a (doc_id, fp) frame — separated so specs
     * can drive it with synthetic fingerprints and prove recall is exact.
+    * `bits` is the fingerprint width (64 for [[simhash64]], 32 for
+    * [[simhash32]]) — ONE implementation serves both, parameterized, so
+    * there is no second fixed-band code path to drift.
     */
   private[graft] def bandedFingerprintPairs(
       fps: DataFrame,
       maxHamming: Int,
-      blocks: Int
+      blocks: Int,
+      bits: Int = 64
   ): DataFrame = {
     require(blocks > maxHamming, s"need blocks > maxHamming, got $blocks <= $maxHamming")
+    require(bits >= blocks && bits <= 64, s"fingerprint width $bits out of range")
     val keep = blocks - maxHamming
-    // contiguous block layout over the 64 bits (low-to-high), wider blocks first
-    val sizes = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    // contiguous block layout over the `bits` bits (low-to-high), wider blocks first
+    val sizes = Array.tabulate(blocks)(i => bits / blocks + (if (i < bits % blocks) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
     def blockVal(i: Int): Column =
       shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))

@@ -122,37 +122,21 @@ object DedupQueries {
     Some(s"WITH $minhashPairsCte SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b")
   )
 
-  /** SimHash near-dup pairs with hamming <= 3, computed with a byte-band
-    * join: 4 bands of 8 bits; hamming <= 3 pigeonholes at least one band to
-    * match exactly, so the banded equi-join finds EXACTLY the same pairs as
-    * a naive cross join (which is what the oracle runs) — sub-quadratic with
-    * identical results.
+  /** 32-bit SimHash near-dup pairs with hamming <= 3. Delegates to the SAME
+    * Manku multi-table banding as q52 ([[Dedup.simhash32Pairs]], bits=32) —
+    * the old fixed 4×8-bit band path (256 buckets/band → candidates ~n²/256
+    * at corpus scale) is gone; block-combination keys carry ~16 bits, so
+    * bucket occupancy stays O(1) as the corpus grows. Recall is exact by
+    * pigeonhole either way, so the naive-cross-join oracle still matches
+    * bit-for-bit.
     */
   private val q26 = Q(
     "q26_simhash_pairs",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
-      val sh = T.documents.select($"doc_id", Dedup.simhash32($"text").as("simhash"))
-      val banded = sh.select(
-        $"doc_id",
-        $"simhash",
-        posexplode(array((0 until 4).map(j => shiftright($"simhash", 8 * j).bitwiseAND(lit(255L))): _*))
-      ).toDF("doc_id", "simhash", "band", "band_val")
-      banded
-        .as("a")
-        .join(
-          banded.as("b"),
-          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id")
-        )
-        .select(
-          col("a.doc_id").as("doc_a"),
-          col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
-        )
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy(col("doc_a"), col("doc_b"))
+      Dedup
+        .simhash32Pairs(T.documents, "doc_id", "text", maxHamming = 3, blocks = 6)
+        .orderBy($"doc_a", $"doc_b")
     },
     Some("""
       WITH words AS (SELECT doc_id, md5(unnest(regexp_split_to_array(lower(text), '\s+'))) AS h FROM documents),
@@ -171,10 +155,9 @@ object DedupQueries {
 
   /** 64-bit SimHash near-dup pairs at hamming <= 3 via Manku multi-table
     * permuted banding (B=6 blocks, C(6,3)=20 tables keyed on ~32-bit block
-    * combinations) — the scale-safe twin of q26's fixed-256-bucket scheme:
-    * same exact-recall guarantee, but bucket cardinality grows with the
-    * key width instead of saturating, so candidate pairs stay ~linear in
-    * corpus size at 100 TB. The oracle cross-joins fingerprints computed
+    * combinations) — q26 runs the same implementation at bits=32; this is
+    * the preferred 100 TB form (64-bit fingerprints → ~2^32 fewer random
+    * collisions). The oracle cross-joins fingerprints computed
     * bit-for-bit the same way (two votes per md5 hex digit, bit 63 folded
     * in as -2^63 to stay in signed BIGINT range).
     */

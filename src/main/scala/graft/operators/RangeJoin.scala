@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** True floor division as an integer-only plan expression:
+    * `(x - pmod(x, w)) DIV w`. `pmod` makes the remainder non-negative, so
+    * the subtraction lands exactly on the bucket's floor multiple — unlike
+    * raw `x DIV w`, which truncates toward zero and mis-buckets negatives.
+    */
+  private def floorDiv(sqlCol: String, w: Long) =
+    expr(s"($sqlCol - pmod($sqlCol, ${w}L)) DIV ${w}L")
+
   /** Join `points` (numeric `pointCol`, e.g. unix micros) to `intervals`
     * rows whose `[startCol, endCol]` (inclusive both ends) contain the
     * point, via `bucketWidth`-wide buckets.
@@ -24,8 +32,10 @@ object RangeJoin {
     * Pick `bucketWidth` near the p95 interval length: an interval explodes
     * to `(end-start)/width + 1..2` bucket copies, so much-longer-than-width
     * intervals multiply the interval side, and a much-wider width inflates
-    * candidate pairs per bucket. Columns must be non-negative (integer DIV
-    * truncation = floor there); the two inputs must not share column names.
+    * candidate pairs per bucket. Negative values are safe: bucket
+    * assignment uses true floor division, not SQL DIV's toward-zero
+    * truncation (which would merge buckets -1 and 0 and drop/duplicate
+    * pairs). The two inputs must not share column names.
     */
   def pointInInterval(
       points: DataFrame,
@@ -38,10 +48,10 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"point/interval column collision: ${dup.mkString(", ")}")
-    val pts = points.withColumn("__bucket", expr(s"`$pointCol` DIV $bucketWidth"))
+    val pts = points.withColumn("__bucket", floorDiv(s"`$pointCol`", bucketWidth))
     val ivs = intervals.withColumn(
       "__bucket",
-      explode(sequence(expr(s"`$startCol` DIV $bucketWidth"), expr(s"`$endCol` DIV $bucketWidth")))
+      explode(sequence(floorDiv(s"`$startCol`", bucketWidth), floorDiv(s"`$endCol`", bucketWidth)))
     )
     pts
       .join(ivs, Seq("__bucket"))
@@ -54,10 +64,11 @@ object RangeJoin {
     * [[pointInInterval]]. Both sides explode onto the buckets they cover
     * and equi-join on the bucket; a pair sharing several buckets is emitted
     * exactly once — only at the FIRST bucket both intervals cover
-    * (`bucket = max(lStart, rStart) DIV width`), which replaces the
+    * (`bucket = floor(max(lStart, rStart) / width)`), which replaces the
     * distinct-shuffle a naive dedup would need. Same sizing rule: pick
-    * `bucketWidth` near the p95 interval length. Columns must be
-    * non-negative integers; the two inputs must not share column names.
+    * `bucketWidth` near the p95 interval length. Negative bounds are safe
+    * (true floor division throughout); the two inputs must not share
+    * column names.
     */
   def intervalOverlap(
       left: DataFrame,
@@ -73,12 +84,12 @@ object RangeJoin {
     require(dup.isEmpty, s"left/right column collision: ${dup.mkString(", ")}")
     def exploded(df: DataFrame, s: String, e: String) = df.withColumn(
       "__bucket",
-      explode(sequence(expr(s"`$s` DIV $bucketWidth"), expr(s"`$e` DIV $bucketWidth")))
+      explode(sequence(floorDiv(s"`$s`", bucketWidth), floorDiv(s"`$e`", bucketWidth)))
     )
     exploded(left, lStart, lEnd)
       .join(exploded(right, rStart, rEnd), Seq("__bucket"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .filter(col("__bucket") === expr(s"greatest(`$lStart`, `$rStart`) DIV $bucketWidth"))
+      .filter(col("__bucket") === floorDiv(s"greatest(`$lStart`, `$rStart`)", bucketWidth))
       .drop("__bucket")
   }
 }

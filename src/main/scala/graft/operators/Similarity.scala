@@ -152,13 +152,16 @@ object Similarity {
       indexed: DataFrame, // (vec_id, embedding, cluster) from ivfIndex
       centroids: Array[Array[Double]],
       nProbe: Int,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val probed = queries
       .withColumn("cluster", explode(nearestCentroids(col("qe"), centroids, nProbe)))
     val scored = indexed
       .join(broadcast(probed), Seq("cluster"))
-      .filter(col("qid") =!= col("vec_id"))
+      // excludeSelf=false for external query sets: a coincidental qid/vec_id
+      // collision must not delete a true neighbor there
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -280,11 +283,13 @@ object Similarity {
       queries: DataFrame, // (qid, qe: array<float>)
       encoded: DataFrame, // (vec_id, codes: array<int>) from pqEncode
       codebooks: Array[Array[Array[Double]]],
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val qt = queries.withColumn("__qt", pqQueryTable(col("qe"), codebooks))
     val scored = encoded
-      .join(broadcast(qt), col("qid") =!= col("vec_id"))
+      // excludeSelf=false for external query sets (mirrors VectorIndex.query)
+      .join(broadcast(qt), if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(
         col("qid"),
         col("vec_id"),

@@ -29,6 +29,7 @@ object PlanChecks {
 
   final case class Report(
       hashExchanges: Int,
+      totalExchanges: Int,
       broadcastHashJoins: Int,
       sortMergeJoins: Int,
       nestedLoopJoins: Int,
@@ -41,10 +42,16 @@ object PlanChecks {
       */
     def hasAllPairsJoin: Boolean = nestedLoopJoins > 0 || cartesianProducts > 0
 
-    def shuffleFree: Boolean = hashExchanges == 0
+    /** No shuffle of ANY kind: hash, range (global sort), or round-robin
+      * repartition. Based on totalExchanges — a RangePartitioning exchange
+      * is just as much a full shuffle as a hash one, and a "shuffle-free"
+      * contract that ignored it would be a hole in the guarantee.
+      */
+    def shuffleFree: Boolean = totalExchanges == 0
 
     def render: String =
-      s"hashExchanges=$hashExchanges broadcastHashJoins=$broadcastHashJoins " +
+      s"hashExchanges=$hashExchanges totalExchanges=$totalExchanges " +
+        s"broadcastHashJoins=$broadcastHashJoins " +
         s"sortMergeJoins=$sortMergeJoins nestedLoopJoins=$nestedLoopJoins " +
         s"cartesianProducts=$cartesianProducts parquetScans=$parquetScans\n$planString"
   }
@@ -75,6 +82,7 @@ object PlanChecks {
         case e: ShuffleExchangeExec => e.outputPartitioning.isInstanceOf[HashPartitioning]
         case _ => false
       },
+      totalExchanges = all.count(_.isInstanceOf[ShuffleExchangeExec]),
       broadcastHashJoins = all.count(_.isInstanceOf[BroadcastHashJoinExec]),
       sortMergeJoins = all.count(_.isInstanceOf[SortMergeJoinExec]),
       nestedLoopJoins = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),

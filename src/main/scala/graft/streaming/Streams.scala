@@ -134,11 +134,17 @@ object Streams {
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
-      corpusBuckets: DataFrame
+      corpusBuckets: DataFrame,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4
   ): DataFrame = {
     import graft.operators.Dedup
+    // Signature parameters MUST match the ones the corpus index was built
+    // with — a mismatch silently produces wrong verdicts, so they're exposed
+    // exactly as Dedup.probeNewDocs exposes them.
     Dedup
-      .minhashBuckets(newDocs, idCol, textCol)
+      .minhashBuckets(newDocs, idCol, textCol, shingleK, numHashes, bands)
       .as("n")
       .join(
         corpusBuckets.as("c"),

@@ -126,6 +126,33 @@ class DedupSpec extends SparkSpec {
     assert(brute.exists(_._3 == 3)) // includes the boundary distance
   }
 
+  test("32-bit banding recall is exact for (32 bits, 6 blocks, hamming<=3)") {
+    // the q26 configuration: same unified Manku implementation, bits=32
+    val rnd = new scala.util.Random(20250813L)
+    val bases = (0 until 120).map(i => (i.toLong, rnd.nextLong() & 0xffffffffL))
+    def flip(fp: Long, k: Int): Long = {
+      var out = fp
+      val picked = scala.collection.mutable.Set[Int]()
+      while (picked.size < k) picked += rnd.nextInt(32)
+      picked.foreach(b => out ^= 1L << b)
+      out
+    }
+    val derived = (0 until 40).map { i =>
+      val (_, fp) = bases(i % bases.size)
+      (1000L + i, flip(fp, i % 4 + 1)) // hamming 1..4 from its base
+    }
+    val fps = (bases ++ derived).toDF("doc_id", "fp")
+    val banded = Dedup.bandedFingerprintPairs(fps, maxHamming = 3, blocks = 6, bits = 32)
+      .as[(Long, Long, Int)].collect().toSet
+    val all = bases ++ derived
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute)
+    assert(brute.exists(_._3 == 3))
+  }
+
   test("simhash64: 2 votes per hex digit agree with simhash32 on the shared bits") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val (h32, h64) = df.select(Dedup.simhash32($"text"), Dedup.simhash64($"text"))
