@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages as `mapPartitions` pipelines.
   *
-  * The DECODE step is a clearly-marked deterministic STUB (no codec
-  * libraries ship in this container); everything around it — the schema,
-  * the Dataset encoders, the per-partition batch shape (init expensive
-  * decoder/model state once per partition, stream rows through it), and the
-  * partitioning strategy — is the real production plumbing.
+  * IMAGE decode is REAL: a pluggable [[ImageDecoder]] defaulting to
+  * `javax.imageio` (pure-JVM, ships with the JDK) turns PNG/JPEG/GIF/BMP
+  * bytes into pixel-derived features and real resizes. Audio/video decode
+  * remains a clearly-marked deterministic STUB (no such codecs in the
+  * JDK); for any blob the decoder cannot positively decode, feature
+  * extraction falls back to the same digest stub, so a corrupt image never
+  * kills a task — it just yields a fallback signature (and the header
+  * sniff below is the gate that catches it first in practice).
   *
   * Scale notes (100 TB of media):
   *  - media rows are large and skewed → repartition by a byte-size budget
@@ -46,13 +49,79 @@ object Multimodal {
 
   final case class Frame(id: Long, frameIdx: Int, tsMs: Long, content: Array[Byte])
 
-  /** ======== STUBBED DECODE ========
-    * Deterministic fake "decoder": in production this is the codec call
-    * (e.g. javax.imageio / ffmpeg bindings). The stub derives pseudo-pixels
-    * from the content digest so downstream stages are testable and
-    * reproducible. Everything below this marker is stand-in math; the
-    * function SIGNATURE (bytes → fixed-width float vector) is the real
-    * contract.
+  /** Pluggable image decode seam: bytes → pixels. Implementations must be
+    * serializable (they ride into executor tasks) and total — return None
+    * rather than throw on undecodable input.
+    */
+  trait ImageDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage]
+  }
+
+  /** Default decoder: `javax.imageio.ImageIO` — pure-JVM, no native libs,
+    * handles PNG/JPEG/GIF/BMP out of the box. Returns None for anything
+    * ImageIO does not positively recognize (it returns null) or that blows
+    * up mid-decode (truncated stream).
+    */
+  object ImageIoDecoder extends ImageDecoder {
+    override def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** A decoder that never decodes — forces the digest-stub path; useful for
+    * deterministic tests and for corpora known to hold no images.
+    */
+  object NoopDecoder extends ImageDecoder {
+    override def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = None
+  }
+
+  /** Pixel-derived feature: mean luminance over a near-square grid of
+    * `dim` cells (row-major), each in [0,1]. Resolution-independent by
+    * construction — the grid is laid over the image whatever its size — so
+    * the same scene at different resolutions yields nearby vectors, which
+    * is exactly what the embedding near-dup/ANN stages downstream want.
+    */
+  def imageFeature(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val cols = (dim + rows - 1) / rows
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val r = i / cols
+      val c = i % cols
+      val x0 = c * w / cols
+      val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+      val y0 = r * h / rows
+      val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+      var acc = 0.0
+      var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val rgb = img.getRGB(x, y)
+          acc += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      out(i) = if (n == 0) 0f else (acc / n).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** ======== STUBBED DECODE (audio/video fallback) ========
+    * Deterministic fake "decoder" for the modalities the JDK has no codec
+    * for (and the fallback when [[ImageDecoder.decode]] returns None). The
+    * stub derives a pseudo-signature from the content digest so downstream
+    * stages are testable and reproducible; the SIGNATURE (bytes →
+    * fixed-width float vector) is the real contract.
     */
   def decodeToFeatureStub(content: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -77,9 +146,15 @@ object Multimodal {
 
   /** Feature extraction over a media Dataset: per-partition init (the
     * expensive decoder/model handle) + streaming rows through it — the
-    * Scala analogue of a pandas-batched UDF.
+    * Scala analogue of a pandas-batched UDF. Image rows the decoder can
+    * read get REAL pixel-derived features ([[imageFeature]]); everything
+    * else (audio/video, corrupt blobs) falls back to the digest stub.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      dim: Int,
+      decoder: ImageDecoder = ImageIoDecoder
+  ): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init: decoder/model state constructed once per task
@@ -87,12 +162,15 @@ object Multimodal {
       rows.map { r =>
         digest.reset()
         val hash = digest.digest(r.content).map("%02x".format(_)).mkString
+        val feat =
+          if (r.modality == "image") decoder.decode(r.content).map(imageFeature(_, dim))
+          else None
         MediaFeatures(
           id = r.id,
           modality = r.modality,
           byteLen = r.content.length,
           contentHash = hash,
-          feature = decodeToFeatureStub(r.content, dim)
+          feature = feat.getOrElse(decodeToFeatureStub(r.content, dim))
         )
       }
     }
@@ -113,14 +191,37 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stage — in production a pixel op; the stub re-derives a
-    * smaller feature signature. Keeps the (binary → binary) stage signature.
+  /** Resize stage (binary → binary): decodable images are REALLY resized —
+    * bilinear Graphics2D scale to targetW×targetH, re-encoded as PNG
+    * (lossless, always writable by the JDK regardless of input container).
+    * Undecodable content keeps the digest-stub behavior so the stage stays
+    * total over a dirty corpus.
     */
-  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+  def resize(
+      media: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int,
+      decoder: ImageDecoder = ImageIoDecoder
+  ): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
+      val real = decoder.decode(r.content).map { img =>
+        val scaled = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        bos.toByteArray
+      }
       r.copy(
-        content = decodeToFeatureStub(r.content, math.max((targetW * targetH) / 64, 16)).map(v => (v * 255).toByte),
+        content = real.getOrElse(
+          decodeToFeatureStub(r.content, math.max((targetW * targetH) / 64, 16)).map(v => (v * 255).toByte)),
         meta = r.meta.copy(width = Some(targetW), height = Some(targetH))
       )
     }

@@ -43,10 +43,61 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.tsMs).toSeq == Seq(0L, 2000L, 4000L))
   }
 
-  test("resize stub rewrites content and metadata, keeps ids") {
-    val resized = Multimodal.resizeStub(spark.createDataset(media), 64, 64)
+  test("resize rewrites content and metadata, keeps ids (stub fallback for fake bytes)") {
+    val resized = Multimodal.resize(spark.createDataset(media), 64, 64)
     val r = resized.filter(_.id == 1L).head()
     assert(r.meta.width.contains(64) && r.meta.height.contains(64))
+  }
+
+  // --- real decode path (javax.imageio) ---
+
+  private def encodeImage(format: String, w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no JDK writer for $format")
+    bos.toByteArray
+  }
+
+  test("extractFeatures decodes real PNG/JPEG into pixel-derived features") {
+    val black = encodeImage("png", 40, 30)((_, _) => 0x000000)
+    val white = encodeImage("jpg", 40, 30)((_, _) => 0xffffff)
+    // left half black, right half white
+    val split = encodeImage("png", 40, 30)((x, _) => if (x < 20) 0x000000 else 0xffffff)
+    val rows = Multimodal
+      .extractFeatures(
+        spark.createDataset(Seq(
+          MediaRow(1L, "image", black, MediaMeta(Some(40), Some(30), Some(3), None, None, Some("png"))),
+          MediaRow(2L, "image", white, MediaMeta(Some(40), Some(30), Some(3), None, None, Some("jpeg"))),
+          MediaRow(3L, "image", split, MediaMeta(Some(40), Some(30), Some(3), None, None, Some("png")))
+        )),
+        dim = 16)
+      .collect()
+      .sortBy(_.id)
+    // black decodes to ~0 everywhere, white to ~1 (JPEG is lossy: small tolerance)
+    assert(rows(0).feature.forall(_ <= 0.02f), rows(0).feature.mkString(","))
+    assert(rows(1).feature.forall(_ >= 0.98f), rows(1).feature.mkString(","))
+    // the 4x4 grid over the split image: leftmost column cells dark, rightmost light
+    val f = rows(2).feature
+    val leftCols = Seq(0, 4, 8, 12).map(f(_))
+    val rightCols = Seq(3, 7, 11, 15).map(f(_))
+    assert(leftCols.forall(_ <= 0.1f), s"left cells not dark: $leftCols")
+    assert(rightCols.forall(_ >= 0.9f), s"right cells not light: $rightCols")
+    // a digest stub could never produce these pixel-aligned values
+  }
+
+  test("resize really rescales a decodable image and re-encodes PNG") {
+    val src = encodeImage("png", 100, 80)((x, _) => if (x < 50) 0x000000 else 0xffffff)
+    val out = Multimodal
+      .resize(
+        spark.createDataset(Seq(
+          MediaRow(9L, "image", src, MediaMeta(Some(100), Some(80), Some(3), None, None, Some("png"))))),
+        64, 64)
+      .head()
+    assert(Multimodal.sniffImage(out.content).contains(("png", 64, 64)))
+    // pixels survived the scale: the resized image still splits dark/light
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    assert((img.getRGB(5, 32) & 0xff) < 30 && (img.getRGB(60, 32) & 0xff) > 220)
   }
 
   test("repartitionByBytes sizes partitions by content volume") {
