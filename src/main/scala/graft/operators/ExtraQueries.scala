@@ -139,10 +139,19 @@ object ExtraQueries {
     """.trim)
   )
 
-  /** Sketch aggregates (HLL count-distinct, approximate percentiles) — no
-    * SQL oracle by design: approximation algorithms differ across engines,
-    * so the driver records the weaker rows-only check. Exact twins are
-    * q35/q38.
+  /** Sketch aggregates (HLL count-distinct, approximate percentiles) with a
+    * BOUNDED-ERROR oracle: approximation algorithms differ across engines,
+    * so the raw estimates can't hash-match — instead the query emits the
+    * EXACT values (independently recomputed by the DuckDB oracle and
+    * hash-compared) plus booleans asserting each sketch landed within its
+    * published error bound, which the oracle pins to literal TRUE. The row
+    * hash therefore matches iff the estimates really were within ε:
+    *  - approx_count_distinct(rsd=0.02): |est−exact| ≤ 3·rsd·exact (3σ of
+    *    the HLL++ relative-standard-deviation contract);
+    *  - percentile_approx(accuracy=1000): rank error ≤ N/1000 (Greenwald-
+    *    Khanna bound), checked with 20× slack against the exact 0.48/0.52
+    *    quantiles. Exact twins are q35/q38; the exact-percentile scaffold
+    *    here is gate-only cost, not a 100 TB query shape.
     */
   private val q39 = Q(
     "q39_approx_sketches",
@@ -151,13 +160,27 @@ object ExtraQueries {
       T.lineitem
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"),
-          count(lit(1)).as("n")
+          count(lit(1)).as("n"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey", rsd = 0.02).as("__est_parts"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("__est_median"),
+          expr("percentile(l_extendedprice, 0.48)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.52)").as("__hi")
+        )
+        .select(
+          $"l_returnflag",
+          $"n",
+          $"exact_parts",
+          (abs($"__est_parts" - $"exact_parts") <= $"exact_parts" * 0.06).as("parts_within_3rsd"),
+          ($"__est_median" >= $"__lo" && $"__est_median" <= $"__hi").as("median_within_rank_eps")
         )
         .orderBy($"l_returnflag")
     },
-    None
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS parts_within_3rsd, TRUE AS median_within_rank_eps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim)
   )
 
   /** The full ranking-window family over one shared window definition:
@@ -553,9 +576,17 @@ object ExtraQueries {
     * contract at 100 TB: persist each ingest batch's binary sketch column,
     * and any later rollup (per day, per source, whole corpus) is a cheap union
     * of kilobyte sketches instead of a re-aggregation of the raw data.
-    * Approximation ⇒ rows-only driver check (cross-engine sketch estimates
-    * legitimately differ); SketchSpec pins the estimates to the exact
-    * distinct counts within the configured error bound.
+    * Bounded-error oracle (same scheme as q39): the output carries the
+    * EXACT per-source and overall distinct counts — which DuckDB recomputes
+    * independently and hash-compares — plus a boolean pinning each HLL
+    * estimate within 3σ of its published error (lgK=14 ⇒ rsd = 1.04/√2¹⁴ ≈
+    * 0.81%, 3σ ≈ 2.5%). The oracle emits literal TRUE, so the row hash
+    * matches iff every estimate (including the one from the UNIONED
+    * sketches) was in bound. The overall exact count is the SUM of
+    * per-source exacts — sound exactly when sources don't share doc_ids,
+    * and that assumption is itself machine-checked: the oracle's global
+    * COUNT(DISTINCT) sits in the same hashed column, so any overlap fails
+    * the row. SketchSpec additionally pins the lossless-union law.
     */
   private val q84 = Q(
     "q84_mergeable_sketches",
@@ -565,19 +596,34 @@ object ExtraQueries {
         .groupBy($"source")
         .agg(
           hll_sketch_agg($"doc_id", lit(14)).as("sk"),
+          countDistinct($"doc_id").as("exact_distinct"),
           count(lit(1)).as("n")
         )
       val overall = perSource.agg(
         lit("__all__").as("source"),
-        hll_sketch_estimate(hll_union_agg($"sk")).as("est_distinct"),
-        sum($"n").as("n")
+        sum($"exact_distinct").as("exact_distinct"),
+        sum($"n").as("n"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("__est")
       )
       perSource
-        .select($"source", hll_sketch_estimate($"sk").as("est_distinct"), $"n")
-        .unionByName(overall)
+        .select($"source", $"exact_distinct", $"n", hll_sketch_estimate($"sk").as("__est"))
+        .unionByName(overall.select($"source", $"exact_distinct", $"n", $"__est"))
+        .select(
+          $"source",
+          $"exact_distinct",
+          $"n",
+          (abs($"__est" - $"exact_distinct") <= $"exact_distinct" * 0.025).as("within_3sigma")
+        )
         .orderBy($"source")
     },
-    None
+    Some("""
+      SELECT source, COUNT(DISTINCT doc_id) AS exact_distinct, COUNT(*) AS n, TRUE AS within_3sigma
+      FROM documents GROUP BY source
+      UNION ALL
+      SELECT '__all__' AS source, COUNT(DISTINCT doc_id) AS exact_distinct, COUNT(*) AS n, TRUE AS within_3sigma
+      FROM documents
+      ORDER BY source
+    """.trim)
   )
 
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q46, q47, q48, q49, q50, q51, q69, q70, q71, q80, q81, q84)
