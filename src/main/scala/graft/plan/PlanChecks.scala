@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 
 /** Plan contracts as a first-class API: the properties that decide whether a
@@ -35,6 +35,7 @@ object PlanChecks {
       nestedLoopJoins: Int,
       cartesianProducts: Int,
       parquetScans: Int,
+      skewedJoins: Int,
       planString: String
   ) {
     /** An O(left×right) join — a scale-killer unless one side is tiny by
@@ -53,7 +54,8 @@ object PlanChecks {
       s"hashExchanges=$hashExchanges totalExchanges=$totalExchanges " +
         s"broadcastHashJoins=$broadcastHashJoins " +
         s"sortMergeJoins=$sortMergeJoins nestedLoopJoins=$nestedLoopJoins " +
-        s"cartesianProducts=$cartesianProducts parquetScans=$parquetScans\n$planString"
+        s"cartesianProducts=$cartesianProducts parquetScans=$parquetScans " +
+        s"skewedJoins=$skewedJoins\n$planString"
   }
 
   /** Every node of the plan, recursing through BOTH the AQE wrappers and
@@ -67,6 +69,10 @@ object PlanChecks {
     */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    // materialized AQE stages are LEAF wrappers — the executed subtree hangs
+    // off .plan, not .children, so a post-execution inspection that skipped
+    // this case would report an empty plan (zero joins, zero exchanges)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: allNodes(q.plan)
     case other =>
       other +: (other.children.flatMap(allNodes) ++ other.subqueries.flatMap(allNodes))
   }
@@ -88,6 +94,14 @@ object PlanChecks {
       nestedLoopJoins = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       cartesianProducts = all.count(_.isInstanceOf[CartesianProductExec]),
       parquetScans = all.count(n => n.nodeName.startsWith("Scan parquet") || n.nodeName == "BatchScan"),
+      // isSkewJoin is set by AQE's OptimizeSkewedJoin when it split a hot
+      // partition — only visible in the FINAL adaptive plan, i.e. when
+      // inspect() runs AFTER an action on the frame
+      skewedJoins = all.count {
+        case s: SortMergeJoinExec => s.isSkewJoin
+        case s: ShuffledHashJoinExec => s.isSkewJoin
+        case _ => false
+      },
       planString = plan.toString
     )
   }

@@ -108,4 +108,43 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan("q87_cluster_best")
     assert(p.contains("BroadcastHashJoin"), "q87 must broadcast the cluster assignment")
   }
+
+  test("AQE skew split fires on a planted hot key (the shuffle-join family's 100x-skew story)") {
+    // The q05/q59 join family relies on AQE to split runtime stragglers;
+    // this proves the mechanism actually engages instead of trusting the
+    // config. One key owns ~80% of the left side; thresholds are lowered to
+    // test scale, ratios (factor 2 over the median partition) as in prod.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, sha2, when}
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // pad must be INCOMPRESSIBLE: skew detection reads the map output's
+      // compressed partition sizes, and a constant pad deflates to nothing
+      val left = spark.range(100000)
+        .select(
+          when($"id" < 80000, lit(1L)).otherwise($"id").as("k"),
+          sha2($"id".cast("string"), 512).as("pad"))
+      val right = spark.range(100000).select($"id".as("k"), lit(1).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS frame's own QueryExecution (a write/count would spawn a
+      // fresh one and leave joined's adaptive plan un-finalized)
+      assert(joined.collect().length == 100000)
+      val r = PlanChecks.inspect(joined)
+      assert(r.skewedJoins >= 1, s"AQE skew split did not fire on the hot key:\n${r.render}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
