@@ -225,11 +225,15 @@ object Dedup {
         Similarity.lshBucket(emb, planes.slice(b * perBand, (b + 1) * perBand)).as("bucket")
       )
     }
+    // two-step projection: `emb` must exist BEFORE the select that explodes
+    // over it (a same-select alias is a lateral column reference, which
+    // Spark refuses inside a Generate); the optimizer collapses the pair
     val keyed = df
+      .select(col(idCol).as("doc_id"), col(embCol).as("emb"))
       .select(
-        col(idCol).as("doc_id"),
-        col(embCol).as("emb"),
-        Similarity.norm(col(embCol)).as("nrm"),
+        col("doc_id"),
+        col("emb"),
+        Similarity.norm(col("emb")).as("nrm"),
         explode(array(bandCols: _*)).as("bk")
       )
     keyed
@@ -249,6 +253,47 @@ object Dedup {
         col("doc_b"),
         (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos")
       )
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-dup pairs through a PERSISTED [[VectorIndex]] — the
+    * repeated/incremental-run form of [[embedNearDupPairs]]: build the
+    * index once, probe it on every pipeline refresh instead of re-hashing
+    * the whole corpus per run. Candidates come from the index's
+    * partition-pruned ADC probe (each doc queries its own nProbe lists for
+    * k approximate neighbors); only candidates pay the exact-cosine
+    * verification, via an equi-join back to the raw vectors (candidate set
+    * is ≤ n·k rows, never all-pairs). Same output contract as
+    * [[embedNearDupPairs]]: (doc_a < doc_b, cos ≥ threshold) distinct.
+    *
+    * Recall knob differs from the LSH form: raise nProbe/k instead of
+    * bands. With nProbe = kLists and k ≥ the largest true neighborhood the
+    * candidate set is effectively exhaustive per doc.
+    */
+  def embedNearDupPairsViaIndex(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: VectorIndex.Handle,
+      threshold: Double,
+      nProbe: Int = 4,
+      k: Int = 10
+  ): DataFrame = {
+    val vecs = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+    val queries = vecs.select(col("doc_id").as("qid"), col("emb").as("qe"))
+    val cands = VectorIndex
+      .query(index, queries, nProbe, k, excludeSelf = true)
+      // canonical orientation BEFORE distinct: the probe sees each pair
+      // from both ends (a queries b, b queries a) — fold them together
+      .select(
+        least(col("qid"), col("vec_id")).as("doc_a"),
+        greatest(col("qid"), col("vec_id")).as("doc_b")
+      )
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(vecs.select(col("doc_id").as("doc_a"), col("emb").as("ea")), Seq("doc_a"))
+      .join(vecs.select(col("doc_id").as("doc_b"), col("emb").as("eb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Similarity.cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

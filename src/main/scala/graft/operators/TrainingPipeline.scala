@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *   4. benchmark decontamination          ([[Decontaminate.clean]])
   *   5. cluster-level near-dup collapse    ([[Dedup.minhashClusterEdges]] →
   *                                          [[Graph.connectedComponents]])
+  *   5b. embedding near-dup collapse       (optional: [[Dedup.embedNearDupPairs]]
+  *                                          per-run, or a persisted
+  *                                          [[VectorIndex]] probed per refresh)
   *   6. PII redaction                      ([[Pii.scrub]])
   *   7. overlapping context-window chunks  ([[TextAnalysis.tokenChunks]])
   *
@@ -40,6 +43,24 @@ object TrainingPipeline {
       chunkStride: Int = 48
   )
 
+  /** Optional embedding near-dup stage (5b). `index = None` hashes the
+    * corpus per run ([[Dedup.embedNearDupPairs]], LSH candidates); with a
+    * persisted [[VectorIndex]] handle the stage probes the index instead —
+    * the repeated/incremental-run shape: build once, probe per refresh.
+    * `embeddings` is a (idCol, embCol) side table keyed like the corpus.
+    */
+  final case class EmbedStage(
+      embeddings: DataFrame,
+      idCol: String = "doc_id",
+      embCol: String = "embedding",
+      threshold: Double = 0.95,
+      lshPlanes: Seq[Array[Double]] = Nil,
+      lshBands: Int = 4,
+      index: Option[VectorIndex.Handle] = None,
+      nProbe: Int = 4,
+      k: Int = 10
+  )
+
   /** @return (chunks, audit): training-ready chunk rows
     *         (doc_id, start, ntok, chunk) and a per-stage surviving-doc
     *         count audit (lazy — materialized when the audit is acted on).
@@ -50,7 +71,8 @@ object TrainingPipeline {
       idCol: String,
       textCol: String,
       cfg: Config = Config(),
-      lmRef: Option[DataFrame] = None
+      lmRef: Option[DataFrame] = None,
+      embed: Option[EmbedStage] = None
   ): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val text = col(textCol)
@@ -86,21 +108,42 @@ object TrainingPipeline {
       Dedup.minhashClusterEdges(decontaminated, idCol, textCol)
     )
 
-    val scrubbed = deduped.withColumn(textCol, Pii.scrub(text))
+    // 5b (optional): embedding near-dup collapse. Pairs are computed over
+    // the embeddings of docs still alive (semi-join first, so a dropped
+    // doc can't pull a survivor out of the corpus), then collapsed with
+    // the same min-id cluster rule as the text stage.
+    val embedDeduped = embed match {
+      case Some(e) =>
+        val alive = e.embeddings.join(
+          deduped.select(id.as("__alive")),
+          col(e.idCol) === col("__alive"),
+          "left_semi")
+        val pairs = e.index match {
+          case Some(h) =>
+            Dedup.embedNearDupPairsViaIndex(alive, e.idCol, e.embCol, h, e.threshold, e.nProbe, e.k)
+          case None =>
+            Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.lshPlanes, e.lshBands, e.threshold)
+        }
+        Dedup.dropNearDups(deduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
+      case None => deduped
+    }
+
+    val scrubbed = embedDeduped.withColumn(textCol, Pii.scrub(text))
 
     val chunks = scrubbed
       .select(id.as("doc_id"), explode(TextAnalysis.tokenChunks(text, cfg.chunkSize, cfg.chunkStride)).as("c"))
       .select(col("doc_id"), col("c.start").as("start"), col("c.ntok").as("ntok"), col("c.chunk").as("chunk"))
 
-    val audit = Seq(
+    val audit = (Seq(
       "1_input" -> docs,
       "2_gated" -> gated,
       "3_unrepeated" -> unrepeated,
       "4_fluent" -> fluent,
       "5_decontaminated" -> decontaminated,
-      "6_deduped" -> deduped,
+      "6_deduped" -> deduped
+    ) ++ (if (embed.isDefined) Seq("6b_embed_deduped" -> embedDeduped) else Nil) ++ Seq(
       "7_chunks" -> chunks
-    ).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
+    )).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
       .reduce(_ unionByName _)
 
     (chunks, audit)

@@ -66,6 +66,52 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(a("4_fluent") < a("3_unrepeated"))
   }
 
+  test("embedding near-dup stage: persisted-index path matches the in-memory LSH path") {
+    import graft.operators.{Dedup, Similarity, TrainingPipeline, VectorIndex}
+    // doc 5's embedding is a near-copy of doc 1's (the planted embedding
+    // near-dup — their TEXTS are unrelated, so only this stage can catch
+    // it); the rest are far apart
+    val rnd = new scala.util.Random(3)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextGaussian().toFloat * 5)
+    val e1 = vec()
+    val embeddings = Seq(
+      1L -> e1,
+      2L -> vec(),
+      3L -> vec(),
+      4L -> vec(),
+      5L -> e1.map(x => x + rnd.nextGaussian().toFloat * 0.01f),
+      6L -> vec()
+    ).toDF("doc_id", "embedding")
+
+    val lsh = TrainingPipeline.EmbedStage(
+      embeddings,
+      threshold = 0.98,
+      lshPlanes = Similarity.hyperplanes(8, 16),
+      lshBands = 8) // 1 plane/band -> near-exhaustive candidates
+    val (chunksLsh, auditLsh) =
+      TrainingPipeline.prepare(corpus, bench, "doc_id", "text", embed = Some(lsh))
+
+    // the incremental-run form: the index is built ONCE over the full
+    // corpus embeddings, then probed per pipeline run
+    val h = VectorIndex.build(embeddings, "doc_id", "embedding", tmpDir("tp_vindex"),
+      kLists = 2, m = 4, ksub = 4)
+    val indexed = lsh.copy(lshPlanes = Nil, index = Some(h), nProbe = 2, k = 5)
+    val (chunksIdx, auditIdx) =
+      TrainingPipeline.prepare(corpus, bench, "doc_id", "text", embed = Some(indexed))
+
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    // doc 5 survived every text stage but is an embedding near-dup of 1
+    assert(kept(chunksLsh) == Seq(1L), s"LSH path kept ${kept(chunksLsh)}")
+    assert(kept(chunksIdx) == Seq(1L), s"index path kept ${kept(chunksIdx)}")
+
+    def auditMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (aL, aI) = (auditMap(auditLsh), auditMap(auditIdx))
+    assert(aL == aI, s"audit mismatch: lsh=$aL index=$aI")
+    assert(aL("6_deduped") == 2 && aL("6b_embed_deduped") == 1)
+  }
+
   test("every surviving doc's tokens are fully covered by its chunks") {
     val (chunks, _) = TrainingPipeline.prepare(corpus, bench, "doc_id", "text")
     val perDoc = chunks.groupBy($"doc_id")
