@@ -141,26 +141,19 @@ object Lake {
     * no concurrent writer can touch the table (e.g. post-session, as
     * [[graft.ingest.Engine]] does).
     */
-  def compact(spark: SparkSession, root: String, scope: String, table: String, target: Int = 0): Unit = {
+  def compact(
+      spark: SparkSession,
+      root: String,
+      scope: String,
+      table: String,
+      target: Int = 0,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Unit = {
     val path = tablePath(root, scope, table)
     val tmp = s"$path.__compact_tmp"
     val old = s"$path.__old"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // target <= 0: size the output at ~128MB per file from the dir's bytes
-    val t =
-      if (target > 0) target
-      else {
-        val bytes = fs.getContentSummary(new Path(path)).getLength
-        math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
-      }
-    spark.read
-      .option("mergeSchema", "true")
-      .parquet(path)
-      .coalesce(t)
-      .write
-      .mode("overwrite")
-      .option("compression", "zstd")
-      .parquet(tmp)
+    rewritePacked(spark, path, tmp, target, targetFileBytes)
     fs.delete(new Path(old), true) // clear any previous failed swap
     // Hadoop FS signals rename failure by returning false — check both
     // steps and roll back so the data always lives at `path` or `old`.
@@ -175,6 +168,51 @@ object Lake {
     fs.delete(new Path(old), true)
   }
 
+  /** The compaction rewrite itself: read `src`, write `dst` as zstd parquet
+    * sized for a cluster. `files > 0` forces an exact output file count
+    * (coalesce). Otherwise BIN-PACK BY BYTES: the scan's own FilePartition
+    * packing groups input files into ~targetFileBytes partitions
+    * (`spark.sql.files.maxPartitionBytes`, scoped to this rewrite and
+    * restored after), and each task writes one ~target-sized output file.
+    * No shuffle, no driver math, and — unlike a coalesce-by-count, which
+    * merges whatever partitions happen to be adjacent — output sizes are
+    * EVEN: no file exceeds the target by more than one input row group,
+    * and small files pack together up to it.
+    */
+  private def rewritePacked(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      files: Int,
+      targetFileBytes: Long
+  ): Unit = {
+    require(files > 0 || targetFileBytes > 0, "need a file count or a byte target")
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").option("compression", "zstd").parquet(dst)
+    if (files > 0) write(spark.read.option("mergeSchema", "true").parquet(src).coalesce(files))
+    else {
+      // Pure byte bin-packing needs all three knobs scoped: the split size
+      // is min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum)),
+      // so the default parallelism (splits a small table N ways) and the
+      // 4MB openCost (charges tiny files as 4MB, capping packing at one
+      // file per bin) would both defeat the target. openCost exists to
+      // stop over-packing thousands of tiny files into one SCHEDULED task —
+      // compaction wants exactly that packing, so a token 4KB suffices.
+      val scoped = Map(
+        "spark.sql.files.maxPartitionBytes" -> targetFileBytes.toString,
+        "spark.sql.files.minPartitionNum" -> "1",
+        "spark.sql.files.openCostInBytes" -> "4096"
+      )
+      val saved = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+      try write(spark.read.option("mergeSchema", "true").parquet(src))
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** Per-partition compaction for hive-partitioned tables: each leaf
     * partition directory is compacted independently (layout preserved,
     * partitions untouched by other writers unaffected). The per-leaf swap
@@ -185,7 +223,8 @@ object Lake {
       root: String,
       scope: String,
       table: String,
-      minFilesPerPartition: Int = 4
+      minFilesPerPartition: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024
   ): Unit = {
     val base = new Path(tablePath(root, scope, table))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -203,14 +242,10 @@ object Lake {
       if (nFiles >= minFilesPerPartition) {
         val tmp = new Path(leaf.toString + ".__compact_tmp")
         val old = new Path(leaf.toString + ".__old")
-        spark.read
-          .option("mergeSchema", "true")
-          .parquet(leaf.toString)
-          .coalesce(1)
-          .write
-          .mode("overwrite")
-          .option("compression", "zstd")
-          .parquet(tmp.toString)
+        // byte-targeted like the whole-table path: a session-file-sized
+        // leaf still lands in one file, an oversized leaf splits at
+        // ~targetFileBytes instead of becoming one giant file
+        rewritePacked(spark, leaf.toString, tmp.toString, files = 0, targetFileBytes)
         fs.delete(old, true)
         if (!fs.rename(leaf, old))
           throw new java.io.IOException(s"compactPartitioned: could not move $leaf aside")

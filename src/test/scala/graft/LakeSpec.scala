@@ -90,4 +90,29 @@ class LakeSpec extends SparkSpec {
     assert(after == 1)
     assert(Lake.read(spark, root, "s", "t").count() == 5)
   }
+
+  test("byte-targeted compaction bin-packs many small files into ~target-sized outputs") {
+    val root = tmpDir("lake")
+    // 24 appends of ~1000 rows with incompressible payload -> ~24 files of
+    // roughly similar size
+    val rnd = new scala.util.Random(5)
+    (1 to 24).foreach { i =>
+      val rows = (1 to 1000).map(j => (i * 1000L + j, rnd.nextLong().toHexString * 4))
+      Lake.append(rows.toDF("id", "v"), root, "s", "t")
+    }
+    def files() = new java.io.File(s"$root/s/t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val totalBytes = files().map(_.length()).sum
+    val target = totalBytes / 6 // aim for ~6 output files
+    Lake.compact(spark, root, "s", "t", targetFileBytes = target)
+    val out = files()
+    // envelope: file count within 2x of the ideal, no file wildly over
+    // target (one row group of slack), rows intact
+    assert(out.length >= 3 && out.length <= 12, s"got ${out.length} files for target=$target")
+    assert(out.forall(_.length() <= target * 2), s"oversized output: ${out.map(_.length()).mkString(",")}")
+    assert(Lake.read(spark, root, "s", "t").count() == 24000)
+    // the default 128MB target on a small table still collapses to 1 file
+    Lake.compact(spark, root, "s", "t")
+    assert(files().length == 1)
+  }
 }
