@@ -57,6 +57,13 @@ object Graph {
       .distinct()
   }
 
+  /** Rounds the most recent [[connectedComponents]] call took to converge —
+    * observability for scale runs (the O(log n) round count is the scaling
+    * claim ScaleBench verifies). Driver-side, last-call-wins; diagnostics
+    * only, never control flow.
+    */
+  @volatile var lastRounds: Int = -1
+
   /** Connected components over an undirected edge list.
     *
     * @param edges  DataFrame with two node-id columns (any integral type);
@@ -128,6 +135,7 @@ object Graph {
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    lastRounds = it
 
     // Post-fixpoint the edge set is a union of stars (v, min). A node can
     // still carry >1 edge transiently-shaped inputs; min() collapses them.

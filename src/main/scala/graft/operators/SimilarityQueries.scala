@@ -121,9 +121,19 @@ object SimilarityQueries {
     )
   }
 
-  /** IVF ANN (k-means posting lists, nProbe=2 of 8). No SQL oracle —
-    * k-means has no cross-engine twin — so the driver records the rows-only
-    * check; IvfSpec proves nProbe=k reduces exactly to brute force.
+  /** IVF ANN (k-means posting lists, nProbe=4 of 8) with a BOUNDED-RECALL
+    * oracle (the q39/q84 scheme): k-means has no cross-engine twin, so the
+    * raw neighbor lists can't hash-match — instead each query's approximate
+    * top-5 is scored against the EXACT top-5 (computed in-plan by the
+    * brute-force baseline) and the row carries `recall_ok` = at least 3 of
+    * 5 exact neighbors found. The oracle pins n_results and TRUE, so the
+    * driver's hash gate fails if the probe ever degrades below the floor.
+    * The floor is set from measured behavior on the UNIFORM synthetic
+    * embeddings (hits ≥ 4/5 at both sf0.001 and sf0.01 with half the lists
+    * pruned — uniform data is ANN's worst case; real clustered corpora do
+    * better at lower nProbe). q53 is the exact-equivalence twin (nProbe =
+    * k ≡ brute force, fully hash-matched); IvfSpec proves the same law
+    * in-process.
     */
   private val q42 = Q(
     "q42_ann_ivf",
@@ -132,12 +142,26 @@ object SimilarityQueries {
       val corpus = T.embeddings.select($"vec_id", $"embedding")
       val (indexed, centroids) = Similarity.ivfIndex(corpus, k = 8)
       val queries = corpus.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
-      Similarity
-        .ivfTopK(queries, indexed, centroids, nProbe = 2, k = 5)
-        .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
-        .orderBy($"qid", $"rank")
+      val approx = Similarity
+        .ivfTopK(queries, indexed, centroids, nProbe = 4, k = 5)
+        .select($"qid", $"vec_id")
+      val exact = Similarity.bruteForceTopK(queries, corpus, 5).select($"qid", $"vec_id")
+      val hits = approx.join(exact, Seq("qid", "vec_id")).groupBy($"qid").agg(count(lit(1)).as("__hits"))
+      approx
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_results"))
+        .join(hits, Seq("qid"), "left")
+        .select(
+          $"qid",
+          $"n_results",
+          (coalesce($"__hits", lit(0L)) >= 3).as("recall_ok")
+        )
+        .orderBy($"qid")
     },
-    None
+    Some("""
+      SELECT vec_id AS qid, 5 AS n_results, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 5 ORDER BY qid
+    """.trim)
   )
 
   /** IVF with every posting list probed (nProbe = k-means k): the index
