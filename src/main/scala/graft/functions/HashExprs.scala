@@ -713,6 +713,60 @@ object PqSupport {
     new GenericArrayData(out)
   }
 
+  /** Per-query ADC distance table: `table(s)(j) = ||q_s − C[s][j]||²`,
+    * computed as `(dot(q_s, q_s) + ||C[s][j]||²) − 2·dot(q_s, C[s][j])` in
+    * EXACTLY the arithmetic order of the plan-expression composition it
+    * replaces (sequential index-order dots, precomputed norms) — the q85
+    * oracle replays that formula term-for-term, so the native form must be
+    * bit-identical. One call materializes the whole m×ksub table: the
+    * composed form was m·ksub array expressions (thousands of Catalyst
+    * nodes once codebook literals are inlined), which cost seconds of
+    * analysis + Janino compilation per query plan.
+    */
+  def queryTable(
+      v: ArrayData,
+      cb: Array[Array[Array[Double]]],
+      cNorms: Array[Array[Double]],
+      isFloat: Boolean
+  ): ArrayData = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    if (v.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_query_table: vector has ${v.numElements()} elements, codebook needs ${m * dsub}")
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var ss = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = if (isFloat) v.getFloat(off + i).toDouble else v.getDouble(off + i)
+        ss += x * x
+        i += 1
+      }
+      val subCb = cb(s)
+      val norms = cNorms(s)
+      val row = new Array[Double](subCb.length)
+      var j = 0
+      while (j < subCb.length) {
+        val c = subCb(j)
+        var d = 0.0
+        var k = 0
+        while (k < dsub) {
+          val x = if (isFloat) v.getFloat(off + k).toDouble else v.getDouble(off + k)
+          d += x * c(k)
+          k += 1
+        }
+        row(j) = (ss + norms(j)) - 2.0 * d
+        j += 1
+      }
+      out(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC distance: left fold over subspaces of the per-query distance
     * table at the row's code — same accumulation order as the
     * aggregate(zip_with(...)) composition and the oracle's ordered
@@ -780,6 +834,53 @@ case class PqAssignCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]]) ex
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqAssignCodes =
+    copy(child = newChild)
+}
+
+/** Per-query ADC distance table (codegen-enabled): query vector
+  * array<float|double> → m×ksub array<array<double>>. The codebook and its
+  * precomputed norms ride in as reference objects — the composed-expression
+  * form inlined them as thousands of literal nodes, costing seconds of
+  * plan analysis and Janino compilation per query (the fixed overhead that
+  * dominated the persisted-index probe path).
+  */
+case class PqQueryTableExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_query_table requires array<float> or array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val normArr: Array[Array[Double]] =
+    cbArr.map(_.map(c => c.map(x => x * x).sum))
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqSupport.queryTable(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cbArr, normArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[][][]")
+    val nRef = ctx.addReferenceObj("pqNorms", normArr, "double[][]")
+    val f = isFloat
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqSupport.queryTable($c, $cbRef, $nRef, $f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqQueryTableExpr =
     copy(child = newChild)
 }
 
@@ -867,6 +968,10 @@ object HashExprs {
 
   def pqAdcDistance(codes: Column, table: Column): Column =
     ColumnShim.column(PqAdcDistance(ColumnShim.expression(codes), ColumnShim.expression(table)))
+
+  def pqQueryTable(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(
+      PqQueryTableExpr(ColumnShim.expression(v), codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
 
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     ColumnShim.column(LshBucket(ColumnShim.expression(v), planes))

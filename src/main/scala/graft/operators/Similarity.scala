@@ -256,18 +256,18 @@ object Similarity {
     corpus.withColumn("codes", graft.functions.HashExprs.pqAssignCodes(col(vecCol), codebooks))
 
   /** Per-query ADC distance table: `table(s)(j) = ||q_s - C[s][j]||²`,
-    * built as plan expressions over the query vector column (evaluated on
-    * the small query side only — the corpus never touches d-dim math).
+    * evaluated on the small query side only — the corpus never touches
+    * d-dim math. One native codegen expression
+    * ([[graft.functions.PqQueryTableExpr]]) with the codebook as a
+    * reference object: the previous plan-expression composition inlined
+    * m·ksub·dsub codebook literals into the tree, and the seconds of
+    * analysis + Janino compilation per query plan dominated the persisted-
+    * index probe path. Arithmetic is term-for-term identical (sequential
+    * dots, precomputed norms), so the q85 oracle still matches
+    * bit-for-bit.
     */
-  def pqQueryTable(qe: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val dsub = codebooks(0)(0).length
-    array(codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(qe, s * dsub + 1, dsub)
-      array(cb.map { c =>
-        (dot(sub, sub) + lit(sumSq(c))) - lit(2.0) * dot(sub, array(c.map(lit): _*))
-      }: _*)
-    }: _*)
-  }
+  def pqQueryTable(qe: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.HashExprs.pqQueryTable(qe, codebooks)
 
   /** ADC top-k over a PQ-encoded corpus: rank by approximate squared L2
     * distance `Σ_s ||q_s - C[s][codes_s]||²`. The per-query distance table
