@@ -205,7 +205,11 @@ object Similarity {
 
   /** Data-trained PQ codebook: one seeded k-means per subspace over the
     * corpus's subvectors (m passes over one cached projection — index-build
-    * cost, amortized across every query the index ever serves).
+    * cost, amortized across every query the index ever serves). The m fits
+    * are independent, so they run as CONCURRENT Spark jobs over the shared
+    * cached projection — the scheduler interleaves their stages across the
+    * cluster instead of leaving it idle between sequential fits (results
+    * are per-subspace and seeded, so concurrency cannot change them).
     */
   def pqTrainKMeans(
       corpus: DataFrame,
@@ -217,6 +221,7 @@ object Similarity {
   ): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.collection.parallel.CollectionConverters._
     val dim = corpus
       .select(size(col(vecCol)).as("__d"))
       .filter(col("__d") > 0)
@@ -229,7 +234,10 @@ object Similarity {
     val dsub = dim / m
     val cached = corpus.select(col(vecCol)).cache()
     try {
-      Array.tabulate(m) { s =>
+      // materialize the cache ONCE before fanning out: concurrent first
+      // touches would each recompute the projection into the cache
+      cached.count()
+      (0 until m).par.map { s =>
         val sub = cached.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
         val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter).fit(sub)
         val centers = model.clusterCenters.map(_.toArray)
@@ -241,7 +249,7 @@ object Similarity {
           s"pqTrainKMeans: subspace $s yielded ${centers.length} < $ksub centers " +
             "(too few distinct subvectors); lower ksub or m")
         centers
-      }
+      }.toArray
     } finally cached.unpersist()
   }
 
