@@ -75,6 +75,24 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("PQ expressions reject wrong input types at ANALYSIS, not eval") {
+    import graft.functions.HashExprs
+    import org.apache.spark.sql.functions.col
+    val cb = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val ints = Seq((1L, Seq(1, 2))).toDF("id", "v") // array<int>: would misread buffers
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(HashExprs.pqAssignCodes(col("v"), cb)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // codes must be array<int>; array<double> codes must fail analysis
+      Seq((1L, Seq(0.5), Seq(Seq(1.0)))).toDF("id", "codes", "t")
+        .select(HashExprs.pqAdcDistance(col("codes"), col("t"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(HashExprs.pqQueryTable(col("v"), cb)).collect()
+    }
+  }
+
   test("trained codebook: ADC top-1 recall ≥ 0.9 on clustered data") {
     val rnd = new Random(7)
     val centers = Seq.fill(5)(Array.fill(16)(rnd.nextGaussian() * 5))
