@@ -110,6 +110,49 @@ object VectorIndex {
     Handle(dir, centroids, codebooks, residual)
   }
 
+  /** Incrementally add vectors to a persisted index — the refresh path of
+    * the build-once lifecycle: new vectors are assigned to their nearest
+    * EXISTING centroid and encoded with the EXISTING codebooks (an IVF
+    * index's geometry is frozen at build time; rebuild when drift
+    * accumulates), then appended into the cluster-partitioned postings —
+    * only the touched partitions gain files, probes prune exactly as
+    * before. Assignment uses the same argmin ‖x−c‖² the builder's k-means
+    * transform uses, so an appended vector lands in the list a monolithic
+    * build would have put it in.
+    *
+    * Caller contract: ids must not collide with vectors already in the
+    * index (same as any append-only store).
+    */
+  def append(h: Handle, newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val std = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val assigned = std.withColumn(
+      "cluster",
+      element_at(Similarity.nearestCentroids(col("embedding"), h.centroids, 1), 1))
+    val (encodeInput, encodeCol) =
+      if (h.residual)
+        (assigned.withColumn("rvec", residualCol(col("embedding"), col("cluster"), h.centroids)), "rvec")
+      else (assigned, "embedding")
+    Similarity
+      .pqEncode(encodeInput, encodeCol, h.codebooks)
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .write
+      .mode("append")
+      .partitionBy("cluster")
+      .parquet(s"${h.dir}/postings")
+  }
+
+  /** Posting-list occupancy: (cluster, n_vectors) — the skew signal. A list
+    * that grows far past corpus/kLists makes its probes expensive (IVF's
+    * version of a hot partition); that is the rebuild trigger for an index
+    * that has absorbed many appends.
+    */
+  def stats(h: Handle, spark: SparkSession): DataFrame =
+    spark.read
+      .parquet(s"${h.dir}/postings")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cluster"))
+
   /** Reopen a persisted index: the metadata artifacts are tiny and land in
     * plan literals, exactly like a fresh build's.
     */

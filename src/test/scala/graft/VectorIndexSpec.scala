@@ -88,6 +88,43 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaIndex == inMemory)
   }
 
+  test("append: incremental vectors land in the right lists and are findable") {
+    val data = clustered
+    val dir = tmpDir("vindex_append")
+    val (first, rest) = data.partition(_._1 < 150)
+    val h = VectorIndex.build(first.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      kLists = 4, m = 4, ksub = 8)
+    assert(VectorIndex.stats(h, spark).agg(sum($"n_vectors")).head().getLong(0) == 150)
+
+    VectorIndex.append(h, rest.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val st = VectorIndex.stats(h, spark).as[(Int, Long)].collect().toMap
+    assert(st.values.sum == 200)
+    assert(st.size == 4, s"appends must stay within the existing 4 lists, got ${st.keys}")
+
+    // an external query identical to an APPENDED vector must find it
+    // (probe-everything, excludeSelf=false since qid 9999 is external)
+    val target = rest.head
+    val queries = Seq((9999L, target._2)).toDF("qid", "qe")
+    val top = VectorIndex
+      .query(h, queries, nProbe = 4, k = 5, excludeSelf = false)
+      .select($"vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(top.contains(target._1), s"appended vector ${target._1} not in top-5: $top")
+
+    // appending in chunks is equivalent to appending at once: same rows
+    val dir2 = tmpDir("vindex_append2")
+    val h2 = VectorIndex.build(first.toDF("vec_id", "embedding"), "vec_id", "embedding", dir2,
+      kLists = 4, m = 4, ksub = 8)
+    rest.grouped(17).foreach { chunk =>
+      VectorIndex.append(h2, chunk.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select($"vec_id", $"cluster", $"codes").as[(Long, Int, Seq[Int])].collect().toSet
+    assert(postings(dir) == postings(dir2))
+  }
+
   test("residual encoding beats flat encoding at fixed nProbe (recall@10 vs exact L2)") {
     // 8 clusters so cluster identity alone consumes all ksub=8 sub-centroids
     // of a flat codebook — the textbook geometry where flat PQ has zero
