@@ -6,24 +6,31 @@ import org.apache.spark.sql.functions._
 /** Data-quality profiling — the pre-flight audit of any pipeline input.
   *
   * One aggregation pass over the table produces a long-format profile row
-  * per column (null rate, exact distinct count, numeric range). Wide-table
+  * per column (null rate, distinct count, numeric range). Wide-table
   * profiling at 100 TB is scan-bound: all per-column aggregates run in the
   * same partial-aggregation pass, and only the k-row melted result moves.
-  * (Exact multi-column count-distinct plans through Spark's Expand — one
-  * scan, k× row amplification pre-aggregation; swap in
-  * approx_count_distinct when a ±2% answer is acceptable.)
+  *
+  * Two distinct-count modes: `exact = true` (the oracle-matched default)
+  * plans multi-column count-distinct through Spark's Expand — one scan but
+  * k× row amplification BEFORE the partial aggregate, which is the term
+  * that hurts at 100 TB on wide profiles. `exact = false` swaps in
+  * `approx_count_distinct` (HLL++, rsd 2%): no Expand, no amplification —
+  * the per-column sketches fold in the same single partial-agg pass — and
+  * a profile wants "about how many distinct values", not the exact
+  * integer. That is the mode to run at corpus scale.
   */
 object Profile {
 
   /** Profile `cols` (numeric or castable-to-double) of `df`:
     * (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val).
     */
-  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def numeric(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = cols.flatMap(c =>
       Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd = 0.02)).as(s"nd_$c"),
         min(col(c)).cast("double").as(s"mn_$c"),
         max(col(c)).cast("double").as(s"mx_$c")
       )

@@ -45,4 +45,21 @@ class FunnelSpec extends SparkSpec {
     assert(p("a") == ((4L, 3L, 2L, 1.0, 2.0)))
     assert(p("b") == ((4L, 3L, 2L, 1.0, 3.5)))
   }
+
+  test("approx profile mode: no Expand amplification, estimates within 3·rsd of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity")
+    val exact = Profile.numeric(li, cols, exact = true)
+    val approx = Profile.numeric(li, cols, exact = false)
+    // the scale motivation: exact multi-column count-distinct plans through
+    // Expand (k× pre-agg row amplification); the approx mode must not
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.collect().foreach { r =>
+      val (name, est) = (r.getString(0), r.getLong(3))
+      val ex = e(name)
+      assert(math.abs(est - ex) <= ex * 0.06, s"$name: approx $est vs exact $ex")
+    }
+  }
 }
