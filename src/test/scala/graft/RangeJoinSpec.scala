@@ -95,4 +95,35 @@ class RangeJoinSpec extends SparkSpec {
       assert(gotP == naiveP, s"trial $trial width $width (points)")
     }
   }
+
+  test("property: NEGATIVE bounds — floor division buckets correctly around zero") {
+    // SQL DIV truncates toward zero, merging buckets -1 and 0; the floor-
+    // division fix must make spans straddling zero behave like any other
+    val rnd = new scala.util.Random(7)
+    def randIntervals(n: Int) = (1 to n).map { i =>
+      val lo = (rnd.nextInt(200) - 100).toLong // [-100, 100)
+      (i.toLong, lo, lo + rnd.nextInt(40).toLong)
+    }
+    for (trial <- 1 to 3; width <- Seq(1L, 7L, 64L)) {
+      val a = randIntervals(40).toDF("aid", "a_lo", "a_hi")
+      val b = randIntervals(40).toDF("bid", "b_lo", "b_hi")
+      val got = RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", width)
+        .select($"aid", $"bid").as[(Long, Long)].collect().toSeq
+      val naive = a
+        .join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+        .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+      assert(got.size == got.toSet.size, s"trial $trial width $width: duplicate emission")
+      assert(got.toSet == naive, s"trial $trial width $width")
+
+      val pts = randIntervals(60).map(t => (t._1, t._2)).toDF("pid", "t")
+      val gotP = RangeJoin
+        .pointInInterval(pts, "t", b, "b_lo", "b_hi", width)
+        .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+      val naiveP = pts
+        .join(b, $"t" >= $"b_lo" && $"t" <= $"b_hi")
+        .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+      assert(gotP == naiveP, s"trial $trial width $width (points)")
+    }
+  }
 }
