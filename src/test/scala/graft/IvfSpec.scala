@@ -43,6 +43,19 @@ class IvfSpec extends SparkSpec {
     assert(ranked.forall { case (id, _) => id == 999L || id % 4 == 0 })
   }
 
+  test("nearestCentroids(1) agrees with the builder's k-means assignment") {
+    // VectorIndex.append assigns new vectors via nearestCentroids while
+    // build used KMeans.transform — both are argmin ||x−c||², but this
+    // proves it on data so a drift in either would fail loudly
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfIndex(corpus, k = 4)
+    val mismatch = assigned
+      .withColumn("alt", element_at(Similarity.nearestCentroids($"embedding", centroids, 1), 1))
+      .filter($"cluster" =!= $"alt")
+      .count()
+    assert(mismatch == 0L, s"$mismatch vectors assigned differently by the two argmin paths")
+  }
+
   test("nProbe=4 (all clusters) equals brute force") {
     val corpus = clustered.toDF("vec_id", "embedding")
     val (indexed, centroids) = Similarity.ivfIndex(corpus, k = 4)
