@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *  - embeddings: copy c rotates each vector by c positions — norms and
   *    within-copy geometry preserved, cross-copy cosines decorrelated.
   *
-  * Usage: runMain graft.examples.ScaleBench [baseSfDir] [scratchDir]
+  * Usage: runMain graft.examples.ScaleBench [baseSfDir] [scratchDir] [scalesCsv]
+  * (scalesCsv e.g. "1,10,30"; default 1,3,10). Optional env
+  * SPARK_GRAFT_SCALE_ONLY=q24_ngram_jaccard,... restricts the query list.
   * Prints one JSON line per (scale, query) and a summary line; rerunning
   * reuses materialized corpora if present.
   */
@@ -50,19 +52,23 @@ object ScaleBench {
 
   private def scaleDocs(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    val digits = "0123456789"
+    // The cipher must be a bijection in the ANALYZERS' domain: every dedup
+    // operator lowercases first, so any cipher whose case-folded image
+    // coincides across copies manufactures cross-copy near-dups. (Both a
+    // per-class rotation and a 62-char rotation fail at k > 26: lower ∘
+    // rot_26 is the identity on letters, so copies 26..29 fold back onto
+    // 0..3 — observed as q24 emitting 29.7k pairs at the 30× point instead
+    // of the exact-linear 7.7k.) So: lowercase the text HERE (a no-op for
+    // the lowercasing analyzers) and rotate one 36-char lowercase+digit
+    // alphabet — bijective under folding, period 36 > every scale we run.
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    require(k <= 36, s"cipher period is 36, scale $k would collide copies")
     (0 until k).map { c =>
       if (c == 0) base
       else
         base.select(
           (col("doc_id") + c * IdOffset).as("doc_id"),
-          translate(
-            col("text"),
-            lower + upper + digits,
-            rotated(lower, c) + rotated(upper, c) + rotated(digits, c)
-          ).as("text"),
+          translate(lower(col("text")), alphabet, rotated(alphabet, c)).as("text"),
           col("lang"),
           col("source"),
           col("n_chars")
@@ -114,14 +120,18 @@ object ScaleBench {
     val scratch =
       if (args.length > 1) args(1)
       else s"${sys.props("java.io.tmpdir")}/graft_scale"
-    val scales = Seq(1, 3, 10)
+    val scales =
+      if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq else Seq(1, 3, 10)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    val queries = only.fold(Queries)(f => Queries.filter(f.contains))
+    val doVindex = only.forall(f => f.contains("vindex"))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
 
     val results = scales.map { k =>
       val dir = materialize(spark, baseDir, scratch, k)
-      val queryTimes = Queries.map { q =>
+      val queryTimes = queries.map { q =>
         var rows = 0L
         val t = time2(spark) { rows = SparkEntry.queries(q)(spark, dir).count() }
         val extra = if (q == "q62_neardup_clusters") s""","cc_rounds":${Graph.lastRounds}""" else ""
@@ -131,26 +141,31 @@ object ScaleBench {
       // the persistent index lifecycle at this corpus size: one build
       // (reported separately — it amortizes across every later probe), then
       // the per-refresh probe cost, which is what recurs at scale
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      val t0 = System.nanoTime()
-      val h = VectorIndex.build(emb, "vec_id", "embedding", s"$dir/vindex", kLists = 16, m = 8, ksub = 16)
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      val queries = emb.filter(col("vec_id") < 100).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      var probed = 0L
-      val tQuery = time2(spark) { probed = VectorIndex.query(h, queries, nProbe = 4, k = 10).count() }
-      println(s"""{"bench":"scale","scale":$k,"query":"vindex_build","sec":$tBuild}""")
-      println(s"""{"bench":"scale","scale":$k,"query":"vindex_probe","sec":$tQuery,"rows":$probed}""")
-      k -> (queryTimes ++ Seq("vindex_build" -> tBuild, "vindex_probe" -> tQuery))
+      val vindexTimes = if (!doVindex) Nil else {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t0 = System.nanoTime()
+        val h = VectorIndex.build(emb, "vec_id", "embedding", s"$dir/vindex", kLists = 16, m = 8, ksub = 16)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val qs = emb.filter(col("vec_id") < 100).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        var probed = 0L
+        val tQuery = time2(spark) { probed = VectorIndex.query(h, qs, nProbe = 4, k = 10).count() }
+        println(s"""{"bench":"scale","scale":$k,"query":"vindex_build","sec":$tBuild}""")
+        println(s"""{"bench":"scale","scale":$k,"query":"vindex_probe","sec":$tQuery,"rows":$probed}""")
+        Seq("vindex_build" -> tBuild, "vindex_probe" -> tQuery)
+      }
+      k -> (queryTimes ++ vindexTimes)
     }.toMap
 
-    // summary: growth factors vs 1x (a ~linear engine shows ~k at scale k)
-    val names = Queries ++ Seq("vindex_build", "vindex_probe")
+    // summary: growth factors vs the smallest scale (a ~linear engine shows
+    // ~k/k0 at scale k)
+    val k0 = scales.min
+    val names = queries ++ (if (doVindex) Seq("vindex_build", "vindex_probe") else Nil)
     val summary = names.map { q =>
-      val t1 = results(1).toMap.apply(q)
+      val t1 = results(k0).toMap.apply(q)
       val g = scales.map(k => f"${results(k).toMap.apply(q) / t1}%.1f").mkString("[", ",", "]")
-      s""""$q":{"sec_1x":$t1,"growth":$g}"""
+      s""""$q":{"sec_${k0}x":$t1,"growth":$g}"""
     }.mkString("{", ",", "}")
-    println(s"""{"bench":"scale_summary","base":"$baseDir","scales":[1,3,10],"queries":$summary}""")
+    println(s"""{"bench":"scale_summary","base":"$baseDir","scales":[${scales.mkString(",")}],"queries":$summary}""")
     spark.stop()
   }
 }
