@@ -18,31 +18,67 @@ import org.apache.spark.sql.functions._
   *    engine, so verdicts are portable).
   *
   * At 100 TB: the block join is an equi-shuffle on the block key; block-size
-  * skew (e.g. "SMITH") is the hot-key risk — cap block size or refine hot
-  * blocks with a second key (the documented ER mitigation), or salt via
-  * [[Skew.saltedJoin]]. Recall is bounded by the blocking choice by design;
-  * pairs whose strings differ inside the block key are invisible — choose
-  * keys accordingly (prefix for tail-noise, phonetic for spelling noise).
+  * skew (e.g. "SMITH") is the hot-key risk. `maxBlockSize` implements the
+  * standard ER mitigation — ITERATIVE PREFIX REFINEMENT: rows in a block
+  * over the cap re-block on a longer prefix, repeated until every block
+  * fits (or its members' keys are exhausted — a block of identical strings
+  * cannot split, and its quadratic pairs are genuine output, not waste).
+  * Recall after refinement is the blocking contract made finer: a pair is
+  * visible iff it still shares its (now longer) block prefix — principled,
+  * unlike hash-splitting a hot block, which scatters similar strings
+  * randomly and loses recall silently. Pairs whose strings differ inside
+  * the block key are invisible by design; choose keys accordingly (prefix
+  * for tail-noise, phonetic for spelling noise).
   */
 object EntityResolution {
 
   /** Candidate pairs (id_a, id_b, dist) with id_a < id_b, blocked on the
     * first `blockLen` characters of `strCol`, kept when
-    * levenshtein ≤ `maxDist`.
+    * levenshtein ≤ `maxDist`. `maxBlockSize` caps block occupancy via
+    * prefix refinement (`refineStep` extra chars per round, up to
+    * `maxRefine` rounds) — the default leaves blocking single-round and
+    * unrefined.
     */
   def blockedEditDistancePairs(
       df: DataFrame,
       idCol: String,
       strCol: String,
       blockLen: Int,
-      maxDist: Int
+      maxDist: Int,
+      maxBlockSize: Int = Int.MaxValue,
+      refineStep: Int = 2,
+      maxRefine: Int = 8
   ): DataFrame = {
     require(blockLen > 0 && maxDist >= 0, "need positive blockLen and maxDist >= 0")
-    val base = df.select(
-      col(idCol).as("__id"),
-      col(strCol).as("__s"),
-      substring(col(strCol), 1, blockLen).as("__blk")
-    )
+    require(maxBlockSize > 0 && refineStep > 0, "need positive maxBlockSize/refineStep")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))
+    var cur = df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", lit(blockLen))
+      .withColumn("__blk", substring(col("__s"), 1, blockLen))
+    if (maxBlockSize != Int.MaxValue) {
+      // each round: members of over-cap blocks whose key can still grow
+      // re-block on a refineStep-longer prefix. Round count is bounded and
+      // small (maxRefine); each round is one window over the rows — the
+      // same per-round cost shape as the CC fixpoint loop.
+      var round = 0
+      var anyHot = true
+      while (round < maxRefine && anyHot) {
+        val sized = cur.withColumn("__n", count(lit(1)).over(w))
+        val growable = col("__n") > maxBlockSize && length(col("__s")) > col("__len")
+        anyHot = !sized.filter(growable).isEmpty
+        if (anyHot) {
+          // extend from each row's CURRENT length (rows refine at their own
+          // pace — a block going hot only in round 2 grows one step, not two)
+          cur = sized
+            .withColumn("__len", when(growable, col("__len") + refineStep).otherwise(col("__len")))
+            .withColumn("__blk", expr("substring(__s, 1, __len)"))
+            .drop("__n")
+        }
+        round += 1
+      }
+    }
+    val base = cur.select(col("__id"), col("__s"), col("__blk"))
     base
       .as("a")
       .join(base.as("b"), col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))

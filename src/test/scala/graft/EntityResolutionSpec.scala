@@ -36,4 +36,40 @@ class EntityResolutionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("maxBlockSize refines hot blocks by prefix; identical-string blocks legitimately stay") {
+    // 60 twin pairs sharing the hot 4-char prefix "smit", each twin
+    // differing only in the TAIL (beyond any refined prefix) — these must
+    // survive refinement; plus 12 EXACT duplicates (a block that cannot
+    // split — its quadratic pairs are genuine output, not waste)
+    val twins = (0 until 60).flatMap(i =>
+      Seq((100L + i, f"smith${i}%02d x"), (300L + i, f"smith${i}%02d y")))
+    val dupes = (0 until 12).map(i => (500L + i, "smith exact"))
+    val df = (twins ++ dupes).toDF("id", "name")
+
+    val uncapped = EntityResolution
+      .blockedEditDistancePairs(df, "id", "name", blockLen = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = EntityResolution
+      .blockedEditDistancePairs(df, "id", "name", blockLen = 4, maxDist = 2, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the refinement contract: results are the uncapped results RESTRICTED
+    // to pairs still sharing their refined prefix — a principled subset
+    // (vs hash-splitting, which loses pairs at random)
+    assert(capped.subsetOf(uncapped), "refinement must never invent pairs")
+    // tail-differing twins share every refined prefix -> all survive
+    (0 until 60).foreach(i => assert(capped.contains((100L + i, 300L + i)), s"twin $i lost"))
+    // the unsplittable exact-dup clique survives whole: C(12,2) = 66 pairs
+    assert(capped.count { case (a, b) => a >= 500L && b >= 500L } == 66)
+
+    // and the candidate volume shrank: with an accept-everything distance
+    // the output IS the candidate set
+    val candUncapped = EntityResolution
+      .blockedEditDistancePairs(df, "id", "name", 4, Int.MaxValue - 1).count()
+    val candCapped = EntityResolution
+      .blockedEditDistancePairs(df, "id", "name", 4, Int.MaxValue - 1, maxBlockSize = 10).count()
+    assert(candCapped < candUncapped / 5,
+      s"hot block not split: $candCapped vs $candUncapped candidates")
+  }
 }
