@@ -78,13 +78,21 @@ object ScaleBench {
 
   private def scaleEmbeddings(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // derive the dimension from the data — a hardcoded 64 would silently
+    // truncate copies of any other corpus into ragged vectors and corrupt
+    // the vindex scale measurements
+    val dim = base.select(max(size(col("embedding")))).head.getInt(0)
+    require(
+      base.filter(size(col("embedding")) =!= dim).isEmpty,
+      "scaleEmbeddings: ragged base embedding dimensions")
+    require(k <= dim, s"rotation period is $dim, scale $k would collide copies")
     (0 until k).map { c =>
       if (c == 0) base
       else {
         val e = col("embedding")
         base.select(
           (col("vec_id") + c * IdOffset).as("vec_id"),
-          concat(slice(e, c + 1, 64 - c), slice(e, 1, c)).as("embedding"),
+          concat(slice(e, c + 1, dim - c), slice(e, 1, c)).as("embedding"),
           col("label")
         )
       }

@@ -736,12 +736,17 @@ object PqSupport {
         s"pq_query_table: vector has ${v.numElements()} elements, codebook needs ${m * dsub}")
     val out = new Array[Any](m)
     var s = 0
+    val sub = new Array[Double](dsub)
     while (s < m) {
       val off = s * dsub
+      // copy the subvector out of ArrayData ONCE per subspace — reading it
+      // through getFloat/getDouble inside the centroid loop would multiply
+      // the unsafe-buffer accesses by ksub
       var ss = 0.0
       var i = 0
       while (i < dsub) {
         val x = if (isFloat) v.getFloat(off + i).toDouble else v.getDouble(off + i)
+        sub(i) = x
         ss += x * x
         i += 1
       }
@@ -754,8 +759,7 @@ object PqSupport {
         var d = 0.0
         var k = 0
         while (k < dsub) {
-          val x = if (isFloat) v.getFloat(off + k).toDouble else v.getDouble(off + k)
-          d += x * c(k)
+          d += sub(k) * c(k)
           k += 1
         }
         row(j) = (ss + norms(j)) - 2.0 * d

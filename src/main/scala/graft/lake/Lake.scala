@@ -198,18 +198,15 @@ object Lake {
       // file per bin) would both defeat the target. openCost exists to
       // stop over-packing thousands of tiny files into one SCHEDULED task —
       // compaction wants exactly that packing, so a token 4KB suffices.
-      val scoped = Map(
-        "spark.sql.files.maxPartitionBytes" -> targetFileBytes.toString,
-        "spark.sql.files.minPartitionNum" -> "1",
-        "spark.sql.files.openCostInBytes" -> "4096"
-      )
-      val saved = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
-      scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-      try write(spark.read.option("mergeSchema", "true").parquet(src))
-      finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+      // A cloned session isolates the conf changes: newSession() shares the
+      // SparkContext but carries its own SQLConf, so concurrent queries on
+      // the caller's session keep their scan-split sizing, and two
+      // compactions can't race a save/restore into a clobbered state.
+      val packer = spark.newSession()
+      packer.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+      packer.conf.set("spark.sql.files.minPartitionNum", "1")
+      packer.conf.set("spark.sql.files.openCostInBytes", "4096")
+      write(packer.read.option("mergeSchema", "true").parquet(src))
     }
   }
 

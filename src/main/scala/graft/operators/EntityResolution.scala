@@ -61,20 +61,38 @@ object EntityResolution {
       // re-block on a refineStep-longer prefix. Round count is bounded and
       // small (maxRefine); each round is one window over the rows — the
       // same per-round cost shape as the CC fixpoint loop.
+      // Persist each round's frame: the per-round isEmpty is an ACTION, and
+      // without materialization it would recompute every prior round's
+      // window (O(rounds²) passes), and the final self-join would re-run
+      // the whole stacked-window chain twice more. With persist, each
+      // window pass over the data executes exactly once.
+      var prev: Option[DataFrame] = None
       var round = 0
       var anyHot = true
       while (round < maxRefine && anyHot) {
-        val sized = cur.withColumn("__n", count(lit(1)).over(w))
+        // persist the windowed frame BEFORE the isEmpty action: the action
+        // materializes it into cache, so neither the next round's window
+        // nor the final self-join re-executes the stacked chain of prior
+        // rounds. The last round's cache stays resident until Spark evicts
+        // it (the returned plan still reads it lazily) — bounded at one
+        // round's rows, same order as the input.
+        val sized = cur.withColumn("__n", count(lit(1)).over(w)).persist()
         val growable = col("__n") > maxBlockSize && length(col("__s")) > col("__len")
         anyHot = !sized.filter(growable).isEmpty
-        if (anyHot) {
-          // extend from each row's CURRENT length (rows refine at their own
-          // pace — a block going hot only in round 2 grows one step, not two)
-          cur = sized
-            .withColumn("__len", when(growable, col("__len") + refineStep).otherwise(col("__len")))
-            .withColumn("__blk", expr("substring(__s, 1, __len)"))
-            .drop("__n")
-        }
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(sized)
+        // either way, continue from the CACHED frame — on the quiet round
+        // the final join must read the persisted copy, not re-derive the
+        // previous round's chain from scratch.
+        cur =
+          if (anyHot)
+            // extend from each row's CURRENT length (rows refine at their own
+            // pace — a block going hot only in round 2 grows one step, not two)
+            sized
+              .withColumn("__len", when(growable, col("__len") + refineStep).otherwise(col("__len")))
+              .withColumn("__blk", expr("substring(__s, 1, __len)"))
+              .drop("__n")
+          else sized.drop("__n")
         round += 1
       }
     }
