@@ -99,15 +99,34 @@ object Scd {
 
   /** J2 — refresh dedup: drop incoming rows whose content hash already exists.
     * The existing-hash side is `DISTINCT row_hash` — orders of magnitude
-    * smaller than the fact data — so we broadcast it and the anti-join is a
-    * map-side hash probe with zero shuffle of the new data.
+    * smaller than the fact data (hashes are per-ENTITY-version, not per-row) —
+    * so the anti-join is normally a map-side broadcast hash probe with zero
+    * shuffle of the new data.
+    *
+    * Broadcast decision is deliberately left to the engine (no static
+    * `broadcast()` hint): Spark hints are UNCONDITIONAL — a hinted build side
+    * that outgrew the driver would OOM it rather than fall back — while with
+    * AQE (on in [[graft.GraftSession]]) the runtime size of the distinct-hash
+    * set picks the join: under `autoBroadcastJoinThreshold` the sort-merge
+    * plan is demoted to broadcast with local shuffle reads (no exchange of
+    * the new data over the wire), over it the join stays a real shuffle on
+    * `hashCol` — the graceful degradation a ≫10⁹-entity lake needs.
+    * `forceBroadcast = true` restores the hint for callers that know the
+    * bound (e.g. a dimension registry).
     */
-  def refreshDedup(newRows: DataFrame, existing: DataFrame, hashCol: String = "row_hash"): DataFrame =
+  def refreshDedup(
+      newRows: DataFrame,
+      existing: DataFrame,
+      hashCol: String = "row_hash",
+      forceBroadcast: Boolean = false
+  ): DataFrame = {
+    val hashes = existing.select(hashCol).distinct()
     newRows.join(
-      broadcast(existing.select(hashCol).distinct()),
+      if (forceBroadcast) broadcast(hashes) else hashes,
       Seq(hashCol),
       "left_anti"
     )
+  }
 
   /** S9 — upsert for a small dimension table (vanilla Spark has no MERGE):
     * union the updates over the base and keep the newest row per key via W1.
