@@ -153,6 +153,130 @@ object VectorIndex {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cluster"))
 
+  /** The "when to rebuild" half of the append lifecycle: split posting
+    * lists that outgrew their peers. [[append]] freezes the coarse
+    * geometry, so a drifting corpus (a new content mode the build never
+    * saw) pours into whichever existing list is least-wrong — [[stats]]
+    * shows the skew, and this acts on it.
+    *
+    * A list is HOT when its occupancy exceeds `maxSkew ×` the mean
+    * (corpus / kLists). Each hot list is split by a k-means over ITS
+    * MEMBERS' RAW VECTORS into ~mean-sized sub-lists: the first sub-list
+    * keeps the old cluster id, the rest take fresh ids appended to the
+    * centroid table — ids are stable, so untouched partitions (the vast
+    * majority) are never rewritten or re-encoded. Residual encoding is
+    * what makes the repair LOCAL: a member's code depends only on its own
+    * list's centroid, so re-encoding a split list (frozen codebooks, new
+    * sub-centroid residuals) touches exactly that list's rows.
+    *
+    * `corpus` is the source of truth for raw vectors (keyed by `idCol`) —
+    * the index stores only 8-bit codes, and reconstructing vectors from
+    * codes would compound quantization error into the new assignment. Every
+    * hot-list member must resolve in `corpus`; missing ids fail loudly
+    * rather than silently dropping vectors from the index.
+    *
+    * Same single-writer contract as [[append]] and the lake: the hot
+    * partitions are replaced non-atomically (delete, then append the
+    * re-encoded rows); don't probe concurrently with a rebalance.
+    *
+    * Returns the updated handle (== `h` when nothing was hot). The meta
+    * artifact's version is bumped so a reopened session observes the new
+    * centroid count.
+    */
+  def rebalanceIfNeeded(
+      h: Handle,
+      corpus: DataFrame, // (idCol, vecCol) — raw vectors for at least every indexed id
+      idCol: String,
+      vecCol: String,
+      maxSkew: Double = 4.0,
+      seed: Long = 42L
+  ): Handle = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val occ = stats(h, spark).as[(Int, Long)].collect()
+    val total = occ.map(_._2).sum
+    val mean = math.max(1.0, total.toDouble / h.centroids.length)
+    val hot = occ.filter { case (_, n) => n > maxSkew * mean && n > 1 }
+    if (hot.isEmpty) return h
+
+    val postings = spark.read.parquet(s"${h.dir}/postings")
+    val hotIds = hot.map(_._1)
+    val members = postings
+      .filter(col("cluster").isin(hotIds.map(Int.box): _*))
+      .select(col("vec_id"), col("cluster").as("__old"))
+      .join(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        Seq("vec_id"))
+      .persist()
+    val resolved = members.count()
+    require(
+      resolved == hot.map(_._2).sum,
+      s"rebalance: corpus resolves $resolved of ${hot.map(_._2).sum} hot-list vectors — " +
+        "refusing to drop the unresolved ones from the index")
+
+    // per hot list: k-means its members into ~mean-sized sub-lists, map the
+    // local sub-cluster ids onto (old id, fresh global ids...)
+    var nextId = h.centroids.length
+    val newCentroids = scala.collection.mutable.ArrayBuffer(h.centroids.toSeq: _*)
+    val reassigned = hot.map { case (l, n) =>
+      val kSplit = math.min(16, math.max(2, math.ceil(n / mean).toInt))
+      val (sub, subCentroids) =
+        Similarity.ivfIndex(members.filter(col("__old") === l).select($"vec_id", $"embedding"), kSplit, seed)
+      val globalIds = subCentroids.indices.map { c =>
+        if (c == 0) { newCentroids(l) = subCentroids(0); l }
+        else { newCentroids += subCentroids(c); nextId += 1; nextId - 1 }
+      }
+      val idMap = globalIds.zipWithIndex.map { case (g, c) => (c, g) }.toMap
+      sub.withColumn(
+        "cluster",
+        element_at(
+          array(idMap.toSeq.sortBy(_._1).map(p => lit(p._2)): _*),
+          col("cluster") + lit(1)))
+    }.reduce(_ unionByName _)
+
+    val centroidArr = newCentroids.toArray
+    val (encodeInput, encodeCol) =
+      if (h.residual)
+        (reassigned.withColumn("rvec", residualCol($"embedding", $"cluster", centroidArr)), "rvec")
+      else (reassigned, "embedding")
+    val reencoded = Similarity
+      .pqEncode(encodeInput, encodeCol, h.codebooks)
+      .select($"vec_id", $"cluster", $"codes")
+
+    // append-then-delete: snapshot the hot partitions' current files, write
+    // the re-encoded rows alongside them, then remove exactly the
+    // snapshotted files. A crash between the two steps leaves duplicates
+    // (fixable by re-running), never missing vectors — and the computation
+    // never reads a partition it has already deleted.
+    val fs = new org.apache.hadoop.fs.Path(h.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldFiles = hotIds.flatMap { l =>
+      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
+    }
+    reencoded.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
+    oldFiles.foreach(fs.delete(_, false))
+    members.unpersist(blocking = false)
+
+    centroidArr.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"${h.dir}/centroids")
+    val oldVersion =
+      try spark.read.parquet(s"${h.dir}/meta").select($"version").as[Int].head()
+      catch { case _: org.apache.spark.sql.AnalysisException => 1 }
+    Seq((oldVersion + 1, h.residual)).toDF("version", "residual")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"${h.dir}/meta")
+    h.copy(centroids = centroidArr)
+  }
+
   /** Reopen a persisted index: the metadata artifacts are tiny and land in
     * plan literals, exactly like a fresh build's.
     */

@@ -125,6 +125,73 @@ class VectorIndexSpec extends SparkSpec {
     assert(postings(dir) == postings(dir2))
   }
 
+  test("rebalanceIfNeeded: drift-heavy appends degrade recall, rebalance restores it to ~fresh-build") {
+    // build on mode A (4 tight clusters), then append a mode B the build
+    // never saw (4 NEW clusters) — B's 400 vectors pour into whichever of
+    // A's lists are least-wrong, exactly the skew the maintenance policy
+    // exists for
+    val rnd = new Random(13)
+    val centersA = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val centersB = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val a: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+      (i.toLong, centersA(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val b: Seq[(Long, Seq[Float])] = (200 until 600).map { i =>
+      (i.toLong, centersB(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val all = a ++ b
+    val dir = tmpDir("vindex_rebal")
+    val h0 = VectorIndex.build(a.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      kLists = 4, m = 4, ksub = 8)
+    VectorIndex.append(h0, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+
+    // ground truth: exact L2 top-10 over A∪B for 30 mode-B queries
+    val vecs = all.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val qids = (200L until 230L).toSeq
+    val exact: Map[Long, Set[Long]] = qids.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq.sortBy(v => (l2(vecs(q), vecs(v)), v)).take(10).toSet
+    }.toMap
+    val queries = all.filter(r => qids.contains(r._1)).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def recallAt10(h: VectorIndex.Handle): Double = {
+      val got = VectorIndex
+        .query(h, queries, nProbe = 1, k = 10)
+        .select($"qid", $"vec_id")
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).toSet)
+        .toMap
+      exact.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size / 10.0 }.sum / exact.size
+    }
+
+    val rAppended = recallAt10(h0)
+    val h1 = VectorIndex.rebalanceIfNeeded(
+      h0, all.toDF("vec_id", "embedding"), "vec_id", "embedding", maxSkew = 1.5)
+    assert(h1.centroids.length > 4, "hot lists should have split into new posting lists")
+    // no vector lost or duplicated by the partition swap
+    val st = VectorIndex.stats(h1, spark).as[(Int, Long)].collect()
+    assert(st.map(_._2).sum == 600, s"posting occupancy after rebalance: ${st.toSeq}")
+    val rRebalanced = recallAt10(h1)
+    val hFresh = VectorIndex.build(all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmpDir("vindex_rebal_fresh"), kLists = h1.centroids.length, m = 4, ksub = 8)
+    val rFresh = recallAt10(hFresh)
+    info(s"recall@10: appended=$rAppended rebalanced=$rRebalanced fresh=$rFresh lists=${h1.centroids.length}")
+    assert(rRebalanced > rAppended + 0.1, s"rebalance must measurably restore recall ($rAppended → $rRebalanced)")
+    assert(rRebalanced >= rFresh - 0.15, s"rebalanced recall $rRebalanced not within ε of fresh build $rFresh")
+    // a reopened session observes the rebalanced geometry (meta version bumped)
+    val reopened = VectorIndex.open(spark, dir)
+    assert(reopened.centroids.length == h1.centroids.length)
+    assert(spark.read.parquet(s"$dir/meta").select($"version").as[Int].head() == 2)
+    // idempotence: nothing hot anymore → same handle back
+    val h2 = VectorIndex.rebalanceIfNeeded(
+      h1, all.toDF("vec_id", "embedding"), "vec_id", "embedding", maxSkew = 1.5)
+    assert(h2 eq h1)
+  }
+
   test("residual encoding beats flat encoding at fixed nProbe (recall@10 vs exact L2)") {
     // 8 clusters so cluster identity alone consumes all ksub=8 sub-centroids
     // of a flat codebook — the textbook geometry where flat PQ has zero
