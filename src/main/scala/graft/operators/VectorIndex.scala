@@ -336,8 +336,22 @@ object VectorIndex {
       nProbe: Int,
       k: Int,
       excludeSelf: Boolean = true
+  ): DataFrame =
+    rankTopK(scoredCandidates(h, queries, nProbe, excludeSelf), k)
+
+  /** The stateless half of [[query]]: every (query, candidate) pair from the
+    * probed lists with its ADC distance — no per-query ranking yet. This is
+    * the largest plan fragment that is pure projection + stream-static join,
+    * which makes it directly usable on an UNBOUNDED query stream
+    * ([[graft.streaming.Streams.probeVectorStream]]): the top-k window below
+    * needs all of a query's candidates and so cannot run on a stream.
+    */
+  def scoredCandidates(
+      h: Handle,
+      queries: DataFrame, // (qid, qe: array<float>)
+      nProbe: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val probed = (if (h.residual) {
       // residual mode: codes quantize x − centroid[cluster], so the ADC
       // table must measure ||(q − centroid[cluster])_s − C[s][j]||² — one
@@ -358,7 +372,7 @@ object VectorIndex {
         .withColumn("cluster", explode(Similarity.nearestCentroids(col("qe"), h.centroids, nProbe)))
     }).select(col("qid"), col("cluster"), col("__qt"))
     val postings = queries.sparkSession.read.parquet(s"${h.dir}/postings")
-    val scored = postings
+    postings
       // the broadcast keeps the probe side tiny AND makes `cluster` a DPP
       // candidate: the partition filter on the postings scan is derived at
       // runtime from the probed cluster set
@@ -369,6 +383,14 @@ object VectorIndex {
         col("vec_id"),
         graft.functions.HashExprs.pqAdcDistance(col("codes"), col("__qt")).as("adist")
       )
+  }
+
+  /** Per-query top-k over scored candidates: rank 1 = nearest by quantized
+    * L2. Batch-scoped — in a streaming sink apply it inside `foreachBatch`,
+    * where each micro-batch is a plain DataFrame.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

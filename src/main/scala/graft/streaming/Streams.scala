@@ -153,6 +153,43 @@ object Streams {
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"), col("n.band").as("band"))
   }
 
+  /** Streaming embedding probe — the vector twin of [[probeStream]]: every
+    * arriving vector probes a PERSISTED [[graft.operators.VectorIndex]]
+    * through a stream-static join against its posting lists. Stateless by
+    * design, same as the MinHash probe — centroid selection and the ADC
+    * query table are pure projections (the index metadata rides in as plan
+    * literals), and the postings join is stream-static, so a vector's
+    * candidates depend only on the static index and stream at micro-batch
+    * cadence with no state store.
+    *
+    * Emits one row per (new vector, probed candidate):
+    * `(qid, vec_id, adist)`. The per-query top-k is a window over ALL of a
+    * query's candidates and cannot run on an unbounded stream — collapse
+    * batch-locally in the sink (`foreachBatch` +
+    * [[graft.operators.VectorIndex.rankTopK]]), the exact sink-side
+    * contract [[probeStream]] documents for its band collisions.
+    *
+    * The handle is captured at plan time: a probe running when
+    * `rebalanceIfNeeded` rewrites the index must be restarted to observe
+    * the new geometry (same single-writer contract as the batch side).
+    * `excludeSelf` defaults false — streaming vectors are external to the
+    * index by construction.
+    */
+  def probeVectorStream(
+      newVectors: DataFrame, // streaming (idCol, vecCol: array<float>)
+      idCol: String,
+      vecCol: String,
+      index: graft.operators.VectorIndex.Handle,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false
+  ): DataFrame =
+    graft.operators.VectorIndex.scoredCandidates(
+      index,
+      newVectors.select(col(idCol).as("qid"), col(vecCol).as("qe")),
+      nProbe,
+      excludeSelf
+    )
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */

@@ -93,5 +93,41 @@ class StreamingSoakSpec extends SparkSpec {
       // several micro-batches, or this tested one big batch
       assert(sq.recentProgress.count(_.numInputRows > 0) >= 2)
     } finally sq.stop()
+
+    // stage 3: the embedding side of gated intake — arriving vectors probe
+    // a PERSISTED VectorIndex per micro-batch (stream-static, stateless),
+    // the near-dup twin of stage 2's content gates. The index plays the
+    // accumulated corpus; the stream plays each refresh's new vectors.
+    import graft.operators.VectorIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val h = VectorIndex.build(
+      emb.filter($"vec_id" < 400), "vec_id", "embedding", s"$base/vindex",
+      kLists = 8, m = 8, ksub = 16)
+    val arriving = emb.filter($"vec_id" >= 400).select($"vec_id", $"embedding")
+    // staged in chunks so the drain is multi-batch, like stage 1
+    arriving.repartition(4).write.parquet(s"$base/vec_staging")
+    val vecStream = Streams.readTableStream(
+      spark, arriving.schema, s"$base/vec_staging")
+    val probed = Streams.probeVectorStream(vecStream, "vec_id", "embedding", h, nProbe = 4)
+    val topk = scala.collection.mutable.Set[(Long, Long)]()
+    val vq = probed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        topk ++= VectorIndex.rankTopK(batch, 5)
+          .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        ()
+      }
+      .start()
+    try {
+      vq.processAllAvailable()
+      assert(vq.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten).isEmpty
+        || vq.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten).forall(_.numRowsTotal == 0),
+        "the vector probe must be stateless — no state store rows")
+      val batchTwin = VectorIndex
+        .query(h, arriving.select($"vec_id".as("qid"), $"embedding".as("qe")),
+          nProbe = 4, k = 5, excludeSelf = false)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+      assert(topk.toSet == batchTwin, "streamed probe must equal the batch index query")
+      assert(topk.map(_._1).toSet.size == arriving.count(), "every arriving vector got neighbors")
+    } finally vq.stop()
   }
 }

@@ -150,4 +150,54 @@ class StreamsSpec extends SparkSpec {
       assert(got.contains((1L, 10L)) && !got.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("probeVectorStream: streamed vectors probing a persisted index equal the batch query") {
+    import graft.operators.VectorIndex
+    import scala.util.Random
+    val root = tmpDir("probe_vec_stream")
+    val rnd = new Random(5)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", s"$root/index",
+      kLists = 4, m = 4, ksub = 8)
+
+    // external vectors arriving as a stream, in several files (multi-batch)
+    val incoming = (1000 until 1012).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    incoming.grouped(4).foreach { chunk =>
+      chunk.toDF("vec_id", "embedding").write.mode("append").parquet(s"$root/new")
+    }
+    val newVecs = spark.read.parquet(s"$root/new")
+    val stream = Streams.readTableStream(spark, newVecs.schema, s"$root/new")
+    val probed = Streams.probeVectorStream(stream, "vec_id", "embedding", h, nProbe = 2)
+    assert(probed.isStreaming, "probeVectorStream must stay a streaming plan")
+
+    // sink-side contract: per-query top-k is batch-local (a query's
+    // candidates all live in its own micro-batch)
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val q = probed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= VectorIndex.rankTopK(batch, 3)
+          .select($"qid", $"vec_id", $"rank")
+          .as[(Long, Long, Int)]
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchTwin = VectorIndex
+        .query(h, newVecs.select($"vec_id".as("qid"), $"embedding".as("qe")),
+          nProbe = 2, k = 3, excludeSelf = false)
+        .select($"qid", $"vec_id", $"rank")
+        .as[(Long, Long, Int)]
+        .collect()
+        .toSet
+      assert(got.toSet == batchTwin, s"stream/batch divergence: ${got.toSet.diff(batchTwin)} vs ${batchTwin.diff(got.toSet)}")
+      assert(got.map(_._1).toSet.size == 12, "every streamed vector must get ranked neighbors")
+    } finally q.stop()
+  }
 }
