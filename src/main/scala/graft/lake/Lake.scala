@@ -61,11 +61,82 @@ object Lake {
       .partitionBy(partitionCols: _*)
       .parquet(tablePath(root, scope, table))
 
-  /** Schema-merging read across all of a table's files. */
-  def read(spark: SparkSession, root: String, scope: String, table: String): DataFrame =
+  /** Schema-merging read across all of a table's files.
+    *
+    * Concurrent-reader contract with [[compact]]: the swap is two renames,
+    * so there is a sub-millisecond window where the table dir is absent
+    * (never partially present — the data is whole at `<table>` or
+    * `<table>.__old` at every instant). PLANNING a read inside that window
+    * would fail on the missing path, so resolution here retries through it;
+    * an already-planned scan EXECUTED across the window can still lose the
+    * race (its listed files were renamed away) — wrap such actions in
+    * [[withReadRetry]], which re-plans from the post-swap listing. Neither
+    * window can yield partial or duplicated rows: compaction never deletes
+    * before the replacement is in place, so a read either fails cleanly
+    * (and retries) or sees the full row set.
+    */
+  def read(spark: SparkSession, root: String, scope: String, table: String): DataFrame = {
+    val path = tablePath(root, scope, table)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bounded resolution retry over the two-rename window; a genuinely
+    // missing table still fails fast-ish (≤ ~1s) with the normal error
+    var waited = 0L
+    while (!fs.exists(new Path(path)) && waited < 1000) {
+      Thread.sleep(50); waited += 50
+    }
     spark.read
       .option("mergeSchema", "true")
-      .parquet(tablePath(root, scope, table))
+      .parquet(path)
+  }
+
+  /** Run a read ACTION (count/collect/write of a frame over this lake) with
+    * retries across a concurrent [[compact]] swap: a scan planned before
+    * the swap references file names the swap renamed away and fails with a
+    * missing-file error; the retry re-plans against the post-swap listing.
+    * Only swap-shaped failures are retried — anything else rethrows
+    * immediately. This (plus single WRITER per table) is the lake's
+    * concurrency contract: readers are lock-free and always see the full
+    * row set, at the price of re-running a race-losing action.
+    *
+    * `onRetry` runs before each re-attempt; it MUST invalidate any cached
+    * file listing for the paths the action reads, or every re-plan reuses
+    * the session's shared FileStatusCache entry — the same dead file list
+    * that just failed — and the retries are spent for nothing. Use
+    * [[withTableReadRetry]], which wires `spark.catalog.refreshByPath` for
+    * a lake table.
+    */
+  def withTableReadRetry[T](
+      spark: SparkSession,
+      root: String,
+      scope: String,
+      table: String,
+      attempts: Int = 5
+  )(body: => T): T =
+    withReadRetry(attempts, () => spark.catalog.refreshByPath(tablePath(root, scope, table)))(body)
+
+  def withReadRetry[T](attempts: Int = 5, onRetry: () => Unit = () => ())(body: => T): T = {
+    def swapShaped(e: Throwable): Boolean =
+      Iterator
+        .iterate(e)(_.getCause)
+        .takeWhile(_ != null)
+        .take(8)
+        .exists { c =>
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            (c.getMessage.contains("FileNotFound") || c.getMessage.contains("does not exist")))
+        }
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if left > 1 && swapShaped(e) =>
+          left -= 1
+          Thread.sleep(100)
+          onRetry()
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Distinct content hashes of a table — the preload set for refresh dedup
     * (database.py:86-106). Column-pruned: only row_hash is read from disk.
@@ -140,6 +211,15 @@ object Lake {
     * would be moved aside and deleted with `old`. Run compaction only when
     * no concurrent writer can touch the table (e.g. post-session, as
     * [[graft.ingest.Engine]] does).
+    *
+    * Concurrent READERS are supported lock-free: at every instant the full
+    * row set exists at `<table>` or `<table>.__old`, and nothing is deleted
+    * until the replacement is live — so a racing reader either sees the
+    * complete table or fails cleanly on renamed-away paths, never partial
+    * or doubled rows. [[read]] retries resolution through the rename
+    * window; actions racing the swap re-plan via [[withReadRetry]]
+    * (LakeSpec hammers this with a reader loop against back-to-back
+    * compactions).
     */
   def compact(
       spark: SparkSession,

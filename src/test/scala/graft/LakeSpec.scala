@@ -115,4 +115,74 @@ class LakeSpec extends SparkSpec {
     Lake.compact(spark, root, "s", "t")
     assert(files().length == 1)
   }
+
+  test("concurrent reader racing back-to-back compactions sees every row at every instant") {
+    val root = tmpDir("lake_race")
+    val n = 5000
+    Lake.append((1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root, "s", "t")
+
+    @volatile var writerDone = false
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try (1 to 6).foreach { _ =>
+        // re-fragment (with the same rename-aside discipline as compact —
+        // a recursive delete of the live dir would expose readers to a
+        // partial LISTING, which the product swap never does), then compact:
+        // every cycle runs the full two-rename swap
+        val df = spark.read.parquet(s"$root/s/t")
+        df.repartition(8).write.mode("overwrite").parquet(s"$root/s/t.__refrag")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def p(s: String) = new org.apache.hadoop.fs.Path(s)
+        fs.delete(p(s"$root/s/t.__gone"), true)
+        assert(fs.rename(p(s"$root/s/t"), p(s"$root/s/t.__gone")))
+        assert(fs.rename(p(s"$root/s/t.__refrag"), p(s"$root/s/t")))
+        fs.delete(p(s"$root/s/t.__gone"), true)
+        Lake.compact(spark, root, "s", "t")
+      } catch { case t: Throwable => writerErr = Some(t) }
+      finally writerDone = true
+    })
+    writer.start()
+    // reader loop: every successful read must return the COMPLETE row set —
+    // the contract allows clean retries (withReadRetry), never partial rows
+    var reads = 0
+    while (!writerDone) {
+      // attempts sized for the hammer: the writer swaps back-to-back with
+      // no think time, far denser than any real compaction cadence
+      val c = Lake.withTableReadRetry(spark, root, "s", "t", attempts = 10) {
+        Lake.read(spark, root, "s", "t").count()
+      }
+      assert(c == n, s"partial read during compaction swap: $c of $n rows")
+      reads += 1
+    }
+    writer.join()
+    assert(writerErr.isEmpty, s"writer failed: $writerErr")
+    assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
+    assert(Lake.read(spark, root, "s", "t").count() == n)
+  }
+
+  test("withReadRetry re-plans an action across a swap-shaped failure; other errors rethrow") {
+    // deterministic retry path: the table appears only after the first
+    // attempt has failed — the retry must succeed
+    val root = tmpDir("lake_retry")
+    var attempts = 0
+    val made = Lake.withReadRetry(attempts = 3) {
+      attempts += 1
+      if (attempts == 1) throw new java.io.FileNotFoundException(s"$root/s/t (swap window)")
+      42
+    }
+    assert(made == 42 && attempts == 2)
+    // non-swap failures are not retried
+    var calls = 0
+    val boom = intercept[IllegalStateException] {
+      Lake.withReadRetry(attempts = 3) { calls += 1; throw new IllegalStateException("real bug") }
+    }
+    assert(boom.getMessage == "real bug" && calls == 1)
+    // attempts exhausted: the swap-shaped error surfaces
+    var tries = 0
+    intercept[java.io.FileNotFoundException] {
+      Lake.withReadRetry(attempts = 2) { tries += 1; throw new java.io.FileNotFoundException("gone") }
+    }
+    assert(tries == 2)
+  }
 }
