@@ -368,6 +368,53 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Full entity resolution ([[EntityResolution.resolve]]): q83's verified
+    * pairs closed into TRANSITIVE entity groups (A~B, B~C ⇒ {A,B,C} even
+    * when A–C exceeds the edit bound) with one survivor record per group —
+    * highest account balance, ties to the smallest key. Spark side is CC +
+    * broadcast cluster assignment; the oracle replays the q62-style
+    * recursive min-label closure over the q83 pair SQL and ranks survivors
+    * with the same (quality DESC, id) window.
+    */
+  private val q91 = Q(
+    "q91_entity_resolve",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      EntityResolution
+        .resolve(
+          T.customer.filter($"c_custkey" < 500).select($"c_custkey", $"c_name", $"c_acctbal"),
+          "c_custkey",
+          "c_name",
+          blockLen = 16,
+          maxDist = 1,
+          quality = $"c_acctbal"
+        )
+        .select($"entity_id", $"c_custkey", $"c_name")
+        .orderBy($"entity_id")
+    },
+    Some("""
+      WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS s, c_acctbal AS q,
+                                  substr(c_name, 1, 16) AS blk
+                           FROM customer WHERE c_custkey < 500),
+      p AS (SELECT a.id AS ida, b.id AS idb FROM c a JOIN c b
+            ON a.blk = b.blk AND a.id < b.id WHERE levenshtein(a.s, b.s) <= 1),
+      edges AS (SELECT ida AS a, idb AS b FROM p UNION SELECT idb, ida FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach AS (
+        SELECT id, id AS comp FROM nodes
+        UNION
+        SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id WHERE r.comp < e.b
+      ),
+      comp AS (SELECT id, MIN(comp) AS ent FROM reach GROUP BY id),
+      everyone AS (SELECT c.id, c.s, c.q, COALESCE(comp.ent, c.id) AS entity_id
+                   FROM c LEFT JOIN comp ON c.id = comp.id)
+      SELECT entity_id, id AS c_custkey, s AS c_name FROM (
+        SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY q DESC, id) AS rn
+        FROM everyone) WHERE rn = 1
+      ORDER BY entity_id
+    """.trim)
+  )
+
   /** Quality-ranked cluster dedup ([[Dedup.keepBestPerCluster]]): keep the
     * HIGHEST-quality member of each near-dup cluster instead of the
     * arbitrary min-id one (production pipelines keep the best copy; the
@@ -470,5 +517,5 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90)
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Entity resolution: find records that are the SAME real-world thing under
@@ -106,5 +106,44 @@ object EntityResolution {
         levenshtein(col("a.__s"), col("b.__s")).as("dist")
       )
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Full record linkage: candidate pairs → TRANSITIVE entity groups → one
+    * SURVIVOR record per group — what a master-data consumer actually wants
+    * from ER (pairs are evidence, not an answer: if A~B and B~C, all three
+    * are one entity even when A–C exceeds the edit bound).
+    *
+    * Composition of the engine's existing scale paths: the verified pairs
+    * from [[blockedEditDistancePairs]] feed
+    * [[Graph.connectedComponents]] (join-based small-star/large-star — the
+    * same O(log n)-round fixpoint the near-dup clusters ride, never a
+    * driver-side closure), and survivor choice is
+    * [[Dedup.keepBestPerCluster]] (broadcast cluster assignment, window
+    * only over clustered records). Records matching nothing are their own
+    * entity and always survive.
+    *
+    * @param quality survivor ranking — highest wins, ties break to the
+    *        smallest id (deterministic, engine-portable)
+    * @return one row per ENTITY: the surviving record's columns plus
+    *         `entity_id` (the group's smallest member id)
+    */
+  def resolve(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockLen: Int,
+      maxDist: Int,
+      quality: Column,
+      maxBlockSize: Int = Int.MaxValue,
+      refineStep: Int = 2,
+      maxRefine: Int = 8
+  ): DataFrame = {
+    val pairs = blockedEditDistancePairs(
+      df.select(col(idCol), col(strCol)),
+      idCol, strCol, blockLen, maxDist, maxBlockSize, refineStep, maxRefine)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup
+      .keepBestPerCluster(df, idCol, pairs, quality)
+      .withColumnRenamed("cluster", "entity_id")
   }
 }

@@ -72,4 +72,29 @@ class EntityResolutionSpec extends SparkSpec {
     assert(candCapped < candUncapped / 5,
       s"hot block not split: $candCapped vs $candUncapped candidates")
   }
+
+  test("resolve: a planted entity family closes transitively and keeps the best survivor") {
+    // chain family: A~B (dist 1), B~C (dist 1), but A–C dist 2 > maxDist —
+    // pairwise evidence alone would split them; transitive closure must not
+    val df = Seq(
+      (10L, "ACME CORP", 3.0),
+      (11L, "ACME CORPX", 9.0), // dist 1 to #10, the family's best quality
+      (12L, "ACME CORPXY", 5.0), // dist 1 to #11, dist 2 to #10
+      (20L, "ZETA LLC", 7.0), // matches nothing: its own entity
+      (21L, "ZETA LLC", 1.0) // exact dup of #20, lower quality
+    ).toDF("id", "name", "score")
+
+    val out = EntityResolution
+      .resolve(df, "id", "name", blockLen = 4, maxDist = 1, quality = $"score")
+      .select($"entity_id", $"id", $"name")
+      .as[(Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+
+    assert(out == Seq(
+      (10L, 11L, "ACME CORPX"), // one entity {10,11,12}, survivor = best quality
+      (20L, 20L, "ZETA LLC") // {20,21} collapses; 21 loses on quality
+    ), s"got $out")
+  }
 }
