@@ -303,6 +303,222 @@ object Multimodal {
       .drop("__m")
   }
 
+  /** Audio/video header metadata — decode-free, same first-pass contract as
+    * [[sniffImage]]: container format, codec identity, and the duration /
+    * channel / sample-rate fields a media-corpus gate filters on, read
+    * straight from the header bytes. No JDK codec exists for these
+    * containers, but their METADATA needs none:
+    *  - WAV is RIFF chunks (little-endian): `fmt ` carries the format tag,
+    *    channel count, sample rate and byte rate; `data`'s size over the
+    *    byte rate IS the duration.
+    *  - MP4 is ISO BMFF boxes (big-endian): `ftyp` identifies the
+    *    container, `moov/mvhd` carries timescale+duration, and the first
+    *    `stsd` sample-entry fourcc names the codec (`avc1`/`hvc1`/`mp4a`…);
+    *    `mp4a` entries also carry channels + a 16.16 fixed-point rate.
+    * Returns None for anything not positively identified (truncated or
+    * foreign bytes) — the corrupt-media gate, exactly like sniffImage.
+    */
+  final case class AvMeta(
+      format: String,
+      codec: Option[String],
+      channels: Option[Int],
+      sampleRateHz: Option[Int],
+      durationMs: Option[Long]
+  )
+
+  def sniffAudioVideo(bytes: Array[Byte]): Option[AvMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
+      // chunk walk; chunks are word-aligned (odd sizes carry a pad byte)
+      var i = 12
+      var codec: Option[String] = None
+      var channels: Option[Int] = None
+      var rate: Option[Int] = None
+      var byteRate = 0L
+      var dataBytes = -1L
+      while (i + 8 <= bytes.length) {
+        val id = fourcc(i)
+        val sz = le32(i + 4)
+        val p = i + 8
+        if (id == "fmt " && sz >= 16 && p + 16 <= bytes.length) {
+          val tag = le16(p)
+          codec = Some(tag match {
+            case 1 => "pcm"
+            case 3 => "ieee_float"
+            case 6 => "alaw"
+            case 7 => "mulaw"
+            case 0xfffe => "extensible"
+            case other => s"wave_$other"
+          })
+          channels = Some(le16(p + 2))
+          rate = Some(le32(p + 4).toInt)
+          byteRate = le32(p + 8)
+        } else if (id == "data") {
+          // size is authoritative even when the payload is elsewhere/truncated
+          dataBytes = sz
+        }
+        i = p + sz.toInt + (sz.toInt & 1)
+      }
+      if (codec.isEmpty) None
+      else
+        Some(AvMeta(
+          "wav",
+          codec,
+          channels,
+          rate,
+          if (dataBytes >= 0 && byteRate > 0) Some(dataBytes * 1000L / byteRate) else None))
+    } else if (bytes.length >= 12 && fourcc(4) == "ftyp") {
+      // ISO BMFF box walk. Box: size(be32) type(4); size==1 → 64-bit
+      // largesize followed; size==0 → box extends to EOF.
+      var timescale = 0L
+      var duration = -1L
+      var codec: Option[String] = None
+      var channels: Option[Int] = None
+      var rate: Option[Int] = None
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = from
+        while (i + 8 <= to) {
+          val size0 = be32(i.toInt)
+          val typ = fourcc(i.toInt + 4)
+          val (header, size) =
+            if (size0 == 1L && i + 16 <= to) (16L, be64(i.toInt + 8))
+            else if (size0 == 0L) (8L, to - i)
+            else (8L, size0)
+          if (size < header) return // malformed — stop, keep what we have
+          val p = i + header
+          val end = math.min(i + size, to)
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(p, end, depth + 1)
+            case "mvhd" if p + 4 <= to =>
+              val v = u8(p.toInt)
+              if (v == 1 && p + 32 <= to) {
+                timescale = be32(p.toInt + 20); duration = be64(p.toInt + 24)
+              } else if (v == 0 && p + 20 <= to) {
+                timescale = be32(p.toInt + 12); duration = be32(p.toInt + 16)
+              }
+            case "stsd" if p + 16 <= to =>
+              // [version+flags(4)] [entry_count(4)] then the first sample
+              // entry: size(4) + data-format fourcc(4)
+              val entry = p + 8
+              if (codec.isEmpty && entry + 8 <= to) {
+                val cc = fourcc(entry.toInt + 4)
+                codec = Some(cc)
+                // AudioSampleEntry layout: 6 reserved + dataRefIdx(2), then
+                // version(2) rev(2) vendor(4) channels(2) bits(2) pre(2)
+                // reserved(2) rate(16.16)
+                if (cc == "mp4a" && entry + 36 <= to) {
+                  channels = Some(be16(entry.toInt + 24))
+                  rate = Some((be32(entry.toInt + 32) >> 16).toInt)
+                }
+              }
+            case _ => // leaf we don't need
+          }
+          i += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0)
+      Some(AvMeta(
+        "mp4",
+        codec,
+        channels,
+        rate,
+        if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale) else None))
+    } else None
+  }
+
+  /** DataFrame form of [[sniffAudioVideo]], the audio/video twin of
+    * [[withImageMeta]]: appends (av_format, av_codec, av_channels,
+    * av_sample_rate, av_duration_ms), NULLs where the blob is not a
+    * recognizable container. Scan-side per-row map, no shuffle.
+    */
+  def withAvMeta(df: DataFrame, contentCol: String): DataFrame = {
+    val sniff = udf { (b: Array[Byte]) => sniffAudioVideo(b) }
+    df.withColumn("__av", sniff(col(contentCol)))
+      .withColumn("av_format", col("__av.format"))
+      .withColumn("av_codec", col("__av.codec"))
+      .withColumn("av_channels", col("__av.channels"))
+      .withColumn("av_sample_rate", col("__av.sampleRateHz"))
+      .withColumn("av_duration_ms", col("__av.durationMs"))
+      .drop("__av")
+  }
+
+  /** Minimal valid WAV bytes (RIFF/WAVE + fmt + data header, zeroed PCM
+    * payload capped at 64 bytes — header truth doesn't need real samples).
+    * A real writer for the audio sink path and the deterministic fixture
+    * generator for the q92 oracle/specs.
+    */
+  def wavBytes(channels: Int, sampleRateHz: Int, bitsPerSample: Int, dataBytes: Int): Array[Byte] = {
+    val byteRate = sampleRateHz * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    val payload = math.min(dataBytes, 64)
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRateHz).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes).putInt(dataBytes)
+    bb.array()
+  }
+
+  /** Minimal valid MP4 bytes: ftyp + moov{mvhd, trak{mdia{minf{stbl{stsd
+    * {fourcc sample entry}}}}}} — the deterministic fixture generator for
+    * the q92 oracle/specs. `fourcc` is the codec identity (`avc1`, `hvc1`,
+    * `mp4a`, …); for `mp4a` the sample entry carries channels + rate.
+    */
+  def mp4Bytes(
+      timescale: Int,
+      durationUnits: Long,
+      codecFourcc: String,
+      audioChannels: Int = 2,
+      audioRateHz: Int = 44100
+  ): Array[Byte] = {
+    require(codecFourcc.length == 4, "fourcc is exactly 4 ascii bytes")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // version 0 layout
+      bb.putInt(0) // version+flags
+      bb.putInt(0).putInt(0) // ctime mtime
+      bb.putInt(timescale).putInt(durationUnits.toInt)
+      bb.array()
+    }
+    val sampleEntry = {
+      val bb = java.nio.ByteBuffer.allocate(36)
+      bb.putInt(36).put(codecFourcc.getBytes)
+      bb.position(16) // 6 reserved + dataRefIdx
+      bb.putShort(0).putShort(0).putInt(0) // version rev vendor
+      bb.putShort(audioChannels.toShort).putShort(16)
+      bb.putShort(0).putShort(0)
+      bb.putInt(audioRateHz << 16)
+      bb.array()
+    }
+    val stsd = {
+      val bb = java.nio.ByteBuffer.allocate(8 + sampleEntry.length)
+      bb.putInt(0).putInt(1).put(sampleEntry) // version+flags, entry_count
+      box("stsd", bb.array())
+    }
+    val moov = box(
+      "moov",
+      box("mvhd", mvhd) ++ box("trak", box("mdia", box("minf", box("stbl", stsd)))))
+    box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++ moov
+  }
+
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per
     * task instead of a row count — media corpora are heavily skewed.
     */

@@ -469,6 +469,59 @@ object TextQueries {
     """.trim)
   )
 
+  /** Audio/video header metadata ([[Multimodal.sniffAudioVideo]]): every
+    * document becomes a VALID media container — even doc_ids a WAV (RIFF +
+    * fmt + data), odd ones an MP4 (ftyp + moov/mvhd + stsd sample entry) —
+    * with header parameters derived from the row's own fields, then the
+    * real header parser recovers format/codec/channels/rate/duration from
+    * the bytes. ROUND-TRIP oracle: DuckDB recomputes the expected metadata
+    * from the same parameter arithmetic, so Spark's row hashes only match
+    * if build→parse is the identity on every field — a misplaced byte on
+    * either side shifts a value and fails the gate. (The independent
+    * byte-layout truth — parsing hand-written spec-reference bytes neither
+    * builder produced — is MultimodalSpec's job.) Duration is exact floor
+    * division of agreed integers on both sides.
+    */
+  private val q92 = Q(
+    "q92_av_header_meta",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val build = udf { (id: Long, n: Int) =>
+        if (id % 2 == 0) {
+          val c = ((id / 2) % 2 + 1).toInt
+          val r = 8000 * (((id / 2) % 3).toInt + 1)
+          Multimodal.wavBytes(c, r, 16, n * 100)
+        } else {
+          val ts = 600 + (id % 5).toInt * 100
+          val cc = Seq("avc1", "hvc1", "mp4a")(((id / 2) % 3).toInt)
+          Multimodal.mp4Bytes(ts, n.toLong * 7, cc)
+        }
+      }
+      Multimodal
+        .withAvMeta(
+          T.documents.select($"doc_id", build($"doc_id", $"n_chars").as("content")),
+          "content")
+        .select($"doc_id", $"av_format", $"av_codec", $"av_channels", $"av_sample_rate", $"av_duration_ms")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS av_format,
+             CASE WHEN doc_id % 2 = 0 THEN 'pcm'
+                  ELSE ['avc1','hvc1','mp4a'][CAST((doc_id // 2) % 3 AS INT) + 1] END AS av_codec,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
+                       WHEN (doc_id // 2) % 3 = 2 THEN 2 END AS INT) AS av_channels,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * ((doc_id // 2) % 3 + 1)
+                       WHEN (doc_id // 2) % 3 = 2 THEN 44100 END AS INT) AS av_sample_rate,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN
+                         (CAST(n_chars AS BIGINT) * 100 * 1000)
+                           // (8000 * ((doc_id // 2) % 3 + 1) * ((doc_id // 2) % 2 + 1) * 2)
+                       ELSE (CAST(n_chars AS BIGINT) * 7 * 1000) // (600 + (doc_id % 5) * 100)
+                  END AS BIGINT) AS av_duration_ms
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   /** CCNet-style LM quality scoring ([[LmScore]]): a unigram model trained
     * on the corpus' English slice scores every document by mean smoothed
     * inverse token probability (exact-integer thousandths — see the
@@ -524,5 +577,5 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92)
 }

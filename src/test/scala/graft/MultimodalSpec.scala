@@ -138,6 +138,75 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffImage("BMW quarterly report for 2024, all divisions".getBytes).isEmpty)
   }
 
+  test("sniffAudioVideo parses hand-written spec-reference WAV and MP4 bytes") {
+    def unhex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // the canonical WAVE example from the format documentation: PCM,
+    // 2 channels, 22050 Hz, byteRate 88200, 176400 data bytes → 2000 ms.
+    // Hand-transcribed (not produced by wavBytes), so a builder+parser pair
+    // agreeing on a WRONG layout cannot pass here.
+    val wav = unhex(
+      "52494646 B4B10200 57415645 666D7420 10000000 0100 0200 22560000 88580100 0400 1000 64617461 10B10200")
+    assert(Multimodal.sniffAudioVideo(wav)
+      == Some(Multimodal.AvMeta("wav", Some("pcm"), Some(2), Some(22050), Some(2000L))))
+
+    // minimal ISO BMFF, hand-assembled box by box: ftyp(isom) +
+    // moov{ mvhd(v0, timescale 1000, duration 5000) + trak/mdia/minf/stbl/
+    // stsd{avc1} } → mp4, avc1, 5000 ms, no audio fields
+    val mp4 = unhex(
+      "00000010 66747970 69736F6D 00000000" + // ftyp
+        "00000064 6D6F6F76" + // moov (100 bytes)
+        "0000001C 6D766864 00000000 00000000 00000000 000003E8 00001388" + // mvhd
+        "00000040 7472616B 00000038 6D646961 00000030 6D696E66 00000028 7374626C" +
+        "00000020 73747364 00000000 00000001 00000010 61766331 00000000 00000000") // stsd{avc1}
+    assert(Multimodal.sniffAudioVideo(mp4)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(5000L))))
+  }
+
+  test("sniffAudioVideo round-trips the builders across parameter space; rejects foreign bytes") {
+    // WAV round-trip: every parameter combination recovers exactly
+    for (c <- Seq(1, 2); r <- Seq(8000, 22050, 44100); n <- Seq(0, 1000, 999999)) {
+      val got = Multimodal.sniffAudioVideo(Multimodal.wavBytes(c, r, 16, n))
+      val expectMs = n.toLong * 1000 / (r * c * 2)
+      assert(got == Some(Multimodal.AvMeta("wav", Some("pcm"), Some(c), Some(r), Some(expectMs))),
+        s"wav c=$c r=$r n=$n → $got")
+    }
+    // MP4: video fourccs carry no audio fields; mp4a carries channels+rate
+    assert(Multimodal.sniffAudioVideo(Multimodal.mp4Bytes(600, 1234L, "hvc1"))
+      == Some(Multimodal.AvMeta("mp4", Some("hvc1"), None, None, Some(1234L * 1000 / 600))))
+    assert(Multimodal.sniffAudioVideo(Multimodal.mp4Bytes(1000, 90000L, "mp4a", 1, 48000))
+      == Some(Multimodal.AvMeta("mp4", Some("mp4a"), Some(1), Some(48000), Some(90000L))))
+    // foreign/truncated bytes → None, never a throw
+    assert(Multimodal.sniffAudioVideo("RIFFxxxxWAV".getBytes) == None)
+    assert(Multimodal.sniffAudioVideo("not media at all, just text".getBytes) == None)
+    assert(Multimodal.sniffAudioVideo(Multimodal.wavBytes(2, 44100, 16, 500).take(20)) == None)
+    assert(Multimodal.sniffAudioVideo(null) == None)
+    // a PNG is an image, not an A/V container
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ new Array[Byte](30)
+    assert(Multimodal.sniffAudioVideo(png) == None)
+  }
+
+  test("withAvMeta appends sniffed columns scan-side, NULL for non-media") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.wavBytes(2, 22050, 16, 44100)),
+      (2L, Multimodal.mp4Bytes(1000, 7500L, "avc1")),
+      (3L, "just text".getBytes)
+    ).toDF("id", "content")
+    val got = Multimodal
+      .withAvMeta(rows, "content")
+      .select($"id", $"av_format", $"av_codec", $"av_duration_ms")
+      .as[(Long, Option[String], Option[String], Option[Long])]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(got == Seq(
+      (1L, Some("wav"), Some("pcm"), Some(500L)),
+      (2L, Some("mp4"), Some("avc1"), Some(7500L)),
+      (3L, None, None, None)
+    ))
+  }
+
   test("withImageMeta appends sniffed columns scan-side, NULL for non-images") {
     import spark.implicits._
     val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000003 00000002 0806000000")
