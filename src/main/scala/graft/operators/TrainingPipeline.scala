@@ -48,6 +48,15 @@ object TrainingPipeline {
     * persisted [[VectorIndex]] handle the stage probes the index instead —
     * the repeated/incremental-run shape: build once, probe per refresh.
     * `embeddings` is a (idCol, embCol) side table keyed like the corpus.
+    *
+    * `rebalanceMaxSkew` (index mode only) runs the index's maintenance
+    * policy before the probe: posting lists past the skew bound are split
+    * ([[VectorIndex.rebalanceIfNeeded]]) so a refresh whose appends drifted
+    * the index probes restored geometry instead of degraded recall. The
+    * `embeddings` table must then cover every INDEXED id (it is the raw-
+    * vector source of truth the re-encode reads), not just this refresh's
+    * corpus — rebalance fails loudly on unresolved ids rather than dropping
+    * them.
     */
   final case class EmbedStage(
       embeddings: DataFrame,
@@ -58,7 +67,8 @@ object TrainingPipeline {
       lshBands: Int = 4,
       index: Option[VectorIndex.Handle] = None,
       nProbe: Int = 4,
-      k: Int = 10
+      k: Int = 10,
+      rebalanceMaxSkew: Option[Double] = None
   )
 
   /** @return (chunks, audit): training-ready chunk rows
@@ -119,7 +129,9 @@ object TrainingPipeline {
           col(e.idCol) === col("__alive"),
           "left_semi")
         val pairs = e.index match {
-          case Some(h) =>
+          case Some(h0) =>
+            val h = e.rebalanceMaxSkew.fold(h0)(
+              VectorIndex.rebalanceIfNeeded(h0, e.embeddings, e.idCol, e.embCol, _))
             Dedup.embedNearDupPairsViaIndex(alive, e.idCol, e.embCol, h, e.threshold, e.nProbe, e.k)
           case None =>
             Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.lshPlanes, e.lshBands, e.threshold)

@@ -110,6 +110,18 @@ class TrainingPipelineSpec extends SparkSpec {
     val (aL, aI) = (auditMap(auditLsh), auditMap(auditIdx))
     assert(aL == aI, s"audit mismatch: lsh=$aL index=$aI")
     assert(aL("6_deduped") == 2 && aL("6b_embed_deduped") == 1)
+
+    // refresh-with-maintenance form: rebalanceMaxSkew runs the index's
+    // split policy before the probe. On this drift-free fixture it must be
+    // a no-op (identical survivors, meta version untouched); the policy's
+    // behavior under real drift is VectorIndexSpec's rebalance test.
+    val maintained = indexed.copy(rebalanceMaxSkew = Some(4.0))
+    val (chunksMaint, auditMaint) =
+      TrainingPipeline.prepare(corpus, bench, "doc_id", "text", embed = Some(maintained))
+    assert(kept(chunksMaint) == Seq(1L))
+    assert(auditMap(auditMaint) == aI)
+    assert(spark.read.parquet(s"${h.dir}/meta").select($"version").as[Int].head() == 1,
+      "a balanced index must not be rewritten by the maintenance pass")
   }
 
   test("every surviving doc's tokens are fully covered by its chunks") {
