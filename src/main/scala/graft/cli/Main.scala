@@ -142,6 +142,12 @@ object Main {
             val props = Lake.read(spark, root, requireScope(args.positional(2)), "properties")
             Scd.history(props, col("uuid"), args.positional(3), col("row_hash"), col("scraped_at"))
               .show(truncate = false)
+          case "sql" =>
+            // the reference's DuckDB-on-the-lake workflow (README.md:125-136)
+            // as a one-liner: the lake mounts as catalog `graft`, the query
+            // addresses tables as graft.<scope>.<table>
+            graft.lake.GraftCatalog.register(spark, "graft", root)
+            spark.sql(args.positional.drop(2).mkString(" ")).show(50, truncate = false)
           case other => sys.error(s"unknown admin command: $other")
         }
 
@@ -157,5 +163,6 @@ object Main {
       |  refresh vgsi <city> [flags]
       |  refresh-all [--data-dir data]
       |  admin scopes|tables <scope>|compact <scope>|checkpoint <scope>|current <scope>|history <scope> <uuid>
+      |  admin sql "SELECT * FROM graft.<scope>.<table> WHERE ..."
       |""".stripMargin)
 }
