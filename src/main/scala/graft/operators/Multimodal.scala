@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: a pluggable [[ImageDecoder]] defaulting to
   * `javax.imageio` (pure-JVM, ships with the JDK) turns PNG/JPEG/GIF/BMP
-  * bytes into pixel-derived features and real resizes. Audio/video decode
-  * remains a clearly-marked deterministic STUB (no such codecs in the
-  * JDK); for any blob the decoder cannot positively decode, feature
-  * extraction falls back to the same digest stub, so a corrupt image never
-  * kills a task — it just yields a fallback signature (and the header
-  * sniff below is the gate that catches it first in practice).
+  * bytes into pixel-derived features and real resizes. Audio/video SAMPLE
+  * decode remains a clearly-marked deterministic STUB (no such codecs in
+  * the JDK), but their METADATA is real: [[sniffAudioVideo]] reads format,
+  * codec identity, channels, sample rate and duration straight from
+  * WAV/MP4 header bytes, no codec needed. For any blob the decoder cannot
+  * positively decode, feature extraction falls back to the digest stub, so
+  * a corrupt image never kills a task — it just yields a fallback
+  * signature (and the header sniffs are the gates that catch it first in
+  * practice).
   *
   * Scale notes (100 TB of media):
   *  - media rows are large and skewed → repartition by a byte-size budget
