@@ -61,6 +61,27 @@ class CatalogSpec extends SparkSpec {
       s"expected the scan schema pruned to the selected columns:\n$plan")
   }
 
+  test("hive-partitioned lake tables prune partitions through the catalog") {
+    val root = tmpDir("catalog_part")
+    val rows = (1 to 400).map(i => (i.toLong, s"p$i", s"2024-01-${i % 4 + 1}"))
+    Lake.appendPartitioned(
+      rows.toDF("id", "payload", "ingest_date"), root, "app", "events", Seq("ingest_date"))
+    GraftCatalog.register(spark, "graftpart", root)
+    val df = spark.sql(
+      "SELECT id FROM graftpart.app.events WHERE ingest_date = '2024-01-2'")
+    assert(df.count() == 100)
+    // the predicate must land as a PARTITION filter on the scan (applied at
+    // file-listing time inside planInputPartitions), not as a data filter —
+    // note Dataset.inputFiles is the wrong probe here: it reports the
+    // relation's unpruned file index, partition filters notwithstanding
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("ingest_date") &&
+      scan.contains("2024-01-2"), s"expected the partition predicate on the scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint>"),
+      s"expected the scan pruned to the selected column:\n$scan")
+  }
+
   test("INSERT INTO appends through the catalog; mergeSchema tolerates drift") {
     val root = mkLake()
     GraftCatalog.register(spark, "graftlake3", root)
