@@ -174,6 +174,15 @@ object Streams {
     * the new geometry (same single-writer contract as the batch side).
     * `excludeSelf` defaults false — streaming vectors are external to the
     * index by construction.
+    *
+    * Scan caveat vs the batch probe: dynamic partition pruning does not
+    * plan across the stream-static boundary, so each micro-batch scans the
+    * postings table's file listing rather than only the probed lists. The
+    * positive side carries: postings are partitioned, parquet footers make
+    * unprobed lists cheap to skip at the join, and a latency-sensitive
+    * deployment can pre-filter `cluster` in a foreachBatch twin of the
+    * batch probe (which does get DPP) — use this stream form when probe
+    * simplicity beats per-batch scan cost.
     */
   def probeVectorStream(
       newVectors: DataFrame, // streaming (idCol, vecCol: array<float>)

@@ -82,6 +82,25 @@ class CatalogSpec extends SparkSpec {
       s"expected the scan pruned to the selected column:\n$scan")
   }
 
+  test("CREATE TABLE AS SELECT materializes a queryable lake table") {
+    val root = mkLake()
+    GraftCatalog.register(spark, "graftctas", root)
+    spark.sql("""
+      CREATE TABLE graftctas.app.latest AS
+      SELECT user_id, payload FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, version DESC) AS rn
+        FROM graftctas.app.entities) WHERE rn = 1
+    """)
+    // the derived table is a plain directory-table like any other: listed,
+    // queryable by name, and present on disk for path-based readers too
+    assert(spark.sql("SHOW TABLES IN graftctas.app").select($"tableName").as[String].collect().toSet
+      == Set("entities", "latest"))
+    assert(spark.sql("SELECT count(*) AS n FROM graftctas.app.latest").as[Long].head() == 20)
+    assert(Lake.read(spark, root, "app", "latest").count() == 20)
+    spark.sql("DROP TABLE graftctas.app.latest")
+    assert(!new java.io.File(s"$root/app/latest").exists())
+  }
+
   test("INSERT INTO appends through the catalog; mergeSchema tolerates drift") {
     val root = mkLake()
     GraftCatalog.register(spark, "graftlake3", root)
