@@ -277,6 +277,53 @@ object VectorIndex {
     h.copy(centroids = centroidArr)
   }
 
+  /** Remove vectors from the index — the delete half of the incremental
+    * lifecycle (a corpus drops documents: takedowns, dedup survivors'
+    * siblings, retention windows). Locality mirrors [[rebalanceIfNeeded]]:
+    * only the posting partitions that actually CONTAIN a victim are
+    * rewritten (their survivors re-appended code-for-code — no re-encoding,
+    * the geometry is untouched); every other partition's files are never
+    * read or replaced. Same append-then-delete swap: a crash leaves
+    * duplicates (re-run to fix), never lost survivors.
+    *
+    * Ids absent from the index are ignored (idempotent — removing twice is
+    * safe). Returns the number of vectors actually removed.
+    */
+  def remove(h: Handle, ids: DataFrame, idCol: String): Long = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val postings = spark.read.parquet(s"${h.dir}/postings")
+    val hitLists = postings
+      .join(victims, Seq("vec_id"), "left_semi")
+      .select($"cluster")
+      .distinct()
+      .as[Int]
+      .collect()
+    if (hitLists.isEmpty) return 0L
+
+    val affected = postings.filter(col("cluster").isin(hitLists.map(Int.box): _*))
+    val survivors = affected
+      .join(victims, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cluster", $"codes")
+      .persist()
+    val removed = {
+      val before = affected.count()
+      before - survivors.count() // both off the persisted/pre-swap listing
+    }
+
+    val fs = new org.apache.hadoop.fs.Path(h.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldFiles = hitLists.toSeq.flatMap { l =>
+      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
+    }
+    survivors.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
+    oldFiles.foreach(fs.delete(_, false))
+    survivors.unpersist(blocking = false)
+    removed
+  }
+
   /** Reopen a persisted index: the metadata artifacts are tiny and land in
     * plan literals, exactly like a fresh build's.
     */

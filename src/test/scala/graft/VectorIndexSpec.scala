@@ -125,6 +125,39 @@ class VectorIndexSpec extends SparkSpec {
     assert(postings(dir) == postings(dir2))
   }
 
+  test("remove: victims vanish from probes, untouched partitions' files are never rewritten") {
+    val dir = tmpDir("vindex_remove")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val st0 = VectorIndex.stats(h, spark).as[(Int, Long)].collect().toMap
+
+    // victims: three vectors from one cluster family + one id not indexed
+    val victims = Seq(0L, 4L, 8L, 99999L).toDF("vec_id")
+    val victimLists = spark.read.parquet(s"$dir/postings")
+      .filter($"vec_id".isin(0L, 4L, 8L)).select($"cluster").distinct().as[Int].collect().toSet
+    def partFiles(l: Int): Set[String] =
+      Option(new java.io.File(s"$dir/postings/cluster=$l").listFiles())
+        .fold(Set.empty[String])(_.map(_.getName).toSet)
+    val untouchedBefore =
+      (st0.keySet -- victimLists).map(l => l -> partFiles(l)).toMap
+
+    assert(VectorIndex.remove(h, victims, "vec_id") == 3L)
+    // idempotent: removing again is a no-op
+    assert(VectorIndex.remove(h, victims, "vec_id") == 0L)
+
+    val st1 = VectorIndex.stats(h, spark).as[(Int, Long)].collect().toMap
+    assert(st1.values.sum == st0.values.sum - 3)
+    // locality: partitions without a victim keep their exact files
+    untouchedBefore.foreach { case (l, files) =>
+      assert(partFiles(l) == files, s"untouched partition $l was rewritten")
+    }
+    // probes never return a removed vector; survivors still rank
+    val queries = corpus.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val got = VectorIndex.query(h, queries, nProbe = 4, k = 5, excludeSelf = false)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.nonEmpty && Set(0L, 4L, 8L).intersect(got).isEmpty, s"removed ids still probed: $got")
+  }
+
   test("rebalanceIfNeeded: drift-heavy appends degrade recall, rebalance restores it to ~fresh-build") {
     // build on mode A (4 tight clusters), then append a mode B the build
     // never saw (4 NEW clusters) — B's 400 vectors pour into whichever of
