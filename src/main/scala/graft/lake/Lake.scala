@@ -126,12 +126,16 @@ object Lake {
             (c.getMessage.contains("FileNotFound") || c.getMessage.contains("does not exist")))
         }
     var left = attempts
+    var backoff = 100L
     while (true) {
       try return body
       catch {
         case e: Throwable if left > 1 && swapShaped(e) =>
           left -= 1
-          Thread.sleep(100)
+          // exponential backoff (capped): consecutive failures mean the
+          // action keeps straddling swaps — waiting longer beats re-racing
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 1000L)
           onRetry()
       }
     }
