@@ -100,20 +100,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic bounded training sample for k-means: the lowest-`n`
+    * rows by a content hash of the vector, merge-sorted into a SINGLE
+    * partition (Spark's sort+limit = per-partition top-n, no shuffle of
+    * the corpus). Two properties, both load-bearing at 100 TB:
+    *
+    *  - BOUNDED COST: quantizer training never k-means the full corpus —
+    *    the standard IVF/PQ practice (FAISS trains on a ~10⁵-10⁶ sample);
+    *    training cost is O(sample), independent of corpus size, while
+    *    assignment/encoding stay fully distributed scans.
+    *  - BIT-REPRODUCIBLE: spark.ml KMeans is seeded but NOT timing-stable
+    *    on a multi-partition input — treeAggregate merges partial float
+    *    sums in task-completion order, so a loaded host can converge to a
+    *    different local optimum run-to-run. A single sorted partition
+    *    fixes the aggregation order, making centroids (and therefore
+    *    index geometry and measured recall) a pure function of
+    *    (data, seed) — rebuilding an index yields the same index.
+    *
+    * Hash ties are broken by the serialized vector itself; equal vectors
+    * are interchangeable, so the sample content is fully deterministic.
+    */
+  private def trainingSample(df: DataFrame, vecCol: String, n: Int): DataFrame =
+    df.orderBy(xxhash64(to_json(col(vecCol))), to_json(col(vecCol))).limit(n)
+
   /** IVF (inverted-file) index: k-means centroids over the corpus; each
     * vector is assigned to its nearest centroid's posting list. Queries
     * probe the `nProbe` nearest centroids and rank only those lists —
     * the standard quantization-based ANN scale path, complementing the
-    * hash-based LSH variant. Built on spark.ml KMeans (seeded,
-    * deterministic); at 100 TB the assignment is a broadcast of k
-    * centroid vectors against the corpus scan, and posting lists are just
-    * a `cluster` column the bucket-join groups by.
+    * hash-based LSH variant. Built on spark.ml KMeans over a
+    * deterministic bounded sample ([[trainingSample]] — FAISS-style
+    * train-on-sample, bit-reproducible); at 100 TB the assignment is a
+    * broadcast of k centroid vectors against the corpus scan, and posting
+    * lists are just a `cluster` column the bucket-join groups by.
     */
   def ivfIndex(
       corpus: DataFrame,
       k: Int,
       seed: Long = 42L,
-      maxIter: Int = 8
+      maxIter: Int = 8,
+      trainSampleSize: Int = 1 << 16
   ): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -124,7 +149,9 @@ object Similarity {
     // IVF deployment sizes empirically. 8 iterations is where movement
     // plateaus on embedding-shaped data; raise it when building a long-lived
     // index whose build cost amortizes across many queries.
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features").fit(featurized)
+    val trainSet = trainingSample(corpus.select(col("embedding")), "embedding", trainSampleSize)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(featurized).withColumnRenamed("prediction", "cluster").drop("features")
     (assigned, model.clusterCenters.map(_.toArray))
   }
@@ -205,11 +232,14 @@ object Similarity {
 
   /** Data-trained PQ codebook: one seeded k-means per subspace over the
     * corpus's subvectors (m passes over one cached projection — index-build
-    * cost, amortized across every query the index ever serves). The m fits
-    * are independent, so they run as CONCURRENT Spark jobs over the shared
-    * cached projection — the scheduler interleaves their stages across the
-    * cluster instead of leaving it idle between sequential fits (results
-    * are per-subspace and seeded, so concurrency cannot change them).
+    * cost, amortized across every query the index ever serves). Trains on
+    * a deterministic bounded sample ([[trainingSample]]): codebooks are a
+    * pure function of (data, seed) and training cost is independent of
+    * corpus size. The m fits are independent, so they run as CONCURRENT
+    * Spark jobs over the shared cached sample — the scheduler interleaves
+    * their stages across the cluster instead of leaving it idle between
+    * sequential fits (results are per-subspace and seeded, so concurrency
+    * cannot change them).
     */
   def pqTrainKMeans(
       corpus: DataFrame,
@@ -217,7 +247,8 @@ object Similarity {
       m: Int,
       ksub: Int,
       seed: Long = 42L,
-      maxIter: Int = 8
+      maxIter: Int = 8,
+      trainSampleSize: Int = 1 << 16
   ): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -232,7 +263,7 @@ object Similarity {
         s"pqTrainKMeans: corpus is empty or '$vecCol' has no non-empty vectors"))
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val cached = corpus.select(col(vecCol)).cache()
+    val cached = trainingSample(corpus.select(col(vecCol)), vecCol, trainSampleSize).cache()
     try {
       // materialize the cache ONCE before fanning out: concurrent first
       // touches would each recompute the projection into the cache

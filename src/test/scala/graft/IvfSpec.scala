@@ -56,6 +56,35 @@ class IvfSpec extends SparkSpec {
     assert(mismatch == 0L, s"$mismatch vectors assigned differently by the two argmin paths")
   }
 
+  test("training is a pure function of (data, seed): rebuilds are bit-identical") {
+    // Seeded spark.ml KMeans alone does NOT guarantee this — treeAggregate
+    // merges partial float sums in task-completion order, so a loaded host
+    // can land in a different local optimum run-to-run. trainingSample's
+    // single sorted partition fixes the merge order; this encodes the law.
+    val corpus = clustered.toDF("vec_id", "embedding").repartition(8)
+    val c1 = Similarity.ivfIndex(corpus, k = 4)._2
+    val c2 = Similarity.ivfIndex(corpus, k = 4)._2
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "IVF centroids differ across rebuilds")
+
+    val b1 = Similarity.pqTrainKMeans(corpus, "embedding", m = 4, ksub = 8)
+    val b2 = Similarity.pqTrainKMeans(corpus, "embedding", m = 4, ksub = 8)
+    assert(
+      b1.map(_.map(_.toSeq).toSeq).toSeq == b2.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ codebooks differ across rebuilds")
+  }
+
+  test("bounded training sample still learns the cluster geometry") {
+    // 64 of 200 rows (hash-selected, deterministic) must cover all 4
+    // planted clusters — centroids trained on the sample assign the FULL
+    // corpus into the same balanced 4 x ~50 lists as full-corpus training.
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val (indexed, centroids) = Similarity.ivfIndex(corpus, k = 4, trainSampleSize = 64)
+    assert(centroids.length == 4)
+    val sizes = indexed.groupBy($"cluster").count().as[(Int, Long)].collect().toMap
+    assert(sizes.size == 4 && sizes.values.forall(n => n >= 40 && n <= 60),
+      s"sample-trained lists unbalanced: $sizes")
+  }
+
   test("nProbe=4 (all clusters) equals brute force") {
     val corpus = clustered.toDF("vec_id", "embedding")
     val (indexed, centroids) = Similarity.ivfIndex(corpus, k = 4)
