@@ -122,8 +122,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     )
   }
 
-  /** CREATE TABLE materializes the directory; the schema lives in the data
-    * (first INSERT), not a metastore — the lake's schema-on-read contract.
+  /** CREATE TABLE materializes the directory; the schema lives in the data,
+    * not a metastore — the lake's schema-on-read contract. For a plain
+    * CREATE TABLE (no AS SELECT) "in the data" means a footer-only parquet
+    * file carrying the declared schema: the first INSERT INTO resolves the
+    * table through [[loadTable]], whose schema inference would fail on a
+    * bare directory, so the declared schema must be durably readable
+    * before any row lands. The seed file holds zero rows — scans skip it,
+    * appends merge with it, compaction folds it away.
     */
   override def createTable(
       ident: Identifier,
@@ -134,6 +140,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty, "declare partitioning by writing hive-partitioned data instead")
     val path = Lake.tablePath(root, ident.namespace()(0), ident.name)
     fs.mkdirs(new Path(path))
+    if (schema.fields.nonEmpty)
+      spark
+        .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("append").parquet(path)
     ParquetTable(
       s"$catalogName.${ident.namespace()(0)}.${ident.name}",
       spark,
@@ -155,9 +165,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     require(oldIdent.namespace.sameElements(newIdent.namespace), "rename stays within a scope")
-    fs.rename(
+    // rename onto an existing directory would NEST the source inside it on
+    // HDFS/local semantics (old table vanishes, new table corrupts) — and
+    // fs.rename reports failure by returning false, not throwing
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    val ok = fs.rename(
       new Path(Lake.tablePath(root, oldIdent.namespace()(0), oldIdent.name)),
       new Path(Lake.tablePath(root, newIdent.namespace()(0), newIdent.name)))
+    if (!ok)
+      throw new IllegalStateException(
+        s"rename ${oldIdent.name} -> ${newIdent.name} failed at the filesystem layer")
   }
 }
 

@@ -70,15 +70,19 @@ object EntityResolution {
       var round = 0
       var anyHot = true
       while (round < maxRefine && anyHot) {
-        // persist the windowed frame BEFORE the isEmpty action: the action
-        // materializes it into cache, so neither the next round's window
-        // nor the final self-join re-executes the stacked chain of prior
-        // rounds. The last round's cache stays resident until Spark evicts
-        // it (the returned plan still reads it lazily) — bounded at one
-        // round's rows, same order as the input.
+        // persist the windowed frame, then materialize it COMPLETELY with a
+        // count — isEmpty would stop at the first non-empty partition and
+        // cache only what its take(1) touched, so unpersisting the previous
+        // round below would force the uncached remainder to recompute the
+        // whole stacked-window chain (the O(rounds²) re-execution this
+        // cache exists to prevent). With the full count, neither the next
+        // round's window nor the final self-join re-executes prior rounds.
+        // The last round's cache stays resident until Spark evicts it (the
+        // returned plan still reads it lazily) — bounded at one round's
+        // rows, same order as the input.
         val sized = cur.withColumn("__n", count(lit(1)).over(w)).persist()
         val growable = col("__n") > maxBlockSize && length(col("__s")) > col("__len")
-        anyHot = !sized.filter(growable).isEmpty
+        anyHot = sized.filter(growable).count() > 0
         prev.foreach(_.unpersist(blocking = false))
         prev = Some(sized)
         // either way, continue from the CACHED frame — on the quiet round

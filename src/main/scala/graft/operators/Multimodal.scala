@@ -368,7 +368,12 @@ object Multimodal {
           // size is authoritative even when the payload is elsewhere/truncated
           dataBytes = sz
         }
-        i = p + sz.toInt + (sz.toInt & 1)
+        // sz is an untrusted u32: advance as a Long clamped to the buffer
+        // end, so a hostile/corrupt size field (e.g. 0xFFFFFFF8, whose
+        // truncated Int is -8) can neither loop forever nor index negative —
+        // sz >= 0 guarantees strictly forward progress, the clamp ends the
+        // walk at the buffer boundary
+        i = math.min(p.toLong + sz + (sz & 1L), bytes.length.toLong).toInt
       }
       if (codec.isEmpty) None
       else

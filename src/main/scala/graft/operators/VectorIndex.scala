@@ -243,21 +243,17 @@ object VectorIndex {
       .pqEncode(encodeInput, encodeCol, h.codebooks)
       .select($"vec_id", $"cluster", $"codes")
 
-    // append-then-delete: snapshot the hot partitions' current files, write
-    // the re-encoded rows alongside them, then remove exactly the
-    // snapshotted files. A crash between the two steps leaves duplicates
-    // (fixable by re-running), never missing vectors — and the computation
-    // never reads a partition it has already deleted.
-    val fs = new org.apache.hadoop.fs.Path(h.dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldFiles = hotIds.flatMap { l =>
-      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
-    }
-    reencoded.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
-    oldFiles.foreach(fs.delete(_, false))
-    members.unpersist(blocking = false)
-
+    // CENTROIDS AND META PERSIST FIRST, postings swap second: every cluster
+    // id the re-encoded rows reference must be resolvable by open() at
+    // every instant — in the reverse order, a crash between the postings
+    // swap and the centroid write strands the split rows on ids no probe
+    // can reach (nearestCentroids only emits ids < centroid count), i.e.
+    // silent unrepairable data loss. With this order a crash leaves at
+    // worst (a) not-yet-populated lists — a probe selecting one wastes a
+    // probe slot, nothing is lost — or (b) a hot list whose rows still
+    // carry pre-split codes against the refit list-0 centroid: transiently
+    // degraded ranking, and the list is still over-mean, so a RE-RUN
+    // re-splits it and completes the repair.
     centroidArr.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toSeq
@@ -274,6 +270,23 @@ object VectorIndex {
       .write
       .mode("overwrite")
       .parquet(s"${h.dir}/meta")
+
+    // append-then-delete swap: snapshot the hot partitions' current files,
+    // write the re-encoded rows alongside them, then remove exactly the
+    // snapshotted files. A crash between the two steps leaves duplicate
+    // rows, never missing vectors; the rows are bit-identical (training is
+    // deterministic), so the dropDuplicates on a re-run's survivor set —
+    // and on this write itself — collapses them back to exactly-once.
+    val fs = new org.apache.hadoop.fs.Path(h.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldFiles = hotIds.flatMap { l =>
+      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
+    }
+    reencoded.dropDuplicates("vec_id", "cluster")
+      .write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
+    oldFiles.foreach(fs.delete(_, false))
+    members.unpersist(blocking = false)
     h.copy(centroids = centroidArr)
   }
 
@@ -283,17 +296,26 @@ object VectorIndex {
     * only the posting partitions that actually CONTAIN a victim are
     * rewritten (their survivors re-appended code-for-code — no re-encoding,
     * the geometry is untouched); every other partition's files are never
-    * read or replaced. Same append-then-delete swap: a crash leaves
-    * duplicates (re-run to fix), never lost survivors.
+    * read or replaced. Same append-then-delete swap: a crash between the
+    * append and the delete leaves duplicate survivor rows, never lost
+    * survivors — and because the survivor set is written DISTINCT, a re-run
+    * with the same ids reads the duplicated partition, collapses it, and
+    * restores exactly-once rows (the re-run's removed count reflects the
+    * duplicates it collapsed, not live vectors).
     *
-    * Ids absent from the index are ignored (idempotent — removing twice is
-    * safe). Returns the number of vectors actually removed.
+    * Victim ids are cast to the index's own vec_id type (build/append
+    * accept any id type — hardcoding a cast to one type would silently
+    * no-op every takedown on, say, a string-keyed index). Ids absent from
+    * the index are ignored (idempotent — removing twice is safe). Returns
+    * the number of vectors actually removed.
     */
   def remove(h: Handle, ids: DataFrame, idCol: String): Long = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
     val postings = spark.read.parquet(s"${h.dir}/postings")
+    val victims = ids
+      .select(col(idCol).cast(postings.schema("vec_id").dataType).as("vec_id"))
+      .distinct()
     val hitLists = postings
       .join(victims, Seq("vec_id"), "left_semi")
       .select($"cluster")
@@ -303,9 +325,13 @@ object VectorIndex {
     if (hitLists.isEmpty) return 0L
 
     val affected = postings.filter(col("cluster").isin(hitLists.map(Int.box): _*))
+    // distinct by (vec_id, cluster): the swap below can crash between its
+    // append and delete, leaving each survivor twice in the partition — a
+    // re-run must collapse those copies, not double them again
     val survivors = affected
       .join(victims, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cluster", $"codes")
+      .dropDuplicates("vec_id", "cluster")
       .persist()
     val removed = {
       val before = affected.count()

@@ -120,4 +120,36 @@ class CatalogSpec extends SparkSpec {
     val cols = spark.sql("SELECT * FROM graftlake3.app.entities WHERE user_id = 100").columns.toSet
     assert(cols.contains("note"), s"drifted column missing through the catalog: $cols")
   }
+
+  test("plain CREATE TABLE declares a durable schema: INSERT INTO an empty table works") {
+    // the declared schema must survive to the first INSERT (which resolves
+    // the table via loadTable) — without the footer-only seed file, schema
+    // inference over the bare directory throws and the flow can never start
+    val root = mkLake()
+    GraftCatalog.register(spark, "graftddl", root)
+    spark.sql("CREATE TABLE graftddl.app.notes (id BIGINT, body STRING)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.app.notes").as[Long].head() == 0L)
+    spark.sql("INSERT INTO graftddl.app.notes VALUES (1L, 'first'), (2L, 'second')")
+    assert(
+      spark.sql("SELECT body FROM graftddl.app.notes ORDER BY id").as[String].collect().toSeq
+        == Seq("first", "second"))
+  }
+
+  test("RENAME refuses an existing target instead of nesting/corrupting it") {
+    val root = mkLake()
+    GraftCatalog.register(spark, "graftmv", root)
+    spark.sql("CREATE TABLE graftmv.app.a AS SELECT 1L AS id")
+    spark.sql("CREATE TABLE graftmv.app.b AS SELECT 2L AS id")
+    // fs.rename(src, existingDir) silently moves a INSIDE b on local/HDFS
+    // semantics — the catalog must reject before that can happen
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql("ALTER TABLE graftmv.app.a RENAME TO app.b")
+    }
+    // both tables intact, then a clean rename to a fresh name succeeds
+    assert(spark.sql("SELECT id FROM graftmv.app.a").as[Long].head() == 1L)
+    assert(spark.sql("SELECT id FROM graftmv.app.b").as[Long].head() == 2L)
+    spark.sql("ALTER TABLE graftmv.app.a RENAME TO app.c")
+    assert(spark.sql("SELECT id FROM graftmv.app.c").as[Long].head() == 1L)
+    assert(!new java.io.File(s"$root/app/a").exists())
+  }
 }

@@ -163,6 +163,27 @@ class MultimodalSpec extends SparkSpec {
       == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(5000L))))
   }
 
+  test("sniffAudioVideo terminates on hostile WAV chunk sizes (u32 overflow)") {
+    // the chunk-size field is untrusted: 0xFFFFFFF8 truncates to Int -8
+    // (a naive p + sz.toInt advance would loop forever on it) and
+    // 0x80000000 to Int.MinValue (a naive advance would index negative).
+    // Both must terminate promptly and return whatever parsed before.
+    def wavWithChunk(sizeField: Long): Array[Byte] = {
+      val good = Multimodal.wavBytes(2, 22050, 16, 100) // RIFF + fmt + data
+      val evil = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("junk".getBytes).putInt(sizeField.toInt).array()
+      good ++ evil ++ new Array[Byte](16)
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL)) {
+      val got = Multimodal.sniffAudioVideo(wavWithChunk(sz))
+      assert(got.exists(_.format == "wav"), s"size=0x${sz.toHexString} → $got")
+    }
+    // hostile size in the FIRST chunk: nothing parsed yet → None, no hang
+    val header = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes
+    val firstEvil = header ++ "junk".getBytes ++ Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(Multimodal.sniffAudioVideo(firstEvil) == None)
+  }
+
   test("sniffAudioVideo round-trips the builders across parameter space; rejects foreign bytes") {
     // WAV round-trip: every parameter combination recovers exactly
     for (c <- Seq(1, 2); r <- Seq(8000, 22050, 44100); n <- Seq(0, 1000, 999999)) {

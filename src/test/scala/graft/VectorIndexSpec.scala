@@ -158,6 +158,57 @@ class VectorIndexSpec extends SparkSpec {
     assert(got.nonEmpty && Set(0L, 4L, 8L).intersect(got).isEmpty, s"removed ids still probed: $got")
   }
 
+  test("remove on a string-keyed index: victims actually leave (no silent long-cast no-op)") {
+    // build/append accept any id type; remove must cast victims to the
+    // index's own vec_id type — a hardcoded long cast turns 'doc-3' into
+    // null, matches nothing, and reports success while victims stay probeable
+    val dir = tmpDir("vindex_remove_str")
+    val corpus = clustered.map { case (i, e) => (s"doc-$i", e) }.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val victims = Seq("doc-0", "doc-4", "doc-8", "doc-nope").toDF("vec_id")
+    assert(VectorIndex.remove(h, victims, "vec_id") == 3L)
+    val left = spark.read.parquet(s"$dir/postings").select($"vec_id").as[String].collect().toSet
+    assert(left.size == 197 && Set("doc-0", "doc-4", "doc-8").intersect(left).isEmpty)
+  }
+
+  test("remove re-run repairs a crash between the survivor append and the file delete") {
+    val dir = tmpDir("vindex_remove_crash")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val victims = Seq(0L, 4L, 8L).toDF("vec_id")
+    val victimLists = spark.read.parquet(s"$dir/postings")
+      .filter($"vec_id".isin(0L, 4L, 8L)).select($"cluster").distinct().as[Int].collect().toSet
+
+    // snapshot the victim partitions' pre-remove files, run remove to
+    // completion, then restore the snapshot alongside the new files: the
+    // partition now holds old files (survivors+victims) AND new files
+    // (survivors) — byte-for-byte the state a crash after the append but
+    // before the delete leaves behind
+    val snap = victimLists.map { l =>
+      val d = new java.io.File(s"$dir/postings/cluster=$l")
+      l -> d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath); (f.getName, bytes)
+      }.toSeq
+    }.toMap
+    assert(VectorIndex.remove(h, victims, "vec_id") == 3L)
+    snap.foreach { case (l, files) =>
+      files.foreach { case (name, bytes) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/postings/cluster=$l", s"crashed-$name"), bytes)
+      }
+    }
+    val dup = spark.read.parquet(s"$dir/postings")
+      .groupBy($"vec_id").count().filter($"count" > 1).count()
+    assert(dup > 0, "crash state should hold duplicated survivors")
+
+    // the re-run collapses the duplicates and removes the restored victims
+    // exactly once — survivors end up exactly-once, not doubled
+    VectorIndex.remove(h, victims, "vec_id")
+    val rows = spark.read.parquet(s"$dir/postings").select($"vec_id").as[Long].collect()
+    assert(rows.length == rows.distinct.length, "survivors duplicated after repair re-run")
+    assert(rows.length == 197 && Set(0L, 4L, 8L).intersect(rows.toSet).isEmpty)
+  }
+
   test("rebalanceIfNeeded: drift-heavy appends degrade recall, rebalance restores it to ~fresh-build") {
     // build on mode A (4 tight clusters), then append a mode B the build
     // never saw (4 NEW clusters) — B's 400 vectors pour into whichever of
