@@ -101,9 +101,13 @@ object Similarity {
   }
 
   /** Deterministic bounded training sample for k-means: the lowest-`n`
-    * rows by a content hash of the vector, merge-sorted into a SINGLE
-    * partition (Spark's sort+limit = per-partition top-n, no shuffle of
-    * the corpus). Two properties, both load-bearing at 100 TB:
+    * rows by a content hash of the vector, gathered by per-partition
+    * top-n + driver merge (RDD `takeOrdered` — NOT `orderBy(...).limit`,
+    * which Catalyst plans as a FULL GLOBAL SORT of the corpus once the
+    * limit exceeds `topKSortFallbackThreshold`, 10k by default; a training
+    * sample is 64k+). The corpus is never shuffled; the driver holds at
+    * most n × (8B + serialized vector) ≈ tens of MB. Two properties, both
+    * load-bearing at 100 TB:
     *
     *  - BOUNDED COST: quantizer training never k-means the full corpus —
     *    the standard IVF/PQ practice (FAISS trains on a ~10⁵-10⁶ sample);
@@ -112,16 +116,33 @@ object Similarity {
     *  - BIT-REPRODUCIBLE: spark.ml KMeans is seeded but NOT timing-stable
     *    on a multi-partition input — treeAggregate merges partial float
     *    sums in task-completion order, so a loaded host can converge to a
-    *    different local optimum run-to-run. A single sorted partition
-    *    fixes the aggregation order, making centroids (and therefore
-    *    index geometry and measured recall) a pure function of
-    *    (data, seed) — rebuilding an index yields the same index.
+    *    different local optimum run-to-run. The merged sample lands in ONE
+    *    partition in one deterministic order, fixing the aggregation
+    *    order and making centroids (and therefore index geometry and
+    *    measured recall) a pure function of (data, seed) — rebuilding an
+    *    index yields the same index.
     *
     * Hash ties are broken by the serialized vector itself; equal vectors
     * are interchangeable, so the sample content is fully deterministic.
+    * The JSON round-trip is exact: Jackson renders floats/doubles via
+    * `toString`, which is shortest-round-trip in Java.
     */
-  private def trainingSample(df: DataFrame, vecCol: String, n: Int): DataFrame =
-    df.orderBy(xxhash64(to_json(col(vecCol))), to_json(col(vecCol))).limit(n)
+  private def trainingSample(df: DataFrame, vecCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecType = df.schema(vecCol).dataType
+    val top = df
+      .select(to_json(col(vecCol)).as("__j"))
+      .select(xxhash64($"__j").as("__h"), $"__j")
+      .as[(Long, String)]
+      .rdd
+      .takeOrdered(n)
+    spark
+      .createDataset(top.toIndexedSeq)
+      .toDF("__h", "__j")
+      .coalesce(1) // ONE partition: fixed KMeans aggregation order
+      .select(from_json($"__j", vecType).as(vecCol))
+  }
 
   /** IVF (inverted-file) index: k-means centroids over the corpus; each
     * vector is assigned to its nearest centroid's posting list. Queries
