@@ -74,7 +74,7 @@ object HashSupport {
     */
   def simhash32(text: String): Long = {
     val votes = new Array[Int](32)
-    val tokens = text.toLowerCase.split("\\s+", -1)
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     var t = 0
     while (t < tokens.length) {
       val hex = md5Hex(tokens(t))
@@ -159,7 +159,7 @@ object HashSupport {
     */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
-    val tokens = text.toLowerCase.split("\\s+", -1)
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     var t = 0
     while (t < tokens.length) {
       val hex = md5Hex(tokens(t))
@@ -209,10 +209,24 @@ object DotSupport {
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{DoubleType, FloatType}
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  // Input-type contract (same hazard as pq_assign_codes): without it an
+  // array<int> child passes analysis and getDouble reinterprets 4-byte int
+  // slots of the unsafe buffer as doubles — silent garbage, no error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_array_dot requires two array<float>/array<double> inputs, " +
+            s"got ${l.catalogString} and ${r.catalogString}")
+    }
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -267,10 +281,20 @@ object LshSupport {
 
 /** long sign-bit LSH bucket over fixed hyperplanes (codegen-enabled). */
 case class LshBucket(child: Expression, planes: Seq[Array[Double]]) extends UnaryExpression {
-  import org.apache.spark.sql.types.FloatType
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  // Input-type contract: see ArrayDot — unguarded, an integer array would
+  // misread the unsafe buffer at eval instead of failing analysis.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket requires array<float> or array<double>, got ${other.catalogString}")
+  }
 
   @transient private lazy val planeArr: Array[Array[Double]] = planes.toArray
   private def isFloat: Boolean = child.dataType match {
@@ -347,8 +371,21 @@ object IntersectSupport {
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  // Input-type contract: getLong on an array<int> reads past the 4-byte
+  // element region of the unsafe buffer — guard at analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_intersect_size requires two array<bigint> inputs, " +
+            s"got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntersectSupport.sortedIntersectSize(
@@ -370,8 +407,26 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   */
 case class SortedStructIntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.StructType
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  private def isLongPair(dt: DataType): Boolean = dt match {
+    case ArrayType(s: StructType, _) =>
+      s.fields.length == 2 && s.fields.forall(_.dataType == LongType)
+    case _ => false
+  }
+
+  // Input-type contract: getStruct(_, 2).getLong on any other shape
+  // misreads the unsafe buffer — guard at analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongPair(left.dataType) && isLongPair(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_struct_intersect_size requires two array<struct<bigint,bigint>> inputs, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntersectSupport.sortedStructIntersectSize(
@@ -555,7 +610,7 @@ object NGramSupport {
     * comprehension, in one JVM pass.
     */
   def wordNGrams(text: String, n: Int): ArrayData = {
-    val toks = text.toLowerCase.split("\\s+", -1)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val m = math.max(toks.length - n + 1, 1)
     val out = new Array[Any](m)
     var i = 0

@@ -266,11 +266,20 @@ object Engine {
     val src = source
     val maxConsecutive = config.maxConsecutiveErrors
 
+    // RateLimiter is per-executor-JVM and its contract makes the DIVIDED
+    // rate the caller's responsibility: undivided, a 10-executor cluster
+    // would hit the scraped site at 10× the configured budget. local[n]
+    // runs report a single executor entry (the driver), so the division is
+    // exact there too.
+    val executorCount =
+      math.max(1, spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
+    val perJvmRate = src.ratePerSec / executorCount
+
     val results: Dataset[ScrapeResult] = spark
       .createDataset(batch)
       .repartition(config.workers)
       .mapPartitions { it =>
-        val limiter = RateLimiter.forKey(src.name, src.ratePerSec)
+        val limiter = RateLimiter.forKey(src.name, perJvmRate)
         var consecutive = 0
         it.flatMap { id =>
           limiter.acquire()
@@ -341,9 +350,19 @@ object Engine {
             else stamped
           // Refresh can dedup a non-empty batch down to zero rows — probe
           // so a no-change refresh writes no schema-only file (file-count
-          // creep triggers pointless compactions).
-          if (isRefreshDedup && toWrite.isEmpty) table -> 0L
-          else {
+          // creep triggers pointless compactions). The probe must not
+          // re-execute the dedup plan: isEmpty + append would run the
+          // anti-join (and its scan of the whole lake table) twice per
+          // table per batch, so count a PERSISTED frame once — the cache
+          // holds only the surviving new rows, and append reads it.
+          if (isRefreshDedup) {
+            val cached = toWrite.persist()
+            try {
+              val n = cached.count()
+              if (n == 0L) table -> 0L
+              else { Lake.append(cached, root, scope, table); table -> n }
+            } finally cached.unpersist(blocking = false)
+          } else {
             // D11 — row counts via observe() on the write action itself: one
             // execution per table instead of count()+write double-compute.
             val obs = org.apache.spark.sql.Observation()

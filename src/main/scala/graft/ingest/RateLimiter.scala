@@ -19,11 +19,15 @@ final class RateLimiter(ratePerSec: Double) extends Serializable {
   private val intervalNanos: Long =
     if (ratePerSec <= 0) 0L else (1e9 / ratePerSec).toLong
 
-  @volatile var acquired: Long = 0L
+  // AtomicLong, not a @volatile var: forKey SHARES one instance across all
+  // tasks on the executor, and `+= 1` on a volatile is a non-atomic
+  // read-modify-write that loses counts exactly under that sharing
+  private val acquiredCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  def acquired: Long = acquiredCount.get()
 
   /** Block until a request slot is available. */
   def acquire(): Unit = {
-    if (intervalNanos == 0) { acquired += 1; return }
+    if (intervalNanos == 0) { acquiredCount.incrementAndGet(); return }
     val wait = lock.synchronized {
       val now = System.nanoTime()
       val slot = math.max(nextSlotNanos, now)
@@ -31,7 +35,7 @@ final class RateLimiter(ratePerSec: Double) extends Serializable {
       slot - now
     }
     if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
-    acquired += 1
+    acquiredCount.incrementAndGet()
   }
 }
 

@@ -81,13 +81,38 @@ object Checkpoints {
       case c => c.toString
     } + "\""
 
+  /** Single left-to-right pass undoing everything [[q]] emits — the
+    * sequential replace() it replaces corrupted `\\"` sequences and never
+    * decoded the `\uXXXX` control-char escapes, so save → load was not an
+    * identity for strings containing quotes-after-backslashes or chars
+    * below 0x20.
+    */
+  private def unq(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e =>
+            sb.append(e) // \" and \\ carry the escaped char literally
+            i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Minimal field extractor for the fixed checkpoint doc shape. */
   private def field(json: String, key: String): String = {
     val m = ("\"" + key + "\"\\s*:\\s*(\"((\\\\.|[^\"])*)\"|[0-9]+)").r
     m.findFirstMatchIn(json) match {
       case Some(g) =>
         val v = g.group(1)
-        if (v.startsWith("\"")) v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+        if (v.startsWith("\"")) unq(v.substring(1, v.length - 1))
         else v
       case None => throw new IllegalArgumentException(s"checkpoint missing $key: $json")
     }

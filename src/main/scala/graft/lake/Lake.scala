@@ -297,7 +297,30 @@ object Lake {
   /** Per-partition compaction for hive-partitioned tables: each leaf
     * partition directory is compacted independently (layout preserved,
     * partitions untouched by other writers unaffected). The per-leaf swap
-    * is the same checked move-aside sequence as [[compact]].
+    * is the same checked move-aside sequence as [[compact]], with two
+    * partition-specific disciplines:
+    *
+    *  - WORK DIRS ARE DOT-PREFIXED (`.day=1.__old`), because inside a
+    *    partitioned table any visible directory containing `=` IS a
+    *    partition to discovery: an undotted `day=1.__old` would be read as
+    *    partition value `1.__old`, doubling every row of the leaf for any
+    *    concurrent reader during the swap. Dot-prefixed names are skipped
+    *    by Spark's file listing (and by [[leafDirs]] here).
+    *  - A RECOVERY SWEEP runs first: a crash between the two renames
+    *    leaves the data only at `.X.__old` — and the leaf itself absent
+    *    from listings, so without the sweep nothing would ever promote it
+    *    back. The sweep restores such leaves (or drops the aside when the
+    *    swap had completed), making a re-run after any crash converge to
+    *    the correct table.
+    *
+    * Reader caveat (weaker than the whole-table [[compact]] contract): a
+    * read PLANNED exactly inside a leaf's sub-millisecond rename window
+    * does not fail — discovery simply doesn't see that leaf — so it
+    * returns the table without that partition's rows. An already-planned
+    * scan racing the swap still fails cleanly and re-plans via
+    * [[withTableReadRetry]]. Run partitioned compaction post-session
+    * (as [[graft.ingest.Engine]] does) when a transiently missing
+    * partition matters.
     */
   def compactPartitioned(
       spark: SparkSession,
@@ -311,18 +334,38 @@ object Lake {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
 
+    def hidden(n: String): Boolean = n.startsWith(".") || n.startsWith("_")
+    def childDirs(p: Path): Seq[Path] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+
     def leafDirs(p: Path): Seq[Path] = {
-      val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      val (partDirs, _) = children.partition(_.getName.contains("="))
+      val partDirs = childDirs(p).filter(c => !hidden(c.getName) && c.getName.contains("="))
       if (partDirs.isEmpty) Seq(p)
-      else partDirs.toSeq.flatMap(leafDirs)
+      else partDirs.flatMap(leafDirs)
     }
+
+    // recovery sweep for crashed swaps at every partition level: data
+    // stranded at `.X.__old` with no live `X` promotes back; a completed
+    // swap's leftover aside (or stale tmp) is dropped
+    def recover(p: Path): Unit = {
+      val children = childDirs(p)
+      children.filter(c => c.getName.startsWith(".") && c.getName.endsWith(".__old")).foreach { o =>
+        val live = new Path(p, o.getName.stripPrefix(".").stripSuffix(".__old"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(o, live))
+            throw new java.io.IOException(s"compactPartitioned: could not promote crashed swap $o")
+        } else fs.delete(o, true)
+      }
+      children.filter(_.getName.endsWith(".__compact_tmp")).foreach(t => fs.delete(t, true))
+      children.filter(c => !hidden(c.getName) && c.getName.contains("=")).foreach(recover)
+    }
+    recover(base)
 
     leafDirs(base).filterNot(_ == base).foreach { leaf =>
       val nFiles = fs.listStatus(leaf).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       if (nFiles >= minFilesPerPartition) {
-        val tmp = new Path(leaf.toString + ".__compact_tmp")
-        val old = new Path(leaf.toString + ".__old")
+        val tmp = new Path(leaf.getParent, s".${leaf.getName}.__compact_tmp")
+        val old = new Path(leaf.getParent, s".${leaf.getName}.__old")
         // byte-targeted like the whole-table path: a session-file-sized
         // leaf still lands in one file, an oversized leaf splits at
         // ~targetFileBytes instead of becoming one giant file

@@ -80,6 +80,9 @@ object ZOrder {
       bitsPerCol: Int = 0
   ): Unit = {
     val bits = if (bitsPerCol > 0) bitsPerCol else math.min(16, 63 / math.max(cols.size, 1))
+    // withColumn would silently REPLACE a pre-existing __z and the final
+    // drop would then delete the caller's column from the written output
+    require(!df.columns.contains("__z"), "input already has a __z column — rename it before z-ordering")
     df.withColumn("__z", zValue(df, cols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

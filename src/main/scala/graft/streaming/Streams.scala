@@ -21,7 +21,18 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
-  /** File stream over a lake table directory. */
+  /** File stream over a lake table directory.
+    *
+    * APPEND-ONLY DIRECTORIES ONLY (staging dirs, never-compacted tables):
+    * the file source tracks processed files BY NAME, and [[graft.lake.Lake.compact]]
+    * rewrites the whole table into freshly-named files — a stream over a
+    * compacted table re-emits every historical row as new data on the next
+    * trigger (dedupByHash absorbs them only within its watermark horizon),
+    * and a listing racing the compaction swap can fail the query on the
+    * renamed-away path. The engine's streaming compositions
+    * ([[refreshStream]], the soak) read the staging dir for exactly this
+    * reason; compaction belongs downstream of the stream's sink.
+    */
   def readTableStream(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(path)
 

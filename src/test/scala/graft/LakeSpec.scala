@@ -39,6 +39,12 @@ class LakeSpec extends SparkSpec {
     Checkpoints.save(spark, root, cp)
     assert(Checkpoints.load(spark, root, "scope \"q\"") == Some(cp))
     assert(Checkpoints.load(spark, root, "nope").isEmpty)
+    // control chars and backslash-quote sequences must round-trip exactly:
+    // the writer emits \uXXXX for chars < 0x20 and the reader must decode
+    // them (and not corrupt `\"` after `\\`) or keys silently mismatch
+    val hard = Checkpoint("a\nb\tc\\\"d", "x\\y", 1L, "2024-01-01T00:00:00Z")
+    Checkpoints.save(spark, root, hard)
+    assert(Checkpoints.load(spark, root, hard.scopeKey) == Some(hard))
   }
 
   test("malformed checkpoint degrades to None instead of wedging the scope") {
@@ -78,6 +84,50 @@ class LakeSpec extends SparkSpec {
     Lake.compactIfNeeded(spark, root, "s", "t")
     assert(leafFiles("2024-01-03") == 1) // 1 file < minFiles -> not rewritten (still 1)
     assert(Lake.read(spark, root, "s", "t").count() == 11)
+  }
+
+  test("partitioned compaction work dirs are invisible to readers; crashed swaps recover") {
+    val root = tmpDir("lake")
+    (1 to 5).foreach { i =>
+      Lake.appendPartitioned(
+        Seq((i, "2024-01-01"), (i, "2024-01-02")).toDF("id", "day"),
+        root, "s", "t", Seq("day"))
+    }
+    val table = new java.io.File(s"$root/s/t")
+
+    // a work dir holding a FULL COPY of a leaf must not double the rows:
+    // dot-prefixed names are skipped by partition discovery (an undotted
+    // `day=...__compact_tmp` would be read as a partition value)
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().filter(_.isFile).foreach { f =>
+        java.nio.file.Files.copy(f.toPath, dst.toPath.resolve(f.getName))
+      }
+    }
+    copyDir(new java.io.File(table, "day=2024-01-01"), new java.io.File(table, ".day=2024-01-01.__compact_tmp"))
+    assert(Lake.read(spark, root, "s", "t").count() == 10,
+      "a work dir leaked into partition discovery")
+
+    // crash between the two renames: data only at `.X.__old`, live leaf
+    // gone — the leaf is absent from every listing, so only the recovery
+    // sweep can bring it back
+    val leaf = new java.io.File(table, "day=2024-01-02")
+    val aside = new java.io.File(table, ".day=2024-01-02.__old")
+    assert(leaf.renameTo(aside))
+    assert(Lake.read(spark, root, "s", "t").count() == 5, "precondition: leaf is invisible")
+    Lake.compactPartitioned(spark, root, "s", "t")
+    val back = Lake.read(spark, root, "s", "t")
+    assert(back.count() == 10, "crashed swap not promoted back")
+    assert(back.filter($"day" === "2024-01-02").count() == 5)
+    assert(!aside.exists() && !new java.io.File(table, ".day=2024-01-01.__compact_tmp").exists(),
+      "work dirs must be cleaned up by the sweep")
+
+    // crash AFTER a completed swap (live leaf + leftover aside): the sweep
+    // drops the aside, rows stay exactly-once
+    copyDir(new java.io.File(table, "day=2024-01-01"), new java.io.File(table, ".day=2024-01-01.__old"))
+    Lake.compactPartitioned(spark, root, "s", "t")
+    assert(Lake.read(spark, root, "s", "t").count() == 10)
+    assert(!new java.io.File(table, ".day=2024-01-01.__old").exists())
   }
 
   test("compact keeps data and reduces file count") {

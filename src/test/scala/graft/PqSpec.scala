@@ -93,6 +93,35 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("dot/LSH/intersect expressions reject wrong input types at ANALYSIS, not eval") {
+    // same unsafe-buffer hazard as the PQ family: an array<int> child used
+    // to pass analysis and getDouble/getLong silently misread the buffer
+    import graft.functions.HashExprs
+    import org.apache.spark.sql.functions.col
+    val ints = Seq((1L, Seq(1, 2), Seq(3, 4))).toDF("id", "a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(HashExprs.arrayDot(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(HashExprs.lshBucket(col("a"), Seq(Array(1.0, -1.0)))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(HashExprs.sortedIntersectSize(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // array<struct<int,int>> must fail the struct variant (needs bigints)
+      Seq((1L, Seq((1, 2)), Seq((3, 4)))).toDF("id", "a", "b")
+        .select(HashExprs.sortedStructIntersectSize(col("a"), col("b"))).collect()
+    }
+    // the valid shapes still pass analysis and evaluate
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(0.5, 0.5), Seq(1L, 2L, 5L), Seq(2L, 5L, 9L)))
+      .toDF("f", "d", "sa", "sb")
+    val row = ok.select(
+      HashExprs.arrayDot(col("f"), col("d")).as("dot"),
+      HashExprs.sortedIntersectSize(col("sa"), col("sb")).as("n")).head()
+    assert(math.abs(row.getDouble(0) - 1.5) < 1e-12 && row.getLong(1) == 2L)
+  }
+
   test("trained codebook: ADC top-1 recall ≥ 0.9 on clustered data") {
     val rnd = new Random(7)
     val centers = Seq.fill(5)(Array.fill(16)(rnd.nextGaussian() * 5))
