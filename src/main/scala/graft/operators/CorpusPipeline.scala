@@ -64,8 +64,13 @@ object CorpusPipeline {
       .select(col("doc_b").as("__drop_id"))
       .distinct()
 
+    // no broadcast() hint: the drop-id set scales with the corpus's
+    // duplication (every non-minimal member of every near-dup pair), and a
+    // hint is UNCONDITIONAL — a build side that outgrows the driver OOMs it
+    // instead of falling back. AQE broadcasts it whenever its runtime size
+    // allows (the same rationale as Scd.refreshDedup's hash side).
     gated
-      .join(broadcast(nearDropIds), id === col("__drop_id"), "left")
+      .join(nearDropIds, id === col("__drop_id"), "left")
       .withColumn(
         "drop_reason",
         coalesce(col("__gate"), when(col("__drop_id").isNotNull, "near_dup"))

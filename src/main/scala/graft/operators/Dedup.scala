@@ -366,13 +366,22 @@ object Dedup {
     // one packed-long key per block combination: combo bits total <= 64·keep/B
     // + table id in the high bits, so the join key stays a single long
     val combos = (0 until blocks).combinations(keep).toSeq
+    // table-id width derived from the ACTUAL combination count: a fixed
+    // 5-bit assumption aliased table ids past 32 combos (e.g. blocks=9,
+    // maxHamming=4 → C(9,5)=126 tables), colliding keys across different
+    // block combinations — output stayed correct (the hamming filter
+    // re-verifies) but candidate generation silently degraded toward the
+    // quadratic blow-up the banding exists to prevent.
+    val idBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(combos.size - 1L))
     val keys = combos.zipWithIndex.map { case (c, t) =>
       val packedBits = c.map(sizes(_)).sum
       val packed = c.foldLeft((lit(0L), 0)) { case ((acc, shift), i) =>
         (acc.bitwiseOR(shiftleft(blockVal(i), shift)), shift + sizes(i))
       }._1
-      require(packedBits + 5 <= 63, s"key overflow: $packedBits bits + table id")
-      packed.bitwiseOR(lit(t.toLong << (63 - 5))).as(s"k$t")
+      require(
+        packedBits + idBits <= 63,
+        s"key overflow: $packedBits packed bits + $idBits table-id bits")
+      packed.bitwiseOR(lit(t.toLong << (63 - idBits))).as(s"k$t")
     }
     val keyed = fps.select(col("doc_id"), col("fp"), explode(array(keys: _*)).as("bk"))
     keyed
@@ -618,9 +627,13 @@ object Dedup {
       .filter(col("__rn") === 1)
       .withColumn("cluster", col("__cluster"))
       .drop("__rn", "__q", "__cid", "__cluster")
+    // untouched docs are their own cluster; the label must match the CC
+    // output's type (long for numeric ids, string for hash-mapped string
+    // ids — a hardcoded cast("long") made every string id's own-cluster
+    // label NULL and the union ill-typed)
     val untouched = df
       .join(broadcast(clusters), col(idCol) === col("__cid"), "left_anti")
-      .withColumn("cluster", col(idCol).cast("long"))
+      .withColumn("cluster", col(idCol).cast(clusters.schema("__cluster").dataType))
     best.unionByName(untouched)
   }
 }

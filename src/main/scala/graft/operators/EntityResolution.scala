@@ -80,8 +80,20 @@ object EntityResolution {
         // The last round's cache stays resident until Spark evicts it (the
         // returned plan still reads it lazily) — bounded at one round's
         // rows, same order as the input.
-        val sized = cur.withColumn("__n", count(lit(1)).over(w)).persist()
-        val growable = col("__n") > maxBlockSize && length(col("__s")) > col("__len")
+        // a block grows only as far as its SHORTEST member: refinement at
+        // per-row lengths would put "SMIT" (len 4) and "SMITH" (len 5) of
+        // the same hot block into different refined keys — the exact-equality
+        // candidate join then silently loses their within-maxDist pair. With
+        // the min-length clamp every member of a hot block re-blocks at the
+        // SAME length, so refinement never splits a pair by length (prefix
+        // CONTENT divergence still splits, which is the documented blocking
+        // contract); a block whose shortest member is exhausted simply stops
+        // refining and stays hot-but-capped.
+        val sized = cur
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__minLen", min(length(col("__s"))).over(w))
+          .persist()
+        val growable = col("__n") > maxBlockSize && col("__minLen") > col("__len")
         anyHot = sized.filter(growable).count() > 0
         prev.foreach(_.unpersist(blocking = false))
         prev = Some(sized)
@@ -90,13 +102,18 @@ object EntityResolution {
         // previous round's chain from scratch.
         cur =
           if (anyHot)
-            // extend from each row's CURRENT length (rows refine at their own
-            // pace — a block going hot only in round 2 grows one step, not two)
+            // extend from each block's CURRENT length (blocks refine at their
+            // own pace — one going hot only in round 2 grows one step, not
+            // two), clamped to the block's shortest member so every member
+            // lands on the same refined length
             sized
-              .withColumn("__len", when(growable, col("__len") + refineStep).otherwise(col("__len")))
+              .withColumn(
+                "__len",
+                when(growable, least(col("__len") + refineStep, col("__minLen")))
+                  .otherwise(col("__len")))
               .withColumn("__blk", expr("substring(__s, 1, __len)"))
-              .drop("__n")
-          else sized.drop("__n")
+              .drop("__n", "__minLen")
+          else sized.drop("__n", "__minLen")
         round += 1
       }
     }

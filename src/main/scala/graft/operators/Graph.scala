@@ -66,12 +66,20 @@ object Graph {
 
   /** Connected components over an undirected edge list.
     *
-    * @param edges  DataFrame with two node-id columns (any integral type);
-    *               self-loops are ignored, direction is irrelevant
-    * @return (id, component) for every node appearing in `edges`, where
-    *         `component` is the smallest node id in the node's component.
-    *         Isolated nodes never appear in an edge list — union them in
-    *         with `component = id` at the call site if needed.
+    * @param edges  DataFrame with two node-id columns; self-loops are
+    *               ignored, direction is irrelevant. Numeric ids run in
+    *               long space natively. NON-numeric ids (string keys —
+    *               entity resolution's bread and butter) are hash-mapped:
+    *               with ANSI off, the old unconditional `cast("long")`
+    *               turned every such id into NULL and silently dropped ALL
+    *               edges — callers got "no clusters" instead of an error.
+    * @return (id, component) for every node appearing in `edges`. For
+    *         numeric ids `component` is the smallest node id in the
+    *         component; for hash-mapped ids it is a deterministic member
+    *         of the component (the one with the smallest xxhash64), and
+    *         both columns carry the ids cast to string. Isolated nodes
+    *         never appear in an edge list — union them in with
+    *         `component = id` at the call site if needed.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -79,7 +87,44 @@ object Graph {
       dstCol: String,
       maxIter: Int = 50
   ): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
     val spark: SparkSession = edges.sparkSession
+    import spark.implicits._
+    val numeric =
+      Seq(srcCol, dstCol).forall(c => edges.schema(c).dataType.isInstanceOf[NumericType])
+    if (numeric)
+      ccLongIds(
+        edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d")),
+        maxIter)
+    else {
+      // hash each id to a long (xxhash64 — collision odds ~n²/2⁶⁴,
+      // negligible below ~10⁹ distinct ids), run CC in long space, then
+      // map node AND component back through the id table. The mapping is
+      // one row per distinct id, joined twice on its hash — both joins
+      // shuffle id-sized frames, never the edge multiset.
+      val strEdges = edges
+        .select(col(srcCol).cast("string").as("os"), col(dstCol).cast("string").as("od"))
+      val mapping = strEdges
+        .select($"os".as("orig"))
+        .unionByName(strEdges.select($"od".as("orig")))
+        .filter($"orig".isNotNull)
+        .distinct()
+        .select(xxhash64($"orig").as("h"), $"orig")
+        .localCheckpoint(false)
+      val comp =
+        ccLongIds(strEdges.select(xxhash64($"os").as("s"), xxhash64($"od").as("d")), maxIter)
+      comp
+        .join(mapping, comp("id") === mapping("h"))
+        .select($"orig".as("__node"), $"component")
+        .join(
+          mapping.select($"h".as("component"), $"orig".as("__rep")),
+          Seq("component"))
+        .select($"__node".as("id"), $"__rep".as("component"))
+    }
+  }
+
+  private def ccLongIds(prepared: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark: SparkSession = prepared.sparkSession
     import spark.implicits._
 
     // Scan the caller's edge plan exactly ONCE: the input is often itself an
@@ -87,9 +132,7 @@ object Graph {
     // both the canonical edge set and the node list below need it. A narrow
     // two-long-column local checkpoint decouples everything downstream from
     // the input plan's cost.
-    val raw = edges
-      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .localCheckpoint(false)
+    val raw = prepared.localCheckpoint(false)
 
     // Canonicalize once (high, low): every later round's edges come out of
     // smallStar already in this orientation and deduplicated, so the

@@ -184,6 +184,9 @@ object Multimodal {
     * media row → N frame rows, id+timestamp carried) is the real part.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long, maxFrames: Int): Dataset[Frame] = {
+    // driver-side like every sibling's parameter check — unguarded, an
+    // everyMs=0 divides by zero PER ROW inside executor tasks
+    require(everyMs > 0 && maxFrames >= 0, s"need everyMs > 0 (got $everyMs) and maxFrames >= 0")
     import media.sparkSession.implicits._
     media.filter(_.modality == "video").flatMap { r =>
       val duration = r.meta.durationMs.getOrElse(0L)

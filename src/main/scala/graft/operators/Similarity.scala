@@ -31,7 +31,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL — not NaN — when either vector has zero norm or NaN components.
+    * Spark orders NaN ABOVE every double, so a single zero embedding in the
+    * corpus (a failed-embedding row, routine in production) would otherwise
+    * compute cos = 0/0 = NaN and rank 1 for EVERY query in all desc-ordered
+    * top-k paths; NULL sorts last under desc, so degenerate vectors simply
+    * never make a top-k.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val c = dot(a, b) / (norm(a) * norm(b))
+    when(!isnan(c), c)
+  }
 
   /** Deterministic ±1.0 hyperplanes derived from md5("plane:h:i") — the same
     * planes are reproducible in any engine (used to build the SQL oracle).
@@ -52,14 +62,21 @@ object Similarity {
   def lshBucket(e: Column, planeVecs: Seq[Array[Double]]): Column =
     graft.functions.HashExprs.lshBucket(e, planeVecs)
 
-  /** Exact top-k cosine neighbors for each query vector (self excluded). */
+  /** Exact top-k cosine neighbors for each query vector. `excludeSelf`
+    * (default true, the in-corpus-query convention) matches the flag on
+    * ivfTopK/pqTopK/VectorIndex.query: an EXTERNAL query set whose qid
+    * coincidentally equals a corpus vec_id must pass false, or the baseline
+    * silently deletes a true neighbor — and, as the recall verifier for the
+    * ANN paths, then reports spurious misses against an index that kept it.
+    */
   def bruteForceTopK(
       queries: DataFrame, // (qid, qe: array<float>)
       corpus: DataFrame, // (vec_id, embedding: array<float>)
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val scored = corpus
-      .join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .join(broadcast(queries), if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(
         col("qid"),
         col("vec_id"),
@@ -80,7 +97,8 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      planeVecs: Seq[Array[Double]]
+      planeVecs: Seq[Array[Double]],
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val nPlanes = planeVecs.length
     val qb = queries
@@ -93,7 +111,7 @@ object Similarity {
     val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), planeVecs))
     val scored = cb
       .join(broadcast(qb), Seq("bucket"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
       .dropDuplicates("qid", "vec_id") // a candidate can match several probes
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -375,13 +393,14 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      planeVecs: Seq[Array[Double]]
+      planeVecs: Seq[Array[Double]],
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val qb = queries.withColumn("bucket", lshBucket(col("qe"), planeVecs))
     val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), planeVecs))
     val scored = cb
       .join(broadcast(qb), Seq("bucket"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

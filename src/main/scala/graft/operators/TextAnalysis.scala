@@ -68,8 +68,10 @@ object TextAnalysis {
 
   def langId(text: Column): Column = {
     val marks = stats(text).getField("marks")
-    // argmax with declaration-order priority (de > es > fr > en on ties of
-    // the leaders, 'en' default when all zero)
+    // argmax where each branch requires a STRICT lead, so leader ties fall
+    // through to the LATER-listed language (de==es → es; all tied → en).
+    // This is the behavior the oracle replays — callers wanting a different
+    // tie priority must reorder the chain, not trust declaration order.
     val Seq(de, es, fr, en) = LangMarkers.indices.map(i => element_at(marks, i + 1))
     when(de > es && de > fr && de > en, "de")
       .when(es > fr && es > en, "es")

@@ -109,14 +109,19 @@ object TrainingPipeline {
       case None => unrepeated
     }
 
+    // persist the two expensive stage boundaries: the audit union below
+    // counts EVERY stage, and without these each count re-executes the
+    // decontamination fingerprint join and the MinHash dedup chain once per
+    // downstream stage (up to 8 re-runs of the costliest joins at scale)
     val decontaminated =
       Decontaminate.clean(fluent, bench, idCol, textCol, minShared = cfg.decontamMinShared)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val deduped = Dedup.dropNearDups(
       decontaminated,
       idCol,
       Dedup.minhashClusterEdges(decontaminated, idCol, textCol)
-    )
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5b (optional): embedding near-dup collapse. Pairs are computed over
     // the embeddings of docs still alive (semi-join first, so a dropped

@@ -295,7 +295,7 @@ object WindowQueries {
       FROM events
       WHERE user_id < 10
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      QUALIFY lag(ts) OVER w IS NOT NULL AND changed <> ''
+      QUALIFY row_number() OVER w > 1 AND changed <> ''
       ORDER BY user_id, event_id
     """.trim)
   )

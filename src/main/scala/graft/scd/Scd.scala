@@ -82,7 +82,10 @@ object Scd {
     val markers = fields.sorted.map { f =>
       when(!(col(f) <=> lag(col(f), 1).over(w)), lit(f)).otherwise(lit(null).cast("string"))
     }
-    df.withColumn("is_first", lag(order.head, 1).over(w).isNull)
+    // row_number, not lag(order.head).isNull: with nulls-first ordering a
+    // NULL-ordered first row makes the SECOND row's lag NULL too, mislabeling
+    // it first and suppressing its genuine changed_fields
+    df.withColumn("is_first", row_number().over(w) === 1)
       .withColumn(
         "changed_fields",
         when(col("is_first"), array().cast("array<string>"))

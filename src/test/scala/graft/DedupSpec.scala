@@ -83,6 +83,24 @@ class DedupSpec extends SparkSpec {
     assert(top(2L) == 0.0) // orthogonal
   }
 
+  test("a zero-norm embedding never ranks: NaN cosine would sort ABOVE every real score") {
+    // Spark orders NaN greater than any double, so cos = 0/0 = NaN used to
+    // put a failed-embedding row at rank 1 for EVERY query
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.8f, 0.2f, 0.0f)),
+      (666L, Seq(0.0f, 0.0f, 0.0f)) // failed embedding
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val got = Similarity.bruteForceTopK(q, vecs, 2).select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), s"zero vector leaked into top-k: $got")
+    // zero-norm QUERY likewise returns no NaN ranks (all scores null)
+    val zq = vecs.filter($"vec_id" === 666).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val zr = Similarity.bruteForceTopK(zq, vecs, 2).select($"cos").as[Option[Double]].collect()
+    assert(zr.forall(_.isEmpty), s"zero-norm query produced non-null scores: ${zr.toSeq}")
+  }
+
   test("signatures are invariant under partitioning and row order") {
     val base = docs
     val shuffled = docs.orderBy(rand(seed = 1)).repartition(7)

@@ -73,6 +73,23 @@ class EntityResolutionSpec extends SparkSpec {
       s"hot block not split: $candCapped vs $candUncapped candidates")
   }
 
+  test("refinement never splits a same-block pair by LENGTH (clamp to shortest member)") {
+    // hot block "SMI": 30 fillers + the pair (SMIT, SMITH) at dist 1.
+    // Per-row-length refinement re-blocked "SMIT" at its full 4 chars and
+    // "SMITH" at 5 — different keys, pair silently lost. The min-length
+    // clamp re-blocks the whole hot block at len 4, keeping them together.
+    val rows = (1 to 30).map(i => (100L + i, f"SMITZZZ$i%02d")) ++ Seq((1L, "SMIT"), (2L, "SMITH"))
+    val pairs = EntityResolution
+      .blockedEditDistancePairs(
+        rows.toDF("id", "name"), "id", "name", blockLen = 3, maxDist = 1,
+        maxBlockSize = 10, refineStep = 2, maxRefine = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"(SMIT, SMITH) pair lost under refinement: $pairs")
+    // and refinement still ran (the hot block was over the cap), so this
+    // isn't vacuously passing on the unrefined path
+    assert(pairs.size > 1, "fixture must keep the block hot enough to refine")
+  }
+
   test("resolve: a planted entity family closes transitively and keeps the best survivor") {
     // chain family: A~B (dist 1), B~C (dist 1), but A–C dist 2 > maxDist —
     // pairwise evidence alone would split them; transitive closure must not
@@ -96,5 +113,21 @@ class EntityResolutionSpec extends SparkSpec {
       (10L, 11L, "ACME CORPX"), // one entity {10,11,12}, survivor = best quality
       (20L, 20L, "ZETA LLC") // {20,21} collapses; 21 loses on quality
     ), s"got $out")
+  }
+
+  test("resolve works on STRING record ids (the advertised noisy-key case)") {
+    // the scaladoc sells string keys; the CC long-cast used to NULL them
+    // all out and return every duplicate as its own entity, no error
+    val df = Seq(
+      ("rec-a", "ACME CORP", 3.0),
+      ("rec-b", "ACME CORPX", 9.0),
+      ("rec-c", "ACME CORPXY", 5.0),
+      ("rec-z", "ZETA LLC", 7.0)
+    ).toDF("id", "name", "score")
+    val out = EntityResolution
+      .resolve(df, "id", "name", blockLen = 4, maxDist = 1, quality = $"score")
+      .select($"id", $"name").as[(String, String)].collect().toSet
+    assert(out == Set(("rec-b", "ACME CORPX"), ("rec-z", "ZETA LLC")),
+      s"string-keyed family did not collapse to its survivor: $out")
   }
 }

@@ -19,6 +19,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("string node ids cluster correctly (no silent NULL-cast edge drop)") {
+    // with ANSI off, cast('vendor-a' AS LONG) is NULL — an unconditional
+    // long cast dropped every edge and returned no clusters, silently
+    val edges = Seq(
+      ("vendor-a", "vendor-b"), ("vendor-b", "vendor-c"), // one chain family
+      ("store-x", "store-y")
+    ).toDF("s", "d")
+    val got = Graph.connectedComponents(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == Set("vendor-a", "vendor-b", "vendor-c", "store-x", "store-y"))
+    assert(Set(got("vendor-a"), got("vendor-b"), got("vendor-c")).size == 1,
+      s"chain family split: $got")
+    assert(got("store-x") == got("store-y"))
+    assert(got("vendor-a") != got("store-x"), s"families merged: $got")
+    // the representative is a member of its own component
+    assert(Set("vendor-a", "vendor-b", "vendor-c").contains(got("vendor-a")))
+  }
+
   test("disjoint components, direction and self-loops are irrelevant") {
     val got = cc(Seq((1L, 2L), (2L, 1L), (3L, 3L), (3L, 4L), (10L, 20L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 20L -> 10L))
