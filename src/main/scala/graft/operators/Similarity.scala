@@ -38,10 +38,10 @@ object Similarity {
     * top-k paths; NULL sorts last under desc, so degenerate vectors simply
     * never make a top-k.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val c = dot(a, b) / (norm(a) * norm(b))
-    when(!isnan(c), c)
-  }
+  def cosine(a: Column, b: Column): Column =
+    // nanvl, not when(!isnan(c), c): one evaluation of the dot/norm tree
+    // instead of two copies in the expression DAG
+    nanvl(dot(a, b) / (norm(a) * norm(b)), lit(null).cast("double"))
 
   /** Deterministic ±1.0 hyperplanes derived from md5("plane:h:i") — the same
     * planes are reproducible in any engine (used to build the SQL oracle).
