@@ -131,7 +131,12 @@ object Main {
           case "tables" => Lake.tables(spark, root, requireScope(args.positional(2))).foreach(println)
           case "compact" =>
             val scope = requireScope(args.positional(2))
-            Lake.tables(spark, root, scope).foreach(t => Lake.compact(spark, root, scope, t))
+            // compactIfNeeded dispatches hive-partitioned tables to the
+            // per-leaf variant — calling Lake.compact directly would rewrite
+            // a partitioned table FLAT, destroying its layout. minFiles=2:
+            // compact whenever there is anything to merge.
+            Lake.tables(spark, root, scope)
+              .foreach(t => Lake.compactIfNeeded(spark, root, scope, t, minFiles = 2))
             println(s"compacted $scope")
           case "checkpoint" => println(Checkpoints.load(spark, root, requireScope(args.positional(2))))
           case "current" =>

@@ -47,7 +47,10 @@ object Canonical {
     * [[graft.sources.vgsi.VgsiParser.normalizeHeader]].
     */
   def normalizeName(s: String): String =
-    s.toLowerCase.replace("&", "and").replaceAll("\\s+", "_").replace(":", "")
+    // Locale.ROOT: a tr-TR default locale lowercases "TITLE" to "tıtle"
+    // (dotless ı) — column names must not depend on the host's locale, and
+    // normalizeNameCol's Spark lower() is locale-independent already
+    s.toLowerCase(java.util.Locale.ROOT).replace("&", "and").replaceAll("\\s+", "_").replace(":", "")
 
   def normalizeNameCol(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(lower(c), "&", "and"), "\\s+", "_"), ":", "")

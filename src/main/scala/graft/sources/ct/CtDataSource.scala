@@ -128,16 +128,17 @@ object CtDataSource {
         if (Lake.tables(spark, root, Scope).contains(table))
           Scd.refreshDedup(stamped, Lake.read(spark, root, Scope, table))
         else stamped
-      // cheap emptiness probe over the cached pages first: a no-change
-      // refresh must not append a schema-only parquet file (file-count
-      // creep would trigger pointless compactions)
-      if (toWrite.isEmpty) 0L
-      else {
-        // row count from observe() on the write action itself (one pass)
-        val obs = org.apache.spark.sql.Observation()
-        Lake.append(toWrite.observe(obs, count(lit(1)).as("rows")), root, Scope, table)
-        obs.get("rows").asInstanceOf[Long]
-      }
+      // emptiness probe + write from ONE persisted materialization: a
+      // no-change refresh must not append a schema-only parquet file, and
+      // isEmpty + append would execute the dedup anti-join (and its scan
+      // of the existing lake table) twice — the pages cache only covers
+      // the fetch side (same fix as Engine.writeTables)
+      val cached = toWrite.persist()
+      try {
+        val n = cached.count()
+        if (n == 0L) 0L
+        else { Lake.append(cached, root, Scope, table); n }
+      } finally cached.unpersist(blocking = false)
     } finally jsonLines.unpersist()
   }
 

@@ -62,7 +62,8 @@ object VgsiParser {
   def toDouble(v: String): Option[Double] = cleanString(v).flatMap(_.toDoubleOption)
   def toInt(v: String): Option[Int] = cleanString(v).flatMap(s => s.toDoubleOption.map(_.toInt))
   def normalizeHeader(h: String): String =
-    h.trim.toLowerCase.stripSuffix(":").replace(" ", "_").replace("&", "and")
+    // Locale.ROOT — header-derived keys must not vary with the host locale
+    h.trim.toLowerCase(java.util.Locale.ROOT).stripSuffix(":").replace(" ", "_").replace("&", "and")
 
   private def jsonEscape(s: String): String =
     s.flatMap {

@@ -45,7 +45,7 @@ object VgsiSource {
       .flatMap { url =>
         val seg = url.stripSuffix("/").split("/").lastOption.getOrElse("")
         cityPat.findFirstMatchIn(seg).map { m =>
-          val key = m.group(1).toLowerCase.stripSuffix("ct")
+          val key = m.group(1).toLowerCase(java.util.Locale.ROOT).stripSuffix("ct")
           key -> url
         }
       }
