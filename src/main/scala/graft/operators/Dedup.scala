@@ -251,7 +251,13 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
-        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos")
+        // NULL, not NaN, on a zero-norm vector: Spark's NaN compares GREATER
+        // than everything, so `NaN >= threshold` is TRUE and a single failed
+        // (all-zero) embedding would "near-duplicate" its whole bucket;
+        // NULL >= threshold is NULL and filters out (same contract as
+        // Similarity.cosine)
+        nanvl(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), lit(null).cast("double"))
+          .as("cos")
       )
       .filter(col("cos") >= threshold)
   }

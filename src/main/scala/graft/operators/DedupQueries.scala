@@ -18,7 +18,7 @@ object DedupQueries {
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       val docs = T.documents.select($"doc_id", $"text")
-      val union = docs.unionByName(docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      val union = docs.unionByName(docs.select(($"doc_id" + 10000000).as("doc_id"), $"text"))
       Dedup
         .exactDupGroups(union, "doc_id", "text")
         .orderBy($"canonical_id")
@@ -27,7 +27,7 @@ object DedupQueries {
       WITH u AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000, text FROM documents
+        SELECT doc_id + 10000000, text FROM documents
       )
       SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       FROM u GROUP BY 1 ORDER BY canonical_id
@@ -42,7 +42,7 @@ object DedupQueries {
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       val docs = T.documents.select($"doc_id", $"text")
-      val union = docs.unionByName(docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      val union = docs.unionByName(docs.select(($"doc_id" + 10000000).as("doc_id"), $"text"))
       Dedup
         .dropExactDups(union, "doc_id", "text")
         .select($"doc_id")
@@ -52,7 +52,7 @@ object DedupQueries {
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM (SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 1000, text FROM documents)
+              UNION ALL SELECT doc_id + 10000000, text FROM documents)
       ) WHERE rn = 1 ORDER BY doc_id
     """.trim)
   )
@@ -206,9 +206,7 @@ object DedupQueries {
     */
   private val q54 = {
     val planes = Similarity.hyperplanes(32, 64)
-    val planeValues = planes.zipWithIndex
-      .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
-      .mkString(", ")
+    val planeValues = SimilarityQueries.planeLiteralsSql(planes)
     Q(
       "q54_embed_neardup",
       (s, dir) => {
@@ -237,11 +235,14 @@ object DedupQueries {
         eb AS (SELECT u.vec_id, u.emb, sk.band, sk.bucket FROM u JOIN sk USING (vec_id)),
         cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
                  FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        sc AS (SELECT doc_a, doc_b,
+        sc0 AS (SELECT doc_a, doc_b,
                       (list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)])) /
                       (sqrt(list_sum([x.emb[i] * x.emb[i] for i in range(1, 65)])) *
                        sqrt(list_sum([y.emb[i] * y.emb[i] for i in range(1, 65)]))) AS cos
-               FROM cand JOIN u x ON cand.doc_a = x.vec_id JOIN u y ON cand.doc_b = y.vec_id)
+               FROM cand JOIN u x ON cand.doc_a = x.vec_id JOIN u y ON cand.doc_b = y.vec_id),
+        -- NULL-on-degenerate, mirroring the engine (a zero-norm embedding
+        -- must never pass the threshold as NaN on either side)
+        sc AS (SELECT doc_a, doc_b, CASE WHEN isnan(cos) THEN NULL ELSE cos END AS cos FROM sc0)
         SELECT doc_a, doc_b, ROUND(cos, 4) AS cos FROM sc WHERE cos >= 0.9 ORDER BY doc_a, doc_b
       """.trim)
     )

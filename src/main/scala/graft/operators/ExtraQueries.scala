@@ -441,9 +441,11 @@ object ExtraQueries {
   )
 
   /** Cohort retention: users grouped by first-activity week, tracked by
-    * how many are active k weeks later. Two distinct-aggregations and one
-    * user-key join — the (user, week) activity set is the shuffled unit,
-    * never the raw event stream; cohort output is weeks × offsets rows.
+    * how many are active k weeks later. ONE user-key shuffle: per-user week
+    * SETS collapse map-side, the cohort is `array_min` of the set, and the
+    * explode back out is narrow — the (user, weeks) row is the shuffled
+    * unit, never the raw event stream; cohort output is weeks × offsets
+    * rows.
     */
   private val q71 = Q(
     "q71_retention",
@@ -592,6 +594,10 @@ object ExtraQueries {
     "q84_mergeable_sketches",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
+      // localCheckpoint: the tiny per-source frame feeds BOTH the union's
+      // per-source branch and the __all__ rollup — without it each branch
+      // re-executes the groupBy (and the HLL sketch build) over documents,
+      // scanning the corpus twice for one query
       val perSource = T.documents
         .groupBy($"source")
         .agg(
@@ -599,6 +605,7 @@ object ExtraQueries {
           countDistinct($"doc_id").as("exact_distinct"),
           count(lit(1)).as("n")
         )
+        .localCheckpoint(false)
       val overall = perSource.agg(
         lit("__all__").as("source"),
         sum($"exact_distinct").as("exact_distinct"),

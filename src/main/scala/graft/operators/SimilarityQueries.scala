@@ -12,8 +12,41 @@ object SimilarityQueries {
   private val dotSql =
     "list_sum([CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE) for i in range(1, 65)])"
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql.format(a, b)}) / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
+  /** Oracle cosine, mirroring [[Similarity.cosine]]'s NULL-on-degenerate
+    * contract: DuckDB sorts NaN above every double exactly like Spark, so a
+    * zero-norm/NaN embedding in a future fixture would rank #1 in the
+    * oracle while the engine ranks it last — NULL on BOTH sides keeps the
+    * gate honest (the raw expression is evaluated twice in SQL; oracle cost
+    * is irrelevant).
+    */
+  private[operators] def cosSql(a: String, b: String): String = {
+    val raw =
+      s"(${dotSql.format(a, b)}) / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
+    s"(CASE WHEN isnan($raw) THEN NULL ELSE $raw END)"
+  }
+
+  /** SQL literal rows for a hyperplane set — ONE renderer (q28/q40 here,
+    * q54 in DedupQueries): a precision/format tweak applied to one copy of
+    * this string would silently desynchronize the oracle planes across
+    * queries.
+    */
+  private[operators] def planeLiteralsSql(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, h) => s"($h, [${p.mkString(", ")}])" }.mkString(", ")
+
+  /** Exact cosine top-5 for the first 5 query vectors — shared VERBATIM by
+    * q27 (brute force) and q53 (IVF with every list probed, equivalent by
+    * construction): one definition, so the two gates cannot drift apart.
+    */
+  private lazy val bruteForceTop5Sql: String = s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      s AS (SELECT qid, vec_id, ${cosSql("qe", "embedding")} AS cos
+            FROM embeddings, q WHERE qid <> vec_id)
+      SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+        SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
+        FROM s
+      ) WHERE rank <= 5
+      ORDER BY qid, rank
+    """.trim
 
   /** Exact top-5 cosine neighbors for the first 5 vectors. Queries broadcast;
     * corpus scanned once; per-query ranking via window top-k.
@@ -28,16 +61,7 @@ object SimilarityQueries {
         .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
         .orderBy($"qid", $"rank")
     },
-    Some(s"""
-      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-      s AS (SELECT qid, vec_id, ${cosSql("qe", "embedding")} AS cos
-            FROM embeddings, q WHERE qid <> vec_id)
-      SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
-        SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
-        FROM s
-      ) WHERE rank <= 5
-      ORDER BY qid, rank
-    """.trim)
+    Some(bruteForceTop5Sql)
   )
 
   /** LSH-bucketed approximate top-k: 8 deterministic ±1 hyperplanes bucket
@@ -46,9 +70,7 @@ object SimilarityQueries {
     */
   private val q28 = {
     val planes = Similarity.hyperplanes(8, 64)
-    val planeValues = planes.zipWithIndex
-      .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
-      .mkString(", ")
+    val planeValues = planeLiteralsSql(planes)
     Q(
       "q28_ann_lsh",
       (s, dir) => {
@@ -84,9 +106,7 @@ object SimilarityQueries {
     */
   private val q40 = {
     val planes = Similarity.hyperplanes(8, 64)
-    val planeValues = planes.zipWithIndex
-      .map { case (p, h) => s"($h, [${p.mkString(", ")}])" }
-      .mkString(", ")
+    val planeValues = planeLiteralsSql(planes)
     Q(
       "q40_ann_multiprobe",
       (s, dir) => {
@@ -145,12 +165,17 @@ object SimilarityQueries {
       val approx = Similarity
         .ivfTopK(queries, indexed, centroids, nProbe = 4, k = 5)
         .select($"qid", $"vec_id")
-      val exact = Similarity.bruteForceTopK(queries, corpus, 5).select($"qid", $"vec_id")
-      val hits = approx.join(exact, Seq("qid", "vec_id")).groupBy($"qid").agg(count(lit(1)).as("__hits"))
+      val exact = Similarity
+        .bruteForceTopK(queries, corpus, 5)
+        .select($"qid", $"vec_id", lit(1).as("__hit"))
+      // ONE pass over the probe plan: a left-join marker + a single
+      // groupBy yields n_results and the hit count together — the previous
+      // two-branch shape (inner-join hits + separate count) executed the
+      // whole IVF probe (assignment, posting join, rank window) twice
       approx
+        .join(exact, Seq("qid", "vec_id"), "left")
         .groupBy($"qid")
-        .agg(count(lit(1)).as("n_results"))
-        .join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_results"), count($"__hit").as("__hits"))
         .select(
           $"qid",
           $"n_results",
@@ -166,7 +191,7 @@ object SimilarityQueries {
           //    over 8 lists). A tiny fixture could undercut it; if that
           //    happens, weaken to a got_k boolean rather than raising
           //    nProbe (which would change the production shape under test).
-          (coalesce($"__hits", lit(0L)) >= 3).as("recall_ok")
+          ($"__hits" >= 3).as("recall_ok")
         )
         .orderBy($"qid")
     },
@@ -180,7 +205,7 @@ object SimilarityQueries {
     * path — centroid assignment, posting lists, probe join, within-list
     * ranking — must reproduce brute-force top-k EXACTLY, which makes the
     * whole IVF pipeline oracle-checkable (the driver-run twin of IvfSpec's
-    * nProbe=k ≡ bruteForce property; q42 keeps the production nProbe=2
+    * nProbe=k ≡ bruteForce property; q42 keeps the production nProbe=4
     * shape). Oracle = plain exact cosine top-k: probing all lists is
     * equivalent by construction, so KMeans' cluster geometry cancels out.
     */
@@ -196,16 +221,7 @@ object SimilarityQueries {
         .select($"qid", $"vec_id", $"rank", round($"cos", 4).as("cos"))
         .orderBy($"qid", $"rank")
     },
-    Some(s"""
-      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-      s AS (SELECT qid, vec_id, ${cosSql("qe", "embedding")} AS cos
-            FROM embeddings, q WHERE qid <> vec_id)
-      SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos FROM (
-        SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, cos
-        FROM s
-      ) WHERE rank <= 5
-      ORDER BY qid, rank
-    """.trim)
+    Some(bruteForceTop5Sql)
   )
 
   /** TF-IDF cosine top-k ([[TfIdf.topKSimilar]]): sparse-vector textual
