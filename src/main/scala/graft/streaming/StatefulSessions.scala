@@ -32,6 +32,12 @@ object StatefulSessions {
       gapMs: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout
   ): Dataset[SessionOut] = {
+    // only the two timeouts this operator actually arms: EventTimeTimeout
+    // would be accepted by flatMapGroupsWithState but never set below, so
+    // no key would EVER flush — silent unbounded state growth
+    require(
+      timeout == GroupStateTimeout.NoTimeout || timeout == GroupStateTimeout.ProcessingTimeTimeout,
+      "sessionize supports NoTimeout or ProcessingTimeTimeout")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.userId)
@@ -50,9 +56,15 @@ object StatefulSessions {
           sorted.foreach { e =>
             val cents = math.round(e.value * 100)
             cur match {
-              case Some(s) if e.tsMs - s.lastMs <= gapMs =>
-                // min/max guards: a late event from a previous micro-batch
-                // must not regress the session window
+              // member iff within gapMs of the open WINDOW on either side:
+              // `e.tsMs - s.lastMs <= gapMs` alone is vacuously true for any
+              // arbitrarily-late event (negative difference), which would
+              // merge an hours-old straggler into the current session —
+              // spanning a silent gap and overlapping sessions already
+              // emitted.
+              case Some(s) if e.tsMs - s.lastMs <= gapMs && s.startMs - e.tsMs <= gapMs =>
+                // min/max guards: a within-gap late event from a previous
+                // micro-batch must not regress the session window
                 cur = Some(
                   s.copy(
                     startMs = math.min(s.startMs, e.tsMs),
@@ -60,6 +72,14 @@ object StatefulSessions {
                     nEvents = s.nEvents + 1,
                     totalCents = s.totalCents + cents
                   ))
+              case Some(s) if e.tsMs < s.startMs =>
+                // straggler beyond the open window's horizon: emit it as its
+                // own closed singleton session and leave the LIVE session
+                // untouched (closing it here would split a genuinely open
+                // session because old data arrived). The gap invariant holds
+                // for every emitted session; its cross-session spacing is the
+                // price of out-of-horizon data, same as any late-data policy.
+                closed ::= SessionOut(userId, e.tsMs, e.tsMs, 1, cents / 100.0)
               case Some(s) =>
                 closed ::= SessionOut(userId, s.startMs, s.lastMs, s.nEvents, s.totalCents / 100.0)
                 cur = Some(SessionState(e.tsMs, e.tsMs, 1, cents))

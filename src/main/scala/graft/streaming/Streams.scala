@@ -70,9 +70,12 @@ object Streams {
       table: String,
       checkpointDir: String
   ): StreamingQuery =
-    spark.readStream
-      .schema(schema)
-      .parquet(stagingDir)
+    // through readTableStream for its maxFilesPerTrigger bound: an uncapped
+    // reader puts a whole staging backlog (weeks of files) into ONE
+    // micro-batch under AvailableNow — a single giant dedup/append job
+    // whose mid-batch failure retries the entire backlog from zero, where
+    // the capped form commits progress every few files
+    readTableStream(spark, schema, stagingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // in-batch dedup first (the reference adds newly-written hashes to
@@ -113,12 +116,21 @@ object Streams {
   ): DataFrame = {
     import graft.operators.TextAnalysis
     val text = col(textCol)
+    // gate VALUES computed in one projection, filtered afterwards: inside a
+    // single Filter the three conjuncts codegen separately (FilterExec does
+    // no cross-conjunct subexpression elimination), re-tokenizing every
+    // document up to 3× on the hot ingest path — in a Project the identical
+    // underlying TextStats calls collapse to one pass
     stream
+      .withColumn("__tok", TextAnalysis.tokenCount(text))
+      .withColumn("__lang", TextAnalysis.langId(text))
+      .withColumn("__q", TextAnalysis.qualityScore(text))
       .filter(
-        TextAnalysis.tokenCount(text) >= cfg.minTokens &&
-          TextAnalysis.langId(text).isInCollection(cfg.allowedLangs) &&
-          TextAnalysis.qualityScore(text) >= cfg.minQuality
+        col("__tok") >= cfg.minTokens &&
+          col("__lang").isInCollection(cfg.allowedLangs) &&
+          col("__q") >= cfg.minQuality
       )
+      .drop("__tok", "__lang", "__q")
       .withColumn("__content_md5", md5(text))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("__content_md5")
