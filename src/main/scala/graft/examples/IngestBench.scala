@@ -77,9 +77,14 @@ object IngestBench {
     }
 
     if (results.length > 1) {
-      val (n0, (l0, r0)) = results.head
-      val growth = results.map { case (n, (l, r)) =>
-        f""""x${n / n0}":{"load_rate_ratio":${l / l0}%.2f,"refresh_rate_ratio":${r / r0}%.2f}"""
+      // key by the actual entry count, baseline = the SMALLEST scale:
+      // integer-division x${n/n0} keys collide for close scales (duplicate
+      // JSON keys) and an unsorted argument order produced "x0" with every
+      // ratio inverted against the largest run
+      val sorted = results.sortBy(_._1)
+      val (n0, (l0, r0)) = sorted.head
+      val growth = sorted.map { case (n, (l, r)) =>
+        f""""n$n":{"scale":${n.toDouble / n0}%.1f,"load_rate_ratio":${l / l0}%.2f,"refresh_rate_ratio":${r / r0}%.2f}"""
       }.mkString("{", ",", "}")
       // flat per-entry cost = rate ratios ≈ 1 across scales
       println(s"""{"bench":"ingest_scale_summary","base_entries":$n0,"rates":$growth}""")

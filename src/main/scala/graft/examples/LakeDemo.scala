@@ -101,11 +101,22 @@ object LakeDemo {
     // stage a batch: one row duplicating lake content, one genuinely new
     val cur = Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash")
     val dupRow = cur.filter($"pid" === 5).drop("scraped_at", "row_hash")
-    val newRow = dupRow.withColumn("pid", lit(99L)).withColumn("assessment_value", lit(123.0))
+    // the new ENTITY needs its own content-derived uuid (Flatten's identity
+    // contract): reusing pid 5's uuid would land the row as a fake new
+    // VERSION of entity 5 — pid 5 would vanish from current-state results
+    val newRow = dupRow
+      .withColumn("pid", lit(99L))
+      .withColumn("assessment_value", lit(123.0))
+      .withColumn(
+        "uuid",
+        graft.functions.Canonical.deterministicUuid(
+          col("pid"),
+          graft.functions.Canonical
+            .canonicalJsonOf("pid" -> col("pid"), "town_name" -> col("town_name"))))
     Lake.append(Lake.stampMetadata(dupRow.unionByName(newRow), ts), root, "_staging", "properties")
     val schema = Lake.read(spark, root, "_staging", "properties").schema
     val q = graft.streaming.Streams.refreshStream(
-      spark, schema, Lake.tablePath(root, "_staging", "properties"),
+      spark, schema, staging,
       root, "demoville", "properties", s"$root/_cp/properties")
     q.awaitTermination()
     println(s"   lake after streamed refresh: ${Lake.read(spark, root, "demoville", "properties").count()} rows")

@@ -56,10 +56,17 @@ object MicroBench {
       T.orders.select(concat(lit("$"), format_number(dollars, 0), lit("."),
         lpad(rem.cast("string"), 2, "0")).as("m")).filter(length($"m") > 3).count()
     }
-    // q28 anatomy: replicate the bench order (dedup trio first)
-    for (n <- Seq("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash_pairs",
-                  "q27_embed_topk", "q28_ann_lsh", "q28_ann_lsh")) {
-      time(s"bench-order $n")(graft.SparkEntry.queries(n)(spark, dir).count())
+    // q28 anatomy: replicate the bench order (dedup trio first); q28 runs
+    // twice DELIBERATELY — first-hit vs repeat — with distinct labels so
+    // neither number can be quoted as the other
+    for (((n, label), _) <- Seq(
+        "q24_ngram_jaccard" -> "q24_ngram_jaccard",
+        "q25_minhash_lsh" -> "q25_minhash_lsh",
+        "q26_simhash_pairs" -> "q26_simhash_pairs",
+        "q27_embed_topk" -> "q27_embed_topk",
+        "q28_ann_lsh" -> "q28_ann_lsh (first hit)",
+        "q28_ann_lsh" -> "q28_ann_lsh (repeat, warm)").zipWithIndex) {
+      time(s"bench-order $label")(graft.SparkEntry.queries(n)(spark, dir).count())
     }
 
     // skew: 2M rows, 95% on one key — salted vs plain shuffle join

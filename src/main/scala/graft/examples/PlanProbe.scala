@@ -1,7 +1,6 @@
 package graft.examples
 
 import graft.{GraftSession, SparkEntry}
-import org.apache.spark.sql.SparkSession
 
 /** Micro-bench one named SparkEntry query in isolation: 3 timed reps after a
   * warm-up, then the formatted plan — the iterate-on-`.explain` loop the
@@ -11,13 +10,9 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q18_json_extract")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.configure(
-      SparkSession.builder()
-        .master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-    ).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the canonical rig (not a hand-rolled twin that drifts from it — and
+    // local() also registers the graft_* SQL functions a probed query may use)
+    val spark = GraftSession.local(cores = 32, shufflePartitions = 32)
     import org.apache.spark.sql.functions._
     spark.range(1000000).agg(sum(col("id"))).collect() // warm
     val fn = SparkEntry.queries(name)

@@ -102,10 +102,17 @@ object ScaleBench {
   private def materialize(spark: SparkSession, baseDir: String, scratch: String, k: Int): String = {
     val dir = s"$scratch/x$k"
     val marker = new java.io.File(s"$dir/_READY")
-    if (!marker.exists()) {
+    // the marker records WHICH base produced the corpus: a bare existence
+    // check would silently reuse a stale corpus from a different baseDir
+    // (or regenerated testdata) while the summary line labels it with the
+    // new base — mislabeled curves
+    val tag = baseDir
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
+    if (!fresh) {
       scaleDocs(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       scaleEmbeddings(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
     }
     dir
   }

@@ -98,9 +98,14 @@ object ScdScaleBench {
   private def materialize(spark: SparkSession, baseDir: String, scratch: String, ax: Axis): String = {
     val dir = s"$scratch/${ax.label}"
     val marker = new java.io.File(s"$dir/_READY")
-    if (!marker.exists()) {
+    // marker carries the producing baseDir (see ScaleBench.materialize):
+    // existence alone would reuse a stale corpus from a different base
+    val tag = baseDir
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
+    if (!fresh) {
       scaleEvents(spark, baseDir, ax.e, ax.v).write.mode("overwrite").parquet(s"$dir/events.parquet")
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
     }
     dir
   }
@@ -159,15 +164,22 @@ object ScdScaleBench {
       .option("compression", "zstd")
       .parquet(path)
     val filesBefore = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
-    val t = time2(spark) {
-      // time2 runs the body twice — re-fragment so the second run compacts
-      // the same thousand-file state, not an already-compacted table
-      if (new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet")) < filesBefore) {
-        spark.read.parquet(path).repartition(100 * ax.factor)
-          .write.mode("overwrite").option("compression", "zstd").parquet(path)
-      }
+    // re-fragment OUTSIDE the timed body: folding it inside made the second
+    // rep time refragment+compact while the first timed compact alone — the
+    // min-of-2 discipline degraded to one sample, and a noisy first rep put
+    // a whole-table rewrite into the reported compaction curve
+    def refragment(): Unit =
+      spark.read.parquet(path).repartition(100 * ax.factor)
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+    def onceCompact(): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
       Lake.compact(spark, root, scope, table, target = 0, targetFileBytes = 64L * 1024 * 1024)
+      (System.nanoTime() - t0) / 1e9
     }
+    val t1 = onceCompact()
+    refragment()
+    val t = math.min(t1, onceCompact())
     val filesAfter = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
     println(
       s"""{"bench":"scd_scale","axis":"${ax.label}","query":"compact_files","before":$filesBefore,"after":$filesAfter}""")
