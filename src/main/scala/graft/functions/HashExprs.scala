@@ -117,12 +117,19 @@ object HashSupport {
     while (j >= 0) { pw(j) = pw(j + 1) * B % M; j -= 1 }
     val nh = n - k + 1
     val hs = new Array[Long](nh)
-    var i = 0
+    // TRUE rolling update — O(n), not the O(n·k) re-sum per position:
+    //   hs(i+1) = ((hs(i) − cp(i)·B^{k-1}) · B + cp(i+k)) mod M
+    // Modular arithmetic makes the residues IDENTICAL to the term-wise
+    // Σ cp·B^j form the SQL oracle replays, so outputs are unchanged.
+    var acc0 = 0L
+    var t = 0
+    while (t < k) { acc0 = (acc0 + cps(t) * pw(t)) % M; t += 1 }
+    hs(0) = acc0
+    var i = 1
     while (i < nh) {
-      var acc = 0L
-      var t = 0
-      while (t < k) { acc += cps(i + t) * pw(t) % M; t += 1 }
-      hs(i) = acc % M
+      var x = (hs(i - 1) - cps(i - 1) * pw(0) % M) % M
+      if (x < 0) x += M
+      hs(i) = (x * B + cps(i + k - 1)) % M
       i += 1
     }
     val selected = new java.util.TreeSet[java.lang.Long]()
@@ -191,7 +198,14 @@ object DotSupport {
     * accumulated in index order (the DuckDB oracle formulation).
     */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail LOUDLY on a dimension mismatch (same contract as PqSupport): a
+    // min-length clamp would return a plausible in-range cosine computed
+    // over a truncated vector — a corrupt/short embedding could rank #1
+    // for queries it doesn't resemble, with no error anywhere
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_array_dot: dimension mismatch $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -264,7 +278,13 @@ object LshSupport {
     var h = 0
     while (h < planes.length) {
       val p = planes(h)
-      val n = math.min(v.numElements(), p.length)
+      // same loud-mismatch contract as dot(): a truncated vector would
+      // otherwise bucket on a prefix projection and silently land in the
+      // wrong bucket for every band
+      if (v.numElements() != p.length)
+        throw new IllegalArgumentException(
+          s"graft_lsh_bucket: vector dimension ${v.numElements()} != plane dimension ${p.length}")
+      val n = p.length
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -279,8 +299,14 @@ object LshSupport {
   }
 }
 
-/** long sign-bit LSH bucket over fixed hyperplanes (codegen-enabled). */
-case class LshBucket(child: Expression, planes: Seq[Array[Double]]) extends UnaryExpression {
+/** long sign-bit LSH bucket over fixed hyperplanes (codegen-enabled).
+  * `planes` is Seq[Seq[...]] — NOT Seq[Array[...]] — so case-class equality
+  * is structural: Arrays compare by reference, and two LshBucket
+  * expressions built from fresh `hyperplanes()` calls would never be
+  * semantically equal, defeating common-subexpression elimination and
+  * cached-plan matching (the PQ expressions use the same convention).
+  */
+case class LshBucket(child: Expression, planes: Seq[Seq[Double]]) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{DoubleType, FloatType}
 
@@ -296,7 +322,7 @@ case class LshBucket(child: Expression, planes: Seq[Array[Double]]) extends Unar
         s"graft_lsh_bucket requires array<float> or array<double>, got ${other.catalogString}")
   }
 
-  @transient private lazy val planeArr: Array[Array[Double]] = planes.toArray
+  @transient private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -460,9 +486,11 @@ object TextStatsSupport {
     *
     * Semantics replicate the expression composition exactly: tokenization is
     * `split(lower(text), "\\s+")` with Spark's limit=-1 (trailing empty
-    * tokens kept), lowercase is UTF8String.toLowerCase (locale-independent,
-    * same as the `lower` function), and lengths count code points (same as
-    * the `length` function). The HOF composition walks the token array once
+    * tokens kept), lowercase is Locale.ROOT (truly locale-independent —
+    * UTF8String.toLowerCase falls back to DEFAULT-locale String.toLowerCase
+    * for non-ASCII text, so a tr-TR host would diverge; on the ASCII
+    * fixtures all paths agree with Spark's `lower` and the DuckDB oracle),
+    * and lengths count code points (same as the `length` function). The HOF composition walks the token array once
     * per statistic through the interpreted lambda path (~7 passes for the
     * corpus gates); this walks it once, codegen'd.
     */
@@ -471,7 +499,7 @@ object TextStatsSupport {
       stop: java.util.HashSet[String],
       markers: Array[java.util.HashSet[String]]
   ): InternalRow = {
-    val toks = WS.split(text.toLowerCase.toString, -1)
+    val toks = WS.split(text.toString.toLowerCase(java.util.Locale.ROOT), -1)
     val uniq = new java.util.HashSet[String](toks.length * 2)
     val marks = new Array[Int](markers.length)
     var totalLen = 0
@@ -553,7 +581,7 @@ object RepStatsSupport {
     * expression stays a pure codegen'd map at any corpus size.
     */
   def stats(text: UTF8String): InternalRow = {
-    val toks = WS.split(text.toLowerCase.toString, -1)
+    val toks = WS.split(text.toString.toLowerCase(java.util.Locale.ROOT), -1)
     val uni = new java.util.HashMap[String, Int](toks.length * 2)
     var topUni = 0
     var i = 0
@@ -1033,7 +1061,7 @@ object HashExprs {
       PqQueryTableExpr(ColumnShim.expression(v), codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
 
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
-    ColumnShim.column(LshBucket(ColumnShim.expression(v), planes))
+    ColumnShim.column(LshBucket(ColumnShim.expression(v), planes.map(_.toSeq)))
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))

@@ -109,11 +109,16 @@ object Similarity {
       )
       .drop("__b")
     val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), planeVecs))
+    // dedup the (qid, vec_id) pairs BEFORE scoring: a candidate matching a
+    // query in several probe buckets would otherwise pay the full d-dim
+    // cosine once per matching probe (up to planes+1×) only for
+    // dropDuplicates to discard the identical copies
     val scored = cb
       .join(broadcast(qb), Seq("bucket"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+      .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
+      .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
-      .dropDuplicates("qid", "vec_id") // a candidate can match several probes
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -150,6 +155,12 @@ object Similarity {
     import spark.implicits._
     val vecType = df.schema(vecCol).dataType
     val top = df
+      // drop null embeddings up front: to_json(null) is null, two null __j
+      // rows tie on the hash and NPE inside takeOrdered's tuple Ordering —
+      // an opaque driver crash deep in the per-partition merge, where the
+      // rest of the engine treats degenerate embeddings as ignorable
+      // (cosine → NULL). Nulls carry no geometry to train on anyway.
+      .filter(col(vecCol).isNotNull)
       .select(to_json(col(vecCol)).as("__j"))
       .select(xxhash64($"__j").as("__h"), $"__j")
       .as[(Long, String)]

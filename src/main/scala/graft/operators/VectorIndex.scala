@@ -73,18 +73,27 @@ object VectorIndex {
     // In residual mode both codebook training and encoding run over the
     // residuals — train/encode must see the same distribution or the codes
     // are systematically biased toward the raw geometry.
-    val (encodeInput, encodeCol) =
+    val (encodeInput0, encodeCol) =
       if (residual)
         (assigned.withColumn("rvec", residualCol($"embedding", $"cluster", centroids)), "rvec")
       else (assigned, "embedding")
-    val codebooks = Similarity.pqTrainKMeans(encodeInput, encodeCol, m, ksub, seed)
-    Similarity
-      .pqEncode(encodeInput, encodeCol, codebooks)
-      .select($"vec_id", $"cluster", $"codes")
-      .write
-      .mode("overwrite")
-      .partitionBy("cluster")
-      .parquet(s"$dir/postings")
+    // persist: the codebook trainer probes the dimension, samples for
+    // training, and the encode write scans — three actions over a lineage
+    // that includes the full k-means assignment of the corpus; one
+    // materialization serves all of them
+    val encodeInput = encodeInput0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks =
+      try {
+        val cb = Similarity.pqTrainKMeans(encodeInput, encodeCol, m, ksub, seed)
+        Similarity
+          .pqEncode(encodeInput, encodeCol, cb)
+          .select($"vec_id", $"cluster", $"codes")
+          .write
+          .mode("overwrite")
+          .partitionBy("cluster")
+          .parquet(s"$dir/postings")
+        cb
+      } finally encodeInput.unpersist(blocking = false)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toSeq
@@ -193,6 +202,11 @@ object VectorIndex {
   ): Handle = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // crash repair FIRST: an interrupted rebalance (between its append and
+    // delete) leaves moved vectors in two lists, and a re-run allocates
+    // DIFFERENT fresh list ids, so nothing downstream could ever collapse
+    // the copies — they'd double-count in every probe forever
+    repairCrossListDuplicates(h, spark)
     val occ = stats(h, spark).as[(Int, Long)].collect()
     val total = occ.map(_._2).sum
     val mean = math.max(1.0, total.toDouble / h.centroids.length)
@@ -208,11 +222,15 @@ object VectorIndex {
         corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
         Seq("vec_id"))
       .persist()
-    val resolved = members.count()
-    require(
-      resolved == hot.map(_._2).sum,
-      s"rebalance: corpus resolves $resolved of ${hot.map(_._2).sum} hot-list vectors — " +
-        "refusing to drop the unresolved ones from the index")
+    try {
+      val resolved = members.count()
+      require(
+        resolved == hot.map(_._2).sum,
+        s"rebalance: corpus resolves $resolved of ${hot.map(_._2).sum} hot-list vectors — " +
+          "refusing to drop the unresolved ones from the index")
+    } catch {
+      case t: Throwable => members.unpersist(blocking = false); throw t
+    }
 
     // per hot list: k-means its members into ~mean-sized sub-lists, map the
     // local sub-cluster ids onto (old id, fresh global ids...)
@@ -273,10 +291,12 @@ object VectorIndex {
 
     // append-then-delete swap: snapshot the hot partitions' current files,
     // write the re-encoded rows alongside them, then remove exactly the
-    // snapshotted files. A crash between the two steps leaves duplicate
-    // rows, never missing vectors; the rows are bit-identical (training is
-    // deterministic), so the dropDuplicates on a re-run's survivor set —
-    // and on this write itself — collapses them back to exactly-once.
+    // snapshotted files. A crash between the two steps leaves each moved
+    // vector in TWO lists (the old list's row plus the fresh list's) —
+    // which a plain re-run could never collapse, because it would allocate
+    // DIFFERENT fresh list ids; [[repairCrossListDuplicates]] at the top
+    // of every rebalance detects exactly that state and restores
+    // exactly-once placement before any new split.
     val fs = new org.apache.hadoop.fs.Path(h.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldFiles = hotIds.flatMap { l =>
@@ -285,9 +305,68 @@ object VectorIndex {
     }
     reencoded.dropDuplicates("vec_id", "cluster")
       .write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
-    oldFiles.foreach(fs.delete(_, false))
+    oldFiles.foreach(checkedDelete(fs, _))
     members.unpersist(blocking = false)
     h.copy(centroids = centroidArr)
+  }
+
+  /** Hadoop FS signals delete failure by returning FALSE, not throwing —
+    * an unchecked delete after an append-then-delete swap would leave the
+    * old rows live alongside their replacements, silently doubling them.
+    */
+  private def checkedDelete(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new java.io.IOException(
+        s"could not delete $p — old rows would stay live alongside their replacements")
+
+  /** Collapse any vec_id present in more than one posting list — the state
+    * an interrupted [[rebalanceIfNeeded]] leaves behind (old-list row +
+    * fresh-list row; a re-run allocates different fresh ids, so no later
+    * write can merge the copies). Canonical placement is the LARGEST
+    * cluster id: maintenance only ever moves vectors toward newer
+    * (higher-id) lists, so the newest placement is the interrupted run's
+    * intent; same-cluster copies collapse arbitrarily (they decode against
+    * the same centroid). Only partitions holding a row of a duplicated
+    * vec_id are rewritten; the repair itself uses the same append-then-
+    * delete swap and CONVERGES under repeated crashes (a crash mid-repair
+    * only adds same-cluster copies, which the next pass collapses).
+    */
+  private def repairCrossListDuplicates(h: Handle, spark: SparkSession): Unit = {
+    import spark.implicits._
+    val postings = spark.read.parquet(s"${h.dir}/postings")
+    val placement = postings
+      .groupBy($"vec_id")
+      .agg(max($"cluster").as("__keep"), count(lit(1)).as("__n"))
+      .filter($"__n" > 1)
+      .select($"vec_id", $"__keep")
+      .persist()
+    try {
+      if (placement.count() == 0L) return
+      val hitLists = postings
+        .join(placement, Seq("vec_id"), "left_semi")
+        .select($"cluster")
+        .distinct()
+        .as[Int]
+        .collect()
+      val affected = postings.filter(col("cluster").isin(hitLists.map(Int.box): _*))
+      val survivors = affected
+        .join(placement, Seq("vec_id"), "left")
+        .filter($"__keep".isNull || $"cluster" === $"__keep")
+        .dropDuplicates("vec_id")
+        .select($"vec_id", $"cluster", $"codes")
+        .persist()
+      try {
+        survivors.count() // fully materialize off the pre-swap listing
+        val fs = new org.apache.hadoop.fs.Path(h.dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val oldFiles = hitLists.toSeq.flatMap { l =>
+          val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
+        }
+        survivors.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
+        oldFiles.foreach(checkedDelete(fs, _))
+      } finally survivors.unpersist(blocking = false)
+    } finally placement.unpersist(blocking = false)
   }
 
   /** Remove vectors from the index — the delete half of the incremental
@@ -345,7 +424,7 @@ object VectorIndex {
       if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
     }
     survivors.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
-    oldFiles.foreach(fs.delete(_, false))
+    oldFiles.foreach(checkedDelete(fs, _))
     survivors.unpersist(blocking = false)
     removed
   }

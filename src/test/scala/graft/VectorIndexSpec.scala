@@ -209,6 +209,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows.length == 197 && Set(0L, 4L, 8L).intersect(rows.toSet).isEmpty)
   }
 
+  test("rebalance repairs an interrupted predecessor: cross-list duplicates collapse") {
+    // a crash between a rebalance's postings append and its old-file delete
+    // leaves moved vectors in TWO lists — and a re-run allocates different
+    // fresh ids, so only the explicit repair pre-pass can ever collapse
+    // them (they'd double-count in every probe forever otherwise)
+    val dir = tmpDir("vindex_rebal_crash")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val movedRows = spark.read.parquet(s"$dir/postings")
+      .filter($"cluster" === 0).select($"vec_id", $"codes").limit(3)
+      .as[(Long, Seq[Int])].collect().toSeq
+    val movedIds = movedRows.map(_._1).toSet
+    movedRows.map { case (id, codes) => (id, 3, codes) }.toDF("vec_id", "cluster", "codes")
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/postings")
+    val dupCount = spark.read.parquet(s"$dir/postings")
+      .groupBy($"vec_id").count().filter($"count" > 1).count()
+    assert(dupCount == 3, "precondition: crashed state holds cross-list duplicates")
+
+    // nothing is hot (huge skew bound) — the call is repair-only
+    VectorIndex.rebalanceIfNeeded(h, corpus, "vec_id", "embedding", maxSkew = 1000.0)
+    val after = spark.read.parquet(s"$dir/postings")
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect()
+    assert(after.length == 200 && after.map(_._1).distinct.length == 200,
+      s"duplicates survived the repair: ${after.length} rows")
+    // the NEWEST placement wins (maintenance only moves vectors to newer lists)
+    val placed = after.toMap
+    movedIds.foreach(id => assert(placed(id) == 3, s"vec $id not at its newest placement"))
+  }
+
   test("rebalanceIfNeeded: drift-heavy appends degrade recall, rebalance restores it to ~fresh-build") {
     // build on mode A (4 tight clusters), then append a mode B the build
     // never saw (4 NEW clusters) — B's 400 vectors pour into whichever of
