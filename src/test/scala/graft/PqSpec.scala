@@ -122,6 +122,26 @@ class PqSpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - 1.5) < 1e-12 && row.getLong(1) == 2L)
   }
 
+  test("dot fails LOUDLY on dimension mismatch; LSH expressions are structurally equal") {
+    import graft.functions.HashExprs
+    import org.apache.spark.sql.functions.col
+    // a truncated embedding must throw, not score a plausible prefix cosine
+    val mixed = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      mixed.select(HashExprs.arrayDot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // surfaced, not silent
+    // two expressions built from FRESH hyperplanes() calls over the same
+    // child must be equal — Array-typed planes compared by reference and
+    // defeated CSE/cache reuse (the child is shared: an attribute's Origin
+    // carries source-location context that legitimately differs per line)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val child = ColumnShim.expression(col("e"))
+    val p1 = graft.functions.LshBucket(child, Similarity.hyperplanes(8, 16).map(_.toSeq))
+    val p2 = graft.functions.LshBucket(child, Similarity.hyperplanes(8, 16).map(_.toSeq))
+    assert(p1 == p2, "identical LshBucket expressions must compare equal")
+  }
+
   test("trained codebook: ADC top-1 recall ≥ 0.9 on clustered data") {
     val rnd = new Random(7)
     val centers = Seq.fill(5)(Array.fill(16)(rnd.nextGaussian() * 5))
