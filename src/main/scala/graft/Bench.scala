@@ -23,31 +23,39 @@ object Bench {
       r.join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
         .groupBy(col("r_name")).count().collect()
     }
-    // min of three timed runs per query: this host shows 2-3x wall-clock
-    // noise between runs, and the min is the better estimate of the
-    // query's actual cost. Every run executes fully: the session cache is
-    // cleared before each rep, so a query that persists intermediates
-    // (the near-dup family) cannot serve rep N from rep N-1's blocks —
-    // min-of-N measures the query's compute, not a cache hit. (The OS page
-    // cache is shared by all reps; that is the steady state a real cluster
-    // sees too.) A throwing query reports -1.0 — a failure marker, never
-    // a time.
+    // min of three timed runs per query, with the reps INTERLEAVED: three
+    // full sweeps over every query, per-query min across sweeps. This host
+    // shows 2-3x wall-clock noise between runs, and the min is the better
+    // estimate of the query's actual cost. Back-to-back reps (the previous
+    // protocol) proved insufficient in the round-5 run: a multi-minute
+    // host-load window covered all three consecutive reps of a contiguous
+    // query block, surviving the min. Interleaving means a load window
+    // must span the ENTIRE bench three times over to corrupt any single
+    // min — minutes apart instead of seconds. Every rep executes fully:
+    // the session cache is cleared before each, so a query that persists
+    // intermediates (the near-dup family) cannot serve sweep N from sweep
+    // N-1's blocks — the min measures the query's compute, not a cache
+    // hit. (The OS page cache is shared by all sweeps; that is the steady
+    // state a real cluster sees too.) A query that throws in any sweep
+    // reports -1.0 — a failure marker, never a time.
     // Optional comma-separated name filter for local iteration on a subset
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q62_neardup_clusters,q63_neardup_dropped);
     // the driver never sets it, so its runs always cover every query.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Option[Double] = {
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
-      }
-      val times = Seq(once(), once(), once()).flatten
-      name -> (if (times.size == 3) times.min else -1.0)
+      .toSeq
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
     }
+    val sweeps = Seq.fill(3)(selected.map { case (name, fn) => name -> once(name, fn) })
+    val results = selected.map { case (name, _) =>
+      val times = sweeps.flatMap(_.collectFirst { case (`name`, t) => t }).flatten
+      name -> (if (times.size == 3) times.min else -1.0)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

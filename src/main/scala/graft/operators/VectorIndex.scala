@@ -44,6 +44,41 @@ object VectorIndex {
       residual: Boolean
   )
 
+  /** Index metadata: monotone version (bumped by every geometry/encoding
+    * change), encoding mode, and the BUILD-TIME mean quantization error —
+    * the baseline [[retrainIfDrifted]] measures drift against. `None` on
+    * indexes built before the drift metric existed.
+    */
+  private final case class Meta(version: Int, residual: Boolean, baselineQerr: Option[Double])
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    import spark.implicits._
+    // after a crash between the meta delete and rename of a retrain commit,
+    // the staged copy is the real metadata — fall back to it
+    val paths = Seq(s"$dir/meta", s"$dir/meta.__retrain")
+    val df = paths.view
+      .map(p => scala.util.Try(spark.read.parquet(p)))
+      .collectFirst { case scala.util.Success(d) => d }
+      .getOrElse(return Meta(1, residual = false, None)) // pre-residual legacy index
+    val version = df.select($"version").as[Int].head()
+    val residual = df.select($"residual").as[Boolean].head()
+    val baseline =
+      if (df.columns.contains("baseline_qerr"))
+        df.select($"baseline_qerr").as[Option[Double]].head()
+      else None
+    Meta(version, residual, baseline)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.version, m.residual, m.baselineQerr))
+      .toDF("version", "residual", "baseline_qerr")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Element-wise `vec − centroids[cluster]` as a plan expression. The
     * centroid matrix rides in as a nested array literal; at kLists·d
     * doubles it's metadata-sized. Result is array<double> (explicit
@@ -64,7 +99,8 @@ object VectorIndex {
       m: Int = 8,
       ksub: Int = 16,
       seed: Long = 42L,
-      residual: Boolean = true
+      residual: Boolean = true,
+      qerrSampleFraction: Double = 1.0
   ): Handle = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -108,15 +144,14 @@ object VectorIndex {
       .write
       .mode("overwrite")
       .parquet(s"$dir/codebooks")
-    // meta carries the encoding mode: a reopened index MUST decode the way
-    // it was encoded — probing a residual index flat (or vice versa) would
-    // silently rank garbage distances
-    Seq((1, residual)).toDF("version", "residual")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/meta")
-    Handle(dir, centroids, codebooks, residual)
+    // meta carries the encoding mode (a reopened index MUST decode the way
+    // it was encoded — probing a residual index flat, or vice versa, would
+    // silently rank garbage distances) and the build-time quantization
+    // error, the drift baseline retrainIfDrifted compares against
+    val h0 = Handle(dir, centroids, codebooks, residual)
+    val baseline = quantizationError(h0, std, "vec_id", "embedding", qerrSampleFraction)
+    writeMeta(spark, s"$dir/meta", Meta(1, residual, Some(baseline)))
+    h0
   }
 
   /** Incrementally add vectors to a persisted index — the refresh path of
