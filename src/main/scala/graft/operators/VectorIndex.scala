@@ -79,6 +79,19 @@ object VectorIndex {
       .parquet(path)
   }
 
+  private def writeCodebooks(
+      spark: SparkSession,
+      path: String,
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    (for { s <- codebooks.indices; j <- codebooks(s).indices }
+      yield (s, j, codebooks(s)(j).toSeq)).toDF("s", "j", "c")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Element-wise `vec − centroids[cluster]` as a plan expression. The
     * centroid matrix rides in as a nested array literal; at kLists·d
     * doubles it's metadata-sized. Result is array<double> (explicit
@@ -138,12 +151,7 @@ object VectorIndex {
       .write
       .mode("overwrite")
       .parquet(s"$dir/centroids")
-    (for { s <- codebooks.indices; j <- codebooks(s).indices }
-      yield (s, j, codebooks(s)(j).toSeq)).toDF("s", "j", "c")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/codebooks")
+    writeCodebooks(spark, s"$dir/codebooks", codebooks)
     // meta carries the encoding mode (a reopened index MUST decode the way
     // it was encoded — probing a residual index flat, or vice versa, would
     // silently rank garbage distances) and the build-time quantization
@@ -197,6 +205,73 @@ object VectorIndex {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cluster"))
 
+  /** Per-row achieved PQ reconstruction error under `codebooks`:
+    * `Σ_s min_j ‖x_s − C[s][j]‖²`. Encoding picks the argmin sub-centroid
+    * per subspace, so the per-subspace MIN over the ADC query table IS the
+    * error the encode of `x` achieves — no separate encode+decode pass.
+    * Pure scan-side expression; nothing shuffles.
+    */
+  private def qerrCol(x: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    aggregate(
+      transform(Similarity.pqQueryTable(x, codebooks), a => array_min(a)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Mean PQ quantization error of `corpus` under the index's CURRENT
+    * geometry (centroids + codebooks): each vector is assigned to its
+    * nearest centroid, the encode input (residual or raw, matching the
+    * index's mode) is scored with [[qerrCol]], and the mean is returned.
+    *
+    * This is the codebook-staleness signal: [[build]] records it as the
+    * baseline in meta, and [[retrainIfDrifted]] compares the same metric
+    * over the drifted corpus against that baseline. Quantization error is
+    * the right lens because it is exactly the quantity ADC ranking
+    * degrades by — a distribution shift that doesn't move it doesn't hurt
+    * recall, and one that does is invisible to [[stats]]' occupancy skew
+    * (a new modality can land perfectly balanced and still quantize
+    * terribly).
+    *
+    * `sampleFraction` bounds the cost on a large corpus via the portable
+    * deterministic hash band ([[Sampling.hash60]] on the id) — same rows,
+    * same estimate, on any cluster. Falls back to the full corpus when the
+    * band comes back empty (tiny corpus × small fraction).
+    */
+  def quantizationError(
+      h: Handle,
+      corpus: DataFrame, // (idCol, vecCol: array<float>)
+      idCol: String,
+      vecCol: String,
+      sampleFraction: Double = 1.0
+  ): Double = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, s"sampleFraction $sampleFraction not in (0,1]")
+    val std = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .filter(col("embedding").isNotNull)
+    def meanErr(df: DataFrame): Option[Double] = {
+      val assigned = df.withColumn(
+        "cluster",
+        element_at(Similarity.nearestCentroids(col("embedding"), h.centroids, 1), 1))
+      val x =
+        if (h.residual) residualCol(col("embedding"), col("cluster"), h.centroids)
+        else col("embedding")
+      assigned
+        .select(avg(qerrCol(x, h.codebooks)).as("__e"))
+        .collect()
+        .headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    }
+    val sampled =
+      if (sampleFraction >= 1.0) std
+      else {
+        val den = 1 << 20
+        Sampling.bernoulli(std, col("vec_id"), math.max(1, (sampleFraction * den).toInt), den)
+      }
+    meanErr(sampled)
+      .orElse(meanErr(std))
+      .getOrElse(throw new IllegalArgumentException(
+        "quantizationError: corpus has no non-null vectors"))
+  }
+
   /** The "when to rebuild" half of the append lifecycle: split posting
     * lists that outgrew their peers. [[append]] freezes the coarse
     * geometry, so a drifting corpus (a new content mode the build never
@@ -237,10 +312,14 @@ object VectorIndex {
   ): Handle = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // crash repair FIRST: an interrupted rebalance (between its append and
-    // delete) leaves moved vectors in two lists, and a re-run allocates
-    // DIFFERENT fresh list ids, so nothing downstream could ever collapse
-    // the copies — they'd double-count in every probe forever
+    // crash repair FIRST: roll forward any interrupted retrain commit (its
+    // staged artifacts are authoritative once the marker exists), then
+    // collapse cross-list duplicates — an interrupted rebalance (between
+    // its append and delete) leaves moved vectors in two lists, and a
+    // re-run allocates DIFFERENT fresh list ids, so nothing downstream
+    // could ever collapse the copies — they'd double-count in every probe
+    // forever
+    recoverRetrain(h.dir, spark)
     repairCrossListDuplicates(h, spark)
     val occ = stats(h, spark).as[(Int, Long)].collect()
     val total = occ.map(_._2).sum
@@ -315,14 +394,11 @@ object VectorIndex {
       .write
       .mode("overwrite")
       .parquet(s"${h.dir}/centroids")
-    val oldVersion =
-      try spark.read.parquet(s"${h.dir}/meta").select($"version").as[Int].head()
-      catch { case _: org.apache.spark.sql.AnalysisException => 1 }
-    Seq((oldVersion + 1, h.residual)).toDF("version", "residual")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"${h.dir}/meta")
+    // version bump; the drift BASELINE is preserved — a rebalance refits
+    // coarse geometry only, the codebooks (whose staleness the baseline
+    // measures) are untouched
+    val oldMeta = readMeta(spark, h.dir)
+    writeMeta(spark, s"${h.dir}/meta", oldMeta.copy(version = oldMeta.version + 1, residual = h.residual))
 
     // append-then-delete swap: snapshot the hot partitions' current files,
     // write the re-encoded rows alongside them, then remove exactly the
@@ -404,6 +480,153 @@ object VectorIndex {
     } finally placement.unpersist(blocking = false)
   }
 
+  /** The codebook-staleness half of the maintenance lifecycle.
+    * [[rebalanceIfNeeded]] repairs the COARSE geometry (posting-list skew)
+    * but always re-encodes against the BUILD-TIME codebooks — tolerable
+    * under mild drift (residual encoding concentrates what the codebooks
+    * must describe), but a corpus whose embedding distribution genuinely
+    * shifts (new modality, new encoder version) degrades ADC quantization
+    * with no occupancy signal at all. This is the remedy: measure the
+    * current [[quantizationError]] against the build-time baseline stored
+    * in meta, and when it exceeds `tolerance ×` baseline, retrain the
+    * subspace codebooks on the current distribution (bounded deterministic
+    * sample — [[Similarity.pqTrainKMeans]]'s FAISS-style train-on-sample)
+    * and re-encode EVERY posting list. Cluster assignments are untouched:
+    * codebooks describe within-list residual structure, not the coarse
+    * geometry, so (vec_id, cluster) is stable and probes prune exactly as
+    * before — only `codes` change.
+    *
+    * Crash safety is a staged roll-forward commit: new postings and
+    * codebooks are written to `*.__retrain` directories first, the staged
+    * meta (version+1, NEW baseline) is written LAST as the completion
+    * marker, and then each staged artifact is swapped into place
+    * ([[commitRetrain]] — meta last, so the marker outlives the swaps it
+    * gates). A crash before the marker exists discards the partial stage
+    * on the next maintenance call; a crash after it rolls FORWARD — every
+    * entry point ([[open]], [[rebalanceIfNeeded]], this method) runs
+    * [[recoverRetrain]] first, and [[readMeta]] falls back to the staged
+    * copy inside the commit window. Old codes are never readable alongside
+    * new codebooks or vice versa EXCEPT inside the commit window itself,
+    * which the index's existing single-writer/no-concurrent-probe contract
+    * already excludes.
+    *
+    * `corpus` must resolve every indexed id (same loud-failure contract as
+    * [[rebalanceIfNeeded]] — reconstructing vectors from 8-bit codes would
+    * compound the very quantization error being repaired). An index built
+    * before the drift metric existed has no baseline: the current error is
+    * adopted as the baseline and written back, so the NEXT call has a
+    * reference point.
+    *
+    * Returns the updated handle (`h` unchanged when not drifted).
+    */
+  def retrainIfDrifted(
+      h: Handle,
+      corpus: DataFrame, // (idCol, vecCol) — raw vectors for at least every indexed id
+      idCol: String,
+      vecCol: String,
+      tolerance: Double = 1.5,
+      seed: Long = 42L,
+      sampleFraction: Double = 1.0
+  ): Handle = {
+    require(tolerance >= 1.0, s"tolerance $tolerance < 1 would flag an IMPROVED fit as drift")
+    val spark = corpus.sparkSession
+    recoverRetrain(h.dir, spark)
+    val meta = readMeta(spark, h.dir)
+    val current = quantizationError(h, corpus, idCol, vecCol, sampleFraction)
+    val baseline = meta.baselineQerr.getOrElse {
+      writeMeta(spark, s"${h.dir}/meta", meta.copy(baselineQerr = Some(current)))
+      return h
+    }
+    if (baseline <= 0.0 || current <= tolerance * baseline) return h
+
+    val postings = spark.read.parquet(s"${h.dir}/postings")
+    // keep the EXISTING assignment — the retrain repairs codes, not geometry
+    val indexed = postings
+      .select(col("vec_id"), col("cluster"))
+      .join(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        Seq("vec_id"))
+    val (encodeInput0, encodeCol) =
+      if (h.residual)
+        (indexed.withColumn("rvec", residualCol(col("embedding"), col("cluster"), h.centroids)), "rvec")
+      else (indexed, "embedding")
+    // one materialization serves the resolve check, the trainer's sample,
+    // the re-encode write, and the new-baseline scoring
+    val encodeInput = encodeInput0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val resolved = encodeInput.count()
+      val total = postings.count()
+      require(
+        resolved == total,
+        s"retrain: corpus resolves $resolved of $total indexed vectors — " +
+          "refusing to drop the unresolved ones from the index")
+      val m = h.codebooks.length
+      val ksub = h.codebooks.headOption.map(_.length).getOrElse(0)
+      val cb = Similarity.pqTrainKMeans(encodeInput, encodeCol, m, ksub, seed)
+      Similarity
+        .pqEncode(encodeInput, encodeCol, cb)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+        .write
+        .mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(s"${h.dir}/postings.__retrain")
+      writeCodebooks(spark, s"${h.dir}/codebooks.__retrain", cb)
+      // the new baseline is the retrained fit of the CURRENT corpus — the
+      // reference the NEXT drift check measures against
+      val newBaseline = encodeInput
+        .select(avg(qerrCol(col(encodeCol), cb)).as("__e"))
+        .collect()
+        .head
+        .getDouble(0)
+      // staging-complete marker: written last, so its presence guarantees
+      // the staged postings/codebooks are fully written
+      writeMeta(spark, s"${h.dir}/meta.__retrain", Meta(meta.version + 1, h.residual, Some(newBaseline)))
+      commitRetrain(h.dir, spark)
+      h.copy(codebooks = cb)
+    } finally encodeInput.unpersist(blocking = false)
+  }
+
+  /** Complete an interrupted retrain. Staging writes `meta.__retrain`
+    * LAST, so: marker present → the staged set is complete and
+    * authoritative → roll the commit FORWARD; marker absent → any stray
+    * staged directory is a pre-marker crash → discard it (the live set
+    * was never touched). Idempotent and convergent under repeated crashes
+    * — every step re-checks existence.
+    */
+  private def recoverRetrain(dir: String, spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.__retrain")))
+      commitRetrain(dir, spark)
+    else
+      Seq("postings.__retrain", "codebooks.__retrain").foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+        if (fs.exists(p) && !fs.delete(p, true))
+          throw new java.io.IOException(s"could not discard partial retrain stage $p")
+      }
+  }
+
+  /** Swap staged retrain artifacts into place: postings, codebooks, then
+    * meta — meta LAST, because its staged copy is the roll-forward marker
+    * and must outlive the swaps it gates ([[readMeta]] reads it directly
+    * inside the window). Each swap is delete-live + rename-stage, both
+    * checked (HDFS-style filesystems report failure by returning false).
+    */
+  private def commitRetrain(dir: String, spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "codebooks", "meta").foreach { n =>
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/$n.__retrain")
+      if (fs.exists(stage)) {
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$n")
+        if (fs.exists(live) && !fs.delete(live, true))
+          throw new java.io.IOException(s"retrain commit: could not retire $live")
+        if (!fs.rename(stage, live))
+          throw new java.io.IOException(s"retrain commit: could not promote $stage")
+      }
+    }
+  }
+
   /** Remove vectors from the index — the delete half of the incremental
     * lifecycle (a corpus drops documents: takedowns, dedup survivors'
     * siblings, retention windows). Locality mirrors [[rebalanceIfNeeded]]:
@@ -469,6 +692,11 @@ object VectorIndex {
     */
   def open(spark: SparkSession, dir: String): Handle = {
     import spark.implicits._
+    // complete an interrupted retrain commit before reading anything: past
+    // the staging marker the staged artifacts are the real index, and
+    // reading a half-swapped mix (new codes under old codebooks) would
+    // silently rank garbage. No-op on a healthy index.
+    recoverRetrain(dir, spark)
     val centroids = spark.read
       .parquet(s"$dir/centroids")
       .select($"cluster", $"centroid")
@@ -494,10 +722,8 @@ object VectorIndex {
       codebooks.forall(sub => sub != null && sub.forall(_ != null)),
       s"VectorIndex.open: ragged codebook under $dir (expected $m×$ksub dense rows)")
     // meta is absent only for pre-residual indexes, which were flat-encoded
-    val residual =
-      try spark.read.parquet(s"$dir/meta").select($"residual").as[Boolean].head()
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    Handle(dir, centroids, codebooks, residual)
+    // (readMeta's legacy fallback); mid-commit it reads the staged copy
+    Handle(dir, centroids, codebooks, readMeta(spark, dir).residual)
   }
 
   /** ADC top-k over the persisted index: probe nProbe lists per query.

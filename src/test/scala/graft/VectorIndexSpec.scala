@@ -354,4 +354,162 @@ class VectorIndexSpec extends SparkSpec {
     assert(rR > rF + 0.1, s"residual recall@10 $rR not measurably better than flat $rF")
     assert(rR >= 0.4, s"residual recall@10 unexpectedly low: $rR")
   }
+
+  test("retrainIfDrifted: distribution shift degrades ADC fit; retrain restores it to ~fresh-build") {
+    // mode A: 4 tight clusters (0.1-σ residuals near the centroid). mode B:
+    // 0.5-σ clusters OFFSET by a fixed norm-8 vector inside the SAME
+    // posting lists (inter-center distance ~57 ≫ 8, so assignment is
+    // unchanged and occupancy stays balanced — rebalance sees NOTHING).
+    // The build-time residual codebooks were trained on ~0-centered 0.1-σ
+    // residuals, so every B residual (≈ the offset) maps to the same
+    // near-zero code: B candidates become mutually indistinguishable to
+    // ADC. Exactly the "new encoder version" staleness retrain exists for.
+    // B's wider spread matters: it makes exact nearest neighbors
+    // PQ-resolvable (codebooks fit on the mixture can rank them), so the
+    // recall gap between stale and retrained codes is a real signal rather
+    // than a sub-quantization-resolution coin flip.
+    val rnd = new Random(17)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 10))
+    // ONE shared drift vector — an encoder-version bump shifts every
+    // cluster the same way, and it keeps the retrained codebooks' capacity
+    // on two modes per subspace (A at 0, B at delta) instead of five
+    val delta = {
+      val d = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(d.map(x => x * x).sum); d.map(_ / n * 8.0)
+    }
+    val a: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val b: Seq[(Long, Seq[Float])] = (200 until 600).map { i =>
+      (i.toLong,
+        centers(i % 4).zip(delta).map { case (c, o) =>
+          (c + o + rnd.nextGaussian() * 0.5).toFloat
+        }.toSeq)
+    }
+    val all = a ++ b
+    val dir = tmpDir("vindex_retrain")
+    val corpusA = a.toDF("vec_id", "embedding")
+    val corpusAll = all.toDF("vec_id", "embedding")
+    val h0 = VectorIndex.build(corpusA, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val baselineErr = VectorIndex.quantizationError(h0, corpusA, "vec_id", "embedding")
+    VectorIndex.append(h0, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val driftedErr = VectorIndex.quantizationError(h0, corpusAll, "vec_id", "embedding")
+    info(s"qerr: baseline=$baselineErr drifted=$driftedErr (${driftedErr / baselineErr}x)")
+    assert(driftedErr > 1.5 * baselineErr, "the shifted corpus must measurably exceed the baseline")
+
+    // recall with nProbe = ALL lists: coarse geometry can't hide anything —
+    // what's measured is purely how well the codes rank candidates
+    val vecs = all.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val qids = (200L until 230L).toSeq
+    val exact: Map[Long, Set[Long]] = qids.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq.sortBy(v => (l2(vecs(q), vecs(v)), v)).take(10).toSet
+    }.toMap
+    val queries = all.filter(r => qids.contains(r._1)).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def recallAt10(h: VectorIndex.Handle): Double = {
+      val got = VectorIndex
+        .query(h, queries, nProbe = 4, k = 10)
+        .select($"qid", $"vec_id")
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).toSet)
+        .toMap
+      exact.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size / 10.0 }.sum / exact.size
+    }
+
+    val rDrifted = recallAt10(h0)
+    val h1 = VectorIndex.retrainIfDrifted(h0, corpusAll, "vec_id", "embedding", tolerance = 1.5)
+    assert(!(h1 eq h0), "drift past tolerance must retrain")
+    assert(h1.centroids.map(_.toSeq).toSeq == h0.centroids.map(_.toSeq).toSeq,
+      "retrain repairs codes, never the coarse geometry")
+    assert(h1.codebooks.flatten.map(_.toSeq) != h0.codebooks.flatten.map(_.toSeq),
+      "codebooks must actually change")
+    val rRetrained = recallAt10(h1)
+    val hFresh = VectorIndex.build(corpusAll, "vec_id", "embedding",
+      tmpDir("vindex_retrain_fresh"), kLists = 4, m = 4, ksub = 8)
+    val rFresh = recallAt10(hFresh)
+    info(s"recall@10 (probe-all): drifted=$rDrifted retrained=$rRetrained fresh=$rFresh")
+    assert(rRetrained > rDrifted + 0.1, s"retrain must measurably restore recall ($rDrifted → $rRetrained)")
+    assert(rRetrained >= rFresh - 0.15, s"retrained recall $rRetrained not within ε of fresh build $rFresh")
+
+    // no vector lost/duplicated by the swap; meta carries version 2 + the
+    // NEW baseline; a reopened session probes identically to h1
+    val st = VectorIndex.stats(h1, spark).as[(Int, Long)].collect()
+    assert(st.map(_._2).sum == 600, s"posting occupancy after retrain: ${st.toSeq}")
+    val meta = spark.read.parquet(s"$dir/meta")
+    assert(meta.select($"version").as[Int].head() == 2)
+    val newBaseline = meta.select($"baseline_qerr").as[Option[Double]].head().get
+    assert(newBaseline < driftedErr, "the retrained fit is the new reference point")
+    val reopened = VectorIndex.open(spark, dir)
+    val p1 = VectorIndex.query(h1, queries, nProbe = 4, k = 10)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val p2 = VectorIndex.query(reopened, queries, nProbe = 4, k = 10)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(p1 == p2)
+    // converged: the next check sees no drift and returns the same handle
+    val h2 = VectorIndex.retrainIfDrifted(h1, corpusAll, "vec_id", "embedding", tolerance = 1.5)
+    assert(h2 eq h1)
+  }
+
+  test("retrain crash safety: pre-marker stages are discarded, post-marker stages roll forward") {
+    import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+    def copyTree(src: JPath, dst: JPath): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val rnd = new Random(19)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val a: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val b: Seq[(Long, Seq[Float])] = (200 until 600).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 4.0).toFloat).toSeq)
+    }
+    val all = (a ++ b).toDF("vec_id", "embedding")
+    val d1 = tmpDir("vindex_crash_live")
+    val h0 = VectorIndex.build(a.toDF("vec_id", "embedding"), "vec_id", "embedding", d1,
+      kLists = 4, m = 4, ksub = 8)
+    VectorIndex.append(h0, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+
+    // CRASH BEFORE THE MARKER: a stray staged postings dir with no staged
+    // meta is a pre-marker crash — the live set was never touched, so the
+    // stage is discarded and the index reads exactly as before
+    copyTree(Paths.get(d1, "postings"), Paths.get(d1, "postings.__retrain"))
+    val preRepair = VectorIndex.open(spark, d1)
+    assert(!Files.exists(Paths.get(d1, "postings.__retrain")), "pre-marker stage must be discarded")
+    assert(spark.read.parquet(s"$d1/postings").count() == 600)
+    assert(preRepair.codebooks.flatten.map(_.toSeq).toSeq == h0.codebooks.flatten.map(_.toSeq).toSeq)
+
+    // CRASH AFTER THE MARKER: d2 is a byte-identical clone of d1, so d2's
+    // COMPLETED retrain artifacts are exactly what d1's retrain would have
+    // staged (same centroids, deterministic seeds). Plant them as d1's
+    // staged set and crash "before any swap" — open() must roll forward.
+    val d2 = tmpDir("vindex_crash_clone")
+    copyTree(Paths.get(d1), Paths.get(d2))
+    val h2 = VectorIndex.retrainIfDrifted(
+      VectorIndex.open(spark, d2), all, "vec_id", "embedding", tolerance = 1.5)
+    assert(!(h2.codebooks.flatten.map(_.toSeq).toSeq == h0.codebooks.flatten.map(_.toSeq).toSeq),
+      "precondition: the clone's retrain actually fired")
+    for (n <- Seq("postings", "codebooks", "meta"))
+      copyTree(Paths.get(d2, n), Paths.get(d1, s"$n.__retrain"))
+    val rolled = VectorIndex.open(spark, d1)
+    for (n <- Seq("postings", "codebooks", "meta"))
+      assert(!Files.exists(Paths.get(d1, s"$n.__retrain")), s"$n stage must have been promoted")
+    assert(rolled.codebooks.flatten.map(_.toSeq).toSeq == h2.codebooks.flatten.map(_.toSeq).toSeq,
+      "rolled-forward index must carry the retrained codebooks")
+    assert(spark.read.parquet(s"$d1/meta").select($"version").as[Int].head() == 2)
+    val queries = a.take(5).toDF("vec_id", "embedding").select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val want = VectorIndex.query(h2, queries, nProbe = 2, k = 5)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val got = VectorIndex.query(rolled, queries, nProbe = 2, k = 5)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
