@@ -20,12 +20,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as a long which we
-    * truncate to microseconds (matching DuckDB's ns→µs truncation).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS, no tz) across testdata generations, so the loader
+    * adapts to the physical type it finds and always hands downstream
+    * queries a session-local TIMESTAMP: nanos arrive as a long (via
+    * spark.sql.legacy.parquet.nanosAsLong) and are truncated to
+    * microseconds (matching DuckDB's ns→µs truncation); tz-less micros
+    * read as TIMESTAMP_NTZ and are cast — the session timezone is pinned
+    * to UTC (GraftSession), which matches DuckDB's naive-as-UTC
+    * `epoch_us` reading of the same file.
     */
-  def events: DataFrame =
-    t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions._
   *    [[graft.ScdScaleLawsSpec]] pins that law (and the q13/q15 point-query
   *    flatness law) in CI; this bench measures the wall-clock curves.
   *
-  * The raw events parquet stores TIMESTAMP(NANOS), which the session reads
-  * as a plain long (`nanosAsLong`, see [[graft.GraftSession]]); copies are
-  * written back with `ts` as that same long, which [[graft.Tables]] converts
-  * identically — so a scaled dir is a drop-in `Tables` dir.
+  * The raw events parquet has shipped as both TIMESTAMP(NANOS) (read as a
+  * plain long via `nanosAsLong`, see [[graft.GraftSession]]) and tz-less
+  * micros; [[scaleEvents]] normalizes `ts` to the nanos long either way,
+  * copies are written back with `ts` as that long, which [[graft.Tables]]
+  * converts identically — so a scaled dir is a drop-in `Tables` dir.
   *
   * Usage: runMain graft.examples.ScdScaleBench [baseSfDir] [scratchDir] [axesCsv]
   * (axesCsv e.g. "e1v1,e10v1,e1v10,e30v1"; that is the default). Prints one
@@ -88,7 +89,18 @@ object ScdScaleBench {
     )
 
   def scaleEvents(spark: SparkSession, baseDir: String, e: Int, v: Int): DataFrame = {
-    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    // normalize ts to a nanos long whatever the parquet physical type is
+    // (TIMESTAMP(NANOS) reads as long via nanosAsLong; later testdata
+    // generations ship tz-less micros) — every depth-copy offset and every
+    // downstream ordering treats ts as that long
+    val raw = spark.read.parquet(s"$baseDir/events.parquet")
+    val base = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn(
+          "ts",
+          expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
     require(e >= 1 && v >= 1, "axes start at 1")
     require(e < 100 && v < 1000, "offset namespaces sized for e<100, v<1000")
     (for { ec <- 0 until e; dc <- 0 until v } yield copyOf(base, ec, dc))
