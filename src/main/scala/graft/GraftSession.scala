@@ -15,6 +15,9 @@ object GraftSession {
   /** Apply graft's canonical SQL settings to an existing builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // graft_* SQL functions + the SCD-view resolution rule, applied at
+    // session construction (the only time analyzer rules can be injected)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     // Reference semantics: failed casts yield NULL (e.g. unparsable money ->
     // NULL, /root/reference/scrapers/vgsi/source.py:134-167). Spark 4 defaults
     // to ANSI mode (errors); we keep the permissive cast semantics.

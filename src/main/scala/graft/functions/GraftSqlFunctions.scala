@@ -91,8 +91,13 @@ object GraftSqlFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the graft_*
+  * SQL functions plus the analyzer rule resolving the catalog's derived
+  * SCD views (`<table>__current` / `<table>__versions`).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.inject(extensions)
+    extensions.injectResolutionRule(s => graft.lake.ResolveScdViews(s))
+  }
 }

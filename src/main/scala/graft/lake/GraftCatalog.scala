@@ -6,12 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The lake as a Spark `TableCatalog`: three-part SQL names over the
@@ -43,16 +44,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.<name>=graft.lake.GraftCatalog` and
   * `spark.sql.catalog.<name>.root=<lake root>`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var readonly: Boolean = false
+  private var scdKey: String = _
+  private var scdOrder: String = _
+  private var scdHash: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = options.get("root")
     require(root != null, s"catalog $name needs spark.sql.catalog.$name.root=<lake root>")
+    // readonly=true enforces the lake's append-only contract AT the SQL
+    // boundary: every DDL mutation throws and served tables lose their
+    // write capability, so INSERT INTO fails at analysis — a shared
+    // cluster can expose the lake to ad-hoc SQL users without also
+    // exposing `DROP NAMESPACE ... CASCADE`
+    readonly = options.getBoolean("readonly", false)
+    // SCD triplet behind the derived __current/__versions views; defaults
+    // are the ingest engine's stamp contract (Lake.stampMetadata + the
+    // deterministic uuid)
+    scdKey = options.getOrDefault("scd.key", "uuid")
+    scdOrder = options.getOrDefault("scd.order", "scraped_at")
+    scdHash = options.getOrDefault("scd.hash", "row_hash")
   }
+
+  private def mutate(op: String): Unit =
+    if (readonly)
+      throw new UnsupportedOperationException(
+        s"catalog $catalogName is read-only (spark.sql.catalog.$catalogName.readonly=true): $op refused")
 
   override def name(): String = catalogName
 
@@ -81,13 +103,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespaceExists(namespace)) Map("location" -> s"$root/${scopeOf(namespace)}").asJava
     else throw new NoSuchNamespaceException(namespace)
 
-  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit =
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    mutate("CREATE NAMESPACE")
     fs.mkdirs(new Path(s"$root/${scopeOf(namespace)}"))
+  }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no mutable metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    mutate("DROP NAMESPACE")
     val scope = scopeOf(namespace)
     if (!cascade && Lake.tables(spark, root, scope).nonEmpty)
       throw new IllegalStateException(s"namespace $scope is not empty")
@@ -112,7 +137,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // mergeSchema mirrors Lake.read: the lake tolerates schema drift across
     // append batches, and a name-based read must see the same union schema
     // a path-based read sees
-    ParquetTable(
+    val t = ParquetTable(
       s"$catalogName.${ident.namespace()(0)}.${ident.name}",
       spark,
       new CaseInsensitiveStringMap(Map("path" -> path, "mergeSchema" -> "true").asJava),
@@ -120,6 +145,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       None,
       classOf[ParquetFileFormat]
     )
+    if (readonly) new GraftCatalog.ReadOnlyTable(t) else t
   }
 
   /** CREATE TABLE materializes the directory; the schema lives in the data,
@@ -137,6 +163,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]
   ): Table = {
+    mutate("CREATE TABLE")
     require(partitions.isEmpty, "declare partitioning by writing hive-partitioned data instead")
     val path = Lake.tablePath(root, ident.namespace()(0), ident.name)
     fs.mkdirs(new Path(path))
@@ -158,11 +185,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "the lake is append-only; schema evolves by appending drifted batches (mergeSchema)")
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    mutate("DROP TABLE")
     tableExists(ident) &&
       fs.delete(new Path(Lake.tablePath(root, ident.namespace()(0), ident.name)), true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    mutate("ALTER TABLE RENAME")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     require(oldIdent.namespace.sameElements(newIdent.namespace), "rename stays within a scope")
     // rename onto an existing directory would NEST the source inside it on
@@ -177,15 +207,152 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"rename ${oldIdent.name} -> ${newIdent.name} failed at the filesystem layer")
   }
+
+  // ---- derived SCD views ----
+  //
+  // The reference's flagship lake queries (/root/reference/README.md:125-136
+  // — current state, version history, changed-since) are window queries
+  // over the stamp triplet (uuid, scraped_at, row_hash). The Scala surface
+  // is graft.scd.Scd; this is the pure-SQL surface: for every lake table
+  // carrying the triplet, the catalog serves two DERIVED views,
+  //
+  //   <cat>.<scope>.<table>__current   — W1, latest row per entity
+  //   <cat>.<scope>.<table>__versions  — W3, change-only rows numbered
+  //                                      ascending per entity as `version`
+  //
+  // so `SELECT * FROM graft.vgsi.properties__current WHERE pid = 42` is the
+  // whole workflow, no Scala. W5 (changed-since) is the __versions view
+  // filtered: `WHERE version > 1 AND scraped_at >= ...`.
+  //
+  // The views are DEFINED BY THE LAYOUT, like the tables: nothing is
+  // registered or persisted, loadView synthesizes the SQL text against the
+  // live table schema at resolution time. Predicates on the entity key
+  // push through the window (Catalyst moves partition-key filters below
+  // Window), so the point-query history of a 100 TB lake still prunes at
+  // the scan — CatalogSpec asserts PushedFilters through the view.
+
+  private val ViewSuffixes = GraftCatalog.viewSuffixes
+
+  /** The base table ident a view name derives from, if the name is ours. */
+  private def viewBase(ident: Identifier): Option[(Identifier, String)] =
+    ViewSuffixes.collectFirst {
+      case s if ident.name.endsWith(s) && ident.name.length > s.length =>
+        (Identifier.of(ident.namespace, ident.name.stripSuffix(s)), s)
+    }
+
+  private def hasScdTriplet(schema: StructType): Boolean =
+    Seq(scdKey, scdOrder, scdHash).forall(schema.fieldNames.contains)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    listTables(ns).flatMap { t =>
+      if (hasScdTriplet(loadTable(t).schema()))
+        ViewSuffixes.map(s => Identifier.of(ns, t.name + s))
+      else Seq.empty[Identifier]
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewBase(ident).exists { case (base, _) =>
+      tableExists(base) && hasScdTriplet(loadTable(base).schema())
+    }
+
+  override def loadView(ident: Identifier): View = {
+    val (base, suffix) = viewBase(ident).getOrElse(throw new NoSuchViewException(ident))
+    if (!tableExists(base)) throw new NoSuchViewException(ident)
+    val baseSchema = loadTable(base).schema()
+    if (!hasScdTriplet(baseSchema)) throw new NoSuchViewException(ident)
+    def q(c: String) = s"`${c.replace("`", "``")}`"
+    val cols = baseSchema.fieldNames.map(q).mkString(", ")
+    val from = s"${q(catalogName)}.${q(base.namespace()(0))}.${q(base.name)}"
+    val (key, ord, hsh) = (q(scdKey), q(scdOrder), q(scdHash))
+    // deterministic total order: observation time, content hash as tiebreak
+    val sql = suffix match {
+      case "__current" =>
+        s"""SELECT $cols FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY $key ORDER BY $ord DESC, $hsh DESC) AS __rn
+           |  FROM $from
+           |) WHERE __rn = 1""".stripMargin
+      case "__versions" =>
+        s"""SELECT $cols, row_number() OVER (PARTITION BY $key ORDER BY $ord, $hsh) AS version FROM (
+           |  SELECT *, lag($hsh) OVER (PARTITION BY $key ORDER BY $ord, $hsh) AS __prev
+           |  FROM $from
+           |) WHERE __prev IS NULL OR NOT ($hsh <=> __prev)""".stripMargin
+    }
+    val schema =
+      if (suffix == "__versions") baseSchema.add("version", IntegerType, nullable = false)
+      else baseSchema
+    GraftCatalog.ScdView(
+      s"$catalogName.${ident.namespace()(0)}.${ident.name}", sql, catalogName, ident.namespace, schema)
+  }
+
+  override def createView(info: ViewInfo): View =
+    throw new UnsupportedOperationException(
+      "graft views are derived from the lake layout (__current/__versions); CREATE VIEW is not supported")
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("graft views are derived; ALTER VIEW is not supported")
+
+  override def dropView(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft views are derived; DROP VIEW is not supported")
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft views are derived; RENAME VIEW is not supported")
 }
 
 object GraftCatalog {
+  /** Name suffixes of the derived SCD views ([[ResolveScdViews]] keys off
+    * these before any catalog lookup).
+    */
+  val viewSuffixes: Seq[String] = Seq("__current", "__versions")
+
   /** Register a lake root as SQL catalog `name` on a running session. The
     * catalog manager instantiates [[GraftCatalog]] lazily on the first
-    * three-part-name reference.
+    * three-part-name reference. `readonly = true` refuses every DDL
+    * mutation and strips write capability from served tables.
     */
-  def register(spark: SparkSession, name: String, root: String): Unit = {
+  def register(spark: SparkSession, name: String, root: String, readonly: Boolean = false): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    if (readonly) spark.conf.set(s"spark.sql.catalog.$name.readonly", "true")
+  }
+
+  /** A scan-only facade over a served table: delegates reads verbatim,
+    * advertises no write capability — so in readonly mode `INSERT INTO`
+    * fails at analysis ("table does not support append") instead of
+    * reaching the filesystem.
+    */
+  private final class ReadOnlyTable(delegate: Table with org.apache.spark.sql.connector.catalog.SupportsRead)
+      extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+    override def name(): String = delegate.name()
+    override def schema(): StructType = delegate.schema()
+    override def columns(): Array[Column] = delegate.columns()
+    override def partitioning(): Array[Transform] = delegate.partitioning()
+    override def properties(): util.Map[String, String] = delegate.properties()
+    override def capabilities(): util.Set[TableCapability] =
+      delegate.capabilities().asScala.filter(_ == TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
+  }
+
+  /** A derived SCD view: SQL text synthesized by [[GraftCatalog.loadView]],
+    * analyzed by Spark in the catalog's own name context.
+    */
+  private final case class ScdView(
+      viewName: String,
+      sql: String,
+      catalog: String,
+      namespace: Array[String],
+      viewSchema: StructType
+  ) extends View {
+    override def name(): String = viewName
+    override def query(): String = sql
+    override def currentCatalog(): String = catalog
+    override def currentNamespace(): Array[String] = namespace
+    override def schema(): StructType = viewSchema
+    override def queryColumnNames(): Array[String] = Array.empty
+    override def columnAliases(): Array[String] = Array.empty
+    override def columnComments(): Array[String] = Array.empty
+    override def properties(): util.Map[String, String] = util.Collections.emptyMap()
   }
 }
