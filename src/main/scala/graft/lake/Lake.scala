@@ -286,7 +286,16 @@ object Lake {
       // SparkContext but carries its own SQLConf, so concurrent queries on
       // the caller's session keep their scan-split sizing, and two
       // compactions can't race a save/restore into a clobbered state.
+      // The clone starts from BUILDER-time confs only, so the caller's
+      // RUNTIME conf.set()s (session timezone, parquet rebase/output-
+      // timestamp modes, codec overrides) are replayed first — compacted
+      // files must be written under the same settings as the appends they
+      // replace. Static/non-settable entries in getAll are skipped.
       val packer = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try packer.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
       packer.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
       packer.conf.set("spark.sql.files.minPartitionNum", "1")
       packer.conf.set("spark.sql.files.openCostInBytes", "4096")

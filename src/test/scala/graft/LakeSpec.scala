@@ -166,6 +166,38 @@ class LakeSpec extends SparkSpec {
     assert(files().length == 1)
   }
 
+  test("byte-targeted compaction honors the caller session's RUNTIME write confs") {
+    // newSession() starts from builder-time confs only — a caller who set
+    // e.g. outputTimestampType at runtime must get compacted files written
+    // under the same setting as the appends they replace, or a mixed table
+    // silently changes physical encoding under compaction
+    val root = tmpDir("lake_conf")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val rows = (1 to 3).map(i => (i.toLong, java.sql.Timestamp.valueOf(s"2024-05-0$i 00:00:00")))
+      rows.foreach(r => Lake.append(Seq(r).toDF("id", "ts"), root, "s", "t"))
+      // byte-target branch (the one that clones the session)
+      Lake.compact(spark, root, "s", "t", targetFileBytes = 1L * 1024 * 1024)
+      val f = new java.io.File(s"$root/s/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val ann = footer.getFooter.getFileMetaData.getSchema
+          .getType(Seq("ts"): _*).asPrimitiveType().getLogicalTypeAnnotation.toString
+        assert(ann.contains("MILLIS"),
+          s"compacted file ignored the caller's runtime outputTimestampType: $ann")
+      } finally footer.close()
+      assert(Lake.read(spark, root, "s", "t").count() == 3)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   test("concurrent reader racing back-to-back compactions sees every row at every instant") {
     val root = tmpDir("lake_race")
     val n = 5000
