@@ -759,13 +759,11 @@ object VectorIndex {
     * ([[graft.streaming.Streams.probeVectorStream]]): the top-k window below
     * needs all of a query's candidates and so cannot run on a stream.
     */
-  def scoredCandidates(
-      h: Handle,
-      queries: DataFrame, // (qid, qe: array<float>)
-      nProbe: Int,
-      excludeSelf: Boolean = true
-  ): DataFrame = {
-    val probed = (if (h.residual) {
+  /** The probe side of the ADC join: `(qid, cluster, __qt)` — one row per
+    * (query, probed list), ADC table attached.
+    */
+  private def probeSide(h: Handle, queries: DataFrame, nProbe: Int): DataFrame =
+    (if (h.residual) {
       // residual mode: codes quantize x − centroid[cluster], so the ADC
       // table must measure ||(q − centroid[cluster])_s − C[s][j]||² — one
       // table per (query, probed list), built AFTER the explode from the
@@ -784,7 +782,8 @@ object VectorIndex {
         .withColumn("__qt", Similarity.pqQueryTable(col("qe"), h.codebooks))
         .withColumn("cluster", explode(Similarity.nearestCentroids(col("qe"), h.centroids, nProbe)))
     }).select(col("qid"), col("cluster"), col("__qt"))
-    val postings = queries.sparkSession.read.parquet(s"${h.dir}/postings")
+
+  private def adcJoin(postings: DataFrame, probed: DataFrame, excludeSelf: Boolean): DataFrame =
     postings
       // the broadcast keeps the probe side tiny AND makes `cluster` a DPP
       // candidate: the partition filter on the postings scan is derived at
@@ -796,6 +795,52 @@ object VectorIndex {
         col("vec_id"),
         graft.functions.HashExprs.pqAdcDistance(col("codes"), col("__qt")).as("adist")
       )
+
+  def scoredCandidates(
+      h: Handle,
+      queries: DataFrame, // (qid, qe: array<float>)
+      nProbe: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame =
+    adcJoin(
+      queries.sparkSession.read.parquet(s"${h.dir}/postings"),
+      probeSide(h, queries, nProbe),
+      excludeSelf)
+
+  /** [[scoredCandidates]] with the probed lists pruned STATICALLY: the
+    * distinct probed cluster ids are computed first (a metadata-scale job —
+    * bounded by kLists, not by rows) and applied as a literal partition
+    * filter on the postings read, so only the probed lists' files are ever
+    * listed or scanned. In plain batch this buys nothing over
+    * [[scoredCandidates]] — the broadcast join's runtime filter (DPP)
+    * already prunes — but DPP does not plan across a stream-static
+    * boundary, so this is the per-micro-batch form a streaming probe
+    * should run inside `foreachBatch`
+    * ([[graft.streaming.Streams.probeVectorBatch]] wires it): the two-job
+    * cost (tiny centroid projection + pruned join) replaces a full
+    * postings file-listing every micro-batch.
+    */
+  def scoredCandidatesPruned(
+      h: Handle,
+      queries: DataFrame, // (qid, qe: array<float>)
+      nProbe: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // bounded by the list count (≤ kLists ints), never by query volume; a
+    // dedicated centroid-only projection, so the ADC tables aren't built
+    // twice (probeSide recomputes over the already-materialized batch)
+    val clusters = queries
+      .select(explode(Similarity.nearestCentroids(col("qe"), h.centroids, nProbe)).as("cluster"))
+      .distinct()
+      .as[Int]
+      .collect()
+      .toSeq
+    val postings = spark.read
+      .parquet(s"${h.dir}/postings")
+      .filter(col("cluster").isin(clusters: _*))
+    adcJoin(postings, probeSide(h, queries, nProbe), excludeSelf)
   }
 
   /** Per-query top-k over scored candidates: rank 1 = nearest by quantized

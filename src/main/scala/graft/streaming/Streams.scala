@@ -202,10 +202,10 @@ object Streams {
     * plan across the stream-static boundary, so each micro-batch scans the
     * postings table's file listing rather than only the probed lists. The
     * positive side carries: postings are partitioned, parquet footers make
-    * unprobed lists cheap to skip at the join, and a latency-sensitive
-    * deployment can pre-filter `cluster` in a foreachBatch twin of the
-    * batch probe (which does get DPP) — use this stream form when probe
-    * simplicity beats per-batch scan cost.
+    * unprobed lists cheap to skip at the join. When per-batch scan cost
+    * matters, run [[probeVectorBatch]] inside `foreachBatch` instead — it
+    * prunes the postings read to exactly the probed lists. Use this stream
+    * form when probe simplicity beats per-batch scan cost.
     */
   def probeVectorStream(
       newVectors: DataFrame, // streaming (idCol, vecCol: array<float>)
@@ -220,6 +220,45 @@ object Streams {
       newVectors.select(col(idCol).as("qid"), col(vecCol).as("qe")),
       nProbe,
       excludeSelf
+    )
+
+  /** The DPP-shaped twin of [[probeVectorStream]] for latency-sensitive
+    * deployments: a BATCH function to run inside `foreachBatch`, where each
+    * micro-batch is a plain DataFrame and the probed `cluster` set can be
+    * applied as a literal partition filter on the postings read
+    * ([[graft.operators.VectorIndex.scoredCandidatesPruned]]) — only the
+    * probed lists' files are listed or scanned, the pruning the
+    * stream-static join can't get because dynamic partition pruning does
+    * not plan across that boundary. Returns the per-batch top-k
+    * (`qid, vec_id, adist, rank`), batch-local by the same contract as the
+    * stream form's documented sink-side ranking.
+    *
+    * {{{
+    *   stream.writeStream.foreachBatch { (batch, _) =>
+    *     sink(Streams.probeVectorBatch(batch, "id", "vec", h, nProbe = 4, k = 10))
+    *   }.start()
+    * }}}
+    *
+    * Same handle-capture contract as the stream form: restart the query
+    * after an index rebalance/retrain.
+    */
+  def probeVectorBatch(
+      batch: DataFrame, // one micro-batch of (idCol, vecCol: array<float>)
+      idCol: String,
+      vecCol: String,
+      index: graft.operators.VectorIndex.Handle,
+      nProbe: Int = 4,
+      k: Int = 10,
+      excludeSelf: Boolean = false
+  ): DataFrame =
+    graft.operators.VectorIndex.rankTopK(
+      graft.operators.VectorIndex.scoredCandidatesPruned(
+        index,
+        batch.select(col(idCol).as("qid"), col(vecCol).as("qe")),
+        nProbe,
+        excludeSelf
+      ),
+      k
     )
 
   /** Windowed change counts per entity-key column — the streaming version of

@@ -200,4 +200,64 @@ class StreamsSpec extends SparkSpec {
       assert(got.map(_._1).toSet.size == 12, "every streamed vector must get ranked neighbors")
     } finally q.stop()
   }
+
+  test("probeVectorBatch in foreachBatch: pruned postings scan, results equal the batch query") {
+    import graft.operators.VectorIndex
+    import scala.util.Random
+    val root = tmpDir("probe_vec_pruned")
+    val rnd = new Random(7)
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, centers(i % 8).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", s"$root/index",
+      kLists = 8, m = 4, ksub = 8)
+
+    // queries clustered near ONE center: with nProbe=2 they probe a strict
+    // subset of the 8 lists, so pruning has something to prune
+    val incoming = (1000 until 1006).map { i =>
+      (i.toLong, centers(1).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    incoming.grouped(3).foreach { chunk =>
+      chunk.toDF("vec_id", "embedding").write.mode("append").parquet(s"$root/new")
+    }
+    val newVecs = spark.read.parquet(s"$root/new")
+
+    // plan law first, on one batch: the postings scan must carry the probed
+    // clusters as a PARTITION filter (pruned at listing time), not scan all 8
+    val oneBatch = VectorIndex.scoredCandidatesPruned(
+      h, newVecs.select($"vec_id".as("qid"), $"embedding".as("qe")), nProbe = 2,
+      excludeSelf = false)
+    oneBatch.collect()
+    val scanLine = oneBatch.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).mkString("\n")
+    assert(scanLine.contains("PartitionFilters") && "cluster#\\d+ IN \\(".r.findFirstIn(scanLine).isDefined,
+      s"expected a literal cluster partition filter on the postings scan:\n$scanLine")
+
+    // end-to-end: the foreachBatch helper over the stream equals the batch query
+    val stream = Streams.readTableStream(spark, newVecs.schema, s"$root/new")
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Streams.probeVectorBatch(batch, "vec_id", "embedding", h, nProbe = 2, k = 3)
+          .select($"qid", $"vec_id", $"rank")
+          .as[(Long, Long, Int)]
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchTwin = VectorIndex
+        .query(h, newVecs.select($"vec_id".as("qid"), $"embedding".as("qe")),
+          nProbe = 2, k = 3, excludeSelf = false)
+        .select($"qid", $"vec_id", $"rank")
+        .as[(Long, Long, Int)]
+        .collect()
+        .toSet
+      assert(got.toSet == batchTwin,
+        s"pruned probe diverged: ${got.toSet.diff(batchTwin)} vs ${batchTwin.diff(got.toSet)}")
+      assert(got.map(_._1).toSet.size == 6)
+    } finally q.stop()
+  }
 }
