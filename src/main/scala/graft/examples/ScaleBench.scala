@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.SparkEntry
-import graft.operators.{Graph, VectorIndex}
+import graft.operators.{EntityResolution, Graph, Multimodal, VectorIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,19 +99,50 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
+  /** A k× near-dup-structured name corpus for the entity-resolution curve:
+    * the base `customer` slice q91 resolves (c_custkey < 500 — blocking on
+    * a 16-char name prefix makes the UNFILTERED table one degenerate block,
+    * which measures the block-size guard, not the operator), copied with
+    * the same substitution cipher as [[scaleDocs]]. A per-character
+    * bijection preserves edit distances exactly, so every within-copy
+    * pair/cluster replicates and cross-copy blocks never coincide — pairs
+    * and entities scale exactly k×.
+    */
+  private def scaleCustomer(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+    val base = spark.read
+      .parquet(s"$baseDir/customer.parquet")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    require(k <= 36, s"cipher period is 36, scale $k would collide copies")
+    (0 until k).map { c =>
+      if (c == 0) base
+      else
+        base.select(
+          (col("c_custkey") + c * IdOffset).as("c_custkey"),
+          translate(lower(col("c_name")), alphabet, rotated(alphabet, c)).as("c_name"),
+          col("c_acctbal")
+        )
+    }.reduce(_ unionByName _)
+  }
+
   private def materialize(spark: SparkSession, baseDir: String, scratch: String, k: Int): String = {
     val dir = s"$scratch/x$k"
     val marker = new java.io.File(s"$dir/_READY")
     // the marker records WHICH base produced the corpus: a bare existence
     // check would silently reuse a stale corpus from a different baseDir
     // (or regenerated testdata) while the summary line labels it with the
-    // new base — mislabeled curves
-    val tag = baseDir
+    // new base — mislabeled curves. The #v2 suffix versions the LAYOUT
+    // (customer500 added for the entity-resolution curve): a pre-v2
+    // scratch dir has a matching baseDir but no customer500, and a bare
+    // base compare would reuse it.
+    val tag = s"$baseDir#v2"
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (!fresh) {
       scaleDocs(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       scaleEmbeddings(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      scaleCustomer(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/customer500.parquet")
       java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
     }
     dir
@@ -140,6 +171,8 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = only.fold(Queries)(f => Queries.filter(f.contains))
     val doVindex = only.forall(f => f.contains("vindex"))
+    val doEr = only.forall(f => f.contains("entity_resolve"))
+    val doAv = only.forall(f => f.contains("av_sniff"))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
@@ -168,13 +201,66 @@ object ScaleBench {
         println(s"""{"bench":"scale","scale":$k,"query":"vindex_probe","sec":$tQuery,"rows":$probed}""")
         Seq("vindex_build" -> tBuild, "vindex_probe" -> tQuery)
       }
-      k -> (queryTimes ++ vindexTimes)
+      // q91 family: transitive entity resolution (blocked edit-distance
+      // pairs → CC closure → survivor window) on the ciphered k× name
+      // corpus. The row law is exact (entities scale k×); the CC refinement
+      // rounds must stay bounded as the graph grows.
+      val erTimes = if (!doEr) Nil else {
+        val cust = spark.read.parquet(s"$dir/customer500.parquet")
+        var ents = 0L
+        val t = time2(spark) {
+          ents = EntityResolution
+            .resolve(cust, "c_custkey", "c_name", blockLen = 16, maxDist = 1, quality = col("c_acctbal"))
+            .count()
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"entity_resolve","sec":$t,"rows":$ents,"cc_rounds":${Graph.lastRounds}}""")
+        Seq("entity_resolve" -> t)
+      }
+      // q92 family: A/V container synthesis + header sniff over the k×
+      // documents — the timed body is generate+parse (both linear in
+      // bytes), and the reported byte volume makes the per-byte cost curve
+      // explicit: flat per-byte cost is the 100 TB design claim.
+      val avTimes = if (!doAv) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val build = udf { (id: Long, n: Int) =>
+          if (id % 2 == 0) {
+            val c = ((id / 2) % 2 + 1).toInt
+            val r = 8000 * (((id / 2) % 3).toInt + 1)
+            Multimodal.wavBytes(c, r, 16, n * 100)
+          } else {
+            val ts = 600 + (id % 5).toInt * 100
+            val cc = Seq("avc1", "hvc1", "mp4a")(((id / 2) % 3).toInt)
+            Multimodal.mp4Bytes(ts, n.toLong * 7, cc)
+          }
+        }
+        var nDocs = 0L
+        var nBytes = 0L
+        val t = time2(spark) {
+          val r = Multimodal
+            .withAvMeta(
+              docs.select(col("doc_id"), build(col("doc_id"), col("n_chars")).as("content")),
+              "content")
+            .filter(col("av_format").isNotNull)
+            .agg(count(lit(1)), sum(octet_length(col("content"))))
+            .head
+          nDocs = r.getLong(0)
+          nBytes = r.getLong(1)
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"av_sniff","sec":$t,"rows":$nDocs,"bytes":$nBytes}""")
+        Seq("av_sniff" -> t)
+      }
+      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes)
     }.toMap
 
     // summary: growth factors vs the smallest scale (a ~linear engine shows
     // ~k/k0 at scale k)
     val k0 = scales.min
-    val names = queries ++ (if (doVindex) Seq("vindex_build", "vindex_probe") else Nil)
+    val names = queries ++
+      (if (doVindex) Seq("vindex_build", "vindex_probe") else Nil) ++
+      (if (doEr) Seq("entity_resolve") else Nil) ++
+      (if (doAv) Seq("av_sniff") else Nil)
     val summary = names.map { q =>
       val t1 = results(k0).toMap.apply(q)
       val g = scales.map(k => f"${results(k).toMap.apply(q) / t1}%.1f").mkString("[", ",", "]")
