@@ -394,6 +394,17 @@ object Multimodal {
       var codec: Option[String] = None
       var channels: Option[Int] = None
       var rate: Option[Int] = None
+      // fragmented-MP4 duration: an fMP4's mvhd carries duration 0 (the
+      // movie grows segment by segment), so the real duration lives in the
+      // segments — preferred source is `sidx` (each box carries its OWN
+      // timescale, so every box converts to ms exactly); fallback is the
+      // `moof` chain: per-sample durations from `trun` when present, else
+      // the traf's `tfhd` default × sample_count, all in the TRACK
+      // timescale (`mdhd`, not mvhd — the two differ routinely).
+      var sidxMs = -1L
+      var mdhdTimescale = 0L
+      var fragTicks = -1L
+      var tfhdDefaultDur = 0L // per-traf; reset when a traf opens
 
       def walk(from: Long, to: Long, depth: Int): Unit = {
         if (depth > 8) return
@@ -409,7 +420,10 @@ object Multimodal {
           val p = i + header
           val end = math.min(i + size, to)
           typ match {
-            case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(p, end, depth + 1)
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" | "moof" => walk(p, end, depth + 1)
+            case "traf" =>
+              tfhdDefaultDur = 0L // a stale default must not leak across trafs
+              walk(p, end, depth + 1)
             case "mvhd" if p + 4 <= to =>
               val v = u8(p.toInt)
               if (v == 1 && p + 32 <= to) {
@@ -417,6 +431,10 @@ object Multimodal {
               } else if (v == 0 && p + 20 <= to) {
                 timescale = be32(p.toInt + 12); duration = be32(p.toInt + 16)
               }
+            case "mdhd" if p + 4 <= to =>
+              val v = u8(p.toInt)
+              if (v == 1 && p + 24 <= to) mdhdTimescale = be32(p.toInt + 20)
+              else if (v == 0 && p + 16 <= to) mdhdTimescale = be32(p.toInt + 12)
             case "stsd" if p + 16 <= to =>
               // [version+flags(4)] [entry_count(4)] then the first sample
               // entry: size(4) + data-format fourcc(4)
@@ -432,18 +450,71 @@ object Multimodal {
                   rate = Some((be32(entry.toInt + 32) >> 16).toInt)
                 }
               }
+            case "sidx" if p + 4 <= to =>
+              // fullbox, then: reference_ID(4) timescale(4)
+              // v0: EPT(4) first_offset(4) | v1: EPT(8) first_offset(8)
+              // reserved(2) reference_count(2), refs of 12 bytes each with
+              // subsegment_duration in the middle 4
+              val v = u8(p.toInt)
+              val ts = if (p + 12 <= to) be32(p.toInt + 8) else 0L
+              val afterOffsets = p + 12 + (if (v == 1) 16L else 8L)
+              if (ts > 0 && afterOffsets + 4 <= to) {
+                val n = be16(afterOffsets.toInt + 2)
+                var r = afterOffsets + 4
+                var ticks = 0L
+                var seen = 0
+                while (seen < n && r + 12 <= to) {
+                  ticks += be32(r.toInt + 4)
+                  r += 12
+                  seen += 1
+                }
+                if (seen == n) sidxMs = math.max(sidxMs, 0L) + ticks * 1000L / ts
+              }
+            case "tfhd" if p + 8 <= to =>
+              val flags = be32(p.toInt) & 0xffffff
+              // after version+flags and track_ID: optional fields in flag
+              // order — base_data_offset(8, 0x1), sample_desc_index(4, 0x2),
+              // then default_sample_duration(4, 0x8)
+              var q = p + 8
+              if ((flags & 0x1) != 0) q += 8
+              if ((flags & 0x2) != 0) q += 4
+              if ((flags & 0x8) != 0 && q + 4 <= to) tfhdDefaultDur = be32(q.toInt)
+            case "trun" if p + 8 <= to =>
+              val flags = be32(p.toInt) & 0xffffff
+              val n = be32(p.toInt + 4)
+              var q = p + 8
+              if ((flags & 0x1) != 0) q += 4 // data_offset
+              if ((flags & 0x4) != 0) q += 4 // first_sample_flags
+              if ((flags & 0x100) != 0) {
+                // per-sample duration leads each sample record; record width
+                // depends on which of the other per-sample fields are present
+                val rec = 4L + (if ((flags & 0x200) != 0) 4 else 0) +
+                  (if ((flags & 0x400) != 0) 4 else 0) +
+                  (if ((flags & 0x800) != 0) 4 else 0)
+                var seen = 0L
+                var ticks = 0L
+                while (seen < n && q + rec <= to) {
+                  ticks += be32(q.toInt)
+                  q += rec
+                  seen += 1
+                }
+                if (seen == n) fragTicks = math.max(fragTicks, 0L) + ticks
+              } else if (tfhdDefaultDur > 0) {
+                fragTicks = math.max(fragTicks, 0L) + n * tfhdDefaultDur
+              }
             case _ => // leaf we don't need
           }
           i += size
         }
       }
       walk(0, bytes.length.toLong, 0)
-      Some(AvMeta(
-        "mp4",
-        codec,
-        channels,
-        rate,
-        if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale) else None))
+      val durationMs =
+        if (timescale > 0 && duration > 0) Some(duration * 1000L / timescale)
+        else if (sidxMs >= 0) Some(sidxMs)
+        else if (fragTicks >= 0 && mdhdTimescale > 0) Some(fragTicks * 1000L / mdhdTimescale)
+        else if (timescale > 0 && duration >= 0) Some(0L) // genuine zero-length, no segments
+        else None
+      Some(AvMeta("mp4", codec, channels, rate, durationMs))
     } else None
   }
 
@@ -528,6 +599,83 @@ object Multimodal {
       "moov",
       box("mvhd", mvhd) ++ box("trak", box("mdia", box("minf", box("stbl", stsd)))))
     box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++ moov
+  }
+
+  /** Minimal valid FRAGMENTED MP4 bytes: ftyp + moov{mvhd(duration=0),
+    * trak{mdia{mdhd(timescale), minf{stbl{stsd}}}}} + one segment box per
+    * entry of `segmentDurations`. `useSidx = true` emits a single `sidx`
+    * whose references carry the segment durations (the DASH layout);
+    * `false` emits a `moof{mfhd, traf{tfhd(default_sample_duration),
+    * trun(sample_count=1)}}` chain (the smooth-streaming/live layout).
+    * Either way mvhd says duration 0 — the fixture for the fMP4 half of
+    * [[sniffAudioVideo]]'s duration recovery.
+    */
+  def mp4FragBytes(
+      timescale: Int,
+      segmentDurations: Seq[Long],
+      codecFourcc: String,
+      useSidx: Boolean = true
+  ): Array[Byte] = {
+    require(codecFourcc.length == 4, "fourcc is exactly 4 ascii bytes")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(timescale).putInt(0) // duration UNKNOWN — it lives in segments
+      bb.array()
+    }
+    val mdhd = {
+      val bb = java.nio.ByteBuffer.allocate(24) // version 0 layout
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(timescale).putInt(0)
+      bb.array()
+    }
+    val sampleEntry = {
+      val bb = java.nio.ByteBuffer.allocate(36)
+      bb.putInt(36).put(codecFourcc.getBytes)
+      bb.array()
+    }
+    val stsd = {
+      val bb = java.nio.ByteBuffer.allocate(8 + sampleEntry.length)
+      bb.putInt(0).putInt(1).put(sampleEntry)
+      box("stsd", bb.array())
+    }
+    val moov = box(
+      "moov",
+      box("mvhd", mvhd) ++
+        box("trak", box("mdia", box("mdhd", mdhd) ++ box("minf", box("stbl", stsd)))))
+    val segments =
+      if (useSidx) {
+        val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 12 * segmentDurations.length)
+        bb.putInt(0) // version 0 + flags
+        bb.putInt(1).putInt(timescale) // reference_ID, timescale
+        bb.putInt(0).putInt(0) // earliest_presentation_time, first_offset
+        bb.putShort(0).putShort(segmentDurations.length.toShort)
+        segmentDurations.foreach { d =>
+          bb.putInt(0).putInt(d.toInt).putInt(0) // ref_type|size, duration, SAP
+        }
+        box("sidx", bb.array())
+      } else
+        segmentDurations.zipWithIndex.map { case (d, i) =>
+          val mfhd = { val bb = java.nio.ByteBuffer.allocate(8); bb.putInt(0).putInt(i + 1); bb.array() }
+          val tfhd = {
+            val bb = java.nio.ByteBuffer.allocate(12)
+            bb.putInt(0x000008) // flags: default-sample-duration present
+            bb.putInt(1).putInt(d.toInt) // track_ID, default_sample_duration
+            bb.array()
+          }
+          val trun = {
+            val bb = java.nio.ByteBuffer.allocate(8)
+            bb.putInt(0).putInt(1) // no optional fields; sample_count=1
+            bb.array()
+          }
+          box("moof", box("mfhd", mfhd) ++ box("traf", box("tfhd", tfhd) ++ box("trun", trun)))
+        }.reduce(_ ++ _)
+    box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++ moov ++ segments
   }
 
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per

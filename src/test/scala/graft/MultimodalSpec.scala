@@ -207,6 +207,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffAudioVideo(png) == None)
   }
 
+  test("sniffAudioVideo recovers fragmented-MP4 duration from sidx and from the moof chain") {
+    // an fMP4's mvhd says duration 0; the truth lives in the segments.
+    // sidx layout (DASH): one index box, per-reference subsegment durations
+    // in the box's OWN timescale
+    val sidx = Multimodal.mp4FragBytes(600, Seq(1200L, 1800L, 600L), "avc1", useSidx = true)
+    assert(Multimodal.sniffAudioVideo(sidx)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(6000L))),
+      "sidx: (1200+1800+600)/600 ticks = 6s")
+    // moof chain (live/smooth layout): per-traf tfhd default duration ×
+    // trun sample_count, in the TRACK (mdhd) timescale
+    val moof = Multimodal.mp4FragBytes(1000, Seq(500L, 250L), "hvc1", useSidx = false)
+    assert(Multimodal.sniffAudioVideo(moof)
+      == Some(Multimodal.AvMeta("mp4", Some("hvc1"), None, None, Some(750L))),
+      "moof: (500+250)/1000 ticks = 750ms")
+
+    // hand-assembled trun with PER-SAMPLE durations (flag 0x100, plus a
+    // sample-size field 0x200 so the record stride matters): neither
+    // builder emits this shape, so a parser that miscounts the record
+    // width or the optional header fields fails here. mdhd timescale 1000;
+    // samples 100+200+300 → 600 ms.
+    def unhex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val base = Multimodal.mp4FragBytes(1000, Seq(1L), "avc1", useSidx = true)
+    // strip the builder's one-ref sidx box: 8 header + (12+8+4+12) payload
+    val prefix = base.dropRight(8 + 12 + 8 + 4 + 12)
+    // tfhd(16 bytes: version+flags 0, track_ID 1 — NO default duration)
+    val tfhd = unhex("00000010 74666864 00000000 00000001")
+    val trunPayload = unhex(
+      "00000301" + // version 0, flags: data_offset | sample_duration | sample_size
+        "00000003" + // sample_count
+        "00000000" + // data_offset
+        "00000064 00000010" + // sample 1: dur 100, size 16
+        "000000C8 00000010" + // sample 2: dur 200, size 16
+        "0000012C 00000010") // sample 3: dur 300, size 16
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val mfhd = unhex("00000010 6D666864 00000000 00000001")
+    val moofBox = box("moof", mfhd ++ box("traf", tfhd ++ box("trun", trunPayload)))
+    assert(Multimodal.sniffAudioVideo(prefix ++ moofBox)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(600L))),
+      "per-sample trun durations: 100+200+300 ticks @1000 = 600ms")
+
+    // a traf with NO tfhd default and NO per-sample durations contributes
+    // nothing — duration honestly degrades to 0 rather than inventing one
+    val bare = box("moof", mfhd ++ box("traf", tfhd ++ box("trun", unhex("00000000 00000003"))))
+    assert(Multimodal.sniffAudioVideo(prefix ++ bare)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(0L))))
+
+    // non-fragmented files are untouched by the new paths (mvhd wins)
+    assert(Multimodal.sniffAudioVideo(Multimodal.mp4Bytes(600, 1234L, "hvc1"))
+      == Some(Multimodal.AvMeta("mp4", Some("hvc1"), None, None, Some(1234L * 1000 / 600))))
+  }
+
   test("withAvMeta appends sniffed columns scan-side, NULL for non-media") {
     import spark.implicits._
     val rows = Seq(
