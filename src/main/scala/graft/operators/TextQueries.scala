@@ -522,6 +522,42 @@ object TextQueries {
     """.trim)
   )
 
+  /** Fragmented-MP4 duration recovery ([[Multimodal.sniffAudioVideo]]'s
+    * fMP4 half): every document becomes a DASH/live container whose mvhd
+    * says duration 0 — even doc_ids carry a `sidx` (three references), odd
+    * ones a `moof` chain (three fragments, tfhd default × trun count) —
+    * and the parser must reassemble the duration from the segments. The
+    * split 2n+2n+3n = 7n keeps the total identical to q92's non-fragmented
+    * arithmetic, so the oracle recomputes the same exact floor division;
+    * a parser that read mvhd's 0 (the pre-round-6 behavior), dropped a
+    * segment, or mixed timescales fails the hash gate.
+    */
+  private val q93 = Q(
+    "q93_fmp4_duration",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val build = udf { (id: Long, n: Int) =>
+        val ts = 600 + (id % 5).toInt * 100
+        val cc = Seq("avc1", "hvc1")(((id / 2) % 2).toInt)
+        val segs = Seq(n.toLong * 2, n.toLong * 2, n.toLong * 3)
+        Multimodal.mp4FragBytes(ts, segs, cc, useSidx = id % 2 == 0)
+      }
+      Multimodal
+        .withAvMeta(
+          T.documents.select($"doc_id", build($"doc_id", $"n_chars").as("content")),
+          "content")
+        .select($"doc_id", $"av_format", $"av_codec", $"av_duration_ms")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             'mp4' AS av_format,
+             ['avc1','hvc1'][CAST((doc_id // 2) % 2 AS INT) + 1] AS av_codec,
+             (CAST(n_chars AS BIGINT) * 7 * 1000) // (600 + (doc_id % 5) * 100) AS av_duration_ms
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   /** CCNet-style LM quality scoring ([[LmScore]]): a unigram model trained
     * on the corpus' English slice scores every document by mean smoothed
     * inverse token probability (exact-integer thousandths — see the
@@ -577,5 +613,5 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93)
 }
