@@ -175,7 +175,10 @@ object VectorIndex {
     * Caller contract: ids must not collide with vectors already in the
     * index (same as any append-only store).
     */
-  def append(h: Handle, newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+  def append(h0: Handle, newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    // roll-forward + reload: appending with a pre-retrain handle's
+    // codebooks after a promoted commit would mix encodings in one list
+    val h = freshHandle(h0, newVectors.sparkSession)
     val std = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val assigned = std.withColumn(
       "cluster",
@@ -303,7 +306,7 @@ object VectorIndex {
     * centroid count.
     */
   def rebalanceIfNeeded(
-      h: Handle,
+      h0: Handle,
       corpus: DataFrame, // (idCol, vecCol) — raw vectors for at least every indexed id
       idCol: String,
       vecCol: String,
@@ -313,13 +316,15 @@ object VectorIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     // crash repair FIRST: roll forward any interrupted retrain commit (its
-    // staged artifacts are authoritative once the marker exists), then
+    // staged artifacts are authoritative once the marker exists — and when
+    // one is promoted the caller's handle is STALE, so reload; re-encoding
+    // below with pre-retrain codebooks would write mixed encodings), then
     // collapse cross-list duplicates — an interrupted rebalance (between
     // its append and delete) leaves moved vectors in two lists, and a
     // re-run allocates DIFFERENT fresh list ids, so nothing downstream
     // could ever collapse the copies — they'd double-count in every probe
     // forever
-    recoverRetrain(h.dir, spark)
+    val h = freshHandle(h0, spark)
     repairCrossListDuplicates(h, spark)
     val occ = stats(h, spark).as[(Int, Long)].collect()
     val total = occ.map(_._2).sum
@@ -520,7 +525,7 @@ object VectorIndex {
     * Returns the updated handle (`h` unchanged when not drifted).
     */
   def retrainIfDrifted(
-      h: Handle,
+      h0: Handle,
       corpus: DataFrame, // (idCol, vecCol) — raw vectors for at least every indexed id
       idCol: String,
       vecCol: String,
@@ -530,7 +535,10 @@ object VectorIndex {
   ): Handle = {
     require(tolerance >= 1.0, s"tolerance $tolerance < 1 would flag an IMPROVED fit as drift")
     val spark = corpus.sparkSession
-    recoverRetrain(h.dir, spark)
+    // roll-forward + reload: after promoting an interrupted commit the
+    // caller's handle carries pre-retrain codebooks, and measuring drift
+    // with them against the promoted baseline would immediately re-retrain
+    val h = freshHandle(h0, spark)
     val meta = readMeta(spark, h.dir)
     val current = quantizationError(h, corpus, idCol, vecCol, sampleFraction)
     val baseline = meta.baselineQerr.getOrElse {
@@ -593,18 +601,31 @@ object VectorIndex {
     * was never touched). Idempotent and convergent under repeated crashes
     * — every step re-checks existence.
     */
-  private def recoverRetrain(dir: String, spark: SparkSession): Unit = {
+  private def recoverRetrain(dir: String, spark: SparkSession): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.__retrain")))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.__retrain"))) {
       commitRetrain(dir, spark)
-    else
+      true
+    } else {
       Seq("postings.__retrain", "codebooks.__retrain").foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
         if (fs.exists(p) && !fs.delete(p, true))
           throw new java.io.IOException(s"could not discard partial retrain stage $p")
       }
+      false
+    }
   }
+
+  /** A handle guaranteed to match the on-disk index: rolls any interrupted
+    * retrain commit forward first, and when that happened, RELOADS — the
+    * caller's handle predates the commit, and its stale codebooks would
+    * otherwise write mixed encodings into the freshly-promoted postings
+    * (append/rebalance encode with `h.codebooks`). Every mutating entry
+    * point passes through here.
+    */
+  private def freshHandle(h: Handle, spark: SparkSession): Handle =
+    if (recoverRetrain(h.dir, spark)) open(spark, h.dir) else h
 
   /** Swap staged retrain artifacts into place: postings, codebooks, then
     * meta — meta LAST, because its staged copy is the roll-forward marker
@@ -646,9 +667,14 @@ object VectorIndex {
     * the index are ignored (idempotent — removing twice is safe). Returns
     * the number of vectors actually removed.
     */
-  def remove(h: Handle, ids: DataFrame, idCol: String): Long = {
+  def remove(h0: Handle, ids: DataFrame, idCol: String): Long = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // roll the staged commit forward BEFORE rewriting postings: removing
+    // from the live set while a completed stage awaits promotion would be
+    // undone wholesale when the stage later promotes over it — the
+    // removed vectors would resurrect
+    val h = freshHandle(h0, spark)
     val postings = spark.read.parquet(s"${h.dir}/postings")
     val victims = ids
       .select(col(idCol).cast(postings.schema("vec_id").dataType).as("vec_id"))

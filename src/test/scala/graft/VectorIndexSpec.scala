@@ -493,6 +493,10 @@ class VectorIndexSpec extends SparkSpec {
     // staged set and crash "before any swap" — open() must roll forward.
     val d2 = tmpDir("vindex_crash_clone")
     copyTree(Paths.get(d1), Paths.get(d2))
+    // a second pristine pre-retrain clone, for the stale-handle scenario at
+    // the end (d1 itself gets promoted below)
+    val d4Src = tmpDir("vindex_crash_pristine")
+    copyTree(Paths.get(d1), Paths.get(d4Src))
     val h2 = VectorIndex.retrainIfDrifted(
       VectorIndex.open(spark, d2), all, "vec_id", "embedding", tolerance = 1.5)
     assert(!(h2.codebooks.flatten.map(_.toSeq).toSeq == h0.codebooks.flatten.map(_.toSeq).toSeq),
@@ -511,5 +515,36 @@ class VectorIndexSpec extends SparkSpec {
     val got = VectorIndex.query(rolled, queries, nProbe = 2, k = 5)
       .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
     assert(got == want && got.nonEmpty)
+
+    // STALE HANDLE ACROSS THE ROLL-FORWARD: a caller who opened the index
+    // BEFORE the interrupted retrain and mutates through that handle after
+    // the marker exists must not write pre-retrain encodings into the
+    // promoted postings. d3: pre-retrain clone, handle captured, THEN the
+    // completed stage is planted; append through the stale handle. The
+    // appended codes must equal what the post-retrain index (d4) encodes
+    // for the same vectors — byte-for-byte.
+    val d3 = tmpDir("vindex_crash_stale")
+    copyTree(Paths.get(d4Src), Paths.get(d3))
+    val hStale = VectorIndex.open(spark, d3) // pre-retrain codebooks
+    for (n <- Seq("postings", "codebooks", "meta"))
+      copyTree(Paths.get(d2, n), Paths.get(d3, s"$n.__retrain"))
+    val extra = (10000 until 10005).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    VectorIndex.append(hStale, extra.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(!Files.exists(Paths.get(d3, "postings.__retrain")),
+      "append through a stale handle must promote the staged commit first")
+    VectorIndex.append(h2, extra.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    def codesOf(dir: String): Map[Long, Seq[Int]] = spark.read
+      .parquet(s"$dir/postings")
+      .filter($"vec_id" >= 10000L)
+      .select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])]
+      .collect()
+      .toMap
+    val viaStale = codesOf(d3)
+    val viaFresh = codesOf(d2)
+    assert(viaStale.keySet.size == 5 && viaStale == viaFresh,
+      s"stale-handle append must encode under the PROMOTED codebooks: $viaStale vs $viaFresh")
   }
 }
