@@ -132,11 +132,15 @@ object ScaleBench {
     // the marker records WHICH base produced the corpus: a bare existence
     // check would silently reuse a stale corpus from a different baseDir
     // (or regenerated testdata) while the summary line labels it with the
-    // new base — mislabeled curves. The #v2 suffix versions the LAYOUT
-    // (customer500 added for the entity-resolution curve): a pre-v2
-    // scratch dir has a matching baseDir but no customer500, and a bare
-    // base compare would reuse it.
-    val tag = s"$baseDir#v2"
+    // new base — mislabeled curves. The tag therefore carries the base
+    // file's (mtime, size) too: the driver regenerates testdata IN PLACE,
+    // so a path-only tag cannot see the swap. The #v2 suffix versions the
+    // LAYOUT (customer500 added for the entity-resolution curve).
+    val baseFp = {
+      val f = new java.io.File(s"$baseDir/documents.parquet")
+      s"${f.lastModified}:${f.length}"
+    }
+    val tag = s"$baseDir@$baseFp#v2"
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (!fresh) {

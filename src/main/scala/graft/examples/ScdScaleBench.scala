@@ -110,9 +110,14 @@ object ScdScaleBench {
   private def materialize(spark: SparkSession, baseDir: String, scratch: String, ax: Axis): String = {
     val dir = s"$scratch/${ax.label}"
     val marker = new java.io.File(s"$dir/_READY")
-    // marker carries the producing baseDir (see ScaleBench.materialize):
-    // existence alone would reuse a stale corpus from a different base
-    val tag = baseDir
+    // marker carries the producing baseDir + the base file's (mtime, size)
+    // (see ScaleBench.materialize): existence alone would reuse a stale
+    // corpus from a different base, and a path-only tag cannot see the
+    // driver regenerating testdata IN PLACE at the same path
+    val tag = {
+      val f = new java.io.File(s"$baseDir/events.parquet")
+      s"$baseDir@${f.lastModified}:${f.length}"
+    }
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (!fresh) {
