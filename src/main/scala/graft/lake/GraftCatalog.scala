@@ -274,10 +274,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
            |  FROM $from
            |) WHERE __rn = 1""".stripMargin
       case "__versions" =>
+        // plain `<>` (NULL-propagating), not `NOT (<=>)`: Scd.withVersions
+        // uses =!=, under which a NULL hash is never a change — the view
+        // must agree with the Scala API row-for-row
         s"""SELECT $cols, row_number() OVER (PARTITION BY $key ORDER BY $ord, $hsh) AS version FROM (
            |  SELECT *, lag($hsh) OVER (PARTITION BY $key ORDER BY $ord, $hsh) AS __prev
            |  FROM $from
-           |) WHERE __prev IS NULL OR NOT ($hsh <=> __prev)""".stripMargin
+           |) WHERE __prev IS NULL OR $hsh <> __prev""".stripMargin
     }
     val schema =
       if (suffix == "__versions") baseSchema.add("version", IntegerType, nullable = false)

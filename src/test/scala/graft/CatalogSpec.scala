@@ -208,6 +208,31 @@ class CatalogSpec extends SparkSpec {
     assert(views == Set("properties__current", "properties__versions"), s"views: $views")
   }
 
+  test("__versions agrees with Scd.withVersions row-for-row when hashes are NULL") {
+    // Scd.withVersions uses =!= (NULL-propagating): a NULL hash is never a
+    // change. The view must match — NOT(<=>) would count NULL↔value
+    // transitions and diverge from the Scala API.
+    val root = tmpDir("catalog_scd_null")
+    val rows = Seq(
+      ("u1", "a", java.sql.Timestamp.valueOf("2024-03-01 09:00:00"), "h1"),
+      ("u1", "b", java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), null),
+      ("u1", "c", java.sql.Timestamp.valueOf("2024-03-03 09:00:00"), "h1"),
+      ("u2", "d", java.sql.Timestamp.valueOf("2024-03-01 09:00:00"), null),
+      ("u2", "e", java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), "h2"))
+    Lake.append(rows.toDF("uuid", "payload", "scraped_at", "row_hash"), root, "vgsi", "t")
+    GraftCatalog.register(spark, "graftnull", root)
+    val viaView = spark.sql(
+      "SELECT uuid, payload, version FROM graftnull.vgsi.t__versions ORDER BY uuid, version")
+      .as[(String, String, Int)].collect().toSeq
+    val viaApi = Scd
+      .withVersions(Lake.read(spark, root, "vgsi", "t"),
+        col("uuid"), col("row_hash"), col("scraped_at"), col("row_hash"))
+      .select($"uuid", $"payload", $"version")
+      .orderBy($"uuid", $"version")
+      .as[(String, String, Int)].collect().toSeq
+    assert(viaView == viaApi, s"view $viaView != api $viaApi")
+  }
+
   test("entity-key predicates push through the derived views into the parquet scan") {
     val root = mkScdLake()
     GraftCatalog.register(spark, "graftscd2", root)
