@@ -57,6 +57,15 @@ object TrainingPipeline {
     * vector source of truth the re-encode reads), not just this refresh's
     * corpus — rebalance fails loudly on unresolved ids rather than dropping
     * them.
+    *
+    * `retrainTolerance` (index mode only) is the other maintenance half —
+    * codebook staleness: when the corpus' quantization error exceeds
+    * tolerance × the build-time baseline, subspace codebooks are retrained
+    * and every list re-encoded ([[VectorIndex.retrainIfDrifted]]) before
+    * the probe. Runs AFTER rebalance (geometry first, then codes — retrain
+    * keeps assignments, so the order composes; the reverse would retrain
+    * against about-to-be-split lists). Same full-coverage contract on
+    * `embeddings` as rebalance.
     */
   final case class EmbedStage(
       embeddings: DataFrame,
@@ -68,7 +77,8 @@ object TrainingPipeline {
       index: Option[VectorIndex.Handle] = None,
       nProbe: Int = 4,
       k: Int = 10,
-      rebalanceMaxSkew: Option[Double] = None
+      rebalanceMaxSkew: Option[Double] = None,
+      retrainTolerance: Option[Double] = None
   )
 
   /** @return (chunks, audit): training-ready chunk rows
@@ -135,8 +145,10 @@ object TrainingPipeline {
           "left_semi")
         val pairs = e.index match {
           case Some(h0) =>
-            val h = e.rebalanceMaxSkew.fold(h0)(
+            val h1 = e.rebalanceMaxSkew.fold(h0)(
               VectorIndex.rebalanceIfNeeded(h0, e.embeddings, e.idCol, e.embCol, _))
+            val h = e.retrainTolerance.fold(h1)(
+              VectorIndex.retrainIfDrifted(h1, e.embeddings, e.idCol, e.embCol, _))
             Dedup.embedNearDupPairsViaIndex(alive, e.idCol, e.embCol, h, e.threshold, e.nProbe, e.k)
           case None =>
             Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.lshPlanes, e.lshBands, e.threshold)

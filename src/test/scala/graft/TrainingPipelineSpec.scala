@@ -115,13 +115,13 @@ class TrainingPipelineSpec extends SparkSpec {
     // split policy before the probe. On this drift-free fixture it must be
     // a no-op (identical survivors, meta version untouched); the policy's
     // behavior under real drift is VectorIndexSpec's rebalance test.
-    val maintained = indexed.copy(rebalanceMaxSkew = Some(4.0))
+    val maintained = indexed.copy(rebalanceMaxSkew = Some(4.0), retrainTolerance = Some(1.5))
     val (chunksMaint, auditMaint) =
       TrainingPipeline.prepare(corpus, bench, "doc_id", "text", embed = Some(maintained))
     assert(kept(chunksMaint) == Seq(1L))
     assert(auditMap(auditMaint) == aI)
     assert(spark.read.parquet(s"${h.dir}/meta").select($"version").as[Int].head() == 1,
-      "a balanced index must not be rewritten by the maintenance pass")
+      "a balanced, undrifted index must not be rewritten by either maintenance pass")
   }
 
   test("every surviving doc's tokens are fully covered by its chunks") {
