@@ -450,11 +450,16 @@ object Multimodal {
                   rate = Some((be32(entry.toInt + 32) >> 16).toInt)
                 }
               }
-            case "sidx" if p + 4 <= to =>
+            case "sidx" if sidxMs < 0 && p + 4 <= to =>
               // fullbox, then: reference_ID(4) timescale(4)
               // v0: EPT(4) first_offset(4) | v1: EPT(8) first_offset(8)
               // reserved(2) reference_count(2), refs of 12 bytes each with
-              // subsegment_duration in the middle 4
+              // subsegment_duration in the middle 4.
+              // FIRST sidx wins: a hierarchical index's parent box already
+              // spans the whole presentation through its reference
+              // durations (nested sidx boxes re-describe the same time),
+              // and multi-track files carry one sidx per PARALLEL track —
+              // in both layouts summing every box double-counts time.
               val v = u8(p.toInt)
               val ts = if (p + 12 <= to) be32(p.toInt + 8) else 0L
               val afterOffsets = p + 12 + (if (v == 1) 16L else 8L)
@@ -468,7 +473,7 @@ object Multimodal {
                   r += 12
                   seen += 1
                 }
-                if (seen == n) sidxMs = math.max(sidxMs, 0L) + ticks * 1000L / ts
+                if (seen == n) sidxMs = ticks * 1000L / ts
               }
             case "tfhd" if p + 8 <= to =>
               val flags = be32(p.toInt) & 0xffffff

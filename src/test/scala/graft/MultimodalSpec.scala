@@ -215,6 +215,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffAudioVideo(sidx)
       == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(6000L))),
       "sidx: (1200+1800+600)/600 ticks = 6s")
+    // FIRST sidx wins: hierarchical indexes re-describe the same time in
+    // nested boxes and multi-track files carry one sidx per parallel
+    // track — a second sidx must not double the duration
+    val sidxBox = sidx.takeRight(8 + 12 + 8 + 4 + 12 * 3)
+    assert(new String(sidxBox.slice(4, 8), "US-ASCII") == "sidx", "fixture self-check")
+    assert(Multimodal.sniffAudioVideo(sidx ++ sidxBox)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(6000L))),
+      "a duplicate/nested sidx must not double-count time")
+
     // moof chain (live/smooth layout): per-traf tfhd default duration ×
     // trun sample_count, in the TRACK (mdhd) timescale
     val moof = Multimodal.mp4FragBytes(1000, Seq(500L, 250L), "hvc1", useSidx = false)
