@@ -313,11 +313,21 @@ object GraftCatalog {
     * catalog manager instantiates [[GraftCatalog]] lazily on the first
     * three-part-name reference. `readonly = true` refuses every DDL
     * mutation and strips write capability from served tables.
+    *
+    * NOTE: the catalog manager caches plugin instances by name — options
+    * changed AFTER the first use of `name` do not reach the live instance
+    * (Spark behavior, not graft's). Register each (root, readonly)
+    * combination under its own name, as in `graft` + `graft_ro`. The
+    * explicit unset below still matters for the not-yet-instantiated case:
+    * without it, register(readonly = false) over an earlier
+    * register(readonly = true) would leave the stale conf to win when the
+    * catalog is eventually instantiated.
     */
   def register(spark: SparkSession, name: String, root: String, readonly: Boolean = false): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
     if (readonly) spark.conf.set(s"spark.sql.catalog.$name.readonly", "true")
+    else spark.conf.unset(s"spark.sql.catalog.$name.readonly")
   }
 
   /** A scan-only facade over a served table: delegates reads verbatim,
