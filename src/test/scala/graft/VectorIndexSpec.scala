@@ -547,4 +547,101 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaStale.keySet.size == 5 && viaStale == viaFresh,
       s"stale-handle append must encode under the PROMOTED codebooks: $viaStale vs $viaFresh")
   }
+
+  test("lifecycle soak: append → rebalance → retrain → remove → append composes with invariants held") {
+    // every maintenance operation in sequence on ONE index, with the
+    // conservation invariants checked after each step — the individual
+    // operations are spec'd above; this catches their INTERACTIONS
+    // (rebalance after retrain must re-encode with the retrained
+    // codebooks, retrain after remove must tolerate corpus ⊋ indexed,
+    // appends must land correctly whatever came before).
+    val rnd = new Random(23)
+    val dim = 16
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 10))
+    val delta = {
+      val d = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(d.map(x => x * x).sum); d.map(_ / n * 8.0)
+    }
+    def mk(ids: Range, drifted: Boolean): Seq[(Long, Seq[Float])] = ids.map { i =>
+      val c = centers(i % 4)
+      val v =
+        if (drifted) c.zip(delta).map { case (x, o) => (x + o + rnd.nextGaussian() * 0.5).toFloat }
+        else c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val gen0 = mk(0 until 200, drifted = false)
+    val gen1 = mk(200 until 600, drifted = true) // same lists, shifted mode
+    val gen2 = mk(600 until 650, drifted = true)
+    val dir = tmpDir("vindex_soak")
+
+    var corpus = gen0
+    def corpusDF = corpus.toDF("vec_id", "embedding")
+    def occupancy(h: VectorIndex.Handle): Long =
+      VectorIndex.stats(h, spark).as[(Int, Long)].collect().map(_._2).sum
+    def distinctIndexed(h: VectorIndex.Handle): Long =
+      spark.read.parquet(s"${h.dir}/postings").select($"vec_id").distinct().count()
+
+    var h = VectorIndex.build(corpusDF, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+
+    // 1. drifted append (same coarse lists, shifted residual mode)
+    corpus = corpus ++ gen1
+    VectorIndex.append(h, gen1.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(occupancy(h) == 600 && distinctIndexed(h) == 600)
+
+    // 2. rebalance (may split — occupancy conserved either way)
+    h = VectorIndex.rebalanceIfNeeded(h, corpusDF, "vec_id", "embedding", maxSkew = 1.5)
+    assert(occupancy(h) == 600 && distinctIndexed(h) == 600, "rebalance must conserve vectors")
+
+    // 3. retrain (codes repaired against the current mixture)
+    val before = h.codebooks.flatten.map(_.toSeq).toSeq
+    h = VectorIndex.retrainIfDrifted(h, corpusDF, "vec_id", "embedding", tolerance = 1.5)
+    assert(h.codebooks.flatten.map(_.toSeq).toSeq != before, "the planted drift must trigger retrain")
+    assert(occupancy(h) == 600 && distinctIndexed(h) == 600, "retrain must conserve vectors")
+
+    // 4. remove a slice (takedowns) — victims gone, survivors intact
+    val victims = (0L until 50L)
+    val removed = VectorIndex.remove(h, victims.toDF("vec_id"), "vec_id")
+    corpus = corpus.filterNot(r => victims.contains(r._1))
+    assert(removed == 50 && occupancy(h) == 550 && distinctIndexed(h) == 550)
+
+    // 5. retrain check AFTER remove: corpus ⊇ indexed is the contract —
+    // feed the full remaining corpus; must not throw, must conserve
+    h = VectorIndex.retrainIfDrifted(h, corpusDF, "vec_id", "embedding", tolerance = 1.5)
+    assert(occupancy(h) == 550)
+
+    // 6. append a final generation; everything probes coherently
+    corpus = corpus ++ gen2
+    VectorIndex.append(h, gen2.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(occupancy(h) == 600 && distinctIndexed(h) == 600)
+
+    // probes: victims never surface; a reopened session agrees exactly;
+    // recall against exact L2 is fresh-build-grade after all that churn
+    val vecs = corpus.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val qids = corpus.map(_._1).filter(i => i % 37 == 0).take(20)
+    val queries = corpus.filter(r => qids.contains(r._1)).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val probed = VectorIndex.query(h, queries, nProbe = 4, k = 10)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(!probed.exists(p => victims.contains(p._2)), "removed vectors must never surface")
+    val reopened = VectorIndex.open(spark, dir)
+    val probed2 = VectorIndex.query(reopened, queries, nProbe = 4, k = 10)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(probed.toSet == probed2.toSet, "a reopened session must probe identically")
+    val exact: Map[Long, Set[Long]] = qids.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq.sortBy(v => (l2(vecs(q), vecs(v)), v)).take(10).toSet
+    }.toMap
+    val got = probed.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size / 10.0 }.sum / exact.size
+    val hFresh = VectorIndex.build(corpusDF, "vec_id", "embedding",
+      tmpDir("vindex_soak_fresh"), kLists = 4, m = 4, ksub = 8)
+    val gotF = VectorIndex.query(hFresh, queries, nProbe = 4, k = 10)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recallF = exact.map { case (q, t) => gotF.getOrElse(q, Set.empty).intersect(t).size / 10.0 }.sum / exact.size
+    info(s"soak recall@10: maintained=$recall fresh=$recallF")
+    assert(recall >= recallF - 0.15,
+      s"a fully-maintained index must probe at fresh-build grade: $recall vs $recallF")
+  }
 }
