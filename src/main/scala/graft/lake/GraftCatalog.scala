@@ -243,10 +243,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private def hasScdTriplet(schema: StructType): Boolean =
     Seq(scdKey, scdOrder, scdHash).forall(schema.fieldNames.contains)
 
+  /** The table's read schema via the non-deprecated `columns()` surface
+    * (`Table.schema()` is deprecated since 3.4; the v2 util that converts
+    * is `private[sql]`, so convert the three fields the views need here).
+    */
+  private def schemaOf(t: Table): StructType =
+    StructType(t.columns().map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
     listTables(ns).flatMap { t =>
-      if (hasScdTriplet(loadTable(t).schema()))
+      if (hasScdTriplet(schemaOf(loadTable(t))))
         ViewSuffixes.map(s => Identifier.of(ns, t.name + s))
       else Seq.empty[Identifier]
     }
@@ -254,13 +262,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def viewExists(ident: Identifier): Boolean =
     viewBase(ident).exists { case (base, _) =>
-      tableExists(base) && hasScdTriplet(loadTable(base).schema())
+      tableExists(base) && hasScdTriplet(schemaOf(loadTable(base)))
     }
 
   override def loadView(ident: Identifier): View = {
     val (base, suffix) = viewBase(ident).getOrElse(throw new NoSuchViewException(ident))
     if (!tableExists(base)) throw new NoSuchViewException(ident)
-    val baseSchema = loadTable(base).schema()
+    val baseSchema = schemaOf(loadTable(base))
     if (!hasScdTriplet(baseSchema)) throw new NoSuchViewException(ident)
     def q(c: String) = s"`${c.replace("`", "``")}`"
     val cols = baseSchema.fieldNames.map(q).mkString(", ")
@@ -338,7 +346,6 @@ object GraftCatalog {
   private final class ReadOnlyTable(delegate: Table with org.apache.spark.sql.connector.catalog.SupportsRead)
       extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
     override def name(): String = delegate.name()
-    override def schema(): StructType = delegate.schema()
     override def columns(): Array[Column] = delegate.columns()
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
