@@ -208,6 +208,33 @@ object VectorIndex {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cluster"))
 
+  /** Codebook-staleness observability — the drift twin of [[stats]]'
+    * occupancy skew (which a distribution shift can leave perfectly
+    * balanced): the current mean [[quantizationError]] of `corpus` against
+    * the baseline recorded at build/retrain time, as one row
+    * `(baseline_qerr, current_qerr, ratio, drifted)`. `drifted` applies
+    * `tolerance` the same way [[retrainIfDrifted]] does, so a monitoring
+    * job can alert on exactly the condition maintenance would act on —
+    * without triggering the (expensive) retrain itself. `ratio` is NULL
+    * for an index predating the drift metric (no baseline recorded).
+    */
+  def driftStats(
+      h: Handle,
+      corpus: DataFrame, // (idCol, vecCol) — the current corpus
+      idCol: String,
+      vecCol: String,
+      tolerance: Double = 1.5,
+      sampleFraction: Double = 1.0
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val current = quantizationError(h, corpus, idCol, vecCol, sampleFraction)
+    val baseline = readMeta(spark, h.dir).baselineQerr
+    val ratio = baseline.filter(_ > 0.0).map(current / _)
+    Seq((baseline, current, ratio, ratio.exists(_ > tolerance)))
+      .toDF("baseline_qerr", "current_qerr", "ratio", "drifted")
+  }
+
   /** Per-row achieved PQ reconstruction error under `codebooks`:
     * `Σ_s min_j ‖x_s − C[s][j]‖²`. Encoding picks the argmin sub-centroid
     * per subspace, so the per-subspace MIN over the ADC query table IS the

@@ -396,6 +396,12 @@ class VectorIndexSpec extends SparkSpec {
     val driftedErr = VectorIndex.quantizationError(h0, corpusAll, "vec_id", "embedding")
     info(s"qerr: baseline=$baselineErr drifted=$driftedErr (${driftedErr / baselineErr}x)")
     assert(driftedErr > 1.5 * baselineErr, "the shifted corpus must measurably exceed the baseline")
+    // observability twin: driftStats reports exactly the condition
+    // retrainIfDrifted acts on, without acting
+    val ds = VectorIndex.driftStats(h0, corpusAll, "vec_id", "embedding", tolerance = 1.5)
+      .as[(Option[Double], Double, Option[Double], Boolean)].head()
+    assert(ds._4 && ds._3.exists(_ > 1.5) && ds._1.contains(baselineErr),
+      s"driftStats must flag the planted drift: $ds")
 
     // recall with nProbe = ALL lists: coarse geometry can't hide anything —
     // what's measured is purely how well the codes rank candidates
@@ -450,9 +456,13 @@ class VectorIndexSpec extends SparkSpec {
     val p2 = VectorIndex.query(reopened, queries, nProbe = 4, k = 10)
       .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
     assert(p1 == p2)
-    // converged: the next check sees no drift and returns the same handle
+    // converged: the next check sees no drift and returns the same handle,
+    // and the observability twin agrees
     val h2 = VectorIndex.retrainIfDrifted(h1, corpusAll, "vec_id", "embedding", tolerance = 1.5)
     assert(h2 eq h1)
+    assert(!VectorIndex.driftStats(h1, corpusAll, "vec_id", "embedding", tolerance = 1.5)
+      .select($"drifted").as[Boolean].head(),
+      "after retrain the drift report must clear")
   }
 
   test("retrain crash safety: pre-marker stages are discarded, post-marker stages roll forward") {
