@@ -272,6 +272,54 @@ class MultimodalSpec extends SparkSpec {
       == Some(Multimodal.AvMeta("mp4", Some("hvc1"), None, None, Some(1234L * 1000 / 600))))
   }
 
+  test("mutation fuzz: sniffers terminate without throwing on corrupted and truncated media") {
+    // the sniffers run scan-side over UNTRUSTED bytes at corpus scale — a
+    // single blob that throws or hangs kills the whole scan task. Mutate
+    // valid containers (random byte flips corrupt length/count/offset
+    // fields; random truncation cuts mid-box/mid-chunk) plus pure-random
+    // buffers; every input must return promptly with Some-or-None, never
+    // throw. Seeded — a failure names the exact (seed, case) to replay.
+    val rnd = new scala.util.Random(20260813)
+    val seeds: Seq[Array[Byte]] = Seq(
+      Multimodal.wavBytes(2, 22050, 16, 5000),
+      Multimodal.wavBytes(1, 8000, 16, 0),
+      Multimodal.mp4Bytes(600, 1234L, "mp4a", 2, 44100),
+      Multimodal.mp4FragBytes(600, Seq(1200L, 1800L, 600L), "avc1", useSidx = true),
+      Multimodal.mp4FragBytes(1000, Seq(500L, 250L), "hvc1", useSidx = false)
+    )
+    var cases = 0
+    for (s <- seeds; i <- 0 until 400) {
+      val b = s.clone()
+      i % 4 match {
+        case 0 => // flip 1-8 random bytes (hits size/count/fourcc fields)
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+        case 1 => // saturate a random 4-byte window (max sizes/counts)
+          val p = rnd.nextInt(math.max(1, b.length - 4))
+          (p until p + 4).foreach(j => b(j) = 0xff.toByte)
+        case 2 => // truncate at a random point
+          val cut = rnd.nextInt(b.length)
+          val t = b.take(cut)
+          assert(Multimodal.sniffAudioVideo(t) != null); cases += 1
+        case _ => // splice two containers mid-stream
+          val other = seeds(rnd.nextInt(seeds.length))
+          val t = b.take(rnd.nextInt(b.length)) ++ other.drop(rnd.nextInt(other.length))
+          assert(Multimodal.sniffAudioVideo(t) != null); cases += 1
+      }
+      assert(Multimodal.sniffAudioVideo(b) != null) // no throw, no hang
+      assert(Multimodal.sniffImage(b) != null)
+      cases += 1
+    }
+    for (_ <- 0 until 500) { // pure noise, random length
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      assert(Multimodal.sniffAudioVideo(b) != null && Multimodal.sniffImage(b) != null)
+      cases += 1
+    }
+    info(s"$cases fuzz cases, zero throws")
+  }
+
   test("withAvMeta appends sniffed columns scan-side, NULL for non-media") {
     import spark.implicits._
     val rows = Seq(
