@@ -226,25 +226,32 @@ object ScaleBench {
       // bytes), and the reported byte volume makes the per-byte cost curve
       // explicit: flat per-byte cost is the 100 TB design claim.
       val avTimes = if (!doAv) Nil else {
+        import spark.implicits._
         val docs = spark.read.parquet(s"$dir/documents.parquet")
-        val build = udf { (id: Long, n: Int) =>
-          if (id % 2 == 0) {
-            val c = ((id / 2) % 2 + 1).toInt
-            val r = 8000 * (((id / 2) % 3).toInt + 1)
-            Multimodal.wavBytes(c, r, 16, n * 100)
-          } else {
-            val ts = 600 + (id % 5).toInt * 100
-            val cc = Seq("avc1", "hvc1", "mp4a")(((id / 2) % 3).toInt)
-            Multimodal.mp4Bytes(ts, n.toLong * 7, cc)
-          }
-        }
+        // fixture step via typed mapPartitions — same shape as q92's
+        // definition; no per-row ScalaUDF anywhere in the timed plan
+        val fixtures = docs
+          .select(col("doc_id"), col("n_chars").cast("int"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, n) =>
+            val content =
+              if (id % 2 == 0) {
+                val c = ((id / 2) % 2 + 1).toInt
+                val r = 8000 * (((id / 2) % 3).toInt + 1)
+                Multimodal.wavBytes(c, r, 16, n * 100)
+              } else {
+                val ts = 600 + (id % 5).toInt * 100
+                val cc = Seq("avc1", "hvc1", "mp4a")(((id / 2) % 3).toInt)
+                Multimodal.mp4Bytes(ts, n.toLong * 7, cc)
+              }
+            (id, content)
+          })
+          .toDF("doc_id", "content")
         var nDocs = 0L
         var nBytes = 0L
         val t = time2(spark) {
           val r = Multimodal
-            .withAvMeta(
-              docs.select(col("doc_id"), build(col("doc_id"), col("n_chars")).as("content")),
-              "content")
+            .withAvMeta(fixtures, "content")
             .filter(col("av_format").isNotNull)
             .agg(count(lit(1)), sum(octet_length(col("content"))))
             .head

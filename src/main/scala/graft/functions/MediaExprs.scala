@@ -1,0 +1,430 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen expressions for the decode-free media header sniffers —
+  * the scan-side first pass over a crawled media corpus (reference asset
+  * handling: scrapers/vgsi/source.py:647-669 stores binary assets; the
+  * engine's gates need format/dimensions/duration without a decode).
+  *
+  * These were the last per-row ScalaUDFs on the query path: the byte-walks
+  * are custom logic no builtin expresses, but a ScalaUDF pays CatalystTypeConverter
+  * ser/de both ways and breaks whole-stage codegen around the projection.
+  * The walk now lives in [[MediaSniffSupport]] as static methods over the
+  * raw `byte[]` producing `InternalRow` directly (no Option/tuple/case-class
+  * garbage per row), and the expressions participate in codegen exactly like
+  * the HashExprs family. [[graft.operators.Multimodal.sniffImage]] /
+  * `sniffAudioVideo` remain as thin Option-typed wrappers over the SAME
+  * walk, so the fuzz suites harden the code the query path runs.
+  *
+  * Contract over untrusted bytes (fuzz-pinned): total — never throw, never
+  * loop unboundedly; `null` row = not positively identified (the
+  * corrupt-media gate).
+  */
+object MediaSniffSupport {
+
+  /** Image container sniff: PNG (IHDR, big-endian), JPEG (marker scan to the
+    * first SOF), GIF (little-endian logical screen), BMP (little-endian DIB,
+    * |height| because top-down bitmaps store it negative).
+    * Returns InternalRow(format: UTF8String, width: Int, height: Int) or
+    * null when the bytes are not a recognizable image.
+    */
+  def imageRow(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def row(fmt: String, w: Int, h: Int): InternalRow =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+
+    if (bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+      u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      row("png", be32(16).toInt, be32(20).toInt)
+    } else if (bytes.length >= 10 &&
+      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      row("gif", le16(6), le16(8))
+    } else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      // Positive identification requires a known DIB header size at offset
+      // 14 — 'BM' alone matches ordinary text ("BMW …"). Core (v2) headers
+      // carry 16-bit dims; the BITMAPINFOHEADER family carries 32-bit.
+      le32(14).toInt match {
+        case 12 => row("bmp", le16(18), le16(20))
+        case 40 | 52 | 56 | 64 | 108 | 124 =>
+          row("bmp", le32(18).toInt, math.abs(le32(22).toInt))
+        case _ => null
+      }
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk FF-marker segments to the first start-of-frame.
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return null // desynced - not a well-formed stream
+        val marker = u8(i + 1)
+        if (marker == 0xff) { i += 1 } // fill bytes before a marker
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone markers carry no length
+        } else if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn: [len(2)] [precision(1)] [height(2)] [width(2)]
+          return if (i + 8 < bytes.length) row("jpeg", be16(i + 7), be16(i + 5)) else null
+        } else {
+          if (i + 3 >= bytes.length) return null
+          i += 2 + be16(i + 2) // skip segment payload (length includes itself)
+        }
+      }
+      null
+    } else null
+  }
+
+  /** Audio/video container sniff — WAV (RIFF chunks, little-endian) and MP4
+    * (ISO BMFF boxes, big-endian), including fragmented-MP4 duration
+    * recovery from `sidx` (first box wins) or the `moof` chain.
+    *
+    * The moof fallback accumulates fragment ticks PER TRACK (keyed by the
+    * traf's `tfhd` track_ID), pairs each track with its own `mdhd` timescale
+    * (via the enclosing trak's `tkhd` track_ID), and takes the MAX per-track
+    * duration: parallel tracks (muxed audio+video, one traf per track per
+    * moof) run simultaneously, so a cross-track sum double-counts time, and
+    * a last-mdhd-wins timescale converts one track's ticks with another's
+    * clock. Files without tkhd fall back to the last-seen mdhd timescale —
+    * identical behavior to single-track inputs.
+    *
+    * Returns InternalRow(format, codec, channels, sampleRateHz, durationMs)
+    * with null slots for absent fields, or null when not positively
+    * identified.
+    */
+  def avRow(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 12) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
+      // chunk walk; chunks are word-aligned (odd sizes carry a pad byte)
+      var i = 12
+      var codec: String = null
+      var channels = -1
+      var rate = -1
+      var byteRate = 0L
+      var dataBytes = -1L
+      while (i + 8 <= bytes.length) {
+        val id = fourcc(i)
+        val sz = le32(i + 4)
+        val p = i + 8
+        if (id == "fmt " && sz >= 16 && p + 16 <= bytes.length) {
+          val tag = le16(p)
+          codec = tag match {
+            case 1 => "pcm"
+            case 3 => "ieee_float"
+            case 6 => "alaw"
+            case 7 => "mulaw"
+            case 0xfffe => "extensible"
+            case other => s"wave_$other"
+          }
+          channels = le16(p + 2)
+          rate = le32(p + 4).toInt
+          byteRate = le32(p + 8)
+        } else if (id == "data") {
+          // size is authoritative even when the payload is elsewhere/truncated
+          dataBytes = sz
+        }
+        // sz is an untrusted u32: advance as a Long clamped to the buffer
+        // end, so a hostile/corrupt size field (e.g. 0xFFFFFFF8, whose
+        // truncated Int is -8) can neither loop forever nor index negative —
+        // sz >= 0 guarantees strictly forward progress, the clamp ends the
+        // walk at the buffer boundary
+        i = math.min(p.toLong + sz + (sz & 1L), bytes.length.toLong).toInt
+      }
+      if (codec == null) null
+      else
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("wav"),
+          UTF8String.fromString(codec),
+          if (channels >= 0) channels else null,
+          if (rate >= 0) rate else null,
+          if (dataBytes >= 0 && byteRate > 0) dataBytes * 1000L / byteRate else null
+        ))
+    } else if (bytes.length >= 12 && fourcc(4) == "ftyp") {
+      // ISO BMFF box walk. Box: size(be32) type(4); size==1 → 64-bit
+      // largesize followed; size==0 → box extends to EOF.
+      var timescale = 0L
+      var duration = -1L
+      var codec: String = null
+      var channels = -1
+      var rate = -1
+      // fragmented-MP4 duration: an fMP4's mvhd carries duration 0 (the
+      // movie grows segment by segment), so the real duration lives in the
+      // segments — preferred source is `sidx` (each box carries its OWN
+      // timescale, so every box converts to ms exactly); fallback is the
+      // `moof` chain: per-sample durations from `trun` when present, else
+      // the traf's `tfhd` default × sample_count, all in the TRACK
+      // timescale (`mdhd`, not mvhd — the two differ routinely), summed
+      // per track and maxed across tracks (see the scaladoc).
+      var sidxMs = -1L
+      var lastMdhdTs = 0L
+      var curTrakId = -1L // from tkhd, while inside a trak
+      var curTfhdTrack = -1L // from tfhd, while inside a traf
+      var tfhdDefaultDur = 0L // per-traf; reset when a traf opens
+      // lazily allocated: non-fragmented files never touch the maps
+      var tsByTrack: scala.collection.mutable.LongMap[Long] = null
+      var ticksByTrack: scala.collection.mutable.LongMap[Long] = null
+      def addTicks(ticks: Long): Unit = {
+        if (ticksByTrack == null) ticksByTrack = scala.collection.mutable.LongMap.empty
+        ticksByTrack(curTfhdTrack) = ticksByTrack.getOrElse(curTfhdTrack, 0L) + ticks
+      }
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = from
+        while (i + 8 <= to) {
+          val size0 = be32(i.toInt)
+          val typ = fourcc(i.toInt + 4)
+          val (header, size) =
+            if (size0 == 1L && i + 16 <= to) (16L, be64(i.toInt + 8))
+            else if (size0 == 0L) (8L, to - i)
+            else (8L, size0)
+          if (size < header) return // malformed — stop, keep what we have
+          val p = i + header
+          val end = math.min(i + size, to)
+          typ match {
+            case "moov" | "mdia" | "minf" | "stbl" | "moof" => walk(p, end, depth + 1)
+            case "trak" =>
+              curTrakId = -1L // a fresh trak: its own tkhd names its mdhd's track
+              walk(p, end, depth + 1)
+            case "traf" =>
+              tfhdDefaultDur = 0L // a stale default must not leak across trafs
+              curTfhdTrack = -1L
+              walk(p, end, depth + 1)
+            case "tkhd" if p + 4 <= to =>
+              // fullbox; v0: ctime(4) mtime(4) track_ID(4); v1: ctime(8)
+              // mtime(8) track_ID(4)
+              val v = u8(p.toInt)
+              if (v == 1 && p + 24 <= to) curTrakId = be32(p.toInt + 20)
+              else if (v == 0 && p + 16 <= to) curTrakId = be32(p.toInt + 12)
+            case "mvhd" if p + 4 <= to =>
+              val v = u8(p.toInt)
+              if (v == 1 && p + 32 <= to) {
+                timescale = be32(p.toInt + 20); duration = be64(p.toInt + 24)
+              } else if (v == 0 && p + 20 <= to) {
+                timescale = be32(p.toInt + 12); duration = be32(p.toInt + 16)
+              }
+            case "mdhd" if p + 4 <= to =>
+              val v = u8(p.toInt)
+              val ts =
+                if (v == 1 && p + 24 <= to) be32(p.toInt + 20)
+                else if (v == 0 && p + 16 <= to) be32(p.toInt + 12)
+                else 0L
+              if (ts > 0) {
+                lastMdhdTs = ts
+                if (curTrakId >= 0) {
+                  if (tsByTrack == null) tsByTrack = scala.collection.mutable.LongMap.empty
+                  tsByTrack(curTrakId) = ts
+                }
+              }
+            case "stsd" if p + 16 <= to =>
+              // [version+flags(4)] [entry_count(4)] then the first sample
+              // entry: size(4) + data-format fourcc(4)
+              val entry = p + 8
+              if (codec == null && entry + 8 <= to) {
+                val cc = fourcc(entry.toInt + 4)
+                codec = cc
+                // AudioSampleEntry layout: 6 reserved + dataRefIdx(2), then
+                // version(2) rev(2) vendor(4) channels(2) bits(2) pre(2)
+                // reserved(2) rate(16.16)
+                if (cc == "mp4a" && entry + 36 <= to) {
+                  channels = be16(entry.toInt + 24)
+                  rate = (be32(entry.toInt + 32) >> 16).toInt
+                }
+              }
+            case "sidx" if sidxMs < 0 && p + 4 <= to =>
+              // fullbox, then: reference_ID(4) timescale(4)
+              // v0: EPT(4) first_offset(4) | v1: EPT(8) first_offset(8)
+              // reserved(2) reference_count(2), refs of 12 bytes each with
+              // subsegment_duration in the middle 4.
+              // FIRST sidx wins: a hierarchical index's parent box already
+              // spans the whole presentation through its reference
+              // durations (nested sidx boxes re-describe the same time),
+              // and multi-track files carry one sidx per PARALLEL track —
+              // in both layouts summing every box double-counts time.
+              val v = u8(p.toInt)
+              val ts = if (p + 12 <= to) be32(p.toInt + 8) else 0L
+              val afterOffsets = p + 12 + (if (v == 1) 16L else 8L)
+              if (ts > 0 && afterOffsets + 4 <= to) {
+                val n = be16(afterOffsets.toInt + 2)
+                var r = afterOffsets + 4
+                var ticks = 0L
+                var seen = 0
+                while (seen < n && r + 12 <= to) {
+                  ticks += be32(r.toInt + 4)
+                  r += 12
+                  seen += 1
+                }
+                if (seen == n) sidxMs = ticks * 1000L / ts
+              }
+            case "tfhd" if p + 8 <= to =>
+              curTfhdTrack = be32(p.toInt + 4)
+              val flags = be32(p.toInt) & 0xffffff
+              // after version+flags and track_ID: optional fields in flag
+              // order — base_data_offset(8, 0x1), sample_desc_index(4, 0x2),
+              // then default_sample_duration(4, 0x8)
+              var q = p + 8
+              if ((flags & 0x1) != 0) q += 8
+              if ((flags & 0x2) != 0) q += 4
+              if ((flags & 0x8) != 0 && q + 4 <= to) tfhdDefaultDur = be32(q.toInt)
+            case "trun" if p + 8 <= to =>
+              val flags = be32(p.toInt) & 0xffffff
+              val n = be32(p.toInt + 4)
+              var q = p + 8
+              if ((flags & 0x1) != 0) q += 4 // data_offset
+              if ((flags & 0x4) != 0) q += 4 // first_sample_flags
+              if ((flags & 0x100) != 0) {
+                // per-sample duration leads each sample record; record width
+                // depends on which of the other per-sample fields are present
+                val rec = 4L + (if ((flags & 0x200) != 0) 4 else 0) +
+                  (if ((flags & 0x400) != 0) 4 else 0) +
+                  (if ((flags & 0x800) != 0) 4 else 0)
+                var seen = 0L
+                var ticks = 0L
+                while (seen < n && q + rec <= to) {
+                  ticks += be32(q.toInt)
+                  q += rec
+                  seen += 1
+                }
+                if (seen == n) addTicks(ticks)
+              } else if (tfhdDefaultDur > 0) {
+                addTicks(n * tfhdDefaultDur)
+              }
+            case _ => // leaf we don't need
+          }
+          i += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0)
+      // moof-chain duration: per-track tick sums → per-track ms (each with
+      // its OWN timescale) → max across parallel tracks
+      var fragMs = -1L
+      if (ticksByTrack != null) {
+        ticksByTrack.foreach { case (track, ticks) =>
+          val ts =
+            if (tsByTrack != null && track >= 0 && tsByTrack.contains(track)) tsByTrack(track)
+            else lastMdhdTs
+          if (ts > 0) {
+            val ms = ticks * 1000L / ts
+            if (ms > fragMs) fragMs = ms
+          }
+        }
+      }
+      val durationMs: Any =
+        if (timescale > 0 && duration > 0) duration * 1000L / timescale
+        else if (sidxMs >= 0) sidxMs
+        else if (fragMs >= 0) fragMs
+        else if (timescale > 0 && duration >= 0) 0L // genuine zero-length, no segments
+        else null
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString("mp4"),
+        if (codec == null) null else UTF8String.fromString(codec),
+        if (channels >= 0) channels else null,
+        if (rate >= 0) rate else null,
+        durationMs
+      ))
+    } else null
+  }
+}
+
+/** struct<format:string, width:int, height:int> image-header sniff over a
+  * binary column (codegen-enabled); NULL when the bytes are not a
+  * recognizable image — the corrupt-file gate.
+  */
+case class SniffImageMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)
+  ))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sniff_image requires binary input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaSniffSupport.imageRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |${ev.value} = graft.functions.MediaSniffSupport.imageRow($c);
+        |${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): SniffImageMeta =
+    copy(child = newChild)
+}
+
+/** struct<format:string, codec:string, channels:int, sampleRateHz:int,
+  * durationMs:bigint> audio/video-header sniff over a binary column
+  * (codegen-enabled); NULL when the bytes are not a recognizable container.
+  */
+case class SniffAvMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("codec", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sampleRateHz", IntegerType, nullable = true),
+    StructField("durationMs", LongType, nullable = true)
+  ))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sniff_av requires binary input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaSniffSupport.avRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |${ev.value} = graft.functions.MediaSniffSupport.avRow($c);
+        |${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): SniffAvMeta =
+    copy(child = newChild)
+}
+
+object MediaExprs {
+  def sniffImageMeta(content: Column): Column =
+    ColumnShim.column(SniffImageMeta(ColumnShim.expression(content)))
+
+  def sniffAvMeta(content: Column): Column =
+    ColumnShim.column(SniffAvMeta(ColumnShim.expression(content)))
+}

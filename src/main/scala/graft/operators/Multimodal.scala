@@ -247,67 +247,26 @@ object Multimodal {
     * not an image, unknown container) — the gate for the corrupt-file drop.
     */
   def sniffImage(bytes: Array[Byte]): Option[(String, Int, Int)] = {
-    if (bytes == null) return None
-    def u8(i: Int): Int = bytes(i) & 0xff
-    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-
-    if (bytes.length >= 24 &&
-      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
-      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
-      u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
-      Some(("png", be32(16).toInt, be32(20).toInt))
-    } else if (bytes.length >= 10 &&
-      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
-      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
-      Some(("gif", le16(6), le16(8)))
-    } else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
-      // Positive identification requires a known DIB header size at offset
-      // 14 — 'BM' alone matches ordinary text ("BMW …"). Core (v2) headers
-      // carry 16-bit dims; the BITMAPINFOHEADER family carries 32-bit.
-      le32(14).toInt match {
-        case 12 => Some(("bmp", le16(18), le16(20)))
-        case 40 | 52 | 56 | 64 | 108 | 124 =>
-          Some(("bmp", le32(18).toInt, math.abs(le32(22).toInt)))
-        case _ => None
-      }
-    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // JPEG: walk FF-marker segments to the first start-of-frame.
-      var i = 2
-      while (i + 3 < bytes.length) {
-        if (u8(i) != 0xff) return None // desynced - not a well-formed stream
-        val marker = u8(i + 1)
-        if (marker == 0xff) { i += 1 } // fill bytes before a marker
-        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
-          i += 2 // standalone markers carry no length
-        } else if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          // SOFn: [len(2)] [precision(1)] [height(2)] [width(2)]
-          return if (i + 8 < bytes.length) Some(("jpeg", be16(i + 7), be16(i + 5))) else None
-        } else {
-          if (i + 3 >= bytes.length) return None
-          i += 2 + be16(i + 2) // skip segment payload (length includes itself)
-        }
-      }
-      None
-    } else None
+    // thin wrapper over the SAME byte-walk the codegen expression runs
+    // (graft.functions.MediaSniffSupport) — the fuzz suites harden the
+    // query-path code through this API
+    val r = graft.functions.MediaSniffSupport.imageRow(bytes)
+    if (r == null) None
+    else Some((r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
   }
 
   /** DataFrame form: append (img_format, img_width, img_height) sniffed
     * from a binary column — NULLs where the blob is not a recognizable
-    * image. A pure per-row map (custom byte-walking logic, so a UDF is the
-    * honest tool here — no builtin parses media headers); runs scan-side,
-    * no shuffle.
+    * image. A native codegen Expression ([[graft.functions.SniffImageMeta]]),
+    * not a ScalaUDF: same byte-walk, no ser/de boundary, stays inside
+    * whole-stage codegen; runs scan-side, no shuffle.
     */
-  def withImageMeta(df: DataFrame, contentCol: String): DataFrame = {
-    val sniff = udf { (b: Array[Byte]) => sniffImage(b) }
-    df.withColumn("__m", sniff(col(contentCol)))
-      .withColumn("img_format", col("__m._1"))
-      .withColumn("img_width", col("__m._2"))
-      .withColumn("img_height", col("__m._3"))
+  def withImageMeta(df: DataFrame, contentCol: String): DataFrame =
+    df.withColumn("__m", graft.functions.MediaExprs.sniffImageMeta(col(contentCol)))
+      .withColumn("img_format", col("__m.format"))
+      .withColumn("img_width", col("__m.width"))
+      .withColumn("img_height", col("__m.height"))
       .drop("__m")
-  }
 
   /** Audio/video header metadata — decode-free, same first-pass contract as
     * [[sniffImage]]: container format, codec identity, and the duration /
@@ -333,194 +292,19 @@ object Multimodal {
   )
 
   def sniffAudioVideo(bytes: Array[Byte]): Option[AvMeta] = {
-    if (bytes == null || bytes.length < 12) return None
-    def u8(i: Int): Int = bytes(i) & 0xff
-    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2) << 8) | u8(i + 3)
-    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
-    def fourcc(i: Int): String = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-
-    if (fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
-      // chunk walk; chunks are word-aligned (odd sizes carry a pad byte)
-      var i = 12
-      var codec: Option[String] = None
-      var channels: Option[Int] = None
-      var rate: Option[Int] = None
-      var byteRate = 0L
-      var dataBytes = -1L
-      while (i + 8 <= bytes.length) {
-        val id = fourcc(i)
-        val sz = le32(i + 4)
-        val p = i + 8
-        if (id == "fmt " && sz >= 16 && p + 16 <= bytes.length) {
-          val tag = le16(p)
-          codec = Some(tag match {
-            case 1 => "pcm"
-            case 3 => "ieee_float"
-            case 6 => "alaw"
-            case 7 => "mulaw"
-            case 0xfffe => "extensible"
-            case other => s"wave_$other"
-          })
-          channels = Some(le16(p + 2))
-          rate = Some(le32(p + 4).toInt)
-          byteRate = le32(p + 8)
-        } else if (id == "data") {
-          // size is authoritative even when the payload is elsewhere/truncated
-          dataBytes = sz
-        }
-        // sz is an untrusted u32: advance as a Long clamped to the buffer
-        // end, so a hostile/corrupt size field (e.g. 0xFFFFFFF8, whose
-        // truncated Int is -8) can neither loop forever nor index negative —
-        // sz >= 0 guarantees strictly forward progress, the clamp ends the
-        // walk at the buffer boundary
-        i = math.min(p.toLong + sz + (sz & 1L), bytes.length.toLong).toInt
-      }
-      if (codec.isEmpty) None
-      else
-        Some(AvMeta(
-          "wav",
-          codec,
-          channels,
-          rate,
-          if (dataBytes >= 0 && byteRate > 0) Some(dataBytes * 1000L / byteRate) else None))
-    } else if (bytes.length >= 12 && fourcc(4) == "ftyp") {
-      // ISO BMFF box walk. Box: size(be32) type(4); size==1 → 64-bit
-      // largesize followed; size==0 → box extends to EOF.
-      var timescale = 0L
-      var duration = -1L
-      var codec: Option[String] = None
-      var channels: Option[Int] = None
-      var rate: Option[Int] = None
-      // fragmented-MP4 duration: an fMP4's mvhd carries duration 0 (the
-      // movie grows segment by segment), so the real duration lives in the
-      // segments — preferred source is `sidx` (each box carries its OWN
-      // timescale, so every box converts to ms exactly); fallback is the
-      // `moof` chain: per-sample durations from `trun` when present, else
-      // the traf's `tfhd` default × sample_count, all in the TRACK
-      // timescale (`mdhd`, not mvhd — the two differ routinely).
-      var sidxMs = -1L
-      var mdhdTimescale = 0L
-      var fragTicks = -1L
-      var tfhdDefaultDur = 0L // per-traf; reset when a traf opens
-
-      def walk(from: Long, to: Long, depth: Int): Unit = {
-        if (depth > 8) return
-        var i = from
-        while (i + 8 <= to) {
-          val size0 = be32(i.toInt)
-          val typ = fourcc(i.toInt + 4)
-          val (header, size) =
-            if (size0 == 1L && i + 16 <= to) (16L, be64(i.toInt + 8))
-            else if (size0 == 0L) (8L, to - i)
-            else (8L, size0)
-          if (size < header) return // malformed — stop, keep what we have
-          val p = i + header
-          val end = math.min(i + size, to)
-          typ match {
-            case "moov" | "trak" | "mdia" | "minf" | "stbl" | "moof" => walk(p, end, depth + 1)
-            case "traf" =>
-              tfhdDefaultDur = 0L // a stale default must not leak across trafs
-              walk(p, end, depth + 1)
-            case "mvhd" if p + 4 <= to =>
-              val v = u8(p.toInt)
-              if (v == 1 && p + 32 <= to) {
-                timescale = be32(p.toInt + 20); duration = be64(p.toInt + 24)
-              } else if (v == 0 && p + 20 <= to) {
-                timescale = be32(p.toInt + 12); duration = be32(p.toInt + 16)
-              }
-            case "mdhd" if p + 4 <= to =>
-              val v = u8(p.toInt)
-              if (v == 1 && p + 24 <= to) mdhdTimescale = be32(p.toInt + 20)
-              else if (v == 0 && p + 16 <= to) mdhdTimescale = be32(p.toInt + 12)
-            case "stsd" if p + 16 <= to =>
-              // [version+flags(4)] [entry_count(4)] then the first sample
-              // entry: size(4) + data-format fourcc(4)
-              val entry = p + 8
-              if (codec.isEmpty && entry + 8 <= to) {
-                val cc = fourcc(entry.toInt + 4)
-                codec = Some(cc)
-                // AudioSampleEntry layout: 6 reserved + dataRefIdx(2), then
-                // version(2) rev(2) vendor(4) channels(2) bits(2) pre(2)
-                // reserved(2) rate(16.16)
-                if (cc == "mp4a" && entry + 36 <= to) {
-                  channels = Some(be16(entry.toInt + 24))
-                  rate = Some((be32(entry.toInt + 32) >> 16).toInt)
-                }
-              }
-            case "sidx" if sidxMs < 0 && p + 4 <= to =>
-              // fullbox, then: reference_ID(4) timescale(4)
-              // v0: EPT(4) first_offset(4) | v1: EPT(8) first_offset(8)
-              // reserved(2) reference_count(2), refs of 12 bytes each with
-              // subsegment_duration in the middle 4.
-              // FIRST sidx wins: a hierarchical index's parent box already
-              // spans the whole presentation through its reference
-              // durations (nested sidx boxes re-describe the same time),
-              // and multi-track files carry one sidx per PARALLEL track —
-              // in both layouts summing every box double-counts time.
-              val v = u8(p.toInt)
-              val ts = if (p + 12 <= to) be32(p.toInt + 8) else 0L
-              val afterOffsets = p + 12 + (if (v == 1) 16L else 8L)
-              if (ts > 0 && afterOffsets + 4 <= to) {
-                val n = be16(afterOffsets.toInt + 2)
-                var r = afterOffsets + 4
-                var ticks = 0L
-                var seen = 0
-                while (seen < n && r + 12 <= to) {
-                  ticks += be32(r.toInt + 4)
-                  r += 12
-                  seen += 1
-                }
-                if (seen == n) sidxMs = ticks * 1000L / ts
-              }
-            case "tfhd" if p + 8 <= to =>
-              val flags = be32(p.toInt) & 0xffffff
-              // after version+flags and track_ID: optional fields in flag
-              // order — base_data_offset(8, 0x1), sample_desc_index(4, 0x2),
-              // then default_sample_duration(4, 0x8)
-              var q = p + 8
-              if ((flags & 0x1) != 0) q += 8
-              if ((flags & 0x2) != 0) q += 4
-              if ((flags & 0x8) != 0 && q + 4 <= to) tfhdDefaultDur = be32(q.toInt)
-            case "trun" if p + 8 <= to =>
-              val flags = be32(p.toInt) & 0xffffff
-              val n = be32(p.toInt + 4)
-              var q = p + 8
-              if ((flags & 0x1) != 0) q += 4 // data_offset
-              if ((flags & 0x4) != 0) q += 4 // first_sample_flags
-              if ((flags & 0x100) != 0) {
-                // per-sample duration leads each sample record; record width
-                // depends on which of the other per-sample fields are present
-                val rec = 4L + (if ((flags & 0x200) != 0) 4 else 0) +
-                  (if ((flags & 0x400) != 0) 4 else 0) +
-                  (if ((flags & 0x800) != 0) 4 else 0)
-                var seen = 0L
-                var ticks = 0L
-                while (seen < n && q + rec <= to) {
-                  ticks += be32(q.toInt)
-                  q += rec
-                  seen += 1
-                }
-                if (seen == n) fragTicks = math.max(fragTicks, 0L) + ticks
-              } else if (tfhdDefaultDur > 0) {
-                fragTicks = math.max(fragTicks, 0L) + n * tfhdDefaultDur
-              }
-            case _ => // leaf we don't need
-          }
-          i += size
-        }
-      }
-      walk(0, bytes.length.toLong, 0)
-      val durationMs =
-        if (timescale > 0 && duration > 0) Some(duration * 1000L / timescale)
-        else if (sidxMs >= 0) Some(sidxMs)
-        else if (fragTicks >= 0 && mdhdTimescale > 0) Some(fragTicks * 1000L / mdhdTimescale)
-        else if (timescale > 0 && duration >= 0) Some(0L) // genuine zero-length, no segments
-        else None
-      Some(AvMeta("mp4", codec, channels, rate, durationMs))
-    } else None
+    // thin wrapper over the SAME byte-walk the codegen expression runs
+    // (graft.functions.MediaSniffSupport.avRow) — one implementation, fuzz-
+    // hardened here, codegen'd on the query path
+    val r = graft.functions.MediaSniffSupport.avRow(bytes)
+    if (r == null) None
+    else
+      Some(AvMeta(
+        r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getUTF8String(1).toString),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))
+      ))
   }
 
   /** DataFrame form of [[sniffAudioVideo]], the audio/video twin of
@@ -681,6 +465,85 @@ object Multimodal {
           box("moof", box("mfhd", mfhd) ++ box("traf", box("tfhd", tfhd) ++ box("trun", trun)))
         }.reduce(_ ++ _)
     box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++ moov ++ segments
+  }
+
+  /** MULTI-TRACK fragmented MP4 (muxed audio+video layout): one trak per
+    * entry of `tracks` — each with its OWN `tkhd` track_ID and `mdhd`
+    * timescale — and one `moof` per fragment index carrying one traf PER
+    * track (tfhd default_sample_duration × trun sample_count). mvhd says
+    * duration 0. Tracks run in PARALLEL, so the true presentation length is
+    * the max per-track duration, each converted with its own timescale —
+    * the fixture that catches a parser summing trafs across tracks or
+    * converting one track's ticks with another's clock.
+    *
+    * `tracks`: (trackId, mdhdTimescale, per-fragment tick durations).
+    */
+  def mp4FragMultiTrackBytes(
+      tracks: Seq[(Int, Int, Seq[Long])],
+      codecFourcc: String
+  ): Array[Byte] = {
+    require(codecFourcc.length == 4, "fourcc is exactly 4 ascii bytes")
+    require(tracks.nonEmpty, "at least one track")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(tracks.head._2).putInt(0) // duration UNKNOWN — it lives in segments
+      bb.array()
+    }
+    val sampleEntry = {
+      val bb = java.nio.ByteBuffer.allocate(36)
+      bb.putInt(36).put(codecFourcc.getBytes)
+      bb.array()
+    }
+    val stsd = {
+      val bb = java.nio.ByteBuffer.allocate(8 + sampleEntry.length)
+      bb.putInt(0).putInt(1).put(sampleEntry)
+      box("stsd", bb.array())
+    }
+    def trak(trackId: Int, timescale: Int): Array[Byte] = {
+      val tkhd = { // version 0: ctime(4) mtime(4) track_ID(4)
+        val bb = java.nio.ByteBuffer.allocate(20)
+        bb.putInt(0).putInt(0).putInt(0).putInt(trackId).putInt(0)
+        bb.array()
+      }
+      val mdhd = {
+        val bb = java.nio.ByteBuffer.allocate(24)
+        bb.putInt(0).putInt(0).putInt(0)
+        bb.putInt(timescale).putInt(0)
+        bb.array()
+      }
+      box(
+        "trak",
+        box("tkhd", tkhd) ++
+          box("mdia", box("mdhd", mdhd) ++ box("minf", box("stbl", stsd))))
+    }
+    val moov = box("moov", box("mvhd", mvhd) ++ tracks.map(t => trak(t._1, t._2)).reduce(_ ++ _))
+    val nFrags = tracks.map(_._3.length).max
+    val moofs = (0 until nFrags).map { i =>
+      val mfhd = { val bb = java.nio.ByteBuffer.allocate(8); bb.putInt(0).putInt(i + 1); bb.array() }
+      val trafs = tracks.collect {
+        case (trackId, _, segs) if i < segs.length =>
+          val tfhd = {
+            val bb = java.nio.ByteBuffer.allocate(12)
+            bb.putInt(0x000008) // flags: default-sample-duration present
+            bb.putInt(trackId).putInt(segs(i).toInt)
+            bb.array()
+          }
+          val trun = {
+            val bb = java.nio.ByteBuffer.allocate(8)
+            bb.putInt(0).putInt(1) // no optional fields; sample_count=1
+            bb.array()
+          }
+          box("traf", box("tfhd", tfhd) ++ box("trun", trun))
+      }
+      box("moof", box("mfhd", mfhd) ++ trafs.reduce(_ ++ _))
+    }.reduce(_ ++ _)
+    box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++ moov ++ moofs
   }
 
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per

@@ -486,21 +486,28 @@ object TextQueries {
     "q92_av_header_meta",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
-      val build = udf { (id: Long, n: Int) =>
-        if (id % 2 == 0) {
-          val c = ((id / 2) % 2 + 1).toInt
-          val r = 8000 * (((id / 2) % 3).toInt + 1)
-          Multimodal.wavBytes(c, r, 16, n * 100)
-        } else {
-          val ts = 600 + (id % 5).toInt * 100
-          val cc = Seq("avc1", "hvc1", "mp4a")(((id / 2) % 3).toInt)
-          Multimodal.mp4Bytes(ts, n.toLong * 7, cc)
-        }
-      }
+      // fixture step as a typed mapPartitions — container bytes are oracle
+      // INPUTS, not operator logic, so they don't belong in a per-row udf on
+      // the query path; the query itself is the pure scan + withAvMeta
+      val fixtures = T.documents
+        .select($"doc_id", $"n_chars".cast("int"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val content =
+            if (id % 2 == 0) {
+              val c = ((id / 2) % 2 + 1).toInt
+              val r = 8000 * (((id / 2) % 3).toInt + 1)
+              Multimodal.wavBytes(c, r, 16, n * 100)
+            } else {
+              val ts = 600 + (id % 5).toInt * 100
+              val cc = Seq("avc1", "hvc1", "mp4a")(((id / 2) % 3).toInt)
+              Multimodal.mp4Bytes(ts, n.toLong * 7, cc)
+            }
+          (id, content)
+        })
+        .toDF("doc_id", "content")
       Multimodal
-        .withAvMeta(
-          T.documents.select($"doc_id", build($"doc_id", $"n_chars").as("content")),
-          "content")
+        .withAvMeta(fixtures, "content")
         .select($"doc_id", $"av_format", $"av_codec", $"av_channels", $"av_sample_rate", $"av_duration_ms")
         .orderBy($"doc_id")
     },
@@ -536,16 +543,19 @@ object TextQueries {
     "q93_fmp4_duration",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
-      val build = udf { (id: Long, n: Int) =>
-        val ts = 600 + (id % 5).toInt * 100
-        val cc = Seq("avc1", "hvc1")(((id / 2) % 2).toInt)
-        val segs = Seq(n.toLong * 2, n.toLong * 2, n.toLong * 3)
-        Multimodal.mp4FragBytes(ts, segs, cc, useSidx = id % 2 == 0)
-      }
+      // fixture step as a typed mapPartitions — see q92's note
+      val fixtures = T.documents
+        .select($"doc_id", $"n_chars".cast("int"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val ts = 600 + (id % 5).toInt * 100
+          val cc = Seq("avc1", "hvc1")(((id / 2) % 2).toInt)
+          val segs = Seq(n.toLong * 2, n.toLong * 2, n.toLong * 3)
+          (id, Multimodal.mp4FragBytes(ts, segs, cc, useSidx = id % 2 == 0))
+        })
+        .toDF("doc_id", "content")
       Multimodal
-        .withAvMeta(
-          T.documents.select($"doc_id", build($"doc_id", $"n_chars").as("content")),
-          "content")
+        .withAvMeta(fixtures, "content")
         .select($"doc_id", $"av_format", $"av_codec", $"av_duration_ms")
         .orderBy($"doc_id")
     },

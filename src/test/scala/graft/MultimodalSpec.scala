@@ -272,6 +272,33 @@ class MultimodalSpec extends SparkSpec {
       == Some(Multimodal.AvMeta("mp4", Some("hvc1"), None, None, Some(1234L * 1000 / 600))))
   }
 
+  test("multi-track moof fMP4: per-track tick sums, per-track timescales, max across tracks") {
+    // muxed audio+video: one traf per track per moof, tracks run in
+    // PARALLEL — duration is the max per-track length, NOT the cross-track
+    // sum. Both tracks here are 1000 ms; a summing parser reports 2000.
+    val even = Multimodal.mp4FragMultiTrackBytes(
+      Seq((1, 1000, Seq(500L, 500L)), (2, 600, Seq(300L, 300L))), "avc1")
+    assert(Multimodal.sniffAudioVideo(even)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(1000L))),
+      "parallel tracks of equal length: max, not sum")
+
+    // MIXED timescales with different lengths: track 1 is 400 ticks @1000
+    // (400 ms), track 2 is 90 ticks @100 (900 ms) → 900 ms. A last-mdhd-
+    // wins parser converts 490 summed ticks @100 → 4900 ms; a summing
+    // parser with per-track clocks reports 1300 ms. Only per-track
+    // accumulation + per-track conversion + max yields 900.
+    val uneven = Multimodal.mp4FragMultiTrackBytes(
+      Seq((1, 1000, Seq(400L)), (2, 100, Seq(90L))), "hvc1")
+    assert(Multimodal.sniffAudioVideo(uneven)
+      == Some(Multimodal.AvMeta("mp4", Some("hvc1"), None, None, Some(900L))),
+      "per-track timescale conversion then max")
+
+    // sequential fragments of the SAME track still add up in time
+    val seq1 = Multimodal.mp4FragMultiTrackBytes(Seq((7, 1000, Seq(250L, 250L, 500L))), "avc1")
+    assert(Multimodal.sniffAudioVideo(seq1)
+      == Some(Multimodal.AvMeta("mp4", Some("avc1"), None, None, Some(1000L))))
+  }
+
   test("mutation fuzz: sniffers terminate without throwing on corrupted and truncated media") {
     // the sniffers run scan-side over UNTRUSTED bytes at corpus scale — a
     // single blob that throws or hangs kills the whole scan task. Mutate
@@ -285,7 +312,9 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavBytes(1, 8000, 16, 0),
       Multimodal.mp4Bytes(600, 1234L, "mp4a", 2, 44100),
       Multimodal.mp4FragBytes(600, Seq(1200L, 1800L, 600L), "avc1", useSidx = true),
-      Multimodal.mp4FragBytes(1000, Seq(500L, 250L), "hvc1", useSidx = false)
+      Multimodal.mp4FragBytes(1000, Seq(500L, 250L), "hvc1", useSidx = false),
+      Multimodal.mp4FragMultiTrackBytes(
+        Seq((1, 1000, Seq(500L, 500L)), (2, 600, Seq(300L, 300L))), "mp4a")
     )
     var cases = 0
     for (s <- seeds; i <- 0 until 400) {

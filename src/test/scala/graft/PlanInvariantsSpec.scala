@@ -147,4 +147,19 @@ class PlanInvariantsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("no query surface plan contains a ScalaUDF — the sniffers run as codegen Expressions") {
+    // the media sniffers were the last per-row ScalaUDFs on the query path
+    // (now SniffImageMeta/SniffAvMeta, HashExprs-style); the q92/q93 fixture
+    // builders moved to a typed mapPartitions fixture step. ScalaUDF pays a
+    // ser/de boundary per row and breaks whole-stage codegen — assert the
+    // whole 93-query surface stays free of them.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    for ((name, f) <- SparkEntry.queries) {
+      val p = f(spark, dir).queryExecution.executedPlan
+      val udfs = p.collect { case sp => sp.expressions }.flatten
+        .flatMap(_.collect { case u: ScalaUDF => u })
+      assert(udfs.isEmpty, s"$name carries ScalaUDF(s): ${udfs.mkString(", ")}")
+    }
+  }
 }
