@@ -56,10 +56,27 @@ object Bench {
       val times = sweeps.flatMap(_.collectFirst { case (`name`, t) => t }).flatten
       name -> (if (times.size == 3) times.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-contained artifact: the driver records the stdout TAIL, which
+    // truncates ~30 of the per-query times out of the record (BENCH_r06:
+    // parsed=null). The full min-of-N map is therefore also written to a
+    // JSON file — stable schema {metric,value,unit,sweeps,queries,sf} with
+    // queries sorted by name — so every round's record is complete
+    // regardless of tail size. Path override: SPARK_GRAFT_BENCH_REPORT.
+    val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
+    try {
+      val report =
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
+      System.err.println(s"[bench] full per-query report written to $reportPath")
+    } catch {
+      case e: Throwable => // the stdout line above remains the fallback record
+        System.err.println(s"[bench] could not write $reportPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
