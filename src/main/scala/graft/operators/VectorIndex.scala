@@ -37,12 +37,81 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** `version` mirrors the on-disk meta version the handle was loaded
+    * against; probes compare it to the current on-disk version and fail
+    * loudly when a retrain/rebalance has rolled the index forward (the
+    * enforced form of the restart contract the streaming probes document).
+    */
   final case class Handle(
       dir: String,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      residual: Boolean
+      residual: Boolean,
+      version: Int = 1
   )
+
+  /** Fail-fast writer lease over the index directory: every maintenance op
+    * ([[append]]/[[rebalanceIfNeeded]]/[[retrainIfDrifted]]/[[remove]])
+    * holds `__writer_lease` for its duration, taken with a create-EXCLUSIVE
+    * (`fs.create(…, overwrite=false)` — atomic on HDFS and local FS), so a
+    * second concurrent maintenance op throws instead of racing the
+    * staged-commit markers. A lease whose mtime is older than the staleness
+    * window (default 30 min; conf `spark.graft.vectorIndex.leaseStaleMs`)
+    * is a crashed writer and is taken over. [[WriterLease.heartbeat]]
+    * refreshes the mtime mid-operation so a long re-encode isn't mistaken
+    * for a crash. Best-effort fencing: exclusive-create is atomic, the
+    * stale-takeover window is not — two writers both deciding the same
+    * lease is stale can race the delete; true fencing needs the store's
+    * conditional ops. The staged-commit discipline underneath stays
+    * crash-convergent either way; the lease exists to fail FAST, not to be
+    * the last line of defense.
+    */
+  final class WriterLease private[VectorIndex] (
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path
+  ) {
+    def heartbeat(): Unit =
+      try fs.setTimes(path, System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => } // next write refreshes it
+    def release(): Unit =
+      if (fs.exists(path) && !fs.delete(path, false))
+        throw new java.io.IOException(s"could not release writer lease $path")
+  }
+
+  private def leaseStaleMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.vectorIndex.leaseStaleMs")
+      .map(_.toLong)
+      .getOrElse(30L * 60L * 1000L)
+
+  private def acquireLease(dir: String, spark: SparkSession, op: String): WriterLease = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/__writer_lease")
+    // crashed-writer takeover: a lease past the staleness window is dead
+    if (fs.exists(p)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      if (age > leaseStaleMs(spark)) fs.delete(p, false)
+    }
+    val out =
+      try fs.create(p, false) // create-exclusive: the atomic acquisition
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(p)
+              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+              finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+          throw new IllegalStateException(
+            s"VectorIndex at $dir: another maintenance op holds the writer lease ($holder); " +
+              s"refusing to race its staged commits — this '$op' must wait or the " +
+              "crashed lease ages past spark.graft.vectorIndex.leaseStaleMs",
+            e)
+      }
+    try out.write(s"op=$op pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    new WriterLease(fs, p)
+  }
 
   /** Index metadata: monotone version (bumped by every geometry/encoding
     * change), encoding mode, and the BUILD-TIME mean quantization error —
@@ -53,13 +122,28 @@ object VectorIndex {
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
     import spark.implicits._
-    // after a crash between the meta delete and rename of a retrain commit,
-    // the staged copy is the real metadata — fall back to it
-    val paths = Seq(s"$dir/meta", s"$dir/meta.__retrain")
+    // after a crash inside a retrain commit or a meta swap, the staged copy
+    // is the real metadata — fall back to it (in recency order: a retrain
+    // stage supersedes a plain swap)
+    val paths = Seq(s"$dir/meta", s"$dir/meta.__retrain", s"$dir/meta.__swap")
     val df = paths.view
       .map(p => scala.util.Try(spark.read.parquet(p)))
       .collectFirst { case scala.util.Success(d) => d }
-      .getOrElse(return Meta(1, residual = false, None)) // pre-residual legacy index
+      .getOrElse {
+        // LEGACY fallback (pre-meta index: no meta artifact was ever
+        // written) — but an index whose postings/codebooks exist alongside
+        // an UNREADABLE-but-present meta is corrupt, not legacy: defaulting
+        // residual=false there would silently flat-decode a residual index,
+        // the exact garbage-ranking failure the meta file exists to prevent
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")))
+          throw new IllegalStateException(
+            s"VectorIndex at $dir: meta directory exists but is unreadable — refusing the " +
+              "legacy residual=false fallback (a residual index would silently flat-decode); " +
+              "restore meta or rebuild the index")
+        return Meta(1, residual = false, None) // pre-residual legacy index
+      }
     val version = df.select($"version").as[Int].head()
     val residual = df.select($"residual").as[Boolean].head()
     val baseline =
@@ -77,6 +161,48 @@ object VectorIndex {
       .write
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** Staged LIVE-meta rewrite: write `meta.__swap` fully, then delete live
+    * + rename — the same discipline commitRetrain uses, replacing the
+    * non-atomic parquet overwrite a crash could leave unreadable (readMeta
+    * would then hit its legacy fallback and flat-decode a residual index).
+    * The only crash window leaves `meta.__swap` alone, which [[readMeta]]
+    * reads directly and [[recoverMetaSwap]] promotes on the next entry.
+    * Callers writing a STAGED path (meta.__retrain) keep plain writeMeta —
+    * that path is already behind the retrain marker protocol.
+    */
+  private def writeMetaSwap(spark: SparkSession, dir: String, m: Meta): Unit = {
+    writeMeta(spark, s"$dir/meta.__swap", m)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/meta.__swap")
+    if (fs.exists(live) && !fs.delete(live, true))
+      throw new java.io.IOException(s"meta swap: could not retire $live")
+    if (!fs.rename(stage, live))
+      throw new java.io.IOException(s"meta swap: could not promote $stage")
+  }
+
+  /** Reconcile an interrupted [[writeMetaSwap]]: live meta present → the
+    * swap never deleted it (pre-delete crash) or is a stray — the staged
+    * copy is discarded (benign: it carried at most a baseline adoption or
+    * version bump that the next maintenance call recomputes); live meta
+    * absent → the crash hit between delete and rename — promote the staged
+    * copy. Idempotent.
+    */
+  private def recoverMetaSwap(dir: String, spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/meta.__swap")
+    if (fs.exists(stage)) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      if (fs.exists(live)) {
+        if (!fs.delete(stage, true))
+          throw new java.io.IOException(s"could not discard stray meta swap $stage")
+      } else if (!fs.rename(stage, live))
+        throw new java.io.IOException(s"could not promote interrupted meta swap $stage")
+    }
   }
 
   private def writeCodebooks(
@@ -176,24 +302,28 @@ object VectorIndex {
     * index (same as any append-only store).
     */
   def append(h0: Handle, newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
-    // roll-forward + reload: appending with a pre-retrain handle's
-    // codebooks after a promoted commit would mix encodings in one list
-    val h = freshHandle(h0, newVectors.sparkSession)
-    val std = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val assigned = std.withColumn(
-      "cluster",
-      element_at(Similarity.nearestCentroids(col("embedding"), h.centroids, 1), 1))
-    val (encodeInput, encodeCol) =
-      if (h.residual)
-        (assigned.withColumn("rvec", residualCol(col("embedding"), col("cluster"), h.centroids)), "rvec")
-      else (assigned, "embedding")
-    Similarity
-      .pqEncode(encodeInput, encodeCol, h.codebooks)
-      .select(col("vec_id"), col("cluster"), col("codes"))
-      .write
-      .mode("append")
-      .partitionBy("cluster")
-      .parquet(s"${h.dir}/postings")
+    val spark = newVectors.sparkSession
+    val lease = acquireLease(h0.dir, spark, "append")
+    try {
+      // roll-forward + reload: appending with a pre-retrain handle's
+      // codebooks after a promoted commit would mix encodings in one list
+      val h = freshHandle(h0, spark)
+      val std = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      val assigned = std.withColumn(
+        "cluster",
+        element_at(Similarity.nearestCentroids(col("embedding"), h.centroids, 1), 1))
+      val (encodeInput, encodeCol) =
+        if (h.residual)
+          (assigned.withColumn("rvec", residualCol(col("embedding"), col("cluster"), h.centroids)), "rvec")
+        else (assigned, "embedding")
+      Similarity
+        .pqEncode(encodeInput, encodeCol, h.codebooks)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+        .write
+        .mode("append")
+        .partitionBy("cluster")
+        .parquet(s"${h.dir}/postings")
+    } finally lease.release()
   }
 
   /** Posting-list occupancy: (cluster, n_vectors) — the skew signal. A list
@@ -342,6 +472,8 @@ object VectorIndex {
   ): Handle = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val lease = acquireLease(h0.dir, spark, "rebalance")
+    try {
     // crash repair FIRST: roll forward any interrupted retrain commit (its
     // staged artifacts are authoritative once the marker exists — and when
     // one is promoted the caller's handle is STALE, so reload; re-encoding
@@ -426,11 +558,12 @@ object VectorIndex {
       .write
       .mode("overwrite")
       .parquet(s"${h.dir}/centroids")
-    // version bump; the drift BASELINE is preserved — a rebalance refits
-    // coarse geometry only, the codebooks (whose staleness the baseline
-    // measures) are untouched
+    // version bump (staged swap — a crash mid-write must not leave live
+    // meta unreadable); the drift BASELINE is preserved — a rebalance
+    // refits coarse geometry only, the codebooks (whose staleness the
+    // baseline measures) are untouched
     val oldMeta = readMeta(spark, h.dir)
-    writeMeta(spark, s"${h.dir}/meta", oldMeta.copy(version = oldMeta.version + 1, residual = h.residual))
+    writeMetaSwap(spark, h.dir, oldMeta.copy(version = oldMeta.version + 1, residual = h.residual))
 
     // append-then-delete swap: snapshot the hot partitions' current files,
     // write the re-encoded rows alongside them, then remove exactly the
@@ -440,6 +573,7 @@ object VectorIndex {
     // DIFFERENT fresh list ids; [[repairCrossListDuplicates]] at the top
     // of every rebalance detects exactly that state and restores
     // exactly-once placement before any new split.
+    lease.heartbeat() // the k-means + re-encode above can outlast a stale window
     val fs = new org.apache.hadoop.fs.Path(h.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldFiles = hotIds.flatMap { l =>
@@ -450,7 +584,8 @@ object VectorIndex {
       .write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
     oldFiles.foreach(checkedDelete(fs, _))
     members.unpersist(blocking = false)
-    h.copy(centroids = centroidArr)
+    h.copy(centroids = centroidArr, version = oldMeta.version + 1)
+    } finally lease.release()
   }
 
   /** Hadoop FS signals delete failure by returning FALSE, not throwing —
@@ -562,6 +697,8 @@ object VectorIndex {
   ): Handle = {
     require(tolerance >= 1.0, s"tolerance $tolerance < 1 would flag an IMPROVED fit as drift")
     val spark = corpus.sparkSession
+    val lease = acquireLease(h0.dir, spark, "retrain")
+    try {
     // roll-forward + reload: after promoting an interrupted commit the
     // caller's handle carries pre-retrain codebooks, and measuring drift
     // with them against the promoted baseline would immediately re-retrain
@@ -569,7 +706,9 @@ object VectorIndex {
     val meta = readMeta(spark, h.dir)
     val current = quantizationError(h, corpus, idCol, vecCol, sampleFraction)
     val baseline = meta.baselineQerr.getOrElse {
-      writeMeta(spark, s"${h.dir}/meta", meta.copy(baselineQerr = Some(current)))
+      // baseline adoption rewrites LIVE meta — staged swap, not a bare
+      // overwrite a crash could leave unreadable
+      writeMetaSwap(spark, h.dir, meta.copy(baselineQerr = Some(current)))
       return h
     }
     if (baseline <= 0.0 || current <= tolerance * baseline) return h
@@ -615,10 +754,12 @@ object VectorIndex {
         .getDouble(0)
       // staging-complete marker: written last, so its presence guarantees
       // the staged postings/codebooks are fully written
+      lease.heartbeat() // re-encode of every list can outlast a stale window
       writeMeta(spark, s"${h.dir}/meta.__retrain", Meta(meta.version + 1, h.residual, Some(newBaseline)))
       commitRetrain(h.dir, spark)
-      h.copy(codebooks = cb)
+      h.copy(codebooks = cb, version = meta.version + 1)
     } finally encodeInput.unpersist(blocking = false)
+    } finally lease.release()
   }
 
   /** Complete an interrupted retrain. Staging writes `meta.__retrain`
@@ -629,6 +770,7 @@ object VectorIndex {
     * — every step re-checks existence.
     */
   private def recoverRetrain(dir: String, spark: SparkSession): Boolean = {
+    recoverMetaSwap(dir, spark) // reconcile an interrupted live-meta swap first
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.__retrain"))) {
@@ -697,6 +839,8 @@ object VectorIndex {
   def remove(h0: Handle, ids: DataFrame, idCol: String): Long = {
     val spark = ids.sparkSession
     import spark.implicits._
+    val lease = acquireLease(h0.dir, spark, "remove")
+    try {
     // roll the staged commit forward BEFORE rewriting postings: removing
     // from the live set while a completed stage awaits promotion would be
     // undone wholesale when the stage later promotes over it — the
@@ -738,6 +882,7 @@ object VectorIndex {
     oldFiles.foreach(checkedDelete(fs, _))
     survivors.unpersist(blocking = false)
     removed
+    } finally lease.release()
   }
 
   /** Reopen a persisted index: the metadata artifacts are tiny and land in
@@ -776,7 +921,8 @@ object VectorIndex {
       s"VectorIndex.open: ragged codebook under $dir (expected $m×$ksub dense rows)")
     // meta is absent only for pre-residual indexes, which were flat-encoded
     // (readMeta's legacy fallback); mid-commit it reads the staged copy
-    Handle(dir, centroids, codebooks, readMeta(spark, dir).residual)
+    val meta = readMeta(spark, dir)
+    Handle(dir, centroids, codebooks, meta.residual, meta.version)
   }
 
   /** ADC top-k over the persisted index: probe nProbe lists per query.
@@ -849,16 +995,33 @@ object VectorIndex {
         graft.functions.HashExprs.pqAdcDistance(col("codes"), col("__qt")).as("adist")
       )
 
+  /** Enforced form of the documented restart contract: a probe holding a
+    * handle from before a retrain/rebalance would rank with stale
+    * centroids/codebooks against rolled-forward postings — silently wrong
+    * distances. One tiny meta read per call (k·d-scale, driver-side)
+    * compares versions and fails LOUDLY with the skew instead.
+    */
+  private def requireFresh(h: Handle, spark: SparkSession): Unit = {
+    val onDisk = readMeta(spark, h.dir).version
+    if (onDisk != h.version)
+      throw new IllegalStateException(
+        s"VectorIndex handle for ${h.dir} is stale: handle version ${h.version}, on-disk " +
+          s"version $onDisk — a retrain/rebalance rolled the index forward; reopen with " +
+          "VectorIndex.open (a streaming probe must restart to observe the new geometry)")
+  }
+
   def scoredCandidates(
       h: Handle,
       queries: DataFrame, // (qid, qe: array<float>)
       nProbe: Int,
       excludeSelf: Boolean = true
-  ): DataFrame =
+  ): DataFrame = {
+    requireFresh(h, queries.sparkSession)
     adcJoin(
       queries.sparkSession.read.parquet(s"${h.dir}/postings"),
       probeSide(h, queries, nProbe),
       excludeSelf)
+  }
 
   /** [[scoredCandidates]] with the probed lists pruned STATICALLY: the
     * distinct probed cluster ids are computed first (a metadata-scale job —
@@ -881,6 +1044,7 @@ object VectorIndex {
   ): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    requireFresh(h, spark)
     // bounded by the list count (≤ kLists ints), never by query volume; a
     // dedicated centroid-only projection, so the ADC tables aren't built
     // twice (probeSide recomputes over the already-materialized batch)

@@ -654,4 +654,108 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= recallF - 0.15,
       s"a fully-maintained index must probe at fresh-build grade: $recall vs $recallF")
   }
+
+  test("writer lease: a held lease fails a second maintenance op fast; release unblocks it") {
+    val dir = tmpDir("vindex_lease")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    // simulate a concurrent writer: its lease marker exists with a fresh mtime
+    val lease = new java.io.File(dir, "__writer_lease")
+    java.nio.file.Files.writeString(lease.toPath, "op=retrain pid=99999 at=now")
+    val extra = Seq((9001L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalStateException] {
+      VectorIndex.append(h, extra, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("writer lease"), e1.getMessage)
+    intercept[IllegalStateException] {
+      VectorIndex.remove(h, Seq(1L).toDF("vec_id"), "vec_id")
+    }
+    intercept[IllegalStateException] {
+      VectorIndex.rebalanceIfNeeded(h, corpus, "vec_id", "embedding")
+    }
+    intercept[IllegalStateException] {
+      VectorIndex.retrainIfDrifted(h, corpus, "vec_id", "embedding")
+    }
+    // exactly one proceeds: the holder releases, the blocked op now succeeds
+    // and releases its own lease on exit
+    assert(lease.delete())
+    VectorIndex.append(h, extra, "vec_id", "embedding")
+    assert(!lease.exists(), "a completed op must release its lease")
+    val found = VectorIndex
+      .query(h, Seq((9001L, Seq.fill(16)(0.5f))).toDF("qid", "qe"), nProbe = 4, k = 5,
+        excludeSelf = false)
+      .filter($"vec_id" === 9001L)
+      .count()
+    assert(found == 1L)
+  }
+
+  test("writer lease: a crashed holder is taken over after the staleness window") {
+    val dir = tmpDir("vindex_lease_stale")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val lease = new java.io.File(dir, "__writer_lease")
+    java.nio.file.Files.writeString(lease.toPath, "op=rebalance pid=99999 at=crashed")
+    assert(lease.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    spark.conf.set("spark.graft.vectorIndex.leaseStaleMs", "60000") // 1 min window
+    try {
+      val extra = Seq((9002L, Seq.fill(16)(0.25f))).toDF("vec_id", "embedding")
+      VectorIndex.append(h, extra, "vec_id", "embedding") // takes over the dead lease
+      assert(!lease.exists())
+    } finally spark.conf.unset("spark.graft.vectorIndex.leaseStaleMs")
+  }
+
+  test("stale-handle probes fail loudly after an out-of-band retrain/rebalance") {
+    // distribution shift large enough that retrainIfDrifted really retrains
+    val rnd = new Random(31)
+    val centersB = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5 + 40))
+    val a = clustered
+    val b = (1000 until 1200).map { i =>
+      (i.toLong, centersB(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val dir = tmpDir("vindex_stale_handle")
+    val corpusA = a.toDF("vec_id", "embedding")
+    val h0 = VectorIndex.build(corpusA, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    VectorIndex.append(h0, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val corpusAll = (a ++ b).toDF("vec_id", "embedding")
+    // out-of-band maintenance: another session retrains; h0 predates it
+    val h1 = VectorIndex.retrainIfDrifted(h0, corpusAll, "vec_id", "embedding", tolerance = 1.2)
+    assert(h1.version > h0.version, "the retrain must have rolled the index forward")
+    val queries = corpusA.limit(3).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val e = intercept[IllegalStateException] {
+      VectorIndex.query(h0, queries, nProbe = 2, k = 5).count()
+    }
+    assert(e.getMessage.contains("stale") && e.getMessage.contains(s"handle version ${h0.version}"),
+      e.getMessage)
+    val ePruned = intercept[IllegalStateException] {
+      VectorIndex.scoredCandidatesPruned(h0, queries, nProbe = 2).count()
+    }
+    assert(ePruned.getMessage.contains("stale"), ePruned.getMessage)
+    // the rolled-forward handle and a reopened one both probe fine
+    assert(VectorIndex.query(h1, queries, nProbe = 2, k = 5).count() > 0)
+    assert(VectorIndex.query(VectorIndex.open(spark, dir), queries, nProbe = 2, k = 5).count() > 0)
+  }
+
+  test("meta swap recovery: interrupted live-meta rewrite rolls forward; corrupt meta fails loudly") {
+    val dir = tmpDir("vindex_meta_swap")
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(corpus, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    val metaDir = new java.io.File(dir, "meta")
+    val swapDir = new java.io.File(dir, "meta.__swap")
+
+    // simulate a crash BETWEEN the delete and the rename of a meta swap:
+    // live meta gone, fully-written staged copy present
+    assert(metaDir.renameTo(swapDir))
+    val reopened = VectorIndex.open(spark, dir) // recovery promotes the swap
+    assert(metaDir.exists() && !swapDir.exists(), "open() must promote the staged meta")
+    assert(reopened.residual == h.residual && reopened.version == h.version)
+
+    // corrupt-present meta must be LOUD, not the silent residual=false
+    // legacy fallback (which would flat-decode a residual index)
+    val metaFiles = metaDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(metaFiles.nonEmpty)
+    metaFiles.foreach(f => java.nio.file.Files.writeString(f.toPath, "not parquet at all"))
+    new java.io.File(metaDir, "_SUCCESS").delete()
+    val e = intercept[IllegalStateException] { VectorIndex.open(spark, dir) }
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+  }
 }
