@@ -57,6 +57,110 @@ object GraftSqlFunctions {
     })
   )
 
+  // ---- table-valued sugar for the SCD window queries ----
+  //
+  // The reference README's remaining two lake queries (W4 history of one
+  // entity, W5 changed-since) become copy-paste SQL:
+  //
+  //   SELECT * FROM graft_history('graft.vgsi.properties', 'uuid-7')
+  //   SELECT * FROM graft_changed_since('graft.vgsi.properties',
+  //                                     TIMESTAMP '2024-03-05')
+  //
+  // Both expand AT ANALYSIS TIME to plain SQL over the catalog's derived
+  // `__versions` view (history = key-filtered + version-ordered;
+  // changed-since = `version > 1 AND <order> >= ts`, the filter the
+  // GraftCatalog docs prescribe), so the whole existing resolution path —
+  // view synthesis, base-table scan, predicate pushdown below the window —
+  // is reused verbatim; the TVF adds zero execution machinery. The table
+  // name must be a string LITERAL (it parameterizes plan construction);
+  // the key/since argument may be any literal expression (its SQL text is
+  // spliced into the filter).
+
+  private def stringLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
+      s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal naming a lake table, got $other")
+  }
+
+  private def quoted(c: String) = s"`${c.replace("`", "``")}`"
+
+  /** The catalog a (2- or 3-part) table name resolves against, failing
+    * loudly when it is not a graft lake catalog (the stamp-column names
+    * come from its options).
+    */
+  private def scdCatalogFor(
+      spark: SparkSession,
+      fn: String,
+      parts: Seq[String]
+  ): graft.lake.GraftCatalog = {
+    val cat = parts match {
+      case Seq(c, _, _) =>
+        try spark.sessionState.catalogManager.catalog(c)
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"$fn: unknown catalog '$c'", e)
+        }
+      case Seq(_, _) => spark.sessionState.catalogManager.currentCatalog
+      case _ =>
+        throw new IllegalArgumentException(
+          s"$fn: table name must be <catalog>.<scope>.<table> or <scope>.<table>, got ${parts.mkString(".")}")
+    }
+    cat match {
+      case g: graft.lake.GraftCatalog => g
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: catalog '${other.name}' is not a graft lake catalog — the SCD TVFs need its stamp columns")
+    }
+  }
+
+  private def versionsSql(
+      spark: SparkSession,
+      fn: String,
+      table: String,
+      where: ((String, String, String)) => String,
+      orderBy: String
+  ): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val g = scdCatalogFor(spark, fn, parts)
+    val from = (parts.init.map(quoted) :+ quoted(parts.last + "__versions")).mkString(".")
+    val sql = s"SELECT * FROM $from WHERE ${where(g.scdColumnNames)}$orderBy"
+    spark.sessionState.sqlParser.parsePlan(sql)
+  }
+
+  /** (name, arity description, builder) — table functions (FROM-clause). */
+  val tableFunctions: Seq[(String, String, PartialFunction[
+    Seq[Expression], org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = Seq(
+    ("graft_history", "(tableNameLiteral, keyValue)", {
+      case Seq(t, v) =>
+        val spark = SparkSession.active
+        val table = stringLit(t, "graft_history", "tableName")
+        versionsSql(
+          spark, "graft_history", table,
+          { case (key, _, _) => s"${quoted(key)} = ${v.sql}" },
+          " ORDER BY `version`")
+    }),
+    ("graft_changed_since", "(tableNameLiteral, sinceTimestamp)", {
+      case Seq(t, v) =>
+        val spark = SparkSession.active
+        val table = stringLit(t, "graft_changed_since", "tableName")
+        versionsSql(
+          spark, "graft_changed_since", table,
+          { case (_, ord, _) => s"`version` > 1 AND ${quoted(ord)} >= ${v.sql}" },
+          "")
+    })
+  )
+
+  private def safeTableBuilder(
+      name: String,
+      arity: String,
+      b: PartialFunction[Seq[Expression], org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+  ): Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    args =>
+      if (b.isDefinedAt(args)) b(args)
+      else throw new IllegalArgumentException(s"$name expects arguments $arity, got ${args.size}")
+
   private def info(name: String, arity: String): ExpressionInfo =
     new ExpressionInfo(
       HashExprs.getClass.getName,
@@ -75,7 +179,7 @@ object GraftSqlFunctions {
       else throw new IllegalArgumentException(s"$name expects arguments $arity, got ${args.size}")
 
   /** Register every graft_* function into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, arity, b) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
@@ -83,12 +187,25 @@ object GraftSqlFunctions {
         safeBuilder(name, arity, b)
       )
     }
+    tableFunctions.foreach { case (name, arity, b) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        info(name, arity),
+        safeTableBuilder(name, arity, b)
+      )
+    }
+  }
 
   /** Apply to a [[SparkSessionExtensions]] (the plug-in path). */
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, arity, b) =>
       extensions.injectFunction((FunctionIdentifier(name), info(name, arity), safeBuilder(name, arity, b)))
     }
+    tableFunctions.foreach { case (name, arity, b) =>
+      extensions.injectTableFunction(
+        (FunctionIdentifier(name), info(name, arity), safeTableBuilder(name, arity, b)))
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the graft_*

@@ -240,8 +240,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         (Identifier.of(ident.namespace, ident.name.stripSuffix(s)), s)
     }
 
+  /** The configured stamp-column names (scd.key, scd.order, scd.hash) —
+    * the TVF sugar ([[graft.functions.GraftSqlFunctions]]'s `graft_history`
+    * / `graft_changed_since`) reads them to synthesize its filters.
+    */
+  def scdColumnNames: (String, String, String) = (scdKey, scdOrder, scdHash)
+
+  /** Resolve the stamp triplet against the table's ACTUAL field names —
+    * case-insensitively, matching Spark SQL's default resolution (a lake
+    * table cased `UUID`/`Scraped_At` must serve views exactly like one
+    * cased `uuid`/`scraped_at`; a case-sensitive match here would silently
+    * serve NO views while SQL users could resolve the columns fine). Exact
+    * match wins when two fields differ only by case. The RESOLVED names
+    * (the schema's own casing) are what the generated view SQL emits.
+    */
+  private def resolveScdTriplet(schema: StructType): Option[(String, String, String)] = {
+    def find(n: String): Option[String] =
+      schema.fieldNames.find(_ == n).orElse(schema.fieldNames.find(_.equalsIgnoreCase(n)))
+    for { k <- find(scdKey); o <- find(scdOrder); h <- find(scdHash) } yield (k, o, h)
+  }
+
   private def hasScdTriplet(schema: StructType): Boolean =
-    Seq(scdKey, scdOrder, scdHash).forall(schema.fieldNames.contains)
+    resolveScdTriplet(schema).isDefined
 
   /** The table's read schema via the non-deprecated `columns()` surface
     * (`Table.schema()` is deprecated since 3.4; the v2 util that converts
@@ -269,11 +289,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val (base, suffix) = viewBase(ident).getOrElse(throw new NoSuchViewException(ident))
     if (!tableExists(base)) throw new NoSuchViewException(ident)
     val baseSchema = schemaOf(loadTable(base))
-    if (!hasScdTriplet(baseSchema)) throw new NoSuchViewException(ident)
+    val triplet = resolveScdTriplet(baseSchema).getOrElse(throw new NoSuchViewException(ident))
     def q(c: String) = s"`${c.replace("`", "``")}`"
     val cols = baseSchema.fieldNames.map(q).mkString(", ")
     val from = s"${q(catalogName)}.${q(base.namespace()(0))}.${q(base.name)}"
-    val (key, ord, hsh) = (q(scdKey), q(scdOrder), q(scdHash))
+    // the schema's actual casing, so the generated SQL resolves even under
+    // spark.sql.caseSensitive=true
+    val (key, ord, hsh) = (q(triplet._1), q(triplet._2), q(triplet._3))
     // deterministic total order: observation time, content hash as tiebreak
     val sql = suffix match {
       case "__current" =>
@@ -284,7 +306,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case "__versions" =>
         // plain `<>` (NULL-propagating), not `NOT (<=>)`: Scd.withVersions
         // uses =!=, under which a NULL hash is never a change — the view
-        // must agree with the Scala API row-for-row
+        // must agree with the Scala API row-for-row. NOTE the agreement is
+        // conditional on ORDER: the views order by (order, hash) for a
+        // deterministic total order, while Scd.currentState/withVersions
+        // order by exactly the caller-supplied columns — pass the hash as
+        // the final order column (as CatalogSpec does) to make the two
+        // surfaces agree when observation times tie; with ties and no
+        // tiebreak both surfaces are individually valid but may pick
+        // different (equally latest) rows
         s"""SELECT $cols, row_number() OVER (PARTITION BY $key ORDER BY $ord, $hsh) AS version FROM (
            |  SELECT *, lag($hsh) OVER (PARTITION BY $key ORDER BY $ord, $hsh) AS __prev
            |  FROM $from

@@ -233,6 +233,27 @@ class CatalogSpec extends SparkSpec {
     assert(viaView == viaApi, s"view $viaView != api $viaApi")
   }
 
+  test("derived SCD views resolve a differently-cased stamp triplet") {
+    // Spark SQL resolution is case-insensitive by default, so a lake table
+    // cased UUID/Scraped_At/Row_Hash must serve __current/__versions
+    // exactly like a lowercase one — and the generated view SQL must emit
+    // the schema's ACTUAL casing so it resolves either way.
+    val root = tmpDir("catalog_scd_case")
+    val rows = for (u <- 1 to 4; o <- 1 to 3) yield {
+      (s"uuid-$u", s"state-$u-$o",
+        java.sql.Timestamp.valueOf(f"2024-03-$o%02d 09:00:00"), s"hash-$u-$o")
+    }
+    Lake.append(
+      rows.toDF("UUID", "payload", "Scraped_At", "Row_Hash"), root, "vgsi", "cased")
+    GraftCatalog.register(spark, "graftcase", root)
+    val cat = spark.sessionState.catalogManager.catalog("graftcase").asInstanceOf[GraftCatalog]
+    assert(cat.listViews("vgsi").map(_.name).toSet
+      == Set("cased__current", "cased__versions"), "views must list for the cased triplet")
+    assert(spark.sql("SELECT payload FROM graftcase.vgsi.cased__current WHERE UUID = 'uuid-2'")
+      .as[String].head() == "state-2-3")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcase.vgsi.cased__versions").as[Long].head() == 12)
+  }
+
   test("entity-key predicates push through the derived views into the parquet scan") {
     val root = mkScdLake()
     GraftCatalog.register(spark, "graftscd2", root)
@@ -242,6 +263,37 @@ class CatalogSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(uuid,uuid-3"),
       s"expected the key predicate pushed below the window into the scan:\n$plan")
+  }
+
+  test("TVF sugar: graft_history and graft_changed_since run W4/W5 by name with pushdown") {
+    val root = mkScdLake()
+    GraftCatalog.register(spark, "grafttvf", root)
+
+    // W4 — one entity's full version chain, copy-paste SQL
+    val hist = spark.sql(
+      "SELECT version, payload FROM graft_history('grafttvf.vgsi.properties', 'uuid-7')")
+    assert(hist.as[(Int, String)].collect().toSeq
+      == Seq((1, "state-7-1"), (2, "state-7-2"), (3, "state-7-3")))
+    // the key filter the TVF synthesized reaches the parquet scan
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(uuid,uuid-7"),
+      s"expected the TVF's key predicate pushed into the scan:\n$plan")
+
+    // W5 — entities whose content changed at-or-after a timestamp
+    val changed = spark.sql("""
+      SELECT uuid FROM graft_changed_since('grafttvf.vgsi.properties',
+                                           TIMESTAMP '2024-03-05 00:00:00')""")
+    assert(changed.count() == 10) // every entity changed at o=5
+    // and it agrees with the documented __versions filter it expands to
+    val viaView = spark.sql("""
+      SELECT uuid FROM grafttvf.vgsi.properties__versions
+      WHERE version > 1 AND scraped_at >= TIMESTAMP '2024-03-05 00:00:00'""")
+    assert(changed.as[String].collect().sorted.toSeq == viaView.as[String].collect().sorted.toSeq)
+
+    // loud failures: non-string table arg, unknown catalog
+    intercept[Exception](spark.sql("SELECT * FROM graft_history(42, 'k')").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_history('nosuch.vgsi.properties', 'k')").collect())
   }
 
   test("readonly catalog: DDL refused, INSERT fails at analysis, reads intact") {
