@@ -74,4 +74,34 @@ object PhotoSink {
       .load(outputDir)
       .withColumn("city", element_at(split(col("path"), "/"), -2))
       .withColumn("pid", regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1).cast("long"))
+
+  /** The photo store as a first-class MULTIMODAL TABLE — the read-back
+    * closing the reference's asset story (source.py:647-679 stores the
+    * bytes; this serves them as analyzable data): the binaryFile scan
+    * keyed by (city, pid), decode-free image metadata appended scan-side
+    * ([[graft.operators.Multimodal.withImageMeta]] — a codegen expression,
+    * so format/width/height come from the header bytes before any join or
+    * shuffle, and corrupt files surface as NULL format rows = the gate),
+    * then joined to the property rows the photos illustrate.
+    *
+    * Scale shape: metadata extraction happens ON the scan (no shuffle);
+    * the join shuffles by the storage key only. Project the binary
+    * `content` column away before any wide downstream work — the metadata
+    * travels, the bytes shouldn't.
+    *
+    * @param properties rows carrying `joinKeys` (default (city, pid), the
+    *        store layout's key)
+    * @param joinType "inner" audits coverage both ways filtered; "left"
+    *        keeps unmatched photos (orphan-asset audit)
+    */
+  def photoTable(
+      spark: SparkSession,
+      outputDir: String,
+      properties: DataFrame,
+      joinKeys: Seq[String] = Seq("city", "pid"),
+      joinType: String = "inner"
+  ): DataFrame =
+    graft.operators.Multimodal
+      .withImageMeta(readPhotos(spark, outputDir), "content")
+      .join(properties, joinKeys, joinType)
 }
