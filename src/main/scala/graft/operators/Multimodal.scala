@@ -313,8 +313,7 @@ object Multimodal {
     * recognizable container. Scan-side per-row map, no shuffle.
     */
   def withAvMeta(df: DataFrame, contentCol: String): DataFrame = {
-    val sniff = udf { (b: Array[Byte]) => sniffAudioVideo(b) }
-    df.withColumn("__av", sniff(col(contentCol)))
+    df.withColumn("__av", graft.functions.MediaExprs.sniffAvMeta(col(contentCol)))
       .withColumn("av_format", col("__av.format"))
       .withColumn("av_codec", col("__av.codec"))
       .withColumn("av_channels", col("__av.channels"))
