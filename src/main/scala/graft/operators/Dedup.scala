@@ -642,4 +642,66 @@ object Dedup {
       .withColumn("cluster", col(idCol).cast(clusters.schema("__cluster").dataType))
     best.unionByName(untouched)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig, Ganguli
+    * & Morcos, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540, 2023): assign every
+    * embedding to its nearest centroid, then look for near-duplicates only
+    * WITHIN each cluster — the cluster bound plays the role LSH banding
+    * plays in [[embedNearDupPairs]], replacing the corpus-wide all-pairs
+    * with per-cluster candidate sets.
+    *
+    * Drop rule (one-pass variant of the paper's greedy): a doc is dropped
+    * iff some LOWER-id doc in the same cluster has cosine ≥ `threshold`
+    * with it. This is expressible as a single self-join + anti-join (no
+    * sequential scan over each cluster), fully deterministic, and keeps the
+    * lowest-id member of every mutually-similar set; it differs from the
+    * strictly-sequential greedy only for chains where a dropped middle doc
+    * is the sole link to a later one (the one-pass rule then drops MORE —
+    * conservative for training-data dedup).
+    *
+    * Scale shape: assignment is a pure per-row map against broadcast
+    * centroids (no shuffle); the pair join shuffles on the cluster id, so
+    * `centroids.length` is the skew knob — production SemDeDup sizes k with
+    * the corpus (~√N clusters) precisely so per-cluster candidate sets stay
+    * small; the within-cluster join is then O(Σ|cluster|²) ≪ N².
+    *
+    * @param centroids cluster centers, index = emitted cluster id (from
+    *                  [[Similarity.ivfIndex]]'s k-means, or any fixed set)
+    * @return (idCol, cluster, kept) — one row per input doc, `kept` false
+    *         iff the drop rule fired; total ordering is the caller's job
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double
+  ): DataFrame = {
+    val assigned = df
+      .select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .withColumn("cluster", element_at(Similarity.nearestCentroids(col("emb"), centroids, 1), 1))
+      .withColumn("nrm", Similarity.norm(col("emb")))
+    val dropped = assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("b.doc_id").as("doc_id"),
+        // NULL (not NaN) on zero-norm embeddings — same contract as
+        // embedNearDupPairs: a degenerate vector never "near-duplicates"
+        nanvl(Similarity.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), lit(null).cast("double"))
+          .as("cos")
+      )
+      .filter(col("cos") >= threshold)
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("__dropped", lit(true))
+    assigned
+      .join(dropped, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as(idCol),
+        col("cluster"),
+        coalesce(!col("__dropped"), lit(true)).as("kept")
+      )
+  }
 }

@@ -518,5 +518,67 @@ object DedupQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91)
+  /** SemDeDup semantic dedup ([[Dedup.semanticDedup]], Abbas et al. 2023):
+    * near-dup detection bounded by nearest-centroid clusters instead of LSH
+    * bands. Fixture plants a shifted copy of every 5th embedding (base id +
+    * 1,000,000, dim-0 + 0.05 — q54's planting recipe), so each planted doc
+    * shares its base's cluster and cosine ≈ 1 ≫ 0.9 while organic pairs top
+    * out at ~0.6 — the kept/dropped decision is cleanly separated from ulp
+    * noise on both engines. Centroids are the first 8 base embeddings
+    * (data-derived but metadata-scale: an 8×64 driver collect, the same
+    * k·d footprint as [[VectorIndex]] centroid metadata); the oracle
+    * recomputes the identical argmin-of-(|c|²−2·e·c) assignment with the
+    * cluster-id tiebreak in SQL.
+    */
+  private val q94 = Q(
+    "q94_semdedup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val base = T.embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      val near = base
+        .filter($"vec_id" % 5 === 0)
+        .select(
+          ($"vec_id" + 1000000).as("vec_id"),
+          transform($"emb", (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("emb")
+        )
+      val centroids = base
+        .filter($"vec_id" < 8)
+        .orderBy($"vec_id")
+        .select($"emb")
+        .as[Seq[Double]]
+        .collect()
+        .map(_.toArray)
+      Dedup
+        .semanticDedup(base.unionByName(near), "vec_id", "emb", centroids, threshold = 0.9)
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH base AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb FROM embeddings),
+      near AS (SELECT vec_id + 1000000 AS vec_id,
+                      [CASE WHEN i = 1 THEN emb[i] + 0.05 ELSE emb[i] END for i in range(1, 65)] AS emb
+               FROM base WHERE vec_id % 5 = 0),
+      u AS (SELECT * FROM base UNION ALL SELECT * FROM near),
+      c AS (SELECT vec_id AS cid, emb AS ce FROM base WHERE vec_id < 8),
+      asg AS (SELECT vec_id, emb, cluster FROM (
+                SELECT u.vec_id, u.emb, CAST(c.cid AS INT) AS cluster,
+                       row_number() OVER (PARTITION BY u.vec_id
+                         ORDER BY list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)])
+                                  - 2 * list_sum([u.emb[i] * c.ce[i] for i in range(1, 65)]),
+                                  c.cid) AS rn
+                FROM u, c) WHERE rn = 1),
+      sc0 AS (SELECT b.vec_id,
+                     (list_sum([a.emb[i] * b.emb[i] for i in range(1, 65)])) /
+                     (sqrt(list_sum([a.emb[i] * a.emb[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([b.emb[i] * b.emb[i] for i in range(1, 65)]))) AS cos
+              FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      dropped AS (SELECT DISTINCT vec_id
+                  FROM sc0 WHERE (CASE WHEN isnan(cos) THEN NULL ELSE cos END) >= 0.9)
+      SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+      FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id
+    """.trim)
+  )
+
+  val all: Seq[Q] =
+    Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94)
 }

@@ -141,4 +141,46 @@ object Sampling {
       .withColumn("bin", expr(s"(__cum - n_tokens) DIV ${maxTokens}L"))
       .drop("__cum")
   }
+
+  /** Leakage-free train/val/test assignment: every member of a duplicate
+    * GROUP lands in the same split, because the membership hash is taken
+    * over the group's representative (min id per `groupKey`), not the row
+    * itself. Splitting row-wise in the presence of duplicates leaks — a
+    * copy of a training document scores as "held-out" while being verbatim
+    * in train (the q90 split-leakage failure mode, prevented here by
+    * construction for exact dups; feed a near-dup cluster id as `groupKey`
+    * to extend the guarantee to near-dups).
+    *
+    * `splits` are cumulative-band (name, numerator) pairs over
+    * `denominator`, evaluated in order — e.g. (train,90),(val,5),(test,5)
+    * of 100. Bands partition the hash space, so splits are disjoint and
+    * exhaustive; membership is the same portable md5-prefix hash as
+    * [[bernoulli]], reproducible on any engine.
+    *
+    * Scale shape: ONE hash shuffle on `groupKey` for the representative
+    * window (the same shuffle an exact-dedup pass already does); the band
+    * decision itself is a pure map. No joins, no driver state.
+    *
+    * @return df's rows plus (rep, split)
+    */
+  def leakageFreeSplit(
+      df: DataFrame,
+      idCol: String,
+      groupKey: Column,
+      splits: Seq[(String, Int)],
+      denominator: Int
+  ): DataFrame = {
+    require(splits.nonEmpty && denominator > 0, "need splits and a positive denominator")
+    require(splits.map(_._2).sum == denominator, "split bands must sum to the denominator")
+    val rep = min(col(idCol)).over(Window.partitionBy(groupKey))
+    val h = hash60(col("rep")) % denominator
+    // first band whose cumulative upper bound exceeds the hash wins
+    val cums = splits.scanLeft(0)(_ + _._2).tail
+    val split = splits
+      .zip(cums)
+      .foldRight(lit(null).cast("string")) { case (((name, _), hi), acc) =>
+        when(h < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("rep", rep).withColumn("split", split)
+  }
 }

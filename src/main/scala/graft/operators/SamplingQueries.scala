@@ -189,5 +189,38 @@ object SamplingQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82)
+  /** Leakage-free split assignment ([[Sampling.leakageFreeSplit]]): a
+    * 90/5/5 train/val/test carve where every exact-duplicate group (same
+    * md5(text) digest) moves as ONE unit — the split hashes the group's
+    * min-doc_id representative, so a duplicated document can never sit in
+    * train while its copy scores as held-out. The documents fixture plants
+    * exact dups (q22's subject), so the grouping is genuinely exercised;
+    * the oracle recomputes representative and band from the same md5-prefix
+    * hash.
+    */
+  private val q97 = Q(
+    "q97_group_split",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Sampling
+        .leakageFreeSplit(
+          T.documents,
+          "doc_id",
+          md5($"text"),
+          splits = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+          denominator = 100
+        )
+        .select($"doc_id", $"rep", $"split")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+      h AS (SELECT doc_id, rep, ${duckHash("rep")} % 100 AS hb FROM g)
+      SELECT doc_id, rep,
+             CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val' ELSE 'test' END AS split
+      FROM h ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97)
 }

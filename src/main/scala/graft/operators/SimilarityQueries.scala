@@ -352,5 +352,45 @@ object SimilarityQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85)
+  /** Okapi BM25 retrieval ([[TfIdf.bm25TopK]]): exact-integer BM25 top-15
+    * for a 3-term query mixing one rare discriminator ("dup", df≈5% of the
+    * corpus) with two common terms — the idf surrogate must dominate the
+    * ranking for the rare term to surface its docs. Every score is a BIGINT
+    * sum of integer-division contributions (k1 = 6/5, b = 3/4 cleared to
+    * one rational — see the operator scaladoc), so the oracle reproduces
+    * scores bit-for-bit with HUGEINT arithmetic.
+    */
+  private val q96 = Q(
+    "q96_bm25_topk",
+    (s, dir) => {
+      val T = graft.Tables(s, dir); import s.implicits._
+      TfIdf
+        .bm25TopK(T.documents, "doc_id", "text", terms = Seq("dup", "vector", "window"), k = 15)
+        .orderBy($"rank")
+    },
+    Some("""
+      WITH nn AS (SELECT count(*) AS n,
+                         CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS s
+                  FROM documents),
+      tok AS (SELECT doc_id,
+                     len(regexp_split_to_array(lower(text), '\s+')) AS dl,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM documents),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM tok WHERE term IN ('dup', 'vector', 'window') GROUP BY 1, 2, 3),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      c AS (SELECT doc_id,
+                   CAST((((SELECT n FROM nn) - df + 1) * 1000 // (df + 1))::HUGEINT
+                          * tf * 44 * (SELECT s FROM nn)
+                        // (20 * (SELECT s FROM nn) * tf
+                           + 6 * (SELECT s FROM nn)
+                           + 18 * dl * (SELECT n FROM nn)) AS BIGINT) AS w
+            FROM tf JOIN dfx USING (term)),
+      sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM c GROUP BY 1)
+      SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sc ORDER BY score DESC, doc_id LIMIT 15
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85, q96)
 }

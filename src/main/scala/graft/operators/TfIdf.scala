@@ -93,4 +93,74 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("sim_id"), col("cos"))
   }
+
+  /** Okapi BM25 top-k retrieval (Robertson, Walker, Jones, Hancock-Beaulieu
+    * & Gatford, "Okapi at TREC-3", 1995) for a literal query-term set —
+    * the retrieval op a curation pipeline uses to pull topical slices out
+    * of a corpus, kept EXACT under distributed aggregation by the repo's
+    * integer-arithmetic pattern (see [[TfIdf]] scaladoc):
+    *
+    *  - k1 = 6/5 and b = 3/4 are exact rationals; multiplying the classic
+    *    per-term score idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *    through by 20·S (S = Σdl, avgdl = S/N) clears every denominator:
+    *    contrib = (idf · 44·tf·S) div (20·S·tf + 6·S + 18·dl·N).
+    *  - the idf's log is replaced by the scaled rational surrogate
+    *    ((N − df + 1)·1000) div (df + 1) — like the log it is positive and
+    *    strictly decreasing in df, but exact in BIGINT, so the per-doc
+    *    score is a sum of integers: independent of partial-aggregation
+    *    order on any cluster, and bit-reproducible by the SQL oracle.
+    *  - the one product that can exceed 2^63 (idf·tf·44·S) runs in
+    *    DECIMAL(38,0): bounded by (N+1)·1000 · tf · 44 · S ≈ 4·10^32 even
+    *    at N = 10^9 docs / S = 10^12 tokens / tf = 10^4 — exact to 38
+    *    digits with headroom.
+    *
+    * Scale shape: tokens are filtered to the query terms AT THE EXPLODE
+    * (the inverted index is only ever materialized for |terms| terms), df
+    * comes from one count-window over the term, and the final top-k is
+    * orderBy+limit — TakeOrdered, never a global single-partition sort;
+    * the rank column is windowed over the k survivors only.
+    *
+    * @return (doc_id, score, rank) — rank 1..k by descending score, ties
+    *         broken by ascending doc_id
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toksOf = split(lower(col(textCol)), "\\s+")
+    // corpus stats: one driver-scalar row (the same footprint as
+    // TfIdf.weights' count()) — N docs and S total tokens
+    val stats = df.agg(count(lit(1)).as("n"), sum(size(toksOf)).as("s")).collect()(0)
+    val n = stats.getLong(0)
+    val s = stats.getLong(1)
+    val dec = "decimal(38,0)"
+    val matched = df
+      .select(col(idCol).as("doc_id"), toksOf.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = matched
+      .withColumn("idf", expr(s"(($n - df + 1) * 1000) div (df + 1)"))
+      .withColumn("num", (col("idf") * col("tf")).cast(dec) * lit(44) * lit(s))
+      .withColumn(
+        "den",
+        (lit(20L) * lit(s) * col("tf") + lit(6L) * lit(s) + lit(18L) * col("dl") * lit(n)).cast(dec)
+      )
+      .withColumn("w", expr("num div den"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int")
+      )
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
 }

@@ -239,4 +239,55 @@ class DedupSpec extends SparkSpec {
     val got = df.select($"id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr"))
   }
+
+  test("semanticDedup: near-dups drop within a cluster, lowest id survives, clusters never mix") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),     // cluster 0, kept (lowest id of its dup set)
+      (2L, Seq(0.999, 0.01)),  // cluster 0, cos(1,2) ≈ 1 → dropped
+      (3L, Seq(0.0, 1.0)),     // cluster 1, kept — same direction as 2 is IRRELEVANT across clusters
+      (4L, Seq(0.01, 0.999)),  // cluster 1, cos(3,4) ≈ 1 → dropped
+      (5L, Seq(0.8, 0.6))      // cluster 0, cos(1,5) = 0.8 < 0.95 → kept
+    ).toDF("id", "emb")
+    val out = Dedup
+      .semanticDedup(vecs, "id", "emb", centroids, threshold = 0.95)
+      .as[(Long, Int, Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == Map(
+      1L -> ((0, true)),
+      2L -> ((0, false)),
+      3L -> ((1, true)),
+      4L -> ((1, false)),
+      5L -> ((0, true))
+    ))
+  }
+
+  test("semanticDedup one-pass rule: a doc similar only to an already-dropped doc still drops") {
+    // b dups a (dropped); c is similar to b but also to a (all three mutually
+    // ≥ τ here): the one-pass lower-id rule drops both b and c — the
+    // documented conservative behavior for chains
+    val centroids = Array(Array(1.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.999, 0.02)),
+      (3L, Seq(0.998, 0.04))
+    ).toDF("id", "emb")
+    val kept = Dedup
+      .semanticDedup(vecs, "id", "emb", centroids, threshold = 0.99)
+      .filter($"kept")
+      .select($"id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(kept == Set(1L))
+  }
+
+  test("semanticDedup: zero-norm embedding never near-duplicates anything") {
+    val centroids = Array(Array(1.0, 0.0))
+    val vecs = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(1.0, 0.0))).toDF("id", "emb")
+    val out = Dedup.semanticDedup(vecs, "id", "emb", centroids, threshold = 0.5)
+    assert(out.filter($"kept").count() == 3, "NaN cosine must gate to NULL, not drop rows")
+  }
 }

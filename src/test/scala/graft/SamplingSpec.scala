@@ -120,4 +120,30 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
     out.unpersist()
   }
+
+  test("leakageFreeSplit: every duplicate group moves as one unit; bands are exhaustive") {
+    // 400 distinct texts, each duplicated under 5 different ids
+    val dup = (1L to 2000L).map(i => (i, s"text${i % 400}")).toDF("id", "body")
+    val out = Sampling
+      .leakageFreeSplit(dup, "id", md5($"body"), Seq("train" -> 90, "val" -> 5, "test" -> 5), 100)
+      .select($"id", $"body", $"rep", $"split")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 2000 && out.forall(_._4 != null))
+    val perText = out.groupBy(_._2)
+    assert(perText.forall { case (_, rows) => rows.map(_._4).distinct.length == 1 },
+      "two copies of one text landed in different splits — leakage")
+    assert(perText.forall { case (_, rows) => rows.forall(_._3 == rows.map(_._1).min) },
+      "representative must be the group's min id")
+    val splits = out.map(_._4).distinct.toSet
+    assert(splits == Set("train", "val", "test"), s"400 groups must hit all bands, got $splits")
+    val trainFrac = out.count(_._4 == "train").toDouble / out.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac far from 0.9")
+  }
+
+  test("leakageFreeSplit rejects bands that do not cover the hash space") {
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(docs, "id", $"body", Seq("train" -> 50, "val" -> 10), 100)
+    }
+  }
 }

@@ -62,4 +62,38 @@ class TfIdfSpec extends SparkSpec {
       .select($"c.start", $"c.ntok").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
     assert(out == Seq((0, 64), (48, 17)))
   }
+
+  test("bm25TopK: hand-computed exact score on a 3-doc corpus") {
+    // N=3, S=3+2+4=9; query 'x': df=1, idf=(3-1+1)*1000 div 2 = 1500;
+    // doc 1 (tf=2, dl=3): num = 1500*2*44*9 = 1,188,000
+    //                     den = 20*9*2 + 6*9 + 18*3*3 = 576
+    //                     w = 1188000 div 576 = 2062
+    val corpus = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z z")).toDF("doc_id", "text")
+    val out = TfIdf.bm25TopK(corpus, "doc_id", "text", terms = Seq("x"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 2062L, 1)))
+  }
+
+  test("bm25TopK: length normalization ranks the shorter doc higher at equal tf") {
+    val corpus = Seq(
+      (1L, "q filler filler filler filler filler filler"),
+      (2L, "q filler")
+    ).toDF("doc_id", "text")
+    val ranked = TfIdf.bm25TopK(corpus, "doc_id", "text", terms = Seq("q"), k = 2)
+      .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
+    assert(ranked == Seq(2L, 1L), "same tf, shorter dl must score higher (b > 0)")
+  }
+
+  test("bm25TopK: rare term outweighs a common term despite lower tf") {
+    // 'common' in every doc (df=4 → tiny idf), 'rare' only in doc 4
+    val corpus = Seq(
+      (1L, "common common common a"),
+      (2L, "common common common b"),
+      (3L, "common common common c"),
+      (4L, "common rare d e")
+    ).toDF("doc_id", "text")
+    val top = TfIdf.bm25TopK(corpus, "doc_id", "text", terms = Seq("common", "rare"), k = 1)
+      .select($"doc_id").as[Long].head()
+    assert(top == 4L)
+  }
 }
