@@ -62,4 +62,73 @@ object Decontaminate {
       .distinct()
     corpus.join(broadcast(flagged), col(idCol) === col("__contaminated"), "left_anti")
   }
+
+  /** [[overlaps]] through a bloom prefilter — EXACT same output, different
+    * scale envelope. [[overlaps]] broadcasts the raw benchmark fingerprint
+    * set; once that set outgrows a broadcast (multi-benchmark suites at
+    * 10^8+ fingerprints ≈ GBs raw), the raw-set join degrades to a
+    * corpus-wide shuffle. This path instead:
+    *
+    *  1. aggregates the benchmark fingerprints into bloom BITS
+    *     ([[graft.functions.BloomBuildAgg]] — mergeable, so the build
+    *     shuffles `numBytes` per partition, not the fingerprint rows);
+    *  2. probes the bloom scan-side on the corpus
+    *     ([[graft.functions.BloomMightContain]] as a Literal — codegen'd
+    *     into the scan filter, no shuffle, drops ~all clean fingerprints
+    *     at the configured false-positive rate);
+    *  3. exact-confirms ONLY the surviving sliver with the real
+    *     fingerprint join, which removes every bloom false positive —
+    *     so the result is bit-identical to [[overlaps]] (q95's oracle is
+    *     q64's oracle, verbatim).
+    *
+    * Size `numBytes` ≈ 1.2 · |bench fps| · ln(1/fpRate) / 8 bits; the
+    * default 128 KiB holds ~10^5 fingerprints at ~1% FP.
+    */
+  def overlapsViaBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      minShared: Int = 5,
+      numBytes: Int = 1 << 17,
+      numHashes: Int = 7
+  ): DataFrame = {
+    import graft.functions.BloomExprs
+    def fps(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp")
+    )
+    val benchFps = fps(bench, "bench_id")
+    val bloomBits = benchFps
+      .agg(BloomExprs.bloomAgg(col("fp"), numBytes, numHashes).as("bloom"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    val survivors = fps(corpus, "doc_id")
+      .filter(BloomExprs.mightContain(lit(bloomBits), col("fp")))
+    survivors
+      .join(benchFps, "fp") // exact confirm: false positives die here
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** [[clean]] through the bloom prefilter — exact same output. */
+  def cleanViaBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      minShared: Int = 5,
+      numBytes: Int = 1 << 17,
+      numHashes: Int = 7
+  ): DataFrame = {
+    val flagged = overlapsViaBloom(corpus, bench, idCol, textCol, k, w, minShared, numBytes, numHashes)
+      .select(col("doc_id").as("__contaminated"))
+      .distinct()
+    corpus.join(broadcast(flagged), col(idCol) === col("__contaminated"), "left_anti")
+  }
 }

@@ -255,6 +255,23 @@ object TextQueries {
     * corpus side is a shuffle-free map probed against a broadcast benchmark
     * index — one scan at any corpus size.
     */
+  /** q64/q95 shared oracle SQL — the bloom path's output is defined to be
+    * bit-identical to the broadcast path (false positives die in the exact
+    * confirm join), so one oracle string gates both; a semantic drift
+    * between the two engine paths shows up as exactly one of the pair
+    * failing.
+    */
+  private lazy val decontaminateSql: String = s"""
+      WITH $winnowCte,
+      bench_ids AS (SELECT doc_id FROM documents
+                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98),
+      bf AS (SELECT doc_id AS bench_id, fp FROM sel WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+      tf AS (SELECT doc_id, fp FROM sel WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+      o AS (SELECT tf.doc_id, bf.bench_id, count(*) AS shared
+            FROM tf JOIN bf ON tf.fp = bf.fp GROUP BY 1, 2)
+      SELECT doc_id, bench_id, shared FROM o WHERE shared >= 5 ORDER BY doc_id, bench_id
+    """.trim
+
   private val q64 = Q(
     "q64_decontaminate",
     (s, dir) => {
@@ -264,16 +281,36 @@ object TextQueries {
         .overlaps(T.documents.filter(!isBench), T.documents.filter(isBench), "doc_id", "text")
         .orderBy($"doc_id", $"bench_id")
     },
-    Some(s"""
-      WITH $winnowCte,
-      bench_ids AS (SELECT doc_id FROM documents
-                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98),
-      bf AS (SELECT doc_id AS bench_id, fp FROM sel WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
-      tf AS (SELECT doc_id, fp FROM sel WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
-      o AS (SELECT tf.doc_id, bf.bench_id, count(*) AS shared
-            FROM tf JOIN bf ON tf.fp = bf.fp GROUP BY 1, 2)
-      SELECT doc_id, bench_id, shared FROM o WHERE shared >= 5 ORDER BY doc_id, bench_id
-    """.trim)
+    Some(decontaminateSql)
+  )
+
+  /** Bloom-prefiltered decontamination ([[Decontaminate.overlapsViaBloom]]):
+    * the same contamination report as q64 through the sketch path — bench
+    * fingerprints aggregate into mergeable bloom bits
+    * ([[graft.functions.BloomBuildAgg]]), the corpus probe is a codegen'd
+    * scan-side filter on the bloom Literal, and only the surviving sliver
+    * pays the exact confirm join. A deliberately small filter (8 KiB for
+    * ~2,600 bench fps at sf0.01 → a real false-positive rate) keeps the
+    * confirm join honest: the oracle is q64's, verbatim, so any FP leaking
+    * through would hash-fail.
+    */
+  private val q95 = Q(
+    "q95_bloom_decontaminate",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isBench = Sampling.hash60($"doc_id") % 100 >= 98
+      Decontaminate
+        .overlapsViaBloom(
+          T.documents.filter(!isBench),
+          T.documents.filter(isBench),
+          "doc_id",
+          "text",
+          numBytes = 8 << 10,
+          numHashes = 5
+        )
+        .orderBy($"doc_id", $"bench_id")
+    },
+    Some(decontaminateSql)
   )
 
   /** Gopher-style repetition signals via the one-pass [[RepStats]] native
@@ -623,5 +660,6 @@ object TextQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93)
+  val all: Seq[Q] =
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95)
 }

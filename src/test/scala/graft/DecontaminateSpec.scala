@@ -45,6 +45,65 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(fpsPlan.contains("BroadcastHashJoin") || fpsPlan.contains("BroadcastExchange"))
   }
+
+  test("overlapsViaBloom is bit-identical to overlaps, even with a lossy 16-byte filter") {
+    val exact = Decontaminate
+      .overlaps(corpus, bench, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // 8 usable bytes = 64 bits for ~14 bench fps → plenty of false
+    // positives; the exact confirm join must absorb every one of them
+    val viaBloom = Decontaminate
+      .overlapsViaBloom(corpus, bench, "doc_id", "text", minShared = 1, numBytes = 16, numHashes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaBloom == exact)
+    assert(
+      Decontaminate
+        .cleanViaBloom(corpus, bench, "doc_id", "text", minShared = 5, numBytes = 16, numHashes = 2)
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L)
+    )
+  }
+
+  test("bloom sketch laws: no false negatives, merge is union, geometry mismatch refuses") {
+    import graft.functions.BloomSupport
+    val keys = (1L to 500L).map(_ * 7919L)
+    val buf = BloomSupport.emptyBuffer(1 << 10, 5)
+    keys.foreach(BloomSupport.add(buf, _))
+    assert(keys.forall(BloomSupport.mightContain(buf, _)), "a bloom filter never false-negatives")
+    val a = BloomSupport.emptyBuffer(1 << 10, 5)
+    val b = BloomSupport.emptyBuffer(1 << 10, 5)
+    BloomSupport.add(a, 42L); BloomSupport.add(b, 99L)
+    val m = BloomSupport.or(a, b)
+    assert(BloomSupport.mightContain(m, 42L) && BloomSupport.mightContain(m, 99L))
+    intercept[IllegalArgumentException] {
+      BloomSupport.or(BloomSupport.emptyBuffer(64, 5), BloomSupport.emptyBuffer(64, 7))
+    }
+    // sized correctly, the FP rate is actually low: < 5% misses on 2000 probes
+    val fp = (100000L to 102000L).count(BloomSupport.mightContain(buf, _))
+    assert(fp < 100, s"$fp false positives out of 2001 at 10 bits/key")
+  }
+
+  test("bloomAgg distributes: partitioned build equals local build; probe is codegen") {
+    import graft.functions.{BloomExprs, BloomSupport}
+    val keys = (1L to 300L).map(i => i * 104729L)
+    val distributed = keys.toDF("k").repartition(7)
+      .agg(BloomExprs.bloomAgg($"k", 1 << 10, 5)).head.getAs[Array[Byte]](0)
+    val local = BloomSupport.emptyBuffer(1 << 10, 5)
+    keys.foreach(BloomSupport.add(local, _))
+    assert(java.util.Arrays.equals(distributed, local),
+      "merge order must not change the bits (OR is commutative/associative)")
+    // a local relation would be constant-folded whole (ConvertToLocalRelation
+    // evaluates the probe at optimization time); range() keeps a real scan
+    val probed = spark.range(300)
+      .select(($"id" * 104729L).as("k"))
+      .filter(BloomExprs.mightContain(lit(distributed), $"k"))
+    // the `*(n)` node prefix is the whole-stage-codegen marker in the
+    // simple plan string; the Filter node itself must carry it
+    val filterLine = probed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("bloommightcontain")).getOrElse("")
+    assert(filterLine.trim.matches("""^(\+- )?\*\(\d+\) Filter .*"""),
+      s"the probe must stay inside codegen, got: $filterLine")
+    assert(probed.count() >= 300 - 1, "every built key must survive its own probe")
+  }
 }
 
 class PiiSpec extends SparkSpec {
