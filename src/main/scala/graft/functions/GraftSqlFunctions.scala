@@ -54,6 +54,23 @@ object GraftSqlFunctions {
     }),
     ("graft_rep_stats", "(text)", {
       case Seq(t) => RepStats(t)
+    }),
+    ("graft_sniff_image", "(binary)", {
+      case Seq(b) => SniffImageMeta(b)
+    }),
+    ("graft_sniff_av", "(binary)", {
+      case Seq(b) => SniffAvMeta(b)
+    }),
+    ("graft_bloom_agg", "(bigintKey, numBytes, numHashes) AGGREGATE", {
+      case Seq(k, nb, nh) =>
+        BloomBuildAgg(
+          k,
+          intLit(nb, "graft_bloom_agg", "numBytes"),
+          intLit(nh, "graft_bloom_agg", "numHashes")
+        ).toAggregateExpression()
+    }),
+    ("graft_bloom_might_contain", "(bloomBits, bigintKey)", {
+      case Seq(bits, k) => BloomMightContain(bits, k)
     })
   )
 

@@ -114,4 +114,38 @@ class GraftSqlFunctionsSpec extends SparkSpec {
       assert(once.map(_.toString).toSeq == twice.map(_.toString).toSeq, s"$ex nondeterministic")
     }
   }
+
+  test("graft_bloom_agg + graft_bloom_might_contain round-trip through pure SQL") {
+    import spark.implicits._
+    (1L to 200L).map(_ * 31L).toDF("k").createOrReplaceTempView("gsf_bloom_keys")
+    // build in SQL, probe in SQL: members always pass; a disjoint range
+    // mostly fails (sized at ~40 bits/key, FPs are ~impossible in 200 probes)
+    val hits = spark.sql("""
+      WITH b AS (SELECT graft_bloom_agg(k, 1024, 5) AS bits FROM gsf_bloom_keys)
+      SELECT count(*) FROM gsf_bloom_keys, b WHERE graft_bloom_might_contain(b.bits, k)
+    """).head().getLong(0)
+    assert(hits == 200L, "bloom must never false-negative its own keys")
+    val strangers = spark.sql("""
+      WITH b AS (SELECT graft_bloom_agg(k, 1024, 5) AS bits FROM gsf_bloom_keys)
+      SELECT count(*) FROM range(1000000, 1000200) r, b
+      WHERE graft_bloom_might_contain(b.bits, r.id)
+    """).head().getLong(0)
+    assert(strangers < 20L, s"FP rate implausibly high: $strangers/200")
+  }
+
+  test("graft_sniff_image / graft_sniff_av expose the media sniffers to SQL") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    Seq(
+      (1L, Multimodal.wavBytes(2, 16000, 16, 64)),
+      (2L, "not media".getBytes("UTF-8"))
+    ).toDF("id", "b").createOrReplaceTempView("gsf_media")
+    val av = spark.sql(
+      "SELECT id, graft_sniff_av(b).format AS f, graft_sniff_av(b).channels AS c FROM gsf_media ORDER BY id"
+    ).collect()
+    assert(av(0).getString(1) == "wav" && av(0).getInt(2) == 2)
+    assert(av(1).isNullAt(1), "non-media bytes must sniff to NULL, not throw")
+    val img = spark.sql("SELECT graft_sniff_image(b) AS m FROM gsf_media WHERE id = 2").head()
+    assert(img.isNullAt(0))
+  }
 }
