@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.SparkEntry
-import graft.operators.{EntityResolution, Graph, Multimodal, VectorIndex}
+import graft.operators.{Decontaminate, Dedup, EntityResolution, Graph, Multimodal, Sampling, VectorIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +40,11 @@ object ScaleBench {
     "q62_neardup_clusters",
     "q63_neardup_dropped",
     "q87_cluster_best",
-    "q85_pq_adc"
+    "q85_pq_adc",
+    // round-7 fixed-parameter linear ops (BM25's inverted index is only
+    // ever |queryTerms| wide; the split is one window + a map)
+    "q96_bm25_topk",
+    "q97_group_split"
   )
 
   private val IdOffset = 100000000L
@@ -177,6 +181,8 @@ object ScaleBench {
     val doVindex = only.forall(f => f.contains("vindex"))
     val doEr = only.forall(f => f.contains("entity_resolve"))
     val doAv = only.forall(f => f.contains("av_sniff"))
+    val doSem = only.forall(f => f.contains("semdedup"))
+    val doBloom = only.forall(f => f.contains("bloom_decon"))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
@@ -262,7 +268,56 @@ object ScaleBench {
           s"""{"bench":"scale","scale":$k,"query":"av_sniff","sec":$t,"rows":$nDocs,"bytes":$nBytes}""")
         Seq("av_sniff" -> t)
       }
-      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes)
+      // q94 family AT the operator's own scale recipe: SemDeDup's cluster
+      // count grows with the corpus (k ∝ N — the paper's configuration),
+      // so per-cluster candidate sets stay constant-size and the
+      // within-cluster join is linear. (q94's FIXED 8 centroids are a
+      // correctness-gate fixture; benching them at 30× would measure the
+      // deliberate misconfiguration — cluster size, hence join cost, grows
+      // with the corpus when k is pinned.)
+      val semTimes = if (!doSem) Nil else {
+        val emb = spark.read
+          .parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        // deterministic centroid draw: first 8·scale base vectors (k·d
+        // driver collect — metadata-scale at any corpus size)
+        val centroids = emb
+          .orderBy(col("vec_id"))
+          .limit(8 * k)
+          .select(col("emb"))
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        var rows = 0L
+        val t = time2(spark) {
+          rows = Dedup.semanticDedup(emb, "vec_id", "emb", centroids, threshold = 0.9).count()
+        }
+        val corpusN = emb.count()
+        require(rows == corpusN, s"semanticDedup row law broken: $rows out of $corpusN in")
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"semdedup","sec":$t,"rows":$rows,"centroids":${8 * k}}""")
+        Seq("semdedup" -> t)
+      }
+      // q95 family with the bloom sized TO the benchmark set (bits ∝ bench
+      // fps — the operator's own sizing rule), so the prefilter's FP rate,
+      // hence its effectiveness, is constant across scales. A fixed-size
+      // bloom would saturate at large k and the curve would measure
+      // saturation, not the operator.
+      val bloomTimes = if (!doBloom) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val isBench = Sampling.hash60(col("doc_id")) % 100 >= 98
+        var flagged = 0L
+        val t = time2(spark) {
+          flagged = Decontaminate
+            .overlapsViaBloom(
+              docs.filter(!isBench), docs.filter(isBench), "doc_id", "text",
+              numBytes = (1 << 17) * k, numHashes = 7)
+            .count()
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"bloom_decon","sec":$t,"rows":$flagged,"bloomKiB":${128 * k}}""")
+        Seq("bloom_decon" -> t)
+      }
+      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ bloomTimes)
     }.toMap
 
     // summary: growth factors vs the smallest scale (a ~linear engine shows
@@ -271,7 +326,9 @@ object ScaleBench {
     val names = queries ++
       (if (doVindex) Seq("vindex_build", "vindex_probe") else Nil) ++
       (if (doEr) Seq("entity_resolve") else Nil) ++
-      (if (doAv) Seq("av_sniff") else Nil)
+      (if (doAv) Seq("av_sniff") else Nil) ++
+      (if (doSem) Seq("semdedup") else Nil) ++
+      (if (doBloom) Seq("bloom_decon") else Nil)
     val summary = names.map { q =>
       val t1 = results(k0).toMap.apply(q)
       val g = scales.map(k => f"${results(k).toMap.apply(q) / t1}%.1f").mkString("[", ",", "]")

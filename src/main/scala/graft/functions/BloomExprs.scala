@@ -68,6 +68,11 @@ object BloomSupport {
   }
 
   def mightContain(buf: Array[Byte], value: Long): Boolean = {
+    // scan-side code over possibly-foreign bytes must not throw (the
+    // corrupt-input rule the media sniffers follow): a binary that is not a
+    // well-formed bloom buffer — too short, or a hash count outside 1..32 —
+    // answers false rather than crashing the query
+    if (buf == null || buf.length <= HeaderBytes || buf(0) < 1 || buf(0) > 32) return false
     val k = buf(0).toInt
     val m = (buf.length - HeaderBytes).toLong * 8L
     val h1 = mix(value)

@@ -678,6 +678,7 @@ object Dedup {
       centroids: Array[Array[Double]],
       threshold: Double
   ): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs at least one centroid")
     val assigned = df
       .select(col(idCol).as("doc_id"), col(embCol).as("emb"))
       .withColumn("cluster", element_at(Similarity.nearestCentroids(col("emb"), centroids, 1), 1))

@@ -169,7 +169,13 @@ object Similarity {
     spark
       .createDataset(top.toIndexedSeq)
       .toDF("__h", "__j")
-      .coalesce(1) // ONE partition: fixed KMeans aggregation order
+      // ONE partition: fixed KMeans aggregation order. Side effect: KMeans
+      // tasks over this local dataset carry the whole sample in their
+      // closure (the "task of very large size" warning in q42/q53 benches)
+      // — bounded by trainSampleSize (~1.5 MB at 2^16 × 64 dims), NOT by
+      // corpus size, so it is benign at any scale and the price of
+      // bit-reproducible training.
+      .coalesce(1)
       .select(from_json($"__j", vecType).as(vecCol))
   }
 

@@ -131,17 +131,23 @@ object TfIdf {
       k: Int
   ): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    // the index is built lowercased; match query terms case-insensitively
+    // rather than silently scoring an uppercase term as absent
+    val normTerms = terms.map(_.toLowerCase)
     val toksOf = split(lower(col(textCol)), "\\s+")
     // corpus stats: one driver-scalar row (the same footprint as
     // TfIdf.weights' count()) — N docs and S total tokens
     val stats = df.agg(count(lit(1)).as("n"), sum(size(toksOf)).as("s")).collect()(0)
     val n = stats.getLong(0)
+    if (n == 0L) return df.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("score"), lit(0).as("rank"))
+      .limit(0)
     val s = stats.getLong(1)
     val dec = "decimal(38,0)"
     val matched = df
       .select(col(idCol).as("doc_id"), toksOf.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isInCollection(terms))
+      .filter(col("term").isInCollection(normTerms))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))

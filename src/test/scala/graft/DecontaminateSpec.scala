@@ -82,6 +82,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(fp < 100, s"$fp false positives out of 2001 at 10 bits/key")
   }
 
+  test("mightContain answers false on garbage bytes instead of throwing (untrusted-input rule)") {
+    import graft.functions.BloomSupport
+    assert(!BloomSupport.mightContain(null, 1L))
+    assert(!BloomSupport.mightContain(Array.empty[Byte], 1L))
+    assert(!BloomSupport.mightContain(Array[Byte](5, 0, 0), 1L)) // shorter than the header
+    val badK = BloomSupport.emptyBuffer(64, 5); badK(0) = 77 // hash count out of range
+    assert(!BloomSupport.mightContain(badK, 1L))
+    // and through SQL, where any binary column can reach the probe
+    val r = spark.sql("SELECT graft_bloom_might_contain(CAST('junk' AS BINARY), 7L) AS v").head()
+    assert(!r.getBoolean(0))
+  }
+
   test("bloomAgg distributes: partitioned build equals local build; probe is codegen") {
     import graft.functions.{BloomExprs, BloomSupport}
     val keys = (1L to 300L).map(i => i * 104729L)

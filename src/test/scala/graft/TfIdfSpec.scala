@@ -84,6 +84,14 @@ class TfIdfSpec extends SparkSpec {
     assert(ranked == Seq(2L, 1L), "same tf, shorter dl must score higher (b > 0)")
   }
 
+  test("bm25TopK edges: uppercase query terms match; empty corpus yields empty, not a crash") {
+    val corpus = Seq((1L, "Widget assembly guide")).toDF("doc_id", "text")
+    assert(TfIdf.bm25TopK(corpus, "doc_id", "text", Seq("WIDGET"), k = 1).count() == 1)
+    val empty = corpus.filter($"doc_id" < 0)
+    val out = TfIdf.bm25TopK(empty, "doc_id", "text", Seq("x"), k = 5)
+    assert(out.count() == 0 && out.columns.toSeq == Seq("doc_id", "score", "rank"))
+  }
+
   test("bm25TopK: rare term outweighs a common term despite lower tf") {
     // 'common' in every doc (df=4 → tiny idf), 'rare' only in doc 4
     val corpus = Seq(
