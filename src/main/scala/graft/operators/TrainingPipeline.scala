@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   *   2. repetition gate                    ([[graft.functions.RepStats]])
   *   3. LM fluency gate (optional)         ([[LmScore.score]] vs a
   *                                          reference slice, CCNet-style)
-  *   4. benchmark decontamination          ([[Decontaminate.clean]])
+  *   4. benchmark decontamination          ([[Decontaminate.clean]], or the
+  *                                          bloom-prefiltered
+  *                                          [[Decontaminate.cleanViaBloom]])
   *   5. cluster-level near-dup collapse    ([[Dedup.minhashClusterEdges]] →
   *                                          [[Graph.connectedComponents]])
   *   5b. embedding near-dup collapse       (optional: [[Dedup.embedNearDupPairs]]
-  *                                          per-run, or a persisted
-  *                                          [[VectorIndex]] probed per refresh)
+  *                                          per-run, a persisted
+  *                                          [[VectorIndex]] probed per refresh,
+  *                                          or [[Dedup.semanticDedup]] —
+  *                                          SemDeDup's cluster-bounded mode)
   *   6. PII redaction                      ([[Pii.scrub]])
   *   7. overlapping context-window chunks  ([[TextAnalysis.tokenChunks]])
   *
@@ -34,11 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPipeline {
 
+  /** `decontamBloomBytes`: None runs decontamination through the broadcast
+    * path ([[Decontaminate.clean]] — right while the benchmark fingerprint
+    * set fits a broadcast); Some(numBytes) routes it through the bloom
+    * prefilter ([[Decontaminate.cleanViaBloom]] — bit-identical output,
+    * the scale path once the raw set outgrows a broadcast but its bits
+    * don't). Size per the operator's rule: ≈1.2·|bench fps|·ln(1/fpRate)/8.
+    */
   final case class Config(
       corpus: CorpusPipeline.Config = CorpusPipeline.Config(),
       maxTopBigramFrac: Double = 0.2,
       lmMaxScore: Double = Double.MaxValue,
       decontamMinShared: Int = 5,
+      decontamBloomBytes: Option[Int] = None,
       chunkSize: Int = 64,
       chunkStride: Int = 48
   )
@@ -67,6 +79,14 @@ object TrainingPipeline {
     * against about-to-be-split lists). Same full-coverage contract on
     * `embeddings` as rebalance.
     */
+  /** `semanticCentroids` selects the third candidate-generation mode:
+    * SemDeDup ([[Dedup.semanticDedup]] — near-dup search bounded by
+    * nearest-centroid clusters; Abbas et al. 2023) instead of LSH banding
+    * or an index probe. Docs the stage marks `kept=false` are dropped;
+    * docs absent from the embeddings table are kept, same as in the pair
+    * modes (no embedding ⇒ no candidate). Size the centroid count with
+    * the corpus (k ∝ N) — see the operator's scaladoc.
+    */
   final case class EmbedStage(
       embeddings: DataFrame,
       idCol: String = "doc_id",
@@ -78,7 +98,8 @@ object TrainingPipeline {
       nProbe: Int = 4,
       k: Int = 10,
       rebalanceMaxSkew: Option[Double] = None,
-      retrainTolerance: Option[Double] = None
+      retrainTolerance: Option[Double] = None,
+      semanticCentroids: Option[Array[Array[Double]]] = None
   )
 
   /** @return (chunks, audit): training-ready chunk rows
@@ -123,9 +144,13 @@ object TrainingPipeline {
     // counts EVERY stage, and without these each count re-executes the
     // decontamination fingerprint join and the MinHash dedup chain once per
     // downstream stage (up to 8 re-runs of the costliest joins at scale)
-    val decontaminated =
-      Decontaminate.clean(fluent, bench, idCol, textCol, minShared = cfg.decontamMinShared)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val decontaminated = (cfg.decontamBloomBytes match {
+      case Some(nb) =>
+        Decontaminate.cleanViaBloom(
+          fluent, bench, idCol, textCol, minShared = cfg.decontamMinShared, numBytes = nb)
+      case None =>
+        Decontaminate.clean(fluent, bench, idCol, textCol, minShared = cfg.decontamMinShared)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val deduped = Dedup.dropNearDups(
       decontaminated,
@@ -143,17 +168,30 @@ object TrainingPipeline {
           deduped.select(id.as("__alive")),
           col(e.idCol) === col("__alive"),
           "left_semi")
-        val pairs = e.index match {
-          case Some(h0) =>
-            val h1 = e.rebalanceMaxSkew.fold(h0)(
-              VectorIndex.rebalanceIfNeeded(h0, e.embeddings, e.idCol, e.embCol, _))
-            val h = e.retrainTolerance.fold(h1)(
-              VectorIndex.retrainIfDrifted(h1, e.embeddings, e.idCol, e.embCol, _))
-            Dedup.embedNearDupPairsViaIndex(alive, e.idCol, e.embCol, h, e.threshold, e.nProbe, e.k)
+        e.semanticCentroids match {
+          case Some(cents) =>
+            // SemDeDup mode decides survivors directly (kept flag), no pair
+            // set: drop the flagged docs with the same anti-join shape
+            // dropNearDups uses; docs without embeddings never appear in
+            // `alive` and therefore survive, matching the pair modes
+            val losers = Dedup
+              .semanticDedup(alive, e.idCol, e.embCol, cents, e.threshold)
+              .filter(!col("kept"))
+              .select(col(e.idCol).as("__loser"))
+            deduped.join(losers, id === col("__loser"), "left_anti")
           case None =>
-            Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.lshPlanes, e.lshBands, e.threshold)
+            val pairs = e.index match {
+              case Some(h0) =>
+                val h1 = e.rebalanceMaxSkew.fold(h0)(
+                  VectorIndex.rebalanceIfNeeded(h0, e.embeddings, e.idCol, e.embCol, _))
+                val h = e.retrainTolerance.fold(h1)(
+                  VectorIndex.retrainIfDrifted(h1, e.embeddings, e.idCol, e.embCol, _))
+                Dedup.embedNearDupPairsViaIndex(alive, e.idCol, e.embCol, h, e.threshold, e.nProbe, e.k)
+              case None =>
+                Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.lshPlanes, e.lshBands, e.threshold)
+            }
+            Dedup.dropNearDups(deduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
         }
-        Dedup.dropNearDups(deduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
       case None => deduped
     }
 

@@ -132,4 +132,39 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(perDoc.nonEmpty)
     perDoc.foreach { r => assert(r.getLong(2) >= r.getInt(1), s"gap in coverage for ${r.getLong(0)}") }
   }
+
+  test("bloom decontamination path keeps the exact same survivors as the broadcast path") {
+    val bloomCfg = TrainingPipeline.Config(decontamBloomBytes = Some(4 << 10))
+    val (chunksB, auditB) = TrainingPipeline.prepare(corpus, bench, "doc_id", "text", cfg = bloomCfg)
+    val (chunksX, auditX) = TrainingPipeline.prepare(corpus, bench, "doc_id", "text")
+    val keptB = chunksB.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val keptX = chunksX.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptB == keptX && keptB == Seq(1L, 5L))
+    val aB = auditB.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aX = auditX.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aB == aX, "per-stage audit must not depend on the decontamination plan shape")
+  }
+
+  test("SemDeDup embed mode drops the planted semantic dup, keeps the distinct doc") {
+    // doc 1 and doc 5 both survive the text stages; give 5 an embedding
+    // nearly collinear with 1's (cos ≈ 1 ≥ 0.95 → the higher id drops) and
+    // verify the distinct-direction variant keeps both
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val nearDup = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (5L, Seq(0.999, 0.01))
+    ).toDF("doc_id", "embedding")
+    val stage = TrainingPipeline.EmbedStage(nearDup, semanticCentroids = Some(centroids))
+    val (chunksSem, audit) =
+      TrainingPipeline.prepare(corpus, bench, "doc_id", "text", embed = Some(stage))
+    assert(chunksSem.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("6b_embed_deduped") == 1)
+
+    val distinctDir = Seq((1L, Seq(1.0, 0.0)), (5L, Seq(0.0, 1.0))).toDF("doc_id", "embedding")
+    val (chunksDistinct, _) = TrainingPipeline.prepare(
+      corpus, bench, "doc_id", "text",
+      embed = Some(TrainingPipeline.EmbedStage(distinctDir, semanticCentroids = Some(centroids))))
+    assert(chunksDistinct.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+  }
 }
