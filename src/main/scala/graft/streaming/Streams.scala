@@ -261,6 +261,43 @@ object Streams {
       k
     )
 
+  /** Scan-side streaming decontamination pregate: flags every arriving doc
+    * whose winnowing fingerprints hit the benchmark BLOOM at least
+    * `minShared` times. Stateless and shuffle-free — the fingerprints are a
+    * pure projection and the bloom is a Literal, so the gate runs at intake
+    * scan speed with no state store and no join.
+    *
+    * NO FALSE NEGATIVES by construction: a bloom never rejects a member,
+    * so every truly-shared fingerprint passes it — a doc with ≥ minShared
+    * confirmed overlaps always has ≥ minShared bloom hits. `false` is
+    * therefore PROOF of cleanliness; `true` is only suspicion (bloom false
+    * positives inflate the hit count). Route flagged docs to the exact
+    * confirm in the sink — `foreachBatch` over the suspect subset with
+    * [[graft.operators.Decontaminate.overlaps]] against the real benchmark
+    * fingerprints (only suspects pay that join, the clean majority never
+    * leaves the scan) — or drop them outright where over-dropping by the
+    * FP rate is acceptable (size the bloom accordingly).
+    *
+    * Build the bits once per benchmark release:
+    * `benchFps.agg(BloomExprs.bloomAgg(col("fp"), numBytes, numHashes))`.
+    */
+  def flagContamination(
+      stream: DataFrame,
+      textCol: String,
+      bloomBits: Array[Byte],
+      k: Int = 5,
+      w: Int = 8,
+      minShared: Int = 5
+  ): DataFrame = {
+    import graft.functions.BloomExprs
+    import graft.operators.TextAnalysis
+    val fps = TextAnalysis.winnowingFingerprints(col(textCol), k, w)
+    stream.withColumn(
+      "maybe_contaminated",
+      size(filter(fps, f => BloomExprs.mightContain(lit(bloomBits), f))) >= minShared
+    )
+  }
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */

@@ -260,4 +260,47 @@ class StreamsSpec extends SparkSpec {
       assert(got.map(_._1).toSet.size == 6)
     } finally q.stop()
   }
+
+  test("flagContamination: scan-side bloom pregate never false-negatives vs the exact report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.BloomExprs
+    import graft.operators.{Decontaminate, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val benchFps = bench.select(
+      $"doc_id".as("bench_id"),
+      explode(TextAnalysis.winnowingFingerprints($"text", 5, 8)).as("fp"))
+    // a deliberately TINY bloom (64 usable bits): false positives are
+    // expected — the invariant under test is one-sided
+    val bits = benchFps
+      .agg(BloomExprs.bloomAgg($"fp", 72, 3)).head.getAs[Array[Byte]](0)
+    val docs = Seq(
+      (1L, s"intro words then $benchText and some trailing content here"),
+      (2L, "completely unrelated text about spark catalyst optimizer internals and shuffles"),
+      (3L, benchText),
+      (4L, "short overlap near the river maybe but nothing substantial beyond that phrase")
+    )
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.streaming.Streams
+      .flagContamination(mem.toDF().toDF("doc_id", "text"), "text", bits)
+      .writeStream.format("memory").queryName("contam_flags").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val flagged = spark.table("contam_flags")
+        .filter($"maybe_contaminated").select($"doc_id").collect().map(_.getLong(0)).toSet
+      val exact = Decontaminate
+        .overlaps(docs.toDF("doc_id", "text"), bench, "doc_id", "text")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(exact.subsetOf(flagged),
+        s"pregate missed truly contaminated docs: ${exact.diff(flagged)} — blooms cannot false-negative")
+      // with a RIGHT-sized bloom the flag is also precise on this fixture
+      val bigBits = benchFps.agg(BloomExprs.bloomAgg($"fp", 4096, 5)).head.getAs[Array[Byte]](0)
+      val precise = graft.streaming.Streams
+        .flagContamination(docs.toDF("doc_id", "text"), "text", bigBits)
+        .filter($"maybe_contaminated").select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(precise == exact, s"sized bloom should match exactly here, got $precise vs $exact")
+    } finally q.stop()
+  }
 }
