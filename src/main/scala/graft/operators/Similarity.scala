@@ -422,4 +422,47 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal rank
+    * fusion outperforms Condorcet and individual rank learning methods",
+    * SIGIR 2009) — the standard hybrid-retrieval combiner: each ranked
+    * list contributes `scale div (rrfK + rank)` to a doc's fused score and
+    * absence contributes zero, so lexical (BM25) and dense (cosine top-k)
+    * retrievers merge without score calibration. Contributions are kept as
+    * SCALED INTEGERS (floor division — the repo's exactness pattern), so
+    * the fused score is a BIGINT sum: order-independent under distributed
+    * aggregation and bit-reproducible by the SQL oracle.
+    *
+    * Scale shape: the inputs are already top-k lists (tiny); the fuse is
+    * one union + hash aggregate over ≤ Σkᵢ rows and a TakeOrdered —
+    * nothing here ever touches corpus-scale data.
+    *
+    * @param ranked (idCol, rank) frames — each a retriever's top-k
+    * @return (idCol, rrf_score, rank), rank 1..k by descending fused
+    *         score, ties broken by ascending id
+    */
+  def rrfFuse(
+      ranked: Seq[DataFrame],
+      idCol: String,
+      k: Int,
+      rrfK: Int = 60,
+      scale: Int = 1000
+  ): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    require(rrfK >= 0 && scale > 0, s"bad rrf constants ($rrfK, $scale)")
+    val contributions = ranked
+      .map(df =>
+        df.select(
+          col(idCol).as("__id"),
+          expr(s"CAST($scale div ($rrfK + CAST(rank AS BIGINT)) AS BIGINT)").as("__c")
+        ))
+      .reduce(_ unionByName _)
+    val scored = contributions.groupBy(col("__id")).agg(sum(col("__c")).as("rrf_score"))
+    val top = scored.orderBy(col("rrf_score").desc, col("__id").asc).limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("__id").asc)).cast("int"))
+      .select(col("__id").as(idCol), col("rrf_score"), col("rank"))
+  }
 }

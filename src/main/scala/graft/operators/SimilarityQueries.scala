@@ -360,6 +360,36 @@ object SimilarityQueries {
     * one rational — see the operator scaladoc), so the oracle reproduces
     * scores bit-for-bit with HUGEINT arithmetic.
     */
+  /** q96/q99 shared oracle CTE chain ending in `bm(doc_id, score, rank)` —
+    * the exact-integer BM25 arithmetic rendered once (see
+    * [[TfIdf.bm25TopK]]'s scaladoc for the derivation); a drift between
+    * the two gates would otherwise be possible with two copies.
+    */
+  private def bm25CtesSql(termsInList: String, k: Int): String = s"""
+      nn AS (SELECT count(*) AS n,
+                    CAST(sum(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS s
+             FROM documents),
+      tok AS (SELECT doc_id,
+                     len(regexp_split_to_array(lower(text), '\\s+')) AS dl,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM documents),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM tok WHERE term IN ($termsInList) GROUP BY 1, 2, 3),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      cbm AS (SELECT doc_id,
+                     CAST((((SELECT n FROM nn) - df + 1) * 1000 // (df + 1))::HUGEINT
+                            * tf * 44 * (SELECT s FROM nn)
+                          // (20 * (SELECT s FROM nn) * tf
+                             + 6 * (SELECT s FROM nn)
+                             + 18 * dl * (SELECT n FROM nn)) AS BIGINT) AS w
+              FROM tf JOIN dfx USING (term)),
+      scbm AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM cbm GROUP BY 1),
+      bm AS (SELECT doc_id, score, rank FROM (
+               SELECT doc_id, score,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+               FROM scbm) WHERE rank <= $k)
+    """.trim
+
   private val q96 = Q(
     "q96_bm25_topk",
     (s, dir) => {
@@ -368,29 +398,52 @@ object SimilarityQueries {
         .bm25TopK(T.documents, "doc_id", "text", terms = Seq("dup", "vector", "window"), k = 15)
         .orderBy($"rank")
     },
-    Some("""
-      WITH nn AS (SELECT count(*) AS n,
-                         CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS s
-                  FROM documents),
-      tok AS (SELECT doc_id,
-                     len(regexp_split_to_array(lower(text), '\s+')) AS dl,
-                     unnest(regexp_split_to_array(lower(text), '\s+')) AS term
-              FROM documents),
-      tf AS (SELECT doc_id, dl, term, count(*) AS tf
-             FROM tok WHERE term IN ('dup', 'vector', 'window') GROUP BY 1, 2, 3),
-      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      c AS (SELECT doc_id,
-                   CAST((((SELECT n FROM nn) - df + 1) * 1000 // (df + 1))::HUGEINT
-                          * tf * 44 * (SELECT s FROM nn)
-                        // (20 * (SELECT s FROM nn) * tf
-                           + 6 * (SELECT s FROM nn)
-                           + 18 * dl * (SELECT n FROM nn)) AS BIGINT) AS w
-            FROM tf JOIN dfx USING (term)),
-      sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM c GROUP BY 1)
-      SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
-      FROM sc ORDER BY score DESC, doc_id LIMIT 15
+    Some(s"""
+      WITH ${bm25CtesSql("'dup', 'vector', 'window'", 15)}
+      SELECT doc_id, score, rank FROM bm ORDER BY rank
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85, q96)
+  /** Hybrid retrieval with reciprocal-rank fusion ([[Similarity.rrfFuse]],
+    * Cormack et al. SIGIR'09): the lexical top-20 (BM25, q96's arithmetic)
+    * and the dense top-20 (exact cosine around doc 0's embedding) merge by
+    * integer RRF into one top-10 — the retrieval shape RAG/curation stacks
+    * actually serve. Every score is exact integer arithmetic end to end,
+    * so the fused ranking hash-matches the oracle.
+    */
+  private val q99 = Q(
+    "q99_hybrid_rrf",
+    (s, dir) => {
+      val T = graft.Tables(s, dir); import s.implicits._
+      val textHits = TfIdf
+        .bm25TopK(T.documents, "doc_id", "text", terms = Seq("dup", "vector", "window"), k = 20)
+        .select($"doc_id", $"rank")
+      val qv = T.embeddings.filter($"vec_id" === 0).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val vecHits = Similarity
+        .bruteForceTopK(qv, T.embeddings, 20)
+        .select($"vec_id".as("doc_id"), $"rank")
+      Similarity.rrfFuse(Seq(textHits, vecHits), "doc_id", k = 10).orderBy($"rank")
+    },
+    Some(s"""
+      WITH ${bm25CtesSql("'dup', 'vector', 'window'", 20)},
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cs AS (SELECT vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
+             FROM embeddings, qv WHERE vec_id <> 0),
+      vv AS (SELECT doc_id, rank FROM (
+               SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank
+               FROM cs) WHERE rank <= 20),
+      u AS (SELECT doc_id, 1000 // (60 + rank) AS c FROM bm
+            UNION ALL
+            SELECT doc_id, 1000 // (60 + rank) AS c FROM vv),
+      f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score FROM u GROUP BY 1)
+      SELECT doc_id, rrf_score, rank FROM (
+        SELECT doc_id, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+        FROM f) WHERE rank <= 10
+      ORDER BY rank
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85, q96, q99)
 }

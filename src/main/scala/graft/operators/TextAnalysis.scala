@@ -172,4 +172,35 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("term"))
       .stat
       .countMinSketch("term", eps, confidence, seed)
+
+  /** fastText-style hashed linear text scorer (Joulin, Grave, Bojanowski &
+    * Mikolov, "Bag of tricks for efficient text classification", EACL
+    * 2017; Weinberger et al.'s hashing trick, ICML 2009) — the shape of
+    * the quality classifiers big-corpus curation pipelines gate on: every
+    * word n-gram (n = 1..maxNgram, the min-1 [[graft.functions.NGramSupport.wordNGrams]]
+    * semantics) hashes into one of `weights.length` buckets via the
+    * portable md5-prefix hash, and the score is the exact BIGINT sum of
+    * the hit buckets' integer weights.
+    *
+    * Weights are caller-supplied SCALED INTEGERS (train elsewhere, ship
+    * the table): integer summation makes the score independent of
+    * evaluation order and bit-reproducible by the SQL oracle, the repo's
+    * exactness pattern (Qdef). Thresholding/ranking on the linear score is
+    * equivalent to doing so on the sigmoid (monotone), so no float ever
+    * appears. Pure per-row projection — no shuffle; the weight table
+    * travels as a literal (broadcast-equivalent) and costs
+    * 8·|buckets| bytes.
+    */
+  def hashedLinearScore(text: Column, weights: Array[Long], maxNgram: Int = 2): Column = {
+    require(weights.nonEmpty, "need a non-empty weight table")
+    require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")
+    val b = weights.length
+    val w = array(weights.map(lit): _*)
+    val feats = (1 to maxNgram)
+      .map(n => graft.functions.HashExprs.wordNGrams(text, n))
+      .reduce(concat(_, _))
+    val bucket = (f: Column) =>
+      (conv(substring(md5(f), 1, 15), 16, 10).cast("long") % b).cast("int")
+    aggregate(feats, lit(0L), (acc, f) => acc + element_at(w, bucket(f) + 1))
+  }
 }

@@ -660,6 +660,44 @@ object TextQueries {
     """.trim)
   )
 
+  /** Hashed linear quality classifier ([[TextAnalysis.hashedLinearScore]]):
+    * fastText-shaped gating over unigram+bigram buckets. The 512-bucket
+    * weight table is derived deterministically from md5("qw:<bucket>") —
+    * the hyperplane-literal precedent (q28): a pseudo-random table stands
+    * in for a trained one so the oracle can re-derive it INLINE from the
+    * same arithmetic, while the operator itself takes any caller-supplied
+    * integer table. Scores are exact BIGINT sums; keep = score >= 0.
+    */
+  private val q98 = {
+    val numBuckets = 512
+    val weights = (0 until numBuckets).map { b =>
+      (BigInt(graft.functions.HashSupport.md5Hex(s"qw:$b").substring(0, 15), 16) % 2001).toLong - 1000L
+    }.toArray
+    Q(
+      "q98_quality_classifier",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        T.documents
+          .select($"doc_id", TextAnalysis.hashedLinearScore($"text", weights).as("score"))
+          .withColumn("keep", $"score" >= 0)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+        feats AS (SELECT doc_id, unnest(
+                    [t[i] for i in range(1, len(t) + 1)] ||
+                    [array_to_string(t[i:i+1], ' ') for i in range(1, greatest(len(t), 2))]) AS f
+                  FROM toks),
+        sc AS (SELECT doc_id,
+                      CAST(sum((('0x' || substr(md5(concat('qw:',
+                             CAST(('0x' || substr(md5(f), 1, 15))::BIGINT % $numBuckets AS VARCHAR)
+                           )), 1, 15))::BIGINT % 2001) - 1000) AS BIGINT) AS score
+               FROM feats GROUP BY 1)
+        SELECT doc_id, score, score >= 0 AS keep FROM sc ORDER BY doc_id
+      """.trim)
+    )
+  }
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98)
 }

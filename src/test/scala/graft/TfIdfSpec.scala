@@ -92,6 +92,40 @@ class TfIdfSpec extends SparkSpec {
     assert(out.count() == 0 && out.columns.toSeq == Seq("doc_id", "score", "rank"))
   }
 
+  test("rrfFuse: hand-computed fusion — consensus doc wins over single-list leaders") {
+    import graft.operators.Similarity
+    // doc 3 is rank 2 in BOTH lists: 1000/62 + 1000/62 = 16+16 = 32,
+    // beating each list's own #1 (1000/61 = 16) — the RRF consensus effect
+    val a = Seq((1L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (5L, 3)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sortBy(_._3)
+    assert(out.head == ((3L, 32L, 1)), s"consensus doc must fuse to the top, got ${out.head}")
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // absent-from-one-list docs got exactly one contribution
+    assert(out.find(_._1 == 1L).get._2 == 1000L / 61)
+  }
+
+  test("hashedLinearScore: deterministic, order-sensitive via bigrams, safe on empty text") {
+    import graft.operators.TextAnalysis
+    val w = Array.tabulate(64)(i => (i * 37 % 201).toLong - 100L)
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"), // same unigrams, different bigrams
+      (3L, "alpha beta gamma"),
+      (4L, "")
+    ).toDF("id", "t")
+    val got = df.select($"id", TextAnalysis.hashedLinearScore($"t", w).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(3L), "identical text must score identically")
+    assert(got(1L) != got(2L), "bigram features must distinguish word order")
+    assert(got.contains(4L), "empty text must score (single empty token), not crash")
+    // unigram-only mode ignores order
+    val uni = df.select($"id", TextAnalysis.hashedLinearScore($"t", w, maxNgram = 1).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(uni(1L) == uni(2L), "maxNgram=1 must be bag-of-words")
+  }
+
   test("bm25TopK: rare term outweighs a common term despite lower tf") {
     // 'common' in every doc (df=4 → tiny idf), 'rare' only in doc 4
     val corpus = Seq(
