@@ -191,6 +191,42 @@ object TextAnalysis {
     * travels as a literal (broadcast-equivalent) and costs
     * 8·|buckets| bytes.
     */
+  /** Per-document n-gram novelty report — the boilerplate signal: what
+    * fraction of a doc's DISTINCT word n-grams appear in at most `rareDf`
+    * documents corpus-wide. Low rare_frac = the doc is assembled from
+    * corpus-common text (templates, navigation, license blocks); high =
+    * genuinely novel content. The complement of the winnowing/paragraph
+    * dedup family: those find WHO shares text, this scores HOW MUCH of a
+    * doc is shared at all.
+    *
+    * Scale shape: one distinct shuffle on (doc, gram) + one count window
+    * over the gram — the vocabulary-aggregation cost class (hot grams
+    * combine map-side in the distinct). rare_frac is a single division of
+    * two exactly-agreed BIGINTs, so it is bit-deterministic (Qdef).
+    *
+    * @return (doc_id, n_grams, n_rare, rare_frac)
+    */
+  def noveltyReport(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      rareDf: Int = 1
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(graft.functions.HashExprs.wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare")
+      )
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_grams"))
+  }
+
   def hashedLinearScore(text: Column, weights: Array[Long], maxNgram: Int = 2): Column = {
     require(weights.nonEmpty, "need a non-empty weight table")
     require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")

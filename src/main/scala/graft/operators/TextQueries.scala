@@ -698,6 +698,34 @@ object TextQueries {
     )
   }
 
+  /** N-gram novelty report ([[TextAnalysis.noveltyReport]]): per doc, the
+    * fraction of its distinct word trigrams unique to it corpus-wide —
+    * the boilerplate/common-text signal. The oracle rebuilds the same
+    * distinct-gram index with q24's min-1 trigram comprehension.
+    */
+  private val q100 = Q(
+    "q100_novelty",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      TextAnalysis
+        .noveltyReport(T.documents, "doc_id", "text", n = 3, rareDf = 1)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      grams AS (SELECT DISTINCT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))]) AS gram
+                FROM toks),
+      withdf AS (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams),
+      agg AS (SELECT doc_id,
+                     count(*) AS n_grams,
+                     CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+              FROM withdf GROUP BY 1)
+      SELECT doc_id, n_grams, n_rare, CAST(n_rare AS DOUBLE) / n_grams AS rare_frac
+      FROM agg ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100)
 }

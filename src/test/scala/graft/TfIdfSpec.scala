@@ -126,6 +126,19 @@ class TfIdfSpec extends SparkSpec {
     assert(uni(1L) == uni(2L), "maxNgram=1 must be bag-of-words")
   }
 
+  test("noveltyReport: unique trigrams count as rare, shared ones don't; duplicates score 0") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d"),       // trigrams: "a b c", "b c d" — both shared with doc 2
+      (2L, "a b c d"),       // exact dup → rare_frac 0 for both
+      (3L, "x y z w")        // trigrams unique corpus-wide → rare_frac 1
+    ).toDF("id", "t")
+    val out = TextAnalysis.noveltyReport(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)) && out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+  }
+
   test("bm25TopK: rare term outweighs a common term despite lower tf") {
     // 'common' in every doc (df=4 → tiny idf), 'rare' only in doc 4
     val corpus = Seq(
