@@ -42,9 +42,14 @@ object ScaleBench {
     "q87_cluster_best",
     "q85_pq_adc",
     // round-7 fixed-parameter linear ops (BM25's inverted index is only
-    // ever |queryTerms| wide; the split is one window + a map)
+    // ever |queryTerms| wide; the split is one window + a map; the
+    // classifier is a pure per-row projection; novelty is the vocabulary
+    // cost class; the RRF fuse only ever touches two top-20 lists)
     "q96_bm25_topk",
-    "q97_group_split"
+    "q97_group_split",
+    "q98_quality_classifier",
+    "q99_hybrid_rrf",
+    "q100_novelty"
   )
 
   private val IdOffset = 100000000L
