@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** `classifier`: optional learned-quality gate — a (weights, minScore)
+    * pair routed through [[TextAnalysis.hashedLinearScore]] (fastText-shaped
+    * hashed n-gram linear model, exact integer scores). Runs AFTER the
+    * heuristic gates (`low_quality` fires first on the obviously-broken
+    * rows, keeping the classifier's `classifier_low` reason for the
+    * subtler model-detected rejections), still a pure per-row projection.
+    */
   final case class Config(
       minTokens: Int = 10,
       minQuality: Double = 0.3,
       allowedLangs: Seq[String] = Seq("en"),
-      nearDupJaccard: Double = 0.8
+      nearDupJaccard: Double = 0.8,
+      classifier: Option[(Array[Long], Long)] = None
   )
 
   /** Returns the corpus annotated with `drop_reason` (null = kept). */
@@ -45,13 +53,20 @@ object CorpusPipeline {
     // shuffle would otherwise run twice. Spark's ContextCleaner reclaims the
     // blocks once the result plan is unreferenced (same contract as the gram
     // table inside ngramJaccardPairs).
-    val gated = withExact.withColumn(
-      "__gate",
+    val heuristicGate =
       when(col("__tokens") < cfg.minTokens, "too_short")
         .when(!col("__lang").isInCollection(cfg.allowedLangs), "wrong_lang")
         .when(col("__quality") < cfg.minQuality, "low_quality")
         .when(col("__exact_rank") > 1, "exact_dup")
-    )
+    val fullGate = cfg.classifier match {
+      case Some((weights, minScore)) =>
+        heuristicGate.when(
+          TextAnalysis.hashedLinearScore(text, weights) < minScore,
+          "classifier_low")
+      case None => heuristicGate
+    }
+    val gated = withExact
+      .withColumn("__gate", fullGate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dedup runs among GATE SURVIVORS only: a doc already dropped by

@@ -139,9 +139,11 @@ object TfIdf {
     // TfIdf.weights' count()) — N docs and S total tokens
     val stats = df.agg(count(lit(1)).as("n"), sum(size(toksOf)).as("s")).collect()(0)
     val n = stats.getLong(0)
-    if (n == 0L) return df.sparkSession.emptyDataFrame
-      .select(lit(0L).as("doc_id"), lit(0L).as("score"), lit(0).as("rank"))
+    // empty-corpus early return preserving the caller's id TYPE (a
+    // long-typed placeholder would silently change schema for string keys)
+    if (n == 0L) return df
       .limit(0)
+      .select(col(idCol).as("doc_id"), lit(0L).as("score"), lit(0).as("rank"))
     val s = stats.getLong(1)
     val dec = "decimal(38,0)"
     val matched = df

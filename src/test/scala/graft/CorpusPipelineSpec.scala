@@ -40,6 +40,26 @@ class CorpusPipelineSpec extends SparkSpec {
       "exact_dup" -> 1L, "near_dup" -> 1L, "low_quality" -> 1L))
   }
 
+  test("classifier gate drops below-threshold docs with its own reason, after the heuristics") {
+    import graft.operators.TextAnalysis
+    val w = Array.tabulate(128)(i => (i * 53 % 101).toLong - 50L)
+    // threshold above doc 1's own score → the classifier would drop doc 1;
+    // verify precedence by checking doc 6 still reads low_quality (the
+    // heuristic fires first), while doc 1 gets classifier_low
+    val s1 = corpus.filter($"doc_id" === 1L)
+      .select(TextAnalysis.hashedLinearScore($"text", w)).as[Long].head()
+    val cfg = CorpusPipeline.Config(classifier = Some((w, s1 + 1)))
+    val got = CorpusPipeline.annotate(corpus, "doc_id", "text", cfg)
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("classifier_low"))
+    assert(got(6L).contains("low_quality"), "heuristic gates fire before the classifier")
+    // with the threshold at the doc's own score, it survives again
+    val keep = CorpusPipeline.Config(classifier = Some((w, s1)))
+    val kept = CorpusPipeline.clean(corpus, "doc_id", "text", keep)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("compactPartitioned merges files per partition and preserves the layout") {
     val root = tmpDir("plake")
     (1 to 5).foreach { i =>
