@@ -227,6 +227,60 @@ object TextAnalysis {
       .withColumn("rare_frac", col("n_rare").cast("double") / col("n_grams"))
   }
 
+  /** Novelty vs a REFERENCE corpus — the continued-pretraining selection
+    * signal ([[noveltyReport]]'s cross-corpus sibling: that one scores
+    * self-novelty within the corpus; this scores freshness against what a
+    * model has already seen). Per doc: its distinct word n-grams, how many
+    * never occur in `ref`, and the fraction.
+    *
+    * Scale shape: the reference gram set aggregates to DISTINCT once and
+    * the per-doc membership join runs on the gram hash — broadcast while
+    * the reference vocabulary fits (gram vocabularies saturate far below
+    * corpus size), AQE-shuffled over it. For reference sets where only the
+    * BITS fit, [[bloomNoveltyLowerBound]] is the scan-side fast path.
+    *
+    * @return (doc_id, n_grams, n_new, new_frac)
+    */
+  def noveltyVsReference(
+      docs: org.apache.spark.sql.DataFrame,
+      ref: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(graft.functions.HashExprs.wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val refGrams = ref
+      .select(explode(graft.functions.HashExprs.wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("__seen", lit(true))
+    grams
+      .join(refGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_new")
+      )
+      .withColumn("new_frac", col("n_new").cast("double") / col("n_grams"))
+  }
+
+  /** Scan-side LOWER BOUND on [[noveltyVsReference]]'s n_new, against a
+    * bloom of the reference grams: a gram the bloom rejects is PROVABLY
+    * absent from the reference (blooms cannot false-negative), while a
+    * bloom hit is only "maybe seen" — so this undercounts novelty by
+    * exactly the false-positive rate and never overcounts. Pure per-row
+    * projection, no join, no shuffle: the 100 TB shape when only the
+    * reference's BITS fit an executor. Build the bits with
+    * `BloomExprs.bloomAgg` over md5-prefix gram hashes
+    * ([[graft.operators.Sampling.hash60]] arithmetic, the portable hash).
+    */
+  def bloomNoveltyLowerBound(text: Column, bloomBits: Array[Byte], n: Int = 3): Column = {
+    val grams = array_distinct(graft.functions.HashExprs.wordNGrams(text, n))
+    val h = (g: Column) => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    size(filter(grams, g => !graft.functions.BloomExprs.mightContain(lit(bloomBits), h(g))))
+  }
+
   def hashedLinearScore(text: Column, weights: Array[Long], maxNgram: Int = 2): Column = {
     require(weights.nonEmpty, "need a non-empty weight table")
     require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")

@@ -726,6 +726,41 @@ object TextQueries {
     """.trim)
   )
 
+  /** Cross-corpus novelty ([[TextAnalysis.noveltyVsReference]]): freshness
+    * of each remaining doc against the same deterministic ~2% hash band
+    * q64 uses as its "benchmark" — here playing the already-seen reference
+    * corpus. Distinct semantics from q100 (self-novelty: unique WITHIN the
+    * corpus) and q64 (contamination: substring evidence against specific
+    * sources) — this is the keep-what's-new selection signal.
+    */
+  private val q101 = Q(
+    "q101_novelty_vs_ref",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isRef = Sampling.hash60($"doc_id") % 100 >= 98
+      TextAnalysis
+        .noveltyVsReference(T.documents.filter(!isRef), T.documents.filter(isRef), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH ref_ids AS (SELECT doc_id FROM documents
+                       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98),
+      toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      grams AS (SELECT DISTINCT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))]) AS gram
+                FROM toks),
+      ref_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id IN (SELECT doc_id FROM ref_ids)),
+      corpus_grams AS (SELECT doc_id, gram FROM grams WHERE doc_id NOT IN (SELECT doc_id FROM ref_ids)),
+      agg AS (SELECT c.doc_id,
+                     count(*) AS n_grams,
+                     CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+              FROM corpus_grams c LEFT JOIN ref_grams r ON c.gram = r.gram
+              GROUP BY 1)
+      SELECT doc_id, n_grams, n_new, CAST(n_new AS DOUBLE) / n_grams AS new_frac
+      FROM agg ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101)
 }

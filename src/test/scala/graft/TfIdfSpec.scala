@@ -139,6 +139,37 @@ class TfIdfSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("noveltyVsReference: seen grams don't count as new; bloom bound never overcounts") {
+    import graft.operators.TextAnalysis
+    import graft.functions.BloomExprs
+    val ref = Seq((100L, "a b c d e")).toDF("id", "t") // ref trigrams: "a b c","b c d","c d e"
+    val docs = Seq(
+      (1L, "a b c d"),   // trigrams "a b c","b c d" — both seen → new_frac 0
+      (2L, "x y z w"),   // both unseen → new_frac 1
+      (3L, "a b c x y")  // "a b c" seen; "b c x","c x y" new → 2/3
+    ).toDF("id", "t")
+    val out = TextAnalysis.noveltyVsReference(docs, ref, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 0L)), 2L -> ((2L, 2L)), 3L -> ((3L, 2L))))
+
+    // bloom lower bound: <= exact n_new for every doc, == with a roomy bloom
+    val h = (g: org.apache.spark.sql.Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val refHashes = ref.select(explode(graft.functions.HashExprs.wordNGrams($"t", 3)).as("g"))
+      .select(h($"g").as("k")).distinct()
+    def bound(bytes: Int, hashes: Int) = {
+      val bits = refHashes.agg(BloomExprs.bloomAgg($"k", bytes, hashes)).head.getAs[Array[Byte]](0)
+      docs.select($"id", TextAnalysis.bloomNoveltyLowerBound($"t", bits).as("lb"))
+        .as[(Long, Int)].collect().toMap
+    }
+    val tight = bound(16, 2) // 64 usable bits — false positives likely
+    assert(tight.forall { case (id, lb) => lb <= out(id)._2 },
+      s"bloom bound overcounted novelty: $tight vs exact ${out.view.mapValues(_._2).toMap}")
+    val roomy = bound(4096, 5)
+    assert(roomy == out.view.mapValues(_._2.toInt).toMap,
+      s"roomy bloom should equal exact here, got $roomy")
+  }
+
   test("bm25TopK: rare term outweighs a common term despite lower tf") {
     // 'common' in every doc (df=4 → tiny idf), 'rare' only in doc 4
     val corpus = Seq(
