@@ -49,7 +49,8 @@ object ScaleBench {
     "q97_group_split",
     "q98_quality_classifier",
     "q99_hybrid_rrf",
-    "q100_novelty"
+    "q100_novelty",
+    "q101_novelty_vs_ref"
   )
 
   private val IdOffset = 100000000L
