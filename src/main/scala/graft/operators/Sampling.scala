@@ -142,6 +142,65 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic TOKEN-budget mixture: keep, per group, a deterministic
+    * pseudo-random selection of rows whose token counts fill that group's
+    * budget — how training mixtures are actually specified ("20B tokens of
+    * web, 5B of code"), vs [[mixture]]'s row-rate form. A row is kept iff
+    * its prefix sum STARTS before the budget boundary (the first
+    * overshooting row is kept — [[packSequences]]' boundary convention),
+    * so each group's kept tokens land in [budget, budget + maxDoc).
+    * Groups absent from `budgets` are dropped.
+    *
+    * Scale shape — the naive formulation (one window per group ordered by
+    * the row hash) is a TRAP at 100 TB: a window partitioned by `group`
+    * sorts each group's entire slice in ONE task (a group is a mixture
+    * source — terabytes). This runs the two-phase distributed prefix sum
+    * instead: (1) per-(group, shard) token totals — |groups|·numShards
+    * rows; (2) shard offsets via a window over that TINY table; (3) the
+    * exact prefix only within each (group, shard) partition, S-way
+    * parallel per group. The global order is shard-major (shard, hash,
+    * key): deterministic for a GIVEN numShards — size it like
+    * [[shard]]'s, so one shard's slice fits a task.
+    *
+    * @return df's rows that fill the budgets, original columns unchanged
+    */
+  def tokenBudgetMixture(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tokens: Column,
+      budgets: Map[String, Long],
+      numShards: Int = 64
+  ): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "need non-negative budgets")
+    require(numShards > 0, "numShards must be positive")
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (g, b)) =>
+      when(group === g, lit(b)).otherwise(acc)
+    }
+    val base = df
+      .withColumn("__g", group)
+      .withColumn("__h", hash60(key))
+      .withColumn("__key", key)
+      .withColumn("__shard", pmod(col("__h"), lit(numShards)).cast("int"))
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("__budget", budget)
+      .filter(col("__budget") >= 0)
+    val shardTotals = base.groupBy(col("__g"), col("__shard")).agg(sum(col("__tok")).as("__stok"))
+    val wShard = Window.partitionBy(col("__g")).orderBy(col("__shard"))
+    val offsets = shardTotals
+      .withColumn("__offset", sum(col("__stok")).over(wShard) - col("__stok"))
+      .select(col("__g").as("__og"), col("__shard").as("__os"), col("__offset"))
+    val wIn = Window
+      .partitionBy(col("__g"), col("__shard"))
+      .orderBy(col("__h").asc, col("__key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), col("__g") === col("__og") && col("__shard") === col("__os"))
+      .withColumn("__cum", sum(col("__tok")).over(wIn) + col("__offset"))
+      .filter(col("__cum") - col("__tok") < col("__budget"))
+      .drop("__g", "__h", "__key", "__shard", "__tok", "__budget", "__og", "__os", "__offset", "__cum")
+  }
+
   /** Leakage-free train/val/test assignment: every member of a duplicate
     * GROUP lands in the same split, because the membership hash is taken
     * over the group's representative (min id per `groupKey`), not the row

@@ -222,5 +222,50 @@ object SamplingQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97)
+  /** Token-budget mixture ([[Sampling.tokenBudgetMixture]]): fill 2000
+    * tokens of src0, 1000 of src1, 500 of src2 (other sources dropped)
+    * with the two-phase distributed prefix sum — the oracle replays the
+    * identical shard-major arithmetic, so the kept set hash-matches
+    * row-for-row including the boundary (first-overshooting) docs.
+    */
+  private val q102 = Q(
+    "q102_token_budget",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val withTok = T.documents
+        .withColumn("n_tokens", size(split(lower($"text"), "\\s+")).cast("long"))
+      Sampling
+        .tokenBudgetMixture(
+          withTok,
+          group = $"source",
+          key = $"doc_id",
+          tokens = $"n_tokens",
+          budgets = Map("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L),
+          numShards = 8
+        )
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, source,
+                           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS tok,
+                           ${duckHash("doc_id")} AS h,
+                           CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                                       WHEN 'src2' THEN 500 ELSE -1 END AS budget
+                    FROM documents),
+      f AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM base WHERE budget >= 0),
+      st AS (SELECT source, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
+      o AS (SELECT source, shard,
+                   CAST(sum(stok) OVER (PARTITION BY source ORDER BY shard) - stok AS BIGINT) AS off
+            FROM st),
+      cum AS (SELECT f.doc_id, f.source, f.tok, f.budget,
+                     CAST(sum(f.tok) OVER (PARTITION BY f.source, f.shard ORDER BY f.h, f.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + o.off AS BIGINT) AS cum
+              FROM f JOIN o ON f.source = o.source AND f.shard = o.shard)
+      SELECT doc_id, source, tok AS n_tokens FROM cum
+      WHERE cum - tok < budget ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102)
 }

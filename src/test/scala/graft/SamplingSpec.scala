@@ -141,6 +141,45 @@ class SamplingSpec extends SparkSpec {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac far from 0.9")
   }
 
+  test("tokenBudgetMixture: two-phase prefix equals the naive window; boundary law holds") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 600L)
+      .map(i => (i, s"g${i % 3}", 5L + i % 7)) // groups g0/g1/g2, token counts 5..11
+      .toDF("id", "grp", "tok")
+    val budgets = Map("g0" -> 200L, "g1" -> 50L)
+    val kept = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", budgets, numShards = 8)
+      .select($"id", $"grp", $"tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // g2 absent from budgets → dropped entirely
+    assert(kept.forall(_._2 != "g2"))
+    // boundary law: kept tokens land in [budget, budget + maxDoc)
+    val perGroup = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perGroup("g0") >= 200L && perGroup("g0") < 200L + 11,
+      s"g0 kept ${perGroup("g0")} tokens for budget 200")
+    assert(perGroup("g1") >= 50L && perGroup("g1") < 50L + 11)
+    // equivalence to the naive one-window-per-group formulation under the
+    // same shard-major total order — the scalable algorithm changes the
+    // plan, never the selection
+    val h = Sampling.hash60($"id")
+    val w = Window.partitionBy($"grp")
+      .orderBy(pmod(h, lit(8)).asc, h.asc, $"id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("budget",
+        when($"grp" === "g0", 200L).when($"grp" === "g1", 50L).otherwise(-1L))
+      .filter($"budget" >= 0)
+      .withColumn("cum", sum($"tok").over(w))
+      .filter($"cum" - $"tok" < $"budget")
+      .select($"id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet == naive, "two-phase selection diverged from the naive window")
+    // partition-layout invariance
+    val repart = Sampling
+      .tokenBudgetMixture(docs.repartition(13, $"tok"), $"grp", $"id", $"tok", budgets, numShards = 8)
+      .select($"id").as[Long].collect().toSet
+    assert(repart == kept.map(_._1).toSet)
+  }
+
   test("leakageFreeSplit rejects bands that do not cover the hash space") {
     intercept[IllegalArgumentException] {
       Sampling.leakageFreeSplit(docs, "id", $"body", Seq("train" -> 50, "val" -> 10), 100)
