@@ -50,7 +50,8 @@ object ScaleBench {
     "q98_quality_classifier",
     "q99_hybrid_rrf",
     "q100_novelty",
-    "q101_novelty_vs_ref"
+    "q101_novelty_vs_ref",
+    "q102_token_budget"
   )
 
   private val IdOffset = 100000000L
