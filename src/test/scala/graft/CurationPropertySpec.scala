@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+import graft.functions.{BloomSupport, HashSupport}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants for the round-7 curation operators over
+  * generated inputs (the ScdPropertySpec pattern: deterministic seeded
+  * generators, whole-input laws, a differential reference model where one
+  * is expressible in plain Scala).
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen[A](g: Gen[A], seed: Long, fallback: A): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(fallback)
+
+  private def md5_60(s: String): Long =
+    (BigInt(HashSupport.md5Hex(s).substring(0, 15), 16) % BigInt(Long.MaxValue)).toLong
+
+  test("leakageFreeSplit: across generated dup patterns no group ever straddles a split") {
+    Seq(3L, 17L, 271L).foreach { seed =>
+      val rows = gen(
+        for {
+          nGroups <- Gen.choose(20, 120)
+          mult <- Gen.listOfN(nGroups, Gen.choose(1, 6))
+        } yield mult.zipWithIndex.flatMap { case (m, g) =>
+          (0 until m).map(c => (g.toLong * 1000 + c, s"content-$g"))
+        },
+        seed,
+        Seq((1L, "x"))
+      )
+      val out = Sampling
+        .leakageFreeSplit(rows.toDF("id", "body"), "id", md5($"body"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10), 100)
+        .select($"body", $"rep", $"split", $"id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (body, members) =>
+        assert(members.map(_._3).distinct.length == 1, s"group $body straddles splits (seed $seed)")
+        assert(members.forall(_._2 == members.map(_._4).min), s"rep not group-min for $body")
+      }
+    }
+  }
+
+  test("tokenBudgetMixture: boundary law holds for generated budgets and token counts") {
+    Seq(5L, 23L).foreach { seed =>
+      val (rows, budgets) = gen(
+        for {
+          n <- Gen.choose(100, 400)
+          toks <- Gen.listOfN(n, Gen.choose(1L, 40L))
+          b0 <- Gen.choose(50L, 800L)
+          b1 <- Gen.choose(50L, 800L)
+        } yield (
+          toks.zipWithIndex.map { case (t, i) => (i.toLong, s"g${i % 3}", t) },
+          Map("g0" -> b0, "g1" -> b1)
+        ),
+        seed,
+        (Seq((1L, "g0", 5L)), Map("g0" -> 100L))
+      )
+      val maxTok = rows.map(_._3).max
+      val kept = Sampling
+        .tokenBudgetMixture(rows.toDF("id", "grp", "tok"), $"grp", $"id", $"tok", budgets, numShards = 8)
+        .select($"grp", $"tok").collect().map(r => (r.getString(0), r.getLong(1)))
+      budgets.foreach { case (g, b) =>
+        val total = kept.filter(_._1 == g).map(_._2).sum
+        val available = rows.filter(_._2 == g).map(_._3).sum
+        if (available >= b)
+          assert(total >= b && total < b + maxTok, s"group $g kept $total for budget $b (seed $seed)")
+        else
+          assert(total == available, s"group $g must keep everything when under budget")
+      }
+      assert(kept.forall(_._1 != "g2"), "unbudgeted group leaked through")
+    }
+  }
+
+  test("rrfFuse: input-list order never changes the fusion; scores match the formula") {
+    Seq(11L, 47L).foreach { seed =>
+      val lists = gen(
+        for {
+          nLists <- Gen.choose(2, 4)
+          ks <- Gen.listOfN(nLists, Gen.choose(3, 12))
+          ids <- Gen.sequence[Seq[Seq[Long]], Seq[Long]](
+            ks.map(k => Gen.pick(k, 1L to 40L).map(_.toSeq)))
+        } yield ids.map(_.zipWithIndex.map { case (id, i) => (id, i + 1) }),
+        seed,
+        Seq(Seq((1L, 1), (2L, 2)))
+      )
+      val dfs = lists.map(l => l.toDF("doc_id", "rank"))
+      val fused = Similarity.rrfFuse(dfs, "doc_id", k = 50)
+        .select($"doc_id", $"rrf_score").as[(Long, Long)].collect().toMap
+      val reversed = Similarity.rrfFuse(dfs.reverse, "doc_id", k = 50)
+        .select($"doc_id", $"rrf_score").as[(Long, Long)].collect().toMap
+      assert(fused == reversed, s"retriever order changed the fusion (seed $seed)")
+      val expected = lists.flatten
+        .groupBy(_._1).view
+        .mapValues(_.map { case (_, r) => 1000L / (60L + r) }.sum)
+        .toMap
+      assert(fused == expected.filter { case (_, s) => s > 0 } || fused == expected,
+        s"fused scores diverge from the formula (seed $seed): $fused vs $expected")
+    }
+  }
+
+  test("hashedLinearScore: differential vs a plain-Scala reference model on generated texts") {
+    val numBuckets = 97
+    val weights = Array.tabulate(numBuckets)(b => (md5_60(s"pw:$b") % 501) - 250)
+    def reference(text: String): Long = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      def grams(n: Int): Seq[String] = {
+        val m = math.max(toks.length - n + 1, 1)
+        (0 until m).map(i => toks.slice(i, math.min(i + n, toks.length)).mkString(" "))
+      }
+      (grams(1) ++ grams(2)).map { f =>
+        weights((md5_60(f) % numBuckets).toInt)
+      }.sum
+    }
+    Seq(2L, 31L, 404L).foreach { seed =>
+      val texts = gen(
+        Gen.listOfN(
+          40,
+          Gen.listOf(Gen.oneOf("Alpha", "beta", "GAMMA", "d", "ee", "", "zz9")).map(_.mkString(" "))
+        ),
+        seed,
+        List("alpha beta")
+      )
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select($"id", TextAnalysis.hashedLinearScore($"t", weights).as("s"))
+        .as[(Long, Long)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == reference(t),
+          s"score mismatch on ${t.take(40).mkString}... (seed $seed): ${got(i.toLong)} vs ${reference(t)}")
+      }
+    }
+  }
+
+  test("bloom: no false negatives over generated key sets; OR-merge equals sequential build") {
+    Seq(13L, 77L).foreach { seed =>
+      val keys = gen(Gen.listOfN(300, Gen.choose(Long.MinValue, Long.MaxValue)), seed, List(1L, 2L))
+      val whole = BloomSupport.emptyBuffer(1 << 10, 6)
+      keys.foreach(BloomSupport.add(whole, _))
+      assert(keys.forall(BloomSupport.mightContain(whole, _)), s"false negative (seed $seed)")
+      val (l, r) = keys.splitAt(keys.size / 2)
+      val a = BloomSupport.emptyBuffer(1 << 10, 6)
+      val b = BloomSupport.emptyBuffer(1 << 10, 6)
+      l.foreach(BloomSupport.add(a, _)); r.foreach(BloomSupport.add(b, _))
+      assert(java.util.Arrays.equals(BloomSupport.or(a, b), whole),
+        s"partitioned OR-merge diverged from the sequential build (seed $seed)")
+    }
+  }
+}
