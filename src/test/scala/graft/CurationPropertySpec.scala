@@ -136,6 +136,56 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: differential vs a plain-Scala reference model on generated vectors") {
+    import graft.operators.Dedup
+    def refModel(
+        vecs: Seq[(Long, Array[Double])],
+        cents: Array[Array[Double]],
+        tau: Double
+    ): Map[Long, (Int, Boolean)] = {
+      def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+      def assign(v: Array[Double]): Int =
+        cents.zipWithIndex
+          .map { case (c, i) => (dot(c, c) - 2.0 * dot(v, c), i) }
+          .minBy { case (d, i) => (d, i) } // argmin distance, centroid-id tiebreak
+          ._2
+      val assigned = vecs.map { case (id, v) => (id, v, assign(v)) }
+      assigned.map { case (id, v, cl) =>
+        val dropped = assigned.exists { case (id2, v2, cl2) =>
+          cl2 == cl && id2 < id && {
+            val c = dot(v, v2) / (math.sqrt(dot(v, v)) * math.sqrt(dot(v2, v2)))
+            !c.isNaN && c >= tau
+          }
+        }
+        id -> ((cl, !dropped))
+      }.toMap
+    }
+    Seq(19L, 83L, 911L).foreach { seed =>
+      val (vecs, cents) = gen(
+        for {
+          n <- Gen.choose(10, 60)
+          dims = 4
+          vs <- Gen.listOfN(n, Gen.listOfN(dims, Gen.choose(-3, 3).map(_.toDouble)))
+          nc <- Gen.choose(2, 5)
+          cs <- Gen.listOfN(nc, Gen.listOfN(dims, Gen.choose(-3, 3).map(_.toDouble)))
+        } yield (
+          vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) },
+          cs.map(_.toArray).toArray
+        ),
+        seed,
+        (Seq((1L, Array(1.0, 0.0, 0.0, 0.0))), Array(Array(1.0, 0.0, 0.0, 0.0)))
+      )
+      val expected = refModel(vecs, cents, 0.9)
+      val got = Dedup
+        .semanticDedup(
+          vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "emb"),
+          "id", "emb", cents, threshold = 0.9)
+        .as[(Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"seed $seed: diverged at ${got.toSet.diff(expected.toSet)}")
+    }
+  }
+
   test("bloom: no false negatives over generated key sets; OR-merge equals sequential build") {
     Seq(13L, 77L).foreach { seed =>
       val keys = gen(Gen.listOfN(300, Gen.choose(Long.MinValue, Long.MaxValue)), seed, List(1L, 2L))
