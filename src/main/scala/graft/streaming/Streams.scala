@@ -262,21 +262,30 @@ object Streams {
     )
 
   /** Scan-side streaming decontamination pregate: flags every arriving doc
-    * whose winnowing fingerprints hit the benchmark BLOOM at least
-    * `minShared` times. Stateless and shuffle-free — the fingerprints are a
-    * pure projection and the bloom is a Literal, so the gate runs at intake
-    * scan speed with no state store and no join.
+    * at least `minShared` of whose DISTINCT winnowing fingerprints hit the
+    * benchmark BLOOM. Stateless and shuffle-free — the fingerprints are a
+    * pure projection and the bloom is a Literal, so the gate runs at
+    * intake scan speed with no state store and no join.
     *
-    * NO FALSE NEGATIVES by construction: a bloom never rejects a member,
-    * so every truly-shared fingerprint passes it — a doc with ≥ minShared
-    * confirmed overlaps always has ≥ minShared bloom hits. `false` is
-    * therefore PROOF of cleanliness; `true` is only suspicion (bloom false
-    * positives inflate the hit count). Route flagged docs to the exact
-    * confirm in the sink — `foreachBatch` over the suspect subset with
-    * [[graft.operators.Decontaminate.overlaps]] against the real benchmark
-    * fingerprints (only suspects pay that join, the clean majority never
-    * leaves the scan) — or drop them outright where over-dropping by the
-    * FP rate is acceptable (size the bloom accordingly).
+    * The law (one-sided, DISTINCT-evidence form): a bloom never rejects a
+    * member, so every distinct fingerprint a doc truly shares with the
+    * benchmark union hits — a doc sharing ≥ minShared DISTINCT
+    * fingerprints with ANY benchmark doc is always flagged. `false` is
+    * therefore PROOF the doc shares < minShared distinct fingerprints
+    * with the entire benchmark. `true` is only suspicion, for two stacked
+    * reasons: bloom false positives inflate the count, and the union
+    * accumulates evidence across benchmark docs (3 fps shared with one
+    * bench doc + 2 with another flags here without any single pair
+    * reaching 5). Note the deliberate DISTINCT: the exact report
+    * ([[graft.operators.Decontaminate.overlaps]]) counts
+    * multiplicity-weighted join evidence, under which one fingerprint
+    * repeated five times across the pair counts as 5 — that is one shared
+    * substring, not five, and a count the doc's own fingerprint list
+    * cannot bound, so the pregate anchors on distinct evidence instead.
+    * Route flagged docs to the exact confirm in the sink — `foreachBatch`
+    * over the suspect subset with `Decontaminate.overlaps` against the
+    * real benchmark fingerprints (only suspects pay that join) — or drop
+    * them outright where over-dropping by the FP rate is acceptable.
     *
     * Build the bits once per benchmark release:
     * `benchFps.agg(BloomExprs.bloomAgg(col("fp"), numBytes, numHashes))`.
@@ -291,7 +300,7 @@ object Streams {
   ): DataFrame = {
     import graft.functions.BloomExprs
     import graft.operators.TextAnalysis
-    val fps = TextAnalysis.winnowingFingerprints(col(textCol), k, w)
+    val fps = array_distinct(TextAnalysis.winnowingFingerprints(col(textCol), k, w))
     stream.withColumn(
       "maybe_contaminated",
       size(filter(fps, f => BloomExprs.mightContain(lit(bloomBits), f))) >= minShared

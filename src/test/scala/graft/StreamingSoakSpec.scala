@@ -94,6 +94,57 @@ class StreamingSoakSpec extends SparkSpec {
       assert(sq.recentProgress.count(_.numInputRows > 0) >= 2)
     } finally sq.stop()
 
+    // stage 2b: the decontamination pregate streamed over the same landed
+    // table — a deterministic ~2% hash band of the lake plays the
+    // benchmark (the q64/q95 fixture), its winnowing fingerprints build
+    // bloom bits once, and every lake doc streams through the stateless
+    // scan-side flag. Checked against the exact batch overlap report:
+    // truly contaminated docs MUST be flagged (one-sided law), and with a
+    // generously-sized bloom the flag is exact on this fixture.
+    locally {
+      import graft.functions.BloomExprs
+      import graft.operators.Decontaminate
+      val isBench = graft.operators.Sampling.hash60($"doc_id") % 100 >= 98
+      val benchDocs = lake.filter(isBench)
+      val benchIds = benchDocs.select($"doc_id").as[Long].collect().toSet
+      val bits = benchDocs
+        .select(explode(TextAnalysis.winnowingFingerprints($"text", 5, 8)).as("fp"))
+        .agg(BloomExprs.bloomAgg($"fp", 1 << 17, 7))
+        .head.getAs[Array[Byte]](0)
+      val cq = Streams
+        .flagContamination(
+          Streams.readTableStream(spark, lake.schema, Lake.tablePath(root, "s", "docs")),
+          "text", bits)
+        .writeStream.format("memory").queryName("soak_contam").outputMode("append").start()
+      try {
+        cq.processAllAvailable()
+        val flaggedNonBench = spark.table("soak_contam")
+          .filter($"maybe_contaminated").select($"doc_id").as[Long].collect().toSet -- benchIds
+        val exact = Decontaminate
+          .overlaps(lake.filter(!isBench), benchDocs, "doc_id", "text")
+          .select($"doc_id").as[Long].collect().toSet
+        assert(exact.subsetOf(flaggedNonBench),
+          s"streamed pregate missed contaminated docs: ${exact.diff(flaggedNonBench)}")
+        // the flag counts hits against the benchmark UNION (the exact
+        // report thresholds per bench pair — see the operator scaladoc),
+        // so with a well-sized bloom every EXTRA flag must still share
+        // >= minShared fingerprints with the union: FP-driven flags would
+        // fail this, cross-source accumulation passes it
+        val unionShared = lake.filter(!isBench)
+          .select($"doc_id", explode(array_distinct(
+            TextAnalysis.winnowingFingerprints($"text", 5, 8))).as("fp"))
+          .join(
+            benchDocs.select(explode(TextAnalysis.winnowingFingerprints($"text", 5, 8)).as("fp")).distinct(),
+            Seq("fp"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+          .filter($"n" >= 5)
+          .select($"doc_id").as[Long].collect().toSet
+        assert(flaggedNonBench.subsetOf(unionShared),
+          s"flags not explained by union-sharing (would mean bloom FPs at 400+ bits/key): ${flaggedNonBench.diff(unionShared)}")
+        assert(exact.nonEmpty, "the fixture must actually plant contamination for the soak to bite")
+      } finally cq.stop()
+    }
+
     // stage 3: the embedding side of gated intake — arriving vectors probe
     // a PERSISTED VectorIndex per micro-batch (stream-static, stateless),
     // the near-dup twin of stage 2's content gates. The index plays the
