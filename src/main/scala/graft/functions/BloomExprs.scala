@@ -179,14 +179,70 @@ case class BloomMightContain(left: Expression, right: Expression) extends Binary
   ): BloomMightContain = copy(left = newLeft, right = newRight)
 }
 
+/** Scan-side bloom probe whose bits arrive as a torrent BROADCAST variable
+  * instead of a plan Literal — the large-filter vehicle. A Literal is
+  * serialized into the physical plan and shipped with every task; at the
+  * sizes the scaladoc of [[BloomSupport]] advertises (~180 MB of bits for
+  * 10^8 fingerprints) that per-task copy is a practical cliff well before
+  * the sketch itself stops fitting. Holding a `Broadcast` handle instead
+  * means the expression serializes as a tiny reference; each executor
+  * fetches the bits once (torrent), and codegen caches the dereferenced
+  * byte[] in a mutable-state slot so the hot loop reads a local field.
+  * Same probe arithmetic, same untrusted-bytes never-throw contract.
+  */
+case class BloomMightContainBcast(
+    bits: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_might_contain_bcast requires a BIGINT key, got ${other.catalogString}")
+  }
+
+  @transient private lazy val localBits: Array[Byte] = bits.value
+
+  override protected def nullSafeEval(value: Any): Any =
+    BloomSupport.mightContain(localBits, value.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcastRef =
+      ctx.addReferenceObj("graftBloomBcast", bits, "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState(
+      "byte[]",
+      "graftBloomBits",
+      v => s"$v = (byte[]) $bcastRef.value();")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => s"${ev.value} = graft.functions.BloomSupport.mightContain($cached, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBcast =
+    copy(child = newChild)
+}
+
 object BloomExprs {
   /** Aggregate a LongType column into bloom-filter bytes. */
   def bloomAgg(key: Column, numBytes: Int, numHashes: Int): Column =
     ColumnShim.column(
       BloomBuildAgg(ColumnShim.expression(key), numBytes, numHashes).toAggregateExpression())
 
-  /** Probe bloom bytes (typically a broadcast Literal) for a key. */
+  /** Probe bloom bytes (typically a small Literal) for a key. */
   def mightContain(bloom: Column, key: Column): Column =
     ColumnShim.column(
       BloomMightContain(ColumnShim.expression(bloom), ColumnShim.expression(key)))
+
+  /** Probe broadcast bloom bytes for a key — the large-filter path; see
+    * [[BloomMightContainBcast]].
+    */
+  def mightContainBcast(
+      bits: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: Column
+  ): Column =
+    ColumnShim.column(BloomMightContainBcast(bits, ColumnShim.expression(key)))
 }

@@ -21,8 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** (id, fp) rows with fp DISTINCT per document. winnowingFingerprints
+    * already emits distinct window minima; the `array_distinct` makes that
+    * invariant structural rather than inherited, because `shared` counting
+    * DISTINCT fingerprints (multiplicity exactly 1 per shared fp in the
+    * join) is what makes the streaming bloom pregate
+    * ([[graft.streaming.Streams.flagContamination]]) a SOUND prefilter:
+    * a doc's distinct-fingerprint hit count against the benchmark union
+    * upper-bounds every per-(doc, bench) `shared` value.
+    */
+  private def fps(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int, as: String) =
+    df.select(
+      col(idCol).as(as),
+      explode(array_distinct(TextAnalysis.winnowingFingerprints(col(textCol), k, w))).as("fp")
+    )
+
   /** (doc_id, bench_id, shared) for every corpus doc sharing at least
-    * `minShared` winnowing fingerprints with a benchmark doc.
+    * `minShared` DISTINCT winnowing fingerprints with a benchmark doc.
+    * Because both join sides carry distinct (id, fp) rows, the per-pair
+    * join count IS the distinct-shared-fingerprint count — one shared
+    * substring never counts more than once, no matter how often it repeats
+    * inside either document.
     */
   def overlaps(
       corpus: DataFrame,
@@ -33,10 +52,7 @@ object Decontaminate {
       w: Int = 8,
       minShared: Int = 5
   ): DataFrame = {
-    def fps(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
-      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp")
-    )
+    def fps(df: DataFrame, as: String) = Decontaminate.fps(df, idCol, textCol, k, w, as)
     fps(corpus, "doc_id")
       .join(broadcast(fps(bench, "bench_id")), "fp")
       .groupBy("doc_id", "bench_id")
@@ -83,6 +99,14 @@ object Decontaminate {
     *
     * Size `numBytes` ≈ 1.2 · |bench fps| · ln(1/fpRate) / 8 bits; the
     * default 128 KiB holds ~10^5 fingerprints at ~1% FP.
+    *
+    * Bits shipping: a small bloom rides the plan as a Literal (codegen'd
+    * straight into the scan filter). Past `broadcastBitsOver` bytes a
+    * Literal is the wrong vehicle — a multi-hundred-MB constant bloats the
+    * serialized plan shipped with EVERY task and pins driver memory — so
+    * large blooms go out as a torrent broadcast variable instead, consumed
+    * by the same codegen probe ([[graft.functions.BloomMightContainBcast]]);
+    * tasks fetch the bits once per executor, not once per task.
     */
   def overlapsViaBloom(
       corpus: DataFrame,
@@ -93,20 +117,22 @@ object Decontaminate {
       w: Int = 8,
       minShared: Int = 5,
       numBytes: Int = 1 << 17,
-      numHashes: Int = 7
+      numHashes: Int = 7,
+      broadcastBitsOver: Int = 4 << 20
   ): DataFrame = {
     import graft.functions.BloomExprs
-    def fps(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
-      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp")
-    )
+    def fps(df: DataFrame, as: String) = Decontaminate.fps(df, idCol, textCol, k, w, as)
     val benchFps = fps(bench, "bench_id")
     val bloomBits = benchFps
       .agg(BloomExprs.bloomAgg(col("fp"), numBytes, numHashes).as("bloom"))
       .collect()(0)
       .getAs[Array[Byte]](0)
-    val survivors = fps(corpus, "doc_id")
-      .filter(BloomExprs.mightContain(lit(bloomBits), col("fp")))
+    val probe =
+      if (bloomBits.length > broadcastBitsOver)
+        BloomExprs.mightContainBcast(
+          corpus.sparkSession.sparkContext.broadcast(bloomBits), col("fp"))
+      else BloomExprs.mightContain(lit(bloomBits), col("fp"))
+    val survivors = fps(corpus, "doc_id").filter(probe)
     survivors
       .join(benchFps, "fp") // exact confirm: false positives die here
       .groupBy("doc_id", "bench_id")

@@ -159,8 +159,17 @@ object Sampling {
     * rows; (2) shard offsets via a window over that TINY table; (3) the
     * exact prefix only within each (group, shard) partition, S-way
     * parallel per group. The global order is shard-major (shard, hash,
-    * key): deterministic for a GIVEN numShards — size it like
+    * key, tokens): deterministic for a GIVEN numShards — size it like
     * [[shard]]'s, so one shard's slice fits a task.
+    *
+    * Determinism contract: with a UNIQUE `key` per row the kept set is
+    * exactly reproducible. With duplicate keys, the order ends on the
+    * token count as a final tiebreaker, so the kept MULTISET of
+    * (key, tokens) is still deterministic — but rows fully tied on
+    * (key, tokens) are interchangeable at the budget boundary, and which
+    * physical duplicate lands inside is partitioning-dependent. Feed a
+    * unique key (the house style: a doc_id or content hash) when byte
+    * reproducibility matters.
     *
     * @return df's rows that fill the budgets, original columns unchanged
     */
@@ -192,7 +201,7 @@ object Sampling {
       .select(col("__g").as("__og"), col("__shard").as("__os"), col("__offset"))
     val wIn = Window
       .partitionBy(col("__g"), col("__shard"))
-      .orderBy(col("__h").asc, col("__key").asc)
+      .orderBy(col("__h").asc, col("__key").asc, col("__tok").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .join(broadcast(offsets), col("__g") === col("__og") && col("__shard") === col("__os"))
@@ -220,6 +229,10 @@ object Sampling {
     * window (the same shuffle an exact-dedup pass already does); the band
     * decision itself is a pure map. No joins, no driver state.
     *
+    * The output claims the column names `rep` and `split`; an input
+    * already carrying either would be silently clobbered, so it is
+    * rejected up front — rename before calling.
+    *
     * @return df's rows plus (rep, split)
     */
   def leakageFreeSplit(
@@ -231,6 +244,10 @@ object Sampling {
   ): DataFrame = {
     require(splits.nonEmpty && denominator > 0, "need splits and a positive denominator")
     require(splits.map(_._2).sum == denominator, "split bands must sum to the denominator")
+    require(
+      !df.columns.contains("rep") && !df.columns.contains("split"),
+      "leakageFreeSplit writes output columns 'rep' and 'split'; the input already has one " +
+        "of them — rename it before calling")
     val rep = min(col(idCol)).over(Window.partitionBy(groupKey))
     val h = hash60(col("rep")) % denominator
     // first band whose cumulative upper bound exceeds the hash wins

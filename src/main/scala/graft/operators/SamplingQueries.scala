@@ -259,7 +259,7 @@ object SamplingQueries {
                    CAST(sum(stok) OVER (PARTITION BY source ORDER BY shard) - stok AS BIGINT) AS off
             FROM st),
       cum AS (SELECT f.doc_id, f.source, f.tok, f.budget,
-                     CAST(sum(f.tok) OVER (PARTITION BY f.source, f.shard ORDER BY f.h, f.doc_id
+                     CAST(sum(f.tok) OVER (PARTITION BY f.source, f.shard ORDER BY f.h, f.doc_id, f.tok
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + o.off AS BIGINT) AS cum
               FROM f JOIN o ON f.source = o.source AND f.shard = o.shard)
       SELECT doc_id, source, tok AS n_tokens FROM cum

@@ -267,21 +267,21 @@ object Streams {
     * pure projection and the bloom is a Literal, so the gate runs at
     * intake scan speed with no state store and no join.
     *
-    * The law (one-sided, DISTINCT-evidence form): a bloom never rejects a
-    * member, so every distinct fingerprint a doc truly shares with the
-    * benchmark union hits — a doc sharing ≥ minShared DISTINCT
-    * fingerprints with ANY benchmark doc is always flagged. `false` is
-    * therefore PROOF the doc shares < minShared distinct fingerprints
-    * with the entire benchmark. `true` is only suspicion, for two stacked
-    * reasons: bloom false positives inflate the count, and the union
-    * accumulates evidence across benchmark docs (3 fps shared with one
-    * bench doc + 2 with another flags here without any single pair
-    * reaching 5). Note the deliberate DISTINCT: the exact report
-    * ([[graft.operators.Decontaminate.overlaps]]) counts
-    * multiplicity-weighted join evidence, under which one fingerprint
-    * repeated five times across the pair counts as 5 — that is one shared
-    * substring, not five, and a count the doc's own fingerprint list
-    * cannot bound, so the pregate anchors on distinct evidence instead.
+    * The law (one-sided): a bloom never rejects a member, so every
+    * distinct fingerprint a doc truly shares with the benchmark union
+    * hits. The exact report ([[graft.operators.Decontaminate.overlaps]])
+    * counts DISTINCT shared fingerprints per (doc, bench) pair — both join
+    * sides carry distinct (id, fp) rows by construction (see
+    * `Decontaminate.fps`) — and a doc's distinct-hit count against the
+    * union upper-bounds every one of its per-pair counts. So at the same
+    * `minShared`, `false` here is PROOF the exact report cannot flag the
+    * doc: the pregate is a SOUND prefilter, and
+    * `exact.flagged ⊆ pregate.flagged` is an invariant, not a fixture
+    * accident (pinned by StreamsSpec/StreamingSoakSpec). `true` is only
+    * suspicion, for two stacked reasons: bloom false positives inflate the
+    * count, and the union accumulates evidence across benchmark docs
+    * (3 fps shared with one bench doc + 2 with another flags here without
+    * any single pair reaching 5).
     * Route flagged docs to the exact confirm in the sink — `foreachBatch`
     * over the suspect subset with `Decontaminate.overlaps` against the
     * real benchmark fingerprints (only suspects pay that join) — or drop

@@ -63,6 +63,59 @@ class DecontaminateSpec extends SparkSpec {
     )
   }
 
+  test("shared counts DISTINCT fingerprints: repeated substrings never inflate evidence") {
+    // a doc that embeds the benchmark text THREE times: multiplicity-weighted
+    // join counting would let the repeats multiply the evidence; distinct
+    // counting bounds shared by the benchmark's own fingerprint vocabulary —
+    // the bound that makes the streaming bloom pregate sound
+    val repeated = Seq((7L, s"$benchText again $benchText again $benchText")).toDF("doc_id", "text")
+    val benchFpCount = bench
+      .select(explode(graft.operators.TextAnalysis.winnowingFingerprints($"text", 5, 8)))
+      .distinct().count()
+    val shared = Decontaminate
+      .overlaps(repeated, bench, "doc_id", "text", minShared = 1)
+      .agg(max($"shared")).head.getLong(0)
+    assert(shared <= benchFpCount,
+      s"shared=$shared exceeds the benchmark's $benchFpCount distinct fps — evidence was multiplicity-inflated")
+    // and the fps stream itself is duplicate-free per doc (the structural
+    // invariant array_distinct asserts)
+    val maxDup = repeated
+      .select($"doc_id",
+        explode(array_distinct(graft.operators.TextAnalysis.winnowingFingerprints($"text", 5, 8))).as("fp"))
+      .groupBy($"doc_id", $"fp").count().agg(max($"count")).head.getLong(0)
+    assert(maxDup == 1L)
+  }
+
+  test("broadcast-bits probe path is bit-identical to the Literal path") {
+    import graft.functions.{BloomExprs, BloomSupport}
+    val keys = (1L to 400L).map(_ * 6151L)
+    val bits = BloomSupport.emptyBuffer(1 << 9, 4)
+    keys.foreach(BloomSupport.add(bits, _))
+    val probeSpace = spark.range(3000).select(($"id" * 6151L).as("k"))
+    val viaLit = probeSpace.filter(BloomExprs.mightContain(lit(bits), $"k"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaBcast = probeSpace
+      .filter(BloomExprs.mightContainBcast(spark.sparkContext.broadcast(bits), $"k"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBcast == viaLit, "broadcast and Literal probes must agree bit-for-bit")
+    // the broadcast probe stays inside whole-stage codegen like the Literal one
+    val plan = probeSpace
+      .filter(BloomExprs.mightContainBcast(spark.sparkContext.broadcast(bits), $"k"))
+      .queryExecution.executedPlan.toString
+    val filterLine = plan.linesIterator.find(_.toLowerCase.contains("bloommightcontainbcast")).getOrElse("")
+    assert(filterLine.trim.matches("""^(\+- )?\*\(\d+\) Filter .*"""),
+      s"the broadcast probe must stay inside codegen, got: $filterLine")
+    // and end-to-end: forcing the broadcast vehicle changes nothing
+    val exact = Decontaminate
+      .overlaps(corpus, bench, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaBcastBloom = Decontaminate
+      .overlapsViaBloom(corpus, bench, "doc_id", "text", minShared = 1,
+        numBytes = 16, numHashes = 2, broadcastBitsOver = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaBcastBloom == exact)
+  }
+
   test("bloom sketch laws: no false negatives, merge is union, geometry mismatch refuses") {
     import graft.functions.BloomSupport
     val keys = (1L to 500L).map(_ * 7919L)

@@ -185,4 +185,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.leakageFreeSplit(docs, "id", $"body", Seq("train" -> 50, "val" -> 10), 100)
     }
   }
+
+  test("leakageFreeSplit refuses inputs that already carry its output columns") {
+    // the output claims 'rep' and 'split'; silently clobbering a caller's
+    // column of the same name would corrupt data — reject up front instead
+    val bands = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(docs.withColumn("rep", lit(1)), "id", $"body", bands, 100)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(docs.withColumn("split", lit("x")), "id", $"body", bands, 100)
+    }
+  }
+
+  test("tokenBudgetMixture: duplicate keys keep a deterministic (key, tokens) multiset") {
+    // keys deliberately collide; the window's final token-count tiebreaker
+    // makes the kept (key, tokens) multiset stable across partitionings
+    val dups = (1L to 60L).flatMap(i => Seq((i % 7, 10L + i % 3), (i % 7, 10L + (i + 1) % 3)))
+      .map { case (k, t) => (k, "g", t) }
+    def keptMultiset(parts: Int) = Sampling
+      .tokenBudgetMixture(
+        dups.toDF("id", "grp", "tok").repartition(parts),
+        $"grp", $"id", $"tok", Map("g" -> 300L), numShards = 4)
+      .groupBy($"id", $"tok").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(keptMultiset(3) == keptMultiset(17))
+  }
 }

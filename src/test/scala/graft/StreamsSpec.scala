@@ -275,11 +275,16 @@ class StreamsSpec extends SparkSpec {
     // expected — the invariant under test is one-sided
     val bits = benchFps
       .agg(BloomExprs.bloomAgg($"fp", 72, 3)).head.getAs[Array[Byte]](0)
+    // doc 5 embeds the benchmark text twice — the adversarial shape for the
+    // soundness law: repeats must not let the exact report outrun the
+    // pregate's distinct-evidence count (both count DISTINCT fps, so the
+    // subset assertion below is an invariant, not a fixture accident)
     val docs = Seq(
       (1L, s"intro words then $benchText and some trailing content here"),
       (2L, "completely unrelated text about spark catalyst optimizer internals and shuffles"),
       (3L, benchText),
-      (4L, "short overlap near the river maybe but nothing substantial beyond that phrase")
+      (4L, "short overlap near the river maybe but nothing substantial beyond that phrase"),
+      (5L, s"$benchText padding middle words $benchText")
     )
     val mem = MemoryStream[(Long, String)]
     mem.addData(docs: _*)
