@@ -51,7 +51,14 @@ object ScaleBench {
     "q99_hybrid_rrf",
     "q100_novelty",
     "q101_novelty_vs_ref",
-    "q102_token_budget"
+    "q102_token_budget",
+    // round-8 exact substring dedup: the cipher copies are gram-disjoint
+    // across copies and gram-isomorphic within one, so repeated spans scale
+    // exactly k× — the row law; the gram table and its two linear shuffles
+    // scale k× with it. (q104's curve runs as the substring_trim special
+    // case below: count() on it is join-eliminated via distinct-key
+    // propagation, so the uniform protocol would time nothing.)
+    "q103_repeated_spans"
   )
 
   private val IdOffset = 100000000L
@@ -190,6 +197,7 @@ object ScaleBench {
     val doAv = only.forall(f => f.contains("av_sniff"))
     val doSem = only.forall(f => f.contains("semdedup"))
     val doBloom = only.forall(f => f.contains("bloom_decon"))
+    val doTrim = only.forall(f => f.contains("substring_trim"))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
@@ -304,6 +312,24 @@ object ScaleBench {
           s"""{"bench":"scale","scale":$k,"query":"semdedup","sec":$t,"rows":$rows,"centroids":${8 * k}}""")
         Seq("semdedup" -> t)
       }
+      // q104's trim, timed through sum(removed_chars): a bare count() on
+      // the trim output is join-eliminated (spans is an aggregate on
+      // doc_id, distinct-key propagation drops the left join entirely), so
+      // the aggregate forces the span derivation AND the cut fold. Row law:
+      // removed chars scale exactly k× (cipher copies are gram-isomorphic).
+      val trimTimes = if (!doTrim) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        var removed = 0L
+        val t = time2(spark) {
+          removed = Dedup
+            .trimRepeatedSpans(docs, "doc_id", "text", minLen = 30)
+            .agg(sum(col("removed_chars")))
+            .collect()(0).getLong(0)
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"substring_trim","sec":$t,"removed_chars":$removed}""")
+        Seq("substring_trim" -> t)
+      }
       // q95 family with the bloom sized TO the benchmark set (bits ∝ bench
       // fps — the operator's own sizing rule), so the prefilter's FP rate,
       // hence its effectiveness, is constant across scales. A fixed-size
@@ -324,7 +350,7 @@ object ScaleBench {
           s"""{"bench":"scale","scale":$k,"query":"bloom_decon","sec":$t,"rows":$flagged,"bloomKiB":${128 * k}}""")
         Seq("bloom_decon" -> t)
       }
-      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ bloomTimes)
+      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++ bloomTimes)
     }.toMap
 
     // summary: growth factors vs the smallest scale (a ~linear engine shows

@@ -421,10 +421,184 @@ case class SniffAvMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Perceptual 64-bit image hashes over the decoded luminance grid — the
+  * content-level dedup signal byte-hashing cannot give: a re-encoded,
+  * recompressed or resized copy of an image has different BYTES but a
+  * near-identical luminance layout, so its dHash/aHash lands within a few
+  * hamming bits of the original (the reference's only image dedup is the
+  * byte digest — /root/reference/src/engine/hash.py:27-40 — which is blind
+  * to all of these).
+  *
+  * dHash (difference hash): mean luminance over a 9x8 grid; bit (r,c) set
+  * iff cell (r,c+1) is strictly brighter than cell (r,c) — gradients, so
+  * global brightness shifts cancel. aHash (average hash): 8x8 grid; bit
+  * set iff the cell beats the global mean. Both are resolution-independent
+  * by construction (the grid is laid over the image whatever its size),
+  * deterministic, and pair directly with the Manku banding machinery
+  * ([[graft.operators.Dedup.simhash64Pairs]]' exact-at-maxHamming
+  * candidate generation) for sub-quadratic pair search.
+  *
+  * Untrusted-bytes contract as everywhere scan-side: undecodable input →
+  * NULL, never a throw. The ImageIO decode makes these the most expensive
+  * per-row expressions in the engine — gate with [[SniffImageMeta]] first
+  * so only positively-identified images pay the decode.
+  */
+object PHashSupport {
+  private def lum(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+
+  /** Mean luminance per cell of a rows x cols grid laid over the image. */
+  def gridLum(img: java.awt.image.BufferedImage, rows: Int, cols: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * h / rows
+      val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols
+        val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+        var acc = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { acc += lum(img.getRGB(x, y)); n += 1; x += 1 }
+          y += 1
+        }
+        out(r * cols + c) = if (n == 0) 0.0 else acc / n
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** 64-bit dHash; null (boxed) when the bytes do not decode as an image. */
+  def dHash64(bytes: Array[Byte]): java.lang.Long = {
+    val img = decode(bytes)
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return null
+    val g = gridLum(img, 8, 9)
+    var bitsOut = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c + 1) > g(r * 9 + c)) bitsOut |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(bitsOut)
+  }
+
+  /** 64-bit aHash; null (boxed) when the bytes do not decode as an image. */
+  def aHash64(bytes: Array[Byte]): java.lang.Long = {
+    val img = decode(bytes)
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return null
+    val g = gridLum(img, 8, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64.0
+    var bitsOut = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) bitsOut |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bitsOut)
+  }
+}
+
+/** BIGINT perceptual difference-hash of an image binary (codegen-enabled);
+  * NULL when the bytes are not a decodable image. See [[PHashSupport]].
+  */
+case class ImageDHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_image_dhash requires binary input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PHashSupport.dHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("graftDh")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |java.lang.Long $tmp = graft.functions.PHashSupport.dHash64($c);
+        |${ev.isNull} = $tmp == null;
+        |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+        |""".stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDHash64 =
+    copy(child = newChild)
+}
+
+/** BIGINT perceptual average-hash of an image binary (codegen-enabled);
+  * NULL when the bytes are not a decodable image. See [[PHashSupport]].
+  */
+case class ImageAHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_image_ahash requires binary input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PHashSupport.aHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("graftAh")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |java.lang.Long $tmp = graft.functions.PHashSupport.aHash64($c);
+        |${ev.isNull} = $tmp == null;
+        |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+        |""".stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageAHash64 =
+    copy(child = newChild)
+}
+
 object MediaExprs {
   def sniffImageMeta(content: Column): Column =
     ColumnShim.column(SniffImageMeta(ColumnShim.expression(content)))
 
   def sniffAvMeta(content: Column): Column =
     ColumnShim.column(SniffAvMeta(ColumnShim.expression(content)))
+
+  def imageDHash64(content: Column): Column =
+    ColumnShim.column(ImageDHash64(ColumnShim.expression(content)))
+
+  def imageAHash64(content: Column): Column =
+    ColumnShim.column(ImageAHash64(ColumnShim.expression(content)))
 }

@@ -705,4 +705,159 @@ object Dedup {
         coalesce(!col("__dropped"), lit(true)).as("kept")
       )
   }
+
+  /** Whitespace-normalized text (lowercase, collapsed spaces, trimmed) —
+    * the character space [[repeatedSpans]] positions index, identical to
+    * the winnowing normalization so spans and fingerprints agree on
+    * coordinates.
+    */
+  private def normText(textCol: String): Column =
+    trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+
+  /** EXACT cross-document repeated-substring spans — the arbitrary-length
+    * dedup modality of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): every maximal span of a document whose every
+    * character lies inside some substring of length >= `minLen` that also
+    * occurs in at least `minDocs - 1` OTHER documents. Catches templated /
+    * boilerplate text that whole-doc hashing (q22), fixed-block hashing
+    * (q75 — misses block-misaligned copies) and MinHash (similarity, not
+    * containment) all miss.
+    *
+    * Formulation — the scale-safe GROUPED one, not an in-memory suffix
+    * array: a substring of length m >= L repeats elsewhere iff every one of
+    * its length-L windows repeats elsewhere, so covered characters are
+    * exactly the union of cross-document-repeated L-grams' extents. The
+    * plan is therefore: (1) emit every (doc, pos, L-gram) — a pure
+    * scan-side explode; (2) mark grams whose DISTINCT-document frequency
+    * reaches `minDocs` — a linear hash aggregate with map-side combine,
+    * NO pair formation anywhere (a gram shared by a million docs costs a
+    * million aggregate rows, never a million-squared join); (3) join the
+    * mark back (equi shuffle join, AQE-skew-safe); (4) merge each doc's
+    * covered intervals [pos, pos+L-1] into maximal runs with a per-doc
+    * window (adjacent iff the gap <= L). Two gram-keyed shuffles plus one
+    * doc-keyed window; shuffle bytes are ~L x corpus — the honest price of
+    * EXACT substring dedup (the same order as Lee et al.'s suffix-array
+    * I/O), with q56's winnowing overlap as the cheap approximate sibling.
+    *
+    * Positions are 1-based character offsets into the NORMALIZED text
+    * (see [[normText]]); `span_end` is inclusive. `n_grams` is the count
+    * of repeated gram start positions inside the span (evidence density —
+    * can be less than span_len - L + 1 when merged intervals skip).
+    *
+    * @return (doc_id, span_start, span_end, span_len, n_grams)
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(minDocs >= 2, "minDocs must be >= 2 (a substring always repeats in its own doc)")
+    import org.apache.spark.sql.expressions.Window
+    val positions = df
+      .select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
+      .withColumn(
+        "__pg",
+        explode(
+          when(
+            length(col("__t")) >= minLen,
+            expr(
+              s"""transform(sequence(1, length(__t) - $minLen + 1),
+                 |          i -> named_struct('pos', i, 'gram', substring(__t, i, $minLen)))""".stripMargin)
+          ).otherwise(expr("CAST(array() AS array<struct<pos:int,gram:string>>)"))
+        )
+      )
+      .select(col("doc_id"), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
+    val repeated = positions
+      .select(col("gram"), col("doc_id"))
+      .distinct()
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    // the mark-join is pinned to a SHUFFLE hash join: the repeated-gram set
+    // is an aggregate output whose size Catalyst routinely underestimates
+    // (HAVING selectivity × unknown distinct count), and on a dense corpus
+    // it is corpus-scale — a stats-guessed broadcast builds the whole set
+    // on the driver and falls over exactly when the operator matters most
+    // (observed at the 30x ScaleBench point). Shuffling it instead is also
+    // structurally free: the aggregate is ALREADY partitioned by gram, so
+    // only the positions side pays a new exchange.
+    val hits = positions
+      .join(repeated.hint("shuffle_hash"), "gram")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn(
+        "__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1).otherwise(0))
+      .withColumn("__run", sum(col("__brk")).over(cum))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen - 1)).as("span_end"),
+        count(lit(1)).as("n_grams")
+      )
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_grams")
+      )
+  }
+
+  /** The removal operator over [[repeatedSpans]]: every covered character
+    * is cut out of the normalized text (Lee et al.'s dedup applied as a
+    * TRIM — boilerplate runs vanish from every copy; compose with
+    * [[exactDupGroups]]/[[dropExactDups]] afterwards if whole-doc survivors
+    * should also collapse). Span collection per doc is bounded by document
+    * length, and the cut itself is a single codegen'd `aggregate` fold —
+    * no extra shuffle beyond [[repeatedSpans]]' own plus the final
+    * doc-keyed join.
+    *
+    * @return (doc_id, norm_len, n_spans, removed_chars, kept_len, kept_md5,
+    *         kept_text) — lengths in characters of the normalized text
+    */
+  def trimRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, minLen, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))))
+          .as("__spans"))
+    df.select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn(
+        "__spans",
+        coalesce(col("__spans"), expr("CAST(array() AS array<struct<s:int,e:int>>)")))
+      .withColumn(
+        "kept_text",
+        expr(
+          """aggregate(__spans,
+            |          named_struct('nxt', 1, 'acc', ''),
+            |          (a, x) -> named_struct('nxt', x.e + 1,
+            |                                 'acc', concat(a.acc, substring(__t, a.nxt, x.s - a.nxt))),
+            |          a -> concat(a.acc, substring(__t, a.nxt, length(__t) - a.nxt + 1)))""".stripMargin))
+      .select(
+        col("doc_id"),
+        length(col("__t")).as("norm_len"),
+        size(col("__spans")).as("n_spans"),
+        (length(col("__t")) - length(col("kept_text"))).as("removed_chars"),
+        length(col("kept_text")).as("kept_len"),
+        md5(col("kept_text")).as("kept_md5"),
+        col("kept_text")
+      )
+  }
 }

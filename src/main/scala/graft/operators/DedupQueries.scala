@@ -579,6 +579,100 @@ object DedupQueries {
     """.trim)
   )
 
+  /** q103/q104 shared oracle CTE chain ending in
+    * `spans(doc_id, span_start, span_end, span_len, n_grams)` — the DuckDB
+    * re-derivation of [[Dedup.repeatedSpans]] (minLen = 30, minDocs = 2):
+    * every 30-gram of the normalized text, distinct-doc frequency >= 2
+    * marks a gram repeated, covered positions merge into maximal runs with
+    * the same gap <= L law. The trim query (q104) extends the chain, so the
+    * two gates share one definition and cannot drift.
+    */
+  private val repeatedSpanCte: String = """
+      norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      gg AS (SELECT doc_id, CAST(u AS INT) AS pos, substr(t, CAST(u AS INT), 30) AS gram
+             FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 28, 1))) AS u FROM norm)),
+      rep AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM gg) GROUP BY gram
+              HAVING count(*) >= 2),
+      hit AS (SELECT gg.doc_id, gg.pos FROM gg JOIN rep USING (gram)),
+      brk AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+                          THEN 1 ELSE 0 END AS b
+              FROM hit),
+      runs AS (SELECT doc_id, pos,
+                      sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM brk),
+      spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                       CAST(max(pos) + 29 AS INT) AS span_end,
+                       CAST(max(pos) + 29 - min(pos) + 1 AS INT) AS span_len,
+                       count(*) AS n_grams
+                FROM runs GROUP BY doc_id, run)""".trim
+
+  /** Exact substring dedup, reporting form ([[Dedup.repeatedSpans]]):
+    * maximal spans of each document covered by cross-document repeats of
+    * length >= 30 normalized chars — the arbitrary-length generalization of
+    * q75's fixed 64-token blocks (block-misaligned copies split there;
+    * here they surface as one span). Grouped-gram formulation: a linear
+    * distinct-doc-frequency aggregate marks repeated grams (NO pair
+    * explosion), a per-doc window merges covered intervals.
+    */
+  private val q103 = Q(
+    "q103_repeated_spans",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .repeatedSpans(T.documents, "doc_id", "text", minLen = 30)
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""
+      WITH $repeatedSpanCte
+      SELECT doc_id, span_start, span_end, span_len, n_grams
+      FROM spans ORDER BY doc_id, span_start
+    """.trim)
+  )
+
+  /** Exact substring dedup, removal form ([[Dedup.trimRepeatedSpans]]):
+    * the covered spans cut out of every document — per-doc span count,
+    * removed/kept char counts, and the md5 of the kept text (witnessing
+    * the exact cut). The oracle rebuilds the kept text as the string_agg
+    * of the complement gaps over the SAME span CTE as q103.
+    */
+  private val q104 = Q(
+    "q104_substring_trim",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      Dedup
+        .trimRepeatedSpans(T.documents, "doc_id", "text", minLen = 30)
+        .select($"doc_id", $"norm_len", $"n_spans", $"removed_chars", $"kept_len", $"kept_md5")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $repeatedSpanCte,
+      gaps AS (
+        SELECT sp.doc_id, n.t,
+               coalesce(lag(sp.span_end) OVER (PARTITION BY sp.doc_id ORDER BY sp.span_start), 0) + 1 AS gs,
+               sp.span_start - 1 AS ge
+        FROM spans sp JOIN norm n USING (doc_id)
+        UNION ALL
+        SELECT n.doc_id, n.t, coalesce(max(sp.span_end), 0) + 1 AS gs, len(n.t) AS ge
+        FROM norm n LEFT JOIN spans sp USING (doc_id) GROUP BY n.doc_id, n.t
+      ),
+      kept AS (SELECT doc_id,
+                      string_agg(CASE WHEN ge >= gs THEN substr(t, gs, ge - gs + 1) ELSE '' END,
+                                 '' ORDER BY gs) AS kt
+               FROM gaps GROUP BY doc_id),
+      ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+      SELECT n.doc_id, CAST(len(n.t) AS INT) AS norm_len,
+             CAST(coalesce(ns.n_spans, 0) AS INT) AS n_spans,
+             CAST(len(n.t) - len(k.kt) AS INT) AS removed_chars,
+             CAST(len(k.kt) AS INT) AS kept_len,
+             md5(k.kt) AS kept_md5
+      FROM norm n JOIN kept k USING (doc_id) LEFT JOIN ns USING (doc_id)
+      ORDER BY n.doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94)
+    Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
+      q103, q104)
 }

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *                                          [[VectorIndex]] probed per refresh,
   *                                          or [[Dedup.semanticDedup]] —
   *                                          SemDeDup's cluster-bounded mode)
+  *   5c. exact substring trim (optional)   ([[Dedup.trimRepeatedSpans]] —
+  *                                          Lee et al. 2022: cut every
+  *                                          cross-doc repeated run >= minLen
+  *                                          out of the survivors)
   *   6. PII redaction                      ([[Pii.scrub]])
   *   7. overlapping context-window chunks  ([[TextAnalysis.tokenChunks]])
   *
@@ -29,7 +33,11 @@ import org.apache.spark.sql.functions._
   * what it saves downstream); PII scrubbing runs after dedup/decontamination
   * so fingerprints are computed over original text (redaction placeholders
   * would otherwise create artificial shared substrings across unrelated
-  * docs); chunking runs last, after every document-level decision.
+  * docs); the substring trim runs after the document-level dedups for the
+  * same reason in reverse — whole-doc and near-dup copies are already
+  * collapsed, so the trim pays its gram shuffle only for genuine partial
+  * boilerplate (and a doc trimmed to nothing is dropped, not chunked);
+  * chunking runs last, after every document-level decision.
   *
   * Shuffle inventory = the sum of its parts (each documented at its
   * operator): per-row gates are scan-speed maps, dedup/decontamination are
@@ -51,6 +59,7 @@ object TrainingPipeline {
       lmMaxScore: Double = Double.MaxValue,
       decontamMinShared: Int = 5,
       decontamBloomBytes: Option[Int] = None,
+      trimRepeatsMinLen: Option[Int] = None,
       chunkSize: Int = 64,
       chunkStride: Int = 48
   )
@@ -195,7 +204,25 @@ object TrainingPipeline {
       case None => deduped
     }
 
-    val scrubbed = embedDeduped.withColumn(textCol, Pii.scrub(text))
+    // 5c (optional): Lee et al. substring trim — replace each survivor's
+    // text with its normalized complement of cross-doc repeated spans; a
+    // doc whose every char was boilerplate vanishes rather than emitting
+    // empty chunks. Runs over the deduped survivors only, so the gram
+    // shuffle never pays for rows earlier stages already dropped.
+    val trimmed = cfg.trimRepeatsMinLen match {
+      case Some(l) =>
+        val kept = Dedup
+          .trimRepeatedSpans(embedDeduped, idCol, textCol, l)
+          .select(col("doc_id").as("__tid"), col("kept_text"))
+        embedDeduped
+          .join(kept, id === col("__tid"))
+          .withColumn(textCol, col("kept_text"))
+          .drop("__tid", "kept_text")
+          .filter(length(text) > 0)
+      case None => embedDeduped
+    }
+
+    val scrubbed = trimmed.withColumn(textCol, Pii.scrub(text))
 
     val chunks = scrubbed
       .select(id.as("doc_id"), explode(TextAnalysis.tokenChunks(text, cfg.chunkSize, cfg.chunkStride)).as("c"))
@@ -208,7 +235,8 @@ object TrainingPipeline {
       "4_fluent" -> fluent,
       "5_decontaminated" -> decontaminated,
       "6_deduped" -> deduped
-    ) ++ (if (embed.isDefined) Seq("6b_embed_deduped" -> embedDeduped) else Nil) ++ Seq(
+    ) ++ (if (embed.isDefined) Seq("6b_embed_deduped" -> embedDeduped) else Nil) ++
+      (if (cfg.trimRepeatsMinLen.isDefined) Seq("6c_trimmed" -> trimmed) else Nil) ++ Seq(
       "7_chunks" -> chunks
     )).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
       .reduce(_ unionByName _)

@@ -22,7 +22,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // join included: bucketization is exactly what keeps it out of BNLJ)
     for (q <- Seq("q59_asof_join", "q62_neardup_clusters", "q64_decontaminate",
                   "q67_tfidf_topk", "q70_funnel", "q74_incremental_probe",
-                  "q88_interval_overlap", "q90_split_leakage")) {
+                  "q88_interval_overlap", "q90_split_leakage",
+                  "q103_repeated_spans", "q104_substring_trim")) {
       val r = report(q)
       assert(!r.hasAllPairsJoin, s"$q has an all-pairs join:\n${r.render}")
     }

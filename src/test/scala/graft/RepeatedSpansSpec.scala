@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Exact substring dedup ([[Dedup.repeatedSpans]] / [[Dedup.trimRepeatedSpans]]):
+  * the Lee et al. 2022 modality — arbitrary-length cross-document repeats with
+  * maximal extents. Fixtures are pre-normalized (lowercase, single spaces) so
+  * expected positions are computable by construction.
+  */
+class RepeatedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 40-char non-self-periodic run planted into two different contexts;
+  // junction chars (pre's last, suf's first) differ across docs so the
+  // maximal shared run is EXACTLY R — a space at the junction would
+  // legitimately extend the repeat by one char per side
+  private val R = "shared forty character run zz qq ww ee!!"
+  private val preA = "aaaa bbbb cccc ddddd"  // 20 chars, ends 'd'
+  private val sufA = "eeee ffff gggg hhhhh"  // 20 chars, starts 'e'
+  private val preB = "iiii jjjjj"            // 10 chars, ends 'j'
+  private val sufB = "kkkk lllll"            // 10 chars, starts 'k'
+
+  test("fixture geometry holds") {
+    assert(R.length == 40 && preA.length == 20 && sufA.length == 20)
+    assert(preB.length == 10 && sufB.length == 10)
+  }
+
+  test("planted cross-doc run surfaces as one maximal span per doc, exact extents") {
+    val docs = Seq((1L, preA + R + sufA), (2L, preB + R + sufB)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 30)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSeq
+    // extents are exactly the planted run: [pre.len + 1, pre.len + R.len],
+    // one merged span (never one span per seed gram), 40 - 30 + 1 = 11 seeds
+    assert(spans == Seq(
+      (1L, preA.length + 1, preA.length + R.length, R.length, 11L),
+      (2L, preB.length + 1, preB.length + R.length, R.length, 11L)
+    ))
+  }
+
+  test("within-doc-only repetition is not cross-doc evidence") {
+    val docs = Seq(
+      (1L, R + " middle filler words here " + R), // repeats only inside doc 1
+      (2L, "totally different content with no run overlap at all beyond this")
+    ).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 30).count() == 0)
+  }
+
+  test("repeats shorter than minLen are invisible") {
+    val short = R.take(29)
+    val docs = Seq((1L, preA + short + sufA), (2L, preB + short + sufB)).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 30).count() == 0)
+  }
+
+  test("block-misaligned copies merge into ONE span (the q75 gap this closes)") {
+    // same run at very different offsets — fixed-block hashing sees different
+    // blocks; the grouped-gram formulation is offset-free by construction
+    val longPre = ("x" * 37) + " " + ("y" * 26)  // 64 chars, ends 'y'
+    val docs = Seq((1L, preA + R + sufA), (2L, longPre + R + sufB)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 30)
+      .orderBy($"doc_id").collect()
+    assert(spans.length == 2, "exactly one maximal span per doc")
+    assert(spans(1).getInt(1) == longPre.length + 1 && spans(1).getInt(3) == R.length)
+  }
+
+  test("exact duplicate docs are fully covered; trim empties them and spares the rest") {
+    val x = preA + R + sufA
+    val y = "completely original text that appears exactly once in this corpus okay"
+    val docs = Seq((1L, x), (2L, x), (3L, y)).toDF("doc_id", "text")
+    val trimmed = Dedup.trimRepeatedSpans(docs, "doc_id", "text", minLen = 30)
+      .orderBy($"doc_id").collect()
+    assert(trimmed(0).getAs[String]("kept_text") == "" &&
+      trimmed(0).getAs[Int]("removed_chars") == x.length &&
+      trimmed(0).getAs[Int]("n_spans") == 1)
+    assert(trimmed(1).getAs[String]("kept_text") == "")
+    assert(trimmed(2).getAs[String]("kept_text") == y &&
+      trimmed(2).getAs[Int]("removed_chars") == 0 &&
+      trimmed(2).getAs[Int]("n_spans") == 0)
+  }
+
+  test("trim cuts exactly the covered chars, keeping the complement verbatim") {
+    val docs = Seq((1L, preA + R + sufA), (2L, preB + R + sufB)).toDF("doc_id", "text")
+    val kept = Dedup.trimRepeatedSpans(docs, "doc_id", "text", minLen = 30)
+      .orderBy($"doc_id").collect().map(_.getAs[String]("kept_text")).toSeq
+    assert(kept == Seq(preA + sufA, preB + sufB))
+  }
+
+  test("spans are invariant to partition layout") {
+    val docs = (1L to 50L).map { i =>
+      val body = if (i % 5 == 0) preA + R + s" tail $i" else s"unique text body number $i with no shared runs inside"
+      (i, body)
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.repeatedSpans(docs.repartition(parts), "doc_id", "text", minLen = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(run(1) == run(13))
+    assert(run(1).nonEmpty)
+  }
+}

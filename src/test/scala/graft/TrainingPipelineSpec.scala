@@ -45,6 +45,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!texts.contains("someone@example.com") && texts.contains("<EMAIL>"))
   }
 
+  test("substring-trim stage cuts cross-doc boilerplate out of survivors (Lee et al. trim)") {
+    val footer = "this footer sentence repeats across documents verbatim every single time"
+    val textA = "a long field report on the harvest season describing tools and yields and the" +
+      " daily rhythm of the farm in plain words that satisfy the length gate nicely " + footer
+    val textB = "notes from the harbor master about tides and cargo manifests and the slow" +
+      " traffic of small boats through the morning fog written for the town record " + footer
+    val textC = "an unrelated essay on letter writing customs of the period with no shared" +
+      " boilerplate at all and enough plain english words to clear every quality gate easily"
+    val docs = Seq((1L, textA), (2L, textB), (3L, textC)).toDF("doc_id", "text")
+    val cfg = TrainingPipeline.Config(trimRepeatsMinLen = Some(30))
+    val (chunks, audit) = TrainingPipeline.prepare(docs, bench, "doc_id", "text", cfg)
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("6c_trimmed") == a("6_deduped"), "no doc is all-boilerplate here — none may vanish")
+    val byDoc = chunks.groupBy($"doc_id")
+      .agg(concat_ws(" ", collect_list($"chunk")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    assert(!byDoc(1L).contains("footer sentence") && !byDoc(2L).contains("footer sentence"),
+      "the shared footer must be trimmed from every copy")
+    assert(byDoc(1L).contains("harvest") && byDoc(2L).contains("harbor"),
+      "original (non-boilerplate) content must survive the trim")
+    assert(byDoc(3L).contains("letter writing"), "doc without boilerplate is untouched")
+  }
+
   test("LM fluency gate drops the out-of-distribution doc when a reference is supplied") {
     // doc 7 passes length/quality/repetition gates but is token salad far
     // from the reference distribution; with the LM gate on it must go.
