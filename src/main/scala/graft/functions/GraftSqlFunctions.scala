@@ -71,6 +71,12 @@ object GraftSqlFunctions {
     }),
     ("graft_bloom_might_contain", "(bloomBits, bigintKey)", {
       case Seq(bits, k) => BloomMightContain(bits, k)
+    }),
+    ("graft_image_dhash", "(binary)", {
+      case Seq(b) => ImageDHash64(b)
+    }),
+    ("graft_image_ahash", "(binary)", {
+      case Seq(b) => ImageAHash64(b)
     })
   )
 

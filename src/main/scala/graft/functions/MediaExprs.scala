@@ -479,8 +479,22 @@ object PHashSupport {
   private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
     if (bytes == null) null
     else
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+      try {
+        // explicit MemoryCacheImageInputStream: ImageIO.read(InputStream)
+        // otherwise routes through the shared on-disk stream cache, whose
+        // lazily-initialized tmp-file path produced wrong-pixel decodes
+        // under concurrent executor threads — and per-row scan expressions
+        // must not touch disk per row anyway
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        // ImageIO.read(ImageInputStream) closes the stream itself on the
+        // read path (closing it again throws "closed" and would discard a
+        // successful decode); it only leaves it open on the no-reader
+        // path, where the close below releases the memory cache
+        val img = javax.imageio.ImageIO.read(iis)
+        if (img == null) { try iis.close() catch { case _: java.io.IOException => () } }
+        img
+      } catch { case scala.util.control.NonFatal(_) => null }
 
   /** 64-bit dHash; null (boxed) when the bytes do not decode as an image. */
   def dHash64(bytes: Array[Byte]): java.lang.Long = {

@@ -192,6 +192,39 @@ object Dedup {
       bits = 32
     )
 
+  /** Image-content near-dup pairs: 64-bit perceptual dHash
+    * ([[graft.functions.PHashSupport]] — codegen expression over the
+    * decoded luminance grid) banded through the SAME Manku machinery as
+    * [[simhash64Pairs]], so candidate generation is exact at `maxHamming`
+    * by pigeonhole and sub-quadratic by banding. Catches re-encoded /
+    * recompressed / resized image copies whose BYTES differ — invisible to
+    * byte-digest dedup (the reference's only image mechanism,
+    * /root/reference/src/engine/hash.py:27-40). Rows whose bytes do not
+    * decode as an image (NULL hash) drop out before banding: a corrupt
+    * blob never pairs with anything.
+    *
+    * Scale shape: the decode+hash is the per-row cost (the heaviest scan
+    * expression in the engine — gate with the header sniff first, and
+    * pair with [[Multimodal.repartitionByBytes]] for skewed media); the
+    * pair search itself is the banded equi-join, same inventory as q52.
+    */
+  def phashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    bandedFingerprintPairs(
+      df.select(
+          col(idCol).as("doc_id"),
+          graft.functions.MediaExprs.imageDHash64(col(contentCol)).as("fp"))
+        .filter(col("fp").isNotNull),
+      maxHamming,
+      blocks,
+      bits = 64
+    )
+
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH banding for
     * candidate generation + exact cosine verification at `threshold` —
     * the dedup-shaped sibling of the ANN family ([[Similarity]]).

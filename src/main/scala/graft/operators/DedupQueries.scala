@@ -672,7 +672,38 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Perceptual image-hash near-dup ([[Dedup.phashNearDupPairs]]): dHash64
+    * over a deterministic synthetic photo corpus
+    * ([[Multimodal.phashPhotoFixture]] — every id renders a block-pattern
+    * PNG; ids ≡ 0 (mod 10) carry a planted base whose ≡ 1 neighbor is the
+    * same pattern RESIZED to half resolution with exactly one grid cell
+    * flipped). The engine must find exactly the planted (base, copy) pairs
+    * at hamming 1 — resized copies cluster, the ~24-expected-hamming
+    * unpaired patterns never do — via real PNG decode + grid hash +
+    * Manku banding. The oracle re-derives the pair list from the fixture's
+    * id arithmetic (construction-derived oracle, the q79/q92 pattern:
+    * DuckDB cannot decode PNGs, but the fixture is engineered so the
+    * correct answer is provable from ids alone; any engine-side hash or
+    * banding drift breaks the match).
+    */
+  private val q105 = Q(
+    "q105_phash_neardup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val photos = Multimodal.phashPhotoFixture(T.documents.select($"doc_id"), "doc_id")
+      Dedup
+        .phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3)
+        .orderBy($"doc_a")
+    },
+    Some("""
+      SELECT d.doc_id AS doc_a, e.doc_id AS doc_b, CAST(1 AS INT) AS hamming
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 10 = 0
+      ORDER BY doc_a
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104)
+      q103, q104, q105)
 }

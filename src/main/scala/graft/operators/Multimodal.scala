@@ -545,6 +545,78 @@ object Multimodal {
     box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes) ++ moov ++ moofs
   }
 
+  /** Deterministic block-pattern PNG for the perceptual-hash gates: an
+    * 8-row x 9-col grid of solid black/white cells (cell edges aligned to
+    * the dHash grid, so grid means are EXACT cell values and every dHash
+    * bit is decided by the construction, not by sampling). Cell bits come
+    * from two splitmix64 mixes of `seed`. When `paired`, cells (0,0)/(0,1)
+    * are forced (0, 255) in the base and (255, 255) in the copy — exactly
+    * ONE dHash comparison flips, so a (base, copy) pair sits at hamming 1
+    * by construction; rendering the copy at a different `cellPx` is the
+    * resize a byte-hash cannot see through.
+    */
+  def blockPatternPng(seed: Long, cellPx: Int, paired: Boolean, isCopy: Boolean): Array[Byte] = {
+    val rows = 8
+    val cols = 9
+    val v1 = graft.functions.BloomSupport.mix(seed)
+    val v2 = graft.functions.BloomSupport.mix(seed ^ 0x517cc1b727220a95L)
+    def cellBit(i: Int): Long = if (i < 64) (v1 >>> i) & 1L else (v2 >>> (i - 64)) & 1L
+    val img = new java.awt.image.BufferedImage(
+      cols * cellPx, rows * cellPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols) {
+        var b = if (cellBit(r * cols + c) == 1L) 255 else 0
+        if (paired) {
+          if (r == 0 && c == 0) b = if (isCopy) 255 else 0
+          if (r == 0 && c == 1) b = 255
+        }
+        val rgb = (b << 16) | (b << 8) | b
+        var y = r * cellPx
+        while (y < (r + 1) * cellPx) {
+          var x = c * cellPx
+          while (x < (c + 1) * cellPx) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic photo corpus for the q105 perceptual-dedup gate, keyed
+    * by the documents table's ids: ids with `id % 10 == 0` render the
+    * paired BASE pattern (seed = id), ids with `id % 10 == 1` render the
+    * COPY of seed id-1 at half the cell resolution (the planted
+    * re-encode+resize), everything else gets a unique unpaired pattern.
+    * The oracle re-derives the expected pair list from this id arithmetic
+    * alone — the same construction-derived-oracle pattern as q79/q92's
+    * synthesized containers. Typed mapPartitions (no ScalaUDF on any
+    * query path — the PlanInvariants rule).
+    */
+  def phashPhotoFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val content =
+            if (id % 10 == 0) blockPatternPng(id, cellPx = 8, paired = true, isCopy = false)
+            else if (id % 10 == 1)
+              blockPatternPng(id - 1, cellPx = 4, paired = true, isCopy = true)
+            else blockPatternPng(id, cellPx = 8, paired = false, isCopy = false)
+          (id, content)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per
     * task instead of a row count — media corpora are heavily skewed.
     */

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *                                          [[VectorIndex]] probed per refresh,
   *                                          or [[Dedup.semanticDedup]] —
   *                                          SemDeDup's cluster-bounded mode)
-  *   5c. exact substring trim (optional)   ([[Dedup.trimRepeatedSpans]] —
+  *   5c. image near-dup collapse (optional) ([[Dedup.phashNearDupPairs]] —
+  *                                          perceptual dHash over a photo
+  *                                          side table; re-encoded/resized
+  *                                          image copies collapse like text
+  *                                          near-dups)
+  *   5d. exact substring trim (optional)   ([[Dedup.trimRepeatedSpans]] —
   *                                          Lee et al. 2022: cut every
   *                                          cross-doc repeated run >= minLen
   *                                          out of the survivors)
@@ -96,6 +101,20 @@ object TrainingPipeline {
     * modes (no embedding ⇒ no candidate). Size the centroid count with
     * the corpus (k ∝ N) — see the operator's scaladoc.
     */
+  /** Optional image near-dup stage (5c): `photos` is a side table keyed
+    * like the corpus ((idCol, contentCol) — e.g. the photo-store read-back
+    * table, [[graft.sources.vgsi.PhotoSink.photoTable]]). Docs whose photo
+    * perceptually duplicates a surviving smaller-id doc's photo are
+    * dropped (the same min-id cluster rule as the text near-dup stage);
+    * docs without a photo, or with undecodable bytes, always survive.
+    */
+  final case class ImageStage(
+      photos: DataFrame,
+      idCol: String = "doc_id",
+      contentCol: String = "content",
+      maxHamming: Int = 3
+  )
+
   final case class EmbedStage(
       embeddings: DataFrame,
       idCol: String = "doc_id",
@@ -122,7 +141,8 @@ object TrainingPipeline {
       textCol: String,
       cfg: Config = Config(),
       lmRef: Option[DataFrame] = None,
-      embed: Option[EmbedStage] = None
+      embed: Option[EmbedStage] = None,
+      image: Option[ImageStage] = None
   ): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val text = col(textCol)
@@ -204,7 +224,22 @@ object TrainingPipeline {
       case None => deduped
     }
 
-    // 5c (optional): Lee et al. substring trim — replace each survivor's
+    // 5c (optional): perceptual image dedup — pairs come from the photos
+    // of docs still alive (semi-join first, same rationale as the embed
+    // stage), collapsed with the min-id cluster rule. A doc with no photo
+    // row (or undecodable bytes → NULL hash) never pairs, so it survives.
+    val imageDeduped = image match {
+      case Some(im) =>
+        val alive = im.photos.join(
+          embedDeduped.select(id.as("__alive")),
+          col(im.idCol) === col("__alive"),
+          "left_semi")
+        val pairs = Dedup.phashNearDupPairs(alive, im.idCol, im.contentCol, im.maxHamming)
+        Dedup.dropNearDups(embedDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
+      case None => embedDeduped
+    }
+
+    // 5d (optional): Lee et al. substring trim — replace each survivor's
     // text with its normalized complement of cross-doc repeated spans; a
     // doc whose every char was boilerplate vanishes rather than emitting
     // empty chunks. Runs over the deduped survivors only, so the gram
@@ -212,14 +247,14 @@ object TrainingPipeline {
     val trimmed = cfg.trimRepeatsMinLen match {
       case Some(l) =>
         val kept = Dedup
-          .trimRepeatedSpans(embedDeduped, idCol, textCol, l)
+          .trimRepeatedSpans(imageDeduped, idCol, textCol, l)
           .select(col("doc_id").as("__tid"), col("kept_text"))
-        embedDeduped
+        imageDeduped
           .join(kept, id === col("__tid"))
           .withColumn(textCol, col("kept_text"))
           .drop("__tid", "kept_text")
           .filter(length(text) > 0)
-      case None => embedDeduped
+      case None => imageDeduped
     }
 
     val scrubbed = trimmed.withColumn(textCol, Pii.scrub(text))
@@ -236,7 +271,8 @@ object TrainingPipeline {
       "5_decontaminated" -> decontaminated,
       "6_deduped" -> deduped
     ) ++ (if (embed.isDefined) Seq("6b_embed_deduped" -> embedDeduped) else Nil) ++
-      (if (cfg.trimRepeatsMinLen.isDefined) Seq("6c_trimmed" -> trimmed) else Nil) ++ Seq(
+      (if (image.isDefined) Seq("6c_image_deduped" -> imageDeduped) else Nil) ++
+      (if (cfg.trimRepeatsMinLen.isDefined) Seq("6d_trimmed" -> trimmed) else Nil) ++ Seq(
       "7_chunks" -> chunks
     )).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
       .reduce(_ unionByName _)

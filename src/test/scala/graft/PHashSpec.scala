@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.{MediaExprs, PHashSupport}
+import graft.operators.{Dedup, Multimodal, TrainingPipeline}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing (dHash/aHash) + the banded pair search and the
+  * pipeline image-dedup stage built on it.
+  */
+class PHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dHash is resize-invariant on block patterns (the re-encode/resize blind spot of byte hashing)") {
+    val big = Multimodal.blockPatternPng(42L, cellPx = 8, paired = false, isCopy = false)
+    val small = Multimodal.blockPatternPng(42L, cellPx = 3, paired = false, isCopy = false)
+    assert(!java.util.Arrays.equals(big, small), "the bytes differ — md5 dedup sees two files")
+    assert(PHashSupport.dHash64(big) == PHashSupport.dHash64(small),
+      "same scene at different resolution must dHash identically")
+    // aHash's 8-col grid does NOT align with the 9-col block pattern, so
+    // exact equality across resolutions is not promised there — only dHash
+    // (whose 9-col grid matches the fixture) is exact on these fixtures
+  }
+
+  test("aHash: row-aligned scene is exactly resolution-invariant; bits are orientation-correct") {
+    // rows align with aHash's 8-row grid at any cell size, so a top-dark /
+    // bottom-bright scene has EXACTLY rows 4-7 above the mean: the 32 high
+    // bits — at every resolution
+    def halfPng(cellPx: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8 * cellPx, 8 * cellPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8 * cellPx; x <- 0 until 8 * cellPx)
+        img.setRGB(x, y, if (y < 4 * cellPx) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val expected = java.lang.Long.valueOf(0xffffffff00000000L)
+    assert(PHashSupport.aHash64(halfPng(9)) == expected)
+    assert(PHashSupport.aHash64(halfPng(3)) == expected)
+  }
+
+  test("planted base/copy pair sits at hamming exactly 1; unrelated patterns are far") {
+    val base = PHashSupport.dHash64(Multimodal.blockPatternPng(10L, 8, paired = true, isCopy = false))
+    val copy = PHashSupport.dHash64(Multimodal.blockPatternPng(10L, 4, paired = true, isCopy = true))
+    assert(java.lang.Long.bitCount(base ^ copy) == 1,
+      "the fixture flips exactly one grid comparison")
+    val other = PHashSupport.dHash64(Multimodal.blockPatternPng(11L, 8, paired = false, isCopy = false))
+    assert(java.lang.Long.bitCount(base ^ other) > 3,
+      "independent patterns must not fall inside the dedup radius")
+  }
+
+  test("undecodable bytes hash to NULL, never throw (untrusted-input rule), incl. via SQL") {
+    assert(PHashSupport.dHash64(null) == null)
+    assert(PHashSupport.dHash64(Array.empty[Byte]) == null)
+    assert(PHashSupport.dHash64(Array[Byte](1, 2, 3, 4, 5)) == null)
+    // PNG magic with a truncated body
+    assert(PHashSupport.dHash64(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a)) == null)
+    val r = spark.sql("SELECT graft_image_dhash(CAST('junk' AS BINARY)) AS v").head()
+    assert(r.isNullAt(0))
+    assert(spark.sql("SELECT graft_image_ahash(CAST('junk' AS BINARY)) AS v").head().isNullAt(0))
+  }
+
+  test("the hash expression runs inside whole-stage codegen at the scan") {
+    // a mapPartitions fixture keeps the content column non-foldable —
+    // imageDHash64(lit(png)) would be constant-folded clean out of the plan
+    val df = Multimodal.phashPhotoFixture((1L to 50L).toDF("doc_id"), "doc_id")
+      .select($"doc_id", MediaExprs.imageDHash64($"content").as("h"))
+      .filter($"h".isNotNull)
+    val line = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.toLowerCase.contains("imagedhash")).getOrElse("")
+    assert(line.trim.matches("""^(\+- )?\*\(\d+\) (Filter|Project) .*"""),
+      s"dhash must stay inside codegen, got: $line")
+    assert(df.count() == 50)
+  }
+
+  test("phashNearDupPairs finds exactly the planted pairs; corrupt rows never pair") {
+    val photos = Multimodal
+      .phashPhotoFixture((1L to 60L).toDF("doc_id"), "doc_id")
+      // plant a corrupt blob on an id that would otherwise be a unique pattern
+      .withColumn("content",
+        when($"doc_id" === 7L, lit("not an image".getBytes)).otherwise($"content"))
+    val pairs = Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(pairs == Seq((10L, 11L, 1), (20L, 21L, 1), (30L, 31L, 1), (40L, 41L, 1), (50L, 51L, 1)))
+  }
+
+  test("pipeline ImageStage drops the doc whose photo is a perceptual dup of a survivor's") {
+    // three genuinely different texts: near-identical filler would collapse
+    // in the TEXT near-dup stage and mask what the image stage does
+    val docs = Seq(
+      (1L, "a field report on the harvest season describing tools and yields and the daily" +
+        " rhythm of the farm in plain words that satisfy the length gate nicely"),
+      (2L, "notes from the harbor master about tides and cargo manifests and the slow traffic" +
+        " of small boats through the morning fog written for the town record"),
+      (3L, "an essay on letter writing customs of the period with no shared boilerplate at" +
+        " all and enough plain english words to clear every quality gate easily")
+    ).toDF("doc_id", "text")
+    // doc 2's photo = doc 1's photo resized (perceptual dup); doc 3 distinct
+    val photos = Seq(
+      (1L, Multimodal.blockPatternPng(500L, 8, paired = false, isCopy = false)),
+      (2L, Multimodal.blockPatternPng(500L, 4, paired = false, isCopy = false)),
+      (3L, Multimodal.blockPatternPng(777L, 8, paired = false, isCopy = false))
+    ).toDF("doc_id", "content")
+    val bench = Seq((100L, "zz unrelated benchmark text zz")).toDF("doc_id", "text")
+    val (chunks, audit) = TrainingPipeline.prepare(
+      docs, bench, "doc_id", "text",
+      image = Some(TrainingPipeline.ImageStage(photos)))
+    val kept = chunks.select($"doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"doc 2 must fall to the image dedup, got $kept")
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("6c_image_deduped") == a("6_deduped") - 1)
+  }
+}

@@ -57,7 +57,7 @@ class TrainingPipelineSpec extends SparkSpec {
     val cfg = TrainingPipeline.Config(trimRepeatsMinLen = Some(30))
     val (chunks, audit) = TrainingPipeline.prepare(docs, bench, "doc_id", "text", cfg)
     val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(a("6c_trimmed") == a("6_deduped"), "no doc is all-boilerplate here — none may vanish")
+    assert(a("6d_trimmed") == a("6_deduped"), "no doc is all-boilerplate here — none may vanish")
     val byDoc = chunks.groupBy($"doc_id")
       .agg(concat_ws(" ", collect_list($"chunk")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
