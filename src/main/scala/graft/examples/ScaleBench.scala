@@ -52,6 +52,9 @@ object ScaleBench {
     "q100_novelty",
     "q101_novelty_vs_ref",
     "q102_token_budget",
+    // q106 = q102's budget machinery with the scan-side exact BPE count —
+    // the delta over q102's curve is the per-row merge walk, no new shuffle
+    "q106_bpe_token_budget",
     // round-8 exact substring dedup: the cipher copies are gram-disjoint
     // across copies and gram-isomorphic within one, so repeated spans scale
     // exactly k× — the row law; the gram table and its two linear shuffles

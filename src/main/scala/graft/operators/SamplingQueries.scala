@@ -222,6 +222,31 @@ object SamplingQueries {
     """.trim)
   )
 
+  /** q102/q106 shared oracle builder: the two-phase token-budget prefix
+    * sum with the per-doc token count SQL as the one parameter — the
+    * whitespace count (q102) and the exact BPE count (q106) gate through
+    * the SAME budget arithmetic, so the two can never drift.
+    */
+  private def tokenBudgetOracleSql(tokExpr: String): String = s"""
+      WITH base AS (SELECT doc_id, source,
+                           $tokExpr AS tok,
+                           ${duckHash("doc_id")} AS h,
+                           CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                                       WHEN 'src2' THEN 500 ELSE -1 END AS budget
+                    FROM documents),
+      f AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM base WHERE budget >= 0),
+      st AS (SELECT source, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
+      o AS (SELECT source, shard,
+                   CAST(sum(stok) OVER (PARTITION BY source ORDER BY shard) - stok AS BIGINT) AS off
+            FROM st),
+      cum AS (SELECT f.doc_id, f.source, f.tok, f.budget,
+                     CAST(sum(f.tok) OVER (PARTITION BY f.source, f.shard ORDER BY f.h, f.doc_id, f.tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + o.off AS BIGINT) AS cum
+              FROM f JOIN o ON f.source = o.source AND f.shard = o.shard)
+      SELECT doc_id, source, tok AS n_tokens FROM cum
+      WHERE cum - tok < budget ORDER BY doc_id
+    """.trim
+
   /** Token-budget mixture ([[Sampling.tokenBudgetMixture]]): fill 2000
     * tokens of src0, 1000 of src1, 500 of src2 (other sources dropped)
     * with the two-phase distributed prefix sum — the oracle replays the
@@ -246,26 +271,59 @@ object SamplingQueries {
         .select($"doc_id", $"source", $"n_tokens")
         .orderBy($"doc_id")
     },
-    Some(s"""
-      WITH base AS (SELECT doc_id, source,
-                           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS tok,
-                           ${duckHash("doc_id")} AS h,
-                           CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
-                                       WHEN 'src2' THEN 500 ELSE -1 END AS budget
-                    FROM documents),
-      f AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM base WHERE budget >= 0),
-      st AS (SELECT source, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
-      o AS (SELECT source, shard,
-                   CAST(sum(stok) OVER (PARTITION BY source ORDER BY shard) - stok AS BIGINT) AS off
-            FROM st),
-      cum AS (SELECT f.doc_id, f.source, f.tok, f.budget,
-                     CAST(sum(f.tok) OVER (PARTITION BY f.source, f.shard ORDER BY f.h, f.doc_id, f.tok
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + o.off AS BIGINT) AS cum
-              FROM f JOIN o ON f.source = o.source AND f.shard = o.shard)
-      SELECT doc_id, source, tok AS n_tokens FROM cum
-      WHERE cum - tok < budget ORDER BY doc_id
-    """.trim)
+    Some(tokenBudgetOracleSql(
+      "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)"))
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102)
+  /** The merges table q106 budgets with: a tiny well-formed English-pair
+    * BPE (each compound symbol produced by an earlier rank), shared
+    * verbatim between the engine expression and the oracle's unrolled
+    * replace chain.
+    */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("in", "g"),
+    ("o", "u")
+  )
+
+  /** BPE token-budget mixture ([[graft.functions.BpeExprs.bpeTokenCount]]
+    * feeding [[Sampling.tokenBudgetMixture]]): the q102 contract with the
+    * budgets measured in EXACT model tokens instead of whitespace splits —
+    * how budgets are actually specified in production ("20B tokens of
+    * web"). The oracle re-derives the same merges walk per word (the
+    * rank-sequential replace chain, provably equal to the min-rank loop
+    * for validated tables — [[graft.functions.BpeSupport]]) and then the
+    * same budget arithmetic through the shared builder.
+    */
+  private val q106 = Q(
+    "q106_bpe_token_budget",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val withTok = T.documents.withColumn(
+        "n_tokens",
+        graft.functions.BpeExprs.bpeTokenCount(lower($"text"), BpeMerges).cast("long"))
+      Sampling
+        .tokenBudgetMixture(
+          withTok,
+          group = $"source",
+          key = $"doc_id",
+          tokens = $"n_tokens",
+          budgets = Map("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L),
+          numShards = 8
+        )
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    },
+    Some(tokenBudgetOracleSql(
+      graft.functions.BpeSupport.duckDocCountSql("lower(text)", BpeMerges)))
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106)
 }

@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.{BpeExprs, BpeSupport}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenization: the GPT-2 merge loop, its rank-sequential/replace-chain
+  * equivalence (what lets the DuckDB oracle be an unrolled expression), and
+  * the Spark expression surface.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val merges = graft.operators.SamplingQueries.BpeMerges
+  private def ranks(m: Seq[(String, String)]) = new BpeSupport.Ranks(m.toArray)
+
+  test("hand-computed fixture parity (the GPT-2 walk)") {
+    val r = ranks(merges)
+    // "the": t h e -> (t,h)@0 -> th e -> (th,e)@1 -> the
+    assert(BpeSupport.tokenizeWord("the", r).toSeq == Seq("the"))
+    // "thin": t h i n -> th i n -> th in
+    assert(BpeSupport.tokenizeWord("thin", r).toSeq == Seq("th", "in"))
+    // "and": a n d -> an d -> and
+    assert(BpeSupport.tokenizeWord("and", r).toSeq == Seq("and"))
+    // "round": r o u n d -> (o,u)@9 -> r ou n d -> no (ou,n)/(r,ou)/(n,d) -> 4
+    assert(BpeSupport.tokenizeWord("round", r).toSeq == Seq("r", "ou", "n", "d"))
+    assert(BpeSupport.tokenizeWord("x", r).toSeq == Seq("x"))
+    assert(BpeSupport.tokenizeWord("", r).isEmpty)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeSupport.countTokens(UTF8String.fromString("the thin and"), r) == 4)
+    assert(BpeSupport.countTokens(UTF8String.fromString("  the  "), r) == 1)
+    assert(BpeSupport.countTokens(null, r) == 0)
+  }
+
+  /** The oracle's per-word computation, replayed in Scala: rank-sequential,
+    * each rank applied as TWO left-to-right string replaces over the
+    * space-separated symbol encoding — char-for-char what the DuckDB SQL
+    * does.
+    */
+  private def replayOracleWord(word: String, m: Seq[(String, String)]): Int = {
+    if (word.isEmpty) return 0
+    var s = " " + word.map(c => s"$c ").mkString // ' ' + "a b c "
+    for ((a, b) <- m) {
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      s = s.replace(pat, rep).replace(pat, rep)
+    }
+    s.trim.split(" ").length
+  }
+
+  test("min-rank loop == the oracle's rank-sequential replace chain (randomized, well-formed tables)") {
+    val rnd = new scala.util.Random(7)
+    val atoms = "abcd"
+    for (round <- 1 to 200) {
+      // grow a well-formed table: each merge draws from atoms + prior outputs
+      var symbols = atoms.map(_.toString).toVector
+      val table = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val used = scala.collection.mutable.HashSet[(String, String)]()
+      while (table.size < 8) {
+        val a = symbols(rnd.nextInt(symbols.size))
+        val b = symbols(rnd.nextInt(symbols.size))
+        // duplicates are invalid BPE tables (validate rejects them);
+        // self-pairs are valid for the ENGINE but outside the SQL replay's
+        // contract (see duckWordCountSql), so the equivalence property
+        // draws from the replay's domain
+        if (a != b && used.add((a, b))) {
+          table += ((a, b))
+          symbols :+= (a + b)
+        }
+      }
+      BpeSupport.validate(table.toSeq)
+      val r = ranks(table.toSeq)
+      for (_ <- 1 to 20) {
+        val w = Seq.fill(1 + rnd.nextInt(12))(atoms(rnd.nextInt(atoms.length))).mkString
+        val viaLoop = BpeSupport.tokenizeWord(w, r).length
+        val viaChain = replayOracleWord(w, table.toSeq)
+        assert(viaLoop == viaChain,
+          s"divergence on word '$w' with table $table: loop=$viaLoop chain=$viaChain")
+      }
+    }
+  }
+
+  test("self-pairs follow GPT-2's symbol-pairwise walk (engine semantics beyond the SQL replay)") {
+    val r = ranks(Seq(("a", "a"), ("aa", "aa")))
+    assert(BpeSupport.tokenizeWord("aaaaaa", r).toSeq == Seq("aaaa", "aa"),
+      "6-run: pairwise (aa,aa,aa) then (aaaa, aa)")
+    assert(BpeSupport.tokenizeWord("aaaaa", r).toSeq == Seq("aaaa", "a"))
+    assert(BpeSupport.tokenizeWord("aaa", r).toSeq == Seq("aa", "a"))
+    // and the SQL replay refuses the table instead of silently diverging
+    intercept[IllegalArgumentException] {
+      BpeSupport.duckWordCountSql("w", Seq(("a", "a")))
+    }
+  }
+
+  test("malformed tables are rejected (compound symbol with no producing rank)") {
+    intercept[IllegalArgumentException] {
+      BpeSupport.validate(Seq(("ab", "c"), ("a", "b"))) // "ab" used before produced
+    }
+    intercept[IllegalArgumentException] {
+      BpeSupport.validate(Seq(("a", " "))) // whitespace symbol
+    }
+    BpeSupport.validate(Seq(("a", "b"), ("ab", "c"))) // well-formed passes
+  }
+
+  test("token ids index the vocabulary; OOV is -1") {
+    val vocab = Seq("the", "th", "in", "and") // no atom entries
+    val df = Seq((1L, "the thin and xyz")).toDF("id", "t")
+      .select(BpeExprs.bpeTokenIds($"t", merges, vocab).as("ids"))
+    // the -> [the]; thin -> [th, in]; and -> [and]; xyz -> x,y,z all OOV
+    assert(df.head.getSeq[Int](0) == Seq(0, 1, 2, 3, -1, -1, -1))
+  }
+
+  test("expression surface: codegen placement, determinism, and Column parity") {
+    // range-derived strings: a Seq-literal LocalRelation would be folded
+    // whole by ConvertToLocalRelation and leave no codegen to assert
+    val docs = spark.range(1, 201)
+      .select($"id", concat(lit("the thing number "), $"id", lit(" rounds on and on")).as("t"))
+    val counted = docs.select($"id", BpeExprs.bpeTokenCount(lower($"t"), merges).as("n"))
+    val line = counted.queryExecution.executedPlan.toString
+      .linesIterator.find(_.toLowerCase.contains("bpetokencount")).getOrElse("")
+    assert(line.trim.matches("""^(\+- )?\*\(\d+\) (Project|Filter) .*"""),
+      s"bpe count must stay inside codegen, got: $line")
+    val a = counted.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = docs.repartition(13)
+      .select($"id", BpeExprs.bpeTokenCount(lower($"t"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
