@@ -24,12 +24,20 @@ object CorpusPipeline {
     * rows, keeping the classifier's `classifier_low` reason for the
     * subtler model-detected rejections), still a pure per-row projection.
     */
+  /** `minCompressionPermille`: optional redundancy gate — docs whose
+    * UTF-8 bytes deflate below this permille of their raw size
+    * ([[TextAnalysis.compressionPermille]]) drop as `too_compressible`
+    * (boilerplate/template/generated text compresses dramatically; normal
+    * prose sits far above any sane threshold). Runs with the heuristic
+    * gates, still a pure per-row projection.
+    */
   final case class Config(
       minTokens: Int = 10,
       minQuality: Double = 0.3,
       allowedLangs: Seq[String] = Seq("en"),
       nearDupJaccard: Double = 0.8,
-      classifier: Option[(Array[Long], Long)] = None
+      classifier: Option[(Array[Long], Long)] = None,
+      minCompressionPermille: Option[Long] = None
   )
 
   /** Returns the corpus annotated with `drop_reason` (null = kept). */
@@ -58,12 +66,19 @@ object CorpusPipeline {
         .when(!col("__lang").isInCollection(cfg.allowedLangs), "wrong_lang")
         .when(col("__quality") < cfg.minQuality, "low_quality")
         .when(col("__exact_rank") > 1, "exact_dup")
+    val compressGate = cfg.minCompressionPermille match {
+      case Some(minPm) =>
+        heuristicGate.when(
+          TextAnalysis.compressionPermille(text) < minPm,
+          "too_compressible")
+      case None => heuristicGate
+    }
     val fullGate = cfg.classifier match {
       case Some((weights, minScore)) =>
-        heuristicGate.when(
+        compressGate.when(
           TextAnalysis.hashedLinearScore(text, weights) < minScore,
           "classifier_low")
-      case None => heuristicGate
+      case None => compressGate
     }
     val gated = withExact
       .withColumn("__gate", fullGate)

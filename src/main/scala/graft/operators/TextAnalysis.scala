@@ -281,6 +281,21 @@ object TextAnalysis {
     size(filter(grams, g => !graft.functions.BloomExprs.mightContain(lit(bloomBits), h(g))))
   }
 
+  /** Exact-integer compression ratio in permille: 1000 · deflated / raw
+    * bytes of the UTF-8 text ([[graft.functions.CompressExprs.deflatedSize]]).
+    * Low permille = highly redundant (boilerplate/template/generated) —
+    * the cheap scan-side gate complementing q65's token repetition.
+    * NULL for empty text (no bytes to measure).
+    */
+  def compressionPermille(text: Column, level: Int = 6): Column = {
+    val bytes = encode(text, "UTF-8")
+    when(
+      octet_length(bytes) > 0,
+      (lit(1000L) * graft.functions.CompressExprs.deflatedSize(bytes, level)
+        .cast("long")) / octet_length(bytes)
+    ).cast("long")
+  }
+
   def hashedLinearScore(text: Column, weights: Array[Long], maxNgram: Int = 2): Column = {
     require(weights.nonEmpty, "need a non-empty weight table")
     require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")

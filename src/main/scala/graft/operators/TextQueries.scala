@@ -698,6 +698,63 @@ object TextQueries {
     )
   }
 
+  /** Compression-ratio quality signal ([[TextAnalysis.compressionPermille]]
+    * over [[graft.functions.CompressExprs.deflatedSize]]): per doc, two
+    * planted texts — 40 repetitions of one phrase (pathological
+    * boilerplate) and 16 chained md5 hex blocks (incompressible-for-text)
+    * — deflated and band-checked. The q39 bounded-error oracle pattern:
+    * DuckDB cannot deflate, so the oracle re-derives the CONSTRUCTION
+    * (identical strings, exact raw lengths) and pins the band booleans to
+    * TRUE — boilerplate must compress below 25%, hex must stay in the
+    * 45–85% band; any drift in the deflate path (or a ratio computed over
+    * the wrong byte length) hash-fails the gate.
+    */
+  private val q107 = {
+    val phrase = "the quick brown fox jumps over the lazy dog "
+    Q(
+      "q107_compression_bands",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val rep = repeat(lit(phrase), 40)
+        val rnd = concat((0 until 16).map(i =>
+          md5(concat($"doc_id".cast("string"), lit(s":$i")))): _*)
+        T.documents
+          .select(
+            $"doc_id",
+            explode(array(
+              struct(lit("rep").as("kind"), rep.as("t")),
+              struct(lit("rnd").as("kind"), rnd.as("t")))).as("x"))
+          .select(
+            $"doc_id",
+            $"x.kind".as("kind"),
+            octet_length(encode($"x.t", "UTF-8")).as("raw_len"),
+            TextAnalysis.compressionPermille($"x.t").as("__pm"))
+          .select(
+            $"doc_id",
+            $"kind",
+            $"raw_len",
+            when($"kind" === "rep", $"__pm" < 250)
+              .otherwise($"__pm" > 450 && $"__pm" < 850)
+              .as("in_band"))
+          .orderBy($"doc_id", $"kind")
+      },
+      Some {
+        val rndSql = (0 until 16)
+          .map(i => s"md5(CAST(doc_id AS VARCHAR) || ':$i')")
+          .mkString(" || ")
+        s"""
+        WITH x AS (
+          SELECT doc_id, 'rep' AS kind, repeat('$phrase', 40) AS t FROM documents
+          UNION ALL
+          SELECT doc_id, 'rnd' AS kind, $rndSql AS t FROM documents
+        )
+        SELECT doc_id, kind, CAST(len(t) AS INT) AS raw_len, TRUE AS in_band
+        FROM x ORDER BY doc_id, kind
+        """.trim
+      }
+    )
+  }
+
   /** N-gram novelty report ([[TextAnalysis.noveltyReport]]): per doc, the
     * fraction of its distinct word trigrams unique to it corpus-wide —
     * the boilerplate/common-text signal. The oracle rebuilds the same
@@ -762,5 +819,5 @@ object TextQueries {
   )
 
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107)
 }
