@@ -14,7 +14,7 @@ object SparkEntry {
   private def allQ: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      ExtraQueries.all ++ SamplingQueries.all
+      ExtraQueries.all ++ SamplingQueries.all ++ UrlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -222,30 +222,39 @@ object SamplingQueries {
     """.trim)
   )
 
-  /** q102/q106 shared oracle builder: the two-phase token-budget prefix
-    * sum with the per-doc token count SQL as the one parameter — the
-    * whitespace count (q102) and the exact BPE count (q106) gate through
-    * the SAME budget arithmetic, so the two can never drift.
+  /** q102/q106/q109 shared oracle builder: the two-phase token-budget
+    * prefix sum with the per-doc token count, the group derivation, and
+    * the budget table as parameters — the whitespace count (q102), the
+    * exact BPE count (q106) and the registered-domain grouping (q109) all
+    * gate through the SAME budget arithmetic, so none can drift.
     */
-  private def tokenBudgetOracleSql(tokExpr: String): String = s"""
-      WITH base AS (SELECT doc_id, source,
-                           $tokExpr AS tok,
-                           ${duckHash("doc_id")} AS h,
-                           CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
-                                       WHEN 'src2' THEN 500 ELSE -1 END AS budget
-                    FROM documents),
+  private[operators] def tokenBudgetOracleSql(
+      tokExpr: String,
+      groupExpr: String = "source",
+      groupName: String = "source",
+      budgets: Seq[(String, Long)] =
+        Seq("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L)
+  ): String = {
+    val cases = budgets.map { case (g, b) => s"WHEN '$g' THEN $b" }.mkString(" ")
+    s"""
+      WITH base0 AS (SELECT doc_id, $groupExpr AS grp, $tokExpr AS tok FROM documents),
+      base AS (SELECT doc_id, grp, tok,
+                      ${duckHash("doc_id")} AS h,
+                      CASE grp $cases ELSE -1 END AS budget
+               FROM base0),
       f AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM base WHERE budget >= 0),
-      st AS (SELECT source, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
-      o AS (SELECT source, shard,
-                   CAST(sum(stok) OVER (PARTITION BY source ORDER BY shard) - stok AS BIGINT) AS off
+      st AS (SELECT grp, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
+      o AS (SELECT grp, shard,
+                   CAST(sum(stok) OVER (PARTITION BY grp ORDER BY shard) - stok AS BIGINT) AS off
             FROM st),
-      cum AS (SELECT f.doc_id, f.source, f.tok, f.budget,
-                     CAST(sum(f.tok) OVER (PARTITION BY f.source, f.shard ORDER BY f.h, f.doc_id, f.tok
+      cum AS (SELECT f.doc_id, f.grp, f.tok, f.budget,
+                     CAST(sum(f.tok) OVER (PARTITION BY f.grp, f.shard ORDER BY f.h, f.doc_id, f.tok
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + o.off AS BIGINT) AS cum
-              FROM f JOIN o ON f.source = o.source AND f.shard = o.shard)
-      SELECT doc_id, source, tok AS n_tokens FROM cum
+              FROM f JOIN o ON f.grp = o.grp AND f.shard = o.shard)
+      SELECT doc_id, grp AS $groupName, tok AS n_tokens FROM cum
       WHERE cum - tok < budget ORDER BY doc_id
     """.trim
+  }
 
   /** Token-budget mixture ([[Sampling.tokenBudgetMixture]]): fill 2000
     * tokens of src0, 1000 of src1, 500 of src2 (other sources dropped)

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and registered-domain derivation — how production
+  * web corpora are keyed for per-source statistics and mixture weighting
+  * (the same URL crawled as `HTTP://WWW.Site.COM:80/x?utm_source=feed#top`
+  * and `http://site.com/x` must count as ONE source).
+  *
+  * Rules (deterministic, applied in order; all plain regexp/string
+  * builtins, so the whole chain is codegen'd AND replayable in the DuckDB
+  * oracle via the paired `duck*Sql` builders below — one definition per
+  * rule, two renderings, spec-pinned to agree):
+  *
+  *   1. trim; split at the authority boundary (`scheme://authority` vs
+  *      path-query-fragment)
+  *   2. scheme and host lowercase; leading `www.` dropped
+  *   3. default ports dropped (`:80` for http, `:443` for https)
+  *   4. fragment dropped
+  *   5. tracking parameters dropped (utm_*, gclid, fbclid, msclkid,
+  *      igshid, ref_src), separators re-collapsed, dangling `?`/`&`
+  *      trimmed
+  *   6. a bare-root `/` path dropped
+  *
+  * Path case and non-tracking query parameters are PRESERVED (they are
+  * semantic); parameter reordering and percent-encoding normalization are
+  * deliberately out of scope. Registered domain uses a compact heuristic
+  * over the public-suffix idea: the last two labels, or the last three
+  * when the middle label is a common second-level suffix (co/com/net/org/
+  * ac/gov/edu) under a two-letter country TLD — the full Mozilla PSL is a
+  * data file a deployment can swap in, but the heuristic covers the
+  * dominant cases without shipping one.
+  */
+object UrlOps {
+
+  private val TrackingParams = "utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid|ref_src"
+  private val SecondLevel = "co|com|net|org|ac|gov|edu"
+
+  /** Canonical form of a URL column (see object doc for the rules). */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val head = regexp_extract(t, "^[^/?#]+://[^/?#]*", 0)
+    val rest = substring(t, length(head) + 1, lit(1 << 30))
+    val h = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(head), "://www\\.", "://"),
+        "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val r = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest, "#.*", ""),
+            s"([?&])($TrackingParams)=[^&#]*", "$1"),
+          "([?&])&+", "$1"),
+        "[?&]$", ""),
+      "^/$", "")
+    concat(h, r)
+  }
+
+  /** Registered domain of a CANONICAL url (host minus subdomains under the
+    * compact suffix heuristic); the bare host when it has no dot.
+    */
+  def registeredDomain(canonicalUrl: Column): Column = {
+    val host = regexp_extract(canonicalUrl, "^[a-z0-9+.-]+://([^/:?#]+)", 1)
+    val reg = regexp_extract(host, s"([^.]+\\.(?:$SecondLevel)\\.[a-z]{2}|[^.]+\\.[^.]+)$$", 1)
+    when(reg === "", host).otherwise(reg)
+  }
+
+  /** Per-domain corpus report: docs, token total, and exact permille share
+    * of tokens — the inspection table behind domain-budget mixtures. One
+    * hash shuffle on the derived domain; the canonicalization itself is a
+    * scan-side projection.
+    */
+  def domainReport(df: DataFrame, urlCol: Column, tokens: Column): DataFrame = {
+    val dom = registeredDomain(canonicalizeUrl(urlCol))
+    val agg = df
+      .select(dom.as("domain"), tokens.cast("long").as("__tok"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("docs"), sum(col("__tok")).as("tokens"))
+    val total = agg.agg(sum(col("tokens"))).head.getLong(0)
+    // integer DIV, not `/` (which widens to double) — exact permille
+    agg.withColumn("token_permille", expr(s"tokens * 1000 DIV ${total}L"))
+  }
+
+  // ---- DuckDB renderings of the SAME rules (oracle builders) ----
+
+  /** [[canonicalizeUrl]] as a DuckDB expression over `urlExpr`. */
+  def duckCanonicalSql(urlExpr: String): String = {
+    val t = s"trim($urlExpr)"
+    val head = s"regexp_extract($t, '^[^/?#]+://[^/?#]*', 0)"
+    val rest = s"substr($t, len($head) + 1)"
+    // NOTE: plain concatenation, never stripMargin — embedded SQL (e.g. a
+    // caller's url expression) legitimately contains `||`, and stripMargin
+    // would eat the first pipe of any line-leading `||`
+    val h = s"regexp_replace(regexp_replace(regexp_replace(lower($head), " +
+      s"'://www\\.', '://'), '^(http://[^/:]+):80$$', '\\1'), " +
+      s"'^(https://[^/:]+):443$$', '\\1')"
+    val r = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($rest, " +
+      s"'#.*', ''), '([?&])($TrackingParams)=[^&#]*', '\\1', 'g'), " +
+      s"'([?&])&+', '\\1', 'g'), '[?&]$$', ''), '^/$$', '')"
+    s"($h || $r)"
+  }
+
+  /** [[registeredDomain]] as a DuckDB expression over a canonical url. */
+  def duckDomainSql(canonicalExpr: String): String = {
+    val host = s"regexp_extract($canonicalExpr, '^[a-z0-9+.-]+://([^/:?#]+)', 1)"
+    val reg = s"regexp_extract($host, '([^.]+\\.($SecondLevel)\\.[a-z]{2}|[^.]+\\.[^.]+)$$', 1)"
+    s"(CASE WHEN coalesce($reg, '') = '' THEN $host ELSE $reg END)"
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for [[UrlOps]] — canonicalization and the
+  * domain-budget mixture. The documents table has no URL column, so both
+  * queries construct one deterministically from doc_id (the fixture
+  * pattern of q79/q105): three messy variants exercising every
+  * canonicalization rule — uppercase scheme/host, www, default ports,
+  * tracking params mixed into real ones, fragments, bare-root slash. The
+  * SAME construction is rendered for Spark and for DuckDB from one
+  * definition, so the gates compare rule engines, not fixtures.
+  */
+object UrlQueries {
+
+  /** Messy raw URL per doc, Spark rendering. */
+  private def rawUrl(docId: Column): Column = {
+    val id = docId.cast("string")
+    when(docId % 3 === 0,
+      concat(lit("HTTP://WWW.News.Example.COM:80/Articles/"), id,
+        lit("?utm_source=feed&id="), id, lit("&utm_campaign=x#top")))
+      .when(docId % 3 === 1,
+        concat(lit("https://Blog.Example.co.UK:443/post/"), id, lit("?gclid=abc")))
+      .otherwise(concat(lit("  https://docs.sample.org/#sec"), lit("")))
+  }
+
+  /** The same construction, DuckDB rendering (kept newline-free: it embeds
+    * into expression builders).
+    */
+  private val rawUrlSql: String = """
+    CASE
+      WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.News.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR)
+             || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#top'
+      WHEN doc_id % 3 = 1 THEN 'https://Blog.Example.co.UK:443/post/' || CAST(doc_id AS VARCHAR) || '?gclid=abc'
+      ELSE '  https://docs.sample.org/#sec'
+    END""".trim.replaceAll("\\s+", " ")
+
+  /** URL canonicalization + registered domain ([[UrlOps.canonicalizeUrl]],
+    * [[UrlOps.registeredDomain]]): the full rule chain replayed by the
+    * oracle — scheme/host lowering, www and default-port stripping,
+    * fragment and tracking-param removal with separator cleanup, bare-root
+    * slash, then the suffix-heuristic domain (example.com, example.co.uk,
+    * sample.org from the three variants). Pure scan-side projection.
+    */
+  private val q108 = Q(
+    "q108_url_canonicalize",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val canon = UrlOps.canonicalizeUrl(rawUrl($"doc_id"))
+      T.documents
+        .select(
+          $"doc_id",
+          canon.as("canonical_url"),
+          UrlOps.registeredDomain(canon).as("domain"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val canon = UrlOps.duckCanonicalSql(rawUrlSql)
+      s"""
+      SELECT doc_id, $canon AS canonical_url, ${UrlOps.duckDomainSql(canon)} AS domain
+      FROM documents ORDER BY doc_id
+      """.trim
+    }
+  )
+
+  /** Domain-budget token mixture: q102's machinery with the group key
+    * DERIVED from the canonicalized URL's registered domain — how web
+    * corpora are actually balanced ("this many tokens per site"). Shares
+    * the budget oracle builder with q102/q106, and the domain derivation
+    * with q108, so neither half can drift from its sibling gate.
+    */
+  private val q109 = Q(
+    "q109_domain_token_budget",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val dom = UrlOps.registeredDomain(UrlOps.canonicalizeUrl(rawUrl($"doc_id")))
+      val withTok = T.documents
+        .withColumn("n_tokens", size(split(lower($"text"), "\\s+")).cast("long"))
+      Sampling
+        .tokenBudgetMixture(
+          withTok,
+          group = dom,
+          key = $"doc_id",
+          tokens = $"n_tokens",
+          budgets = Map(
+            "example.com" -> 2000L,
+            "example.co.uk" -> 1000L,
+            "sample.org" -> 500L),
+          numShards = 8
+        )
+        .withColumn("domain", dom)
+        .select($"doc_id", $"domain", $"n_tokens")
+        .orderBy($"doc_id")
+    },
+    Some(
+      SamplingQueries.tokenBudgetOracleSql(
+        tokExpr = "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)",
+        groupExpr = UrlOps.duckDomainSql(UrlOps.duckCanonicalSql(rawUrlSql)),
+        groupName = "domain",
+        budgets = Seq("example.com" -> 2000L, "example.co.uk" -> 1000L, "sample.org" -> 500L)
+      ))
+  )
+
+  val all: Seq[Q] = Seq(q108, q109)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.UrlOps
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization rules, domain heuristic, and the report. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "u")
+      .select($"id", UrlOps.canonicalizeUrl($"u").as("c"))
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+
+  test("every canonicalization rule, one case each") {
+    assert(canon(
+      "HTTP://WWW.News.Example.COM:80/Articles/7?utm_source=feed&id=7&utm_campaign=x#top",
+      "https://Blog.Example.co.UK:443/post/9?gclid=abc",
+      "  https://docs.sample.org/#sec",
+      "https://site.com/path?a=1&b=2",              // untouched semantics survive
+      "https://site.com/Path/Case?x=1",             // path case preserved
+      "http://site.com:8080/x",                     // NON-default port kept
+      "https://a.com/?utm_source=1&utm_medium=2",   // tracking-only query vanishes
+      "no-scheme/just/a/path#frag"                  // degenerate: no authority
+    ) == Seq(
+      "http://news.example.com/Articles/7?id=7",
+      "https://blog.example.co.uk/post/9",
+      "https://docs.sample.org",
+      "https://site.com/path?a=1&b=2",
+      "https://site.com/Path/Case?x=1",
+      "http://site.com:8080/x",
+      "https://a.com",
+      "no-scheme/just/a/path"
+    ))
+  }
+
+  test("registered-domain heuristic: plain TLD, second-level cc suffix, dotless host") {
+    val doms = Seq(
+      "https://a.b.news.example.com/x",
+      "https://x.example.co.uk/",
+      "https://sample.org",
+      "http://localhost:8080/x"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+      .select($"id", UrlOps.registeredDomain(UrlOps.canonicalizeUrl($"u")).as("d"))
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+    assert(doms == Seq("example.com", "example.co.uk", "sample.org", "localhost:8080")
+      || doms == Seq("example.com", "example.co.uk", "sample.org", "localhost"))
+  }
+
+  test("domainReport: exact doc/token totals and permille shares") {
+    val docs = Seq(
+      (1L, "https://a.news.example.com/1", 100L),
+      (2L, "https://WWW.example.com/2", 300L),
+      (3L, "https://x.sample.org/3", 600L)
+    ).toDF("id", "url", "tok")
+    val rep = UrlOps.domainReport(docs, $"url", $"tok")
+      .orderBy($"domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rep == Seq(("example.com", 2L, 400L, 400L), ("sample.org", 1L, 600L, 600L)))
+  }
+}
