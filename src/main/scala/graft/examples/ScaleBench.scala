@@ -55,6 +55,10 @@ object ScaleBench {
     // q106 = q102's budget machinery with the scan-side exact BPE count —
     // the delta over q102's curve is the per-row merge walk, no new shuffle
     "q106_bpe_token_budget",
+    // round-8 similarity-ordered packing: LSH pairs + CC + windows — the
+    // rotated-embedding copies keep within-copy pair structure, so
+    // clusters scale k× and the CC rounds stay bounded like q62's
+    "q110_similarity_pack",
     // round-8 exact substring dedup: the cipher copies are gram-disjoint
     // across copies and gram-isomorphic within one, so repeated spans scale
     // exactly k× — the row law; the gram table and its two linear shuffles

@@ -142,6 +142,71 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Similarity-ordered sequence packing — the in-context-pretraining
+    * layout (Shi et al. 2024, "In-Context Pretraining: Language Modeling
+    * Beyond Document Boundaries"): place RELATED documents adjacently so
+    * a packed training sequence carries coherent context across document
+    * boundaries, instead of the random neighbors plain hash-order packing
+    * gives.
+    *
+    * Formulation — declarative, not a greedy walk: `pairs` are the
+    * verified ANN neighbor pairs (e.g. [[Dedup.embedNearDupPairs]] at a
+    * relatedness threshold, or a [[VectorIndex]] probe's verified top-k);
+    * their connected components ([[Graph.connectedComponents]] — the q62
+    * machinery) define relatedness clusters, and the packing order makes
+    * every cluster CONTIGUOUS: shard by the CLUSTER representative's hash
+    * (a cluster never splits across shards — the [[leakageFreeSplit]]
+    * move), order within a shard by (cluster-hash, cluster, doc-hash,
+    * doc), then assign bins with the exact BIGINT prefix sum of
+    * [[packSequences]]. A greedy nearest-neighbor chain (the paper's
+    * traversal) orders members WITHIN a cluster marginally better, but is
+    * sequential state the cluster-contiguous form does not need: every
+    * stage here is a groupBy/join/window Catalyst already optimizes, the
+    * result is bit-deterministic on any partitioning, and the ordering
+    * law ("ANN neighbors share a context window") holds at the cluster
+    * level — which is the property the training objective consumes.
+    *
+    * Scale shape: CC's O(log n) bounded rounds over the pair list (pairs
+    * ≪ corpus), one broadcast-ish join of the cluster map onto the
+    * corpus, one hash shuffle on `shard`, windows inside each shard's
+    * task. Docs untouched by any pair are their own singleton cluster.
+    *
+    * @return df's rows plus (comp, shard, pos, n_tokens, bin)
+    */
+  def similarityOrderedPack(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      pairs: DataFrame, // (doc_a, doc_b) verified neighbor pairs
+      numShards: Int,
+      maxTokens: Long
+  ): DataFrame = {
+    require(numShards > 0 && maxTokens > 0, "need positive numShards and maxTokens")
+    val comps = Graph
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cid"), col("component").as("__comp"))
+    val withComp = df
+      .join(comps, col(idCol) === col("__cid"), "left")
+      .withColumn("comp", coalesce(col("__comp"), col(idCol)))
+      .drop("__cid", "__comp")
+    val hc = hash60(col("comp"))
+    val h = hash60(col(idCol))
+    val shardCol = pmod(hc, lit(numShards)).cast("int")
+    val order = Seq(hc.asc, col("comp").asc, h.asc, col(idCol).asc)
+    val wRank = Window.partitionBy(shardCol).orderBy(order: _*)
+    val wCum = Window
+      .partitionBy(shardCol)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withComp
+      .withColumn("shard", shardCol)
+      .withColumn("pos", (row_number().over(wRank) - 1).cast("long"))
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wCum))
+      .withColumn("bin", expr(s"(__cum - n_tokens) DIV ${maxTokens}L"))
+      .drop("__cum")
+  }
+
   /** Deterministic TOKEN-budget mixture: keep, per group, a deterministic
     * pseudo-random selection of rows whose token counts fill that group's
     * budget — how training mixtures are actually specified ("20B tokens of

@@ -445,5 +445,82 @@ object SimilarityQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85, q96, q99)
+  /** Similarity-ordered packing ([[Sampling.similarityOrderedPack]] — the
+    * in-context-pretraining layout): verified ANN pairs over the
+    * embeddings corpus (the q54 LSH+exact-cosine machinery) → relatedness
+    * clusters (the q62 connected-components machinery) → cluster-
+    * contiguous shard order → exact prefix-sum bins. The oracle replays
+    * EVERY stage — LSH banding, cosine verify, recursive min-label
+    * closure, the shard/order/bin windows — so the gate pins the whole
+    * composition, not just the final packing. Token counts are a
+    * deterministic function of vec_id (the embeddings table has no
+    * lengths; both engines derive the same ones).
+    */
+  private val q110 = {
+    val planes = Similarity.hyperplanes(32, 64)
+    val planeValues = planeLiteralsSql(planes)
+    Q(
+      "q110_similarity_pack",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        val base = T.embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        val pairs = graft.operators.Dedup
+          .embedNearDupPairs(base, "vec_id", "emb", planes, bands = 4, threshold = 0.9)
+          .select($"doc_a", $"doc_b")
+        val docs = base.select(
+          $"vec_id".as("doc_id"),
+          ($"vec_id" % 50 + 20).cast("long").as("tok"))
+        Sampling
+          .similarityOrderedPack(docs, "doc_id", $"tok", pairs, numShards = 8, maxTokens = 512L)
+          .select($"doc_id", $"comp", $"shard", $"pos", $"n_tokens", $"bin")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val hash = (k: String) => s"('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 15))::BIGINT"
+        s"""
+        WITH RECURSIVE base AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb FROM embeddings),
+        pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
+        sk AS (SELECT vec_id, h // 8 AS band,
+                      SUM(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, 65)]) > 0
+                               THEN (1::BIGINT << (h % 8)) ELSE 0 END) AS bucket
+               FROM base, pl GROUP BY 1, 2),
+        eb AS (SELECT base.vec_id, base.emb, sk.band, sk.bucket FROM base JOIN sk USING (vec_id)),
+        cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                 FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        sc0 AS (SELECT doc_a, doc_b,
+                       (list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)])) /
+                       (sqrt(list_sum([x.emb[i] * x.emb[i] for i in range(1, 65)])) *
+                        sqrt(list_sum([y.emb[i] * y.emb[i] for i in range(1, 65)]))) AS cos
+                FROM cand JOIN base x ON cand.doc_a = x.vec_id JOIN base y ON cand.doc_b = y.vec_id),
+        pairs AS (SELECT doc_a, doc_b FROM sc0
+                  WHERE (CASE WHEN isnan(cos) THEN NULL ELSE cos END) >= 0.9),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id WHERE r.comp < e.b
+        ),
+        compmap AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY 1),
+        docs AS (SELECT vec_id AS doc_id, CAST(vec_id % 50 + 20 AS BIGINT) AS tok FROM embeddings),
+        dc AS (SELECT d.doc_id, d.tok, coalesce(c.comp, d.doc_id) AS comp
+               FROM docs d LEFT JOIN compmap c ON d.doc_id = c.id),
+        keyed AS (SELECT doc_id, tok, comp,
+                         ${hash("comp")} AS hc, ${hash("doc_id")} AS hd
+                  FROM dc),
+        ordered AS (SELECT doc_id, comp, tok,
+                           CAST(hc % 8 AS INT) AS shard,
+                           CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+                           CAST(sum(tok) OVER (PARTITION BY hc % 8 ORDER BY hc, comp, hd, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM keyed
+                    WINDOW w AS (PARTITION BY hc % 8 ORDER BY hc, comp, hd, doc_id))
+        SELECT doc_id, comp, shard, pos, tok AS n_tokens, (cum - tok) // 512 AS bin
+        FROM ordered ORDER BY doc_id
+        """.trim
+      }
+    )
+  }
+
+  val all: Seq[Q] = Seq(q27, q28, q40, q42, q53, q67, q76, q85, q96, q99, q110)
 }
