@@ -55,10 +55,10 @@ object ScaleBench {
     // q106 = q102's budget machinery with the scan-side exact BPE count —
     // the delta over q102's curve is the per-row merge walk, no new shuffle
     "q106_bpe_token_budget",
-    // round-8 similarity-ordered packing: LSH pairs + CC + windows — the
-    // rotated-embedding copies keep within-copy pair structure, so
-    // clusters scale k× and the CC rounds stay bounded like q62's
-    "q110_similarity_pack",
+    // (q110 runs as the sim_pack special case below: its pair source's
+    // band-key WIDTH must grow with log(N) — the q26-vs-q52 saturation
+    // lesson — so the curve scales the plane count with the corpus, the
+    // same parameterized-scale recipe as semdedup's k ∝ N)
     // round-8 exact substring dedup: the cipher copies are gram-disjoint
     // across copies and gram-isomorphic within one, so repeated spans scale
     // exactly k× — the row law; the gram table and its two linear shuffles
@@ -205,6 +205,7 @@ object ScaleBench {
     val doSem = only.forall(f => f.contains("semdedup"))
     val doBloom = only.forall(f => f.contains("bloom_decon"))
     val doTrim = only.forall(f => f.contains("substring_trim"))
+    val doSimPack = only.forall(f => f.contains("sim_pack"))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
@@ -319,6 +320,33 @@ object ScaleBench {
           s"""{"bench":"scale","scale":$k,"query":"semdedup","sec":$t,"rows":$rows,"centroids":${8 * k}}""")
         Seq("semdedup" -> t)
       }
+      // q110's similarity packing with the pair source's band keys sized
+      // TO the corpus: fixed 8-bit band keys saturate (Σ|bucket|² goes
+      // quadratic once occupancy ≫ 1 — measured 54× wall at 30× with the
+      // q110 literal config), so the curve grows plane count with log(N):
+      // 4 bands × (8 + log2 k) bits, keeping bucket occupancy O(1). The
+      // row law (one output row per vector, exactly k×) is unchanged.
+      val simPackTimes = if (!doSimPack) Nil else {
+        val bandBits = 8 + (63 - java.lang.Long.numberOfLeadingZeros(k.toLong)).toInt.max(0)
+        val planes = graft.operators.Similarity.hyperplanes(4 * bandBits, 64)
+        val emb = spark.read
+          .parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        var rows = 0L
+        val t = time2(spark) {
+          val pairs = Dedup
+            .embedNearDupPairs(emb, "vec_id", "emb", planes, bands = 4, threshold = 0.9)
+            .select(col("doc_a"), col("doc_b"))
+          val docs = emb.select(col("vec_id").as("doc_id"),
+            (col("vec_id") % 50 + 20).cast("long").as("tok"))
+          rows = Sampling
+            .similarityOrderedPack(docs, "doc_id", col("tok"), pairs, numShards = 8, maxTokens = 512L)
+            .count()
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"sim_pack","sec":$t,"rows":$rows,"planes":${4 * bandBits}}""")
+        Seq("sim_pack" -> t)
+      }
       // q104's trim, timed through sum(removed_chars): a bare count() on
       // the trim output is join-eliminated (spans is an aggregate on
       // doc_id, distinct-key propagation drops the left join entirely), so
@@ -357,7 +385,8 @@ object ScaleBench {
           s"""{"bench":"scale","scale":$k,"query":"bloom_decon","sec":$t,"rows":$flagged,"bloomKiB":${128 * k}}""")
         Seq("bloom_decon" -> t)
       }
-      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++ bloomTimes)
+      k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
+        simPackTimes ++ bloomTimes)
     }.toMap
 
     // summary: growth factors vs the smallest scale (a ~linear engine shows
