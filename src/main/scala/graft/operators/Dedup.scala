@@ -789,6 +789,12 @@ object Dedup {
     require(minLen >= 2, "minLen must be >= 2")
     require(minDocs >= 2, "minDocs must be >= 2 (a substring always repeats in its own doc)")
     import org.apache.spark.sql.expressions.Window
+    // ONE explicit gram repartition feeds both consumers below: grouping
+    // on (gram, doc_id) and then on gram are satisfied by gram hash
+    // partitioning (clustered-distribution subset rule), so the df
+    // aggregate adds NO exchange, and the mark-join's probe side reads
+    // the SAME exchange (ReusedExchange) — one corpus scan + one gram
+    // shuffle total, where the naive two-branch plan pays two of each.
     val positions = df
       .select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
       .withColumn(
@@ -803,9 +809,10 @@ object Dedup {
         )
       )
       .select(col("doc_id"), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
+      .repartition(col("gram"))
     val repeated = positions
-      .select(col("gram"), col("doc_id"))
-      .distinct()
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("__occ"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -815,9 +822,9 @@ object Dedup {
     // (HAVING selectivity × unknown distinct count), and on a dense corpus
     // it is corpus-scale — a stats-guessed broadcast builds the whole set
     // on the driver and falls over exactly when the operator matters most
-    // (observed at the 30x ScaleBench point). Shuffling it instead is also
-    // structurally free: the aggregate is ALREADY partitioned by gram, so
-    // only the positions side pays a new exchange.
+    // (observed at the 30x ScaleBench point). It is also structurally
+    // free: both sides are already gram-partitioned, so the join adds no
+    // exchange at all.
     val hits = positions
       .join(repeated.hint("shuffle_hash"), "gram")
       .select(col("doc_id"), col("pos"))
