@@ -394,35 +394,7 @@ object Dedup {
       blocks: Int,
       bits: Int = 64
   ): DataFrame = {
-    require(blocks > maxHamming, s"need blocks > maxHamming, got $blocks <= $maxHamming")
-    require(bits >= blocks && bits <= 64, s"fingerprint width $bits out of range")
-    val keep = blocks - maxHamming
-    // contiguous block layout over the `bits` bits (low-to-high), wider blocks first
-    val sizes = Array.tabulate(blocks)(i => bits / blocks + (if (i < bits % blocks) 1 else 0))
-    val offsets = sizes.scanLeft(0)(_ + _)
-    def blockVal(i: Int): Column =
-      shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
-    // one packed-long key per block combination: combo bits total <= 64·keep/B
-    // + table id in the high bits, so the join key stays a single long
-    val combos = (0 until blocks).combinations(keep).toSeq
-    // table-id width derived from the ACTUAL combination count: a fixed
-    // 5-bit assumption aliased table ids past 32 combos (e.g. blocks=9,
-    // maxHamming=4 → C(9,5)=126 tables), colliding keys across different
-    // block combinations — output stayed correct (the hamming filter
-    // re-verifies) but candidate generation silently degraded toward the
-    // quadratic blow-up the banding exists to prevent.
-    val idBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(combos.size - 1L))
-    val keys = combos.zipWithIndex.map { case (c, t) =>
-      val packedBits = c.map(sizes(_)).sum
-      val packed = c.foldLeft((lit(0L), 0)) { case ((acc, shift), i) =>
-        (acc.bitwiseOR(shiftleft(blockVal(i), shift)), shift + sizes(i))
-      }._1
-      require(
-        packedBits + idBits <= 63,
-        s"key overflow: $packedBits packed bits + $idBits table-id bits")
-      packed.bitwiseOR(lit(t.toLong << (63 - idBits))).as(s"k$t")
-    }
-    val keyed = fps.select(col("doc_id"), col("fp"), explode(array(keys: _*)).as("bk"))
+    val keyed = fingerprintBandKeys(fps, maxHamming, blocks, bits)
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -434,6 +406,100 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** (doc_id, fp, bk) band-key rows for a (doc_id, fp) fingerprint table —
+    * the Manku key construction, shared by the batch self-join
+    * ([[bandedFingerprintPairs]]) and the two-sided/stream-static probe
+    * ([[phashDupCandidates]], [[graft.streaming.Streams.dupPhotoStream]])
+    * so both key with byte-identical arithmetic. One packed-long key per
+    * block combination (combo bits + table id in the high bits); the
+    * table-id width derives from the ACTUAL combination count — a fixed
+    * 5-bit assumption aliased table ids past 32 combos (e.g. blocks=9,
+    * maxHamming=4 → C(9,5)=126 tables), which kept output correct (the
+    * hamming filter re-verifies) but silently degraded candidate
+    * generation toward the quadratic blow-up banding exists to prevent.
+    * Exactness: <= maxHamming differing bits leave some
+    * (blocks − maxHamming)-block subset untouched, so every qualifying
+    * pair shares at least one band key (pigeonhole).
+    */
+  private[graft] def fingerprintBandKeys(
+      fps: DataFrame,
+      maxHamming: Int,
+      blocks: Int,
+      bits: Int
+  ): DataFrame = {
+    require(blocks > maxHamming, s"need blocks > maxHamming, got $blocks <= $maxHamming")
+    require(bits >= blocks && bits <= 64, s"fingerprint width $bits out of range")
+    val keep = blocks - maxHamming
+    // contiguous block layout over the `bits` bits (low-to-high), wider blocks first
+    val sizes = Array.tabulate(blocks)(i => bits / blocks + (if (i < bits % blocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockVal(i: Int): Column =
+      shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+    val combos = (0 until blocks).combinations(keep).toSeq
+    val idBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(combos.size - 1L))
+    val keys = combos.zipWithIndex.map { case (c, t) =>
+      val packedBits = c.map(sizes(_)).sum
+      val packed = c.foldLeft((lit(0L), 0)) { case ((acc, shift), i) =>
+        (acc.bitwiseOR(shiftleft(blockVal(i), shift)), shift + sizes(i))
+      }._1
+      require(
+        packedBits + idBits <= 63,
+        s"key overflow: $packedBits packed bits + $idBits table-id bits")
+      packed.bitwiseOR(lit(t.toLong << (63 - idBits))).as(s"k$t")
+    }
+    fps.select(col("doc_id"), col("fp"), explode(array(keys: _*)).as("bk"))
+  }
+
+  private def phashFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        graft.functions.MediaExprs.imageDHash64(col(contentCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+
+  /** Band-keyed dHash table of a photo corpus — the STATIC side of the
+    * incremental perceptual dedup probe. Build once (and persist) per
+    * corpus snapshot: each later probe batch pays only its own hashes +
+    * one equi-join against this table, never a corpus re-hash. Columns
+    * (corpus_id, corpus_fp, bk); corrupt blobs (NULL hash) never enter.
+    */
+  def phashCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    fingerprintBandKeys(phashFps(corpus, idCol, contentCol), maxHamming, blocks, bits = 64)
+      .select(col("doc_id").as("corpus_id"), col("fp").as("corpus_fp"), col("bk"))
+
+  /** Probe a batch of photos against a [[phashCorpusIndex]]: every
+    * (probe doc, corpus doc) pair within `maxHamming` dHash bits — the
+    * INCREMENTAL form of [[phashNearDupPairs]] (new photos against an
+    * existing corpus, the image twin of [[probeNewDocs]]); the streaming
+    * composition is [[graft.streaming.Streams.probePhotoBatch]]. The
+    * banding/hamming arithmetic is [[fingerprintBandKeys]]' — identical
+    * to the batch self-join, so a pair this probe reports is exactly a
+    * pair the batch operator would.
+    *
+    * @return (doc_id, dup_of, hamming) — probe id, corpus id
+    */
+  def phashProbeDups(
+      probe: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    fingerprintBandKeys(phashFps(probe, idCol, contentCol), maxHamming, blocks, bits = 64)
+      .join(index, "bk")
+      .select(
+        col("doc_id"),
+        col("corpus_id").as("dup_of"),
+        bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
 
   /** Exact duplicate groups by content digest: canonical (min) id + copy
     * count per distinct content.

@@ -307,6 +307,35 @@ object Streams {
     )
   }
 
+  /** Per-micro-batch perceptual image-dup probe — the photo-intake twin of
+    * [[probeVectorBatch]]: run inside `foreachBatch` against a
+    * [[graft.operators.Dedup.phashCorpusIndex]] built once per corpus
+    * snapshot (and persisted by the caller), so each arriving batch pays
+    * only its own decodes + one band-key equi-join. Same banding/hamming
+    * arithmetic as the batch operator, so a flagged pair here is exactly
+    * a pair [[graft.operators.Dedup.phashNearDupPairs]] would report.
+    *
+    * {{{
+    *   val idx = Dedup.phashCorpusIndex(photos, "doc_id", "content").persist()
+    *   stream.writeStream.foreachBatch { (batch, _) =>
+    *     sink(Streams.probePhotoBatch(batch, "doc_id", "content", idx))
+    *   }.start()
+    * }}}
+    *
+    * Rebuild the index when the corpus snapshot advances (the same
+    * handle-capture contract as the vector probe). Corrupt image bytes on
+    * either side hash NULL and never pair.
+    */
+  def probePhotoBatch(
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    graft.operators.Dedup.phashProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */

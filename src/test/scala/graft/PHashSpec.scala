@@ -84,6 +84,67 @@ class PHashSpec extends SparkSpec {
     assert(pairs == Seq((10L, 11L, 1), (20L, 21L, 1), (30L, 31L, 1), (40L, 41L, 1), (50L, 51L, 1)))
   }
 
+  test("incremental probe vs corpus index agrees with the batch self-join (parity law)") {
+    val corpus = Multimodal.phashPhotoFixture((1L to 40L).toDF("doc_id"), "doc_id")
+    // probe: resized copies of corpus patterns 13 and 27 + one novel + one corrupt
+    val probe = Seq(
+      (1001L, Multimodal.blockPatternPng(13L, 3, paired = false, isCopy = false)),
+      (1002L, Multimodal.blockPatternPng(27L, 5, paired = false, isCopy = false)),
+      (1003L, Multimodal.blockPatternPng(999L, 8, paired = false, isCopy = false)),
+      (1004L, "corrupt bytes".getBytes)
+    ).toDF("doc_id", "content")
+    val idx = Dedup.phashCorpusIndex(corpus, "doc_id", "content")
+    val probed = Dedup.phashProbeDups(probe, "doc_id", "content", idx, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(probed == Seq((1001L, 13L, 0), (1002L, 27L, 0)),
+      s"resized copies at hamming 0, novel/corrupt never pair — got $probed")
+    // parity: the same pairs fall out of the batch self-join over the union
+    val batchPairs = Dedup
+      .phashNearDupPairs(corpus.unionByName(probe), "doc_id", "content", maxHamming = 3)
+      .filter($"doc_b" >= 1000L && $"doc_a" < 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).sorted.toSeq
+    assert(batchPairs == probed, "probe and batch operators must report identical cross pairs")
+  }
+
+  test("probePhotoBatch flags intake dups per micro-batch (streaming composition)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Multimodal.phashPhotoFixture((1L to 30L).toDF("doc_id"), "doc_id")
+    val idx = Dedup.phashCorpusIndex(corpus, "doc_id", "content").persist()
+    try {
+      // the stream carries (id, pattern-seed); the foreachBatch sink builds
+      // the photo bytes (the intake decode boundary) and probes the index
+      val mem = MemoryStream[(Long, Long)]
+      mem.addData(
+        (6001L, 7L),   // resized copy of corpus photo 7 -> must flag
+        (6002L, 888L), // novel pattern -> must not
+        (6003L, 23L)   // resized copy of corpus photo 23 -> must flag
+      )
+      val flagged = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = mem.toDF().toDF("pid", "seed")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val s = batch.sparkSession
+          import s.implicits._
+          val photos = rows.toSeq.map { case (pid, seed) =>
+            (pid, Multimodal.blockPatternPng(seed, cellPx = 3, paired = false, isCopy = false))
+          }.toDF("doc_id", "content")
+          graft.streaming.Streams
+            .probePhotoBatch(photos, "doc_id", "content", idx)
+            .collect()
+            .foreach(r => flagged.add((r.getLong(0), r.getLong(1))))
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = flagged.iterator().asInstanceOf[java.util.Iterator[(Long, Long)]]
+      val got = scala.jdk.CollectionConverters.IteratorHasAsScala(out).asScala.toSeq.sorted
+      assert(got == Seq((6001L, 7L), (6003L, 23L)), s"got $got")
+    } finally idx.unpersist()
+  }
+
   test("pipeline ImageStage drops the doc whose photo is a perceptual dup of a survivor's") {
     // three genuinely different texts: near-identical filler would collapse
     // in the TEXT near-dup stage and mask what the image stage does
