@@ -919,6 +919,94 @@ object Dedup {
       )
   }
 
+  /** DISTINCT minLen-gram set of a corpus — the STATIC side of the
+    * incremental substring-dedup probe ([[repeatedSpansVsCorpus]]). Build
+    * once (and persist, or write to the lake) per corpus snapshot; each
+    * later probe batch pays only its own gram explode + one equi-join —
+    * the corpus is never re-scanned per refresh, the same
+    * index-then-probe contract as [[probeNewDocs]] (text) and
+    * [[phashCorpusIndex]] (images). One linear shuffle to distinct.
+    */
+  def substringGramIndex(corpus: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    corpus
+      .select(normText(textCol).as("__t"))
+      .withColumn(
+        "gram",
+        explode(
+          when(
+            length(col("__t")) >= minLen,
+            expr(s"transform(sequence(1, length(__t) - $minLen + 1), i -> substring(__t, i, $minLen))")
+          ).otherwise(expr("CAST(array() AS array<string>)"))))
+      .select(col("gram"))
+      .distinct()
+  }
+
+  /** Incremental [[repeatedSpans]]: maximal spans of PROBE documents
+    * covered by substrings of length >= minLen that occur anywhere in the
+    * indexed corpus — the refresh-time form (the corpus index is built
+    * once by [[substringGramIndex]]; only the new docs pay a scan).
+    * Unlike the self-join form, evidence is one-sided: a span means "this
+    * run of the new doc already exists in the corpus", which is exactly
+    * the dedup/boilerplate decision an intake pipeline makes before
+    * admitting a document. Same coverage semantics and output shape as
+    * [[repeatedSpans]].
+    *
+    * @return (doc_id, span_start, span_end, span_len, n_grams)
+    */
+  def repeatedSpansVsCorpus(
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramIndex: DataFrame,
+      minLen: Int
+  ): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val positions = probe
+      .select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
+      .withColumn(
+        "__pg",
+        explode(
+          when(
+            length(col("__t")) >= minLen,
+            expr(
+              s"""transform(sequence(1, length(__t) - $minLen + 1),
+                 |          i -> named_struct('pos', i, 'gram', substring(__t, i, $minLen)))""".stripMargin)
+          ).otherwise(expr("CAST(array() AS array<struct<pos:int,gram:string>>)"))
+        )
+      )
+      .select(col("doc_id"), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
+    // same stats-blindness rule as the self-join form: the index is a
+    // distinct-aggregate output, never a stats-guessed broadcast
+    val hits = positions
+      .join(gramIndex.hint("shuffle_hash"), "gram")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn(
+        "__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1).otherwise(0))
+      .withColumn("__run", sum(col("__brk")).over(cum))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen - 1)).as("span_end"),
+        count(lit(1)).as("n_grams")
+      )
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_grams")
+      )
+  }
+
   /** The removal operator over [[repeatedSpans]]: every covered character
     * is cut out of the normalized text (Lee et al.'s dedup applied as a
     * TRIM — boilerplate runs vanish from every copy; compose with

@@ -703,7 +703,51 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Incremental substring dedup ([[Dedup.repeatedSpansVsCorpus]] over a
+    * [[Dedup.substringGramIndex]]): a deterministic ~2% hash band of the
+    * documents plays the NEW batch, the rest is the indexed corpus —
+    * every span of a new doc already present (>= 30 chars) in the corpus
+    * surfaces with its extent. Same grouped formulation and coverage
+    * semantics as q103, but one-sided: only the probe pays a scan at
+    * refresh time. The oracle re-derives the corpus gram set and the
+    * probe's covered runs from the same normalization/window chain as
+    * q103's.
+    */
+  private val q111 = Q(
+    "q111_incremental_spans",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isNew = Sampling.hash60($"doc_id") % 100 >= 98
+      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "doc_id", "text", 30)
+      Dedup
+        .repeatedSpansVsCorpus(T.documents.filter(isNew), "doc_id", "text", idx, 30)
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some("""
+      WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98 AS is_new
+                    FROM documents),
+      gg AS (SELECT doc_id, is_new, CAST(u AS INT) AS pos, substr(t, CAST(u AS INT), 30) AS gram
+             FROM (SELECT doc_id, is_new, t, unnest(range(1, greatest(len(t) - 28, 1))) AS u FROM norm)),
+      idx AS (SELECT DISTINCT gram FROM gg WHERE NOT is_new),
+      hit AS (SELECT gg.doc_id, gg.pos FROM gg JOIN idx USING (gram) WHERE gg.is_new),
+      brk AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+                          THEN 1 ELSE 0 END AS b
+              FROM hit),
+      runs AS (SELECT doc_id, pos,
+                      sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM brk)
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + 29 AS INT) AS span_end,
+             CAST(max(pos) + 29 - min(pos) + 1 AS INT) AS span_len,
+             count(*) AS n_grams
+      FROM runs GROUP BY doc_id, run ORDER BY doc_id, span_start
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105)
+      q103, q104, q105, q111)
 }

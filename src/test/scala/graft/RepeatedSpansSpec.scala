@@ -88,6 +88,34 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(kept == Seq(preA + sufA, preB + sufB))
   }
 
+  test("incremental probe: spans of new docs covered by the corpus index, exact extents") {
+    val corpus = Seq((1L, preA + R + sufA), (2L, "wholly original corpus content here")).toDF("doc_id", "text")
+    val idx = Dedup.substringGramIndex(corpus, "doc_id", "text", 30)
+    val probe = Seq(
+      (100L, preB + R + sufB),                       // contains the corpus run
+      (101L, "entirely novel probe text with nothing shared beyond stray words")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansVsCorpus(probe, "doc_id", "text", idx, 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(spans == Seq((100L, preB.length + 1, preB.length + R.length, R.length)))
+  }
+
+  test("incremental probe agrees with the self-join form on the corpus∪probe union") {
+    val corpus = (1L to 20L).map(i => (i, s"corpus doc number $i with its own words " +
+      (if (i == 5) R else ""))).toDF("doc_id", "text")
+    val probe = Seq((100L, preA + R + sufA)).toDF("doc_id", "text")
+    val viaProbe = Dedup
+      .repeatedSpansVsCorpus(probe, "doc_id", "text",
+        Dedup.substringGramIndex(corpus, "doc_id", "text", 30), 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val viaSelfJoin = Dedup
+      .repeatedSpans(corpus.unionByName(probe), "doc_id", "text", 30)
+      .filter($"doc_id" === 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(viaProbe == viaSelfJoin,
+      s"one-sided probe must match the self-join's view of the probe doc: $viaProbe vs $viaSelfJoin")
+  }
+
   test("spans are invariant to partition layout") {
     val docs = (1L to 50L).map { i =>
       val body = if (i % 5 == 0) preA + R + s" tail $i" else s"unique text body number $i with no shared runs inside"
