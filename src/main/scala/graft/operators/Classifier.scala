@@ -70,6 +70,9 @@ object Classifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
+      require(!prepared.isEmpty,
+        "trainHashedPerceptron needs a non-empty labeled set — an empty one would " +
+          "silently return an all-zero table that keeps everything")
       var w = new Array[Long](numBuckets)
       for (_ <- 1 to epochs) {
         val bcast = spark.sparkContext.broadcast(w)

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. trim; split at the authority boundary (`scheme://authority` vs
   *      path-query-fragment)
-  *   2. scheme and host lowercase; leading `www.` dropped
+  *   2. userinfo dropped (`user:pass@host` → `host` — credentials are
+  *      never part of a source identity, and leaving them in breaks the
+  *      host parse); scheme and host lowercase; leading `www.` dropped
   *   3. default ports dropped (`:80` for http, `:443` for https)
   *   4. fragment dropped
   *   5. tracking parameters dropped (utm_*, gclid, fbclid, msclkid,
@@ -44,7 +46,9 @@ object UrlOps {
     val rest = substring(t, length(head) + 1, lit(1 << 30))
     val h = regexp_replace(
       regexp_replace(
-        regexp_replace(lower(head), "://www\\.", "://"),
+        regexp_replace(
+          regexp_replace(lower(head), "://[^/@]*@", "://"),
+          "://www\\.", "://"),
         "^(http://[^/:]+):80$", "$1"),
       "^(https://[^/:]+):443$", "$1")
     val r = regexp_replace(
@@ -94,7 +98,8 @@ object UrlOps {
     // NOTE: plain concatenation, never stripMargin — embedded SQL (e.g. a
     // caller's url expression) legitimately contains `||`, and stripMargin
     // would eat the first pipe of any line-leading `||`
-    val h = s"regexp_replace(regexp_replace(regexp_replace(lower($head), " +
+    val h = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($head), " +
+      s"'://[^/@]*@', '://'), " +
       s"'://www\\.', '://'), '^(http://[^/:]+):80$$', '\\1'), " +
       s"'^(https://[^/:]+):443$$', '\\1')"
     val r = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($rest, " +

@@ -68,6 +68,13 @@ class ClassifierSpec extends SparkSpec {
     assert(reasons(2L).contains("classifier_low"), s"junk doc must fall to the classifier, got $reasons")
   }
 
+  test("an empty labeled set is rejected, not silently trained to zeros") {
+    intercept[IllegalArgumentException] {
+      Classifier.trainHashedPerceptron(
+        labeled(5).filter($"doc_id" < 0), "doc_id", "text", "label", 1 << 10)
+    }
+  }
+
   test("trainAndScore: one call trains on the labeled slice and gates the corpus") {
     val train = labeled(30)
     val corpus = Seq((10L, doc(goodWords, 301)), (11L, doc(badWords, 302))).toDF("doc_id", "text")

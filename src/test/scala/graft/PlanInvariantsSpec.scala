@@ -23,7 +23,9 @@ class PlanInvariantsSpec extends SparkSpec {
     for (q <- Seq("q59_asof_join", "q62_neardup_clusters", "q64_decontaminate",
                   "q67_tfidf_topk", "q70_funnel", "q74_incremental_probe",
                   "q88_interval_overlap", "q90_split_leakage",
-                  "q103_repeated_spans", "q104_substring_trim")) {
+                  "q103_repeated_spans", "q104_substring_trim",
+                  "q105_phash_neardup", "q109_domain_token_budget",
+                  "q110_similarity_pack", "q111_incremental_spans")) {
       val r = report(q)
       assert(!r.hasAllPairsJoin, s"$q has an all-pairs join:\n${r.render}")
     }
