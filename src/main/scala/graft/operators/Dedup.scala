@@ -855,12 +855,6 @@ object Dedup {
     require(minLen >= 2, "minLen must be >= 2")
     require(minDocs >= 2, "minDocs must be >= 2 (a substring always repeats in its own doc)")
     import org.apache.spark.sql.expressions.Window
-    // ONE explicit gram repartition feeds both consumers below: grouping
-    // on (gram, doc_id) and then on gram are satisfied by gram hash
-    // partitioning (clustered-distribution subset rule), so the df
-    // aggregate adds NO exchange, and the mark-join's probe side reads
-    // the SAME exchange (ReusedExchange) — one corpus scan + one gram
-    // shuffle total, where the naive two-branch plan pays two of each.
     val positions = df
       .select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
       .withColumn(
@@ -876,23 +870,23 @@ object Dedup {
       )
       .select(col("doc_id"), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
       .repartition(col("gram"))
-    val repeated = positions
-      .groupBy(col("gram"), col("doc_id"))
-      .agg(count(lit(1)).as("__occ"))
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("gram"))
-    // the mark-join is pinned to a SHUFFLE hash join: the repeated-gram set
-    // is an aggregate output whose size Catalyst routinely underestimates
-    // (HAVING selectivity × unknown distinct count), and on a dense corpus
-    // it is corpus-scale — a stats-guessed broadcast builds the whole set
-    // on the driver and falls over exactly when the operator matters most
-    // (observed at the 30x ScaleBench point). It is also structurally
-    // free: both sides are already gram-partitioned, so the join adds no
-    // exchange at all.
+    // distinct-document frequency per gram WITHOUT an aggregate+join-back
+    // (which would scan and shuffle the gram table twice — the two
+    // branches prune different columns, so neither exchange reuse nor AQE
+    // stage reuse can merge them; measured as two full scans): the q56
+    // PPJoin pattern instead. One explicit gram repartition satisfies
+    // BOTH window distributions ((gram, doc_id) and gram — clustered-
+    // distribution subset rule), so the whole mark costs ONE corpus scan
+    // and ONE gram exchange: mark each (gram, doc) group's first row,
+    // sum the marks over the gram partition, keep grams reaching minDocs.
+    // No join, hence no stats-guessed broadcast to pin away (the trap the
+    // first formulation hit at the 30x ScaleBench point).
+    val wFirst = Window.partitionBy(col("gram"), col("doc_id")).orderBy(col("pos"))
+    val wGram = Window.partitionBy(col("gram"))
     val hits = positions
-      .join(repeated.hint("shuffle_hash"), "gram")
+      .withColumn("__first", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("__nd", sum(col("__first")).over(wGram))
+      .filter(col("__nd") >= minDocs)
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = Window
