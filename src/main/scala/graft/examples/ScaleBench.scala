@@ -65,7 +65,10 @@ object ScaleBench {
     // scale k× with it. (q104's curve runs as the substring_trim special
     // case below: count() on it is join-eliminated via distinct-key
     // propagation, so the uniform protocol would time nothing.)
-    "q103_repeated_spans"
+    "q103_repeated_spans",
+    // probe side is the fixed ~2% band so spans scale k× with the corpus;
+    // the index build (distinct grams) is the dominant, linear cost
+    "q111_incremental_spans"
   )
 
   private val IdOffset = 100000000L

@@ -971,10 +971,13 @@ object Dedup {
         )
       )
       .select(col("doc_id"), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
-    // same stats-blindness rule as the self-join form: the index is a
-    // distinct-aggregate output, never a stats-guessed broadcast
+    // shuffle join with the PROBE as the build side: the probe batch is
+    // the small relation here (the index is corpus-scale), and hinting it
+    // also keeps the planner from broadcasting the index off the
+    // stats-blind distinct-aggregate estimate (the q103 cliff)
     val hits = positions
-      .join(gramIndex.hint("shuffle_hash"), "gram")
+      .hint("shuffle_hash")
+      .join(gramIndex, "gram")
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = Window
