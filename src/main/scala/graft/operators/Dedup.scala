@@ -1022,8 +1022,38 @@ object Dedup {
       textCol: String,
       minLen: Int,
       minDocs: Int = 2
+  ): DataFrame =
+    applySpanTrim(df, idCol, textCol, repeatedSpans(df, idCol, textCol, minLen, minDocs))
+
+  /** Intake-time trim: cut out of each PROBE document every span already
+    * present in the indexed corpus ([[repeatedSpansVsCorpus]] spans) —
+    * what an admission pipeline does to new documents before they join
+    * the lake: the novel content survives, the boilerplate the corpus
+    * already carries does not. Same output shape as
+    * [[trimRepeatedSpans]]; only the probe pays a scan.
+    */
+  def trimSpansVsCorpus(
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramIndex: DataFrame,
+      minLen: Int
+  ): DataFrame =
+    applySpanTrim(probe, idCol, textCol,
+      repeatedSpansVsCorpus(probe, idCol, textCol, gramIndex, minLen))
+
+  /** Cut a span report out of its documents — the shared removal step of
+    * [[trimRepeatedSpans]] (self-join spans) and [[trimSpansVsCorpus]]
+    * (corpus-index spans): spans collect per doc (bounded by doc length)
+    * and one codegen `aggregate` fold performs the cut.
+    */
+  private def applySpanTrim(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanReport: DataFrame
   ): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, minLen, minDocs)
+    val spans = spanReport
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))))

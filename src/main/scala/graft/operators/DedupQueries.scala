@@ -713,20 +713,15 @@ object DedupQueries {
     * probe's covered runs from the same normalization/window chain as
     * q103's.
     */
-  private val q111 = Q(
-    "q111_incremental_spans",
-    (s, dir) => {
-      val T = Tables(s, dir); import s.implicits._
-      val isNew = Sampling.hash60($"doc_id") % 100 >= 98
-      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "doc_id", "text", 30)
-      Dedup
-        .repeatedSpansVsCorpus(T.documents.filter(isNew), "doc_id", "text", idx, 30)
-        .orderBy($"doc_id", $"span_start")
-    },
-    Some("""
-      WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98 AS is_new
-                    FROM documents),
+  /** q111/q112 shared oracle CTE chain: the incremental-span derivation
+    * ending in `spans` (probe docs only) with `norm` still in scope —
+    * q112 extends it with q104's gap/string_agg removal machinery, so the
+    * incremental report and its trim share one definition.
+    */
+  private val incrementalSpanCte: String = """
+      norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 98 AS is_new
+               FROM documents),
       gg AS (SELECT doc_id, is_new, CAST(u AS INT) AS pos, substr(t, CAST(u AS INT), 30) AS gram
              FROM (SELECT doc_id, is_new, t, unnest(range(1, greatest(len(t) - 28, 1))) AS u FROM norm)),
       idx AS (SELECT DISTINCT gram FROM gg WHERE NOT is_new),
@@ -738,16 +733,74 @@ object DedupQueries {
       runs AS (SELECT doc_id, pos,
                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-               FROM brk)
-      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-             CAST(max(pos) + 29 AS INT) AS span_end,
-             CAST(max(pos) + 29 - min(pos) + 1 AS INT) AS span_len,
-             count(*) AS n_grams
-      FROM runs GROUP BY doc_id, run ORDER BY doc_id, span_start
+               FROM brk),
+      spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                       CAST(max(pos) + 29 AS INT) AS span_end,
+                       CAST(max(pos) + 29 - min(pos) + 1 AS INT) AS span_len,
+                       count(*) AS n_grams
+                FROM runs GROUP BY doc_id, run)""".trim
+
+  private val q111 = Q(
+    "q111_incremental_spans",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isNew = Sampling.hash60($"doc_id") % 100 >= 98
+      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "doc_id", "text", 30)
+      Dedup
+        .repeatedSpansVsCorpus(T.documents.filter(isNew), "doc_id", "text", idx, 30)
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""
+      WITH $incrementalSpanCte
+      SELECT doc_id, span_start, span_end, span_len, n_grams
+      FROM spans ORDER BY doc_id, span_start
+    """.trim)
+  )
+
+  /** Intake-time trim ([[Dedup.trimSpansVsCorpus]]): the probe band's docs
+    * with every already-in-corpus span cut out — the removal form of q111,
+    * sharing its span CTE; the gap-reconstruction oracle machinery is
+    * q104's, restricted to the probe docs.
+    */
+  private val q112 = Q(
+    "q112_incremental_trim",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val isNew = Sampling.hash60($"doc_id") % 100 >= 98
+      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "doc_id", "text", 30)
+      Dedup
+        .trimSpansVsCorpus(T.documents.filter(isNew), "doc_id", "text", idx, 30)
+        .select($"doc_id", $"norm_len", $"n_spans", $"removed_chars", $"kept_len", $"kept_md5")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $incrementalSpanCte,
+      pnorm AS (SELECT doc_id, t FROM norm WHERE is_new),
+      gaps AS (
+        SELECT sp.doc_id, n.t,
+               coalesce(lag(sp.span_end) OVER (PARTITION BY sp.doc_id ORDER BY sp.span_start), 0) + 1 AS gs,
+               sp.span_start - 1 AS ge
+        FROM spans sp JOIN pnorm n USING (doc_id)
+        UNION ALL
+        SELECT n.doc_id, n.t, coalesce(max(sp.span_end), 0) + 1 AS gs, len(n.t) AS ge
+        FROM pnorm n LEFT JOIN spans sp USING (doc_id) GROUP BY n.doc_id, n.t
+      ),
+      kept AS (SELECT doc_id,
+                      string_agg(CASE WHEN ge >= gs THEN substr(t, gs, ge - gs + 1) ELSE '' END,
+                                 '' ORDER BY gs) AS kt
+               FROM gaps GROUP BY doc_id),
+      ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+      SELECT n.doc_id, CAST(len(n.t) AS INT) AS norm_len,
+             CAST(coalesce(ns.n_spans, 0) AS INT) AS n_spans,
+             CAST(len(n.t) - len(k.kt) AS INT) AS removed_chars,
+             CAST(len(k.kt) AS INT) AS kept_len,
+             md5(k.kt) AS kept_md5
+      FROM pnorm n JOIN kept k USING (doc_id) LEFT JOIN ns USING (doc_id)
+      ORDER BY n.doc_id
     """.trim)
   )
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111)
+      q103, q104, q105, q111, q112)
 }

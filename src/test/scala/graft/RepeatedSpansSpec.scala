@@ -116,6 +116,20 @@ class RepeatedSpansSpec extends SparkSpec {
       s"one-sided probe must match the self-join's view of the probe doc: $viaProbe vs $viaSelfJoin")
   }
 
+  test("intake trim cuts exactly the already-in-corpus runs from new docs") {
+    val corpus = Seq((1L, preA + R + sufA)).toDF("doc_id", "text")
+    val idx = Dedup.substringGramIndex(corpus, "doc_id", "text", 30)
+    val probe = Seq(
+      (100L, preB + R + sufB),                 // R is corpus boilerplate -> cut
+      (101L, "fully novel intake document body with nothing the corpus holds")
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimSpansVsCorpus(probe, "doc_id", "text", idx, 30)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[String]("kept_text") == preB + sufB)
+    assert(out(0).getAs[Int]("removed_chars") == R.length)
+    assert(out(1).getAs[Int]("removed_chars") == 0 && out(1).getAs[Int]("n_spans") == 0)
+  }
+
   test("spans are invariant to partition layout") {
     val docs = (1L to 50L).map { i =>
       val body = if (i % 5 == 0) preA + R + s" tail $i" else s"unique text body number $i with no shared runs inside"
