@@ -936,6 +936,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Bloom bits over a [[substringGramIndex]]'s gram hashes — the
+    * fixed-size form of the corpus gram set for scan-side membership
+    * pregates ([[graft.streaming.Streams.flagCorpusOverlap]]): the index
+    * itself is corpus-scale, its BITS are not. Grams hash through the
+    * portable md5-prefix ([[Sampling.hash60]]) so any engine holding the
+    * same bits probes identically. Size per the bloom rule
+    * (≈1.2·|grams|·ln(1/fp)/8); mergeable build, numBytes per partition
+    * on the shuffle.
+    */
+  def substringGramBloom(
+      gramIndex: DataFrame,
+      numBytes: Int = 1 << 20,
+      numHashes: Int = 7
+  ): Array[Byte] =
+    gramIndex
+      .agg(graft.functions.BloomExprs
+        .bloomAgg(Sampling.hash60(col("gram")), numBytes, numHashes).as("bits"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+
   /** Incremental [[repeatedSpans]]: maximal spans of PROBE documents
     * covered by substrings of length >= minLen that occur anywhere in the
     * indexed corpus — the refresh-time form (the corpus index is built

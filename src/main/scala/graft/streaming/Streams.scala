@@ -307,6 +307,50 @@ object Streams {
     )
   }
 
+  /** Scan-side streaming boilerplate pregate for the SUBSTRING family —
+    * the q111/q112 sibling of [[flagContamination]]: flags every arriving
+    * doc at least `minCovered` of whose DISTINCT minLen-grams hit the
+    * corpus gram bloom ([[graft.operators.Dedup.substringGramBloom]] over
+    * a [[graft.operators.Dedup.substringGramIndex]]). Stateless and
+    * shuffle-free: gram extraction is a pure projection over the same
+    * normalization the span operators use, the bloom is a Literal (or
+    * ship large bits via [[graft.functions.BloomMightContainBcast]]).
+    *
+    * The law (one-sided): a bloom never rejects a member, so every gram a
+    * doc truly shares with the corpus hits. At `minCovered = 1`,
+    * `false` is therefore PROOF the doc shares NO minLen-gram with the
+    * corpus — i.e. [[graft.operators.Dedup.repeatedSpansVsCorpus]] would
+    * report ZERO spans for it (every span contains at least one covered
+    * gram), so only flagged docs need the exact probe ([[probeVectorBatch]]
+    * -style `foreachBatch` with the real index), or the q112 trim. `true`
+    * is only suspicion (bloom false positives). Pinned as an invariant in
+    * StreamsSpec, adversarial fixtures included.
+    */
+  def flagCorpusOverlap(
+      stream: DataFrame,
+      textCol: String,
+      bloomBits: Array[Byte],
+      minLen: Int,
+      minCovered: Int = 1
+  ): DataFrame = {
+    import graft.functions.BloomExprs
+    require(minLen >= 2 && minCovered >= 1, "need minLen >= 2 and minCovered >= 1")
+    val grams = array_distinct(
+      when(
+        length(col("__norm_t")) >= minLen,
+        expr(
+          s"transform(sequence(1, length(__norm_t) - $minLen + 1), i -> substring(__norm_t, i, $minLen))")
+      ).otherwise(expr("CAST(array() AS array<string>)")))
+    val h = (g: org.apache.spark.sql.Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    stream
+      .withColumn("__norm_t", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn(
+        "maybe_boilerplate",
+        size(filter(grams, g => BloomExprs.mightContain(lit(bloomBits), h(g)))) >= minCovered)
+      .drop("__norm_t")
+  }
+
   /** Per-micro-batch perceptual image-dup probe — the photo-intake twin of
     * [[probeVectorBatch]]: run inside `foreachBatch` against a
     * [[graft.operators.Dedup.phashCorpusIndex]] built once per corpus

@@ -261,6 +261,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flagCorpusOverlap: unflagged streaming docs provably have zero incremental spans") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "this corpus boilerplate run is exactly long enough to matter here"
+    val corpus = Seq(
+      (1L, s"stored document one with $boiler embedded in the middle of it"),
+      (2L, "a second stored document of entirely separate wording and shape")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.substringGramIndex(corpus, "doc_id", "text", 30)
+    // deliberately tiny bloom: false positives expected, the law is one-sided
+    val bits = Dedup.substringGramBloom(idx, numBytes = 128, numHashes = 3)
+    val docs = Seq(
+      (10L, s"arriving doc that carries $boiler and some fresh words too"),
+      (11L, "arriving doc with wholly novel content sharing nothing at all"),
+      (12L, boiler) // verbatim boilerplate-only doc
+    )
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = graft.streaming.Streams
+      .flagCorpusOverlap(mem.toDF().toDF("doc_id", "text"), "text", bits, minLen = 30)
+      .writeStream.format("memory").queryName("overlap_flags").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val flagged = spark.table("overlap_flags")
+        .filter($"maybe_boilerplate").select($"doc_id").collect().map(_.getLong(0)).toSet
+      val exact = Dedup
+        .repeatedSpansVsCorpus(docs.toDF("doc_id", "text"), "doc_id", "text", idx, 30)
+        .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(exact.subsetOf(flagged),
+        s"pregate missed docs with real corpus spans: ${exact.diff(flagged)} — blooms cannot false-negative")
+      // right-sized bits are also precise on this fixture
+      val bigBits = Dedup.substringGramBloom(idx, numBytes = 1 << 14, numHashes = 5)
+      val precise = graft.streaming.Streams
+        .flagCorpusOverlap(docs.toDF("doc_id", "text"), "text", bigBits, minLen = 30)
+        .filter($"maybe_boilerplate").select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(precise == exact, s"sized bloom should match exactly here, got $precise vs $exact")
+    } finally q.stop()
+  }
+
   test("flagContamination: scan-side bloom pregate never false-negatives vs the exact report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.BloomExprs
