@@ -200,4 +200,48 @@ class CurationPropertySpec extends SparkSpec {
         s"partitioned OR-merge diverged from the sequential build (seed $seed)")
     }
   }
+
+  test("repeatedSpans: differential vs a brute-force coverage model on generated corpora") {
+    // plain-Scala reference: a position p of doc d is covered iff the
+    // L-gram at p occurs in >= 2 distinct docs; spans are the maximal
+    // contiguous covered char runs. Generated docs share planted runs at
+    // random offsets, so accidental overlaps are exercised too.
+    val L = 12
+    Seq(5L, 89L, 1331L).foreach { seed =>
+      val shared = gen(Gen.listOfN(3, Gen.listOfN(20, Gen.alphaLowerChar).map(_.mkString)),
+        seed, List("aaaaaaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbbbbbb", "cccccccccccccccccccc"))
+      val docs = (0 until 12).map { i =>
+        val base = gen(Gen.listOfN(40, Gen.alphaLowerChar).map(_.mkString), seed * 100 + i, "z" * 40)
+        val planted = if (i % 3 != 2) shared(i % 3) else ""
+        val cut = gen(Gen.choose(0, base.length), seed * 200 + i, 20)
+        (i.toLong, base.substring(0, cut) + planted + base.substring(cut))
+      }
+      // reference model over the NORMALIZED texts (all-lowercase already)
+      val texts = docs.map { case (id, t) => id -> t }.toMap
+      def gramsOf(t: String): Seq[(Int, String)] =
+        if (t.length < L) Nil else (0 to t.length - L).map(p => (p + 1, t.substring(p, p + L)))
+      val gramDocs = texts.toSeq
+        .flatMap { case (id, t) => gramsOf(t).map { case (_, g) => (g, id) } }
+        .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+      val expected = texts.toSeq.flatMap { case (id, t) =>
+        val covered = Array.fill(t.length + 2)(false) // 1-based chars
+        gramsOf(t).foreach { case (p, g) =>
+          if (gramDocs(g) >= 2) (p until p + L).foreach(covered(_) = true)
+        }
+        // maximal runs of covered chars
+        val runs = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+        var s = -1
+        for (p <- 1 to t.length + 1) {
+          if (p <= t.length && covered(p)) { if (s < 0) s = p }
+          else if (s >= 0) { runs += ((id, s, p - 1)); s = -1 }
+        }
+        runs
+      }.sorted
+      val got = graft.operators.Dedup
+        .repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", minLen = L)
+        .select($"doc_id", $"span_start", $"span_end")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+      assert(got == expected, s"span coverage diverged from the brute-force model (seed $seed)")
+    }
+  }
 }
