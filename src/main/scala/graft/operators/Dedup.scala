@@ -469,9 +469,37 @@ object Dedup {
       contentCol: String,
       maxHamming: Int = 3,
       blocks: Int = 6
-  ): DataFrame =
+  ): DataFrame = {
+    // Stamp the banding parameters on the key column: band keys built under
+    // different (maxHamming, blocks) are incompatible — a mismatched probe
+    // join would silently degrade candidate generation (keys just fail to
+    // collide), so the probe verifies this stamp. Column metadata rides the
+    // schema through parquet persist/reload.
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_phash_max_hamming", maxHamming.toLong)
+      .putLong("graft_phash_blocks", blocks.toLong)
+      .build()
     fingerprintBandKeys(phashFps(corpus, idCol, contentCol), maxHamming, blocks, bits = 64)
-      .select(col("doc_id").as("corpus_id"), col("fp").as("corpus_fp"), col("bk"))
+      .select(col("doc_id").as("corpus_id"), col("fp").as("corpus_fp"), col("bk").as("bk", stamp))
+  }
+
+  /** Require an index's banding stamp (written by [[phashCorpusIndex]]) to
+    * match the probe's parameters. An unstamped frame (hand-built or
+    * pre-stamp persisted) passes — the contract is then on the caller, as
+    * documented on [[phashProbeDups]].
+    */
+  private def requireMatchingBanding(index: DataFrame, maxHamming: Int, blocks: Int): Unit = {
+    val m = index.schema.find(_.name == "bk").map(_.metadata)
+    m.foreach { md =>
+      if (md.contains("graft_phash_max_hamming")) {
+        val (ih, ib) = (md.getLong("graft_phash_max_hamming"), md.getLong("graft_phash_blocks"))
+        require(ih == maxHamming && ib == blocks,
+          s"phash index was built with (maxHamming=$ih, blocks=$ib) but the probe asked for " +
+            s"(maxHamming=$maxHamming, blocks=$blocks) — band keys would not collide and " +
+            "candidate generation would silently degrade; rebuild the index or match the params")
+      }
+    }
+  }
 
   /** Probe a batch of photos against a [[phashCorpusIndex]]: every
     * (probe doc, corpus doc) pair within `maxHamming` dHash bits — the
@@ -482,6 +510,12 @@ object Dedup {
     * to the batch self-join, so a pair this probe reports is exactly a
     * pair the batch operator would.
     *
+    * (maxHamming, blocks) MUST equal the values the index was built with —
+    * band keys from different parameters never collide, so a mismatch
+    * under-reports pairs with no error. Indexes from [[phashCorpusIndex]]
+    * carry the parameters as column metadata and a mismatch throws here;
+    * for an unstamped frame the equality is the caller's contract.
+    *
     * @return (doc_id, dup_of, hamming) — probe id, corpus id
     */
   def phashProbeDups(
@@ -491,7 +525,8 @@ object Dedup {
       index: DataFrame,
       maxHamming: Int = 3,
       blocks: Int = 6
-  ): DataFrame =
+  ): DataFrame = {
+    requireMatchingBanding(index, maxHamming, blocks)
     fingerprintBandKeys(phashFps(probe, idCol, contentCol), maxHamming, blocks, bits = 64)
       .join(index, "bk")
       .select(
@@ -500,6 +535,7 @@ object Dedup {
         bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
 
   /** Exact duplicate groups by content digest: canonical (min) id + copy
     * count per distinct content.

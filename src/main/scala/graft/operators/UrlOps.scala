@@ -83,7 +83,14 @@ object UrlOps {
       .select(dom.as("domain"), tokens.cast("long").as("__tok"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("docs"), sum(col("__tok")).as("tokens"))
-    val total = agg.agg(sum(col("tokens"))).head.getLong(0)
+    // A NULL sum (empty input or all-null token counts) would NPE at
+    // getLong and a zero total would render NULL permilles — fail loudly
+    // with the actual problem instead.
+    val totalBoxed = agg.agg(sum(col("tokens"))).head.getAs[java.lang.Long](0)
+    require(totalBoxed != null && totalBoxed.longValue() > 0L,
+      s"domainReport: corpus token total is ${Option(totalBoxed).getOrElse("NULL")} — " +
+        "empty input or all-null token counts; permille shares are undefined")
+    val total = totalBoxed.longValue()
     // integer DIV, not `/` (which widens to double) — exact permille
     agg.withColumn("token_permille", expr(s"tokens * 1000 DIV ${total}L"))
   }

@@ -335,6 +335,13 @@ object Streams {
   ): DataFrame = {
     import graft.functions.BloomExprs
     require(minLen >= 2 && minCovered >= 1, "need minLen >= 2 and minCovered >= 1")
+    // Same up-front guard as leakageFreeSplit: an input already carrying the
+    // temp or output column would be silently clobbered (the temp even
+    // hijacks gram extraction, which reads __norm_t by name).
+    require(
+      !stream.columns.contains("__norm_t") && !stream.columns.contains("maybe_boilerplate"),
+      "input already has a __norm_t or maybe_boilerplate column — flagCorpusOverlap writes " +
+        "both; rename or drop them first")
     val grams = array_distinct(
       when(
         length(col("__norm_t")) >= minLen,

@@ -98,6 +98,14 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       BpeSupport.validate(Seq(("a", " "))) // whitespace symbol
     }
+    // NUL is the rank-table key separator: ("a\u0000","b") would alias
+    // ("a","\u0000b")'s key and silently corrupt rank lookup
+    intercept[IllegalArgumentException] {
+      BpeSupport.validate(Seq(("a\u0000", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      BpeSupport.validate(Seq(("a", "\u0000b")))
+    }
     BpeSupport.validate(Seq(("a", "b"), ("ab", "c"))) // well-formed passes
   }
 

@@ -106,6 +106,29 @@ class PHashSpec extends SparkSpec {
     assert(batchPairs == probed, "probe and batch operators must report identical cross pairs")
   }
 
+  test("probe with banding params differing from the index build throws, never under-reports") {
+    val corpus = Multimodal.phashPhotoFixture((1L to 5L).toDF("doc_id"), "doc_id")
+    val probe = Seq((9001L, Multimodal.blockPatternPng(2L, 3, paired = false, isCopy = false)))
+      .toDF("doc_id", "content")
+    val idx = Dedup.phashCorpusIndex(corpus, "doc_id", "content", maxHamming = 3, blocks = 6)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.phashProbeDups(probe, "doc_id", "content", idx, maxHamming = 2, blocks = 6)
+    }
+    assert(e.getMessage.contains("maxHamming=3"))
+    intercept[IllegalArgumentException] {
+      Dedup.phashProbeDups(probe, "doc_id", "content", idx, maxHamming = 3, blocks = 8)
+    }
+    // the stamp survives a parquet round-trip (persisted index snapshots)
+    val dir = java.nio.file.Files.createTempDirectory("phash_idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    intercept[IllegalArgumentException] {
+      Dedup.phashProbeDups(probe, "doc_id", "content", reloaded, maxHamming = 2, blocks = 6)
+    }
+    // matching params still probe fine
+    assert(Dedup.phashProbeDups(probe, "doc_id", "content", reloaded).count() >= 1L)
+  }
+
   test("probePhotoBatch flags intake dups per micro-batch (streaming composition)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

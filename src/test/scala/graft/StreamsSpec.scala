@@ -301,6 +301,22 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flagCorpusOverlap rejects inputs already carrying its temp or output column") {
+    import graft.operators.Dedup
+    val idx = Dedup.substringGramIndex(
+      Seq((1L, "a" * 40)).toDF("doc_id", "text"), "doc_id", "text", 30)
+    val bits = Dedup.substringGramBloom(idx, numBytes = 1 << 10, numHashes = 3)
+    val withOut = Seq((1L, "x", true)).toDF("doc_id", "text", "maybe_boilerplate")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.flagCorpusOverlap(withOut, "text", bits, minLen = 30)
+    }
+    assert(e.getMessage.contains("maybe_boilerplate"))
+    val withTemp = Seq((1L, "x", "y")).toDF("doc_id", "text", "__norm_t")
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.flagCorpusOverlap(withTemp, "text", bits, minLen = 30)
+    }
+  }
+
   test("flagContamination: scan-side bloom pregate never false-negatives vs the exact report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.BloomExprs

@@ -61,4 +61,18 @@ class UrlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rep == Seq(("example.com", 2L, 400L, 400L), ("sample.org", 1L, 600L, 600L)))
   }
+
+  test("domainReport: empty corpus and all-null token counts fail loudly, not NPE/NULL rows") {
+    val empty = Seq.empty[(Long, String, java.lang.Long)].toDF("id", "url", "tok")
+    val e1 = intercept[IllegalArgumentException] {
+      UrlOps.domainReport(empty, $"url", $"tok")
+    }
+    assert(e1.getMessage.contains("token total"))
+    val allNull = Seq((1L, "https://example.com/x", null: java.lang.Long))
+      .toDF("id", "url", "tok")
+    val e2 = intercept[IllegalArgumentException] {
+      UrlOps.domainReport(allNull, $"url", $"tok")
+    }
+    assert(e2.getMessage.contains("token total"))
+  }
 }
