@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the engine (q29 stats, q68 chunking, q82 packing, q102 budgets) is
   * whitespace-split — this is the exact path.
   *
-  * Character-level symbols (a merge is a pair of symbol STRINGS, atoms are
-  * single characters); a production byte-level alphabet is the same loop
-  * over a different atom set. Words are the whitespace-split segments of
-  * the input — merges never cross word boundaries, exactly like GPT-2's
+  * TWO atom sets share one merge loop: character-level (a merge is a pair
+  * of symbol STRINGS, atoms are single characters) and BYTE-level — the
+  * production GPT-2 alphabet, where a word's UTF-8 bytes pass through the
+  * published bytes_to_unicode bijection ([[BpeSupport.ByteToChar]]) before
+  * merging, so 256 base symbols cover any string and multi-byte characters
+  * merge from their byte pieces. Words are the whitespace-split segments
+  * of the input — merges never cross word boundaries, exactly like GPT-2's
   * pre-tokenizer contract.
   *
   * Well-formedness (validated at Column construction): every non-atomic
@@ -78,12 +81,65 @@ object BpeSupport {
     }
   }
 
+  /** GPT-2's bytes_to_unicode (Radford et al. 2019, encoder.py — the
+    * published algorithm, re-derived): a bijection byte -> unicode char
+    * that keeps the 188 "printable" bytes (33-126, 161-172, 174-255) as
+    * themselves and shifts the rest to 256+n in byte order, so every byte
+    * sequence becomes a clean string the merge loop can treat as symbols.
+    * Index = byte value.
+    */
+  val ByteToChar: Array[Char] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** A word's BYTE-LEVEL atom sequence: UTF-8 bytes through
+    * [[ByteToChar]] — the GPT-2 alphabet. A multi-byte character becomes
+    * several atoms (e.g. "é" = C3 A9 -> "Ã", "©"), which is exactly what
+    * lets a byte-level vocabulary cover any string with 256 base symbols.
+    */
+  def byteAtoms(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(ByteToChar(bytes(i) & 0xFF))
+      i += 1
+    }
+    out
+  }
+
   /** GPT-2 bpe(): token count of ONE word under the merges table. */
   def tokenizeWord(word: String, ranks: Ranks): Array[String] = {
     if (word.isEmpty) return Array.empty
     var syms = new Array[String](word.length)
     var i = 0
     while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    tokenize(syms, ranks)
+  }
+
+  /** Byte-level GPT-2 bpe(): the SAME merge loop over [[byteAtoms]] —
+    * merges must be pairs over the remapped byte alphabet.
+    */
+  def tokenizeWordBytes(word: String, ranks: Ranks): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    tokenize(byteAtoms(word), ranks)
+  }
+
+  /** The min-rank merge loop shared by the char-level and byte-level atom
+    * sets — the alphabet is the ONLY difference between the two paths.
+    */
+  private def tokenize(atoms: Array[String], ranks: Ranks): Array[String] = {
+    var syms = atoms
     val table = ranks.rank
     while (syms.length > 1) {
       // lowest-ranked pair present
@@ -151,6 +207,43 @@ object BpeSupport {
     new GenericArrayData(out.toArray)
   }
 
+  /** Byte-level [[countTokens]]: sum of [[tokenizeWordBytes]] lengths. */
+  def countTokensBytes(text: UTF8String, ranks: Ranks): Int = {
+    if (text == null) return 0
+    val words = text.toString.split("\\s+")
+    var total = 0
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) total += tokenizeWordBytes(words(i), ranks).length
+      i += 1
+    }
+    total
+  }
+
+  /** Byte-level [[tokenIds]]: ids index `vocab` over REMAPPED symbols. */
+  def tokenIdsBytes(
+      text: UTF8String,
+      ranks: Ranks,
+      vocab: java.util.HashMap[String, Integer]): GenericArrayData = {
+    if (text == null) return new GenericArrayData(Array.emptyIntArray)
+    val words = text.toString.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val toks = tokenizeWordBytes(words(i), ranks)
+        var j = 0
+        while (j < toks.length) {
+          val id = vocab.get(toks(j))
+          out += (if (id == null) -1 else id.intValue())
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def vocabMap(vocab: Seq[String]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](vocab.length * 2)
     vocab.zipWithIndex.foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
@@ -192,10 +285,56 @@ object BpeSupport {
   def duckDocCountSql(textExpr: String, merges: Seq[(String, String)]): String =
     s"""CAST(coalesce(list_sum([${duckWordCountSql("w", merges)}
        | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
+
+  /** [[ByteToChar]] as a SQL string literal: character b+1 is byte b's
+    * remapped char, so `substr(TBL, b+1, 1)` IS the remap (DuckDB substr
+    * is character-indexed). Quote chars doubled for the literal.
+    */
+  private def byteTableLiteral: String =
+    "'" + new String(ByteToChar).replace("'", "''") + "'"
+
+  /** The DuckDB re-derivation of [[countTokensBytes]] for ONE word: the
+    * GPT-2 byte remap REPLAYED IN SQL — UTF-8 bytes via hex(encode(w)),
+    * each hex pair decoded positionally and looked up in the
+    * [[ByteToChar]] table literal — then the same rank-sequential replace
+    * chain as [[duckWordCountSql]] over the remapped atoms. Merges must be
+    * pairs over the remapped alphabet, a != b (the replay contract), and
+    * quote characters in symbols are escaped here.
+    */
+  def duckByteWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    require(merges.forall { case (a, b) => a != b },
+      "the SQL replay supports a != b merges only (self-pairs need the symbol-pairwise walk)")
+    val hexd = "'0123456789abcdef'"
+    def atomOf(hexExpr: String) =
+      // byte = 16*(p1-1) + (p2-1); 1-based table index = byte + 1
+      s"substr($byteTableLiteral, " +
+        s"16*(strpos($hexd, substr($hexExpr, 2*i-1, 1))-1)" +
+        s" + strpos($hexd, substr($hexExpr, 2*i, 1)), 1)"
+    val base =
+      s"(' ' || array_to_string(list_transform(" +
+        s"range(1, octet_length(encode($wordExpr)) + 1), " +
+        s"i -> ${atomOf(s"lower(hex(encode($wordExpr)))")}), ' ') || ' ')"
+    def q(s: String) = s.replace("'", "''")
+    val chained = merges.foldLeft(base) { case (acc, (a, b)) =>
+      val pat = s"' ${q(a)} ${q(b)} '"
+      val rep = s"' ${q(a)}${q(b)} '"
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    s"CASE WHEN len($wordExpr) = 0 THEN 0 ELSE len(regexp_split_to_array(trim($chained), ' ')) END"
+  }
+
+  /** Whole-document byte-level DuckDB token count. */
+  def duckByteDocCountSql(textExpr: String, merges: Seq[(String, String)]): String =
+    s"""CAST(coalesce(list_sum([${duckByteWordCountSql("w", merges)}
+       | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
 }
 
 /** INT BPE token count of a string column (codegen-enabled). */
-case class BpeTokenCount(child: Expression, ranks: BpeSupport.Ranks) extends UnaryExpression {
+case class BpeTokenCount(
+    child: Expression,
+    ranks: BpeSupport.Ranks,
+    byteLevel: Boolean = false
+) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
@@ -206,15 +345,18 @@ case class BpeTokenCount(child: Expression, ranks: BpeSupport.Ranks) extends Una
         s"graft_bpe_count requires a string, got ${other.catalogString}")
   }
 
+  private def fn = if (byteLevel) "countTokensBytes" else "countTokens"
+
   override protected def nullSafeEval(input: Any): Any =
-    BpeSupport.countTokens(input.asInstanceOf[UTF8String], ranks)
+    if (byteLevel) BpeSupport.countTokensBytes(input.asInstanceOf[UTF8String], ranks)
+    else BpeSupport.countTokens(input.asInstanceOf[UTF8String], ranks)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, classOf[BpeSupport.Ranks].getName)
     nullSafeCodeGen(
       ctx,
       ev,
-      c => s"${ev.value} = graft.functions.BpeSupport.countTokens($c, $ranksRef);")
+      c => s"${ev.value} = graft.functions.BpeSupport.$fn($c, $ranksRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
@@ -224,8 +366,12 @@ case class BpeTokenCount(child: Expression, ranks: BpeSupport.Ranks) extends Una
 /** array<int> BPE token ids of a string column (codegen-enabled); ids index
   * the caller vocabulary, -1 = out of vocabulary.
   */
-case class BpeTokenIds(child: Expression, ranks: BpeSupport.Ranks, vocab: Seq[String])
-    extends UnaryExpression {
+case class BpeTokenIds(
+    child: Expression,
+    ranks: BpeSupport.Ranks,
+    vocab: Seq[String],
+    byteLevel: Boolean = false
+) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -238,8 +384,11 @@ case class BpeTokenIds(child: Expression, ranks: BpeSupport.Ranks, vocab: Seq[St
         s"graft_bpe_ids requires a string, got ${other.catalogString}")
   }
 
+  private def fn = if (byteLevel) "tokenIdsBytes" else "tokenIds"
+
   override protected def nullSafeEval(input: Any): Any =
-    BpeSupport.tokenIds(input.asInstanceOf[UTF8String], ranks, vmap)
+    if (byteLevel) BpeSupport.tokenIdsBytes(input.asInstanceOf[UTF8String], ranks, vmap)
+    else BpeSupport.tokenIds(input.asInstanceOf[UTF8String], ranks, vmap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, classOf[BpeSupport.Ranks].getName)
@@ -247,7 +396,7 @@ case class BpeTokenIds(child: Expression, ranks: BpeSupport.Ranks, vocab: Seq[St
     nullSafeCodeGen(
       ctx,
       ev,
-      c => s"${ev.value} = graft.functions.BpeSupport.tokenIds($c, $ranksRef, $vocabRef);")
+      c => s"${ev.value} = graft.functions.BpeSupport.$fn($c, $ranksRef, $vocabRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
@@ -267,5 +416,26 @@ object BpeExprs {
     BpeSupport.validate(merges)
     ColumnShim.column(
       BpeTokenIds(ColumnShim.expression(text), new BpeSupport.Ranks(merges.toArray), vocab))
+  }
+
+  /** BYTE-level exact BPE token count: atoms are the GPT-2
+    * bytes_to_unicode remap of the word's UTF-8 bytes
+    * ([[BpeSupport.ByteToChar]]); merges are pairs over that alphabet.
+    */
+  def bpeByteTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    BpeSupport.validate(merges)
+    ColumnShim.column(
+      BpeTokenCount(
+        ColumnShim.expression(text), new BpeSupport.Ranks(merges.toArray), byteLevel = true))
+  }
+
+  /** BYTE-level exact BPE token ids; `vocab` indexes REMAPPED symbols. */
+  def bpeByteTokenIds(
+      text: Column, merges: Seq[(String, String)], vocab: Seq[String]): Column = {
+    BpeSupport.validate(merges)
+    ColumnShim.column(
+      BpeTokenIds(
+        ColumnShim.expression(text), new BpeSupport.Ranks(merges.toArray), vocab,
+        byteLevel = true))
   }
 }

@@ -864,15 +864,20 @@ object Dedup {
     * exactly the union of cross-document-repeated L-grams' extents. The
     * plan is therefore: (1) emit every (doc, pos, L-gram) — a pure
     * scan-side explode; (2) mark grams whose DISTINCT-document frequency
-    * reaches `minDocs` — a linear hash aggregate with map-side combine,
-    * NO pair formation anywhere (a gram shared by a million docs costs a
-    * million aggregate rows, never a million-squared join); (3) join the
-    * mark back (equi shuffle join, AQE-skew-safe); (4) merge each doc's
-    * covered intervals [pos, pos+L-1] into maximal runs with a per-doc
-    * window (adjacent iff the gap <= L). Two gram-keyed shuffles plus one
-    * doc-keyed window; shuffle bytes are ~L x corpus — the honest price of
-    * EXACT substring dedup (the same order as Lee et al.'s suffix-array
-    * I/O), with q56's winnowing overlap as the cheap approximate sibling.
+    * reaches `minDocs` — the SALTED two-level mark (see the inline
+    * comment): per-(gram, salt-of-doc) partial distinct-doc counts,
+    * combined per gram over at most `saltBuckets` partial rows, with the
+    * verdict joined back at (gram, salt) granularity so the gram table
+    * crosses the wire exactly once; NO pair formation anywhere (a gram
+    * shared by a million docs costs a million rows spread over
+    * `saltBuckets` tasks, never a million-squared join and never one
+    * task); (3) merge
+    * each doc's covered intervals [pos, pos+L-1] into maximal runs with a
+    * per-doc window (adjacent iff the gap <= L). One (gram, salt)-keyed
+    * exchange + one doc-keyed window; shuffle bytes are ~L x corpus — the
+    * honest price of EXACT substring dedup (the same order as Lee et
+    * al.'s suffix-array I/O), with q56's winnowing overlap as the cheap
+    * approximate sibling.
     *
     * Positions are 1-based character offsets into the NORMALIZED text
     * (see [[normText]]); `span_end` is inclusive. `n_grams` is the count
@@ -886,13 +891,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       minLen: Int,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      saltBuckets: Int = 64
   ): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     require(minDocs >= 2, "minDocs must be >= 2 (a substring always repeats in its own doc)")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    // a redundant self-alias (`doc_id AS doc_id`) is removed asymmetrically
+    // across the two consumers of the shared exchange below (the optimizer
+    // keeps it only where the aliased attribute is the subtree's output),
+    // which de-canonicalizes the exchange and doubles the scan — so only
+    // alias when the name actually changes
+    val docId = if (idCol == "doc_id") col("doc_id") else col(idCol).as("doc_id")
     val positions = df
-      .select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
+      .select(docId, normText(textCol).as("__t"))
       .withColumn(
         "__pg",
         explode(
@@ -905,24 +918,66 @@ object Dedup {
         )
       )
       .select(col("doc_id"), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
-      .repartition(col("gram"))
-    // distinct-document frequency per gram WITHOUT an aggregate+join-back
-    // (which would scan and shuffle the gram table twice — the two
-    // branches prune different columns, so neither exchange reuse nor AQE
-    // stage reuse can merge them; measured as two full scans): the q56
-    // PPJoin pattern instead. One explicit gram repartition satisfies
-    // BOTH window distributions ((gram, doc_id) and gram — clustered-
-    // distribution subset rule), so the whole mark costs ONE corpus scan
-    // and ONE gram exchange: mark each (gram, doc) group's first row,
-    // sum the marks over the gram partition, keep grams reaching minDocs.
-    // No join, hence no stats-guessed broadcast to pin away (the trap the
-    // first formulation hit at the 30x ScaleBench point).
-    val wFirst = Window.partitionBy(col("gram"), col("doc_id")).orderBy(col("pos"))
-    val wGram = Window.partitionBy(col("gram"))
-    val hits = positions
+      // no-op by construction (grams are substrings of a non-null __t, and
+      // __salt below is a pmod over a seeded hash), but load-bearing for
+      // exchange reuse: the verdict join infers isnotnull on its keys and
+      // pushes the filters into ITS branch only, which would
+      // de-canonicalize the shared (gram, salt) exchange and double the
+      // scan+explode; stating the filters once here keeps both consumers'
+      // subtrees identical (InferFiltersFromConstraints dedupes the
+      // inferred copies)
+      .filter(col("gram").isNotNull)
+    // Distinct-document frequency per gram, SALTED. The round-7 window form
+    // partitioned its windows by bare `gram`; a window partition cannot be
+    // split by AQE, so a 30-char boilerplate gram shared by 10^6+ docs of a
+    // real web corpus is ONE stalled task (the round-8 verdict's
+    // scale-killer). The de-skewed mark keeps the one-full-exchange shape:
+    //
+    //  1. salt = pmod(hash(doc_id), saltBuckets) — a FUNCTION of doc_id, so
+    //     per-(gram, salt) groups are doc-disjoint and their distinct-doc
+    //     partials sum to the exact per-gram count; a hot gram spreads over
+    //     `saltBuckets` tasks. The only full-size exchange keys on
+    //     (gram, salt).
+    //  2. partials: one row_number window marks each (gram, salt, doc)'s
+    //     first row (partition sizes bounded by within-doc repeats), then an
+    //     in-partition aggregate — HashPartitioning(gram, salt) satisfies
+    //     every distribution here via the clustered-subset rule, so neither
+    //     step re-exchanges.
+    //  3. the verdict travels at (gram, salt) granularity, never row
+    //     granularity: per-gram totals via a window over the PARTIALS
+    //     (<= saltBuckets rows per gram — skew-bounded by construction),
+    //     filtered to qualifying groups, then equi-joined back on BOTH keys
+    //     (gram, __salt). The full-size side already satisfies the join's
+    //     required distribution, so EnsureRequirements exchanges only the
+    //     tiny flag side — the gram table crosses the wire exactly once. A
+    //     shuffled-hash hint pins the stats-blind broadcast cliff away
+    //     (aggregate-output sizes are guessed; the q103 plan archaeology
+    //     measured that death at 30x).
+    //
+    // Both consumers of the full table — the verdict join's probe side and
+    // the partials branch — hang off the SAME (gram, salt) exchange with
+    // column-identical subtrees (the window's orderBy keeps `pos` alive
+    // below the exchange in the partials branch), so ReuseExchange
+    // collapses them: one scan + explode + shuffle write, two shuffle
+    // reads, one full-table sort. The planted-hot-gram ScaleBench fixture
+    // (substring_hot) measures the skew behavior.
+    val salted = positions
+      .withColumn("__salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
+      .filter(col("__salt").isNotNull) // reuse-keeping no-op, see above
+      .repartition(col("gram"), col("__salt"))
+    val wFirst =
+      Window.partitionBy(col("gram"), col("__salt"), col("doc_id")).orderBy(col("pos"))
+    val partials = salted
       .withColumn("__first", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .withColumn("__nd", sum(col("__first")).over(wGram))
+      .groupBy(col("gram"), col("__salt"))
+      .agg(sum(col("__first")).as("__pd"))
+    val wGram = Window.partitionBy(col("gram"))
+    val okGroups = partials
+      .withColumn("__nd", sum(col("__pd")).over(wGram))
       .filter(col("__nd") >= minDocs)
+      .select(col("gram"), col("__salt"))
+    val hits = salted
+      .join(okGroups.hint("shuffle_hash"), Seq("gram", "__salt"))
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = Window
@@ -1077,9 +1132,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       minLen: Int,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      saltBuckets: Int = 64
   ): DataFrame =
-    applySpanTrim(df, idCol, textCol, repeatedSpans(df, idCol, textCol, minLen, minDocs))
+    applySpanTrim(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, minLen, minDocs, saltBuckets))
 
   /** Intake-time trim: cut out of each PROBE document every span already
     * present in the indexed corpus ([[repeatedSpansVsCorpus]] spans) —

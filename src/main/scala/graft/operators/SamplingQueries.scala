@@ -334,5 +334,62 @@ object SamplingQueries {
       graft.functions.BpeSupport.duckDocCountSql("lower(text)", BpeMerges)))
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106)
+  /** q113's BYTE-level merges: pairs over the GPT-2 bytes_to_unicode
+    * alphabet. The first two ranks rebuild the multi-byte characters the
+    * query plants (ä = C3 A4 -> "Ã","¤"; é = C3 A9 -> "Ã","©") from their
+    * byte pieces; later ranks merge across them ("thé", "än") — the
+    * byte-level capability character-level symbols cannot express. Shared
+    * verbatim with the oracle's remap-then-replace chain.
+    */
+  private[graft] val BpeByteMerges: Seq[(String, String)] = Seq(
+    ("Ã", "¤"), // ä
+    ("Ã", "©"), // é
+    ("t", "h"),
+    ("th", "Ã©"), // thé
+    ("i", "n"),
+    ("Ã¤", "n"), // än
+    ("o", "n"),
+    ("r", "Ã©"), // ré
+    ("in", "g"),
+    ("o", "u")
+  )
+
+  /** BYTE-level BPE token-budget mixture: q106's contract with the
+    * production GPT-2 alphabet — each word's UTF-8 bytes pass the
+    * published bytes_to_unicode bijection before the merge walk
+    * ([[graft.functions.BpeSupport.ByteToChar]]), so multi-byte characters
+    * tokenize from their byte pieces. The query plants non-ASCII
+    * deterministically (translate a->ä, e->é — documents are ASCII, and an
+    * identity-remap corpus would not exercise the byte path), and the
+    * oracle REPLAYS THE REMAP ITSELF: hex(encode(word)) decoded pair-wise
+    * through the same 256-char table rendered as a SQL literal, then the
+    * same replace chain ([[graft.functions.BpeSupport.duckByteDocCountSql]]).
+    */
+  private val q113 = Q(
+    "q113_bpe_byte_budget",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val withTok = T.documents.withColumn(
+        "n_tokens",
+        graft.functions.BpeExprs
+          .bpeByteTokenCount(translate(lower($"text"), "ae", "äé"), BpeByteMerges)
+          .cast("long"))
+      Sampling
+        .tokenBudgetMixture(
+          withTok,
+          group = $"source",
+          key = $"doc_id",
+          tokens = $"n_tokens",
+          budgets = Map("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L),
+          numShards = 8
+        )
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    },
+    Some(tokenBudgetOracleSql(
+      graft.functions.BpeSupport
+        .duckByteDocCountSql("translate(lower(text), 'ae', 'äé')", BpeByteMerges)))
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113)
 }

@@ -109,6 +109,55 @@ class BpeSpec extends SparkSpec {
     BpeSupport.validate(Seq(("a", "b"), ("ab", "c"))) // well-formed passes
   }
 
+  test("bytes_to_unicode is the published GPT-2 bijection (hand-computed anchors)") {
+    val t = BpeSupport.ByteToChar
+    assert(t.length == 256 && t.distinct.length == 256, "must be a bijection")
+    // printable bytes map to themselves
+    assert(t('!') == '!' && t('A') == 'A' && t('z') == 'z' && t(126) == '~')
+    assert(t(161) == '¡' && t(172) == '¬' && t(174) == '®' && t(255) == 'ÿ')
+    // shifted bytes take 256+n in byte order — the well-known GPT-2 chars:
+    // space is Ġ (U+0120 = 256+32), newline is Ċ (U+010A = 256+10), NUL is Ā
+    assert(t(32) == 'Ġ', "byte 32 (space) must be Ġ — the GPT-2 word-boundary symbol")
+    assert(t(10) == 'Ċ', "byte 10 (LF) must be Ċ")
+    assert(t(0) == 'Ā' && t(127) == (256 + 33).toChar && t(173) == (256 + 67).toChar)
+  }
+
+  test("byte atoms split multi-byte characters into remapped byte pieces") {
+    assert(BpeSupport.byteAtoms("é").toSeq == Seq("Ã", "©")) // C3 A9, both printable
+    assert(BpeSupport.byteAtoms("ä").toSeq == Seq("Ã", "¤")) // C3 A4
+    assert(BpeSupport.byteAtoms("the").toSeq == Seq("t", "h", "e")) // ASCII = identity
+    // soft hyphen U+00AD = C2 AD: C2 printable, AD (173) shifted
+    assert(BpeSupport.byteAtoms("­").toSeq == Seq("Â", (256 + 67).toChar.toString))
+  }
+
+  test("byte-level walk merges across rebuilt multi-byte characters (hand-computed)") {
+    val byteMerges = graft.operators.SamplingQueries.BpeByteMerges
+    val r = ranks(byteMerges)
+    // "thé": t h Ã © -> (Ã,©)@1 -> t h Ã© -> (t,h)@2 -> th Ã© -> (th,Ã©)@3
+    assert(BpeSupport.tokenizeWordBytes("thé", r).toSeq == Seq("thÃ©"))
+    // "än": Ã ¤ n -> (Ã,¤)@0 -> Ã¤ n -> (Ã¤,n)@5
+    assert(BpeSupport.tokenizeWordBytes("än", r).toSeq == Seq("Ã¤n"))
+    // ASCII words behave like the char-level walk under ASCII-only merges
+    assert(BpeSupport.tokenizeWordBytes("thing", r).toSeq == Seq("th", "ing"))
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeSupport.countTokensBytes(UTF8String.fromString("thé än thing"), r) == 4)
+    assert(BpeSupport.countTokensBytes(null, r) == 0)
+  }
+
+  test("byte-level expression surface: Column parity with the support walk") {
+    val byteMerges = graft.operators.SamplingQueries.BpeByteMerges
+    val df = Seq((1L, "thé thing où"), (2L, "plain words")).toDF("id", "t")
+      .select($"id", BpeExprs.bpeByteTokenCount($"t", byteMerges).as("n"),
+        BpeExprs.bpeByteTokenIds($"t", byteMerges, Seq("thÃ©", "oÃ¹", "th", "ing")).as("ids"))
+      .orderBy($"id").collect()
+    // "où" = o Ã ¹ (F9? no: ù = C3 B9 -> Ã ¹); (o,u) never fires on remapped ù
+    val r = ranks(byteMerges)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(df(0).getInt(1) == BpeSupport.countTokensBytes(UTF8String.fromString("thé thing où"), r))
+    assert(df(0).getSeq[Int](2).head == 0, "thé -> vocab id 0")
+    assert(df(1).getInt(1) == BpeSupport.countTokensBytes(UTF8String.fromString("plain words"), r))
+  }
+
   test("token ids index the vocabulary; OOV is -1") {
     val vocab = Seq("the", "th", "in", "and") // no atom entries
     val df = Seq((1L, "the thin and xyz")).toDF("id", "t")

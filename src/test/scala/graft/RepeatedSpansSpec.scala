@@ -140,4 +140,33 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(run(1) == run(13))
     assert(run(1).nonEmpty)
   }
+
+  test("salted mark is exact on a planted hot gram, for any salt count") {
+    // the skew shape the salting exists for: ONE 30-gram (a periodic 'z'
+    // run collapses every window to the same gram) shared by half the
+    // corpus, plus cross-salt-only pairs (each rare gram's two docs land
+    // in different salt buckets for SOME saltBuckets value, exercising the
+    // cross-salt combine), plus singletons that must stay out
+    val hotTail = " " + "z" * 60
+    val docs = (1L to 120L).map { i =>
+      // docs (1,3), (5,7), (9,11), … share one rare string per pair
+      val rare =
+        if (i <= 40 && i % 2 == 1) s" shared rare run ${"%04d".format((i - 1) / 4)} padded out to thirty chars"
+        else ""
+      // doc id interleaved every few words: no 30-char run is shared
+      // outside the planted rare/hot regions
+      (i, s"x$i some y$i words z$i here w$i$rare" + (if (i % 2 == 0) hotTail else ""))
+    }.toDF("doc_id", "text")
+    def run(s: Int) = Dedup
+      .repeatedSpans(docs, "doc_id", "text", minLen = 30, minDocs = 2, saltBuckets = s)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val ref = run(1) // one bucket = the unsalted semantics
+    assert(ref.nonEmpty)
+    // every even doc carries a hot-gram span, every odd doc <= 40 a rare one
+    val docsWithSpans = ref.map(_._1).toSet
+    assert((2L to 120L by 2).forall(docsWithSpans), "hot-gram docs must all span")
+    assert((1L to 40L by 2).forall(docsWithSpans), "rare-pair docs must all span")
+    assert(!docsWithSpans.contains(41L), "singleton docs must not span")
+    for (s <- Seq(2, 7, 64, 1024)) assert(run(s) == ref, s"saltBuckets=$s diverged")
+  }
 }
