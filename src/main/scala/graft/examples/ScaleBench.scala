@@ -291,6 +291,7 @@ object ScaleBench {
     val doTrim = only.forall(f => f.contains("substring_trim"))
     val doSimPack = only.forall(f => f.contains("sim_pack"))
     val doHot = only.exists(f => f.exists(_.startsWith("substring_hot")))
+    val doGramAppend = only.exists(f => f.exists(_.startsWith("gram_append")))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
@@ -501,8 +502,50 @@ object ScaleBench {
         println(s"""{"bench":"scale","scale":$k,"query":"substring_hot_legacy","sec":$tLegacy,"rows":$rowsLegacy,"max_task_ms":$maxLegacy}""")
         Seq("substring_hot_salted" -> tSalted, "substring_hot_legacy" -> tLegacy)
       }
+      // Incremental gram-index maintenance: at corpus scale k, a snapshot
+      // rebuild (write the full index) costs ∝ k; appending a FIXED intake
+      // batch (the base corpus re-idd, constant size across scales) must
+      // stay ~flat — the append writes only the batch's grams (lake
+      // append-mode = new files only; the index is neither scanned nor
+      // shuffled). The probe afterwards verifies the appended index serves
+      // spans. Single-run timings: a second append would change the index
+      // under measurement.
+      val gramAppendTimes = if (!doGramAppend) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val idxDir = s"$dir/gram_index_bench"
+        var tRebuild = 0.0
+        var tAppend = 0.0
+        var probed = 0L
+        spark.sharedState.cacheManager.clearCache()
+        locally {
+          val t0 = System.nanoTime()
+          Dedup.substringGramIndex(docs, "doc_id", "text", 30)
+            .write.mode("overwrite").parquet(idxDir)
+          tRebuild = (System.nanoTime() - t0) / 1e9
+        }
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" appended batch suffix")).as("text"))
+        locally {
+          val t0 = System.nanoTime()
+          Dedup.substringGramIndex(batch, "doc_id", "text", 30)
+            .write.mode("append").parquet(idxDir)
+          tAppend = (System.nanoTime() - t0) / 1e9
+        }
+        val probe = spark.read.parquet(s"$baseDir/documents.parquet")
+          .filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 950000000L).as("doc_id"), col("text"))
+        val tProbe = time2(spark) {
+          probed = Dedup
+            .repeatedSpansVsCorpus(probe, "doc_id", "text",
+              spark.read.parquet(idxDir), 30)
+            .count()
+        }
+        println(s"""{"bench":"scale","scale":$k,"query":"gram_append","sec":$tAppend,"rebuild_sec":$tRebuild,"probe_sec":$tProbe,"probe_rows":$probed}""")
+        Seq("gram_append" -> tAppend)
+      }
       k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
-        simPackTimes ++ bloomTimes ++ hotTimes)
+        simPackTimes ++ bloomTimes ++ hotTimes ++ gramAppendTimes)
     }.toMap
 
     // summary: growth factors vs the smallest scale (a ~linear engine shows
@@ -514,7 +557,8 @@ object ScaleBench {
       (if (doAv) Seq("av_sniff") else Nil) ++
       (if (doSem) Seq("semdedup") else Nil) ++
       (if (doBloom) Seq("bloom_decon") else Nil) ++
-      (if (doHot) Seq("substring_hot_salted", "substring_hot_legacy") else Nil)
+      (if (doHot) Seq("substring_hot_salted", "substring_hot_legacy") else Nil) ++
+      (if (doGramAppend) Seq("gram_append") else Nil)
     val summary = names.map { q =>
       val t1 = results(k0).toMap.apply(q)
       val g = scales.map(k => f"${results(k).toMap.apply(q) / t1}%.1f").mkString("[", ",", "]")

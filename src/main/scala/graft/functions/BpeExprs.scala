@@ -244,6 +244,38 @@ object BpeSupport {
     new GenericArrayData(out.toArray)
   }
 
+  /** Adjacent symbol pairs of a document's words under `ranks` — see
+    * [[BpeAdjacentPairs]]. Catalyst array of (a, b) struct rows.
+    */
+  def adjacentPairs(text: UTF8String, ranks: Ranks): GenericArrayData =
+    pairsOf(text, ranks, byteLevel = false)
+
+  /** Byte-level [[adjacentPairs]]. */
+  def adjacentPairsBytes(text: UTF8String, ranks: Ranks): GenericArrayData =
+    pairsOf(text, ranks, byteLevel = true)
+
+  private def pairsOf(text: UTF8String, ranks: Ranks, byteLevel: Boolean): GenericArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val words = text.toString.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val syms =
+          if (byteLevel) tokenizeWordBytes(words(i), ranks) else tokenizeWord(words(i), ranks)
+        var j = 0
+        while (j < syms.length - 1) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(syms(j)),
+            UTF8String.fromString(syms(j + 1)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def vocabMap(vocab: Seq[String]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](vocab.length * 2)
     vocab.zipWithIndex.foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
@@ -366,6 +398,52 @@ case class BpeTokenCount(
 /** array<int> BPE token ids of a string column (codegen-enabled); ids index
   * the caller vocabulary, -1 = out of vocabulary.
   */
+/** array<struct<a,b>> of ADJACENT SYMBOL PAIRS of a document under the
+  * current merges table — the corpus statistic BPE TRAINING consumes: one
+  * round of Sennrich et al. 2016 is "count all adjacent pairs, merge the
+  * most frequent". Pairs never cross word boundaries (same pre-tokenizer
+  * contract as the walks); a run like "aaa" contributes its two
+  * overlapping (a,a) pairs — the standard training count. Codegen-enabled
+  * pure projection, so each training round is one scan + one pair-count
+  * aggregate.
+  */
+case class BpeAdjacentPairs(
+    child: Expression,
+    ranks: BpeSupport.Ranks,
+    byteLevel: Boolean = false
+) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_pairs requires a string, got ${other.catalogString}")
+  }
+
+  private def fn = if (byteLevel) "adjacentPairsBytes" else "adjacentPairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (byteLevel) BpeSupport.adjacentPairsBytes(input.asInstanceOf[UTF8String], ranks)
+    else BpeSupport.adjacentPairs(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, classOf[BpeSupport.Ranks].getName)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.BpeSupport.$fn($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeAdjacentPairs =
+    copy(child = newChild)
+}
+
 case class BpeTokenIds(
     child: Expression,
     ranks: BpeSupport.Ranks,
@@ -416,6 +494,17 @@ object BpeExprs {
     BpeSupport.validate(merges)
     ColumnShim.column(
       BpeTokenIds(ColumnShim.expression(text), new BpeSupport.Ranks(merges.toArray), vocab))
+  }
+
+  /** Adjacent symbol pairs under `merges` (training statistic) — the
+    * empty table gives base-atom pairs, round 0 of training.
+    */
+  def bpeAdjacentPairs(
+      text: Column, merges: Seq[(String, String)], byteLevel: Boolean = false): Column = {
+    BpeSupport.validate(merges)
+    ColumnShim.column(
+      BpeAdjacentPairs(
+        ColumnShim.expression(text), new BpeSupport.Ranks(merges.toArray), byteLevel))
   }
 
   /** BYTE-level exact BPE token count: atoms are the GPT-2

@@ -1027,6 +1027,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Snapshot advance WITHOUT a rebuild: the grams of an intake batch
+    * appended to an existing [[substringGramIndex]]. Cost is the BATCH's
+    * explode + distinct only — the corpus-scale index is neither scanned
+    * nor shuffled (a DataFrame union is a narrow no-op), which is what
+    * makes per-refresh maintenance viable: rebuild is ∝ corpus, append is
+    * ∝ batch.
+    *
+    * Contract: the result is a MULTISET — a gram both sides share appears
+    * once per side (deduping would need an anti-join against the full
+    * index, corpus-cost by definition). The probes are duplicate-tolerant
+    * by construction ([[repeatedSpansVsCorpus]] counts DISTINCT gram
+    * positions; bloom bits are idempotent), so duplicates cost only probe
+    * join multiplicity, bounded by the number of appends sharing the gram
+    * — run a compaction (`index.distinct()`) on the cadence rebuilds used
+    * to happen. AppendGramIndexSpec pins append ≡ rebuild at the probe.
+    *
+    * Bloom refresh law (spec-pinned): bits of the appended index ==
+    * [[graft.functions.BloomSupport.or]] of the old bits and the batch
+    * grams' bits (same size/hashes) — the streaming pregate
+    * ([[graft.streaming.Streams.flagCorpusOverlap]]) advances without
+    * touching the index at all.
+    */
+  def appendGramIndex(
+      gramIndex: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int
+  ): DataFrame =
+    gramIndex.unionByName(substringGramIndex(newDocs, idCol, textCol, minLen))
+
   /** Bloom bits over a [[substringGramIndex]]'s gram hashes — the
     * fixed-size form of the corpus gram set for scan-side membership
     * pregates ([[graft.streaming.Streams.flagCorpusOverlap]]): the index
@@ -1104,7 +1135,12 @@ object Dedup {
       .agg(
         min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(minLen - 1)).as("span_end"),
-        count(lit(1)).as("n_grams")
+        // DISTINCT, not count(1): an [[appendGramIndex]]-maintained index
+        // is a multiset, and a duplicated gram duplicates hit rows — the
+        // duplicates land in the same run (zero gap), so min/max/lag are
+        // unaffected and distinct positions restore the exact evidence
+        // count without an extra probe-side exchange
+        count_distinct(col("pos")).as("n_grams")
       )
       .select(
         col("doc_id"),

@@ -95,6 +95,22 @@ object UrlOps {
     agg.withColumn("token_permille", expr(s"tokens * 1000 DIV ${total}L"))
   }
 
+  /** Registered domain of a CANONICAL url under a caller-supplied
+    * public-suffix list — the data-file form the object doc promises: the
+    * published PSL algorithm (longest matching rule, whole-host rules give
+    * NULL, default-`*` when nothing matches) over rules compiled into a
+    * broadcast-style reference HashSet
+    * ([[graft.functions.UrlExprs.pslDomain]] — O(labels) lookups per row
+    * at any list size; the 7-suffix heuristic of [[registeredDomain]]
+    * stays the no-file fallback). Parse a PSL-format file with
+    * [[graft.functions.PslSupport.parseSuffixList]]; plain rules only
+    * (wildcard/exception rules rejected by the loader).
+    */
+  def registeredDomainPsl(canonicalUrl: Column, rules: Seq[String]): Column = {
+    val host = regexp_extract(canonicalUrl, "^[a-z0-9+.-]+://([^/:?#]+)", 1)
+    graft.functions.UrlExprs.pslDomain(host, rules)
+  }
+
   // ---- DuckDB renderings of the SAME rules (oracle builders) ----
 
   /** [[canonicalizeUrl]] as a DuckDB expression over `urlExpr`. */
@@ -120,5 +136,32 @@ object UrlOps {
     val host = s"regexp_extract($canonicalExpr, '^[a-z0-9+.-]+://([^/:?#]+)', 1)"
     val reg = s"regexp_extract($host, '([^.]+\\.($SecondLevel)\\.[a-z]{2}|[^.]+\\.[^.]+)$$', 1)"
     s"(CASE WHEN coalesce($reg, '') = '' THEN $host ELSE $reg END)"
+  }
+
+  /** [[registeredDomainPsl]] as a DuckDB expression: the PSL decision
+    * replayed with the rule set rendered INTO the SQL. Longest-rule
+    * precedence falls out of regex mechanics — the registered domain is
+    * one label + suffix, so a longer matching suffix IS an earlier match
+    * start, and regex scanning takes the leftmost start; whole-host rules
+    * are checked first (the longest suffix a host has is itself), then the
+    * default-`*` last-two-labels rule, NULL when nothing registers.
+    * Intended for oracle-scale rule subsets; the engine side uses the
+    * hash-set expression precisely because a 9,000-alternative regex is
+    * not a plan.
+    */
+  def duckDomainPslSql(canonicalExpr: String, rules: Seq[String]): String = {
+    graft.functions.PslSupport.compile(rules) // same validation as the engine side
+    val host = s"regexp_extract($canonicalExpr, '^[a-z0-9+.-]+://([^/:?#]+)', 1)"
+    val inList = rules.map(r => s"'${r.replace("'", "''")}'").mkString(", ")
+    // validated rules are plain lowercase labels + dots: dot is the only
+    // regex metacharacter to escape
+    val alt = rules.map(_.replace(".", "\\.")).mkString("|")
+    val bySuffix = s"regexp_extract($host, '([^.]+\\.(?:$alt))$$', 1)"
+    s"""(CASE
+        WHEN $host IN ($inList) THEN NULL
+        WHEN coalesce($bySuffix, '') <> '' THEN $bySuffix
+        WHEN len(string_split($host, '.')) >= 2
+          THEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1)
+        ELSE NULL END)""".replaceAll("\n\\s*", " ")
   }
 }

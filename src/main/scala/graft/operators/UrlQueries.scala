@@ -103,5 +103,68 @@ object UrlQueries {
       ))
   )
 
-  val all: Seq[Q] = Seq(q108, q109)
+  /** q114's PSL rule subset: the classic traps — ccTLD second-levels the
+    * compact heuristic cannot know (gob.mx), nested rules where longest
+    * must win (uk vs co.uk vs org.uk), a bare-public-suffix host, and a
+    * single-label host falling to the default-`*` rule.
+    */
+  private val PslRules = Seq("com", "org", "uk", "co.uk", "org.uk", "mx", "gob.mx")
+
+  /** Messy raw URLs with PSL-trap hosts, Spark rendering. */
+  private def rawUrlPsl(docId: Column): Column = {
+    val id = docId.cast("string")
+    when(docId % 6 === 0,
+      concat(lit("HTTP://WWW.News.Example.COM:80/Articles/"), id, lit("?utm_source=f#x")))
+      .when(docId % 6 === 1, concat(lit("https://Blog.Example.co.UK:443/post/"), id))
+      .when(docId % 6 === 2, concat(lit("https://a.b.example.org.uk/page/"), id))
+      .when(docId % 6 === 3, concat(lit("https://portal.hacienda.gob.mx/tramite/"), id))
+      .when(docId % 6 === 4, lit("https://co.uk/"))
+      .otherwise(concat(lit("http://localhost:8080/dev/"), id))
+  }
+
+  /** The same construction, DuckDB rendering. */
+  private val rawUrlPslSql: String = """
+    CASE
+      WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.News.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '?utm_source=f#x'
+      WHEN doc_id % 6 = 1 THEN 'https://Blog.Example.co.UK:443/post/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 6 = 2 THEN 'https://a.b.example.org.uk/page/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 6 = 3 THEN 'https://portal.hacienda.gob.mx/tramite/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 6 = 4 THEN 'https://co.uk/'
+      ELSE 'http://localhost:8080/dev/' || CAST(doc_id AS VARCHAR)
+    END""".trim.replaceAll("\\s+", " ")
+
+  /** PSL-backed registered domain ([[UrlOps.registeredDomainPsl]]): the
+    * published public-suffix algorithm under a caller-supplied rule file,
+    * over q108's canonicalization. The fixture plants every trap the
+    * compact heuristic cannot express — gob.mx second-level (the
+    * heuristic's documented misparse), nested uk rules where the LONGEST
+    * must prevail, a bare-public-suffix host (NULL — nothing registrable),
+    * and a single-label host under the default-`*` rule. The oracle
+    * replays the decision with the rule set rendered into the SQL
+    * ([[UrlOps.duckDomainPslSql]]); the engine runs the same rules through
+    * the reference-HashSet expression that scales to the full 9,000-rule
+    * Mozilla list.
+    */
+  private val q114 = Q(
+    "q114_psl_domain",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val canon = UrlOps.canonicalizeUrl(rawUrlPsl($"doc_id"))
+      T.documents
+        .select(
+          $"doc_id",
+          canon.as("canonical_url"),
+          UrlOps.registeredDomainPsl(canon, PslRules).as("domain"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val canon = UrlOps.duckCanonicalSql(rawUrlPslSql)
+      s"""
+      SELECT doc_id, $canon AS canonical_url, ${UrlOps.duckDomainPslSql(canon, PslRules)} AS domain
+      FROM documents ORDER BY doc_id
+      """.trim
+    }
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114)
 }

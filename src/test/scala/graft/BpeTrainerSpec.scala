@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{BpeExprs, BpeSupport}
+import graft.operators.BpeTrainer
+import org.apache.spark.sql.functions._
+
+/** In-engine BPE training ([[BpeTrainer.trainMerges]]): hand-derived table
+  * parity on a tiny corpus, determinism across partitionings, validate
+  * round-trip, and the byte-level alphabet.
+  */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trained merges reproduce the hand-derived table on a tiny fixture") {
+    // corpus pair counts, round by round (hand-computed):
+    //   "the the the cat" + "then that" + "chat"
+    // round 1 atoms: t h e (x3), c a t, t h e n, t h a t, c h a t
+    //   (t,h): the x3 + then + that = 5   <- max
+    //   (h,e): 3+1=4; (h,a): that+chat=2; (a,t): cat+that+chat=3; (c,a):1 (c,h):1 (e,n):1
+    // round 2 with th: (th,e): 4  <- max  ((a,t) 3, (h,a) 1 now only chat... )
+    // round 3: (a,t): cat+th|at+ch|at = 3 <- max ((the,?) none adjacent x3... "the" standalone)
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "then that"),
+      (3L, "chat")
+    ).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 3)
+    assert(merges == Seq(("t", "h"), ("th", "e"), ("a", "t")),
+      s"hand-derived table mismatch: $merges")
+    // the trained table drives the tokenizer: "that" -> th at
+    val r = new BpeSupport.Ranks(merges.toArray)
+    assert(BpeSupport.tokenizeWord("that", r).toSeq == Seq("th", "at"))
+    assert(BpeSupport.tokenizeWord("the", r).toSeq == Seq("the"))
+  }
+
+  test("training is deterministic under any partition layout") {
+    val docs = (1L to 60L).map { i =>
+      (i, s"alpha beta gamma delta word$i repeat repeat alpha${i % 7}")
+    }.toDF("doc_id", "text")
+    val a = BpeTrainer.trainMerges(docs.repartition(1), "text", numMerges = 8)
+    val b = BpeTrainer.trainMerges(docs.repartition(13), "text", numMerges = 8)
+    assert(a == b, s"partitioning changed the trained table:\n$a\n$b")
+    assert(a.size == 8)
+  }
+
+  test("trained table round-trips validate and feeds the count expression") {
+    val docs = Seq((1L, "rolling rolls rolled roll"), (2L, "roll rolling")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 6)
+    BpeSupport.validate(merges) // must not throw (trainMerges also validates)
+    val counted = docs.select(BpeExprs.bpeTokenCount($"text", merges).as("n"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(counted > 0)
+  }
+
+  test("early stop: no pair reaches minPairCount") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    // every adjacent pair occurs exactly once; minPairCount=2 stops at 0
+    assert(BpeTrainer.trainMerges(docs, "text", numMerges = 5).isEmpty)
+    // minPairCount=1 learns singleton pairs deterministically (lexicographic)
+    val one = BpeTrainer.trainMerges(docs, "text", numMerges = 1, minPairCount = 1L)
+    assert(one == Seq(("a", "b")), s"lexicographic tie-break expected (a,b), got $one")
+  }
+
+  test("byte-level training rebuilds multi-byte characters from their byte pieces first") {
+    // é (C3 A9 -> Ã ©) dominates: its byte pair is the most frequent
+    val docs = Seq((1L, "éé éé éé"), (2L, "ab ab")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 2, byteLevel = true)
+    assert(merges.head == (("Ã", "©")),
+      s"first byte-level merge must rebuild é from its bytes, got $merges")
+    // the trained table round-trips through the byte-level walk
+    val r = new BpeSupport.Ranks(merges.toArray)
+    assert(BpeSupport.tokenizeWordBytes("é", r).toSeq == Seq("Ã©"))
+  }
+
+  test("self-pair runs train and walk with GPT-2 semantics (beyond the SQL replay)") {
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 2)
+    assert(merges == Seq(("a", "a"), ("aa", "aa")), s"got $merges")
+    val r = new BpeSupport.Ranks(merges.toArray)
+    assert(BpeSupport.tokenizeWord("aaaa", r).toSeq == Seq("aaaa"))
+  }
+}

@@ -62,6 +62,43 @@ class UrlSpec extends SparkSpec {
     assert(rep == Seq(("example.com", 2L, 400L, 400L), ("sample.org", 1L, 600L, 600L)))
   }
 
+  test("PSL registered domain: the classic traps, hand-derived") {
+    import graft.functions.UrlExprs
+    val rules = Seq("com", "org", "uk", "co.uk", "org.uk", "mx", "gob.mx")
+    val hosts = Seq(
+      ("news.example.com", "example.com"), // plain TLD rule
+      ("blog.example.co.uk", "example.co.uk"), // co.uk beats uk (longest rule)
+      ("a.b.example.org.uk", "example.org.uk"), // org.uk beats uk
+      ("portal.hacienda.gob.mx", "hacienda.gob.mx"), // the heuristic's misparse
+      ("example.gob.mx", "example.gob.mx"), // exactly label+suffix
+      ("co.uk", null), // host IS a public suffix: nothing registrable
+      ("gob.mx", null),
+      ("localhost", null), // single label under default-*
+      ("intra.corp.lan", "corp.lan") // no rule matches: default-* last two
+    )
+    val out = hosts.map(_._1).toDF("host")
+      .select($"host", UrlExprs.pslDomain($"host", rules).as("dom"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    for ((h, want) <- hosts)
+      assert(out(h) == want, s"host $h: expected $want, got ${out(h)}")
+  }
+
+  test("PSL loader: comments/blanks skipped, wildcard and exception rules rejected loudly") {
+    import graft.functions.PslSupport
+    val content =
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |
+        |co.uk
+        |// a comment
+        |gob.mx
+        |""".stripMargin
+    assert(PslSupport.parseSuffixList(content) == Seq("com", "co.uk", "gob.mx"))
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("*.ck")) }
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("!www.ck")) }
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("Upper.Case")) }
+  }
+
   test("domainReport: empty corpus and all-null token counts fail loudly, not NPE/NULL rows") {
     val empty = Seq.empty[(Long, String, java.lang.Long)].toDF("id", "url", "tok")
     val e1 = intercept[IllegalArgumentException] {
