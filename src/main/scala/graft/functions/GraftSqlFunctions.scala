@@ -77,6 +77,9 @@ object GraftSqlFunctions {
     }),
     ("graft_image_ahash", "(binary)", {
       case Seq(b) => ImageAHash64(b)
+    }),
+    ("graft_audio_fp", "(binary)", {
+      case Seq(b) => AudioFingerprint(b)
     })
   )
 

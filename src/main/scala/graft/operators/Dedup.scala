@@ -470,33 +470,56 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 6
   ): DataFrame = {
-    // Stamp the banding parameters on the key column: band keys built under
-    // different (maxHamming, blocks) are incompatible — a mismatched probe
-    // join would silently degrade candidate generation (keys just fail to
-    // collide), so the probe verifies this stamp. Column metadata rides the
-    // schema through parquet persist/reload.
-    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("graft_phash_max_hamming", maxHamming.toLong)
-      .putLong("graft_phash_blocks", blocks.toLong)
-      .build()
     fingerprintBandKeys(phashFps(corpus, idCol, contentCol), maxHamming, blocks, bits = 64)
-      .select(col("doc_id").as("corpus_id"), col("fp").as("corpus_fp"), col("bk").as("bk", stamp))
+      .select(
+        col("doc_id").as("corpus_id"),
+        col("fp").as("corpus_fp"),
+        col("bk").as("bk", bandingStamp("phash", maxHamming, blocks)))
   }
 
-  /** Require an index's banding stamp (written by [[phashCorpusIndex]]) to
-    * match the probe's parameters. An unstamped frame (hand-built or
-    * pre-stamp persisted) passes — the contract is then on the caller, as
-    * documented on [[phashProbeDups]].
+  /** Banding-parameter stamp for a fingerprint index's key column: band
+    * keys built under different (maxHamming, blocks) are incompatible — a
+    * mismatched probe join would silently degrade candidate generation
+    * (keys just fail to collide), so index builders write this stamp and
+    * probes verify it. `family` keys the stamp per fingerprint family
+    * ("phash", "audio") so an index of one modality can never silently
+    * probe as another. Column metadata rides the schema through parquet
+    * persist/reload.
     */
-  private def requireMatchingBanding(index: DataFrame, maxHamming: Int, blocks: Int): Unit = {
+  private def bandingStamp(
+      family: String, maxHamming: Int, blocks: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(s"graft_${family}_max_hamming", maxHamming.toLong)
+      .putLong(s"graft_${family}_blocks", blocks.toLong)
+      .build()
+
+  /** Require an index's banding stamp (written by [[phashCorpusIndex]] /
+    * [[audioCorpusIndex]]) to match the probe's family and parameters. An
+    * unstamped frame (hand-built or pre-stamp persisted) passes — the
+    * contract is then on the caller, as documented on [[phashProbeDups]].
+    */
+  private val fingerprintFamilies = Seq("phash", "audio")
+
+  private def requireMatchingBanding(
+      index: DataFrame, family: String, maxHamming: Int, blocks: Int): Unit = {
     val m = index.schema.find(_.name == "bk").map(_.metadata)
     m.foreach { md =>
-      if (md.contains("graft_phash_max_hamming")) {
-        val (ih, ib) = (md.getLong("graft_phash_max_hamming"), md.getLong("graft_phash_blocks"))
+      if (md.contains(s"graft_${family}_max_hamming")) {
+        val (ih, ib) =
+          (md.getLong(s"graft_${family}_max_hamming"), md.getLong(s"graft_${family}_blocks"))
         require(ih == maxHamming && ib == blocks,
-          s"phash index was built with (maxHamming=$ih, blocks=$ib) but the probe asked for " +
+          s"$family index was built with (maxHamming=$ih, blocks=$ib) but the probe asked for " +
             s"(maxHamming=$maxHamming, blocks=$blocks) — band keys would not collide and " +
             "candidate generation would silently degrade; rebuild the index or match the params")
+      } else {
+        // a stamp from a DIFFERENT family is a wrong-modality index (e.g. an
+        // audio index handed to a phash probe): the fingerprints are not
+        // comparable at all, so fail loudly instead of joining to nothing
+        fingerprintFamilies.filter(_ != family).foreach { other =>
+          require(!md.contains(s"graft_${other}_max_hamming"),
+            s"probe expected a $family index but the frame is stamped as a $other index — " +
+              "fingerprints of different modalities never pair; pass the matching index")
+        }
       }
     }
   }
@@ -526,8 +549,102 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 6
   ): DataFrame = {
-    requireMatchingBanding(index, maxHamming, blocks)
+    requireMatchingBanding(index, "phash", maxHamming, blocks)
     fingerprintBandKeys(phashFps(probe, idCol, contentCol), maxHamming, blocks, bits = 64)
+      .join(index, "bk")
+      .select(
+        col("doc_id"),
+        col("corpus_id").as("dup_of"),
+        bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def audioFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        graft.functions.AudioExprs.audioFingerprint(col(contentCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+
+  /** Audio-content near-dup pairs: the 49-bit perceptual energy-map
+    * fingerprint ([[graft.functions.AudioFpSupport]] — Haitsma-Kalker-style
+    * slice×band dominance over decoded PCM) banded through the SAME Manku
+    * machinery as [[phashNearDupPairs]], so candidate generation is exact
+    * at `maxHamming` by pigeonhole and sub-quadratic by banding. Catches
+    * resampled / re-encoded / gain-shifted audio copies whose BYTES differ —
+    * invisible to byte-digest dedup AND to header metadata (q92 sees a
+    * re-encoded copy as a different file). Bytes that are not a complete
+    * 16-bit PCM WAV hash NULL and drop out before banding: a corrupt blob
+    * never pairs with anything (the q33/q92/q105 untrusted-bytes contract).
+    *
+    * Scale shape: decode+Goertzel is the per-row cost (linear in clip
+    * bytes — pair with [[Multimodal.repartitionByBytes]] for skewed media);
+    * the pair search is the banded equi-join, same inventory as q52/q105.
+    */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    bandedFingerprintPairs(
+      audioFps(df, idCol, contentCol),
+      maxHamming,
+      blocks,
+      bits = graft.functions.AudioFpSupport.Bits
+    )
+
+  /** Band-keyed audio-fingerprint table of a clip corpus — the STATIC side
+    * of the incremental perceptual audio probe, the audio twin of
+    * [[phashCorpusIndex]]. Build once (and persist) per corpus snapshot;
+    * each later probe batch pays only its own decodes + one equi-join.
+    * Columns (corpus_id, corpus_fp, bk); non-PCM / corrupt blobs (NULL
+    * fingerprint) never enter. Banding parameters ride as column metadata
+    * and the probe verifies them (a mismatch would silently kill recall).
+    */
+  def audioCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    fingerprintBandKeys(
+      audioFps(corpus, idCol, contentCol), maxHamming, blocks,
+      bits = graft.functions.AudioFpSupport.Bits)
+      .select(
+        col("doc_id").as("corpus_id"),
+        col("fp").as("corpus_fp"),
+        col("bk").as("bk", bandingStamp("audio", maxHamming, blocks)))
+
+  /** Probe a batch of audio clips against an [[audioCorpusIndex]]: every
+    * (probe clip, corpus clip) pair within `maxHamming` fingerprint bits —
+    * the INCREMENTAL form of [[audioNearDupPairs]] (new clips against an
+    * existing corpus, per the family pattern of [[phashProbeDups]] /
+    * [[probeNewDocs]]); the streaming composition is
+    * [[graft.streaming.Streams.probeAudioBatch]]. Banding arithmetic is
+    * [[fingerprintBandKeys]]' — identical to the batch self-join, so a pair
+    * this probe reports is exactly a pair the batch operator would.
+    *
+    * (maxHamming, blocks) MUST equal the index's build values; indexes from
+    * [[audioCorpusIndex]] carry them as column metadata and a mismatch (or
+    * a wrong-modality index) throws here.
+    *
+    * @return (doc_id, dup_of, hamming) — probe id, corpus id
+    */
+  def audioProbeDups(
+      probe: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame = {
+    requireMatchingBanding(index, "audio", maxHamming, blocks)
+    fingerprintBandKeys(
+      audioFps(probe, idCol, contentCol), maxHamming, blocks,
+      bits = graft.functions.AudioFpSupport.Bits)
       .join(index, "bk")
       .select(
         col("doc_id"),

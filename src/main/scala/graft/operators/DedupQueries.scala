@@ -703,6 +703,38 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Perceptual AUDIO near-dup ([[Dedup.audioNearDupPairs]]): the 49-bit
+    * energy-map fingerprint over a deterministic synthesized WAV corpus
+    * ([[Multimodal.audioClipFixture]] — every id renders a 7-slice tone
+    * clip from its base-7 digit code; ids ≡ 0 (mod 10) carry a planted
+    * base with one extra slice-0 tone whose ≡ 1 neighbor is the same code
+    * RESAMPLED to 16 kHz, mixed to stereo, at a third of the gain). The
+    * engine must find exactly the planted (base, copy) pairs at hamming 1 —
+    * resampled/re-encoded/gain-shifted copies cluster, every other pair is
+    * ≥ hamming 2 by the fixture's checksum code — via real PCM decode +
+    * Goertzel band energies + Manku banding. The oracle re-derives the
+    * pair list from the fixture's id arithmetic (construction-derived
+    * oracle, the q105 pattern: DuckDB cannot decode WAVs, but the fixture
+    * is engineered so the correct answer is provable from ids alone; any
+    * engine-side fingerprint or banding drift breaks the match).
+    */
+  private val q115 = Q(
+    "q115_audio_neardup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val clips = Multimodal.audioClipFixture(T.documents.select($"doc_id"), "doc_id")
+      Dedup
+        .audioNearDupPairs(clips, "doc_id", "content", maxHamming = 1)
+        .orderBy($"doc_a")
+    },
+    Some("""
+      SELECT d.doc_id AS doc_a, e.doc_id AS doc_b, CAST(1 AS INT) AS hamming
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 10 = 0
+      ORDER BY doc_a
+    """.trim)
+  )
+
   /** Incremental substring dedup ([[Dedup.repeatedSpansVsCorpus]] over a
     * [[Dedup.substringGramIndex]]): a deterministic ~2% hash band of the
     * documents plays the NEW batch, the rest is the indexed corpus —
@@ -802,5 +834,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112)
+      q103, q104, q105, q111, q112, q115)
 }

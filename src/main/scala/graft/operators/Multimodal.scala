@@ -617,6 +617,120 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
+  /** 7-slice tone code of an id: slices 0..5 carry the base-7 digits of
+    * `id` (least-significant first), slice 6 the digit-sum checksum mod 7.
+    * The checksum makes the code an error-DETECTING word: two distinct ids
+    * below 7^6 always differ in at least TWO slices (one digit plus the
+    * checksum when exactly one digit differs), so two unpaired clips'
+    * 49-bit fingerprints ([[graft.functions.AudioFpSupport]]) are at least
+    * hamming 4 apart — they can never collide into a false pair at the
+    * q115 gate's maxHamming=1. Shared by [[audioClipFixture]] and the
+    * oracle-side reasoning (the oracle only needs the pair list, which is
+    * id arithmetic).
+    */
+  def audioToneCode(id: Long): Array[Int] = {
+    require(id >= 0 && id < 117649L, s"tone code ids live below 7^6, got $id")
+    val code = new Array[Int](7)
+    var v = id
+    var sum = 0L
+    var t = 0
+    while (t < 6) {
+      code(t) = (v % 7).toInt
+      sum += code(t)
+      v /= 7
+      t += 1
+    }
+    code(6) = (sum % 7).toInt
+    code
+  }
+
+  /** Synthesized 16-bit PCM WAV: 7 equal 100 ms time slices, slice `t`
+    * holding a pure sine at band frequency 300 + 100·code(t) Hz (the
+    * [[graft.functions.AudioFpSupport.BandHz]] grid), plus an optional
+    * second equal-amplitude tone in slice 0. Slice length is an exact
+    * multiple of every band's period AND of every band-difference period
+    * (all multiples of 100 Hz over a 0.1 s rectangular window), so Goertzel
+    * leakage between bands is zero by orthogonality and the fingerprint of
+    * the clip is exactly its tone code — at ANY sample rate and gain. That
+    * exactness is what makes the q115 oracle construction-derivable.
+    */
+  def toneClipWav(
+      code: Array[Int],
+      extraSlice0Band: Int,
+      sampleRateHz: Int,
+      channels: Int,
+      amplitude: Int
+  ): Array[Byte] = {
+    require(code.length == 7, "seven slices")
+    require(sampleRateHz % 10 == 0, "slice = rate/10 samples must be exact")
+    require(channels == 1 || channels == 2, "PCM WAV fixture is mono or stereo")
+    val slice = sampleRateHz / 10
+    val n = 7 * slice
+    val dataBytes = n * 2 * channels
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRateHz * channels * 2
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRateHz).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataBytes)
+    var t = 0
+    while (t < 7) {
+      val f1 = 300 + 100 * code(t)
+      val f2 = if (t == 0 && extraSlice0Band >= 0) 300 + 100 * extraSlice0Band else -1
+      val amp = if (f2 >= 0) amplitude / 2.0 else amplitude.toDouble
+      var i = 0
+      while (i < slice) {
+        val phase = 2.0 * math.Pi * i / sampleRateHz
+        var v = amp * math.sin(f1 * phase)
+        if (f2 >= 0) v += amp * math.sin(f2 * phase)
+        val s = math.max(-32768, math.min(32767, math.round(v))).toShort
+        var c = 0
+        while (c < channels) { bb.putShort(s); c += 1 }
+        i += 1
+      }
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic audio corpus for the q115 perceptual-dedup gate — the
+    * WAV twin of [[phashPhotoFixture]], keyed by the documents table's ids:
+    * ids with `id % 10 == 0` synthesize the paired BASE clip (tone code of
+    * `id`, plus a second tone in slice 0 — one extra fingerprint bit), ids
+    * with `id % 10 == 1` the COPY of id-1's code RESAMPLED to 16 kHz, mixed
+    * to stereo, at a third of the gain (the planted re-encode), everything
+    * else a unique unpaired clip. Base↔copy distance is exactly hamming 1
+    * (the extra slice-0 bit); every other pair is ≥ hamming 2 by the
+    * [[audioToneCode]] checksum — so at maxHamming=1 the TRUE pair list is
+    * exactly the planted (base, base+1) pairs, provable from id arithmetic
+    * alone (the q105 construction-derived-oracle pattern). Typed
+    * mapPartitions — no ScalaUDF on any query path.
+    */
+  def audioClipFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val content =
+            if (id % 10 == 0) {
+              val code = audioToneCode(id)
+              toneClipWav(code, (code(0) + 3) % 7, 8000, channels = 1, amplitude = 12000)
+            } else if (id % 10 == 1)
+              toneClipWav(audioToneCode(id - 1), -1, 16000, channels = 2, amplitude = 4000)
+            else toneClipWav(audioToneCode(id), -1, 8000, channels = 1, amplitude = 12000)
+          (id, content)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per
     * task instead of a row count — media corpora are heavily skewed.
     */

@@ -387,6 +387,26 @@ object Streams {
   ): DataFrame =
     graft.operators.Dedup.phashProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
 
+  /** Per-micro-batch perceptual AUDIO-dup probe — the clip-intake twin of
+    * [[probePhotoBatch]]: run inside `foreachBatch` against a
+    * [[graft.operators.Dedup.audioCorpusIndex]] built once per corpus
+    * snapshot (and persisted by the caller), so each arriving batch pays
+    * only its own decodes + one band-key equi-join. Same banding/hamming
+    * arithmetic as the batch operator, so a flagged pair here is exactly a
+    * pair [[graft.operators.Dedup.audioNearDupPairs]] would report.
+    * Non-WAV / corrupt bytes on either side fingerprint NULL and never
+    * pair; a wrong-modality or mismatched-parameter index throws.
+    */
+  def probeAudioBatch(
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    graft.operators.Dedup.audioProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */
