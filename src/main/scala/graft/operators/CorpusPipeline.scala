@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** The composed training-data cleaning pipeline: length gate → quality gate
   * → language filter → exact dedup → near-dedup (exact trigram-Jaccard
-  * pairs via PPJoin prefix filtering — see [[Dedup.ngramJaccardPairs]]).
-  * Every dropped row carries its first matching `drop_reason`, so the
-  * pipeline doubles as a corpus audit — the kept/dropped split plus reasons
-  * is what a data team actually reviews.
+  * pairs via PPJoin prefix filtering — see [[Dedup.ngramJaccardPairs]]) →
+  * optional per-registered-domain token cap ([[DomainCap]] — the q109
+  * budget machinery as a stage). Every dropped row carries its first
+  * matching `drop_reason`, so the pipeline doubles as a corpus audit — the
+  * kept/dropped split plus reasons is what a data team actually reviews.
   *
   * Everything is column-level composition of the operator library; the only
   * shuffles are the two dedup stages (hash aggregate + prefix join), both
@@ -31,13 +32,39 @@ object CorpusPipeline {
     * prose sits far above any sane threshold). Runs with the heuristic
     * gates, still a pure per-row projection.
     */
+  /** Per-registered-domain token cap (the q109 machinery as a pipeline
+    * stage): after every other gate, each domain keeps a deterministic
+    * pseudo-random selection of its surviving docs filling `capTokens`
+    * (overridable per domain via `budgets`); the rest drop as
+    * `domain_over_cap`. Over-represented domains are the most common
+    * real-web-corpus skew — a handful of boilerplate-heavy sites can be
+    * half the tokens — and capping AFTER dedup/quality means the budget is
+    * spent on docs that would actually train. The domain is derived from
+    * `urlCol` via [[UrlOps.canonicalizeUrl]] + [[UrlOps.registeredDomain]]
+    * (or the full PSL algorithm when `pslRules` is supplied); docs whose
+    * domain is NULL (unregistrable host) are capped together as one
+    * bucket. Selection is [[Sampling.tokenBudgetMixture]]'s two-phase
+    * distributed prefix sum — no per-domain single-task window at scale —
+    * and its boundary convention (the first overshooting doc is kept), so
+    * the standalone q109 selection and this stage pick IDENTICAL docs
+    * given the same inputs (spec-pinned).
+    */
+  final case class DomainCap(
+      urlCol: String,
+      capTokens: Long,
+      budgets: Map[String, Long] = Map.empty,
+      pslRules: Option[Seq[String]] = None,
+      numShards: Int = 64
+  )
+
   final case class Config(
       minTokens: Int = 10,
       minQuality: Double = 0.3,
       allowedLangs: Seq[String] = Seq("en"),
       nearDupJaccard: Double = 0.8,
       classifier: Option[(Array[Long], Long)] = None,
-      minCompressionPermille: Option[Long] = None
+      minCompressionPermille: Option[Long] = None,
+      domainCap: Option[DomainCap] = None
   )
 
   /** Returns the corpus annotated with `drop_reason` (null = kept). */
@@ -99,13 +126,44 @@ object CorpusPipeline {
     // hint is UNCONDITIONAL — a build side that outgrows the driver OOMs it
     // instead of falling back. AQE broadcasts it whenever its runtime size
     // allows (the same rationale as Scd.refreshDedup's hash side).
-    gated
+    val annotated = gated
       .join(nearDropIds, id === col("__drop_id"), "left")
       .withColumn(
         "drop_reason",
         coalesce(col("__gate"), when(col("__drop_id").isNotNull, "near_dup"))
       )
-      .drop("__tokens", "__quality", "__lang", "__exact_rank", "__drop_id", "__gate")
+
+    // optional per-domain token cap, LAST: the budget must be spent on docs
+    // that survived every other gate (a doc dropped as exact_dup must not
+    // consume its domain's budget). The kept-id set is the q109 selection
+    // itself — same machinery, same boundary convention — run over the
+    // survivors with the already-measured token counts.
+    val capped = cfg.domainCap match {
+      case None => annotated
+      case Some(dc) =>
+        val canon = UrlOps.canonicalizeUrl(col(dc.urlCol))
+        val dom = dc.pslRules match {
+          case Some(rules) => UrlOps.registeredDomainPsl(canon, rules)
+          case None => UrlOps.registeredDomain(canon)
+        }
+        val keptIds = Sampling
+          .tokenBudgetMixture(
+            annotated.filter(col("drop_reason").isNull),
+            group = dom,
+            key = id,
+            tokens = col("__tokens"),
+            budgets = dc.budgets,
+            numShards = dc.numShards,
+            defaultBudget = Some(dc.capTokens))
+          .select(id.as("__cap_keep"))
+        annotated
+          .join(keptIds, id === col("__cap_keep"), "left")
+          .withColumn(
+            "drop_reason",
+            coalesce(col("drop_reason"), when(col("__cap_keep").isNull, "domain_over_cap")))
+          .drop("__cap_keep")
+    }
+    capped.drop("__tokens", "__quality", "__lang", "__exact_rank", "__drop_id", "__gate")
   }
 
   def clean(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame =

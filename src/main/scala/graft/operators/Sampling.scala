@@ -236,6 +236,12 @@ object Sampling {
     * unique key (the house style: a doc_id or content hash) when byte
     * reproducibility matters.
     *
+    * `defaultBudget` extends the mixture to the CAP use case ("at most N
+    * tokens from ANY one domain"): groups absent from `budgets` get this
+    * budget instead of being dropped — including the NULL group (rows
+    * whose group expression is null, e.g. an unregistrable host, are
+    * capped together as one bucket rather than silently kept or dropped).
+    *
     * @return df's rows that fill the budgets, original columns unchanged
     */
   def tokenBudgetMixture(
@@ -244,11 +250,16 @@ object Sampling {
       key: Column,
       tokens: Column,
       budgets: Map[String, Long],
-      numShards: Int = 64
+      numShards: Int = 64,
+      defaultBudget: Option[Long] = None
   ): DataFrame = {
-    require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "need non-negative budgets")
+    require(budgets.nonEmpty || defaultBudget.isDefined,
+      "need budgets, a defaultBudget, or both")
+    require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
+      "budgets must be non-negative")
     require(numShards > 0, "numShards must be positive")
-    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (g, b)) =>
+    val fallback = defaultBudget.map(lit).getOrElse(lit(-1L))
+    val budget = budgets.foldLeft(fallback: Column) { case (acc, (g, b)) =>
       when(group === g, lit(b)).otherwise(acc)
     }
     val base = df

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** The full corpus → training-chunks journey, composed from the operator
   * library end to end:
   *
-  *   1. quality gates + exact/near dedup   ([[CorpusPipeline.clean]])
+  *   1. quality gates + exact/near dedup   ([[CorpusPipeline.clean]]; incl.
+  *                                          the optional per-domain token
+  *                                          cap, [[CorpusPipeline.DomainCap]])
   *   2. repetition gate                    ([[graft.functions.RepStats]])
   *   3. LM fluency gate (optional)         ([[LmScore.score]] vs a
   *                                          reference slice, CCNet-style)
@@ -147,7 +149,22 @@ object TrainingPipeline {
     val id = col(idCol)
     val text = col(textCol)
 
-    val gated = CorpusPipeline.clean(docs, idCol, textCol, cfg.corpus)
+    // With a domain cap configured, stage 1 runs through annotate so the
+    // audit can show the cap's own cut: "2_gated" counts the pre-cap
+    // survivors (every other gate applied), "2a_domain_capped" what the
+    // budget let through — the delta IS the cap's per-stage audit row.
+    val (preCapGated, gated) = cfg.corpus.domainCap match {
+      case Some(_) =>
+        val ann = CorpusPipeline
+          .annotate(docs, idCol, textCol, cfg.corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val post = ann.filter(col("drop_reason").isNull).drop("drop_reason")
+        val pre = ann
+          .filter(col("drop_reason").isNull || col("drop_reason") === "domain_over_cap")
+          .drop("drop_reason")
+        (Some(pre), post)
+      case None => (None, CorpusPipeline.clean(docs, idCol, textCol, cfg.corpus))
+    }
 
     val rep = graft.functions.HashExprs.repStats(text)
     val unrepeated = gated.filter(
@@ -264,8 +281,10 @@ object TrainingPipeline {
       .select(col("doc_id"), col("c.start").as("start"), col("c.ntok").as("ntok"), col("c.chunk").as("chunk"))
 
     val audit = (Seq(
-      "1_input" -> docs,
-      "2_gated" -> gated,
+      "1_input" -> docs
+    ) ++ preCapGated.map(pre => "2_gated" -> pre).toSeq ++
+      (if (preCapGated.isDefined) Seq("2a_domain_capped" -> gated)
+       else Seq("2_gated" -> gated)) ++ Seq(
       "3_unrepeated" -> unrepeated,
       "4_fluent" -> fluent,
       "5_decontaminated" -> decontaminated,

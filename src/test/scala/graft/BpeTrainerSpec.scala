@@ -72,6 +72,25 @@ class BpeTrainerSpec extends SparkSpec {
     assert(BpeSupport.tokenizeWordBytes("é", r).toSeq == Seq("Ã©"))
   }
 
+  test("word-frequency form ≡ per-occurrence rescan form (the scale-shape parity law)") {
+    // the production trainer runs V rounds over the word-frequency table;
+    // the reference form re-scans the corpus per round. Same corpus must
+    // yield the identical table — counts, tie-breaks, early stop and all —
+    // across repetition-heavy, unicode, self-pair-run, and sparse corpora
+    val corpora = Seq(
+      Seq("the the the cat", "then that", "chat"),
+      Seq("éé éé ab", "éé ab ab", "zz"),
+      Seq("aaaa aaaa", "aaab aaab aaab"),
+      (1L to 40L).map(i => s"alpha beta word$i alpha${i % 5} beta")
+    )
+    for (texts <- corpora; byteLevel <- Seq(false, true)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fast = BpeTrainer.trainMerges(docs, "text", numMerges = 6, byteLevel = byteLevel)
+      val ref = BpeTrainer.trainMergesRescan(docs, "text", numMerges = 6, byteLevel = byteLevel)
+      assert(fast == ref, s"byteLevel=$byteLevel corpus=$texts:\n fast=$fast\n ref=$ref")
+    }
+  }
+
   test("self-pair runs train and walk with GPT-2 semantics (beyond the SQL replay)") {
     val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
     val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 2)

@@ -60,6 +60,109 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  // ---- per-domain token cap stage ----
+
+  /** Mutually non-near-dup English docs (three varying content words spread
+    * through the sentence kill enough trigrams to stay far under the 0.8
+    * Jaccard gate) with a planted over-represented domain: ids 1..8 live on
+    * big.example.com, 9..10 on small.org.
+    */
+  private def cappedCorpus = {
+    val animals = Seq("otter", "badger", "falcon", "marten", "heron", "lynx", "stoat", "osprey",
+      "weasel", "curlew")
+    val places = Seq("harbor", "meadow", "quarry", "orchard", "marsh", "valley", "summit",
+      "thicket", "estuary", "moor")
+    (1L to 10L).map { i =>
+      val a = animals((i - 1).toInt)
+      val p = places((i - 1).toInt)
+      val url =
+        if (i <= 8) s"https://big.example.com/posts/$i" else s"https://small.org/notes/$i"
+      (i, s"the small $a walked to the $p and found $i shiny stones by the water before " +
+        s"the evening came and the $a went home", url)
+    }.toDF("doc_id", "text", "url")
+  }
+
+  test("domain cap drops over-budget docs as domain_over_cap, exactly the q109 selection") {
+    import graft.operators.{Sampling, TextAnalysis, UrlOps}
+    val cap = 60L // ~24 tokens/doc: big.example.com keeps ~3 docs of 8
+    val cfg = CorpusPipeline.Config(
+      domainCap = Some(CorpusPipeline.DomainCap("url", capTokens = cap, numShards = 4)))
+    val ann = CorpusPipeline.annotate(cappedCorpus, "doc_id", "text", cfg)
+    val reasons = ann.select($"doc_id", $"drop_reason").as[(Long, Option[String])].collect().toMap
+    val overCap = reasons.collect { case (id, Some("domain_over_cap")) => id }.toSet
+    assert(overCap.nonEmpty, "the over-represented domain must lose docs to the cap")
+    assert(overCap.forall(_ <= 8L), "small.org is under budget — only big.example.com drops")
+    assert((1L to 10L).forall(id => reasons(id).forall(_ == "domain_over_cap")),
+      "every fixture doc passes the quality gates; the only drop reason is the cap")
+
+    // equivalence with the STANDALONE q109 selection: the same budget
+    // machinery, run directly over the pre-cap survivors with the same
+    // token counts, must pick the identical docs
+    val survivors = cappedCorpus // every doc survives the other gates here
+      .withColumn("__tok", TextAnalysis.tokenCount($"text"))
+    val standalone = Sampling
+      .tokenBudgetMixture(
+        survivors,
+        group = UrlOps.registeredDomain(UrlOps.canonicalizeUrl($"url")),
+        key = $"doc_id",
+        tokens = $"__tok",
+        budgets = Map.empty,
+        numShards = 4,
+        defaultBudget = Some(cap))
+      .select($"doc_id").as[Long].collect().toSet
+    val pipelineKept = reasons.collect { case (id, None) => id }.toSet
+    assert(pipelineKept == standalone,
+      s"pipeline cap and standalone selection disagree: $pipelineKept vs $standalone")
+    // and the audit table shows the cap's row
+    val rep = CorpusPipeline.report(cappedCorpus, "doc_id", "text", cfg)
+      .as[(String, Long)].collect().toMap
+    assert(rep("domain_over_cap") == overCap.size && rep("kept") == pipelineKept.size)
+  }
+
+  test("docs dropped by earlier gates never consume their domain's budget") {
+    import graft.operators.TextAnalysis
+    // plant EXACT DUPS of doc 1 on the big domain with larger ids: they drop
+    // as exact_dup, and the cap must select among true survivors as if the
+    // dups were never there
+    val base = cappedCorpus
+    val dupTexts = base.filter($"doc_id" === 1L).select($"text").as[String].head()
+    val withDups = base.union(Seq(
+      (101L, dupTexts, "https://big.example.com/copy/1"),
+      (102L, dupTexts, "https://big.example.com/copy/2")
+    ).toDF("doc_id", "text", "url"))
+    val cap = 60L
+    val cfg = CorpusPipeline.Config(
+      domainCap = Some(CorpusPipeline.DomainCap("url", capTokens = cap, numShards = 4)))
+    val withDupReasons = CorpusPipeline.annotate(withDups, "doc_id", "text", cfg)
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])].collect().toMap
+    assert(withDupReasons(101L).contains("exact_dup") && withDupReasons(102L).contains("exact_dup"))
+    val baseline = CorpusPipeline.annotate(base, "doc_id", "text", cfg)
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])].collect().toMap
+    assert((1L to 10L).forall(id => withDupReasons(id) == baseline(id)),
+      "exact-dup rows changed the cap selection — they must not consume budget")
+  }
+
+  test("domain cap groups by the PSL domain when rules are supplied") {
+    // two gob.mx agencies: the compact heuristic pools them under gob.mx
+    // (one shared budget), the PSL rules split them into separate domains
+    // (each under budget). Distinguishable by what survives.
+    val docs = (1L to 6L).map { i =>
+      val host = if (i % 2 == 0) "portal.hacienda.gob.mx" else "tramites.sat.gob.mx"
+      val a = Seq("otter", "badger", "falcon", "marten", "heron", "lynx")((i - 1).toInt)
+      (i, s"the small $a walked to the harbor and found $i shiny stones by the water before " +
+        s"the evening came and the $a went home", s"https://$host/doc/$i")
+    }.toDF("doc_id", "text", "url")
+    val cap = 80L // ~3 docs' tokens: pooled → drops some; split → both fit
+    def keptWith(rules: Option[Seq[String]]) = CorpusPipeline
+      .clean(docs, "doc_id", "text",
+        CorpusPipeline.Config(domainCap =
+          Some(CorpusPipeline.DomainCap("url", cap, pslRules = rules, numShards = 4))))
+      .count()
+    assert(keptWith(None) < 6L, "heuristic pools gob.mx into one over-budget bucket")
+    assert(keptWith(Some(Seq("mx", "gob.mx"))) == 6L,
+      "PSL rules split the agencies into separate under-budget domains")
+  }
+
   test("compactPartitioned merges files per partition and preserves the layout") {
     val root = tmpDir("plake")
     (1 to 5).foreach { i =>

@@ -45,6 +45,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!texts.contains("someone@example.com") && texts.contains("<EMAIL>"))
   }
 
+  test("domain-cap stage: audit shows the pre-cap and post-cap counts; default audit is unchanged") {
+    import graft.operators.CorpusPipeline
+    val animals = Seq("otter", "badger", "falcon", "marten", "heron", "lynx")
+    val docs = (1L to 6L).map { i =>
+      val a = animals((i - 1).toInt)
+      (i, s"the small $a walked to the harbor and found $i shiny stones by the water before" +
+        s" the evening came and the $a went home", s"https://big.example.com/posts/$i")
+    }.toDF("doc_id", "text", "url")
+    val noBench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val cfg = TrainingPipeline.Config(corpus = CorpusPipeline.Config(
+      domainCap = Some(CorpusPipeline.DomainCap("url", capTokens = 60L, numShards = 4))))
+    val (chunks, audit) = TrainingPipeline.prepare(docs, noBench, "doc_id", "text", cfg)
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("2_gated") == 6, "every doc passes the non-cap gates")
+    assert(a.contains("2a_domain_capped") && a("2a_domain_capped") < 6,
+      s"the cap's own audit row must show its cut, got $a")
+    // later stages only shrink further (the fixture docs are similar
+    // enough that the MinHash near-dup stage collapses some survivors)
+    assert(a("6_deduped") <= a("2a_domain_capped") && chunks.count() > 0)
+    // without a cap, the audit keeps its historical shape
+    val (_, auditDefault) = TrainingPipeline.prepare(docs, noBench, "doc_id", "text")
+    val ad = auditDefault.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!ad.contains("2a_domain_capped") && ad("2_gated") == 6)
+  }
+
   test("substring-trim stage cuts cross-doc boilerplate out of survivors (Lee et al. trim)") {
     val footer = "this footer sentence repeats across documents verbatim every single time"
     val textA = "a long field report on the harvest season describing tools and yields and the" +
