@@ -11,18 +11,28 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Public-suffix-list registered-domain derivation — the data-file form of
   * [[graft.operators.UrlOps.registeredDomain]]'s compact heuristic: the
   * caller supplies the suffix rules (e.g. the Mozilla PSL, or a curated
-  * subset) and the expression applies the published PSL algorithm:
+  * subset) and the expression applies the FULL published PSL algorithm
+  * (publicsuffix.org/list):
   *
-  *   1. the LONGEST rule matching a label-suffix of the host prevails
-  *      (including the whole host itself);
-  *   2. the registered domain is that suffix plus one more label — NULL
-  *      when the host IS a public suffix (nothing registrable);
-  *   3. when NO rule matches, the prevailing rule is "*" (any TLD is a
+  *   1. an EXCEPTION rule (`!www.ck`) that matches a label-suffix of the
+  *      host prevails over everything: the public suffix is the rule minus
+  *      its leftmost label, so the registered domain is the rule itself;
+  *   2. otherwise the LONGEST matching rule prevails — plain rules match
+  *      their own labels, a WILDCARD rule (`*.ck`) matches any single
+  *      label plus its base (one label deeper than the base);
+  *   3. the registered domain is the prevailing public suffix plus one
+  *      more label — NULL when the host IS a public suffix (nothing
+  *      registrable);
+  *   4. when NO rule matches, the prevailing rule is "*" (any TLD is a
   *      public suffix): last two labels, NULL for single-label hosts.
   *
-  * Plain rules only — wildcard (`*.ck`) and exception (`!www.ck`) rules
-  * are a fraction of the real list and out of scope here; the loader
-  * rejects them loudly rather than silently misparsing.
+  * With all three rule kinds supported, the stock Mozilla list loads
+  * verbatim through [[parseSuffixList]] + [[compile]].
+  *
+  * Matching is case-insensitive (the host is lowercased here, so a raw
+  * uncanonicalized host column gets the right answer too), and a host
+  * with an EMPTY label (leading/trailing dot, `a..com`) has no registered
+  * domain — NULL, matching the oracle rendering's implicit rejection.
   *
   * The rule set rides the expression as a reference object (the
   * [[BpeSupport.Ranks]] pattern — one HashSet per codegen instance,
@@ -32,28 +42,76 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PslSupport {
 
-  /** Compiled suffix rules: membership set + the deepest rule's label
-    * count (bounds the suffix walk).
+  /** Compiled suffix rules, split by kind: plain membership set, wildcard
+    * BASES (`*.ck` stores `ck`), exception suffixes (`!www.ck` stores
+    * `www.ck`), plus each kind's deepest label count (bounds the walks).
     */
-  final class SuffixSet(val rules: Array[String]) extends Serializable {
-    @transient lazy val set: java.util.HashSet[String] = {
-      val s = new java.util.HashSet[String](rules.length * 2)
-      rules.foreach(r => s.add(r))
+  final class SuffixSet(
+      val plain: Array[String],
+      val wildcardBases: Array[String],
+      val exceptions: Array[String]
+  ) extends Serializable {
+    private def toSet(a: Array[String]) = {
+      val s = new java.util.HashSet[String](a.length * 2)
+      a.foreach(s.add)
       s
     }
-    @transient lazy val maxLabels: Int =
-      if (rules.isEmpty) 0 else rules.map(r => r.count(_ == '.') + 1).max
+    @transient lazy val plainSet: java.util.HashSet[String] = toSet(plain)
+    @transient lazy val wildcardSet: java.util.HashSet[String] = toSet(wildcardBases)
+    @transient lazy val exceptionSet: java.util.HashSet[String] = toSet(exceptions)
+    private def depth(a: Array[String]) =
+      if (a.isEmpty) 0 else a.map(r => r.count(_ == '.') + 1).max
+    /** deepest PUBLIC SUFFIX a non-exception rule can produce */
+    @transient lazy val maxLabels: Int = math.max(depth(plain), depth(wildcardBases) + 1)
+    @transient lazy val maxExcLabels: Int = depth(exceptions)
+  }
+
+  /** A rule's labels: lowercase, non-empty, no whitespace, and no ASCII
+    * character outside [a-z0-9-] (dots separate labels). Non-ASCII stays
+    * legal — the real list carries IDN rules in unicode form — but every
+    * regex metacharacter is ASCII, so this keeps a rule renderable into
+    * the oracle's regex with only dots escaped.
+    */
+  private def requireLabels(rule: String, whole: String): Unit = {
+    require(rule.nonEmpty && !rule.startsWith(".") && !rule.endsWith(".") &&
+      !rule.contains(".."),
+      s"suffix rule '$whole' has an empty label")
+    require(rule == rule.toLowerCase(java.util.Locale.ROOT),
+      s"suffix rule '$whole' must be lowercase")
+    rule.foreach { c =>
+      require(c == '.' || c >= 128 || c == '-' || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9'),
+        s"suffix rule '$whole' contains '$c' — ASCII labels are [a-z0-9-] only " +
+          "(PSL syntax; anything else would also corrupt the oracle regex rendering)")
+    }
   }
 
   def compile(rules: Seq[String]): SuffixSet = {
+    val plain = Seq.newBuilder[String]
+    val wild = Seq.newBuilder[String]
+    val exc = Seq.newBuilder[String]
     rules.foreach { r =>
-      require(r.nonEmpty && !r.contains("*") && !r.contains("!"),
-        s"suffix rule '$r' is empty or a wildcard/exception rule (unsupported — " +
-          "supply plain rules only)")
-      require(r == r.toLowerCase(java.util.Locale.ROOT) && !r.exists(_.isWhitespace),
-        s"suffix rule '$r' must be lowercase with no whitespace")
+      if (r.startsWith("!")) {
+        val body = r.substring(1)
+        requireLabels(body, r)
+        require(body.contains("."),
+          s"exception rule '$r' needs at least two labels (its public suffix is the rule " +
+            "minus the leftmost label)")
+        exc += body
+      } else if (r.startsWith("*.")) {
+        val base = r.substring(2)
+        requireLabels(base, r)
+        require(!base.contains("*"), s"wildcard rule '$r': '*' is only legal as the leftmost label")
+        wild += base
+      } else {
+        require(!r.contains("*") && !r.contains("!"),
+          s"suffix rule '$r': '*' is only legal as a leading '*.' label and '!' only as a " +
+            "leading exception marker")
+        requireLabels(r, r)
+        plain += r
+      }
     }
-    new SuffixSet(rules.toArray)
+    new SuffixSet(plain.result().toArray, wild.result().toArray, exc.result().toArray)
   }
 
   /** Parse PSL file content: one rule per line, `//` comments and blanks
@@ -66,26 +124,38 @@ object PslSupport {
       .toSeq
 
   /** The PSL algorithm over a HOST (not a URL). NULL result = no
-    * registrable domain (host is itself a public suffix, or single-label
-    * with no matching rule).
+    * registrable domain (host is itself a public suffix, single-label
+    * with no matching rule, or malformed — empty label).
     */
   def registered(host: UTF8String, sfx: SuffixSet): UTF8String = {
-    val h = host.toString
+    val h = host.toString.toLowerCase(java.util.Locale.ROOT)
     if (h.isEmpty) return null
     val labels = h.split("\\.", -1)
+    if (labels.exists(_.isEmpty)) return null // a..com, .com, com.
     val n = labels.length
-    // longest matching rule first, whole host included
+    def suffix(i: Int) = labels.slice(n - i, n).mkString(".")
+    // 1. exception rules prevail over everything: registered domain IS the
+    //    matched rule (public suffix = rule minus leftmost label)
+    var e = math.min(sfx.maxExcLabels, n)
+    while (e >= 2) {
+      val s = suffix(e)
+      if (sfx.exceptionSet.contains(s)) return UTF8String.fromString(s)
+      e -= 1
+    }
+    // 2. longest matching rule, whole host included: plain rules match
+    //    their own length, a wildcard base matches one label deeper
     var i = math.min(sfx.maxLabels, n)
     while (i >= 1) {
-      val suffix = labels.slice(n - i, n).mkString(".")
-      if (sfx.set.contains(suffix)) {
+      val isPublic = sfx.plainSet.contains(suffix(i)) ||
+        (i >= 2 && sfx.wildcardSet.contains(suffix(i - 1)))
+      if (isPublic) {
         if (i == n) return null // the host IS a public suffix
-        return UTF8String.fromString(labels.slice(n - i - 1, n).mkString("."))
+        return UTF8String.fromString(suffix(i + 1))
       }
       i -= 1
     }
-    // default "*" rule: last label is a public suffix
-    if (n >= 2) UTF8String.fromString(labels.slice(n - 2, n).mkString("."))
+    // 3. default "*" rule: last label is a public suffix
+    if (n >= 2) UTF8String.fromString(suffix(2))
     else null
   }
 }

@@ -97,14 +97,15 @@ object UrlOps {
 
   /** Registered domain of a CANONICAL url under a caller-supplied
     * public-suffix list — the data-file form the object doc promises: the
-    * published PSL algorithm (longest matching rule, whole-host rules give
-    * NULL, default-`*` when nothing matches) over rules compiled into a
-    * broadcast-style reference HashSet
+    * FULL published PSL algorithm (exception rules prevail, then longest
+    * matching rule with wildcard `*.x` bases one label deep, whole-host
+    * rules give NULL, default-`*` when nothing matches) over rules
+    * compiled into broadcast-style reference HashSets
     * ([[graft.functions.UrlExprs.pslDomain]] — O(labels) lookups per row
     * at any list size; the 7-suffix heuristic of [[registeredDomain]]
     * stays the no-file fallback). Parse a PSL-format file with
-    * [[graft.functions.PslSupport.parseSuffixList]]; plain rules only
-    * (wildcard/exception rules rejected by the loader).
+    * [[graft.functions.PslSupport.parseSuffixList]]; the stock Mozilla
+    * list loads verbatim — all three rule kinds are supported.
     */
   def registeredDomainPsl(canonicalUrl: Column, rules: Seq[String]): Column = {
     val host = regexp_extract(canonicalUrl, "^[a-z0-9+.-]+://([^/:?#]+)", 1)
@@ -138,28 +139,42 @@ object UrlOps {
     s"(CASE WHEN coalesce($reg, '') = '' THEN $host ELSE $reg END)"
   }
 
-  /** [[registeredDomainPsl]] as a DuckDB expression: the PSL decision
-    * replayed with the rule set rendered INTO the SQL. Longest-rule
-    * precedence falls out of regex mechanics — the registered domain is
-    * one label + suffix, so a longer matching suffix IS an earlier match
-    * start, and regex scanning takes the leftmost start; whole-host rules
-    * are checked first (the longest suffix a host has is itself), then the
-    * default-`*` last-two-labels rule, NULL when nothing registers.
-    * Intended for oracle-scale rule subsets; the engine side uses the
-    * hash-set expression precisely because a 9,000-alternative regex is
-    * not a plan.
+  /** [[registeredDomainPsl]] as a DuckDB expression: the FULL PSL decision
+    * replayed with the rule set rendered INTO the SQL as an ordered CASE
+    * chain — exception rules first (they prevail over everything; the
+    * registered domain is the rule itself), then plain and wildcard rules
+    * by descending public-suffix depth (longest wins; each rule carries
+    * its host-IS-the-suffix NULL branch before its registered branch),
+    * then the default-`*` last-two-labels rule, NULL when nothing
+    * registers. Intended for oracle-scale rule subsets; the engine side
+    * uses the hash-set expression precisely because a large rendered rule
+    * chain is not a plan.
     */
   def duckDomainPslSql(canonicalExpr: String, rules: Seq[String]): String = {
-    graft.functions.PslSupport.compile(rules) // same validation as the engine side
+    val sfx = graft.functions.PslSupport.compile(rules) // same validation as the engine side
     val host = s"regexp_extract($canonicalExpr, '^[a-z0-9+.-]+://([^/:?#]+)', 1)"
-    val inList = rules.map(r => s"'${r.replace("'", "''")}'").mkString(", ")
-    // validated rules are plain lowercase labels + dots: dot is the only
-    // regex metacharacter to escape
-    val alt = rules.map(_.replace(".", "\\.")).mkString("|")
-    val bySuffix = s"regexp_extract($host, '([^.]+\\.(?:$alt))$$', 1)"
-    s"""(CASE
-        WHEN $host IN ($inList) THEN NULL
-        WHEN coalesce($bySuffix, '') <> '' THEN $bySuffix
+    def esc(r: String) = r.replace(".", "\\.")
+    def lbl(r: String) = r.count(_ == '.') + 1
+    val excBranches = sfx.exceptions.sortBy(-lbl(_)).map { e =>
+      s"WHEN $host = '$e' OR regexp_matches($host, '\\.${esc(e)}$$') THEN '$e'"
+    }
+    // (effective public-suffix depth, branch) for plain + wildcard rules
+    val ruleBranches = (
+      sfx.plain.map { r =>
+        (lbl(r),
+          s"WHEN $host = '$r' THEN NULL " +
+            s"WHEN regexp_matches($host, '\\.${esc(r)}$$') " +
+            s"THEN regexp_extract($host, '([^.]+\\.${esc(r)})$$', 1)")
+      } ++
+      sfx.wildcardBases.map { b =>
+        (lbl(b) + 1,
+          s"WHEN regexp_matches($host, '^[^.]+\\.${esc(b)}$$') THEN NULL " +
+            s"WHEN regexp_matches($host, '\\.[^.]+\\.${esc(b)}$$') " +
+            s"THEN regexp_extract($host, '([^.]+\\.[^.]+\\.${esc(b)})$$', 1)")
+      }
+    ).sortBy(-_._1).map(_._2)
+    val branches = (excBranches ++ ruleBranches).mkString(" ")
+    s"""(CASE $branches
         WHEN len(string_split($host, '.')) >= 2
           THEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1)
         ELSE NULL END)""".replaceAll("\n\\s*", " ")

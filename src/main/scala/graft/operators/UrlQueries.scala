@@ -166,5 +166,73 @@ object UrlQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114)
+  /** q116's rule set: all THREE PSL rule kinds — the wildcard (`*.ck`:
+    * every label under ck is a public suffix) with its exception
+    * (`!www.ck`: except www.ck, which is registrable), alongside nested
+    * plain rules for the longest-wins check.
+    */
+  private val PslFullRules = Seq("com", "uk", "co.uk", "mx", "gob.mx", "*.ck", "!www.ck")
+
+  /** Messy raw URLs planting every wildcard/exception trap, Spark
+    * rendering. Note the `foo.WWW.ck` host: canonicalization strips a
+    * LEADING `www.` only, so the exception rule is exercised through a
+    * suffix match; a literal `www.ck` URL would canonicalize to bare `ck`
+    * (covered by the mod-6 single-label case via the default rule).
+    */
+  private def rawUrlPslFull(docId: Column): Column = {
+    val id = docId.cast("string")
+    when(docId % 6 === 0,
+      concat(lit("HTTP://WWW.Something.Example.CK:80/a/"), id, lit("?utm_source=f#x")))
+      .when(docId % 6 === 1, concat(lit("https://example.ck/p/"), id))
+      .when(docId % 6 === 2, concat(lit("https://foo.WWW.ck/p/"), id))
+      .when(docId % 6 === 3, concat(lit("https://a.b.c.foo.ck/deep/"), id))
+      .when(docId % 6 === 4, concat(lit("https://Blog.Example.co.UK:443/post/"), id))
+      .otherwise(concat(lit("http://intranet:8080/dev/"), id))
+  }
+
+  /** The same construction, DuckDB rendering. */
+  private val rawUrlPslFullSql: String = """
+    CASE
+      WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.Something.Example.CK:80/a/' || CAST(doc_id AS VARCHAR) || '?utm_source=f#x'
+      WHEN doc_id % 6 = 1 THEN 'https://example.ck/p/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 6 = 2 THEN 'https://foo.WWW.ck/p/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 6 = 3 THEN 'https://a.b.c.foo.ck/deep/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 6 = 4 THEN 'https://Blog.Example.co.UK:443/post/' || CAST(doc_id AS VARCHAR)
+      ELSE 'http://intranet:8080/dev/' || CAST(doc_id AS VARCHAR)
+    END""".trim.replaceAll("\\s+", " ")
+
+  /** FULL PSL semantics ([[UrlOps.registeredDomainPsl]] with wildcard and
+    * exception rules — the published algorithm's remaining 10%, so the
+    * stock Mozilla list now loads verbatim): `*.ck` makes every ck
+    * second-level a public suffix (something.example.ck registers,
+    * example.ck itself is a suffix → NULL), `!www.ck` carves the one
+    * registrable exception back out (any host under www.ck registers AS
+    * www.ck, prevailing over the wildcard), nested plain rules still take
+    * longest-wins, and a single-label host falls to the default-`*` rule.
+    * The oracle replays the precedence (exception > longest rule >
+    * default) as an ordered CASE chain rendered from the SAME compiled
+    * rule set ([[UrlOps.duckDomainPslSql]]).
+    */
+  private val q116 = Q(
+    "q116_psl_full",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val canon = UrlOps.canonicalizeUrl(rawUrlPslFull($"doc_id"))
+      T.documents
+        .select(
+          $"doc_id",
+          canon.as("canonical_url"),
+          UrlOps.registeredDomainPsl(canon, PslFullRules).as("domain"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val canon = UrlOps.duckCanonicalSql(rawUrlPslFullSql)
+      s"""
+      SELECT doc_id, $canon AS canonical_url, ${UrlOps.duckDomainPslSql(canon, PslFullRules)} AS domain
+      FROM documents ORDER BY doc_id
+      """.trim
+    }
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114, q116)
 }

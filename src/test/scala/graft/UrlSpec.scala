@@ -83,7 +83,47 @@ class UrlSpec extends SparkSpec {
       assert(out(h) == want, s"host $h: expected $want, got ${out(h)}")
   }
 
-  test("PSL loader: comments/blanks skipped, wildcard and exception rules rejected loudly") {
+  test("PSL full algorithm: wildcard and exception rules, publicsuffix.org's ck vectors") {
+    import graft.functions.UrlExprs
+    val rules = Seq("com", "uk", "co.uk", "*.ck", "!www.ck")
+    val hosts = Seq(
+      // the publicsuffix.org test-vector family for ck:
+      ("ck", null), // single label, default-* (wildcard needs a label under it)
+      ("this.that.ck", "this.that.ck"), // *.ck: that.ck is a public suffix
+      ("a.this.that.ck", "this.that.ck"),
+      ("that.ck", null), // host IS a wildcard public suffix
+      ("www.ck", "www.ck"), // !www.ck: the exception itself registers
+      ("www.www.ck", "www.ck"), // anything under the exception registers AS it
+      ("deep.under.www.ck", "www.ck"),
+      // precedence sanity alongside plain rules
+      ("blog.example.co.uk", "example.co.uk"),
+      ("example.com", "example.com")
+    )
+    val out = hosts.map(_._1).toDF("host")
+      .select($"host", UrlExprs.pslDomain($"host", rules).as("dom"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    for ((h, want) <- hosts)
+      assert(out(h) == want, s"host $h: expected $want, got ${out(h)}")
+  }
+
+  test("PSL matching is case-insensitive on a RAW host; empty labels have no domain") {
+    import graft.functions.UrlExprs
+    val rules = Seq("com", "co.uk")
+    val hosts = Seq(
+      ("WWW.Example.COM", "example.com"), // raw uncanonicalized host: lowered here
+      ("Blog.EXAMPLE.Co.Uk", "example.co.uk"),
+      ("example.com.", null), // trailing dot: empty label
+      (".example.com", null), // leading dot
+      ("a..com", null) // interior empty label
+    )
+    val out = hosts.map(_._1).toDF("host")
+      .select($"host", UrlExprs.pslDomain($"host", rules).as("dom"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    for ((h, want) <- hosts)
+      assert(out(h) == want, s"host $h: expected $want, got ${out(h)}")
+  }
+
+  test("PSL loader: comments/blanks skipped; all three rule kinds load; bad syntax rejected") {
     import graft.functions.PslSupport
     val content =
       """// ===BEGIN ICANN DOMAINS===
@@ -91,12 +131,27 @@ class UrlSpec extends SparkSpec {
         |
         |co.uk
         |// a comment
+        |*.ck
+        |!www.ck
         |gob.mx
         |""".stripMargin
-    assert(PslSupport.parseSuffixList(content) == Seq("com", "co.uk", "gob.mx"))
-    intercept[IllegalArgumentException] { PslSupport.compile(Seq("*.ck")) }
-    intercept[IllegalArgumentException] { PslSupport.compile(Seq("!www.ck")) }
+    val rules = PslSupport.parseSuffixList(content)
+    assert(rules == Seq("com", "co.uk", "*.ck", "!www.ck", "gob.mx"))
+    val sfx = PslSupport.compile(rules) // the stock-list shape loads verbatim
+    assert(sfx.plain.toSeq == Seq("com", "co.uk", "gob.mx"))
+    assert(sfx.wildcardBases.toSeq == Seq("ck") && sfx.exceptions.toSeq == Seq("www.ck"))
+    // IDN rules in unicode form are legal (the real list carries them)
+    PslSupport.compile(Seq("公司.cn"))
+    // bad syntax fails loudly
     intercept[IllegalArgumentException] { PslSupport.compile(Seq("Upper.Case")) }
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("a.*.b")) } // inner wildcard
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("!ck")) } // 1-label exception
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("a..b")) } // empty label
+    // regex metacharacters would silently corrupt the ORACLE rendering
+    // (duckDomainPslSql escapes only dots) — the charset check rejects them
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("a(b.com")) }
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("a+b.com")) }
+    intercept[IllegalArgumentException] { PslSupport.compile(Seq("a?.com")) }
   }
 
   test("domainReport: empty corpus and all-null token counts fail loudly, not NPE/NULL rows") {
