@@ -1055,11 +1055,18 @@ object Dedup {
     //     partials sum to the exact per-gram count; a hot gram spreads over
     //     `saltBuckets` tasks. The only full-size exchange keys on
     //     (gram, salt).
-    //  2. partials: one row_number window marks each (gram, salt, doc)'s
-    //     first row (partition sizes bounded by within-doc repeats), then an
-    //     in-partition aggregate — HashPartitioning(gram, salt) satisfies
-    //     every distribution here via the clustered-subset rule, so neither
-    //     step re-exchanges.
+    //  2. partials: two STACKED in-partition hash aggregates — dedup to
+    //     (gram, salt, doc), then count per (gram, salt).
+    //     HashPartitioning(gram, salt) satisfies both groupings via the
+    //     clustered-subset rule, so neither re-exchanges — and unlike the
+    //     round-9 row_number form, neither needs the full-table SORT the
+    //     window demanded (the only full-size sort in the old plan; its
+    //     removal is the round-10 df-branch clawback — q103 3.6→2.9 s
+    //     targeted at sf0.1, hot-gram curve unchanged). The first
+    //     aggregate carries a max(pos) nobody reads: it keeps `pos` alive
+    //     below the exchange so both consumers' subtrees stay
+    //     column-identical (the ReuseExchange law — see the isnotnull
+    //     note above).
     //  3. the verdict travels at (gram, salt) granularity, never row
     //     granularity: per-gram totals via a window over the PARTIALS
     //     (<= saltBuckets rows per gram — skew-bounded by construction),
@@ -1082,17 +1089,47 @@ object Dedup {
       .withColumn("__salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
       .filter(col("__salt").isNotNull) // reuse-keeping no-op, see above
       .repartition(col("gram"), col("__salt"))
-    val wFirst =
-      Window.partitionBy(col("gram"), col("__salt"), col("doc_id")).orderBy(col("pos"))
-    val partials = salted
-      .withColumn("__first", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .groupBy(col("gram"), col("__salt"))
-      .agg(sum(col("__first")).as("__pd"))
+    // `pos` must stay load-bearing in this branch: the pruner would
+    // otherwise drop it, shrink the projection below the exchange, and
+    // split the shared scan in two (a bare max(pos) dummy gets pruned; an
+    // aggregate whose value the verdict READS cannot). pos >= 1 always
+    // (sequence starts at 1), so threading it through `when` is a no-op
+    // on the VALUES — stated here once for both paths below.
+    val posKept = when(col("pos") >= 1, col("doc_id"))
     val wGram = Window.partitionBy(col("gram"))
-    val okGroups = partials
-      .withColumn("__nd", sum(col("__pd")).over(wGram))
-      .filter(col("__nd") >= minDocs)
-      .select(col("gram"), col("__salt"))
+    val okGroups =
+      if (minDocs == 2) {
+        // minDocs=2 (the default, and the common corpus-dedup setting) has
+        // an exact statistic far cheaper than distinct-doc counting: a
+        // gram repeats across docs iff its global min(doc_id) !=
+        // max(doc_id). ONE in-partition integer min/max aggregate per
+        // (gram, salt) — no (gram, salt, doc) dedup pass, no sort — then
+        // the same tiny per-gram window combine over <= saltBuckets rows.
+        val partials = salted
+          .groupBy(col("gram"), col("__salt"))
+          .agg(min(posKept).as("__dmin"), max(col("doc_id")).as("__dmax"))
+        partials
+          .withColumn("__gmin", min(col("__dmin")).over(wGram))
+          .withColumn("__gmax", max(col("__dmax")).over(wGram))
+          .filter(col("__gmin") =!= col("__gmax"))
+          .select(col("gram"), col("__salt"))
+      } else {
+        // general minDocs: exact distinct-doc counts via two stacked
+        // in-partition hash aggregates (dedup to (gram, salt, doc), count
+        // per (gram, salt)); HashPartitioning(gram, salt) satisfies both
+        // groupings by the clustered-subset rule, so neither re-exchanges
+        // and neither needs the full-table sort the round-9 row_number
+        // window demanded
+        val partials = salted
+          .groupBy(col("gram"), col("__salt"), col("doc_id"))
+          .agg(min(posKept).as("__p1"))
+          .groupBy(col("gram"), col("__salt"))
+          .agg(count(col("__p1")).as("__pd"))
+        partials
+          .withColumn("__nd", sum(col("__pd")).over(wGram))
+          .filter(col("__nd") >= minDocs)
+          .select(col("gram"), col("__salt"))
+      }
     val hits = salted
       .join(okGroups.hint("shuffle_hash"), Seq("gram", "__salt"))
       .select(col("doc_id"), col("pos"))
