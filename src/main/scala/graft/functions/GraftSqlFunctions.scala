@@ -80,6 +80,9 @@ object GraftSqlFunctions {
     }),
     ("graft_audio_fp", "(binary)", {
       case Seq(b) => AudioFingerprint(b)
+    }),
+    ("graft_image_dual_hash", "(binary)", {
+      case Seq(b) => ImageDualHash64(b)
     })
   )
 

@@ -500,25 +500,17 @@ object PHashSupport {
   def dHash64(bytes: Array[Byte]): java.lang.Long = {
     val img = decode(bytes)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return null
-    val g = gridLum(img, 8, 9)
-    var bitsOut = 0L
-    var r = 0
-    while (r < 8) {
-      var c = 0
-      while (c < 8) {
-        if (g(r * 9 + c + 1) > g(r * 9 + c)) bitsOut |= 1L << (r * 8 + c)
-        c += 1
-      }
-      r += 1
-    }
-    java.lang.Long.valueOf(bitsOut)
+    java.lang.Long.valueOf(dHashOf(gridLum(img, 8, 9)))
   }
 
   /** 64-bit aHash; null (boxed) when the bytes do not decode as an image. */
   def aHash64(bytes: Array[Byte]): java.lang.Long = {
     val img = decode(bytes)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return null
-    val g = gridLum(img, 8, 8)
+    aHashOf(gridLum(img, 8, 8))
+  }
+
+  private def aHashOf(g: Array[Double]): Long = {
     var mean = 0.0
     var i = 0
     while (i < 64) { mean += g(i); i += 1 }
@@ -529,7 +521,34 @@ object PHashSupport {
       if (g(i) > mean) bitsOut |= 1L << i
       i += 1
     }
-    java.lang.Long.valueOf(bitsOut)
+    bitsOut
+  }
+
+  private def dHashOf(g: Array[Double]): Long = {
+    var bitsOut = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c + 1) > g(r * 9 + c)) bitsOut |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bitsOut
+  }
+
+  /** BOTH hashes from ONE decode — the dual-verify path's scan expression.
+    * The PNG/JPEG decode dominates the per-row cost by orders of magnitude
+    * over the two grid passes, so computing dHash and aHash separately
+    * (two decodes) would double the heaviest scan in the engine for no
+    * reason. Returns (dhash, ahash) as an InternalRow, or null when the
+    * bytes do not decode.
+    */
+  def dualHash64(bytes: Array[Byte]): InternalRow = {
+    val img = decode(bytes)
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return null
+    new GenericInternalRow(Array[Any](dHashOf(gridLum(img, 8, 9)), aHashOf(gridLum(img, 8, 8))))
   }
 }
 
@@ -603,6 +622,42 @@ case class ImageAHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** struct<dhash: bigint, ahash: bigint> of an image binary from a SINGLE
+  * decode (codegen-enabled); NULL when the bytes are not a decodable
+  * image. The dual-verify operator's scan expression — see
+  * [[PHashSupport.dualHash64]].
+  */
+case class ImageDualHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dhash", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_image_dual_hash requires binary input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PHashSupport.dualHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |${ev.value} = graft.functions.PHashSupport.dualHash64($c);
+        |${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDualHash64 =
+    copy(child = newChild)
+}
+
 object MediaExprs {
   def sniffImageMeta(content: Column): Column =
     ColumnShim.column(SniffImageMeta(ColumnShim.expression(content)))
@@ -615,4 +670,8 @@ object MediaExprs {
 
   def imageAHash64(content: Column): Column =
     ColumnShim.column(ImageAHash64(ColumnShim.expression(content)))
+
+  /** Both perceptual hashes from one decode: struct<dhash, ahash>. */
+  def imageDualHash64(content: Column): Column =
+    ColumnShim.column(ImageDualHash64(ColumnShim.expression(content)))
 }

@@ -448,7 +448,10 @@ object Dedup {
         s"key overflow: $packedBits packed bits + $idBits table-id bits")
       packed.bitwiseOR(lit(t.toLong << (63 - idBits))).as(s"k$t")
     }
-    fps.select(col("doc_id"), col("fp"), explode(array(keys: _*)).as("bk"))
+    // every input column rides along (doc_id, fp, plus any verify-side
+    // payload like the dual-hash confirm column) — callers that pass a
+    // bare (doc_id, fp) frame get the historical output
+    fps.select(col("*"), explode(array(keys: _*)).as("bk"))
   }
 
   private def phashFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -558,6 +561,53 @@ object Dedup {
         bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Dual-hash image near-dup pairs: dHash banding generates candidates
+    * (exact at `maxHamming` by pigeonhole, same Manku machinery as
+    * [[phashNearDupPairs]]), and each candidate must ALSO agree on aHash
+    * within `maxAHamming` — the confirm cut. dHash sees only horizontal
+    * luminance GRADIENTS, so two images with identical gradient signs but
+    * different absolute luminance layouts (banner recolors, inverted
+    * themes, flat-vs-structured rows — all comparisons equal) collide at
+    * dHash hamming 0; aHash thresholds cells against the global mean, the
+    * orthogonal signal, and rejects them. Both hashes come from ONE
+    * decode ([[graft.functions.PHashSupport.dualHash64]] — the decode
+    * dominates per-row cost, so the confirm is nearly free), and the
+    * confirm rides the banding join as a projection: no second join, no
+    * second shuffle, same plan shape as the single-hash operator plus one
+    * column.
+    *
+    * @return (doc_a, doc_b, hamming, a_hamming) — both within bounds
+    */
+  def phashVerifiedNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6,
+      maxAHamming: Int = 8
+  ): DataFrame = {
+    val fps = df
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.MediaExprs.imageDualHash64(col(contentCol)).as("__dual"))
+      .select(
+        col("doc_id"),
+        col("__dual.dhash").as("fp"),
+        col("__dual.ahash").as("afp"))
+      .filter(col("fp").isNotNull)
+    val keyed = fingerprintBandKeys(fps, maxHamming, blocks, bits = 64)
+    keyed
+      .as("a")
+      .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"),
+        bit_count(col("a.afp").bitwiseXOR(col("b.afp"))).as("a_hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming && col("a_hamming") <= maxAHamming)
   }
 
   private def audioFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =

@@ -703,6 +703,35 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Dual-hash verified image near-dup ([[Dedup.phashVerifiedNearDupPairs]]):
+    * dHash banding candidates + aHash confirm, over a fixture engineered
+    * so the confirm is LOAD-BEARING ([[Multimodal.dualHashPhotoFixture]] —
+    * ids ≡ 0 (mod 10) render a gradient base whose ≡ 1 neighbor is a true
+    * resized copy and whose ≡ 2 neighbor is the luminance DECOY: identical
+    * dHash by per-row affine construction, aHash exactly 64 bits away).
+    * The single-hash operator reports the decoy's two false pairs; the
+    * verified operator must report exactly the planted (base, copy) pairs
+    * at (hamming 0, a_hamming 0). Construction-derived oracle from id
+    * arithmetic, the q105/q115 pattern.
+    */
+  private val q117 = Q(
+    "q117_phash_verified",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val photos = Multimodal.dualHashPhotoFixture(T.documents.select($"doc_id"), "doc_id")
+      Dedup
+        .phashVerifiedNearDupPairs(photos, "doc_id", "content", maxHamming = 3, maxAHamming = 8)
+        .orderBy($"doc_a")
+    },
+    Some("""
+      SELECT d.doc_id AS doc_a, e.doc_id AS doc_b,
+             CAST(0 AS INT) AS hamming, CAST(0 AS INT) AS a_hamming
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 10 = 0
+      ORDER BY doc_a
+    """.trim)
+  )
+
   /** Perceptual AUDIO near-dup ([[Dedup.audioNearDupPairs]]): the 49-bit
     * energy-map fingerprint over a deterministic synthesized WAV corpus
     * ([[Multimodal.audioClipFixture]] — every id renders a 7-slice tone
@@ -834,5 +863,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112, q115)
+      q103, q104, q105, q111, q112, q115, q117)
 }

@@ -617,6 +617,79 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
+  /** Gradient-walk PNG for the dual-hash verify gate (q117): 8 rows × 9
+    * block columns; within each row the luminance walks ±8 from 128, the
+    * step SIGNS taken from the seed's 64 bits — so the image's dHash is
+    * exactly those bits at any cell size (the 9-column grid aligns with
+    * dHash's). Then a per-row affine shift: the `decoy=false` variant
+    * lifts the TOP four rows into [208, 240] and compresses the bottom
+    * into [16, 48]; the decoy does the reverse. A positive per-row affine
+    * map preserves every within-row comparison (integer-exact here: cell
+    * values are 128 + 8m, so /4 keeps strict order), so base and decoy
+    * have IDENTICAL dHash — while their aHash is exactly the low/high 32
+    * bits respectively (every top cell is above the global mean, every
+    * bottom cell below, at any resolution and under aHash's 8-column
+    * misalignment, because the argument is row-wise). Base↔decoy is the
+    * engineered dHash-banding FALSE POSITIVE — hamming 0 on gradients, 64
+    * on absolute luminance — that only the aHash confirm can reject.
+    */
+  def gradientPairPng(seed: Long, decoy: Boolean, cellPx: Int): Array[Byte] = {
+    val bits = graft.functions.BloomSupport.mix(seed)
+    val img = new java.awt.image.BufferedImage(
+      9 * cellPx, 8 * cellPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var v = 128
+      var c = 0
+      while (c < 9) {
+        val topBright = (r < 4) != decoy
+        val shown = if (topBright) v / 4 + 192 else v / 4
+        val rgb = (shown << 16) | (shown << 8) | shown
+        var y = r * cellPx
+        while (y < (r + 1) * cellPx) {
+          var x = c * cellPx
+          while (x < (c + 1) * cellPx) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        if (c < 8) v += (if (((bits >>> (r * 8 + c)) & 1L) == 1L) 8 else -8)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic photo corpus for the q117 dual-hash gate, keyed by the
+    * documents table's ids: ids ≡ 0 (mod 10) render the gradient BASE
+    * (seed = id), ids ≡ 1 its true resized COPY (same variant at half the
+    * cell size — both hashes identical), ids ≡ 2 the LUMINANCE DECOY of
+    * seed id-2 (identical dHash, aHash 64 bits away), everything else a
+    * unique unpaired block pattern. The verified operator must report
+    * EXACTLY the (base, copy) pairs; the single-hash operator also
+    * reports the decoy's two false pairs — the delta the confirm exists
+    * to cut, provable from id arithmetic alone.
+    */
+  def dualHashPhotoFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val content =
+            if (id % 10 == 0) gradientPairPng(id, decoy = false, cellPx = 8)
+            else if (id % 10 == 1) gradientPairPng(id - 1, decoy = false, cellPx = 4)
+            else if (id % 10 == 2) gradientPairPng(id - 2, decoy = true, cellPx = 8)
+            else blockPatternPng(id, cellPx = 8, paired = false, isCopy = false)
+          (id, content)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
   /** 7-slice tone code of an id: slices 0..5 carry the base-7 digits of
     * `id` (least-significant first), slice 6 the digit-sum checksum mod 7.
     * The checksum makes the code an error-DETECTING word: two distinct ids

@@ -110,11 +110,19 @@ object TrainingPipeline {
     * dropped (the same min-id cluster rule as the text near-dup stage);
     * docs without a photo, or with undecodable bytes, always survive.
     */
+  /** `maxAHamming = Some(a)` switches the stage to the dual-hash verified
+    * operator ([[Dedup.phashVerifiedNearDupPairs]]): dHash banding still
+    * generates the candidates, but a pair must also agree on aHash within
+    * `a` bits — cutting the gradient-only false positives (recolors,
+    * inverted themes) that dHash banding alone admits, at no extra decode
+    * cost (both hashes come from one decode).
+    */
   final case class ImageStage(
       photos: DataFrame,
       idCol: String = "doc_id",
       contentCol: String = "content",
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxAHamming: Option[Int] = None
   )
 
   final case class EmbedStage(
@@ -251,7 +259,12 @@ object TrainingPipeline {
           embedDeduped.select(id.as("__alive")),
           col(im.idCol) === col("__alive"),
           "left_semi")
-        val pairs = Dedup.phashNearDupPairs(alive, im.idCol, im.contentCol, im.maxHamming)
+        val pairs = im.maxAHamming match {
+          case Some(a) =>
+            Dedup.phashVerifiedNearDupPairs(
+              alive, im.idCol, im.contentCol, im.maxHamming, maxAHamming = a)
+          case None => Dedup.phashNearDupPairs(alive, im.idCol, im.contentCol, im.maxHamming)
+        }
         Dedup.dropNearDups(embedDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
       case None => embedDeduped
     }

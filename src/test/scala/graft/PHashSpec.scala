@@ -49,6 +49,84 @@ class PHashSpec extends SparkSpec {
       "independent patterns must not fall inside the dedup radius")
   }
 
+  // ---- dual-hash verify (dHash candidates + aHash confirm) ----
+
+  test("dualHash64 agrees with the single-hash expressions from one decode, incl. via SQL") {
+    val png = Multimodal.blockPatternPng(7L, cellPx = 6, paired = false, isCopy = false)
+    val dual = PHashSupport.dualHash64(png)
+    assert(dual.getLong(0) == PHashSupport.dHash64(png).longValue)
+    assert(dual.getLong(1) == PHashSupport.aHash64(png).longValue)
+    assert(PHashSupport.dualHash64(Array[Byte](1, 2, 3)) == null)
+    val rows = Seq((1L, png), (2L, "junk".getBytes)).toDF("id", "content")
+    rows.createOrReplaceTempView("dual_photos")
+    val got = spark.sql(
+      "SELECT id, graft_image_dual_hash(content) AS h FROM dual_photos ORDER BY id").collect()
+    assert(got(0).getStruct(1).getLong(0) == dual.getLong(0))
+    assert(got(0).getStruct(1).getLong(1) == dual.getLong(1))
+    assert(got(1).isNullAt(1), "undecodable bytes are NULL through SQL too")
+  }
+
+  test("luminance decoy: identical dHash, aHash exactly 64 apart; true copy identical on both") {
+    val base = Multimodal.gradientPairPng(40L, decoy = false, cellPx = 8)
+    val copy = Multimodal.gradientPairPng(40L, decoy = false, cellPx = 4)
+    val decoy = Multimodal.gradientPairPng(40L, decoy = true, cellPx = 8)
+    val (db, ab) = (PHashSupport.dHash64(base).longValue, PHashSupport.aHash64(base).longValue)
+    assert(PHashSupport.dHash64(decoy).longValue == db,
+      "per-row affine shifts preserve every gradient comparison")
+    assert(java.lang.Long.bitCount(ab ^ PHashSupport.aHash64(decoy).longValue) == 64,
+      "top-bright vs bottom-bright flips every mean-threshold bit")
+    assert(ab == 0x00000000ffffffffL, "base aHash is exactly the top-four-rows bits")
+    assert(PHashSupport.dHash64(copy).longValue == db &&
+      PHashSupport.aHash64(copy).longValue == ab,
+      "a true resized copy matches on BOTH hashes")
+  }
+
+  test("verified operator rejects the decoy pairs the single-hash operator admits") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val photos = Multimodal.dualHashPhotoFixture(ids, "doc_id")
+    val plain = Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup
+      .phashVerifiedNearDupPairs(photos, "doc_id", "content", maxHamming = 3, maxAHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = (0L until 40L by 10L).map(b => (b, b + 1)).toSet
+    val decoyPairs = (0L until 40L by 10L).flatMap(b => Seq((b, b + 2), (b + 1, b + 2))).toSet
+    assert(plain == truePairs ++ decoyPairs,
+      s"single-hash banding must admit the engineered false pairs, got $plain")
+    assert(verified == truePairs,
+      s"aHash confirm must cut exactly the decoy pairs, got $verified")
+  }
+
+  test("ImageStage with maxAHamming keeps the decoy doc the unverified stage would drop") {
+    import graft.operators.TrainingPipeline
+    // docs 0,1,2 carry base/copy/decoy photos; texts are mutually UNRELATED
+    // so no text stage (exact, trigram, or MinHash) collapses them — only
+    // the image stage decides
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank in the " +
+        "morning light with dew still resting on the open grass"),
+      (1L, "a committee met on tuesday to review the annual budget and approve the " +
+        "spending plan for the coming year after a long discussion"),
+      (2L, "sailors watched the storm gather over the harbor while the fishing boats " +
+        "returned early to the safety of the old stone pier")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "completely unrelated benchmark text about other things entirely " +
+      "with none of the corpus phrasing present anywhere")).toDF("doc_id", "text")
+    val photos = Multimodal.dualHashPhotoFixture(Seq(0L, 1L, 2L).toDF("doc_id"), "doc_id")
+    def survivors(stage: TrainingPipeline.ImageStage): Set[Long] = {
+      val (chunks, _) = TrainingPipeline.prepare(
+        docs, bench, "doc_id", "text",
+        cfg = TrainingPipeline.Config(corpus =
+          graft.operators.CorpusPipeline.Config(nearDupJaccard = 1.01)),
+        image = Some(stage))
+      chunks.select($"doc_id").distinct().as[Long].collect().toSet
+    }
+    val unverified = survivors(TrainingPipeline.ImageStage(photos))
+    val verified = survivors(TrainingPipeline.ImageStage(photos, maxAHamming = Some(8)))
+    assert(unverified == Set(0L), "single-hash stage collapses copy AND decoy onto doc 0")
+    assert(verified == Set(0L, 2L), "verified stage keeps the decoy (a genuinely different image)")
+  }
+
   test("undecodable bytes hash to NULL, never throw (untrusted-input rule), incl. via SQL") {
     assert(PHashSupport.dHash64(null) == null)
     assert(PHashSupport.dHash64(Array.empty[Byte]) == null)
