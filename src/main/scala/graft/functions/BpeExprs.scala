@@ -299,7 +299,15 @@ object BpeSupport {
     * Equivalence for a != b tables (validated, duplicate-free) is pinned
     * by BpeSpec's randomized property.
     */
-  def duckWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+  def duckWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String =
+    s"CASE WHEN len($wordExpr) = 0 THEN 0 " +
+      s"ELSE len(${duckWordSymbolsSql(wordExpr, merges)}) END"
+
+  /** The per-word chain's FINAL SYMBOL LIST (empty for the empty word) —
+    * the building block both the token count and the vocabulary-membership
+    * (OOV) replay share, so neither can drift from the other.
+    */
+  def duckWordSymbolsSql(wordExpr: String, merges: Seq[(String, String)]): String = {
     require(merges.forall { case (a, b) => a != b },
       "the SQL replay supports a != b merges only (self-pairs need the symbol-pairwise walk)")
     val base = s"(' ' || regexp_replace($wordExpr, '(.)', '\\1 ', 'g'))"
@@ -308,7 +316,8 @@ object BpeSupport {
       val rep = s"' $a$b '"
       s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
-    s"CASE WHEN len($wordExpr) = 0 THEN 0 ELSE len(regexp_split_to_array(trim($chained), ' ')) END"
+    s"(CASE WHEN len($wordExpr) = 0 THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE regexp_split_to_array(trim($chained), ' ') END)"
   }
 
   /** Whole-document DuckDB token count: sum of the per-word chain over the
@@ -317,6 +326,19 @@ object BpeSupport {
   def duckDocCountSql(textExpr: String, merges: Seq[(String, String)]): String =
     s"""CAST(coalesce(list_sum([${duckWordCountSql("w", merges)}
        | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
+
+  /** Whole-document OUT-OF-VOCABULARY symbol count under (merges, vocab):
+    * the chain's final symbols filtered by vocabulary membership — the
+    * oracle half of the tokenizer-fit report (q120). Shares
+    * [[duckWordSymbolsSql]] with the count replay.
+    */
+  def duckDocOovCountSql(
+      textExpr: String, merges: Seq[(String, String)], vocab: Seq[String]): String = {
+    val lst = vocab.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+    val sym = duckWordSymbolsSql("w", merges)
+    s"""CAST(coalesce(list_sum([len(list_filter($sym, s -> NOT list_contains([$lst], s)))
+       | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
+  }
 
   /** [[ByteToChar]] as a SQL string literal: character b+1 is byte b's
     * remapped char, so `substr(TBL, b+1, 1)` IS the remap (DuckDB substr

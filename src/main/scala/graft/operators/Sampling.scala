@@ -286,6 +286,48 @@ object Sampling {
       .drop("__g", "__h", "__key", "__shard", "__tok", "__budget", "__og", "__os", "__offset", "__cum")
   }
 
+  /** Temperature-sampled per-source token budgets — the multilingual /
+    * multi-source rebalancing rule (Conneau & Lample 2019; mT5's α-scaled
+    * source sampling): source s gets budget ∝ c_s^α of `totalTokens`,
+    * flattening the head sources and lifting the tail relative to natural
+    * proportions. α is FIXED at 1/2 here, deliberately: IEEE 754 requires
+    * sqrt() correctly rounded, so `sqrt(count)` is bit-identical on the
+    * JVM, DuckDB, or any compliant engine — while pow(x, α) carries no
+    * such guarantee and would make the budgets engine-dependent. The
+    * weight is floor(sqrt(c_s) · 2^26) (scaling by a power of two is
+    * exact, so the floor is too), and the budget split is exact integer
+    * arithmetic: b_s = totalTokens · w_s DIV Σw — fully replayable by the
+    * oracle from the corpus alone, the exactness-by-construction rule.
+    *
+    * Driver-side by design: the per-source totals are |sources| rows (a
+    * mixture config, not data scale). Feed the result to
+    * [[tokenBudgetMixture]]. NULL groups are rejected loudly (a mixture
+    * over an unnamed source is a config error, not a sampling decision).
+    */
+  def temperatureBudgets(
+      df: DataFrame,
+      group: Column,
+      tokens: Column,
+      totalTokens: Long
+  ): Map[String, Long] = {
+    require(totalTokens >= 0, "totalTokens must be >= 0")
+    val totals = df
+      .select(group.cast("string").as("g"), tokens.cast("long").as("t"))
+      .groupBy(col("g"))
+      .agg(sum(col("t")).as("ct"))
+      .collect()
+    require(totals.forall(!_.isNullAt(0)), "temperatureBudgets: NULL group value")
+    val w = totals.map { r =>
+      val ct = if (r.isNullAt(1)) 0L else r.getLong(1)
+      require(ct >= 0 && ct < (1L << 52), s"source ${r.getString(0)}: token total $ct out of " +
+        "exact-double range")
+      r.getString(0) -> math.floor(math.sqrt(ct.toDouble) * (1L << 26)).toLong
+    }.toMap
+    val sw = w.values.foldLeft(BigInt(0))(_ + _)
+    if (sw == 0) w.map { case (g, _) => g -> 0L }
+    else w.map { case (g, wi) => g -> (BigInt(totalTokens) * wi / sw).toLong }
+  }
+
   /** Leakage-free train/val/test assignment: every member of a duplicate
     * GROUP lands in the same split, because the membership hash is taken
     * over the group's representative (min id per `groupKey`), not the row

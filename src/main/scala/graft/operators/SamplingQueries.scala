@@ -233,15 +233,30 @@ object SamplingQueries {
       groupExpr: String = "source",
       groupName: String = "source",
       budgets: Seq[(String, Long)] =
-        Seq("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L)
+        Seq("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L),
+      budgetCte: Option[String] = None
   ): String = {
+    // budgets either render as a literal CASE (the config-supplied shape) or
+    // come from a caller CTE named bt(grp, budget) DERIVED from the corpus —
+    // q118's temperature budgets, where the oracle must replay the budget
+    // COMPUTATION, not just the selection
     val cases = budgets.map { case (g, b) => s"WHEN '$g' THEN $b" }.mkString(" ")
-    s"""
-      WITH base0 AS (SELECT doc_id, $groupExpr AS grp, $tokExpr AS tok FROM documents),
-      base AS (SELECT doc_id, grp, tok,
+    val baseCte = budgetCte match {
+      case Some(cte) =>
+        s"""$cte,
+      base AS (SELECT base0.doc_id, base0.grp, base0.tok,
+                      ${duckHash("base0.doc_id")} AS h,
+                      coalesce(bt.budget, -1) AS budget
+               FROM base0 LEFT JOIN bt ON base0.grp = bt.grp),"""
+      case None =>
+        s"""base AS (SELECT doc_id, grp, tok,
                       ${duckHash("doc_id")} AS h,
                       CASE grp $cases ELSE -1 END AS budget
-               FROM base0),
+               FROM base0),"""
+    }
+    s"""
+      WITH base0 AS (SELECT doc_id, $groupExpr AS grp, $tokExpr AS tok FROM documents),
+      $baseCte
       f AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM base WHERE budget >= 0),
       st AS (SELECT grp, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
       o AS (SELECT grp, shard,
@@ -391,5 +406,86 @@ object SamplingQueries {
         .duckByteDocCountSql("translate(lower(text), 'ae', 'äé')", BpeByteMerges)))
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113)
+  /** q120's vocabulary: the lowercase alphabet plus every symbol
+    * [[BpeMerges]] can produce — so after the merge walk, exactly the
+    * NON-LETTER symbols (digits, punctuation) of the lowercased text are
+    * out-of-vocabulary. Shared verbatim with the oracle's membership list.
+    */
+  private val BpeFitVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ BpeMerges.map { case (a, b) => a + b }
+
+  /** Tokenizer-fit report ([[graft.functions.BpeExprs.bpeTokenIds]]): per
+    * doc, the exact BPE token count AND the out-of-vocabulary token count
+    * under a (merges, vocab) pair — the coverage statistic that decides
+    * whether a tokenizer fits a corpus before a training run commits to
+    * it (an OOV symbol becomes bytes/UNK at training time). The engine
+    * reads OOV straight off the ids projection (-1 = not in vocab); the
+    * oracle replays the merge walk per word and filters the FINAL SYMBOLS
+    * by the same vocabulary list — count and membership share one symbol
+    * derivation on both sides, so neither can drift.
+    */
+  private val q120 = Q(
+    "q120_tokenizer_fit",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val ids = graft.functions.BpeExprs.bpeTokenIds(lower($"text"), BpeMerges, BpeFitVocab)
+      T.documents
+        .select($"doc_id", ids.as("__ids"))
+        .select(
+          $"doc_id",
+          size($"__ids").cast("long").as("n_tokens"),
+          size(filter($"__ids", x => x === -1)).cast("long").as("n_oov"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val cnt = graft.functions.BpeSupport.duckDocCountSql("lower(text)", BpeMerges)
+      val oov = graft.functions.BpeSupport.duckDocOovCountSql("lower(text)", BpeMerges, BpeFitVocab)
+      s"""
+      SELECT doc_id, $cnt AS n_tokens, $oov AS n_oov
+      FROM documents ORDER BY doc_id
+      """.trim
+    }
+  )
+
+  /** Temperature-sampled source mixture ([[Sampling.temperatureBudgets]] →
+    * [[Sampling.tokenBudgetMixture]]): per-source budgets ∝ √(source token
+    * share) of an 8,000-token target — the multilingual α-sampling rule at
+    * α = 1/2, the one α whose power function (sqrt) IEEE 754 requires
+    * correctly rounded, so the budget DERIVATION itself is bit-replayable
+    * cross-engine. The oracle recomputes the per-source totals, the
+    * floor(sqrt·2^26) weights, the exact HUGEINT budget split, AND the
+    * two-phase selection from the corpus alone — any drift in either half
+    * (weights or prefix-sum arithmetic) breaks the hash.
+    */
+  private val q118 = Q(
+    "q118_temperature_mixture",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val withTok = T.documents
+        .withColumn("n_tokens", size(split(lower($"text"), "\\s+")).cast("long"))
+      val budgets =
+        Sampling.temperatureBudgets(withTok, $"source", $"n_tokens", totalTokens = 8000L)
+      Sampling
+        .tokenBudgetMixture(
+          withTok,
+          group = $"source",
+          key = $"doc_id",
+          tokens = $"n_tokens",
+          budgets = budgets,
+          numShards = 8
+        )
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    },
+    Some(tokenBudgetOracleSql(
+      "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)",
+      budgetCte = Some("""
+      srcw AS (SELECT grp, CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE)) * 67108864) AS BIGINT) AS w
+               FROM base0 GROUP BY grp),
+      bt AS (SELECT grp,
+                    CAST((CAST(8000 AS HUGEINT) * w) // (SELECT sum(w) FROM srcw) AS BIGINT) AS budget
+             FROM srcw)""".trim)))
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120)
 }

@@ -112,6 +112,38 @@ object UrlOps {
     graft.functions.UrlExprs.pslDomain(host, rules)
   }
 
+  /** Canonical-URL dedup: keep the single best doc per CANONICAL url — the
+    * crawl-dedup pass that precedes content dedup in every web pipeline
+    * (the same page fetched as `HTTP://WWW.x.COM:80/p?utm_source=a#top`
+    * and `http://x.com/p` is one document, whatever its bytes did).
+    * Survivor = highest `quality`, ties to the smallest id — the same
+    * keep-best rule as [[Dedup.keepBestPerCluster]], with the canonical
+    * URL as the (free, scan-side) cluster key: no banding, no pair
+    * search, one hash shuffle on the canonical string.
+    *
+    * Scale shape: the window partitions by canonical URL, so a group is
+    * ONE page's crawl copies — bounded by re-crawl policy, not corpus
+    * size (a hot URL with millions of copies would be the skew flag;
+    * dedupe such a feed upstream by (url, content digest) first).
+    *
+    * @return survivors with their `canonical_url` appended
+    */
+  def canonicalUrlDedup(
+      df: DataFrame,
+      idCol: String,
+      urlCol: Column,
+      quality: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("canonical_url"))
+      .orderBy(quality.desc, col(idCol).asc)
+    df.withColumn("canonical_url", canonicalizeUrl(urlCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   // ---- DuckDB renderings of the SAME rules (oracle builders) ----
 
   /** [[canonicalizeUrl]] as a DuckDB expression over `urlExpr`. */

@@ -234,5 +234,37 @@ object UrlQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114, q116)
+  /** Canonical-URL dedup ([[UrlOps.canonicalUrlDedup]]): q108's messy-URL
+    * fixture maps every doc_id ≡ 2 (mod 3) to the SAME page (the bare-root
+    * `docs.sample.org` variant differs only in whitespace/fragment), so
+    * one survivor — the longest doc, ties to the smallest id — must emerge
+    * from that whole class, while the per-id article/post variants all
+    * survive as their own canonical pages. The oracle replays the
+    * canonicalization chain (shared with q108) and the keep-best window.
+    */
+  private val q119 = Q(
+    "q119_url_dedup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      UrlOps
+        .canonicalUrlDedup(
+          T.documents.select($"doc_id", $"n_chars", rawUrl($"doc_id").as("url")),
+          "doc_id", $"url", quality = $"n_chars")
+        .select($"doc_id", $"canonical_url", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val canon = UrlOps.duckCanonicalSql(rawUrlSql)
+      s"""
+      WITH c AS (SELECT doc_id, n_chars, $canon AS canonical_url FROM documents),
+      rk AS (SELECT doc_id, canonical_url, n_chars,
+                    ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+             FROM c)
+      SELECT doc_id, canonical_url, n_chars FROM rk WHERE rk = 1 ORDER BY doc_id
+      """.trim
+    }
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119)
 }
