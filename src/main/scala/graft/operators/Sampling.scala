@@ -270,6 +270,16 @@ object Sampling {
       .withColumn("__tok", tokens.cast("long"))
       .withColumn("__budget", budget)
       .filter(col("__budget") >= 0)
+    prefixSelect(base)
+  }
+
+  /** The two-phase budget selection over a prepared frame carrying
+    * (__g, __h, __key, __shard, __tok, __budget) — shared by
+    * [[tokenBudgetMixture]] and the remainder pass of
+    * [[tokenBudgetMixtureWithRepeats]], so the boundary convention cannot
+    * drift between them. Drops every working column.
+    */
+  private def prefixSelect(base: DataFrame): DataFrame = {
     val shardTotals = base.groupBy(col("__g"), col("__shard")).agg(sum(col("__tok")).as("__stok"))
     val wShard = Window.partitionBy(col("__g")).orderBy(col("__shard"))
     val offsets = shardTotals
@@ -284,6 +294,83 @@ object Sampling {
       .withColumn("__cum", sum(col("__tok")).over(wIn) + col("__offset"))
       .filter(col("__cum") - col("__tok") < col("__budget"))
       .drop("__g", "__h", "__key", "__shard", "__tok", "__budget", "__og", "__os", "__offset", "__cum")
+  }
+
+  /** Token-budget mixture WITH UPSAMPLING — the missing half of
+    * [[tokenBudgetMixture]] for real training mixtures, which routinely
+    * REPEAT small high-quality sources ("Wikipedia × 5") rather than only
+    * down-select: a group whose budget exceeds its natural token total
+    * contributes FULL EPOCHS (every doc, `epoch` = 0..k-1) plus a
+    * deterministic prefix of the next epoch filling the remainder —
+    * epochs = budget DIV total, remainder = budget MOD total, both exact
+    * integer arithmetic, with the remainder pass running the SAME
+    * two-phase prefix selection (and boundary convention) as the plain
+    * mixture. A group under its budget degenerates to epochs = 0 +
+    * the plain selection of everything; a group with budget below one
+    * epoch yields pure down-selection — so this operator strictly
+    * generalizes [[tokenBudgetMixture]] (the epoch-0 rows of any group
+    * whose budget ≤ total are EXACTLY the plain mixture's selection).
+    *
+    * Zero-token groups (all docs count 0): epochs pinned to 0 and the
+    * whole budget flows to the remainder pass — mirroring the plain
+    * mixture, which keeps every zero-token doc once (0 < budget), never
+    * infinitely.
+    *
+    * Scale shape: one tiny per-group total aggregate (broadcast back),
+    * the epoch fan-out is a scan-side `explode(sequence)` (output ∝ the
+    * UPSAMPLED corpus — the honest cost of repeats), and the remainder
+    * pass is the plain machinery.
+    *
+    * @return df's rows (original columns) + `epoch` (0-based)
+    */
+  def tokenBudgetMixtureWithRepeats(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tokens: Column,
+      budgets: Map[String, Long],
+      numShards: Int = 64,
+      defaultBudget: Option[Long] = None
+  ): DataFrame = {
+    require(budgets.nonEmpty || defaultBudget.isDefined,
+      "need budgets, a defaultBudget, or both")
+    require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
+      "budgets must be non-negative")
+    require(numShards > 0, "numShards must be positive")
+    val fallback = defaultBudget.map(lit).getOrElse(lit(-1L))
+    val budget = budgets.foldLeft(fallback: Column) { case (acc, (g, b)) =>
+      when(group === g, lit(b)).otherwise(acc)
+    }
+    val base = df
+      .withColumn("__g", group)
+      .withColumn("__h", hash60(key))
+      .withColumn("__key", key)
+      .withColumn("__shard", pmod(col("__h"), lit(numShards)).cast("int"))
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("__budget", budget)
+      .filter(col("__budget") >= 0)
+    val totals = base.groupBy(col("__g")).agg(sum(col("__tok")).as("__gt"))
+    val withT = base
+      .join(broadcast(totals.select(col("__g").as("__tg"), col("__gt"))), col("__g") === col("__tg"))
+      .withColumn(
+        "__epochs",
+        when(col("__gt") > 0, expr("__budget DIV __gt")).otherwise(lit(0L)))
+      .withColumn(
+        "__rem",
+        when(col("__gt") > 0, col("__budget") % col("__gt")).otherwise(col("__budget")))
+    val fullEpochs = withT
+      .withColumn(
+        "epoch",
+        explode(
+          when(col("__epochs") >= 1, sequence(lit(0L), col("__epochs") - 1))
+            .otherwise(expr("CAST(array() AS array<bigint>)"))))
+      .drop("__g", "__h", "__key", "__shard", "__tok", "__budget", "__tg", "__gt", "__epochs", "__rem")
+    val remainder = prefixSelect(
+      withT
+        .withColumn("epoch", col("__epochs"))
+        .withColumn("__budget", col("__rem"))
+        .drop("__tg", "__gt", "__epochs", "__rem"))
+    fullEpochs.unionByName(remainder)
   }
 
   /** Temperature-sampled per-source token budgets — the multilingual /

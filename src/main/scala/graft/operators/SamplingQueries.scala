@@ -487,5 +487,67 @@ object SamplingQueries {
              FROM srcw)""".trim)))
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120)
+  /** Upsampling mixture ([[Sampling.tokenBudgetMixtureWithRepeats]]):
+    * src0's 4,000-token budget exceeds its natural total → full epochs +
+    * a remainder prefix; src1's budget is a down-selection or exact fit;
+    * src2 pure down-selection; every other source dropped. The oracle
+    * replays the whole derivation — per-group totals, epochs = budget DIV
+    * total, the epoch fan-out via range(), and the remainder through the
+    * IDENTICAL shard-major prefix-sum arithmetic as q102's — so both the
+    * repeat count and the boundary doc of the partial epoch are
+    * hash-checked.
+    */
+  private val q121 = Q(
+    "q121_repeats_mixture",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val withTok = T.documents
+        .withColumn("n_tokens", size(split(lower($"text"), "\\s+")).cast("long"))
+      Sampling
+        .tokenBudgetMixtureWithRepeats(
+          withTok,
+          group = $"source",
+          key = $"doc_id",
+          tokens = $"n_tokens",
+          budgets = Map("src0" -> 4000L, "src1" -> 1540L, "src2" -> 700L),
+          numShards = 8
+        )
+        .select($"doc_id", $"source", $"n_tokens", $"epoch")
+        .orderBy($"doc_id", $"epoch")
+    },
+    Some {
+      val tok = "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)"
+      val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+      s"""
+      WITH base0 AS (SELECT doc_id, source AS grp, $tok AS tok, $h AS h FROM documents),
+      b AS (SELECT *, CASE grp WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1540
+                               WHEN 'src2' THEN 700 ELSE -1 END AS budget
+            FROM base0),
+      f0 AS (SELECT * FROM b WHERE budget >= 0),
+      t AS (SELECT grp, CAST(sum(tok) AS BIGINT) AS gt FROM f0 GROUP BY grp),
+      e AS (SELECT f0.*, t.gt,
+                   CASE WHEN t.gt > 0 THEN budget // t.gt ELSE 0 END AS epochs,
+                   CASE WHEN t.gt > 0 THEN budget % t.gt ELSE budget END AS rem
+            FROM f0 JOIN t USING (grp)),
+      fullep AS (SELECT doc_id, grp, tok, CAST(u AS BIGINT) AS epoch
+                 FROM (SELECT doc_id, grp, tok, unnest(range(epochs)) AS u FROM e)),
+      f AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM e),
+      st AS (SELECT grp, shard, CAST(sum(tok) AS BIGINT) AS stok FROM f GROUP BY 1, 2),
+      o AS (SELECT grp, shard,
+                   CAST(sum(stok) OVER (PARTITION BY grp ORDER BY shard) - stok AS BIGINT) AS off
+            FROM st),
+      cum AS (SELECT f.doc_id, f.grp, f.tok, f.rem, f.epochs,
+                     CAST(sum(f.tok) OVER (PARTITION BY f.grp, f.shard ORDER BY f.h, f.doc_id, f.tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + o.off AS BIGINT) AS cum
+              FROM f JOIN o ON f.grp = o.grp AND f.shard = o.shard),
+      remsel AS (SELECT doc_id, grp, tok, CAST(epochs AS BIGINT) AS epoch
+                 FROM cum WHERE cum - tok < rem)
+      SELECT doc_id, grp AS source, tok AS n_tokens, epoch
+      FROM (SELECT * FROM fullep UNION ALL SELECT * FROM remsel)
+      ORDER BY doc_id, epoch
+      """.trim
+    }
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120, q121)
 }

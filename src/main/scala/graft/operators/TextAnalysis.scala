@@ -105,6 +105,55 @@ object TextAnalysis {
     graft.functions.HashExprs.winnowingFingerprints(
       trim(regexp_replace(lower(text), "\\s+", " ")), k, w)
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a deterministic
+    * `numerator/denominator` band of docs is rewritten into PSM layout —
+    * sentinel-delimited (prefix, suffix, middle) with the middle moved to
+    * the end, so an autoregressive model learns infilling "for free".
+    * Selection AND the two split points come from the portable key hash
+    * (id salted with `#fim1`/`#fim2`, modulo length+1), so the transform
+    * is reproducible across runs, partitionings, and engines — the same
+    * contract as every sampler here, and fully replayable by the oracle
+    * (pure substr arithmetic; character positions, so engines agree
+    * independent of byte encodings). Docs outside the band, or shorter
+    * than `minChars`, pass through untouched with `fim = false`. Pure
+    * per-row projection — no shuffle.
+    *
+    * @return df's rows + (fim: boolean, fim_text: the PSM rendering, or
+    *         the original text when fim = false)
+    */
+  def fimTransform(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      numerator: Int,
+      denominator: Int,
+      minChars: Int,
+      preTok: String = "<PRE>",
+      sufTok: String = "<SUF>",
+      midTok: String = "<MID>"
+  ): org.apache.spark.sql.DataFrame = {
+    require(denominator > 0 && numerator >= 0 && numerator <= denominator, "need 0 <= num <= den")
+    require(minChars >= 1, "minChars must be >= 1")
+    val id = col(idCol)
+    val text = col(textCol)
+    val n = length(text)
+    val selected =
+      Sampling.hash60(id) % denominator < numerator && n >= minChars
+    def cut(salt: String): Column =
+      pmod(Sampling.hash60(concat(id.cast("string"), lit(salt))), n + 1)
+    val c1 = cut("#fim1")
+    val c2 = cut("#fim2")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = text.substr(lit(1), lo)
+    val middle = text.substr(lo + 1, hi - lo)
+    val suffix = text.substr(hi + 1, n - hi)
+    val rendered = concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
+    df.withColumn("fim", selected)
+      .withColumn("fim_text", when(col("fim"), rendered).otherwise(text))
+  }
+
   /** Overlapping token-window chunks — the context-window splitter of a
     * training pipeline. Each chunk is `chunkSize` whitespace tokens starting
     * every `stride` tokens (stride < chunkSize ⇒ overlap); the tail chunk is

@@ -818,6 +818,49 @@ object TextQueries {
     """.trim)
   )
 
+  /** Fill-in-the-middle transform ([[TextAnalysis.fimTransform]]): half the
+    * docs (portable-hash band) rewritten into sentinel-delimited PSM
+    * layout with hash-derived split points. The oracle replays selection,
+    * both cut hashes, and the substr re-assembly character-for-character —
+    * md5 of the rendered text is hash-compared, so a one-character drift
+    * in any cut or sentinel breaks the gate.
+    */
+  private val q122 = Q(
+    "q122_fim_transform",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      TextAnalysis
+        .fimTransform(T.documents, "doc_id", "text", numerator = 1, denominator = 2,
+          minChars = 100)
+        .select(
+          $"doc_id",
+          $"fim",
+          length($"fim_text").cast("int").as("fim_len"),
+          md5($"fim_text").as("fim_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, text, len(text) AS n,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 < 1
+                          AND len(text) >= 100 AS sel,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#fim1'), 1, 15))::BIGINT
+                          % (len(text) + 1) AS c1,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#fim2'), 1, 15))::BIGINT
+                          % (len(text) + 1) AS c2
+                 FROM documents),
+      r AS (SELECT doc_id, sel AS fim,
+                   CASE WHEN sel THEN
+                     '<PRE>' || substr(text, 1, CAST(least(c1, c2) AS INT))
+                       || '<SUF>' || substr(text, CAST(greatest(c1, c2) AS INT) + 1)
+                       || '<MID>' || substr(text, CAST(least(c1, c2) AS INT) + 1,
+                                            CAST(greatest(c1, c2) - least(c1, c2) AS INT))
+                   ELSE text END AS ft
+            FROM b)
+      SELECT doc_id, fim, CAST(len(ft) AS INT) AS fim_len, md5(ft) AS fim_md5
+      FROM r ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122)
 }

@@ -180,6 +180,57 @@ class SamplingSpec extends SparkSpec {
     assert(repart == kept.map(_._1).toSet)
   }
 
+  test("tokenBudgetMixtureWithRepeats: full epochs + remainder; generalizes the plain mixture") {
+    val docs = (1L to 600L)
+      .map(i => (i, s"g${i % 3}", 5L + i % 7))
+      .toDF("id", "grp", "tok")
+    // natural totals: each group ~200 docs × ~8 tokens ≈ 1600
+    val naturalG0 = docs.filter($"grp" === "g0").agg(sum($"tok")).head.getLong(0)
+    val budgets = Map(
+      "g0" -> (naturalG0 * 2 + 100L), // 2 full epochs + a remainder prefix
+      "g1" -> 50L // pure down-selection
+    )
+    val kept = Sampling
+      .tokenBudgetMixtureWithRepeats(docs, $"grp", $"id", $"tok", budgets, numShards = 8)
+      .select($"id", $"grp", $"tok", $"epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.forall(_._2 != "g2"), "unbudgeted groups drop")
+    // g0: every doc appears at epochs 0 and 1; epoch 2 is a strict prefix
+    val g0 = kept.filter(_._2 == "g0")
+    val g0docs = docs.filter($"grp" === "g0").count()
+    assert(g0.count(_._4 == 0L) == g0docs && g0.count(_._4 == 1L) == g0docs,
+      "full epochs must contain every doc exactly once")
+    val e2 = g0.filter(_._4 == 2L)
+    assert(e2.nonEmpty && e2.length < g0docs, "remainder epoch is a proper prefix")
+    assert(g0.forall(_._4 <= 2L))
+    // boundary law on the TOTAL upsampled tokens
+    val g0tok = g0.map(_._3).sum
+    assert(g0tok >= budgets("g0") && g0tok < budgets("g0") + 11,
+      s"g0 kept $g0tok tokens for budget ${budgets("g0")}")
+    // generalization law: a group under its budget reduces to the plain
+    // mixture's selection at epoch 0
+    val g1 = kept.filter(_._2 == "g1")
+    assert(g1.forall(_._4 == 0L))
+    val plainG1 = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", Map("g1" -> 50L), numShards = 8)
+      .select($"id").as[Long].collect().toSet
+    assert(g1.map(_._1).toSet == plainG1, "epoch-0 selection must equal the plain mixture")
+    // partition-layout invariance of the full (id, epoch) multiset
+    val repart = Sampling
+      .tokenBudgetMixtureWithRepeats(
+        docs.repartition(13, $"tok"), $"grp", $"id", $"tok", budgets, numShards = 8)
+      .select($"id", $"epoch").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(repart == kept.map(k => (k._1, k._4)).sorted.toSeq)
+  }
+
+  test("tokenBudgetMixtureWithRepeats: zero-token groups keep one copy, never loop") {
+    val docs = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("id", "grp", "tok")
+    val kept = Sampling
+      .tokenBudgetMixtureWithRepeats(docs, $"grp", $"id", $"tok", Map("z" -> 100L), numShards = 4)
+      .select($"id", $"epoch").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(kept == Seq((1L, 0L), (2L, 0L)), "all-zero-token group: plain selection, epoch 0")
+  }
+
   test("leakageFreeSplit rejects bands that do not cover the hash space") {
     intercept[IllegalArgumentException] {
       Sampling.leakageFreeSplit(docs, "id", $"body", Seq("train" -> 50, "val" -> 10), 100)

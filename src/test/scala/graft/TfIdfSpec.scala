@@ -63,6 +63,35 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Seq((0, 64), (48, 17)))
   }
 
+  test("fimTransform: PSM pieces reassemble to the original; selection and cuts deterministic") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 60L).map(i => (i, ("word" + i + " ") * 20)).toDF("id", "body")
+    val out = TextAnalysis.fimTransform(docs, "id", "body", numerator = 1, denominator = 2,
+      minChars = 10)
+    val rows = out.select($"id", $"body", $"fim", $"fim_text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(rows.exists(_._3) && rows.exists(!_._3), "the band must split the corpus")
+    rows.foreach { case (id, body, fim, ft) =>
+      if (!fim) assert(ft == body, s"doc $id outside the band must pass through")
+      else {
+        // <PRE>prefix<SUF>suffix<MID>middle — reassembly is prefix+middle+suffix
+        val m = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+        ft match {
+          case m(p, s2, mid) => assert(p + mid + s2 == body, s"doc $id pieces do not reassemble")
+          case _ => fail(s"doc $id: bad PSM layout: $ft")
+        }
+      }
+    }
+    // short docs never transform even inside the band
+    val short = TextAnalysis.fimTransform(
+      Seq((2L, "tiny")).toDF("id", "body"), "id", "body", 1, 1, minChars = 10)
+    assert(!short.head.getAs[Boolean]("fim") && short.head.getAs[String]("fim_text") == "tiny")
+    // partition-layout invariance
+    val again = TextAnalysis.fimTransform(docs.repartition(7), "id", "body", 1, 2, 10)
+      .select($"id", $"fim_text").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, _, _, ft) => assert(again(id) == ft) }
+  }
+
   test("bm25TopK: hand-computed exact score on a 3-doc corpus") {
     // N=3, S=3+2+4=9; query 'x': df=1, idf=(3-1+1)*1000 div 2 = 1500;
     // doc 1 (tf=2, dl=3): num = 1500*2*44*9 = 1,188,000
