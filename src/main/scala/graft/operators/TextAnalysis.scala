@@ -105,6 +105,44 @@ object TextAnalysis {
     graft.functions.HashExprs.winnowingFingerprints(
       trim(regexp_replace(lower(text), "\\s+", " ")), k, w)
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020's heuristics, the
+    * line half): a line survives iff it carries at least `minWordsPerLine`
+    * non-empty words AND contains none of `badPhrases` (case-insensitive
+    * substring match — the "javascript"/policy-boilerplate rule). Returns
+    * the kept lines re-joined plus per-doc counts, so the caller can gate
+    * (drop docs whose kept fraction collapses) or replace text with the
+    * cleaned form. Pure per-row array expression — no shuffle; word
+    * counting filters empty splits explicitly so blank lines and
+    * whitespace runs count identically on any engine (the oracle replays
+    * the same lambda chain).
+    *
+    * @return df's rows + (n_lines, n_kept_lines, kept_text)
+    */
+  def c4LineFilter(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      badPhrases: Seq[String] = Seq("javascript", "cookie policy", "terms of use")
+  ): org.apache.spark.sql.DataFrame = {
+    require(minWordsPerLine >= 0, "minWordsPerLine must be >= 0")
+    require(badPhrases.forall(p => p.nonEmpty && p == p.toLowerCase(java.util.Locale.ROOT)),
+      "badPhrases must be non-empty lowercase strings (matching is case-insensitive)")
+    val outCols = Seq("n_lines", "n_kept_lines", "kept_text")
+    require(!outCols.exists(df.columns.contains),
+      s"c4LineFilter writes output columns ${outCols.mkString(", ")}; the input already has " +
+        "one — rename it before calling")
+    val lines = split(col(textCol), "\n")
+    val words = (l: Column) => filter(split(trim(l), "\\s+"), w => length(w) > 0)
+    val keep = (l: Column) =>
+      size(words(l)) >= minWordsPerLine &&
+        badPhrases.foldLeft(lit(true)) { (acc, p) => acc && !lower(l).contains(p) }
+    df.withColumn("n_lines", size(lines))
+      .withColumn("__kl", filter(lines, keep))
+      .withColumn("n_kept_lines", size(col("__kl")))
+      .withColumn("kept_text", array_join(col("__kl"), "\n"))
+      .drop("__kl")
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): a deterministic
     * `numerator/denominator` band of docs is rewritten into PSM layout —
@@ -135,6 +173,9 @@ object TextAnalysis {
   ): org.apache.spark.sql.DataFrame = {
     require(denominator > 0 && numerator >= 0 && numerator <= denominator, "need 0 <= num <= den")
     require(minChars >= 1, "minChars must be >= 1")
+    require(!df.columns.contains("fim") && !df.columns.contains("fim_text"),
+      "fimTransform writes output columns 'fim' and 'fim_text'; the input already has one — " +
+        "rename it before calling")
     val id = col(idCol)
     val text = col(textCol)
     val n = length(text)

@@ -861,6 +861,47 @@ object TextQueries {
     """.trim)
   )
 
+  /** C4-style line cleaning ([[TextAnalysis.c4LineFilter]]): the documents
+    * corpus is single-line, so the fixture manufactures lines the same way
+    * on both sides — every ` table ` occurrence becomes a line break
+    * (non-regex replace, identical left-to-right semantics in Spark and
+    * DuckDB) — then lines under 4 words or containing the planted
+    * boilerplate word `spark` drop. The oracle replays the split, the
+    * word-count lambda (empty splits filtered explicitly, so blank lines
+    * agree on any engine), the phrase gate, and the re-join; kept_md5 is
+    * hash-compared, so a one-line drift breaks the gate.
+    */
+  private val q123 = Q(
+    "q123_c4_line_filter",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val lined = T.documents
+        .withColumn("text", expr("replace(text, ' table ', '\n')"))
+      TextAnalysis
+        .c4LineFilter(lined, "text", minWordsPerLine = 4, badPhrases = Seq("spark"))
+        .select(
+          $"doc_id",
+          $"n_lines",
+          $"n_kept_lines",
+          md5($"kept_text").as("kept_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH l AS (SELECT doc_id,
+                        string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls
+                 FROM documents),
+      k AS (SELECT doc_id, len(ls) AS nl,
+                   list_filter(ls, x ->
+                     len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                                     w -> len(w) > 0)) >= 4
+                     AND NOT contains(lower(x), 'spark')) AS kl
+            FROM l)
+      SELECT doc_id, CAST(nl AS INT) AS n_lines, CAST(len(kl) AS INT) AS n_kept_lines,
+             md5(coalesce(array_to_string(kl, chr(10)), '')) AS kept_md5
+      FROM k ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123)
 }

@@ -135,6 +135,9 @@ object UrlOps {
       quality: Column
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("canonical_url"),
+      "canonicalUrlDedup writes output column 'canonical_url'; the input already has one — " +
+        "rename it before calling")
     val w = Window
       .partitionBy(col("canonical_url"))
       .orderBy(quality.desc, col(idCol).asc)

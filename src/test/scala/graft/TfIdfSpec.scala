@@ -92,6 +92,41 @@ class TfIdfSpec extends SparkSpec {
     rows.foreach { case (id, _, _, ft) => assert(again(id) == ft) }
   }
 
+  test("c4LineFilter: short and bad-phrase lines drop; counts exact; blank lines never count words") {
+    import graft.operators.TextAnalysis
+    val body = "a good line with five words\nshort line\n  \n" +
+      "this one mentions JavaScript stuff here\nanother fine line of text"
+    val out = TextAnalysis.c4LineFilter(
+      Seq((1L, body)).toDF("id", "body"), "body", minWordsPerLine = 4,
+      badPhrases = Seq("javascript")).head
+    assert(out.getAs[Int]("n_lines") == 5)
+    assert(out.getAs[Int]("n_kept_lines") == 2)
+    assert(out.getAs[String]("kept_text") ==
+      "a good line with five words\nanother fine line of text")
+    // output-column clobber guard
+    intercept[IllegalArgumentException] {
+      TextAnalysis.c4LineFilter(Seq((1L, "x", "y")).toDF("id", "body", "kept_text"), "body")
+    }
+    // config validation: phrases must be lowercase (matching lowers the line)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.c4LineFilter(Seq((1L, "x")).toDF("id", "body"), "body",
+        badPhrases = Seq("JavaScript"))
+    }
+  }
+
+  test("fimTransform and canonicalUrlDedup refuse inputs carrying their output columns") {
+    import graft.operators.{TextAnalysis, UrlOps}
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fimTransform(
+        Seq((1L, "x", true)).toDF("id", "body", "fim"), "id", "body", 1, 2, 10)
+    }
+    intercept[IllegalArgumentException] {
+      UrlOps.canonicalUrlDedup(
+        Seq((1L, "http://a.com", "z")).toDF("id", "url", "canonical_url"),
+        "id", $"url", lit(1))
+    }
+  }
+
   test("bm25TopK: hand-computed exact score on a 3-doc corpus") {
     // N=3, S=3+2+4=9; query 'x': df=1, idf=(3-1+1)*1000 div 2 = 1500;
     // doc 1 (tf=2, dl=3): num = 1500*2*44*9 = 1,188,000
