@@ -143,6 +143,75 @@ object TextAnalysis {
       .drop("__kl")
   }
 
+  /** Gopher document-level quality rules (Rae et al. 2021, the repetition
+    * rules' sibling family): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions. Every
+    * statistic is an EXACT integer (permille via `DIV`, never a double
+    * division) so the verdicts are bit-stable on any engine and
+    * parallelism — the determinism contract. Definitions, stated once and
+    * replayed by the oracle: words are non-empty whitespace splits;
+    * symbol words contain `#` or `...`; a bullet line starts (after trim)
+    * with `- ` or `* `; an ellipsis line ends with `...`; ratios of an
+    * empty denominator are 0.
+    *
+    * @return df's rows + (n_words, mean_len_permille, symbol_permille,
+    *         bullet_permille, ellipsis_permille, gopher_pass)
+    */
+  def gopherRules(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLenPermille: Long = 3000L,
+      maxMeanLenPermille: Long = 10000L,
+      maxSymbolPermille: Long = 100L,
+      maxBulletPermille: Long = 900L,
+      maxEllipsisPermille: Long = 300L
+  ): org.apache.spark.sql.DataFrame = {
+    val outCols = Seq("n_words", "mean_len_permille", "symbol_permille", "bullet_permille",
+      "ellipsis_permille", "gopher_pass")
+    require(!outCols.exists(df.columns.contains),
+      s"gopherRules writes output columns ${outCols.mkString(", ")}; the input already has " +
+        "one — rename it before calling")
+    val text = col(textCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val lines = split(text, "\n")
+    val nw = size(words).cast("long")
+    val chars = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val nSym = size(filter(words, w => w.contains("#") || w.contains("..."))).cast("long")
+    val nl = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("* "))).cast("long")
+    val nEllipsis = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    df.withColumn("n_words", nw)
+      .withColumn("__chars", chars)
+      .withColumn(
+        "mean_len_permille",
+        when(nw > 0, expr("__chars * 1000 DIV n_words")).otherwise(lit(0L)))
+      .withColumn("__nsym", nSym)
+      .withColumn(
+        "symbol_permille",
+        when(nw > 0, expr("__nsym * 1000 DIV n_words")).otherwise(lit(0L)))
+      .withColumn("__nl", nl)
+      .withColumn("__nb", nBullet)
+      .withColumn("__ne", nEllipsis)
+      .withColumn(
+        "bullet_permille",
+        when(col("__nl") > 0, expr("__nb * 1000 DIV __nl")).otherwise(lit(0L)))
+      .withColumn(
+        "ellipsis_permille",
+        when(col("__nl") > 0, expr("__ne * 1000 DIV __nl")).otherwise(lit(0L)))
+      .withColumn(
+        "gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_len_permille") >= minMeanLenPermille &&
+          col("mean_len_permille") <= maxMeanLenPermille &&
+          col("symbol_permille") <= maxSymbolPermille &&
+          col("bullet_permille") <= maxBulletPermille &&
+          col("ellipsis_permille") <= maxEllipsisPermille)
+      .drop("__chars", "__nsym", "__nl", "__nb", "__ne")
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): a deterministic
     * `numerator/denominator` band of docs is rewritten into PSM layout —

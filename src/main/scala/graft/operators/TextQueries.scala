@@ -902,6 +902,71 @@ object TextQueries {
     """.trim)
   )
 
+  /** Gopher quality rules ([[TextAnalysis.gopherRules]]): the fixture
+    * manufactures lines as in q123 and PLANTS one violation family per
+    * doc_id class — ids ≡ 0 (mod 5) gain thirty `#` symbol words, ≡ 1 an
+    * ellipsis on every line, ≡ 2 a bullet on every line — so the verdict
+    * exercises every rule. All statistics are exact integer permilles
+    * (`DIV`), and the oracle recomputes every one (word lists, char sums,
+    * symbol/bullet/ellipsis counts, the bounds conjunction) from the same
+    * fixture expression; the booleans are hash-compared alongside the
+    * numbers, so a drift in any rule's definition breaks the gate.
+    */
+  private val q124 = Q(
+    "q124_gopher_rules",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val lined = "replace(text, ' table ', '\n')"
+      val fixed = T.documents.withColumn(
+        "text",
+        expr(s"""CASE
+          WHEN doc_id % 5 = 0 THEN $lined || ' ' || repeat('# ', 30)
+          WHEN doc_id % 5 = 1 THEN replace($lined, '\n', '...\n') || '...'
+          WHEN doc_id % 5 = 2 THEN '- ' || replace($lined, '\n', '\n- ')
+          ELSE $lined END"""))
+      TextAnalysis
+        .gopherRules(fixed, "text", minWords = 10)
+        .select(
+          $"doc_id", $"n_words", $"mean_len_permille", $"symbol_permille",
+          $"bullet_permille", $"ellipsis_permille", $"gopher_pass")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH fx AS (SELECT doc_id,
+        CASE
+          WHEN doc_id % 5 = 0 THEN replace(text, ' table ', chr(10)) || ' ' || repeat('# ', 30)
+          WHEN doc_id % 5 = 1 THEN replace(replace(text, ' table ', chr(10)), chr(10), '...' || chr(10)) || '...'
+          WHEN doc_id % 5 = 2 THEN '- ' || replace(replace(text, ' table ', chr(10)), chr(10), chr(10) || '- ')
+          ELSE replace(text, ' table ', chr(10)) END AS t
+        FROM documents),
+      w AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(t, '\s+'), x -> len(x) > 0) AS ws,
+                   string_split(t, chr(10)) AS ls
+            FROM fx),
+      s AS (SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT) AS chars,
+                   CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS nsym,
+                   CAST(len(ls) AS BIGINT) AS nl,
+                   CAST(len(list_filter(ls, l -> left(trim(l), 2) = '- ' OR left(trim(l), 2) = '* ')) AS BIGINT) AS nb,
+                   CAST(len(list_filter(ls, l -> right(trim(l), 3) = '...')) AS BIGINT) AS ne
+            FROM w),
+      p AS (SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN chars * 1000 // n_words ELSE 0 END AS mean_len_permille,
+                   CASE WHEN n_words > 0 THEN nsym * 1000 // n_words ELSE 0 END AS symbol_permille,
+                   CASE WHEN nl > 0 THEN nb * 1000 // nl ELSE 0 END AS bullet_permille,
+                   CASE WHEN nl > 0 THEN ne * 1000 // nl ELSE 0 END AS ellipsis_permille
+            FROM s)
+      SELECT doc_id, n_words, mean_len_permille, symbol_permille, bullet_permille,
+             ellipsis_permille,
+             (n_words >= 10 AND n_words <= 100000
+              AND mean_len_permille >= 3000 AND mean_len_permille <= 10000
+              AND symbol_permille <= 100 AND bullet_permille <= 900
+              AND ellipsis_permille <= 300) AS gopher_pass
+      FROM p ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123, q124)
 }

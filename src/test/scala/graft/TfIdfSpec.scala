@@ -114,6 +114,33 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: hand-derived permilles; each planted violation trips its own rule") {
+    import graft.operators.TextAnalysis
+    val good = ("word " * 20).trim // 20 words x 4 chars -> mean 4000
+    val docs = Seq(
+      (1L, good),
+      (2L, good + " # # #"), // 3 of 23 words symbolic -> 130 permille
+      (3L, "- one two three four five\n- six seven eight nine ten"), // all lines bulleted
+      (4L, "one two three four five...\nsix seven eight nine ten...") // all lines ellipsed
+    ).toDF("id", "body")
+    val out = TextAnalysis.gopherRules(docs, "body", minWords = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 20 &&
+      out(1L).getAs[Long]("mean_len_permille") == 4000 &&
+      out(1L).getAs[Boolean]("gopher_pass"))
+    assert(out(2L).getAs[Long]("symbol_permille") == 3000 / 23 &&
+      !out(2L).getAs[Boolean]("gopher_pass"))
+    assert(out(3L).getAs[Long]("bullet_permille") == 1000 &&
+      !out(3L).getAs[Boolean]("gopher_pass"))
+    assert(out(4L).getAs[Long]("ellipsis_permille") == 1000 &&
+      !out(4L).getAs[Boolean]("gopher_pass"))
+    // too few words fails the floor; empty text is all-zeros, not a crash
+    val tiny = TextAnalysis.gopherRules(Seq((9L, "only three words"), (10L, "")).toDF("id", "body"),
+      "body", minWords = 10).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!tiny(9L).getAs[Boolean]("gopher_pass"))
+    assert(tiny(10L).getAs[Long]("n_words") == 0 && tiny(10L).getAs[Long]("mean_len_permille") == 0)
+  }
+
   test("fimTransform and canonicalUrlDedup refuse inputs carrying their output columns") {
     import graft.operators.{TextAnalysis, UrlOps}
     intercept[IllegalArgumentException] {
