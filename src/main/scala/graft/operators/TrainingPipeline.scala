@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   *                                          side table; re-encoded/resized
   *                                          image copies collapse like text
   *                                          near-dups)
+  *   5c2. audio near-dup collapse (optional) ([[Dedup.audioNearDupPairs]] —
+  *                                          the clip twin: resampled/
+  *                                          re-encoded/gain-shifted audio
+  *                                          copies collapse via the 49-bit
+  *                                          energy-map fingerprint)
   *   5d. exact substring trim (optional)   ([[Dedup.trimRepeatedSpans]] —
   *                                          Lee et al. 2022: cut every
   *                                          cross-doc repeated run >= minLen
@@ -125,6 +130,21 @@ object TrainingPipeline {
       maxAHamming: Option[Int] = None
   )
 
+  /** Optional audio near-dup stage (5c2) — the clip twin of [[ImageStage]]:
+    * `clips` is a (idCol, contentCol) WAV side table keyed like the corpus.
+    * Docs whose clip perceptually duplicates a surviving smaller-id doc's
+    * clip ([[Dedup.audioNearDupPairs]] — resampled/re-encoded/gain-shifted
+    * copies collapse) are dropped with the same min-id cluster rule; docs
+    * without a clip, or with undecodable bytes (NULL fingerprint), always
+    * survive.
+    */
+  final case class AudioStage(
+      clips: DataFrame,
+      idCol: String = "doc_id",
+      contentCol: String = "content",
+      maxHamming: Int = 3
+  )
+
   final case class EmbedStage(
       embeddings: DataFrame,
       idCol: String = "doc_id",
@@ -152,7 +172,8 @@ object TrainingPipeline {
       cfg: Config = Config(),
       lmRef: Option[DataFrame] = None,
       embed: Option[EmbedStage] = None,
-      image: Option[ImageStage] = None
+      image: Option[ImageStage] = None,
+      audio: Option[AudioStage] = None
   ): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val text = col(textCol)
@@ -269,6 +290,21 @@ object TrainingPipeline {
       case None => embedDeduped
     }
 
+    // 5c2 (optional): perceptual audio dedup — the clip twin of 5c, same
+    // semi-join-first shape and min-id cluster rule. A doc with no clip
+    // row (or non-PCM bytes → NULL fingerprint) never pairs, so it
+    // survives.
+    val audioDeduped = audio match {
+      case Some(au) =>
+        val alive = au.clips.join(
+          imageDeduped.select(id.as("__alive")),
+          col(au.idCol) === col("__alive"),
+          "left_semi")
+        val pairs = Dedup.audioNearDupPairs(alive, au.idCol, au.contentCol, au.maxHamming)
+        Dedup.dropNearDups(imageDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
+      case None => imageDeduped
+    }
+
     // 5d (optional): Lee et al. substring trim — replace each survivor's
     // text with its normalized complement of cross-doc repeated spans; a
     // doc whose every char was boilerplate vanishes rather than emitting
@@ -277,14 +313,14 @@ object TrainingPipeline {
     val trimmed = cfg.trimRepeatsMinLen match {
       case Some(l) =>
         val kept = Dedup
-          .trimRepeatedSpans(imageDeduped, idCol, textCol, l)
+          .trimRepeatedSpans(audioDeduped, idCol, textCol, l)
           .select(col("doc_id").as("__tid"), col("kept_text"))
-        imageDeduped
+        audioDeduped
           .join(kept, id === col("__tid"))
           .withColumn(textCol, col("kept_text"))
           .drop("__tid", "kept_text")
           .filter(length(text) > 0)
-      case None => imageDeduped
+      case None => audioDeduped
     }
 
     val scrubbed = trimmed.withColumn(textCol, Pii.scrub(text))
@@ -304,6 +340,7 @@ object TrainingPipeline {
       "6_deduped" -> deduped
     ) ++ (if (embed.isDefined) Seq("6b_embed_deduped" -> embedDeduped) else Nil) ++
       (if (image.isDefined) Seq("6c_image_deduped" -> imageDeduped) else Nil) ++
+      (if (audio.isDefined) Seq("6c2_audio_deduped" -> audioDeduped) else Nil) ++
       (if (cfg.trimRepeatsMinLen.isDefined) Seq("6d_trimmed" -> trimmed) else Nil) ++ Seq(
       "7_chunks" -> chunks
     )).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }

@@ -186,6 +186,37 @@ class AudioSpec extends SparkSpec {
     assert(e3.getMessage.contains("modalit"))
   }
 
+  test("pipeline AudioStage drops the doc whose clip is a perceptual dup of a survivor's") {
+    import graft.operators.{CorpusPipeline, TrainingPipeline}
+    // docs 10 (base clip) and 11 (resampled/stereo/gain copy) plus 12
+    // (distinct clip) and 13 (no clip at all); unrelated texts so only the
+    // audio stage decides
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank in the " +
+        "morning light with dew still resting on the open grass"),
+      (11L, "a committee met on tuesday to review the annual budget and approve the " +
+        "spending plan for the coming year after a long discussion"),
+      (12L, "sailors watched the storm gather over the harbor while the fishing boats " +
+        "returned early to the safety of the old stone pier"),
+      (13L, "gardeners planted rows of tomatoes and beans along the southern fence " +
+        "where the afternoon sun lingers longest in summer")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "completely unrelated benchmark text about other matters " +
+      "entirely with none of the corpus phrasing present anywhere")).toDF("doc_id", "text")
+    val clips = Multimodal.audioClipFixture(Seq(10L, 11L, 12L).toDF("doc_id"), "doc_id")
+      // plant a corrupt blob for a doc that must still survive
+      .union(Seq((12L + 1000L, Array[Byte](9, 9, 9))).toDF("doc_id", "content"))
+    val (chunks, audit) = TrainingPipeline.prepare(
+      docs, bench, "doc_id", "text",
+      cfg = TrainingPipeline.Config(corpus = CorpusPipeline.Config(nearDupJaccard = 1.01)),
+      audio = Some(TrainingPipeline.AudioStage(clips, maxHamming = 1)))
+    val kept = chunks.select($"doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L),
+      s"the copy's doc (11) must collapse onto 10; clipless and distinct docs survive: $kept")
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("6c2_audio_deduped") == 3 && a("6_deduped") == 4)
+  }
+
   test("index banding stamp survives a parquet round-trip") {
     val clips = Multimodal.audioClipFixture((0L until 6L).toDF("doc_id"), "doc_id")
     val idx = Dedup.audioCorpusIndex(clips, "doc_id", "content", maxHamming = 1)
