@@ -53,4 +53,45 @@ object Profile {
         col("max_val")
       )
   }
+
+  /** Per-source corpus report card — the "data card" table a training run
+    * publishes before it commits to a mixture: doc/token/char volumes,
+    * exact-duplicate counts (docs minus distinct content digests),
+    * language and quality gate pass counts, and exact mean tokens per doc.
+    * Every statistic is an exact integer (counts, sums, `DIV` permilles) —
+    * the ONE subtlety is the quality gate: the score itself is a double,
+    * but it is computed per row from a fixed IEEE expression (bit-identical
+    * on any engine — q30's gate proves it) and only the COMPARISON result
+    * is aggregated, so the count is exact where a mean of doubles would be
+    * partial-aggregation-order-dependent.
+    *
+    * One hash aggregate on the source key (sources ≪ docs, map-side
+    * combined); the per-row text statistics are the scan-side codegen
+    * expressions the quality/langid gates already use.
+    */
+  def corpusCard(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      qualityThreshold: Double = 0.3
+  ): DataFrame = {
+    val text = col(textCol)
+    df.select(
+        col(sourceCol).as("source"),
+        size(TextAnalysis.tokens(text)).cast("long").as("__tok"),
+        length(text).cast("long").as("__chars"),
+        md5(text).as("__md5"),
+        TextAnalysis.langId(text).as("__lang"),
+        TextAnalysis.qualityScore(text).as("__q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        (count(lit(1)) - countDistinct(col("__md5"))).as("n_exact_dup_docs"),
+        count(when(col("__lang") === "en", 1)).as("n_en_docs"),
+        count(when(col("__q") >= qualityThreshold, 1)).as("n_quality_docs"))
+      .withColumn("mean_tokens_permille", expr("n_tokens * 1000 DIV n_docs"))
+      .orderBy(col("source"))
+  }
 }

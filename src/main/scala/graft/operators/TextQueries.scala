@@ -967,6 +967,57 @@ object TextQueries {
     """.trim)
   )
 
+  /** Corpus report card ([[Profile.corpusCard]]): the per-source data-card
+    * rollup. Exact dups are PLANTED (every doc_id ≡ 0 mod 50 re-appears
+    * under a shifted id with identical text), so the digest-dedup column
+    * is exercised; the oracle replays the language heuristic (q31's CTE),
+    * the quality formula (q30's — the per-row double is bit-identical, so
+    * the threshold count is exact), the token/char sums, distinct-digest
+    * counts, and the DIV permille.
+    */
+  private val q125 = Q(
+    "q125_corpus_card",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val base = T.documents.select($"doc_id", $"text", $"source")
+      val planted = base.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"source")
+      Profile.corpusCard(base.unionByName(planted), "text", "source")
+    },
+    Some("""
+      WITH fx AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 50 = 0),
+      t AS (SELECT source, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM fx),
+      m AS (SELECT source, text, len(toks) AS n,
+                   len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','on','for'))) AS n_stop,
+                   list_sum(list_transform(toks, w -> len(w))) AS total_len,
+                   len(list_filter(toks, w -> w IN ('der','die','das','und','nicht','ist'))) AS de,
+                   len(list_filter(toks, w -> w IN ('el','los','las','una','es','y'))) AS es,
+                   len(list_filter(toks, w -> w IN ('le','les','des','une','est','et'))) AS fr,
+                   len(list_filter(toks, w -> w IN ('the','a','of','and','is','to'))) AS en
+            FROM t),
+      d AS (SELECT source, n, len(text) AS chars, md5(text) AS h,
+                   CASE WHEN de > es AND de > fr AND de > en THEN 'de'
+                        WHEN es > fr AND es > en THEN 'es'
+                        WHEN fr > en THEN 'fr'
+                        ELSE 'en' END AS lang,
+                   0.3 * (CAST(n_stop AS DOUBLE) / n)
+                     + 0.3 * least((CAST(total_len AS DOUBLE) / n) / 8.0, 1.0)
+                     + 0.4 * least(CAST(n AS DOUBLE) / 50.0, 1.0) AS q
+            FROM m)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             count(*) - count(DISTINCT h) AS n_exact_dup_docs,
+             CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en_docs,
+             CAST(count(CASE WHEN q >= 0.3 THEN 1 END) AS BIGINT) AS n_quality_docs,
+             (CAST(sum(n) AS BIGINT) * 1000) // count(*) AS mean_tokens_permille
+      FROM d GROUP BY source ORDER BY source
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123, q124)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123, q124, q125)
 }
