@@ -522,7 +522,7 @@ object ScaleBench {
         spark.sharedState.cacheManager.clearCache()
         locally {
           val t0 = System.nanoTime()
-          Dedup.substringGramIndex(docs, "doc_id", "text", 30)
+          Dedup.substringGramIndex(docs, "text", 30)
             .write.mode("overwrite").parquet(idxDir)
           tRebuild = (System.nanoTime() - t0) / 1e9
         }
@@ -531,7 +531,7 @@ object ScaleBench {
             concat(col("text"), lit(" appended batch suffix")).as("text"))
         locally {
           val t0 = System.nanoTime()
-          Dedup.substringGramIndex(batch, "doc_id", "text", 30)
+          Dedup.substringGramIndex(batch, "text", 30)
             .write.mode("append").parquet(idxDir)
           tAppend = (System.nanoTime() - t0) / 1e9
         }

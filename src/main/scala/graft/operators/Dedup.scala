@@ -1224,7 +1224,7 @@ object Dedup {
     * index-then-probe contract as [[probeNewDocs]] (text) and
     * [[phashCorpusIndex]] (images). One linear shuffle to distinct.
     */
-  def substringGramIndex(corpus: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+  def substringGramIndex(corpus: DataFrame, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     corpus
       .select(normText(textCol).as("__t"))
@@ -1264,11 +1264,10 @@ object Dedup {
   def appendGramIndex(
       gramIndex: DataFrame,
       newDocs: DataFrame,
-      idCol: String,
       textCol: String,
       minLen: Int
   ): DataFrame =
-    gramIndex.unionByName(substringGramIndex(newDocs, idCol, textCol, minLen))
+    gramIndex.unionByName(substringGramIndex(newDocs, textCol, minLen))
 
   /** Bloom bits over a [[substringGramIndex]]'s gram hashes — the
     * fixed-size form of the corpus gram set for scan-side membership

@@ -806,7 +806,7 @@ object DedupQueries {
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       val isNew = Sampling.hash60($"doc_id") % 100 >= 98
-      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "doc_id", "text", 30)
+      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "text", 30)
       Dedup
         .repeatedSpansVsCorpus(T.documents.filter(isNew), "doc_id", "text", idx, 30)
         .orderBy($"doc_id", $"span_start")
@@ -828,7 +828,7 @@ object DedupQueries {
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       val isNew = Sampling.hash60($"doc_id") % 100 >= 98
-      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "doc_id", "text", 30)
+      val idx = Dedup.substringGramIndex(T.documents.filter(!isNew), "text", 30)
       Dedup
         .trimSpansVsCorpus(T.documents.filter(isNew), "doc_id", "text", idx, 30)
         .select($"doc_id", $"norm_len", $"n_spans", $"removed_chars", $"kept_len", $"kept_md5")

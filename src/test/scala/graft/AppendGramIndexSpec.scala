@@ -30,9 +30,9 @@ class AppendGramIndexSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("append == rebuild at the probe (spans identical, n_grams included)") {
-    val idx1 = Dedup.substringGramIndex(corpus1, "doc_id", "text", 30)
-    val appended = Dedup.appendGramIndex(idx1, batch, "doc_id", "text", 30)
-    val rebuilt = Dedup.substringGramIndex(corpus1.unionByName(batch), "doc_id", "text", 30)
+    val idx1 = Dedup.substringGramIndex(corpus1, "text", 30)
+    val appended = Dedup.appendGramIndex(idx1, batch, "text", 30)
+    val rebuilt = Dedup.substringGramIndex(corpus1.unionByName(batch), "text", 30)
     def spans(idx: org.apache.spark.sql.DataFrame) = Dedup
       .repeatedSpansVsCorpus(probe, "doc_id", "text", idx, 30)
       .collect()
@@ -48,9 +48,9 @@ class AppendGramIndexSpec extends SparkSpec {
   }
 
   test("trim over an appended index matches the rebuilt index") {
-    val idx1 = Dedup.substringGramIndex(corpus1, "doc_id", "text", 30)
-    val appended = Dedup.appendGramIndex(idx1, batch, "doc_id", "text", 30)
-    val rebuilt = Dedup.substringGramIndex(corpus1.unionByName(batch), "doc_id", "text", 30)
+    val idx1 = Dedup.substringGramIndex(corpus1, "text", 30)
+    val appended = Dedup.appendGramIndex(idx1, batch, "text", 30)
+    val rebuilt = Dedup.substringGramIndex(corpus1.unionByName(batch), "text", 30)
     def trims(idx: org.apache.spark.sql.DataFrame) = Dedup
       .trimSpansVsCorpus(probe, "doc_id", "text", idx, 30)
       .select($"doc_id", $"removed_chars", $"kept_md5")
@@ -59,9 +59,9 @@ class AppendGramIndexSpec extends SparkSpec {
   }
 
   test("bloom refresh law: bits(appended) == or(bits(old), bits(batch grams))") {
-    val idx1 = Dedup.substringGramIndex(corpus1, "doc_id", "text", 30)
-    val batchGrams = Dedup.substringGramIndex(batch, "doc_id", "text", 30)
-    val appended = Dedup.appendGramIndex(idx1, batch, "doc_id", "text", 30)
+    val idx1 = Dedup.substringGramIndex(corpus1, "text", 30)
+    val batchGrams = Dedup.substringGramIndex(batch, "text", 30)
+    val appended = Dedup.appendGramIndex(idx1, batch, "text", 30)
     val n = 1 << 12
     val direct = Dedup.substringGramBloom(appended, numBytes = n, numHashes = 5)
     val merged = BloomSupport.or(
@@ -73,9 +73,9 @@ class AppendGramIndexSpec extends SparkSpec {
 
   test("multiset duplicates never change spans, only compaction timing") {
     // append the SAME batch twice: heavier multiset, identical probe result
-    val idx1 = Dedup.substringGramIndex(corpus1, "doc_id", "text", 30)
-    val once = Dedup.appendGramIndex(idx1, batch, "doc_id", "text", 30)
-    val twice = Dedup.appendGramIndex(once, batch, "doc_id", "text", 30)
+    val idx1 = Dedup.substringGramIndex(corpus1, "text", 30)
+    val once = Dedup.appendGramIndex(idx1, batch, "text", 30)
+    val twice = Dedup.appendGramIndex(once, batch, "text", 30)
     def spans(idx: org.apache.spark.sql.DataFrame) = Dedup
       .repeatedSpansVsCorpus(probe, "doc_id", "text", idx, 30)
       .collect()

@@ -90,7 +90,7 @@ class RepeatedSpansSpec extends SparkSpec {
 
   test("incremental probe: spans of new docs covered by the corpus index, exact extents") {
     val corpus = Seq((1L, preA + R + sufA), (2L, "wholly original corpus content here")).toDF("doc_id", "text")
-    val idx = Dedup.substringGramIndex(corpus, "doc_id", "text", 30)
+    val idx = Dedup.substringGramIndex(corpus, "text", 30)
     val probe = Seq(
       (100L, preB + R + sufB),                       // contains the corpus run
       (101L, "entirely novel probe text with nothing shared beyond stray words")
@@ -106,7 +106,7 @@ class RepeatedSpansSpec extends SparkSpec {
     val probe = Seq((100L, preA + R + sufA)).toDF("doc_id", "text")
     val viaProbe = Dedup
       .repeatedSpansVsCorpus(probe, "doc_id", "text",
-        Dedup.substringGramIndex(corpus, "doc_id", "text", 30), 30)
+        Dedup.substringGramIndex(corpus, "text", 30), 30)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
     val viaSelfJoin = Dedup
       .repeatedSpans(corpus.unionByName(probe), "doc_id", "text", 30)
@@ -118,7 +118,7 @@ class RepeatedSpansSpec extends SparkSpec {
 
   test("intake trim cuts exactly the already-in-corpus runs from new docs") {
     val corpus = Seq((1L, preA + R + sufA)).toDF("doc_id", "text")
-    val idx = Dedup.substringGramIndex(corpus, "doc_id", "text", 30)
+    val idx = Dedup.substringGramIndex(corpus, "text", 30)
     val probe = Seq(
       (100L, preB + R + sufB),                 // R is corpus boilerplate -> cut
       (101L, "fully novel intake document body with nothing the corpus holds")

@@ -270,7 +270,7 @@ class StreamsSpec extends SparkSpec {
       (1L, s"stored document one with $boiler embedded in the middle of it"),
       (2L, "a second stored document of entirely separate wording and shape")
     ).toDF("doc_id", "text")
-    val idx = Dedup.substringGramIndex(corpus, "doc_id", "text", 30)
+    val idx = Dedup.substringGramIndex(corpus, "text", 30)
     // deliberately tiny bloom: false positives expected, the law is one-sided
     val bits = Dedup.substringGramBloom(idx, numBytes = 128, numHashes = 3)
     val docs = Seq(
@@ -304,7 +304,7 @@ class StreamsSpec extends SparkSpec {
   test("flagCorpusOverlap rejects inputs already carrying its temp or output column") {
     import graft.operators.Dedup
     val idx = Dedup.substringGramIndex(
-      Seq((1L, "a" * 40)).toDF("doc_id", "text"), "doc_id", "text", 30)
+      Seq((1L, "a" * 40)).toDF("doc_id", "text"), "text", 30)
     val bits = Dedup.substringGramBloom(idx, numBytes = 1 << 10, numHashes = 3)
     val withOut = Seq((1L, "x", true)).toDF("doc_id", "text", "maybe_boilerplate")
     val e = intercept[IllegalArgumentException] {
