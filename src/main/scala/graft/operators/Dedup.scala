@@ -501,7 +501,7 @@ object Dedup {
     * unstamped frame (hand-built or pre-stamp persisted) passes — the
     * contract is then on the caller, as documented on [[phashProbeDups]].
     */
-  private val fingerprintFamilies = Seq("phash", "audio")
+  private val fingerprintFamilies = Seq("phash", "phashv", "audio")
 
   private def requireMatchingBanding(
       index: DataFrame, family: String, maxHamming: Int, blocks: Int): Unit = {
@@ -595,17 +595,7 @@ object Dedup {
     // measured +50% on q117). A Generate's generator expression is never
     // inlined into parents, so the decode runs exactly once per row and
     // the field reads reference its output attribute.
-    val fps = df
-      .select(
-        col(idCol).as("doc_id"),
-        explode(array(
-          graft.functions.MediaExprs.imageDualHash64(col(contentCol)))).as("__dual"))
-      .select(
-        col("doc_id"),
-        col("__dual.dhash").as("fp"),
-        col("__dual.ahash").as("afp"))
-      .filter(col("fp").isNotNull)
-    val keyed = fingerprintBandKeys(fps, maxHamming, blocks, bits = 64)
+    val keyed = fingerprintBandKeys(dualFps(df, idCol, contentCol), maxHamming, blocks, bits = 64)
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -614,6 +604,67 @@ object Dedup {
         col("b.doc_id").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"),
         bit_count(col("a.afp").bitwiseXOR(col("b.afp"))).as("a_hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming && col("a_hamming") <= maxAHamming)
+  }
+
+  private def dualFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        explode(array(
+          graft.functions.MediaExprs.imageDualHash64(col(contentCol)))).as("__dual"))
+      .select(
+        col("doc_id"),
+        col("__dual.dhash").as("fp"),
+        col("__dual.ahash").as("afp"))
+      .filter(col("fp").isNotNull)
+
+  /** Band-keyed DUAL-hash table of a photo corpus — the STATIC side of the
+    * incremental verified probe, completing the family pattern for q117
+    * (every dedup modality ships its index+probe twin). Columns
+    * (corpus_id, corpus_fp, corpus_afp, bk); stamped as family "phashv" so
+    * a single-hash or audio probe can never consume it silently.
+    */
+  def phashVerifiedCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    fingerprintBandKeys(dualFps(corpus, idCol, contentCol), maxHamming, blocks, bits = 64)
+      .select(
+        col("doc_id").as("corpus_id"),
+        col("fp").as("corpus_fp"),
+        col("afp").as("corpus_afp"),
+        col("bk").as("bk", bandingStamp("phashv", maxHamming, blocks)))
+
+  /** Probe a photo batch against a [[phashVerifiedCorpusIndex]]: dHash
+    * banding candidates confirmed on aHash — the INCREMENTAL form of
+    * [[phashVerifiedNearDupPairs]], identical arithmetic on both hashes,
+    * so a pair this probe reports is exactly a pair the batch operator
+    * would. One decode per probe row (the same Generate barrier), one
+    * band-key equi-join.
+    *
+    * @return (doc_id, dup_of, hamming, a_hamming) — probe id, corpus id
+    */
+  def phashVerifiedProbeDups(
+      probe: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6,
+      maxAHamming: Int = 8
+  ): DataFrame = {
+    requireMatchingBanding(index, "phashv", maxHamming, blocks)
+    fingerprintBandKeys(dualFps(probe, idCol, contentCol), maxHamming, blocks, bits = 64)
+      .join(index, "bk")
+      .select(
+        col("doc_id"),
+        col("corpus_id").as("dup_of"),
+        bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).as("hamming"),
+        bit_count(col("afp").bitwiseXOR(col("corpus_afp"))).as("a_hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming && col("a_hamming") <= maxAHamming)
   }

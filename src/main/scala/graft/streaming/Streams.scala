@@ -387,6 +387,24 @@ object Streams {
   ): DataFrame =
     graft.operators.Dedup.phashProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
 
+  /** Per-micro-batch DUAL-HASH verified image-dup probe — [[probePhotoBatch]]
+    * with the aHash confirm: run inside `foreachBatch` against a
+    * [[graft.operators.Dedup.phashVerifiedCorpusIndex]]; a flagged pair is
+    * exactly a pair [[graft.operators.Dedup.phashVerifiedNearDupPairs]]
+    * would report (gradient-only dHash false positives cut by the confirm).
+    */
+  def probeVerifiedPhotoBatch(
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6,
+      maxAHamming: Int = 8
+  ): DataFrame =
+    graft.operators.Dedup
+      .phashVerifiedProbeDups(batch, idCol, contentCol, index, maxHamming, blocks, maxAHamming)
+
   /** Per-micro-batch perceptual AUDIO-dup probe — the clip-intake twin of
     * [[probePhotoBatch]]: run inside `foreachBatch` against a
     * [[graft.operators.Dedup.audioCorpusIndex]] built once per corpus

@@ -97,6 +97,31 @@ class PHashSpec extends SparkSpec {
       s"aHash confirm must cut exactly the decoy pairs, got $verified")
   }
 
+  test("verified probe vs verified corpus index agrees with the batch operator; wrong family throws") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val photos = Multimodal.dualHashPhotoFixture(ids, "doc_id")
+    val corpus = photos.filter($"doc_id" % 10 =!= 1)
+    val batch = photos.filter($"doc_id" % 10 === 1)
+    val idx = Dedup.phashVerifiedCorpusIndex(corpus, "doc_id", "content")
+    val dups = graft.streaming.Streams
+      .probeVerifiedPhotoBatch(batch, "doc_id", "content", idx)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // each copy (≡1) pairs with its base (≡2's decoy is dHash-identical to
+    // the copy but aHash 64 away — the confirm must cut it in the probe too)
+    assert(dups.toSeq == (1L until 41L by 10L).map(c => (c, c - 1, 0, 0)))
+    // a verified index probed by the UNVERIFIED phash probe: wrong family
+    val e = intercept[IllegalArgumentException] {
+      Dedup.phashProbeDups(batch, "doc_id", "content", idx)
+    }
+    assert(e.getMessage.contains("modalit"))
+    // and mismatched banding params throw as everywhere
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.phashVerifiedProbeDups(batch, "doc_id", "content", idx, maxHamming = 2)
+    }
+    assert(e2.getMessage.contains("maxHamming"))
+  }
+
   test("ImageStage with maxAHamming keeps the decoy doc the unverified stage would drop") {
     import graft.operators.TrainingPipeline
     // docs 0,1,2 carry base/copy/decoy photos; texts are mutually UNRELATED
