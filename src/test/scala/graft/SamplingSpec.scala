@@ -223,6 +223,29 @@ class SamplingSpec extends SparkSpec {
     assert(repart == kept.map(k => (k._1, k._4)).sorted.toSeq)
   }
 
+  test("temperatureBudgets: sqrt-proportional split, exact integer arithmetic, NULL rejected") {
+    val docs = Seq(
+      ("big", 900L), ("big", 0L),  // total 900 -> sqrt 30
+      ("small", 100L)              // total 100 -> sqrt 10
+    ).toDF("grp", "tok")
+    val b = Sampling.temperatureBudgets(docs, $"grp", $"tok", totalTokens = 4000L)
+    // weights 30:10 -> budgets 3000/1000 exactly (sqrt of perfect squares)
+    assert(b == Map("big" -> 3000L, "small" -> 1000L), s"got $b")
+    // flattening law: the head group's share shrinks vs natural proportions
+    assert(b("big").toDouble / 4000 < 900.0 / 1000)
+    // budgets never exceed the target in total (floor division)
+    assert(b.values.sum <= 4000L)
+    // all-empty corpus: zero budgets, no divide-by-zero
+    val z = Sampling.temperatureBudgets(
+      Seq(("a", 0L)).toDF("grp", "tok"), $"grp", $"tok", 100L)
+    assert(z == Map("a" -> 0L))
+    // NULL group is a config error, loudly
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureBudgets(
+        Seq((null: String, 5L)).toDF("grp", "tok"), $"grp", $"tok", 100L)
+    }
+  }
+
   test("tokenBudgetMixtureWithRepeats: zero-token groups keep one copy, never loop") {
     val docs = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("id", "grp", "tok")
     val kept = Sampling

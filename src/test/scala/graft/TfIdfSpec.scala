@@ -141,6 +141,26 @@ class TfIdfSpec extends SparkSpec {
     assert(tiny(10L).getAs[Long]("n_words") == 0 && tiny(10L).getAs[Long]("mean_len_permille") == 0)
   }
 
+  test("corpusCard: hand-derived per-source rollup with planted dups and a non-English doc") {
+    import graft.operators.Profile
+    val en = "the cat sat on the mat and the dog ran to the park in the warm morning sun today"
+    val de = "der hund und die katze ist nicht da und der tag ist lang und gut heute ja wirklich"
+    val docs = Seq(
+      (1L, en, "a"), (2L, en, "a"), // exact dup pair in source a
+      (3L, de, "a"),
+      (4L, "tiny words here", "b")
+    ).toDF("doc_id", "text", "source")
+    val card = Profile.corpusCard(docs, "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = card("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_exact_dup_docs") == 1)
+    assert(a.getAs[Long]("n_en_docs") == 2, "the German doc must not count as English")
+    assert(a.getAs[Long]("n_tokens") == 19 * 2 + 18) // 19-word en doc twice + 18-word de doc
+    assert(a.getAs[Long]("mean_tokens_permille") == (19 * 2 + 18) * 1000L / 3)
+    val b = card("b")
+    assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Long]("n_exact_dup_docs") == 0)
+  }
+
   test("fimTransform and canonicalUrlDedup refuse inputs carrying their output columns") {
     import graft.operators.{TextAnalysis, UrlOps}
     intercept[IllegalArgumentException] {
