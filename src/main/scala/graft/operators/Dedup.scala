@@ -394,7 +394,18 @@ object Dedup {
       blocks: Int,
       bits: Int = 64
   ): DataFrame = {
-    val keyed = fingerprintBandKeys(fps, maxHamming, blocks, bits)
+    // Persisted because BOTH sides of the band-key self-join read the
+    // fingerprint frame, and under AQE's broadcast choice the sides do NOT
+    // share an exchange — without the cache the fingerprint computation
+    // (the per-row image decode / PCM Goertzel pass, the heaviest scan
+    // expressions in the engine) runs once per side (measured at sf0.1:
+    // q105 6.4→3.6 s, q115 4.5→2.6 s, q117 5.8→3.2 s, q52 1.0→0.6 s,
+    // targeted min-of-3). The cached rows are just
+    // (doc_id, fp[, confirm hash]) — bytes per doc, not the media. Blocks
+    // are reclaimed by Spark's ContextCleaner once the result plan is
+    // unreferenced (the winnowingOverlapPairs lifecycle contract).
+    val cached = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = fingerprintBandKeys(cached, maxHamming, blocks, bits)
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -595,7 +606,10 @@ object Dedup {
     // measured +50% on q117). A Generate's generator expression is never
     // inlined into parents, so the decode runs exactly once per row and
     // the field reads reference its output attribute.
-    val keyed = fingerprintBandKeys(dualFps(df, idCol, contentCol), maxHamming, blocks, bits = 64)
+    // same both-sides-read-it persist rationale as bandedFingerprintPairs
+    val cached = dualFps(df, idCol, contentCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = fingerprintBandKeys(cached, maxHamming, blocks, bits = 64)
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
