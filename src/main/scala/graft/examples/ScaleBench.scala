@@ -558,10 +558,19 @@ object ScaleBench {
         var pairs = 0L
         var nBytes = 0L
         val t = time2(spark) {
-          val photos = Multimodal.repartitionByBytes(
-            Multimodal.phashPhotoFixture(ids, "doc_id"), "content", targetBytes = 4L << 20)
-          nBytes = photos.agg(sum(octet_length(col("content")))).head.getLong(0)
-          pairs = Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3).count()
+          // synthesize ONCE into a cache: the PNG ENCODE is as heavy as the
+          // decode, and the un-cached form paid it three times per body
+          // (repartitionByBytes' internal agg, the byte agg, the pair
+          // pass) — the curve would then measure synthesis scheduling, not
+          // the decode family. 256 KiB targets keep the decode parallel at
+          // the 1× point too.
+          val raw = Multimodal.phashPhotoFixture(ids, "doc_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            nBytes = raw.agg(sum(octet_length(col("content")))).head.getLong(0)
+            val photos = Multimodal.repartitionByBytes(raw, "content", targetBytes = 256L << 10)
+            pairs = Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3).count()
+          } finally raw.unpersist()
         }
         println(
           s"""{"bench":"scale","scale":$k,"query":"phash","sec":$t,"rows":$pairs,"bytes":$nBytes}""")
@@ -578,15 +587,21 @@ object ScaleBench {
         var clips = 0L
         var nBytes = 0L
         val t = time2(spark) {
-          val wavs = Multimodal.repartitionByBytes(
-            Multimodal.audioClipFixture(ids, "doc_id"), "content", targetBytes = 8L << 20)
-          val r = wavs
-            .select(graft.functions.AudioExprs.audioFingerprint(col("content")).as("fp"),
-              octet_length(col("content")).as("len"))
-            .agg(count(col("fp")), sum(col("len")))
-            .head
-          clips = r.getLong(0)
-          nBytes = r.getLong(1)
+          // same synthesize-once discipline as the phash fixture (the WAV
+          // synthesis is cheaper than PNG encode but still double-counted
+          // by repartitionByBytes' internal agg otherwise)
+          val raw = Multimodal.audioClipFixture(ids, "doc_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val wavs = Multimodal.repartitionByBytes(raw, "content", targetBytes = 2L << 20)
+            val r = wavs
+              .select(graft.functions.AudioExprs.audioFingerprint(col("content")).as("fp"),
+                octet_length(col("content")).as("len"))
+              .agg(count(col("fp")), sum(col("len")))
+              .head
+            clips = r.getLong(0)
+            nBytes = r.getLong(1)
+          } finally raw.unpersist()
         }
         println(
           s"""{"bench":"scale","scale":$k,"query":"audio_fp","sec":$t,"rows":$clips,"bytes":$nBytes}""")
