@@ -84,7 +84,12 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): DataFrame = {
+    // persisted for the same both-sides-read-it reason as
+    // bandedFingerprintPairs: the signature (one md5 per shingle × the
+    // whole corpus) is the heavy part, and under AQE's broadcast choice
+    // the self-join sides share no exchange — uncached it runs twice
     val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed
       .as("a")
       .join(
@@ -269,6 +274,10 @@ object Dedup {
         Similarity.norm(col("emb")).as("nrm"),
         explode(array(bandCols: _*)).as("bk")
       )
+      // both-sides-read-it persist (the bandedFingerprintPairs rationale):
+      // per-row norms + per-band hyperplane projections otherwise compute
+      // once per self-join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
