@@ -105,6 +105,44 @@ object TextAnalysis {
     graft.functions.HashExprs.winnowingFingerprints(
       trim(regexp_replace(lower(text), "\\s+", " ")), k, w)
 
+  /** Boundary-aware sentence chunking — the alternative to [[tokenChunks]]
+    * when mid-sentence splits are unacceptable (instruction data, QA
+    * contexts): sentences (split on `". "`) pack greedily into chunks of
+    * at most `maxTokens` whitespace tokens under the [[Sampling
+    * .packSequences]] boundary convention — a sentence is NEVER split;
+    * chunk_id = (tokens before the sentence) DIV maxTokens, so a sentence
+    * longer than maxTokens overflows its own chunk rather than being cut.
+    * Deterministic by construction (sentence order is textual order), and
+    * the assignment is exact integer arithmetic the oracle replays with a
+    * window prefix sum. One hash shuffle on the doc key for the per-doc
+    * window; token counting filters empty splits (the q123/q124 rule).
+    *
+    * @return one row per sentence: df's id + (sent_idx, n_tokens,
+    *         chunk_id, sentence)
+    */
+  def sentenceChunks(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sentences = df
+      .select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("sent_idx", "sentence")))
+      .withColumn(
+        "n_tokens",
+        size(filter(split(trim(col("sentence")), "\\s+"), w => length(w) > 0)).cast("long"))
+    val cum = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sentences
+      .withColumn("__cum", sum(col("n_tokens")).over(cum))
+      .withColumn("chunk_id", expr(s"(__cum - n_tokens) DIV $maxTokens"))
+      .drop("__cum")
+  }
+
   /** C4-style LINE-level cleaning (Raffel et al. 2020's heuristics, the
     * line half): a line survives iff it carries at least `minWordsPerLine`
     * non-empty words AND contains none of `badPhrases` (case-insensitive

@@ -1018,6 +1018,46 @@ object TextQueries {
     """.trim)
   )
 
+  /** Sentence-boundary chunking ([[TextAnalysis.sentenceChunks]]): the
+    * q123 fixture manufactures sentences (` table ` → `. `, identical
+    * non-regex replace both sides), then every sentence is assigned its
+    * chunk by the packSequences boundary convention — chunk_id = tokens
+    * before DIV maxTokens, sentences never split. The oracle replays the
+    * split with ordinals, the empty-filtered token counts, the window
+    * prefix sum, and the integer division; sentence md5s ride along so a
+    * boundary drift in the split itself also breaks the gate.
+    */
+  private val q126 = Q(
+    "q126_sentence_chunks",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val lined = T.documents
+        .withColumn("text", expr("replace(text, ' table ', '. ')"))
+      TextAnalysis
+        .sentenceChunks(lined, "doc_id", "text", maxTokens = 16)
+        .select($"doc_id", $"sent_idx", $"n_tokens", $"chunk_id",
+          md5($"sentence").as("sent_md5"))
+        .orderBy($"doc_id", $"sent_idx")
+    },
+    Some("""
+      WITH fx AS (SELECT doc_id, string_split(replace(text, ' table ', '. '), '. ') AS ss
+                  FROM documents),
+      s AS (SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, ss[i] AS sentence
+            FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM fx)),
+      t AS (SELECT doc_id, sent_idx, sentence,
+                   CAST(len(list_filter(regexp_split_to_array(trim(sentence), '\s+'),
+                                        w -> len(w) > 0)) AS BIGINT) AS n_tokens
+            FROM s),
+      c AS (SELECT doc_id, sent_idx, sentence, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, sent_idx, n_tokens, (cum - n_tokens) // 16 AS chunk_id,
+             md5(sentence) AS sent_md5
+      FROM c ORDER BY doc_id, sent_idx
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123, q124, q125)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123, q124, q125, q126)
 }

@@ -114,6 +114,26 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
+  test("sentenceChunks: boundary convention by hand; sentences never split; overflow allowed") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "one two three. four five six seven. eight")).toDF("id", "body")
+    val out = TextAnalysis.sentenceChunks(docs, "id", "body", maxTokens = 5)
+      .orderBy($"sent_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("sentence")))
+    // cums 3,7,8 -> chunk = (cum - tok) DIV 5 = 0, 0, 1: sentence 1 starts
+    // before the boundary so it OVERFLOWS chunk 0 (never split), and
+    // sentence 2 opens chunk 1
+    assert(out.toSeq == Seq(
+      (0, 3L, 0L, "one two three"),
+      (1, 4L, 0L, "four five six seven"),
+      (2, 1L, 1L, "eight")))
+    // a single over-long sentence owns its chunk rather than being cut
+    val long = TextAnalysis.sentenceChunks(
+      Seq((2L, "a b c d e f g")).toDF("id", "body"), "id", "body", maxTokens = 3).collect()
+    assert(long.length == 1 && long(0).getAs[Long]("chunk_id") == 0L)
+  }
+
   test("gopherRules: hand-derived permilles; each planted violation trips its own rule") {
     import graft.operators.TextAnalysis
     val good = ("word " * 20).trim // 20 words x 4 chars -> mean 4000
