@@ -76,6 +76,77 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetMixtureWithRepeats: exact epoch/remainder laws on generated corpora") {
+    Seq(7L, 41L).foreach { seed =>
+      val (rows, budgets) = gen(
+        for {
+          n <- Gen.choose(60, 200)
+          toks <- Gen.listOfN(n, Gen.choose(1L, 30L))
+          b0 <- Gen.choose(200L, 6000L) // spans under- and over-budget regimes
+          b1 <- Gen.choose(50L, 800L)
+        } yield (
+          toks.zipWithIndex.map { case (t, i) => (i.toLong, s"g${i % 3}", t) },
+          Map("g0" -> b0, "g1" -> b1)
+        ),
+        seed,
+        (Seq((1L, "g0", 5L)), Map("g0" -> 100L))
+      )
+      val maxTok = rows.map(_._3).max
+      val kept = Sampling
+        .tokenBudgetMixtureWithRepeats(
+          rows.toDF("id", "grp", "tok"), $"grp", $"id", $"tok", budgets, numShards = 8)
+        .select($"grp", $"tok", $"epoch", $"id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      budgets.foreach { case (g, b) =>
+        val mine = kept.filter(_._1 == g)
+        val groupRows = rows.filter(_._2 == g)
+        val total = groupRows.map(_._3).sum
+        val epochs = if (total > 0) b / total else 0L
+        // every full epoch contains EVERY doc exactly once
+        (0L until epochs).foreach { e =>
+          assert(mine.count(_._3 == e) == groupRows.size,
+            s"group $g epoch $e incomplete (seed $seed)")
+        }
+        // no row beyond the remainder epoch
+        assert(mine.forall(_._3 <= epochs), s"group $g emitted past the remainder (seed $seed)")
+        // total upsampled tokens land in [budget, budget + maxDoc) — or
+        // everything once if the remainder selection kept all (can't happen:
+        // remainder < total by definition when total > 0)
+        val keptTok = mine.map(_._2).sum
+        if (total > 0)
+          assert(keptTok >= b && keptTok < b + maxTok,
+            s"group $g kept $keptTok tokens for budget $b (seed $seed)")
+      }
+      assert(kept.forall(_._1 != "g2"), "unbudgeted group leaked through")
+    }
+  }
+
+  test("temperatureBudgets: replaying the exact integer derivation matches, budgets sum within target") {
+    Seq(11L, 59L).foreach { seed =>
+      val totals = gen(
+        for {
+          n <- Gen.choose(2, 12)
+          ts <- Gen.listOfN(n, Gen.choose(0L, 2000000L))
+        } yield ts.zipWithIndex.map { case (t, i) => (s"s$i", t) },
+        seed,
+        Seq(("s0", 100L))
+      )
+      val rows = totals.map { case (g, t) => (g, t) }
+      val b = Sampling.temperatureBudgets(
+        rows.toDF("grp", "tok"), $"grp", $"tok", totalTokens = 1000000L)
+      // independent replay of the documented derivation
+      val w = totals.map { case (g, t) =>
+        g -> math.floor(math.sqrt(t.toDouble) * (1L << 26)).toLong
+      }.toMap
+      val sw = w.values.foldLeft(BigInt(0))(_ + _)
+      totals.foreach { case (g, _) =>
+        val expect = if (sw == 0) 0L else (BigInt(1000000L) * w(g) / sw).toLong
+        assert(b(g) == expect, s"group $g budget ${b(g)} != derived $expect (seed $seed)")
+      }
+      assert(b.values.sum <= 1000000L, s"floor split exceeded the target (seed $seed)")
+    }
+  }
+
   test("rrfFuse: input-list order never changes the fusion; scores match the formula") {
     Seq(11L, 47L).foreach { seed =>
       val lists = gen(
