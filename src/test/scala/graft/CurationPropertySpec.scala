@@ -147,6 +147,53 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("fimTransform: pieces reassemble on generated texts; c4LineFilter matches a Scala model") {
+    import graft.operators.TextAnalysis
+    Seq(13L, 97L).foreach { seed =>
+      val texts = gen(
+        Gen.listOfN(40, for {
+          words <- Gen.choose(0, 30)
+          ws <- Gen.listOfN(words, Gen.alphaLowerStr.map(_.take(6)))
+          lines <- Gen.choose(0, 3)
+        } yield {
+          val body = ws.filter(_.nonEmpty).mkString(" ")
+          if (lines == 0 || body.isEmpty) body
+          else body.split(" ").grouped(math.max(1, body.split(" ").length / (lines + 1)))
+            .map(_.mkString(" ")).mkString("\n")
+        }),
+        seed,
+        List("fallback text")
+      ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = texts.toDF("id", "body")
+      // FIM: every transformed row reassembles to the original
+      val fim = TextAnalysis.fimTransform(df, "id", "body", 1, 2, minChars = 5)
+        .select($"id", $"body", $"fim", $"fim_text").collect()
+      val m = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+      fim.foreach { r =>
+        val (body, isFim, ft) = (r.getString(1), r.getBoolean(2), r.getString(3))
+        if (!isFim) assert(ft == body)
+        else ft match {
+          case m(p, s2, mid) => assert(p + mid + s2 == body, s"id ${r.getLong(0)} (seed $seed)")
+          case _ => fail(s"bad PSM layout for id ${r.getLong(0)}")
+        }
+      }
+      // C4 line filter: differential vs a plain-Scala model of the stated rules
+      val bad = Seq("qa", "zz")
+      val got = TextAnalysis.c4LineFilter(df, "body", minWordsPerLine = 2, badPhrases = bad)
+        .select($"id", $"n_lines", $"n_kept_lines", $"kept_text").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      texts.foreach { case (id, body) =>
+        val lines = body.split("\n", -1)
+        val kept = lines.filter { l =>
+          l.trim.split("\\s+").count(_.nonEmpty) >= 2 &&
+            bad.forall(p => !l.toLowerCase.contains(p))
+        }
+        assert(got(id) == ((lines.length, kept.length, kept.mkString("\n"))),
+          s"id $id diverged from the reference model (seed $seed)")
+      }
+    }
+  }
+
   test("rrfFuse: input-list order never changes the fusion; scores match the formula") {
     Seq(11L, 47L).foreach { seed =>
       val lists = gen(
