@@ -258,19 +258,60 @@ object Sampling {
     require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
       "budgets must be non-negative")
     require(numShards > 0, "numShards must be positive")
-    val fallback = defaultBudget.map(lit).getOrElse(lit(-1L))
-    val budget = budgets.foldLeft(fallback: Column) { case (acc, (g, b)) =>
-      when(group === g, lit(b)).otherwise(acc)
-    }
-    val base = df
-      .withColumn("__g", group)
+    val base = withGroupBudget(df, group, budgets, defaultBudget)
       .withColumn("__h", hash60(key))
       .withColumn("__key", key)
       .withColumn("__shard", pmod(col("__h"), lit(numShards)).cast("int"))
       .withColumn("__tok", tokens.cast("long"))
-      .withColumn("__budget", budget)
       .filter(col("__budget") >= 0)
     prefixSelect(base)
+  }
+
+  /** Size above which the budget map compiles to a broadcast JOIN instead
+    * of a `when` chain. A literal CASE is the right plan for a mixture
+    * config (tens of sources: zero join, constant-folds into the scan),
+    * but its expression depth is ∝ |map| — a few thousand entries blows
+    * past codegen/Janino limits. Package-visible so the spec can pin the
+    * equivalence law right at the boundary.
+    */
+  private[graft] val budgetMapJoinThreshold = 64
+
+  /** Attaches `__g` (the group key) and `__budget` (the group's budget,
+    * `-1` for "not in the mixture") to `df`. Two compilation strategies
+    * with identical semantics (spec-pinned equivalence law):
+    *
+    *   - `|budgets| <= budgetMapJoinThreshold`: a folded `when` chain —
+    *     scan-side literal CASE, no join at all.
+    *   - above it: a broadcast LEFT join against a literal (group, budget)
+    *     frame, `coalesce`-ing misses to the default. The join key is the
+    *     group cast to string — budgets are string-keyed by contract, and
+    *     the cast matches the `when` chain's string coercion.
+    *
+    * NULL groups never match a (non-null) map key under either strategy —
+    * `===` is null-rejecting in the chain and in the join — so they take
+    * `defaultBudget`, the documented one-bucket NULL-group behavior.
+    */
+  private def withGroupBudget(
+      df: DataFrame,
+      group: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Option[Long]
+  ): DataFrame = {
+    val fallback = defaultBudget.map(lit).getOrElse(lit(-1L))
+    val g = df.withColumn("__g", group)
+    if (budgets.size <= budgetMapJoinThreshold) {
+      val budget = budgets.foldLeft(fallback: Column) { case (acc, (k, b)) =>
+        when(col("__g") === k, lit(b)).otherwise(acc)
+      }
+      g.withColumn("__budget", budget)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bdf = budgets.toSeq.toDF("__bg", "__bv")
+      g.join(broadcast(bdf), col("__g").cast("string") === col("__bg"), "left")
+        .withColumn("__budget", coalesce(col("__bv"), fallback))
+        .drop("__bg", "__bv")
+    }
   }
 
   /** The two-phase budget selection over a prepared frame carrying
@@ -290,7 +331,11 @@ object Sampling {
       .orderBy(col("__h").asc, col("__key").asc, col("__tok").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .join(broadcast(offsets), col("__g") === col("__og") && col("__shard") === col("__os"))
+      // <=> not ===: the NULL group is a real bucket here (defaultBudget
+      // documents it's "capped together as one bucket"), and a null-unsafe
+      // join would silently drop every NULL-group row right after the
+      // budget filter admitted them.
+      .join(broadcast(offsets), col("__g") <=> col("__og") && col("__shard") === col("__os"))
       .withColumn("__cum", sum(col("__tok")).over(wIn) + col("__offset"))
       .filter(col("__cum") - col("__tok") < col("__budget"))
       .drop("__g", "__h", "__key", "__shard", "__tok", "__budget", "__og", "__os", "__offset", "__cum")
@@ -316,9 +361,24 @@ object Sampling {
     * mixture, which keeps every zero-token doc once (0 < budget), never
     * infinitely.
     *
-    * Scale shape: one tiny per-group total aggregate (broadcast back),
-    * the epoch fan-out is a scan-side `explode(sequence)` (output ∝ the
-    * UPSAMPLED corpus — the honest cost of repeats), and the remainder
+    * `maxEpochs` is a GUARD, not a tuning knob: the epoch fan-out
+    * materializes `epochs` copies of every row, so a misconfigured budget
+    * over a tiny source (say 10^12 tokens against a 10^3-token source)
+    * would demand 10^9-element `sequence` arrays per row — Spark hard-fails
+    * past 2^31 elements and OOMs long before, and even a "successful" huge
+    * ratio silently writes an enormous upsampled corpus. Real mixtures
+    * repeat small sources single-digit times (quality gains fall off
+    * sharply past ~4 epochs — Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"), so any group whose
+    * `budget DIV total` exceeds `maxEpochs` is treated as a config error
+    * and FAILS LOUDLY, naming the group and the ratio. The check runs on
+    * the per-group totals (|groups| rows, mixture-config scale) BEFORE any
+    * explode is planned.
+    *
+    * Scale shape: one tiny per-group total aggregate (collected — the same
+    * driver hop `broadcast()` would take — validated, then broadcast
+    * back), the epoch fan-out is a scan-side `explode(sequence)` (output ∝
+    * the UPSAMPLED corpus — the honest cost of repeats), and the remainder
     * pass is the plain machinery.
     *
     * @return df's rows (original columns) + `epoch` (0-based)
@@ -330,28 +390,49 @@ object Sampling {
       tokens: Column,
       budgets: Map[String, Long],
       numShards: Int = 64,
-      defaultBudget: Option[Long] = None
+      defaultBudget: Option[Long] = None,
+      maxEpochs: Int = 100
   ): DataFrame = {
     require(budgets.nonEmpty || defaultBudget.isDefined,
       "need budgets, a defaultBudget, or both")
     require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
       "budgets must be non-negative")
     require(numShards > 0, "numShards must be positive")
-    val fallback = defaultBudget.map(lit).getOrElse(lit(-1L))
-    val budget = budgets.foldLeft(fallback: Column) { case (acc, (g, b)) =>
-      when(group === g, lit(b)).otherwise(acc)
-    }
-    val base = df
-      .withColumn("__g", group)
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column — rename it before upsampling")
+    val base = withGroupBudget(df, group, budgets, defaultBudget)
       .withColumn("__h", hash60(key))
       .withColumn("__key", key)
       .withColumn("__shard", pmod(col("__h"), lit(numShards)).cast("int"))
       .withColumn("__tok", tokens.cast("long"))
-      .withColumn("__budget", budget)
       .filter(col("__budget") >= 0)
-    val totals = base.groupBy(col("__g")).agg(sum(col("__tok")).as("__gt"))
+    // Per-group totals: |groups| rows (mixture-config scale). __budget is
+    // functionally determined by __g, so first() is exact. Collected
+    // explicitly — broadcast() pulls the frame to the driver anyway — so
+    // the maxEpochs guard can fire BEFORE the main query plans any explode.
+    val totalsFrame = base.groupBy(col("__g"))
+      .agg(sum(col("__tok")).as("__gt"), first(col("__budget")).as("__b"))
+    val totalsRows = totalsFrame.collect()
+    totalsRows.foreach { r =>
+      val gt = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val b = r.getLong(2)
+      val epochs = if (gt > 0) b / gt else 0L
+      require(epochs <= maxEpochs,
+        s"tokenBudgetMixtureWithRepeats: group '${r.get(0)}' would repeat $epochs times " +
+          s"(budget=$b over $gt tokens), exceeding maxEpochs=$maxEpochs — almost certainly a " +
+          "misconfigured budget; raise maxEpochs explicitly if the upsampling is intended")
+    }
+    val spark = df.sparkSession
+    val totals = spark.createDataFrame(
+      java.util.Arrays.asList(totalsRows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        totalsFrame.schema("__g").copy(name = "__tg"), totalsFrame.schema("__gt"))))
     val withT = base
-      .join(broadcast(totals.select(col("__g").as("__tg"), col("__gt"))), col("__g") === col("__tg"))
+      // <=> for the same reason as prefixSelect's offsets join: the NULL
+      // group (under defaultBudget) must reach the epoch/remainder math,
+      // or this operator would not strictly generalize tokenBudgetMixture.
+      .join(broadcast(totals), col("__g") <=> col("__tg"))
       .withColumn(
         "__epochs",
         when(col("__gt") > 0, expr("__budget DIV __gt")).otherwise(lit(0L)))

@@ -127,6 +127,9 @@ object TextAnalysis {
       maxTokens: Int
   ): org.apache.spark.sql.DataFrame = {
     require(maxTokens >= 1, "maxTokens must be >= 1")
+    val outCols = Seq("sent_idx", "sentence", "n_tokens", "chunk_id")
+    require(!outCols.exists(c => c != idCol && df.columns.contains(c)),
+      s"input already has one of ${outCols.mkString("/")} — rename it before chunking")
     import org.apache.spark.sql.expressions.Window
     val sentences = df
       .select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("sent_idx", "sentence")))

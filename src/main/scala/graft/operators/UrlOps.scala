@@ -187,7 +187,11 @@ object UrlOps {
     */
   def duckDomainPslSql(canonicalExpr: String, rules: Seq[String]): String = {
     val sfx = graft.functions.PslSupport.compile(rules) // same validation as the engine side
-    val host = s"regexp_extract($canonicalExpr, '^[a-z0-9+.-]+://([^/:?#]+)', 1)"
+    // lower() mirrors PslSupport.registered's host lowering, so a raw
+    // (uncanonicalized) host column gets the same answer from both engines —
+    // without it the case-sensitive rule compares would diverge on any
+    // mixed-case input even though q116 happens to feed canonical URLs.
+    val host = s"lower(regexp_extract($canonicalExpr, '^[a-z0-9+.-]+://([^/:?#]+)', 1))"
     def esc(r: String) = r.replace(".", "\\.")
     def lbl(r: String) = r.count(_ == '.') + 1
     val excBranches = sfx.exceptions.sortBy(-lbl(_)).map { e =>

@@ -163,6 +163,32 @@ class CorpusPipelineSpec extends SparkSpec {
       "PSL rules split the agencies into separate under-budget domains")
   }
 
+  test("domain cap: NULL registered domain (single-label host) is capped, not silently dropped") {
+    // the round-10 ADVICE high finding: under pslRules a single-label host
+    // (e.g. an intranet name) has NO registered domain — those docs must be
+    // budgeted together as the NULL bucket, not vanish into domain_over_cap
+    // via a null-unsafe join regardless of budget
+    val docs = (1L to 4L).map { i =>
+      val a = Seq("otter", "badger", "falcon", "marten")((i - 1).toInt)
+      (i, s"the small $a walked to the harbor and found $i shiny stones by the water before " +
+        s"the evening came and the $a went home", s"https://intranet/doc/$i")
+    }.toDF("doc_id", "text", "url")
+    val cfg = CorpusPipeline.Config(
+      domainCap = Some(CorpusPipeline.DomainCap(
+        "url", capTokens = 10000L, pslRules = Some(Seq("com")), numShards = 4)))
+    val reasons = CorpusPipeline.annotate(docs, "doc_id", "text", cfg)
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])].collect().toMap
+    assert((1L to 4L).forall(reasons(_).isEmpty),
+      s"NULL-domain docs under a generous budget must ALL survive: $reasons")
+    // and the cap still binds on the NULL bucket when the budget is tight
+    val tight = cfg.copy(domainCap = Some(CorpusPipeline.DomainCap(
+      "url", capTokens = 30L, pslRules = Some(Seq("com")), numShards = 4)))
+    val tightReasons = CorpusPipeline.annotate(docs, "doc_id", "text", tight)
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])].collect().toMap
+    val dropped = tightReasons.count(_._2.contains("domain_over_cap"))
+    assert(dropped > 0 && dropped < 4, s"tight NULL-bucket budget keeps a prefix: $tightReasons")
+  }
+
   test("compactPartitioned merges files per partition and preserves the layout") {
     val root = tmpDir("plake")
     (1 to 5).foreach { i =>

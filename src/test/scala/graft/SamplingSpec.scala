@@ -246,6 +246,85 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetMixture: NULL group + defaultBudget is kept and capped as ONE bucket") {
+    // the ADVICE round-10 finding: the offsets join must be null-safe, or
+    // NULL-group rows pass the budget filter but vanish at the join
+    val docs = ((1L to 20L).map(i => (i, if (i % 2 == 0) "g0" else null, 10L)))
+      .toDF("id", "grp", "tok")
+    val kept = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", Map("g0" -> 1000L),
+        numShards = 4, defaultBudget = Some(35L))
+      .select($"id", $"grp", $"tok")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    val nulls = kept.filter(_._2.isEmpty)
+    assert(nulls.nonEmpty, "NULL-group rows with a defaultBudget must survive the offsets join")
+    // capped together: 10 null docs x 10 tokens vs budget 35 -> exactly 4 kept (boundary law)
+    val nullTok = nulls.map(_._3).sum
+    assert(nullTok >= 35L && nullTok < 35L + 10L, s"NULL bucket kept $nullTok tokens for budget 35")
+    assert(kept.count(_._2.contains("g0")) == 10, "budgeted group under budget keeps everything")
+  }
+
+  test("tokenBudgetMixtureWithRepeats: NULL group reaches the epoch math (null-safe totals join)") {
+    val docs = ((1L to 10L).map(i => (i, if (i <= 5) "g0" else null, 10L)))
+      .toDF("id", "grp", "tok")
+    // NULL bucket: total 50, budget 120 -> 2 full epochs + 20-token remainder prefix
+    val kept = Sampling
+      .tokenBudgetMixtureWithRepeats(docs, $"grp", $"id", $"tok", Map("g0" -> 30L),
+        numShards = 4, defaultBudget = Some(120L))
+      .select($"id", $"grp", $"epoch")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    val nulls = kept.filter(_._2.isEmpty)
+    assert(nulls.count(_._3 == 0L) == 5 && nulls.count(_._3 == 1L) == 5,
+      "NULL bucket must contribute its full epochs")
+    assert(nulls.count(_._3 == 2L) == 2, "NULL bucket remainder: 20 tokens = 2 docs")
+  }
+
+  test("tokenBudgetMixtureWithRepeats: maxEpochs guard fails loudly on runaway budgets") {
+    val docs = Seq((1L, "tiny", 10L), (2L, "tiny", 10L)).toDF("id", "grp", "tok")
+    // budget 10^9 over 20 tokens -> 5*10^7 epochs: a config error, not a fan-out
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMixtureWithRepeats(
+        docs, $"grp", $"id", $"tok", Map("tiny" -> 1000000000L), numShards = 4)
+    }
+    assert(e.getMessage.contains("tiny") && e.getMessage.contains("maxEpochs"),
+      s"guard must name the group and the knob: ${e.getMessage}")
+    // raising the cap explicitly is the documented escape hatch
+    val ok = Sampling.tokenBudgetMixtureWithRepeats(
+      docs, $"grp", $"id", $"tok", Map("tiny" -> 100L), numShards = 4, maxEpochs = 5)
+    assert(ok.count() == 10L, "5 epochs x 2 docs, no remainder")
+    // output-column clobber guard
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMixtureWithRepeats(
+        docs.withColumn("epoch", lit(9L)), $"grp", $"id", $"tok", Map("tiny" -> 10L), numShards = 4)
+    }
+  }
+
+  test("budget map above the join threshold: broadcast-join form, identical selection") {
+    val docs = (1L to 600L)
+      .map(i => (i, s"g${i % 3}", 5L + i % 7))
+      .toDF("id", "grp", "tok")
+    val small = Map("g0" -> 200L, "g1" -> 50L)
+    // pad with groups absent from the data: selection must not change
+    val big = small ++ (1 to (Sampling.budgetMapJoinThreshold * 4))
+      .map(i => s"pad_$i" -> 0L).toMap
+    assert(big.size > Sampling.budgetMapJoinThreshold)
+    val viaChain = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", small, numShards = 8)
+      .select($"id").as[Long].collect().toSet
+    val joined = Sampling.tokenBudgetMixture(docs, $"grp", $"id", $"tok", big, numShards = 8)
+    val viaJoin = joined.select($"id").as[Long].collect().toSet
+    assert(viaChain == viaJoin, "when-chain and broadcast-join forms must select identically")
+    // the join form actually engages (and broadcasts) above the threshold
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join in:\n$plan")
+    // ... and a genuinely large map compiles (the when-chain would blow codegen depth)
+    val huge = small ++ (1 to 10000).map(i => s"pad_$i" -> 0L).toMap
+    val viaHuge = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", huge, numShards = 8)
+      .select($"id").as[Long].collect().toSet
+    assert(viaHuge == viaChain)
+  }
+
   test("tokenBudgetMixtureWithRepeats: zero-token groups keep one copy, never loop") {
     val docs = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("id", "grp", "tok")
     val kept = Sampling

@@ -132,6 +132,11 @@ class TfIdfSpec extends SparkSpec {
     val long = TextAnalysis.sentenceChunks(
       Seq((2L, "a b c d e f g")).toDF("id", "body"), "id", "body", maxTokens = 3).collect()
     assert(long.length == 1 && long(0).getAs[Long]("chunk_id") == 0L)
+    // output-column clobber guard (same rule as c4LineFilter/gopherRules)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sentenceChunks(
+        Seq((3L, "x", 1L)).toDF("id", "body", "n_tokens"), "id", "body", maxTokens = 3)
+    }
   }
 
   test("gopherRules: hand-derived permilles; each planted violation trips its own rule") {

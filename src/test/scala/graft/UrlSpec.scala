@@ -167,4 +167,13 @@ class UrlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("token total"))
   }
+
+  test("duckDomainPslSql lowers the host, mirroring PslSupport.registered's lowering") {
+    // PslSupport.registered lowercases the host, so the oracle rendering
+    // must too — otherwise engine and oracle diverge on any raw
+    // (uncanonicalized) mixed-case input (round-10 ADVICE finding)
+    val sql = UrlOps.duckDomainPslSql("u", Seq("com", "*.ck", "!www.ck"))
+    assert(sql.contains("lower(regexp_extract("),
+      s"oracle host rendering must be wrapped in lower(): $sql")
+  }
 }
