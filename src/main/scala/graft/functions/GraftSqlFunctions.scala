@@ -83,6 +83,9 @@ object GraftSqlFunctions {
     }),
     ("graft_image_dual_hash", "(binary)", {
       case Seq(b) => ImageDualHash64(b)
+    }),
+    ("graft_video_fp", "(binary)", {
+      case Seq(b) => VideoFingerprint(b)
     })
   )
 

@@ -521,7 +521,7 @@ object Dedup {
     * unstamped frame (hand-built or pre-stamp persisted) passes — the
     * contract is then on the caller, as documented on [[phashProbeDups]].
     */
-  private val fingerprintFamilies = Seq("phash", "phashv", "audio")
+  private val fingerprintFamilies = Seq("phash", "phashv", "audio", "video")
 
   private def requireMatchingBanding(
       index: DataFrame, family: String, maxHamming: Int, blocks: Int): Unit = {
@@ -777,6 +777,103 @@ object Dedup {
     fingerprintBandKeys(
       audioFps(probe, idCol, contentCol), maxHamming, blocks,
       bits = graft.functions.AudioFpSupport.Bits)
+      .join(index, "bk")
+      .select(
+        col("doc_id"),
+        col("corpus_id").as("dup_of"),
+        bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def videoFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        graft.functions.VideoExprs.videoFingerprint(col(contentCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+
+  /** Video-content near-dup pairs: the 64-bit frame-sampled perceptual
+    * fingerprint ([[graft.functions.VideoFpSupport]] — 8 slice-midpoint
+    * frames × 8 block-luminance gradient bits) banded through the SAME
+    * Manku machinery as [[phashNearDupPairs]]/[[audioNearDupPairs]], so
+    * candidate generation is exact at `maxHamming` by pigeonhole and
+    * sub-quadratic by banding. Catches rescaled / re-framed /
+    * brightness-shifted video copies whose BYTES differ — invisible to
+    * byte-digest dedup AND to container headers (q92/q93 see a re-encoded
+    * copy as a different file). Bytes that are not a complete uncompressed
+    * RGB24 AVI fingerprint NULL and drop out before banding: a corrupt
+    * blob never pairs with anything (the q33/q92/q105 untrusted-bytes
+    * contract). This completes the dedup modality matrix: text, image,
+    * audio, video — each with batch + index/probe twin + streaming probe.
+    *
+    * Scale shape: the chunk walk is linear in clip bytes and the pixel
+    * work touches only the 8 sampled frames (pair with
+    * [[Multimodal.repartitionByBytes]] for skewed media); the pair search
+    * is the banded equi-join, same inventory as q52/q105/q115.
+    */
+  def videoNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    bandedFingerprintPairs(
+      videoFps(df, idCol, contentCol),
+      maxHamming,
+      blocks,
+      bits = graft.functions.VideoFpSupport.Bits
+    )
+
+  /** Band-keyed video-fingerprint table of a clip corpus — the STATIC side
+    * of the incremental perceptual video probe, the video twin of
+    * [[audioCorpusIndex]]. Build once (and persist) per corpus snapshot;
+    * each later probe batch pays only its own frame samples + one
+    * equi-join. Columns (corpus_id, corpus_fp, bk); non-AVI / corrupt
+    * blobs (NULL fingerprint) never enter. Banding parameters ride as
+    * column metadata and the probe verifies them.
+    */
+  def videoCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    fingerprintBandKeys(
+      videoFps(corpus, idCol, contentCol), maxHamming, blocks,
+      bits = graft.functions.VideoFpSupport.Bits)
+      .select(
+        col("doc_id").as("corpus_id"),
+        col("fp").as("corpus_fp"),
+        col("bk").as("bk", bandingStamp("video", maxHamming, blocks)))
+
+  /** Probe a batch of video clips against a [[videoCorpusIndex]]: every
+    * (probe clip, corpus clip) pair within `maxHamming` fingerprint bits —
+    * the INCREMENTAL form of [[videoNearDupPairs]], per the family pattern
+    * of [[phashProbeDups]]/[[audioProbeDups]]; the streaming composition
+    * is [[graft.streaming.Streams.probeVideoBatch]]. Banding arithmetic is
+    * [[fingerprintBandKeys]]' — identical to the batch self-join, so a
+    * pair this probe reports is exactly a pair the batch operator would.
+    *
+    * (maxHamming, blocks) MUST equal the index's build values; indexes
+    * from [[videoCorpusIndex]] carry them as column metadata and a
+    * mismatch (or a wrong-modality index) throws here.
+    *
+    * @return (doc_id, dup_of, hamming) — probe id, corpus id
+    */
+  def videoProbeDups(
+      probe: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame = {
+    requireMatchingBanding(index, "video", maxHamming, blocks)
+    fingerprintBandKeys(
+      videoFps(probe, idCol, contentCol), maxHamming, blocks,
+      bits = graft.functions.VideoFpSupport.Bits)
       .join(index, "bk")
       .select(
         col("doc_id"),

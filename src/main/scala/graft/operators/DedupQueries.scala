@@ -764,6 +764,41 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Perceptual VIDEO near-dup ([[Dedup.videoNearDupPairs]]): the 64-bit
+    * frame-sampled fingerprint over a deterministic synthesized AVI corpus
+    * ([[Multimodal.videoClipFixture]] — every id renders an 8-slice coded
+    * clip from its base-8 digit frame code; ids ≡ 0 (mod 10) carry a
+    * planted base with one extra frame-0 comparison bit whose ≡ 1 neighbor
+    * is the same code RE-ENCODED at 2× resolution, 2× frame count, +20
+    * brightness). The engine must find exactly the planted (base, copy)
+    * pairs at hamming 1 — rescaled/re-framed/brightness-shifted copies
+    * cluster, every other pair is ≥ hamming 3 by the fixture's checksum
+    * code — via a real RIFF/AVI chunk walk + slice-midpoint frame sampling
+    * + block-luminance gradient bits + Manku banding. The oracle
+    * re-derives the pair list from the fixture's id arithmetic
+    * (construction-derived oracle, the q105/q115 pattern: DuckDB cannot
+    * decode AVIs, but the fixture is engineered so the correct answer is
+    * provable from ids alone; any engine-side fingerprint or banding
+    * drift breaks the match). This closes the modality matrix: q127 is to
+    * q92/q93's container headers what q115 was to q92's audio metadata.
+    */
+  private val q127 = Q(
+    "q127_video_neardup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val clips = Multimodal.videoClipFixture(T.documents.select($"doc_id"), "doc_id")
+      Dedup
+        .videoNearDupPairs(clips, "doc_id", "content", maxHamming = 1)
+        .orderBy($"doc_a")
+    },
+    Some("""
+      SELECT d.doc_id AS doc_a, e.doc_id AS doc_b, CAST(1 AS INT) AS hamming
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 10 = 0
+      ORDER BY doc_a
+    """.trim)
+  )
+
   /** Incremental substring dedup ([[Dedup.repeatedSpansVsCorpus]] over a
     * [[Dedup.substringGramIndex]]): a deterministic ~2% hash band of the
     * documents plays the NEW batch, the rest is the indexed corpus —
@@ -863,5 +898,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112, q115, q117)
+      q103, q104, q105, q111, q112, q115, q117, q127)
 }

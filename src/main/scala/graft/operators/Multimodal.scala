@@ -804,6 +804,170 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
+  /** 8-frame code of an id for the video fixture — the video twin of
+    * [[audioToneCode]]: frames 0..6 carry the base-8 digits of `id`
+    * (least-significant first), frame 7 the digit-sum checksum mod 8.
+    * Each digit renders as a ONE-HOT comparison pattern (exactly bit
+    * `digit` of that frame's 8 fingerprint bits set — see
+    * [[videoCodeCells]]), so two different digits in a frame put the
+    * fingerprints 2 bits apart, and the checksum makes two DISTINCT ids
+    * below 8^7 differ in at least two frames — ≥ hamming 4, never a false
+    * pair at the q127 gate's maxHamming=1.
+    */
+  def videoFrameCode(id: Long): Array[Int] = {
+    require(id >= 0 && id < 2097152L, s"video code ids live below 8^7, got $id")
+    val code = new Array[Int](8)
+    var v = id
+    var sum = 0L
+    var t = 0
+    while (t < 7) {
+      code(t) = (v % 8).toInt
+      sum += code(t)
+      v /= 8
+      t += 1
+    }
+    code(7) = (sum % 8).toInt
+    code
+  }
+
+  /** The 9 luminance cell values of a code frame: a walk that RISES +15
+    * between adjacent cells except at the descent positions in `{digit}
+    * (∪ {extraDigit})`, where it DROPS 25 — so the frame's raster-adjacent
+    * comparison bits (cell i > cell i+1, the
+    * [[graft.functions.VideoFpSupport]] definition) are EXACTLY the
+    * one-hot digit (plus the optional extra bit). Values stay in
+    * [35, 165] (descents are ≥ 3 apart because extraDigit = digit+3 mod
+    * 8), leaving headroom for the +20 brightness-shifted copy; gaps of
+    * 15/25 are decisive under exact block averaging (the fixture's
+    * dimensions are multiples of the 3×3 grid, so cell averages are the
+    * cell values exactly).
+    */
+  def videoCodeCells(digit: Int, extraDigit: Int): Array[Int] = {
+    require(digit >= 0 && digit < 8 && extraDigit < 8, "digits live in 0..7")
+    val cells = new Array[Int](9)
+    cells(0) = 60
+    var i = 1
+    while (i < 9) {
+      val descent = (i - 1) == digit || (i - 1) == extraDigit
+      cells(i) = cells(i - 1) + (if (descent) -25 else 15)
+      i += 1
+    }
+    cells
+  }
+
+  /** Synthesized uncompressed RGB24 AVI: `8 * framesPerSlice` frames of
+    * `w`×`h` solid-gray 3×3 cell grids, frame i rendering content slice
+    * `i / framesPerSlice`'s code cells ([[videoCodeCells]]), all values
+    * shifted by `brightness`. Because [[graft.functions.VideoFpSupport]]
+    * samples the MIDPOINT frame of each of 8 equal time slices
+    * (floor(n(2t+1)/16), which lands strictly inside content slice t for
+    * any n ≥ 16) and the dimensions are grid-exact, the fingerprint of
+    * the clip is exactly its code at ANY framesPerSlice, resolution
+    * multiple, and brightness — the invariance that makes the q127 oracle
+    * construction-derivable.
+    */
+  def codedVideoAvi(
+      code: Array[Int],
+      extraFrame0Digit: Int,
+      w: Int,
+      h: Int,
+      framesPerSlice: Int,
+      brightness: Int
+  ): Array[Byte] = {
+    require(code.length == 8, "eight frame slices")
+    require(w % 3 == 0 && h % 3 == 0 && w > 0 && h > 0, "grid-exact dimensions")
+    // framesPerSlice = 1 (8 frames) is below VideoFpSupport.MinFrames and
+    // fingerprints NULL — legal here so the spec can pin that rule; the
+    // exactness claims above need >= 2
+    require(framesPerSlice >= 1, "at least one frame per slice")
+    val stride = graft.functions.VideoFpSupport.rowStride(w)
+    val frameBytes = stride * h
+    val n = 8 * framesPerSlice
+    val moviSize = 4 + n * (8 + frameBytes)
+    val riffSize = 4 + 200 + 8 + moviSize // "AVI " + hdrl LIST + movi hdr + movi
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffSize).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(192).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0) // 25 fps, maxBps, pad, flags
+      .putInt(n).putInt(0).putInt(1).putInt(frameBytes) // frames, init, streams, sugBuf
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    bb.put("LIST".getBytes).putInt(116).put("strl".getBytes)
+    bb.put("strh".getBytes).putInt(56)
+      .put("vids".getBytes).put("DIB ".getBytes)
+      .putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initFrames
+      .putInt(1).putInt(25).putInt(0).putInt(n) // scale, rate, start, length
+      .putInt(frameBytes).putInt(0).putInt(0) // sugBuf, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    bb.put("strf".getBytes).putInt(40)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes) // BI_RGB, sizeImage
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    val pad = new Array[Byte](stride - w * 3)
+    var i = 0
+    while (i < n) {
+      bb.put("00db".getBytes).putInt(frameBytes)
+      val slice = i / framesPerSlice
+      val cells = videoCodeCells(code(slice), if (slice == 0) extraFrame0Digit else -1)
+      // bottom-up DIB rows: file row fy is image row h-1-fy
+      var fy = 0
+      while (fy < h) {
+        val y = h - 1 - fy
+        val gr = 3 * y / h
+        var x = 0
+        while (x < w) {
+          val v = (cells(gr * 3 + 3 * x / w) + brightness).toByte
+          bb.put(v).put(v).put(v)
+          x += 1
+        }
+        bb.put(pad)
+        fy += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic video corpus for the q127 perceptual-dedup gate — the
+    * AVI twin of [[audioClipFixture]], keyed by the documents table's ids:
+    * ids ≡ 0 (mod 10) synthesize the paired BASE clip (frame code of `id`
+    * at 48×36, 16 frames, plus one extra frame-0 comparison bit), ids ≡ 1
+    * the COPY of id-1's code RE-ENCODED at twice the resolution (96×72),
+    * twice the frame count (32), and +20 brightness (the planted
+    * rescale/re-encode), everything else a unique unpaired clip.
+    * Base↔copy distance is exactly hamming 1 (the extra frame-0 bit);
+    * every other pair is ≥ hamming 3 by the [[videoFrameCode]] checksum —
+    * so at maxHamming=1 the TRUE pair list is exactly the planted
+    * (base, base+1) pairs, provable from id arithmetic alone (the
+    * q105/q115 construction-derived-oracle pattern). Typed mapPartitions —
+    * no ScalaUDF on any query path.
+    */
+  def videoClipFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val content =
+            if (id % 10 == 0) {
+              val code = videoFrameCode(id)
+              codedVideoAvi(code, (code(0) + 3) % 8, 48, 36, framesPerSlice = 2, brightness = 0)
+            } else if (id % 10 == 1)
+              codedVideoAvi(videoFrameCode(id - 1), -1, 96, 72, framesPerSlice = 4, brightness = 20)
+            else codedVideoAvi(videoFrameCode(id), -1, 48, 36, framesPerSlice = 2, brightness = 0)
+          (id, content)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per
     * task instead of a row count — media corpora are heavily skewed.
     */

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *                                          re-encoded/gain-shifted audio
   *                                          copies collapse via the 49-bit
   *                                          energy-map fingerprint)
+  *   5c3. video near-dup collapse (optional) ([[Dedup.videoNearDupPairs]] —
+  *                                          rescaled/re-framed/brightness-
+  *                                          shifted video copies collapse
+  *                                          via the 64-bit frame-sampled
+  *                                          fingerprint)
   *   5d. exact substring trim (optional)   ([[Dedup.trimRepeatedSpans]] —
   *                                          Lee et al. 2022: cut every
   *                                          cross-doc repeated run >= minLen
@@ -145,6 +150,21 @@ object TrainingPipeline {
       maxHamming: Int = 3
   )
 
+  /** Optional video near-dup stage (5c3) — the last member of the media
+    * dedup family: `clips` is a (idCol, contentCol) AVI side table keyed
+    * like the corpus. Docs whose video perceptually duplicates a surviving
+    * smaller-id doc's video ([[Dedup.videoNearDupPairs]] —
+    * rescaled/re-framed/brightness-shifted copies collapse) are dropped
+    * with the same min-id cluster rule; docs without a clip, or with
+    * undecodable bytes (NULL fingerprint), always survive.
+    */
+  final case class VideoStage(
+      clips: DataFrame,
+      idCol: String = "doc_id",
+      contentCol: String = "content",
+      maxHamming: Int = 3
+  )
+
   final case class EmbedStage(
       embeddings: DataFrame,
       idCol: String = "doc_id",
@@ -173,7 +193,8 @@ object TrainingPipeline {
       lmRef: Option[DataFrame] = None,
       embed: Option[EmbedStage] = None,
       image: Option[ImageStage] = None,
-      audio: Option[AudioStage] = None
+      audio: Option[AudioStage] = None,
+      video: Option[VideoStage] = None
   ): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val text = col(textCol)
@@ -305,6 +326,20 @@ object TrainingPipeline {
       case None => imageDeduped
     }
 
+    // 5c3 (optional): perceptual video dedup — same semi-join-first shape
+    // and min-id cluster rule as 5c/5c2. A doc with no clip row (or
+    // non-AVI bytes → NULL fingerprint) never pairs, so it survives.
+    val videoDeduped = video match {
+      case Some(vi) =>
+        val alive = vi.clips.join(
+          audioDeduped.select(id.as("__alive")),
+          col(vi.idCol) === col("__alive"),
+          "left_semi")
+        val pairs = Dedup.videoNearDupPairs(alive, vi.idCol, vi.contentCol, vi.maxHamming)
+        Dedup.dropNearDups(audioDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
+      case None => audioDeduped
+    }
+
     // 5d (optional): Lee et al. substring trim — replace each survivor's
     // text with its normalized complement of cross-doc repeated spans; a
     // doc whose every char was boilerplate vanishes rather than emitting
@@ -313,14 +348,14 @@ object TrainingPipeline {
     val trimmed = cfg.trimRepeatsMinLen match {
       case Some(l) =>
         val kept = Dedup
-          .trimRepeatedSpans(audioDeduped, idCol, textCol, l)
+          .trimRepeatedSpans(videoDeduped, idCol, textCol, l)
           .select(col("doc_id").as("__tid"), col("kept_text"))
-        audioDeduped
+        videoDeduped
           .join(kept, id === col("__tid"))
           .withColumn(textCol, col("kept_text"))
           .drop("__tid", "kept_text")
           .filter(length(text) > 0)
-      case None => audioDeduped
+      case None => videoDeduped
     }
 
     val scrubbed = trimmed.withColumn(textCol, Pii.scrub(text))
@@ -341,6 +376,7 @@ object TrainingPipeline {
     ) ++ (if (embed.isDefined) Seq("6b_embed_deduped" -> embedDeduped) else Nil) ++
       (if (image.isDefined) Seq("6c_image_deduped" -> imageDeduped) else Nil) ++
       (if (audio.isDefined) Seq("6c2_audio_deduped" -> audioDeduped) else Nil) ++
+      (if (video.isDefined) Seq("6c3_video_deduped" -> videoDeduped) else Nil) ++
       (if (cfg.trimRepeatsMinLen.isDefined) Seq("6d_trimmed" -> trimmed) else Nil) ++ Seq(
       "7_chunks" -> chunks
     )).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }

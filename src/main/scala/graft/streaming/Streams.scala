@@ -425,6 +425,22 @@ object Streams {
   ): DataFrame =
     graft.operators.Dedup.audioProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
 
+  /** Per-batch video-content dup probe against a static
+    * [[graft.operators.Dedup.videoCorpusIndex]] — the video member of the
+    * probe family ([[probePhotoBatch]]/[[probeAudioBatch]]): stateless,
+    * arbitrarily restartable, identical pair arithmetic to the batch
+    * self-join. Use inside `foreachBatch` on a binary-clip stream.
+    */
+  def probeVideoBatch(
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame =
+    graft.operators.Dedup.videoProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
+
   /** Windowed change counts per entity-key column — the streaming version of
     * the changed-since report (W5).
     */
