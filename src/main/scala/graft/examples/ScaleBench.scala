@@ -621,20 +621,57 @@ object ScaleBench {
           if (c == 0) base
           else base.select((col("doc_id") + c * IdOffset).as("doc_id"), col("text"))
         }.reduce(_ unionByName _)
+        var mergesLocal: Seq[(String, String)] = Nil
         var mergesFast: Seq[(String, String)] = Nil
         var mergesRescan: Seq[(String, String)] = Nil
+        val tLocal = time2(spark) {
+          mergesLocal = graft.operators.BpeTrainer.trainMerges(corpus, "text", numMerges = 5)
+        }
         val tFast = time2(spark) {
-          mergesFast = graft.operators.BpeTrainer.trainMerges(corpus, "text", numMerges = 5)
+          mergesFast = graft.operators.BpeTrainer
+            .trainMerges(corpus, "text", numMerges = 5, maxDriverWords = 0L)
         }
         val tRescan = time2(spark) {
           mergesRescan =
             graft.operators.BpeTrainer.trainMergesRescan(corpus, "text", numMerges = 5)
         }
-        require(mergesFast == mergesRescan,
-          s"word-frequency and rescan trainers disagree: $mergesFast vs $mergesRescan")
+        require(mergesLocal == mergesRescan && mergesFast == mergesRescan,
+          s"trainer forms disagree: $mergesLocal vs $mergesFast vs $mergesRescan")
+        println(s"""{"bench":"scale","scale":$k,"query":"bpe_train_local","sec":$tLocal,"merges":${mergesLocal.size}}""")
         println(s"""{"bench":"scale","scale":$k,"query":"bpe_train_wordfreq","sec":$tFast,"merges":${mergesFast.size}}""")
         println(s"""{"bench":"scale","scale":$k,"query":"bpe_train_rescan","sec":$tRescan,"merges":${mergesRescan.size}}""")
-        Seq("bpe_train_wordfreq" -> tFast, "bpe_train_rescan" -> tRescan)
+        // the DEPTH dimension (the round-10 verdict's remaining BPE gap):
+        // a production vocabulary means tens of thousands of ROUNDS, and
+        // the distributed forms pay one Spark job per round — pure
+        // scheduler overhead at vocab scale. 500 merges, once, at the
+        // smallest scale (depth is not a data-scale curve): the
+        // driver-local loop must finish in seconds where the distributed
+        // rounds take minutes, and both must learn the identical table.
+        val depth = if (k != scales.min) Nil else {
+          var dLocal: Seq[(String, String)] = Nil
+          var dDist: Seq[(String, String)] = Nil
+          // the documents fixture has only 31 distinct words (fully merged
+          // by round 89), so the depth corpus appends per-doc id words —
+          // their shared digit structure sustains well past 500 rounds,
+          // which is the dimension this benchmark isolates (rounds = Spark
+          // jobs in the distributed form, zero jobs in the local one)
+          val deep = base.select(
+            col("doc_id"),
+            concat(col("text"), lit(" tok"), col("doc_id").cast("string")).as("text"))
+          val tdLocal = time2(spark) {
+            dLocal = graft.operators.BpeTrainer.trainMerges(deep, "text", numMerges = 500)
+          }
+          val tdDist = time2(spark) {
+            dDist = graft.operators.BpeTrainer
+              .trainMerges(deep, "text", numMerges = 500, maxDriverWords = 0L)
+          }
+          require(dLocal == dDist, "500-merge depth: local and distributed tables diverged")
+          println(s"""{"bench":"scale","scale":$k,"query":"bpe_depth_local","sec":$tdLocal,"merges":${dLocal.size}}""")
+          println(s"""{"bench":"scale","scale":$k,"query":"bpe_depth_dist","sec":$tdDist,"merges":${dDist.size}}""")
+          Seq("bpe_depth_local" -> tdLocal, "bpe_depth_dist" -> tdDist)
+        }
+        Seq("bpe_train_local" -> tLocal, "bpe_train_wordfreq" -> tFast,
+          "bpe_train_rescan" -> tRescan) ++ depth
       }
       k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
         simPackTimes ++ bloomTimes ++ hotTimes ++ gramAppendTimes ++ phashTimes ++
@@ -656,7 +693,7 @@ object ScaleBench {
       (if (doGramAppend) Seq("gram_append") else Nil) ++
       (if (doPhash) Seq("phash") else Nil) ++
       (if (doAudio) Seq("audio_fp") else Nil) ++
-      (if (doBpeTrain) Seq("bpe_train_wordfreq", "bpe_train_rescan") else Nil)
+      (if (doBpeTrain) Seq("bpe_train_local", "bpe_train_wordfreq", "bpe_train_rescan") else Nil)
     val summary = names.map { q =>
       val t1 = results(k0).toMap.apply(q)
       val g = scales.map(k => f"${results(k).toMap.apply(q) / t1}%.1f").mkString("[", ",", "]")

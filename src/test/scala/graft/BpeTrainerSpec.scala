@@ -85,10 +85,33 @@ class BpeTrainerSpec extends SparkSpec {
     )
     for (texts <- corpora; byteLevel <- Seq(false, true)) {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val fast = BpeTrainer.trainMerges(docs, "text", numMerges = 6, byteLevel = byteLevel)
+      // default path: driver-local incremental loop over the collected table
+      val local = BpeTrainer.trainMerges(docs, "text", numMerges = 6, byteLevel = byteLevel)
+      // maxDriverWords=0 forces the distributed word-frequency rounds
+      val dist = BpeTrainer.trainMerges(
+        docs, "text", numMerges = 6, byteLevel = byteLevel, maxDriverWords = 0L)
       val ref = BpeTrainer.trainMergesRescan(docs, "text", numMerges = 6, byteLevel = byteLevel)
-      assert(fast == ref, s"byteLevel=$byteLevel corpus=$texts:\n fast=$fast\n ref=$ref")
+      assert(local == ref, s"byteLevel=$byteLevel corpus=$texts:\n local=$local\n ref=$ref")
+      assert(dist == ref, s"byteLevel=$byteLevel corpus=$texts:\n dist=$dist\n ref=$ref")
     }
+  }
+
+  test("driver-local loop at a real vocabulary depth: 300 merges match the distributed form") {
+    // a deeper run than the 6-merge parity sweep: enough rounds that the
+    // incremental maintenance (resume-walk, count deltas, lazy PQ) goes
+    // through many create/invalidate cycles, including merges that chain
+    // into earlier-rank pairs. 300 distributed rounds are already slow —
+    // this is exactly the wall the driver-local form removes.
+    val docs = (1L to 300L).map { i =>
+      (i, s"prefix${i % 17}mid${i % 7} common${i % 3} suffix${i % 29}tail word$i repeat repeat")
+    }.toDF("doc_id", "text")
+    val local = BpeTrainer.trainMerges(docs, "text", numMerges = 300)
+    val dist = BpeTrainer.trainMerges(docs, "text", numMerges = 300, maxDriverWords = 0L)
+    assert(local == dist, "incremental driver-local loop diverged from the distributed rounds")
+    // the corpus exhausts (every remaining pair below minPairCount) at 242
+    // merges — deep enough to exercise chained merges and early stop, and
+    // both forms must agree on the exhaustion point too
+    assert(local.length == 242, s"expected exhaustion at 242 merges, got ${local.length}")
   }
 
   test("self-pair runs train and walk with GPT-2 semantics (beyond the SQL replay)") {
