@@ -147,6 +147,65 @@ object UrlOps {
       .drop("__rk")
   }
 
+  /** The STATIC side of the incremental canonical-URL dedup — the crawl
+    * twin of [[Dedup.audioCorpusIndex]] for the q119 family: one row per
+    * canonical URL already in the corpus, carrying the corpus's BEST
+    * (quality DESC, id ASC) holder of that URL, so a probe batch can
+    * reproduce [[canonicalUrlDedup]]'s keep-best verdict without touching
+    * the corpus again. Build once (and persist) per corpus snapshot.
+    *
+    * @return (canonical_url, corpus_id, corpus_quality)
+    */
+  def canonicalUrlCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      urlCol: Column,
+      quality: Column
+  ): DataFrame =
+    canonicalUrlDedup(corpus, idCol, urlCol, quality)
+      .select(col("canonical_url"), col(idCol).as("corpus_id"), quality.as("corpus_quality"))
+
+  /** Probe a batch of docs against a [[canonicalUrlCorpusIndex]]: the
+    * INCREMENTAL form of [[canonicalUrlDedup]] — a batch doc survives iff
+    * it would survive the batch operator run over corpus ∪ batch. Two
+    * steps, both exactly the batch rule: keep-best WITHIN the batch (the
+    * same window), then a left join against the index keeps a candidate
+    * iff its URL is new to the corpus or it BEATS the corpus's best holder
+    * under the identical (quality DESC NULLS LAST, id ASC) order — so the
+    * survivor set equals the batch operator's restricted to batch ids
+    * (StreamsSpec parity law). Streaming composition:
+    * [[graft.streaming.Streams.dedupUrlBatch]] inside `foreachBatch`.
+    *
+    * Scale shape: one hash shuffle of the BATCH on canonical_url (group
+    * sizes bounded by re-crawl policy, as in the batch operator) plus one
+    * equi-join against the URL-scale index — the batch side is micro-batch
+    * sized, so AQE broadcasts it against the big static side.
+    *
+    * @return surviving batch rows with `canonical_url` appended
+    */
+  def canonicalUrlProbeDedup(
+      batch: DataFrame,
+      idCol: String,
+      urlCol: Column,
+      quality: Column,
+      index: DataFrame
+  ): DataFrame = {
+    require(
+      Seq("canonical_url", "corpus_id", "corpus_quality").forall(index.columns.contains),
+      "index must come from canonicalUrlCorpusIndex: (canonical_url, corpus_id, corpus_quality)")
+    val inBatch = canonicalUrlDedup(batch, idCol, urlCol, quality)
+    // beats = the window's (quality DESC NULLS LAST, id ASC) order as a
+    // predicate: non-null quality beats null, higher beats lower, the id
+    // breaks exact ties (null-safe equality so two null qualities tie too)
+    val beats = (col("corpus_quality").isNull && quality.isNotNull) ||
+      quality > col("corpus_quality") ||
+      (quality <=> col("corpus_quality") && col(idCol) < col("corpus_id"))
+    inBatch
+      .join(index, Seq("canonical_url"), "left")
+      .filter(col("corpus_id").isNull || beats)
+      .drop("corpus_id", "corpus_quality")
+  }
+
   // ---- DuckDB renderings of the SAME rules (oracle builders) ----
 
   /** [[canonicalizeUrl]] as a DuckDB expression over `urlExpr`. */

@@ -425,6 +425,25 @@ object Streams {
   ): DataFrame =
     graft.operators.Dedup.audioProbeDups(batch, idCol, contentCol, index, maxHamming, blocks)
 
+  /** Per-micro-batch canonical-URL dedup against a static
+    * [[graft.operators.UrlOps.canonicalUrlCorpusIndex]] — the crawl-intake
+    * member of the probe family: each arriving batch is deduped within
+    * itself and against the corpus's existing canonical URLs under exactly
+    * the batch operator's (quality DESC, id ASC) keep-best rule, so the
+    * stream's survivors are precisely
+    * [[graft.operators.UrlOps.canonicalUrlDedup]]'s survivors over
+    * corpus ∪ batch restricted to the batch (the q119 operator as intake).
+    * Stateless — rebuild the index when the corpus snapshot advances.
+    */
+  def dedupUrlBatch(
+      batch: DataFrame,
+      idCol: String,
+      urlCol: org.apache.spark.sql.Column,
+      quality: org.apache.spark.sql.Column,
+      index: DataFrame
+  ): DataFrame =
+    graft.operators.UrlOps.canonicalUrlProbeDedup(batch, idCol, urlCol, quality, index)
+
   /** Per-batch video-content dup probe against a static
     * [[graft.operators.Dedup.videoCorpusIndex]] — the video member of the
     * probe family ([[probePhotoBatch]]/[[probeAudioBatch]]): stateless,

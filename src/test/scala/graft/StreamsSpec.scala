@@ -151,6 +151,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupUrlBatch: stream survivors equal the batch operator over corpus ∪ batch") {
+    import graft.operators.UrlOps
+    val root = tmpDir("url_stream")
+    val corpus = Seq(
+      (10L, "https://example.com/a?utm_source=x", 5.0),
+      (11L, "https://www.example.com/a#frag", 9.0), // same canonical URL as 10 — corpus best
+      (12L, "https://other.org/page", 4.0),
+      (13L, "https://tie.net/t", 7.0),
+      (30L, "https://tie2.net/t", 7.0)
+    ).toDF("doc_id", "url", "q")
+    val batch = Seq(
+      (20L, "https://example.com/a", 8.0), // loses to corpus 11 (9.0): dropped
+      (21L, "https://other.org/page?utm_source=y", 6.0), // beats corpus 12 (4.0): survives
+      (22L, "https://tie.net/t", 7.0), // quality tie, corpus id 13 < 22: dropped
+      (25L, "https://tie2.net/t", 7.0), // quality tie, batch id 25 < 30: survives
+      (23L, "https://fresh.dev/n", 1.0), // new URL but in-batch loser to 24
+      (24L, "https://fresh.dev/n?utm_medium=z", 2.0) // in-batch best of a new URL: survives
+    ).toDF("doc_id", "url", "q")
+    batch.write.parquet(s"$root/batch")
+    val index = UrlOps.canonicalUrlCorpusIndex(corpus, "doc_id", $"url", $"q")
+    val stream = Streams.readTableStream(spark, batch.schema, s"$root/batch")
+    assert(stream.isStreaming)
+    val survivors = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.dedupUrlBatch(b, "doc_id", col("url"), col("q"), index)
+          .select($"doc_id").as[Long].collect().foreach(survivors.add)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = scala.jdk.CollectionConverters.CollectionHasAsScala(survivors).asScala.toSet
+    // the parity law: exactly the batch operator's survivors over
+    // corpus ∪ batch, restricted to batch ids
+    val batchOp = UrlOps.canonicalUrlDedup(corpus.unionByName(batch), "doc_id", $"url", $"q")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == batchOp.filter(_ >= 20L), s"stream=$got batchOp=$batchOp")
+    assert(got == Set(21L, 24L, 25L), s"hand-derived survivor set: $got")
+  }
+
   test("probeVectorStream: streamed vectors probing a persisted index equal the batch query") {
     import graft.operators.VectorIndex
     import scala.util.Random
