@@ -102,6 +102,56 @@ object BpeSupport {
     arr
   }
 
+  /** Inverse of [[ByteToChar]] (the bijection makes it total on the
+    * alphabet): remapped char → byte value, -1 for any char outside the
+    * 256-char alphabet. Array-indexed — the remap tops out at 256+67.
+    */
+  val CharToByte: Array[Int] = {
+    val max = ByteToChar.map(_.toInt).max
+    val arr = Array.fill(max + 1)(-1)
+    var b = 0
+    while (b < 256) { arr(ByteToChar(b).toInt) = b; b += 1 }
+    arr
+  }
+
+  /** ids → text, the DECODE half of [[tokenIds]]/[[tokenIdsBytes]]: look
+    * each id up in the vocabulary, concatenate the symbols, and (byte
+    * level) invert [[ByteToChar]] back to UTF-8 bytes. NULL — never an
+    * exception — on any id outside [0, |vocab|) (including the encoder's
+    * -1 OOV marker: an OOV token has no text) or, byte-level, any symbol
+    * character outside the remapped alphabet. The round-trip law
+    * `decode(encode(word)) == word` holds per WORD under a vocabulary
+    * covering the final symbols — the encoder's id stream carries no word
+    * separators (GPT-2 keeps spaces inside tokens; this engine's
+    * pre-tokenizer splits them away), so whole-document round-trips would
+    * need the caller to keep per-word id arrays.
+    */
+  def decodeIds(
+      ids: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: Array[String],
+      byteLevel: Boolean): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= vocab.length) return null
+      sb.append(vocab(id))
+      i += 1
+    }
+    if (!byteLevel) return UTF8String.fromString(sb.toString)
+    val bytes = new Array[Byte](sb.length())
+    var j = 0
+    while (j < sb.length()) {
+      val c = sb.charAt(j).toInt
+      val b = if (c < CharToByte.length) CharToByte(c) else -1
+      if (b < 0) return null
+      bytes(j) = b.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
   /** A word's BYTE-LEVEL atom sequence: UTF-8 bytes through
     * [[ByteToChar]] — the GPT-2 alphabet. A multi-byte character becomes
     * several atoms (e.g. "é" = C3 A9 -> "Ã", "©"), which is exactly what
@@ -355,7 +405,16 @@ object BpeSupport {
     * pairs over the remapped alphabet, a != b (the replay contract), and
     * quote characters in symbols are escaped here.
     */
-  def duckByteWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+  def duckByteWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String =
+    s"CASE WHEN len($wordExpr) = 0 THEN 0 " +
+      s"ELSE len(${duckByteWordSymbolsSql(wordExpr, merges)}) END"
+
+  /** The byte-level per-word chain's FINAL SYMBOL LIST — the
+    * [[duckWordSymbolsSql]] twin over remapped byte atoms, shared by the
+    * count ([[duckByteWordCountSql]]) and decode ([[duckByteDecodeSql]])
+    * replays so neither can drift.
+    */
+  def duckByteWordSymbolsSql(wordExpr: String, merges: Seq[(String, String)]): String = {
     require(merges.forall { case (a, b) => a != b },
       "the SQL replay supports a != b merges only (self-pairs need the symbol-pairwise walk)")
     val hexd = "'0123456789abcdef'"
@@ -374,7 +433,21 @@ object BpeSupport {
       val rep = s"' ${q(a)}${q(b)} '"
       s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
-    s"CASE WHEN len($wordExpr) = 0 THEN 0 ELSE len(regexp_split_to_array(trim($chained), ' ')) END"
+    s"(CASE WHEN len($wordExpr) = 0 THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE regexp_split_to_array(trim($chained), ' ') END)"
+  }
+
+  /** The byte-level DECODE replayed in SQL: concatenate a symbol list and
+    * run each character back through the INVERSE of [[ByteToChar]] —
+    * strpos into the same table literal (a bijection, so first-occurrence
+    * lookup IS the inverse), hex-assemble, from_hex, decode to text. The
+    * exact mirror of [[decodeIds]]' byte path, so the q128 round-trip
+    * gate breaks if either direction of the remap drifts.
+    */
+  def duckByteDecodeSql(symbolsExpr: String): String = {
+    val joined = s"array_to_string($symbolsExpr, '')"
+    s"decode(from_hex(array_to_string(list_transform(range(1, len($joined) + 1), " +
+      s"i -> right('0' || lower(to_hex(strpos($byteTableLiteral, substr($joined, i, 1)) - 1)), 2)), '')))"
   }
 
   /** Whole-document byte-level DuckDB token count. */
@@ -503,6 +576,51 @@ case class BpeTokenIds(
     copy(child = newChild)
 }
 
+/** STRING detokenization of an array<int> id column under a vocabulary —
+  * the decode half of [[BpeTokenIds]]: vocab lookup, symbol concat, and
+  * (byte level) the inverse bytes_to_unicode remap back to UTF-8. NULL for
+  * any id outside the vocabulary (including the encoder's -1 OOV marker)
+  * or any non-alphabet symbol character — the untrusted-input rule, not an
+  * exception. `decode(encode(word)) == word` is the spec-pinned law.
+  */
+case class BpeDecodeIds(
+    child: Expression,
+    vocab: Seq[String],
+    byteLevel: Boolean = false
+) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val varr: Array[String] = vocab.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_decode requires array<int> ids, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeSupport.decodeIds(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], varr, byteLevel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocabArr", varr, "java.lang.String[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        org.apache.spark.unsafe.types.UTF8String graftBpeDec =
+          graft.functions.BpeSupport.decodeIds($c, $vocabRef, $byteLevel);
+        if (graftBpeDec == null) { ${ev.isNull} = true; } else { ${ev.value} = graftBpeDec; }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+}
+
 object BpeExprs {
   /** Exact BPE token count under `merges` (validated well-formed). */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
@@ -549,4 +667,18 @@ object BpeExprs {
         ColumnShim.expression(text), new BpeSupport.Ranks(merges.toArray), vocab,
         byteLevel = true))
   }
+
+  /** ids → text under `vocab` (char-level symbols concatenated); NULL on
+    * any id outside the vocabulary.
+    */
+  def bpeDecodeIds(ids: Column, vocab: Seq[String]): Column =
+    ColumnShim.column(BpeDecodeIds(ColumnShim.expression(ids), vocab))
+
+  /** BYTE-level ids → text: vocab symbols concatenated, then the inverse
+    * bytes_to_unicode remap back to UTF-8 ([[BpeSupport.CharToByte]]).
+    * `bpeByteDecodeIds(bpeByteTokenIds(w, m, v), v) == w` for any word
+    * whose final symbols are all in `v` (the spec-pinned round-trip law).
+    */
+  def bpeByteDecodeIds(ids: Column, vocab: Seq[String]): Column =
+    ColumnShim.column(BpeDecodeIds(ColumnShim.expression(ids), vocab, byteLevel = true))
 }

@@ -406,6 +406,56 @@ object SamplingQueries {
         .duckByteDocCountSql("translate(lower(text), 'ae', 'äé')", BpeByteMerges)))
   )
 
+  /** q128's byte-level vocabulary: all 256 remapped byte atoms plus every
+    * compound [[BpeByteMerges]] produces — TOTAL coverage (the point of a
+    * byte-level vocabulary), so encode never emits -1 and the round trip
+    * is total. Shared verbatim with nothing: the oracle re-derives the
+    * decode from the symbol chain and the inverse byte table instead of
+    * trusting a vocabulary list.
+    */
+  private val BpeByteVocab: Seq[String] =
+    (0 until 256).map(b => String.valueOf(graft.functions.BpeSupport.ByteToChar(b))) ++
+      BpeByteMerges.map { case (a, b) => a + b }
+
+  /** BPE DETOKENIZATION round trip
+    * ([[graft.functions.BpeExprs.bpeByteDecodeIds]]): encode each doc's
+    * first (non-ASCII-planted) word to byte-level token ids, decode the
+    * ids back to text, and report (word, n_ids, decoded) — the law
+    * `decoded == word` holds by the spec-pinned round trip, and the
+    * ORACLE proves it independently: it replays the merge chain to the
+    * final symbols (the q113 remap-then-replace machinery), then inverts
+    * bytes_to_unicode IN SQL (strpos into the same table literal →
+    * from_hex → decode), so a drift in either direction of the remap, the
+    * walk, or the vocabulary indexing breaks the hash.
+    */
+  private val q128 = Q(
+    "q128_bpe_roundtrip",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val word = element_at(split(trim(translate(lower($"text"), "ae", "äé")), "\\s+"), 1)
+      val ids = graft.functions.BpeExprs.bpeByteTokenIds(word, BpeByteMerges, BpeByteVocab)
+      T.documents
+        .select($"doc_id", word.as("word"), ids.as("__ids"))
+        .select(
+          $"doc_id",
+          $"word",
+          size($"__ids").cast("long").as("n_ids"),
+          graft.functions.BpeExprs.bpeByteDecodeIds($"__ids", BpeByteVocab).as("decoded"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val wordSql = """regexp_split_to_array(trim(translate(lower(text), 'ae', 'äé')), '\s+')[1]"""
+      val cnt = graft.functions.BpeSupport.duckByteWordCountSql("word", BpeByteMerges)
+      val sym = graft.functions.BpeSupport.duckByteWordSymbolsSql("word", BpeByteMerges)
+      val dec = graft.functions.BpeSupport.duckByteDecodeSql(sym)
+      s"""
+      WITH w AS (SELECT doc_id, $wordSql AS word FROM documents)
+      SELECT doc_id, word, CAST($cnt AS BIGINT) AS n_ids, $dec AS decoded
+      FROM w ORDER BY doc_id
+      """.trim
+    }
+  )
+
   /** q120's vocabulary: the lowercase alphabet plus every symbol
     * [[BpeMerges]] can produce — so after the merge walk, exactly the
     * NON-LETTER symbols (digits, punctuation) of the lowercased text are
@@ -549,5 +599,6 @@ object SamplingQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120, q121)
+  val all: Seq[Q] =
+    Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120, q121, q128)
 }

@@ -166,6 +166,62 @@ class BpeSpec extends SparkSpec {
     assert(df.head.getSeq[Int](0) == Seq(0, 1, 2, 3, -1, -1, -1))
   }
 
+  test("decode(encode(word)) == word: the round-trip law over generated unicode words") {
+    import graft.operators.BpeTrainer
+    // a word generator spanning ASCII, accented latin (2-byte UTF-8), CJK
+    // (3-byte), and an emoji (4-byte, surrogate pair in UTF-16) — the byte
+    // path must reassemble every multi-byte character from its atoms
+    val pieces = Array("ab", "ring", "é", "中", "😀", "zz", "qx7", "ß")
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 120).map { _ =>
+      (1 to (1 + rnd.nextInt(4))).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    }.distinct
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    // train a real table on the words themselves, then build TOTAL
+    // vocabularies (all atoms + every compound), so encode never emits -1
+    val byteMerges = BpeTrainer.trainMerges(docs, "w", numMerges = 12, byteLevel = true)
+    val byteVocab = (0 until 256).map(b => String.valueOf(BpeSupport.ByteToChar(b))) ++
+      byteMerges.map { case (a, b) => a + b }
+    val br = docs.select(
+      $"w",
+      BpeExprs.bpeByteDecodeIds(
+        BpeExprs.bpeByteTokenIds($"w", byteMerges, byteVocab), byteVocab).as("back"))
+      .collect()
+    br.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"byte-level round trip broke: '${r.getString(0)}' -> '${r.getString(1)}'"))
+    // char-level: same law, alphabet = the corpus's characters
+    val charMerges = BpeTrainer.trainMerges(docs, "w", numMerges = 8)
+    val charVocab = words.flatMap(_.toCharArray).distinct.map(String.valueOf(_)) ++
+      charMerges.map { case (a, b) => a + b }
+    val cr = docs.select(
+      $"w",
+      BpeExprs.bpeDecodeIds(
+        BpeExprs.bpeTokenIds($"w", charMerges, charVocab), charVocab).as("back"))
+      .collect()
+    cr.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"char-level round trip broke: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
+  test("decode NULL rule: OOV marker, out-of-range id, and non-alphabet symbol chars") {
+    val vocab = Seq("a", "b", "ab")
+    val ids = Seq(
+      (1L, Seq(0, 2)),    // fine: "a" + "ab"
+      (2L, Seq(0, -1)),   // encoder's OOV marker: no text to decode
+      (3L, Seq(0, 3)),    // out of range
+      (4L, Seq.empty[Int]) // empty ids decode to the empty string
+    ).toDF("id", "ids")
+    val out = ids.select($"id", BpeExprs.bpeDecodeIds($"ids", vocab).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("aab") && out(2L).isEmpty && out(3L).isEmpty && out(4L).contains(""))
+    // byte-level: a vocab symbol carrying a char OUTSIDE the remapped
+    // alphabet cannot be inverted to a byte — NULL, not an exception
+    val badVocab = Seq("a", "☃") // snowman is not in bytes_to_unicode's image
+    val bout = Seq((1L, Seq(0)), (2L, Seq(1))).toDF("id", "ids")
+      .select($"id", BpeExprs.bpeByteDecodeIds($"ids", badVocab).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bout(1L).contains("a") && bout(2L).isEmpty)
+  }
+
   test("expression surface: codegen placement, determinism, and Column parity") {
     // range-derived strings: a Seq-literal LocalRelation would be folded
     // whole by ConvertToLocalRelation and leave no codegen to assert
