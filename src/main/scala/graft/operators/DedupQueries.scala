@@ -799,6 +799,65 @@ object DedupQueries {
     """.trim)
   )
 
+  /** CROSS-MODAL duplication profile ([[Profile.crossModalDupProfile]]):
+    * q89's cross-source matrix generalized across modalities — per source,
+    * how many docs are near-dup-involved in text (MinHash banding), image
+    * (dHash), audio, and video (the perceptual fingerprints), and how many
+    * in TWO OR MORE modalities at once. Media side tables are the three
+    * construction-derived fixtures, each over a DISJOINT third of the
+    * corpus by decade ((doc_id DIV 10) % 3 — decades keep the planted
+    * (base, base+1) pairs intact within one modality), so each modality's
+    * dup set is provable from id arithmetic while text dups come from the
+    * real MinHash chain (the shared q89 CTE). A multi-modal doc is then
+    * exactly a text-dup doc whose decade also planted a media pair — the
+    * engine must agree through four independent decode/banding paths.
+    */
+  private val q129 = Q(
+    "q129_crossmodal_dups",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val ids = T.documents.select($"doc_id")
+      val decade = expr("doc_id DIV 10") % 3
+      val photos = Multimodal.phashPhotoFixture(ids.filter(decade === 0), "doc_id")
+      val clips = Multimodal.audioClipFixture(ids.filter(decade === 1), "doc_id")
+      val videos = Multimodal.videoClipFixture(ids.filter(decade === 2), "doc_id")
+      val textPairs = Dedup
+        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      Profile.crossModalDupProfile(
+        T.documents, "doc_id", "source",
+        Seq(
+          "text" -> textPairs.select($"doc_a", $"doc_b"),
+          "image" -> Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3)
+            .select($"doc_a", $"doc_b"),
+          "audio" -> Dedup.audioNearDupPairs(clips, "doc_id", "content", maxHamming = 1)
+            .select($"doc_a", $"doc_b"),
+          "video" -> Dedup.videoNearDupPairs(videos, "doc_id", "content", maxHamming = 1)
+            .select($"doc_a", $"doc_b")))
+    },
+    Some(s"""
+      WITH $minhashPairsCte,
+      tdup AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b AS d FROM pairs),
+      mp AS (SELECT d.doc_id AS a, e.doc_id AS b, CAST((d.doc_id // 10) % 3 AS INT) AS g
+             FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+             WHERE d.doc_id % 10 = 0),
+      md AS (SELECT a AS doc_id, g FROM mp UNION SELECT b AS doc_id, g FROM mp),
+      f AS (SELECT dd.doc_id, dd.source,
+                   (dd.doc_id IN (SELECT d FROM tdup)) AS ft,
+                   EXISTS (SELECT 1 FROM md WHERE md.doc_id = dd.doc_id AND md.g = 0) AS fi,
+                   EXISTS (SELECT 1 FROM md WHERE md.doc_id = dd.doc_id AND md.g = 1) AS fa,
+                   EXISTS (SELECT 1 FROM md WHERE md.doc_id = dd.doc_id AND md.g = 2) AS fv
+            FROM documents dd)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ft THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
+             CAST(sum(CASE WHEN fi THEN 1 ELSE 0 END) AS BIGINT) AS n_image_dup,
+             CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_dup,
+             CAST(sum(CASE WHEN fv THEN 1 ELSE 0 END) AS BIGINT) AS n_video_dup,
+             CAST(sum(CASE WHEN CAST(ft AS INT) + CAST(fi AS INT) + CAST(fa AS INT) + CAST(fv AS INT) >= 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_modal
+      FROM f GROUP BY source ORDER BY source
+    """.trim)
+  )
+
   /** Incremental substring dedup ([[Dedup.repeatedSpansVsCorpus]] over a
     * [[Dedup.substringGramIndex]]): a deterministic ~2% hash band of the
     * documents plays the NEW batch, the rest is the indexed corpus —
@@ -898,5 +957,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112, q115, q117, q127)
+      q103, q104, q105, q111, q112, q115, q117, q127, q129)
 }

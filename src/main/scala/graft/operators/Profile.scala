@@ -94,4 +94,52 @@ object Profile {
       .withColumn("mean_tokens_permille", expr("n_tokens * 1000 DIV n_docs"))
       .orderBy(col("source"))
   }
+
+  /** CROSS-MODALITY duplication profile — q89's cross-source matrix
+    * generalized across modalities: one row per source reporting, for each
+    * named modality's near-dup PAIR frame (text MinHash, image dHash,
+    * audio/video fingerprints — any (doc_a, doc_b) output of the dedup
+    * family), how many of the source's docs are involved in at least one
+    * pair, plus how many are duplicated in TWO OR MORE modalities (the
+    * multi-modal copies — e.g. a mirrored article whose photo was also
+    * re-encoded — that single-modality dedup undercounts).
+    *
+    * Scale shape: each pair frame collapses to its distinct doc set (pair
+    * frames are banded and sparse — far below corpus scale), the flags
+    * attach with |modalities| equi-joins on the id, and the report is one
+    * hash aggregate on the source key (sources ≪ docs). No modality ever
+    * joins against another — only against the doc table.
+    *
+    * @param modalityPairs (name, pairs) — name becomes column n_<name>_dup
+    * @return (source, n_docs, n_<name>_dup ..., n_multi_modal)
+    */
+  def crossModalDupProfile(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      modalityPairs: Seq[(String, DataFrame)]
+  ): DataFrame = {
+    require(modalityPairs.nonEmpty, "need at least one modality's pair frame")
+    require(modalityPairs.map(_._1).distinct.size == modalityPairs.size,
+      "modality names must be unique — they become report columns")
+    val base = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+    val flagged = modalityPairs.foldLeft(base) { case (acc, (m, pairs)) =>
+      val dup = pairs.select(col("doc_a").as("__d"))
+        .unionByName(pairs.select(col("doc_b").as("__d")))
+        .distinct()
+      acc.join(dup, acc("doc_id") === dup("__d"), "left")
+        .withColumn(s"__f_$m", col("__d").isNotNull)
+        .drop("__d")
+    }
+    val names = modalityPairs.map(_._1)
+    val nModal = names.map(m => col(s"__f_$m").cast("int")).reduce(_ + _)
+    flagged
+      .withColumn("__nm", nModal)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (names.map(m => sum(col(s"__f_$m").cast("long")).as(s"n_${m}_dup")) :+
+          sum((col("__nm") >= 2).cast("long")).as("n_multi_modal")): _*)
+      .orderBy(col("source"))
+  }
 }
