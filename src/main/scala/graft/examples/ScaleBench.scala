@@ -295,6 +295,9 @@ object ScaleBench {
     val doPhash = only.forall(f => f.contains("phash"))
     val doAudio = only.forall(f => f.contains("audio_fp"))
     val doBpeTrain = only.forall(f => f.exists(_.startsWith("bpe_train")))
+    val doVideo = only.forall(f => f.contains("video_fp"))
+    val doRepeats = only.forall(f => f.exists(_.startsWith("repeats")))
+    val doChunks = only.forall(f => f.exists(_.startsWith("sentence_chunks")))
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
@@ -607,6 +610,88 @@ object ScaleBench {
           s"""{"bench":"scale","scale":$k,"query":"audio_fp","sec":$t,"rows":$clips,"bytes":$nBytes}""")
         Seq("audio_fp" -> t)
       }
+      // q127 family, decode side: AVI synthesis + chunk walk + 8-frame 3×3
+      // block-average fingerprint over the k× ids (codes wrap at 8^7 via
+      // pmod — the DECODE cost curve, same caveat as audio_fp). The walk is
+      // linear in clip bytes and the pixel work touches only the 8 sampled
+      // frames; per-byte cost must stay flat.
+      val videoTimes = if (!doVideo) Nil else {
+        val idsBase = spark.read.parquet(s"$dir/documents.parquet")
+          .select(pmod(col("doc_id"), lit(2097152L)).as("doc_id"))
+        // AVI clips average ~140 KB (copies 660 KB) — repartition the ID
+        // side BEFORE synthesis so a persisted partition stays ~30 MB; the
+        // read-side partitioning would otherwise put GB-scale blocks in
+        // 32 concurrent memory stores and OOM at the 10× point
+        val nParts = math.max(32L, idsBase.count() / 200L).toInt
+        val ids = idsBase.repartition(nParts)
+        var clips = 0L
+        var nBytes = 0L
+        val t = time2(spark) {
+          // same synthesize-once discipline as the phash/audio fixtures,
+          // but DISK_ONLY: the 10×/30× video corpus (7/21 GB of byte
+          // arrays) OOMs the memory store under 32 concurrent block
+          // builds; disk blocks stream through the writer and the decode
+          // pass reads them back — the same cost at every scale, so the
+          // curve stays comparable
+          val raw = Multimodal.videoClipFixture(ids, "doc_id")
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          try {
+            val avis = Multimodal.repartitionByBytes(raw, "content", targetBytes = 2L << 20)
+            val r = avis
+              .select(graft.functions.VideoExprs.videoFingerprint(col("content")).as("fp"),
+                octet_length(col("content")).as("len"))
+              .agg(count(col("fp")), sum(col("len")))
+              .head
+            clips = r.getLong(0)
+            nBytes = r.getLong(1)
+          } finally raw.unpersist()
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"video_fp","sec":$t,"rows":$clips,"bytes":$nBytes}""")
+        Seq("video_fp" -> t)
+      }
+      // q121 family: the upsampling mixture is the ONE operator whose
+      // OUTPUT grows faster than its input (rows ∝ epochs × corpus), so the
+      // curve runs the epoch dimension at each data scale: budgets = e ×
+      // natural total per source, e ∈ {1, 4, 16}. Wall time must track the
+      // OUTPUT row count (the honest cost of repeats — scan-side explode),
+      // not super-linearly.
+      val repeatsTimes = if (!doRepeats) Nil else {
+        val withTok = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val totals = withTok.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          Seq(1, 4, 16).map { e =>
+            val budgets = totals.view.mapValues(_ * e).toMap
+            var rows = 0L
+            val t = time2(spark) {
+              rows = Sampling.tokenBudgetMixtureWithRepeats(
+                withTok, col("source"), col("doc_id"), col("n_tokens"),
+                budgets, numShards = 64, maxEpochs = 32).count()
+            }
+            println(
+              s"""{"bench":"scale","scale":$k,"query":"repeats_e$e","sec":$t,"rows":$rows}""")
+            s"repeats_e$e" -> t
+          }
+        } finally withTok.unpersist()
+      }
+      // q126 family: sentence-boundary chunking — sentence explode at the
+      // scan plus one per-doc window prefix sum; must scale linearly with
+      // the corpus.
+      val chunkTimes = if (!doChunks) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        var rows = 0L
+        val t = time2(spark) {
+          rows = graft.operators.TextAnalysis
+            .sentenceChunks(docs, "doc_id", "text", maxTokens = 64).count()
+        }
+        println(
+          s"""{"bench":"scale","scale":$k,"query":"sentence_chunks","sec":$t,"rows":$rows}""")
+        Seq("sentence_chunks" -> t)
+      }
       // BPE trainer scale shape (the round-9 verdict's perf-weak): corpus =
       // the base docs repeated k× VERBATIM (ids offset, text unchanged), so
       // occurrences grow k× while DISTINCT WORDS stay constant — exactly
@@ -675,7 +760,7 @@ object ScaleBench {
       }
       k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
         simPackTimes ++ bloomTimes ++ hotTimes ++ gramAppendTimes ++ phashTimes ++
-        audioTimes ++ bpeTrainTimes)
+        audioTimes ++ videoTimes ++ repeatsTimes ++ chunkTimes ++ bpeTrainTimes)
     }.toMap
 
     // summary: growth factors vs the smallest scale (a ~linear engine shows
@@ -693,6 +778,9 @@ object ScaleBench {
       (if (doGramAppend) Seq("gram_append") else Nil) ++
       (if (doPhash) Seq("phash") else Nil) ++
       (if (doAudio) Seq("audio_fp") else Nil) ++
+      (if (doVideo) Seq("video_fp") else Nil) ++
+      (if (doRepeats) Seq("repeats_e1", "repeats_e4", "repeats_e16") else Nil) ++
+      (if (doChunks) Seq("sentence_chunks") else Nil) ++
       (if (doBpeTrain) Seq("bpe_train_local", "bpe_train_wordfreq", "bpe_train_rescan") else Nil)
     val summary = names.map { q =>
       val t1 = results(k0).toMap.apply(q)

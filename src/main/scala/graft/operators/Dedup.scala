@@ -883,6 +883,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** BANDING-QUALITY report: precision/recall of the MinHash-LSH CANDIDATE
+    * set against the exact word-trigram Jaccard pairs at `exactThreshold` —
+    * the tuning report that decides (numHashes, bands) for a corpus before
+    * committing a full dedup run to them. Both sides run over the SAME
+    * frame (hand it a deterministic hash-band sample — the report's cost is
+    * the candidate join plus one exact PPJoin pass over the sample);
+    * candidates come from [[minhashCandidatePairs]], truth from
+    * [[ngramJaccardPairs]] (PPJoin is EXACT — identical output to a full
+    * inverted-index join — so "recall" here is against ground truth, not
+    * another approximation). One label-union + per-pair pivot + one global
+    * aggregate — no cross join, no driver loop.
+    *
+    * Permilles are exact integer DIV; NULL when the denominator is empty
+    * (an empty candidate or truth set has no precision/recall).
+    *
+    * @return ONE row: (n_candidates, n_true, n_hit, precision_permille,
+    *         recall_permille)
+    */
+  def bandingQualityReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      exactThreshold: Double = 0.2
+  ): DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("__src", lit("cand"))
+    val truth = ngramJaccardPairs(df, idCol, textCol, exactThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("__src", lit("truth"))
+    cand.unionByName(truth)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("__src") === "cand", 1).otherwise(0)).as("__c"),
+        max(when(col("__src") === "truth", 1).otherwise(0)).as("__t"))
+      .agg(
+        sum(col("__c")).cast("long").as("n_candidates"),
+        sum(col("__t")).cast("long").as("n_true"),
+        sum(col("__c") * col("__t")).cast("long").as("n_hit"))
+      .select(
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        when(col("n_candidates") > 0, expr("n_hit * 1000 DIV n_candidates"))
+          .as("precision_permille"),
+        when(col("n_true") > 0, expr("n_hit * 1000 DIV n_true")).as("recall_permille"))
+  }
+
   /** Exact duplicate groups by content digest: canonical (min) id + copy
     * count per distinct content.
     */

@@ -858,6 +858,50 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Banding-quality report ([[Dedup.bandingQualityReport]]): precision and
+    * recall of the MinHash-LSH candidate set against EXACT word-trigram
+    * Jaccard ≥ 0.2 — the (numHashes, bands) tuning report, run over a
+    * deterministic 20% hash band of the corpus (the report's all-pairs
+    * truth side is PPJoin-bounded but still the expensive half; a sample is
+    * how you'd tune at 100 TB too). The oracle replays BOTH sides — the
+    * q25 signature/band CTE over the sample and the q24 exact-Jaccard
+    * CTE — then the same label-union pivot, so a drift in either candidate
+    * generation or the exact verify breaks the single-row hash.
+    */
+  private val q130 = Q(
+    "q130_lsh_quality",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val sample = T.documents.filter(Sampling.hash60($"doc_id") % 5 === 0)
+      Dedup.bandingQualityReport(
+        sample, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4, exactThreshold = 0.2)
+    },
+    Some(s"""
+      WITH ds AS (SELECT doc_id, text FROM documents
+                  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0),
+      ${minhashPairsCte.replace("FROM documents", "FROM ds")},
+      toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM ds),
+      gs AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS gs FROM toks),
+      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM gs),
+      sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      truth AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM i JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.2),
+      lab AS (SELECT doc_a, doc_b, 1 AS c, 0 AS t FROM pairs
+              UNION ALL SELECT doc_a, doc_b, 0 AS c, 1 AS t FROM truth),
+      pp AS (SELECT doc_a, doc_b, max(c) AS c, max(t) AS t FROM lab GROUP BY 1, 2),
+      agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_candidates, CAST(sum(t) AS BIGINT) AS n_true,
+                     CAST(sum(c * t) AS BIGINT) AS n_hit FROM pp)
+      SELECT n_candidates, n_true, n_hit,
+             CASE WHEN n_candidates > 0 THEN CAST(n_hit * 1000 // n_candidates AS BIGINT) END AS precision_permille,
+             CASE WHEN n_true > 0 THEN CAST(n_hit * 1000 // n_true AS BIGINT) END AS recall_permille
+      FROM agg
+    """.trim)
+  )
+
   /** Incremental substring dedup ([[Dedup.repeatedSpansVsCorpus]] over a
     * [[Dedup.substringGramIndex]]): a deterministic ~2% hash band of the
     * documents plays the NEW batch, the rest is the indexed corpus —
@@ -957,5 +1001,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112, q115, q117, q127, q129)
+      q103, q104, q105, q111, q112, q115, q117, q127, q129, q130)
 }
