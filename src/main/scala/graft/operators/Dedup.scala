@@ -1056,6 +1056,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** DIRECTIONAL containment pairs: (doc_a, doc_b) where at least
+    * `thresholdPermille`/1000 of doc_a's distinct word trigrams also occur
+    * in doc_b — the ASYMMETRIC near-dup relation Jaccard can't see: a
+    * short quote, an excerpt, or a truncated mirror is nearly CONTAINED in
+    * its source while their symmetric Jaccard stays low (the union is
+    * dominated by the longer doc). The quote/excerpt detector every
+    * dedup-then-train pipeline wants alongside [[ngramJaccardPairs]].
+    *
+    * Exactness: containment_permille = |A∩B|·1000 DIV |A| — integer
+    * arithmetic end to end, same gram derivation (distinct word trigrams →
+    * 60-bit md5 prefix) as the Jaccard operator, so the two reports are
+    * comparable. Docs with fewer than three words have NO trigrams and
+    * never appear on either side (containment of an empty set is 0/0 —
+    * excluded, not defined as 0 or 1000).
+    *
+    * Scale shape: one gram equi-join (the standard inverted-index shape —
+    * pairs generated only where a gram is shared) + one pair aggregate +
+    * a broadcast-ready sizes join. Hot boilerplate grams are the skew
+    * term, same as q103's gram table — cap or salt upstream for corpora
+    * with heavy templating (the q103 salting recipe applies verbatim).
+    *
+    * @return (doc_a, doc_b, containment_permille): a contained-in b
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPermille: Int = 800
+  ): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      "thresholdPermille must be in [1, 1000]")
+    // both self-join sides and the sizes aggregate read the gram table:
+    // persist (the bandedFingerprintPairs lifecycle)
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("__sa"))
+    grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(col("inter") * 1000 >= lit(thresholdPermille) * col("__sa"))
+      .select(col("doc_a"), col("doc_b"), expr("inter * 1000 DIV __sa").as("containment_permille"))
+  }
+
   /** Incremental dedup probe: which NEW docs near-duplicate an EXISTING
     * corpus doc. The continuous-ingestion path — the corpus index
     * (`corpusBuckets`, from [[minhashBuckets]], in practice precomputed and

@@ -902,6 +902,47 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Directional containment pairs ([[Dedup.containmentPairs]]): the
+    * asymmetric near-dup relation — a doc ≥80% of whose distinct word
+    * trigrams occur in another doc (quotes, excerpts, truncated mirrors;
+    * symmetric Jaccard stays low because the longer doc dominates the
+    * union). The fixture plants a HALF-PREFIX copy of every 20th doc
+    * (id + 30,000,000, `substring(text, 1, length DIV 2)` — identical
+    * integer-division cut both sides): the copy is nearly contained in its
+    * source while their Jaccard is ~1/2. The oracle replays the gram
+    * derivation (q24's chain), the directional intersection, and the
+    * exact integer permille.
+    */
+  private val q133 = Q(
+    "q133_containment_pairs",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val docs = T.documents.select($"doc_id", $"text")
+      val union = docs.unionByName(
+        docs.filter($"doc_id" % 20 === 0)
+          .select(($"doc_id" + 30000000L).as("doc_id"),
+            expr("substring(text, 1, length(text) DIV 2)").as("text")))
+      Dedup.containmentPairs(union, "doc_id", "text", thresholdPermille = 800)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH u AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 30000000, substr(text, 1, len(text) // 2)
+                 FROM documents WHERE doc_id % 20 = 0),
+      toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM u),
+      gs AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS gs FROM toks),
+      g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM gs),
+      sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+      SELECT doc_a, doc_b, CAST(inter * 1000 // sa.sz AS BIGINT) AS containment_permille
+      FROM i JOIN sz sa ON doc_a = sa.doc_id
+      WHERE inter * 1000 >= 800 * sa.sz
+      ORDER BY doc_a, doc_b
+    """.trim)
+  )
+
   /** Incremental substring dedup ([[Dedup.repeatedSpansVsCorpus]] over a
     * [[Dedup.substringGramIndex]]): a deterministic ~2% hash band of the
     * documents plays the NEW batch, the rest is the indexed corpus —
@@ -1001,5 +1042,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112, q115, q117, q127, q129, q130)
+      q103, q104, q105, q111, q112, q115, q117, q127, q129, q130, q133)
 }

@@ -1058,6 +1058,84 @@ object TextQueries {
     """.trim)
   )
 
+  /** Unicode NFC normalization
+    * ([[graft.functions.TextNormExprs.nfcNormalize]]): every third doc gets
+    * a DECOMPOSED suffix planted (e + combining acute, A + combining ring —
+    * byte-distinct from the precomposed forms every hash/dedup operator
+    * would otherwise treat as different content). The engine normalizes
+    * with `java.text.Normalizer`; the oracle with DuckDB's OWN
+    * `nfc_normalize` — a cross-IMPLEMENTATION gate, not a replay: md5s,
+    * codepoint lengths, and the changed flag must agree between two
+    * independent NFC implementations.
+    */
+  private val q131 = Q(
+    "q131_nfc_normalize",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.TextNormExprs
+      val dirty = when($"doc_id" % 3 === 0, concat($"text", lit(" cafe\u0301 A\u030A")))
+        .otherwise($"text")
+      T.documents
+        .select($"doc_id", dirty.as("__d"))
+        .select(
+          $"doc_id",
+          md5(TextNormExprs.nfcNormalize($"__d")).as("norm_md5"),
+          length($"__d").cast("long").as("len_raw"),
+          length(TextNormExprs.nfcNormalize($"__d")).cast("long").as("len_nfc"),
+          (TextNormExprs.nfcNormalize($"__d") =!= $"__d").as("changed"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0
+                             THEN text || ' cafe' || chr(769) || ' A' || chr(778)
+                             ELSE text END AS dd
+                 FROM documents)
+      SELECT doc_id, md5(nfc_normalize(dd)) AS norm_md5,
+             CAST(len(dd) AS BIGINT) AS len_raw,
+             CAST(len(nfc_normalize(dd)) AS BIGINT) AS len_nfc,
+             nfc_normalize(dd) <> dd AS changed
+      FROM d ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Mojibake repair ([[graft.functions.TextNormExprs.mojibakeRepair]]):
+    * every seventh doc gets a double-encoded suffix planted — the TRUE
+    * string's UTF-8 bytes decoded as Windows-1252 at plan-build time, the
+    * classic "cafÃ©"/"â€™" accident, including a cp1252-only char (the em
+    * dash's 0x80 € byte) a Latin-1-only inverse would miss. The engine
+    * must DETECT by content (every char a cp1252 byte + the bytes form
+    * valid UTF-8 + at least one multi-byte sequence) and repair; plain
+    * ASCII rows must pass untouched. Construction-derived oracle (the
+    * q105 pattern): the repaired text IS the true literal by construction,
+    * so the oracle reassembles it from id arithmetic — any detector or
+    * repair drift breaks the md5s.
+    */
+  private val q132 = Q(
+    "q132_mojibake_repair",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.TextNormExprs
+      val moji = new String(
+        " café — résumé".getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+      val dirty = when($"doc_id" % 7 === 0, concat($"text", lit(moji))).otherwise($"text")
+      T.documents
+        .select($"doc_id", dirty.as("__d"))
+        .select(
+          $"doc_id",
+          md5(coalesce(TextNormExprs.mojibakeRepair($"__d"), $"__d")).as("fixed_md5"),
+          TextNormExprs.mojibakeRepair($"__d").isNotNull.as("was_mojibake"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' café — résumé') ELSE md5(text) END AS fixed_md5,
+             doc_id % 7 = 0 AS was_mojibake
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93, q95, q98, q100, q101, q107, q122, q123, q124, q125, q126)
+    Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
+      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132)
 }
