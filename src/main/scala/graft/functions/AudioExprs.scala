@@ -172,14 +172,18 @@ case class AudioFingerprint(child: Expression) extends UnaryExpression {
     if (fp == null) null else fp.longValue()
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: a fixed local would be redeclared if two instances land in
+    // one unbraced codegen scope (non-nullable child inlining).
+    val tmp = ctx.freshName("graftAudioFp")
     nullSafeCodeGen(
       ctx,
       ev,
       c => s"""
-        java.lang.Long graftAudioFp = graft.functions.AudioFpSupport.fingerprint($c);
-        if (graftAudioFp == null) { ${ev.isNull} = true; } else { ${ev.value} = graftAudioFp.longValue(); }
+        java.lang.Long $tmp = graft.functions.AudioFpSupport.fingerprint($c);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
       """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
     copy(child = newChild)

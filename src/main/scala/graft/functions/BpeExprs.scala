@@ -134,6 +134,9 @@ object BpeSupport {
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < n) {
+      // A NULL element must not read as id 0 (ArrayData.getInt on an unset
+      // slot returns 0): a corrupt id stream decodes to NULL, never to text.
+      if (ids.isNullAt(i)) return null
       val id = ids.getInt(i)
       if (id < 0 || id >= vocab.length) return null
       sb.append(vocab(id))
@@ -406,8 +409,9 @@ object BpeSupport {
     * quote characters in symbols are escaped here.
     */
   def duckByteWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String =
-    s"CASE WHEN len($wordExpr) = 0 THEN 0 " +
-      s"ELSE len(${duckByteWordSymbolsSql(wordExpr, merges)}) END"
+    // No empty-word CASE here: duckByteWordSymbolsSql already yields
+    // CAST([] AS VARCHAR[]) for the empty word, whose len() is the same 0.
+    s"len(${duckByteWordSymbolsSql(wordExpr, merges)})"
 
   /** The byte-level per-word chain's FINAL SYMBOL LIST — the
     * [[duckWordSymbolsSql]] twin over remapped byte atoms, shared by the
@@ -607,13 +611,17 @@ case class BpeDecodeIds(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vocabRef = ctx.addReferenceObj("bpeVocabArr", varr, "java.lang.String[]")
+    // freshName: two instances over non-nullable children share one
+    // unbraced codegen scope (nullSafeExec inlines) — a fixed local would
+    // be declared twice and fail Janino.
+    val tmp = ctx.freshName("graftBpeDec")
     nullSafeCodeGen(
       ctx,
       ev,
       c => s"""
-        org.apache.spark.unsafe.types.UTF8String graftBpeDec =
+        org.apache.spark.unsafe.types.UTF8String $tmp =
           graft.functions.BpeSupport.decodeIds($c, $vocabRef, $byteLevel);
-        if (graftBpeDec == null) { ${ev.isNull} = true; } else { ${ev.value} = graftBpeDec; }
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
       """)
   }
 

@@ -151,13 +151,18 @@ case class MojibakeRepair(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     TextNormSupport.repairMojibake(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, not a fixed local: over a NON-nullable child nullSafeExec
+    // inlines this code unbraced, so two instances in one codegen scope
+    // would redeclare the variable and fail Janino compilation.
+    val tmp = ctx.freshName("graftMoji")
     nullSafeCodeGen(ctx, ev,
       c => s"""
-        org.apache.spark.unsafe.types.UTF8String graftMoji =
+        org.apache.spark.unsafe.types.UTF8String $tmp =
           graft.functions.TextNormSupport.repairMojibake($c);
-        if (graftMoji == null) { ${ev.isNull} = true; } else { ${ev.value} = graftMoji; }
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
       """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MojibakeRepair =
     copy(child = newChild)

@@ -246,14 +246,18 @@ case class VideoFingerprint(child: Expression) extends UnaryExpression {
     if (fp == null) null else fp.longValue()
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: a fixed local would be redeclared if two instances land in
+    // one unbraced codegen scope (non-nullable child inlining).
+    val tmp = ctx.freshName("graftVideoFp")
     nullSafeCodeGen(
       ctx,
       ev,
       c => s"""
-        java.lang.Long graftVideoFp = graft.functions.VideoFpSupport.fingerprint($c);
-        if (graftVideoFp == null) { ${ev.isNull} = true; } else { ${ev.value} = graftVideoFp.longValue(); }
+        java.lang.Long $tmp = graft.functions.VideoFpSupport.fingerprint($c);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
       """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): VideoFingerprint =
     copy(child = newChild)

@@ -283,9 +283,16 @@ object Sampling {
     *   - `|budgets| <= budgetMapJoinThreshold`: a folded `when` chain —
     *     scan-side literal CASE, no join at all.
     *   - above it: a broadcast LEFT join against a literal (group, budget)
-    *     frame, `coalesce`-ing misses to the default. The join key is the
-    *     group cast to string — budgets are string-keyed by contract, and
-    *     the cast matches the `when` chain's string coercion.
+    *     frame, `coalesce`-ing misses to the default.
+    *
+    * BOTH strategies compare the group CAST TO STRING against the string
+    * key — budgets are string-keyed by contract. The explicit cast in the
+    * `when` chain is load-bearing: a bare `===` against a string literal
+    * would let Spark coerce the LITERAL to the group's numeric type
+    * (`intCol === "07"` matching 7), so which rows matched would flip when
+    * the map size crosses the threshold and the join form (string = string,
+    * "7" != "07") kicks in. Casting both paths to string keeps the
+    * equivalence law exact for every group type.
     *
     * NULL groups never match a (non-null) map key under either strategy —
     * `===` is null-rejecting in the chain and in the join — so they take
@@ -301,7 +308,7 @@ object Sampling {
     val g = df.withColumn("__g", group)
     if (budgets.size <= budgetMapJoinThreshold) {
       val budget = budgets.foldLeft(fallback: Column) { case (acc, (k, b)) =>
-        when(col("__g") === k, lit(b)).otherwise(acc)
+        when(col("__g").cast("string") === lit(k), lit(b)).otherwise(acc)
       }
       g.withColumn("__budget", budget)
     } else {

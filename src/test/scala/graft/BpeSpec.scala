@@ -213,6 +213,14 @@ class BpeSpec extends SparkSpec {
     val out = ids.select($"id", BpeExprs.bpeDecodeIds($"ids", vocab).as("t"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out(1L).contains("aab") && out(2L).isEmpty && out(3L).isEmpty && out(4L).contains(""))
+    // a NULL ELEMENT inside the array: ArrayData.getInt on an unset slot
+    // reads 0, so without the isNullAt guard a corrupt id stream would
+    // silently decode to vocab(0)'s text instead of the contract's NULL
+    val nullElem = Seq(1L).toDF("id")
+      .select($"id", expr("array(0, CAST(NULL AS INT))").as("ids"))
+      .select(BpeExprs.bpeDecodeIds($"ids", vocab).as("t"))
+      .collect()
+    assert(nullElem.head.isNullAt(0), "a NULL id element must decode to NULL, not vocab(0)")
     // byte-level: a vocab symbol carrying a char OUTSIDE the remapped
     // alphabet cannot be inverted to a byte — NULL, not an exception
     val badVocab = Seq("a", "☃") // snowman is not in bytes_to_unicode's image

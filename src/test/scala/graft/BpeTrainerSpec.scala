@@ -114,6 +114,22 @@ class BpeTrainerSpec extends SparkSpec {
     assert(local.length == 242, s"expected exhaustion at 242 merges, got ${local.length}")
   }
 
+  test("count ties among non-ASCII symbols break in Spark's UTF-8 order on both forms") {
+    // \u00E9 (UTF-8 C3 A9) vs \uE000 (UTF-8 EE 80 80): every round-1 pair
+    // count ties at 2, so the ORDER is pure tie-break. The driver-local
+    // comparator must follow Spark's UTF8String order (unsigned UTF-8
+    // bytes = code points), NOT String.compareTo's UTF-16 code units --
+    // equivalent on these BMP symbols (the contract's range; supplementary
+    // chars are documented out of char-level scope), pinned here so the
+    // comparator can never drift from the distributed form.
+    val docs = Seq((1L, "\u00E9z \uE000z"), (2L, "\u00E9z \uE000z")).toDF("doc_id", "text")
+    val local = BpeTrainer.trainMerges(docs, "text", numMerges = 2)
+    val dist = BpeTrainer.trainMerges(docs, "text", numMerges = 2, maxDriverWords = 0L)
+    assert(local == dist, s"tie-break diverged: local=$local dist=$dist")
+    assert(local == Seq(("\u00E9", "z"), ("\uE000", "z")),
+      s"expected UTF-8 order (C3 A9 before EE 80 80), got $local")
+  }
+
   test("self-pair runs train and walk with GPT-2 semantics (beyond the SQL replay)") {
     val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
     val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 2)

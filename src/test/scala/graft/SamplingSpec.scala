@@ -325,6 +325,30 @@ class SamplingSpec extends SparkSpec {
     assert(viaHuge == viaChain)
   }
 
+  test("non-string group columns match budgets on the STRING form under both strategies") {
+    // budgets are string-keyed by contract: both the when-chain and the
+    // broadcast-join form compare cast(group AS STRING) = key. The chain's
+    // explicit cast is load-bearing — a bare === would let Spark coerce
+    // the KEY to the group's numeric type ("07" matching int 7), so which
+    // rows matched would flip when the map size crosses the threshold.
+    val docs = (1L to 40L).map(i => (i, (i % 2 + 7).toInt, 5L)).toDF("id", "grp", "tok")
+    // grp ∈ {7, 8} as INTEGER; "07" (budget 0) must match NEITHER group
+    val small = Map("7" -> 1000L, "07" -> 0L)
+    val viaChain = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", small, numShards = 4)
+      .select($"id").as[Long].collect().toSet
+    val big = small ++ (1 to Sampling.budgetMapJoinThreshold * 2).map(i => s"pad_$i" -> 0L).toMap
+    val viaJoin = Sampling
+      .tokenBudgetMixture(docs, $"grp", $"id", $"tok", big, numShards = 4)
+      .select($"id").as[Long].collect().toSet
+    // group 7 matches key "7" (kept whole: 100 tokens under the 1000
+    // budget; NOT the coerced "07" zero budget); group 8 has no key and no
+    // default, so it drops — identically under both compilation strategies
+    val expected = (1L to 40L).filter(_ % 2 == 0).toSet
+    assert(viaChain == expected, s"when-chain selection: $viaChain")
+    assert(viaJoin == expected, "broadcast-join form must select identically")
+  }
+
   test("tokenBudgetMixtureWithRepeats: zero-token groups keep one copy, never loop") {
     val docs = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("id", "grp", "tok")
     val kept = Sampling

@@ -82,6 +82,27 @@ class TextNormSpec extends SparkSpec {
     assert(out(4L) == (None, None), "null input propagates as null, not a crash")
   }
 
+  test("two instances over NON-nullable children share one codegen scope (freshName)") {
+    // nullSafeExec inlines the result code UNBRACED when the child is
+    // non-nullable, so two instances land in one scope: a fixed-name
+    // local would be declared twice and fail Janino. fallback=false turns
+    // that from silent interpreted-mode noise into a test failure.
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(breakIt("café"), breakIt("naïve"))), schema)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = df.select(
+        TextNormExprs.mojibakeRepair($"a").as("ra"),
+        TextNormExprs.mojibakeRepair($"b").as("rb")).collect().head
+      assert(out.getString(0) == "café" && out.getString(1) == "naïve")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("containmentPairs: directional by hand; short docs excluded; threshold binds") {
     val docs = Seq(
       // B contains all of A's trigrams plus more: A→B qualifies, B→A does not
