@@ -946,6 +946,64 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Paragraph-level exact dedup (the RefinedWeb / Dolma intra-corpus
+    * rule): split each document on `sep`, keep only the FIRST occurrence
+    * — by (id, position) — of every distinct paragraph across the whole
+    * corpus, and reassemble what survives. Catches the boilerplate class
+    * doc-level exact dedup misses (shared footers / headers / navigation
+    * repeated across otherwise-distinct pages) without the cost of the
+    * substring machinery ([[repeatedSpans]], q103): the unit is the
+    * paragraph boundary the corpus already carries.
+    *
+    * Plan shape: paragraphs explode scan-side; the first-occurrence
+    * verdict is ONE hash exchange on the 128-bit paragraph digest
+    * (row_number over (digest) ordered by (id, pos) — every occurrence
+    * row is needed afterwards, so a window beats an aggregate plus a
+    * join-back, which would exchange the occurrence table twice);
+    * reassembly is one exchange on the doc id with an in-group
+    * sort_array, bounded by paragraphs-per-doc, not by the corpus. Group
+    * sizes on the digest key are bounded by the repetition count of the
+    * single hottest paragraph; at web scale ("home | about | contact" at
+    * 10^9 occurrences) swap the window for the stacked in-partition
+    * min/max aggregate form documented at the q103 clawback site, which
+    * bounds per-task work by construction. md5 collisions merge distinct
+    * paragraphs at negligible odds — the same digest contract as
+    * [[exactDupGroups]].
+    *
+    * @return one row per input row: (idCol, n_paras, n_kept, kept_text) —
+    *         kept_text is the surviving paragraphs re-joined with `sep`
+    *         ('' when every paragraph was seen earlier in the corpus).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"
+  ): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val outCols = Seq("n_paras", "n_kept", "kept_text")
+    require(!outCols.exists(c => c != idCol && df.columns.contains(c)),
+      s"input already has one of ${outCols.mkString("/")} — rename it before paragraphDedup")
+    import org.apache.spark.sql.expressions.Window
+    val paras = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+    val w = Window.partitionBy(md5(col("__para"))).orderBy(col(idCol), col("__pos"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("__pos"), col("__para"))))),
+            s => s.getField("__para")),
+          sep).as("kept_text"))
+  }
+
   /** Word 3-grams (space-joined lowercase token triples), used as the
     * Jaccard unit — native single-pass codegen expression.
     */

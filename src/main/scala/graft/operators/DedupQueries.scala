@@ -1040,7 +1040,54 @@ object DedupQueries {
     """.trim)
   )
 
+  /** Paragraph-level exact dedup ([[Dedup.paragraphDedup]] — the
+    * RefinedWeb/Dolma intra-corpus rule): documents are given paragraph
+    * structure (the q126 fixture trick: a common word becomes the
+    * separator) plus a PLANTED boilerplate footer on every fourth doc —
+    * the cross-doc repetition class this operator exists for. Only the
+    * globally-first occurrence of each distinct paragraph survives; the
+    * oracle replays split → first-occurrence window → ordered filtered
+    * reassembly in DuckDB and md5-compares the rebuilt text.
+    */
+  private val q134 = Q(
+    "q134_paragraph_dedup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val sep = "\n\n"
+      val docs = T.documents.select(
+        $"doc_id",
+        concat(
+          expr("replace(text, ' scan ', concat(chr(10), chr(10)))"),
+          when($"doc_id" % 4 === 0,
+            lit(sep + "subscribe to our newsletter for updates")).otherwise(lit("")))
+          .as("t"))
+      Dedup
+        .paragraphDedup(docs, "doc_id", "t", sep)
+        .select($"doc_id", $"n_paras", $"n_kept", md5($"kept_text").as("kept_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        replace(text, ' scan ', chr(10) || chr(10)) ||
+                        CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || chr(10) || 'subscribe to our newsletter for updates'
+                             ELSE '' END AS t
+                 FROM documents),
+      p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ss[i] AS para
+            FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ss,
+                         unnest(range(1, len(ss) + 1)) AS i FROM d)),
+      r AS (SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+            FROM p)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+             md5(coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                            FILTER (WHERE rn = 1), '')) AS kept_md5
+      FROM r GROUP BY doc_id ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q52, q54, q62, q63, q74, q83, q87, q89, q90, q91, q94,
-      q103, q104, q105, q111, q112, q115, q117, q127, q129, q130, q133)
+      q103, q104, q105, q111, q112, q115, q117, q127, q129, q130, q133, q134)
 }
