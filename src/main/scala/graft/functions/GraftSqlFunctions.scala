@@ -86,6 +86,12 @@ object GraftSqlFunctions {
     }),
     ("graft_video_fp", "(binary)", {
       case Seq(b) => VideoFingerprint(b)
+    }),
+    ("graft_warc_records", "(binary)", {
+      case Seq(b) => WarcRecords(b)
+    }),
+    ("graft_html_text", "(string)", {
+      case Seq(h) => HtmlText(h)
     })
   )
 

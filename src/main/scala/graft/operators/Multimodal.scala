@@ -968,6 +968,36 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
+  /** Deterministic WARC fixture: packs each decade of docs (id DIV 10)
+    * into one WARC/1.0 blob of `conversion` records — version line,
+    * WARC-Type / WARC-Target-URI / Content-Length headers, the doc text as
+    * the payload (Content-Length counted in UTF-8 OCTETS, as the spec
+    * requires), the CRLFCRLF terminator — records ordered by id. The whole
+    * file is assembled as a string column and UTF-8-encoded by the binary
+    * cast, so the oracle can re-derive every parsed field from the source
+    * table ([[graft.functions.WarcSupport]] q135). Returns (file_id,
+    * content binary).
+    */
+  def warcFixture(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://example.org/doc/"),
+      col(idCol).cast("string"),
+      lit("\r\nContent-Length: "),
+      length(col(textCol).cast("binary")).cast("string"),
+      lit("\r\n\r\n"),
+      col(textCol),
+      lit("\r\n\r\n"))
+    docs
+      .select(expr(s"$idCol DIV 10").as("file_id"), col(idCol).as("__id"), rec.as("__rec"))
+      .groupBy(col("file_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__id"), col("__rec")))),
+            s => s.getField("__rec")),
+          "").cast("binary").as("content"))
+  }
+
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per
     * task instead of a row count — media corpora are heavily skewed.
     */

@@ -1135,7 +1135,95 @@ object TextQueries {
     """.trim)
   )
 
+  /** WARC/WET record parsing ([[graft.functions.WarcSupport]] — the
+    * Common Crawl intake container): each decade of docs is packed into
+    * one multi-record WARC blob ([[Multimodal.warcFixture]]) and the
+    * engine must split it back scan-side — version line, case-insensitive
+    * headers, octet-exact Content-Length-driven payload extraction, the
+    * CRLFCRLF terminator — via the codegen'd byte walk. The oracle
+    * re-derives every parsed field (uri, octet length, payload md5) from
+    * the source table, so any drift in the walk (an off-by-one in the
+    * terminator, chars-for-octets in the length) breaks the hash. Records
+    * per file and files per corpus both scale linearly; the walk is
+    * single-pass in blob bytes (pair with
+    * [[Multimodal.repartitionByBytes]] for skewed crawl files).
+    */
+  private val q135 = Q(
+    "q135_warc_records",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.WarcExprs
+      val files = Multimodal.warcFixture(T.documents, "doc_id", "text")
+      files
+        .select($"file_id",
+          posexplode(WarcExprs.warcRecords($"content")).as(Seq("rec_idx", "rec")))
+        .select(
+          $"file_id",
+          $"rec_idx".cast("long").as("rec_idx"),
+          $"rec.warc_type".as("warc_type"),
+          $"rec.target_uri".as("target_uri"),
+          $"rec.content_length".as("content_length"),
+          md5($"rec.payload").as("payload_md5"))
+        .orderBy($"file_id", $"rec_idx")
+    },
+    Some("""
+      SELECT doc_id // 10 AS file_id,
+             CAST(row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) - 1
+                  AS BIGINT) AS rec_idx,
+             'conversion' AS warc_type,
+             'https://example.org/doc/' || doc_id AS target_uri,
+             CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             md5(text) AS payload_md5
+      FROM documents ORDER BY file_id, rec_idx
+    """.trim)
+  )
+
+  /** HTML → text extraction ([[graft.functions.HtmlSupport]]): each doc is
+    * rendered into a full page exercising every extractor rule at once —
+    * numeric and named character references, a script whose BODY contains
+    * both `<` and a fake `</p>` close tag, a style block, a comment hiding
+    * fake markup, a quoted `>` inside an attribute value, an unknown
+    * entity that must stay literal, an NBSP that must collapse, and an
+    * inline `<b>` split mid-number that must join without a space. The
+    * oracle reassembles the expected rendered text from the source column
+    * (construction-derived, the q105/q132 pattern) and md5-compares — one
+    * wrong rule anywhere shifts every hash.
+    */
+  private val q136 = Q(
+    "q136_html_extract",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.HtmlExprs
+      val page = concat(
+        lit("<html><head><title>Crawl &#x41;rchive</title>" +
+          "<script>var x = 1 &amp;&amp; 2; if (x<3) alert(\"</p>\")</script>" +
+          "<style>p { color: red; }</style></head><body>" +
+          "<nav><ul><li>Home</li><li>About</li></ul></nav><h1>Doc "),
+        $"doc_id".cast("string"),
+        lit("</h1><p>"),
+        expr("replace(text, ' the ', ' &amp;the ')"),
+        lit("</p><!-- hidden <p>fake</p> --><div class=\"footer\" data-x=\"a>b\">" +
+          "&#169; example &mdash; score&nbsp;<b>9</b>9</div></body></html>"))
+      T.documents
+        .select($"doc_id", HtmlExprs.htmlText(page).as("x"))
+        .select($"doc_id", md5($"x").as("text_md5"),
+          length($"x").cast("long").as("n_chars_ext"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH e AS (SELECT doc_id,
+                        trim(regexp_replace(
+                          'Crawl Archive Home About Doc ' || doc_id || ' ' ||
+                          replace(text, ' the ', ' &the ') ||
+                          ' © example &mdash; score 99',
+                          '\s+', ' ', 'g')) AS x
+                 FROM documents)
+      SELECT doc_id, md5(x) AS text_md5, CAST(len(x) AS BIGINT) AS n_chars_ext
+      FROM e ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
-      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132)
+      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.HtmlExprs
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.HtmlSupport]] — single-pass HTML → text extraction:
+  * every documented rule pinned on hand inputs.
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ext(html: String): String =
+    Seq(Tuple1(html)).toDF("h").select(HtmlExprs.htmlText($"h")).head().getString(0)
+
+  test("tags strip; block tags break words, inline tags do not") {
+    assert(ext("<p>hello</p><p>world</p>") == "hello world")
+    assert(ext("x<b>y</b>z") == "xyz")
+    assert(ext("<li>a</li><li>b</li>") == "a b")
+  }
+
+  test("script and style content dropped entirely, case-insensitive close") {
+    assert(ext("a<script>var x = '<p>not text</p>';</script>b") == "ab")
+    assert(ext("a<SCRIPT>x</ScRiPt>b") == "ab")
+    assert(ext("a<style>p{color:red}</style>b") == "ab")
+    // a fake close tag of a DIFFERENT element cannot end the script
+    assert(ext("a<script>alert(\"</p>\")</script>b") == "ab")
+  }
+
+  test("unterminated script/comment/tag drop the rest (markup never leaks)") {
+    assert(ext("a<script>stolen text") == "a")
+    assert(ext("a<!-- open comment <p>x</p>") == "a")
+    assert(ext("a<div unclosed") == "a")
+  }
+
+  test("comments dropped including fake tags inside") {
+    assert(ext("a<!-- <p>fake</p> -->b") == "ab")
+  }
+
+  test("quoted '>' inside attribute values does not end the tag") {
+    assert(ext("""<div data-x="a>b">ok</div>""") == "ok")
+    assert(ext("""<div data-x='a>b'>ok</div>""") == "ok")
+  }
+
+  test("character references: named, decimal, hex; invalid stay literal") {
+    assert(ext("a &amp; b") == "a & b")
+    assert(ext("&lt;p&gt; is text") == "<p> is text")
+    assert(ext("&quot;q&quot; &apos;a&apos;") == "\"q\" 'a'")
+    assert(ext("&#65;&#x42;") == "AB")
+    assert(ext("&#169;") == "©")
+    assert(ext("fish &amp chips") == "fish &amp chips") // no semicolon
+    assert(ext("&mdash; stays") == "&mdash; stays") // outside the named set
+    assert(ext("AT&T") == "AT&T") // lone ampersand is text
+    assert(ext("&#xD800; bad") == "&#xD800; bad") // surrogate cp stays literal
+  }
+
+  test("decoded &lt; is text, not a new tag") {
+    assert(ext("&lt;script&gt;x&lt;/script&gt;") == "<script>x</script>")
+  }
+
+  test("whitespace (incl. NBSP) collapses to single spaces, trimmed") {
+    assert(ext("  a \n\t b  ") == "a b")
+    assert(ext("score&nbsp;<b>9</b>9") == "score 99")
+    assert(ext("<p>  </p>") == "")
+  }
+
+  test("doctype and empty input") {
+    assert(ext("<!DOCTYPE html><p>x</p>") == "x")
+    assert(ext("") == "")
+    val r = Seq(Tuple1(null: String)).toDF("h")
+      .select(HtmlExprs.htmlText($"h")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("self-closing script does not swallow following text") {
+    assert(ext("a<script src=\"x.js\"/>b") == "ab")
+  }
+
+  test("SQL registration: graft_html_text") {
+    val out = spark.sql("SELECT graft_html_text('<p>a</p><p>b</p>') AS t").head().getString(0)
+    assert(out == "a b")
+  }
+}
