@@ -68,7 +68,14 @@ object ScaleBench {
     "q103_repeated_spans",
     // probe side is the fixed ~2% band so spans scale k× with the corpus;
     // the index build (distinct grams) is the dominant, linear cost
-    "q111_incremental_spans"
+    "q111_incremental_spans",
+    // round-11 intake family: paragraph dedup is one digest exchange + a
+    // doc regroup (both k×-linear — the cipher keeps paragraphs distinct
+    // across copies); WARC split and HTML extract are pure scan-side byte
+    // walks whose fixture AND parse both scale with corpus bytes
+    "q134_paragraph_dedup",
+    "q135_warc_records",
+    "q136_html_extract"
   )
 
   private val IdOffset = 100000000L

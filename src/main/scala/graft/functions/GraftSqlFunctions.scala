@@ -92,6 +92,12 @@ object GraftSqlFunctions {
     }),
     ("graft_html_text", "(string)", {
       case Seq(h) => HtmlText(h)
+    }),
+    ("graft_html_links", "(string)", {
+      case Seq(h) => HtmlLinks(h)
+    }),
+    ("graft_robots_allowed", "(string, string, string)", {
+      case Seq(r, a, p) => RobotsAllowed(r, a, p)
     })
   )
 

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML → text extraction — the intake step between WARC record splitting
@@ -46,6 +47,58 @@ object HtmlSupport {
   }
 
   private def isWs(c: Char): Boolean = c <= ' ' || c == '\u00A0'
+
+  /** Character reference starting at `s(i) == '&'`: the replacement string
+    * and the index just past the `;`, or null when the form is invalid \u2014
+    * the caller keeps the literal `&` (lone ampersands are common text).
+    * Shared by the text extractor and href decoding so an entity-encoded
+    * link (`href="a&amp;b"`) decodes under exactly the same rules as text.
+    */
+  private def charRef(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi <= i || semi - i > 10) return null
+    val body = s.substring(i + 1, semi)
+    if (body.startsWith("#")) {
+      val num = body.substring(1)
+      val cp =
+        try {
+          if ((num.startsWith("x") || num.startsWith("X")) && num.length > 1)
+            Integer.parseInt(num.substring(1), 16)
+          else if (num.nonEmpty && num.forall(_.isDigit)) Integer.parseInt(num)
+          else -1
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+        (new java.lang.StringBuilder(4).appendCodePoint(cp).toString, semi + 1)
+      else null
+    } else {
+      val rep = body.toLowerCase(java.util.Locale.ROOT) match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case "nbsp" => "\u00A0"
+        case _ => null
+      }
+      if (rep != null) (rep, semi + 1) else null
+    }
+  }
+
+  /** `charRef` applied across a whole attribute value. */
+  private def decodeRefs(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        val r = charRef(v, i)
+        if (r != null) { sb.append(r._1); i = r._2 }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Rendered text of an HTML fragment (never null for non-null input). */
   def extract(html: UTF8String): UTF8String = {
@@ -103,37 +156,9 @@ object HtmlSupport {
           if (name.nonEmpty && BlockTags.contains(name)) sb.append(' ')
         }
       } else if (c == '&') {
-        // character reference; invalid forms stay literal
-        val semi = s.indexOf(';', i + 1)
-        var consumed = false
-        if (semi > i && semi - i <= 10) {
-          val body = s.substring(i + 1, semi)
-          if (body.startsWith("#")) {
-            val num = body.substring(1)
-            val cp =
-              try {
-                if ((num.startsWith("x") || num.startsWith("X")) && num.length > 1)
-                  Integer.parseInt(num.substring(1), 16)
-                else if (num.nonEmpty && num.forall(_.isDigit)) Integer.parseInt(num)
-                else -1
-              } catch { case _: NumberFormatException => -1 }
-            if (cp >= 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff)) {
-              sb.appendCodePoint(cp); i = semi + 1; consumed = true
-            }
-          } else {
-            val rep = body.toLowerCase(java.util.Locale.ROOT) match {
-              case "amp" => "&"
-              case "lt" => "<"
-              case "gt" => ">"
-              case "quot" => "\""
-              case "apos" => "'"
-              case "nbsp" => "\u00A0"
-              case _ => null
-            }
-            if (rep != null) { sb.append(rep); i = semi + 1; consumed = true }
-          }
-        }
-        if (!consumed) { sb.append('&'); i += 1 }
+        val r = charRef(s, i)
+        if (r != null) { sb.append(r._1); i = r._2 }
+        else { sb.append('&'); i += 1 }
       } else {
         sb.append(c); i += 1
       }
@@ -152,6 +177,110 @@ object HtmlSupport {
       m += 1
     }
     UTF8String.fromString(out.toString)
+  }
+
+  /** `href` values of `<a>` tags in document order — the crawl frontier /
+    * link-graph feed. Shares the extractor's structural rules: anchors
+    * inside comments or script/style bodies are NOT links (a JS string
+    * `"<a href=..."` must not enter the frontier), attribute names are
+    * case-insensitive, values may be double-quoted, single-quoted, or
+    * unquoted (ended by whitespace or `>`), and character references in
+    * the value decode under [[charRef]] (`href="a&amp;b"` → `a&b`).
+    * Empty/missing hrefs are skipped. Never null for non-null input —
+    * a page with no anchors is an empty array, not a parse failure.
+    */
+  def links(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else {
+        // tag name
+        var j = lt + 1
+        var closing = false
+        if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+        val ns = j
+        while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+        val name = s.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+        // quote-aware scan to the tag's real '>'
+        var q = 0.toChar
+        var end = -1
+        var k = j
+        while (end < 0 && k < n) {
+          val ck = s.charAt(k)
+          if (q != 0) { if (ck == q) q = 0.toChar }
+          else if (ck == '"' || ck == '\'') q = ck
+          else if (ck == '>') end = k
+          k += 1
+        }
+        // an unterminated tag drops the rest — same rule as the extractor
+        if (!closing && name == "a" && end >= 0) {
+          val href = findHref(s, j, end)
+          if (href != null && href.nonEmpty) out.add(UTF8String.fromString(href))
+        }
+        i = if (end < 0) n else end + 1
+        if (!closing && (name == "script" || name == "style") &&
+          end >= 0 && s.charAt(end - 1) != '/') {
+          // skip the element body so JS/CSS text can't contribute anchors
+          val target = "</" + name
+          var m = i
+          var stop = -1
+          while (stop < 0 && m + target.length <= n) {
+            if (s.regionMatches(true, m, target, 0, target.length)) stop = m
+            else m += 1
+          }
+          i = if (stop < 0) n
+          else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray())
+  }
+
+  /** Value of the (case-insensitive) `href` attribute in `s[from, to)`,
+    * entity-decoded; null when absent. First occurrence wins, matching
+    * browser behavior for duplicate attributes.
+    */
+  private def findHref(s: String, from: Int, to: Int): String = {
+    var i = from
+    while (i < to) {
+      // skip whitespace and stray '/'
+      while (i < to && (s.charAt(i) <= ' ' || s.charAt(i) == '/')) i += 1
+      if (i >= to) return null
+      // attribute name
+      val as = i
+      while (i < to && s.charAt(i) > ' ' && s.charAt(i) != '=' && s.charAt(i) != '/') i += 1
+      val aname = s.substring(as, i).toLowerCase(java.util.Locale.ROOT)
+      // skip whitespace before a possible '='
+      while (i < to && s.charAt(i) <= ' ') i += 1
+      var value: String = null
+      if (i < to && s.charAt(i) == '=') {
+        i += 1
+        while (i < to && s.charAt(i) <= ' ') i += 1
+        if (i < to) {
+          val c = s.charAt(i)
+          if (c == '"' || c == '\'') {
+            val e = s.indexOf(c, i + 1)
+            val ve = if (e < 0 || e > to) to else e
+            value = s.substring(i + 1, ve)
+            i = if (e < 0 || e > to) to else e + 1
+          } else {
+            val vs = i
+            while (i < to && s.charAt(i) > ' ') i += 1
+            value = s.substring(vs, i)
+          }
+        } else value = ""
+      }
+      if (aname == "href" && value != null) return decodeRefs(value)
+    }
+    null
   }
 }
 
@@ -178,7 +307,34 @@ case class HtmlText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → array<string> of anchor hrefs in document order
+  * (codegen-enabled); empty array for anchor-free pages.
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_html_links requires string input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlSupport.links(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlSupport.links($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
 object HtmlExprs {
   def htmlText(html: Column): Column =
     ColumnShim.column(HtmlText(ColumnShim.expression(html)))
+  def htmlLinks(html: Column): Column =
+    ColumnShim.column(HtmlLinks(ColumnShim.expression(html)))
 }

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation (RFC 9309) — the crawl-politeness gate that sits
+  * next to the frontier the link extractor ([[HtmlSupport.links]]) feeds:
+  * before a URL enters the fetch queue, its host's robots.txt decides
+  * whether this crawler may fetch the path. At corpus scale that decision
+  * is a COLUMN operation — a frontier table joined to a host-keyed robots
+  * table, the verdict computed scan-side per row — not a per-request
+  * client call.
+  *
+  * Rules implemented (each pinned by RobotsSpec):
+  *  - Line syntax: `key: value`, keys case-insensitive, `#` starts a
+  *    comment, blank/malformed lines ignored; unknown keys (sitemap,
+  *    crawl-delay, …) are skipped without ending a group (RFC 9309 §2.2.4).
+  *  - Groups: consecutive `User-agent` lines share one rule block; a
+  *    `User-agent` line after rules starts a new group. ALL groups whose
+  *    agent matches are merged (RFC 9309 §2.2.1 "MUST ... combine").
+  *  - Agent selection: case-insensitive exact product-token match beats
+  *    `*`; `*` groups apply only when no exact group exists; no matching
+  *    group at all → everything allowed.
+  *  - Path patterns: `*` matches any octet sequence, a trailing `$`
+  *    anchors at path end, otherwise prefix semantics; the empty pattern
+  *    matches nothing (a bare `Disallow:` allows everything — the
+  *    historical "allow all" idiom).
+  *  - Precedence: the matching rule with the LONGEST pattern (octets, as
+  *    written) wins; a length tie goes to Allow (RFC 9309 §2.2.2). No
+  *    matching rule → allowed.
+  *
+  * The parse is per row and linear in the robots text; robots files are
+  * KBs and the expression lives inside whole-stage codegen, so the gate
+  * costs about as much as a regex filter. A caller with ONE robots file
+  * and many paths should still join the parsed text in as a column — the
+  * parse is dwarfed by the scan it rides.
+  */
+object RobotsSupport {
+
+  /** One path rule: allow/disallow + its pattern. */
+  private final case class Rule(allow: Boolean, pattern: String)
+
+  /** May `agent` fetch `path` under `robots`? Never throws: unparseable
+    * content degrades to "no rules", i.e. allowed — a malformed robots.txt
+    * must not poison a frontier scan (and RFC 9309 §2.4 treats unreachable
+    * rules as absent).
+    */
+  def allowed(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean = {
+    if (robots == null || agent == null || path == null) return true
+    val agentTok = agent.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val p = path.toString
+    val lines = robots.toString.split("\r\n|\n|\r", -1)
+    // one pass: collect rules of exact-match groups and of * groups
+    val exactRules = new scala.collection.mutable.ArrayBuffer[Rule]()
+    val starRules = new scala.collection.mutable.ArrayBuffer[Rule]()
+    var sawExactGroup = false
+    var inAgentLines = false // inside a run of consecutive User-agent lines
+    var groupExact = false // current group names our agent exactly
+    var groupStar = false // current group names *
+    var i = 0
+    while (i < lines.length) {
+      var line = lines(i)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inAgentLines) { // new group starts
+                inAgentLines = true
+                groupExact = false
+                groupStar = false
+              }
+              val v = value.toLowerCase(java.util.Locale.ROOT)
+              if (v == agentTok) { groupExact = true; sawExactGroup = true }
+              else if (v == "*") groupStar = true
+            case "allow" | "disallow" =>
+              inAgentLines = false
+              if (value.nonEmpty) { // empty pattern matches nothing
+                val r = Rule(key == "allow", value)
+                if (groupExact) exactRules += r
+                if (groupStar) starRules += r
+              }
+            case _ => () // known-other (sitemap, crawl-delay) and unknown: skip
+          }
+        }
+      }
+      i += 1
+    }
+    val rules = if (sawExactGroup) exactRules else starRules
+    // longest matching pattern wins; ties go to allow
+    var bestLen = -1
+    var bestAllow = true
+    var j = 0
+    while (j < rules.length) {
+      val r = rules(j)
+      if (matches(r.pattern, p)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow)) {
+          bestLen = len
+          bestAllow = r.allow
+        }
+      }
+      j += 1
+    }
+    bestLen < 0 || bestAllow
+  }
+
+  /** `*`/`$` pattern match with prefix semantics: an unanchored pattern P
+    * behaves as the anchored `P*`. Iterative glob with single-star
+    * backtracking — linear-ish in practice, patterns are short.
+    */
+  private[graft] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val pat = if (anchored) body else body + "*"
+    var pi = 0
+    var si = 0
+    var star = -1
+    var mark = 0
+    val pn = pat.length
+    val sn = path.length
+    while (si < sn) {
+      if (pi < pn && pat.charAt(pi) == '*') { star = pi; pi += 1; mark = si }
+      else if (pi < pn && pat.charAt(pi) == path.charAt(si)) { pi += 1; si += 1 }
+      else if (star >= 0) { pi = star + 1; mark += 1; si = mark }
+      else return false
+    }
+    while (pi < pn && pat.charAt(pi) == '*') pi += 1
+    pi == pn
+  }
+}
+
+/** boolean verdict `graft_robots_allowed(robotsTxt, agent, path)`
+  * (codegen-enabled). NULL robots/agent/path → NULL (the caller decides
+  * whether an unknown robots file means fetch or skip — RFC 9309 says a
+  * 404'd robots.txt allows everything, a 5xx disallows, so the policy
+  * belongs outside the expression).
+  */
+case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_robots_allowed requires (string, string, string), got " +
+            s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override protected def nullSafeEval(robots: Any, agent: Any, path: Any): Any =
+    RobotsSupport.allowed(
+      robots.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String],
+      path.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (r, a, p) => s"${ev.value} = graft.functions.RobotsSupport.allowed($r, $a, $p);"
+    )
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): RobotsAllowed = copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object RobotsExprs {
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    ColumnShim.column(
+      RobotsAllowed(
+        ColumnShim.expression(robots),
+        ColumnShim.expression(agent),
+        ColumnShim.expression(path)))
+}

@@ -195,4 +195,87 @@ object Graph {
       .join(star, Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("component"))
   }
+
+  /** Fixed-iteration PageRank over EXACT scaled integers — host/domain
+    * authority for crawl prioritization and source weighting.
+    *
+    * Why integers, not doubles: float PageRank sums contributions in
+    * partition order, so the result depends on the shuffle layout — two
+    * runs (or an engine and its oracle) disagree in the low bits, and a
+    * task retry can change the answer. Here every step is integer
+    * arithmetic: rank starts at `scale` per node, an edge carries
+    * `rank DIV outdeg`, and the damped update is
+    * `rank' = (scale·(dampDen−dampNum)) DIV dampDen +
+    * (dampNum · Σ contrib) DIV dampDen`. Long addition is associative and
+    * commutative, so the result is bit-identical under ANY partitioning,
+    * and a SQL oracle can replay the recurrence verbatim with unrolled
+    * CTEs (q138).
+    *
+    * Semantics: edges are distinct (src,dst) pairs, null endpoints
+    * dropped; dangling nodes (no out-edges) receive the teleport term but
+    * redistribute nothing — the mass-dropping variant, standard for crawl
+    * graphs where dangling pages dominate and their mass is noise.
+    * Iterations are FIXED, not run to convergence: rank consumers at crawl
+    * scale want a bounded-cost signal (3–5 rounds separate hubs from leaves)
+    * and a deterministic output, not a fixpoint whose round count data-drifts.
+    *
+    * Plan shape per iteration: one equi-join of the edge+outdeg frame
+    * (persisted once) against the current rank frame, one hash aggregate on
+    * dst, one left join back to the node list — 3 shuffles × iterations,
+    * all on graph-sized frames. A hot dst (every page links home) is ONE
+    * group with partial aggregation upstream; no driver data path.
+    * Overflow bound: nodes·scale·dampNum must stay below 2⁶³ — the default
+    * 10⁹ scale holds to ~10⁸ nodes; drop `scale` a decade per decade beyond.
+    *
+    * @return (id, rank) — rank in units of `scale⁻¹` (a rank of 1.0 in the
+    *         textbook formulation is `scale` here)
+    */
+  def pageRankExact(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      scale: Long = 1000000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(iterations >= 1 && iterations <= 50, s"iterations must be in [1,50], got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale >= dampDen, s"scale must be at least dampDen for a nonzero teleport term")
+    val e = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter($"__s".isNotNull && $"__d".isNotNull)
+      .distinct()
+    // out-degree rides with each edge so every iteration is a single
+    // equi-join against ranks; persisted once, reclaimed by ContextCleaner
+    // when the caller's result frame is garbage-collected (house lifecycle)
+    val eo = e
+      .join(e.groupBy("__s").agg(count(lit(1)).as("__outdeg")), Seq("__s"))
+      .persist()
+    val nodes = e
+      .select($"__s".as("id"))
+      .unionByName(e.select($"__d".as("id")))
+      .distinct()
+      .persist()
+    val teleport = scale * (dampDen - dampNum) / dampDen // exact: all terms positive
+    var ranks = nodes.select($"id", lit(scale).as("rank"))
+    var it = 0
+    while (it < iterations) {
+      val contrib = eo
+        .join(ranks.select($"id".as("__s"), $"rank"), Seq("__s"))
+        .select($"__d".as("id"), expr("rank div __outdeg").as("__c"))
+        .groupBy("id")
+        .agg(sum($"__c").as("__contrib"))
+      ranks = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(
+          $"id",
+          expr(s"${teleport}L + (${dampNum}L * coalesce(__contrib, 0L)) div ${dampDen}L")
+            .as("rank"))
+      it += 1
+    }
+    ranks
+  }
 }

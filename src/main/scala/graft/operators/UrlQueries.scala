@@ -266,5 +266,151 @@ object UrlQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119)
+  /** HTML link extraction ([[graft.functions.HtmlSupport.links]]) — the
+    * crawl-frontier feed between q136's text extraction and the host graph
+    * (q138). Each doc's page plants four REAL links exercising every
+    * attribute form (double-quoted absolute, single-quoted entity-encoded,
+    * unquoted with mixed-case HREF, and a quoted-`>` decoy attribute before
+    * the href) plus three NON-links that must not leak: an anchor inside a
+    * comment, one inside a script string, and an href-less `<a name=…>`.
+    * The oracle rebuilds the four expected hrefs per doc by position from
+    * the same construction — an extractor that picks up the comment/script
+    * decoys, drops the unquoted form, or fails to entity-decode shifts
+    * every hash.
+    */
+  private val q137 = Q(
+    "q137_html_links",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val page = concat(
+        lit("<html><body><!-- <a href=\"/comment-link\">no</a> -->" +
+          "<script>var s = '<a href=\"/script-link\">';</script>" +
+          "<a name=\"top\">anchor</a><a href=\"https://h"),
+        ($"doc_id" % 23).cast("string"),
+        lit(".example.org/p/"), id,
+        lit("\">first</a><a class='x' href='/rel?a="), id,
+        lit("&amp;b=2'>second</a><a HREF=/plain/"), id,
+        lit(" rel=nofollow>third</a><a title=\"a>b\" href=\"/tricky/"), id,
+        lit("\">fourth</a></body></html>"))
+      T.documents
+        .select($"doc_id",
+          posexplode(graft.functions.HtmlExprs.htmlLinks(page)).as(Seq("link_idx", "href")))
+        .select($"doc_id", $"link_idx".cast("long").as("link_idx"), $"href")
+        .orderBy($"doc_id", $"link_idx")
+    },
+    Some("""
+      SELECT doc_id, CAST(t.idx AS BIGINT) AS link_idx,
+             CASE t.idx
+               WHEN 0 THEN 'https://h' || (doc_id % 23) || '.example.org/p/' || doc_id
+               WHEN 1 THEN '/rel?a=' || doc_id || '&b=2'
+               WHEN 2 THEN '/plain/' || doc_id
+               ELSE '/tricky/' || doc_id
+             END AS href
+      FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) t(idx)
+      ORDER BY doc_id, link_idx
+    """.trim)
+  )
+
+  /** Host-graph PageRank ([[Graph.pageRankExact]]) — crawl-priority
+    * authority over the link graph q137 extracts. Each doc's own host is
+    * `h(doc_id % 199)` and its page links to `h(doc_id² % 199)` (quadratic
+    * residues — irregular in-degree, so ranks genuinely differ) and
+    * `h((7·doc_id+3) % 199)`; the engine runs the REAL path — render page,
+    * extract anchors, parse hosts, distinct edges, 3 exact-integer damped
+    * iterations — while the oracle derives the same edge set arithmetically
+    * and replays the recurrence with unrolled CTEs. Every step is integer
+    * (rank DIV outdeg, ·85 DIV 100), so the comparison is bit-exact: no
+    * float PageRank would survive a hash gate across two engines.
+    */
+  private val q138 = Q(
+    "q138_host_pagerank",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val page = concat(
+        lit("<html><body><a href=\"https://h"),
+        (($"doc_id" * $"doc_id") % 199).cast("string"),
+        lit(".example.org/p/"), $"doc_id".cast("string"),
+        lit("\">a</a><a href='https://h"),
+        (($"doc_id" * 7 + 3) % 199).cast("string"),
+        lit(".example.org/q'>b</a></body></html>"))
+      val edges = T.documents
+        .select(
+          concat(lit("h"), ($"doc_id" % 199).cast("string"), lit(".example.org")).as("src"),
+          explode(graft.functions.HtmlExprs.htmlLinks(page)).as("href"))
+        .select($"src", regexp_extract($"href", "^https://([^/]+)/", 1).as("dst"))
+      Graph.pageRankExact(edges, "src", "dst", iterations = 3)
+        .orderBy($"id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT 'h' || (doc_id % 199) || '.example.org' AS s,
+                        'h' || ((doc_id * doc_id) % 199) || '.example.org' AS d
+        FROM documents
+        UNION
+        SELECT DISTINCT 'h' || (doc_id % 199) || '.example.org' AS s,
+                        'h' || ((doc_id * 7 + 3) % 199) || '.example.org' AS d
+        FROM documents),
+      odeg AS (SELECT s, COUNT(*) AS cnt FROM e GROUP BY s),
+      eo AS (SELECT e.s, e.d, odeg.cnt FROM e JOIN odeg ON e.s = odeg.s),
+      n AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+      c1 AS (SELECT eo.d AS id, SUM(r0.rank // eo.cnt) AS m
+             FROM eo JOIN r0 ON eo.s = r0.id GROUP BY eo.d),
+      r1 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS rank
+             FROM n LEFT JOIN c1 ON n.id = c1.id),
+      c2 AS (SELECT eo.d AS id, SUM(r1.rank // eo.cnt) AS m
+             FROM eo JOIN r1 ON eo.s = r1.id GROUP BY eo.d),
+      r2 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS rank
+             FROM n LEFT JOIN c2 ON n.id = c2.id),
+      c3 AS (SELECT eo.d AS id, SUM(r2.rank // eo.cnt) AS m
+             FROM eo JOIN r2 ON eo.s = r2.id GROUP BY eo.d),
+      r3 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS rank
+             FROM n LEFT JOIN c3 ON n.id = c3.id)
+      SELECT id, rank FROM r3 ORDER BY id
+    """.trim)
+  )
+
+  /** robots.txt gate ([[graft.functions.RobotsSupport]]): every doc gets
+    * one of three robots files (a `*` group with a longer-Allow carve-out;
+    * a graftbot-specific group with a `$`-anchored wildcard pattern over a
+    * `*` catch-all that must NOT apply to graftbot; a group naming a
+    * different bot entirely) crossed with one of five paths — the 15-cell
+    * grid exercises longest-match precedence, exact-vs-`*` group
+    * selection, the `$` anchor (broken by a query string), and the
+    * no-matching-group default. The oracle is the construction-derived
+    * truth table on (doc_id % 3, doc_id % 5): any divergence anywhere in
+    * the evaluator flips a cell and the hash.
+    */
+  private val q139 = Q(
+    "q139_robots_gate",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val robots = when($"doc_id" % 3 === 0,
+        lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+        .when($"doc_id" % 3 === 1,
+          lit("User-agent: graftbot\nDisallow: /*.pdf$\n\nUser-agent: *\nDisallow: /\n"))
+        .otherwise(lit("User-agent: megabot\nDisallow: /\n"))
+      val path = when($"doc_id" % 5 === 0, concat(lit("/private/ok/page"), id))
+        .when($"doc_id" % 5 === 1, concat(lit("/private/page"), id))
+        .when($"doc_id" % 5 === 2, concat(lit("/docs/report"), id, lit(".pdf")))
+        .when($"doc_id" % 5 === 3, concat(lit("/docs/report"), id, lit(".pdf?x=1")))
+        .otherwise(concat(lit("/public/"), id))
+      T.documents
+        .select($"doc_id",
+          graft.functions.RobotsExprs.robotsAllowed(robots, lit("graftbot"), path)
+            .as("allowed"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN (doc_id % 3 = 0 AND doc_id % 5 = 1)
+                    OR (doc_id % 3 = 1 AND doc_id % 5 = 2)
+                  THEN FALSE ELSE TRUE END AS allowed
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139)
 }

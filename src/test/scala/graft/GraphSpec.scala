@@ -109,4 +109,60 @@ class GraphSpec extends SparkSpec {
     // {3,4}: q tie at 0.9 -> keep 3; singletons 1, 6 survive as themselves
     assert(kept == Seq(1L -> 1L, 3L -> 3L, 5L -> 2L, 6L -> 6L))
   }
+
+  // ------------------------------------------------------------------
+  // pageRankExact
+  // ------------------------------------------------------------------
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 3): Map[String, Long] =
+    Graph
+      .pageRankExact(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  test("pageRankExact replays the integer recurrence exactly (hand-computed 3 nodes)") {
+    // a -> b, a -> c, b -> c; c dangling. scale 1e9, teleport 1.5e8.
+    val r = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "c"), iters = 1)
+    // r1(a) = teleport (no in-edges)
+    // r1(b) = teleport + 85*(1e9 div 2) div 100 = 150000000 + 425000000
+    // r1(c) = teleport + 85*(1e9 div 2 + 1e9 div 1) div 100
+    assert(r("a") == 150000000L)
+    assert(r("b") == 150000000L + 425000000L)
+    assert(r("c") == 150000000L + 85L * 1500000000L / 100L)
+  }
+
+  test("pageRankExact: sink accumulates, source holds teleport, ranks are deterministic") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val r = ranks(chain)
+    assert(r("a") == 150000000L) // teleport only, every iteration
+    assert(r("d") > r("c") && r("c") > r("a")) // authority flows down the chain
+    // bit-identical across runs AND partitionings (the design claim)
+    val again = Graph
+      .pageRankExact(
+        chain.toDF("s", "d").repartition(7), "s", "d", iterations = 3)
+      .collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+      .toMap
+    assert(again == r)
+  }
+
+  test("pageRankExact: duplicate and null edges drop; hot dst is one aggregate group") {
+    val dup = Seq("a" -> "b", "a" -> "b", "a" -> "c") ++
+      Seq(("x", null: String), (null: String, "y")) ++
+      (1 to 50).map(i => s"n$i" -> "hub")
+    val r = ranks(dup)
+    // duplicate a->b counts once: outdeg(a)=2, so b and c tie exactly
+    assert(r("b") == r("c"))
+    // null endpoints contribute no nodes
+    assert(!r.contains(null) && !r.contains("x") && !r.contains("y"))
+    // the 50-in-degree hub outranks everything
+    assert(r("hub") == r.values.max)
+  }
+
+  test("pageRankExact guards: iterations and damping validated") {
+    val e = Seq("a" -> "b").toDF("s", "d")
+    intercept[IllegalArgumentException](Graph.pageRankExact(e, "s", "d", iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRankExact(e, "s", "d", dampNum = 100))
+  }
 }

@@ -79,4 +79,47 @@ class HtmlSpec extends SparkSpec {
     val out = spark.sql("SELECT graft_html_text('<p>a</p><p>b</p>') AS t").head().getString(0)
     assert(out == "a b")
   }
+
+  // ------------------------------------------------------------------
+  // link extraction
+  // ------------------------------------------------------------------
+
+  private def links(html: String): Seq[String] =
+    Seq(Tuple1(html)).toDF("h").select(HtmlExprs.htmlLinks($"h"))
+      .head().getSeq[String](0)
+
+  test("hrefs extracted in document order; quoting forms all work") {
+    assert(links("""<a href="https://a.com/1">x</a><a href='/two'>y</a><a href=/three>z</a>""")
+      == Seq("https://a.com/1", "/two", "/three"))
+  }
+
+  test("attr name is case-insensitive; other attrs and quoted '>' skipped over") {
+    assert(links("""<a HREF="/up">x</a>""") == Seq("/up"))
+    assert(links("""<a title="a>b" rel=nofollow href="/tricky">x</a>""") == Seq("/tricky"))
+  }
+
+  test("entity-encoded hrefs decode under the text rules") {
+    assert(links("""<a href="/r?a=1&amp;b=2">x</a>""") == Seq("/r?a=1&b=2"))
+    assert(links("""<a href="/r?a=1&b=2">x</a>""") == Seq("/r?a=1&b=2")) // bare & is literal
+  }
+
+  test("anchors inside comments and script/style bodies are not links") {
+    assert(links("""a<!-- <a href="/no">x</a> -->b<a href="/yes">c</a>""") == Seq("/yes"))
+    assert(links("""<script>var s='<a href="/no">';</script><a href="/yes">c</a>""") == Seq("/yes"))
+  }
+
+  test("anchor without href, empty href, and closing tags contribute nothing") {
+    assert(links("""<a name="top">x</a><a href="">y</a></a>""") == Seq.empty)
+    assert(links("no markup at all") == Seq.empty)
+  }
+
+  test("first href wins on duplicate attributes (browser behavior)") {
+    assert(links("""<a href="/first" href="/second">x</a>""") == Seq("/first"))
+  }
+
+  test("unterminated tag yields no link; null input is null") {
+    assert(links("""<a href="/dangling""") == Seq.empty)
+    val r = Seq(Tuple1(null: String)).toDF("h").select(HtmlExprs.htmlLinks($"h")).head()
+    assert(r.isNullAt(0))
+  }
 }
