@@ -96,6 +96,12 @@ object GraftSqlFunctions {
     ("graft_html_links", "(string)", {
       case Seq(h) => HtmlLinks(h)
     }),
+    ("graft_html_anchors", "(string)", {
+      case Seq(h) => HtmlAnchors(h)
+    }),
+    ("graft_html_main_text", "(string, int, int)", {
+      case Seq(h, m, p) => HtmlMainText(h, m, p)
+    }),
     ("graft_robots_allowed", "(string, string, string)", {
       case Seq(r, a, p) => RobotsAllowed(r, a, p)
     })

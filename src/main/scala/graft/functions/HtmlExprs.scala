@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML → text extraction — the intake step between WARC record splitting
@@ -47,6 +48,26 @@ object HtmlSupport {
   }
 
   private def isWs(c: Char): Boolean = c <= ' ' || c == '\u00A0'
+
+  /** Collapse whitespace runs (incl. NBSP) to single spaces and trim \u2014
+    * the rendered-text canonical form shared by [[extract]] and the
+    * per-block texts of [[mainText]].
+    */
+  private def canonWs(sb: CharSequence): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var m = 0
+    var pendingSpace = false
+    while (m < sb.length) {
+      val ch = sb.charAt(m)
+      if (isWs(ch)) pendingSpace = out.length() > 0
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(ch)
+      }
+      m += 1
+    }
+    out.toString
+  }
 
   /** Character reference starting at `s(i) == '&'`: the replacement string
     * and the index just past the `;`, or null when the form is invalid \u2014
@@ -163,20 +184,7 @@ object HtmlSupport {
         sb.append(c); i += 1
       }
     }
-    // collapse whitespace runs (incl. NBSP) to single spaces, trim
-    val out = new java.lang.StringBuilder(sb.length)
-    var m = 0
-    var pendingSpace = false
-    while (m < sb.length) {
-      val ch = sb.charAt(m)
-      if (isWs(ch)) pendingSpace = out.length() > 0
-      else {
-        if (pendingSpace) { out.append(' '); pendingSpace = false }
-        out.append(ch)
-      }
-      m += 1
-    }
-    UTF8String.fromString(out.toString)
+    UTF8String.fromString(canonWs(sb))
   }
 
   /** `href` values of `<a>` tags in document order — the crawl frontier /
@@ -242,6 +250,197 @@ object HtmlSupport {
       }
     }
     new GenericArrayData(out.toArray())
+  }
+
+  /** Shape of one extracted anchor: the (entity-decoded) href and the
+    * RENDERED text of the element body under [[extract]]'s rules — so the
+    * anchor-text signal hashes identically to what the text extractor
+    * would produce for the same markup (`<b>ref</b> 3&amp;z` → `ref 3&z`).
+    */
+  val anchorType: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** `<a>` anchors with BOTH href and rendered body text, in document
+    * order — the anchor-text signal: the text other pages use to describe
+    * a link TARGET is a classic relevance/label source at corpus scale,
+    * aggregated per target host/URL (q140). Structural rules are exactly
+    * [[links]]' (comment/script/style bodies excluded, href forms,
+    * entity decoding); the body runs to the matching `</a>`, or to the
+    * next `<a` open tag (anchors cannot nest, so browsers auto-close), or
+    * to end of input, and renders under [[extract]] so nested inline
+    * markup and character references behave identically to page text.
+    * Anchors without an href (or with an empty one) are not links and are
+    * skipped; a link with an empty body keeps href with `text = ""`.
+    */
+  def anchors(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val out = new java.util.ArrayList[InternalRow]()
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else {
+        var j = lt + 1
+        var closing = false
+        if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+        val ns = j
+        while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+        val name = s.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+        var q = 0.toChar
+        var end = -1
+        var k = j
+        while (end < 0 && k < n) {
+          val ck = s.charAt(k)
+          if (q != 0) { if (ck == q) q = 0.toChar }
+          else if (ck == '"' || ck == '\'') q = ck
+          else if (ck == '>') end = k
+          k += 1
+        }
+        if (!closing && name == "a" && end >= 0) {
+          val href = findHref(s, j, end)
+          if (href != null && href.nonEmpty) {
+            // body: to the matching </a>, the next <a (no nesting), or EOF
+            var m = end + 1
+            var stop = -1
+            while (stop < 0 && m + 2 <= n) {
+              if (s.regionMatches(true, m, "</a", 0, 3) &&
+                (m + 3 >= n || !Character.isLetterOrDigit(s.charAt(m + 3)))) stop = m
+              else if (s.regionMatches(true, m, "<a", 0, 2) &&
+                (m + 2 >= n || !Character.isLetterOrDigit(s.charAt(m + 2)))) stop = m
+              else m += 1
+            }
+            val body = s.substring(end + 1, if (stop < 0) n else stop)
+            val text = extract(UTF8String.fromString(body))
+            out.add(new GenericInternalRow(
+              Array[Any](UTF8String.fromString(href), text)))
+          }
+        }
+        i = if (end < 0) n else end + 1
+        if (!closing && (name == "script" || name == "style") &&
+          end >= 0 && s.charAt(end - 1) != '/') {
+          val target = "</" + name
+          var m = i
+          var stop = -1
+          while (stop < 0 && m + target.length <= n) {
+            if (s.regionMatches(true, m, target, 0, target.length)) stop = m
+            else m += 1
+          }
+          i = if (stop < 0) n
+          else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray())
+  }
+
+  /** Main-content text of a page: boilerplate removal by the classic
+    * block-level heuristics (jusText, Pomikálek 2011; boilerpipe,
+    * Kohlschütter et al. WSDM 2010) — navigation, menus, and footers are
+    * short and link-dense, article text is long and link-sparse. The page
+    * splits into blocks at block-level tag boundaries; each block's
+    * rendered text (same rules as [[extract]]) is kept iff it has at least
+    * `minChars` characters AND its link density — anchor-text chars ×1000 /
+    * total chars, exact integer permille — is at most `maxLinkPermille`.
+    * Kept blocks join with a single `\n` in document order. Inline links
+    * inside a long paragraph survive (their text is part of the flow);
+    * a menu bar of five anchors dies on density; a one-line footer dies
+    * on length. Never null for non-null input — a page with no qualifying
+    * block is the empty string, so downstream length/quality gates (not a
+    * NULL check) decide the doc's fate.
+    *
+    * This is THE cleaning step between crawl intake and every text
+    * operator at corpus scale: boilerplate is the dominant source of
+    * cross-doc repeated substrings (q103's worst offenders) and defeats
+    * near-dup thresholds by diluting real content; removing it scan-side
+    * costs one linear pass inside whole-stage codegen.
+    */
+  def mainText(html: UTF8String, minChars: Int, maxLinkPermille: Int): UTF8String = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val block = new java.lang.StringBuilder()
+    val anchor = new java.lang.StringBuilder()
+    var anchorDepth = 0
+    def flush(): Unit = {
+      val txt = canonWs(block)
+      if (txt.length >= minChars && txt.nonEmpty) {
+        val linkChars = canonWs(anchor).length
+        if (linkChars.toLong * 1000 <= maxLinkPermille.toLong * txt.length) {
+          if (out.length() > 0) out.append('\n')
+          out.append(txt)
+        }
+      }
+      block.setLength(0)
+      anchor.setLength(0)
+    }
+    def emit(str: String): Unit = {
+      block.append(str)
+      if (anchorDepth > 0) anchor.append(str)
+    }
+    def emitC(ch: Char): Unit = {
+      block.append(ch)
+      if (anchorDepth > 0) anchor.append(ch)
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          var j = i + 1
+          var closing = false
+          if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+          val ns = j
+          while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          val name = s.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+          var q = 0.toChar
+          var end = -1
+          var k = j
+          while (end < 0 && k < n) {
+            val ck = s.charAt(k)
+            if (q != 0) { if (ck == q) q = 0.toChar }
+            else if (ck == '"' || ck == '\'') q = ck
+            else if (ck == '>') end = k
+            k += 1
+          }
+          val selfClosed = end >= 0 && s.charAt(end - 1) == '/'
+          i = if (end < 0) n else end + 1
+          if (!closing && (name == "script" || name == "style") && end >= 0 && !selfClosed) {
+            val target = "</" + name
+            var m = i
+            var stop = -1
+            while (stop < 0 && m + target.length <= n) {
+              if (s.regionMatches(true, m, target, 0, target.length)) stop = m
+              else m += 1
+            }
+            i = if (stop < 0) n
+            else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+          }
+          if (name == "a") {
+            if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+            else if (!selfClosed) anchorDepth += 1
+          }
+          if (name.nonEmpty && BlockTags.contains(name)) flush()
+        }
+      } else if (c == '&') {
+        val r = charRef(s, i)
+        if (r != null) { emit(r._1); i = r._2 }
+        else { emitC('&'); i += 1 }
+      } else {
+        emitC(c); i += 1
+      }
+    }
+    flush()
+    UTF8String.fromString(out.toString)
   }
 
   /** Value of the (case-insensitive) `href` attribute in `s[from, to)`,
@@ -332,9 +531,82 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → array<struct<href,text>> of anchors in document order
+  * (codegen-enabled); empty array for anchor-free pages.
+  */
+case class HtmlAnchors(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(HtmlSupport.anchorType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_html_anchors requires string input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlSupport.anchors(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlSupport.anchors($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
+    copy(child = newChild)
+}
+
+/** (html, minChars, maxLinkPermille) → main-content string (codegen-
+  * enabled); empty string when no block qualifies, NULL only for NULL
+  * input.
+  */
+case class HtmlMainText(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_html_main_text requires (string, int, int), got " +
+            s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override protected def nullSafeEval(html: Any, minChars: Any, maxPm: Any): Any =
+    HtmlSupport.mainText(
+      html.asInstanceOf[UTF8String],
+      minChars.asInstanceOf[Int],
+      maxPm.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (h, m, p) => s"${ev.value} = graft.functions.HtmlSupport.mainText($h, $m, $p);"
+    )
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): HtmlMainText = copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object HtmlExprs {
   def htmlText(html: Column): Column =
     ColumnShim.column(HtmlText(ColumnShim.expression(html)))
   def htmlLinks(html: Column): Column =
     ColumnShim.column(HtmlLinks(ColumnShim.expression(html)))
+  def htmlAnchors(html: Column): Column =
+    ColumnShim.column(HtmlAnchors(ColumnShim.expression(html)))
+  def htmlMainText(html: Column, minChars: Column, maxLinkPermille: Column): Column =
+    ColumnShim.column(HtmlMainText(
+      ColumnShim.expression(html),
+      ColumnShim.expression(minChars),
+      ColumnShim.expression(maxLinkPermille)))
 }

@@ -1223,7 +1223,53 @@ object TextQueries {
     """.trim)
   )
 
+  /** Main-content extraction ([[graft.functions.HtmlSupport.mainText]]) —
+    * boilerplate removal between crawl intake (q135/q136) and every text
+    * operator: block-level link-density + length gates (jusText/boilerpipe
+    * heuristics) drop navigation and footers, keep article paragraphs.
+    * Each doc's page carries a five-anchor menu bar (dies on link density:
+    * 875‰ > 500‰), two real paragraphs — one with an inline citation link
+    * that must SURVIVE (its text is part of the flow) — and a short footer
+    * (dies on the 20-char minimum). The oracle reassembles the expected
+    * two-paragraph main text from the same construction and md5-compares:
+    * a density formula off by one, a block boundary missed, or boilerplate
+    * leaking through shifts every hash.
+    */
+  private val q141 = Q(
+    "q141_html_main_text",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.HtmlExprs
+      val id = $"doc_id".cast("string")
+      val page = concat(
+        lit("<html><body><div><a href=\"/m1\">Menu</a> <a href=\"/m2\">About</a> " +
+          "<a href=\"/m3\">Contact</a> <a href=\"/m4\">Careers</a> " +
+          "<a href=\"/m5\">Press</a></div><p>Paragraph one of document "),
+        id, lit(" cites <a href=\"/ref/"), id, lit("\">reference "),
+        ($"doc_id" % 9).cast("string"),
+        lit("</a> inline.</p><p>Paragraph two of document "), id,
+        lit(" adds detail beyond the fold.</p>" +
+          "<div>© 2026 corp</div></body></html>"))
+      T.documents
+        .select($"doc_id", HtmlExprs.htmlMainText(page, lit(20), lit(500)).as("x"))
+        .select($"doc_id", md5($"x").as("main_md5"),
+          length($"x").cast("long").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH e AS (SELECT doc_id,
+                        'Paragraph one of document ' || doc_id ||
+                        ' cites reference ' || (doc_id % 9) || ' inline.' ||
+                        chr(10) ||
+                        'Paragraph two of document ' || doc_id ||
+                        ' adds detail beyond the fold.' AS x
+                 FROM documents)
+      SELECT doc_id, md5(x) AS main_md5, CAST(len(x) AS BIGINT) AS n_chars
+      FROM e ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
-      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136)
+      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141)
 }

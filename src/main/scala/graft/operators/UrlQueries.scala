@@ -412,5 +412,58 @@ object UrlQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139)
+  /** Anchor-text aggregation per target host
+    * ([[graft.functions.HtmlSupport.anchors]]) — the classic web-corpus
+    * signal: the text OTHER pages use when linking to a target describes
+    * the target better than the target describes itself (it feeds search
+    * relevance, page labeling, and query-document training pairs). Each
+    * doc's page carries two anchors — a plain one and one whose body mixes
+    * nested inline markup with an entity (`<b>ref</b> N&amp;z`), so the
+    * rendered anchor text exercises the extractor rules — plus a comment
+    * decoy that must not contribute. The engine runs the real path (render
+    * → anchors → host parse → one hash aggregate per host); the oracle
+    * derives both (host, text) rows per doc arithmetically. Host count ≪
+    * docs, so the aggregate output is tiny however large the crawl.
+    */
+  private val q140 = Q(
+    "q140_anchor_text",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val page = concat(
+        lit("<html><body><!-- <a href=\"https://decoy.example.org/\">no</a> -->" +
+          "<a href=\"https://h"),
+        ($"doc_id" % 97).cast("string"),
+        lit(".example.org/x\">site "), ($"doc_id" % 7).cast("string"),
+        lit("</a> and <a href='https://h"),
+        (($"doc_id" * 3 + 1) % 97).cast("string"),
+        lit(".example.org/y'><b>ref</b> "), ($"doc_id" % 5).cast("string"),
+        lit("&amp;z</a></body></html>"))
+      T.documents
+        .select(explode(graft.functions.HtmlExprs.htmlAnchors(page)).as("a"))
+        .select(
+          regexp_extract($"a.href", "^https://([^/]+)/", 1).as("host"),
+          $"a.text".as("anchor_text"))
+        .groupBy($"host")
+        .agg(
+          count(lit(1)).as("n_links"),
+          array_join(array_sort(collect_set($"anchor_text")), "|").as("texts"))
+        .orderBy($"host")
+    },
+    Some("""
+      WITH a AS (
+        SELECT 'h' || (doc_id % 97) || '.example.org' AS host,
+               'site ' || (doc_id % 7) AS text
+        FROM documents
+        UNION ALL
+        SELECT 'h' || ((doc_id * 3 + 1) % 97) || '.example.org' AS host,
+               'ref ' || (doc_id % 5) || '&z' AS text
+        FROM documents)
+      SELECT host, COUNT(*) AS n_links,
+             string_agg(DISTINCT text, '|' ORDER BY text) AS texts
+      FROM a GROUP BY host ORDER BY host
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140)
 }

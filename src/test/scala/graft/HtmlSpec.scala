@@ -122,4 +122,76 @@ class HtmlSpec extends SparkSpec {
     val r = Seq(Tuple1(null: String)).toDF("h").select(HtmlExprs.htmlLinks($"h")).head()
     assert(r.isNullAt(0))
   }
+
+  private def anchors(html: String): Seq[(String, String)] =
+    Seq(Tuple1(html)).toDF("h").select(HtmlExprs.htmlAnchors($"h"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+
+  test("anchor text renders under the extractor rules (nested inline tags, entities)") {
+    assert(anchors("""<a href="/x"><b>ref</b> 3&amp;z</a>""") == Seq(("/x", "ref 3&z")))
+    assert(anchors("""<a href="/x">  spaced   out  </a>""") == Seq(("/x", "spaced out")))
+  }
+
+  test("anchor body ends at </a>, at the next <a (no nesting), or at EOF") {
+    assert(anchors("""<a href="/x">one</a>tail""") == Seq(("/x", "one")))
+    assert(anchors("""<a href="/x">one<a href="/y">two</a>""")
+      == Seq(("/x", "one"), ("/y", "two")))
+    assert(anchors("""<a href="/x">runs to the end""") == Seq(("/x", "runs to the end")))
+  }
+
+  test("hrefless anchors skipped; empty body keeps href with empty text; decoys excluded") {
+    assert(anchors("""<a name="top">x</a><a href="/y"></a>""") == Seq(("/y", "")))
+    assert(anchors("""<!-- <a href="/no">x</a> --><script>'<a href="/no">'</script>""")
+      == Seq.empty)
+  }
+
+  test("anchors agree with links on the href sequence") {
+    val page = """<a href="https://a.com/1">x</a><a href='/two&amp;t'>y</a><a href=/three>z</a>"""
+    assert(anchors(page).map(_._1) == links(page))
+  }
+
+  private def mainText(html: String, minChars: Int = 20, maxPm: Int = 500): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(HtmlExprs.htmlMainText($"h", lit(minChars), lit(maxPm)))
+      .head().getString(0)
+
+  test("mainText drops link-dense nav blocks and short footers, keeps paragraphs") {
+    val page =
+      """<div><a href="/m1">Menu</a> <a href="/m2">About</a> <a href="/m3">Contact</a>""" +
+        """ <a href="/m4">Careers</a> <a href="/m5">Press</a></div>""" +
+        """<p>This long paragraph is the actual article content of the page.</p>""" +
+        """<div>© 2026 corp</div>"""
+    assert(mainText(page) == "This long paragraph is the actual article content of the page.")
+  }
+
+  test("mainText keeps an inline link inside a long paragraph (low density)") {
+    val page = """<p>A long sentence that happens to cite <a href="/ref">one reference</a>""" +
+      """ in passing and keeps flowing afterwards.</p>"""
+    assert(mainText(page) ==
+      "A long sentence that happens to cite one reference in passing and keeps flowing afterwards.")
+  }
+
+  test("mainText joins kept blocks with newline in document order") {
+    val page = "<p>First real paragraph with enough characters.</p>" +
+      "<p>tiny</p><p>Second real paragraph with enough characters.</p>"
+    assert(mainText(page) ==
+      "First real paragraph with enough characters.\nSecond real paragraph with enough characters.")
+  }
+
+  test("mainText: density is exact permille; boundary cases sit on the documented side") {
+    // 10 anchor chars of 20 total = 500 permille — kept at maxPm=500, dropped at 499
+    val page = """<p>xxxxxxxxx <a href="/r">yyyyyyyyyy</a></p>"""
+    assert(mainText(page, minChars = 10, maxPm = 500) == "xxxxxxxxx yyyyyyyyyy")
+    assert(mainText(page, minChars = 10, maxPm = 499) == "")
+  }
+
+  test("mainText: entities and script/comment bodies behave like the extractor; null is null") {
+    val page = "<p>Entity &amp; ref paragraph long enough to keep here.</p>" +
+      "<script>var x = '<p>not content</p>';</script><!-- <p>ghost</p> -->"
+    assert(mainText(page) == "Entity & ref paragraph long enough to keep here.")
+    val r = Seq(Tuple1(null: String)).toDF("h")
+      .select(HtmlExprs.htmlMainText($"h", lit(20), lit(500))).head()
+    assert(r.isNullAt(0))
+  }
 }
