@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HtmlExprs, RobotsExprs, WarcExprs}
+
+/** Crawl-archive → corpus intake, composed end to end from the round-11
+  * web operators — the stage that runs BEFORE [[TrainingPipeline.prepare]]
+  * and produces its `docs` input plus the crawl frontier:
+  *
+  *   1. WARC record split     ([[graft.functions.WarcSupport]], q135) —
+  *                            length-driven byte walk; a malformed blob
+  *                            NULLs out whole-file, never kills the scan
+  *   2. robots.txt gate       ([[graft.functions.RobotsSupport]], q139) —
+  *                            host-keyed politeness verdict as a column;
+  *                            a host with no robots row allows everything
+  *                            (RFC 9309 §2.3.1: unreachable rules absent)
+  *   3. main-content extract  ([[graft.functions.HtmlSupport.mainText]],
+  *                            q141) — boilerplate dies here, BEFORE any
+  *                            content-keyed operator pays a shuffle for it
+  *   4. canonical-URL dedup   ([[UrlOps.canonicalUrlDedup]], q119) —
+  *                            keep-best per canonical URL (longest main
+  *                            text wins, URL string breaks ties)
+  *
+  * and, from the SURVIVORS only, the two downstream feeds:
+  *   - docs     (url, host, canonical_url, text) → TrainingPipeline
+  *   - frontier (src_url, href)                  → the next crawl round
+  *     ([[graft.functions.HtmlSupport.links]], q137; rank the hosts with
+  *     [[Graph.pageRankExact]], q138)
+  *
+  * Ordering is deliberate, same argument as the training pipeline's:
+  * per-row verdicts (robots, content) run at the scan so the one shuffle
+  * in the composition — the canonical-URL window — sees only fetchable
+  * pages with real content; link extraction runs LAST so a page dropped
+  * by politeness or dedup cannot feed the frontier.
+  *
+  * Shuffle inventory: stages 1–3 are scan-side codegen (zero exchanges);
+  * stage 4 is one hash exchange on canonical_url (group size bounded by
+  * re-crawl policy); the audit adds one count aggregate per stage over
+  * the persisted survivor frame. The robots join broadcasts: the robots
+  * table is one row per HOST — at 100 TB of pages still orders of
+  * magnitude smaller than the crawl.
+  */
+object WebIntake {
+
+  final case class Config(
+      agent: String = "graftbot",
+      minBlockChars: Int = 20,
+      maxLinkPermille: Int = 500,
+      minDocChars: Int = 1)
+
+  /** @param crawl      one row per crawl file, `contentCol` holding the
+    *                    raw WARC bytes
+    * @param robots     (host, robots_txt) politeness side table
+    * @return (docs, frontier, audit): the corpus frame, the out-link feed
+    *         from surviving docs, and (stage, rows) counts
+    */
+  def ingest(
+      crawl: DataFrame,
+      contentCol: String,
+      robots: DataFrame,
+      cfg: Config = Config()
+  ): (DataFrame, DataFrame, DataFrame) = {
+    require(Seq("host", "robots_txt").forall(robots.columns.contains),
+      "robots must carry (host, robots_txt)")
+
+    val records = crawl
+      .select(explode(WarcExprs.warcRecords(col(contentCol))).as("r"))
+      .select(col("r.target_uri").as("url"), col("r.payload").cast("string").as("html"))
+      .filter(col("url").isNotNull)
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      .withColumn("path",
+        when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", "/")
+          .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
+
+    // politeness: broadcast the host-keyed robots table; no row → allowed
+    val polite = records
+      .join(broadcast(robots.select(col("host"), col("robots_txt"))), Seq("host"), "left")
+      .filter(coalesce(
+        RobotsExprs.robotsAllowed(col("robots_txt"), lit(cfg.agent), col("path")),
+        lit(true)))
+      .drop("robots_txt", "path")
+
+    val contentful = polite
+      .withColumn("text",
+        HtmlExprs.htmlMainText(col("html"), lit(cfg.minBlockChars), lit(cfg.maxLinkPermille)))
+      .filter(length(col("text")) >= cfg.minDocChars)
+
+    val survivors = UrlOps
+      .canonicalUrlDedup(contentful, "url", col("url"), length(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val docs = survivors.select(col("url"), col("host"), col("canonical_url"), col("text"))
+    val frontier = survivors
+      .select(col("url").as("src_url"), explode(HtmlExprs.htmlLinks(col("html"))).as("href"))
+
+    val audit = Seq(
+      "1_crawl_files" -> crawl,
+      "2_records" -> records,
+      "3_robots_allowed" -> polite,
+      "4_with_content" -> contentful,
+      "5_url_deduped" -> survivors
+    ).map { case (stage, df) =>
+      df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows"))
+    }.reduce(_ unionByName _)
+
+    (docs, frontier, audit)
+  }
+}

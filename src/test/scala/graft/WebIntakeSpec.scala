@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.WebIntake
+import org.apache.spark.sql.functions._
+
+/** End-to-end crawl intake: WARC split → robots gate → main-content
+  * extract → canonical-URL dedup → docs + frontier, with per-stage audit.
+  */
+class WebIntakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nav =
+    """<div><a href="/m1">Menu</a> <a href="/m2">About</a> <a href="/m3">Contact</a>""" +
+      """ <a href="/m4">Careers</a> <a href="/m5">Press</a></div>"""
+
+  private def rec(url: String, html: String): String =
+    s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+      s"Content-Length: ${html.getBytes("UTF-8").length}\r\n\r\n$html\r\n\r\n"
+
+  private val page0 = nav +
+    "<p>Document zero main paragraph with plenty of characters to keep.</p>" +
+    """<a href="https://c.example.org/next">more</a>"""
+  private val page1 = nav + "<p>Private page one content that robots must block.</p>"
+  private val page2 = nav + "<p>Document two main paragraph with plenty of characters.</p>"
+  private val page3 = nav + "<p>Shorter main paragraph here ok.</p>" // canonical dup of page0, lower quality
+  private val page4 = nav // boilerplate-only: no main content
+
+  private def crawl = Seq(
+    rec("https://a.example.org/page0", page0) +
+      rec("https://b.example.org/private/p1", page1) +
+      rec("https://b.example.org/ok/p2", page2),
+    rec("https://www.a.example.org/page0?utm_source=x", page3) +
+      rec("https://a.example.org/navonly", page4),
+    "this is not a WARC file at all"
+  ).toDF("raw").select($"raw".cast("binary").as("content"))
+
+  private def robots = Seq(
+    ("b.example.org", "User-agent: *\nDisallow: /private\n")
+  ).toDF("host", "robots_txt")
+
+  test("stages drop for the right reasons; audit counts every boundary") {
+    val (docs, frontier, audit) = WebIntake.ingest(crawl, "content", robots)
+    val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      "1_crawl_files" -> 3L, // incl. the malformed blob
+      "2_records" -> 5L, // malformed file contributes zero records, kills nothing
+      "3_robots_allowed" -> 4L, // /private/p1 dies on the b.example.org rules
+      "4_with_content" -> 3L, // the nav-only page dies on empty main text
+      "5_url_deduped" -> 2L // www+utm variant canonicalizes onto page0, loses on length
+    ))
+    assert(docs.select($"url").as[String].collect().sorted.toSeq ==
+      Seq("https://a.example.org/page0", "https://b.example.org/ok/p2"))
+  }
+
+  test("docs carry boilerplate-free text keyed by canonical URL") {
+    val (docs, _, _) = WebIntake.ingest(crawl, "content", robots)
+    val row = docs.filter($"url" === "https://a.example.org/page0")
+      .select($"canonical_url", $"text", $"host").head()
+    assert(row.getString(0) == "https://a.example.org/page0")
+    // the trailing bare "more" anchor is its own tagless block: 4 chars,
+    // under the 20-char minimum, so it is boilerplate-dropped
+    assert(row.getString(1) ==
+      "Document zero main paragraph with plenty of characters to keep.")
+    assert(row.getString(2) == "a.example.org")
+  }
+
+  test("frontier comes from survivors only and sees every anchor on them") {
+    val (_, frontier, _) = WebIntake.ingest(crawl, "content", robots)
+    val links = frontier.as[(String, String)].collect().toSet
+    assert(links.contains(("https://a.example.org/page0", "https://c.example.org/next")))
+    // nav links on survivors feed the frontier too (they are real anchors)
+    assert(links.contains(("https://b.example.org/ok/p2", "/m1")))
+    // no frontier rows from robots-blocked, contentless, or deduped pages
+    assert(frontier.select($"src_url").distinct().as[String].collect().toSet ==
+      Set("https://a.example.org/page0", "https://b.example.org/ok/p2"))
+  }
+
+  test("missing robots row allows; a matching Allow carve-out beats a shorter Disallow") {
+    val carved = Seq(
+      ("b.example.org", "User-agent: *\nDisallow: /private\nAllow: /private/p1\n")
+    ).toDF("host", "robots_txt")
+    val (docs, _, _) = WebIntake.ingest(crawl, "content", carved)
+    assert(docs.filter($"url" === "https://b.example.org/private/p1").count() == 1)
+  }
+
+  test("the docs output feeds TrainingPipeline.prepare unchanged") {
+    val (docs, _, _) = WebIntake.ingest(crawl, "content", robots)
+    // the bench frame shares the corpus's (idCol, textCol) shape
+    val bench = Seq(("bench-1", "benchmark question nothing shares")).toDF("url", "text")
+    val cfg = graft.operators.TrainingPipeline.Config(
+      corpus = graft.operators.CorpusPipeline.Config(minTokens = 3, minQuality = 0.0))
+    val (chunks, audit) = graft.operators.TrainingPipeline.prepare(
+      docs, bench, "url", "text", cfg)
+    assert(audit.filter($"stage" === "1_input").head().getLong(1) == 2L)
+    assert(chunks.select($"doc_id").distinct().count() == 2L)
+  }
+}
