@@ -75,7 +75,16 @@ object ScaleBench {
     // walks whose fixture AND parse both scale with corpus bytes
     "q134_paragraph_dedup",
     "q135_warc_records",
-    "q136_html_extract"
+    "q136_html_extract",
+    // round-11 web family: link/anchor extraction and main-content are
+    // scan-side page walks (fixture and parse both scale with corpus
+    // rows); PageRank's shuffles are GRAPH-sized — the construction pins
+    // hosts at 199 whatever the corpus, so its curve isolates the
+    // corpus-scan edge derivation from the fixed-size iterate
+    "q137_html_links",
+    "q138_host_pagerank",
+    "q140_anchor_text",
+    "q141_html_main_text"
   )
 
   private val IdOffset = 100000000L

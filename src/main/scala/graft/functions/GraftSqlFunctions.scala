@@ -104,6 +104,12 @@ object GraftSqlFunctions {
     }),
     ("graft_robots_allowed", "(string, string, string)", {
       case Seq(r, a, p) => RobotsAllowed(r, a, p)
+    }),
+    ("graft_robots_crawl_delay_ms", "(string, string)", {
+      case Seq(r, a) => RobotsCrawlDelayMs(r, a)
+    }),
+    ("graft_robots_sitemaps", "(string)", {
+      case Seq(r) => RobotsSitemaps(r)
     })
   )
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -115,6 +115,100 @@ object RobotsSupport {
     bestLen < 0 || bestAllow
   }
 
+  /** Effective Crawl-delay for `agent` in milliseconds, or null when no
+    * applicable group sets one (or the value is not a number). Crawl-delay
+    * is a de-facto extension (honored by Bing/Yandex, ignored by Google),
+    * not part of RFC 9309 — but a polite crawler's rate limiter wants it
+    * as a host column the same way the fetch gate wants [[allowed]].
+    * Group selection mirrors [[allowed]] (exact product-token groups beat
+    * `*`; all matching groups merge); when several matching groups set a
+    * delay the LARGEST wins — the most conservative reading. Values are
+    * decimal seconds (fractional is common: `Crawl-delay: 1.5`), reported
+    * as whole milliseconds. Unlike unknown keys, a Crawl-delay line ends a
+    * run of User-agent lines — it belongs to the group it follows.
+    */
+  def crawlDelayMs(robots: UTF8String, agent: UTF8String): java.lang.Long = {
+    if (robots == null || agent == null) return null
+    val agentTok = agent.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots.toString.split("\r\n|\n|\r", -1)
+    var exactBest = -1L
+    var starBest = -1L
+    var sawExactGroup = false
+    var inAgentLines = false
+    var groupExact = false
+    var groupStar = false
+    var i = 0
+    while (i < lines.length) {
+      var line = lines(i)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inAgentLines) {
+                inAgentLines = true
+                groupExact = false
+                groupStar = false
+              }
+              val v = value.toLowerCase(java.util.Locale.ROOT)
+              if (v == agentTok) { groupExact = true; sawExactGroup = true }
+              else if (v == "*") groupStar = true
+            case "allow" | "disallow" =>
+              inAgentLines = false
+            case "crawl-delay" =>
+              inAgentLines = false
+              val ms =
+                try {
+                  val secs = java.lang.Double.parseDouble(value)
+                  if (secs >= 0 && secs.isFinite) math.round(secs * 1000) else -1L
+                } catch { case _: NumberFormatException => -1L }
+              if (ms >= 0) {
+                if (groupExact && ms > exactBest) exactBest = ms
+                if (groupStar && ms > starBest) starBest = ms
+              }
+            case _ => ()
+          }
+        }
+      }
+      i += 1
+    }
+    val best = if (sawExactGroup) exactBest else starBest
+    if (best < 0) null else java.lang.Long.valueOf(best)
+  }
+
+  /** All `Sitemap:` URLs in the file, in file order. Per sitemaps.org the
+    * record is independent of any group — it applies to every agent — so
+    * this takes no agent argument and ignores grouping entirely. Empty
+    * array when none; a robots file is never a parse failure.
+    */
+  def sitemaps(robots: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (robots == null) return null
+    val lines = robots.toString.split("\r\n|\n|\r", -1)
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < lines.length) {
+      var line = lines(i)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        if (key == "sitemap") {
+          val value = line.substring(colon + 1).trim
+          if (value.nonEmpty) out.add(UTF8String.fromString(value))
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray())
+  }
+
   /** `*`/`$` pattern match with prefix semantics: an unanchored pattern P
     * behaves as the anchored `P*`. Iterative glob with single-star
     * backtracking — linear-ish in practice, patterns are short.
@@ -181,6 +275,74 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
   ): RobotsAllowed = copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** (robotsTxt, agent) → effective Crawl-delay in ms (codegen-enabled);
+  * NULL when no applicable group sets one — null is "no stated limit",
+  * distinct from 0 ("no delay requested"), so the rate-limiter policy
+  * (default delay? global cap?) stays with the caller.
+  */
+case class RobotsCrawlDelayMs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_robots_crawl_delay_ms requires (string, string), got " +
+            s"(${a.catalogString}, ${b.catalogString})")
+    }
+
+  override protected def nullSafeEval(robots: Any, agent: Any): Any =
+    RobotsSupport.crawlDelayMs(
+      robots.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("graftCrawlDelay")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (r, a) => s"""
+        java.lang.Long $tmp = graft.functions.RobotsSupport.crawlDelayMs($r, $a);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): RobotsCrawlDelayMs = copy(left = newLeft, right = newRight)
+}
+
+/** string → array<string> of Sitemap URLs in file order (codegen-enabled);
+  * empty array when the file lists none.
+  */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_robots_sitemaps requires string input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RobotsSupport.sitemaps(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RobotsSupport.sitemaps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
 object RobotsExprs {
   def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
     ColumnShim.column(
@@ -188,4 +350,9 @@ object RobotsExprs {
         ColumnShim.expression(robots),
         ColumnShim.expression(agent),
         ColumnShim.expression(path)))
+  def robotsCrawlDelayMs(robots: Column, agent: Column): Column =
+    ColumnShim.column(
+      RobotsCrawlDelayMs(ColumnShim.expression(robots), ColumnShim.expression(agent)))
+  def robotsSitemaps(robots: Column): Column =
+    ColumnShim.column(RobotsSitemaps(ColumnShim.expression(robots)))
 }

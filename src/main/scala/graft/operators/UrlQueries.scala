@@ -465,5 +465,51 @@ object UrlQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140)
+  /** Crawl-delay + sitemap discovery
+    * ([[graft.functions.RobotsSupport.crawlDelayMs]]/[[graft.functions.RobotsSupport.sitemaps]])
+    * — the politeness metadata next to q139's fetch verdict: the rate
+    * limiter wants the per-host delay as a column, the frontier wants the
+    * sitemap URLs. Three robots shapes per doc: a `*` group with a
+    * fractional delay (1.5 s → exactly 1500 ms) and one sitemap whose URL
+    * varies per doc; an exact graftbot group (2 s) that must BEAT a `*`
+    * group (10 s) while both of that file's sitemaps surface (sitemaps are
+    * group-independent); and a megabot-only file → NULL delay, zero
+    * sitemaps. The oracle is the construction-derived table on doc_id % 3
+    * — a group-selection slip, a seconds→ms rounding error, or a sitemap
+    * attributed to a group flips cells.
+    */
+  private val q142 = Q(
+    "q142_robots_politeness",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val robots = when($"doc_id" % 3 === 0,
+        concat(lit("User-agent: *\nCrawl-delay: 1.5\nSitemap: https://h"),
+          ($"doc_id" % 7).cast("string"), lit(".example.org/a.xml\n")))
+        .when($"doc_id" % 3 === 1,
+          lit("User-agent: graftbot\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 10\n" +
+            "Sitemap: https://s.example.org/b.xml\nSitemap: https://s.example.org/c.xml\n"))
+        .otherwise(lit("User-agent: megabot\nCrawl-delay: 9\n"))
+      val smaps = graft.functions.RobotsExprs.robotsSitemaps(robots)
+      T.documents
+        .select(
+          $"doc_id",
+          graft.functions.RobotsExprs.robotsCrawlDelayMs(robots, lit("graftbot"))
+            .as("delay_ms"),
+          size(smaps).cast("long").as("n_sitemaps"),
+          element_at(smaps, 1).as("first_map"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1500 WHEN 1 THEN 2000 END AS BIGINT) AS delay_ms,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) AS n_sitemaps,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.org/a.xml'
+               WHEN 1 THEN 'https://s.example.org/b.xml'
+             END AS first_map
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142)
 }

@@ -132,4 +132,52 @@ class RobotsSpec extends SparkSpec {
       .head().getBoolean(0)
     assert(!out)
   }
+
+  private def delay(robots: String, agent: String): Option[Long] = {
+    val row = Seq((robots, agent)).toDF("r", "a")
+      .select(RobotsExprs.robotsCrawlDelayMs($"r", $"a")).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  test("crawl-delay: exact group beats *, fractional seconds, largest merged value wins") {
+    val r = "User-agent: graftbot\nCrawl-delay: 1.5\n\nUser-agent: *\nCrawl-delay: 10\n"
+    assert(delay(r, "graftbot") == Some(1500L))
+    assert(delay(r, "otherbot") == Some(10000L))
+    val merged = "User-agent: graftbot\nCrawl-delay: 2\n" +
+      "User-agent: graftbot\nCrawl-delay: 5\nDisallow: /x\n"
+    assert(delay(merged, "graftbot") == Some(5000L)) // most conservative of the merged groups
+  }
+
+  test("crawl-delay: a delay line ends the UA run; absent or invalid means NULL") {
+    // bingbot's delay must not leak onto the * group that follows it
+    val r = "User-agent: bingbot\nCrawl-delay: 1\nUser-agent: *\nDisallow: /private\n"
+    assert(delay(r, "bingbot") == Some(1000L))
+    assert(delay(r, "otherbot") == None)
+    assert(delay("User-agent: *\nDisallow: /x\n", "bot") == None)
+    assert(delay("User-agent: *\nCrawl-delay: soon\n", "bot") == None)
+    assert(delay("User-agent: *\nCrawl-delay: -3\n", "bot") == None)
+    assert(delay("User-agent: megabot\nCrawl-delay: 9\n", "graftbot") == None)
+  }
+
+  private def maps(robots: String): Seq[String] =
+    Seq(Tuple1(robots)).toDF("r")
+      .select(RobotsExprs.robotsSitemaps($"r")).head().getSeq[String](0)
+
+  test("sitemaps: group-independent, file order, comments and CRLF tolerated") {
+    val r = "User-agent: a\nSitemap: https://x/s1.xml # first\r\n" +
+      "User-agent: b\nDisallow: /\nSitemap:https://x/s2.xml\nsitemap: https://x/s3.xml\n"
+    assert(maps(r) == Seq("https://x/s1.xml", "https://x/s2.xml", "https://x/s3.xml"))
+    assert(maps("User-agent: *\nDisallow: /\n") == Seq.empty)
+  }
+
+  test("SQL registration: crawl-delay and sitemaps") {
+    val d = spark
+      .sql("SELECT graft_robots_crawl_delay_ms('User-agent: *\nCrawl-delay: 2\n', 'bot') AS v")
+      .head().getLong(0)
+    assert(d == 2000L)
+    val s = spark
+      .sql("SELECT graft_robots_sitemaps('Sitemap: https://x/a.xml\n') AS v")
+      .head().getSeq[String](0)
+    assert(s == Seq("https://x/a.xml"))
+  }
 }
