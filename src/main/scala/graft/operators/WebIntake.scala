@@ -50,18 +50,38 @@ object WebIntake {
       maxLinkPermille: Int = 500,
       minDocChars: Int = 1)
 
+  /** The canonical-URL probe index over an [[ingest]] docs output, for the
+    * streaming twin ([[graft.streaming.Streams.intakeBatch]]): the docs
+    * frame is ALREADY keep-best per canonical URL, so the index is a pure
+    * projection — no second window, unlike
+    * [[UrlOps.canonicalUrlCorpusIndex]] over a raw corpus. Quality is the
+    * same `length(text)` the batch path keys on.
+    */
+  def urlIndex(docs: DataFrame): DataFrame =
+    docs.select(
+      col("canonical_url"),
+      col("url").as("corpus_id"),
+      length(col("text")).as("corpus_quality"))
+
   /** @param crawl      one row per crawl file, `contentCol` holding the
     *                    raw WARC bytes
     * @param robots     (host, robots_txt) politeness side table
     * @return (docs, frontier, audit): the corpus frame, the out-link feed
     *         from surviving docs, and (stage, rows) counts
     */
-  def ingest(
+  /** Stages 1–3 (all stateless, all scan-side): WARC split → robots gate →
+    * main-content extract — shared verbatim by the batch [[ingest]] and
+    * the streaming [[graft.streaming.Streams.intakeBatch]] twin so the two
+    * paths cannot drift. Returns (url, host, html, text); `audits` (when
+    * supplied, the batch path) receives the stage-boundary frames.
+    */
+  private[graft] def extractDocs(
       crawl: DataFrame,
       contentCol: String,
       robots: DataFrame,
-      cfg: Config = Config()
-  ): (DataFrame, DataFrame, DataFrame) = {
+      cfg: Config,
+      audits: Option[scala.collection.mutable.ArrayBuffer[(String, DataFrame)]] = None
+  ): DataFrame = {
     require(Seq("host", "robots_txt").forall(robots.columns.contains),
       "robots must carry (host, robots_txt)")
 
@@ -87,6 +107,23 @@ object WebIntake {
         HtmlExprs.htmlMainText(col("html"), lit(cfg.minBlockChars), lit(cfg.maxLinkPermille)))
       .filter(length(col("text")) >= cfg.minDocChars)
 
+    audits.foreach { buf =>
+      buf += ("2_records" -> records)
+      buf += ("3_robots_allowed" -> polite)
+      buf += ("4_with_content" -> contentful)
+    }
+    contentful
+  }
+
+  def ingest(
+      crawl: DataFrame,
+      contentCol: String,
+      robots: DataFrame,
+      cfg: Config = Config()
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+    val contentful = extractDocs(crawl, contentCol, robots, cfg, Some(stages))
+
     val survivors = UrlOps
       .canonicalUrlDedup(contentful, "url", col("url"), length(col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -95,15 +132,11 @@ object WebIntake {
     val frontier = survivors
       .select(col("url").as("src_url"), explode(HtmlExprs.htmlLinks(col("html"))).as("href"))
 
-    val audit = Seq(
-      "1_crawl_files" -> crawl,
-      "2_records" -> records,
-      "3_robots_allowed" -> polite,
-      "4_with_content" -> contentful,
-      "5_url_deduped" -> survivors
-    ).map { case (stage, df) =>
-      df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows"))
-    }.reduce(_ unionByName _)
+    val audit = (Seq("1_crawl_files" -> crawl) ++ stages.toSeq ++
+      Seq("5_url_deduped" -> survivors))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows"))
+      }.reduce(_ unionByName _)
 
     (docs, frontier, audit)
   }

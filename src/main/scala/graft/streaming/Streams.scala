@@ -444,6 +444,35 @@ object Streams {
   ): DataFrame =
     graft.operators.UrlOps.canonicalUrlProbeDedup(batch, idCol, urlCol, quality, index)
 
+  /** Per-batch crawl intake — the streaming twin of
+    * [[graft.operators.WebIntake.ingest]], for `foreachBatch` on a stream
+    * of raw WARC files: the stateless stages (record split, robots gate,
+    * main-content extract) run verbatim through the SHARED
+    * [[graft.operators.WebIntake.extractDocs]], and the one stateful stage
+    * — canonical-URL keep-best — probes a static
+    * [[graft.operators.UrlOps.canonicalUrlCorpusIndex]] built from the
+    * corpus snapshot, exactly like [[dedupUrlBatch]]. A batch doc survives
+    * iff it would survive the batch operator over corpus ∪ batch
+    * (parity-pinned in WebIntakeSpec). Stateless across batches — rebuild
+    * the index when the corpus snapshot advances.
+    *
+    * @return the batch's surviving docs frame
+    *         (url, host, canonical_url, text)
+    */
+  def intakeBatch(
+      crawlBatch: DataFrame,
+      contentCol: String,
+      robots: DataFrame,
+      urlIndex: DataFrame,
+      cfg: graft.operators.WebIntake.Config = graft.operators.WebIntake.Config()
+  ): DataFrame = {
+    val contentful =
+      graft.operators.WebIntake.extractDocs(crawlBatch, contentCol, robots, cfg)
+    graft.operators.UrlOps
+      .canonicalUrlProbeDedup(contentful, "url", col("url"), length(col("text")), urlIndex)
+      .select(col("url"), col("host"), col("canonical_url"), col("text"))
+  }
+
   /** Per-batch video-content dup probe against a static
     * [[graft.operators.Dedup.videoCorpusIndex]] — the video member of the
     * probe family ([[probePhotoBatch]]/[[probeAudioBatch]]): stateless,

@@ -83,6 +83,49 @@ class WebIntakeSpec extends SparkSpec {
     assert(docs.filter($"url" === "https://b.example.org/private/p1").count() == 1)
   }
 
+  test("intakeBatch parity: stream survivors == batch operator over corpus ∪ batch") {
+    // corpus snapshot: the two survivors of the base crawl
+    val (corpusDocs, _, _) = WebIntake.ingest(crawl, "content", robots)
+    val index = WebIntake.urlIndex(corpusDocs)
+
+    // batch: one doc beaten by the corpus (same canonical as page0, shorter),
+    // one NEW canonical URL, one robots-blocked, and a corpus-BEATING copy
+    // of /ok/p2 with longer main text
+    val longer = nav + "<p>Document two replacement paragraph with even more characters than before.</p>"
+    val batch = Seq(
+      rec("https://a.example.org/page0?utm_campaign=y", page3) + // loses to corpus page0
+        rec("https://b.example.org/fresh", page2) + // new canonical → survives
+        rec("https://b.example.org/private/p9", page1) + // robots kills it
+        rec("https://www.b.example.org/ok/p2", longer) // beats the corpus holder
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+
+    val streamSurvivors = graft.streaming.Streams
+      .intakeBatch(batch, "content", robots, index)
+      .select($"url").as[String].collect().toSet
+    assert(streamSurvivors ==
+      Set("https://b.example.org/fresh", "https://www.b.example.org/ok/p2"))
+
+    // the law itself: batch-operator survivors over corpus ∪ batch,
+    // restricted to the batch, are exactly the stream's survivors
+    val unioned = Seq(
+      rec("https://a.example.org/page0", page0) +
+        rec("https://b.example.org/private/p1", page1) +
+        rec("https://b.example.org/ok/p2", page2),
+      rec("https://a.example.org/page0?utm_campaign=y", page3) +
+        rec("https://b.example.org/fresh", page2) +
+        rec("https://b.example.org/private/p9", page1) +
+        rec("https://www.b.example.org/ok/p2", longer)
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+    val (unionDocs, _, _) = WebIntake.ingest(unioned, "content", robots)
+    val batchUrls = Set(
+      "https://a.example.org/page0?utm_campaign=y",
+      "https://b.example.org/fresh",
+      "https://b.example.org/private/p9",
+      "https://www.b.example.org/ok/p2")
+    val expected = unionDocs.select($"url").as[String].collect().toSet.intersect(batchUrls)
+    assert(streamSurvivors == expected)
+  }
+
   test("the docs output feeds TrainingPipeline.prepare unchanged") {
     val (docs, _, _) = WebIntake.ingest(crawl, "content", robots)
     // the bench frame shares the corpus's (idCol, textCol) shape
