@@ -110,6 +110,9 @@ object GraftSqlFunctions {
     }),
     ("graft_robots_sitemaps", "(string)", {
       case Seq(r) => RobotsSitemaps(r)
+    }),
+    ("graft_sitemap_entries", "(string)", {
+      case Seq(x) => SitemapEntries(x)
     })
   )
 

@@ -75,7 +75,7 @@ object HtmlSupport {
     * Shared by the text extractor and href decoding so an entity-encoded
     * link (`href="a&amp;b"`) decodes under exactly the same rules as text.
     */
-  private def charRef(s: String, i: Int): (String, Int) = {
+  private[functions] def charRef(s: String, i: Int): (String, Int) = {
     val semi = s.indexOf(';', i + 1)
     if (semi <= i || semi - i > 10) return null
     val body = s.substring(i + 1, semi)
@@ -106,7 +106,7 @@ object HtmlSupport {
   }
 
   /** `charRef` applied across a whole attribute value. */
-  private def decodeRefs(v: String): String = {
+  private[functions] def decodeRefs(v: String): String = {
     if (v.indexOf('&') < 0) return v
     val sb = new java.lang.StringBuilder(v.length)
     var i = 0

@@ -511,5 +511,60 @@ object UrlQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142)
+  /** Sitemap XML parsing ([[graft.functions.SitemapSupport]]) — frontier
+    * seeding from the files q142 discovers: every fourth doc is a
+    * sitemapindex (one child sitemap, `is_index` true), the rest are
+    * urlsets with two URLs — the first entity-encoded (`&amp;` is
+    * MANDATORY XML escaping, so a parser that skips decoding corrupts
+    * every multi-param URL) with a lastmod, the second CDATA-wrapped
+    * without one. The oracle rebuilds every (entry_idx, loc, lastmod,
+    * is_index) cell arithmetically — a missed CDATA unwrap, an undecoded
+    * entity, a lastmod attributed across entries, or `<sitemapindex>`
+    * itself parsed as an entry all flip rows.
+    */
+  private val q143 = Q(
+    "q143_sitemap_entries",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val host = concat(lit("https://h"), ($"doc_id" % 31).cast("string"), lit(".example.org"))
+      val month = concat(lit("2026-0"), (($"doc_id" % 9) + 1).cast("string"), lit("-01"))
+      val xml = when($"doc_id" % 4 === 0,
+        concat(lit("<sitemapindex><sitemap><loc>"), host, lit("/s"), id,
+          lit(".xml</loc><lastmod>"), month,
+          lit("</lastmod></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>"), host, lit("/p/"), id,
+          lit("?a=1&amp;b=2</loc><lastmod>"), month, lit("</lastmod></url>"),
+          lit("<url><loc><![CDATA["), host, lit("/q/"), id,
+          lit("]]></loc></url></urlset>")))
+      T.documents
+        .select($"doc_id",
+          posexplode(graft.functions.SitemapExprs.sitemapEntries(xml))
+            .as(Seq("entry_idx", "e")))
+        .select($"doc_id", $"entry_idx".cast("long").as("entry_idx"),
+          $"e.loc".as("loc"), $"e.lastmod".as("lastmod"), $"e.is_index".as("is_index"))
+        .orderBy($"doc_id", $"entry_idx")
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id, 0 AS entry_idx,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'https://h' || (doc_id % 31) || '.example.org/s' || doc_id || '.xml'
+                    ELSE 'https://h' || (doc_id % 31) || '.example.org/p/' || doc_id || '?a=1&b=2'
+               END AS loc,
+               '2026-0' || (doc_id % 9 + 1) || '-01' AS lastmod,
+               doc_id % 4 = 0 AS is_index
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1,
+               'https://h' || (doc_id % 31) || '.example.org/q/' || doc_id,
+               NULL, FALSE
+        FROM documents WHERE doc_id % 4 <> 0)
+      SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, loc, lastmod, is_index
+      FROM e ORDER BY doc_id, entry_idx
+    """.trim)
+  )
+
+  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143)
 }
