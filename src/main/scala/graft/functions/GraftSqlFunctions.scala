@@ -113,6 +113,9 @@ object GraftSqlFunctions {
     }),
     ("graft_sitemap_entries", "(string)", {
       case Seq(x) => SitemapEntries(x)
+    }),
+    ("graft_resolve_url", "(string, string)", {
+      case Seq(b, r) => ResolveUrl(b, r)
     })
   )
 

@@ -566,5 +566,51 @@ object UrlQueries {
     """.trim)
   )
 
-  val all: Seq[Q] = Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143)
+  /** RFC 3986 reference resolution ([[graft.functions.ResolveUrlSupport]])
+    * over extracted links — hrefs leave q137 AS WRITTEN (`../up`, `img`,
+    * `/rooted`, `//cdn…`, `#frag`), and nothing downstream (frontier,
+    * robots, canonical dedup) can key on them until they're absolute.
+    * Each doc's page carries five anchors spanning the reference classes:
+    * dot-segment climb, bare relative (merge), rooted with a query,
+    * scheme-relative (adopts the base's https), and fragment-only
+    * (resolves to the base resource, fragment dropped). The base path has
+    * two directories so `../` genuinely climbs. The oracle rebuilds all
+    * five resolutions arithmetically — a merge against the wrong
+    * directory, a kept fragment, or dot-segment mishandling flips rows.
+    */
+  private val q144 = Q(
+    "q144_resolve_links",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val base = concat(lit("https://h"), ($"doc_id" % 23).cast("string"),
+        lit(".example.org/d"), ($"doc_id" % 5).cast("string"), lit("/p/page"))
+      val page = concat(
+        lit("<a href=\"../up\">u</a><a href=\"img"), ($"doc_id" % 7).cast("string"),
+        lit("\">i</a><a href=\"/rooted?a="), id,
+        lit("\">r</a><a href=\"//cdn"), ($"doc_id" % 3).cast("string"),
+        lit(".example.org/lib\">c</a><a href=\"#frag\">f</a>"))
+      T.documents
+        .select($"doc_id", base.as("__b"),
+          posexplode(graft.functions.HtmlExprs.htmlLinks(page)).as(Seq("link_idx", "href")))
+        .select($"doc_id", $"link_idx".cast("long").as("link_idx"),
+          graft.functions.ResolveUrlExprs.resolveUrl($"__b", $"href").as("url"))
+        .orderBy($"doc_id", $"link_idx")
+    },
+    Some("""
+      SELECT doc_id, CAST(t.idx AS BIGINT) AS link_idx,
+             CASE t.idx
+               WHEN 0 THEN 'https://h' || (doc_id % 23) || '.example.org/d' || (doc_id % 5) || '/up'
+               WHEN 1 THEN 'https://h' || (doc_id % 23) || '.example.org/d' || (doc_id % 5) || '/p/img' || (doc_id % 7)
+               WHEN 2 THEN 'https://h' || (doc_id % 23) || '.example.org/rooted?a=' || doc_id
+               WHEN 3 THEN 'https://cdn' || (doc_id % 3) || '.example.org/lib'
+               ELSE 'https://h' || (doc_id % 23) || '.example.org/d' || (doc_id % 5) || '/p/page'
+             END AS url
+      FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) t(idx)
+      ORDER BY doc_id, link_idx
+    """.trim)
+  )
+
+  val all: Seq[Q] =
+    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144)
 }

@@ -129,8 +129,13 @@ object WebIntake {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val docs = survivors.select(col("url"), col("host"), col("canonical_url"), col("text"))
+    // hrefs as written plus their RFC 3986 resolution against the source
+    // page — the frontier's fetchable form (relative links dominate real
+    // markup; NULL resolved = unresolvable ref, the consumer's drop row)
     val frontier = survivors
       .select(col("url").as("src_url"), explode(HtmlExprs.htmlLinks(col("html"))).as("href"))
+      .withColumn("resolved_url",
+        graft.functions.ResolveUrlExprs.resolveUrl(col("src_url"), col("href")))
 
     val audit = (Seq("1_crawl_files" -> crawl) ++ stages.toSeq ++
       Seq("5_url_deduped" -> survivors))

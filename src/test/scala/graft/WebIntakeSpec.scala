@@ -64,12 +64,15 @@ class WebIntakeSpec extends SparkSpec {
     assert(row.getString(2) == "a.example.org")
   }
 
-  test("frontier comes from survivors only and sees every anchor on them") {
+  test("frontier comes from survivors only and sees every anchor on them, resolved") {
     val (_, frontier, _) = WebIntake.ingest(crawl, "content", robots)
-    val links = frontier.as[(String, String)].collect().toSet
-    assert(links.contains(("https://a.example.org/page0", "https://c.example.org/next")))
-    // nav links on survivors feed the frontier too (they are real anchors)
-    assert(links.contains(("https://b.example.org/ok/p2", "/m1")))
+    val links = frontier.as[(String, String, String)].collect().toSet
+    assert(links.contains(("https://a.example.org/page0",
+      "https://c.example.org/next", "https://c.example.org/next")))
+    // nav links on survivors feed the frontier too (they are real anchors),
+    // carried as written AND resolved against the source page
+    assert(links.contains(("https://b.example.org/ok/p2", "/m1",
+      "https://b.example.org/m1")))
     // no frontier rows from robots-blocked, contentless, or deduped pages
     assert(frontier.select($"src_url").distinct().as[String].collect().toSet ==
       Set("https://a.example.org/page0", "https://b.example.org/ok/p2"))
