@@ -99,6 +99,9 @@ object GraftSqlFunctions {
     ("graft_html_anchors", "(string)", {
       case Seq(h) => HtmlAnchors(h)
     }),
+    ("graft_html_meta", "(string)", {
+      case Seq(h) => HtmlMeta(h)
+    }),
     ("graft_html_main_text", "(string, int, int)", {
       case Seq(h, m, p) => HtmlMainText(h, m, p)
     }),

@@ -447,7 +447,15 @@ object HtmlSupport {
     * entity-decoded; null when absent. First occurrence wins, matching
     * browser behavior for duplicate attributes.
     */
-  private def findHref(s: String, from: Int, to: Int): String = {
+  private def findHref(s: String, from: Int, to: Int): String =
+    findAttr(s, from, to, "href")
+
+  /** Value of the (case-insensitive) `attr` attribute in `s[from, to)`,
+    * entity-decoded; null when absent. First occurrence wins, matching
+    * browser behavior for duplicate attributes. Shared by link extraction
+    * (href) and metadata extraction (rel/name/content/charset).
+    */
+  private def findAttr(s: String, from: Int, to: Int, attr: String): String = {
     var i = from
     while (i < to) {
       // skip whitespace and stray '/'
@@ -477,9 +485,110 @@ object HtmlSupport {
           }
         } else value = ""
       }
-      if (aname == "href" && value != null) return decodeRefs(value)
+      if (aname == attr && value != null) return decodeRefs(value)
     }
     null
+  }
+
+  /** Shape of [[meta]]: the page-level signals a crawl pipeline keys on. */
+  val metaType: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("meta_robots", StringType, nullable = true),
+    StructField("description", StringType, nullable = true)))
+
+  /** Page metadata in one walk: `<title>` rendered text, the declared
+    * canonical URL (`<link rel="canonical" href=…>` — the PAGE-level
+    * canonicalization signal, stronger than any URL heuristic: the site
+    * itself says which URL this content lives at, so canonical dedup
+    * should prefer it), the robots meta directives (`<meta name="robots"
+    * content="noindex,nofollow">` — the page-level twin of robots.txt:
+    * robots.txt gates FETCHING, this gates INDEXING/INCLUSION and link
+    * following), and the meta description. First occurrence of each wins;
+    * comments and script/style bodies are skipped under the extractor's
+    * structural rules; absent signals are NULL, never an error. The walk
+    * is the same single pass as [[links]] — at corpus scale metadata
+    * extraction is a scan, not a DOM.
+    */
+  def meta(html: UTF8String): InternalRow = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    var title: UTF8String = null
+    var canonical: UTF8String = null
+    var robots: UTF8String = null
+    var description: UTF8String = null
+    var i = 0
+    while (i < n && (title == null || canonical == null || robots == null ||
+      description == null)) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else {
+        var j = lt + 1
+        var closing = false
+        if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+        val ns = j
+        while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+        val name = s.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+        var q = 0.toChar
+        var end = -1
+        var k = j
+        while (end < 0 && k < n) {
+          val ck = s.charAt(k)
+          if (q != 0) { if (ck == q) q = 0.toChar }
+          else if (ck == '"' || ck == '\'') q = ck
+          else if (ck == '>') end = k
+          k += 1
+        }
+        val selfClosed = end >= 0 && s.charAt(end - 1) == '/'
+        i = if (end < 0) n else end + 1
+        if (!closing && end >= 0) {
+          name match {
+            case "title" if title == null =>
+              // title is RCDATA: body runs to the literal close tag
+              var m = end + 1
+              var stop = -1
+              while (stop < 0 && m + 7 <= n) {
+                if (s.regionMatches(true, m, "</title", 0, 7)) stop = m else m += 1
+              }
+              title = extract(
+                UTF8String.fromString(s.substring(end + 1, if (stop < 0) n else stop)))
+            case "link" if canonical == null =>
+              val rel = findAttr(s, j, end, "rel")
+              if (rel != null && rel.trim.equalsIgnoreCase("canonical")) {
+                val href = findAttr(s, j, end, "href")
+                if (href != null && href.nonEmpty)
+                  canonical = UTF8String.fromString(href)
+              }
+            case "meta" =>
+              val mName = findAttr(s, j, end, "name")
+              val content = findAttr(s, j, end, "content")
+              if (mName != null && content != null) {
+                val lower = mName.trim.toLowerCase(java.util.Locale.ROOT)
+                if (lower == "robots" && robots == null)
+                  robots = UTF8String.fromString(content)
+                else if (lower == "description" && description == null)
+                  description = UTF8String.fromString(content)
+              }
+            case sk if (sk == "script" || sk == "style") && !selfClosed =>
+              val target = "</" + sk
+              var m = i
+              var stop = -1
+              while (stop < 0 && m + target.length <= n) {
+                if (s.regionMatches(true, m, target, 0, target.length)) stop = m
+                else m += 1
+              }
+              i = if (stop < 0) n
+              else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+            case _ => ()
+          }
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](title, canonical, robots, description))
   }
 }
 
@@ -597,9 +706,36 @@ case class HtmlMainText(first: Expression, second: Expression, third: Expression
   ): HtmlMainText = copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** string → struct<title,canonical,meta_robots,description>
+  * (codegen-enabled); all-NULL struct for signal-free pages.
+  */
+case class HtmlMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlSupport.metaType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_html_meta requires string input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlSupport.meta(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlSupport.meta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMeta =
+    copy(child = newChild)
+}
+
 object HtmlExprs {
   def htmlText(html: Column): Column =
     ColumnShim.column(HtmlText(ColumnShim.expression(html)))
+  def htmlMeta(html: Column): Column =
+    ColumnShim.column(HtmlMeta(ColumnShim.expression(html)))
   def htmlLinks(html: Column): Column =
     ColumnShim.column(HtmlLinks(ColumnShim.expression(html)))
   def htmlAnchors(html: Column): Column =

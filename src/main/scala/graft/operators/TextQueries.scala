@@ -1269,7 +1269,61 @@ object TextQueries {
     """.trim)
   )
 
+  /** Page metadata extraction ([[graft.functions.HtmlSupport.meta]]) —
+    * title, declared canonical (`<link rel="canonical">` — the site's own
+    * statement of where this content lives, stronger than any URL
+    * heuristic), robots meta (the page-level twin of robots.txt: fetch
+    * gating is q139's job, INDEX/INCLUSION gating is this column's), and
+    * description, all from one scan-side walk. The grid varies which
+    * signals exist (canonical absent every 4th doc, robots meta cycling
+    * present/present/absent) against constant decoys (a stylesheet link,
+    * an author meta, a commented-out title) — the oracle rebuilds every
+    * nullable cell arithmetically, so a decoy leak, a second-occurrence
+    * overwrite, or an entity left undecoded flips rows.
+    */
+  private val q145 = Q(
+    "q145_html_meta",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.HtmlExprs
+      val id = $"doc_id".cast("string")
+      val canonicalTag = when($"doc_id" % 4 === 3, lit(""))
+        .otherwise(concat(lit("<link rel=\"canonical\" href=\"https://h"),
+          ($"doc_id" % 13).cast("string"), lit(".example.org/c/"), id, lit("\">")))
+      val robotsTag = when($"doc_id" % 3 === 0,
+        lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+        .when($"doc_id" % 3 === 1, lit("<meta name=\"robots\" content=\"index,follow\">"))
+        .otherwise(lit(""))
+      val page = concat(
+        lit("<html><head><!-- <title>ghost</title> --><title>Doc "), id,
+        lit(" &amp; Co</title><link rel=\"stylesheet\" href=\"/s.css\">"),
+        canonicalTag,
+        lit("<meta name=\"author\" content=\"nobody\">"),
+        robotsTag,
+        lit("<meta name=\"description\" content=\"Summary "),
+        ($"doc_id" % 11).cast("string"),
+        lit("\"></head><body><p>body</p></body></html>"))
+      T.documents
+        .select($"doc_id", HtmlExprs.htmlMeta(page).as("m"))
+        .select($"doc_id", $"m.title".as("title"), $"m.canonical".as("canonical"),
+          $"m.meta_robots".as("meta_robots"), $"m.description".as("description"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             'Doc ' || doc_id || ' & Co' AS title,
+             CASE WHEN doc_id % 4 = 3 THEN NULL
+                  ELSE 'https://h' || (doc_id % 13) || '.example.org/c/' || doc_id
+             END AS canonical,
+             CASE doc_id % 3 WHEN 0 THEN 'noindex,nofollow'
+                             WHEN 1 THEN 'index,follow' END AS meta_robots,
+             'Summary ' || (doc_id % 11) AS description
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
-      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141)
+      q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
+      q145)
 }

@@ -115,6 +115,21 @@ object WebIntake {
     contentful
   }
 
+  /** The URL the canonical-dedup window keys on: the page's DECLARED
+    * canonical (`<link rel="canonical">`, resolved against the page URL —
+    * sites emit it relative) when present, else the fetched URL. The
+    * declared form is the stronger signal: the site itself states where
+    * this content lives, so a printer-friendly or session-id variant
+    * collapses onto its canonical page even when no URL heuristic could
+    * see it. Shared by [[ingest]] and the streaming twin.
+    */
+  private[graft] def dedupKey: org.apache.spark.sql.Column =
+    coalesce(
+      graft.functions.ResolveUrlExprs.resolveUrl(
+        col("url"),
+        HtmlExprs.htmlMeta(col("html")).getField("canonical")),
+      col("url"))
+
   def ingest(
       crawl: DataFrame,
       contentCol: String,
@@ -125,7 +140,7 @@ object WebIntake {
     val contentful = extractDocs(crawl, contentCol, robots, cfg, Some(stages))
 
     val survivors = UrlOps
-      .canonicalUrlDedup(contentful, "url", col("url"), length(col("text")))
+      .canonicalUrlDedup(contentful, "url", dedupKey, length(col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val docs = survivors.select(col("url"), col("host"), col("canonical_url"), col("text"))

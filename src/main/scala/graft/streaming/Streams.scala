@@ -469,7 +469,8 @@ object Streams {
     val contentful =
       graft.operators.WebIntake.extractDocs(crawlBatch, contentCol, robots, cfg)
     graft.operators.UrlOps
-      .canonicalUrlProbeDedup(contentful, "url", col("url"), length(col("text")), urlIndex)
+      .canonicalUrlProbeDedup(contentful, "url",
+        graft.operators.WebIntake.dedupKey, length(col("text")), urlIndex)
       .select(col("url"), col("host"), col("canonical_url"), col("text"))
   }
 

@@ -186,6 +186,37 @@ class HtmlSpec extends SparkSpec {
     assert(mainText(page, minChars = 10, maxPm = 499) == "")
   }
 
+  private def meta(html: String): (Option[String], Option[String], Option[String], Option[String]) = {
+    val r = Seq(Tuple1(html)).toDF("h").select(HtmlExprs.htmlMeta($"h").as("m"))
+      .select($"m.title", $"m.canonical", $"m.meta_robots", $"m.description").head()
+    def o(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+    (o(0), o(1), o(2), o(3))
+  }
+
+  test("htmlMeta extracts title, canonical, robots meta, description in one walk") {
+    val page = """<html><head><title>Doc 7 &amp; Co</title>""" +
+      """<link rel="stylesheet" href="/s.css">""" +
+      """<link rel="canonical" href="https://a.org/c/7">""" +
+      """<meta name="author" content="nobody">""" +
+      """<meta name="robots" content="noindex,nofollow">""" +
+      """<meta name="description" content="Summary &quot;7&quot;"></head></html>"""
+    assert(meta(page) == (Some("Doc 7 & Co"), Some("https://a.org/c/7"),
+      Some("noindex,nofollow"), Some("Summary \"7\"")))
+  }
+
+  test("htmlMeta: first occurrence wins; case-insensitive names; absent signals NULL") {
+    val page = """<TITLE>First</TITLE><title>Second</title>""" +
+      """<META NAME="ROBOTS" CONTENT="all"><meta name="robots" content="none">"""
+    assert(meta(page) == (Some("First"), None, Some("all"), None))
+    assert(meta("<p>no signals here</p>") == (None, None, None, None))
+  }
+
+  test("htmlMeta: comment/script decoys skipped; unterminated title runs to EOF") {
+    val page = """<!-- <title>ghost</title> --><script>var t='<title>js</title>';</script>""" +
+      """<title>Real title"""
+    assert(meta(page)._1 == Some("Real title"))
+  }
+
   test("mainText: entities and script/comment bodies behave like the extractor; null is null") {
     val page = "<p>Entity &amp; ref paragraph long enough to keep here.</p>" +
       "<script>var x = '<p>not content</p>';</script><!-- <p>ghost</p> -->"

@@ -86,6 +86,21 @@ class WebIntakeSpec extends SparkSpec {
     assert(docs.filter($"url" === "https://b.example.org/private/p1").count() == 1)
   }
 
+  test("a declared rel=canonical collapses URL variants no heuristic could see") {
+    // /print/p5 declares /article/p5 as canonical (relative href!), so it
+    // must lose to the real article even though the URLs share nothing
+    val article = nav + "<p>The article page body with plenty of characters to keep.</p>"
+    val print = """<link rel="canonical" href="/article/p5">""" + nav +
+      "<p>Printer body shorter here ok.</p>"
+    val c = Seq(
+      rec("https://a.example.org/article/p5", article) +
+        rec("https://a.example.org/print/p5", print)
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+    val (docs, _, _) = WebIntake.ingest(c, "content", robots)
+    assert(docs.select($"url").as[String].collect().toSeq ==
+      Seq("https://a.example.org/article/p5"))
+  }
+
   test("intakeBatch parity: stream survivors == batch operator over corpus ∪ batch") {
     // corpus snapshot: the two survivors of the base crawl
     val (corpusDocs, _, _) = WebIntake.ingest(crawl, "content", robots)
