@@ -119,6 +119,12 @@ object GraftSqlFunctions {
     }),
     ("graft_resolve_url", "(string, string)", {
       case Seq(b, r) => ResolveUrl(b, r)
+    }),
+    ("graft_sniff_charset", "(binary)", {
+      case Seq(b) => SniffCharset(b)
+    }),
+    ("graft_decode_sniffed", "(binary)", {
+      case Seq(b) => DecodeSniffed(b)
     })
   )
 

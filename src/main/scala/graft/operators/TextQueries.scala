@@ -1322,8 +1322,55 @@ object TextQueries {
     """.trim)
   )
 
+  /** Charset sniff + decode ([[graft.functions.CharsetSupport]]) — the
+    * step between q135's payload OCTETS and q136's text: a UTF-8 cast
+    * mis-decodes UTF-16 and windows-1252/latin-1 payloads, corrupting
+    * every accented character and every hash downstream (q132 repairs
+    * that damage after the fact; this prevents it at intake). The grid
+    * crosses the detection sources: UTF-8 BOM, UTF-16LE BOM (every byte
+    * pair would mis-decode under a UTF-8 cast), a meta-declared
+    * iso-8859-1 body whose é is the single byte 0xE9, and an undeclared
+    * plain payload (sniff NULL, default UTF-8). Payload bytes are built
+    * with Spark's own `encode` + BOM `unhex`; the oracle states the
+    * expected decoded text directly — one wrong decode flips the text
+    * column for a whole residue class.
+    */
+  private val q146 = Q(
+    "q146_charset_decode",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.CharsetExprs
+      val id = $"doc_id".cast("string")
+      val m = $"doc_id" % 4
+      val payload = when(m === 0,
+        concat(unhex(lit("EFBBBF")), encode(concat(lit("Café BOM "), id), "UTF-8")))
+        .when(m === 1,
+          concat(unhex(lit("FFFE")), encode(concat(lit("Café LE "), id), "UTF-16LE")))
+        .when(m === 2,
+          encode(concat(lit("<meta charset=iso-8859-1>Café "), id), "ISO-8859-1"))
+        .otherwise(encode(concat(lit("Plain "), id), "UTF-8"))
+      T.documents
+        .select($"doc_id",
+          CharsetExprs.sniffCharset(payload).as("charset"),
+          CharsetExprs.decodeSniffed(payload).as("text_decoded"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                             WHEN 2 THEN 'iso-8859-1' END AS charset,
+             CASE doc_id % 4
+               WHEN 0 THEN 'Café BOM ' || doc_id
+               WHEN 1 THEN 'Café LE ' || doc_id
+               WHEN 2 THEN '<meta charset=iso-8859-1>Café ' || doc_id
+               ELSE 'Plain ' || doc_id
+             END AS text_decoded
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145)
+      q145, q146)
 }

@@ -85,9 +85,13 @@ object WebIntake {
     require(Seq("host", "robots_txt").forall(robots.columns.contains),
       "robots must carry (host, robots_txt)")
 
+    // payload bytes decode under their sniffed charset (BOM, meta
+    // declaration), defaulting to UTF-8 — a bare cast would mis-decode
+    // UTF-16 and windows-1252 pages and corrupt every hash downstream
     val records = crawl
       .select(explode(WarcExprs.warcRecords(col(contentCol))).as("r"))
-      .select(col("r.target_uri").as("url"), col("r.payload").cast("string").as("html"))
+      .select(col("r.target_uri").as("url"),
+        graft.functions.CharsetExprs.decodeSniffed(col("r.payload")).as("html"))
       .filter(col("url").isNotNull)
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
       .withColumn("path",

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.CharsetExprs
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.CharsetSupport]] — BOM/declaration charset sniffing
+  * and replace-on-malformed decoding for crawl payload bytes.
+  */
+class CharsetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sniff(bytes: Array[Byte]): Option[String] = {
+    val row = Seq(Tuple1(bytes)).toDF("b")
+      .select(CharsetExprs.sniffCharset($"b")).head()
+    if (row.isNullAt(0)) None else Some(row.getString(0))
+  }
+
+  private def decode(bytes: Array[Byte]): String =
+    Seq(Tuple1(bytes)).toDF("b")
+      .select(CharsetExprs.decodeSniffed($"b")).head().getString(0)
+
+  private val bomU8 = Array(0xef, 0xbb, 0xbf).map(_.toByte)
+  private val bomLE = Array(0xff, 0xfe).map(_.toByte)
+  private val bomBE = Array(0xfe, 0xff).map(_.toByte)
+
+  test("BOMs detected and stripped; BOM beats a lying declaration") {
+    assert(sniff(bomU8 ++ "Café".getBytes("UTF-8")) == Some("utf-8"))
+    assert(decode(bomU8 ++ "Café".getBytes("UTF-8")) == "Café")
+    assert(sniff(bomLE ++ "Café".getBytes("UTF-16LE")) == Some("utf-16le"))
+    assert(decode(bomLE ++ "Café".getBytes("UTF-16LE")) == "Café")
+    assert(decode(bomBE ++ "Café".getBytes("UTF-16BE")) == "Café")
+    // the BOM wins even when a (now unreadable) declaration disagrees
+    val lying = bomLE ++ "<meta charset=\"windows-1252\">x".getBytes("UTF-16LE")
+    assert(sniff(lying) == Some("utf-16le"))
+    assert(decode(lying) == "<meta charset=\"windows-1252\">x")
+  }
+
+  test("meta charset declarations parse: bare, quoted, http-equiv, xml encoding") {
+    assert(sniff("<meta charset=windows-1252><p>x".getBytes("ISO-8859-1")) ==
+      Some("windows-1252"))
+    assert(sniff("<meta charset='ISO-8859-1'>".getBytes("ISO-8859-1")) ==
+      Some("iso-8859-1"))
+    assert(sniff(
+      """<meta http-equiv="Content-Type" content="text/html; charset=utf-8">"""
+        .getBytes("UTF-8")) == Some("utf-8"))
+    assert(sniff("""<?xml version="1.0" encoding="ISO-8859-1"?>""".getBytes("UTF-8")) ==
+      Some("iso-8859-1"))
+    assert(sniff("plain ascii, nothing declared".getBytes("UTF-8")) == None)
+  }
+
+  test("windows-1252/latin-1 bytes decode correctly under their declaration") {
+    val w = ("<meta charset=windows-1252>café “quoted”")
+      .getBytes("windows-1252")
+    assert(decode(w) == "<meta charset=windows-1252>café “quoted”")
+    val l = "<meta charset=latin-1>café".getBytes("ISO-8859-1")
+    assert(decode(l) == "<meta charset=latin-1>café")
+  }
+
+  test("no declaration defaults to UTF-8; malformed bytes replace, never throw") {
+    assert(decode("Café plain".getBytes("UTF-8")) == "Café plain")
+    val bad = "ok ".getBytes("UTF-8") ++ Array(0xc3.toByte) // truncated UTF-8 seq
+    assert(decode(bad) == "ok �")
+    // an unknown declared label falls back to UTF-8
+    assert(decode("<meta charset=klingon-8>Café".getBytes("UTF-8")) ==
+      "<meta charset=klingon-8>Café")
+  }
+
+  test("declaration scan is bounded to the first 1024 bytes") {
+    val far = (" " * 1100) + "<meta charset=windows-1252>"
+    assert(sniff(far.getBytes("UTF-8")) == None)
+  }
+
+  test("SQL registration: sniff + decode") {
+    val df = Seq(Tuple1("<meta charset=utf-8>ok".getBytes("UTF-8"))).toDF("b")
+    df.createOrReplaceTempView("cs_t")
+    val r = spark.sql(
+      "SELECT graft_sniff_charset(b) AS c, graft_decode_sniffed(b) AS t FROM cs_t").head()
+    assert(r.getString(0) == "utf-8")
+    assert(r.getString(1) == "<meta charset=utf-8>ok")
+  }
+}
