@@ -84,7 +84,14 @@ object ScaleBench {
     "q137_html_links",
     "q138_host_pagerank",
     "q140_anchor_text",
-    "q141_html_main_text"
+    "q141_html_main_text",
+    // the rest of the intake chain — all scan-side walks (sitemap XML,
+    // RFC 3986 resolution over exploded links, page metadata, charset
+    // sniff+decode): per-row cost only, fixture and parse scale together
+    "q143_sitemap_entries",
+    "q144_resolve_links",
+    "q145_html_meta",
+    "q146_charset_decode"
   )
 
   private val IdOffset = 100000000L

@@ -106,7 +106,18 @@ object WebIntake {
         lit(true)))
       .drop("robots_txt", "path")
 
-    val contentful = polite
+    // page-level exclusion: a `<meta name="robots" content="noindex">` (or
+    // `none`) says this page must not be INCLUDED — the page-level twin of
+    // the fetch gate above, and binding for a corpus builder the same way
+    // robots.txt is for the fetcher. Token match on the directive list;
+    // absent meta means indexable.
+    val indexable = polite.filter(
+      !coalesce(
+        lower(HtmlExprs.htmlMeta(col("html")).getField("meta_robots"))
+          .rlike("(^|[,\\s])(noindex|none)([,\\s]|$)"),
+        lit(false)))
+
+    val contentful = indexable
       .withColumn("text",
         HtmlExprs.htmlMainText(col("html"), lit(cfg.minBlockChars), lit(cfg.maxLinkPermille)))
       .filter(length(col("text")) >= cfg.minDocChars)
@@ -114,6 +125,7 @@ object WebIntake {
     audits.foreach { buf =>
       buf += ("2_records" -> records)
       buf += ("3_robots_allowed" -> polite)
+      buf += ("3b_indexable" -> indexable)
       buf += ("4_with_content" -> contentful)
     }
     contentful
@@ -163,5 +175,66 @@ object WebIntake {
       }.reduce(_ unionByName _)
 
     (docs, frontier, audit)
+  }
+
+  /** The NEXT crawl round's fetch plan from an [[ingest]] frontier — the
+    * family's capstone composition: what to fetch, in what order, how
+    * politely. Stages:
+    *
+    *   1. fetchable candidates: resolved http(s) URLs, canonicalized
+    *      ([[UrlOps.canonicalizeUrl]]), distinct — the frontier's raw
+    *      (src, href) fan-in collapses to one row per target URL here,
+    *      the plan's one data-scale exchange;
+    *   2. novelty: URLs whose canonical form the corpus already holds are
+    *      dropped (anti-join against [[urlIndex]] — the index is one row
+    *      per corpus URL, broadcastable at any realistic corpus/frontier
+    *      ratio, and Spark picks that shape);
+    *   3. politeness: the host's robots rules gate the path (q139) and
+    *      set the per-host delay (q142, NULL = no stated limit);
+    *   4. priority: host authority ranks (e.g. [[Graph.pageRankExact]]
+    *      over the frontier edges — hosts ≪ URLs, so this join
+    *      broadcasts), and `fetch_seq` numbers each host's queue — a
+    *      scheduler walks host queues in rank order, one fetch per
+    *      delay_ms tick.
+    *
+    * @param hostRanks (id, rank) — host authority, e.g. pageRankExact
+    * @return (host, url, rank, delay_ms, fetch_seq) ordered by
+    *         (rank DESC, host, fetch_seq)
+    */
+  def planFrontier(
+      frontier: DataFrame,
+      robots: DataFrame,
+      urlIndex: DataFrame,
+      hostRanks: DataFrame,
+      cfg: Config = Config()
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = frontier
+      .select(col("resolved_url").as("raw"))
+      .filter(col("raw").isNotNull && col("raw").rlike("^https?://"))
+      .select(UrlOps.canonicalizeUrl(col("raw")).as("url"))
+      .distinct()
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      .withColumn("path",
+        when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", "/")
+          .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
+    val novel = cand.join(
+      urlIndex.select(col("canonical_url").as("url")), Seq("url"), "left_anti")
+    val gated = novel
+      .join(broadcast(robots.select(col("host"), col("robots_txt"))), Seq("host"), "left")
+      .filter(coalesce(
+        RobotsExprs.robotsAllowed(col("robots_txt"), lit(cfg.agent), col("path")),
+        lit(true)))
+      .withColumn("delay_ms",
+        RobotsExprs.robotsCrawlDelayMs(col("robots_txt"), lit(cfg.agent)))
+      .drop("robots_txt", "path")
+    val ranked = gated
+      .join(broadcast(hostRanks.select(col("id").as("host"), col("rank"))), Seq("host"), "left")
+      .withColumn("rank", coalesce(col("rank"), lit(0L)))
+      .withColumn("fetch_seq",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("url"))))
+    ranked
+      .select(col("host"), col("url"), col("rank"), col("delay_ms"), col("fetch_seq"))
+      .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
 }

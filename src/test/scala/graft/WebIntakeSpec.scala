@@ -45,6 +45,7 @@ class WebIntakeSpec extends SparkSpec {
       "1_crawl_files" -> 3L, // incl. the malformed blob
       "2_records" -> 5L, // malformed file contributes zero records, kills nothing
       "3_robots_allowed" -> 4L, // /private/p1 dies on the b.example.org rules
+      "3b_indexable" -> 4L, // no fixture page carries a noindex meta
       "4_with_content" -> 3L, // the nav-only page dies on empty main text
       "5_url_deduped" -> 2L // www+utm variant canonicalizes onto page0, loses on length
     ))
@@ -84,6 +85,25 @@ class WebIntakeSpec extends SparkSpec {
     ).toDF("host", "robots_txt")
     val (docs, _, _) = WebIntake.ingest(crawl, "content", carved)
     assert(docs.filter($"url" === "https://b.example.org/private/p1").count() == 1)
+  }
+
+  test("a robots noindex meta excludes the page; index/follow and nofollow-only stay") {
+    val body = "<p>Plenty of page body characters so content never gates here.</p>"
+    val c = Seq(
+      rec("https://a.example.org/keep",
+        """<meta name="robots" content="index, follow">""" + body) +
+        rec("https://a.example.org/noidx",
+          """<meta name="robots" content="noindex, follow">""" + body) +
+        rec("https://a.example.org/none",
+          """<meta name="ROBOTS" content="NONE">""" + body) +
+        rec("https://a.example.org/nofollow",
+          """<meta name="robots" content="nofollow">""" + body) // follow-gating only
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+    val (docs, _, audit) = WebIntake.ingest(c, "content", robots)
+    assert(docs.select($"url").as[String].collect().sorted.toSeq ==
+      Seq("https://a.example.org/keep", "https://a.example.org/nofollow"))
+    val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("3_robots_allowed") == 4L && counts("3b_indexable") == 2L)
   }
 
   test("a declared rel=canonical collapses URL variants no heuristic could see") {
@@ -142,6 +162,38 @@ class WebIntakeSpec extends SparkSpec {
       "https://www.b.example.org/ok/p2")
     val expected = unionDocs.select($"url").as[String].collect().toSet.intersect(batchUrls)
     assert(streamSurvivors == expected)
+  }
+
+  test("planFrontier: novelty, politeness, priority, per-host queues") {
+    val frontier = Seq(
+      // duplicate targets (utm variant) collapse to one candidate
+      ("https://s.org/a", "https://www.new.example.org/p1?utm_source=x"),
+      ("https://s.org/b", "https://new.example.org/p1"),
+      ("https://s.org/a", "https://new.example.org/p2"),
+      // already in the corpus → dropped
+      ("https://s.org/a", "https://a.example.org/page0"),
+      // robots-blocked path on a throttled host
+      ("https://s.org/b", "https://b.example.org/private/x"),
+      ("https://s.org/b", "https://b.example.org/ok/x"),
+      // unresolvable / non-http refs never enter the plan
+      ("https://s.org/a", "mailto:x@y.org")
+    ).toDF("src_url", "href")
+      .withColumn("resolved_url",
+        graft.functions.ResolveUrlExprs.resolveUrl($"src_url", $"href"))
+    val robotsT = Seq(
+      ("b.example.org", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n")
+    ).toDF("host", "robots_txt")
+    val index = Seq(("https://a.example.org/page0", "https://a.example.org/page0", 64))
+      .toDF("canonical_url", "corpus_id", "corpus_quality")
+    val ranks = Seq(("new.example.org", 900L), ("b.example.org", 300L)).toDF("id", "rank")
+
+    val plan = WebIntake.planFrontier(frontier, robotsT, index, ranks)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4))).toSeq
+    assert(plan == Seq(
+      ("new.example.org", "https://new.example.org/p1", 900L, None, 1),
+      ("new.example.org", "https://new.example.org/p2", 900L, None, 2),
+      ("b.example.org", "https://b.example.org/ok/x", 300L, Some(2000L), 1)))
   }
 
   test("the docs output feeds TrainingPipeline.prepare unchanged") {
