@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     declaration in another encoding anyway).
   *  2. an ASCII-compatible scan of the first 1024 bytes for a
   *     `charset=` declaration (`<meta charset="…">`, the http-equiv
-  *     `content="text/html; charset=…"` form, or an XML
-  *     `encoding="…"`), case-insensitive, quotes optional.
+  *     `content="text/html; charset=…"` form, or a leading XML
+  *     `<?xml … encoding="…"?>`), case-insensitive, quotes optional —
+  *     matched only INSIDE those declaration contexts (the WHATWG
+  *     prescan shape): a literal `charset=` in visible text, a comment,
+  *     or a URL query string never selects a label.
   *  3. nothing found → null from [[sniff]]; [[decode]] defaults to UTF-8.
   *
   * Decoding recognizes utf-8, utf-16le/utf-16be (BOM stripped),
@@ -48,24 +51,81 @@ object CharsetSupport {
       (b(2) & 0xff) == 0xbf) return "utf-8"
     if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) return "utf-16le"
     if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) return "utf-16be"
-    // ASCII-compatible prefix scan for charset= / encoding=
+    // ASCII-compatible prefix scan for charset= / encoding=, restricted to
+    // DECLARATION contexts (the WHATWG prescan shape): 'charset=' counts
+    // only inside a '<meta ...>' tag span (covers both the bare
+    // '<meta charset=…>' and the http-equiv 'content="text/html;
+    // charset=…"' forms) and 'encoding=' only inside a LEADING '<?xml ...'
+    // declaration. A literal occurrence in early visible text, a comment,
+    // or a URL query string (href="...?charset=utf-16le") must NOT select
+    // a label — that would manufacture exactly the mis-decode this sniffer
+    // exists to prevent.
     val n = math.min(b.length, 1024)
-    val head = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val raw = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
-    var idx = head.indexOf("charset=")
-    var vs = if (idx >= 0) idx + 8 else {
-      val e = head.indexOf("encoding=")
-      if (e >= 0) e + 9 else -1
+    // blank out comment spans first: a commented-out '<meta charset=…>'
+    // declares nothing (the prescan skips comments)
+    val head = {
+      var ci = raw.indexOf("<!--")
+      if (ci < 0) raw
+      else {
+        val sb = new java.lang.StringBuilder(raw)
+        while (ci >= 0) {
+          val e = raw.indexOf("-->", ci + 4)
+          val stop = if (e < 0) raw.length else e + 3
+          var p = ci
+          while (p < stop) { sb.setCharAt(p, ' '); p += 1 }
+          ci = raw.indexOf("<!--", stop)
+        }
+        sb.toString
+      }
     }
-    if (vs < 0) return null
+    // <?xml version="1.0" encoding="…"?> — only at the very start
+    // (optionally after ASCII whitespace); the declaration ends at '?>'
+    var ws = 0
+    while (ws < head.length && head.charAt(ws) <= ' ') ws += 1
+    if (head.startsWith("<?xml", ws)) {
+      val close = head.indexOf("?>", ws)
+      val end = if (close < 0) head.length else close
+      val e = head.indexOf("encoding=", ws)
+      if (e >= 0 && e < end) {
+        val l = readLabel(head, e + 9)
+        if (l != null) return l
+      }
+    }
+    // every <meta …> span in the head (name must END at "<meta" + ws/'/'
+    // — '<metadata>' is not a meta tag)
+    var m = head.indexOf("<meta")
+    while (m >= 0) {
+      val after = m + 5
+      val isMeta = after >= head.length || head.charAt(after) <= ' ' ||
+        head.charAt(after) == '/' || head.charAt(after) == '>'
+      if (isMeta) {
+        val gt = head.indexOf('>', m)
+        val end = if (gt < 0) head.length else gt
+        val c = head.indexOf("charset=", m)
+        if (c >= 0 && c < end) {
+          val l = readLabel(head, c + 8)
+          if (l != null) return l
+        }
+      }
+      m = head.indexOf("<meta", m + 5)
+    }
+    null
+  }
+
+  /** Label run at `from` (optional single/double quote, then
+    * letters/digits/-/_); null when empty.
+    */
+  private def readLabel(head: String, from: Int): String = {
+    var vs = from
     if (vs < head.length && (head.charAt(vs) == '"' || head.charAt(vs) == '\'')) vs += 1
     var ve = vs
     while (ve < head.length && {
         val c = head.charAt(ve)
         c.isLetterOrDigit || c == '-' || c == '_'
       }) ve += 1
-    val label = head.substring(vs, ve)
-    if (label.isEmpty) null else label
+    if (ve == vs) null else head.substring(vs, ve)
   }
 
   /** Bytes → text under the sniffed (or defaulted) charset, BOM stripped,

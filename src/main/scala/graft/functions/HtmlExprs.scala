@@ -35,6 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    out-of-range references stay literal — lone `&` is common text).
   *  - whitespace (including NBSP) collapsed to single spaces, trimmed —
   *    canonical for hashing/shingling whatever the markup's indentation.
+  *  - `<` followed by anything but an ASCII letter, `/`+letter, `!`, or
+  *    `?` is literal TEXT (HTML5 tag-open rule): `1<2` and `i <3 u`
+  *    survive; only real markup is consumed.
   */
 object HtmlSupport {
 
@@ -48,6 +51,28 @@ object HtmlSupport {
   }
 
   private def isWs(c: Char): Boolean = c <= ' ' || c == '\u00A0'
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** HTML5 tag-open test for the `<` at `lt`: markup begins only when the
+    * next char is an ASCII letter (open tag), `/` + letter (close tag), or
+    * `!`/`?` (markup declaration / processing instruction \u2014 HTML5 consumes
+    * both to the next `>`, which is what the tag scan does for their empty
+    * "name"). Anything else \u2014 `1<2`, `i <3 u`, a trailing `<` \u2014 is literal
+    * text: without this gate the scan-to-`>` loop would silently swallow
+    * it (or the whole rest of the document when no `>` follows). Shared by
+    * every walk (extract/links/anchors/mainText/meta) so text and
+    * structure extraction agree on what markup IS.
+    */
+  private def isTagOpen(s: String, lt: Int): Boolean = {
+    val n = s.length
+    if (lt + 1 >= n) return false
+    val c = s.charAt(lt + 1)
+    if (c == '!' || c == '?') true
+    else if (c == '/') lt + 2 < n && isAsciiLetter(s.charAt(lt + 2))
+    else isAsciiLetter(c)
+  }
 
   /** Collapse whitespace runs (incl. NBSP) to single spaces and trim \u2014
     * the rendered-text canonical form shared by [[extract]] and the
@@ -150,6 +175,7 @@ object HtmlSupport {
       val c = s.charAt(i)
       if (c == '<') {
         if (s.startsWith("<!--", i)) { i = skipComment(i + 4) }
+        else if (!isTagOpen(s, i)) { sb.append(c); i += 1 }
         else {
           // tag name: optional '/', then letters/digits
           var j = i + 1
@@ -209,6 +235,8 @@ object HtmlSupport {
       else if (s.startsWith("<!--", lt)) {
         val e = s.indexOf("-->", lt + 4)
         i = if (e < 0) n else e + 3
+      } else if (!isTagOpen(s, lt)) {
+        i = lt + 1 // literal '<' in text — not markup
       } else {
         // tag name
         var j = lt + 1
@@ -285,6 +313,8 @@ object HtmlSupport {
       else if (s.startsWith("<!--", lt)) {
         val e = s.indexOf("-->", lt + 4)
         i = if (e < 0) n else e + 3
+      } else if (!isTagOpen(s, lt)) {
+        i = lt + 1 // literal '<' in text — not markup
       } else {
         var j = lt + 1
         var closing = false
@@ -395,6 +425,8 @@ object HtmlSupport {
         if (s.startsWith("<!--", i)) {
           val e = s.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
+        } else if (!isTagOpen(s, i)) {
+          emitC('<'); i += 1
         } else {
           var j = i + 1
           var closing = false
@@ -526,6 +558,8 @@ object HtmlSupport {
       else if (s.startsWith("<!--", lt)) {
         val e = s.indexOf("-->", lt + 4)
         i = if (e < 0) n else e + 3
+      } else if (!isTagOpen(s, lt)) {
+        i = lt + 1 // literal '<' in text — not markup
       } else {
         var j = lt + 1
         var closing = false
@@ -548,7 +582,10 @@ object HtmlSupport {
         if (!closing && end >= 0) {
           name match {
             case "title" if title == null =>
-              // title is RCDATA: body runs to the literal close tag
+              // title is RCDATA: body runs to the literal close tag, and the
+              // walk RESUMES past it — markup-like text inside a title
+              // ('how <link rel="canonical"...> works') must not be
+              // re-scanned as real tags (same body-skip rule as script/style)
               var m = end + 1
               var stop = -1
               while (stop < 0 && m + 7 <= n) {
@@ -556,6 +593,8 @@ object HtmlSupport {
               }
               title = extract(
                 UTF8String.fromString(s.substring(end + 1, if (stop < 0) n else stop)))
+              i = if (stop < 0) n
+              else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
             case "link" if canonical == null =>
               val rel = findAttr(s, j, end, "rel")
               if (rel != null && rel.trim.equalsIgnoreCase("canonical")) {

@@ -18,8 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rules implemented (each pinned by RobotsSpec):
   *  - Line syntax: `key: value`, keys case-insensitive, `#` starts a
-  *    comment, blank/malformed lines ignored; unknown keys (sitemap,
-  *    crawl-delay, …) are skipped without ending a group (RFC 9309 §2.2.4).
+  *    comment, blank/malformed lines ignored; group-independent and unknown
+  *    keys (sitemap, …) are skipped without ending a group (RFC 9309
+  *    §2.2.4). A `Crawl-delay` line carries no path rule but DOES end a run
+  *    of `User-agent` lines — it belongs to the group it follows, the same
+  *    boundary rule [[crawlDelayMs]] applies, so the two evaluators build
+  *    identical group structures.
   *  - Groups: consecutive `User-agent` lines share one rule block; a
   *    `User-agent` line after rules starts a new group. ALL groups whose
   *    agent matches are merged (RFC 9309 §2.2.1 "MUST ... combine").
@@ -90,7 +94,14 @@ object RobotsSupport {
                 if (groupExact) exactRules += r
                 if (groupStar) starRules += r
               }
-            case _ => () // known-other (sitemap, crawl-delay) and unknown: skip
+            case "crawl-delay" =>
+              // contributes no path rule here, but it BELONGS to the group it
+              // follows (see crawlDelayMs), so it ends a run of User-agent
+              // lines — otherwise 'User-agent: a\nCrawl-delay: 1\n
+              // User-agent: b\nDisallow: /' would merge a and b into one
+              // group and apply b's rules to a
+              inAgentLines = false
+            case _ => () // group-independent (sitemap) and unknown: skip
           }
         }
       }

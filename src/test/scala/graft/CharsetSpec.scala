@@ -70,6 +70,23 @@ class CharsetSpec extends SparkSpec {
     assert(sniff(far.getBytes("UTF-8")) == None)
   }
 
+  test("charset=/encoding= outside a declaration context never selects a label") {
+    // visible text
+    assert(sniff("<p>what does charset=utf-16le mean?</p>".getBytes("UTF-8")) == None)
+    // a URL query string — the mis-decode class the sniffer exists to prevent
+    assert(sniff("<a href=\"/faq?charset=utf-16le\">x</a>".getBytes("UTF-8")) == None)
+    // a commented-out meta declares nothing…
+    assert(sniff("<!-- <meta charset=utf-16le> -->plain".getBytes("UTF-8")) == None)
+    // …and does not mask a real one after it
+    assert(sniff("<!-- charset=utf-16le --><meta charset=windows-1252>x"
+      .getBytes("ISO-8859-1")) == Some("windows-1252"))
+    // encoding= counts only inside a LEADING <?xml …?> declaration
+    assert(sniff("<p>encoding=utf-16be</p>".getBytes("UTF-8")) == None)
+    assert(sniff("<html><?xml encoding=\"utf-16be\"?></html>".getBytes("UTF-8")) == None)
+    // '<metadata charset=…>' is not a meta tag
+    assert(sniff("<metadata charset=utf-16le>x".getBytes("UTF-8")) == None)
+  }
+
   test("SQL registration: sniff + decode") {
     val df = Seq(Tuple1("<meta charset=utf-8>ok".getBytes("UTF-8"))).toDF("b")
     df.createOrReplaceTempView("cs_t")

@@ -217,6 +217,33 @@ class HtmlSpec extends SparkSpec {
     assert(meta(page)._1 == Some("Real title"))
   }
 
+  test("literal '<' before a non-letter is text, not markup (HTML5 tag-open rule)") {
+    assert(ext("1<2 but 3>2") == "1<2 but 3>2")
+    assert(ext("i <3 u") == "i <3 u") // no '>' follows — must not swallow the rest
+    assert(ext("a < b") == "a < b")
+    assert(ext("trailing <") == "trailing <")
+    assert(ext("</3 broken heart") == "</3 broken heart") // '</'+non-letter is text too
+    assert(ext("<?php echo 'x'; ?>kept") == "kept") // '<?' is markup, consumed to '>'
+    // the same rule holds in every walk: links, anchors, mainText, meta
+    assert(links("""i <3 <a href="/x">u</a>""") == Seq("/x"))
+    assert(anchors("""<a href="/x">i <3 u</a>""") == Seq(("/x", "i <3 u")))
+    assert(mainText("<p>Math fact: 1<2 and also 2<3 in every case.</p>", 10, 500) ==
+      "Math fact: 1<2 and also 2<3 in every case.")
+    assert(meta("""<title>i <3 u</title><link rel="canonical" href="https://a.org/c">""")
+      == (Some("i <3 u"), Some("https://a.org/c"), None, None))
+  }
+
+  test("htmlMeta: title body is RCDATA — markup-like text inside it sets nothing") {
+    val page = """<title>how <link rel="canonical" href="https://evil.org/x"> works</title>""" +
+      """<link rel="canonical" href="https://real.org/c">"""
+    val (t, c, _, _) = meta(page)
+    assert(t == Some("how works")) // the fake tag renders zero-width, like page text
+    assert(c == Some("https://real.org/c")) // and must NOT come from the title body
+    // robots/description inside a title body are equally inert
+    val page2 = """<title>x <meta name="robots" content="noindex"> y</title>"""
+    assert(meta(page2) == (Some("x y"), None, None, None))
+  }
+
   test("mainText: entities and script/comment bodies behave like the extractor; null is null") {
     val page = "<p>Entity &amp; ref paragraph long enough to keep here.</p>" +
       "<script>var x = '<p>not content</p>';</script><!-- <p>ghost</p> -->"

@@ -163,6 +163,19 @@ class RobotsSpec extends SparkSpec {
     Seq(Tuple1(robots)).toDF("r")
       .select(RobotsExprs.robotsSitemaps($"r")).head().getSeq[String](0)
 
+  test("allowed(): a crawl-delay line ends the UA run — group parity with crawlDelayMs") {
+    // without the boundary, a and b would merge into ONE group and b's
+    // Disallow would wrongly apply to a (over-blocking)
+    val r = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /\n"
+    assert(ok(r, "a", "/x"))
+    assert(!ok(r, "b", "/x"))
+    // and sitemap stays group-independent: it does NOT end the run, so a
+    // and b here DO share the group — both evaluators agree on that too
+    val r2 = "User-agent: a\nSitemap: https://s.example.org/s.xml\nUser-agent: b\nDisallow: /\n"
+    assert(!ok(r2, "a", "/x"))
+    assert(!ok(r2, "b", "/x"))
+  }
+
   test("sitemaps: group-independent, file order, comments and CRLF tolerated") {
     val r = "User-agent: a\nSitemap: https://x/s1.xml # first\r\n" +
       "User-agent: b\nDisallow: /\nSitemap:https://x/s2.xml\nsitemap: https://x/s3.xml\n"
