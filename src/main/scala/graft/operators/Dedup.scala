@@ -956,19 +956,23 @@ object Dedup {
     * paragraph boundary the corpus already carries.
     *
     * Plan shape: paragraphs explode scan-side; the first-occurrence
-    * verdict is ONE hash exchange on the 128-bit paragraph digest
-    * (row_number over (digest) ordered by (id, pos) — every occurrence
-    * row is needed afterwards, so a window beats an aggregate plus a
-    * join-back, which would exchange the occurrence table twice);
-    * reassembly is one exchange on the doc id with an in-group
-    * sort_array, bounded by paragraphs-per-doc, not by the corpus. Group
-    * sizes on the digest key are bounded by the repetition count of the
-    * single hottest paragraph; at web scale ("home | about | contact" at
-    * 10^9 occurrences) swap the window for the stacked in-partition
-    * min/max aggregate form documented at the q103 clawback site, which
-    * bounds per-task work by construction. md5 collisions merge distinct
-    * paragraphs at negligible odds — the same digest contract as
-    * [[exactDupGroups]].
+    * verdict is ONE hash aggregate on the 128-bit paragraph digest —
+    * `min(struct(id, pos, para))` — which gets MAP-SIDE partial
+    * aggregation: every occurrence of the hottest paragraph ("home |
+    * about | contact" at 10^9 occurrences at web scale) collapses to one
+    * row per map task before the exchange, so the digest shuffle carries
+    * digest-scale volume, never corpus-scale, and skew degrades to a
+    * busy combiner, not a one-task occurrence pile. (A `row_number`
+    * window over the digest would ship EVERY occurrence of the hot key
+    * through the exchange to one task — the shape this operator
+    * deliberately avoids.) The winning (id, pos) rides the aggregate
+    * with its paragraph TEXT, so no join back to the occurrence table is
+    * needed: reassembly regroups the winners by doc id (one
+    * winner-scale exchange, in-group sort bounded by paragraphs-per-doc)
+    * and a doc-scale left join against the per-doc paragraph counts
+    * restores rows whose every paragraph was seen earlier. md5
+    * collisions merge distinct paragraphs at negligible odds — the same
+    * digest contract as [[exactDupGroups]].
     *
     * @return one row per input row: (idCol, n_paras, n_kept, kept_text) —
     *         kept_text is the surviving paragraphs re-joined with `sep`
@@ -984,24 +988,38 @@ object Dedup {
     val outCols = Seq("n_paras", "n_kept", "kept_text")
     require(!outCols.exists(c => c != idCol && df.columns.contains(c)),
       s"input already has one of ${outCols.mkString("/")} — rename it before paragraphDedup")
-    import org.apache.spark.sql.expressions.Window
     val paras = df.select(
       col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__para")))
-    val w = Window.partitionBy(md5(col("__para"))).orderBy(col(idCol), col("__pos"))
-    paras
-      .withColumn("__rn", row_number().over(w))
-      .groupBy(col(idCol))
+    // first-occurrence winners: min over the (id, pos) total order, the
+    // paragraph text riding along (it never affects the comparison —
+    // (id, pos) is unique per occurrence). Partial aggregation collapses
+    // hot digests map-side.
+    val winners = paras
+      .groupBy(md5(col("__para")).as("__dig"))
+      .agg(min(struct(col(idCol).as("i"), col("__pos").as("p"), col("__para").as("t")))
+        .as("__w"))
+      .select(col("__w.i").as("__kid"), col("__w.p").as("__pos"), col("__w.t").as("__para"))
+    val perDoc = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    val kept = winners
+      .groupBy(col("__kid"))
       .agg(
-        count(lit(1)).as("n_paras"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("__rn") === 1,
-              struct(col("__pos"), col("__para"))))),
+            array_sort(collect_list(struct(col("__pos"), col("__para")))),
             s => s.getField("__para")),
           sep).as("kept_text"))
+    // left join restores docs with zero survivors; null-safe on the key so
+    // a null doc id behaves like any other group value
+    perDoc
+      .join(kept, col(idCol) <=> col("__kid"), "left")
+      .select(
+        col(idCol),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   /** Word 3-grams (space-joined lowercase token triples), used as the
@@ -1129,11 +1147,28 @@ object Dedup {
     * never appear on either side (containment of an empty set is 0/0 —
     * excluded, not defined as 0 or 1000).
     *
-    * Scale shape: one gram equi-join (the standard inverted-index shape —
-    * pairs generated only where a gram is shared) + one pair aggregate +
-    * a broadcast-ready sizes join. Hot boilerplate grams are the skew
-    * term, same as q103's gram table — cap or salt upstream for corpora
-    * with heavy templating (the q103 salting recipe applies verbatim).
+    * Scale shape — PPJoin-style A-SIDE prefix filtering (the q24 machinery,
+    * adapted to the asymmetric relation): rank every doc's grams by the
+    * global (document-frequency asc, key asc) total order, then explode
+    * only the |A| − ⌈t·|A|⌉ + 1 RAREST grams of each doc as the A side of
+    * the candidate join. Pigeonhole-exact: if none of A's prefix grams is
+    * in B then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A|, so every qualifying pair has a
+    * prefix collision — candidate generation never touches a hot
+    * boilerplate gram unless it is among a doc's RAREST, which kills the
+    * n² pair blowup one shared hot gram would otherwise emit from a plain
+    * inverted-index self-join. The B side cannot be prefix-filtered (A may
+    * sit anywhere inside B), so it is the full gram index, but pairs only
+    * materialize where an A-prefix gram collides, and a size filter
+    * (|B| ≥ ⌈t·|A|⌉ — containment needs that much intersection) prunes at
+    * the join. Verification is the exact sorted-merge intersection over
+    * the ranked arrays (no re-shingle, no per-row hash set). Output is
+    * IDENTICAL to the naive formulation.
+    *
+    * `dfCap` additionally drops grams whose document frequency exceeds the
+    * cap from candidate generation — a hard bound on any single gram's
+    * join fan-out for heavily templated corpora. Unlike the prefix filter
+    * it is NOT exact: a pair whose only prefix collision is a hot gram is
+    * missed. Default = no cap = exact.
     *
     * @return (doc_a, doc_b, containment_permille): a contained-in b
     */
@@ -1141,25 +1176,59 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      thresholdPermille: Int = 800
+      thresholdPermille: Int = 800,
+      dfCap: Long = Long.MaxValue
   ): DataFrame = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       "thresholdPermille must be in [1, 1000]")
-    // both self-join sides and the sizes aggregate read the gram table:
-    // persist (the bandedFingerprintPairs lifecycle)
+    require(dfCap >= 1L, "dfCap must be positive")
     val grams = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
         col("doc_id"),
         conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g"))
+    // rarity-ranked gram arrays (q24's construction): ONE count window =
+    // one exchange of the gram table; the same (df, g)-sorted array feeds
+    // the prefix slice, the B index, and the verify merge. Persisted: the
+    // candidate join reads it twice and the verify join twice more.
+    val freq = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+    val docs = grams
+      .withColumn("df", freq)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
+      .select(col("doc_id"), col("ranked"), size(col("ranked")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("__sa"))
-    grams.as("a")
-      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .filter(col("inter") * 1000 >= lit(thresholdPermille) * col("__sa"))
+    // ⌈t·sz⌉ in exact integer permille; prefixLen = sz − need + 1 ≥ 1
+    val prefixLen =
+      (col("sz") - expr(s"(sz * ${thresholdPermille}L + 999) div 1000") + 1).cast("int")
+    val prefixes = docs
+      .select(col("doc_id"), col("sz"), explode(slice(col("ranked"), lit(1), prefixLen)).as("pg"))
+      .select(col("doc_id"), col("sz"), col("pg.df").as("gdf"), col("pg.g").as("g"))
+      .filter(col("gdf") <= dfCap)
+    val index = docs
+      .select(col("doc_id"), col("sz"), explode(col("ranked")).as("ig"))
+      .select(col("doc_id"), col("sz"), col("ig.df").as("gdf"), col("ig.g").as("g"))
+      .filter(col("gdf") <= dfCap)
+    val candidates = prefixes.as("a")
+      .join(
+        index.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.sz").cast("long") * 1000 >= col("a.sz").cast("long") * thresholdPermille)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification: codegen'd two-pointer merge over the rarity-sorted
+    // gram structs — O(sz_a + sz_b) per candidate, same as q24's
+    candidates
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.functions.HashExprs
+          .sortedStructIntersectSize(col("da.ranked"), col("db.ranked"))
+          .as("inter"),
+        col("da.sz").cast("long").as("__sa"))
+      .filter(col("inter") * 1000 >= lit(thresholdPermille.toLong) * col("__sa"))
       .select(col("doc_a"), col("doc_b"), expr("inter * 1000 DIV __sa").as("containment_permille"))
   }
 

@@ -52,6 +52,26 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out(0) == ((5L, 3L, 1L, "p")))
   }
 
+  test("plan: first-occurrence verdict is a map-side-combinable aggregate, not a window") {
+    val df = Seq(0L -> "a\n\nb", 1L -> "b\n\nc").toDF("id", "t")
+    val plan = Dedup.paragraphDedup(df, "id", "t").queryExecution.executedPlan.toString
+    // a row_number window would ship EVERY occurrence of a hot paragraph
+    // to one task; the min-aggregate form collapses them per map task
+    assert(!plan.contains("Window"), s"window found in:\n$plan")
+    assert(plan.contains("partial_min"), s"no partial (map-side) min in:\n$plan")
+  }
+
+  test("a planted hot paragraph (every doc shares it) dedups identically") {
+    // the skew shape the plan exists for: one boilerplate paragraph in all
+    // docs; only doc 0's copy survives, every doc keeps its unique body
+    val rows = (0L until 200L).map(i => i -> s"unique body $i\n\nhome | about | contact")
+    val out = run(rows)
+    assert(out(0) == ((0L, 2L, 2L, "unique body 0\n\nhome | about | contact")))
+    (1 until 200).foreach { i =>
+      assert(out(i) == ((i.toLong, 2L, 1L, s"unique body $i")))
+    }
+  }
+
   test("output-column clobber guard fires") {
     val df = Seq((1L, "a", 9L)).toDF("id", "t", "n_kept")
     val e = intercept[IllegalArgumentException] {

@@ -127,4 +127,37 @@ class TextNormSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(loose.toSeq == Seq((1L, 2L, 500L)), s"2 of 4 trigrams shared: ${loose.toSeq}")
   }
+
+  test("containmentPairs: prefix-filtered output equals the naive all-collisions formulation") {
+    // deterministic corpus with a HOT shared tail (every doc carries it —
+    // the boilerplate class the prefix filter exists for), distinct bodies,
+    // and planted truncated copies (the true containments)
+    val base = (0L until 40L).map { i =>
+      val words = (0 until 6).map(j => s"w${(i * 7 + j * 3 + i * i % 5) % 41}").mkString(" ")
+      (i, s"$words shared footer boilerplate here")
+    }
+    val planted = (0L until 40L by 8L)
+      .map(i => (i + 1000L, base(i.toInt)._2.split(" ").take(6).mkString(" ")))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = collect(Dedup.containmentPairs(docs, "doc_id", "text", 800))
+    // naive reference: every gram collision counted, no prefix, no verify merge
+    val grams = docs.select($"doc_id",
+      explode(array_distinct(graft.functions.HashExprs.wordNGrams($"text", 3))).as("g"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sa"))
+    val naive = collect(
+      grams.as("a")
+        .join(grams.as("b"), $"a.g" === $"b.g" && $"a.doc_id" =!= $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter($"inter" * 1000 >= $"sa" * 800)
+        .select($"doc_a", $"doc_b", expr("inter * 1000 DIV sa").as("cp")))
+    assert(fast == naive, s"prefix filter changed the output:\nfast=$fast\nnaive=$naive")
+    assert(fast.nonEmpty, "fixture must plant at least one containment")
+    // dfCap drops hot-gram candidates: a tight cap yields a SUBSET (recall
+    // trade documented); the default cap is exact
+    val capped = collect(Dedup.containmentPairs(docs, "doc_id", "text", 800, dfCap = 3L))
+    assert(capped.subsetOf(fast), s"dfCap must only remove pairs: $capped vs $fast")
+  }
 }
