@@ -35,12 +35,16 @@ import graft.functions.{HtmlExprs, RobotsExprs, WarcExprs}
   * pages with real content; link extraction runs LAST so a page dropped
   * by politeness or dedup cannot feed the frontier.
   *
-  * Shuffle inventory: stages 1–3 are scan-side codegen (zero exchanges);
-  * stage 4 is one hash exchange on canonical_url (group size bounded by
-  * re-crawl policy); the audit adds one count aggregate per stage over
-  * the persisted survivor frame. The robots join broadcasts: the robots
-  * table is one row per HOST — at 100 TB of pages still orders of
-  * magnitude smaller than the crawl.
+  * Shuffle inventory: stages 1–3 are scan-side codegen (zero exchanges
+  * beyond the robots join); stage 4 is one hash exchange on canonical_url
+  * (group size bounded by re-crawl policy); the audit adds one count
+  * aggregate per stage over the decode-once persisted record frame. The
+  * robots join carries NO static broadcast hint: the robots table is one
+  * row per host, but a 100 TB crawl spans tens of millions of hosts ×
+  * KB-scale robots_txt — tens of GB, past any executor budget. AQE picks
+  * broadcast when the table fits and a shuffle join when it doesn't
+  * (both shapes spec-asserted in WebIntakeSpec — the same no-static-hint
+  * rule as `Scd.refreshDedup`).
   */
 object WebIntake {
 
@@ -87,8 +91,12 @@ object WebIntake {
 
     // payload bytes decode under their sniffed charset (BOM, meta
     // declaration), defaulting to UTF-8 — a bare cast would mis-decode
-    // UTF-16 and windows-1252 pages and corrupt every hash downstream
-    val records = crawl
+    // UTF-16 and windows-1252 pages and corrupt every hash downstream.
+    // When the caller wants the audit, the decoded frame persists so each
+    // audit row counts over it instead of re-running the WARC decode
+    // chain (the TrainingPipeline stage-boundary pattern); the later
+    // per-stage filters re-run only their own linear scans.
+    val records0 = crawl
       .select(explode(WarcExprs.warcRecords(col(contentCol))).as("r"))
       .select(col("r.target_uri").as("url"),
         graft.functions.CharsetExprs.decodeSniffed(col("r.payload")).as("html"))
@@ -97,10 +105,17 @@ object WebIntake {
       .withColumn("path",
         when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", "/")
           .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
+    val records =
+      if (audits.isDefined)
+        records0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else records0
 
-    // politeness: broadcast the host-keyed robots table; no row → allowed
+    // politeness gate on the host-keyed robots table; no row → allowed.
+    // No broadcast hint: per-host robots text at crawl scale is tens of
+    // GB — AQE broadcasts when it fits, shuffles when it doesn't (the
+    // Scd.refreshDedup rule; both shapes asserted in WebIntakeSpec)
     val polite = records
-      .join(broadcast(robots.select(col("host"), col("robots_txt"))), Seq("host"), "left")
+      .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
       .filter(coalesce(
         RobotsExprs.robotsAllowed(col("robots_txt"), lit(cfg.agent), col("path")),
         lit(true)))
@@ -192,8 +207,9 @@ object WebIntake {
     *   3. politeness: the host's robots rules gate the path (q139) and
     *      set the per-host delay (q142, NULL = no stated limit);
     *   4. priority: host authority ranks (e.g. [[Graph.pageRankExact]]
-    *      over the frontier edges — hosts ≪ URLs, so this join
-    *      broadcasts), and `fetch_seq` numbers each host's queue — a
+    *      over the frontier edges — hosts ≪ URLs, so AQE typically
+    *      broadcasts this join; no static hint forces it), and
+    *      `fetch_seq` numbers each host's queue — a
     *      scheduler walks host queues in rank order, one fetch per
     *      delay_ms tick.
     *
@@ -220,16 +236,21 @@ object WebIntake {
           .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
     val novel = cand.join(
       urlIndex.select(col("canonical_url").as("url")), Seq("url"), "left_anti")
+    // no broadcast hint on robots — same unbounded-size argument as the
+    // ingest-side gate (AQE decides; both shapes spec-asserted)
     val gated = novel
-      .join(broadcast(robots.select(col("host"), col("robots_txt"))), Seq("host"), "left")
+      .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
       .filter(coalesce(
         RobotsExprs.robotsAllowed(col("robots_txt"), lit(cfg.agent), col("path")),
         lit(true)))
       .withColumn("delay_ms",
         RobotsExprs.robotsCrawlDelayMs(col("robots_txt"), lit(cfg.agent)))
       .drop("robots_txt", "path")
+    // hostRanks is (host, long) — far smaller than robots (no text
+    // payload), but still one row per host, so the same rule applies: let
+    // AQE pick the shape instead of forcing an unconditional build
     val ranked = gated
-      .join(broadcast(hostRanks.select(col("id").as("host"), col("rank"))), Seq("host"), "left")
+      .join(hostRanks.select(col("id").as("host"), col("rank")), Seq("host"), "left")
       .withColumn("rank", coalesce(col("rank"), lit(0L)))
       .withColumn("fetch_seq",
         row_number().over(Window.partitionBy(col("host")).orderBy(col("url"))))

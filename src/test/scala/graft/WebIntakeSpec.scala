@@ -196,6 +196,43 @@ class WebIntakeSpec extends SparkSpec {
       ("b.example.org", "https://b.example.org/ok/x", 300L, Some(2000L), 1)))
   }
 
+  test("robots joins carry no static hint: broadcast small, shuffle when it can't") {
+    import graft.plan.PlanChecks
+    // assert on extractDocs directly — ingest persists its survivor frame,
+    // and a cached fragment would hide the join shape from the inspector
+    val ext = WebIntake.extractDocs(crawl, "content", robots, WebIntake.Config())
+    val rowsAuto = ext.collect().map(_.toString).sorted.toSeq
+    // auto mode: the tiny fixture robots table must land on a broadcast
+    // hash join (AQE or static planning)
+    val auto = PlanChecks.inspect(ext)
+    assert(auto.broadcastHashJoins >= 1, auto.render)
+    // broadcast disabled (stand-in for "tens of millions of hosts × KB of
+    // robots_txt outgrew the executor budget"): the join must survive as a
+    // non-broadcast join with identical rows — no unconditional hint
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ext2 = WebIntake.extractDocs(crawl, "content", robots, WebIntake.Config())
+      val rowsShuffle = ext2.collect().map(_.toString).sorted.toSeq
+      val big = PlanChecks.inspect(ext2)
+      assert(big.broadcastHashJoins == 0, big.render)
+      assert(big.sortMergeJoins + big.hashExchanges >= 1, big.render)
+      assert(rowsShuffle == rowsAuto)
+      // same rule on the frontier side (robots + hostRanks joins)
+      val frontier = Seq(("https://s.org/a", "https://b.example.org/ok/x"))
+        .toDF("src_url", "href")
+        .withColumn("resolved_url",
+          graft.functions.ResolveUrlExprs.resolveUrl($"src_url", $"href"))
+      val index = Seq(("https://a.example.org/page0", "https://a.example.org/page0", 64))
+        .toDF("canonical_url", "corpus_id", "corpus_quality")
+      val ranks = Seq(("b.example.org", 300L)).toDF("id", "rank")
+      val plan = WebIntake.planFrontier(frontier, robots, index, ranks)
+      plan.collect()
+      val fr = PlanChecks.inspect(plan)
+      assert(fr.broadcastHashJoins == 0, fr.render)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("the docs output feeds TrainingPipeline.prepare unchanged") {
     val (docs, _, _) = WebIntake.ingest(crawl, "content", robots)
     // the bench frame shares the corpus's (idCol, textCol) shape
