@@ -212,9 +212,18 @@ object Graph {
     * CTEs (q138).
     *
     * Semantics: edges are distinct (src,dst) pairs, null endpoints
-    * dropped; dangling nodes (no out-edges) receive the teleport term but
-    * redistribute nothing — the mass-dropping variant, standard for crawl
-    * graphs where dangling pages dominate and their mass is noise.
+    * dropped. Dangling nodes (no out-edges) receive the teleport term;
+    * by DEFAULT they redistribute nothing — the mass-dropping variant,
+    * standard for crawl graphs where dangling pages dominate and their
+    * mass is noise — so total rank DECAYS toward N·teleport/(1−d) rather
+    * than conserving N·scale; the per-node ORDERING (what crawl
+    * prioritization consumes) is unaffected. `redistributeDangling = true`
+    * switches to the textbook distribution: each round the dangling mass
+    * D = Σ rank(dangling) is summed (one scalar to the driver per round,
+    * the CC-rounds pattern) and every node's contribution gains
+    * `D div N` — still exact integers, still partition-invariant, total
+    * mass conserved to within the documented integer-division slack
+    * (< E + 2N units of scale⁻¹ per iteration; spec-pinned).
     * Iterations are FIXED, not run to convergence: rank consumers at crawl
     * scale want a bounded-cost signal (3–5 rounds separate hubs from leaves)
     * and a deterministic output, not a fixpoint whose round count data-drifts.
@@ -223,7 +232,12 @@ object Graph {
     * (persisted once) against the current rank frame, one hash aggregate on
     * dst, one left join back to the node list — 3 shuffles × iterations,
     * all on graph-sized frames. A hot dst (every page links home) is ONE
-    * group with partial aggregation upstream; no driver data path.
+    * group with partial aggregation upstream; no driver data path (the
+    * optional dangling sum is one scalar). Every 10 iterations the rank
+    * frame is `localCheckpoint`ed so deep runs (iterations up to 50) carry
+    * a bounded lineage instead of a 150-join plan — the analyzer cost of
+    * an unbounded iterative lineage grows superlinearly and is a
+    * driver-side scale-killer of its own (lineage bound spec-pinned).
     * Overflow bound: nodes·scale·dampNum must stay below 2⁶³ — the default
     * 10⁹ scale holds to ~10⁸ nodes; drop `scale` a decade per decade beyond.
     *
@@ -237,7 +251,8 @@ object Graph {
       iterations: Int = 3,
       scale: Long = 1000000000L,
       dampNum: Int = 85,
-      dampDen: Int = 100
+      dampDen: Int = 100,
+      redistributeDangling: Boolean = false
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -260,9 +275,29 @@ object Graph {
       .distinct()
       .persist()
     val teleport = scale * (dampDen - dampNum) / dampDen // exact: all terms positive
+    // dangling set (no out-edges) and node count: computed once, only when
+    // the conserving variant pays for them
+    val dangling =
+      if (redistributeDangling)
+        nodes.join(e.select($"__s".as("id")).distinct(), Seq("id"), "left_anti").persist()
+      else null
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.select($"id", lit(scale).as("rank"))
     var it = 0
     while (it < iterations) {
+      // the dangling sum is an ACTION per round: checkpoint the rank frame
+      // first so the scalar and the next round's join share one
+      // materialization instead of re-running the whole lineage
+      if (redistributeDangling && it > 0) ranks = ranks.localCheckpoint(true)
+      // textbook dangling redistribution: every node receives an equal
+      // share of the dangling mass — D div N is exact and identical on
+      // every partition, so partition-invariance is preserved
+      val share =
+        if (redistributeDangling && nNodes > 0) {
+          val d = ranks.join(dangling, Seq("id"), "left_semi")
+            .agg(coalesce(sum($"rank"), lit(0L))).head().getLong(0)
+          d / nNodes
+        } else 0L
       val contrib = eo
         .join(ranks.select($"id".as("__s"), $"rank"), Seq("__s"))
         .select($"__d".as("id"), expr("rank div __outdeg").as("__c"))
@@ -272,9 +307,14 @@ object Graph {
         .join(contrib, Seq("id"), "left")
         .select(
           $"id",
-          expr(s"${teleport}L + (${dampNum}L * coalesce(__contrib, 0L)) div ${dampDen}L")
-            .as("rank"))
+          expr(s"${teleport}L + (${dampNum}L * (coalesce(__contrib, 0L) + ${share}L))" +
+            s" div ${dampDen}L").as("rank"))
       it += 1
+      // cap the lineage: a 50-iteration run would otherwise hand the
+      // analyzer a ~150-join tree (the redistributing path checkpoints at
+      // the top of every round already)
+      if (!redistributeDangling && it % 10 == 0 && it < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -165,4 +165,50 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRankExact(e, "s", "d", iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRankExact(e, "s", "d", dampNum = 100))
   }
+
+  test("pageRankExact: dangling redistribution conserves mass; default drops it (documented)") {
+    // a -> b, b dangling. N=2: share = 1e9 div 2 = 5e8 in round 1.
+    val r = Graph
+      .pageRankExact(Seq("a" -> "b").toDF("s", "d"), "s", "d",
+        iterations = 1, redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map(
+      "a" -> (150000000L + 85L * 500000000L / 100L), // teleport + 85%·share
+      "b" -> (150000000L + 85L * 1500000000L / 100L))) // + a's whole rank
+    assert(r.values.sum == 2L * 1000000000L) // exactly conserved here
+    // multi-round totals stay within the integer-division slack of N·scale
+    val edges2 = Seq("a" -> "b", "a" -> "c", "b" -> "c", "d" -> "a").toDF("s", "d")
+    val (n, eCnt, iters) = (4L, 4L, 8)
+    val total = Graph
+      .pageRankExact(edges2, "s", "d", iterations = iters, redistributeDangling = true)
+      .agg(sum($"rank")).head().getLong(0)
+    assert(math.abs(total - n * 1000000000L) <= (eCnt + 2 * n) * iters,
+      s"mass not conserved: $total")
+    // the default's DOCUMENTED deviation: dangling mass drains each round
+    val dropped = Graph.pageRankExact(edges2, "s", "d", iterations = iters)
+      .agg(sum($"rank")).head().getLong(0)
+    assert(dropped < total)
+    // and the conserving variant stays bit-deterministic under repartition
+    val again = Graph
+      .pageRankExact(edges2.repartition(7), "s", "d",
+        iterations = iters, redistributeDangling = true)
+      .agg(sum($"rank")).head().getLong(0)
+    assert(again == total)
+  }
+
+  test("pageRankExact: deep runs carry a bounded lineage (localCheckpoint every 10)") {
+    val edges = Seq("a" -> "b", "b" -> "a", "a" -> "c").toDF("s", "d")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    val shallow = Graph.pageRankExact(edges, "s", "d", iterations = 9)
+    val deep = Graph.pageRankExact(edges, "s", "d", iterations = 25)
+    // after the checkpoint at iteration 20, the 25-round frame's lineage is
+    // 5 rounds over a materialized leaf — SHORTER than an unchckpointed
+    // 9-round lineage, not 2.8× longer
+    assert(planNodes(deep) < planNodes(shallow),
+      s"deep=${planNodes(deep)} shallow=${planNodes(shallow)}")
+    // and it still executes to the deterministic fixed-iteration result
+    val r = deep.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set("a", "b", "c") && r.values.forall(_ >= 150000000L))
+  }
 }
