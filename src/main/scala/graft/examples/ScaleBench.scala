@@ -91,7 +91,17 @@ object ScaleBench {
     "q143_sitemap_entries",
     "q144_resolve_links",
     "q145_html_meta",
-    "q146_charset_decode"
+    "q146_charset_decode",
+    // round-12 additions: the banding-quality report composes q25's LSH and
+    // q24's PPJoin inventories (both k×-linear on the cipher corpora — the
+    // truth-pair count scales exactly k×); NFC and mojibake repair are pure
+    // scan-side codegen (per-row cost, zero exchanges); containment pairs
+    // run the prefix-filtered candidate join whose planted-hot A/B is the
+    // containment_hot special case below
+    "q130_lsh_quality",
+    "q131_nfc_normalize",
+    "q132_mojibake_repair",
+    "q133_containment_pairs"
   )
 
   private val IdOffset = 100000000L
@@ -314,6 +324,7 @@ object ScaleBench {
     val doTrim = only.forall(f => f.contains("substring_trim"))
     val doSimPack = only.forall(f => f.contains("sim_pack"))
     val doHot = only.forall(f => f.exists(_.startsWith("substring_hot")))
+    val doContainHot = only.forall(f => f.exists(_.startsWith("containment_hot")))
     val doGramAppend = only.forall(f => f.exists(_.startsWith("gram_append")))
     val doPhash = only.forall(f => f.contains("phash"))
     val doAudio = only.forall(f => f.contains("audio_fp"))
@@ -530,6 +541,56 @@ object ScaleBench {
         println(s"""{"bench":"scale","scale":$k,"query":"substring_hot_salted","sec":$tSalted,"rows":$rowsSalted,"max_task_ms":$maxSalted}""")
         println(s"""{"bench":"scale","scale":$k,"query":"substring_hot_legacy","sec":$tLegacy,"rows":$rowsLegacy,"max_task_ms":$maxLegacy}""")
         Seq("substring_hot_salted" -> tSalted, "substring_hot_legacy" -> tLegacy)
+      }
+      // Planted-hot-gram A/B for the CONTAINMENT join (the round-11
+      // verdict's q133 probe, same protocol as substring_hot): every 4th
+      // doc gets one appended boilerplate sentence, so its word-trigrams
+      // are shared by n/4 docs — the naive inverted-index self-join emits
+      // ~(n/4)² collision pairs per shared gram BEFORE any threshold can
+      // bind, while the PPJoin-prefix form admits a gram into candidate
+      // generation only when it is among a doc's RAREST. Reported:
+      // candidate-pair counts for both strategies (the bounded quantity)
+      // and the full-operator wall time; results are identical by
+      // construction (TextNormSpec pins output parity on a fixture).
+      val containHotTimes = if (!doContainHot) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val hot = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"), lit(" subscribe to our newsletter for updates and offers")))
+            .otherwise(col("text")))
+        // prefix-filtered candidates: the operator's own candidate stage
+        var candPrefix = 0L
+        val tPrefixCand = time2(spark) {
+          val (d, c) = Dedup.containmentCandidates(hot, "doc_id", "text", 800)
+          candPrefix = c.count()
+          d.unpersist()
+        }
+        // naive candidates: every cross-doc gram collision, distinct —
+        // the pre-round-12 formulation's pair generator (kept here solely
+        // as this baseline; mirrors the shared gram derivation)
+        val grams = hot
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.HashExprs.wordNGrams(col("text"), 3)))
+              .as("gs"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g"))
+        var candNaive = 0L
+        val tNaiveCand = time2(spark) {
+          candNaive = grams.as("a")
+            .join(grams.as("b"),
+              col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+            .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        }
+        var pairs = 0L
+        val tFull = time2(spark) {
+          pairs = Dedup.containmentPairs(hot, "doc_id", "text", 800).count()
+        }
+        println(s"""{"bench":"scale","scale":$k,"query":"containment_hot_prefix","sec":$tPrefixCand,"candidates":$candPrefix}""")
+        println(s"""{"bench":"scale","scale":$k,"query":"containment_hot_naive","sec":$tNaiveCand,"candidates":$candNaive}""")
+        println(s"""{"bench":"scale","scale":$k,"query":"containment_hot_full","sec":$tFull,"rows":$pairs}""")
+        Seq("containment_hot_prefix" -> tPrefixCand, "containment_hot_naive" -> tNaiveCand,
+          "containment_hot_full" -> tFull)
       }
       // Incremental gram-index maintenance: at corpus scale k, a snapshot
       // rebuild (write the full index) costs ∝ k; appending a FIXED intake
@@ -782,7 +843,7 @@ object ScaleBench {
           "bpe_train_rescan" -> tRescan) ++ depth
       }
       k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
-        simPackTimes ++ bloomTimes ++ hotTimes ++ gramAppendTimes ++ phashTimes ++
+        simPackTimes ++ bloomTimes ++ hotTimes ++ containHotTimes ++ gramAppendTimes ++ phashTimes ++
         audioTimes ++ videoTimes ++ repeatsTimes ++ chunkTimes ++ bpeTrainTimes)
     }.toMap
 
@@ -798,6 +859,7 @@ object ScaleBench {
       (if (doSimPack) Seq("sim_pack") else Nil) ++
       (if (doBloom) Seq("bloom_decon") else Nil) ++
       (if (doHot) Seq("substring_hot_salted", "substring_hot_legacy") else Nil) ++
+      (if (doContainHot) Seq("containment_hot_prefix", "containment_hot_naive", "containment_hot_full") else Nil) ++
       (if (doGramAppend) Seq("gram_append") else Nil) ++
       (if (doPhash) Seq("phash") else Nil) ++
       (if (doAudio) Seq("audio_fp") else Nil) ++

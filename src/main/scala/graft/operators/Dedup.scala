@@ -1179,6 +1179,37 @@ object Dedup {
       thresholdPermille: Int = 800,
       dfCap: Long = Long.MaxValue
   ): DataFrame = {
+    val (docs, candidates) = containmentCandidates(df, idCol, textCol, thresholdPermille, dfCap)
+    // exact verification: codegen'd two-pointer merge over the rarity-sorted
+    // gram structs — O(sz_a + sz_b) per candidate, same as q24's
+    candidates
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.functions.HashExprs
+          .sortedStructIntersectSize(col("da.ranked"), col("db.ranked"))
+          .as("inter"),
+        col("da.sz").cast("long").as("__sa"))
+      .filter(col("inter") * 1000 >= lit(thresholdPermille.toLong) * col("__sa"))
+      .select(col("doc_a"), col("doc_b"), expr("inter * 1000 DIV __sa").as("containment_permille"))
+  }
+
+  /** [[containmentPairs]]' candidate stage, exposed for the ScaleBench
+    * planted-hot-gram A/B (candidate counts are the quantity the prefix
+    * filter exists to bound). Returns (docs, candidates): `docs` is the
+    * persisted rarity-ranked gram-array frame (doc_id, ranked, sz) the
+    * verify joins read, `candidates` the distinct (doc_a, doc_b) pairs
+    * that survive the A-side prefix + size filter (+ dfCap).
+    */
+  private[graft] def containmentCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPermille: Int,
+      dfCap: Long = Long.MaxValue
+  ): (DataFrame, DataFrame) = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       "thresholdPermille must be in [1, 1000]")
     require(dfCap >= 1L, "dfCap must be positive")
@@ -1216,20 +1247,7 @@ object Dedup {
           col("b.sz").cast("long") * 1000 >= col("a.sz").cast("long") * thresholdPermille)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification: codegen'd two-pointer merge over the rarity-sorted
-    // gram structs — O(sz_a + sz_b) per candidate, same as q24's
-    candidates
-      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
-      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        graft.functions.HashExprs
-          .sortedStructIntersectSize(col("da.ranked"), col("db.ranked"))
-          .as("inter"),
-        col("da.sz").cast("long").as("__sa"))
-      .filter(col("inter") * 1000 >= lit(thresholdPermille.toLong) * col("__sa"))
-      .select(col("doc_a"), col("doc_b"), expr("inter * 1000 DIV __sa").as("containment_permille"))
+    (docs, candidates)
   }
 
   /** Incremental dedup probe: which NEW docs near-duplicate an EXISTING

@@ -611,6 +611,58 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Mass-CONSERVING PageRank ([[Graph.pageRankExact]] with
+    * `redistributeDangling = true`, the round-12 variant): a bipartite
+    * crawl graph of 7 source hosts fanning into 13 sink hosts that link
+    * nowhere — ALL the authority lands on dangling nodes, so the two
+    * variants diverge maximally and the oracle genuinely pins the
+    * redistribution term. Each round the dangling mass D = Σ rank(sinks)
+    * is shared as `D div N` into every node's contribution before
+    * damping; the oracle replays both unrolled rounds — dangling sum,
+    * integer share, contribution, damped update — in CTEs. Bit-exact
+    * across engines for the same reason as q138: every step is integer
+    * DIV, so no summation-order or float noise exists to absorb a bug.
+    */
+  private val q147 = Q(
+    "q147_pagerank_conserving",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val edges = T.documents.select(
+        concat(lit("s"), ($"doc_id" % 7).cast("string")).as("src"),
+        concat(lit("d"), ($"doc_id" % 13).cast("string")).as("dst"))
+      Graph
+        .pageRankExact(edges, "src", "dst", iterations = 2, redistributeDangling = true)
+        .orderBy($"id")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT 's' || (doc_id % 7) AS s, 'd' || (doc_id % 13) AS d
+                 FROM documents),
+      odeg AS (SELECT s, COUNT(*) AS cnt FROM e GROUP BY s),
+      eo AS (SELECT e.s, e.d, odeg.cnt FROM e JOIN odeg ON e.s = odeg.s),
+      n AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+      nn AS (SELECT COUNT(*) AS c FROM n),
+      dang AS (SELECT id FROM n WHERE id NOT IN (SELECT s FROM e)),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+      s1 AS (SELECT COALESCE(SUM(r0.rank), 0) // (SELECT c FROM nn) AS sh
+             FROM r0 JOIN dang USING (id)),
+      c1 AS (SELECT eo.d AS id, SUM(r0.rank // eo.cnt) AS m
+             FROM eo JOIN r0 ON eo.s = r0.id GROUP BY eo.d),
+      r1 AS (SELECT n.id,
+                    CAST(150000000 + (85 * (COALESCE(c1.m, 0) + (SELECT sh FROM s1))) // 100
+                         AS BIGINT) AS rank
+             FROM n LEFT JOIN c1 ON n.id = c1.id),
+      s2 AS (SELECT COALESCE(SUM(r1.rank), 0) // (SELECT c FROM nn) AS sh
+             FROM r1 JOIN dang USING (id)),
+      c2 AS (SELECT eo.d AS id, SUM(r1.rank // eo.cnt) AS m
+             FROM eo JOIN r1 ON eo.s = r1.id GROUP BY eo.d),
+      r2 AS (SELECT n.id,
+                    CAST(150000000 + (85 * (COALESCE(c2.m, 0) + (SELECT sh FROM s2))) // 100
+                         AS BIGINT) AS rank
+             FROM n LEFT JOIN c2 ON n.id = c2.id)
+      SELECT id, rank FROM r2 ORDER BY id
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144)
+    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147)
 }
