@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
@@ -147,6 +149,25 @@ object CharsetSupport {
     UTF8String.fromString(new String(bytes, skip, bytes.length - skip, cs))
   }
 
+  /** [[decode]] under WHATWG's full precedence when a TRANSPORT-layer
+    * label (the HTTP Content-Type `charset=` parameter, see
+    * [[HttpSupport.charsetParam]]) is available: BOM > transport label >
+    * in-document declaration > UTF-8. A BOM still wins over the header —
+    * the bytes say what they are; a null label is plain [[decode]].
+    */
+  def decodeWith(bytes: Array[Byte], label: UTF8String): UTF8String = {
+    if (bytes == null) return null
+    val hasBom =
+      (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb &&
+        (bytes(2) & 0xff) == 0xbf) ||
+        (bytes.length >= 2 &&
+          (((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) ||
+            ((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)))
+    if (label == null || hasBom) return decode(bytes)
+    val cs = charsetFor(label.toString.toLowerCase(java.util.Locale.ROOT))
+    UTF8String.fromString(new String(bytes, 0, bytes.length, cs))
+  }
+
   private def charsetFor(label: String): java.nio.charset.Charset = {
     import java.nio.charset.StandardCharsets._
     label match {
@@ -219,9 +240,64 @@ case class DecodeSniffed(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** (binary, string label) → decoded text under the WHATWG precedence
+  * BOM > transport label > in-document declaration > UTF-8
+  * (codegen-enabled). A NULL label behaves exactly like
+  * [[DecodeSniffed]]; NULL bytes → NULL.
+  */
+case class DecodeSniffedWith(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+  // the label is OPTIONAL: a null label must not null the result
+  override def nullIntolerant: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_decode_sniffed_with requires (binary, string), got " +
+            s"(${a.catalogString}, ${b.catalogString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = left.eval(input)
+    if (bytes == null) return null
+    CharsetSupport.decodeWith(
+      bytes.asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = left.genCode(ctx)
+    val l = right.genCode(ctx)
+    val code =
+      code"""
+        ${b.code}
+        ${l.code}
+        boolean ${ev.isNull} = ${b.isNull};
+        UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.CharsetSupport.decodeWith(
+            ${b.value}, ${l.isNull} ? null : ${l.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): DecodeSniffedWith = copy(left = newLeft, right = newRight)
+}
+
 object CharsetExprs {
   def sniffCharset(bytes: Column): Column =
     ColumnShim.column(SniffCharset(ColumnShim.expression(bytes)))
   def decodeSniffed(bytes: Column): Column =
     ColumnShim.column(DecodeSniffed(ColumnShim.expression(bytes)))
+  def decodeSniffedWith(bytes: Column, label: Column): Column =
+    ColumnShim.column(
+      DecodeSniffedWith(ColumnShim.expression(bytes), ColumnShim.expression(label)))
 }

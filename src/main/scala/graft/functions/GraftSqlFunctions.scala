@@ -125,6 +125,15 @@ object GraftSqlFunctions {
     }),
     ("graft_decode_sniffed", "(binary)", {
       case Seq(b) => DecodeSniffed(b)
+    }),
+    ("graft_decode_sniffed_with", "(binary, string)", {
+      case Seq(b, l) => DecodeSniffedWith(b, l)
+    }),
+    ("graft_http_response", "(binary)", {
+      case Seq(b) => HttpResponse(b)
+    }),
+    ("graft_http_charset", "(string)", {
+      case Seq(c) => HttpCharset(c)
     })
   )
 

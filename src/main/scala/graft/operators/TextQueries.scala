@@ -1369,8 +1369,59 @@ object TextQueries {
     """.trim)
   )
 
+  /** HTTP response-message parsing ([[graft.functions.HttpSupport]]) — the
+    * layer between q135's WARC records and q136's HTML for REAL crawl
+    * archives, where a `response` record's payload is status line +
+    * headers + body, not a bare page. The grid crosses the gates a corpus
+    * builder needs: a 200 html page, a 404 (status gate), a JSON payload
+    * (content-type route), and a 200 whose header declares iso-8859-1 —
+    * its é is a single 0xE9 byte that only the header-charset decode
+    * (WHATWG: transport label beats in-document signals) renders
+    * correctly. The oracle states every cell arithmetically; one wrong
+    * header walk, status parse, or precedence order flips a residue class.
+    */
+  private val q148 = Q(
+    "q148_http_response",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.{CharsetExprs, HttpExprs}
+      val id = $"doc_id".cast("string")
+      val m = $"doc_id" % 4
+      val head = when(m === 0, lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"))
+        .when(m === 1, lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"))
+        .when(m === 2, lit("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n"))
+        .otherwise(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n"))
+      val body = when(m === 3, encode(concat(lit("Café "), id), "ISO-8859-1"))
+        .otherwise(encode(concat(lit("Body "), id), "UTF-8"))
+      val payload = concat(encode(head, "UTF-8"), body)
+      T.documents
+        .select($"doc_id", HttpExprs.httpResponse(payload).as("h"))
+        .select(
+          $"doc_id",
+          $"h.status".as("status"),
+          $"h.content_type".as("content_type"),
+          HttpExprs.httpCharset($"h.content_type").as("charset"),
+          CharsetExprs
+            .decodeSniffedWith($"h.body", HttpExprs.httpCharset($"h.content_type"))
+            .as("text_decoded"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 1 THEN 404 ELSE 200 END AS status,
+             CASE doc_id % 4 WHEN 2 THEN 'application/json'
+                             WHEN 3 THEN 'text/html; charset=ISO-8859-1'
+                             ELSE 'text/html' END AS content_type,
+             CASE doc_id % 4 WHEN 3 THEN 'iso-8859-1' END AS charset,
+             CASE doc_id % 4 WHEN 3 THEN 'Café ' || doc_id
+                             ELSE 'Body ' || doc_id END AS text_decoded
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146)
+      q145, q146, q148)
 }

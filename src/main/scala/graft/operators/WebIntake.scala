@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HtmlExprs, RobotsExprs, WarcExprs}
+import graft.functions.{HtmlExprs, HttpExprs, RobotsExprs, WarcExprs}
 
 /** Crawl-archive → corpus intake, composed end to end from the round-11
   * web operators — the stage that runs BEFORE [[TrainingPipeline.prepare]]
@@ -11,7 +11,14 @@ import graft.functions.{HtmlExprs, RobotsExprs, WarcExprs}
   *
   *   1. WARC record split     ([[graft.functions.WarcSupport]], q135) —
   *                            length-driven byte walk; a malformed blob
-  *                            NULLs out whole-file, never kills the scan
+  *                            NULLs out whole-file, never kills the scan.
+  *                            `response` records (real crawl archives)
+  *                            additionally pass the HTTP gate
+  *                            ([[graft.functions.HttpSupport]], q148):
+  *                            2xx status, html-ish or absent
+  *                            Content-Type, body decoded under the full
+  *                            WHATWG charset precedence (BOM > header
+  *                            charset= > meta declaration > UTF-8)
   *   2. robots.txt gate       ([[graft.functions.RobotsSupport]], q139) —
   *                            host-keyed politeness verdict as a column;
   *                            a host with no robots row allows everything
@@ -98,9 +105,30 @@ object WebIntake {
     // per-stage filters re-run only their own linear scans.
     val records0 = crawl
       .select(explode(WarcExprs.warcRecords(col(contentCol))).as("r"))
-      .select(col("r.target_uri").as("url"),
-        graft.functions.CharsetExprs.decodeSniffed(col("r.payload")).as("html"))
+      .select(col("r.warc_type").as("__wt"), col("r.target_uri").as("url"),
+        col("r.payload").as("__payload"))
       .filter(col("url").isNotNull)
+      // `response` records carry an HTTP MESSAGE, not a page: parse it
+      // scan-side, gate on 2xx + an html-ish (or absent) Content-Type —
+      // an error page or a binary asset must never reach the extractors —
+      // and decode the BODY under the full WHATWG precedence (BOM >
+      // header charset= > in-document declaration > UTF-8). Conversion /
+      // WET records are already bare page bytes and take the plain
+      // sniffed decode. Null-safe on warc_type: an untyped record is
+      // treated as a conversion, not dropped.
+      .withColumn("__http",
+        when(col("__wt") === "response", HttpExprs.httpResponse(col("__payload"))))
+      .filter(!(col("__wt") <=> "response") ||
+        (col("__http").isNotNull &&
+          col("__http.status") >= 200 && col("__http.status") <= 299 &&
+          (col("__http.content_type").isNull ||
+            lower(col("__http.content_type")).contains("html"))))
+      .withColumn("html",
+        when(col("__wt") <=> "response",
+          graft.functions.CharsetExprs.decodeSniffedWith(
+            col("__http.body"), HttpExprs.httpCharset(col("__http.content_type"))))
+          .otherwise(graft.functions.CharsetExprs.decodeSniffed(col("__payload"))))
+      .drop("__wt", "__payload", "__http")
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
       .withColumn("path",
         when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", "/")

@@ -196,6 +196,41 @@ class WebIntakeSpec extends SparkSpec {
       ("b.example.org", "https://b.example.org/ok/x", 300L, Some(2000L), 1)))
   }
 
+  test("response records: 2xx+html gate, header charset beats a lying meta") {
+    // a WARC `response` record's payload is an HTTP MESSAGE; bytes built by
+    // hand so the ISO-8859-1 é stays one byte (a string cast would UTF-8 it)
+    def hrec(url: String, http: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val okBody = (nav + "<meta charset=utf-8>" + // lying in-document declaration
+      "<p>Café content paragraph with plenty of characters to keep here.</p>")
+      .getBytes("ISO-8859-1")
+    val ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ okBody
+    val err = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>Error page body long enough that only the status gate drops it.</p>")
+      .getBytes("ISO-8859-1")
+    val png = ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNGBYTES")
+      .getBytes("ISO-8859-1")
+    val noCt = ("HTTP/1.1 200 OK\r\n\r\n" +
+      "<p>No content-type header page, treated as html by default here.</p>")
+      .getBytes("ISO-8859-1")
+    val crawl2 = Seq(Tuple1(
+      hrec("https://a.example.org/served", ok) ++
+        hrec("https://a.example.org/missing", err) ++
+        hrec("https://a.example.org/logo", png) ++
+        hrec("https://a.example.org/bare", noCt))).toDF("content")
+    val (docs, _, _) = WebIntake.ingest(crawl2, "content", robots)
+    val byUrl = docs.collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // 404 and image/png die at the HTTP gate; absent Content-Type passes
+    assert(byUrl.keySet ==
+      Set("https://a.example.org/served", "https://a.example.org/bare"))
+    // header charset=iso-8859-1 beat the lying <meta charset=utf-8>: the é
+    // survives (a meta-first decode would have produced U+FFFD mojibake)
+    assert(byUrl("https://a.example.org/served").contains("Café"))
+  }
+
   test("robots joins carry no static hint: broadcast small, shuffle when it can't") {
     import graft.plan.PlanChecks
     // assert on extractDocs directly — ingest persists its survivor frame,
