@@ -277,4 +277,48 @@ object UrlOps {
           THEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1)
         ELSE NULL END)""".replaceAll("\n\\s*", " ")
   }
+
+  /** Crawler-trap detection by URL-TEMPLATE profiling: a calendar, a
+    * session-id scheme, or a faceted-search explosion manufactures an
+    * infinite URL space under ONE path shape — the classic way a frontier
+    * drowns (Heydon & Najork, "Mercator", WWW 1999 names traps as the
+    * scaling hazard). Collapsing digit runs to `{N}` turns every such
+    * space into a single template, so the host whose top template covers
+    * nearly all its distinct URLs (high `trap_permille` at high `top_n`)
+    * is the one to cap in [[WebIntake.planFrontier]]'s per-host queue.
+    *
+    * Template = the URL's PATH (query/fragment excluded, empty path → `/`)
+    * with every digit run replaced by `{N}`. Exact integers end to end;
+    * top-template tie-break is (count DESC, template string DESC) — a
+    * total order, so the report is partition-invariant.
+    *
+    * Scale shape: one (host, template) aggregate with map-side distinct
+    * partials — a trap's millions of URLs collapse toward one row per map
+    * task — then a host-scale rollup; no pair joins, no windows over the
+    * URL table.
+    *
+    * @return (host, n_urls, n_templates, top_template, top_n,
+    *         trap_permille) — n_urls = distinct URLs on the host,
+    *         trap_permille = top_n·1000 DIV n_urls
+    */
+  def urlTrapReport(df: DataFrame, urlCol: Column): DataFrame = {
+    val host = regexp_extract(urlCol, "^https?://([^/:?#]+)", 1)
+    val rawPath = regexp_extract(urlCol, "^https?://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val perTemplate = df
+      .select(host.as("host"),
+        regexp_replace(path, "[0-9]+", "{N}").as("template"), urlCol.as("__u"))
+      .groupBy(col("host"), col("template"))
+      .agg(countDistinct(col("__u")).as("n_urls"))
+    perTemplate
+      .groupBy(col("host"))
+      .agg(
+        sum(col("n_urls")).as("n_urls"),
+        count(lit(1)).as("n_templates"),
+        max(struct(col("n_urls").as("c"), col("template").as("t"))).as("__top"))
+      .select(
+        col("host"), col("n_urls"), col("n_templates"),
+        col("__top.t").as("top_template"), col("__top.c").as("top_n"),
+        expr("__top.c * 1000 DIV n_urls").as("trap_permille"))
+  }
 }

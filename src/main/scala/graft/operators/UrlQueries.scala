@@ -663,6 +663,57 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Crawler-trap detection ([[UrlOps.urlTrapReport]]): host h0 is a
+    * calendar trap — every doc mints a DISTINCT numeric URL under one path
+    * shape — while the other hosts carry a healthy mix of a static page, a
+    * small paginated set, and a small item set. Digit runs collapse to
+    * `{N}` templates, so the trap shows up as top_n ≈ n_urls (permille →
+    * 1000) at high n_urls; the oracle replays host/path extraction,
+    * templating, both aggregation levels, and the (count DESC, template
+    * DESC) tie-break.
+    */
+  private val q149 = Q(
+    "q149_url_trap_report",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val path = when($"doc_id" % 5 === 0, concat(lit("/cal/2024/"), id))
+        .when($"doc_id" % 3 === 0, lit("/about"))
+        .when($"doc_id" % 3 === 1, concat(lit("/page/"), ($"doc_id" % 7).cast("string")))
+        .otherwise(concat(lit("/item/"), ($"doc_id" % 4).cast("string"), lit("/view")))
+      val urls = T.documents.select(
+        concat(lit("https://h"), ($"doc_id" % 5).cast("string"), lit(".example.org"), path)
+          .as("url"))
+      UrlOps.urlTrapReport(urls, $"url").orderBy($"host")
+    },
+    Some("""
+      WITH u AS (SELECT 'https://h' || (doc_id % 5) || '.example.org' ||
+                        CASE WHEN doc_id % 5 = 0 THEN '/cal/2024/' || doc_id
+                             WHEN doc_id % 3 = 0 THEN '/about'
+                             WHEN doc_id % 3 = 1 THEN '/page/' || (doc_id % 7)
+                             ELSE '/item/' || (doc_id % 4) || '/view' END AS url
+                 FROM documents),
+      p AS (SELECT regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host,
+                   regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                                  '[0-9]+', '{N}', 'g') AS template,
+                   url
+            FROM u),
+      t AS (SELECT host, template, COUNT(DISTINCT url) AS n FROM p GROUP BY 1, 2),
+      r AS (SELECT host, CAST(SUM(n) AS BIGINT) AS n_urls,
+                   CAST(COUNT(*) AS BIGINT) AS n_templates
+            FROM t GROUP BY 1),
+      top AS (SELECT host, template, n,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY n DESC, template DESC) AS rk
+              FROM t)
+      SELECT r.host, r.n_urls, r.n_templates, top.template AS top_template,
+             CAST(top.n AS BIGINT) AS top_n,
+             CAST(top.n * 1000 // r.n_urls AS BIGINT) AS trap_permille
+      FROM r JOIN top ON r.host = top.host AND top.rk = 1
+      ORDER BY r.host
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147)
+    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149)
 }

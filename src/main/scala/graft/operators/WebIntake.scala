@@ -55,11 +55,19 @@ import graft.functions.{HtmlExprs, HttpExprs, RobotsExprs, WarcExprs}
   */
 object WebIntake {
 
+  /** @param maxFetchPerHost per-round cap on one host's fetch queue — the
+    *                         crawler-trap defense ([[UrlOps.urlTrapReport]]
+    *                         finds the hosts that need it): a calendar/
+    *                         session-id URL space can mint unbounded novel
+    *                         URLs, and without a cap one trap host starves
+    *                         the whole round. Default uncapped.
+    */
   final case class Config(
       agent: String = "graftbot",
       minBlockChars: Int = 20,
       maxLinkPermille: Int = 500,
-      minDocChars: Int = 1)
+      minDocChars: Int = 1,
+      maxFetchPerHost: Int = Int.MaxValue)
 
   /** The canonical-URL probe index over an [[ingest]] docs output, for the
     * streaming twin ([[graft.streaming.Streams.intakeBatch]]): the docs
@@ -282,6 +290,10 @@ object WebIntake {
       .withColumn("rank", coalesce(col("rank"), lit(0L)))
       .withColumn("fetch_seq",
         row_number().over(Window.partitionBy(col("host")).orderBy(col("url"))))
+      // trap defense: cap each host's queue for this round (the
+      // rank-window top-k — WindowGroupLimit keeps it from materializing
+      // past the cap per group)
+      .filter(col("fetch_seq") <= cfg.maxFetchPerHost)
     ranked
       .select(col("host"), col("url"), col("rank"), col("delay_ms"), col("fetch_seq"))
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))

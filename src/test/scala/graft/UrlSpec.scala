@@ -176,4 +176,23 @@ class UrlSpec extends SparkSpec {
     assert(sql.contains("lower(regexp_extract("),
       s"oracle host rendering must be wrapped in lower(): $sql")
   }
+
+  test("urlTrapReport: digit runs collapse, query strings excluded, trap host flagged") {
+    val urls = ((0 until 30).map(i => s"https://trap.org/cal/2024/$i") ++ Seq(
+      "https://ok.org/about",
+      "https://ok.org/about?x=1", // distinct URL, SAME template (query excluded)
+      "https://ok.org/page/1",
+      "https://ok.org/page/2",
+      "https://ok.org" // empty path → '/'
+    )).toDF("url")
+    val r = UrlOps.urlTrapReport(urls, $"url")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val trap = r("trap.org")
+    assert(trap.getLong(1) == 30 && trap.getLong(2) == 1)
+    assert(trap.getString(3) == "/cal/{N}/{N}" && trap.getLong(5) == 1000L)
+    val ok = r("ok.org")
+    assert(ok.getLong(1) == 5 && ok.getLong(2) == 3) // /about, /page/{N}, /
+    // top tie (2 vs 2) breaks to the lexicographically LARGER template
+    assert(ok.getString(3) == "/page/{N}" && ok.getLong(4) == 2 && ok.getLong(5) == 400L)
+  }
 }

@@ -268,6 +268,23 @@ class WebIntakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("planFrontier: maxFetchPerHost caps a trap host's queue") {
+    val frontier = (0 until 20).map(i => ("https://s.org/a", s"https://trap.example.org/cal/$i"))
+      .toDF("src_url", "href")
+      .withColumn("resolved_url",
+        graft.functions.ResolveUrlExprs.resolveUrl($"src_url", $"href"))
+    val emptyIdx = Seq.empty[(String, String, Int)]
+      .toDF("canonical_url", "corpus_id", "corpus_quality")
+    val noRobots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val ranks = Seq(("trap.example.org", 1L)).toDF("id", "rank")
+    val capped = WebIntake.planFrontier(frontier, noRobots, emptyIdx, ranks,
+      WebIntake.Config(maxFetchPerHost = 5))
+    assert(capped.count() == 5)
+    assert(capped.agg(max($"fetch_seq")).head().getInt(0) == 5)
+    // uncapped default keeps the whole queue
+    assert(WebIntake.planFrontier(frontier, noRobots, emptyIdx, ranks).count() == 20)
+  }
+
   test("the docs output feeds TrainingPipeline.prepare unchanged") {
     val (docs, _, _) = WebIntake.ingest(crawl, "content", robots)
     // the bench frame shares the corpus's (idCol, textCol) shape
