@@ -90,6 +90,18 @@ object GraftSqlFunctions {
     ("graft_warc_records", "(binary)", {
       case Seq(b) => WarcRecords(b)
     }),
+    ("graft_dedup_lines", "(string)", {
+      case Seq(t) => DedupLines(t)
+    }),
+    ("graft_gzip", "(binary)", {
+      case Seq(b) => GzipMemberOf(b)
+    }),
+    ("graft_gunzip", "(binary)", {
+      case Seq(b) => GunzipConcat(b)
+    }),
+    ("graft_gunzip_members", "(binary)", {
+      case Seq(b) => GunzipMembers(b)
+    }),
     ("graft_html_text", "(string)", {
       case Seq(h) => HtmlText(h)
     }),
@@ -116,6 +128,12 @@ object GraftSqlFunctions {
     }),
     ("graft_sitemap_entries", "(string)", {
       case Seq(x) => SitemapEntries(x)
+    }),
+    ("graft_feed_entries", "(string)", {
+      case Seq(x) => FeedEntries(x)
+    }),
+    ("graft_sniff_mime", "(binary)", {
+      case Seq(b) => SniffMime(b)
     }),
     ("graft_resolve_url", "(string, string)", {
       case Seq(b, r) => ResolveUrl(b, r)

@@ -658,9 +658,112 @@ case class ImageDualHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WHATWG-shaped MIME sniffing over untrusted payload bytes — the router
+  * a mixed crawl asset column needs BEFORE any typed operator: HTTP
+  * Content-Type headers lie constantly (the MIME-sniffing spec exists
+  * because of it), so the intake decides text-vs-binary and the binary
+  * FAMILY from the bytes themselves, then routes to the typed extractors
+  * ([[MediaSniffSupport.imageRow]], [[MediaSniffSupport.avRow]],
+  * [[HtmlSupport]], [[GzipSupport]]). Order follows the spec's pattern
+  * tables: unambiguous magic first (images, audio/video, archives, pdf),
+  * then the whitespace-tolerant case-insensitive HTML tag probe, then a
+  * UTF BOM → text/plain, and finally the binary-byte scan separating
+  * text/plain from application/octet-stream. Total: any bytes map to
+  * exactly one label, null only for null input.
+  */
+object MimeSniffSupport {
+  private val htmlTags = Array(
+    "<!DOCTYPE HTML", "<HTML", "<HEAD", "<SCRIPT", "<IFRAME", "<H1", "<DIV",
+    "<FONT", "<TABLE", "<A", "<STYLE", "<TITLE", "<B", "<BODY", "<BR", "<P", "<!--")
+
+  def sniff(bytes: Array[Byte]): UTF8String = {
+    if (bytes == null) return null
+    val n = bytes.length
+    def u8(i: Int): Int = if (i < n) bytes(i) & 0xff else -1
+    def starts(sig: Int*): Boolean = sig.zipWithIndex.forall { case (b, i) => u8(i) == b }
+    val label: String =
+      if (starts(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) "image/png"
+      else if (starts(0xff, 0xd8, 0xff)) "image/jpeg"
+      else if (starts('G', 'I', 'F', '8', '7', 'a') ||
+        starts('G', 'I', 'F', '8', '9', 'a')) "image/gif"
+      else if (starts('R', 'I', 'F', 'F') && n >= 12 &&
+        u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') "image/webp"
+      else if (starts('B', 'M')) "image/bmp"
+      else if (starts('R', 'I', 'F', 'F') && n >= 12 &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') "audio/wav"
+      else if (n >= 12 && u8(4) == 'f' && u8(5) == 't' && u8(6) == 'y' && u8(7) == 'p')
+        "video/mp4"
+      else if (starts(0x1f, 0x8b, 0x08)) "application/gzip"
+      else if (starts('P', 'K', 0x03, 0x04)) "application/zip"
+      else if (starts('%', 'P', 'D', 'F', '-')) "application/pdf"
+      else if (starts('%', '!', 'P', 'S', '-')) "application/postscript"
+      else {
+        // HTML tag probe: skip leading whitespace, match a tag
+        // case-insensitively, require the spec's tag-terminating byte
+        // (whitespace or '>') after the pattern
+        var i = 0
+        while (i < n && (u8(i) == 0x09 || u8(i) == 0x0a || u8(i) == 0x0c ||
+          u8(i) == 0x0d || u8(i) == 0x20)) i += 1
+        val probe = new String(bytes, i, math.min(32, n - i),
+          java.nio.charset.StandardCharsets.ISO_8859_1).toUpperCase(java.util.Locale.ROOT)
+        val isHtml = htmlTags.exists { t =>
+          probe.startsWith(t) && (t == "<!--" || {
+            val after = if (probe.length > t.length) probe.charAt(t.length) else ' '
+            after == ' ' || after == '>' || after == '\t' || after == '\n' ||
+            after == '\f' || after == '\r'
+          })
+        }
+        if (isHtml) "text/html"
+        else if (starts(0xef, 0xbb, 0xbf) || starts(0xfe, 0xff) || starts(0xff, 0xfe))
+          "text/plain"
+        else {
+          // binary data byte scan (first 1445 bytes per the spec's resource
+          // header cap): any byte in the binary ranges → octet-stream
+          var j = 0
+          var binary = false
+          val cap = math.min(n, 1445)
+          while (!binary && j < cap) {
+            val b = u8(j)
+            if (b <= 0x08 || b == 0x0b || (b >= 0x0e && b <= 0x1a) ||
+              (b >= 0x1c && b <= 0x1f)) binary = true
+            j += 1
+          }
+          if (binary) "application/octet-stream" else "text/plain"
+        }
+      }
+    UTF8String.fromString(label)
+  }
+}
+
+/** binary → string MIME label (codegen-enabled). */
+case class SniffMime(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sniff_mime requires binary input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MimeSniffSupport.sniff(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MimeSniffSupport.sniff($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SniffMime =
+    copy(child = newChild)
+}
+
 object MediaExprs {
   def sniffImageMeta(content: Column): Column =
     ColumnShim.column(SniffImageMeta(ColumnShim.expression(content)))
+
+  /** WHATWG-shaped MIME label of untrusted payload bytes. */
+  def sniffMime(content: Column): Column =
+    ColumnShim.column(SniffMime(ColumnShim.expression(content)))
 
   def sniffAvMeta(content: Column): Column =
     ColumnShim.column(SniffAvMeta(ColumnShim.expression(content)))

@@ -31,6 +31,36 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextNormSupport {
 
+  /** First-occurrence line dedup (the C4/RefinedWeb per-page cleanup):
+    * split on '\n', keep each EXACT line's first occurrence, drop repeats,
+    * rejoin. Web pages duplicate whole lines constantly — cookie banners
+    * re-rendered per section, "subscribe" calls repeated between
+    * paragraphs, chat/forum quoting — and cross-doc dedup never sees
+    * intra-doc repeats. One HashSet pass over the line array, O(bytes):
+    * strictly scan-side, no shuffle anywhere. Exact-match semantics
+    * (no trimming/case-folding) so the operation is replayable by any
+    * engine; run [[NfcNormalize]] first if byte-level variants should
+    * collapse.
+    */
+  def dedupLines(s: UTF8String): UTF8String = {
+    val text = s.toString
+    val lines = text.split("\n", -1)
+    if (lines.length <= 1) return s
+    val seen = new java.util.HashSet[String](lines.length * 2)
+    val sb = new java.lang.StringBuilder(text.length)
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      if (seen.add(lines(i))) {
+        if (!first) sb.append('\n')
+        sb.append(lines(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def nfc(s: UTF8String): UTF8String =
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
@@ -168,10 +198,39 @@ case class MojibakeRepair(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** First-occurrence intra-document line dedup (codegen-enabled). */
+case class DedupLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_dedup_lines requires string input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextNormSupport.dedupLines(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TextNormSupport.dedupLines($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DedupLines =
+    copy(child = newChild)
+}
+
 object TextNormExprs {
   /** Unicode NFC normalization (see [[TextNormSupport.nfc]]). */
   def nfcNormalize(text: Column): Column =
     ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))
+
+  /** Intra-document first-occurrence line dedup
+    * (see [[TextNormSupport.dedupLines]]).
+    */
+  def dedupLines(text: Column): Column =
+    ColumnShim.column(DedupLines(ColumnShim.expression(text)))
 
   /** Mojibake repair; NULL when the string is not valid mojibake —
     * `coalesce(mojibakeRepair(c), c)` is the cleaning form,

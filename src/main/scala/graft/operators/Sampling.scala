@@ -552,4 +552,74 @@ object Sampling {
       }
     df.withColumn("rep", rep).withColumn("split", split)
   }
+
+  /** Hashed n-gram importance resampling (DSIR-shaped, Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its hashed bigram features are, then
+    * draw a deterministic sample of the raw pool with acceptance probability
+    * proportional to that score — the standard trick for tilting a huge raw
+    * crawl toward a small curated target domain without training a model.
+    *
+    * Exact-arithmetic variant (house determinism rule): instead of the
+    * paper's floating log-likelihood ratio, the score is the target-mass
+    * fraction of the document's feature occurrences in exact integer
+    * permille — `1000 · Σ ct[b(g)] DIV Σ (ct[b(g)] + cr[b(g)])` over the
+    * doc's bigram occurrences `g`, where `ct`/`cr` are corpus-wide bucket
+    * counts from the target / raw slices. A monotone proxy, not the same
+    * ordering as the log-ratio in general, but bit-reproducible on any
+    * cluster AND replayable by an external SQL engine — which the float
+    * form (combine-order-dependent log sums) never is. The acceptance coin
+    * is the portable [[hash60]] band test, so membership is stable across
+    * runs and engines like every sampler here.
+    *
+    * Scale shape: bigrams explode scan-side; the bucket-stats aggregate's
+    * output is AT MOST `numBuckets` rows by construction — a knob, not
+    * data — so the stats join back to the feature stream is a STATIC
+    * broadcast (the one place a fixed hint is justified: the table cannot
+    * outgrow it, unlike the robots table whose size tracks the crawl); the
+    * only corpus-scale shuffle is the per-doc partial-aggregating sum.
+    * Feature hashing exists precisely to make the model side O(buckets)
+    * instead of O(vocabulary) — at 100 TB the vocabulary is billions of
+    * bigrams, the bucket table is still `numBuckets` longs.
+    *
+    * @param isTarget  per-row predicate marking the curated target slice
+    * @return one row per doc: id, is_target, num, den, score_permille, keep
+    *         (keep is always false for target rows — resampling draws from
+    *         the raw pool only)
+    */
+  def hashedImportanceResample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      numBuckets: Int = 4096
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val feats = df
+      .select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        explode(graft.functions.HashExprs.wordNGrams(col(textCol), 2)).as("__g"))
+      .select(col("__id"), col("__tgt"), (hash60(col("__g")) % numBuckets).as("__b"))
+    val stats = feats
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+    val scored = feats
+      .join(broadcast(stats), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("__ct")).as("num"),
+        sum(col("__ct") + col("__cr")).as("den"))
+      .withColumn("score_permille", expr("(1000 * num) div den"))
+    df.select(col(idCol).as("__id"), isTarget.as("is_target"))
+      .join(scored, Seq("__id"), "left")
+      .withColumn("num", coalesce(col("num"), lit(0L)))
+      .withColumn("den", coalesce(col("den"), lit(0L)))
+      .withColumn("score_permille", coalesce(col("score_permille"), lit(0L)))
+      .withColumn("keep",
+        !col("is_target") &&
+          hash60(concat(lit("isr:"), col("__id").cast("string"))) % 1000 <
+          col("score_permille"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -599,6 +599,61 @@ object SamplingQueries {
     }
   )
 
+  /** Hashed-bigram importance resampling
+    * ([[Sampling.hashedImportanceResample]], DSIR-shaped): `src0` plays the
+    * curated target domain, every other source is the raw pool; each doc's
+    * score is the exact-permille target-mass fraction of its hashed bigram
+    * occurrences, and the keep decision is the portable md5 coin against
+    * that score — sampling probability proportional to target-likeness.
+    * The oracle replays the whole chain (tokenize → bigram → md5 bucket →
+    * corpus bucket stats → per-doc exact DIV → coin) in DuckDB, so any
+    * drift in the feature construction, the bucket hash, the integer
+    * division, or the coin breaks the hash compare.
+    */
+  private val q151 = {
+    val numBuckets = 4096
+    Q(
+      "q151_importance_resample",
+      (s, dir) => {
+        val T = Tables(s, dir); import s.implicits._
+        Sampling
+          .hashedImportanceResample(
+            T.documents, "doc_id", "text", $"source" === "src0", numBuckets)
+          .select($"doc_id", $"is_target", $"num", $"den", $"score_permille", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, source = 'src0' AS tgt,
+                             regexp_split_to_array(lower(text), '\\s+') AS t
+                      FROM documents),
+        bi AS (SELECT doc_id, tgt,
+                      unnest([array_to_string(t[i:i+1], ' ') for i in range(1, greatest(len(t), 2))]) AS g
+               FROM toks),
+        bk AS (SELECT doc_id, tgt,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT % $numBuckets AS b
+               FROM bi),
+        st AS (SELECT b,
+                      CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                      CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+               FROM bk GROUP BY b),
+        sc AS (SELECT bk.doc_id,
+                      CAST(sum(st.ct) AS BIGINT) AS num,
+                      CAST(sum(st.ct + st.cr) AS BIGINT) AS den
+               FROM bk JOIN st USING (b) GROUP BY bk.doc_id)
+        SELECT d.doc_id,
+               d.source = 'src0' AS is_target,
+               coalesce(sc.num, 0) AS num,
+               coalesce(sc.den, 0) AS den,
+               coalesce(1000 * sc.num // sc.den, 0) AS score_permille,
+               (NOT d.source = 'src0') AND
+                 ('0x' || substr(md5('isr:' || d.doc_id), 1, 15))::BIGINT % 1000 <
+                 coalesce(1000 * sc.num // sc.den, 0) AS keep
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        ORDER BY d.doc_id
+      """.trim)
+    )
+  }
+
   val all: Seq[Q] =
-    Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120, q121, q128)
+    Seq(q60, q61, q72, q73, q78, q82, q97, q102, q106, q113, q118, q120, q121, q128, q151)
 }

@@ -1420,8 +1420,163 @@ object TextQueries {
     """.trim)
   )
 
+  /** Gzipped crawl archives ([[graft.functions.GzipSupport]] — the
+    * `.warc.gz` wire format): each decade of docs becomes a WARC file
+    * whose records are each wrapped in their OWN gzip member (the
+    * member-per-record layout every real crawler writes so readers can
+    * seek record boundaries), members concatenated into one archive blob.
+    * The engine must split the members back (RFC 1952 walk — FLG fields,
+    * raw-deflate, CRC32 + ISIZE both verified), inflate, and parse the
+    * recovered record stream with the q135 walk. `n_members` pins the
+    * member structure (exactly one member per record); the record fields
+    * pin the round-trip octet-exactly. The oracle re-derives everything
+    * from the source table — gzip round-trips, so any drift in member
+    * framing, inflation, or trailer verification breaks the md5s.
+    */
+  private val q150 = Q(
+    "q150_warc_gzip",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.{GzipExprs, WarcExprs}
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://example.org/doc/"),
+        $"doc_id".cast("string"),
+        lit("\r\nContent-Length: "),
+        length($"text".cast("binary")).cast("string"),
+        lit("\r\n\r\n"),
+        $"text",
+        lit("\r\n\r\n"))
+      val archives = T.documents
+        .select(expr("doc_id DIV 10").as("file_id"), $"doc_id".as("__id"),
+          GzipExprs.gzipMember(rec.cast("binary")).as("__m"))
+        .groupBy($"file_id")
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct($"__id", $"__m"))),
+              s => s.getField("__m")),
+            lit(Array.empty[Byte]),
+            (acc, x) => concat(acc, x)).as("content"))
+      archives
+        .select($"file_id",
+          size(GzipExprs.gunzipMembers($"content")).cast("long").as("n_members"),
+          posexplode(WarcExprs.warcRecords(GzipExprs.gunzipConcat($"content")))
+            .as(Seq("rec_idx", "rec")))
+        .select(
+          $"file_id",
+          $"n_members",
+          $"rec_idx".cast("long").as("rec_idx"),
+          $"rec.target_uri".as("target_uri"),
+          $"rec.content_length".as("content_length"),
+          md5($"rec.payload").as("payload_md5"))
+        .orderBy($"file_id", $"rec_idx")
+    },
+    Some("""
+      SELECT doc_id // 10 AS file_id,
+             CAST(count(*) OVER (PARTITION BY doc_id // 10) AS BIGINT) AS n_members,
+             CAST(row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) - 1
+                  AS BIGINT) AS rec_idx,
+             'https://example.org/doc/' || doc_id AS target_uri,
+             CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             md5(text) AS payload_md5
+      FROM documents ORDER BY file_id, rec_idx
+    """.trim)
+  )
+
+  /** Intra-document line dedup ([[graft.functions.TextNormSupport.dedupLines]]
+    * — the C4/RefinedWeb per-page cleanup cross-doc dedup never sees):
+    * each doc becomes a page whose lines repeat the way real web text does
+    * — a banner line, the doc text, the banner AGAIN, a second copy of the
+    * text, a distinct footer — and the engine must keep exactly each
+    * line's first occurrence, preserving order, in one scan-side pass.
+    * Construction-derived oracle (the q132 pattern): the cleaned page is
+    * `banner\ntext\nfooter` by construction, so the oracle rebuilds it
+    * from the source column and md5-compares; the dropped-line count and
+    * the shrink permille (exact integer DIV) pin the accounting columns a
+    * quality gate would threshold on.
+    */
+  private val q152 = Q(
+    "q152_line_dedup",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.TextNormExprs
+      val banner = lit("SUBSCRIBE to our newsletter today!")
+      val page = concat_ws("\n",
+        banner, $"text", banner, $"text", concat(lit("footer-"), $"doc_id".cast("string")))
+      T.documents
+        .select($"doc_id", page.as("__p"), TextNormExprs.dedupLines(page).as("__c"))
+        .select(
+          $"doc_id",
+          md5($"__c").as("clean_md5"),
+          (size(split($"__p", "\n", -1)) - size(split($"__c", "\n", -1)))
+            .cast("long").as("n_dropped"),
+          expr("(1000 * (length(__p) - length(__c))) div length(__p)").as("shrink_permille"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id,
+                        'SUBSCRIBE to our newsletter today!' || chr(10) || text || chr(10) ||
+                        'SUBSCRIBE to our newsletter today!' || chr(10) || text || chr(10) ||
+                        'footer-' || doc_id AS page,
+                        'SUBSCRIBE to our newsletter today!' || chr(10) || text || chr(10) ||
+                        'footer-' || doc_id AS clean
+                 FROM documents)
+      SELECT doc_id,
+             md5(clean) AS clean_md5,
+             CAST(2 AS BIGINT) AS n_dropped,
+             1000 * (len(page) - len(clean)) // len(page) AS shrink_permille
+      FROM p ORDER BY doc_id
+    """.trim)
+  )
+
+  /** MIME sniffing ([[graft.functions.MimeSniffSupport]], WHATWG-shaped):
+    * the router a mixed crawl asset column needs before any typed operator
+    * — Content-Type headers lie, so the byte patterns decide. Each doc's
+    * payload cycles through eight shapes: three image magics, an
+    * html-after-whitespace probe, an uppercase `<HTML>` tag, plain text, a
+    * REAL gzip member (built by [[graft.functions.GzipSupport.gzipMember]],
+    * so the gzip writer and the sniffer cross-check), and binary junk that
+    * must fall through every pattern to octet-stream. Constant-per-class
+    * oracle: any pattern misfire, a case-sensitive tag probe, or a
+    * binary-byte scan off by a range flips that class's rows.
+    */
+  private val q154 = Q(
+    "q154_mime_sniff",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.{GzipExprs, MediaExprs}
+      val body = encode($"text", "UTF-8")
+      val m = $"doc_id" % 8
+      val payload = when(m === 0, concat(unhex(lit("89504E470D0A1A0A")), body))
+        .when(m === 1, concat(unhex(lit("FFD8FF")), body))
+        .when(m === 2, concat(unhex(lit("47494638396144")), body))
+        .when(m === 3, concat(encode(lit("\n\t  <!doctype html><p>"), "UTF-8"), body))
+        .when(m === 4, concat(encode(lit("<HTML><body>"), "UTF-8"), body))
+        .when(m === 5, body)
+        .when(m === 6, GzipExprs.gzipMember(body))
+        .otherwise(concat(unhex(lit("0001020304")), body))
+      T.documents
+        .select($"doc_id", MediaExprs.sniffMime(payload).as("mime"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'image/gif'
+               WHEN 3 THEN 'text/html'
+               WHEN 4 THEN 'text/html'
+               WHEN 5 THEN 'text/plain'
+               WHEN 6 THEN 'application/gzip'
+               ELSE 'application/octet-stream'
+             END AS mime
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148)
+      q145, q146, q148, q150, q152, q154)
 }

@@ -714,6 +714,77 @@ object UrlQueries {
     """.trim)
   )
 
+  /** RSS/Atom feed parsing ([[graft.functions.FeedSupport]]) — the third
+    * frontier-seeding channel next to sitemaps (q143) and in-page links
+    * (q137): every third doc publishes an Atom feed, the rest RSS. The
+    * RSS feed carries an entity-encoded title and link, a CDATA title
+    * with no pubDate, and a linkless item that must be SKIPPED; the Atom
+    * feed lists its `rel="self"` link BEFORE the `rel="alternate"` one
+    * (the entry URL must still be the alternate), plus an entry with only
+    * a self link (the fallback). The oracle rebuilds every (entry_idx,
+    * title, link, published, is_atom) cell arithmetically — an undecoded
+    * entity, a missed CDATA unwrap, the wrong link rel chosen, or a
+    * skipped-entry miscount flips rows.
+    */
+  private val q153 = Q(
+    "q153_feed_entries",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val host = concat(lit("https://h"), ($"doc_id" % 13).cast("string"), lit(".example.org"))
+      val month = concat(lit("2026-0"), (($"doc_id" % 9) + 1).cast("string"))
+      val rss = concat(
+        lit("<rss><channel><title>chan</title><item><title>Post &amp; notes "), id,
+        lit("</title><link>"), host, lit("/post/"), id,
+        lit("?x=1&amp;y=2</link><pubDate>"), month, lit("-02</pubDate></item>"),
+        lit("<item><title><![CDATA[Second "), id, lit("]]></title><link>"),
+        host, lit("/second/"), id, lit("</link></item>"),
+        lit("<item><title>no link here</title></item></channel></rss>"))
+      val atom = concat(
+        lit("<feed><title>feed</title><entry><title>Atom &amp; entry "), id,
+        lit("</title><link rel=\"self\" href=\""), host, lit("/feed.xml\"/>"),
+        lit("<link rel=\"alternate\" href=\""), host, lit("/atom/"), id,
+        lit("?a=1&amp;b=2\"/><updated>"), month, lit("-03</updated></entry>"),
+        lit("<entry><title>NoAlt "), id, lit("</title><link rel=\"self\" href=\""),
+        host, lit("/self/"), id, lit("\"/></entry></feed>"))
+      val xml = when($"doc_id" % 3 === 0, atom).otherwise(rss)
+      T.documents
+        .select($"doc_id",
+          posexplode(graft.functions.FeedExprs.feedEntries(xml))
+            .as(Seq("entry_idx", "e")))
+        .select($"doc_id", $"entry_idx".cast("long").as("entry_idx"),
+          $"e.title".as("title"), $"e.link".as("link"),
+          $"e.published".as("published"), $"e.is_atom".as("is_atom"))
+        .orderBy($"doc_id", $"entry_idx")
+    },
+    Some("""
+      WITH h AS (SELECT doc_id, 'https://h' || (doc_id % 13) || '.example.org' AS host,
+                        '2026-0' || (doc_id % 9 + 1) AS m
+                 FROM documents),
+      e AS (
+        SELECT doc_id, 0 AS entry_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'Atom & entry ' || doc_id
+                    ELSE 'Post & notes ' || doc_id END AS title,
+               CASE WHEN doc_id % 3 = 0 THEN host || '/atom/' || doc_id || '?a=1&b=2'
+                    ELSE host || '/post/' || doc_id || '?x=1&y=2' END AS link,
+               CASE WHEN doc_id % 3 = 0 THEN m || '-03' ELSE m || '-02' END AS published,
+               doc_id % 3 = 0 AS is_atom
+        FROM h
+        UNION ALL
+        SELECT doc_id, 1,
+               CASE WHEN doc_id % 3 = 0 THEN 'NoAlt ' || doc_id
+                    ELSE 'Second ' || doc_id END,
+               CASE WHEN doc_id % 3 = 0 THEN host || '/self/' || doc_id
+                    ELSE host || '/second/' || doc_id END,
+               NULL,
+               doc_id % 3 = 0
+        FROM h)
+      SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, title, link, published, is_atom
+      FROM e ORDER BY doc_id, entry_idx
+    """.trim)
+  )
+
   val all: Seq[Q] =
-    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149)
+    Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149,
+      q153)
 }

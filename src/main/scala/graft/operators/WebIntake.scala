@@ -111,8 +111,19 @@ object WebIntake {
     // audit row counts over it instead of re-running the WARC decode
     // chain (the TrainingPipeline stage-boundary pattern); the later
     // per-stage filters re-run only their own linear scans.
+    // crawl deliveries arrive as bare WARC bytes (WET conversions) or as
+    // .warc.gz member-per-record archives (every real crawler's wire
+    // format); route on the gzip magic scan-side so one intake handles a
+    // mixed column. A malformed archive inflates to NULL (never a throw,
+    // never partial data) and its records drop here like any other
+    // unparseable blob.
+    val rawBytes = {
+      val c = col(contentCol)
+      when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)),
+        graft.functions.GzipExprs.gunzipConcat(c)).otherwise(c)
+    }
     val records0 = crawl
-      .select(explode(WarcExprs.warcRecords(col(contentCol))).as("r"))
+      .select(explode(WarcExprs.warcRecords(rawBytes)).as("r"))
       .select(col("r.warc_type").as("__wt"), col("r.target_uri").as("url"),
         col("r.payload").as("__payload"))
       .filter(col("url").isNotNull)

@@ -388,4 +388,38 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(keptMultiset(3) == keptMultiset(17))
   }
+
+  test("importance resample: target-like raw docs score high, alien docs score zero, target never kept") {
+    // target vocabulary: "spark query engine"; raw pool: two docs in the
+    // target's vocabulary, two in a disjoint one
+    val docs = Seq(
+      (0L, "spark query engine spark query", "target"),
+      (1L, "query engine spark engine", "target"),
+      (10L, "spark query engine query", "raw"), // fully target-vocab
+      (11L, "spark query alpha", "raw"), // mixed
+      (12L, "zebra yak xylophone walrus", "raw"), // disjoint
+      (13L, "quokka vole umbrellabird", "raw")
+    ).toDF("id", "text", "kind")
+    val out = Sampling
+      .hashedImportanceResample(docs, "id", "text", $"kind" === "target", numBuckets = 1 << 20)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Boolean]("is_target"), r.getAs[Long]("score_permille"), r.getAs[Boolean]("keep"))))
+      .toMap
+    // with a collision-free bucket space, disjoint-vocab docs share no
+    // buckets with the target -> exact zero score, never kept
+    assert(out(12L)._2 == 0L && !out(12L)._3)
+    assert(out(13L)._2 == 0L && !out(13L)._3)
+    // the fully-target-vocab raw doc outscores the mixed one
+    assert(out(10L)._2 > out(11L)._2)
+    // target rows are flagged and never kept (resampling draws from raw)
+    assert(out(0L)._1 && !out(0L)._3 && out(1L)._1 && !out(1L)._3)
+    // determinism: a repartitioned input yields identical rows
+    val again = Sampling
+      .hashedImportanceResample(docs.repartition(7), "id", "text", $"kind" === "target",
+        numBuckets = 1 << 20)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Boolean]("is_target"), r.getAs[Long]("score_permille"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(again == out)
+  }
 }

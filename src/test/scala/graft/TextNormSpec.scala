@@ -160,4 +160,26 @@ class TextNormSpec extends SparkSpec {
     val capped = collect(Dedup.containmentPairs(docs, "doc_id", "text", 800, dfCap = 3L))
     assert(capped.subsetOf(fast), s"dfCap must only remove pairs: $capped vs $fast")
   }
+
+  private def dl(s: String): String =
+    TextNormSupport.dedupLines(UTF8String.fromString(s)).toString
+
+  test("dedupLines: first occurrence wins, order preserved, exact-match only") {
+    assert(dl("a\nb\na\nc\nb") == "a\nb\nc")
+    assert(dl("banner\ntext one\nbanner\ntext one\nfooter") == "banner\ntext one\nfooter")
+    // exact semantics: trailing space and case differences are DIFFERENT lines
+    assert(dl("a\na \nA") == "a\na \nA")
+    // no newline: unchanged (single line)
+    assert(dl("one line only") == "one line only")
+    assert(dl("") == "")
+  }
+
+  test("dedupLines: empty lines dedup like any other line; trailing newline collapses") {
+    // blank lines are lines too — repeated blanks collapse to the first
+    assert(dl("a\n\nb\n\nc") == "a\n\nb\nc")
+    // a trailing newline is an empty last line; it survives only if no
+    // earlier empty line exists
+    assert(dl("a\nb\n") == "a\nb\n")
+    assert(dl("a\n\nb\n") == "a\n\nb")
+  }
 }
