@@ -101,7 +101,19 @@ object ScaleBench {
     "q130_lsh_quality",
     "q131_nfc_normalize",
     "q132_mojibake_repair",
-    "q133_containment_pairs"
+    "q133_containment_pairs",
+    // round-12 intake/curation additions: gzip WARC framing, line dedup,
+    // feed parse and MIME sniff are pure scan-side walks (fixture build
+    // and parse both scale with corpus bytes; the gzip fixture pays a
+    // deflate AND an inflate per record — the heaviest scan expression
+    // class, like q107); importance resampling is one B-bounded bucket
+    // aggregate + a static broadcast join + one per-doc partial-agg sum,
+    // so its exchanges carry buckets and docs, never bigram occurrences
+    "q150_warc_gzip",
+    "q151_importance_resample",
+    "q152_line_dedup",
+    "q153_feed_entries",
+    "q154_mime_sniff"
   )
 
   private val IdOffset = 100000000L

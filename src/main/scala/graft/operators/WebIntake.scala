@@ -69,6 +69,73 @@ object WebIntake {
       minDocChars: Int = 1,
       maxFetchPerHost: Int = Int.MaxValue)
 
+  /** Crawl deliveries arrive as bare WARC bytes (WET conversions) or as
+    * `.warc.gz` member-per-record archives (every real crawler's wire
+    * format, [[graft.functions.GzipSupport]]); route on the gzip magic
+    * scan-side so one intake handles a mixed column. A malformed archive
+    * inflates to NULL (never a throw, never partial data) and its records
+    * drop like any other unparseable blob.
+    */
+  private def archiveBytes(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)),
+      graft.functions.GzipExprs.gunzipConcat(c)).otherwise(c)
+
+  /** Frontier seed rows from DISCOVERY documents — sitemap XML
+    * ([[graft.functions.SitemapSupport]], q143) and RSS/Atom feeds
+    * ([[graft.functions.FeedSupport]], q153) — in the frontier's
+    * (src_url, href, resolved_url) schema so callers union them with
+    * [[ingest]]'s link frontier before [[planFrontier]]. One scan, both
+    * parsers (each returns an empty array on the other's format, so the
+    * concat costs nothing); `kind` distinguishes page seeds from child
+    * sitemaps (`sitemap_index` rows are discovery fetches, not corpus
+    * pages — route them back to the discovery fetcher, not the frontier).
+    * hrefs resolve against the discovery document's own URL (feeds emit
+    * relative links in the wild; sitemap locs are absolute by spec but
+    * resolution is a no-op for an absolute reference).
+    */
+  def discoverySeeds(discovery: DataFrame, urlCol: String, xmlCol: String): DataFrame = {
+    import graft.functions.{FeedExprs, SitemapExprs}
+    val x = col(xmlCol)
+    val entries = concat(
+      transform(SitemapExprs.sitemapEntries(x), e =>
+        struct(
+          e.getField("loc").as("href"),
+          when(e.getField("is_index"), lit("sitemap_index"))
+            .otherwise(lit("sitemap")).as("kind"))),
+      transform(FeedExprs.feedEntries(x), e =>
+        struct(e.getField("link").as("href"), lit("feed").as("kind"))))
+    discovery
+      .select(col(urlCol).as("src_url"), explode(entries).as("e"))
+      .select(col("src_url"), col("e.href").as("href"), col("e.kind").as("kind"))
+      .withColumn("resolved_url",
+        graft.functions.ResolveUrlExprs.resolveUrl(col("src_url"), col("href")))
+  }
+
+  /** Binary assets from a crawl's `response` records — the multimodal
+    * side-channel [[extractDocs]] deliberately drops: payloads whose BYTES
+    * sniff to an image/audio/video type ([[graft.functions.MimeSniffSupport]],
+    * q154 — Content-Type headers lie, so the magic decides) survive the
+    * same 2xx gate and come out as (url, host, mime, content) for the
+    * perceptual-hash dedup family (q105/q115/q127 corpus indexes). Pure
+    * scan-side projection, zero shuffles; gzip archives route through the
+    * same [[archiveBytes]] probe as the text path.
+    */
+  def assets(crawl: DataFrame, contentCol: String): DataFrame = {
+    import graft.functions.{HttpExprs, MediaExprs}
+    crawl
+      .select(explode(WarcExprs.warcRecords(archiveBytes(col(contentCol)))).as("r"))
+      .filter(col("r.warc_type") === "response" && col("r.target_uri").isNotNull)
+      .select(col("r.target_uri").as("url"), HttpExprs.httpResponse(col("r.payload")).as("__h"))
+      .filter(col("__h").isNotNull &&
+        col("__h.status") >= 200 && col("__h.status") <= 299)
+      .select(col("url"), MediaExprs.sniffMime(col("__h.body")).as("mime"),
+        col("__h.body").as("content"))
+      .filter(col("mime").startsWith("image/") || col("mime").startsWith("audio/") ||
+        col("mime").startsWith("video/"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      .select(col("url"), col("host"), col("mime"), col("content"))
+  }
+
   /** The canonical-URL probe index over an [[ingest]] docs output, for the
     * streaming twin ([[graft.streaming.Streams.intakeBatch]]): the docs
     * frame is ALREADY keep-best per canonical URL, so the index is a pure
@@ -111,19 +178,8 @@ object WebIntake {
     // audit row counts over it instead of re-running the WARC decode
     // chain (the TrainingPipeline stage-boundary pattern); the later
     // per-stage filters re-run only their own linear scans.
-    // crawl deliveries arrive as bare WARC bytes (WET conversions) or as
-    // .warc.gz member-per-record archives (every real crawler's wire
-    // format); route on the gzip magic scan-side so one intake handles a
-    // mixed column. A malformed archive inflates to NULL (never a throw,
-    // never partial data) and its records drop here like any other
-    // unparseable blob.
-    val rawBytes = {
-      val c = col(contentCol)
-      when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)),
-        graft.functions.GzipExprs.gunzipConcat(c)).otherwise(c)
-    }
     val records0 = crawl
-      .select(explode(WarcExprs.warcRecords(rawBytes)).as("r"))
+      .select(explode(WarcExprs.warcRecords(archiveBytes(col(contentCol)))).as("r"))
       .select(col("r.warc_type").as("__wt"), col("r.target_uri").as("url"),
         col("r.payload").as("__payload"))
       .filter(col("url").isNotNull)

@@ -285,6 +285,49 @@ class WebIntakeSpec extends SparkSpec {
     assert(WebIntake.planFrontier(frontier, noRobots, emptyIdx, ranks).count() == 20)
   }
 
+  test("discoverySeeds: sitemap locs, child sitemaps and feed links in one frontier-shaped pass") {
+    val sm = "<urlset><url><loc>https://s.example.org/p1</loc></url></urlset>" // page seed
+    val smi = "<sitemapindex><sitemap><loc>/maps/child.xml</loc></sitemap></sitemapindex>"
+    val feed = "<rss><channel><item><title>t</title><link>rel/post1</link></item></channel></rss>"
+    val discovery = Seq(
+      ("https://s.example.org/sitemap.xml", sm),
+      ("https://s.example.org/sitemap_index.xml", smi),
+      ("https://f.example.org/feed.xml", feed),
+      ("https://g.example.org/garbage", "not xml at all")
+    ).toDF("url", "xml")
+    val seeds = WebIntake.discoverySeeds(discovery, "url", "xml")
+      .select($"kind", $"resolved_url").as[(String, String)].collect().toSet
+    assert(seeds == Set(
+      ("sitemap", "https://s.example.org/p1"),
+      ("sitemap_index", "https://s.example.org/maps/child.xml"), // relative loc resolves
+      ("feed", "https://f.example.org/rel/post1"))) // relative feed link resolves
+  }
+
+  test("assets: media payloads of 2xx responses route by sniffed bytes; html and errors don't") {
+    def resp(url: String, ctype: String, body: Array[Byte], status: String = "200 OK"): Array[Byte] = {
+      val head = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n".getBytes("UTF-8")
+      val payload = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++ payload ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2).map(_.toByte)
+    val wav = "RIFF....WAVEdata".getBytes("ISO-8859-1")
+    val archive =
+      resp("https://m.example.org/logo", "text/plain", png) ++ // lying header: bytes win
+        resp("https://m.example.org/clip.wav", "audio/wav", wav) ++
+        resp("https://m.example.org/page", "text/html", "<html><p>hi</p></html>".getBytes) ++
+        resp("https://m.example.org/gone.png", "image/png", png, status = "404 Not Found")
+    val out = WebIntake.assets(Seq(Tuple1(archive)).toDF("content"), "content")
+      .select($"url", $"mime", $"host").as[(String, String, String)].collect().toSet
+    assert(out == Set(
+      ("https://m.example.org/logo", "image/png", "m.example.org"),
+      ("https://m.example.org/clip.wav", "audio/wav", "m.example.org")))
+    // gzip-framed archives route identically
+    val gz = graft.functions.GzipSupport.gzipMember(archive)
+    assert(WebIntake.assets(Seq(Tuple1(gz)).toDF("content"), "content").count() == 2)
+  }
+
   test("the docs output feeds TrainingPipeline.prepare unchanged") {
     val (docs, _, _) = WebIntake.ingest(crawl, "content", robots)
     // the bench frame shares the corpus's (idCol, textCol) shape
