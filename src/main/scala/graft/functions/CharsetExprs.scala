@@ -96,7 +96,13 @@ object CharsetSupport {
       }
     }
     // every <meta …> span in the head (name must END at "<meta" + ws/'/'
-    // — '<metadata>' is not a meta tag)
+    // — '<metadata>' is not a meta tag). Per the WHATWG prescan, charset=
+    // counts only as the meta tag's OWN `charset` ATTRIBUTE, or inside the
+    // `content` attribute value when the tag also carries
+    // http-equiv="content-type" — never as a byte run anywhere in the tag
+    // span: an Open Graph og:url whose URL ends in '?charset=utf-16le'
+    // sits inside a <meta …> span too, and matching it would garble the
+    // whole page.
     var m = head.indexOf("<meta")
     while (m >= 0) {
       val after = m + 5
@@ -105,10 +111,63 @@ object CharsetSupport {
       if (isMeta) {
         val gt = head.indexOf('>', m)
         val end = if (gt < 0) head.length else gt
-        val c = head.indexOf("charset=", m)
-        if (c >= 0 && c < end) {
-          val l = readLabel(head, c + 8)
+        // parse the span's name[=value] attributes structurally
+        var charsetAttr: String = null
+        var httpEquiv: String = null
+        var contentAttr: String = null
+        var p = after
+        while (p < end) {
+          while (p < end && (head.charAt(p) <= ' ' || head.charAt(p) == '/')) p += 1
+          if (p < end) {
+            val ns = p
+            while (p < end && head.charAt(p) > ' ' && head.charAt(p) != '=' &&
+              head.charAt(p) != '/') p += 1
+            val name = head.substring(ns, p)
+            var value: String = null
+            var q = p
+            while (q < end && head.charAt(q) <= ' ') q += 1
+            if (q < end && head.charAt(q) == '=') {
+              q += 1
+              while (q < end && head.charAt(q) <= ' ') q += 1
+              if (q < end && (head.charAt(q) == '"' || head.charAt(q) == '\'')) {
+                val quote = head.charAt(q)
+                val vs = q + 1
+                val ve = head.indexOf(quote, vs)
+                val stop = if (ve < 0 || ve > end) end else ve
+                value = head.substring(vs, stop)
+                q = if (ve < 0 || ve > end) end else ve + 1
+              } else {
+                val vs = q
+                while (q < end && head.charAt(q) > ' ') q += 1
+                value = head.substring(vs, q)
+              }
+              p = q
+            }
+            if (value != null) name match {
+              case "charset" if charsetAttr == null => charsetAttr = value
+              case "http-equiv" if httpEquiv == null => httpEquiv = value
+              case "content" if contentAttr == null => contentAttr = value
+              case _ => ()
+            }
+          }
+        }
+        if (charsetAttr != null) {
+          val l = readLabel(charsetAttr, 0)
           if (l != null) return l
+        } else if (httpEquiv == "content-type" && contentAttr != null) {
+          // "get an encoding from a meta element": find charset, optional
+          // whitespace, '=', optional whitespace, then the label
+          val c = contentAttr.indexOf("charset")
+          if (c >= 0) {
+            var v = c + 7
+            while (v < contentAttr.length && contentAttr.charAt(v) <= ' ') v += 1
+            if (v < contentAttr.length && contentAttr.charAt(v) == '=') {
+              var w = v + 1
+              while (w < contentAttr.length && contentAttr.charAt(w) <= ' ') w += 1
+              val l = readLabel(contentAttr, w)
+              if (l != null) return l
+            }
+          }
         }
       }
       m = head.indexOf("<meta", m + 5)

@@ -112,9 +112,12 @@ object FeedSupport {
     -1
   }
 
-  /** Trimmed, entity-decoded text of the first `<name>…</name>` inside
-    * `s[from, to)`; CDATA unwraps; null when absent/unterminated. A
-    * self-closing `<name/>` yields null (no text).
+  /** Trimmed, entity-decoded text of the first NON-self-closing
+    * `<name>…</name>` inside `s[from, to)`; CDATA unwraps; null when
+    * absent/unterminated. A self-closing `<name/>` has no body and the
+    * search CONTINUES past it — real-world RSS items mix an empty
+    * `<link/>` (or an Atom-style `<link href=…/>`) with the true
+    * `<link>url</link>`, and aborting on the first would drop the entry.
     */
   private def elemText(s: String, from: Int, to: Int, name: String): String = {
     var m = from
@@ -123,8 +126,8 @@ object FeedSupport {
       if (matchesTag(s, m, name)) {
         val gt = s.indexOf('>', m)
         if (gt >= 0 && gt < to) {
-          if (s.charAt(gt - 1) == '/') return null // self-closing: no body
-          start = gt + 1
+          if (s.charAt(gt - 1) == '/') m = gt // self-closing: skip, keep looking
+          else start = gt + 1
         } else return null
       }
       m += 1
@@ -167,8 +170,9 @@ object FeedSupport {
   private def attrValue(tag: String, name: String): String = {
     var m = 0
     val n = tag.length
+    val lower = tag.toLowerCase(java.util.Locale.ROOT)
     while (m < n) {
-      val idx = tag.toLowerCase(java.util.Locale.ROOT).indexOf(name + "=", m)
+      val idx = lower.indexOf(name + "=", m)
       if (idx < 0) return null
       // require a non-name char before (attribute boundary)
       val before = if (idx == 0) ' ' else tag.charAt(idx - 1)

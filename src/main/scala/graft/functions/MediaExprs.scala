@@ -676,27 +676,52 @@ object MimeSniffSupport {
     "<!DOCTYPE HTML", "<HTML", "<HEAD", "<SCRIPT", "<IFRAME", "<H1", "<DIV",
     "<FONT", "<TABLE", "<A", "<STYLE", "<TITLE", "<B", "<BODY", "<BR", "<P", "<!--")
 
+  // magic-signature table: (pattern bytes, label). A plain array walked
+  // with index loops — this runs per row of a 100 TB asset scan, so no
+  // varargs/Seq/tuple allocation in the hot path (the WarcSupport/
+  // GzipSupport discipline).
+  private val magics: Array[(Array[Byte], String)] = Array(
+    (Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), "image/png"),
+    (Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte), "image/jpeg"),
+    ("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII), "image/gif"),
+    ("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII), "image/gif"),
+    ("BM".getBytes(java.nio.charset.StandardCharsets.US_ASCII), "image/bmp"),
+    (Array[Byte](0x1f, 0x8b.toByte, 0x08), "application/gzip"),
+    (Array[Byte]('P', 'K', 0x03, 0x04), "application/zip"),
+    ("%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII), "application/pdf"),
+    ("%!PS-".getBytes(java.nio.charset.StandardCharsets.US_ASCII), "application/postscript"))
+
+  private def startsWith(bytes: Array[Byte], sig: Array[Byte]): Boolean = {
+    if (bytes.length < sig.length) return false
+    var i = 0
+    while (i < sig.length) {
+      if (bytes(i) != sig(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def magicLabel(bytes: Array[Byte]): String = {
+    var i = 0
+    while (i < magics.length) {
+      if (startsWith(bytes, magics(i)._1)) return magics(i)._2
+      i += 1
+    }
+    null
+  }
+
   def sniff(bytes: Array[Byte]): UTF8String = {
     if (bytes == null) return null
     val n = bytes.length
     def u8(i: Int): Int = if (i < n) bytes(i) & 0xff else -1
-    def starts(sig: Int*): Boolean = sig.zipWithIndex.forall { case (b, i) => u8(i) == b }
+    val riff = n >= 12 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F'
+    val magic = magicLabel(bytes)
     val label: String =
-      if (starts(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) "image/png"
-      else if (starts(0xff, 0xd8, 0xff)) "image/jpeg"
-      else if (starts('G', 'I', 'F', '8', '7', 'a') ||
-        starts('G', 'I', 'F', '8', '9', 'a')) "image/gif"
-      else if (starts('R', 'I', 'F', 'F') && n >= 12 &&
-        u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') "image/webp"
-      else if (starts('B', 'M')) "image/bmp"
-      else if (starts('R', 'I', 'F', 'F') && n >= 12 &&
-        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') "audio/wav"
+      if (riff && u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') "image/webp"
+      else if (riff && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') "audio/wav"
+      else if (magic != null) magic
       else if (n >= 12 && u8(4) == 'f' && u8(5) == 't' && u8(6) == 'y' && u8(7) == 'p')
         "video/mp4"
-      else if (starts(0x1f, 0x8b, 0x08)) "application/gzip"
-      else if (starts('P', 'K', 0x03, 0x04)) "application/zip"
-      else if (starts('%', 'P', 'D', 'F', '-')) "application/pdf"
-      else if (starts('%', '!', 'P', 'S', '-')) "application/postscript"
       else {
         // HTML tag probe: skip leading whitespace, match a tag
         // case-insensitively, require the spec's tag-terminating byte
@@ -714,7 +739,8 @@ object MimeSniffSupport {
           })
         }
         if (isHtml) "text/html"
-        else if (starts(0xef, 0xbb, 0xbf) || starts(0xfe, 0xff) || starts(0xff, 0xfe))
+        else if ((u8(0) == 0xef && u8(1) == 0xbb && u8(2) == 0xbf) ||
+          (u8(0) == 0xfe && u8(1) == 0xff) || (u8(0) == 0xff && u8(1) == 0xfe))
           "text/plain"
         else {
           // binary data byte scan (first 1445 bytes per the spec's resource

@@ -1218,13 +1218,19 @@ object Dedup {
       .select(
         col("doc_id"),
         conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g"))
-    // rarity-ranked gram arrays (q24's construction): ONE count window =
-    // one exchange of the gram table; the same (df, g)-sorted array feeds
-    // the prefix slice, the B index, and the verify merge. Persisted: the
-    // candidate join reads it twice and the verify join twice more.
-    val freq = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rarity ranking (q24's construction) via AGGREGATE + join-back, not a
+    // count window: a hot boilerplate gram's occurrences collapse to one
+    // row per map task in the df aggregate's partials, and the join-back
+    // probe streams against a one-row build — where a window partitioned
+    // on g would buffer EVERY occurrence of the hottest gram in one task
+    // (WindowExec cannot be skew-split by AQE; the q134/paragraph-dedup
+    // argument). grams persists: both the df aggregate and the probe read
+    // it. The same (df, g)-sorted array feeds the prefix slice, the B
+    // index, and the verify merge; docs persists for those reads.
+    val dfTable = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val docs = grams
-      .withColumn("df", freq)
+      .join(dfTable, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
       .select(col("doc_id"), col("ranked"), size(col("ranked")).as("sz"))

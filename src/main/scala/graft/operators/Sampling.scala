@@ -595,10 +595,14 @@ object Sampling {
       numBuckets: Int = 4096
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // persisted: the frame feeds BOTH the bucket-stats aggregate and the
+    // scoring join probe — without it the bigram explode + md5 hashing
+    // (the expensive stage) runs twice per action
     val feats = df
       .select(col(idCol).as("__id"), isTarget.as("__tgt"),
         explode(graft.functions.HashExprs.wordNGrams(col(textCol), 2)).as("__g"))
       .select(col("__id"), col("__tgt"), (hash60(col("__g")) % numBuckets).as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = feats
       .groupBy(col("__b"))
       .agg(

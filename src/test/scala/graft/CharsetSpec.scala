@@ -87,6 +87,24 @@ class CharsetSpec extends SparkSpec {
     assert(sniff("<metadata charset=utf-16le>x".getBytes("UTF-8")) == None)
   }
 
+  test("charset= inside an unrelated meta ATTRIBUTE never selects (og:url class)") {
+    // an Open Graph og:url whose URL carries ?charset= sits inside a
+    // <meta …> span — it must not shadow the real declaration after it
+    val og = "<head><meta property=\"og:url\" " +
+      "content=\"https://ex.com/page?charset=utf-16le\">" +
+      "<meta charset=utf-8></head>"
+    assert(sniff(og.getBytes("UTF-8")) == Some("utf-8"))
+    // …and with no real declaration at all, it selects nothing
+    val ogOnly = "<meta property=\"og:url\" content=\"https://ex.com/p?charset=utf-16le\">"
+    assert(sniff(ogOnly.getBytes("UTF-8")) == None)
+    // content= charset only counts under http-equiv=content-type
+    assert(sniff("<meta name=\"description\" content=\"about charset=utf-16le stuff\">x"
+      .getBytes("UTF-8")) == None)
+    assert(sniff(("<meta http-equiv=\"content-type\" " +
+      "content=\"text/html; charset = windows-1252\">").getBytes("ISO-8859-1")) ==
+      Some("windows-1252"))
+  }
+
   test("SQL registration: sniff + decode") {
     val df = Seq(Tuple1("<meta charset=utf-8>ok".getBytes("UTF-8"))).toDF("b")
     df.createOrReplaceTempView("cs_t")

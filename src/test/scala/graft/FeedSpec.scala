@@ -57,6 +57,18 @@ class FeedSpec extends SparkSpec {
     assert(entries(xml) == Seq((Some("t"), "https://e.org/c", Some("d"), false)))
   }
 
+  test("a self-closing <link/> before the real RSS <link> does not drop the entry") {
+    // real-world mixed feeds: an empty <link/> (or an Atom-style
+    // <link href=…/>) precedes the true element-text link
+    assert(entries("<rss><item><title>a</title><link/><link>https://e.org/x</link></item></rss>") ==
+      Seq((Some("a"), "https://e.org/x", None, false)))
+    assert(entries("<rss><item><title>b</title><link href=\"https://a/self\"/>" +
+      "<link>https://e.org/y</link></item></rss>") ==
+      Seq((Some("b"), "https://e.org/y", None, false)))
+    // all links self-closing: genuinely no element text, entry drops
+    assert(entries("<rss><item><title>c</title><link/></item></rss>").isEmpty)
+  }
+
   test("garbage tolerance: non-feed text is empty, unterminated entries drop, empty titles null") {
     assert(entries("just some text with < and > in it").isEmpty)
     assert(entries("<rss><item><title>x</title><link>https://e.org/u</link>").isEmpty)
