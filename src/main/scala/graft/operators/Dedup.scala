@@ -108,10 +108,13 @@ object Dedup {
     * the full pair set (a bucket's star and its clique connect the same
     * member set), but the edge count is linear in corpus size instead of
     * quadratic in bucket occupancy — a hot bucket (boilerplate near-dups at
-    * 100 TB) emits |bucket| edges, not |bucket|²/2. One window over the
-    * bucket key replaces the bucket self-join entirely. Feed this to
-    * [[Graph.connectedComponents]] / [[nearDupClusters]]; use the pair form
-    * only when the per-pair list itself is the product.
+    * 100 TB) emits |bucket| edges, not |bucket|²/2. The bucket minimum is a
+    * map-side-combinable AGGREGATE joined back to the membership stream (a
+    * hot bucket collapses to one row per map task in the min's partials,
+    * and the join-back is AQE-skew-splittable) — not a min window, which
+    * would buffer the whole hot bucket in one un-splittable task. Feed this
+    * to [[Graph.connectedComponents]] / [[nearDupClusters]]; use the pair
+    * form only when the per-pair list itself is the product.
     */
   def minhashClusterEdges(
       df: DataFrame,
@@ -122,9 +125,11 @@ object Dedup {
       bands: Int = 4
   ): DataFrame = {
     val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centers = bucketed.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("doc_a"))
     bucketed
-      .withColumn("doc_a", min(col("doc_id")).over(w))
+      .join(centers, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -369,18 +374,23 @@ object Dedup {
     val fps = df.select(
       col(idCol).as("doc_id"),
       explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp")
-    )
-    // document frequency per fingerprint via ONE count window over fp (the
-    // PPJoin trick: no aggregate+join-back double exchange)
-    val dfw = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency per fingerprint via a groupBy AGGREGATE joined back
+    // — NOT a count window over fp: the aggregate partial-aggregates
+    // map-side (the hottest boilerplate fingerprint collapses to one row per
+    // map task before its exchange) and the join-back is AQE-skew-
+    // splittable, where a window partitioned on fp would buffer every
+    // occurrence of the hot key in one un-splittable task (the q133/q134
+    // argument). fps persists: the df aggregate and the join probe both
+    // read it.
+    val dfTable = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     // Persisted because both sides of the self-join read it; the blocks are
     // reclaimed by Spark's ContextCleaner once the returned plan is
     // unreferenced (same lifecycle contract as CorpusPipeline's gated
     // table) — callers holding many results long-term should unpersist via
     // sparkSession.sharedState.cacheManager if storage pressure matters.
     val kept = fps
-      .withColumn("__df", dfw)
-      .filter(col("__df") <= lit(nDocs * maxDfFrac))
+      .join(dfTable.filter(col("__df") <= lit(nDocs * maxDfFrac)), Seq("fp"))
       .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     kept
@@ -939,7 +949,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Keep exactly one row (min id) per distinct content. */
+  /** Keep exactly one row (min id) per distinct content.
+    *
+    * Skew note: this is a `row_number` window over the content digest, but
+    * the `rn = 1` filter triggers Catalyst's `InferWindowGroupLimit`, which
+    * plants a PARTIAL `WindowGroupLimit` below the exchange — every map
+    * task forwards at most one row per digest, so a hot exact-duplicate
+    * (10^8 copies of one page at web scale) collapses map-side exactly like
+    * a min-aggregate would, and the digest shuffle carries digest-scale
+    * volume. Plan shape pinned in DedupSpec. (A rank filter is the ONLY
+    * window form with this defense — unbounded count/min windows buffer
+    * the hot partition in one task; see ngramJaccardPairs' df aggregate.)
+    */
   def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
@@ -1061,25 +1082,31 @@ object Dedup {
     // The ranked doc table feeds both prefix-join sides and both verify
     // sides: persist it so shingling + ranking run once. ContextCleaner
     // reclaims the blocks once the result plan is unreferenced; at cluster
-    // scale swap for an explicit checkpoint. (The gram table itself has a
-    // single consumer — no persist.)
+    // scale swap for an explicit checkpoint.
     val grams = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
         col("doc_id"),
         conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g")
       )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Global order = (document frequency asc, gram key asc): struct sort is
     // lexicographic by field, so sort_array ranks each doc's grams rarest
     // first without any global sort or rank assignment. Document frequency
-    // comes from an unbounded count window over g — ONE exchange of the gram
-    // table (vs an aggregate + join back, which exchanges it twice).
-    val freq = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+    // comes from a groupBy AGGREGATE joined back to the gram stream — NOT a
+    // count window over g: the aggregate gets map-side partial aggregation
+    // (a boilerplate gram shared by 10^8 docs collapses to one row per map
+    // task before its exchange, and the join-back is AQE-skew-splittable),
+    // where a window partitioned on g would buffer EVERY occurrence of the
+    // hottest gram in one task — WindowExec cannot be skew-split
+    // (the q133/q134 paragraph-dedup argument). grams persists: the df
+    // aggregate and the join probe both read it.
+    val dfTable = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // One gram-set view per doc: rarity-sorted (df, g) structs. The rarity
     // order is itself a total order, so the same array feeds both the prefix
     // slice and the two-pointer verification merge.
     val docs = grams
-      .withColumn("df", freq)
+      .join(dfTable, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
       .select(col("doc_id"), col("ranked"), size(col("ranked")).as("sz"))

@@ -51,7 +51,6 @@ object EntityResolution {
   ): DataFrame = {
     require(blockLen > 0 && maxDist >= 0, "need positive blockLen and maxDist >= 0")
     require(maxBlockSize > 0 && refineStep > 0, "need positive maxBlockSize/refineStep")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))
     var cur = df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .withColumn("__len", lit(blockLen))
@@ -59,24 +58,25 @@ object EntityResolution {
     if (maxBlockSize != Int.MaxValue) {
       // each round: members of over-cap blocks whose key can still grow
       // re-block on a refineStep-longer prefix. Round count is bounded and
-      // small (maxRefine); each round is one window over the rows — the
-      // same per-round cost shape as the CC fixpoint loop.
+      // small (maxRefine); each round is one block-stats aggregate + join
+      // over the rows — the same per-round cost shape as the CC fixpoint
+      // loop.
       // Persist each round's frame: the per-round isEmpty is an ACTION, and
       // without materialization it would recompute every prior round's
-      // window (O(rounds²) passes), and the final self-join would re-run
-      // the whole stacked-window chain twice more. With persist, each
-      // window pass over the data executes exactly once.
+      // aggregate+join (O(rounds²) passes), and the final self-join would
+      // re-run the whole stacked chain twice more. With persist, each
+      // round's pass over the data executes exactly once.
       var prev: Option[DataFrame] = None
       var round = 0
       var anyHot = true
       while (round < maxRefine && anyHot) {
-        // persist the windowed frame, then materialize it COMPLETELY with a
+        // persist the sized frame, then materialize it COMPLETELY with a
         // count — isEmpty would stop at the first non-empty partition and
         // cache only what its take(1) touched, so unpersisting the previous
         // round below would force the uncached remainder to recompute the
-        // whole stacked-window chain (the O(rounds²) re-execution this
+        // whole stacked chain (the O(rounds²) re-execution this
         // cache exists to prevent). With the full count, neither the next
-        // round's window nor the final self-join re-executes prior rounds.
+        // round's pass nor the final self-join re-executes prior rounds.
         // The last round's cache stays resident until Spark evicts it (the
         // returned plan still reads it lazily) — bounded at one round's
         // rows, same order as the input.
@@ -89,9 +89,19 @@ object EntityResolution {
         // CONTENT divergence still splits, which is the documented blocking
         // contract); a block whose shortest member is exhausted simply stops
         // refining and stays hot-but-capped.
+        // block occupancy + shortest member via a groupBy AGGREGATE joined
+        // back, not count/min windows over __blk: the whole point of this
+        // loop is that a block CAN be hot (that is what it detects), and a
+        // window over the hot key would buffer that block in one
+        // un-splittable task each round — the aggregate collapses it to one
+        // row per map task and the join-back is AQE-skew-splittable. cur is
+        // read by both the stats aggregate and the probe; past round 0 it
+        // derives narrowly from the previous round's persisted frame, and
+        // round 0 is one extra pass over the raw scan.
+        val blockStats = cur.groupBy(col("__blk"))
+          .agg(count(lit(1)).as("__n"), min(length(col("__s"))).as("__minLen"))
         val sized = cur
-          .withColumn("__n", count(lit(1)).over(w))
-          .withColumn("__minLen", min(length(col("__s"))).over(w))
+          .join(blockStats, Seq("__blk"))
           .persist()
         val growable = col("__n") > maxBlockSize && col("__minLen") > col("__len")
         anyHot = sized.filter(growable).count() > 0

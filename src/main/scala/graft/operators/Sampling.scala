@@ -72,12 +72,15 @@ object Sampling {
     * stratum (fewer if the stratum is smaller), chosen by smallest key hash
     * — a uniform draw without replacement — tie-broken by the key itself.
     *
-    * One hash shuffle on the strata columns. Each stratum sorts within one
-    * task, so this exact form wants strata of executor-memory size; for a
-    * huge stratum, pre-thin with [[bernoulli]] at a few × n/|stratum| first
-    * (membership stays deterministic — the pre-filter only removes rows the
-    * top-n would never pick, provided the band is generous enough to keep
-    * ≥ n survivors) and apply the same top-n to the survivors.
+    * One hash shuffle on the strata columns. The `rn <= n` filter plans as
+    * a `WindowGroupLimit`: the PARTIAL group-limit below the exchange
+    * forwards at most n rows per stratum per map task, so even a corpus-
+    * sized stratum ships ≤ n × mapTasks rows to its window task — the
+    * skewed-stratum hazard is bounded by the sample size, not the stratum
+    * size. For n large enough that n × mapTasks itself hurts, pre-thin
+    * with [[bernoulli]] at a few × n/|stratum| first (membership stays
+    * deterministic — the pre-filter only removes rows the top-n would
+    * never pick, provided the band keeps ≥ n survivors).
     */
   def stratified(df: DataFrame, strata: Seq[Column], key: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
@@ -518,9 +521,12 @@ object Sampling {
     * exhaustive; membership is the same portable md5-prefix hash as
     * [[bernoulli]], reproducible on any engine.
     *
-    * Scale shape: ONE hash shuffle on `groupKey` for the representative
-    * window (the same shuffle an exact-dedup pass already does); the band
-    * decision itself is a pure map. No joins, no driver state.
+    * Scale shape: the representative is a map-side-combinable min
+    * AGGREGATE on `groupKey` joined back to the rows — a duplicate group
+    * with 10^8 members collapses to one row per map task in the partials
+    * and the join-back is AQE-skew-splittable, where a min window over the
+    * group key would buffer the whole hot group in one un-splittable task.
+    * The band decision itself is a pure map. No driver state.
     *
     * The output claims the column names `rep` and `split`; an input
     * already carrying either would be silently clobbered, so it is
@@ -541,7 +547,13 @@ object Sampling {
       !df.columns.contains("rep") && !df.columns.contains("split"),
       "leakageFreeSplit writes output columns 'rep' and 'split'; the input already has one " +
         "of them — rename it before calling")
-    val rep = min(col(idCol)).over(Window.partitionBy(groupKey))
+    require(!df.columns.contains("__gk") && !df.columns.contains("__gk2"),
+      "leakageFreeSplit uses '__gk'/'__gk2' internally — rename that input column")
+    val keyed = df.withColumn("__gk", groupKey)
+    // null-safe join: a NULL group key is one group, same as the window
+    // partition semantics it replaces
+    val reps = keyed.groupBy(col("__gk")).agg(min(col(idCol)).as("rep"))
+      .select(col("__gk").as("__gk2"), col("rep"))
     val h = hash60(col("rep")) % denominator
     // first band whose cumulative upper bound exceeds the hash wins
     val cums = splits.scanLeft(0)(_ + _._2).tail
@@ -550,7 +562,10 @@ object Sampling {
       .foldRight(lit(null).cast("string")) { case (((name, _), hi), acc) =>
         when(h < hi, lit(name)).otherwise(acc)
       }
-    df.withColumn("rep", rep).withColumn("split", split)
+    keyed
+      .join(reps, col("__gk") <=> col("__gk2"))
+      .drop("__gk", "__gk2")
+      .withColumn("split", split)
   }
 
   /** Hashed n-gram importance resampling (DSIR-shaped, Xie et al. 2023,

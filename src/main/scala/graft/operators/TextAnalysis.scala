@@ -413,12 +413,19 @@ object TextAnalysis {
       n: Int = 3,
       rareDf: Int = 1
   ): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = docs
       .select(col(idCol).as("doc_id"), explode(graft.functions.HashExprs.wordNGrams(col(textCol), n)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram document frequency via a groupBy AGGREGATE joined back, not a
+    // count window: a boilerplate gram shared corpus-wide collapses to one
+    // row per map task in the aggregate's partials and the join-back is
+    // AQE-skew-splittable, where a window over gram would buffer the hot
+    // gram's whole partition in one un-splittable task. grams persists:
+    // the df aggregate and the probe both read it.
+    val dfPerGram = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .join(dfPerGram, Seq("gram"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

@@ -42,10 +42,19 @@ object TfIdf {
       .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    // document frequency via one count window over the term (no agg+join-back)
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-    withDf
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency via a groupBy AGGREGATE joined back, not a count
+    // window over term: a stop-word's posting list (≈ N docs at web scale)
+    // collapses to one row per map task in the aggregate's partials and
+    // the join-back is AQE-skew-splittable — a window partitioned on term
+    // would buffer the whole hot posting list in one un-splittable task.
+    // Filtering the df table BEFORE the join means hot terms never join
+    // back at all. tf persists: the df aggregate and the probe both read
+    // it.
+    val dfPerTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(n * maxDfFrac))
+    tf
+      .join(dfPerTerm, Seq("term"))
       .select(
         col("doc_id"),
         col("term"),
@@ -116,9 +125,11 @@ object TfIdf {
     *
     * Scale shape: tokens are filtered to the query terms AT THE EXPLODE
     * (the inverted index is only ever materialized for |terms| terms), df
-    * comes from one count-window over the term, and the final top-k is
-    * orderBy+limit — TakeOrdered, never a global single-partition sort;
-    * the rank column is windowed over the k survivors only.
+    * comes from a map-side-combinable aggregate joined back (a stop-word
+    * query term's N-doc posting list collapses per map task — never one
+    * window task), and the final top-k is orderBy+limit — TakeOrdered,
+    * never a global single-partition sort; the rank column is windowed
+    * over the k survivors only.
     *
     * @return (doc_id, score, rank) — rank 1..k by descending score, ties
     *         broken by ascending doc_id
@@ -152,8 +163,17 @@ object TfIdf {
       .filter(col("term").isInCollection(normTerms))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-    val scored = matched
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df per term as a groupBy AGGREGATE joined back, not a count window:
+    // the tf table holds one row per (doc, matched term), so a stop-word
+    // query term's partition is df(term) ≈ N docs — a window over term
+    // would buffer it in one un-splittable task, where the aggregate
+    // collapses it map-side to one row per map task and the join-back is
+    // a |terms|-row build. matched persists: the df aggregate and the
+    // scoring probe both read it.
+    val dfPerTerm = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val withDf = matched.join(dfPerTerm, Seq("term"))
+    val scored = withDf
       .withColumn("idf", expr(s"(($n - df + 1) * 1000) div (df + 1)"))
       .withColumn("num", (col("idf") * col("tf")).cast(dec) * lit(44) * lit(s))
       .withColumn(

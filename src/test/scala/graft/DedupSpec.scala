@@ -21,6 +21,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropExactDups(docs, "doc_id", "text").count() == 3)
   }
 
+  test("hot-key plan shapes: rank windows carry WindowGroupLimit, df/min rankings are aggregates") {
+    // dropExactDups is the ONE window form allowed on a skewed key — its
+    // rn=1 filter plans a PARTIAL WindowGroupLimit below the exchange, so
+    // a hot exact-duplicate collapses map-side like a min-aggregate
+    val dedup = Dedup.dropExactDups(docs, "doc_id", "text")
+    val dedupPlan = dedup.queryExecution.executedPlan.toString
+    assert(dedupPlan.contains("WindowGroupLimit"),
+      s"dropExactDups must plan its rank filter as WindowGroupLimit:\n$dedupPlan")
+    // the candidate-generation family computes gram/fingerprint/bucket
+    // rankings as map-side-combinable aggregates joined back — a plain
+    // Window over the hot key (which buffers the whole partition in one
+    // un-splittable task) must never reappear in these plans
+    for ((name, frame) <- Seq(
+        "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5),
+        "winnowingOverlapPairs" -> Dedup.winnowingOverlapPairs(docs, "doc_id", "text"),
+        "minhashClusterEdges" -> Dedup.minhashClusterEdges(docs, "doc_id", "text"),
+        "containmentPairs" -> Dedup.containmentPairs(docs, "doc_id", "text", 900))) {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name plans a Window over a skewed key:\n$p")
+    }
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup
       .minhashCandidatePairs(docs, "doc_id", "text")

@@ -33,6 +33,12 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.values.forall(_ == 25L) && sizes.size == 7)
     val tiny = Sampling.stratified(docs.filter($"id" <= 3), Seq($"grp"), $"id", 25)
     assert(tiny.count() == 3)
+    // skew defense: the rn <= n filter must plan as WindowGroupLimit (the
+    // PARTIAL limit below the exchange bounds a hot stratum by sample
+    // size × map tasks, not stratum size)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"),
+      s"stratified should plan its rank filter as WindowGroupLimit:\n$physical")
   }
 
   test("stratified choice is deterministic across partitionings") {

@@ -281,6 +281,14 @@ class WebIntakeSpec extends SparkSpec {
       WebIntake.Config(maxFetchPerHost = 5))
     assert(capped.count() == 5)
     assert(capped.agg(max($"fetch_seq")).head().getInt(0) == 5)
+    // the per-host row_number + cap filter must plan as WindowGroupLimit:
+    // the PARTIAL group-limit below the exchange forwards at most
+    // maxFetchPerHost rows per host per map task, so a trap host's
+    // million-URL queue collapses map-side instead of piling into one
+    // window task (the skew defense the operator's comment claims)
+    val physical = capped.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"),
+      s"per-host cap should plan as WindowGroupLimit:\n$physical")
     // uncapped default keeps the whole queue
     assert(WebIntake.planFrontier(frontier, noRobots, emptyIdx, ranks).count() == 20)
   }
