@@ -113,7 +113,10 @@ object ScaleBench {
     "q151_importance_resample",
     "q152_line_dedup",
     "q153_feed_entries",
-    "q154_mime_sniff"
+    "q154_mime_sniff",
+    // exif build + parse + scrub + re-parse: four scan-side byte walks per
+    // row, zero exchanges — the per-row cost class of q154/q79
+    "q155_exif_gps"
   )
 
   private val IdOffset = 100000000L

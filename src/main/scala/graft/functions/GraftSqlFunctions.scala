@@ -87,6 +87,12 @@ object GraftSqlFunctions {
     ("graft_video_fp", "(binary)", {
       case Seq(b) => VideoFingerprint(b)
     }),
+    ("graft_exif_meta", "(binary)", {
+      case Seq(b) => ExifMeta(b)
+    }),
+    ("graft_exif_strip_gps", "(binary)", {
+      case Seq(b) => ExifStripGps(b)
+    }),
     ("graft_warc_records", "(binary)", {
       case Seq(b) => WarcRecords(b)
     }),

@@ -998,6 +998,85 @@ object Multimodal {
           "").cast("binary").as("content"))
   }
 
+  /** Minimal valid JPEG bytes carrying an Exif APP1 — the deterministic
+    * fixture generator for the q155 oracle and ExifSpec (the
+    * [[wavBytes]]/[[mp4Bytes]] pattern): SOI, APP1 `Exif\0\0` + TIFF
+    * header (`II` or `MM` per `bigEndian`), IFD0 with Make (ASCII,
+    * out-of-line), Orientation (SHORT, inline) and — when `gps` is set — a
+    * GPS sub-IFD (lat/lon reference chars inline, coordinates as the
+    * standard 3-RATIONAL dms), then EOI. Offsets are emitted in the same
+    * absolute-from-TIFF-base form real cameras write, so
+    * [[graft.functions.ExifSupport]] exercises its real offset walk.
+    *
+    * @param gps (latRef, latDeg, latMin, latSecNum, latSecDen,
+    *            lonRef, lonDeg, lonMin, lonSecNum, lonSecDen)
+    */
+  def jpegExifBytes(
+      make: String,
+      orientation: Int,
+      bigEndian: Boolean,
+      gps: Option[(Char, Int, Int, Long, Long, Char, Int, Int, Long, Long)]
+  ): Array[Byte] = {
+    val order =
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
+    val makeBytes = make.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+    val makeLen = makeBytes.length + (makeBytes.length & 1) // even-pad
+    val nIfd0 = if (gps.isDefined) 3 else 2
+    val ifd0Size = 2 + 12 * nIfd0 + 4
+    val makeOff = 8 + ifd0Size
+    val gpsIfdOff = makeOff + makeLen
+    val gpsIfdSize = 2 + 12 * 4 + 4
+    val latValOff = gpsIfdOff + gpsIfdSize
+    val lonValOff = latValOff + 24
+    val tiffLen = if (gps.isDefined) lonValOff + 24 else makeOff + makeLen
+    val tiff = java.nio.ByteBuffer.allocate(tiffLen).order(order)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes).putShort(42).putInt(8)
+    def entry(tag: Int, typ: Int, cnt: Int)(value: java.nio.ByteBuffer => Unit): Unit = {
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      val mark = tiff.position()
+      value(tiff)
+      while (tiff.position() < mark + 4) tiff.put(0.toByte) // right-pad inline
+    }
+    // IFD0 (entry count, entries in ascending tag order, next-IFD = 0)
+    tiff.putShort(nIfd0.toShort)
+    // TIFF rule: values of <= 4 bytes are stored INLINE in the value field,
+    // longer ones by absolute offset (the data area stays reserved either
+    // way so downstream offsets are layout-independent)
+    if (makeBytes.length <= 4) entry(0x010f, 2, makeBytes.length)(_.put(makeBytes))
+    else entry(0x010f, 2, makeBytes.length)(_.putInt(makeOff))
+    entry(0x0112, 3, 1)(_.putShort(orientation.toShort))
+    gps.foreach(_ => entry(0x8825, 4, 1)(_.putInt(gpsIfdOff)))
+    tiff.putInt(0)
+    tiff.put(makeBytes)
+    while (tiff.position() < makeOff + makeLen) tiff.put(0.toByte)
+    gps.foreach { case (latRef, _, _, _, _, lonRef, _, _, _, _) =>
+      tiff.putShort(4) // GPS IFD entry count
+      entry(0x0001, 2, 2)(b => { b.put(latRef.toByte); b.put(0.toByte) })
+      entry(0x0002, 5, 3)(_.putInt(latValOff))
+      entry(0x0003, 2, 2)(b => { b.put(lonRef.toByte); b.put(0.toByte) })
+      entry(0x0004, 5, 3)(_.putInt(lonValOff))
+      tiff.putInt(0)
+    }
+    gps.foreach { case (_, latDeg, latMin, latSecNum, latSecDen,
+        _, lonDeg, lonMin, lonSecNum, lonSecDen) =>
+      for ((d, m, sn, sd) <- Seq(
+          (latDeg, latMin, latSecNum, latSecDen),
+          (lonDeg, lonMin, lonSecNum, lonSecDen))) {
+        tiff.putInt(d).putInt(1).putInt(m).putInt(1)
+          .putInt(sn.toInt).putInt(sd.toInt)
+      }
+    }
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff.array()
+    val segLen = payload.length + 2
+    val out = java.nio.ByteBuffer.allocate(2 + 2 + 2 + payload.length + 2)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe1.toByte) // APP1
+    out.put((segLen >> 8).toByte).put((segLen & 0xff).toByte) // BE length
+    out.put(payload)
+    out.put(0xff.toByte).put(0xd9.toByte) // EOI
+    out.array()
+  }
+
   /** Size-aware repartitioning: aim for ~targetBytes of binary content per
     * task instead of a row count — media corpora are heavily skewed.
     */

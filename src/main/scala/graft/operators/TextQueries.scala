@@ -1575,8 +1575,76 @@ object TextQueries {
     """.trim)
   )
 
+  /** EXIF GPS PII ([[graft.functions.ExifSupport]]): every document
+    * becomes a JPEG with a real Exif APP1 — endianness, make, orientation
+    * and (for 4 of 5 docs) a GPS sub-IFD all derived from the row — then
+    * the metadata walk recovers them and the SCRUB is verified in the same
+    * query: re-parsing the stripped bytes must find no coordinates while
+    * preserving make and byte length. ROUND-TRIP oracle (the q92
+    * contract): DuckDB replays the parameter arithmetic — build→parse must
+    * be the identity on every field and strip→re-parse must erase exactly
+    * the GPS fields, or the row hash fails. Coordinates are exact integer
+    * milli-arc-seconds; the second rational's denominator (500 / 250)
+    * exercises the division, not just den=1.
+    */
+  private val q155 = Q(
+    "q155_exif_gps",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.ExifExprs
+      val fixtures = T.documents
+        .select($"doc_id", $"n_chars".cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val gps =
+            if (id % 5 == 4) None
+            else Some((
+              if (id % 2 == 0) 'N' else 'S',
+              (id % 90).toInt, (id % 60).toInt, nc % 30000, 500L,
+              if (id % 3 == 0) 'E' else 'W',
+              (id % 180).toInt, ((id + 17) % 60).toInt, (nc * 7) % 15000, 250L))
+          (id, Multimodal.jpegExifBytes(s"CAM-${id % 7}", (id % 8 + 1).toInt, id % 3 == 0, gps))
+        })
+        .toDF("doc_id", "content")
+      val stripped = ExifExprs.exifStripGps($"content")
+      val m = ExifExprs.exifMeta($"content")
+      val m2 = ExifExprs.exifMeta(stripped)
+      fixtures
+        .select(
+          $"doc_id",
+          m.getField("exif_make").as("exif_make"),
+          m.getField("exif_orientation").as("exif_orientation"),
+          m.getField("gps_lat_e3").as("gps_lat_e3"),
+          m.getField("gps_lon_e3").as("gps_lon_e3"),
+          (m2.getField("gps_lat_e3").isNull && m2.getField("gps_lon_e3").isNull)
+            .as("gps_stripped"),
+          m2.getField("exif_make").as("make_after"),
+          (length(stripped) === length($"content")).as("len_ok"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             'CAM-' || CAST(doc_id % 7 AS VARCHAR) AS exif_make,
+             CAST(doc_id % 8 + 1 AS INT) AS exif_orientation,
+             CASE WHEN doc_id % 5 = 4 THEN NULL ELSE
+               (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+               ((doc_id % 90) * 3600000 + (doc_id % 60) * 60000
+                 + (CAST(n_chars AS BIGINT) % 30000) * 2)
+             END AS gps_lat_e3,
+             CASE WHEN doc_id % 5 = 4 THEN NULL ELSE
+               (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) *
+               ((doc_id % 180) * 3600000 + ((doc_id + 17) % 60) * 60000
+                 + (CAST(n_chars AS BIGINT) * 7 % 15000) * 4)
+             END AS gps_lon_e3,
+             TRUE AS gps_stripped,
+             'CAM-' || CAST(doc_id % 7 AS VARCHAR) AS make_after,
+             TRUE AS len_ok
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148, q150, q152, q154)
+      q145, q146, q148, q150, q152, q154, q155)
 }

@@ -365,4 +365,82 @@ object WebIntake {
       .select(col("host"), col("url"), col("rank"), col("delay_ms"), col("fetch_seq"))
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
+
+  /** Revisit scheduling from crawl history — the recrawl half of frontier
+    * planning (in the lineage of Cho & Garcia-Molina 2003, "Effective Page
+    * Refresh Policies for Web Crawlers": revisit frequency should track
+    * each page's observed CHANGE frequency, not a global constant; a news
+    * front page and a 2009 blog post do not deserve the same budget).
+    *
+    * `history` is one row per completed fetch: (urlCol, tsCol timestamp,
+    * hashCol content digest). Per URL this emits
+    *
+    *  - `n_fetches`, `n_changes` — a change is a fetch whose digest
+    *    differs from the PREVIOUS fetch's (ts order, digest tiebreak so
+    *    the order is total and engine-portable); the first fetch is
+    *    baseline, not change,
+    *  - `interval_ms` — observed span ÷ changes (exact integer floor), or
+    *    `maxIntervalMs` for never-changed URLs, clamped to
+    *    [`minIntervalMs`, `maxIntervalMs`] (the paper's estimator is a
+    *    Poisson-rate log; the span/changes mean is its exact-integer
+    *    monotone stand-in — house determinism rule, replayable by a SQL
+    *    oracle),
+    *  - `next_fetch_ms` — last fetch epoch-ms + interval: the due time a
+    *    scheduler merges into [[planFrontier]]'s priority,
+    *  - `if_unchanged` — TRUE when the URL never changed across ≥ 2
+    *    fetches: the conditional-GET candidates (send If-Modified-Since /
+    *    If-None-Match and expect 304s; at web scale MOST fetches are
+    *    re-validations, and every 304 is body bandwidth saved).
+    *
+    * Plan shape: the change verdict needs per-URL ts ORDER, so it is a lag
+    * window over the URL key — bounded by construction, not by luck: a
+    * URL's history length is (horizon ÷ its revisit interval) and the
+    * interval is floored at `minIntervalMs` by the scheduler itself, so
+    * the hottest possible partition is horizon/minInterval rows (e.g. 90
+    * days ÷ 1 h = 2160), executor-trivial. The per-URL rollup after it is
+    * one map-side-combinable aggregate; nothing here is corpus-keyed.
+    */
+  def revisitSchedule(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      hashCol: String,
+      minIntervalMs: Long = 3600L * 1000,
+      maxIntervalMs: Long = 7L * 24 * 3600 * 1000
+  ): DataFrame = {
+    require(minIntervalMs > 0 && maxIntervalMs >= minIntervalMs,
+      "need 0 < minIntervalMs <= maxIntervalMs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__url")).orderBy(col("__ms"), col("__hash"))
+    val marked = history
+      .select(
+        col(urlCol).as("__url"),
+        unix_millis(col(tsCol)).as("__ms"),
+        col(hashCol).cast("string").as("__hash"))
+      .withColumn("__chg",
+        when(lag(col("__hash"), 1).over(w).isNull, 0L) // first fetch: baseline
+          .when(lag(col("__hash"), 1).over(w) =!= col("__hash"), 1L)
+          .otherwise(0L))
+    val perUrl = marked
+      .groupBy(col("__url").as("url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum(col("__chg")).as("n_changes"),
+        min(col("__ms")).as("__first"),
+        max(col("__ms")).as("__last"))
+    perUrl
+      .withColumn(
+        "interval_ms",
+        when(col("n_changes") > 0,
+          least(
+            greatest(
+              expr("(__last - __first) DIV n_changes"),
+              lit(minIntervalMs)),
+            lit(maxIntervalMs)))
+          .otherwise(lit(maxIntervalMs)))
+      .withColumn("next_fetch_ms", col("__last") + col("interval_ms"))
+      .withColumn("if_unchanged", col("n_fetches") >= 2 && col("n_changes") === 0)
+      .select(col("url"), col("n_fetches"), col("n_changes"),
+        col("interval_ms"), col("next_fetch_ms"), col("if_unchanged"))
+  }
 }
