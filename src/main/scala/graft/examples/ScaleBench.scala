@@ -116,7 +116,11 @@ object ScaleBench {
     "q154_mime_sniff",
     // exif build + parse + scrub + re-parse: four scan-side byte walks per
     // row, zero exchanges — the per-row cost class of q154/q79
-    "q155_exif_gps"
+    "q155_exif_gps",
+    // revisit scheduling: per-URL lag window (policy-bounded partitions) +
+    // one map-side-combinable rollup; scaleEvents grows the URL space, so
+    // rows are exactly k× and per-URL work constant
+    "q156_revisit_schedule"
   )
 
   private val IdOffset = 100000000L
@@ -175,6 +179,22 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
+  /** k× crawl history for the revisit-schedule curve: each copy shifts
+    * event_id by a large multiple of 4, so q156's URL key (`event_id DIV
+    * 4`) lands every copy in its own URL space with group boundaries
+    * aligned — MORE URLs at the same per-URL history length, which is the
+    * honest crawl-scaling model (a bigger web, not a deeper history: the
+    * scheduler itself floors revisit intervals, so history depth is
+    * policy-bounded). Output is exactly k× rows.
+    */
+  private def scaleEvents(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until k).map { c =>
+      if (c == 0) base
+      else base.withColumn("event_id", col("event_id") + c * 1000000000L)
+    }.reduce(_ unionByName _)
+  }
+
   /** A k× near-dup-structured name corpus for the entity-resolution curve:
     * the base `customer` slice q91 resolves (c_custkey < 500 — blocking on
     * a 16-char name prefix makes the UNFILTERED table one degenerate block,
@@ -216,13 +236,14 @@ object ScaleBench {
       val f = new java.io.File(s"$baseDir/documents.parquet")
       s"${f.lastModified}:${f.length}"
     }
-    val tag = s"$baseDir@$baseFp#v2"
+    val tag = s"$baseDir@$baseFp#v3" // v3: + events.parquet (q156)
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (!fresh) {
       scaleDocs(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       scaleEmbeddings(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       scaleCustomer(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/customer500.parquet")
+      scaleEvents(spark, baseDir, k).write.mode("overwrite").parquet(s"$dir/events.parquet")
       java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
     }
     dir

@@ -784,7 +784,68 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Revisit scheduling ([[WebIntake.revisitSchedule]]): the events table
+    * becomes a crawl history — ~3 fetches per synthetic URL, digests that
+    * flip on an event-id parity so some URLs change every fetch, some
+    * never — and the scheduler derives per-URL change counts, the clamped
+    * exact-integer revisit interval, the next due time, and the
+    * conditional-GET flag. The oracle replays the same lag/clamp/floor
+    * arithmetic in SQL: a mis-ordered history, an off-by-one on the
+    * baseline fetch, or a float sneaking into the interval math flips
+    * rows.
+    */
+  private val q156 = Q(
+    "q156_revisit_schedule",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      // URL space from event_id DIV 4: ~4 fetches per URL, and the space
+      // GROWS with the table (a modulus-keyed URL space would cap out and
+      // turn a scale-up into ever-deeper per-URL histories — the opposite
+      // of how a bigger web behaves)
+      val u = expr("event_id DIV 4")
+      val history = T.events.select(
+        concat(lit("https://h"), (u % 40).cast("string"),
+          lit(".example.org/p"), u.cast("string")).as("url"),
+        $"ts",
+        concat(lit("h"), ($"event_id" % 2).cast("string")).as("content_hash"))
+      WebIntake
+        .revisitSchedule(history, "url", "ts", "content_hash")
+        .orderBy($"url")
+    },
+    Some("""
+      WITH h AS (
+        SELECT 'https://h' || ((event_id // 4) % 40) || '.example.org/p' || (event_id // 4) AS url,
+               epoch_ms(ts) AS ms,
+               'h' || (event_id % 2) AS hash
+        FROM events),
+      m AS (
+        SELECT url, ms, hash,
+               CASE WHEN lag(hash) OVER (PARTITION BY url ORDER BY ms, hash) IS NULL THEN 0
+                    WHEN lag(hash) OVER (PARTITION BY url ORDER BY ms, hash) <> hash THEN 1
+                    ELSE 0 END AS chg
+        FROM h),
+      p AS (
+        SELECT url, COUNT(*) AS n_fetches, SUM(chg) AS n_changes,
+               MIN(ms) AS first_ms, MAX(ms) AS last_ms
+        FROM m GROUP BY url),
+      i AS (
+        SELECT url, n_fetches, n_changes,
+               CASE WHEN n_changes > 0 THEN
+                 LEAST(GREATEST((last_ms - first_ms) // n_changes, 3600000), 604800000)
+               ELSE 604800000 END AS interval_ms,
+               last_ms
+        FROM p)
+      SELECT url,
+             CAST(n_fetches AS BIGINT) AS n_fetches,
+             CAST(n_changes AS BIGINT) AS n_changes,
+             CAST(interval_ms AS BIGINT) AS interval_ms,
+             CAST(last_ms + interval_ms AS BIGINT) AS next_fetch_ms,
+             (n_fetches >= 2 AND n_changes = 0) AS if_unchanged
+      FROM i ORDER BY url
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149,
-      q153)
+      q153, q156)
 }

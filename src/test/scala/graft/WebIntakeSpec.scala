@@ -268,6 +268,36 @@ class WebIntakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("revisitSchedule: change counting, clamped intervals, conditional-GET flag") {
+    val hour = 3600L * 1000
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val history = Seq(
+      // a: changes every fetch (3 fetches, 2 changes over 4h -> 2h interval)
+      ("https://a.org/x", ts(0), "h1"),
+      ("https://a.org/x", ts(2 * hour), "h2"),
+      ("https://a.org/x", ts(4 * hour), "h3"),
+      // b: never changes across 3 fetches -> max interval, if_unchanged
+      ("https://b.org/y", ts(0), "same"),
+      ("https://b.org/y", ts(24 * hour), "same"),
+      ("https://b.org/y", ts(48 * hour), "same"),
+      // c: single fetch -> baseline only, no change, NOT a 304 candidate
+      ("https://c.org/z", ts(0), "once"),
+      // d: one change over 10 minutes -> clamped UP to minInterval (1h)
+      ("https://d.org/w", ts(0), "p"),
+      ("https://d.org/w", ts(10 * 60 * 1000), "q")
+    ).toDF("url", "ts", "content_hash")
+    val out = WebIntake.revisitSchedule(history, "url", "ts", "content_hash")
+      .orderBy($"url")
+      .collect()
+    val byUrl = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(byUrl("https://a.org/x") == ((3L, 2L, 2 * hour, 6 * hour, false)))
+    val week = 7L * 24 * hour
+    assert(byUrl("https://b.org/y") == ((3L, 0L, week, 48 * hour + week, true)))
+    assert(byUrl("https://c.org/z") == ((1L, 0L, week, week, false)))
+    assert(byUrl("https://d.org/w") == ((2L, 1L, hour, 10 * 60 * 1000 + hour, false)))
+  }
+
   test("planFrontier: maxFetchPerHost caps a trap host's queue") {
     val frontier = (0 until 20).map(i => ("https://s.org/a", s"https://trap.example.org/cal/$i"))
       .toDF("src_url", "href")
