@@ -120,7 +120,13 @@ object ScaleBench {
     // revisit scheduling: per-URL lag window (policy-bounded partitions) +
     // one map-side-combinable rollup; scaleEvents grows the URL space, so
     // rows are exactly k× and per-URL work constant
-    "q156_revisit_schedule"
+    "q156_revisit_schedule",
+    // code hygiene: pure scan-side string stats (q30's cost class);
+    // anchor corpus: scan-side extract+resolve then two hash aggregates —
+    // its TARGET space is fixture-bounded (28 urls), so output rows stay
+    // constant while counts grow k× (the hot-target argmax is the point)
+    "q157_code_hygiene",
+    "q158_anchor_corpus"
   )
 
   private val IdOffset = 100000000L

@@ -503,6 +503,63 @@ object TextAnalysis {
     ).cast("long")
   }
 
+  /** Code-corpus hygiene signals — the Stack/StarCoder-class filters a
+    * code slice of a training mix needs and prose filters never compute
+    * (the q30/q123/q124 family, aimed at source files):
+    *
+    *  - `n_lines`, `max_line_len`, `avg_line_len` (exact integer: non-
+    *    newline chars DIV lines) — MINIFIED/bundled artifacts are the code
+    *    corpus's boilerplate class: one 80 kB line of webpack output
+    *    teaches a model nothing a thousand times over,
+    *  - `ws_permille` — whitespace density; minifiers strip it, generators
+    *    and humans keep it,
+    *  - `license` — first-400-chars license-family tag
+    *    (apache/mit/bsd/gpl/mpl, first match in that fixed order, NULL
+    *    when none): license-aware filtering is a LEGAL gate for code
+    *    corpora, not a quality nicety,
+    *  - `is_generated` — "do not edit"/"auto-generated"/"@generated"
+    *    marker in the first 1024 chars (the conventional machine-output
+    *    stamps protoc/stringer/grpc emit),
+    *  - `is_minified` — max_line_len ≥ 500 or avg_line_len ≥ 200.
+    *
+    * Everything is built-in string/array expressions (whole-stage codegen,
+    * zero shuffles) with exact integer arithmetic — replayable by a SQL
+    * oracle, the house rule.
+    */
+  def codeHygiene(text: Column): Column = {
+    // exact floor division for positive longs: subtract the remainder, then
+    // the double division is exact (numerator divisible, values << 2^53)
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val maxLine = coalesce(array_max(transform(lines, l => length(l).cast("long"))), lit(0L))
+    val nonNl = length(text).cast("long") - (nLines - 1)
+    val avgLine = idiv(nonNl, nLines) // split("") = [""], so nLines >= 1
+    val ws = length(text).cast("long") -
+      length(regexp_replace(text, "[ \t\r\n]", "")).cast("long")
+    val wsPermille =
+      when(length(text) > 0, idiv(lit(1000L) * ws, length(text).cast("long")))
+        .otherwise(lit(0L))
+    val head400 = lower(substring(text, 1, 400))
+    val license = when(head400.contains("apache license"), "apache")
+      .when(head400.contains("mit license"), "mit")
+      .when(head400.contains("bsd license"), "bsd")
+      .when(head400.contains("gnu general public license"), "gpl")
+      .when(head400.contains("mozilla public license"), "mpl")
+    val head1k = lower(substring(text, 1, 1024))
+    val generated = head1k.contains("do not edit") ||
+      head1k.contains("auto-generated") || head1k.contains("@generated")
+    val minified = maxLine >= 500L || avgLine >= 200L
+    struct(
+      nLines.as("n_lines"),
+      maxLine.as("max_line_len"),
+      avgLine.as("avg_line_len"),
+      wsPermille.as("ws_permille"),
+      license.as("license"),
+      generated.as("is_generated"),
+      minified.as("is_minified"))
+  }
+
   def hashedLinearScore(text: Column, weights: Array[Long], maxNgram: Int = 2): Column = {
     require(weights.nonEmpty, "need a non-empty weight table")
     require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")

@@ -1643,8 +1643,96 @@ object TextQueries {
     """.trim)
   )
 
+  /** Code-corpus hygiene ([[TextAnalysis.codeHygiene]]): documents are
+    * dressed as source files — every 7th gets a license header (family
+    * cycling apache/mit/bsd/gpl/mpl), every 5th a machine-generated stamp
+    * ("DO NOT EDIT"), every 11th is space-stripped into the one-long-line
+    * shape minifiers produce — then the hygiene signals (line stats,
+    * whitespace density, license tag, generated/minified flags) must
+    * recover exactly which dressing each row got. The oracle rebuilds the
+    * same text and recomputes every stat in SQL: a mis-ordered license
+    * chain, an off-by-one on the newline count, or a float in the
+    * permille flips rows.
+    */
+  private val q157 = Q(
+    "q157_code_hygiene",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val licenses = Seq(
+        "Licensed under the Apache License, Version 2.0",
+        "Released under the MIT License",
+        "BSD License terms apply",
+        "GNU General Public License v3",
+        "Mozilla Public License 2.0")
+      val licLine = licenses.zipWithIndex
+        .foldRight(lit(null).cast("string")) { case ((l, i), acc) =>
+          when(expr("(doc_id DIV 7) % 5") === i, lit("// " + l + "\n")).otherwise(acc)
+        }
+      val base = when($"doc_id" % 11 === 0, regexp_replace($"text", " ", ""))
+        .otherwise($"text")
+      val text2 = concat(
+        when($"doc_id" % 7 === 0, licLine).otherwise(lit("")),
+        when($"doc_id" % 5 === 0, lit("//\tCode generated by tool. DO NOT EDIT.\n"))
+          .otherwise(lit("")),
+        base)
+      val h = TextAnalysis.codeHygiene(text2)
+      T.documents
+        .select(
+          $"doc_id",
+          h.getField("n_lines").as("n_lines"),
+          h.getField("max_line_len").as("max_line_len"),
+          h.getField("avg_line_len").as("avg_line_len"),
+          h.getField("ws_permille").as("ws_permille"),
+          h.getField("license").as("license"),
+          h.getField("is_generated").as("is_generated"),
+          h.getField("is_minified").as("is_minified"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t2 AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 7 = 0 THEN '// ' ||
+                 (['Licensed under the Apache License, Version 2.0',
+                   'Released under the MIT License',
+                   'BSD License terms apply',
+                   'GNU General Public License v3',
+                   'Mozilla Public License 2.0'])[CAST(doc_id // 7 % 5 AS INT) + 1] || chr(10)
+                ELSE '' END) ||
+               (CASE WHEN doc_id % 5 = 0
+                     THEN '//' || chr(9) || 'Code generated by tool. DO NOT EDIT.' || chr(10)
+                     ELSE '' END) ||
+               (CASE WHEN doc_id % 11 = 0 THEN replace(text, ' ', '') ELSE text END) AS t
+        FROM documents),
+      st AS (
+        SELECT doc_id, t,
+               CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+               CAST(list_aggregate(list_transform(string_split(t, chr(10)), x -> length(x)),
+                                   'max') AS BIGINT) AS max_line_len,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(length(t) - length(regexp_replace(t, '[ \t\r\n]', '', 'g')) AS BIGINT) AS ws
+        FROM t2)
+      SELECT doc_id,
+             n_lines,
+             max_line_len,
+             CAST((n_chars - (n_lines - 1)) // n_lines AS BIGINT) AS avg_line_len,
+             CAST(CASE WHEN n_chars > 0 THEN 1000 * ws // n_chars ELSE 0 END AS BIGINT)
+               AS ws_permille,
+             CASE WHEN contains(lower(substr(t, 1, 400)), 'apache license') THEN 'apache'
+                  WHEN contains(lower(substr(t, 1, 400)), 'mit license') THEN 'mit'
+                  WHEN contains(lower(substr(t, 1, 400)), 'bsd license') THEN 'bsd'
+                  WHEN contains(lower(substr(t, 1, 400)), 'gnu general public license') THEN 'gpl'
+                  WHEN contains(lower(substr(t, 1, 400)), 'mozilla public license') THEN 'mpl'
+             END AS license,
+             (contains(lower(substr(t, 1, 1024)), 'do not edit')
+               OR contains(lower(substr(t, 1, 1024)), 'auto-generated')
+               OR contains(lower(substr(t, 1, 1024)), '@generated')) AS is_generated,
+             (max_line_len >= 500 OR (n_chars - (n_lines - 1)) // n_lines >= 200) AS is_minified
+      FROM st ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148, q150, q152, q154, q155)
+      q145, q146, q148, q150, q152, q154, q155, q157)
 }

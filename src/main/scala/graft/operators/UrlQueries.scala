@@ -845,7 +845,57 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Anchor corpus per target ([[WebIntake.anchorCorpus]]): each page
+    * carries a root-relative link, a RELATIVE link (resolution against the
+    * page's /dir/ base is exercised, not just absolute passthrough), a
+    * shared absolute link to one hot central target whose anchor text
+    * splits on doc parity (the modal-anchor argmax must count, not
+    * collect), and an empty-text anchor that must drop. The oracle
+    * rebuilds the (target, text) multiset by construction and replays
+    * count/mode/tiebreak in SQL.
+    */
+  private val q158 = Q(
+    "q158_anchor_corpus",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val src = concat(lit("https://h"), ($"doc_id" % 9).cast("string"),
+        lit(".example.org/dir/page"), ($"doc_id" % 4).cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"/promo\">Sale "), ($"doc_id" % 3).cast("string"),
+        lit("</a> <a href=\"item"), ($"doc_id" % 2).cast("string"),
+        lit("\">buy</a> <a href=\"https://central.example.org/home\">"),
+        when($"doc_id" % 2 === 0, lit("Home")).otherwise(lit("Start")),
+        lit("</a> <a href=\"/skip\"></a></body></html>"))
+      val pages = T.documents.select(src.as("url"), html.as("html"))
+      WebIntake.anchorCorpus(pages, "url", "html").orderBy($"target_url")
+    },
+    Some("""
+      WITH a AS (
+        SELECT 'https://h' || (doc_id % 9) || '.example.org/promo' AS t,
+               'Sale ' || (doc_id % 3) AS x
+        FROM documents
+        UNION ALL
+        SELECT 'https://h' || (doc_id % 9) || '.example.org/dir/item' || (doc_id % 2), 'buy'
+        FROM documents
+        UNION ALL
+        SELECT 'https://central.example.org/home',
+               CASE WHEN doc_id % 2 = 0 THEN 'Home' ELSE 'Start' END
+        FROM documents),
+      c AS (SELECT t, x, COUNT(*) AS n FROM a GROUP BY 1, 2),
+      r AS (SELECT t, CAST(SUM(n) AS BIGINT) AS n_anchors,
+                   CAST(COUNT(*) AS BIGINT) AS n_texts
+            FROM c GROUP BY 1),
+      top AS (SELECT t, x, n,
+                     row_number() OVER (PARTITION BY t ORDER BY n DESC, x DESC) AS rk
+              FROM c)
+      SELECT r.t AS target_url, r.n_anchors, r.n_texts,
+             top.x AS top_anchor, CAST(top.n AS BIGINT) AS top_n
+      FROM r JOIN top ON r.t = top.t AND top.rk = 1
+      ORDER BY target_url
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149,
-      q153, q156)
+      q153, q156, q158)
 }

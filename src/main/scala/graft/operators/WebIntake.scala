@@ -366,6 +366,53 @@ object WebIntake {
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
 
+  /** Anchor-text corpus per TARGET URL — the classic document-expansion
+    * signal (anchor text describes the page it points TO better than the
+    * page describes itself; search and retrieval-training pipelines have
+    * used it as a surrogate document since the early link-analysis era).
+    * From (page URL, html): extract anchors, RESOLVE each href against its
+    * source page (RFC 3986 — relative hrefs are the common case), drop
+    * empty-text anchors, and aggregate per resolved target:
+    *
+    *  - `n_anchors` — total inbound anchor occurrences,
+    *  - `n_texts` — distinct anchor texts,
+    *  - `top_anchor` / `top_n` — the modal anchor text (highest count,
+    *    lexicographically-last tiebreak: a TOTAL order, so the winner is
+    *    unique and engine-portable).
+    *
+    * Plan shape: extraction + resolution are scan-side codegen; then two
+    * map-side-combinable hash aggregates — (target, text) counts, and the
+    * per-target rollup where the mode is `max(struct(count, text))`
+    * (field-wise struct comparison = the argmax, no window, no collected
+    * list; a popular target's million anchors collapse per map task).
+    */
+  def anchorCorpus(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val anchors = pages
+      .select(
+        col(urlCol).as("__src"),
+        explode(graft.functions.HtmlExprs.htmlAnchors(col(htmlCol))).as("__a"))
+      .select(
+        graft.functions.ResolveUrlExprs.resolveUrl(col("__src"), col("__a.href"))
+          .as("target_url"),
+        col("__a.text").as("__t"))
+      .filter(col("target_url").isNotNull && col("__t").isNotNull &&
+        length(trim(col("__t"))) > 0)
+    anchors
+      .groupBy(col("target_url"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("target_url"))
+      .agg(
+        sum(col("__n")).as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        max(struct(col("__n"), col("__t"))).as("__m"))
+      .select(
+        col("target_url"),
+        col("n_anchors"),
+        col("n_texts"),
+        col("__m.__t").as("top_anchor"),
+        col("__m.__n").as("top_n"))
+  }
+
   /** Revisit scheduling from crawl history — the recrawl half of frontier
     * planning (in the lineage of Cho & Garcia-Molina 2003, "Effective Page
     * Refresh Policies for Web Crawlers": revisit frequency should track

@@ -194,6 +194,38 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("codeHygiene: line stats, license chain order, generated and minified flags") {
+    val minified = "x".repeat(600) // one long line, no whitespace
+    val apache = "// Licensed under the Apache License, Version 2.0\ncode here\nmore code"
+    // apache listed before gpl in the chain: a file naming both tags apache
+    val both = "// Apache License\n// GNU General Public License v3\nbody"
+    val gen = "//\tCode generated by tool. DO NOT EDIT.\nshort\nlines"
+    val plain = "hello world\nfoo bar baz"
+    val rows = Seq(
+      (1L, minified), (2L, apache), (3L, both), (4L, gen), (5L, plain), (6L, "")
+    ).toDF("id", "t")
+      .select($"id", TextAnalysis.codeHygiene($"t").as("h"))
+      .select($"id", $"h.*")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val m = rows(1L)
+    assert(m.getLong(1) == 1L && m.getLong(2) == 600L && m.getBoolean(7)) // minified
+    assert(m.getLong(4) == 0L) // ws_permille 0: minifiers strip whitespace
+    val a = rows(2L)
+    assert(a.getString(5) == "apache" && !a.getBoolean(7))
+    assert(a.getLong(1) == 3L && a.getLong(2) == 49L)
+    assert(rows(3L).getString(5) == "apache") // first match in fixed order wins
+    val g = rows(4L)
+    assert(g.getBoolean(6) && g.getString(5) == null)
+    val p = rows(5L)
+    assert(!p.getBoolean(6) && !p.getBoolean(7) && p.getString(5) == null)
+    // avg_line_len of plain: (23 - 1) DIV 2 = 11
+    assert(p.getLong(3) == 11L)
+    val e = rows(6L) // empty text: one empty line, all-zero stats, no flags
+    assert(e.getLong(1) == 1L && e.getLong(2) == 0L && e.getLong(4) == 0L)
+  }
+
   test("rrfFuse: input-list order never changes the fusion; scores match the formula") {
     Seq(11L, 47L).foreach { seed =>
       val lists = gen(

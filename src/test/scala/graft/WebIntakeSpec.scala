@@ -268,6 +268,25 @@ class WebIntakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("anchorCorpus: relative resolution, modal anchor with count, empty texts drop") {
+    val pages = Seq(
+      ("https://a.org/dir/p1",
+        """<a href="next">go</a> <a href="/top">Home</a> <a href="/skip"></a>"""),
+      ("https://a.org/dir/p2", """<a href="next">go</a> <a href="/top">Top</a>"""),
+      ("https://b.org/q", """<a href="https://a.org/top">Top</a>""")
+    ).toDF("url", "html")
+    val out = WebIntake.anchorCorpus(pages, "url", "html")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    // relative "next" resolves against each page's /dir/ base
+    assert(out("https://a.org/dir/next") == ((2L, 1L, "go", 2L)))
+    // /top collects from both sites; 2×"Top" beats 1×"Home"
+    assert(out("https://a.org/top") == ((3L, 2L, "Top", 2L)))
+    // the empty-text anchor contributed nowhere
+    assert(!out.contains("https://a.org/skip"))
+  }
+
   test("revisitSchedule: change counting, clamped intervals, conditional-GET flag") {
     val hour = 3600L * 1000
     val ts = (ms: Long) => new java.sql.Timestamp(ms)
