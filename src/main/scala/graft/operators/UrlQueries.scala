@@ -895,7 +895,82 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Recrawl frontier ([[WebIntake.recrawlFrontier]]): q156's schedule
+    * composed with host priority and the per-host politeness cap at a
+    * deterministic "now" (3 days past the history's last fetch — splits
+    * the due set on each URL's learned interval). Hosts rank by a
+    * synthetic 40-row rank table; 62 due URLs/host against a cap of 50
+    * makes the WindowGroupLimit cap bite. The oracle replays schedule,
+    * due filter, rank join, per-host sequencing and cap in SQL.
+    */
+  private val q159 = Q(
+    "q159_recrawl_frontier",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val u = expr("event_id DIV 4")
+      val history = T.events.select(
+        concat(lit("https://h"), (u % 40).cast("string"),
+          lit(".example.org/p"), u.cast("string")).as("url"),
+        $"ts",
+        concat(lit("h"), ($"event_id" % 2).cast("string")).as("content_hash"))
+      val schedule = WebIntake.revisitSchedule(history, "url", "ts", "content_hash")
+      val nowMs = T.events.agg(max(unix_millis($"ts"))).head.getLong(0) + 259200000L
+      val ranks = s.range(0, 40).select(
+        concat(lit("h"), $"id".cast("string"), lit(".example.org")).as("id"),
+        $"id".cast("long").as("rank"))
+      WebIntake
+        .recrawlFrontier(schedule, ranks, nowMs, WebIntake.Config(maxFetchPerHost = 50))
+        .withColumn("fetch_seq", $"fetch_seq".cast("long"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT 'https://h' || ((event_id // 4) % 40) || '.example.org/p' || (event_id // 4) AS url,
+               epoch_ms(ts) AS ms,
+               'h' || (event_id % 2) AS hash
+        FROM events),
+      nw AS (SELECT MAX(ms) + 259200000 AS n FROM h),
+      m AS (
+        SELECT url, ms, hash,
+               CASE WHEN lag(hash) OVER (PARTITION BY url ORDER BY ms, hash) IS NULL THEN 0
+                    WHEN lag(hash) OVER (PARTITION BY url ORDER BY ms, hash) <> hash THEN 1
+                    ELSE 0 END AS chg
+        FROM h),
+      p AS (
+        SELECT url, COUNT(*) AS n_fetches, SUM(chg) AS n_changes,
+               MIN(ms) AS first_ms, MAX(ms) AS last_ms
+        FROM m GROUP BY url),
+      i AS (
+        SELECT url, n_fetches, n_changes,
+               CASE WHEN n_changes > 0 THEN
+                 LEAST(GREATEST((last_ms - first_ms) // n_changes, 3600000), 604800000)
+               ELSE 604800000 END AS interval_ms,
+               last_ms
+        FROM p),
+      sched AS (
+        SELECT url, CAST(last_ms + interval_ms AS BIGINT) AS next_fetch_ms,
+               (n_fetches >= 2 AND n_changes = 0) AS if_unchanged
+        FROM i),
+      due AS (
+        SELECT regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host,
+               url, next_fetch_ms, if_unchanged
+        FROM sched, nw WHERE next_fetch_ms <= nw.n),
+      r AS (SELECT 'h' || k || '.example.org' AS host, CAST(k AS BIGINT) AS rank
+            FROM range(40) t(k)),
+      j AS (SELECT due.host, due.url, COALESCE(r.rank, 0) AS rank,
+                   due.next_fetch_ms, due.if_unchanged
+            FROM due LEFT JOIN r USING (host)),
+      f AS (SELECT host, url, rank, next_fetch_ms, if_unchanged,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY next_fetch_ms, url) AS fetch_seq
+            FROM j)
+      SELECT host, url, CAST(rank AS BIGINT) AS rank, next_fetch_ms,
+             CAST(fetch_seq AS BIGINT) AS fetch_seq, if_unchanged
+      FROM f WHERE fetch_seq <= 50
+      ORDER BY rank DESC, host, fetch_seq
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149,
-      q153, q156, q158)
+      q153, q156, q158, q159)
 }

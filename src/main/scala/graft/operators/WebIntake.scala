@@ -366,6 +366,41 @@ object WebIntake {
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
 
+  /** The recrawl frontier — [[revisitSchedule]] composed with host
+    * priority and the politeness cap, the refresh twin of
+    * [[planFrontier]]'s discovery queue: URLs whose `next_fetch_ms` has
+    * come due at `nowMs` are ranked per host (host rank desc from the
+    * PageRank table, then soonest-due first, then URL — a total order) and
+    * capped at `maxFetchPerHost` per round, the same trap/politeness
+    * defense the discovery side applies. No broadcast hint on `hostRanks`
+    * (one row per host is NOT broadcastable at web scale — the J2/robots
+    * lesson; AQE picks the shape). The per-host cap is a `row_number` +
+    * filter, which plans as `WindowGroupLimit` — partial group-limit below
+    * the exchange, so a host with a million due URLs collapses map-side.
+    */
+  def recrawlFrontier(
+      schedule: DataFrame,
+      hostRanks: DataFrame,
+      nowMs: Long,
+      cfg: Config = Config()
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val due = schedule
+      .filter(col("next_fetch_ms") <= nowMs)
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+    val ranked = due
+      .join(hostRanks.select(col("id").as("host"), col("rank")), Seq("host"), "left")
+      .withColumn("rank", coalesce(col("rank"), lit(0L)))
+      .withColumn("fetch_seq",
+        row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("next_fetch_ms"), col("url"))))
+      .filter(col("fetch_seq") <= cfg.maxFetchPerHost)
+    ranked
+      .select(col("host"), col("url"), col("rank"), col("next_fetch_ms"),
+        col("fetch_seq"), col("if_unchanged"))
+      .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
+  }
+
   /** Anchor-text corpus per TARGET URL — the classic document-expansion
     * signal (anchor text describes the page it points TO better than the
     * page describes itself; search and retrieval-training pipelines have

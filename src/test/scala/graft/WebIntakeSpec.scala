@@ -317,6 +317,26 @@ class WebIntakeSpec extends SparkSpec {
     assert(byUrl("https://d.org/w") == ((2L, 1L, hour, 10 * 60 * 1000 + hour, false)))
   }
 
+  test("recrawlFrontier: due filter, rank priority, per-host cap as WindowGroupLimit") {
+    val schedule = Seq(
+      ("https://a.org/1", 1000L, false), // due
+      ("https://a.org/2", 2000L, true), // due
+      ("https://a.org/3", 99999L, false), // not due
+      ("https://b.org/1", 500L, false) // due, higher-ranked host
+    ).toDF("url", "next_fetch_ms", "if_unchanged")
+    val ranks = Seq(("b.org", 9L)).toDF("id", "rank")
+    val out = WebIntake.recrawlFrontier(schedule, ranks, nowMs = 5000L,
+      WebIntake.Config(maxFetchPerHost = 1))
+    val rows = out.collect()
+    // cap 1 per host; b.org (rank 9) sorts first; a.org keeps its soonest-due
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("b.org", "https://b.org/1", 9L), ("a.org", "https://a.org/1", 0L)))
+    assert(rows.forall(_.getInt(4) == 1))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"),
+      s"recrawl per-host cap should plan as WindowGroupLimit:\n$physical")
+  }
+
   test("planFrontier: maxFetchPerHost caps a trap host's queue") {
     val frontier = (0 until 20).map(i => ("https://s.org/a", s"https://trap.example.org/cal/$i"))
       .toDF("src_url", "href")
