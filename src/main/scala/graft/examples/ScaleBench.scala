@@ -126,7 +126,10 @@ object ScaleBench {
     // its TARGET space is fixture-bounded (28 urls), so output rows stay
     // constant while counts grow k× (the hot-target argmax is the point)
     "q157_code_hygiene",
-    "q158_anchor_corpus"
+    "q158_anchor_corpus",
+    // unigram Viterbi: per-word DP, O(len × maxPieceLen) per row, zero
+    // exchanges — the BPE-count cost class
+    "q160_unigram_tokens"
   )
 
   private val IdOffset = 100000000L

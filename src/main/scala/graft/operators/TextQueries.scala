@@ -1731,8 +1731,55 @@ object TextQueries {
     """.trim)
   )
 
+  /** The fixed unigram piece table q160 segments with — English-fragment
+    * costs in milli-units (cheaper = more probable), mixing lengths so the
+    * Viterbi DP has real choices ("the" as one piece vs "t"+"h"+"e";
+    * "ation" vs "a"+"tion"). Characters outside the table cost `UnigramUnk`
+    * per char (the coverage fallback).
+    */
+  private[graft] val UnigramPieces: Seq[(String, Long)] = Seq(
+    ("e", 4000L), ("t", 4500L), ("a", 4600L), ("o", 4800L), ("i", 4900L),
+    ("n", 5000L), ("s", 5100L), ("r", 5200L), ("h", 5400L), ("l", 5600L),
+    ("d", 5800L), ("u", 6200L), ("c", 6400L), ("m", 6600L), ("g", 7000L),
+    ("th", 3500L), ("he", 3800L), ("in", 3900L), ("er", 4000L), ("an", 4100L),
+    ("re", 4200L), ("on", 4300L), ("at", 4400L), ("en", 4500L), ("nd", 4600L),
+    ("the", 2500L), ("ing", 2800L), ("and", 3000L), ("ion", 3200L), ("ent", 3400L),
+    ("tion", 2600L), ("ther", 3300L), ("ation", 2400L), ("ment", 3100L))
+  private[graft] val UnigramUnk = 50000L
+  private[graft] val UnigramMaxLen = 16
+
+  /** Unigram-LM tokenization ([[graft.functions.UnigramSupport]], Kudo
+    * 2018 shape): exact Viterbi token count + total milli-cost per doc
+    * under [[UnigramPieces]], words truncated to [[UnigramMaxLen]] chars
+    * on BOTH sides. The oracle is a GENERATED SQL replay of the same DP —
+    * the chained-alias unroll packs (cost, tokens) into `cost·1024 +
+    * tokens` so LEAST is the exact lexicographic minimum; a wrong cost, a
+    * missed piece, or a float anywhere flips the hash (the q106 BPE
+    * replay contract, ported to shortest-path tokenization).
+    */
+  private val q160 = Q(
+    "q160_unigram_tokens",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.UnigramExprs
+      val words = filter(split(lower($"text"), "\\s+"), w => length(w) > 0)
+      val text2 = array_join(
+        transform(words, w => substring(w, 1, UnigramMaxLen)), " ")
+      T.documents
+        .select(
+          $"doc_id",
+          UnigramExprs.unigramCount(text2, UnigramPieces, UnigramUnk)
+            .cast("long").as("n_tokens"),
+          UnigramExprs.unigramCost(text2, UnigramPieces, UnigramUnk)
+            .as("total_cost_milli"))
+        .orderBy($"doc_id")
+    },
+    Some(graft.functions.UnigramSupport.duckDocOracleSql(
+      "documents", "doc_id", "lower(text)", UnigramPieces, UnigramUnk, UnigramMaxLen))
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148, q150, q152, q154, q155, q157)
+      q145, q146, q148, q150, q152, q154, q155, q157, q160)
 }
