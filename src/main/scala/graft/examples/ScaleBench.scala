@@ -129,7 +129,11 @@ object ScaleBench {
     "q158_anchor_corpus",
     // unigram Viterbi: per-word DP, O(len × maxPieceLen) per row, zero
     // exchanges — the BPE-count cost class
-    "q160_unigram_tokens"
+    "q160_unigram_tokens",
+    // bigram fluency: model build on the ref slice + broadcast unigram +
+    // AQE-shaped bigram join + one per-doc agg (q77's cost class, one
+    // extra model join)
+    "q161_lm_bigram"
   )
 
   private val IdOffset = 100000000L

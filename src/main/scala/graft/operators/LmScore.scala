@@ -49,6 +49,91 @@ object LmScore {
     * smoothed inverse probability in thousandths — lower is more fluent.
     * Out-of-vocabulary tokens cost the full smoothed maximum (T+V)*Scale.
     */
+  /** Integer surrogate of the Stupid-Backoff α = 0.4 penalty
+    * (round(1000·ln(1/0.4))): added to the unigram cost when a bigram
+    * backs off. Any fixed positive integer preserves the ordering
+    * contract; this one keeps the scale comparable to the log-domain
+    * original.
+    */
+  val BackoffPenalty = 916L
+
+  /** Adjacent-token bigram counts (w1, w2, cnt) of the reference slice. */
+  def bigramCounts(ref: DataFrame, textCol: String): DataFrame = {
+    val ts = TextAnalysis.tokens(col(textCol))
+    ref
+      .select(explode(arrays_zip(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cntB"))
+  }
+
+  /** Bigram fluency scoring with Stupid-Backoff-shaped smoothing (Brants
+    * et al. 2007, "Large Language Models in Machine Translation" — the
+    * backoff-without-normalization scheme built FOR distributed counting),
+    * in the house exact-integer form:
+    *
+    *  - a document's first token, and any token whose predecessor context
+    *    yields no reference bigram, costs `BackoffPenalty + unigram cost`
+    *    (the α penalty as a fixed integer; first tokens skip the penalty —
+    *    they have no context to back off FROM),
+    *  - a reference-seen bigram (prev, w) costs the inverse conditional
+    *    in thousandths: `cntU(prev)·1000 DIV cntB(prev, w)` — exact
+    *    integers end to end, so the per-doc sum is partial-order-free.
+    *
+    * Model sizes drive the join shapes: the unigram vocabulary is
+    * Zipf-bounded (broadcast, the [[score]] precedent); the bigram table
+    * is NOT — distinct bigrams grow near-linearly with the reference
+    * slice, so its join carries no static hint (the robots/J2 rule: AQE
+    * picks broadcast under the threshold, shuffle over it).
+    *
+    * @return (doc_id, n_tokens, bigram_hits, lm2_score) — lm2_score the
+    *         mean per-token cost in the [[score]] units; lower ≈ more
+    *         fluent, and sequences the unigram filter cannot see (shuffled
+    *         words, wrong-order boilerplate) now pay the backoff.
+    */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String, ref: DataFrame): DataFrame = {
+    val vocab = unigramCounts(ref, textCol)
+    val bigrams = bigramCounts(ref, textCol)
+    val r = vocab.agg(sum(col("cnt")), count(lit(1))).head()
+    val tv = (if (r.isNullAt(0)) 0L else r.getLong(0)) + r.getLong(1)
+    require(tv > 0, "reference slice is empty - no model to score against")
+    val ts = TextAnalysis.tokens(col(textCol))
+    val toks = docs
+      .select(col(idCol).as("doc_id"), ts.as("__ts"))
+      .select(col("doc_id"), col("__ts"), posexplode(col("__ts")).as(Seq("__pos", "term")))
+      .withColumn("__prev", when(col("__pos") >= 1, element_at(col("__ts"), col("__pos"))))
+      .drop("__ts")
+    val uniCost = coalesce(expr(s"${tv * Scale}L DIV (cnt + 1L)"), lit(tv * Scale))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .join(
+        broadcast(vocab.select(col("term").as("__prev"), col("cnt").as("__cntPrev"))),
+        Seq("__prev"), "left")
+      .join(
+        bigrams.select(col("w1").as("__prev"), col("w2").as("term"), col("cntB")),
+        Seq("__prev", "term"), "left")
+      .select(
+        col("doc_id"),
+        when(col("__pos") === 0, uniCost)
+          .when(col("cntB").isNotNull,
+            expr(s"(__cntPrev * ${Scale}L) DIV cntB"))
+          .otherwise(lit(BackoffPenalty) + uniCost)
+          .as("cost"),
+        when(col("cntB").isNotNull && col("__pos") >= 1, 1L).otherwise(0L).as("hit"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cost")).as("c"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("hit")).as("bigram_hits"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("bigram_hits"),
+        (col("c").cast("double") / (col("n_tokens") * Scale)).as("lm2_score"))
+  }
+
   def score(docs: DataFrame, idCol: String, textCol: String, ref: DataFrame): DataFrame = {
     val vocab = unigramCounts(ref, textCol)
     val r = vocab.agg(sum(col("cnt")), count(lit(1))).head()

@@ -1778,8 +1778,55 @@ object TextQueries {
       "documents", "doc_id", "lower(text)", UnigramPieces, UnigramUnk, UnigramMaxLen))
   )
 
+  /** Bigram fluency ([[LmScore.scoreBigram]]): the Stupid-Backoff upgrade
+    * of q77 — word-ORDER sensitivity the unigram filter lacks (a shuffled
+    * sentence keeps its unigram score but pays the backoff penalty on
+    * every broken bigram). Same exact-integer contract; the oracle
+    * rebuilds unigram + adjacent-bigram models from the same reference
+    * slice and replays first-token / seen-bigram / backoff costs per
+    * position.
+    */
+  private val q161 = Q(
+    "q161_lm_bigram",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      LmScore
+        .scoreBigram(T.documents, "doc_id", "text", T.documents.filter($"lang" === "en"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH rt AS (SELECT regexp_split_to_array(lower(text), '\s+') AS ts
+                  FROM documents WHERE lang = 'en'),
+      ru AS (SELECT unnest(ts) AS term FROM rt),
+      vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM ru GROUP BY term),
+      tv AS (SELECT CAST(SUM(cnt) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS tv FROM vocab),
+      rb AS (SELECT unnest(ts[1:len(ts) - 1]) AS w1, unnest(ts[2:len(ts)]) AS w2 FROM rt),
+      big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cntb FROM rb GROUP BY 1, 2),
+      d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+      t AS (SELECT doc_id, unnest(ts) AS term,
+                   unnest(list_prepend(CAST(NULL AS VARCHAR), ts[1:len(ts) - 1])) AS prev
+            FROM d),
+      c AS (SELECT t.doc_id,
+                   CASE WHEN t.prev IS NULL THEN
+                          COALESCE((SELECT tv FROM tv) * 1000 // (v.cnt + 1),
+                                   (SELECT tv FROM tv) * 1000)
+                        WHEN b.cntb IS NOT NULL THEN (vp.cnt * 1000) // b.cntb
+                        ELSE 916 + COALESCE((SELECT tv FROM tv) * 1000 // (v.cnt + 1),
+                                            (SELECT tv FROM tv) * 1000) END AS cost,
+                   CASE WHEN b.cntb IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM t
+            LEFT JOIN vocab v ON t.term = v.term
+            LEFT JOIN vocab vp ON t.prev = vp.term
+            LEFT JOIN big b ON t.prev = b.w1 AND t.term = b.w2)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(hit) AS BIGINT) AS bigram_hits,
+             CAST(CAST(SUM(cost) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000) AS lm2_score
+      FROM c GROUP BY doc_id ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148, q150, q152, q154, q155, q157, q160)
+      q145, q146, q148, q150, q152, q154, q155, q157, q160, q161)
 }

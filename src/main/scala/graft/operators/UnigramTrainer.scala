@@ -50,7 +50,9 @@ object UnigramTrainer {
       .groupBy("w")
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val driverLocal = words.count() <= maxDriverWords
+    val nWords = words.count()
+    require(nWords > 0, "unigram training needs a non-empty corpus")
+    val driverLocal = nWords <= maxDriverWords
     // word table bounded (Zipf) — collected for seeding either way; only
     // the per-ROUND E-step differs by strategy
     val wc: Array[(String, Long)] = words

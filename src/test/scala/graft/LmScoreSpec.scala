@@ -52,4 +52,37 @@ class LmScoreSpec extends SparkSpec {
       LmScore.score(docs, "doc_id", "text", ref)
     }
   }
+
+  test("bigram scoring is word-order sensitive where unigram scoring is blind") {
+    val ref = Seq((0L, "the quick brown fox jumps"), (1L, "the quick brown dog sleeps"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox"), // in reference order: all bigrams hit
+      (2L, "fox brown quick the") // same multiset, shuffled: zero bigram hits
+    ).toDF("doc_id", "text")
+    val uni = LmScore.score(docs, "doc_id", "text", ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), "unigram scoring must be order-blind (same multiset)")
+    val bi = LmScore.scoreBigram(docs, "doc_id", "text", ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(bi(1L)._1 == 3L, "all three in-order bigrams hit")
+    assert(bi(2L)._1 == 0L, "the shuffled copy hits no bigram")
+    assert(bi(1L)._2 < bi(2L)._2, "fluent order must score strictly better")
+  }
+
+  test("bigram first-token and backoff costs match the hand-computed model") {
+    // ref: "a b" twice -> vocab {a:2, b:2}, T=4, V=2, tv=6; bigram (a,b):2
+    val ref = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "z")).toDF("doc_id", "text")
+    val got = LmScore.scoreBigram(docs, "doc_id", "text", ref)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: first "a" = 6000 DIV 3 = 2000; bigram (a,b) = 2*1000 DIV 2 = 1000
+    assert(got(1L) == ((2L, 1L, 3000.0 / 2000)))
+    // doc 2: first "b" = 2000; (b,a) unseen -> 916 + 2000
+    assert(got(2L) == ((2L, 0L, (2000.0 + 916 + 2000) / 2000)))
+    // doc 3: single OOV token = tv*1000 = 6000, no bigram positions
+    assert(got(3L) == ((1L, 0L, 6000.0 / 1000)))
+  }
 }
