@@ -970,7 +970,47 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Politeness budgeting ([[WebIntake.politenessBudget]]): a lumpy host
+    * distribution (the product-of-moduli key concentrates ~40% of URLs on
+    * one host) against per-host robots whose crawl-delays vary by class —
+    * a 1.5 s `*` group, a graftbot group that must beat a slower `*`
+    * group, and a no-delay host falling to the default. Hot hosts
+    * overflow their round capacity and defer; the oracle replays queue,
+    * delay-by-construction, floor-divided capacity and the min/carry.
+    */
+  private val q162 = Q(
+    "q162_politeness_budget",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val k = ($"doc_id" % 7) * ($"doc_id" % 4) % 25
+      val urls = T.documents.select(
+        concat(lit("h"), k.cast("string")).as("host"),
+        $"doc_id".cast("string").as("url"))
+      val robots = T.documents.select(k.as("k")).distinct().select(
+        concat(lit("h"), $"k".cast("string")).as("host"),
+        when($"k" % 3 === 0, lit("User-agent: *\nCrawl-delay: 1.5\n"))
+          .when($"k" % 3 === 1,
+            lit("User-agent: graftbot\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 10\n"))
+          .otherwise(lit("User-agent: megabot\nCrawl-delay: 9\n"))
+          .as("robots_txt"))
+      WebIntake.politenessBudget(urls, robots, roundMs = 60000L).orderBy($"host")
+    },
+    Some("""
+      WITH u AS (SELECT 'h' || ((doc_id % 7) * (doc_id % 4) % 25) AS host FROM documents),
+      q AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_queued FROM u GROUP BY host),
+      d AS (SELECT host, n_queued,
+                   CAST(CASE CAST(substr(host, 2) AS BIGINT) % 3
+                        WHEN 0 THEN 1500 WHEN 1 THEN 2000 ELSE 1000 END AS BIGINT) AS delay_ms
+            FROM q)
+      SELECT host, n_queued, delay_ms,
+             CAST(60000 // delay_ms AS BIGINT) AS capacity,
+             CAST(LEAST(n_queued, 60000 // delay_ms) AS BIGINT) AS n_planned,
+             CAST(n_queued - LEAST(n_queued, 60000 // delay_ms) AS BIGINT) AS n_deferred
+      FROM d ORDER BY host
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149,
-      q153, q156, q158, q159)
+      q153, q156, q158, q159, q162)
 }

@@ -401,6 +401,49 @@ object WebIntake {
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
 
+  /** Per-host politeness budgeting — the capacity math between a frontier
+    * and a fetch round: a host serving `Crawl-delay: 2` yields at most
+    * roundMs/2000 fetches per round NO MATTER how deep its queue, so the
+    * scheduler should know, per host, how much of the queue fits this
+    * round and how much carries over (sizing rounds blind to this either
+    * violates politeness or starves fast hosts behind slow ones' unmet
+    * backlogs). One map-side-combinable host count + one robots join with
+    * NO static hint (the J2/robots rule — per-host tables are not
+    * broadcastable at web scale; AQE picks):
+    *
+    *  - `n_queued` — the host's frontier depth,
+    *  - `delay_ms` — the robots crawl-delay (exact ms,
+    *    [[graft.functions.RobotsExprs.robotsCrawlDelayMs]]), or
+    *    `defaultDelayMs` when the host declares none,
+    *  - `capacity` — roundMs DIV delay_ms (exact floor),
+    *  - `n_planned` / `n_deferred` — min(queue, capacity) and the
+    *    carry-over.
+    */
+  def politenessBudget(
+      urls: DataFrame,
+      robots: DataFrame,
+      roundMs: Long,
+      defaultDelayMs: Long = 1000L,
+      agent: String = "graftbot"
+  ): DataFrame = {
+    require(roundMs > 0 && defaultDelayMs > 0, "need positive roundMs and defaultDelayMs")
+    val queued = urls.groupBy(col("host")).agg(count(lit(1)).as("n_queued"))
+    queued
+      .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
+      .withColumn(
+        "delay_ms",
+        greatest(
+          coalesce(
+            graft.functions.RobotsExprs.robotsCrawlDelayMs(col("robots_txt"), lit(agent)),
+            lit(defaultDelayMs)),
+          lit(1L)))
+      .withColumn("capacity", expr(s"${roundMs}L DIV delay_ms"))
+      .withColumn("n_planned", least(col("n_queued"), col("capacity")))
+      .withColumn("n_deferred", col("n_queued") - col("n_planned"))
+      .select(col("host"), col("n_queued"), col("delay_ms"), col("capacity"),
+        col("n_planned"), col("n_deferred"))
+  }
+
   /** Anchor-text corpus per TARGET URL — the classic document-expansion
     * signal (anchor text describes the page it points TO better than the
     * page describes itself; search and retrieval-training pipelines have

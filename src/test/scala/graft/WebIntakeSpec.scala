@@ -317,6 +317,28 @@ class WebIntakeSpec extends SparkSpec {
     assert(byUrl("https://d.org/w") == ((2L, 1L, hour, 10 * 60 * 1000 + hour, false)))
   }
 
+  test("politenessBudget: capacity floor, deferral carry, default and declared delays") {
+    val urls = ((1 to 50).map(i => ("slow.org", s"u$i")) ++
+      (1 to 5).map(i => ("fast.org", s"v$i")) ++
+      (1 to 9).map(i => ("silent.org", s"w$i"))).toDF("host", "url")
+    val robots = Seq(
+      ("slow.org", "User-agent: *\nCrawl-delay: 2\n"),
+      ("fast.org", "User-agent: *\nCrawl-delay: 0.1\n")
+      // silent.org: no robots row -> defaultDelayMs
+    ).toDF("host", "robots_txt")
+    val out = WebIntake.politenessBudget(urls, robots, roundMs = 10000L, defaultDelayMs = 2500L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // slow: 10s / 2s = 5 capacity, 50 queued -> 45 deferred
+    assert(out("slow.org") == ((50L, 2000L, 5L, 5L, 45L)))
+    // fast: 10s / 100ms = 100 capacity, queue fits
+    assert(out("fast.org") == ((5L, 100L, 100L, 5L, 0L)))
+    // silent: default 2.5s -> capacity 4, 9 queued -> 5 deferred
+    assert(out("silent.org") == ((9L, 2500L, 4L, 4L, 5L)))
+  }
+
   test("recrawlFrontier: due filter, rank priority, per-host cap as WindowGroupLimit") {
     val schedule = Seq(
       ("https://a.org/1", 1000L, false), // due
