@@ -70,6 +70,14 @@ object TrainingPipeline {
     * the scale path once the raw set outgrows a broadcast but its bits
     * don't). Size per the operator's rule: ≈1.2·|bench fps|·ln(1/fpRate)/8.
     */
+  /** `dropMinified`/`dropGenerated`/`dropLicenses` turn on the code-corpus
+    * hygiene gate ([[TextAnalysis.codeHygiene]], stage 2b): drop
+    * minified/bundled artifacts, machine-generated files, and files whose
+    * detected license FAMILY is in the drop list (files with no detected
+    * license are never dropped by the license rule — absence of a header
+    * is not evidence of a restrictive license; pair with a provenance
+    * allow-list upstream when the legal bar requires positive evidence).
+    */
   final case class Config(
       corpus: CorpusPipeline.Config = CorpusPipeline.Config(),
       maxTopBigramFrac: Double = 0.2,
@@ -78,7 +86,10 @@ object TrainingPipeline {
       decontamBloomBytes: Option[Int] = None,
       trimRepeatsMinLen: Option[Int] = None,
       chunkSize: Int = 64,
-      chunkStride: Int = 48
+      chunkStride: Int = 48,
+      dropMinified: Boolean = false,
+      dropGenerated: Boolean = false,
+      dropLicenses: Seq[String] = Nil
   )
 
   /** Optional embedding near-dup stage (5b). `index = None` hashes the
@@ -216,8 +227,23 @@ object TrainingPipeline {
       case None => (None, CorpusPipeline.clean(docs, idCol, textCol, cfg.corpus))
     }
 
+    // 2b (optional): code-corpus hygiene — scan-side flags, no shuffle
+    val hygieneOn = cfg.dropMinified || cfg.dropGenerated || cfg.dropLicenses.nonEmpty
+    val hygienic =
+      if (!hygieneOn) gated
+      else {
+        val h = TextAnalysis.codeHygiene(text)
+        var keep: org.apache.spark.sql.Column = lit(true)
+        if (cfg.dropMinified) keep = keep && !h.getField("is_minified")
+        if (cfg.dropGenerated) keep = keep && !h.getField("is_generated")
+        if (cfg.dropLicenses.nonEmpty)
+          keep = keep && (h.getField("license").isNull ||
+            !h.getField("license").isin(cfg.dropLicenses: _*))
+        gated.filter(keep)
+      }
+
     val rep = graft.functions.HashExprs.repStats(text)
-    val unrepeated = gated.filter(
+    val unrepeated = hygienic.filter(
       rep.getField("n_bigrams") === 0 ||
         rep.getField("top_bigram").cast("double") / rep.getField("n_bigrams") <= cfg.maxTopBigramFrac
     )
@@ -368,7 +394,8 @@ object TrainingPipeline {
       "1_input" -> docs
     ) ++ preCapGated.map(pre => "2_gated" -> pre).toSeq ++
       (if (preCapGated.isDefined) Seq("2a_domain_capped" -> gated)
-       else Seq("2_gated" -> gated)) ++ Seq(
+       else Seq("2_gated" -> gated)) ++
+      (if (hygieneOn) Seq("2b_hygiene" -> hygienic) else Nil) ++ Seq(
       "3_unrepeated" -> unrepeated,
       "4_fluent" -> fluent,
       "5_decontaminated" -> decontaminated,
