@@ -133,7 +133,10 @@ object ScaleBench {
     // bigram fluency: model build on the ref slice + broadcast unigram +
     // AQE-shaped bigram join + one per-doc agg (q77's cost class, one
     // extra model join)
-    "q161_lm_bigram"
+    "q161_lm_bigram",
+    // wet round trip: frame + deflate + shard-pack, then inflate + split —
+    // two passes of the q150 heavy-scan class around one shard exchange
+    "q163_wet_roundtrip"
   )
 
   private val IdOffset = 100000000L

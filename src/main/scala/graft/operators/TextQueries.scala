@@ -1825,8 +1825,41 @@ object TextQueries {
     """.trim)
   )
 
+  /** WET export round trip ([[WebIntake.exportWet]] → the engine's own
+    * reader): docs pack into URL-sharded gzip-member WARC archives, then
+    * gunzip + record-split reproduce every (url, text) byte-exactly. The
+    * oracle is the IDENTITY on the source table — the strongest gate the
+    * family has: any writer/reader disagreement (CRLF placement, a
+    * Content-Length counted in chars instead of bytes, gzip member
+    * framing) loses or corrupts a row and fails the hash.
+    */
+  private val q163 = Q(
+    "q163_wet_roundtrip",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      import graft.functions.{GzipExprs, WarcExprs}
+      val docs = T.documents.select(
+        concat(lit("https://ex.org/d/"), $"doc_id".cast("string")).as("url"), $"text")
+      val shards = WebIntake.exportWet(docs, "url", "text", numShards = 8)
+      shards
+        .select(explode(WarcExprs.warcRecords(GzipExprs.gunzipConcat($"content"))).as("r"))
+        .select(
+          $"r.target_uri".as("url"),
+          decode($"r.payload", "UTF-8").as("text"),
+          $"r.content_length".as("n_bytes"),
+          $"r.warc_type".as("warc_type"))
+        .orderBy($"url")
+    },
+    Some("""
+      SELECT 'https://ex.org/d/' || doc_id AS url, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             'conversion' AS warc_type
+      FROM documents ORDER BY url
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148, q150, q152, q154, q155, q157, q160, q161)
+      q145, q146, q148, q150, q152, q154, q155, q157, q160, q161, q163)
 }

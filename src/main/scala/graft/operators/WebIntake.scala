@@ -401,6 +401,60 @@ object WebIntake {
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
 
+  /** WET export — the WRITE half of the crawl-interchange contract
+    * ([[graft.functions.WarcSupport]] reads it): pack (url, text) docs
+    * into WARC `conversion` archives, one shard per `pmod(hash60(url),
+    * numShards)`, records URL-ordered within a shard (deterministic bytes
+    * on any cluster), each record framed per the parser's own contract
+    * (version line, WARC-Type/Target-URI headers, BYTE-exact
+    * Content-Length, CRLF CRLF terminator). With `gzip` (the default, the
+    * `.warc.gz` wire format) every record is its own RFC 1952 member —
+    * the member-per-record framing real crawlers ship and
+    * [[graft.functions.GzipSupport]] verifies on the way back in.
+    *
+    * Round-trip law (spec- and oracle-pinned, q163): re-ingesting an
+    * export through the engine's own reader reproduces the (url, text)
+    * rows byte-exactly — writer and reader cannot drift apart.
+    *
+    * Plan shape: record framing is scan-side; one shard exchange
+    * (hash-uniform by construction — size `numShards` so a shard's docs
+    * fit a task, the q78 sharding rule) and an in-shard sort bounded by
+    * the shard; the gzip deflate is the heavy scan class (q150) — pair
+    * with byte-aware shard sizing, not row counts, for skewed documents.
+    */
+  def exportWet(
+      docs: DataFrame,
+      urlCol: String,
+      textCol: String,
+      numShards: Int,
+      gzip: Boolean = true
+  ): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+      col(urlCol),
+      lit("\r\nContent-Length: "),
+      octet_length(col(textCol).cast("binary")).cast("string"),
+      lit("\r\n\r\n"),
+      col(textCol),
+      lit("\r\n\r\n")).cast("binary")
+    val member = if (gzip) graft.functions.GzipExprs.gzipMember(rec) else rec
+    docs
+      .select(
+        pmod(Sampling.hash60(col(urlCol)), lit(numShards)).cast("int")
+          .as("shard"),
+        col(urlCol).as("__u"),
+        member.as("__m"))
+      .groupBy(col("shard"))
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("__u"), col("__m")))),
+            s => s.getField("__m")),
+          lit(Array.emptyByteArray),
+          (acc, m) => concat(acc, m)).as("content"))
+  }
+
   /** Per-host politeness budgeting — the capacity math between a frontier
     * and a fetch round: a host serving `Crawl-delay: 2` yields at most
     * roundMs/2000 fetches per round NO MATTER how deep its queue, so the

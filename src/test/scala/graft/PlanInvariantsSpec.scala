@@ -25,7 +25,10 @@ class PlanInvariantsSpec extends SparkSpec {
                   "q88_interval_overlap", "q90_split_leakage",
                   "q103_repeated_spans", "q104_substring_trim",
                   "q105_phash_neardup", "q109_domain_token_budget",
-                  "q110_similarity_pack", "q111_incremental_spans")) {
+                  "q110_similarity_pack", "q111_incremental_spans",
+                  "q156_revisit_schedule", "q158_anchor_corpus",
+                  "q159_recrawl_frontier", "q161_lm_bigram",
+                  "q162_politeness_budget")) {
       val r = report(q)
       assert(!r.hasAllPairsJoin, s"$q has an all-pairs join:\n${r.render}")
     }

@@ -317,6 +317,33 @@ class WebIntakeSpec extends SparkSpec {
     assert(byUrl("https://d.org/w") == ((2L, 1L, hour, 10 * 60 * 1000 + hour, false)))
   }
 
+  test("exportWet: bare and gzip archives round-trip through the engine's own reader") {
+    import graft.functions.{GzipExprs, WarcExprs}
+    val docs = Seq(
+      ("https://a.org/1", "hello wet world"),
+      ("https://a.org/2", "payload with WARC/1.0 inside must not desync"),
+      ("https://b.org/3", "ünïcödé pays in BYTES not chars")
+    ).toDF("url", "text")
+    for (gz <- Seq(true, false)) {
+      val shards = WebIntake.exportWet(docs, "url", "text", numShards = 2, gzip = gz)
+      val payload = if (gz) GzipExprs.gunzipConcat($"content") else $"content"
+      val back = shards
+        .select(explode(WarcExprs.warcRecords(payload)).as("r"))
+        .select($"r.target_uri", decode($"r.payload", "UTF-8"), $"r.warc_type")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(back == docs.collect().map(r => (r.getString(0), r.getString(1), "conversion")).toSet,
+        s"gzip=$gz round trip lost or corrupted rows: $back")
+    }
+    // deterministic bytes: same input, same shard archives, any partitioning
+    val a = WebIntake.exportWet(docs.repartition(3), "url", "text", 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val b = WebIntake.exportWet(docs.repartition(1), "url", "text", 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(a == b, "shard bytes must be partition-layout independent")
+  }
+
   test("politenessBudget: capacity floor, deferral carry, default and declared delays") {
     val urls = ((1 to 50).map(i => ("slow.org", s"u$i")) ++
       (1 to 5).map(i => ("fast.org", s"v$i")) ++
