@@ -113,6 +113,47 @@ object Profile {
     * @param modalityPairs (name, pairs) — name becomes column n_<name>_dup
     * @return (source, n_docs, n_<name>_dup ..., n_multi_modal)
     */
+  /** Per-source code-hygiene governance card — what a curator reads before
+    * admitting a source slice to a code mix: document count, how much of
+    * it is minified/bundled artifact, how much machine-generated, how much
+    * carries a detected license header, and the slice's MODAL license
+    * family ([[TextAnalysis.codeHygiene]] per doc, then one
+    * map-side-combinable source rollup; the modal license is the
+    * anchor-corpus argmax — `max(struct(count, license))` over per-
+    * (source, license) counts, no window, no collected list). The flags
+    * frame persists: the base rollup and the license rollup both read it.
+    */
+  def hygieneProfile(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val h = TextAnalysis.codeHygiene(col(textCol))
+    val flagged = docs
+      .select(
+        col(sourceCol).as("source"),
+        h.getField("is_minified").cast("long").as("__m"),
+        h.getField("is_generated").cast("long").as("__g"),
+        h.getField("license").as("__lic"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = flagged
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__m")).as("n_minified"),
+        sum(col("__g")).as("n_generated"),
+        sum(when(col("__lic").isNotNull, 1L).otherwise(0L)).as("n_licensed"))
+    val top = flagged
+      .filter(col("__lic").isNotNull)
+      .groupBy(col("source"), col("__lic"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("__n"), col("__lic"))).as("__t"))
+    base
+      .join(top, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("n_minified"), col("n_generated"),
+        col("n_licensed"),
+        col("__t.__lic").as("top_license"),
+        coalesce(col("__t.__n"), lit(0L)).as("top_license_n"))
+  }
+
   def crossModalDupProfile(
       docs: DataFrame,
       idCol: String,

@@ -1858,8 +1858,95 @@ object TextQueries {
     """.trim)
   )
 
+  /** Per-source hygiene governance card ([[Profile.hygieneProfile]]) over
+    * q157's dressed corpus: doc counts, minified/generated/licensed
+    * tallies and the modal license family per source. The oracle rebuilds
+    * the dressing, recomputes every per-doc flag from the text (NOT from
+    * the dressing classes — a long-line raw doc flags minified with no
+    * dressing at all), aggregates per source, and replays the modal
+    * argmax with the same (count desc, license desc) total order.
+    */
+  private val q164 = Q(
+    "q164_hygiene_profile",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val licenses = Seq(
+        "Licensed under the Apache License, Version 2.0",
+        "Released under the MIT License",
+        "BSD License terms apply",
+        "GNU General Public License v3",
+        "Mozilla Public License 2.0")
+      val licLine = licenses.zipWithIndex
+        .foldRight(lit(null).cast("string")) { case ((l, i), acc) =>
+          when(expr("(doc_id DIV 7) % 5") === i, lit("// " + l + "\n")).otherwise(acc)
+        }
+      val base = when($"doc_id" % 11 === 0, regexp_replace($"text", " ", ""))
+        .otherwise($"text")
+      val text2 = concat(
+        when($"doc_id" % 7 === 0, licLine).otherwise(lit("")),
+        when($"doc_id" % 5 === 0, lit("//\tCode generated by tool. DO NOT EDIT.\n"))
+          .otherwise(lit("")),
+        base)
+      Profile
+        .hygieneProfile(T.documents.select($"source", text2.as("t")), "source", "t")
+        .orderBy($"source")
+    },
+    Some("""
+      WITH t2 AS (
+        SELECT source,
+               (CASE WHEN doc_id % 7 = 0 THEN '// ' ||
+                 (['Licensed under the Apache License, Version 2.0',
+                   'Released under the MIT License',
+                   'BSD License terms apply',
+                   'GNU General Public License v3',
+                   'Mozilla Public License 2.0'])[CAST(doc_id // 7 % 5 AS INT) + 1] || chr(10)
+                ELSE '' END) ||
+               (CASE WHEN doc_id % 5 = 0
+                     THEN '//' || chr(9) || 'Code generated by tool. DO NOT EDIT.' || chr(10)
+                     ELSE '' END) ||
+               (CASE WHEN doc_id % 11 = 0 THEN replace(text, ' ', '') ELSE text END) AS t
+        FROM documents),
+      st AS (
+        SELECT source, t,
+               CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+               CAST(list_aggregate(list_transform(string_split(t, chr(10)), x -> length(x)),
+                                   'max') AS BIGINT) AS max_line_len,
+               CAST(length(t) AS BIGINT) AS n_chars
+        FROM t2),
+      flags AS (
+        SELECT source,
+               CASE WHEN max_line_len >= 500
+                      OR (n_chars - (n_lines - 1)) // n_lines >= 200 THEN 1 ELSE 0 END AS m,
+               CASE WHEN contains(lower(substr(t, 1, 1024)), 'do not edit')
+                      OR contains(lower(substr(t, 1, 1024)), 'auto-generated')
+                      OR contains(lower(substr(t, 1, 1024)), '@generated') THEN 1 ELSE 0 END AS g,
+               CASE WHEN contains(lower(substr(t, 1, 400)), 'apache license') THEN 'apache'
+                    WHEN contains(lower(substr(t, 1, 400)), 'mit license') THEN 'mit'
+                    WHEN contains(lower(substr(t, 1, 400)), 'bsd license') THEN 'bsd'
+                    WHEN contains(lower(substr(t, 1, 400)), 'gnu general public license') THEN 'gpl'
+                    WHEN contains(lower(substr(t, 1, 400)), 'mozilla public license') THEN 'mpl'
+               END AS lic
+        FROM st),
+      base AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(m) AS BIGINT) AS n_minified,
+               CAST(SUM(g) AS BIGINT) AS n_generated,
+               CAST(SUM(CASE WHEN lic IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_licensed
+        FROM flags GROUP BY source),
+      lc AS (SELECT source, lic, CAST(COUNT(*) AS BIGINT) AS n
+             FROM flags WHERE lic IS NOT NULL GROUP BY 1, 2),
+      top AS (SELECT source, lic, n,
+                     row_number() OVER (PARTITION BY source ORDER BY n DESC, lic DESC) AS rk
+              FROM lc)
+      SELECT base.source, n_docs, n_minified, n_generated, n_licensed,
+             top.lic AS top_license, COALESCE(top.n, 0) AS top_license_n
+      FROM base LEFT JOIN top ON base.source = top.source AND top.rk = 1
+      ORDER BY base.source
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q32, q33, q41, q55, q56, q64, q65, q66, q68, q75, q77, q79, q86, q92, q93,
       q95, q98, q100, q101, q107, q122, q123, q124, q125, q126, q131, q132, q135, q136, q141,
-      q145, q146, q148, q150, q152, q154, q155, q157, q160, q161, q163)
+      q145, q146, q148, q150, q152, q154, q155, q157, q160, q161, q163, q164)
 }
