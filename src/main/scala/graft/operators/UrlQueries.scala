@@ -1010,7 +1010,57 @@ object UrlQueries {
     """.trim)
   )
 
+  /** Sitemap-lastmod refresh plan ([[WebIntake.sitemapRefreshPlan]]): each
+    * doc publishes a urlset with a DATED page (lastmod spread over
+    * January) and an UNDATED one; the fetch log covers half the dated
+    * pages (all fetched Jan 15) and a third of the undated ones — so all
+    * four verdicts (new / stale / fresh / undated) appear and flip on
+    * exact date arithmetic. The XML goes through the real sitemap parser;
+    * the oracle replays locs, epoch math and the verdict cases by
+    * construction.
+    */
+  private val q165 = Q(
+    "q165_sitemap_refresh",
+    (s, dir) => {
+      val T = Tables(s, dir); import s.implicits._
+      val id = $"doc_id".cast("string")
+      val day = lpad((($"doc_id" % 28) + 1).cast("string"), 2, "0")
+      val xml = concat(
+        lit("<urlset><url><loc>https://s.org/p"), id,
+        lit("</loc><lastmod>2024-01-"), day, lit("</lastmod></url>"),
+        lit("<url><loc>https://s.org/q"), id, lit("</loc></url></urlset>"))
+      val entries = T.documents
+        .select(explode(graft.functions.SitemapExprs.sitemapEntries(xml)).as("e"))
+        .select($"e.loc".as("loc"), $"e.lastmod".as("lastmod"))
+      val fetched = T.documents.filter($"doc_id" % 2 === 0)
+        .select(concat(lit("https://s.org/p"), id).as("url"))
+        .unionByName(T.documents.filter($"doc_id" % 3 === 0)
+          .select(concat(lit("https://s.org/q"), id).as("url")))
+        .withColumn("last_fetch_ms", lit(1705276800000L)) // 2024-01-15T00:00Z
+      WebIntake.sitemapRefreshPlan(entries, fetched).orderBy($"url")
+    },
+    Some("""
+      WITH e AS (
+        SELECT 'https://s.org/p' || doc_id AS url,
+               1704067200000 + (doc_id % 28) * 86400000 AS declared_ms
+        FROM documents
+        UNION ALL
+        SELECT 'https://s.org/q' || doc_id, NULL FROM documents),
+      f AS (SELECT url, 1705276800000 AS last_fetch_ms FROM (
+              SELECT 'https://s.org/p' || doc_id AS url FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'https://s.org/q' || doc_id FROM documents WHERE doc_id % 3 = 0))
+      SELECT e.url, CAST(e.declared_ms AS BIGINT) AS declared_ms,
+             CAST(f.last_fetch_ms AS BIGINT) AS last_fetch_ms,
+             CASE WHEN f.last_fetch_ms IS NULL THEN 'new'
+                  WHEN e.declared_ms IS NULL THEN 'undated'
+                  WHEN e.declared_ms > f.last_fetch_ms THEN 'stale'
+                  ELSE 'fresh' END AS verdict
+      FROM e LEFT JOIN f USING (url) ORDER BY e.url
+    """.trim)
+  )
+
   val all: Seq[Q] =
     Seq(q108, q109, q114, q116, q119, q137, q138, q139, q140, q142, q143, q144, q147, q149,
-      q153, q156, q158, q159, q162)
+      q153, q156, q158, q159, q162, q165)
 }

@@ -401,6 +401,38 @@ object WebIntake {
       .orderBy(col("rank").desc, col("host"), col("fetch_seq"))
   }
 
+  /** Sitemap-lastmod refresh planning — the PUBLISHER-declared refresh
+    * signal next to [[revisitSchedule]]'s observed one (real crawlers use
+    * both: history says how often a page HAS changed, the sitemap says the
+    * publisher claims it JUST did). Joins declared `lastmod` dates against
+    * the crawler's fetch log and issues one verdict per sitemap entry:
+    *
+    *  - `new` — never fetched (frontier candidate regardless of dates),
+    *  - `stale` — declared modification AFTER the last fetch (refetch;
+    *    the 304-expectation from [[revisitSchedule]] is overridden —
+    *    the publisher disagrees),
+    *  - `fresh` — fetched at or after the declared modification,
+    *  - `undated` — no lastmod; fall back to the history-driven schedule.
+    *
+    * Scale shape: lastmod parsing is scan-side; one equi-join on the URL
+    * (AQE-shaped, no hint — both sides are crawl-scale). Verdicts are
+    * deterministic date arithmetic (W3C datetime → epoch ms in the
+    * session's UTC; a malformed lastmod parses NULL → `undated`, never a
+    * throw).
+    */
+  def sitemapRefreshPlan(entries: DataFrame, fetched: DataFrame): DataFrame =
+    entries
+      .select(col("loc"), col("lastmod"))
+      .withColumn("declared_ms", unix_millis(to_timestamp(col("lastmod"))))
+      .join(fetched.select(col("url").as("loc"), col("last_fetch_ms")), Seq("loc"), "left")
+      .withColumn(
+        "verdict",
+        when(col("last_fetch_ms").isNull, "new")
+          .when(col("declared_ms").isNull, "undated")
+          .when(col("declared_ms") > col("last_fetch_ms"), "stale")
+          .otherwise("fresh"))
+      .select(col("loc").as("url"), col("declared_ms"), col("last_fetch_ms"), col("verdict"))
+
   /** WET export — the WRITE half of the crawl-interchange contract
     * ([[graft.functions.WarcSupport]] reads it): pack (url, text) docs
     * into WARC `conversion` archives, one shard per `pmod(hash60(url),

@@ -317,6 +317,24 @@ class WebIntakeSpec extends SparkSpec {
     assert(byUrl("https://d.org/w") == ((2L, 1L, hour, 10 * 60 * 1000 + hour, false)))
   }
 
+  test("sitemapRefreshPlan: all four verdicts; malformed lastmod degrades to undated") {
+    val entries = Seq(
+      ("https://a/1", "2024-01-20"), // fetched Jan 15 -> stale
+      ("https://a/2", "2024-01-10"), // fetched Jan 15 -> fresh
+      ("https://a/3", "2024-01-20"), // never fetched -> new
+      ("https://a/4", null), // fetched, no date -> undated
+      ("https://a/5", "not a date") // fetched, junk date -> undated, never a throw
+    ).toDF("loc", "lastmod")
+    val jan15 = 1705276800000L
+    val fetched = Seq("https://a/1", "https://a/2", "https://a/4", "https://a/5")
+      .toDF("url").withColumn("last_fetch_ms", lit(jan15))
+    val out = WebIntake.sitemapRefreshPlan(entries, fetched)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map(
+      "https://a/1" -> "stale", "https://a/2" -> "fresh", "https://a/3" -> "new",
+      "https://a/4" -> "undated", "https://a/5" -> "undated"))
+  }
+
   test("exportWet: bare and gzip archives round-trip through the engine's own reader") {
     import graft.functions.{GzipExprs, WarcExprs}
     val docs = Seq(
