@@ -136,7 +136,13 @@ object ScaleBench {
     "q161_lm_bigram",
     // wet round trip: frame + deflate + shard-pack, then inflate + split —
     // two passes of the q150 heavy-scan class around one shard exchange
-    "q163_wet_roundtrip"
+    "q163_wet_roundtrip",
+    // politeness budget / hygiene profile / sitemap refresh: host- or
+    // source-bounded rollups over scan-side signals (output rows bounded
+    // by hosts/sources, not corpus)
+    "q162_politeness_budget",
+    "q164_hygiene_profile",
+    "q165_sitemap_refresh"
   )
 
   private val IdOffset = 100000000L

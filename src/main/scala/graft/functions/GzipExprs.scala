@@ -136,7 +136,10 @@ object GzipSupport {
         if (i >= n) return null
         i += 1
       }
-      if ((flg & 2) != 0) { // FHCRC
+      if ((flg & 2) != 0) { // FHCRC: skipped, not verified — the trailer
+        // CRC32 over the INFLATED data below is the integrity gate; a
+        // header-CRC mismatch with intact data is not worth dropping a
+        // record over (zlib's own gzread ignores it too)
         if (i + 2 > n) return null
         i += 2
       }

@@ -96,20 +96,35 @@ object HttpSupport {
   /** The `charset=` parameter of a Content-Type value (lowercased label,
     * quotes stripped), or null — the transport-layer declaration WHATWG
     * ranks above in-document meta. Accepts null input.
+    *
+    * `charset=` counts only in PARAMETER position — a `;`-delimited
+    * segment whose trimmed text starts with it — never as a substring of
+    * some other parameter's value (`boundary="charset=utf-16le"` must not
+    * select a charset; the same anywhere-match hazard the meta prescan
+    * fixed in [[CharsetSupport]]).
     */
   def charsetParam(contentType: UTF8String): UTF8String = {
     if (contentType == null) return null
     val s = contentType.toString.toLowerCase(java.util.Locale.ROOT)
-    val idx = s.indexOf("charset=")
-    if (idx < 0) return null
-    var vs = idx + 8
-    if (vs < s.length && (s.charAt(vs) == '"' || s.charAt(vs) == '\'')) vs += 1
-    var ve = vs
-    while (ve < s.length && {
-        val c = s.charAt(ve)
-        c.isLetterOrDigit || c == '-' || c == '_'
-      }) ve += 1
-    if (ve == vs) null else UTF8String.fromString(s.substring(vs, ve))
+    var segStart = 0
+    while (segStart <= s.length) {
+      var segEnd = s.indexOf(';', segStart)
+      if (segEnd < 0) segEnd = s.length
+      var vs = segStart
+      while (vs < segEnd && (s.charAt(vs) == ' ' || s.charAt(vs) == '\t')) vs += 1
+      if (segEnd - vs > 8 && s.startsWith("charset=", vs)) {
+        var p = vs + 8
+        if (p < segEnd && (s.charAt(p) == '"' || s.charAt(p) == '\'')) p += 1
+        var ve = p
+        while (ve < segEnd && {
+            val c = s.charAt(ve)
+            c.isLetterOrDigit || c == '-' || c == '_'
+          }) ve += 1
+        return if (ve == p) null else UTF8String.fromString(s.substring(p, ve))
+      }
+      segStart = segEnd + 1
+    }
+    null
   }
 }
 

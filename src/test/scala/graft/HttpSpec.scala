@@ -61,6 +61,11 @@ class HttpSpec extends SparkSpec {
     assert(cs("text/html; charset=\"ISO-8859-1\"") == Some("iso-8859-1"))
     assert(cs("text/html") == None)
     assert(cs("text/html; charset=") == None)
+    // parameter position only: charset= inside another parameter's VALUE
+    // must not select (the meta-prescan anywhere-match hazard)
+    assert(cs("multipart/mixed; boundary=\"charset=utf-16le\"") == None)
+    assert(cs("multipart/mixed; boundary=\"x\"; charset=utf-8") == Some("utf-8"))
+    assert(cs("text/html;charset=windows-1252") == Some("windows-1252")) // no space after ;
   }
 
   test("decodeSniffedWith: BOM > transport label > meta declaration > UTF-8") {
