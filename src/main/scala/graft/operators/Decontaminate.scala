@@ -61,8 +61,12 @@ object Decontaminate {
   }
 
   /** The corpus with every contaminated document removed. The flagged-id
-    * set is small (it is bounded by benchmark hits), so the anti-join
-    * broadcasts — decontamination costs one corpus scan end to end.
+    * anti-join carries NO static broadcast hint: flagged COUNT is not
+    * bounded by the benchmark's size — a corpus that near-duplicates one
+    * benchmark item a billion times flags a billion ids — so the hint
+    * would be the unconditional-build driver-OOM hazard the robots/J2
+    * rule exists for. AQE broadcasts it in the common small case and
+    * degrades to a shuffle when a poisoned corpus flags en masse.
     */
   def clean(
       corpus: DataFrame,
@@ -76,7 +80,7 @@ object Decontaminate {
     val flagged = overlaps(corpus, bench, idCol, textCol, k, w, minShared)
       .select(col("doc_id").as("__contaminated"))
       .distinct()
-    corpus.join(broadcast(flagged), col(idCol) === col("__contaminated"), "left_anti")
+    corpus.join(flagged, col(idCol) === col("__contaminated"), "left_anti")
   }
 
   /** [[overlaps]] through a bloom prefilter — EXACT same output, different
@@ -140,7 +144,9 @@ object Decontaminate {
       .filter(col("shared") >= minShared)
   }
 
-  /** [[clean]] through the bloom prefilter — exact same output. */
+  /** [[clean]] through the bloom prefilter — exact same output; same
+    * unhinted anti-join (see [[clean]]'s flagged-count argument).
+    */
   def cleanViaBloom(
       corpus: DataFrame,
       bench: DataFrame,
@@ -155,6 +161,6 @@ object Decontaminate {
     val flagged = overlapsViaBloom(corpus, bench, idCol, textCol, k, w, minShared, numBytes, numHashes)
       .select(col("doc_id").as("__contaminated"))
       .distinct()
-    corpus.join(broadcast(flagged), col(idCol) === col("__contaminated"), "left_anti")
+    corpus.join(flagged, col(idCol) === col("__contaminated"), "left_anti")
   }
 }

@@ -1365,10 +1365,15 @@ object Dedup {
     * should survive. Docs untouched by any pair are their own singleton
     * cluster and always survive.
     *
-    * Scale shape: the cluster assignment (tiny — only docs that collided)
-    * broadcasts onto the corpus scan; the top-1 ranking windows only over
-    * clustered docs, never the whole corpus, and cluster sizes are bounded
-    * by near-dup semantics, so the window carries no corpus-scale skew.
+    * Scale shape: the cluster assignment (only docs that collided) joins
+    * onto the corpus scan with NO static broadcast hint — collided-doc
+    * count scales with corpus duplication, not with anything bounded (a
+    * boilerplate-heavy crawl collides most of itself), so a hint is the
+    * unconditional-build hazard the robots/J2 rule names; AQE broadcasts
+    * the common small case and shuffles past the threshold. The top-1
+    * ranking windows only over clustered docs, never the whole corpus,
+    * and its `rn = 1` filter plans as WindowGroupLimit (map-side partial
+    * limit), so even a giant cluster collapses per map task.
     *
     * @return df's rows that survive, plus a `cluster` column
     */
@@ -1376,11 +1381,11 @@ object Dedup {
     val clusters = nearDupClusters(pairs)
       .select(col("doc_id").as("__cid"), col("cluster").as("__cluster"))
     // Rank ONLY the docs that collided into a cluster (inner join against
-    // the tiny assignment); the untouched majority of the corpus must never
+    // the assignment); the untouched majority of the corpus must never
     // enter the window — a left-join-then-rank formulation would shuffle
     // and sort the whole corpus and evaluate `quality` on every row.
     val inCluster = df
-      .join(broadcast(clusters), col(idCol) === col("__cid"))
+      .join(clusters, col(idCol) === col("__cid"))
       .withColumn("__q", quality)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__cluster"))
@@ -1395,7 +1400,7 @@ object Dedup {
     // ids — a hardcoded cast("long") made every string id's own-cluster
     // label NULL and the union ill-typed)
     val untouched = df
-      .join(broadcast(clusters), col(idCol) === col("__cid"), "left_anti")
+      .join(clusters, col(idCol) === col("__cid"), "left_anti")
       .withColumn("cluster", col(idCol).cast(clusters.schema("__cluster").dataType))
     best.unionByName(untouched)
   }
