@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object UnigramTrainer {
 
+  /** Seeding always sees at least this many top words even when
+    * `maxDriverWords` forces the E-step distributed — ~tens of MB on the
+    * driver, and Zipf puts ~all substring mass in the top slice.
+    */
+  val SeedWordFloor = 1000000L
+
   /** Train piece costs. @return (pieces with costs, unkCost). */
   def train(
       df: DataFrame,
@@ -53,12 +59,22 @@ object UnigramTrainer {
     val nWords = words.count()
     require(nWords > 0, "unigram training needs a non-empty corpus")
     val driverLocal = nWords <= maxDriverWords
-    // word table bounded (Zipf) — collected for seeding either way; only
-    // the per-ROUND E-step differs by strategy
+    // SEEDING always works from a BOUNDED word slice: the top
+    // maxDriverWords words by (count desc, word asc) — a TakeOrdered, no
+    // global sort, and no driver-OOM when the E-step has already been
+    // forced distributed because the full word table is too big to
+    // collect (seeding from the full table would defeat exactly the
+    // guard that routed the E-step off the driver). Zipf makes the top
+    // slice carry ~all substring mass, so seeds are insensitive to the
+    // cut; both E-step strategies seed from the same slice, which is
+    // what keeps them output-identical (the parity spec's law).
+    val seedLimit =
+      math.min(math.max(maxDriverWords, SeedWordFloor), Int.MaxValue.toLong).toInt
     val wc: Array[(String, Long)] = words
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(seedLimit)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (w, c) => (-c, w) }
     words.unpersist(blocking = false)
 
     // seed: every substring of length 2..maxPieceLen, usage-weighted by
