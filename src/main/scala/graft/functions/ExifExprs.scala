@@ -104,6 +104,19 @@ object ExifSupport {
         ((b(p + 1) & 0xffL) << 8) | (b(p) & 0xffL)
   }
 
+  /** Absolute position `base + off` narrowed to Int, or -1 when the Long
+    * sum plus `need` trailing bytes cannot fit inside the segment. Every
+    * absolute-offset materialization MUST go through this: narrowing with
+    * `.toInt` before the bounds check lets a crafted offset near 2^32 wrap
+    * the Int back into the buffer, so the walk would read aliased in-bounds
+    * bytes (garbage non-null meta, or a scrub that zeroes the wrong span)
+    * instead of honoring the untrusted-bytes scrub-or-NULL contract.
+    */
+  private def abs(base: Int, off: Long, need: Long, end: Int): Int = {
+    if (off < 0 || need < 0 || base + off + need > end) -1
+    else (base + off).toInt
+  }
+
   /** Milli-arc-second total of a 3-RATIONAL dms value at absolute offset
     * `off` (24 bytes), or -1 on any structural problem. Degree and minute
     * denominators must divide exactly (cameras write 1); the second
@@ -139,19 +152,21 @@ object ExifSupport {
     var make: UTF8String = null
     var orientation: Any = null
     var gpsOff = -1L
-    val n0 = u16(bytes, (base + ifd0).toInt, end, be)
+    val ifdP = abs(base, ifd0, 2, end)
+    if (ifdP < 0) return null
+    val n0 = u16(bytes, ifdP, end, be)
     if (n0 < 0) return null
     var e = 0
     while (e < n0) {
-      val ep = (base + ifd0 + 2 + 12L * e).toInt
-      if (ep + 12 > end) return null
+      val ep = abs(base, ifd0 + 2 + 12L * e, 12, end)
+      if (ep < 0) return null
       val tag = u16(bytes, ep, end, be)
       val typ = u16(bytes, ep + 2, end, be)
       val cnt = u32(bytes, ep + 4, end, be)
       if (tag < 0 || typ < 0 || cnt < 0) return null
       tag match {
         case TagMake if typ == 2 =>
-          val p = if (cnt <= 4) ep + 8 else (base + u32(bytes, ep + 8, end, be)).toInt
+          val p = if (cnt <= 4) ep + 8 else abs(base, u32(bytes, ep + 8, end, be), cnt, end)
           if (p < base || p + cnt > end) return null
           var len = cnt.toInt
           while (len > 0 && bytes(p + len - 1) == 0) len -= 1
@@ -170,14 +185,15 @@ object ExifSupport {
     var latE3: Any = null
     var lonE3: Any = null
     if (gpsOff >= 0) {
-      val gp = (base + gpsOff).toInt
+      val gp = abs(base, gpsOff, 2, end)
+      if (gp < 0) return null
       val ng = u16(bytes, gp, end, be)
       if (ng < 0) return null
       var latSign = 0L; var lonSign = 0L; var latOff = -1L; var lonOff = -1L
       var g = 0
       while (g < ng) {
         val ep = gp + 2 + 12 * g
-        if (ep + 12 > end) return null
+        if (ep < 0 || ep + 12 > end) return null
         val tag = u16(bytes, ep, end, be)
         val typ = u16(bytes, ep + 2, end, be)
         if (tag < 0 || typ < 0) return null
@@ -226,13 +242,16 @@ object ExifSupport {
     if (u16(bytes, base + 2, end, be) != 42) return null
     val ifd0 = u32(bytes, base + 4, end, be)
     if (ifd0 < 0) return null
-    val n0 = u16(bytes, (base + ifd0).toInt, end, be)
+    val ifdP = abs(base, ifd0, 2, end)
+    if (ifdP < 0) return null
+    val n0 = u16(bytes, ifdP, end, be)
     if (n0 < 0) return null
     var gpsEntryPos = -1
     var gpsOff = -1L
     var e = 0
     while (e < n0) {
-      val ep = (base + ifd0 + 2 + 12L * e).toInt
+      val ep = abs(base, ifd0 + 2 + 12L * e, 12, end)
+      if (ep < 0) return null
       val tag = u16(bytes, ep, end, be)
       if (tag < 0) return null
       if (tag == TagGpsIfd && u16(bytes, ep + 2, end, be) == 4) {
@@ -242,7 +261,8 @@ object ExifSupport {
       e += 1
     }
     if (gpsEntryPos < 0 || gpsOff < 0) return bytes // nothing to scrub
-    val gp = (base + gpsOff).toInt
+    val gp = abs(base, gpsOff, 2, end)
+    if (gp < 0) return null
     val ng = u16(bytes, gp, end, be)
     if (ng < 0) return null
     val out = bytes.clone()
@@ -271,7 +291,7 @@ object ExifSupport {
     }
     // the GPS IFD itself: count + entries + next-IFD pointer
     val gpsIfdEnd = gp + 2 + 12 * ng + 4
-    if (gpsIfdEnd > end) return null
+    if (gpsIfdEnd < gp || gpsIfdEnd > end) return null
     java.util.Arrays.fill(out, gp, gpsIfdEnd, 0.toByte)
     // unlink: the IFD0 entry becomes tag 0/type 0/count 0/value 0, which
     // every TIFF walker (including ours) skips as unknown

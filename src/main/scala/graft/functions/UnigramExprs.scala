@@ -188,7 +188,10 @@ object UnigramSupport {
       maxLen: Int): String = {
     require(maxLen >= 1 && maxLen < 1024, s"maxLen must be in [1, 1023], got $maxLen")
     val maxCost = (pieces.map(_._2) :+ unkCost).max
-    require(maxCost * maxLen < (Long.MaxValue >> 11),
+    // Division form: `maxCost * maxLen` could itself wrap Long for costs
+    // near Long.MaxValue / maxLen and sneak past the guard, letting the
+    // generated oracle's cost*1024 packing silently overflow BIGINT.
+    require(maxCost >= 0 && maxCost < (Long.MaxValue >> 11) / maxLen,
       "packed DP would overflow BIGINT at these cost bounds")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val maxPieceLen = math.max(1, pieces.map(_._1.length).max)

@@ -119,15 +119,19 @@ object RelationalQueries {
     """.trim)
   )
 
-  /** Fact ⋈ small dimension with an explicit broadcast hint — the canonical
-    * 100 TB pattern: part ships to every executor, lineitem never shuffles.
+  /** Fact ⋈ dimension, shape left to AQE — the canonical 100 TB pattern:
+    * at every sf the bench runs, part fits the broadcast threshold and AQE
+    * picks broadcast, so lineitem never shuffles; but part GROWS with sf
+    * (sf·200k rows), so a static hint is not bounded by construction and
+    * would force an executor-OOM shape past the threshold (the J2/robots
+    * de-hinting rule; plan shape asserted in PlanChecksSpec).
     */
   private val q04 = Q(
     "q04_brand_revenue",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       T.lineitem
-        .join(broadcast(T.part), $"l_partkey" === $"p_partkey")
+        .join(T.part, $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
           round(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount"))) / 10000.0, 2).as("revenue"),
@@ -146,7 +150,9 @@ object RelationalQueries {
   )
 
   /** TPC-H Q5 shape — 6-way star join. region/nation/supplier/customer are
-    * dims (broadcast); only orders⋈lineitem is a shuffle join. The
+    * dims; AQE broadcasts each one that fits its threshold (supplier and
+    * customer scale with sf, so no static hints — the q04 rule), leaving
+    * only orders⋈lineitem as a required shuffle join. The
     * c_nationkey = s_nationkey constraint closes the star loop.
     */
   private val q05 = Q(
@@ -157,9 +163,9 @@ object RelationalQueries {
         .join(T.orders, $"c_custkey" === $"o_custkey")
         .filter($"o_orderdate" >= ts("1995-01-01") && $"o_orderdate" < ts("1997-01-01"))
         .join(T.lineitem, $"o_orderkey" === $"l_orderkey")
-        .join(broadcast(T.supplier), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .join(broadcast(T.nation), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(T.region), $"n_regionkey" === $"r_regionkey")
+        .join(T.supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(T.nation, $"s_nationkey" === $"n_nationkey")
+        .join(T.region, $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
         .agg(round(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount"))) / 10000.0, 2).as("revenue"))
         .orderBy($"r_name", $"n_name")
@@ -233,7 +239,8 @@ object RelationalQueries {
   )
 
   /** Aggregate-then-join top-k: aggregate orders FIRST (shrinks 10x), then
-    * broadcast-join the small customer dim — the join-after-agg ordering a
+    * join the customer dim (AQE broadcasts it while it fits — customer
+    * scales with sf, so no static hint) — the join-after-agg ordering a
     * 100 TB plan needs.
     */
   private val q09 = Q(
@@ -244,7 +251,7 @@ object RelationalQueries {
         .groupBy($"o_custkey")
         .agg(round(sum(cents($"o_totalprice")) / 100.0, 2).as("total_spend"), count(lit(1)).as("n_orders"))
       spend
-        .join(broadcast(T.customer), $"o_custkey" === $"c_custkey")
+        .join(T.customer, $"o_custkey" === $"c_custkey")
         .select($"c_custkey", $"c_name", $"total_spend", $"n_orders")
         .orderBy($"total_spend".desc, $"c_custkey")
         .limit(10)

@@ -479,12 +479,14 @@ object WebIntake {
         member.as("__m"))
       .groupBy(col("shard"))
       .agg(
-        aggregate(
+        // Single-pass assembly: a pairwise-concat fold copies the
+        // accumulator each step (O(members²) bytes — ~320 GB of memcpy
+        // for a 64 MB shard of 10k records); BytesConcatAll allocates
+        // the shard once and copies each member once.
+        graft.functions.BytesExprs.concatAll(
           transform(
             array_sort(collect_list(struct(col("__u"), col("__m")))),
-            s => s.getField("__m")),
-          lit(Array.emptyByteArray),
-          (acc, m) => concat(acc, m)).as("content"))
+            s => s.getField("__m"))).as("content"))
   }
 
   /** Per-host politeness budgeting — the capacity math between a frontier

@@ -20,15 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * Fetch identity is (url, tsMs, digest) — a redelivered record (same
   * triple) is a no-op, so the tracker is idempotent under at-least-once
   * delivery (the Streams.dedupUrlBatch redelivery contract). A fetch
-  * arriving with ts EARLIER than the state's last fetch is dropped and
-  * counted nowhere: change detection is a comparison against the previous
-  * digest IN TIME ORDER, and an out-of-order insert would poison both
-  * neighbors' verdicts; batch-side [[graft.operators.WebIntake
-  * .revisitSchedule]] over the lake's full log is the authority a late
-  * straggler eventually reaches (run it on backfill; this tracker serves
-  * the live queue). Within a micro-batch, events sort by (ts, digest) —
-  * the batch operator's exact order, so stream and batch agree on every
-  * prefix-in-order history (parity spec-pinned in RevisitTrackerSpec).
+  * arriving OUT OF ORDER under the batch operator's (ts, digest) total
+  * order — strictly older ts, or equal ts with a digest that sorts before
+  * the state's last — is dropped and counted nowhere: change detection is
+  * a comparison against the previous digest IN ORDER, and an out-of-order
+  * insert would poison both neighbors' verdicts; batch-side
+  * [[graft.operators.WebIntake.revisitSchedule]] over the lake's full log
+  * is the authority a late straggler eventually reaches (run it on
+  * backfill; this tracker serves the live queue). Within a micro-batch,
+  * events sort by (ts, digest) — the batch operator's exact order — so
+  * stream and batch agree on every history delivered in non-decreasing
+  * (ts, digest) order across micro-batches, equal timestamps included
+  * (parity spec-pinned in RevisitTrackerSpec).
   */
 object RevisitTracker {
 
@@ -69,7 +72,14 @@ object RevisitTracker {
               s = TrackState(f.tsMs, f.tsMs, f.digest, 1L, 0L)
             } else {
               val redelivered = f.tsMs == s.lastMs && f.digest == s.lastDigest
-              val late = f.tsMs < s.lastMs
+              // "Late" means out-of-order under the batch operator's total
+              // order (ts, digest) — including an equal-ts fetch whose
+              // digest sorts BEFORE the state's last one: appending it
+              // would place it after an event the batch order puts later,
+              // skewing n_changes. Dropped events are the batch backfill's
+              // to count, same as strictly-older stragglers.
+              val late = f.tsMs < s.lastMs ||
+                (f.tsMs == s.lastMs && f.digest < s.lastDigest)
               if (!redelivered && !late) {
                 val chg = if (f.digest != s.lastDigest) 1L else 0L
                 s = TrackState(s.firstMs, f.tsMs, f.digest, s.nFetches + 1, s.nChanges + chg)

@@ -128,6 +128,25 @@ class ExifSpec extends SparkSpec {
     }
   }
 
+  test("a crafted absolute offset near 2^32 NULLs, never wraps the Int back in-bounds") {
+    // (base + off).toInt narrowed BEFORE the bounds check would wrap a
+    // 0xFFFFFFF8 offset back to a small in-bounds position: meta() would
+    // read aliased garbage and stripGps() could zero the wrong span or
+    // report "nothing to scrub" — both violate the scrub-or-NULL contract.
+    // leBytes layout: TIFF base at 12 → IFD0-offset field at 16..19 (LE);
+    // IFD0 @ base+8 → the GPSIFD entry's value field at 42..45.
+    val wrapIfd = leBytes.clone()
+    wrapIfd(16) = 0xf8.toByte; wrapIfd(17) = 0xff.toByte
+    wrapIfd(18) = 0xff.toByte; wrapIfd(19) = 0xff.toByte
+    assert(ExifSupport.meta(wrapIfd) == null)
+    assert(ExifSupport.stripGps(wrapIfd) == null)
+    val wrapGps = leBytes.clone()
+    wrapGps(42) = 0xf8.toByte; wrapGps(43) = 0xff.toByte
+    wrapGps(44) = 0xff.toByte; wrapGps(45) = 0xff.toByte
+    assert(ExifSupport.meta(wrapGps) == null)
+    assert(ExifSupport.stripGps(wrapGps) == null)
+  }
+
   test("SQL registration: graft_exif_meta and graft_exif_strip_gps") {
     val b = Multimodal.jpegExifBytes("Q", 7, bigEndian = false,
       Some(('N', 1, 2, 3L, 1L, 'W', 4, 5, 6L, 1L)))

@@ -43,6 +43,19 @@ class PlanChecksSpec extends SparkSpec {
     assert(PlanChecks.inspect(twice).parquetScans == 2)
   }
 
+  test("de-hinted TPC-H dim joins still get broadcast shapes from the planner") {
+    // q04/q05/q09 carry NO static broadcast() hints (part/supplier/customer
+    // grow with sf, so a hint is not bounded by construction); the planner
+    // must still pick broadcast at any sf where the dim fits the threshold.
+    val q04 = PlanChecks.inspect(SparkEntry.queries("q04_brand_revenue")(spark, dir))
+    assert(q04.broadcastHashJoins >= 1 && q04.sortMergeJoins == 0, q04.render)
+    // q05's star: supplier/nation/region at minimum ride broadcast
+    val q05 = PlanChecks.inspect(SparkEntry.queries("q05_region_revenue")(spark, dir))
+    assert(q05.broadcastHashJoins >= 3, q05.render)
+    val q09 = PlanChecks.inspect(SparkEntry.queries("q09_topk_customers")(spark, dir))
+    assert(q09.broadcastHashJoins >= 1, q09.render)
+  }
+
   test("the engine's own scale-critical queries pass their contracts through the API") {
     // q60 bernoulli sample: scan-side filter, no shuffle at all
     val q60 = PlanChecks.inspect(SparkEntry.queries("q60_sample_bernoulli")(spark, dir))

@@ -80,6 +80,45 @@ class RevisitTrackerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("equal-timestamp fetches split across micro-batches keep batch (ts,digest) parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // batch authority for history (5h,'a'),(5h,'b'),(6h,'a'): the (ts,digest)
+    // order is a→b→a = 2 changes
+    val eqHist = Seq(
+      Fetch("https://e.org/p", 5 * hour, "a"),
+      Fetch("https://e.org/p", 5 * hour, "b"),
+      Fetch("https://e.org/p", 6 * hour, "a"))
+    val expect = WebIntake
+      .revisitSchedule(
+        eqHist.toDF("url", "tsMs", "content_hash")
+          .select($"url", timestamp_millis($"tsMs").as("ts"), $"content_hash"),
+        "url", "ts", "content_hash")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(expect == ((3L, 2L)))
+    val mem = MemoryStream[Fetch]
+    val q = RevisitTracker.track(mem.toDS()).writeStream
+      .format("memory").queryName("revisit_eq").outputMode("update").start()
+    try {
+      // in-order under (ts, digest), one event per micro-batch
+      eqHist.foreach { f => mem.addData(f); q.processAllAvailable() }
+      val last = spark.table("revisit_eq")
+        .orderBy($"n_fetches".desc).limit(1).collect().head
+      assert((last.getLong(1), last.getLong(2)) == ((3L, 2L)),
+        s"stream disagrees with batch on equal-ts history: $last")
+      // the out-of-order twin: equal ts, digest sorting BEFORE the state's
+      // last one arrives in a later micro-batch → dropped as late
+      mem.addData(Fetch("https://f.org/q", 5 * hour, "b"))
+      q.processAllAvailable()
+      mem.addData(Fetch("https://f.org/q", 5 * hour, "a"))
+      q.processAllAvailable()
+      val f = spark.table("revisit_eq").filter($"url" === "https://f.org/q")
+        .orderBy($"n_fetches".desc).limit(1).collect().head
+      assert((f.getLong(1), f.getLong(2)) == ((1L, 0L)),
+        s"out-of-order equal-ts fetch must be dropped, got $f")
+    } finally q.stop()
+  }
+
   test("the same body over a static Dataset equals the batch operator") {
     val viaState = RevisitTracker.track(history.toDS())
       .collect().map(s => s.url ->

@@ -362,6 +362,20 @@ class WebIntakeSpec extends SparkSpec {
     assert(a == b, "shard bytes must be partition-layout independent")
   }
 
+  test("concatAll: single-pass shard assembly is order-exact; a null member NULLs") {
+    import graft.functions.BytesExprs
+    val rows = Seq(
+      (Array("ab".getBytes, Array.emptyByteArray, "cde".getBytes), "abcde"),
+      (Array.empty[Array[Byte]], "")
+    ).toDF("arr", "want")
+    rows.select(decode(BytesExprs.concatAll($"arr"), "UTF-8").as("got"), $"want")
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+    // a hole in an archive is not an archive: null element → NULL, not skip
+    val hole = Seq(Tuple1(Array("x".getBytes, null, "y".getBytes)))
+      .toDF("arr").select(BytesExprs.concatAll($"arr")).head()
+    assert(hole.isNullAt(0))
+  }
+
   test("politenessBudget: capacity floor, deferral carry, default and declared delays") {
     val urls = ((1 to 50).map(i => ("slow.org", s"u$i")) ++
       (1 to 5).map(i => ("fast.org", s"v$i")) ++
