@@ -22,6 +22,11 @@ object Bench {
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
       r.join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
         .groupBy(col("r_name")).count().collect()
+      // warm the canary's own codegen + C2 path at FULL size so sweep-1's
+      // canary measures host capacity, not first-use JIT (~2x inflation
+      // observed with a smaller warm-up)
+      spark.range(0, 64000000L, 1, cpus.toInt)
+        .select(sum(xxhash64(col("id")))).collect()
     }
     // min of three timed runs per query, with the reps INTERLEAVED: three
     // full sweeps over every query, per-query min across sweeps. This host
@@ -51,26 +56,67 @@ object Bench {
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
     }
-    val sweeps = Seq.fill(3)(selected.map { case (name, fn) => name -> once(name, fn) })
-    val results = selected.map { case (name, _) =>
-      val times = sweeps.flatMap(_.collectFirst { case (`name`, t) => t }).flatten
-      name -> (if (times.size == 3) times.min else -1.0)
+    // Load canary: a fixed CPU-bound calibration task (no IO, no shuffle —
+    // pure codegen'd hash over a range) run before each sweep. Its time is
+    // a pure function of available CPU, so a loaded host shows up as
+    // canary drift even when the min-of-3 protocol hides it: the min
+    // defends against a load WINDOW, not a load FLOOR spanning the whole
+    // run (the round-12 driver record was ~1.33x inflated end-to-end and
+    // only a from-scratch re-run could prove the regression was phantom).
+    // Rejection rule (documented in README): any canary > 1.5x CANARY_REF
+    // (the committed idle-host reference) => the run is load-contaminated;
+    // rerun it rather than reading per-query deltas from it.
+    val CanaryRef = 0.19 // idle-host seconds at local[32], committed round 13
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 64000000L, 1, cpus.toInt)
+        .select(sum(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val sweeps = (1 to 3).map { _ =>
+      canaries += canaryOnce()
+      selected.map { case (name, fn) => name -> once(name, fn) }
+    }
+    def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val rawTimes = selected.map { case (name, _) =>
+      name -> sweeps.map(_.collectFirst { case (`name`, t) => t }.flatten)
+    }
+    val results = rawTimes.map { case (name, times) =>
+      val ok = times.flatten
+      name -> (if (ok.size == 3) ok.min else -1.0)
     }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val raw = rawTimes.sortBy(_._1).map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(_.fold("-1.0")(fmt)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
+    // Floor detection on the MIN canary: the per-query min already
+    // survives a one-sweep load window (that is what interleaving is for);
+    // the record is corrupted only when every sweep ran slow — i.e. the
+    // BEST canary is still >1.5x the idle reference.
+    val canaryLoaded = canaries.nonEmpty && canaries.min > 1.5 * CanaryRef
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded}"""
     println(line)
+    if (canaryLoaded)
+      System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
+        s"($canaryJson vs $CanaryRef s) — host was loaded during this run; " +
+        "per-query numbers are not comparable, rerun on an idle host")
     // Self-contained artifact: the driver records the stdout TAIL, which
     // truncates ~30 of the per-query times out of the record (BENCH_r06:
-    // parsed=null). The full min-of-N map is therefore also written to a
-    // JSON file — stable schema {metric,value,unit,sweeps,queries,sf} with
-    // queries sorted by name — so every round's record is complete
-    // regardless of tail size. Path override: SPARK_GRAFT_BENCH_REPORT.
+    // parsed=null). The full min-of-N map — plus the raw per-sweep times
+    // and the canary record, the audit trail that distinguishes a loaded
+    // host from a real regression without a re-run — is therefore also
+    // written to a JSON file with a stable schema
+    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,sf},
+    // queries sorted by name. Path override: SPARK_GRAFT_BENCH_REPORT.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {

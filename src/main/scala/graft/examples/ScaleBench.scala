@@ -142,7 +142,21 @@ object ScaleBench {
     // by hosts/sources, not corpus)
     "q162_politeness_budget",
     "q164_hygiene_profile",
-    "q165_sitemap_refresh"
+    "q165_sitemap_refresh",
+    // round-13 curve completions (the four round-12 rows that carried
+    // inventory arguments but no measured numbers): conserving PageRank
+    // inherits q138's fixed-graph protocol (hosts pinned whatever the
+    // corpus — the curve isolates the corpus-scan edge derivation from the
+    // fixed-size iterate + per-round dangling scalar); HTTP response parse
+    // is a pure scan-side walk (fixture and parse scale together); the
+    // trap report's output is host-scale (the trap host's k×-growing URL
+    // space collapses to ONE template group — flat output is the law);
+    // recrawl frontier rides q156's policy-bounded windows over the
+    // k×-growing events URL space with a host-bounded cap stage
+    "q147_pagerank_conserving",
+    "q148_http_response",
+    "q149_url_trap_report",
+    "q159_recrawl_frontier"
   )
 
   private val IdOffset = 100000000L
@@ -384,6 +398,7 @@ object ScaleBench {
     val doHot = only.forall(f => f.exists(_.startsWith("substring_hot")))
     val doContainHot = only.forall(f => f.exists(_.startsWith("containment_hot")))
     val doGramAppend = only.forall(f => f.exists(_.startsWith("gram_append")))
+    val doNoveltyHot = only.forall(f => f.exists(_.startsWith("novelty_hot")))
     val doPhash = only.forall(f => f.contains("phash"))
     val doAudio = only.forall(f => f.contains("audio_fp"))
     val doBpeTrain = only.forall(f => f.exists(_.startsWith("bpe_train")))
@@ -650,6 +665,54 @@ object ScaleBench {
         Seq("containment_hot_prefix" -> tPrefixCand, "containment_hot_naive" -> tNaiveCand,
           "containment_hot_full" -> tFull)
       }
+      // Planted-hot-gram A/B for the NOVELTY df stage (the round-12 q100
+      // trade): the skew-hardening sweep replaced the gram-df count WINDOW
+      // with a groupBy aggregate + join-back, paying one extra exchange at
+      // fixture scale. Here HALF the docs share one appended boilerplate
+      // sentence, so each of its trigrams carries df = n/2 — the window
+      // form buffers that gram's whole partition in one un-splittable task
+      // (max_task_ms is the tell), while the aggregate collapses it to one
+      // row per map task before the exchange and the join-back is
+      // AQE-skew-splittable. Both forms must emit identical
+      // (doc_id, n_grams, n_rare) rows (order-free checksum).
+      val noveltyHotTimes = if (!doNoveltyHot) Nil else {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val hot = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"),
+              lit(" all rights reserved terms of service privacy policy contact")))
+            .otherwise(col("text")))
+        def checksum(r: org.apache.spark.sql.DataFrame): Long = r
+          .agg(sum(xxhash64(col("doc_id"), col("n_grams"), col("n_rare"))))
+          .head.getLong(0)
+        var chkAgg = 0L
+        var chkWin = 0L
+        val (tAgg, maxAgg) = timeWithMaxTask(spark) {
+          chkAgg = checksum(
+            graft.operators.TextAnalysis.noveltyReport(hot, "doc_id", "text"))
+        }
+        // the pre-round-12 window formulation, kept here solely as this
+        // baseline
+        val (tWin, maxWin) = timeWithMaxTask(spark) {
+          val grams = hot
+            .select(col("doc_id"),
+              explode(graft.functions.HashExprs.wordNGrams(col("text"), 3)).as("gram"))
+            .distinct()
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+          chkWin = checksum(
+            grams.withColumn("df", count(lit(1)).over(w))
+              .groupBy(col("doc_id"))
+              .agg(
+                count(lit(1)).as("n_grams"),
+                sum(when(col("df") <= 1, 1L).otherwise(0L)).as("n_rare")))
+        }
+        require(chkAgg == chkWin,
+          s"novelty aggregate and window forms disagree: $chkAgg vs $chkWin")
+        println(s"""{"bench":"scale","scale":$k,"query":"novelty_hot_agg","sec":$tAgg,"max_task_ms":$maxAgg}""")
+        println(s"""{"bench":"scale","scale":$k,"query":"novelty_hot_window","sec":$tWin,"max_task_ms":$maxWin}""")
+        Seq("novelty_hot_agg" -> tAgg, "novelty_hot_window" -> tWin)
+      }
       // Incremental gram-index maintenance: at corpus scale k, a snapshot
       // rebuild (write the full index) costs ∝ k; appending a FIXED intake
       // batch (the base corpus re-idd, constant size across scales) must
@@ -901,7 +964,8 @@ object ScaleBench {
           "bpe_train_rescan" -> tRescan) ++ depth
       }
       k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
-        simPackTimes ++ bloomTimes ++ hotTimes ++ containHotTimes ++ gramAppendTimes ++ phashTimes ++
+        simPackTimes ++ bloomTimes ++ hotTimes ++ containHotTimes ++ gramAppendTimes ++
+        noveltyHotTimes ++ phashTimes ++
         audioTimes ++ videoTimes ++ repeatsTimes ++ chunkTimes ++ bpeTrainTimes)
     }.toMap
 
@@ -919,6 +983,7 @@ object ScaleBench {
       (if (doHot) Seq("substring_hot_salted", "substring_hot_legacy") else Nil) ++
       (if (doContainHot) Seq("containment_hot_prefix", "containment_hot_naive", "containment_hot_full") else Nil) ++
       (if (doGramAppend) Seq("gram_append") else Nil) ++
+      (if (doNoveltyHot) Seq("novelty_hot_agg", "novelty_hot_window") else Nil) ++
       (if (doPhash) Seq("phash") else Nil) ++
       (if (doAudio) Seq("audio_fp") else Nil) ++
       (if (doVideo) Seq("video_fp") else Nil) ++

@@ -275,6 +275,18 @@ class TfIdfSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("noveltyReport plan: gram df is an aggregate + join-back, never a gram window") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("id", "t")
+    val plan = TextAnalysis.noveltyReport(df, "id", "t")
+      .queryExecution.executedPlan.toString
+    // a count window over gram buffers the hottest gram's whole partition
+    // in one un-splittable task; the aggregate form partial-combines it
+    // map-side and the join-back is a shuffle join AQE can skew-split
+    assert(!plan.contains("Window"), s"window found in:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial (map-side) count in:\n$plan")
+  }
+
   test("noveltyVsReference: seen grams don't count as new; bloom bound never overcounts") {
     import graft.operators.TextAnalysis
     import graft.functions.BloomExprs
