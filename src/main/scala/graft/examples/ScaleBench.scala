@@ -166,7 +166,7 @@ object ScaleBench {
     (0 until n).map(i => s((i + c) % n)).mkString
   }
 
-  private def scaleDocs(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+  private[examples] def scaleDocs(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     // The cipher must be a bijection in the ANALYZERS' domain: every dedup
     // operator lowercases first, so any cipher whose case-folded image
@@ -192,7 +192,7 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
-  private def scaleEmbeddings(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+  private[examples] def scaleEmbeddings(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
     // derive the dimension from the data — a hardcoded 64 would silently
     // truncate copies of any other corpus into ragged vectors and corrupt

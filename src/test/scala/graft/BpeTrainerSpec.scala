@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * parity on a tiny corpus, determinism across partitionings, validate
   * round-trip, and the byte-level alphabet.
   */
+@org.scalatest.tags.Slow
 class BpeTrainerSpec extends SparkSpec {
   import spark.implicits._
 

@@ -4,6 +4,7 @@ import graft.lake.Lake
 import graft.operators.CorpusPipeline
 import org.apache.spark.sql.functions._
 
+@org.scalatest.tags.Slow
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
 

@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *    every cycle — a politeness bug that only manifests after the index
   *    rebuild would escape a single-batch test.
   */
+@org.scalatest.tags.Slow
 class CrawlCycleSoakSpec extends SparkSpec {
   import spark.implicits._
 

@@ -61,6 +61,7 @@ object PhotoFakes {
   * re-scrape with one change → current state + 2-version history + refresh
   * hash-dedup; plus circuit breaker, invalid-skip, checkpoint resume.
   */
+@org.scalatest.tags.Slow
 class EngineSpec extends SparkSpec {
   import spark.implicits._
 

@@ -3,6 +3,7 @@ package graft
 import graft.operators.{Dedup, Graph}
 import org.apache.spark.sql.functions._
 
+@org.scalatest.tags.Slow
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 

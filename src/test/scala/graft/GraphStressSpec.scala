@@ -7,6 +7,7 @@ import graft.operators.Graph
   * O(log n) round bound the star algorithm claims — and with it the
   * maxIter=50 convergence guard.
   */
+@org.scalatest.tags.Slow
 class GraphStressSpec extends SparkSpec {
   import spark.implicits._
 

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 /** Perceptual image hashing (dHash/aHash) + the banded pair search and the
   * pipeline image-dedup stage built on it.
   */
+@org.scalatest.tags.Slow
 class PHashSpec extends SparkSpec {
   import spark.implicits._
 

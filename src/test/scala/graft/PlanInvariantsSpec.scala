@@ -5,6 +5,7 @@ package graft
   * executed plan (not eyeballed). Complements ExplainCheck (interactive) and
   * the per-operator plan tests in AsOfJoinSpec/SamplingSpec/BucketingSpec.
   */
+@org.scalatest.tags.Slow
 class PlanInvariantsSpec extends SparkSpec {
   import graft.plan.PlanChecks
 

@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   * pairs); here it guards both the generator construction and the
   * operators' copy-independence at spec speed.
   */
+@org.scalatest.tags.Slow
 class ScaleLinearitySpec extends SparkSpec {
   import spark.implicits._
 

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * mis-measured engine — the exact failure mode ScaleBench's cipher
   * linearity law caught at 30×).
   */
+@org.scalatest.tags.Slow
 class ScdScaleSpec extends SparkSpec {
   private val base = "/root/testdata/sf0.001"
 

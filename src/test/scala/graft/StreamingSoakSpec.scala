@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   * scale, across multiple micro-batches (readTableStream caps files per
   * trigger, so the drain is a real multi-batch run, not one giant batch).
   */
+@org.scalatest.tags.Slow
 class StreamingSoakSpec extends SparkSpec {
   import spark.implicits._
 

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 /** Structured-Streaming smoke: the lake's hash-dedup + windowed-count
   * semantics running as a stream over parquet appends (SURVEY.md §2.10).
   */
+@org.scalatest.tags.Slow
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 

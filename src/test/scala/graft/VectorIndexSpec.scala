@@ -8,6 +8,7 @@ import scala.util.Random
 /** Persistent IVF-PQ index: build → reopen round-trip, partition-pruned
   * probe reads, and recall on clustered data.
   */
+@org.scalatest.tags.Slow
 class VectorIndexSpec extends SparkSpec {
   import spark.implicits._
 
