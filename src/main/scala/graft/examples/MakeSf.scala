@@ -46,7 +46,7 @@ object MakeSf {
       val f = new java.io.File(s"$baseDir/lineitem.parquet")
       s"${f.lastModified}:${f.length}"
     }
-    val tag = s"$baseDir@$baseFp*$k#v1"
+    val tag = s"$baseDir@$baseFp*$k#v2" // v2: contiguous doc/vec id spaces
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (fresh) return outDir
@@ -88,8 +88,15 @@ object MakeSf {
       replicate(read("events"), k,
         "event_id" -> 1000000000L, "user_id" -> 100000000L),
       "events")
-    write(ScaleBench.scaleDocs(spark, baseDir, k), "documents")
-    write(ScaleBench.scaleEmbeddings(spark, baseDir, k), "embeddings")
+    // CONTIGUOUS doc/vec id spaces (per-copy stride = base row count), not
+    // ScaleBench's disjoint 100M ones: the media fixtures pack doc_id into
+    // bounded code spaces (audio tones < 7^6, video frames < 8^7) and a
+    // 100M offset overflows them — measured as q115/q127 failing at sf1.
+    // Contiguous ids are also what the driver's own sf scaling produces.
+    val nDocs = span(read("documents"), "doc_id")
+    val nVecs = span(read("embeddings"), "vec_id")
+    write(ScaleBench.scaleDocs(spark, baseDir, k, idOffset = nDocs), "documents")
+    write(ScaleBench.scaleEmbeddings(spark, baseDir, k, idOffset = nVecs), "embeddings")
     java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
     outDir
   }

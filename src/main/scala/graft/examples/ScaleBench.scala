@@ -166,7 +166,15 @@ object ScaleBench {
     (0 until n).map(i => s((i + c) % n)).mkString
   }
 
-  private[examples] def scaleDocs(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+  /** `idOffset` is the per-copy doc_id stride. ScaleBench's own curves use
+    * the default disjoint 100M spaces; MakeSf passes the base table's row
+    * count for CONTIGUOUS ids — the media fixtures pack doc_id into
+    * bounded code spaces (audio < 7^6, video < 8^7), which 100M offsets
+    * overflow (measured: q115/q127 fail at sf1 under the default).
+    */
+  private[examples] def scaleDocs(
+      spark: SparkSession, baseDir: String, k: Int,
+      idOffset: Long = IdOffset): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     // The cipher must be a bijection in the ANALYZERS' domain: every dedup
     // operator lowercases first, so any cipher whose case-folded image
@@ -183,7 +191,7 @@ object ScaleBench {
       if (c == 0) base
       else
         base.select(
-          (col("doc_id") + c * IdOffset).as("doc_id"),
+          (col("doc_id") + c * idOffset).as("doc_id"),
           translate(lower(col("text")), alphabet, rotated(alphabet, c)).as("text"),
           col("lang"),
           col("source"),
@@ -192,7 +200,9 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
-  private[examples] def scaleEmbeddings(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
+  private[examples] def scaleEmbeddings(
+      spark: SparkSession, baseDir: String, k: Int,
+      idOffset: Long = IdOffset): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
     // derive the dimension from the data — a hardcoded 64 would silently
     // truncate copies of any other corpus into ragged vectors and corrupt
@@ -207,7 +217,7 @@ object ScaleBench {
       else {
         val e = col("embedding")
         base.select(
-          (col("vec_id") + c * IdOffset).as("vec_id"),
+          (col("vec_id") + c * idOffset).as("vec_id"),
           concat(slice(e, c + 1, dim - c), slice(e, 1, c)).as("embedding"),
           col("label")
         )

@@ -225,10 +225,13 @@ object SimilarityQueries {
   )
 
   /** TF-IDF cosine top-k ([[TfIdf.topKSimilar]]): sparse-vector textual
-    * similarity through a df-capped inverted term index. The idf is a
-    * scaled exact integer, so dot products are BIGINT sums — the cosine is
-    * bit-identical regardless of distributed partial-aggregation order
-    * (see TfIdf scaladoc); the oracle replays the same integer arithmetic.
+    * similarity through a df-capped inverted term index — BOTH cutoffs
+    * (relative maxDfFrac and the absolute Luhn bound that keeps the pair
+    * join sub-quadratic as the corpus grows; see TfIdf.weights). The idf
+    * is a scaled exact integer, so dot products are BIGINT sums — the
+    * cosine is bit-identical regardless of distributed partial-aggregation
+    * order (see TfIdf scaladoc); the oracle replays the same integer
+    * arithmetic including the LEAST(frac, count) df gate.
     */
   private val q67 = Q(
     "q67_tfidf_topk",
@@ -245,7 +248,7 @@ object SimilarityQueries {
       nn AS (SELECT count(*) AS n FROM documents),
       w AS (SELECT doc_id, term, tf * (((SELECT n FROM nn) + 1) * 100 // (df + 1)) AS w
             FROM tf JOIN dfx USING (term)
-            WHERE df <= (SELECT n FROM nn) * 0.5),
+            WHERE df <= LEAST((SELECT n FROM nn) * 0.5, 1000)),
       norms AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS nsq FROM w GROUP BY 1),
       dots AS (SELECT a.doc_id AS doc_id, b.doc_id AS sim_id, CAST(SUM(a.w*b.w) AS BIGINT) AS dot
                FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id GROUP BY 1, 2),

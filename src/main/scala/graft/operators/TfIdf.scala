@@ -30,12 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** (doc_id, term, w) exact-integer tf-idf weights. */
+  /** (doc_id, term, w) exact-integer tf-idf weights.
+    *
+    * Two df cutoffs compose (a term survives only under BOTH): `maxDfFrac`
+    * is the relative idf-signal cut, and `maxDfCount` is the ABSOLUTE
+    * posting-list bound that keeps the pair join sub-quadratic at scale —
+    * a fractional cap alone GROWS with the corpus (0.5·N at 50k docs is a
+    * 25k-doc posting list → 625M candidate pairs from one term: measured
+    * as q67 spilling >50 GB at the sf1 bench point), so the hot-term
+    * control it was meant to be stops controlling exactly when it matters.
+    * The absolute cut is the classic Luhn upper cutoff: a term in
+    * thousands of documents carries ~no idf weight but all of the join
+    * cost, whatever the corpus size. Candidate volume is then bounded by
+    * |terms|·maxDfCount² regardless of N.
+    */
   def weights(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDfFrac: Double
+      maxDfFrac: Double,
+      maxDfCount: Long = 1000L
   ): DataFrame = {
     val n = df.count()
     val tf = df
@@ -52,7 +66,7 @@ object TfIdf {
     // back at all. tf persists: the df aggregate and the probe both read
     // it.
     val dfPerTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= lit(n * maxDfFrac))
+      .filter(col("df") <= least(lit(n * maxDfFrac), lit(maxDfCount)))
     tf
       .join(dfPerTerm, Seq("term"))
       .select(
@@ -73,9 +87,10 @@ object TfIdf {
       idCol: String,
       textCol: String,
       k: Int,
-      maxDfFrac: Double = 0.5
+      maxDfFrac: Double = 0.5,
+      maxDfCount: Long = 1000L
   ): DataFrame = {
-    val w = weights(df, idCol, textCol, maxDfFrac)
+    val w = weights(df, idCol, textCol, maxDfFrac, maxDfCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // w-products in DECIMAL(38,0): w itself is bounded by tf*(N+1)*100, but
     // w*w squares that — a LongType product wraps silently once the corpus
