@@ -356,10 +356,16 @@ object Dedup {
     *
     * Scale shape: winnowing selects ~2/(w+1) of the k-gram hashes, so the
     * inverted index is ~(w+1)/2× smaller than a full gram index before any
-    * filtering, and boilerplate fingerprints (shared by > maxDfFrac of the
-    * corpus — the hot keys that make posting-list self-joins quadratic) are
-    * dropped up front, exactly the stop-gram control PPJoin achieves with
-    * prefixes. Join output is then bounded by cap·|postings|, not count².
+    * filtering, and boilerplate fingerprints are dropped up front, exactly
+    * the stop-gram control PPJoin achieves with prefixes. TWO df cutoffs
+    * compose (a fingerprint survives only under BOTH — the TfIdf rule):
+    * `maxDfFrac` is the relative boilerplate cut, and `maxDfCount` is the
+    * ABSOLUTE posting-list bound. The relative cut alone GROWS with the
+    * corpus: at the sf1 point (50k docs) 0.05·N admits 2,500-doc posting
+    * lists — ~3.1M self-join pairs from ONE hot fingerprint — and the
+    * measured q56 wall was 27.5 s (8.6× sf0.1 for 10× docs, superlinear);
+    * at 100 TB the same frac is a 10⁸-doc list. The absolute bound caps
+    * candidate volume at |fps|·maxDfCount² whatever N.
     */
   def winnowingOverlapPairs(
       df: DataFrame,
@@ -368,7 +374,8 @@ object Dedup {
       k: Int = 5,
       w: Int = 8,
       maxDfFrac: Double = 0.05,
-      minShared: Int = 5
+      minShared: Int = 5,
+      maxDfCount: Long = 1000L
   ): DataFrame = {
     val nDocs = df.count()
     val fps = df.select(
@@ -390,7 +397,9 @@ object Dedup {
     // table) — callers holding many results long-term should unpersist via
     // sparkSession.sharedState.cacheManager if storage pressure matters.
     val kept = fps
-      .join(dfTable.filter(col("__df") <= lit(nDocs * maxDfFrac)), Seq("fp"))
+      .join(
+        dfTable.filter(col("__df") <= least(lit(nDocs * maxDfFrac), lit(maxDfCount))),
+        Seq("fp"))
       .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     kept

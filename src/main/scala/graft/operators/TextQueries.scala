@@ -223,23 +223,27 @@ object TextQueries {
   )
 
   /** MOSS-style near-dup pairs over the winnowing fingerprints: inverted
-    * fingerprint index with boilerplate fingerprints dropped (document
-    * frequency > 5% of the corpus — the hot-key control), pairs ranked by
-    * shared-fingerprint count. Finds the corpus's organic partial-overlap
-    * near-dups (not just planted full copies).
+    * fingerprint index with boilerplate fingerprints dropped under BOTH df
+    * cutoffs (relative 5% of the corpus AND the absolute 1000-doc
+    * posting-list bound — the TfIdf/q67 rule; the relative cut alone grows
+    * with the corpus), pairs ranked by shared-fingerprint count. Finds the
+    * corpus's organic partial-overlap near-dups (not just planted full
+    * copies).
     */
   private val q56 = Q(
     "q56_winnowing_overlap",
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       Dedup
-        .winnowingOverlapPairs(T.documents, "doc_id", "text", 5, 8, maxDfFrac = 0.05, minShared = 5)
+        .winnowingOverlapPairs(
+          T.documents, "doc_id", "text", 5, 8,
+          maxDfFrac = 0.05, minShared = 5, maxDfCount = 1000L)
         .orderBy($"doc_a", $"doc_b")
     },
     Some(s"""
       WITH $winnowCte,
       keep AS (SELECT fp FROM sel GROUP BY fp
-               HAVING count(*) <= (SELECT count(*) FROM documents) * 0.05),
+               HAVING count(*) <= LEAST((SELECT count(*) FROM documents) * 0.05, 1000)),
       f AS (SELECT doc_id, fp FROM sel JOIN keep USING (fp)),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -252,6 +252,29 @@ class DedupSpec extends SparkSpec {
     assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty) // unrelated docs disjoint
   }
 
+  test("winnowing overlap: the absolute df cap binds where the relative cut does not") {
+    // 40 docs all sharing one boilerplate passage — every cross-doc shared
+    // fingerprint has df >= 2, UNDER the relative cut (1.5 * 40, off)
+    // but OVER an absolute cap of 1 — the TfIdf two-cutoff rule. Relative-
+    // only admits the boilerplate posting lists (780 pairs from one hot
+    // fingerprint, the sf1 blow-up in miniature); the absolute cap bounds
+    // posting-list length regardless of corpus size, so under it no pair
+    // can form at all.
+    val boiler = "this exact boilerplate footer sentence appears on every single page of the site"
+    // each doc's unique half is a distinct anchored two-letter pattern
+    // repeated, so the only cross-doc shared substrings are the boilerplate's
+    val hot = (0L until 40L).map { i =>
+      val uniq = s"x${('a' + i / 26).toChar}${('a' + i % 26).toChar}" * 14
+      (i, s"$uniq $boiler")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.winnowingOverlapPairs(
+      hot, "doc_id", "text", maxDfFrac = 1.5, minShared = 1, maxDfCount = 1L)
+    assert(capped.count() == 0, "absolute cap must drop every shared posting list")
+    val uncapped = Dedup.winnowingOverlapPairs(
+      hot, "doc_id", "text", maxDfFrac = 1.5, minShared = 1, maxDfCount = Long.MaxValue)
+    assert(uncapped.count() == 40L * 39L / 2L, "relative-only admits all boilerplate pairs")
+  }
+
   test("language id picks marker-matching language") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),

@@ -32,6 +32,16 @@ class TfIdfSpec extends SparkSpec {
     assert(w.contains("cherry") && w.contains("durian"))
   }
 
+  test("absolute df bound binds where the relative cut does not (LEAST composition)") {
+    // apple/banana have df 3 of 4: the relative cut at 1.0 keeps them, the
+    // absolute Luhn bound at 2 drops them — posting-list length is capped
+    // whatever the corpus size (the sf1 blow-up control)
+    val w = TfIdf.weights(docs, "doc_id", "text", maxDfFrac = 1.0, maxDfCount = 2L)
+      .select($"term").distinct().collect().map(_.getString(0)).toSet
+    assert(!w.contains("apple") && !w.contains("banana"))
+    assert(w.contains("cherry") && w.contains("durian")) // df 2 survives
+  }
+
   test("weights are exact integers (the determinism contract)") {
     val types = TfIdf.weights(docs, "doc_id", "text", 1.0).schema("w").dataType
     assert(types == org.apache.spark.sql.types.LongType)
