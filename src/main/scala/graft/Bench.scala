@@ -22,11 +22,6 @@ object Bench {
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
       r.join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
         .groupBy(col("r_name")).count().collect()
-      // warm the canary's own codegen + C2 path at FULL size so sweep-1's
-      // canary measures host capacity, not first-use JIT (~2x inflation
-      // observed with a smaller warm-up)
-      spark.range(0, 64000000L, 1, cpus.toInt)
-        .select(sum(xxhash64(col("id")))).collect()
     }
     // min of three timed runs per query, with the reps INTERLEAVED: three
     // full sweeps over every query, per-query min across sweeps. This host
@@ -66,7 +61,13 @@ object Bench {
     // Rejection rule (documented in README): any canary > 1.5x CANARY_REF
     // (the committed idle-host reference) => the run is load-contaminated;
     // rerun it rather than reading per-query deltas from it.
-    val CanaryRef = 0.19 // idle-host seconds at local[32], committed round 13
+    // The committed reference is an idle-host measurement at local[32]; the
+    // canary job is embarrassingly parallel (one range partition per core,
+    // no shuffle), so its wall scales ~32/cpus — without the rescale, every
+    // idle run at the default SPARK_GRAFT_CPUS=4 would read ~8x the 32-core
+    // reference and be falsely flagged load-contaminated. The report records
+    // cpus so a reader can reproduce the rescale.
+    val CanaryRef = 0.19 * (32.0 / cpus.toInt) // idle local[32] seconds, committed round 13
     def canaryOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -74,6 +75,11 @@ object Bench {
         .select(sum(xxhash64(col("id")))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // warm the canary's own codegen + C2 path at FULL size so sweep-1's
+    // canary measures host capacity, not first-use JIT (~2x inflation
+    // observed with a smaller warm-up); calling canaryOnce() itself keeps
+    // the warm-up and the measured job from ever drifting apart
+    canaryOnce()
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val sweeps = (1 to 3).map { _ =>
       canaries += canaryOnce()
@@ -99,7 +105,7 @@ object Bench {
     // BEST canary is still >1.5x the idle reference.
     val canaryLoaded = canaries.nonEmpty && canaries.min > 1.5 * CanaryRef
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"cpus":$cpus}"""
     println(line)
     if (canaryLoaded)
       System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
@@ -111,12 +117,12 @@ object Bench {
     // and the canary record, the audit trail that distinguishes a loaded
     // host from a real regression without a re-run — is therefore also
     // written to a JSON file with a stable schema
-    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,sf},
+    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,cpus,sf},
     // queries sorted by name. Path override: SPARK_GRAFT_BENCH_REPORT.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"cpus":$cpus,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {

@@ -46,7 +46,7 @@ object MakeSf {
       val f = new java.io.File(s"$baseDir/lineitem.parquet")
       s"${f.lastModified}:${f.length}"
     }
-    val tag = s"$baseDir@$baseFp*$k#v2" // v2: contiguous doc/vec id spaces
+    val tag = s"$baseDir@$baseFp*$k#v3" // v3: embeddings aligned to doc stride
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (fresh) return outDir
@@ -94,9 +94,17 @@ object MakeSf {
     // 100M offset overflows them — measured as q115/q127 failing at sf1.
     // Contiguous ids are also what the driver's own sf scaling produces.
     val nDocs = span(read("documents"), "doc_id")
-    val nVecs = span(read("embeddings"), "vec_id")
     write(ScaleBench.scaleDocs(spark, baseDir, k, idOffset = nDocs), "documents")
-    write(ScaleBench.scaleEmbeddings(spark, baseDir, k, idOffset = nVecs), "embeddings")
+    // embeddings replicate with the DOCUMENTS' stride, not their own row
+    // count: the base corpus pairs vec_id i with doc_id i (vecs 0..1999 of
+    // docs 0..4999), and queries join on vec_id = doc_id (q76's metadata
+    // filter). A per-copy offset of nVecs (2000) would hand copy-1's
+    // vectors the ids of copy-0's docs 2000..4999 — a scrambled
+    // doc-embedding association, not a k-scaled copy of the base problem.
+    // The resulting vec_id gaps (c·5000 + 0..1999) are harmless: nothing
+    // packs vec_id into a bounded code space (that constraint is doc_id's,
+    // see above).
+    write(ScaleBench.scaleEmbeddings(spark, baseDir, k, idOffset = nDocs), "embeddings")
     java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
     outDir
   }

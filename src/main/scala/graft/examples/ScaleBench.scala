@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.SparkEntry
-import graft.operators.{Decontaminate, Dedup, EntityResolution, Graph, Multimodal, Sampling, VectorIndex}
+import graft.operators.{Decontaminate, Dedup, EntityResolution, Graph, Multimodal, Sampling, Similarity, VectorIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -409,6 +409,7 @@ object ScaleBench {
     val doContainHot = only.forall(f => f.exists(_.startsWith("containment_hot")))
     val doGramAppend = only.forall(f => f.exists(_.startsWith("gram_append")))
     val doNoveltyHot = only.forall(f => f.exists(_.startsWith("novelty_hot")))
+    val doLshKnob = only.forall(f => f.exists(_.startsWith("lsh_knob")))
     val doPhash = only.forall(f => f.contains("phash"))
     val doAudio = only.forall(f => f.contains("audio_fp"))
     val doBpeTrain = only.forall(f => f.exists(_.startsWith("bpe_train")))
@@ -723,6 +724,67 @@ object ScaleBench {
         println(s"""{"bench":"scale","scale":$k,"query":"novelty_hot_window","sec":$tWin,"max_task_ms":$maxWin}""")
         Seq("novelty_hot_agg" -> tAgg, "novelty_hot_window" -> tWin)
       }
+      // Fixed-vs-scaled LSH geometry for the embedding near-dup family
+      // (the q54/q110 knob law, measured at the sf1 point as the suite's
+      // one super-linear row): with FIXED bands × bits, candidate pairs
+      // grow ∝ N²/2^bits as bucket occupancy rises; scaling bits/band
+      // ~log₂(k) keeps occupancy — and so candidates per doc — constant.
+      // Both geometries run the FULL verified operator on the q54 fixture
+      // (corpus ∪ +0.05-perturbed copy). Reported per form: candidate-pair
+      // count (the bounded quantity), wall, and planted-pair recall —
+      // narrower buckets buy candidate volume with recall on the margin,
+      // and that price is measured here, not hidden (which is also why an
+      // occupancy CAP would be wrong for LSH: hot buckets hold real dense-
+      // region pairs, unlike boilerplate grams).
+      val lshKnobTimes = if (!doLshKnob) Nil else {
+        val baseV = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        // twin ids sit far above ANY per-copy id space this bench
+        // materializes (copy offsets are 1e8-strided; 30 copies < 4e9):
+        // reusing the copy stride here would hand copy-c's twin the id of
+        // copy-(c+1)'s base vector, and dropDuplicates would then score an
+        // arbitrary one of the two — scrambling both the candidate count
+        // and the planted recall at every k >= 2
+        val twinOff = 1000000000000L
+        val nearV = baseV.select(
+          (col("vec_id") + twinOff).as("vec_id"),
+          transform(col("emb"), (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("emb"))
+        val u = baseV.unionByName(nearV)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPlanted = baseV.count()
+        def runForm(bits: Int, tag: String): Seq[(String, Double)] = {
+          val planes = Similarity.hyperplanes(4 * bits, 64)
+          val perBand = planes.size / 4
+          // the operator's own candidate stage, reconstructed standalone so
+          // the bounded quantity is countable before the cosine verify
+          val bandCols = (0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              Similarity.lshBucket(col("emb"), planes.slice(b * perBand, (b + 1) * perBand)).as("bucket"))
+          }
+          val keyed = u.select(col("vec_id"), col("emb"))
+            .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+          var cands = 0L
+          val tCand = time2(spark) {
+            cands = keyed.as("a")
+              .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+              .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+          }
+          var found = 0L
+          val tFull = time2(spark) {
+            found = Dedup.embedNearDupPairs(u, "vec_id", "emb", planes, bands = 4, threshold = 0.9)
+              .filter(col("doc_b") === col("doc_a") + twinOff)
+              .count()
+          }
+          val recall = found.toDouble / nPlanted
+          println(s"""{"bench":"scale","scale":$k,"query":"lsh_knob_$tag","sec":$tFull,"cand_sec":$tCand,"candidates":$cands,"bits":$bits,"recall":$recall}""")
+          Seq(s"lsh_knob_$tag" -> tFull)
+        }
+        val fixed = runForm(8, "fixed")
+        val scaledBits = 8 + math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt
+        val scaled = runForm(scaledBits, "scaled")
+        u.unpersist()
+        fixed ++ scaled
+      }
       // Incremental gram-index maintenance: at corpus scale k, a snapshot
       // rebuild (write the full index) costs ∝ k; appending a FIXED intake
       // batch (the base corpus re-idd, constant size across scales) must
@@ -975,7 +1037,7 @@ object ScaleBench {
       }
       k -> (queryTimes ++ vindexTimes ++ erTimes ++ avTimes ++ semTimes ++ trimTimes ++
         simPackTimes ++ bloomTimes ++ hotTimes ++ containHotTimes ++ gramAppendTimes ++
-        noveltyHotTimes ++ phashTimes ++
+        noveltyHotTimes ++ lshKnobTimes ++ phashTimes ++
         audioTimes ++ videoTimes ++ repeatsTimes ++ chunkTimes ++ bpeTrainTimes)
     }.toMap
 
@@ -994,6 +1056,7 @@ object ScaleBench {
       (if (doContainHot) Seq("containment_hot_prefix", "containment_hot_naive", "containment_hot_full") else Nil) ++
       (if (doGramAppend) Seq("gram_append") else Nil) ++
       (if (doNoveltyHot) Seq("novelty_hot_agg", "novelty_hot_window") else Nil) ++
+      (if (doLshKnob) Seq("lsh_knob_fixed", "lsh_knob_scaled") else Nil) ++
       (if (doPhash) Seq("phash") else Nil) ++
       (if (doAudio) Seq("audio_fp") else Nil) ++
       (if (doVideo) Seq("video_fp") else Nil) ++

@@ -28,11 +28,19 @@ object BytesSupport {
   def concatAll(arr: ArrayData): Array[Byte] = {
     if (arr == null) return null
     val n = arr.numElements()
+    // getBinary on UnsafeArrayData materializes a fresh copy per call, so
+    // the length pass keeps its arrays for the copy pass — each member is
+    // materialized exactly once (the scaladoc's one-copy-per-element claim;
+    // a second getBinary sweep would memcpy every shard twice on the WET
+    // write path this expression exists to linearize)
+    val members = new Array[Array[Byte]](n)
     var total = 0L
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      total += arr.getBinary(i).length
+      val m = arr.getBinary(i)
+      members(i) = m
+      total += m.length
       i += 1
     }
     if (total > Int.MaxValue) return null // > 2 GiB cannot be one JVM array
@@ -40,7 +48,7 @@ object BytesSupport {
     var pos = 0
     i = 0
     while (i < n) {
-      val m = arr.getBinary(i)
+      val m = members(i)
       System.arraycopy(m, 0, out, pos, m.length)
       pos += m.length
       i += 1

@@ -98,7 +98,8 @@ object LmScore {
     val bigrams = bigramCounts(ref, textCol)
     val r = vocab.agg(sum(col("cnt")), count(lit(1))).head()
     val tv = (if (r.isNullAt(0)) 0L else r.getLong(0)) + r.getLong(1)
-    require(tv > 0, "reference slice is empty - no model to score against")
+    require(tv > 0 && tv <= Long.MaxValue / Scale,
+      "reference slice is empty or too large for exact milli-cost arithmetic")
     val ts = TextAnalysis.tokens(col(textCol))
     val toks = docs
       .select(col(idCol).as("doc_id"), ts.as("__ts"))
@@ -139,7 +140,8 @@ object LmScore {
     val r = vocab.agg(sum(col("cnt")), count(lit(1))).head()
     // T + V: total reference tokens + vocabulary size (add-one smoothing mass).
     val tv = (if (r.isNullAt(0)) 0L else r.getLong(0)) + r.getLong(1)
-    require(tv > 0, "reference slice is empty - no model to score against")
+    require(tv > 0 && tv <= Long.MaxValue / Scale,
+      "reference slice is empty or too large for exact milli-cost arithmetic")
     val toks = docs.select(
       col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term")

@@ -109,6 +109,12 @@ object UnigramTrainer {
     def costsOf(usage: Seq[(String, Long)]): (Seq[(String, Long)], Long) = {
       val t = usage.map(_._2).sum
       val v = usage.size.toLong
+      // division-form guard (the UnigramExprs rule — a multiply-form check
+      // can itself wrap): t is a CORPUS-scale token total, and at ~1e16
+      // occurrences (t + v) * 1000 silently overflows Long, corrupting
+      // every cost and the unkCost ceiling with it
+      require(t >= 0 && t <= Long.MaxValue / 1000L - v,
+        s"usage total $t too large for exact milli-cost arithmetic")
       val pieces = usage.map { case (p, u) => (p, (t + v) * 1000L / (u + 1L)) }
       (pieces, (t + v) * 1000L)
     }

@@ -205,8 +205,15 @@ class LakeSpec extends SparkSpec {
 
     @volatile var writerDone = false
     @volatile var writerErr: Option[Throwable] = None
+    // the writer holds until the reader is about to issue its first read:
+    // under full-suite load the reader thread can otherwise get scheduled
+    // so late that all 6 writer cycles finish first, and the
+    // race-exercised assertion below trips with nothing actually wrong
+    val readerReady = new java.util.concurrent.CountDownLatch(1)
     val writer = new Thread(() => {
-      try (1 to 6).foreach { _ =>
+      try {
+        readerReady.await()
+        (1 to 6).foreach { _ =>
         // re-fragment (with the same rename-aside discipline as compact —
         // a recursive delete of the live dir would expose readers to a
         // partial LISTING, which the product swap never does), then compact:
@@ -221,6 +228,7 @@ class LakeSpec extends SparkSpec {
         assert(fs.rename(p(s"$root/s/t.__refrag"), p(s"$root/s/t")))
         fs.delete(p(s"$root/s/t.__gone"), true)
         Lake.compact(spark, root, "s", "t")
+        }
       } catch { case t: Throwable => writerErr = Some(t) }
       finally writerDone = true
     })
@@ -232,12 +240,13 @@ class LakeSpec extends SparkSpec {
     // enough that only 1-2 complete while the writer is live, so the floor
     // must not be a deadline on the racing window. "Race exercised" is
     // asserted separately via reads that STARTED while the writer was live —
-    // the reader enters its loop long before the writer's 12 Spark jobs
-    // finish, so at least the first read always races.
+    // the writer is latched on the reader reaching its first read, so the
+    // first read always races however late this thread gets scheduled.
     var reads = 0
     var racedReads = 0
     while (!writerDone || reads < 3) {
       val racing = !writerDone
+      readerReady.countDown() // release the writer just before the first read
       // attempts sized for the hammer, generously: the writer swaps
       // back-to-back with no think time (two swaps per cycle — far denser
       // than any real compaction cadence), and under full-suite load a
