@@ -73,8 +73,14 @@ object CharsetSupport {
       else {
         val sb = new java.lang.StringBuilder(raw)
         while (ci >= 0) {
-          val e = raw.indexOf("-->", ci + 4)
-          val stop = if (e < 0) raw.length else e + 3
+          // HTML5 abruptly-closed empty comments ("<!-->", "<!--->") end at
+          // their '>'; treating them as unterminated would blank the whole
+          // rest of the head and lose every later declaration
+          val stop =
+            if (ci + 4 < raw.length && raw.charAt(ci + 4) == '>') ci + 5
+            else if (ci + 5 < raw.length && raw.charAt(ci + 4) == '-' &&
+              raw.charAt(ci + 5) == '>') ci + 6
+            else { val e = raw.indexOf("-->", ci + 4); if (e < 0) raw.length else e + 3 }
           var p = ci
           while (p < stop) { sb.setCharAt(p, ' '); p += 1 }
           ci = raw.indexOf("<!--", stop)
@@ -92,7 +98,7 @@ object CharsetSupport {
       val e = head.indexOf("encoding=", ws)
       if (e >= 0 && e < end) {
         val l = readLabel(head, e + 9)
-        if (l != null) return l
+        if (l != null) return fromAsciiDecl(l)
       }
     }
     // every <meta …> span in the head (name must END at "<meta" + ws/'/'
@@ -109,7 +115,19 @@ object CharsetSupport {
       val isMeta = after >= head.length || head.charAt(after) <= ' ' ||
         head.charAt(after) == '/' || head.charAt(after) == '>'
       if (isMeta) {
-        val gt = head.indexOf('>', m)
+        // quote-aware span end (the prescan's attribute rules): a quoted
+        // attribute value containing '>' must not truncate the span before
+        // the charset attribute is reached
+        var gt = -1
+        var qq = 0.toChar
+        var z = after
+        while (gt < 0 && z < head.length) {
+          val cz = head.charAt(z)
+          if (qq != 0) { if (cz == qq) qq = 0.toChar }
+          else if (cz == '"' || cz == '\'') qq = cz
+          else if (cz == '>') gt = z
+          z += 1
+        }
         val end = if (gt < 0) head.length else gt
         // parse the span's name[=value] attributes structurally
         var charsetAttr: String = null
@@ -153,7 +171,7 @@ object CharsetSupport {
         }
         if (charsetAttr != null) {
           val l = readLabel(charsetAttr, 0)
-          if (l != null) return l
+          if (l != null) return fromAsciiDecl(l)
         } else if (httpEquiv == "content-type" && contentAttr != null) {
           // "get an encoding from a meta element": find charset, optional
           // whitespace, '=', optional whitespace, then the label
@@ -165,7 +183,7 @@ object CharsetSupport {
               var w = v + 1
               while (w < contentAttr.length && contentAttr.charAt(w) <= ' ') w += 1
               val l = readLabel(contentAttr, w)
-              if (l != null) return l
+              if (l != null) return fromAsciiDecl(l)
             }
           }
         }
@@ -174,6 +192,16 @@ object CharsetSupport {
     }
     null
   }
+
+  /** WHATWG post-processing for a declaration found by the ASCII prescan:
+    * a document whose charset declaration was readable as an ASCII byte
+    * run cannot actually BE UTF-16 (UTF-16 meta bytes are two-byte units,
+    * not an ASCII run) — the label is a lie, and honoring it fuses every
+    * byte pair into a garbage code point. The spec maps the UTF-16 family
+    * to UTF-8; real UTF-16 documents are caught by their BOM above.
+    */
+  private def fromAsciiDecl(l: String): String =
+    if (l == "utf-16" || l == "utf-16le" || l == "utf-16be") "utf-8" else l
 
   /** Label run at `from` (optional single/double quote, then
     * letters/digits/-/_); null when empty.
@@ -223,11 +251,27 @@ object CharsetSupport {
           (((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) ||
             ((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)))
     if (label == null || hasBom) return decode(bytes)
-    val cs = charsetFor(label.toString.toLowerCase(java.util.Locale.ROOT))
+    // an UNRECOGNIZED transport label is no label at all (WHATWG: treat as
+    // absent and fall through to the in-document declaration) — mapping it
+    // straight to UTF-8 here would let a header the engine cannot use
+    // OVERRIDE a meta declaration it can, inverting the precedence
+    val cs = charsetForOrNull(label.toString.toLowerCase(java.util.Locale.ROOT))
+    if (cs == null) return decode(bytes)
     UTF8String.fromString(new String(bytes, 0, bytes.length, cs))
   }
 
   private def charsetFor(label: String): java.nio.charset.Charset = {
+    val cs = charsetForOrNull(label)
+    if (cs == null) java.nio.charset.StandardCharsets.UTF_8 // unknown declaration: the web's default
+    else cs
+  }
+
+  /** The charset for a recognized label, or null for one the engine does
+    * not know — callers that have a FALLBACK signal (decodeWith's
+    * in-document declaration) must distinguish "explicitly utf-8" from
+    * "unusable label".
+    */
+  private def charsetForOrNull(label: String): java.nio.charset.Charset = {
     import java.nio.charset.StandardCharsets._
     label match {
       case null | "utf-8" | "utf8" => UTF_8
@@ -238,7 +282,7 @@ object CharsetSupport {
         try java.nio.charset.Charset.forName("windows-1252")
         catch { case _: Exception => ISO_8859_1 }
       case "us-ascii" | "ascii" => US_ASCII
-      case _ => UTF_8 // unknown declaration: the web's default
+      case _ => null
     }
   }
 }

@@ -135,10 +135,14 @@ object FeedSupport {
     if (start < 0) return null
     val end = indexOfClose(s, start, name)
     if (end < 0 || end > to) return null
-    var body = s.substring(start, end).trim
+    val body = s.substring(start, end).trim
+    // CDATA content is LITERAL per XML: "&amp;" inside a CDATA section
+    // means those five characters (escaping them is the author's reason
+    // for using CDATA at all) — entity decoding applies only to plain
+    // element text
     if (body.startsWith("<![CDATA[") && body.endsWith("]]>"))
-      body = body.substring(9, body.length - 3).trim
-    HtmlSupport.decodeRefs(body)
+      body.substring(9, body.length - 3).trim
+    else HtmlSupport.decodeRefs(body)
   }
 
   /** The Atom entry link: href of the first `<link>` whose rel is absent

@@ -74,6 +74,52 @@ object HtmlSupport {
     else isAsciiLetter(c)
   }
 
+  /** End-exclusive position after a comment whose `<!--` opens at `lt`.
+    * HTML5's abruptly-closed empty comments \u2014 `<!-->` and `<!--->` \u2014 are
+    * COMPLETE comments (their `>` closes them even though the dashes
+    * overlap the opener); treating them as unterminated silently drops
+    * the whole rest of the document, and they are a common leftover of
+    * stripped conditional comments. Unterminated \u2192 n. Shared by every
+    * walk so text and structure agree on comment spans.
+    */
+  private def commentEnd(s: String, lt: Int, n: Int): Int = {
+    val from = lt + 4
+    if (from < n && s.charAt(from) == '>') from + 1
+    else if (from + 1 < n && s.charAt(from) == '-' && s.charAt(from + 1) == '>') from + 2
+    else { val e = s.indexOf("-->", from); if (e < 0) n else e + 3 }
+  }
+
+  /** Index of the first `</name` close tag at or after `from` whose name
+    * ends at an HTML5 name boundary (whitespace, `/`, `>`, or EOF), or n
+    * when none. The boundary check is the HTML5 close-tag rule: without
+    * it a `</scriptX>` inside a script body's string literal ends the
+    * element early and raw JS leaks into extracted corpus text.
+    */
+  private def rawTextClose(s: String, from: Int, name: String, n: Int): Int = {
+    val target = "</" + name
+    var j = from
+    while (j + target.length <= n) {
+      if (s.regionMatches(true, j, target, 0, target.length)) {
+        val after = j + target.length
+        if (after >= n || {
+            val ca = s.charAt(after)
+            ca == '>' || ca == '/' || isWs(ca)
+          }) return j
+      }
+      j += 1
+    }
+    n
+  }
+
+  /** End-exclusive position after the close tag [[rawTextClose]] finds
+    * (past its `>`), or n when the element is unterminated.
+    */
+  private def rawTextEnd(s: String, from: Int, name: String, n: Int): Int = {
+    val stop = rawTextClose(s, from, name, n)
+    if (stop >= n) n
+    else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+  }
+
   /** Collapse whitespace runs (incl. NBSP) to single spaces and trim \u2014
     * the rendered-text canonical form shared by [[extract]] and the
     * per-block texts of [[mainText]].
@@ -153,28 +199,10 @@ object HtmlSupport {
     val n = s.length
     val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
     var i = 0
-    // find "-->" from i, end-exclusive position after it; n if unterminated
-    def skipComment(from: Int): Int = {
-      val e = s.indexOf("-->", from)
-      if (e < 0) n else e + 3
-    }
-    // case-insensitive search for "</name" then its '>'
-    def skipElement(from: Int, name: String): Int = {
-      var j = from
-      val target = "</" + name
-      while (j + target.length <= n) {
-        if (s.regionMatches(true, j, target, 0, target.length)) {
-          val gt = s.indexOf('>', j)
-          return if (gt < 0) n else gt + 1
-        }
-        j += 1
-      }
-      n
-    }
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        if (s.startsWith("<!--", i)) { i = skipComment(i + 4) }
+        if (s.startsWith("<!--", i)) { i = commentEnd(s, i, n) }
         else if (!isTagOpen(s, i)) { sb.append(c); i += 1 }
         else {
           // tag name: optional '/', then letters/digits
@@ -198,7 +226,7 @@ object HtmlSupport {
           i = if (end < 0) n else end + 1
           if (!closing && (name == "script" || name == "style") &&
             end >= 0 && s.charAt(end - 1) != '/') {
-            i = skipElement(i, name)
+            i = rawTextEnd(s, i, name, n)
           }
           if (name.nonEmpty && BlockTags.contains(name)) sb.append(' ')
         }
@@ -233,8 +261,7 @@ object HtmlSupport {
       val lt = s.indexOf('<', i)
       if (lt < 0) i = n
       else if (s.startsWith("<!--", lt)) {
-        val e = s.indexOf("-->", lt + 4)
-        i = if (e < 0) n else e + 3
+        i = commentEnd(s, lt, n)
       } else if (!isTagOpen(s, lt)) {
         i = lt + 1 // literal '<' in text — not markup
       } else {
@@ -265,15 +292,7 @@ object HtmlSupport {
         if (!closing && (name == "script" || name == "style") &&
           end >= 0 && s.charAt(end - 1) != '/') {
           // skip the element body so JS/CSS text can't contribute anchors
-          val target = "</" + name
-          var m = i
-          var stop = -1
-          while (stop < 0 && m + target.length <= n) {
-            if (s.regionMatches(true, m, target, 0, target.length)) stop = m
-            else m += 1
-          }
-          i = if (stop < 0) n
-          else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+          i = rawTextEnd(s, i, name, n)
         }
       }
     }
@@ -311,8 +330,7 @@ object HtmlSupport {
       val lt = s.indexOf('<', i)
       if (lt < 0) i = n
       else if (s.startsWith("<!--", lt)) {
-        val e = s.indexOf("-->", lt + 4)
-        i = if (e < 0) n else e + 3
+        i = commentEnd(s, lt, n)
       } else if (!isTagOpen(s, lt)) {
         i = lt + 1 // literal '<' in text — not markup
       } else {
@@ -335,15 +353,31 @@ object HtmlSupport {
         if (!closing && name == "a" && end >= 0) {
           val href = findHref(s, j, end)
           if (href != null && href.nonEmpty) {
-            // body: to the matching </a>, the next <a (no nesting), or EOF
+            // body: to the matching </a>, the next <a (no nesting), or
+            // EOF — scanned STRUCTURALLY (comments and script/style
+            // bodies skipped), so a "</a>" inside a comment or a JS
+            // string cannot truncate the anchor text (the scaladoc's
+            // rules-are-exactly-links() claim; extract() on the body
+            // already ignores that content, the stop must too)
             var m = end + 1
             var stop = -1
             while (stop < 0 && m + 2 <= n) {
-              if (s.regionMatches(true, m, "</a", 0, 3) &&
+              if (s.startsWith("<!--", m)) m = commentEnd(s, m, n)
+              else if (s.regionMatches(true, m, "</a", 0, 3) &&
                 (m + 3 >= n || !Character.isLetterOrDigit(s.charAt(m + 3)))) stop = m
               else if (s.regionMatches(true, m, "<a", 0, 2) &&
                 (m + 2 >= n || !Character.isLetterOrDigit(s.charAt(m + 2)))) stop = m
-              else m += 1
+              else if ((s.regionMatches(true, m, "<script", 0, 7) &&
+                  (m + 7 >= n || !Character.isLetterOrDigit(s.charAt(m + 7)))) ||
+                (s.regionMatches(true, m, "<style", 0, 6) &&
+                  (m + 6 >= n || !Character.isLetterOrDigit(s.charAt(m + 6))))) {
+                val rawName =
+                  if (s.regionMatches(true, m, "<script", 0, 7)) "script" else "style"
+                val gt = s.indexOf('>', m)
+                m = if (gt < 0) n
+                else if (gt > m && s.charAt(gt - 1) == '/') gt + 1 // self-closed: no body
+                else rawTextEnd(s, gt + 1, rawName, n)
+              } else m += 1
             }
             val body = s.substring(end + 1, if (stop < 0) n else stop)
             val text = extract(UTF8String.fromString(body))
@@ -354,15 +388,7 @@ object HtmlSupport {
         i = if (end < 0) n else end + 1
         if (!closing && (name == "script" || name == "style") &&
           end >= 0 && s.charAt(end - 1) != '/') {
-          val target = "</" + name
-          var m = i
-          var stop = -1
-          while (stop < 0 && m + target.length <= n) {
-            if (s.regionMatches(true, m, target, 0, target.length)) stop = m
-            else m += 1
-          }
-          i = if (stop < 0) n
-          else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+          i = rawTextEnd(s, i, name, n)
         }
       }
     }
@@ -423,8 +449,7 @@ object HtmlSupport {
       val c = s.charAt(i)
       if (c == '<') {
         if (s.startsWith("<!--", i)) {
-          val e = s.indexOf("-->", i + 4)
-          i = if (e < 0) n else e + 3
+          i = commentEnd(s, i, n)
         } else if (!isTagOpen(s, i)) {
           emitC('<'); i += 1
         } else {
@@ -447,15 +472,7 @@ object HtmlSupport {
           val selfClosed = end >= 0 && s.charAt(end - 1) == '/'
           i = if (end < 0) n else end + 1
           if (!closing && (name == "script" || name == "style") && end >= 0 && !selfClosed) {
-            val target = "</" + name
-            var m = i
-            var stop = -1
-            while (stop < 0 && m + target.length <= n) {
-              if (s.regionMatches(true, m, target, 0, target.length)) stop = m
-              else m += 1
-            }
-            i = if (stop < 0) n
-            else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+            i = rawTextEnd(s, i, name, n)
           }
           if (name == "a") {
             if (closing) anchorDepth = math.max(0, anchorDepth - 1)
@@ -556,8 +573,7 @@ object HtmlSupport {
       val lt = s.indexOf('<', i)
       if (lt < 0) i = n
       else if (s.startsWith("<!--", lt)) {
-        val e = s.indexOf("-->", lt + 4)
-        i = if (e < 0) n else e + 3
+        i = commentEnd(s, lt, n)
       } else if (!isTagOpen(s, lt)) {
         i = lt + 1 // literal '<' in text — not markup
       } else {
@@ -586,14 +602,10 @@ object HtmlSupport {
               // walk RESUMES past it — markup-like text inside a title
               // ('how <link rel="canonical"...> works') must not be
               // re-scanned as real tags (same body-skip rule as script/style)
-              var m = end + 1
-              var stop = -1
-              while (stop < 0 && m + 7 <= n) {
-                if (s.regionMatches(true, m, "</title", 0, 7)) stop = m else m += 1
-              }
+              val stop = rawTextClose(s, end + 1, "title", n)
               title = extract(
-                UTF8String.fromString(s.substring(end + 1, if (stop < 0) n else stop)))
-              i = if (stop < 0) n
+                UTF8String.fromString(s.substring(end + 1, math.min(stop, n))))
+              i = if (stop >= n) n
               else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
             case "link" if canonical == null =>
               val rel = findAttr(s, j, end, "rel")
@@ -613,15 +625,7 @@ object HtmlSupport {
                   description = UTF8String.fromString(content)
               }
             case sk if (sk == "script" || sk == "style") && !selfClosed =>
-              val target = "</" + sk
-              var m = i
-              var stop = -1
-              while (stop < 0 && m + target.length <= n) {
-                if (s.regionMatches(true, m, target, 0, target.length)) stop = m
-                else m += 1
-              }
-              i = if (stop < 0) n
-              else { val gt = s.indexOf('>', stop); if (gt < 0) n else gt + 1 }
+              i = rawTextEnd(s, i, sk, n)
             case _ => ()
           }
         }

@@ -45,12 +45,18 @@ object MediaSniffSupport {
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def row(fmt: String, w: Int, h: Int): InternalRow =
       new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+    // 32-bit dims validated in Long: a hostile width/height >= 2^31 must
+    // NULL (the corrupt-media contract), not truncate to a negative Int
+    // that flows into downstream size gates looking like a real dimension
+    def dimRow(fmt: String, w: Long, h: Long): InternalRow =
+      if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) null
+      else row(fmt, w.toInt, h.toInt)
 
     if (bytes.length >= 24 &&
       u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
       u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
       u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
-      row("png", be32(16).toInt, be32(20).toInt)
+      dimRow("png", be32(16), be32(20))
     } else if (bytes.length >= 10 &&
       u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
       (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
@@ -62,7 +68,9 @@ object MediaSniffSupport {
       le32(14).toInt match {
         case 12 => row("bmp", le16(18), le16(20))
         case 40 | 52 | 56 | 64 | 108 | 124 =>
-          row("bmp", le32(18).toInt, math.abs(le32(22).toInt))
+          // DIB dims are SIGNED 32-bit (negative height = top-down); the
+          // abs runs in Long because abs(Int.MinValue) is still negative
+          dimRow("bmp", le32(18).toInt.toLong, math.abs(le32(22).toInt.toLong))
         case _ => null
       }
     } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
@@ -310,7 +318,12 @@ object MediaSniffSupport {
               }
             case _ => // leaf we don't need
           }
-          i += size
+          // clamped advance: a hostile 64-bit largesize near 2^63 would
+          // overflow `i + size` negative, re-passing the `i + 8 <= to`
+          // guard with a wrapped index (AIOOBE on one corrupt row — the
+          // never-throw contract). A box running past `to` is truncation,
+          // not progress: land exactly on `to` and exit.
+          i = if (size > to - i) to else i + size
         }
       }
       walk(0, bytes.length.toLong, 0)

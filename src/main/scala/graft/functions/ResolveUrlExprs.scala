@@ -51,6 +51,22 @@ object ResolveUrlSupport {
     val (bAuth, bPathQ) = splitAuthority(bAfterScheme.substring(2))
     val (bPath, bQuery) = splitQuery(bPathQ)
 
+    // a scheme-less (or same-scheme, see below) reference resolved against
+    // the base per §5.2.2/§5.2.3
+    def fromRelative(rr: String): String =
+      if (rr.isEmpty) bScheme + "://" + bAuth + bPath + renderQuery(bQuery)
+      else if (rr.startsWith("?")) bScheme + "://" + bAuth + bPath + rr
+      else if (rr.startsWith("/")) {
+        val (p, q) = splitQuery(rr)
+        bScheme + "://" + bAuth + removeDotSegments(p) + renderQuery(q)
+      } else {
+        val (p, q) = splitQuery(rr)
+        // merge (§5.2.3): base path up to its last '/', else "/"
+        val slash = bPath.lastIndexOf('/')
+        val merged = if (slash < 0) "/" + p else bPath.substring(0, slash + 1) + p
+        bScheme + "://" + bAuth + removeDotSegments(merged) + renderQuery(q)
+      }
+
     val rScheme = schemeOf(r)
     val out =
       if (rScheme != null) {
@@ -60,25 +76,22 @@ object ResolveUrlSupport {
           val (a, pq) = splitAuthority(after.substring(2))
           val (p, q) = splitQuery(pq)
           rScheme + "://" + a + removeDotSegments(p) + renderQuery(q)
+        } else if (rScheme == bScheme) {
+          // WHATWG same-scheme rule: browsers parse "http:page.html"
+          // against an http base as a RELATIVE reference (the scheme is
+          // redundant, not an authority) — passing it through as written
+          // would feed a host-less, unfetchable URL into the frontier and
+          // give every host-keyed join (robots gate, canonical dedup) an
+          // empty host. The remainder is NOT re-scanned for a scheme
+          // ("http:http:x" has path "http:x", exactly as a browser parses
+          // it), which also keeps this non-recursive.
+          fromRelative(after)
         } else r
       } else if (r.startsWith("//")) {
         val (a, pq) = splitAuthority(r.substring(2))
         val (p, q) = splitQuery(pq)
         bScheme + "://" + a + removeDotSegments(p) + renderQuery(q)
-      } else if (r.isEmpty) {
-        bScheme + "://" + bAuth + bPath + renderQuery(bQuery)
-      } else if (r.startsWith("?")) {
-        bScheme + "://" + bAuth + bPath + r
-      } else if (r.startsWith("/")) {
-        val (p, q) = splitQuery(r)
-        bScheme + "://" + bAuth + removeDotSegments(p) + renderQuery(q)
-      } else {
-        val (p, q) = splitQuery(r)
-        // merge (§5.2.3): base path up to its last '/', else "/"
-        val slash = bPath.lastIndexOf('/')
-        val merged = if (slash < 0) "/" + p else bPath.substring(0, slash + 1) + p
-        bScheme + "://" + bAuth + removeDotSegments(merged) + renderQuery(q)
-      }
+      } else fromRelative(r)
     UTF8String.fromString(out)
   }
 

@@ -105,6 +105,35 @@ class CharsetSpec extends SparkSpec {
       Some("windows-1252"))
   }
 
+  test("a quoted '>' inside another attribute cannot truncate the meta span") {
+    val by = ("""<meta data-note="a>b" charset="windows-1252">caf""" + "\u00e9").getBytes("windows-1252")
+    assert(sniff(by).contains("windows-1252"))
+    assert(decode(by).endsWith("caf\u00e9"))
+  }
+
+  test("a UTF-16 label readable through the ASCII prescan is a lie: mapped to utf-8 (WHATWG)") {
+    // a real UTF-16 document cannot declare itself via ASCII-run meta bytes
+    val by = "<meta charset=utf-16le><p>plain ascii body</p>".getBytes("UTF-8")
+    assert(sniff(by).contains("utf-8"))
+    assert(decode(by).contains("plain ascii body")) // NOT byte-pair fused
+  }
+
+  test("abruptly-closed empty comment does not blank later declarations") {
+    val by = "<!--><meta charset=iso-8859-1>caf\u00e9".getBytes("ISO-8859-1")
+    assert(sniff(by).contains("iso-8859-1"))
+  }
+
+  test("unrecognized transport label falls through to the in-document declaration") {
+    val body = "<meta charset=windows-1252>caf\u00e9".getBytes("windows-1252")
+    val out = Seq(Tuple1(body)).toDF("b")
+      .select(CharsetExprs.decodeSniffedWith($"b", lit("iso-8859-15"))).head().getString(0)
+    assert(out.endsWith("caf\u00e9"), s"unusable header label must not override the meta: $out")
+    // a RECOGNIZED header label still wins over the meta (transport > in-document)
+    val out2 = Seq(Tuple1(body)).toDF("b")
+      .select(CharsetExprs.decodeSniffedWith($"b", lit("iso-8859-1"))).head().getString(0)
+    assert(out2.endsWith("caf\u00e9"))
+  }
+
   test("SQL registration: sniff + decode") {
     val df = Seq(Tuple1("<meta charset=utf-8>ok".getBytes("UTF-8"))).toDF("b")
     df.createOrReplaceTempView("cs_t")

@@ -35,6 +35,13 @@ class FeedSpec extends SparkSpec {
       (Some("Plain <b>not markup</b>"), "https://e.org/b", None, false)))
   }
 
+  test("CDATA titles are literal: entity text inside CDATA does not decode") {
+    val xml =
+      """<rss><channel><item><title><![CDATA[A &amp; B]]></title>
+        |<link>https://e.org/x</link></item></channel></rss>""".stripMargin
+    assert(entries(xml).map(_._1) == Seq(Some("A &amp; B")))
+  }
+
   test("Atom: alternate (or rel-less) href wins over self; self-only falls back; published beats updated") {
     val xml =
       """<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>

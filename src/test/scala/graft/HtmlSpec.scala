@@ -75,6 +75,24 @@ class HtmlSpec extends SparkSpec {
     assert(ext("a<script src=\"x.js\"/>b") == "ab")
   }
 
+  test("HTML5 abruptly-closed empty comments are complete, not unterminated") {
+    // "<!-->" and "<!--->" close at their '>' even though the dashes
+    // overlap the opener — treating them as open drops the rest of the page
+    assert(ext("a<!-->b<!--->c") == "abc")
+    assert(ext("a<!---->b") == "ab") // proper empty comment still works
+    assert(links("""x<!--><a href="/found">y</a>""") == Seq("/found"))
+  }
+
+  test("close-tag name boundary: </scriptX> cannot end a script body") {
+    // HTML5 requires ws, '/', or '>' after the close-tag name; without the
+    // boundary check raw JS leaks into corpus text
+    assert(ext("""a<script>var s="</scriptX>";run()</script>b""") == "ab")
+    assert(ext("""a<style>p{}/*</styles>*/</style>b""") == "ab")
+    // boundary forms that DO close: ws before '>', and '/' (EOF pinned by
+    // the unterminated rule above)
+    assert(ext("a<script>x</script >b") == "ab")
+  }
+
   test("SQL registration: graft_html_text") {
     val out = spark.sql("SELECT graft_html_text('<p>a</p><p>b</p>') AS t").head().getString(0)
     assert(out == "a b")
@@ -144,6 +162,17 @@ class HtmlSpec extends SparkSpec {
     assert(anchors("""<a name="top">x</a><a href="/y"></a>""") == Seq(("/y", "")))
     assert(anchors("""<!-- <a href="/no">x</a> --><script>'<a href="/no">'</script>""")
       == Seq.empty)
+  }
+
+  test("anchor body stop-scan is structural: </a> in comments or script bodies is not a stop") {
+    // extract() already ignores comment/script content in the body; the
+    // STOP scan must agree or the anchor text truncates mid-flight
+    assert(anchors("""<a href="/x">hello <!-- </a> --> world</a>""")
+      == Seq(("/x", "hello world")))
+    assert(anchors("""<a href="/x">hi <script>s="</a>"</script> there</a>""")
+      == Seq(("/x", "hi there")))
+    // an abrupt empty comment inside the body neither stops nor leaks
+    assert(anchors("""<a href="/x">a<!-->b</a>""") == Seq(("/x", "ab")))
   }
 
   test("anchors agree with links on the href sequence") {
@@ -231,6 +260,13 @@ class HtmlSpec extends SparkSpec {
       "Math fact: 1<2 and also 2<3 in every case.")
     assert(meta("""<title>i <3 u</title><link rel="canonical" href="https://a.org/c">""")
       == (Some("i <3 u"), Some("https://a.org/c"), None, None))
+  }
+
+  test("htmlMeta: </titleX is not a title close (name boundary); real close still found") {
+    val (t, c, _, _) = meta(
+      "<title>how </titles> work</title><link rel=\"canonical\" href=\"/c\">")
+    assert(t.contains("how work")) // </titles> renders as a zero-width tag
+    assert(c.contains("/c")) // the walk resumed after the REAL close tag
   }
 
   test("htmlMeta: title body is RCDATA — markup-like text inside it sets nothing") {

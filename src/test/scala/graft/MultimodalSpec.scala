@@ -138,6 +138,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffImage("BMW quarterly report for 2024, all divisions".getBytes).isEmpty)
   }
 
+  test("hostile media bytes: 2^63 largesize cannot wrap the MP4 walk; 2^31 dims NULL") {
+    // MP4 box claiming a 2^63-1 largesize: `i += size` would wrap the loop
+    // index negative and re-enter with a garbage offset (AIOOBE) — the
+    // clamped advance must land on the end and return, never throw
+    val bomb = hexBytes("00000001 66747970 7FFFFFFF FFFFFFFF 0000000000000000")
+    Multimodal.sniffAudioVideo(bomb) // contract: no exception
+    // PNG width with the sign bit set is invalid per spec: NULL, never a
+    // negative Int flowing into downstream size gates
+    val bigPng = hexBytes("89504E470D0A1A0A 0000000D 49484452 80000000 00000002 0806000000")
+    assert(Multimodal.sniffImage(bigPng).isEmpty)
+    // BMP height Int.MinValue: |h| is unrepresentable in Int — NULL
+    val bmp = hexBytes("424D 00000000 00000000 36000000 28000000 14000000 00000080")
+    assert(Multimodal.sniffImage(bmp).isEmpty)
+  }
+
   test("sniffAudioVideo parses hand-written spec-reference WAV and MP4 bytes") {
     def unhex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

@@ -63,6 +63,17 @@ class ResolveUrlSpec extends SparkSpec {
     assert(res(b, "http://x.org/a/../b") == Some("http://x.org/b"))
   }
 
+  test("same-scheme reference without authority resolves as relative (WHATWG)") {
+    val b = "http://example.org/a/b"
+    assert(res(b, "http:page.html") == Some("http://example.org/a/page.html"))
+    assert(res(b, "http:/rooted") == Some("http://example.org/rooted"))
+    assert(res(b, "http:?q=1") == Some("http://example.org/a/b?q=1"))
+    // the remainder is not re-scanned for a scheme — "http:x" is a path
+    assert(res(b, "http:http:x") == Some("http://example.org/a/http:x"))
+    // a DIFFERENT scheme still passes through as written
+    assert(res(b, "ftp:page.html") == Some("ftp:page.html"))
+  }
+
   test("pathless base; unusable base is NULL, never an exception") {
     assert(res("https://a.org", "x") == Some("https://a.org/x"))
     assert(res("https://a.org", "") == Some("https://a.org"))

@@ -45,6 +45,13 @@ class SitemapSpec extends SparkSpec {
       Seq("https://a.org/p?a=1&b=2", "https://a.org/raw?x=1&y=2"))
   }
 
+  test("CDATA content is literal: an &amp; inside CDATA stays as the five characters") {
+    // escaping-by-CDATA is the author's point — decoding refs inside it
+    // would yield a DIFFERENT URL than an XML-conformant parser sees
+    val xml = "<urlset><url><loc><![CDATA[https://a.org/q?a=1&amp;b=2]]></loc></url></urlset>"
+    assert(entries(xml).map(_._1) == Seq("https://a.org/q?a=1&amp;b=2"))
+  }
+
   test("dirt tolerance: loc-less entries skipped, unterminated entry dropped, garbage empty") {
     assert(entries("<urlset><url><lastmod>2026-01-01</lastmod></url>" +
       "<url><loc>https://a.org/ok</loc></url></urlset>").map(_._1) == Seq("https://a.org/ok"))
