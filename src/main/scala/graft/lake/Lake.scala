@@ -123,7 +123,13 @@ object Lake {
         .exists { c =>
           c.isInstanceOf[java.io.FileNotFoundException] ||
           (c.getMessage != null &&
-            (c.getMessage.contains("FileNotFound") || c.getMessage.contains("does not exist")))
+            (c.getMessage.contains("FileNotFound") || c.getMessage.contains("does not exist") ||
+              // a reader that lists the table dir in the instant between
+              // the two swap renames sees it absent/empty and fails schema
+              // inference — the same transient shape as a vanished file
+              // (a GENUINELY empty table still throws once retries
+              // exhaust; the classifier only delays that, never masks it)
+              c.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))
         }
     var left = attempts
     var backoff = 100L

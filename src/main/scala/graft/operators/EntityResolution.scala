@@ -156,7 +156,12 @@ object EntityResolution {
     * @param quality survivor ranking — highest wins, ties break to the
     *        smallest id (deterministic, engine-portable)
     * @return one row per ENTITY: the surviving record's columns plus
-    *         `entity_id` (the group's smallest member id)
+    *         `entity_id` — a DETERMINISTIC member of the group: the
+    *         smallest member id for integral id columns, and for string
+    *         ids (the hash-mapped [[Graph.connectedComponents]] path) the
+    *         member with the smallest xxhash64, which is stable across
+    *         runs and engines but NOT the lexicographic minimum — do not
+    *         assert `entity_id == min(member ids)` on string-keyed data
     */
   def resolve(
       df: DataFrame,

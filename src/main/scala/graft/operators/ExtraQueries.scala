@@ -393,8 +393,8 @@ object ExtraQueries {
         .map(c =>
           s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
              | CAST(count($c) AS BIGINT) AS n_nonnull,
-             | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-             | CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val
+             | CAST(count(DISTINCT CAST($c AS DOUBLE)) AS BIGINT) AS n_distinct,
+             | MIN(CAST($c AS DOUBLE)) AS min_val, MAX(CAST($c AS DOUBLE)) AS max_val
              | FROM lineitem""".stripMargin.replace("\n", "")
         )
         .mkString(" UNION ALL ") + " ORDER BY col_name"

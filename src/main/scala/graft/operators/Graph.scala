@@ -87,11 +87,17 @@ object Graph {
       dstCol: String,
       maxIter: Int = 50
   ): DataFrame = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
     val spark: SparkSession = edges.sparkSession
     import spark.implicits._
+    // long space only for INTEGRAL ids: a fractional id (double after an
+    // aggregation, decimal from a CSV read) silently truncates under
+    // cast("long") — 1.2 and 1.7 collide on node 1 and unrelated
+    // components merge; fractional/decimal ids route through the
+    // hash-mapped path with every other non-long-safe key type
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     val numeric =
-      Seq(srcCol, dstCol).forall(c => edges.schema(c).dataType.isInstanceOf[NumericType])
+      Seq(srcCol, dstCol).forall(c => integral.contains(edges.schema(c).dataType))
     if (numeric)
       ccLongIds(
         edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d")),
@@ -102,8 +108,16 @@ object Graph {
       // map node AND component back through the id table. The mapping is
       // one row per distinct id, joined twice on its hash — both joins
       // shuffle id-sized frames, never the edge multiset.
+      // drop null-endpoint edges BEFORE hashing — xxhash64(null) is the
+      // seed (42L), a perfectly valid long, so without this filter every
+      // null endpoint becomes one shared phantom node that merges
+      // unrelated components (and, when its hash is the component
+      // minimum, drops the whole component at the rep-lookup join, whose
+      // mapping table rightly holds no null row); the integral path drops
+      // such edges naturally, and the two paths must agree
       val strEdges = edges
         .select(col(srcCol).cast("string").as("os"), col(dstCol).cast("string").as("od"))
+        .filter($"os".isNotNull && $"od".isNotNull)
       val mapping = strEdges
         .select($"os".as("orig"))
         .unionByName(strEdges.select($"od".as("orig")))

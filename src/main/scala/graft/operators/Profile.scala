@@ -26,13 +26,17 @@ object Profile {
     */
   def numeric(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    // cast BEFORE aggregating: min/max on the raw column are LEXICOGRAPHIC
+    // for the castable-to-double string columns this profiler documents
+    // (min("10") > max("9")), and distinct must not count "1" and "1.0"
+    // twice; numeric columns are value-identical under either order
     val aggs = cols.flatMap(c =>
       Seq(
         count(col(c)).as(s"nn_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c), rsd = 0.02)).as(s"nd_$c"),
-        min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c")
+        (if (exact) countDistinct(col(c).cast("double"))
+         else approx_count_distinct(col(c).cast("double"), rsd = 0.02)).as(s"nd_$c"),
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c")
       )
     ) :+ count(lit(1)).as("n_rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -88,7 +92,10 @@ object Profile {
         count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),
         sum(col("__chars")).as("n_chars"),
-        (count(lit(1)) - countDistinct(col("__md5"))).as("n_exact_dup_docs"),
+        // count(__md5), not count(*): countDistinct ignores the NULL
+        // digest of a null-text doc, so count(*) would report every
+        // failed-extraction doc as an exact duplicate of nothing
+        (count(col("__md5")) - countDistinct(col("__md5"))).as("n_exact_dup_docs"),
         count(when(col("__lang") === "en", 1)).as("n_en_docs"),
         count(when(col("__q") >= qualityThreshold, 1)).as("n_quality_docs"))
       .withColumn("mean_tokens_permille", expr("n_tokens * 1000 DIV n_docs"))

@@ -64,7 +64,13 @@ object Sampling {
       denominator: Int
   ): DataFrame = {
     require(denominator > 0 && rates.values.forall(n => n >= 0 && n <= denominator), "bad rates")
-    val rate = rates.foldLeft(lit(-1)) { case (acc, (g, n)) => when(group === g, lit(n)).otherwise(acc) }
+    // string-vs-string compare (the withGroupBudget rule): a bare
+    // `group === "07"` against an int column coerces the LITERAL to 7 —
+    // membership would silently differ from tokenBudgetMixture's
+    // string-keyed lookup for the same rates map
+    val rate = rates.foldLeft(lit(-1)) { case (acc, (g, n)) =>
+      when(group.cast("string") === lit(g), lit(n)).otherwise(acc)
+    }
     df.filter(hash60(key) % denominator < rate)
   }
 
@@ -341,11 +347,14 @@ object Sampling {
       .orderBy(col("__h").asc, col("__key").asc, col("__tok").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      // <=> not ===: the NULL group is a real bucket here (defaultBudget
-      // documents it's "capped together as one bucket"), and a null-unsafe
-      // join would silently drop every NULL-group row right after the
-      // budget filter admitted them.
-      .join(broadcast(offsets), col("__g") <=> col("__og") && col("__shard") === col("__os"))
+      // <=> not === on BOTH keys: the NULL group is a real bucket here
+      // (defaultBudget documents it's "capped together as one bucket"),
+      // and a NULL shard (a null sort key hashes to null) is a real
+      // shard — the offsets window already counted its tokens (null
+      // sorts first in the prefix sum), so a null-unsafe join here would
+      // both drop those rows AND leave their tokens stealing budget from
+      // every surviving shard's offset.
+      .join(broadcast(offsets), col("__g") <=> col("__og") && col("__shard") <=> col("__os"))
       .withColumn("__cum", sum(col("__tok")).over(wIn) + col("__offset"))
       .filter(col("__cum") - col("__tok") < col("__budget"))
       .drop("__g", "__h", "__key", "__shard", "__tok", "__budget", "__og", "__os", "__offset", "__cum")
@@ -543,6 +552,10 @@ object Sampling {
   ): DataFrame = {
     require(splits.nonEmpty && denominator > 0, "need splits and a positive denominator")
     require(splits.map(_._2).sum == denominator, "split bands must sum to the denominator")
+    // sum-only validation admits a NEGATIVE band (e.g. train=110/val=-10
+    // still sums to 100), whose cumulative bounds silently assign every
+    // row to the preceding split and leave the negative one empty
+    require(splits.forall(_._2 > 0), "every split band must be positive")
     require(
       !df.columns.contains("rep") && !df.columns.contains("split"),
       "leakageFreeSplit writes output columns 'rep' and 'split'; the input already has one " +
@@ -629,7 +642,14 @@ object Sampling {
       .agg(
         sum(col("__ct")).as("num"),
         sum(col("__ct") + col("__cr")).as("den"))
-      .withColumn("score_permille", expr("(1000 * num) div den"))
+      // integral division in DECIMAL space: num/den are CORPUS-scale
+      // occurrence sums (the scaladoc's own 100 TB envelope reaches
+      // ~1e16), so `1000 * num` in Long silently wraps negative under
+      // ANSI-off and every long high-signal doc drops from the resample;
+      // decimal(38,0) holds the product exactly and `div` stays the exact
+      // floor the oracle replays in HUGEINT
+      .withColumn("score_permille",
+        expr("(CAST(num AS DECIMAL(38,0)) * 1000) div den"))
     df.select(col(idCol).as("__id"), isTarget.as("is_target"))
       .join(scored, Seq("__id"), "left")
       .withColumn("num", coalesce(col("num"), lit(0L)))

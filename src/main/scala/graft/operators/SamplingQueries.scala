@@ -644,7 +644,7 @@ object SamplingQueries {
                d.source = 'src0' AS is_target,
                coalesce(sc.num, 0) AS num,
                coalesce(sc.den, 0) AS den,
-               coalesce(1000 * sc.num // sc.den, 0) AS score_permille,
+               coalesce(CAST((1000 * CAST(sc.num AS HUGEINT)) // sc.den AS BIGINT), 0) AS score_permille,
                (NOT d.source = 'src0') AND
                  ('0x' || substr(md5('isr:' || d.doc_id), 1, 15))::BIGINT % 1000 <
                  coalesce(1000 * sc.num // sc.den, 0) AS keep

@@ -1014,7 +1014,7 @@ object TextQueries {
       SELECT source, count(*) AS n_docs,
              CAST(sum(n) AS BIGINT) AS n_tokens,
              CAST(sum(chars) AS BIGINT) AS n_chars,
-             count(*) - count(DISTINCT h) AS n_exact_dup_docs,
+             count(h) - count(DISTINCT h) AS n_exact_dup_docs,
              CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en_docs,
              CAST(count(CASE WHEN q >= 0.3 THEN 1 END) AS BIGINT) AS n_quality_docs,
              (CAST(sum(n) AS BIGINT) * 1000) // count(*) AS mean_tokens_permille

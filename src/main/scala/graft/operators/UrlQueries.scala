@@ -1046,10 +1046,11 @@ object UrlQueries {
         FROM documents
         UNION ALL
         SELECT 'https://s.org/q' || doc_id, NULL FROM documents),
-      f AS (SELECT url, 1705276800000 AS last_fetch_ms FROM (
+      f AS (SELECT url, MAX(1705276800000) AS last_fetch_ms FROM (
               SELECT 'https://s.org/p' || doc_id AS url FROM documents WHERE doc_id % 2 = 0
               UNION ALL
-              SELECT 'https://s.org/q' || doc_id FROM documents WHERE doc_id % 3 = 0))
+              SELECT 'https://s.org/q' || doc_id FROM documents WHERE doc_id % 3 = 0)
+            GROUP BY url)
       SELECT e.url, CAST(e.declared_ms AS BIGINT) AS declared_ms,
              CAST(f.last_fetch_ms AS BIGINT) AS last_fetch_ms,
              CASE WHEN f.last_fetch_ms IS NULL THEN 'new'

@@ -424,7 +424,14 @@ object WebIntake {
     entries
       .select(col("loc"), col("lastmod"))
       .withColumn("declared_ms", unix_millis(to_timestamp(col("lastmod"))))
-      .join(fetched.select(col("url").as("loc"), col("last_fetch_ms")), Seq("loc"), "left")
+      // one verdict per entry (the documented contract): an append-only
+      // fetch log carries several rows per URL, and a bare equi-join
+      // would emit CONTRADICTORY verdicts (stale against an old fetch,
+      // fresh against the latest) — only the most recent fetch decides
+      .join(
+        fetched.groupBy(col("url").as("loc"))
+          .agg(max(col("last_fetch_ms")).as("last_fetch_ms")),
+        Seq("loc"), "left")
       .withColumn(
         "verdict",
         when(col("last_fetch_ms").isNull, "new")

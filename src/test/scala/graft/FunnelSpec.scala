@@ -36,6 +36,27 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(2 -> 1L))
   }
 
+  test("Profile.numeric on castable-to-double strings: numeric extremes, not lexicographic") {
+    val df = Seq(("9", "1"), ("10", "1.0")).toDF("a", "b")
+    val rows = Profile.numeric(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5), r.getLong(3))).toMap
+    val (mnA, mxA, _) = rows("a")
+    assert(mnA == 9.0 && mxA == 10.0, s"lexicographic extremes leaked: $rows")
+    val (_, _, ndB) = rows("b")
+    assert(ndB == 1L, "\"1\" and \"1.0\" are one double value")
+  }
+
+  test("corpusCard: a null-text doc is not an exact duplicate of nothing") {
+    val docs = Seq(
+      (1L, "real text here", "s1"),
+      (2L, null.asInstanceOf[String], "s1"),
+      (3L, null.asInstanceOf[String], "s1")
+    ).toDF("doc_id", "text", "source")
+    val card = Profile.corpusCard(docs, "text", "source").collect().head
+    val dups = card.getLong(card.fieldIndex("n_exact_dup_docs"))
+    assert(dups == 0L, s"null-text docs counted as duplicates: $dups")
+  }
+
   test("profile reports nulls, distincts and ranges per column") {
     val df = Seq(
       (Some(1L), Some(1.0)), (Some(2L), None), (Some(2L), Some(3.5)), (None, Some(3.5))

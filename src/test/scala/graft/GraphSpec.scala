@@ -38,6 +38,27 @@ class GraphSpec extends SparkSpec {
     assert(Set("vendor-a", "vendor-b", "vendor-c").contains(got("vendor-a")))
   }
 
+  test("null endpoints drop; fractional ids route hashed (no truncation merge)") {
+    // xxhash64(null) is the SEED (42L) — without the pre-hash filter every
+    // null endpoint is one shared phantom node merging unrelated components
+    val withNulls = Seq(
+      (null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "y"),
+      ("a", "b")
+    ).toDF("s", "d")
+    val got = Graph.connectedComponents(withNulls, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == Set("a", "b"), s"null-endpoint edges must drop entirely: $got")
+    assert(got("a") == got("b"))
+    // fractional ids: cast("long") would collide 1.2 and 1.7 on node 1 and
+    // wrongly merge {1.2, 5.0} with {1.7, 9.0}; the hashed path keeps them apart
+    val frac = Seq((1.2, 5.0), (1.7, 9.0)).toDF("s", "d")
+    val fc = Graph.connectedComponents(frac, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(fc.keySet == Set("1.2", "5.0", "1.7", "9.0"))
+    assert(fc("1.2") == fc("5.0") && fc("1.7") == fc("9.0"))
+    assert(fc("1.2") != fc("1.7"), s"fractional ids truncation-merged: $fc")
+  }
+
   test("disjoint components, direction and self-loops are irrelevant") {
     val got = cc(Seq((1L, 2L), (2L, 1L), (3L, 3L), (3L, 4L), (10L, 20L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 20L -> 10L))

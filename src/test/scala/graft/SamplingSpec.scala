@@ -363,6 +363,35 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Seq((1L, 0L), (2L, 0L)), "all-zero-token group: plain selection, epoch 0")
   }
 
+  test("leakageFreeSplit rejects a negative band even when the sum covers the space") {
+    // train=110/val=-10 sums to 100 but assigns EVERY row to train and
+    // leaves val silently empty — the typo'd holdout must fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(docs, "id", $"body", Seq("train" -> 110, "val" -> -10), 100)
+    }
+  }
+
+  test("mixture: non-string group columns compare on the string form (no literal coercion)") {
+    // a bare === coerces the literal "07" to int 7; membership must agree
+    // with tokenBudgetMixture's string-keyed lookup instead
+    val intGroups = Seq((7, 1L), (7, 2L), (8, 3L)).toDF("g", "id")
+    val kept = Sampling.mixture(intGroups, $"g", $"id", Map("07" -> 1000), 1000)
+    assert(kept.count() == 0, "string key \"07\" must NOT match int group 7")
+    val kept7 = Sampling.mixture(intGroups, $"g", $"id", Map("7" -> 1000), 1000)
+    assert(kept7.count() == 2)
+  }
+
+  test("tokenBudgetMixture: a NULL sort key neither vanishes nor steals budget") {
+    val rows = Seq(
+      (Some("k1"), "g", 10L), (Some("k2"), "g", 10L), (None, "g", 60L)
+    ).toDF("id", "grp", "tok")
+    val kept = Sampling.tokenBudgetMixture(rows, $"grp", $"id", $"tok", Map("g" -> 100L))
+    // all 80 tokens fit the 100 budget: every row survives, INCLUDING the
+    // null-key row (previously counted in the shard prefix sums — pushing
+    // real rows past the budget — yet dropped by the null-unsafe join)
+    assert(kept.count() == 3, s"null-key row lost or budget stolen: ${kept.collect().toSeq}")
+  }
+
   test("leakageFreeSplit rejects bands that do not cover the hash space") {
     intercept[IllegalArgumentException] {
       Sampling.leakageFreeSplit(docs, "id", $"body", Seq("train" -> 50, "val" -> 10), 100)

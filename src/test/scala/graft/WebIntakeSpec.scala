@@ -335,6 +335,19 @@ class WebIntakeSpec extends SparkSpec {
       "https://a/4" -> "undated", "https://a/5" -> "undated"))
   }
 
+  test("sitemapRefreshPlan: an append-only fetch log yields ONE verdict per entry (latest fetch decides)") {
+    val entries = Seq(("https://a/1", "2024-01-12")).toDF("loc", "lastmod")
+    // two log rows for the same URL: an old fetch (before the declared
+    // date) and a newer one (after) — only the newest may judge
+    val fetched = Seq(
+      ("https://a/1", 1704844800000L), // Jan 10 -> would say stale
+      ("https://a/1", 1705276800000L)  // Jan 15 -> fresh
+    ).toDF("url", "last_fetch_ms")
+    val out = WebIntake.sitemapRefreshPlan(entries, fetched).collect()
+    assert(out.length == 1, s"contradictory verdicts emitted: ${out.toSeq}")
+    assert(out.head.getString(3) == "fresh")
+  }
+
   test("exportWet: bare and gzip archives round-trip through the engine's own reader") {
     import graft.functions.{GzipExprs, WarcExprs}
     val docs = Seq(
