@@ -192,7 +192,14 @@ object Engine {
     // reference's string-compare trim, engine.py:164-167).
     val prior: Option[Checkpoint] =
       if (config.checkpoint) Checkpoints.load(spark, root, scope) else None
-    val resumeFrom: Option[Long] = if (refresh) None else prior.map(_.lastEntryId.toLong)
+    // non-numeric last_entry_id (the doc shape allows arbitrary strings —
+    // the reference writes e.g. "MBLU-104-7") degrades to a full restart,
+    // honoring Checkpoints.load's "bad checkpoint means start over, never
+    // a wedged scope" contract; an unguarded .toLong would throw on every
+    // attempt until the file was hand-deleted
+    val resumeFrom: Option[Long] =
+      if (refresh) None
+      else prior.flatMap(c => scala.util.Try(c.lastEntryId.toLong).toOption)
     val ids = resumeFrom.fold(ordered)(last => ordered.filter(_ > last))
     if (ids.isEmpty)
       return IngestStats(0, 0, 0, Map.empty)
@@ -270,7 +277,14 @@ object Engine {
     // rate the caller's responsibility: undivided, a 10-executor cluster
     // would hit the scraped site at 10× the configured budget. local[n]
     // runs report a single executor entry (the driver), so the division is
-    // exact there too.
+    // exact there too. The count is re-sampled PER BATCH, so a cluster
+    // that grows mid-run corrects at the next batch boundary (a changed
+    // rate keys a fresh limiter whose lost pacing carry-over is under one
+    // slot). Known residual: executors that have not yet REGISTERED when
+    // batch 1 starts are invisible here, and that first batch can exceed
+    // the budget by the late-registration factor — on a dynamic-allocation
+    // cluster, gate startup with spark.scheduler.minRegisteredResourcesRatio
+    // (standard Spark knob) so the first sample sees the real fleet.
     val executorCount =
       math.max(1, spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
     val perJvmRate = src.ratePerSec / executorCount
@@ -345,6 +359,20 @@ object Engine {
         else {
           val stamped = Lake.stampMetadata(df, scrapedAt)
           val isRefreshDedup = refresh && Lake.tables(spark, root, scope).contains(table)
+          // per-batch re-read of the lake's hash side is a CONSIDERED
+          // trade, not an oversight: parquet column pruning means each
+          // anti-join scans only the 32-byte row_hash column (never the
+          // table), and a refresh run's wall clock is politeness-bounded
+          // (~5 fetches/s) — the pruned rescan is noise against the fetch
+          // time while staying memory-free. The alternative (persist
+          // Lake.existingHashes once per run and union each batch's
+          // appends) trades that IO for holding every entity's hash in
+          // executor memory for the whole run — at 10^9 entities that is
+          // tens of GB pinned for a job whose bottleneck is the crawl
+          // budget. Compute-bound REPLAYS (bulk dumps, the no-limiter
+          // path) that want the cached form should preload
+          // Lake.existingHashes themselves and call Scd.refreshDedup
+          // directly.
           val toWrite =
             if (isRefreshDedup) Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
             else stamped

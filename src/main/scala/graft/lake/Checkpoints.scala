@@ -37,12 +37,20 @@ object Checkpoints {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // Hadoop rename-over-existing returns false on most filesystems: remove
-    // the old doc first. Crash between delete and rename loses only the
-    // cursor (= re-scrape one batch; appends are dedup-safe), not the lake.
-    fs.delete(p, false)
+    // Hadoop rename-over-existing returns false on most filesystems, so
+    // the old doc must move aside first — but ASIDE, not deleted: a crash
+    // between a delete and the rename would leave NO checkpoint at all,
+    // and the cost of a missing checkpoint is a full-scope re-scrape with
+    // duplicate appends (the load path runs no dedup), not the documented
+    // one-batch loss. With the aside, [[load]] falls back to the previous
+    // doc — at worst a stale cursor, exactly the scaladoc's contract.
+    val prev = new Path(p.toString + ".__prev")
+    fs.delete(prev, false)
+    if (fs.exists(p) && !fs.rename(p, prev))
+      throw new java.io.IOException(s"checkpoint save: could not move $p aside")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"checkpoint save: could not move $tmp into place")
+    fs.delete(prev, false)
   }
 
   /** Load, degrading to None on a malformed/truncated doc — matching the
@@ -50,8 +58,14 @@ object Checkpoints {
     * a bad checkpoint means "start over", never a permanently wedged scope.
     */
   def load(spark: SparkSession, root: String, scope: String): Option[Checkpoint] = {
-    val p = path(root, scope)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = path(root, scope)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fall back to the moved-aside previous doc when a crashed save left
+    // no live checkpoint — a stale cursor re-scrapes one batch (dedup-safe)
+    // where a missing one re-scrapes the whole scope
+    val p =
+      if (fs.exists(p0)) p0
+      else new Path(p0.toString + ".__prev")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

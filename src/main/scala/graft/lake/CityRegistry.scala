@@ -22,12 +22,16 @@ object CityRegistry {
     val p = new org.apache.hadoop.fs.Path(path(root))
     val old = new org.apache.hadoop.fs.Path(path(root) + ".__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: a swap killed between its two renames leaves the
-    // only copy at .__old — promote it back before reading, otherwise the
-    // next upsert would rebuild from nothing and delete it
-    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
-      throw new java.io.IOException(s"cities registry: found orphaned $old but could not restore it to $p")
-    if (fs.exists(p)) Some(spark.read.parquet(path(root))) else None
+    // READ-ONLY fallback for a crashed swap (the only copy sits at
+    // .__old): serve from the aside WITHOUT renaming it back. A reader
+    // cannot distinguish a crashed swap from a live upsert inside its
+    // millisecond rename window, and a reader-side promote racing the
+    // writer's second rename nests the tmp dir inside the restored one —
+    // a silently lost update. Promotion is the next WRITER's job
+    // ([[upsert]] recovers on entry, the Lake.append rule).
+    if (fs.exists(p)) Some(spark.read.parquet(path(root)))
+    else if (fs.exists(old)) Some(spark.read.parquet(old.toString))
+    else None
   }
 
   /** Upsert (city_key unique): newest row per key wins, `created_at` of the
@@ -38,6 +42,16 @@ object CityRegistry {
     val incoming = cities
       .withColumn("created_at", now)
       .withColumn("updated_at", now)
+    // writer-side crash recovery BEFORE reading: the writer owns the swap
+    // lifecycle (single-writer contract), so only here is a promote safe
+    locally {
+      val p0 = new org.apache.hadoop.fs.Path(path(root))
+      val old0 = new org.apache.hadoop.fs.Path(path(root) + ".__old")
+      val fs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs0.exists(p0) && fs0.exists(old0) && !fs0.rename(old0, p0))
+        throw new java.io.IOException(
+          s"cities registry: found crashed swap at $old0 but could not restore it to $p0")
+    }
     val merged = load(spark, root) match {
       case None => incoming
       case Some(existing) =>

@@ -35,12 +35,45 @@ object Lake {
     df.withColumn("scraped_at", lit(scrapedAt))
       .withColumn("row_hash", Canonical.rowHash(df))
 
+  /** Writer-side recovery for a crashed whole-table swap: data stranded at
+    * `<table>.__old` with no live `<table>` promotes back. Every WRITE
+    * entry point ([[append]], [[appendPartitioned]], [[compact]]) calls
+    * this first — without it a crash between [[compact]]'s two renames
+    * leaves the whole table invisible, the next append recreates the dir
+    * with only new rows, and the next compact's clear-previous-aside
+    * delete destroys the only pre-crash copy. READERS never promote: a
+    * reader cannot distinguish a crashed swap from a LIVE one inside its
+    * millisecond window, and a promote racing the writer's second rename
+    * nests the tmp dir inside the restored one (silent lost update) —
+    * readers fail cleanly through [[withReadRetry]] instead, and the next
+    * writer heals the table.
+    */
+  private def recoverStrandedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String
+  ): Unit = {
+    val live = new Path(path)
+    val old = new Path(s"$path.__old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"lake: found crashed swap at $old but could not promote it back to $live")
+  }
+
+  private def recoverBeforeWrite(df: DataFrame, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverStrandedSwap(fs, path)
+  }
+
   /** Append one batch to a table (ZSTD parquet, new files only). */
-  def append(df: DataFrame, root: String, scope: String, table: String): Unit =
+  def append(df: DataFrame, root: String, scope: String, table: String): Unit = {
+    val path = tablePath(root, scope, table)
+    recoverBeforeWrite(df, path)
     df.write
       .mode("append")
       .option("compression", "zstd")
-      .parquet(tablePath(root, scope, table))
+      .parquet(path)
+  }
 
   /** Partitioned append: the given columns become directory levels
     * (`table/col=value/...`), so equality/range predicates on them prune at
@@ -54,12 +87,15 @@ object Lake {
       scope: String,
       table: String,
       partitionCols: Seq[String]
-  ): Unit =
+  ): Unit = {
+    val path = tablePath(root, scope, table)
+    recoverBeforeWrite(df, path)
     df.write
       .mode("append")
       .option("compression", "zstd")
       .partitionBy(partitionCols: _*)
-      .parquet(tablePath(root, scope, table))
+      .parquet(path)
+  }
 
   /** Schema-merging read across all of a table's files.
     *
@@ -243,8 +279,12 @@ object Lake {
     val tmp = s"$path.__compact_tmp"
     val old = s"$path.__old"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // promote a crashed previous swap FIRST: the rewrite below reads the
+    // live dir, and the clear-aside delete after it would otherwise
+    // destroy the stranded only copy
+    recoverStrandedSwap(fs, path)
     rewritePacked(spark, path, tmp, target, targetFileBytes)
-    fs.delete(new Path(old), true) // clear any previous failed swap
+    fs.delete(new Path(old), true) // clear a COMPLETED swap's leftover aside
     // Hadoop FS signals rename failure by returning false — check both
     // steps and roll back so the data always lives at `path` or `old`.
     if (!fs.rename(new Path(path), new Path(old)))

@@ -33,8 +33,21 @@ object Streams {
     * ([[refreshStream]], the soak) read the staging dir for exactly this
     * reason; compaction belongs downstream of the stream's sink.
     */
-  def readTableStream(spark: SparkSession, schema: StructType, path: String): DataFrame =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(path)
+  def readTableStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      maxFilesPerTrigger: Int = 4
+  ): DataFrame = {
+    // the cap is a real throughput/commit-granularity trade the CALLER
+    // owns: draining an F-file backlog costs ceil(F/cap) micro-batches,
+    // and in refreshStream each micro-batch re-reads the lake's hash
+    // column for its anti-join — a small cap on a large backlog multiplies
+    // full-table scans, a huge cap retries the whole backlog on a
+    // mid-batch failure
+    require(maxFilesPerTrigger > 0, "need a positive maxFilesPerTrigger")
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(path)
+  }
 
   /** Continuous hash-dedup: at-least-once appends become effectively-once
     * downstream. `eventTimeCol` must be a timestamp column.
@@ -68,14 +81,15 @@ object Streams {
       root: String,
       scope: String,
       table: String,
-      checkpointDir: String
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 4
   ): StreamingQuery =
     // through readTableStream for its maxFilesPerTrigger bound: an uncapped
     // reader puts a whole staging backlog (weeks of files) into ONE
     // micro-batch under AvailableNow — a single giant dedup/append job
     // whose mid-batch failure retries the entire backlog from zero, where
     // the capped form commits progress every few files
-    readTableStream(spark, schema, stagingDir)
+    readTableStream(spark, schema, stagingDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // in-batch dedup first (the reference adds newly-written hashes to

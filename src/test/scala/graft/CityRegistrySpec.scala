@@ -31,18 +31,25 @@ class CityRegistrySpec extends SparkSpec {
     assert(created1 == created0) // created_at survives the update
   }
 
-  test("load recovers a registry stranded at .__old by a crashed swap") {
+  test("crashed swap: readers serve from .__old WITHOUT mutating; the next writer heals") {
     val root = tmpDir("cities")
     val v1 = Seq(("a", "A", "ct", "http://a/", "vgsi")).toDF("city_key", "city_name", "state", "url", "type")
     CityRegistry.upsert(spark, root, v1)
     // simulate a swap crash: the live dir was moved aside, new never landed
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$root/_meta/cities")
-    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$root/_meta/cities.__old")))
-    assert(CityRegistry.cityUrl(spark, root, "a").contains("http://a/")) // recovered
-    // and a subsequent upsert keeps the recovered rows
+    val old = new org.apache.hadoop.fs.Path(s"$root/_meta/cities.__old")
+    assert(fs.rename(p, old))
+    // reads serve the stranded copy but must NOT promote it — a reader
+    // cannot tell a crashed swap from a live upsert mid-window, and a
+    // reader-side rename racing the writer's second rename nests the tmp
+    // dir inside the restored one (silent lost update)
+    assert(CityRegistry.cityUrl(spark, root, "a").contains("http://a/"))
+    assert(!fs.exists(p) && fs.exists(old), "a READER must not mutate the swap state")
+    // the next WRITER promotes the stranded copy and keeps its rows
     CityRegistry.upsert(spark, root,
       Seq(("b", "B", "ct", "http://b/", "vgsi")).toDF("city_key", "city_name", "state", "url", "type"))
+    assert(fs.exists(p) && !fs.exists(old), "the writer heals the swap")
     assert(CityRegistry.load(spark, root).get.count() == 2)
   }
 }

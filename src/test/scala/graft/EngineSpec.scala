@@ -183,6 +183,19 @@ class EngineSpec extends SparkSpec {
     assert(Lake.read(spark, root, "c", "properties").count() == 20)
   }
 
+  test("non-numeric last_entry_id degrades to a full restart, never a wedged scope") {
+    val root = tmpDir("lake")
+    val data = mkData((1L to 5L).map(i => i -> 100.0 * i).toMap)
+    // the doc shape allows arbitrary strings (the reference writes e.g.
+    // "MBLU-104-7"); an unguarded .toLong threw on every later runLoad
+    // until the checkpoint file was hand-deleted
+    Checkpoints.save(spark, root,
+      graft.lake.Checkpoint("c", "MBLU-104-7", 3L, "2026-01-01T00:00:00Z"))
+    val st = Engine.runLoad(spark, new FakeSource(data), (1L to 5L), root, "c", IngestConfig(workers = 2))
+    assert(st.scraped == 5, "unparseable cursor must mean start-over, not a throw")
+    assert(Lake.read(spark, root, "c", "properties").count() == 5)
+  }
+
   test("caller-supplied unsorted ids: batches checkpoint in ID order, resume is exact") {
     val root = tmpDir("lake")
     val data = mkData((1L to 10L).map(i => i -> 100.0 * i).toMap)

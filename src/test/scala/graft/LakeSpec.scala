@@ -198,6 +198,48 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("crashed whole-table swap: the next WRITE promotes the stranded .__old copy") {
+    val root = tmpDir("lake_crash")
+    Lake.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "s", "t")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val live = s"$root/s/t"
+    // simulate a compact killed between its two renames: the only copy
+    // sits at .__old and the live dir is gone
+    assert(fs.rename(p(live), p(s"$live.__old")))
+    // the next append must promote FIRST — otherwise it recreates the dir
+    // with only new rows and the next compact's clear-aside delete would
+    // destroy the whole pre-crash table
+    Lake.append(Seq((3L, "c")).toDF("id", "v"), root, "s", "t")
+    assert(!fs.exists(p(s"$live.__old")), "append must heal the crashed swap")
+    assert(Lake.read(spark, root, "s", "t").count() == 3, "pre-crash history lost")
+    // compact also recovers when it is the first writer to arrive
+    assert(fs.rename(p(live), p(s"$live.__old")))
+    Lake.compact(spark, root, "s", "t")
+    assert(Lake.read(spark, root, "s", "t").count() == 3)
+  }
+
+  test("checkpoint survives the save crash window via the .__prev aside") {
+    val root = tmpDir("lake_cp")
+    import graft.lake.{Checkpoint, Checkpoints}
+    Checkpoints.save(spark, root, Checkpoint("sc", "100", 10L, "t1"))
+    Checkpoints.save(spark, root, Checkpoint("sc", "200", 20L, "t2"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between moving the old doc aside and renaming the
+    // new one in: no live checkpoint, only the aside — load must fall
+    // back to the stale cursor (one re-scraped batch) instead of None
+    // (a full-scope re-scrape with duplicate appends)
+    val live = new org.apache.hadoop.fs.Path(s"$root/_checkpoints/sc.json")
+    val prev = new org.apache.hadoop.fs.Path(s"$root/_checkpoints/sc.json.__prev")
+    assert(fs.rename(live, prev))
+    val cp = Checkpoints.load(spark, root, "sc")
+    assert(cp.map(_.lastEntryId).contains("200"), s"fallback missing: $cp")
+    // a fresh save replaces both and clears the aside
+    Checkpoints.save(spark, root, Checkpoint("sc", "300", 30L, "t3"))
+    assert(Checkpoints.load(spark, root, "sc").map(_.lastEntryId).contains("300"))
+    assert(!fs.exists(prev))
+  }
+
   test("concurrent reader racing back-to-back compactions sees every row at every instant") {
     val root = tmpDir("lake_race")
     val n = 5000
