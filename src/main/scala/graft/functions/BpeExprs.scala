@@ -53,6 +53,20 @@ object BpeSupport {
       }
       m
     }
+    // STRUCTURAL equality: the table rides Catalyst expressions as a
+    // reference object, and the default reference equality makes two
+    // expressions built from identical merges forever unequal — defeating
+    // common-subexpression elimination and cached-plan matching (the
+    // Array-vs-Seq hazard HashExprs documents), so the min-rank loop would
+    // run once per textual occurrence instead of once per distinct input
+    override def equals(o: Any): Boolean = o match {
+      case r: Ranks =>
+        java.util.Arrays.equals(
+          pairs.asInstanceOf[Array[AnyRef]], r.pairs.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode: Int =
+      java.util.Arrays.hashCode(pairs.asInstanceOf[Array[AnyRef]])
   }
 
   /** Require every compound symbol to be the output of an earlier merge,
@@ -67,7 +81,11 @@ object BpeSupport {
     val seen = scala.collection.mutable.HashSet[(String, String)]()
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       require(a.nonEmpty && b.nonEmpty, s"merge $i has an empty symbol")
-      require(!a.exists(_.isWhitespace) && !b.exists(_.isWhitespace),
+      // ASCII whitespace only — the pre-tokenizer's actual boundary class
+      // (a U+3000 inside an ASCII-split word is a legal symbol char, and
+      // merges learned over such words must not be rejected)
+      require(!a.exists(c => c == ' ' || (c >= '\t' && c <= '\r')) &&
+        !b.exists(c => c == ' ' || (c >= '\t' && c <= '\r')),
         s"merge $i contains whitespace — merges operate within words")
       require(!a.contains('\u0000') && !b.contains('\u0000'),
         s"merge $i contains NUL, the rank-table key separator — a symbol with an " +
@@ -364,9 +382,14 @@ object BpeSupport {
     require(merges.forall { case (a, b) => a != b },
       "the SQL replay supports a != b merges only (self-pairs need the symbol-pairwise walk)")
     val base = s"(' ' || regexp_replace($wordExpr, '(.)', '\\1 ', 'g'))"
+    // quote-escape the symbols (the byte-level twin's rule): char-level
+    // merges legitimately contain apostrophes ("'", "s") and an unescaped
+    // one terminates the SQL string literal — malformed (or, with crafted
+    // symbols, injected) oracle SQL
+    def esc(s0: String) = s0.replace("'", "''")
     val chained = merges.foldLeft(base) { case (acc, (a, b)) =>
-      val pat = s"' $a $b '"
-      val rep = s"' $a$b '"
+      val pat = s"' ${esc(a)} ${esc(b)} '"
+      val rep = s"' ${esc(a)}${esc(b)} '"
       s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
     s"(CASE WHEN len($wordExpr) = 0 THEN CAST([] AS VARCHAR[]) " +
@@ -494,9 +517,6 @@ case class BpeTokenCount(
     copy(child = newChild)
 }
 
-/** array<int> BPE token ids of a string column (codegen-enabled); ids index
-  * the caller vocabulary, -1 = out of vocabulary.
-  */
 /** array<struct<a,b>> of ADJACENT SYMBOL PAIRS of a document under the
   * current merges table — the corpus statistic BPE TRAINING consumes: one
   * round of Sennrich et al. 2016 is "count all adjacent pairs, merge the
@@ -543,6 +563,9 @@ case class BpeAdjacentPairs(
     copy(child = newChild)
 }
 
+/** array<int> BPE token ids of a string column (codegen-enabled); ids index
+  * the caller vocabulary, -1 = out of vocabulary.
+  */
 case class BpeTokenIds(
     child: Expression,
     ranks: BpeSupport.Ranks,

@@ -103,15 +103,22 @@ object Canonical {
   def deterministicUuid(pid: Column, canonical: Column): Column =
     uuidFromHex(md5(concat(pid.cast("string"), canonical)))
 
-  /** Format a 32-char hex digest as a UUID string (8-4-4-4-12). */
-  def uuidFromHex(hexDigest: Column): Column = concat_ws(
-    "-",
-    substring(hexDigest, 1, 8),
-    substring(hexDigest, 9, 4),
-    substring(hexDigest, 13, 4),
-    substring(hexDigest, 17, 4),
-    substring(hexDigest, 21, 12)
-  )
+  /** Format a 32-char hex digest as a UUID string (8-4-4-4-12); NULL in,
+    * NULL out — concat_ws SKIPS null arguments, so without the guard a
+    * null digest (null pid upstream) yielded the empty string and every
+    * null-keyed row collapsed onto one "" identity instead of leaving the
+    * caller a NULL to handle.
+    */
+  def uuidFromHex(hexDigest: Column): Column = when(
+    hexDigest.isNotNull,
+    concat_ws(
+      "-",
+      substring(hexDigest, 1, 8),
+      substring(hexDigest, 9, 4),
+      substring(hexDigest, 13, 4),
+      substring(hexDigest, 17, 4),
+      substring(hexDigest, 21, 12)
+    ))
 
   /** F11 — URL construction (/root/reference/scrapers/vgsi/source.py:525). */
   def vgsiUrl(base: Column, pid: Column): Column =

@@ -51,12 +51,20 @@ object HashSupport {
     * min over shingles of (a_j * md5Long(shingle) + b_j) mod P.
     */
   def minhash(text: String, k: Int, a: Array[Long], b: Array[Long]): Array[Long] = {
+    // shingle over CODE POINTS, not UTF-16 units (the winnowing rule, and
+    // what DuckDB's substr replays): a unit-based substring splits
+    // surrogate pairs, and the lone halves encode as '?' — two DIFFERENT
+    // astral characters then alias to identical boundary shingles,
+    // inflating similarity for any non-BMP text. BMP text is bit-identical
+    // under either walk.
+    val cps = text.codePoints().toArray
     val n = a.length
     val mins = Array.fill(n)(Long.MaxValue)
-    val last = math.max(text.length - k, 0)
+    val last = math.max(cps.length - k, 0)
     var off = 0
     while (off <= last) {
-      val h = md5Long(text.substring(off, math.min(off + k, text.length)))
+      val end = math.min(off + k, cps.length)
+      val h = md5Long(new String(cps, off, end - off))
       var j = 0
       while (j < n) {
         val v = (a(j) * h + b(j)) % P
@@ -722,6 +730,10 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
   * sorted sliding-window minima of k-gram rolling hashes.
   */
 case class WinnowingFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  // analysis-time range check (the file's error-at-analysis contract):
+  // k = 0 would reach pw(-1) inside the per-row walk and kill every task
+  // with a bare AIOOBE instead of a message naming the bad argument
+  require(k >= 1 && w >= 1, s"graft_winnow needs k >= 1 and w >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -54,7 +54,14 @@ object UnigramSupport {
     var maxLen = 1
     pieces.foreach { case (p, c) =>
       require(p.nonEmpty, "empty piece")
-      require(!p.exists(_.isWhitespace), s"piece '$p' contains whitespace (the pre-tokenizer boundary)")
+      // ASCII whitespace ONLY — the actual pre-tokenizer boundary class
+      // (eachWord and every oracle/trainer split on ASCII \s). The broad
+      // Character.isWhitespace predicate here used to reject pieces
+      // containing U+3000 (ideographic space — word-INTERNAL under the
+      // ASCII boundary, ubiquitous in CJK text), which made training on
+      // such a corpus throw from its own single-char seed pieces.
+      require(!p.exists(c => c == ' ' || (c >= '\t' && c <= '\r')),
+        s"piece '$p' contains whitespace (the pre-tokenizer boundary)")
       require(c >= 0, s"piece '$p' has negative cost $c")
       require(m.put(p, c) == null, s"duplicate piece '$p'")
       maxLen = math.max(maxLen, p.length)
@@ -99,14 +106,22 @@ object UnigramSupport {
     (dpCost(n), dpTok(n), back)
   }
 
+  /** The pre-tokenizer boundary class: ASCII whitespace ONLY, matching
+    * the trainer's split, the q160 fixture and the generated DuckDB
+    * replay (RE2's \s is ASCII-only) — a broader Java predicate here
+    * would split words the oracle keeps whole (U+3000 et al.) and the
+    * per-doc counts would silently diverge on CJK text.
+    */
+  private def isAsciiWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
   private def eachWord[A](text: UTF8String)(f: String => Unit): Unit = {
     val s = text.toString
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isAsciiWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isAsciiWs(s.charAt(i))) i += 1
       if (i > start) f(s.substring(start, i))
     }
   }

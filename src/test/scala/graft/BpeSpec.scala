@@ -230,6 +230,20 @@ class BpeSpec extends SparkSpec {
     assert(bout(1L).contains("a") && bout(2L).isEmpty)
   }
 
+  test("oracle SQL escapes apostrophes in merge symbols; Ranks equality is structural") {
+    // ("'", "s") is a legitimate English char-level merge: the generated
+    // replace() literals must escape the quote or the oracle SQL is
+    // malformed (the byte-level twin's rule)
+    val sql = BpeSupport.duckWordSymbolsSql("w", Seq(("'", "s")))
+    assert(sql.contains("' '' s '") && sql.contains("' ''s '"), s"unescaped quote in: $sql")
+    // structural equality: identical merges must compare equal so CSE and
+    // cached-plan matching can unify two expressions over the same table
+    val a = new BpeSupport.Ranks(Array(("a", "b"), ("ab", "c")))
+    val b = new BpeSupport.Ranks(Array(("a", "b"), ("ab", "c")))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a != new BpeSupport.Ranks(Array(("a", "b"))))
+  }
+
   test("expression surface: codegen placement, determinism, and Column parity") {
     // range-derived strings: a Seq-literal LocalRelation would be folded
     // whole by ConvertToLocalRelation and leave no codegen to assert

@@ -61,6 +61,15 @@ class CanonicalSpec extends SparkSpec {
     assert(us.distinct.length == pids.distinct.length)
   }
 
+  test("uuidFromHex: NULL digest yields NULL, never the empty-string identity") {
+    // concat_ws skips null arguments, so a null digest (null pid
+    // upstream) used to produce "" — collapsing every null-keyed row
+    // onto one shared identity instead of a NULL the caller can handle
+    val out = Seq(Tuple1(null.asInstanceOf[String])).toDF("h")
+      .select(Canonical.uuidFromHex($"h")).head()
+    assert(out.isNullAt(0), s"null digest must map to NULL, got '${out.get(0)}'")
+  }
+
   test("money parser: strip $/commas, empty/garbage -> NULL") {
     val df = Seq("$350,000.00", " 12.5 ", "", "abc", null).toDF("m")
     val got = df.select(Canonical.money($"m").as("v")).as[Option[Double]].collect().toSeq

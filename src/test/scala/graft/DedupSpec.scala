@@ -216,6 +216,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("minhash shingles by CODE POINTS: distinct astral chars never alias; k=0 winnow rejected") {
+    import graft.functions.{HashExprs, HashSupport}
+    // unit-based substrings split surrogate pairs into lone halves that
+    // encode as '?' — two DIFFERENT astral characters then share boundary
+    // shingles and their signatures converge
+    def sig(t: String) = Seq(Tuple1(t)).toDF("t")
+      .select(HashExprs.minhashSignature($"t", 2, 12)).head().getSeq[Long](0)
+    assert(sig("a\uD834\uDD1Eb") != sig("a\uD834\uDD1Fb"),
+      "distinct astral chars aliased through split surrogates")
+    // parameter range is an analysis-time error with a named message, not
+    // a per-row AIOOBE from pw(-1)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.winnowingFingerprints(org.apache.spark.sql.functions.lit("x"), 0, 4)
+    }
+    assert(e.getMessage.contains("k >= 1"))
+  }
+
   test("winnowing: shared substring >= w+k-1 chars -> shared fingerprint; deque == naive minima") {
     import graft.functions.HashSupport
     // naive O(n·w) reference for the deque implementation

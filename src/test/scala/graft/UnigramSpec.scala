@@ -82,6 +82,19 @@ class UnigramSpec extends SparkSpec {
     assert(local == dist, s"strategy parity broke:\n$local\nvs\n$dist")
   }
 
+  test("Unicode whitespace is word-INTERNAL (ASCII boundary only) and training survives it") {
+    // the pre-tokenizer boundary is ASCII \s, matching the trainer's
+    // split and the DuckDB replay (RE2 \s is ASCII-only): U+3000 inside
+    // a word is a legal piece char, and the model's whitespace guard must
+    // use the SAME class — a broad Character.isWhitespace check used to
+    // make training on CJK text throw from its own single-char seeds
+    import graft.operators.UnigramTrainer
+    val docs = Seq((1L, "ab\u3000cd ab\u3000cd plain words here")).toDF("id", "text")
+    val (pieces, unk) = UnigramTrainer.train(docs, "text", vocabSize = 20, rounds = 2)
+    assert(pieces.nonEmpty && unk > 0L) // no throw = the regression
+    assert(pieces.exists(_._1 == "\u3000"), "U+3000 must be a coverage single")
+  }
+
   test("the generated DuckDB oracle SQL is well-formed (parse smoke)") {
     val sql = UnigramSupport.duckDocOracleSql(
       "documents", "doc_id", "lower(text)", pieces, unk, maxLen = 12)
