@@ -67,9 +67,12 @@ object Main {
         }
         val Vector(cmd, sourceName, city) = args.positional.take(3)
         require(sourceName == "vgsi", s"unknown source: $sourceName")
-        val baseUrl = CityRegistry
-          .cityUrl(spark, root, city)
-          .orElse(args.flags.get("base-url"))
+        // an EXPLICIT --base-url wins over the registry default: the flag
+        // exists to work around a stale/moved registry entry, and silently
+        // preferring the registry sent the scrape to the dead endpoint
+        // with no hint the override was dropped
+        val baseUrl = args.flags.get("base-url")
+          .orElse(CityRegistry.cityUrl(spark, root, city))
           .getOrElse(sys.error(s"city '$city' not in registry; pass --base-url"))
         val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
           ratePerSec = args.flag("rate", "5").toDouble)
@@ -126,11 +129,18 @@ object Main {
             sys.error(s"scope '$s' not found under $root; available: ${known.mkString(", ")}")
           s
         }
+        // positional operands via a CHECKED accessor: a missing scope/uuid
+        // is a usage error with a message, not an IndexOutOfBoundsException
+        // stack trace after a full session spin-up
+        def operand(i: Int, what: String): String = args.positional.lift(i).getOrElse {
+          usage()
+          sys.error(s"admin ${args.positional.lift(1).getOrElse("")}: missing $what operand")
+        }
         args.positional.lift(1).getOrElse("scopes") match {
           case "scopes" => Lake.scopes(spark, root).foreach(println)
-          case "tables" => Lake.tables(spark, root, requireScope(args.positional(2))).foreach(println)
+          case "tables" => Lake.tables(spark, root, requireScope(operand(2, "scope"))).foreach(println)
           case "compact" =>
-            val scope = requireScope(args.positional(2))
+            val scope = requireScope(operand(2, "scope"))
             // compactIfNeeded dispatches hive-partitioned tables to the
             // per-leaf variant — calling Lake.compact directly would rewrite
             // a partitioned table FLAT, destroying its layout. minFiles=2:
@@ -138,14 +148,14 @@ object Main {
             Lake.tables(spark, root, scope)
               .foreach(t => Lake.compactIfNeeded(spark, root, scope, t, minFiles = 2))
             println(s"compacted $scope")
-          case "checkpoint" => println(Checkpoints.load(spark, root, requireScope(args.positional(2))))
+          case "checkpoint" => println(Checkpoints.load(spark, root, requireScope(operand(2, "scope"))))
           case "current" =>
-            val props = Lake.read(spark, root, requireScope(args.positional(2)), "properties")
+            val props = Lake.read(spark, root, requireScope(operand(2, "scope")), "properties")
             Scd.currentState(props, col("uuid"), col("scraped_at"), col("row_hash"))
               .show(20, truncate = false)
           case "history" =>
-            val props = Lake.read(spark, root, requireScope(args.positional(2)), "properties")
-            Scd.history(props, col("uuid"), args.positional(3), col("row_hash"), col("scraped_at"))
+            val props = Lake.read(spark, root, requireScope(operand(2, "scope")), "properties")
+            Scd.history(props, col("uuid"), operand(3, "uuid"), col("row_hash"), col("scraped_at"))
               .show(truncate = false)
           case "sql" =>
             // the reference's DuckDB-on-the-lake workflow (README.md:125-136)

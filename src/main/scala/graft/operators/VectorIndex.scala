@@ -243,6 +243,40 @@ object VectorIndex {
   ): Handle = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a (re)build is a WRITE: it must hold the writer lease (otherwise it
+    // races a concurrent append/rebalance's staged commits) and it must
+    // discard any crashed retrain's staging FIRST — the meta.__retrain
+    // marker is a roll-forward promise, and leaving it in place lets the
+    // next open() promote the stale pre-crash artifacts OVER this fresh
+    // build, silently destroying it
+    val lease = acquireLease(dir, spark, "build")
+    try {
+      val fsb = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("meta.__retrain", "postings.__retrain", "codebooks.__retrain", "meta.__swap")
+        .foreach { n =>
+          val pp = new org.apache.hadoop.fs.Path(s"$dir/$n")
+          if (fsb.exists(pp) && !fsb.delete(pp, true))
+            throw new java.io.IOException(s"build: could not discard stale staging $pp")
+        }
+      buildBody(corpus, idCol, vecCol, dir, kLists, m, ksub, seed, residual, qerrSampleFraction)
+    } finally lease.release()
+  }
+
+  private def buildBody(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      kLists: Int,
+      m: Int,
+      ksub: Int,
+      seed: Long,
+      residual: Boolean,
+      qerrSampleFraction: Double
+  ): Handle = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val std = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val (assigned, centroids) = Similarity.ivfIndex(std, kLists, seed)
     // In residual mode both codebook training and encoding run over the
@@ -793,8 +827,17 @@ object VectorIndex {
     * (append/rebalance encode with `h.codebooks`). Every mutating entry
     * point passes through here.
     */
-  private def freshHandle(h: Handle, spark: SparkSession): Handle =
-    if (recoverRetrain(h.dir, spark)) open(spark, h.dir) else h
+  private def freshHandle(h: Handle, spark: SparkSession): Handle = {
+    val rolled = recoverRetrain(h.dir, spark)
+    // reload on ANY version drift, not only after an interrupted commit
+    // THIS call rolled forward: a retrain/rebalance that COMPLETED cleanly
+    // in another session also leaves this handle's centroids/codebooks
+    // stale, and mutating with them writes mixed encodings (append) or
+    // reuses another session's centroid ids for unrelated sub-lists
+    // (rebalance) — the same silent corruption the roll-forward reload
+    // exists to prevent, minus the convenient marker.
+    if (rolled || readMeta(spark, h.dir).version != h.version) open(spark, h.dir) else h
+  }
 
   /** Swap staged retrain artifacts into place: postings, codebooks, then
     * meta — meta LAST, because its staged copy is the roll-forward marker

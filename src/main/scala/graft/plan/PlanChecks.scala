@@ -93,7 +93,11 @@ object PlanChecks {
       sortMergeJoins = all.count(_.isInstanceOf[SortMergeJoinExec]),
       nestedLoopJoins = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       cartesianProducts = all.count(_.isInstanceOf[CartesianProductExec]),
-      parquetScans = all.count(n => n.nodeName.startsWith("Scan parquet") || n.nodeName == "BatchScan"),
+      // startsWith, not ==: Spark 4's BatchScanExec.nodeName is
+      // "BatchScan <table>", so an exact match counted every DSv2/catalog
+      // scan as zero and a scan-budget assert passed vacuously
+      parquetScans = all.count(n =>
+        n.nodeName.startsWith("Scan parquet") || n.nodeName.startsWith("BatchScan")),
       // isSkewJoin is set by AQE's OptimizeSkewedJoin when it split a hot
       // partition — only visible in the FINAL adaptive plan, i.e. when
       // inspect() runs AFTER an action on the frame

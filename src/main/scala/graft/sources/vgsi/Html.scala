@@ -50,7 +50,10 @@ object Html {
     openTagRegex(tag, byAttr, byValue)
       .findFirstMatchIn(html)
       .flatMap { m =>
-        ("(?i)\\b" + wanted + "\\s*=\\s*[\"']([^\"']*)[\"']").r
+        // (?<![\w-]), not \b: \b matches after a hyphen, so a data-src
+        // attribute earlier in the tag would be returned as "src" (the
+        // lazy-loading markup trap)
+        ("(?i)(?<![\\w-])" + wanted + "\\s*=\\s*[\"']([^\"']*)[\"']").r
           .findFirstMatchIn(m.matched)
           .map(a => decode(a.group(1)))
       }

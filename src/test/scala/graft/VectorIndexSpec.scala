@@ -736,6 +736,78 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.query(VectorIndex.open(spark, dir), queries, nProbe = 2, k = 5).count() > 0)
   }
 
+  test("stale-handle MUTATIONS self-heal: append via a pre-retrain handle uses the new geometry") {
+    // same setup: h0 predates an out-of-band retrain that bumped the
+    // version. A mutating call must NOT encode with h0's stale codebooks
+    // (mixed encodings in one list, silently wrong distances forever) —
+    // freshHandle reloads on ANY version drift, not only after an
+    // interrupted commit it rolled forward itself.
+    val rnd = new Random(37)
+    val centersB = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5 + 40))
+    val a = clustered
+    val b = (1000 until 1200).map { i =>
+      (i.toLong, centersB(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val dir = tmpDir("vindex_stale_mutate")
+    val h0 = VectorIndex.build(a.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    VectorIndex.append(h0, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val h1 = VectorIndex.retrainIfDrifted(
+      h0, (a ++ b).toDF("vec_id", "embedding"), "vec_id", "embedding", tolerance = 1.2)
+    assert(h1.version > h0.version)
+    // append THROUGH THE STALE handle: a new vector near the shifted
+    // distribution must still be findable as its own nearest neighbor
+    // through a fresh handle (stale-codebook encoding would garble it)
+    // Pin the law DIRECTLY on the written bytes, not on PQ recall (the
+    // planted point is out-of-distribution, so quantization cannot be
+    // relied on to rank it): the codes the stale-handle append writes
+    // must equal what encoding under the FRESH post-retrain geometry
+    // produces — cluster assignment from the new centroids, codes from
+    // the new codebooks.
+    val extra = Seq((9999L, centersB(0).map(x => (x + 3.0).toFloat).toSeq))
+    VectorIndex.append(h0, extra.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val h2 = VectorIndex.open(spark, dir)
+    val written = spark.read.parquet(s"$dir/postings")
+      .filter($"vec_id" === 9999L)
+      .select($"cluster", $"codes")
+      .collect()
+    assert(written.length == 1, s"appended row missing or duplicated: ${written.toSeq}")
+    val expected = graft.operators.Similarity
+      .pqEncode(
+        extra.toDF("vec_id", "embedding")
+          .withColumn("cluster",
+            element_at(graft.operators.Similarity.nearestCentroids($"embedding", h2.centroids, 1), 1))
+          .withColumn("rvec", {
+            // residualCol's exact expression (private in VectorIndex):
+            // element-wise vec − centroids[cluster], float→double widened
+            val centArr = array(h2.centroids.map(c => array(c.map(lit): _*)): _*)
+            zip_with($"embedding", element_at(centArr, $"cluster" + lit(1)),
+              (a, b) => a.cast("double") - b)
+          }),
+        "rvec", h2.codebooks)
+      .select($"cluster", $"codes")
+      .collect()
+    assert(written.head.getAs[Int]("cluster") == expected.head.getAs[Int]("cluster") &&
+      written.head.getSeq[Int](1) == expected.head.getSeq[Int](1),
+      s"stale-handle append used stale geometry: wrote ${written.head} expected ${expected.head}")
+  }
+
+  test("build over a crashed retrain's staging discards it (no stale roll-forward over the rebuild)") {
+    val dir = tmpDir("vindex_rebuild_staging")
+    val h0 = VectorIndex.build(clustered.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    // plant a crashed retrain: a meta.__retrain marker (the roll-forward
+    // promise) plus staged postings that do NOT match the rebuild
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(s"$dir/$x")
+    fs.mkdirs(p("postings.__retrain"))
+    assert(fs.rename(p("meta"), p("meta.__retrain"))) // marker present, live meta gone
+    // rebuild: must clear the staging FIRST — otherwise the next open()
+    // would promote the stale staged set OVER this fresh build
+    val h1 = VectorIndex.build(clustered.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    assert(!fs.exists(p("meta.__retrain")) && !fs.exists(p("postings.__retrain")))
+    val q = clustered.take(3).toDF("qid", "qe")
+    assert(VectorIndex.query(VectorIndex.open(spark, dir), q, nProbe = 4, k = 1).count() > 0)
+  }
+
   test("meta swap recovery: interrupted live-meta rewrite rolls forward; corrupt meta fails loudly") {
     val dir = tmpDir("vindex_meta_swap")
     val corpus = clustered.toDF("vec_id", "embedding")

@@ -148,6 +148,14 @@ class VgsiParserSpec extends AnyFunSuite {
     assert(r.buildings.isEmpty)
   }
 
+  test("attrOf: a data-src attribute cannot answer for src (hyphen is not a word boundary)") {
+    // lazy-loading markup serves data-src before the real src; \b matches
+    // after a hyphen, so the old pattern returned the placeholder
+    val html = """<img id="MainContent_ctl02_imgPhoto" data-src="lazy.gif" src="photo123.jpg">"""
+    assert(Html.attrOf(html, "img", "id", "MainContent_ctl02_imgPhoto", "src")
+      .contains("photo123.jpg"))
+  }
+
   test("html text extraction: nested tags, entities, whitespace") {
     assert(Html.text("<b>Hello</b>&nbsp;<i>World &amp; Co</i>") == "Hello World & Co")
     assert(Html.textById("<span id=\"x\">  a  <br/> b </span>", "span", "x").contains("a b"))
