@@ -104,25 +104,38 @@ object Bench {
     // the record is corrupted only when every sweep ran slow — i.e. the
     // BEST canary is still >1.5x the idle reference.
     val canaryLoaded = canaries.nonEmpty && canaries.min > 1.5 * CanaryRef
+    // Drift detection, ORTHOGONAL to the floor: a monotone-rising canary
+    // (e.g. [0.14, 0.33, 0.52] — load arriving mid-run) passes the floor
+    // rule because sweep 1 was clean, yet sweeps 2-3 are inflated; the
+    // per-query min-of-3 usually absorbs it (each query keeps its clean
+    // sweep), but the record should say so machine-readably instead of
+    // relying on a reader to eyeball the canary array. Rule: max/min > 2
+    // across the sweeps ⇒ canary_drift — totals remain usable (mins), raw
+    // per-sweep deltas do not.
+    val canaryDrift = canaries.nonEmpty && canaries.max > 2.0 * canaries.min
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"cpus":$cpus}"""
     println(line)
     if (canaryLoaded)
       System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
         s"($canaryJson vs $CanaryRef s) — host was loaded during this run; " +
         "per-query numbers are not comparable, rerun on an idle host")
+    else if (canaryDrift)
+      System.err.println(s"[bench] WARNING: canary drifted >2x across sweeps " +
+        s"($canaryJson) — load arrived mid-run; min-of-3 totals hold, raw " +
+        "per-sweep times are not comparable")
     // Self-contained artifact: the driver records the stdout TAIL, which
     // truncates ~30 of the per-query times out of the record (BENCH_r06:
     // parsed=null). The full min-of-N map — plus the raw per-sweep times
     // and the canary record, the audit trail that distinguishes a loaded
     // host from a real regression without a re-run — is therefore also
     // written to a JSON file with a stable schema
-    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,cpus,sf},
+    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,canary_drift,cpus,sf},
     // queries sorted by name. Path override: SPARK_GRAFT_BENCH_REPORT.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"cpus":$cpus,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"cpus":$cpus,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {

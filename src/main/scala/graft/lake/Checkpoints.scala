@@ -45,9 +45,19 @@ object Checkpoints {
     // one-batch loss. With the aside, [[load]] falls back to the previous
     // doc — at worst a stale cursor, exactly the scaladoc's contract.
     val prev = new Path(p.toString + ".__prev")
-    fs.delete(prev, false)
-    if (fs.exists(p) && !fs.rename(p, prev))
-      throw new java.io.IOException(s"checkpoint save: could not move $p aside")
+    if (fs.exists(p)) {
+      // clear a stale aside ONLY when a live doc is about to replace it.
+      // After a crash that moved the live doc aside but never landed the
+      // new one (p absent, .__prev the only copy), an unconditional delete
+      // here would reopen the exact no-checkpoint window the aside exists
+      // to close — confined to the recovery save, but the same data loss.
+      // Leaving .__prev in place costs nothing: rename(tmp, p) below does
+      // not need the aside slot when p is absent, and the post-landing
+      // delete clears it either way.
+      fs.delete(prev, false)
+      if (!fs.rename(p, prev))
+        throw new java.io.IOException(s"checkpoint save: could not move $p aside")
+    }
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"checkpoint save: could not move $tmp into place")
     fs.delete(prev, false)

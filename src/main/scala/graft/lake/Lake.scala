@@ -65,7 +65,20 @@ object Lake {
     recoverStrandedSwap(fs, path)
   }
 
-  /** Append one batch to a table (ZSTD parquet, new files only). */
+  /** Append one batch to a table (ZSTD parquet, new files only).
+    *
+    * Writer contract (shared by [[appendPartitioned]] and [[compact]]):
+    * ONE writer per table at a time — the caller's scheduler must
+    * serialize appends and compactions on the same table, exactly as the
+    * reference serializes through its single process. The contract is not
+    * enforced here: `recoverBeforeWrite` cannot distinguish a CRASHED
+    * swap from a LIVE compact inside its two-rename window, so an append
+    * racing a live compact may promote `.__old` back mid-swap — compact's
+    * checked renames then fail the compact (rollback, no data loss), but
+    * the concurrent write has still broken the table's quiescence.
+    * Cross-process writers that cannot rely on a scheduler should guard
+    * the table with a lease (the [[VectorIndex]] writer-lease pattern).
+    */
   def append(df: DataFrame, root: String, scope: String, table: String): Unit = {
     val path = tablePath(root, scope, table)
     recoverBeforeWrite(df, path)
@@ -79,7 +92,8 @@ object Lake {
     * (`table/col=value/...`), so equality/range predicates on them prune at
     * file-listing time — no row-group is even opened. The right layout for
     * time-partitioned lakes at 100 TB (partition by ingest date; scope is
-    * already a directory level).
+    * already a directory level). Same one-writer-per-table contract as
+    * [[append]].
     */
   def appendPartitioned(
       df: DataFrame,

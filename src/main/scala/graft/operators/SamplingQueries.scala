@@ -647,7 +647,11 @@ object SamplingQueries {
                coalesce(CAST((1000 * CAST(sc.num AS HUGEINT)) // sc.den AS BIGINT), 0) AS score_permille,
                (NOT d.source = 'src0') AND
                  ('0x' || substr(md5('isr:' || d.doc_id), 1, 15))::BIGINT % 1000 <
-                 coalesce(1000 * sc.num // sc.den, 0) AS keep
+                 -- same HUGEINT widening as score_permille above: both
+                 -- columns must derive from ONE overflow-safe computation,
+                 -- or at corpus scale the BIGINT product overflows (DuckDB
+                 -- errors) while the widened score silently diverges
+                 coalesce(CAST((1000 * CAST(sc.num AS HUGEINT)) // sc.den AS BIGINT), 0) AS keep
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         ORDER BY d.doc_id
       """.trim)

@@ -47,6 +47,37 @@ class LakeSpec extends SparkSpec {
     assert(Checkpoints.load(spark, root, hard.scopeKey) == Some(hard))
   }
 
+  test("recovery-path save keeps the .__prev fallback until the new doc lands") {
+    // Crash state: a prior save moved the live doc aside and died before
+    // landing the new one — p absent, .__prev is the ONLY copy. A save
+    // that then fails its tmp→live rename must leave that fallback in
+    // place (the old unconditional-delete ordering destroyed it first,
+    // reopening the no-checkpoint window exactly on the recovery path).
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fault.impl", classOf[FaultInjectingFs].getName)
+    conf.set("fs.fault.impl.disable.cache", "true")
+    val root = "fault:" + tmpDir("lake")
+    val cp1 = Checkpoint("s", "1", 1L, "2024-01-01T00:00:00Z")
+    Checkpoints.save(spark, root, cp1)
+    // simulate the crashed save: live doc moved aside, nothing landed
+    val p = new org.apache.hadoop.fs.Path(s"$root/_checkpoints/s.json")
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(p.toString + ".__prev")))
+    assert(Checkpoints.load(spark, root, "s") == Some(cp1), "fallback readable pre-save")
+    // the recovery save itself crashes at the tmp→live rename
+    FaultInjectingFs.failNextRename.set(true)
+    intercept[java.io.IOException] {
+      Checkpoints.save(spark, root, Checkpoint("s", "2", 2L, "2024-01-02T00:00:00Z"))
+    }
+    assert(Checkpoints.load(spark, root, "s") == Some(cp1),
+      "the .__prev fallback must survive a crashed recovery save — zero copies is data loss")
+    // and a later healthy save completes the recovery, clearing the aside
+    val cp2 = Checkpoint("s", "2", 2L, "2024-01-02T00:00:00Z")
+    Checkpoints.save(spark, root, cp2)
+    assert(Checkpoints.load(spark, root, "s") == Some(cp2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p.toString + ".__prev")))
+  }
+
   test("malformed checkpoint degrades to None instead of wedging the scope") {
     val root = tmpDir("lake")
     val dir = new java.io.File(s"$root/_checkpoints")
@@ -332,4 +363,20 @@ class LakeSpec extends SparkSpec {
     }
     assert(tries == 2)
   }
+}
+
+/** Test-only filesystem for crash-window injection: a local FS under the
+  * `fault:` scheme whose next rename can be armed to fail — the only way
+  * to observe WHERE in [[graft.lake.Checkpoints.save]]'s rename sequence
+  * a crash lands without interposing on a private FileSystem instance.
+  */
+class FaultInjectingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("fault:///")
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FaultInjectingFs.failNextRename.compareAndSet(true, false)) false
+    else super.rename(src, dst)
+}
+
+object FaultInjectingFs {
+  val failNextRename = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
