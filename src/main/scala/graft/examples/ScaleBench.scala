@@ -782,8 +782,24 @@ object ScaleBench {
         val fixed = runForm(8, "fixed")
         val scaledBits = 8 + math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt
         val scaled = runForm(scaledBits, "scaled")
+        // the DEFAULT path (round 14): count → bitsPerBand — what a
+        // caller now gets without touching any knob. Must track the
+        // scaled form's near-linear law; also cross-checked against the
+        // auto overload itself so the bench measures the geometry the
+        // production entry point actually derives
+        val autoBits = Similarity.bitsPerBand(u.count())
+        val auto = runForm(autoBits, "auto")
+        val viaDefault =
+          Dedup.embedNearDupPairs(u, "vec_id", "emb", threshold = 0.9)
+            .filter(col("doc_b") === col("doc_a") + twinOff).count()
+        val viaExplicit =
+          Dedup.embedNearDupPairs(u, "vec_id", "emb",
+            Similarity.hyperplanes(4 * autoBits, 64), bands = 4, threshold = 0.9)
+            .filter(col("doc_b") === col("doc_a") + twinOff).count()
+        require(viaDefault == viaExplicit,
+          s"default-geometry overload disagrees with explicit planes at bits=$autoBits: $viaDefault vs $viaExplicit")
         u.unpersist()
-        fixed ++ scaled
+        fixed ++ scaled ++ auto
       }
       // Incremental gram-index maintenance: at corpus scale k, a snapshot
       // rebuild (write the full index) costs ∝ k; appending a FIXED intake
@@ -1056,7 +1072,7 @@ object ScaleBench {
       (if (doContainHot) Seq("containment_hot_prefix", "containment_hot_naive", "containment_hot_full") else Nil) ++
       (if (doGramAppend) Seq("gram_append") else Nil) ++
       (if (doNoveltyHot) Seq("novelty_hot_agg", "novelty_hot_window") else Nil) ++
-      (if (doLshKnob) Seq("lsh_knob_fixed", "lsh_knob_scaled") else Nil) ++
+      (if (doLshKnob) Seq("lsh_knob_fixed", "lsh_knob_scaled", "lsh_knob_auto") else Nil) ++
       (if (doPhash) Seq("phash") else Nil) ++
       (if (doAudio) Seq("audio_fp") else Nil) ++
       (if (doVideo) Seq("video_fp") else Nil) ++

@@ -248,6 +248,39 @@ object Dedup {
     * the q28/q40 recall lever applied to dedup. Deterministic: fixed
     * planes mean reruns (and the replayed-plane oracle) see identical
     * buckets.
+    *
+    * This DEFAULT-geometry form is the one a caller should reach for: it
+    * counts the corpus (one cheap count-star job — the knob computation,
+    * paid once per run) and derives the scale-safe band width via
+    * [[Similarity.bitsPerBand]] (bits ≈ log₂(n / targetOccupancy),
+    * floor 8). The explicit-planes overload below keeps FIXED geometry —
+    * occupancy, and so candidate pairs per doc, grow linearly with n and
+    * the pair join quadratically (measured: 23.9× wall at 10× data,
+    * 900× candidates at 30× — `lsh_knob` in SCALE.md) — so fixed planes
+    * are for callers replaying a pinned geometry (oracles, A/B forms),
+    * not for production corpora whose n the call site doesn't know.
+    */
+  def embedNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      bands: Int = 4,
+      targetOccupancy: Long = 32L
+  ): DataFrame = {
+    // n and dim in ONE job; dim from the widest row so a ragged corpus
+    // fails in hyperplane arithmetic rather than silently truncating
+    val stats = df
+      .agg(count(lit(1)), coalesce(max(size(col(embCol))), lit(0)))
+      .head()
+    val (n, dim) = (stats.getLong(0), stats.getInt(1))
+    val planes = Similarity.planesFor(n, dim, bands, targetOccupancy)
+    embedNearDupPairs(df, idCol, embCol, planes, bands, threshold)
+  }
+
+  /** Pinned-geometry form — see the default overload above for when each
+    * applies (short version: replay/oracle/A-B callers only; a fixed
+    * width is a measured quadratic at corpus scale).
     */
   def embedNearDupPairs(
       df: DataFrame,

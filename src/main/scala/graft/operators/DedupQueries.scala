@@ -195,18 +195,23 @@ object DedupQueries {
     * family): the corpus is unioned with an id-shifted, slightly-perturbed
     * copy of itself (first component +0.05 — q22's planted-duplicate pattern
     * in vector space), and the operator must find exactly the planted pairs:
-    * sign-bit LSH bands (32 planes, 4 bands of 8 bits — 256 buckets per
-    * band keeps bucket occupancy, and so candidate pairs, sub-quadratic)
-    * generate candidates in a bucket equi-join; only candidates pay the
-    * exact cosine (with per-doc norms precomputed once), verified
-    * at 0.9 (organic pairs top out at ~0.6 in this corpus, so the planted
-    * pairs are cleanly separable). The oracle replays the identical planes
-    * as SQL literals, so both engines see the same buckets, candidates and
-    * cosines.
+    * sign-bit LSH bands with the DEFAULT derived geometry (4 bands of
+    * [[Similarity.bitsPerBand]] bits — occupancy-constant, so candidate
+    * pairs stay sub-quadratic at any corpus size, the round-14 fix for
+    * the one measured super-linear row at sf1) generate candidates in a
+    * bucket equi-join; only candidates pay the exact cosine (with per-doc
+    * norms precomputed once), verified at 0.9 (organic pairs top out at
+    * ~0.6 in this corpus, so the planted pairs are cleanly separable).
+    * The oracle replays the whole default — COUNT → derived bits → the
+    * max-width plane literals' live prefix — so both engines see the same
+    * geometry, buckets, candidates and cosines at EVERY sf.
     */
   private val q54 = {
-    val planes = Similarity.hyperplanes(32, 64)
-    val planeValues = SimilarityQueries.planeLiteralsSql(planes)
+    // literals for the WIDEST derivable geometry (4 bands × 28 bits):
+    // hyperplanes(k) is a prefix of hyperplanes(k'), so the oracle renders
+    // the max set once and the derived `bits` selects the live prefix —
+    // the count-then-derive DEFAULT is replayed, not a pinned width
+    val planeValues = SimilarityQueries.planeLiteralsSql(Similarity.hyperplanes(4 * 28, 64))
     Q(
       "q54_embed_neardup",
       (s, dir) => {
@@ -217,7 +222,7 @@ object DedupQueries {
           transform($"emb", (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("emb")
         )
         Dedup
-          .embedNearDupPairs(base.unionByName(near), "vec_id", "emb", planes, bands = 4, threshold = 0.9)
+          .embedNearDupPairs(base.unionByName(near), "vec_id", "emb", threshold = 0.9)
           .select($"doc_a", $"doc_b", round($"cos", 4).as("cos"))
           .orderBy($"doc_a", $"doc_b")
       },
@@ -227,11 +232,18 @@ object DedupQueries {
                         [CASE WHEN i = 1 THEN emb[i] + 0.05 ELSE emb[i] END for i in range(1, 65)] AS emb
                  FROM base),
         u AS (SELECT * FROM base UNION ALL SELECT * FROM near),
+        -- the scale-safe width the engine derives by default: smallest
+        -- bits in [8, 28] with 32 * 2^bits >= n (integer-exact, same Long
+        -- comparison as Similarity.bitsPerBand)
+        nn AS (SELECT COUNT(*) AS n FROM u),
+        bb AS (SELECT CAST(coalesce(MIN(b), 28) AS INT) AS bits
+               FROM (SELECT range AS b FROM range(8, 29)), nn
+               WHERE (32::BIGINT << b) >= nn.n),
         pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
-        sk AS (SELECT vec_id, h // 8 AS band,
+        sk AS (SELECT vec_id, h // bits AS band,
                       SUM(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, 65)]) > 0
-                               THEN (1::BIGINT << (h % 8)) ELSE 0 END) AS bucket
-               FROM u, pl GROUP BY 1, 2),
+                               THEN (1::BIGINT << (h % bits)) ELSE 0 END) AS bucket
+               FROM u, pl, bb WHERE h < 4 * bits GROUP BY 1, 2),
         eb AS (SELECT u.vec_id, u.emb, sk.band, sk.bucket FROM u JOIN sk USING (vec_id)),
         cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
                  FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),

@@ -62,6 +62,43 @@ object Similarity {
   def lshBucket(e: Column, planeVecs: Seq[Array[Double]]): Column =
     graft.functions.HashExprs.lshBucket(e, planeVecs)
 
+  /** Scale-safe band width: the smallest bits-per-band in [8, 28] such
+    * that `targetOccupancy · 2^bits ≥ n` — i.e. bits ≈ log₂(n / occupancy),
+    * floored at the fixture-scale default of 8. Fixed-geometry sign-bit
+    * LSH has candidate pairs ∝ n²/2^bits (per-bucket occupancy n/2^bits
+    * rises linearly, pairs quadratically — measured exactly quadratic in
+    * the `lsh_knob` A/B: 146k → 131M candidates at 30× with bits pinned
+    * at 8); holding occupancy constant holds candidates-per-doc constant,
+    * so the derived width is the geometry a 100 TB corpus needs BY
+    * DEFAULT, not as a hand-tuned knob. The price is recall on the margin
+    * (a planted-pair recall ≥ 0.997 at 1×/10×/30× in the same A/B —
+    * ~0.2% under the fixed-width 0.9995), pinned in DedupSpec.
+    *
+    * Integer-exact on purpose: the comparison is `(occupancy << b) >= n`
+    * in Long arithmetic, replayable verbatim in any engine — a
+    * float ceil(log₂) could round differently across runtimes exactly at
+    * the power-of-two boundaries. Clamp at 28 keeps the per-band bucket
+    * id well inside a Long for any corpus this side of 2^33 vectors.
+    */
+  def bitsPerBand(n: Long, targetOccupancy: Long = 32L): Int =
+    (8 to 28).find(b => (targetOccupancy << b) >= n).getOrElse(28)
+
+  /** The default geometry for the embedding near-dup family: `bands`
+    * bands of [[bitsPerBand]]-wide sign-bit buckets, planes derived by
+    * the same deterministic md5 scheme as [[hyperplanes]] (so a count-
+    * then-derive caller — or an oracle replaying the count in SQL — sees
+    * identical planes). `hyperplanes(k)` is a prefix of `hyperplanes(k')`
+    * for k < k', which is what lets an oracle render the max-width plane
+    * set as literals once and select the derived prefix at query time.
+    */
+  def planesFor(
+      n: Long,
+      dim: Int,
+      bands: Int = 4,
+      targetOccupancy: Long = 32L
+  ): Seq[Array[Double]] =
+    hyperplanes(bands * bitsPerBand(n, targetOccupancy), dim)
+
   /** Exact top-k cosine neighbors for each query vector. `excludeSelf`
     * (default true, the in-corpus-query convention) matches the flag on
     * ivfTopK/pqTopK/VectorIndex.query: an EXTERNAL query set whose qid

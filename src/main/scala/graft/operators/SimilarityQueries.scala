@@ -460,15 +460,16 @@ object SimilarityQueries {
     * lengths; both engines derive the same ones).
     */
   private val q110 = {
-    val planes = Similarity.hyperplanes(32, 64)
-    val planeValues = planeLiteralsSql(planes)
+    // max-width plane literals; the oracle derives the live prefix from
+    // COUNT, replaying the engine's default geometry (q54's pattern)
+    val planeValues = planeLiteralsSql(Similarity.hyperplanes(4 * 28, 64))
     Q(
       "q110_similarity_pack",
       (s, dir) => {
         val T = Tables(s, dir); import s.implicits._
         val base = T.embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
         val pairs = graft.operators.Dedup
-          .embedNearDupPairs(base, "vec_id", "emb", planes, bands = 4, threshold = 0.9)
+          .embedNearDupPairs(base, "vec_id", "emb", threshold = 0.9)
           .select($"doc_a", $"doc_b")
         val docs = base.select(
           $"vec_id".as("doc_id"),
@@ -482,11 +483,15 @@ object SimilarityQueries {
         val hash = (k: String) => s"('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 15))::BIGINT"
         s"""
         WITH RECURSIVE base AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb FROM embeddings),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        bb AS (SELECT CAST(coalesce(MIN(b), 28) AS INT) AS bits
+               FROM (SELECT range AS b FROM range(8, 29)), nn
+               WHERE (32::BIGINT << b) >= nn.n),
         pl AS (SELECT * FROM (VALUES $planeValues) AS t(h, p)),
-        sk AS (SELECT vec_id, h // 8 AS band,
+        sk AS (SELECT vec_id, h // bits AS band,
                       SUM(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, 65)]) > 0
-                               THEN (1::BIGINT << (h % 8)) ELSE 0 END) AS bucket
-               FROM base, pl GROUP BY 1, 2),
+                               THEN (1::BIGINT << (h % bits)) ELSE 0 END) AS bucket
+               FROM base, pl, bb WHERE h < 4 * bits GROUP BY 1, 2),
         eb AS (SELECT base.vec_id, base.emb, sk.band, sk.bucket FROM base JOIN sk USING (vec_id)),
         cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
                  FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),

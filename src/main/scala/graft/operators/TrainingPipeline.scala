@@ -181,6 +181,9 @@ object TrainingPipeline {
       idCol: String = "doc_id",
       embCol: String = "embedding",
       threshold: Double = 0.95,
+      // Nil (the default) = derive the occupancy-constant geometry from
+      // the corpus count ([[Similarity.planesFor]]); pass explicit planes
+      // only to replay a pinned geometry
       lshPlanes: Seq[Array[Double]] = Nil,
       lshBands: Int = 4,
       index: Option[VectorIndex.Handle] = None,
@@ -309,6 +312,13 @@ object TrainingPipeline {
                 val h = e.retrainTolerance.fold(h1)(
                   VectorIndex.retrainIfDrifted(h1, e.embeddings, e.idCol, e.embCol, _))
                 Dedup.embedNearDupPairsViaIndex(alive, e.idCol, e.embCol, h, e.threshold, e.nProbe, e.k)
+              case None if e.lshPlanes.isEmpty =>
+                // the default path: derived occupancy-constant geometry
+                // (count → bitsPerBand). Before round 14, Nil planes fell
+                // through to a single 0-bit bucket — an ALL-PAIRS join on
+                // the default config, the exact quadratic the banding
+                // exists to prevent.
+                Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.threshold, e.lshBands)
               case None =>
                 Dedup.embedNearDupPairs(alive, e.idCol, e.embCol, e.lshPlanes, e.lshBands, e.threshold)
             }

@@ -216,6 +216,52 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("derived LSH geometry: bitsPerBand is integer-exact, occupancy-constant, prefix-stable") {
+    import graft.operators.Similarity
+    assert(Similarity.bitsPerBand(0L) == 8)
+    assert(Similarity.bitsPerBand(8192L) == 8) // 32·2^8 = 8192: boundary holds the floor
+    assert(Similarity.bitsPerBand(8193L) == 9) // one past it widens — integer-exact, no float ceil
+    assert(Similarity.bitsPerBand(40000L) == 11)
+    assert(Similarity.bitsPerBand(1000000000L) == 25)
+    assert(Similarity.bitsPerBand(Long.MaxValue) == 28) // clamp keeps bucket ids in Long
+    // occupancy-constant law: above the floor, 32·2^(bits-1) < n ≤ 32·2^bits
+    for (n <- Seq(10000L, 123456L, 7777777L, 4000000000L)) {
+      val b = Similarity.bitsPerBand(n)
+      assert((32L << b) >= n, s"n=$n bits=$b undershoots")
+      if (b > 8) assert((32L << (b - 1)) < n, s"n=$n bits=$b is wider than needed")
+    }
+    // monotone in n (a corpus can only widen as it grows)
+    val bs = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(Similarity.bitsPerBand(_))
+    assert(bs == bs.sorted)
+    // planesFor: bands × bits planes, and a PREFIX of any wider derivation —
+    // the property that lets an oracle render max-width literals once and
+    // select the live prefix by count
+    val p = Similarity.planesFor(40000L, dim = 8, bands = 4)
+    assert(p.size == 44)
+    assert(p.map(_.toSeq) == Similarity.hyperplanes(64, 8).take(44).map(_.toSeq))
+  }
+
+  test("derived LSH geometry: planted-twin recall >= 0.997 on the default path past the floor") {
+    import graft.operators.Similarity
+    // 2n = 20,000 rows derives 10-bit bands — the spec drives the SCALED
+    // geometry, not the 8-bit fixture floor, so a regression that stops
+    // widening (or widens into recall collapse) fails here, not at sf1
+    val n = 10000
+    val dim = 16
+    val rnd = new java.util.Random(54) // java.util.Random is algorithm-pinned: deterministic everywhere
+    val base = (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val twinOff = 1000000L
+    val twins = base.map { case (id, v) => (id + twinOff, v.updated(0, v.head + 0.02)) }
+    val df = (base ++ twins).toDF("doc_id", "emb")
+    assert(Similarity.bitsPerBand(2L * n) == 10)
+    val found = Dedup
+      .embedNearDupPairs(df, "doc_id", "emb", threshold = 0.99)
+      .filter($"doc_b" === $"doc_a" + twinOff)
+      .count()
+    val recall = found.toDouble / n
+    assert(recall >= 0.997, s"planted-twin recall $recall under the 0.997 floor at derived geometry")
+  }
+
   test("minhash shingles by CODE POINTS: distinct astral chars never alias; k=0 winnow rejected") {
     import graft.functions.{HashExprs, HashSupport}
     // unit-based substrings split surrogate pairs into lone halves that
