@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *   graft admin scopes|tables|compact|checkpoint|current|history|changed [args]
   *
   * Flags (reference defaults): --workers 4, --rate 5, --max-errors 50,
-  * --data-dir data.
+  * --data-dir data, --download-photos (off) with --photo-dir photos,
+  * admin fetch-cities --cities-url (the VGSI index).
   */
 object Main {
 
@@ -29,19 +30,24 @@ object Main {
 
   private val KnownFlags = Set(
     "data-dir", "workers", "rate", "max-errors", "cores",
-    "entry-id-min", "entry-id-max", "base-url"
+    "entry-id-min", "entry-id-max", "base-url", "photo-dir", "cities-url"
   )
+
+  // value-less switches (the reference's store_true args, source.py:900-909)
+  private val BoolFlags = Set("download-photos")
 
   private def parseArgs(argv: Array[String]): Args = {
     val (args, pending) = argv.foldLeft((Args(), Option.empty[String])) {
       case ((acc, Some(p)), v) => (acc.copy(flags = acc.flags + (p -> v)), None)
+      case ((acc, None), a) if a.startsWith("--") && BoolFlags(a.stripPrefix("--")) =>
+        (acc.copy(flags = acc.flags + (a.stripPrefix("--") -> "true")), None)
       case ((acc, None), a) if a.startsWith("--") => (acc, Some(a.stripPrefix("--")))
       case ((acc, None), p) => (acc.copy(positional = acc.positional :+ p), None)
     }
     pending.foreach(p => sys.error(s"flag --$p requires a value"))
-    val unknown = args.flags.keySet.diff(KnownFlags)
+    val unknown = args.flags.keySet.diff(KnownFlags ++ BoolFlags)
     if (unknown.nonEmpty)
-      sys.error(s"unknown flag(s): ${unknown.map("--" + _).mkString(", ")}; known: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")}")
+      sys.error(s"unknown flag(s): ${unknown.map("--" + _).mkString(", ")}; known: ${(KnownFlags ++ BoolFlags).toSeq.sorted.map("--" + _).mkString(", ")}")
     args
   }
 
@@ -54,9 +60,16 @@ object Main {
       shufflePartitions = args.flag("cores", "8").toInt
     )
     val root = args.flag("data-dir", "data")
+    // --download-photos + --photo-dir (default "photos") mirror the
+    // reference's store_true/default pair: photos only download when
+    // asked, into a caller-chosen directory
+    val photoDir =
+      if (args.flags.contains("download-photos")) Some(args.flag("photo-dir", "photos"))
+      else None
     val config = IngestConfig(
       workers = args.flag("workers", "4").toInt,
-      maxConsecutiveErrors = args.flag("max-errors", "50").toInt
+      maxConsecutiveErrors = args.flag("max-errors", "50").toInt,
+      photoDir = photoDir
     )
 
     try args.positional.head match {
@@ -71,11 +84,16 @@ object Main {
         // exists to work around a stale/moved registry entry, and silently
         // preferring the registry sent the scrape to the dead endpoint
         // with no hint the override was dropped
-        val baseUrl = args.flags.get("base-url")
+        val baseUrl0 = args.flags.get("base-url")
           .orElse(CityRegistry.cityUrl(spark, root, city))
           .getOrElse(sys.error(s"city '$city' not in registry; pass --base-url"))
+        // the reference normalizes before building URLs (source.py:928-929):
+        // vgsiUrl concatenates, so a slashless base would 404 every pid as
+        // '<base>Parcel.aspx?pid=N' until the circuit breaker kills the run
+        val baseUrl = if (baseUrl0.endsWith("/")) baseUrl0 else baseUrl0 + "/"
         val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
-          ratePerSec = args.flag("rate", "5").toDouble)
+          ratePerSec = args.flag("rate", "5").toDouble,
+          photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes()))
         val stats =
           if (cmd == "load") {
             val min = args.flag("entry-id-min", "1").toLong
@@ -138,6 +156,17 @@ object Main {
         }
         args.positional.lift(1).getOrElse("scopes") match {
           case "scopes" => Lake.scopes(spark, root).foreach(println)
+          case "fetch-cities" =>
+            // the reference's `admin vgsi --fetch-cities` (source.py:900,
+            // 706-736): scrape the VGSI index, upsert the city registry
+            val url = args.flag("cities-url", VgsiSource.CitiesUrl)
+            val cities = VgsiSource.parseCities(VgsiSource.httpGet(url))
+            if (cities.isEmpty) sys.error(s"no VGSI city links found at $url")
+            CityRegistry.upsert(spark, root,
+              spark.createDataFrame(cities)
+                .toDF("city_key", "city_name", "state", "url")
+                .withColumn("type", lit("vgsi")))
+            println(s"stored ${cities.size} cities from $url")
           case "tables" => Lake.tables(spark, root, requireScope(operand(2, "scope"))).foreach(println)
           case "compact" =>
             val scope = requireScope(operand(2, "scope"))
@@ -175,9 +204,11 @@ object Main {
   private def usage(): Unit = println(
     """usage: graft <load|refresh|refresh-all|admin> [args]
       |  load vgsi <city> --entry-id-min 1 --entry-id-max 1000 [--workers 4 --rate 5 --data-dir data --base-url URL]
+      |                   [--download-photos --photo-dir photos]
       |  refresh vgsi <city> [flags]
       |  refresh-all [--data-dir data]
       |  admin scopes|tables <scope>|compact <scope>|checkpoint <scope>|current <scope>|history <scope> <uuid>
+      |  admin fetch-cities [--cities-url URL]
       |  admin sql "SELECT * FROM graft.<scope>.<table> WHERE ..."
       |""".stripMargin)
 }

@@ -165,7 +165,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   ): Table = {
     mutate("CREATE TABLE")
     require(partitions.isEmpty, "declare partitioning by writing hive-partitioned data instead")
-    val path = Lake.tablePath(root, ident.namespace()(0), ident.name)
+    // scopeOf, not namespace()(0): a multi-part namespace would silently
+    // drop its tail and seed root/<ns0>/<t> — a table that "created" but
+    // can never be resolved (tableExists requires exactly one part); an
+    // empty namespace would throw a bare AIOOBE
+    val path = Lake.tablePath(root, scopeOf(ident.namespace()), ident.name)
     fs.mkdirs(new Path(path))
     if (schema.fields.nonEmpty)
       spark
@@ -271,10 +275,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     StructType(t.columns().map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
 
+  /** Schema of a base table for VIEW resolution, cached per file listing.
+    * mergeSchema inference reads every parquet footer, and one view query
+    * pays it twice (analysis calls viewExists, then loadView) while SHOW
+    * VIEWS pays it once per table in the scope. The cache key is a digest
+    * of the table's recursive file listing (path, mtime, length per file)
+    * — ONE listing RPC sweep, which inference's own FileIndex does anyway,
+    * replacing the footer reads; any append/compact/partition write
+    * changes the listing and misses the cache, so drifted schemas are
+    * never served stale. Bounded: one entry per table this catalog has
+    * resolved views against.
+    */
+  private val viewSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
+
+  private def cachedSchema(base: Identifier): StructType = {
+    val path = Lake.tablePath(root, base.namespace()(0), base.name)
+    val key = try {
+      var h = 1125899906842597L
+      val it = fs.listFiles(new Path(path), true)
+      while (it.hasNext) {
+        val f = it.next()
+        h = h * 31 + f.getPath.toString.hashCode
+        h = h * 31 + f.getModificationTime
+        h = h * 31 + f.getLen
+      }
+      h
+    } catch { case _: java.io.IOException => Long.MinValue } // unknown state: don't cache
+    val hit = viewSchemaCache.get(path)
+    if (hit != null && key != Long.MinValue && hit._1 == key) hit._2
+    else {
+      val s = schemaOf(loadTable(base))
+      if (key != Long.MinValue) viewSchemaCache.put(path, (key, s))
+      s
+    }
+  }
+
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
     listTables(ns).flatMap { t =>
-      if (hasScdTriplet(schemaOf(loadTable(t))))
+      if (hasScdTriplet(cachedSchema(t)))
         ViewSuffixes.map(s => Identifier.of(ns, t.name + s))
       else Seq.empty[Identifier]
     }
@@ -282,13 +322,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def viewExists(ident: Identifier): Boolean =
     viewBase(ident).exists { case (base, _) =>
-      tableExists(base) && hasScdTriplet(schemaOf(loadTable(base)))
+      tableExists(base) && hasScdTriplet(cachedSchema(base))
     }
 
   override def loadView(ident: Identifier): View = {
     val (base, suffix) = viewBase(ident).getOrElse(throw new NoSuchViewException(ident))
     if (!tableExists(base)) throw new NoSuchViewException(ident)
-    val baseSchema = schemaOf(loadTable(base))
+    val baseSchema = cachedSchema(base)
     val triplet = resolveScdTriplet(baseSchema).getOrElse(throw new NoSuchViewException(ident))
     def q(c: String) = s"`${c.replace("`", "``")}`"
     val cols = baseSchema.fieldNames.map(q).mkString(", ")

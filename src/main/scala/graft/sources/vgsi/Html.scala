@@ -19,23 +19,58 @@ object Html {
   // "&amp;lt;" into "&lt;" and then wrongly into "<"
   private val entities = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&apos;" -> "'", "&nbsp;" -> " ",
     "&amp;" -> "&"
   )
 
-  def decode(s: String): String =
-    entities.foldLeft(s) { case (acc, (e, c)) => acc.replace(e, c) }
+  // numeric character references (&#160; / &#x2019;), which the reference
+  // gets for free from BeautifulSoup: real VGSI pages emit &#160; after
+  // money fields and &#39; in owner names — left literal, they ride into
+  // the coercions and silently turn a parsed number into None. Decoded
+  // BEFORE the named pass: "&amp;#60;" contains no "&#" substring, so
+  // double-escapes stay literal exactly as in the named-entity ordering.
+  private val numericEntity = "&#([xX][0-9a-fA-F]{1,6}|[0-9]{1,7});".r
 
-  /** Inner HTML → visible text (tags → separators, collapse, trim). */
+  def decode(s: String): String = {
+    val n =
+      if (!s.contains("&#")) s
+      else
+        numericEntity.replaceAllIn(s, m => {
+          val g = m.group(1)
+          val cp =
+            if (g.charAt(0) == 'x' || g.charAt(0) == 'X') Integer.parseInt(g.substring(1), 16)
+            else Integer.parseInt(g)
+          // surrogate code points are valid-range but unencodable alone
+          // (toChars would mint a lone surrogate); leave them literal
+          if (Character.isValidCodePoint(cp) && cp != 0 && !(cp >= 0xD800 && cp <= 0xDFFF))
+            Regex.quoteReplacement(new String(Character.toChars(cp)))
+          else Regex.quoteReplacement(m.matched)
+        })
+    entities.foldLeft(n) { case (acc, (e, c)) => acc.replace(e, c) }
+  }
+
+  /** Inner HTML → visible text (tags → separators, collapse, trim).
+    * U+00A0 (raw or via `&#160;`/`&nbsp;`) folds into plain space before
+    * the collapse: Java's `\s` and `trim` are ASCII-only, so an NBSP
+    * would otherwise survive at a field's edge and break the numeric
+    * coercions — BeautifulSoup's `get_text(strip=True)` (the behavior
+    * this mirrors) strips it as Unicode whitespace.
+    */
   def text(inner: String): String =
-    decode(inner.replaceAll("(?s)<[^>]*>", " ")).replaceAll("\\s+", " ").trim
+    decode(inner.replaceAll("(?s)<[^>]*>", " "))
+      .replace('\u00A0', ' ')
+      .replaceAll("\\s+", " ").trim
 
+  // (?![\w-]) after the tag name and (?<![\w-]) before the attribute,
+  // never \b: '-' is a word boundary, so <span-x> would satisfy <span\b
+  // and a greedy [^>]* backtracking onto data-id= would satisfy \bid= —
+  // the same hyphen trap attrOf already guards for its wanted attribute
   private def tagRegex(tag: String, attr: String, value: String): Regex =
-    ("(?is)<" + tag + "\\b[^>]*\\b" + attr + "\\s*=\\s*[\"']" +
+    ("(?is)<" + tag + "(?![\\w-])[^>]*(?<![\\w-])" + attr + "\\s*=\\s*[\"']" +
       Regex.quote(value) + "[\"'][^>]*>(.*?)</" + tag + ">").r
 
   private def openTagRegex(tag: String, attr: String, value: String): Regex =
-    ("(?is)<" + tag + "\\b[^>]*\\b" + attr + "\\s*=\\s*[\"']" +
+    ("(?is)<" + tag + "(?![\\w-])[^>]*(?<![\\w-])" + attr + "\\s*=\\s*[\"']" +
       Regex.quote(value) + "[\"'][^>]*>").r
 
   /** Inner HTML of the first `tag` with the given attribute value. */
@@ -62,7 +97,7 @@ object Html {
     * source.py:261-268).
     */
   def spanIndex(html: String): Map[String, String] =
-    "(?is)<span\\b[^>]*\\bid\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</span>".r
+    "(?is)<span(?![\\w-])[^>]*(?<![\\w-])id\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</span>".r
       .findAllMatchIn(html)
       .map(m => m.group(1) -> text(m.group(2)))
       .toMap
@@ -75,8 +110,8 @@ object Html {
     */
   def tableRows(html: String, tableId: String, cellTags: String = "t[dh]"): Option[Seq[Seq[String]]] =
     innerByAttr(html, "table", "id", tableId).map { inner =>
-      val cell = ("(?is)<" + cellTags + "\\b[^>]*>(.*?)</" + cellTags + ">").r
-      "(?is)<tr\\b[^>]*>(.*?)</tr>".r
+      val cell = ("(?is)<" + cellTags + "(?![\\w-])[^>]*>(.*?)</" + cellTags + ">").r
+      "(?is)<tr(?![\\w-])[^>]*>(.*?)</tr>".r
         .findAllMatchIn(inner)
         .map { tr =>
           cell.findAllMatchIn(tr.group(1)).map(td => text(td.group(1))).toSeq

@@ -60,7 +60,11 @@ object VgsiParser {
   def money(v: String): Option[Double] =
     cleanString(v).map(_.replace("$", "").replace(",", "")).flatMap(s => s.toDoubleOption)
   def toDouble(v: String): Option[Double] = cleanString(v).flatMap(_.toDoubleOption)
-  def toInt(v: String): Option[Int] = cleanString(v).flatMap(s => s.toDoubleOption.map(_.toInt))
+  // integer-ONLY parse, the reference's `_handle_int` exactly
+  // (source.py:160-168 — `int('75.0')` raises, so a fractional pct_good
+  // stores None there; a via-double parse here would store Some(75) and
+  // the two lakes' row hashes would silently diverge on such pages)
+  def toInt(v: String): Option[Int] = cleanString(v).flatMap(_.toIntOption)
   def normalizeHeader(h: String): String =
     // Locale.ROOT — header-derived keys must not vary with the host locale
     h.trim.toLowerCase(java.util.Locale.ROOT).stripSuffix(":").replace(" ", "_").replace("&", "and")

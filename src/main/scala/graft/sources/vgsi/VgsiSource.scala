@@ -13,44 +13,112 @@ import java.time.Duration
   */
 object VgsiSource {
 
+  /** The reference's TLS stance, scoped to ONE client: VGSI hosts serve
+    * self-signed certs, so the reference builds a dedicated session with
+    * verification off rather than disabling it process-wide
+    * (source.py:30-33 — `_session.verify = False`). `verifyTls = true`
+    * restores full verification for deployments fronted by a proper CA.
+    */
+  private def trustAllContext(): javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }), new java.security.SecureRandom())
+    ctx
+  }
+
+  private def newClient(timeoutSec: Long, verifyTls: Boolean): HttpClient = {
+    val b = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(timeoutSec))
+      // follow redirects like the reference's requests session (GET
+      // follows by default there); NORMAL refuses only https→http
+      // downgrades
+      .followRedirects(HttpClient.Redirect.NORMAL)
+    (if (verifyTls) b else b.sslContext(trustAllContext())).build()
+  }
+
+  private def send(client: HttpClient, url: String, timeoutSec: Long): HttpResponse[String] = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSec)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // >= 300, not >= 400: redirects are followed above, so any 3xx still
+    // here is an unfollowable one — its stub body parsed as a parcel page
+    // would write all-null rows as "successful" scrapes
+    if (resp.statusCode() >= 300)
+      throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+    resp
+  }
+
   /** java.net.http GET with the reference's timeout (30 s); retries/backoff
     * live in the engine's Retry wrapper (S5 policy).
     */
-  def httpFetch(timeoutSec: Long = 30): (String, Long) => String = {
-    lazy val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSec)).build()
-    (baseUrl, pid) => {
-      val req = HttpRequest
-        .newBuilder(URI.create(VgsiParser.vgsiUrl(baseUrl, pid)))
-        .timeout(Duration.ofSeconds(timeoutSec))
-        .GET()
-        .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() >= 400)
-        throw new RuntimeException(s"HTTP ${resp.statusCode()} for pid $pid")
+  def httpFetch(timeoutSec: Long = 30, verifyTls: Boolean = false): (String, Long) => String = {
+    lazy val client = newClient(timeoutSec, verifyTls)
+    (baseUrl, pid) => send(client, VgsiParser.vgsiUrl(baseUrl, pid), timeoutSec).body()
+  }
+
+  /** Plain GET of one URL (the city-index page). Same client policy as
+    * [[httpFetch]].
+    */
+  def httpGet(url: String, timeoutSec: Long = 30, verifyTls: Boolean = false): String =
+    send(newClient(timeoutSec, verifyTls), url, timeoutSec).body()
+
+  /** Binary GET (photo bytes) as a reusable fetcher for
+    * [[VgsiSource.photoFetch]].
+    */
+  def httpGetBytes(timeoutSec: Long = 30, verifyTls: Boolean = false): String => Array[Byte] = {
+    lazy val client = newClient(timeoutSec, verifyTls)
+    url => {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(timeoutSec)).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() >= 300)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
       resp.body()
     }
   }
 
-  /** S8 — city-list extraction from the VGSI index page: hrefs whose last
-    * path segment matches `<name>ct` (the reference's regex
-    * `([\w]{2,}([cC][Tt])+)`, source.py:706-736); key = name minus the
-    * state suffix.
+  /** The reference's default city-index URL (source.py:40). */
+  val CitiesUrl = "https://www.vgsi.com/connecticut-online-database/"
+
+  /** S8 — city extraction from the VGSI index page, the reference's exact
+    * selection (source.py:721-731): only anchors whose href matches
+    * `https://gis\.vgsi\.com/`, the `([\w]{2,}([cC][Tt])+)` pattern
+    * searched against the WHOLE href (not one path segment — the real
+    * links end in `/Default.aspx` and the city sits mid-path), key =
+    * match minus the 2-char state suffix, name = the anchor's text.
+    * Returns (city_key, city_name, state, url) rows; last link per key
+    * wins, like the reference's dict assignment.
     */
-  def parseCityList(html: String): Map[String, String] = {
-    val href = "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']".r
+  def parseCities(html: String): Seq[(String, String, String, String)] = {
+    val anchor = "(?is)<a(?![\\w-])[^>]*(?<![\\w-])href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>".r
+    val gisHref = "https://gis\\.vgsi\\.com/".r
     val cityPat = "([\\w]{2,}([cC][Tt])+)".r
-    href
+    val rows = anchor
       .findAllMatchIn(html)
-      .map(_.group(1))
-      .flatMap { url =>
-        val seg = url.stripSuffix("/").split("/").lastOption.getOrElse("")
-        cityPat.findFirstMatchIn(seg).map { m =>
-          val key = m.group(1).toLowerCase(java.util.Locale.ROOT).stripSuffix("ct")
-          key -> url
-        }
+      .flatMap { a =>
+        val url = Html.decode(a.group(1))
+        if (gisHref.findFirstIn(url).isEmpty) None
+        else
+          cityPat.findFirstMatchIn(url).map { m =>
+            val location = m.group(1).toLowerCase(java.util.Locale.ROOT)
+            val key = location.dropRight(2)
+            val state = location.takeRight(2)
+            (key, Html.text(a.group(2)), state, url)
+          }
       }
-      .toMap
+      .toSeq
+    // last wins per key (reference dict semantics) while preserving a
+    // deterministic first-seen order for the survivors
+    val byKey = rows.map(r => r._1 -> r).toMap
+    rows.map(_._1).distinct.map(byKey)
   }
+
+  /** key → url view of [[parseCities]] (the registry point-lookup shape). */
+  def parseCityList(html: String): Map[String, String] =
+    parseCities(html).map(r => r._1 -> r._4).toMap
 }
 
 final case class VgsiSource(

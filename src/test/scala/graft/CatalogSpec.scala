@@ -326,4 +326,45 @@ class CatalogSpec extends SparkSpec {
     assert(new java.io.File(s"$root/vgsi/properties").exists())
     assert(spark.sql("SELECT count(*) AS n FROM graftro.vgsi.properties").as[Long].head() == 50)
   }
+
+  test("CREATE TABLE validates the namespace instead of silently truncating it") {
+    val root = tmpDir("catalog_ns")
+    GraftCatalog.register(spark, "graftns", root)
+    val cat = spark.sessionState.catalogManager.catalog("graftns").asInstanceOf[GraftCatalog]
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType)))
+    // a multi-part namespace used to seed root/<ns0>/<t> (tail silently
+    // dropped) while tableExists requires exactly one part — a table that
+    // "creates" but can never resolve; an empty namespace was a bare AIOOBE
+    import org.apache.spark.sql.connector.catalog.Identifier
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      cat.createTable(Identifier.of(Array("a", "b"), "t"), schema,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        new java.util.HashMap[String, String]())
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      cat.createTable(Identifier.of(Array.empty[String], "t"), schema,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        new java.util.HashMap[String, String]())
+    }
+    assert(!new java.io.File(s"$root/a/t").exists(), "no stray directory from the rejected create")
+  }
+
+  test("view schema cache serves drifted appends fresh (listing-keyed invalidation)") {
+    val root = tmpDir("catalog_cache")
+    val rows = Seq(("uuid-1", "p1", java.sql.Timestamp.valueOf("2024-03-01 09:00:00"), "h1"))
+    Lake.append(rows.toDF("uuid", "payload", "scraped_at", "row_hash"), root, "s", "t")
+    GraftCatalog.register(spark, "graftcache", root)
+    // resolve once (schema lands in the view cache), then append a DRIFTED
+    // batch: the next view resolution must see the new column — the cache
+    // key is the file listing, which the append changed
+    assert(!spark.sql("SELECT * FROM graftcache.s.t__current").columns.contains("extra"))
+    Lake.append(
+      Seq(("uuid-2", "p2", java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), "h2", 7))
+        .toDF("uuid", "payload", "scraped_at", "row_hash", "extra"),
+      root, "s", "t")
+    val after = spark.sql("SELECT * FROM graftcache.s.t__current")
+    assert(after.columns.contains("extra"), s"stale cached view schema: ${after.columns.toSeq}")
+    assert(after.count() == 2)
+  }
 }

@@ -171,4 +171,63 @@ class VgsiParserSpec extends AnyFunSuite {
     assert(cities("hartford") == "https://gis.vgsi.com/hartfordct/")
     assert(cities.size == 2)
   }
+
+  test("numeric character references decode and NBSP folds away (BS4 text parity)") {
+    // real VGSI pages emit &#160; after money fields: left literal it
+    // rides into money() and turns the parsed number into None
+    val html = "<span id=\"MainContent_lblGenAssessment\">$253,700&#160;</span>"
+    val got = Html.textById(html, "span", "MainContent_lblGenAssessment")
+    assert(got.contains("$253,700"), s"got $got")
+    assert(got.flatMap(VgsiParser.money).contains(253700.0))
+    assert(Html.text("O&#39;Brien&#x2019;s") == "O'Brien\u2019s")
+    // out-of-range and surrogate references stay literal, never a crash
+    assert(Html.text("&#1114112; &#55296; &#xD800;") == "&#1114112; &#55296; &#xD800;")
+    // double-escapes still decode exactly one layer
+    assert(Html.decode("&amp;#60;") == "&#60;")
+    // raw NBSP (already decoded upstream) trims like BS4's get_text(strip=True)
+    assert(Html.text("42\u00A0") == "42")
+  }
+
+  test("hyphenated attributes and custom elements never satisfy the selectors") {
+    // data-id must not be read as id (hyphen is a \b word boundary — the
+    // trap the guards exist for), wherever it sits relative to the real id
+    assert(Html.spanIndex("<span id=\"real\" data-id=\"x\">42</span>") == Map("real" -> "42"))
+    assert(Html.spanIndex("<span data-id=\"x\" id=\"real\">42</span>") == Map("real" -> "42"))
+    // <span-x> is not a span
+    assert(Html.spanIndex("<span-x id=\"nope\">1</span-x><span id=\"y\">2</span>") == Map("y" -> "2"))
+    // same guard on attrOf's selector side
+    assert(Html.attrOf("<img data-id=\"p\" id=\"photo\" src=\"a.jpg\">", "img", "id", "photo", "src")
+      .contains("a.jpg"))
+    assert(Html.attrOf("<img data-id=\"p\" src=\"a.jpg\">", "img", "id", "p", "src").isEmpty)
+  }
+
+  test("toInt is integer-only, the reference's _handle_int exactly") {
+    assert(VgsiParser.toInt("75").contains(75))
+    assert(VgsiParser.toInt(" 75 ").contains(75))
+    assert(VgsiParser.toInt("-3").contains(-3))
+    // int('75.0') raises ValueError in the reference -> None; a via-double
+    // parse here would make the two lakes' row hashes diverge
+    assert(VgsiParser.toInt("75.0").isEmpty)
+    assert(VgsiParser.toInt("1,000").isEmpty)
+    assert(VgsiParser.toInt(null).isEmpty)
+    assert(VgsiParser.toInt("  ").isEmpty)
+  }
+
+  test("parseCities mirrors the reference: gis-link filter, whole-href search, name+state") {
+    val html = """
+      <a href="/contact">Contact</a>
+      <a href="https://gis.vgsi.com/newhavenct/Default.aspx">New Haven</a>
+      <a href="https://gis.vgsi.com/hartfordct/">Hartford</a>
+      <a href="https://example.com/westhartfordct/">Nope</a>"""
+    val cities = VgsiSource.parseCities(html)
+    // '/contact' matches the bare city regex ('conta'+'ct') and a real
+    // link's LAST path segment is Default.aspx: only filter-then-search-
+    // the-whole-href (the reference's exact selection) gets both right
+    assert(cities.map(_._1) == Seq("newhaven", "hartford"), s"got $cities")
+    assert(cities.head ==
+      (("newhaven", "New Haven", "ct", "https://gis.vgsi.com/newhavenct/Default.aspx")))
+    assert(VgsiSource.parseCityList(html) == Map(
+      "newhaven" -> "https://gis.vgsi.com/newhavenct/Default.aspx",
+      "hartford" -> "https://gis.vgsi.com/hartfordct/"))
+  }
 }
