@@ -68,14 +68,41 @@ object VectorIndex {
     */
   final class WriterLease private[VectorIndex] (
       fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path
+      path: org.apache.hadoop.fs.Path,
+      token: String
   ) {
-    def heartbeat(): Unit =
+    private def currentHolder(): Option[String] =
+      try {
+        val in = fs.open(path)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Refresh the lease mtime — and FIRST verify we still hold it: after
+      * a stale-window takeover, setTimes on the usurper's file would
+      * silently refresh THEIR lease while both writers keep going; the
+      * ownership check turns that into the loud failure the lease is for.
+      */
+    def heartbeat(): Unit = {
+      currentHolder() match {
+        case Some(c) if c != token =>
+          throw new IllegalStateException(
+            s"writer lease $path was taken over mid-operation (now held by: $c) — " +
+              "this op outlived the staleness window; abort rather than race the new holder")
+        case _ => // ours, or transiently unreadable — refresh below
+      }
       try fs.setTimes(path, System.currentTimeMillis(), -1)
       catch { case scala.util.control.NonFatal(_) => } // next write refreshes it
+    }
+
+    /** Release only a lease we still own: deleting a usurper's lease would
+      * hand the NEXT op a free acquisition while the usurper still writes.
+      */
     def release(): Unit =
-      if (fs.exists(path) && !fs.delete(path, false))
-        throw new java.io.IOException(s"could not release writer lease $path")
+      if (currentHolder().forall(_ == token)) {
+        if (fs.exists(path) && !fs.delete(path, false))
+          throw new java.io.IOException(s"could not release writer lease $path")
+      }
   }
 
   private def leaseStaleMs(spark: SparkSession): Long =
@@ -92,25 +119,34 @@ object VectorIndex {
       val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
       if (age > leaseStaleMs(spark)) fs.delete(p, false)
     }
+    def contention(e: java.io.IOException): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(p)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+      throw new IllegalStateException(
+        s"VectorIndex at $dir: another maintenance op holds the writer lease ($holder); " +
+          s"refusing to race its staged commits — this '$op' must wait or the " +
+          "crashed lease ages past spark.graft.vectorIndex.leaseStaleMs",
+        e)
+    }
     val out =
       try fs.create(p, false) // create-exclusive: the atomic acquisition
       catch {
-        case e: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(p)
-              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-              finally in.close()
-            } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
-          throw new IllegalStateException(
-            s"VectorIndex at $dir: another maintenance op holds the writer lease ($holder); " +
-              s"refusing to race its staged commits — this '$op' must wait or the " +
-              "crashed lease ages past spark.graft.vectorIndex.leaseStaleMs",
-            e)
+        // only an EXISTING lease is contention; every other IOException
+        // (permissions, quota, transient store failure) must surface as
+        // itself — misreporting it as "another op holds the lease" steers
+        // the operator into waiting out a 30-minute staleness window for
+        // a lease that does not exist
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
+        case e: java.io.IOException if fs.exists(p) => contention(e)
       }
-    try out.write(s"op=$op pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val token = s"op=$op pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}"
+    try out.write(token.getBytes("UTF-8"))
     finally out.close()
-    new WriterLease(fs, p)
+    new WriterLease(fs, p, token)
   }
 
   /** Index metadata: monotone version (bumped by every geometry/encoding
@@ -122,10 +158,27 @@ object VectorIndex {
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
     import spark.implicits._
+    // a crashed REBUILD leaves mixed-generation artifacts that are
+    // individually readable (meta written last, so the pre-crash meta
+    // still matches the handle) — the tombstone is the only signal, and
+    // every reader must refuse it loudly rather than rank garbage
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/__rebuild")))
+        throw new IllegalStateException(
+          s"VectorIndex at $dir: a rebuild was interrupted mid-overwrite (__rebuild tombstone " +
+            "present) — artifacts may span two generations; run VectorIndex.build again")
+    }
     // after a crash inside a retrain commit or a meta swap, the staged copy
-    // is the real metadata — fall back to it (in recency order: a retrain
-    // stage supersedes a plain swap)
-    val paths = Seq(s"$dir/meta", s"$dir/meta.__retrain", s"$dir/meta.__swap")
+    // is the real metadata. PRECEDENCE MATTERS: meta.__retrain is written
+    // LAST in staging, so its presence means the staged set is complete
+    // and authoritative — commitRetrain may already have swapped postings
+    // while live meta still carries the old version, and reading live meta
+    // first would let a stale handle pass requireFresh and score NEW codes
+    // with OLD codebooks. The retrain marker therefore supersedes live;
+    // the plain swap stage is last (its live copy, when present, wins).
+    val paths = Seq(s"$dir/meta.__retrain", s"$dir/meta", s"$dir/meta.__swap")
     val df = paths.view
       .map(p => scala.util.Try(spark.read.parquet(p)))
       .collectFirst { case scala.util.Success(d) => d }
@@ -174,35 +227,47 @@ object VectorIndex {
     */
   private def writeMetaSwap(spark: SparkSession, dir: String, m: Meta): Unit = {
     writeMeta(spark, s"$dir/meta.__swap", m)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    val stage = new org.apache.hadoop.fs.Path(s"$dir/meta.__swap")
-    if (fs.exists(live) && !fs.delete(live, true))
-      throw new java.io.IOException(s"meta swap: could not retire $live")
-    if (!fs.rename(stage, live))
-      throw new java.io.IOException(s"meta swap: could not promote $stage")
+    promoteSwap(dir, spark, "meta")
   }
 
-  /** Reconcile an interrupted [[writeMetaSwap]]: live meta present → the
-    * swap never deleted it (pre-delete crash) or is a stray — the staged
-    * copy is discarded (benign: it carried at most a baseline adoption or
-    * version bump that the next maintenance call recomputes); live meta
-    * absent → the crash hit between delete and rename — promote the staged
-    * copy. Idempotent.
+  /** Reconcile an interrupted staged `<name>.__swap` rewrite: live copy
+    * present → the swap never deleted it (pre-delete crash) or is a stray —
+    * the staged copy is discarded (benign: it carried at most a baseline
+    * adoption, version bump, or a centroid refit the next maintenance call
+    * recomputes); live copy absent → the crash hit between delete and
+    * rename — promote the staged copy. Idempotent. Used for `meta` and
+    * `centroids` (the two artifacts maintenance rewrites IN PLACE; postings
+    * and codebooks go through the retrain marker protocol instead).
     */
-  private def recoverMetaSwap(dir: String, spark: SparkSession): Unit = {
+  private def recoverArtifactSwap(dir: String, spark: SparkSession, name: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(s"$dir/meta.__swap")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/$name.__swap")
     if (fs.exists(stage)) {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
       if (fs.exists(live)) {
         if (!fs.delete(stage, true))
-          throw new java.io.IOException(s"could not discard stray meta swap $stage")
+          throw new java.io.IOException(s"could not discard stray $name swap $stage")
       } else if (!fs.rename(stage, live))
-        throw new java.io.IOException(s"could not promote interrupted meta swap $stage")
+        throw new java.io.IOException(s"could not promote interrupted $name swap $stage")
     }
+  }
+
+  private def recoverMetaSwap(dir: String, spark: SparkSession): Unit =
+    recoverArtifactSwap(dir, spark, "meta")
+
+  /** Promote a fully-written `<name>.__swap` over the live artifact —
+    * the delete-live + rename-stage tail every staged rewrite shares.
+    */
+  private def promoteSwap(dir: String, spark: SparkSession, name: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/$name.__swap")
+    if (fs.exists(live) && !fs.delete(live, true))
+      throw new java.io.IOException(s"$name swap: could not retire $live")
+    if (!fs.rename(stage, live))
+      throw new java.io.IOException(s"$name swap: could not promote $stage")
   }
 
   private def writeCodebooks(
@@ -253,13 +318,30 @@ object VectorIndex {
     try {
       val fsb = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("meta.__retrain", "postings.__retrain", "codebooks.__retrain", "meta.__swap")
+      Seq("meta.__retrain", "postings.__retrain", "codebooks.__retrain",
+          "meta.__swap", "centroids.__swap")
         .foreach { n =>
           val pp = new org.apache.hadoop.fs.Path(s"$dir/$n")
           if (fsb.exists(pp) && !fsb.delete(pp, true))
             throw new java.io.IOException(s"build: could not discard stale staging $pp")
         }
-      buildBody(corpus, idCol, vecCol, dir, kLists, m, ksub, seed, residual, qerrSampleFraction)
+      // REBUILD tombstone: buildBody overwrites postings → centroids →
+      // codebooks → meta in sequence with no staging, so a crash leaves a
+      // mixed-generation index whose artifacts are individually readable —
+      // open() would succeed and silently rank one generation's codes
+      // against another's codebooks. The tombstone (dropped before the
+      // first overwrite, cleared after the last) makes every reader refuse
+      // the window loudly (readMeta throws on it); a crashed rebuild heals
+      // by rebuilding, which is what the caller was doing anyway. A FIRST
+      // build on an empty dir needs none — there is no generation to mix.
+      val tomb = new org.apache.hadoop.fs.Path(s"$dir/__rebuild")
+      val hadIndex = fsb.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) ||
+        fsb.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      if (hadIndex) fsb.create(tomb, true).close()
+      val h = buildBody(corpus, idCol, vecCol, dir, kLists, m, ksub, seed, residual, qerrSampleFraction)
+      if (hadIndex && !fsb.delete(tomb, false))
+        throw new java.io.IOException(s"build: could not clear rebuild tombstone $tomb")
+      h
     } finally lease.release()
   }
 
@@ -277,7 +359,15 @@ object VectorIndex {
   ): Handle = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val std = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    // null vectors never index: arrayDot is null-intolerant, so a null
+    // embedding's centroid distances are all NULL, the assignment falls
+    // through to cluster 0 with NULL codes, and the NULL adist then ranks
+    // FIRST (Spark windows sort NULLS FIRST asc) for every query probing
+    // that list. Failed-embedding rows are routine; they simply aren't in
+    // the index — the embedNearDupPairsViaIndex contract.
+    val std = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .filter(col("embedding").isNotNull)
     val (assigned, centroids) = Similarity.ivfIndex(std, kLists, seed)
     // In residual mode both codebook training and encoding run over the
     // residuals — train/encode must see the same distribution or the codes
@@ -342,7 +432,11 @@ object VectorIndex {
       // roll-forward + reload: appending with a pre-retrain handle's
       // codebooks after a promoted commit would mix encodings in one list
       val h = freshHandle(h0, spark)
-      val std = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      // same null-vector guard as the build path (a null would land in
+      // cluster 0 with NULL codes and rank 1 for every probe of that list)
+      val std = newVectors
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .filter(col("embedding").isNotNull)
       val assigned = std.withColumn(
         "cluster",
         element_at(Similarity.nearestCentroids(col("embedding"), h.centroids, 1), 1))
@@ -392,6 +486,12 @@ object VectorIndex {
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // same freshness gate as every query path: a stale handle would score
+    // current_qerr with OLD codebooks against the rolled-forward baseline —
+    // mismatched generations whose ratio is meaningless (a healthy index
+    // reporting drifted=true pages an operator for nothing). This is a
+    // monitoring read; it must fail loudly, not report wrong numbers.
+    requireFresh(h, spark)
     val current = quantizationError(h, corpus, idCol, vecCol, sampleFraction)
     val baseline = readMeta(spark, h.dir).baselineQerr
     val ratio = baseline.filter(_ > 0.0).map(current / _)
@@ -540,6 +640,7 @@ object VectorIndex {
         resolved == hot.map(_._2).sum,
         s"rebalance: corpus resolves $resolved of ${hot.map(_._2).sum} hot-list vectors — " +
           "refusing to drop the unresolved ones from the index")
+      lease.heartbeat() // the resolve join scanned the corpus
     } catch {
       case t: Throwable => members.unpersist(blocking = false); throw t
     }
@@ -584,6 +685,13 @@ object VectorIndex {
     // carry pre-split codes against the refit list-0 centroid: transiently
     // degraded ranking, and the list is still over-mean, so a RE-RUN
     // re-splits it and completes the repair.
+    // STAGED swap, not a bare overwrite: Spark's static overwrite deletes
+    // the live dir before its write job commits, so a crash in that
+    // window would leave NO centroids — a k-means artifact nothing can
+    // regenerate; open() would fail forever on an index whose postings,
+    // codebooks, and meta are all intact. The swap's only crash window
+    // leaves centroids.__swap, which recoverRetrain reconciles on the
+    // next maintenance entry.
     centroidArr.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toSeq
@@ -591,7 +699,8 @@ object VectorIndex {
       .coalesce(1)
       .write
       .mode("overwrite")
-      .parquet(s"${h.dir}/centroids")
+      .parquet(s"${h.dir}/centroids.__swap")
+    promoteSwap(h.dir, spark, "centroids")
     // version bump (staged swap — a crash mid-write must not leave live
     // meta unreadable); the drift BASELINE is preserved — a rebalance
     // refits coarse geometry only, the codebooks (whose staleness the
@@ -610,14 +719,8 @@ object VectorIndex {
     lease.heartbeat() // the k-means + re-encode above can outlast a stale window
     val fs = new org.apache.hadoop.fs.Path(h.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldFiles = hotIds.flatMap { l =>
-      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
-    }
-    reencoded.dropDuplicates("vec_id", "cluster")
-      .write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
-    oldFiles.foreach(checkedDelete(fs, _))
-    members.unpersist(blocking = false)
+    try swapPartitions(fs, h.dir, hotIds.toSeq, reencoded.dropDuplicates("vec_id", "cluster"))
+    finally members.unpersist(blocking = false)
     h.copy(centroids = centroidArr, version = oldMeta.version + 1)
     } finally lease.release()
   }
@@ -630,6 +733,30 @@ object VectorIndex {
     if (fs.exists(p) && !fs.delete(p, false))
       throw new java.io.IOException(
         s"could not delete $p — old rows would stay live alongside their replacements")
+
+  /** The append-then-delete partition swap shared by
+    * [[rebalanceIfNeeded]], [[repairCrossListDuplicates]] and [[remove]]:
+    * snapshot the named lists' current files, append `rows` (the caller
+    * has already applied its own dedup discipline and materialized off
+    * the pre-swap listing), then delete exactly the snapshotted files. A
+    * crash between the two steps leaves duplicate rows, never lost ones —
+    * each caller's re-run collapses them. ONE implementation on purpose:
+    * this is the crash-window-bearing code, and a safety fix applied to a
+    * hand-copied variant in two of three places silently reopens the
+    * window in the third.
+    */
+  private def swapPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      lists: Seq[Int],
+      rows: DataFrame): Unit = {
+    val oldFiles = lists.flatMap { l =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/postings/cluster=$l")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
+    }
+    rows.write.mode("append").partitionBy("cluster").parquet(s"$dir/postings")
+    oldFiles.foreach(checkedDelete(fs, _))
+  }
 
   /** Collapse any vec_id present in more than one posting list — the state
     * an interrupted [[rebalanceIfNeeded]] leaves behind (old-list row +
@@ -671,12 +798,7 @@ object VectorIndex {
         survivors.count() // fully materialize off the pre-swap listing
         val fs = new org.apache.hadoop.fs.Path(h.dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val oldFiles = hitLists.toSeq.flatMap { l =>
-          val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
-          if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
-        }
-        survivors.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
-        oldFiles.foreach(checkedDelete(fs, _))
+        swapPartitions(fs, h.dir, hitLists.toSeq, survivors)
       } finally survivors.unpersist(blocking = false)
     } finally placement.unpersist(blocking = false)
   }
@@ -739,6 +861,10 @@ object VectorIndex {
     val h = freshHandle(h0, spark)
     val meta = readMeta(spark, h.dir)
     val current = quantizationError(h, corpus, idCol, vecCol, sampleFraction)
+    // heartbeat after EVERY long phase, not once at the end: the lease's
+    // fail-fast promise is void for exactly the operations long enough to
+    // cross the staleness window if the mtime only moves at acquisition
+    lease.heartbeat()
     val baseline = meta.baselineQerr.getOrElse {
       // baseline adoption rewrites LIVE meta — staged swap, not a bare
       // overwrite a crash could leave unreadable
@@ -770,6 +896,7 @@ object VectorIndex {
           "refusing to drop the unresolved ones from the index")
       val m = h.codebooks.length
       val ksub = h.codebooks.headOption.map(_.length).getOrElse(0)
+      lease.heartbeat() // resolve/count scans above are corpus-sized
       val cb = Similarity.pqTrainKMeans(encodeInput, encodeCol, m, ksub, seed)
       Similarity
         .pqEncode(encodeInput, encodeCol, cb)
@@ -778,6 +905,7 @@ object VectorIndex {
         .mode("overwrite")
         .partitionBy("cluster")
         .parquet(s"${h.dir}/postings.__retrain")
+      lease.heartbeat() // the train + full re-encode is the longest phase
       writeCodebooks(spark, s"${h.dir}/codebooks.__retrain", cb)
       // the new baseline is the retrained fit of the CURRENT corpus — the
       // reference the NEXT drift check measures against
@@ -805,6 +933,7 @@ object VectorIndex {
     */
   private def recoverRetrain(dir: String, spark: SparkSession): Boolean = {
     recoverMetaSwap(dir, spark) // reconcile an interrupted live-meta swap first
+    recoverArtifactSwap(dir, spark, "centroids") // and an interrupted centroid refit
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.__retrain"))) {
@@ -910,21 +1039,16 @@ object VectorIndex {
       .select($"vec_id", $"cluster", $"codes")
       .dropDuplicates("vec_id", "cluster")
       .persist()
-    val removed = {
-      val before = affected.count()
-      before - survivors.count() // both off the persisted/pre-swap listing
-    }
-
-    val fs = new org.apache.hadoop.fs.Path(h.dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldFiles = hitLists.toSeq.flatMap { l =>
-      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/postings/cluster=$l")
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSeq else Nil
-    }
-    survivors.write.mode("append").partitionBy("cluster").parquet(s"${h.dir}/postings")
-    oldFiles.foreach(checkedDelete(fs, _))
-    survivors.unpersist(blocking = false)
-    removed
+    try {
+      val removed = {
+        val before = affected.count()
+        before - survivors.count() // both off the persisted/pre-swap listing
+      }
+      val fs = new org.apache.hadoop.fs.Path(h.dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      swapPartitions(fs, h.dir, hitLists.toSeq, survivors)
+      removed
+    } finally survivors.unpersist(blocking = false)
     } finally lease.release()
   }
 
@@ -936,8 +1060,27 @@ object VectorIndex {
     // complete an interrupted retrain commit before reading anything: past
     // the staging marker the staged artifacts are the real index, and
     // reading a half-swapped mix (new codes under old codebooks) would
-    // silently rank garbage. No-op on a healthy index.
-    recoverRetrain(dir, spark)
+    // silently rank garbage. Recovery MUTATES (delete + rename), so it
+    // runs under the writer lease: two sessions reopening a crashed index
+    // concurrently would otherwise both enter commitRetrain — A promotes
+    // the stage, B then deletes A's freshly promoted postings and fails
+    // its own rename with the stage gone: the data destroyed. The probe
+    // path stays lock-free on a HEALTHY index (the common case): the
+    // unleased existence check below is racy only toward recovery, and the
+    // leased recovery re-checks every marker before touching anything.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending =
+        Seq("meta.__retrain", "meta.__swap", "centroids.__swap",
+            "postings.__retrain", "codebooks.__retrain")
+          .exists(n => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n")))
+      if (pending) {
+        val lease = acquireLease(dir, spark, "open-recovery")
+        try recoverRetrain(dir, spark)
+        finally lease.release()
+      }
+    }
     val centroids = spark.read
       .parquet(s"$dir/centroids")
       .select($"cluster", $"centroid")
@@ -1025,7 +1168,22 @@ object VectorIndex {
         .withColumn("cluster", explode(Similarity.nearestCentroids(col("qe"), h.centroids, nProbe)))
     }).select(col("qid"), col("cluster"), col("__qt"))
 
-  private def adcJoin(postings: DataFrame, probed: DataFrame, excludeSelf: Boolean): DataFrame =
+  private def adcJoin(postings: DataFrame, probed: DataFrame, excludeSelf: Boolean): DataFrame = {
+    if (excludeSelf) {
+      // qid =!= vec_id across incomparable types coerces one side to NULL,
+      // the predicate evaluates NULL for EVERY row, and the filter silently
+      // returns zero candidates for every query — fail loudly instead
+      // (numeric pairs widen losslessly and are fine)
+      val qt = probed.schema("qid").dataType
+      val vt = postings.schema("vec_id").dataType
+      val comparable = qt == vt ||
+        (qt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          vt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      require(comparable,
+        s"excludeSelf=true but query qid is $qt while the index vec_id is $vt — the " +
+          "comparison would cast to NULL and drop every candidate; an external query " +
+          "set should pass excludeSelf=false")
+    }
     postings
       // the broadcast keeps the probe side tiny AND makes `cluster` a DPP
       // candidate: the partition filter on the postings scan is derived at
@@ -1037,6 +1195,7 @@ object VectorIndex {
         col("vec_id"),
         graft.functions.HashExprs.pqAdcDistance(col("codes"), col("__qt")).as("adist")
       )
+  }
 
   /** Enforced form of the documented restart contract: a probe holding a
     * handle from before a retrain/rebalance would rank with stale

@@ -831,4 +831,155 @@ class VectorIndexSpec extends SparkSpec {
     val e = intercept[IllegalStateException] { VectorIndex.open(spark, dir) }
     assert(e.getMessage.contains("unreadable"), e.getMessage)
   }
+
+  test("commit-window probes fail loudly: the retrain marker supersedes live meta") {
+    import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+    def copyTree(src: JPath, dst: JPath): Unit = {
+      Files.walk(src).forEach { q =>
+        val t = dst.resolve(src.relativize(q))
+        if (Files.isDirectory(q)) Files.createDirectories(t)
+        else Files.copy(q, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmTree(d: JPath): Unit = if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    val rnd = new Random(23)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val a = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val b = (200 until 600).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 4.0).toFloat).toSeq)
+    }
+    val d1 = tmpDir("vindex_window_live")
+    val h0 = VectorIndex.build(a.toDF("vec_id", "embedding"), "vec_id", "embedding", d1,
+      kLists = 4, m = 4, ksub = 8)
+    VectorIndex.append(h0, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val d2 = tmpDir("vindex_window_clone")
+    copyTree(Paths.get(d1), Paths.get(d2))
+    val h2 = VectorIndex.retrainIfDrifted(
+      VectorIndex.open(spark, d2), (a ++ b).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tolerance = 1.5)
+    assert(h2.version == 2, "precondition: the clone's retrain fired")
+
+    // THE WINDOW: commitRetrain swapped postings but crashed before the
+    // meta swap — live meta still says v1 while meta.__retrain (v2) marks
+    // the staged set authoritative. A v1 handle's probe would score the
+    // NEW codes with OLD codebooks; readMeta must prefer the marker so
+    // requireFresh fails loudly instead.
+    val hStale = VectorIndex.open(spark, d1) // v1, pre-window
+    rmTree(Paths.get(d1, "postings"))
+    copyTree(Paths.get(d2, "postings"), Paths.get(d1, "postings"))
+    copyTree(Paths.get(d2, "meta"), Paths.get(d1, "meta.__retrain"))
+    val queries = a.take(3).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val e = intercept[IllegalStateException] {
+      VectorIndex.query(hStale, queries, nProbe = 2, k = 5).collect()
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    // and a reopen heals: the recovery promotes the marker set
+    val healed = VectorIndex.open(spark, d1)
+    assert(healed.version == 2)
+    assert(VectorIndex.query(healed, queries, nProbe = 2, k = 5).count() > 0)
+  }
+
+  test("open-time recovery runs under the writer lease; healthy opens stay lock-free") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("vindex_open_lease")
+    val h = VectorIndex.build(clustered.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      kLists = 4, m = 4, ksub = 8)
+    // a held lease does NOT block a healthy open (no recovery to do)
+    Files.write(Paths.get(dir, "__writer_lease"), "op=test".getBytes("UTF-8"))
+    assert(VectorIndex.open(spark, dir).version == h.version)
+    // but with recovery pending, open must take the lease — two sessions
+    // recovering concurrently would race commitRetrain's delete+rename and
+    // destroy the live postings; the holder failing fast is the contract
+    Files.createDirectories(Paths.get(dir, "codebooks.__retrain"))
+    val e = intercept[IllegalStateException] { VectorIndex.open(spark, dir) }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    Files.delete(Paths.get(dir, "__writer_lease"))
+    assert(VectorIndex.open(spark, dir).version == h.version) // recovers + discards the stray
+    assert(!Files.exists(Paths.get(dir, "codebooks.__retrain")))
+  }
+
+  test("a crashed rebuild's tombstone makes every reader refuse the mixed-generation index") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("vindex_tomb")
+    val df = clustered.toDF("vec_id", "embedding")
+    val h = VectorIndex.build(df, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    Files.write(Paths.get(dir, "__rebuild"), Array.empty[Byte])
+    val queries = clustered.take(3).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    // probes, opens, and maintenance all refuse — the artifacts read fine
+    // individually, which is exactly why only the tombstone can tell
+    assert(intercept[IllegalStateException] { VectorIndex.open(spark, dir) }
+      .getMessage.contains("rebuild"))
+    assert(intercept[IllegalStateException] {
+      VectorIndex.query(h, queries, nProbe = 2, k = 3).collect()
+    }.getMessage.contains("rebuild"))
+    // rebuilding (what the message says to do) clears it
+    val h2 = VectorIndex.build(df, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
+    assert(!Files.exists(Paths.get(dir, "__rebuild")))
+    assert(VectorIndex.query(h2, queries, nProbe = 2, k = 3).count() > 0)
+  }
+
+  test("null embeddings never index: no NULL-adist rank-1 poisoning") {
+    val dir = tmpDir("vindex_null")
+    val withNulls = clustered ++ Seq((9000L, null.asInstanceOf[Seq[Float]]))
+    val h = VectorIndex.build(withNulls.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      kLists = 4, m = 4, ksub = 8)
+    assert(spark.read.parquet(s"$dir/postings").filter($"vec_id" === 9000L).count() == 0,
+      "a null vector must not be indexed")
+    VectorIndex.append(h, Seq((9001L, null.asInstanceOf[Seq[Float]]), (9002L, clustered.head._2))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val posted = spark.read.parquet(s"$dir/postings")
+    assert(posted.filter($"vec_id" === 9001L).count() == 0)
+    assert(posted.filter($"vec_id" === 9002L).count() == 1)
+    val queries = clustered.take(5).toDF("vec_id", "embedding")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val top = VectorIndex.query(h, queries, nProbe = 4, k = 3)
+    assert(top.filter($"adist".isNull).count() == 0, "no NULL distance may rank")
+  }
+
+  test("excludeSelf across incomparable id types fails loudly instead of emptying results") {
+    val dir = tmpDir("vindex_idtype")
+    val h = VectorIndex.build(clustered.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      kLists = 4, m = 4, ksub = 8)
+    val extQueries = clustered.take(3).map { case (id, v) => (s"q$id", v) }
+      .toDF("qid", "qe")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.query(h, extQueries, nProbe = 2, k = 3).collect()
+    }
+    assert(e.getMessage.contains("excludeSelf"), e.getMessage)
+    // the documented external-set spelling works
+    assert(VectorIndex.query(h, extQueries, nProbe = 2, k = 3, excludeSelf = false).count() > 0)
+  }
+
+  test("interrupted centroid-refit swap recovers: promote when live absent, discard stray") {
+    import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+    def copyTree(src: JPath, dst: JPath): Unit = {
+      Files.walk(src).forEach { q =>
+        val t = dst.resolve(src.relativize(q))
+        if (Files.isDirectory(q)) Files.createDirectories(t)
+        else Files.copy(q, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmTree(d: JPath): Unit = if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    val dir = tmpDir("vindex_centswap")
+    VectorIndex.build(clustered.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      kLists = 4, m = 4, ksub = 8)
+    // crash between delete(live) and rename(stage): only the stage exists —
+    // without recovery the index is bricked (k-means artifacts are not
+    // regenerable); open must promote it
+    copyTree(Paths.get(dir, "centroids"), Paths.get(dir, "centroids.__swap"))
+    rmTree(Paths.get(dir, "centroids"))
+    val h = VectorIndex.open(spark, dir)
+    assert(h.centroids.length == 4)
+    assert(!Files.exists(Paths.get(dir, "centroids.__swap")))
+    // stray stage next to a live copy (pre-delete crash): discarded
+    copyTree(Paths.get(dir, "centroids"), Paths.get(dir, "centroids.__swap"))
+    assert(VectorIndex.open(spark, dir).centroids.length == 4)
+    assert(!Files.exists(Paths.get(dir, "centroids.__swap")))
+  }
 }
