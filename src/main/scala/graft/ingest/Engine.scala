@@ -78,9 +78,11 @@ final case class IngestStats(
   *    accumulator counts are at-least-once, the standard Spark caveat for
   *    transformation-side accumulators).
   *  - Flatten fans the nested results into relational tables (§2.8 UDTF
-  *    dual), metadata is stamped, and (refresh) the content-hash anti-join
-  *    (J2) drops unchanged rows before the append — broadcast build side,
-  *    zero shuffle of the new data.
+  *    dual), metadata is stamped, and the content-hash anti-join (J2)
+  *    drops rows the lake already holds before every append — broadcast
+  *    build side, zero shuffle of the new data. Loads pay it too (not
+  *    just refresh): it is what makes a rerun after a crash-before-
+  *    checkpoint idempotent instead of permanently doubling the batch.
   *  - Entries that exhaust their retries are counted as errors and NOT
   *    retried by later resumed loads (the checkpoint advances past them,
   *    matching the reference's checkpoint loop); `runRefresh` re-scrapes
@@ -193,19 +195,22 @@ object Engine {
     val prior: Option[Checkpoint] =
       if (config.checkpoint) Checkpoints.load(spark, root, scope) else None
     // non-numeric last_entry_id (the doc shape allows arbitrary strings —
-    // the reference writes e.g. "MBLU-104-7") degrades to a full restart,
+    // the reference writes e.g. "MBLU-104-7") voids the WHOLE checkpoint,
     // honoring Checkpoints.load's "bad checkpoint means start over, never
     // a wedged scope" contract; an unguarded .toLong would throw on every
-    // attempt until the file was hand-deleted
+    // attempt until the file was hand-deleted. Voiding the cursor alone
+    // while keeping totalScraped would double-count every re-scraped
+    // entry in the doc the restart rewrites — the cumulative-accounting
+    // contract breaks on exactly the recovery path.
+    val validPrior = prior.filter(c => scala.util.Try(c.lastEntryId.toLong).isSuccess)
     val resumeFrom: Option[Long] =
-      if (refresh) None
-      else prior.flatMap(c => scala.util.Try(c.lastEntryId.toLong).toOption)
+      if (refresh) None else validPrior.map(_.lastEntryId.toLong)
     val ids = resumeFrom.fold(ordered)(last => ordered.filter(_ > last))
     if (ids.isEmpty)
       return IngestStats(0, 0, 0, Map.empty)
     val batchSize = math.max(config.checkpointEvery, 1)
     runBatches(spark, source, ids.grouped(batchSize), root, scope, config, refresh,
-      prior.map(_.totalScraped).getOrElse(0L))
+      validPrior.map(_.totalScraped).getOrElse(0L))
   }
 
   /** Shared batch loop: loads feed it pre-sorted in-memory slices, refresh
@@ -296,9 +301,17 @@ object Engine {
         val limiter = RateLimiter.forKey(src.name, perJvmRate)
         var consecutive = 0
         it.flatMap { id =>
-          limiter.acquire()
           try {
-            val r = Retry.withBackoff(maxRetries = src.maxRetries, initialDelayMs = 10)(src.scrapeOne(id))
+            // the limiter slot is paid PER ATTEMPT (acquire inside the
+            // retried block) and the backoff is the documented S5/S6
+            // policy (1s ×2 — Retry's default, the reference's
+            // 1s/2s/4s): an initialDelay of 10ms with one slot for all
+            // attempts hit a STRUGGLING site with ~4× the politeness
+            // budget inside 70ms, exactly when it can least absorb it
+            val r = Retry.withBackoff(maxRetries = src.maxRetries) {
+              limiter.acquire()
+              src.scrapeOne(id)
+            }
             consecutive = 0
             okAcc.add(1)
             Some(r)
@@ -339,13 +352,19 @@ object Engine {
       import org.apache.spark.sql.functions._
       val childSizes = Seq("buildings", "ownership", "appraisals", "assessments",
         "extra_features", "outbuildings")
+      // greatest(size, 0): under non-ANSI legacy semantics size(NULL) is
+      // -1, so a source handing back a null child Seq would SUBTRACT from
+      // the batch's count and could cancel a real row to exactly 0 —
+      // silently skipping that table's write (greatest also covers the
+      // NULL-returning ANSI variant: nulls are ignored by greatest)
+      def sz(c: org.apache.spark.sql.Column) = greatest(size(c), lit(0))
       val sizeRow = results
         .toDF()
         .agg(
           count(lit(1)).as("entries"),
-          childSizes.map(c => coalesce(sum(size(col(c))), lit(0L)).as(c)) :+
+          childSizes.map(c => coalesce(sum(sz(col(c))), lit(0L)).as(c)) :+
             coalesce(
-              sum(aggregate(col("buildings"), lit(0), (acc, b) => acc + size(b.getField("sub_areas")))),
+              sum(aggregate(col("buildings"), lit(0), (acc, b) => acc + sz(b.getField("sub_areas")))),
               lit(0L)
             ).as("sub_areas"): _*
         )
@@ -354,11 +373,22 @@ object Engine {
         (Seq("properties" -> sizeRow.getLong(0)) ++
           (childSizes :+ "sub_areas").zipWithIndex.map { case (c, i) => c -> sizeRow.getLong(i + 1) }).toMap
 
+      // ONE listing per batch, not one per table (8 identical FS listings
+      // per batch — on object stores, 8 LIST round-trips computing the
+      // same Seq)
+      val existingTables = Lake.tables(spark, root, scope)
       tables.map { case (table, df) =>
         if (preCounts.getOrElse(table, 1L) == 0L) table -> 0L // nothing scraped for this table
         else {
           val stamped = Lake.stampMetadata(df, scrapedAt)
-          val isRefreshDedup = refresh && Lake.tables(spark, root, scope).contains(table)
+          // dedup against ANY existing table, not only on refresh: a load
+          // that crashes between a batch's append and its checkpoint save
+          // re-scrapes that batch on rerun, and without the anti-join the
+          // re-append doubles every row PERMANENTLY in the append-only
+          // lake (the CT source closed this window the same way; the
+          // pruned 32-byte row_hash rescan is noise against fetch time —
+          // see the trade note below)
+          val dedupAgainstLake = existingTables.contains(table)
           // per-batch re-read of the lake's hash side is a CONSIDERED
           // trade, not an oversight: parquet column pruning means each
           // anti-join scans only the 32-byte row_hash column (never the
@@ -374,7 +404,7 @@ object Engine {
           // Lake.existingHashes themselves and call Scd.refreshDedup
           // directly.
           val toWrite =
-            if (isRefreshDedup) Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
+            if (dedupAgainstLake) Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
             else stamped
           // Refresh can dedup a non-empty batch down to zero rows — probe
           // so a no-change refresh writes no schema-only file (file-count
@@ -383,7 +413,7 @@ object Engine {
           // anti-join (and its scan of the whole lake table) twice per
           // table per batch, so count a PERSISTED frame once — the cache
           // holds only the surviving new rows, and append reads it.
-          if (isRefreshDedup) {
+          if (dedupAgainstLake) {
             val cached = toWrite.persist()
             try {
               val n = cached.count()

@@ -40,8 +40,9 @@ object Checkpoints {
     // Hadoop rename-over-existing returns false on most filesystems, so
     // the old doc must move aside first — but ASIDE, not deleted: a crash
     // between a delete and the rename would leave NO checkpoint at all,
-    // and the cost of a missing checkpoint is a full-scope re-scrape with
-    // duplicate appends (the load path runs no dedup), not the documented
+    // and the cost of a missing checkpoint is a full-scope re-SCRAPE
+    // (politeness-bounded wall time against the live site; the lake-side
+    // hash anti-join keeps the re-appends deduped), not the documented
     // one-batch loss. With the aside, [[load]] falls back to the previous
     // doc — at worst a stale cursor, exactly the scaladoc's contract.
     val prev = new Path(p.toString + ".__prev")

@@ -74,14 +74,21 @@ object CtDataSource {
     val prior: Option[Checkpoint] =
       if (refresh || !checkpoint) None
       else Checkpoints.load(spark, root, cpScope)
-    val keys = prior.map(_.lastEntryId.toLong).fold(allKeys)(last => allKeys.filter(k => splitKey(k)._2 > last))
+    // a non-numeric cursor voids the WHOLE checkpoint (cursor AND total):
+    // an unguarded .toLong would throw on every load until the doc was
+    // hand-deleted — the wedged-scope failure Checkpoints.load's contract
+    // (and Engine.run's identical guard) exists to prevent; and keeping
+    // totalScraped while restarting from zero would double-count every
+    // re-fetched page in the rewritten doc
+    val validPrior = prior.filter(c => scala.util.Try(c.lastEntryId.toLong).isSuccess)
+    val keys = validPrior.map(_.lastEntryId.toLong).fold(allKeys)(last => allKeys.filter(k => splitKey(k)._2 > last))
     if (keys.isEmpty) return table -> 0L
 
     // Cumulative accounting survives resume: the doc carries the lifetime
     // total, this run adds to it. Refresh never writes the checkpoint at
     // all (same contract as Engine.runBatches) — it would clobber the load
     // cursor and reset the total to the refresh's mostly-deduped count.
-    val priorTotal = prior.map(_.totalScraped).getOrElse(0L)
+    val priorTotal = validPrior.map(_.totalScraped).getOrElse(0L)
     var written = 0L
     keys.grouped(math.max(pagesPerBatch, 1)).foreach { batch =>
       written += loadPages(spark, batch, table, fetchPage, root)
@@ -121,7 +128,21 @@ object CtDataSource {
       if (table == "businesses" && df.columns.contains("id"))
         df = df.withColumnRenamed("id", "business_id") // source.py:41-43,156-159
 
-      val stamped = Lake.stampMetadata(df, new java.sql.Timestamp(System.currentTimeMillis()))
+      val stamped0 = Lake.stampMetadata(df, new java.sql.Timestamp(System.currentTimeMillis()))
+      // In-BATCH dedup first (the Engine path's U2 step, which CT rows
+      // never pass through): Socrata pagination without $order is not
+      // stable, so a row inserted between two page fetches shifts an
+      // existing row across a page boundary and both copies arrive in ONE
+      // batch — same row_hash, same scraped_at stamp, both surviving the
+      // lake anti-join below, permanently doubling that content version.
+      // NOTE the lake-side hash intentionally EXCLUDES a column literally
+      // named `id` for every dataset (Canonical.MetadataCols, mirroring
+      // the reference's _DEFAULT_EXCLUDE, hash.py:5-23) — only businesses
+      // renames id→business_id into hashed space, exactly the reference's
+      // FIELD_RENAMES (source.py:40-43); matching its hash surface is the
+      // parity contract, so the other datasets' hypothetical `id` columns
+      // stay excluded here too.
+      val stamped = stamped0.dropDuplicates("row_hash")
       // Dedup against ANY existing table (not just refresh): makes reruns
       // after a crash-before-checkpoint idempotent.
       val toWrite =

@@ -124,4 +124,42 @@ class CtDataSpec extends SparkSpec {
     assert(Lake.tables(spark, root, CtDataSource.Scope).sorted ==
       CtDataSource.Datasets.values.toSeq.sorted)
   }
+
+  test("a non-numeric checkpoint cursor voids the doc instead of wedging the scope") {
+    val root = tmpDir("ct")
+    val rows = Seq(
+      """{"id":"b1","name":"Acme"}""",
+      """{"id":"b2","name":"Brix"}""")
+    // a hand-edited / reference-written cursor shape the doc allows; an
+    // unguarded .toLong threw on every later load until the file was
+    // hand-deleted — and keeping total_scraped=500 would double-count
+    // every re-fetched page in the rewritten doc
+    graft.lake.Checkpoints.save(spark, root,
+      graft.lake.Checkpoint("llc_ct_data.businesses", "MBLU-104-7", 500L, "2026-01-01T00:00:00Z"))
+    val (table, n) = CtDataSource.loadDataset(
+      spark, "n7gp-d28j", 2L, fakeFetch(Map("n7gp-d28j" -> rows)), root)
+    assert(table == "businesses" && n == 2, "voided cursor must mean start-over, not a throw")
+    val cp = graft.lake.Checkpoints.load(spark, root, "llc_ct_data.businesses")
+    assert(cp.map(_.totalScraped).contains(2L),
+      s"the voided doc's stale total must not seed the restart: $cp")
+  }
+
+  test("in-batch duplicate rows collapse: unstable pagination cannot double a content version") {
+    val root = tmpDir("ct")
+    // two pages fetched in ONE batch, with row b2 straddling the boundary
+    // (the unstable-pagination shape: an insert between the two page
+    // fetches shifts an existing row into the next page) — both copies
+    // share a row_hash and a scraped_at stamp, so only in-batch dedup can
+    // collapse them
+    val fetch: (String, Long, Int) => Seq[String] = (_, off, _) =>
+      if (off == 0L) Seq("""{"id":"b1","name":"Acme"}""", """{"id":"b2","name":"Brix"}""")
+      else Seq("""{"id":"b2","name":"Brix"}""", """{"id":"b3","name":"Corp"}""")
+    val (_, n) = CtDataSource.loadDataset(
+      spark, "n7gp-d28j", CtDataSource.PageSize + 1L, fetch, root)
+    assert(n == 3, s"the straddling row must write once, wrote $n")
+    val got = Lake.read(spark, root, "llc_ct_data", "businesses")
+    assert(got.count() == 3)
+    assert(got.filter($"business_id" === "b2").count() == 1,
+      "one content version must never hold two identical rows")
+  }
 }

@@ -194,6 +194,44 @@ class EngineSpec extends SparkSpec {
     val st = Engine.runLoad(spark, new FakeSource(data), (1L to 5L), root, "c", IngestConfig(workers = 2))
     assert(st.scraped == 5, "unparseable cursor must mean start-over, not a throw")
     assert(Lake.read(spark, root, "c", "properties").count() == 5)
+    // the voided checkpoint voids its TOTAL too: seeding priorTotal=3 from
+    // the same doc the restart rewrites would double-count every
+    // re-scraped entry (5 fresh scrapes must record 5, not 8)
+    assert(Checkpoints.load(spark, root, "c").map(_.totalScraped).contains(5L),
+      "a restart after a voided cursor must not inherit the stale total")
+  }
+
+  test("crash between append and checkpoint: the rerun's re-appends dedup against the lake") {
+    val root = tmpDir("lake")
+    val data = mkData((1L to 5L).map(i => i -> 100.0 * i).toMap)
+    Engine.runLoad(spark, new FakeSource(data), (1L to 5L), root, "c", IngestConfig(workers = 2))
+    val before = Lake.read(spark, root, "c", "properties").count()
+    // simulate the crash window: the batch appended, the checkpoint never
+    // landed — the rerun re-scrapes everything
+    new java.io.File(s"$root/_checkpoints/c.json").delete()
+    val st = Engine.runLoad(spark, new FakeSource(data), (1L to 5L), root, "c", IngestConfig(workers = 2))
+    assert(st.scraped == 5, "rerun re-scrapes the uncheckpointed batch")
+    assert(st.rowsWritten.values.sum == 0L,
+      s"unchanged re-scrapes must dedup against the lake, wrote: ${st.rowsWritten}")
+    assert(Lake.read(spark, root, "c", "properties").count() == before,
+      "a crash-before-checkpoint rerun must not permanently double the batch")
+  }
+
+  test("a null child Seq never cancels a sibling entry's table write") {
+    val root = tmpDir("lake")
+    // entry 1 carries a real building; entry 2's source handed back null
+    // children. Under legacy semantics size(NULL) = -1, so the batch
+    // pre-count summed 1 + (-1) = 0 and SKIPPED the buildings write —
+    // silently dropping the real row
+    val good = FakeSource.prop(1L, "alice", 100.0)
+    val nulled = FakeSource.prop(2L, "bob", 200.0)
+      .copy(buildings = null, ownership = null)
+    val st = Engine.runLoad(spark, new FakeSource(Map(1L -> good, 2L -> nulled)),
+      Seq(1L, 2L), root, "c", IngestConfig(workers = 2))
+    assert(st.scraped == 2)
+    assert(Lake.read(spark, root, "c", "buildings").count() == 1,
+      "the real building must be written despite the sibling's null Seq")
+    assert(Lake.read(spark, root, "c", "ownership").count() == 1)
   }
 
   test("caller-supplied unsorted ids: batches checkpoint in ID order, resume is exact") {
