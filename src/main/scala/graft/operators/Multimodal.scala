@@ -85,6 +85,13 @@ object Multimodal {
     * construction — the grid is laid over the image whatever its size — so
     * the same scene at different resolutions yields nearby vectors, which
     * is exactly what the embedding near-dup/ANN stages downstream want.
+    *
+    * Same grid walk as [[graft.functions.PHashSupport.gridLum]] (identical
+    * weights and cell boundaries) but NOT delegated to it: this path
+    * divides by 255 per pixel before accumulating, and re-associating the
+    * division would move last-ulp float values that oracle hash-compares
+    * pin. MultimodalSpec pins the two walks against each other instead,
+    * so they cannot drift structurally.
     */
   def imageFeature(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
@@ -127,14 +134,26 @@ object Multimodal {
     * fixed-width float vector) is the real contract.
     */
   def decodeToFeatureStub(content: Array[Byte], dim: Int): Array[Float] = {
+    // null-tolerant (the stage-totality contract: a corrupt/absent blob
+    // never kills a task): null hashes like the empty payload
+    val bytes = if (content == null) Array.empty[Byte] else content
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Float](dim)
     var block = 0
     var i = 0
     while (i < dim) {
       md.reset()
-      md.update(content)
-      md.update(block.toByte)
+      md.update(bytes)
+      // minimal-length little-endian counter, NOT block.toByte: the byte
+      // truncation made block 256 collide with block 0, so vectors with
+      // dim > 4096 repeated their first 4096 values (half the promised
+      // entropy). Minimal-LE is injective AND byte-identical to the old
+      // encoding for blocks < 256 — every dim ≤ 4096 output (all current
+      // oracles) is unchanged.
+      var b = block
+      md.update((b & 0xff).toByte)
+      b >>>= 8
+      while (b != 0) { md.update((b & 0xff).toByte); b >>>= 8 }
       val d = md.digest()
       var j = 0
       while (j < 16 && i < dim) {
@@ -163,17 +182,21 @@ object Multimodal {
       // per-partition init: decoder/model state constructed once per task
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
+        // null content hashes/measures as empty instead of NPE-ing the
+        // whole task — the totality contract the decoder already honors
+        // (its own null guard was unreachable behind the digest call)
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
         digest.reset()
-        val hash = digest.digest(r.content).map("%02x".format(_)).mkString
+        val hash = digest.digest(bytes).map("%02x".format(_)).mkString
         val feat =
-          if (r.modality == "image") decoder.decode(r.content).map(imageFeature(_, dim))
+          if (r.modality == "image") decoder.decode(bytes).map(imageFeature(_, dim))
           else None
         MediaFeatures(
           id = r.id,
           modality = r.modality,
-          byteLen = r.content.length,
+          byteLen = bytes.length,
           contentHash = hash,
-          feature = feat.getOrElse(decodeToFeatureStub(r.content, dim))
+          feature = feat.getOrElse(decodeToFeatureStub(bytes, dim))
         )
       }
     }
@@ -197,11 +220,16 @@ object Multimodal {
     }
   }
 
-  /** Resize stage (binary → binary): decodable images are REALLY resized —
-    * bilinear Graphics2D scale to targetW×targetH, re-encoded as PNG
-    * (lossless, always writable by the JDK regardless of input container).
-    * Undecodable content keeps the digest-stub behavior so the stage stays
-    * total over a dirty corpus.
+  /** Resize stage (binary → binary), IMAGE rows only — audio/video/other
+    * modalities pass through untouched: resizing is meaningless for them,
+    * and the previous any-modality behavior replaced an audio row's bytes
+    * with a digest stub (irrecoverable) and stamped image dimensions onto
+    * its metadata. Decodable images are REALLY resized — bilinear
+    * Graphics2D scale to targetW×targetH, re-encoded as PNG (lossless,
+    * always writable by the JDK regardless of input container).
+    * Undecodable IMAGE content keeps the digest-stub behavior so the
+    * stage stays total over a dirty corpus (the same gate-by-modality +
+    * stub-on-undecodable split extractFeatures and sampleFrames use).
     */
   def resize(
       media: Dataset[MediaRow],
@@ -211,6 +239,8 @@ object Multimodal {
   ): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
+      if (r.modality != "image") r
+      else {
       val real = decoder.decode(r.content).map { img =>
         val scaled = new java.awt.image.BufferedImage(
           targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -230,6 +260,7 @@ object Multimodal {
           decodeToFeatureStub(r.content, math.max((targetW * targetH) / 64, 16)).map(v => (v * 255).toByte)),
         meta = r.meta.copy(width = Some(targetW), height = Some(targetH))
       )
+      }
     }
   }
 
@@ -1081,6 +1112,10 @@ object Multimodal {
     * task instead of a row count — media corpora are heavily skewed.
     */
   def repartitionByBytes(df: DataFrame, contentCol: String, targetBytes: Long): DataFrame = {
+    // driver-side like every sibling's parameter check: unguarded, 0 threw
+    // a raw ArithmeticException AFTER paying the full corpus scan, and a
+    // negative value silently funneled everything into one partition
+    require(targetBytes > 0, s"need targetBytes > 0 (got $targetBytes)")
     val row = df.agg(sum(octet_length(col(contentCol)))).head()
     if (row.isNullAt(0)) df // empty input: sum is NULL
     else {

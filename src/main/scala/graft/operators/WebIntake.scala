@@ -80,11 +80,31 @@ object WebIntake {
     when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)),
       graft.functions.GzipExprs.gunzipConcat(c)).otherwise(c)
 
+  /** RFC 9309 match target from a URL: PATH + QUERY, fragment excluded,
+    * empty → "/". The naive `[^/]+(/.*)$` split got both edges wrong —
+    * the authority class swallowed a query on a path-less URL (so
+    * `Disallow: &#47;*?sid=` never matched `https://h.com?sid=1`), and the
+    * kept fragment broke `$`-anchored rules (`Disallow: /p$` missed
+    * `https://h.com/p#frag`). Same authority split as
+    * [[UrlOps.urlTrapReport]].
+    */
+  private def robotsMatchTarget(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pq = regexp_extract(url, "^https?://[^/?#]+([^#]*)", 1)
+    when(pq === "", "/")
+      .when(pq.startsWith("?"), concat(lit("/"), pq))
+      .otherwise(pq)
+  }
+
   /** Frontier seed rows from DISCOVERY documents — sitemap XML
     * ([[graft.functions.SitemapSupport]], q143) and RSS/Atom feeds
-    * ([[graft.functions.FeedSupport]], q153) — in the frontier's
-    * (src_url, href, resolved_url) schema so callers union them with
-    * [[ingest]]'s link frontier before [[planFrontier]]. One scan, both
+    * ([[graft.functions.FeedSupport]], q153) — as
+    * (src_url, href, kind, resolved_url): the frontier's three columns
+    * plus `kind`. To union with [[ingest]]'s link frontier before
+    * [[planFrontier]], route the discovery fetches away first and drop
+    * the tag — `seeds.filter($"kind" =!= "sitemap_index").drop("kind")
+    * .unionByName(frontier)` (a bare unionByName fails on the extra
+    * column by design: silently unioning sitemap-INDEX rows would send
+    * discovery fetches to the page fetcher). One scan, both
     * parsers (each returns an empty array on the other's format, so the
     * concat costs nothing); `kind` distinguishes page seeds from child
     * sitemaps (`sitemap_index` rows are discovery fetches, not corpus
@@ -183,14 +203,24 @@ object WebIntake {
       .select(col("r.warc_type").as("__wt"), col("r.target_uri").as("url"),
         col("r.payload").as("__payload"))
       .filter(col("url").isNotNull)
+      // only PAGE-BEARING record types enter the corpus path: `response`
+      // (a fetched page inside an HTTP envelope) and `conversion` (WET —
+      // bare page bytes). A real archive interleaves `request`, `metadata`
+      // and `revisit` records per fetch, all carrying the same
+      // WARC-Target-URI — without this gate a request record's HTTP
+      // headers decode as "html", survive as a one-block zero-link-density
+      // doc whenever the real response was dropped by the 2xx/html gate,
+      // and ship raw protocol bytes as training text. Null-safe: an
+      // untyped record is treated as a conversion, not dropped (the WET
+      // exporters that omit the header).
+      .filter(col("__wt").isNull || col("__wt").isin("response", "conversion"))
       // `response` records carry an HTTP MESSAGE, not a page: parse it
       // scan-side, gate on 2xx + an html-ish (or absent) Content-Type —
       // an error page or a binary asset must never reach the extractors —
       // and decode the BODY under the full WHATWG precedence (BOM >
       // header charset= > in-document declaration > UTF-8). Conversion /
       // WET records are already bare page bytes and take the plain
-      // sniffed decode. Null-safe on warc_type: an untyped record is
-      // treated as a conversion, not dropped.
+      // sniffed decode.
       .withColumn("__http",
         when(col("__wt") === "response", HttpExprs.httpResponse(col("__payload"))))
       .filter(!(col("__wt") <=> "response") ||
@@ -205,9 +235,7 @@ object WebIntake {
           .otherwise(graft.functions.CharsetExprs.decodeSniffed(col("__payload"))))
       .drop("__wt", "__payload", "__http")
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
-      .withColumn("path",
-        when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", "/")
-          .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
+      .withColumn("path", robotsMatchTarget(col("url")))
     val records =
       if (audits.isDefined)
         records0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -224,14 +252,21 @@ object WebIntake {
         lit(true)))
       .drop("robots_txt", "path")
 
+    // page metadata parsed ONCE into a carried struct: the noindex filter
+    // here and the canonical-URL dedup key downstream ([[dedupKey]]) both
+    // need htmlMeta, and as separate operators across a filter boundary
+    // codegen cannot merge the two full HTML parses — at crawl scale that
+    // is MB-class strings parsed twice per surviving page
+    val withMeta = polite.withColumn("__meta", HtmlExprs.htmlMeta(col("html")))
+
     // page-level exclusion: a `<meta name="robots" content="noindex">` (or
     // `none`) says this page must not be INCLUDED — the page-level twin of
     // the fetch gate above, and binding for a corpus builder the same way
     // robots.txt is for the fetcher. Token match on the directive list;
     // absent meta means indexable.
-    val indexable = polite.filter(
+    val indexable = withMeta.filter(
       !coalesce(
-        lower(HtmlExprs.htmlMeta(col("html")).getField("meta_robots"))
+        lower(col("__meta").getField("meta_robots"))
           .rlike("(^|[,\\s])(noindex|none)([,\\s]|$)"),
         lit(false)))
 
@@ -255,13 +290,15 @@ object WebIntake {
     * declared form is the stronger signal: the site itself states where
     * this content lives, so a printer-friendly or session-id variant
     * collapses onto its canonical page even when no URL heuristic could
-    * see it. Shared by [[ingest]] and the streaming twin.
+    * see it. Shared by [[ingest]] and the streaming twin; reads the
+    * `__meta` struct [[extractDocs]] carries (parse-once — see the
+    * withMeta note there).
     */
   private[graft] def dedupKey: org.apache.spark.sql.Column =
     coalesce(
       graft.functions.ResolveUrlExprs.resolveUrl(
         col("url"),
-        HtmlExprs.htmlMeta(col("html")).getField("canonical")),
+        col("__meta").getField("canonical")),
       col("url"))
 
   def ingest(
@@ -334,9 +371,7 @@ object WebIntake {
       .select(UrlOps.canonicalizeUrl(col("raw")).as("url"))
       .distinct()
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
-      .withColumn("path",
-        when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", "/")
-          .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
+      .withColumn("path", robotsMatchTarget(col("url")))
     val novel = cand.join(
       urlIndex.select(col("canonical_url").as("url")), Seq("url"), "left_anti")
     // no broadcast hint on robots — same unbounded-size argument as the

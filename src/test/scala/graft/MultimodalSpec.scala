@@ -395,4 +395,66 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(2) && rows(1).isNullAt(3))
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("resize touches only image rows; other modalities pass through byte-identical") {
+    val rows = spark.createDataset(media)
+    val out = Multimodal.resize(rows, 8, 8).collect().sortBy(_.id)
+    val in = media.sortBy(_.id)
+    // audio/video rows keep their bytes AND their metadata — the previous
+    // any-modality behavior stubbed an audio row's content (irrecoverable)
+    // and stamped 8x8 image dimensions onto it
+    for ((a, b) <- in.zip(out) if a.modality != "image") {
+      assert(java.util.Arrays.equals(a.content, b.content), s"id ${a.id} content changed")
+      assert(a.meta == b.meta, s"id ${a.id} meta changed: ${b.meta}")
+    }
+    // image rows still run the stage (fake bytes -> digest stub path)
+    for ((a, b) <- in.zip(out) if a.modality == "image")
+      assert(!java.util.Arrays.equals(a.content, b.content) && b.meta.width.contains(8))
+  }
+
+  test("null content is total: features/resize/frames hash it as empty, never NPE") {
+    val withNull = media :+ MediaRow(9L, "image", null, MediaMeta(None, None, None, None, None, None)) :+
+      MediaRow(10L, "video", null, MediaMeta(None, None, None, None, Some(3000L), None))
+    val rows = spark.createDataset(withNull)
+    val feats = Multimodal.extractFeatures(rows, dim = 16).collect().sortBy(_.id)
+    val nullRow = feats.find(_.id == 9L).get
+    assert(nullRow.byteLen == 0)
+    assert(nullRow.contentHash == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    assert(nullRow.feature.length == 16)
+    assert(Multimodal.resize(rows, 8, 8).count() == withNull.size)
+    assert(Multimodal.sampleFrames(rows, everyMs = 1000L, maxFrames = 2)
+      .filter($"id" === 10L).count() == 2)
+  }
+
+  test("stub feature blocks never repeat: dim > 4096 carries full entropy, prefixes stable") {
+    val bytes = "stub-entropy-probe".getBytes("UTF-8")
+    val big = Multimodal.decodeToFeatureStub(bytes, 8192)
+    // block 256 used to truncate to byte 0 and replay block 0's digest:
+    // the second 4096 values exactly equaled the first
+    assert(!java.util.Arrays.equals(big.slice(0, 4096), big.slice(4096, 8192)),
+      "upper half must not repeat the lower half")
+    // and the fix is prefix-stable: every dim <= 4096 output is unchanged
+    // (blocks < 256 keep their one-byte encoding — oracle compatibility)
+    assert(java.util.Arrays.equals(Multimodal.decodeToFeatureStub(bytes, 64), big.slice(0, 64)))
+  }
+
+  test("imageFeature agrees with PHashSupport.gridLum (anti-drift pin for the twin walks)") {
+    val img = new java.awt.image.BufferedImage(37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new java.util.Random(7)
+    for (y <- 0 until 23; x <- 0 until 37) img.setRGB(x, y, rnd.nextInt(0xffffff))
+    val dim = 16
+    val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val cols = (dim + rows - 1) / rows
+    val feat = Multimodal.imageFeature(img, dim)
+    val grid = graft.functions.PHashSupport.gridLum(img, rows, cols)
+    for (i <- 0 until dim)
+      assert(math.abs(feat(i) - grid(i) / 255.0) < 1e-6,
+        s"cell $i drifted: ${feat(i)} vs ${grid(i) / 255.0}")
+  }
+
+  test("repartitionByBytes rejects a non-positive target before paying the scan") {
+    val df = Seq(Tuple1("x".getBytes)).toDF("content")
+    intercept[IllegalArgumentException] { Multimodal.repartitionByBytes(df, "content", 0L) }
+    intercept[IllegalArgumentException] { Multimodal.repartitionByBytes(df, "content", -5L) }
+  }
 }

@@ -510,4 +510,52 @@ class WebIntakeSpec extends SparkSpec {
     assert(audit.filter($"stage" === "1_input").head().getLong(1) == 2L)
     assert(chunks.select($"doc_id").distinct().count() == 2L)
   }
+
+  test("non-page WARC record types never leak into the corpus") {
+    // a real archive interleaves request/response/metadata (and revisit)
+    // records per fetch, all carrying the same WARC-Target-URI; when the
+    // response dies at the 2xx gate, the request's raw HTTP headers used
+    // to survive as a "document"
+    def trec(kind: String, url: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: $kind\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n"
+    val reqPayload = "GET /gone HTTP/1.1\r\nHost: a.example.org\r\n" +
+      "User-Agent: something long enough to pass every length gate easily\r\n\r\n"
+    val errResp = "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>Error page body long enough that the status gate drops it.</p>"
+    val meta = "fetchTimeMs: 120\r\noutlink: https://x.example.org/ E =FOLLOW="
+    val keep = nav + "<p>Real conversion page body with plenty of characters kept.</p>"
+    val crawl3 = Seq(
+      trec("request", "https://a.example.org/gone", reqPayload) +
+        trec("response", "https://a.example.org/gone", errResp) +
+        trec("metadata", "https://a.example.org/gone", meta) +
+        trec("revisit", "https://a.example.org/seen", "") +
+        trec("conversion", "https://a.example.org/wet", keep)
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+    val (docs, _, _) = WebIntake.ingest(crawl3, "content", robots)
+    val urls = docs.select($"url").as[String].collect().toSet
+    assert(urls == Set("https://a.example.org/wet"),
+      s"only the conversion page may survive — got $urls (a request/metadata leak ships raw protocol bytes as training text)")
+  }
+
+  test("robots match target is path+query with fragment excluded (RFC 9309)") {
+    // Disallow: /p$ must catch /p#frag (fragment is not part of the match
+    // target) and Disallow: /*?sid= must catch a path-less ?sid= URL (the
+    // old [^/]+ authority split swallowed the query)
+    val fragPage = nav + "<p>Anchor-matched page body long enough to keep around here.</p>"
+    val sidPage = nav + "<p>Session-id page body long enough to keep around here too.</p>"
+    val okPage = nav + "<p>Allowed page body long enough to keep around here as well.</p>"
+    val crawl4 = Seq(
+      rec("https://r.example.org/p#frag", fragPage) +
+        rec("https://r.example.org?sid=1", sidPage) +
+        rec("https://r.example.org/q", okPage)
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+    val robots4 = Seq(
+      ("r.example.org", "User-agent: *\nDisallow: /p$\nDisallow: /*?sid=\n")
+    ).toDF("host", "robots_txt")
+    val (docs, _, _) = WebIntake.ingest(crawl4, "content", robots4)
+    val urls = docs.select($"url").as[String].collect().toSet
+    assert(urls == Set("https://r.example.org/q"),
+      s"the $$-anchored and query rules must both match: $urls")
+  }
 }
