@@ -169,6 +169,39 @@ object CorpusPipeline {
   def clean(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame =
     annotate(docs, idCol, textCol, cfg).filter(col("drop_reason").isNull).drop("drop_reason")
 
+  /** The per-domain token cap as a STANDALONE last gate — the same q109
+    * selection [[annotate]] runs internally, for compositions whose drop
+    * gates extend past this pipeline's own ([[TrainingPipeline.prepare]]:
+    * hygiene, repetition, fluency, decontamination, the dedup family,
+    * span trim). The cap's principle is that budget is spent only on docs
+    * that survive EVERY other gate — inside `annotate` that holds for the
+    * heuristic gates, but a downstream stage dropping a doc after the cap
+    * ran would leave its domain under-budget with its legitimate docs
+    * already refused — so a longer pipeline must apply the cap once, at
+    * its own end, over its own final text (token counts are re-measured
+    * here: a span-trimmed doc budgets at its trained length, not its
+    * pre-trim length).
+    */
+  def applyDomainCap(docs: DataFrame, idCol: String, textCol: String, dc: DomainCap): DataFrame = {
+    val id = col(idCol)
+    val canon = UrlOps.canonicalizeUrl(col(dc.urlCol))
+    val dom = dc.pslRules match {
+      case Some(rules) => UrlOps.registeredDomainPsl(canon, rules)
+      case None => UrlOps.registeredDomain(canon)
+    }
+    val keptIds = Sampling
+      .tokenBudgetMixture(
+        docs.withColumn("__cap_tokens", TextAnalysis.tokenCount(col(textCol))),
+        group = dom,
+        key = id,
+        tokens = col("__cap_tokens"),
+        budgets = dc.budgets,
+        numShards = dc.numShards,
+        defaultBudget = Some(dc.capTokens))
+      .select(id.as("__cap_keep"))
+    docs.join(keptIds, id === col("__cap_keep"), "left_semi")
+  }
+
   /** Audit summary: kept/dropped counts per reason. */
   def report(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame =
     annotate(docs, idCol, textCol, cfg)

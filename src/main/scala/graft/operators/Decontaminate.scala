@@ -126,7 +126,12 @@ object Decontaminate {
   ): DataFrame = {
     import graft.functions.BloomExprs
     def fps(df: DataFrame, as: String) = Decontaminate.fps(df, idCol, textCol, k, w, as)
+    // persisted: the bench-side fingerprint explode feeds TWO actions —
+    // the bloom-build collect here and the exact-confirm join below — and
+    // at this path's design scale (10^8+ fps, too big to broadcast raw)
+    // recomputing it doubles the bench-side scan for nothing
     val benchFps = fps(bench, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloomBits = benchFps
       .agg(BloomExprs.bloomAgg(col("fp"), numBytes, numHashes).as("bloom"))
       .collect()(0)

@@ -1515,7 +1515,11 @@ object Dedup {
     * the winnowing normalization so spans and fingerprints agree on
     * coordinates.
     */
-  private def normText(textCol: String): Column =
+  // private[graft]: the streaming boilerplate pregate
+  // (Streams.flagCorpusOverlap) must share THIS normalization byte-for-
+  // byte — its "false is PROOF" law holds only while the two agree, and a
+  // hand-copied twin gave a future edit here no compiler-visible link
+  private[graft] def normText(textCol: String): Column =
     trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
 
   /** EXACT cross-document repeated-substring spans — the arbitrary-length

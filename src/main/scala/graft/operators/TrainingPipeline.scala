@@ -213,22 +213,15 @@ object TrainingPipeline {
     val id = col(idCol)
     val text = col(textCol)
 
-    // With a domain cap configured, stage 1 runs through annotate so the
-    // audit can show the cap's own cut: "2_gated" counts the pre-cap
-    // survivors (every other gate applied), "2a_domain_capped" what the
-    // budget let through — the delta IS the cap's per-stage audit row.
-    val (preCapGated, gated) = cfg.corpus.domainCap match {
-      case Some(_) =>
-        val ann = CorpusPipeline
-          .annotate(docs, idCol, textCol, cfg.corpus)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val post = ann.filter(col("drop_reason").isNull).drop("drop_reason")
-        val pre = ann
-          .filter(col("drop_reason").isNull || col("drop_reason") === "domain_over_cap")
-          .drop("drop_reason")
-        (Some(pre), post)
-      case None => (None, CorpusPipeline.clean(docs, idCol, textCol, cfg.corpus))
-    }
+    // The domain cap is deferred to the END of the drop gates (stage 6e,
+    // [[CorpusPipeline.applyDomainCap]]), NOT run inside annotate: the
+    // cap's own principle is that budget goes only to docs that survive
+    // every other gate, and this pipeline has gates annotate cannot see —
+    // hygiene, repetition, fluency, decontamination, the dedup family,
+    // span trim. Capping at stage 1 let a domain fill its budget with
+    // minified bundles stage 2b then deleted, leaving the domain far
+    // under cap with its legitimate docs already refused.
+    val gated = CorpusPipeline.clean(docs, idCol, textCol, cfg.corpus.copy(domainCap = None))
 
     // 2b (optional): code-corpus hygiene — scan-side flags, no shuffle
     val hygieneOn = cfg.dropMinified || cfg.dropGenerated || cfg.dropLicenses.nonEmpty
@@ -257,11 +250,16 @@ object TrainingPipeline {
     // table is one row per doc — too big to broadcast at scale).
     val fluent = lmRef match {
       case Some(ref) =>
-        val keep = LmScore
+        // anti-join on FAILURES, not semi-join on passes: LmScore emits no
+        // row for a doc whose text tokenizes to zero tokens, and absence-
+        // as-failure silently dropped such docs at this stage even with
+        // the gate nominally disabled (lmMaxScore = MaxValue) — a doc with
+        // no fluency evidence passes, it is not condemned unheard
+        val fail = LmScore
           .score(unrepeated, idCol, textCol, ref)
-          .filter(col("lm_score") <= cfg.lmMaxScore)
-          .select(col("doc_id").as("__keep"))
-        unrepeated.join(keep, id === col("__keep"), "left_semi")
+          .filter(col("lm_score") > cfg.lmMaxScore)
+          .select(col("doc_id").as("__fail"))
+        unrepeated.join(fail, id === col("__fail"), "left_anti")
       case None => unrepeated
     }
 
@@ -327,53 +325,42 @@ object TrainingPipeline {
       case None => deduped
     }
 
-    // 5c (optional): perceptual image dedup — pairs come from the photos
-    // of docs still alive (semi-join first, same rationale as the embed
-    // stage), collapsed with the min-id cluster rule. A doc with no photo
-    // row (or undecodable bytes → NULL hash) never pairs, so it survives.
-    val imageDeduped = image match {
-      case Some(im) =>
-        val alive = im.photos.join(
-          embedDeduped.select(id.as("__alive")),
-          col(im.idCol) === col("__alive"),
-          "left_semi")
-        val pairs = im.maxAHamming match {
+    // 5c/5c2/5c3 (optional): perceptual image/audio/video dedup — ONE
+    // shape shared by all three modalities (the blocks were hand-copied
+    // triplets, so a fix to the alive-join rule needed three synchronized
+    // edits): pairs come from the media rows of docs still alive
+    // (semi-join first, same rationale as the embed stage — a dropped doc
+    // must not pull a survivor out of the corpus), collapsed with the
+    // min-id cluster rule. A doc with no media row (or undecodable bytes
+    // → NULL hash/fingerprint) never pairs, so it survives.
+    def perceptualDedup(
+        prev: DataFrame,
+        mediaRows: DataFrame,
+        mediaIdCol: String
+    )(pairsOf: DataFrame => DataFrame): DataFrame = {
+      val alive = mediaRows.join(
+        prev.select(id.as("__alive")),
+        col(mediaIdCol) === col("__alive"),
+        "left_semi")
+      Dedup.dropNearDups(prev, idCol, pairsOf(alive).select(col("doc_a"), col("doc_b")))
+    }
+    val imageDeduped = image.fold(embedDeduped) { im =>
+      perceptualDedup(embedDeduped, im.photos, im.idCol) { alive =>
+        im.maxAHamming match {
           case Some(a) =>
             Dedup.phashVerifiedNearDupPairs(
               alive, im.idCol, im.contentCol, im.maxHamming, maxAHamming = a)
           case None => Dedup.phashNearDupPairs(alive, im.idCol, im.contentCol, im.maxHamming)
         }
-        Dedup.dropNearDups(embedDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
-      case None => embedDeduped
+      }
     }
-
-    // 5c2 (optional): perceptual audio dedup — the clip twin of 5c, same
-    // semi-join-first shape and min-id cluster rule. A doc with no clip
-    // row (or non-PCM bytes → NULL fingerprint) never pairs, so it
-    // survives.
-    val audioDeduped = audio match {
-      case Some(au) =>
-        val alive = au.clips.join(
-          imageDeduped.select(id.as("__alive")),
-          col(au.idCol) === col("__alive"),
-          "left_semi")
-        val pairs = Dedup.audioNearDupPairs(alive, au.idCol, au.contentCol, au.maxHamming)
-        Dedup.dropNearDups(imageDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
-      case None => imageDeduped
+    val audioDeduped = audio.fold(imageDeduped) { au =>
+      perceptualDedup(imageDeduped, au.clips, au.idCol)(
+        Dedup.audioNearDupPairs(_, au.idCol, au.contentCol, au.maxHamming))
     }
-
-    // 5c3 (optional): perceptual video dedup — same semi-join-first shape
-    // and min-id cluster rule as 5c/5c2. A doc with no clip row (or
-    // non-AVI bytes → NULL fingerprint) never pairs, so it survives.
-    val videoDeduped = video match {
-      case Some(vi) =>
-        val alive = vi.clips.join(
-          audioDeduped.select(id.as("__alive")),
-          col(vi.idCol) === col("__alive"),
-          "left_semi")
-        val pairs = Dedup.videoNearDupPairs(alive, vi.idCol, vi.contentCol, vi.maxHamming)
-        Dedup.dropNearDups(audioDeduped, idCol, pairs.select(col("doc_a"), col("doc_b")))
-      case None => audioDeduped
+    val videoDeduped = video.fold(audioDeduped) { vi =>
+      perceptualDedup(audioDeduped, vi.clips, vi.idCol)(
+        Dedup.videoNearDupPairs(_, vi.idCol, vi.contentCol, vi.maxHamming))
     }
 
     // 5d (optional): Lee et al. substring trim — replace each survivor's
@@ -394,17 +381,25 @@ object TrainingPipeline {
       case None => videoDeduped
     }
 
-    val scrubbed = trimmed.withColumn(textCol, Pii.scrub(text))
+    // 6e (optional): the per-domain token cap, LAST of the drop gates —
+    // over the post-trim text (a trimmed doc budgets at the length that
+    // will actually be chunked). See the stage-1 note for why it cannot
+    // run inside annotate here.
+    val capped = cfg.corpus.domainCap match {
+      case Some(dc) => CorpusPipeline.applyDomainCap(trimmed, idCol, textCol, dc)
+      case None => trimmed
+    }
+
+    val scrubbed = capped.withColumn(textCol, Pii.scrub(text))
 
     val chunks = scrubbed
       .select(id.as("doc_id"), explode(TextAnalysis.tokenChunks(text, cfg.chunkSize, cfg.chunkStride)).as("c"))
       .select(col("doc_id"), col("c.start").as("start"), col("c.ntok").as("ntok"), col("c.chunk").as("chunk"))
 
     val audit = (Seq(
-      "1_input" -> docs
-    ) ++ preCapGated.map(pre => "2_gated" -> pre).toSeq ++
-      (if (preCapGated.isDefined) Seq("2a_domain_capped" -> gated)
-       else Seq("2_gated" -> gated)) ++
+      "1_input" -> docs,
+      "2_gated" -> gated
+    ) ++
       (if (hygieneOn) Seq("2b_hygiene" -> hygienic) else Nil) ++ Seq(
       "3_unrepeated" -> unrepeated,
       "4_fluent" -> fluent,
@@ -414,7 +409,8 @@ object TrainingPipeline {
       (if (image.isDefined) Seq("6c_image_deduped" -> imageDeduped) else Nil) ++
       (if (audio.isDefined) Seq("6c2_audio_deduped" -> audioDeduped) else Nil) ++
       (if (video.isDefined) Seq("6c3_video_deduped" -> videoDeduped) else Nil) ++
-      (if (cfg.trimRepeatsMinLen.isDefined) Seq("6d_trimmed" -> trimmed) else Nil) ++ Seq(
+      (if (cfg.trimRepeatsMinLen.isDefined) Seq("6d_trimmed" -> trimmed) else Nil) ++
+      (if (cfg.corpus.domainCap.isDefined) Seq("6e_domain_capped" -> capped) else Nil) ++ Seq(
       "7_chunks" -> chunks
     )).map { case (stage, df) => df.agg(count(lit(1)).as("rows")).select(lit(stage).as("stage"), col("rows")) }
       .reduce(_ unionByName _)

@@ -130,20 +130,36 @@ object Streams {
   ): DataFrame = {
     import graft.operators.TextAnalysis
     val text = col(textCol)
+    // same up-front guard as flagCorpusOverlap: an input already carrying
+    // one of the internal columns would be silently clobbered by the
+    // withColumn and removed by the trailing drop
+    val reserved = Seq("__tok", "__lang", "__q", "__content_md5")
+    require(reserved.forall(!stream.columns.contains(_)),
+      s"gatedDocStream writes internal columns ${reserved.mkString(", ")} — the input " +
+        "already carries one; rename or drop it first")
     // gate VALUES computed in one projection, filtered afterwards: inside a
     // single Filter the three conjuncts codegen separately (FilterExec does
     // no cross-conjunct subexpression elimination), re-tokenizing every
     // document up to 3× on the hot ingest path — in a Project the identical
     // underlying TextStats calls collapse to one pass
+    val heuristics =
+      col("__tok") >= cfg.minTokens &&
+        col("__lang").isInCollection(cfg.allowedLangs) &&
+        col("__q") >= cfg.minQuality
+    // the OPTIONAL per-row gates the batch pipeline applies must gate here
+    // too — both are single-pass codegen expressions (the whole rationale
+    // of this function), and silently ignoring a configured classifier
+    // let exactly the docs the config says to drop flow into the corpus
+    val withCompression = cfg.minCompressionPermille.fold(heuristics)(minPm =>
+      heuristics && TextAnalysis.compressionPermille(text) >= minPm)
+    val fullGate = cfg.classifier.fold(withCompression) { case (weights, minScore) =>
+      withCompression && TextAnalysis.hashedLinearScore(text, weights) >= minScore
+    }
     stream
       .withColumn("__tok", TextAnalysis.tokenCount(text))
       .withColumn("__lang", TextAnalysis.langId(text))
       .withColumn("__q", TextAnalysis.qualityScore(text))
-      .filter(
-        col("__tok") >= cfg.minTokens &&
-          col("__lang").isInCollection(cfg.allowedLangs) &&
-          col("__q") >= cfg.minQuality
-      )
+      .filter(fullGate)
       .drop("__tok", "__lang", "__q")
       .withColumn("__content_md5", md5(text))
       .withWatermark(eventTimeCol, watermark)
@@ -310,15 +326,35 @@ object Streams {
       bloomBits: Array[Byte],
       k: Int = 5,
       w: Int = 8,
-      minShared: Int = 5
+      minShared: Int = 5,
+      broadcastBitsOver: Int = 4 << 20
   ): DataFrame = {
-    import graft.functions.BloomExprs
     import graft.operators.TextAnalysis
     val fps = array_distinct(TextAnalysis.winnowingFingerprints(col(textCol), k, w))
+    val probe = bloomProbe(stream, bloomBits, broadcastBitsOver)
     stream.withColumn(
       "maybe_contaminated",
-      size(filter(fps, f => BloomExprs.mightContain(lit(bloomBits), f))) >= minShared
+      size(filter(fps, f => probe(f))) >= minShared
     )
+  }
+
+  /** Literal-vs-broadcast bits shipping, the [[graft.operators.Decontaminate]]
+    * rule verbatim: a multi-benchmark bloom (10^8 fps ≈ hundreds of MB)
+    * embedded as a plan Literal bloats the serialized plan shipped with
+    * EVERY task and pins driver memory — past the threshold the bits go
+    * out once per executor as a broadcast variable, consumed by the same
+    * codegen probe.
+    */
+  private def bloomProbe(
+      stream: DataFrame,
+      bloomBits: Array[Byte],
+      broadcastBitsOver: Int
+  ): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import graft.functions.BloomExprs
+    if (bloomBits.length > broadcastBitsOver) {
+      val bc = stream.sparkSession.sparkContext.broadcast(bloomBits)
+      f => BloomExprs.mightContainBcast(bc, f)
+    } else f => BloomExprs.mightContain(lit(bloomBits), f)
   }
 
   /** Scan-side streaming boilerplate pregate for the SUBSTRING family —
@@ -345,9 +381,9 @@ object Streams {
       textCol: String,
       bloomBits: Array[Byte],
       minLen: Int,
-      minCovered: Int = 1
+      minCovered: Int = 1,
+      broadcastBitsOver: Int = 4 << 20
   ): DataFrame = {
-    import graft.functions.BloomExprs
     require(minLen >= 2 && minCovered >= 1, "need minLen >= 2 and minCovered >= 1")
     // Same up-front guard as leakageFreeSplit: an input already carrying the
     // temp or output column would be silently clobbered (the temp even
@@ -362,13 +398,17 @@ object Streams {
         expr(
           s"transform(sequence(1, length(__norm_t) - $minLen + 1), i -> substring(__norm_t, i, $minLen))")
       ).otherwise(expr("CAST(array() AS array<string>)")))
-    val h = (g: org.apache.spark.sql.Column) =>
-      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    // the SHARED normalization and gram hash, not inline twins: the
+    // "false is PROOF" law below holds only while these byte-match what
+    // substringGramBloom indexed — calling the one implementation gives a
+    // future edit there a compiler-visible link to this pregate
+    // (hash60's cast("string") is a no-op on the string gram)
+    val probe = bloomProbe(stream, bloomBits, broadcastBitsOver)
     stream
-      .withColumn("__norm_t", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn("__norm_t", graft.operators.Dedup.normText(textCol))
       .withColumn(
         "maybe_boilerplate",
-        size(filter(grams, g => BloomExprs.mightContain(lit(bloomBits), h(g)))) >= minCovered)
+        size(filter(grams, g => probe(graft.operators.Sampling.hash60(g)))) >= minCovered)
       .drop("__norm_t")
   }
 
@@ -482,9 +522,11 @@ object Streams {
   ): DataFrame = {
     val contentful =
       graft.operators.WebIntake.extractDocs(crawlBatch, contentCol, robots, cfg)
-    graft.operators.UrlOps
-      .canonicalUrlProbeDedup(contentful, "url",
-        graft.operators.WebIntake.dedupKey, length(col("text")), urlIndex)
+    // through the dedupUrlBatch wrapper, not a second inline spelling of
+    // the probe call: two call sites encoding the probe-dedup contract
+    // independently is how a wrapper change silently diverges from intake
+    dedupUrlBatch(contentful, "url",
+      graft.operators.WebIntake.dedupKey, length(col("text")), urlIndex)
       .select(col("url"), col("host"), col("canonical_url"), col("text"))
   }
 

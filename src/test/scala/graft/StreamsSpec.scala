@@ -94,6 +94,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gatedDocStream applies the optional compression/classifier gates; guards its columns") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val fluent = "the quick brown fox jumps over the lazy dog and keeps running through the field today"
+    val spammy = ("buy cheap now " * 12).trim // compresses extremely well -> low permille
+    def run(cfg: CorpusPipeline.Config, name: String): Seq[Long] = {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem.addData((1L, fluent, ts), (2L, spammy, ts))
+      val q = graft.streaming.Streams
+        .gatedDocStream(mem.toDF().toDF("doc_id", "text", "event_ts"), "text", "event_ts", cfg)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table(name).select($"doc_id").as[Long].collect().toSeq.sorted }
+      finally q.stop()
+    }
+    // both pass the heuristics alone
+    assert(run(CorpusPipeline.Config(), "gds_base") == Seq(1L, 2L))
+    // the configured compression gate must drop the compressible doc —
+    // the batch pipeline's too_compressible cut, previously ignored here
+    assert(run(CorpusPipeline.Config(minCompressionPermille = Some(500L)), "gds_cmp") == Seq(1L))
+    // a configured classifier gates too (all-zero weights score 0 < 1)
+    assert(run(CorpusPipeline.Config(classifier = Some((Array.fill(64)(0L), 1L))), "gds_cls").isEmpty)
+    // reserved internal columns are guarded, not silently clobbered
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.gatedDocStream(
+        Seq((1L, "x", ts, 9L)).toDF("doc_id", "text", "event_ts", "__tok"), "text", "event_ts")
+    }
+    assert(e.getMessage.contains("__tok"))
+  }
+
   test("windowed counts over event time") {
     val root = tmpDir("stream")
     val rows = Seq(
