@@ -107,11 +107,14 @@ object TextAnalysis {
 
   /** Boundary-aware sentence chunking — the alternative to [[tokenChunks]]
     * when mid-sentence splits are unacceptable (instruction data, QA
-    * contexts): sentences (split on `". "`) pack greedily into chunks of
-    * at most `maxTokens` whitespace tokens under the [[Sampling
+    * contexts): sentences (split on `". "`) pack greedily into
+    * `maxTokens`-sized chunks under the [[Sampling
     * .packSequences]] boundary convention — a sentence is NEVER split;
-    * chunk_id = (tokens before the sentence) DIV maxTokens, so a sentence
-    * longer than maxTokens overflows its own chunk rather than being cut.
+    * chunk_id = (tokens before the sentence) DIV maxTokens, so a
+    * boundary-straddling sentence joins the EARLIER chunk (which may then
+    * exceed maxTokens — the price of never splitting a sentence), and a
+    * sentence longer than maxTokens overflows its own chunk rather than
+    * being cut.
     * Deterministic by construction (sentence order is textual order), and
     * the assignment is exact integer arithmetic the oracle replays with a
     * window prefix sum. One hash shuffle on the doc key for the per-doc
@@ -128,7 +131,12 @@ object TextAnalysis {
   ): org.apache.spark.sql.DataFrame = {
     require(maxTokens >= 1, "maxTokens must be >= 1")
     val outCols = Seq("sent_idx", "sentence", "n_tokens", "chunk_id")
-    require(!outCols.exists(c => c != idCol && df.columns.contains(c)),
+    // the id must not share a name with an OUTPUT either: the old carve-out
+    // (c != idCol) let idCol = "chunk_id" through, and the withColumn below
+    // then silently overwrote the document key
+    require(!outCols.contains(idCol),
+      s"idCol '$idCol' collides with an output column (${outCols.mkString("/")}) — rename the id first")
+    require(!outCols.exists(df.columns.contains),
       s"input already has one of ${outCols.mkString("/")} — rename it before chunking")
     import org.apache.spark.sql.expressions.Window
     val sentences = df
@@ -172,7 +180,9 @@ object TextAnalysis {
     require(!outCols.exists(df.columns.contains),
       s"c4LineFilter writes output columns ${outCols.mkString(", ")}; the input already has " +
         "one — rename it before calling")
-    val lines = split(col(textCol), "\n")
+    // null text behaves like empty text (size(NULL) is -1 under
+    // ansi=false — counts must never go negative)
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
     val words = (l: Column) => filter(split(trim(l), "\\s+"), w => length(w) > 0)
     val keep = (l: Column) =>
       size(words(l)) >= minWordsPerLine &&
@@ -214,7 +224,10 @@ object TextAnalysis {
     require(!outCols.exists(df.columns.contains),
       s"gopherRules writes output columns ${outCols.mkString(", ")}; the input already has " +
         "one — rename it before calling")
-    val text = col(textCol)
+    // null text behaves like empty text (same size(NULL) = -1 hazard as
+    // c4LineFilter — a null doc must fail the word-count bound, not carry
+    // negative statistics)
+    val text = coalesce(col(textCol), lit(""))
     val words = filter(split(text, "\\s+"), w => length(w) > 0)
     val lines = split(text, "\n")
     val nw = size(words).cast("long")
@@ -289,8 +302,13 @@ object TextAnalysis {
     val id = col(idCol)
     val text = col(textCol)
     val n = length(text)
-    val selected =
-      Sampling.hash60(id) % denominator < numerator && n >= minChars
+    // coalesce to FALSE: a NULL id or NULL text made `selected` NULL, and
+    // the documented "pass through untouched with fim = false" contract
+    // broke — NULL is not-true under BOTH filter(fim) and filter(!fim),
+    // so such rows vanished from every branch of a fim/non-fim split
+    val selected = coalesce(
+      Sampling.hash60(id) % denominator < numerator && n >= minChars,
+      lit(false))
     def cut(salt: String): Column =
       pmod(Sampling.hash60(concat(id.cast("string"), lit(salt))), n + 1)
     val c1 = cut("#fim1")
@@ -322,7 +340,10 @@ object TextAnalysis {
     val n = size(toks)
     val nChunks = when(n <= chunkSize, lit(1))
       .otherwise(floor((n - chunkSize + stride - 1) / lit(stride)).cast("int") + 1)
-    transform(
+    // NULL text -> NULL array (the house null propagation; explode drops
+    // it): under ansi=false size(NULL) is -1, which minted a phantom
+    // {start:0, ntok:-1, chunk:""} training chunk per null-text doc
+    when(text.isNotNull, transform(
       sequence(lit(0), nChunks - 1),
       i => {
         val sl = slice(toks, i * stride + 1, lit(chunkSize))
@@ -332,7 +353,7 @@ object TextAnalysis {
           concat_ws(" ", sl).as("chunk")
         )
       }
-    )
+    ))
   }
 
   /** Corpus vocabulary with exact term and document frequencies — the
@@ -373,24 +394,6 @@ object TextAnalysis {
       .stat
       .countMinSketch("term", eps, confidence, seed)
 
-  /** fastText-style hashed linear text scorer (Joulin, Grave, Bojanowski &
-    * Mikolov, "Bag of tricks for efficient text classification", EACL
-    * 2017; Weinberger et al.'s hashing trick, ICML 2009) — the shape of
-    * the quality classifiers big-corpus curation pipelines gate on: every
-    * word n-gram (n = 1..maxNgram, the min-1 [[graft.functions.NGramSupport.wordNGrams]]
-    * semantics) hashes into one of `weights.length` buckets via the
-    * portable md5-prefix hash, and the score is the exact BIGINT sum of
-    * the hit buckets' integer weights.
-    *
-    * Weights are caller-supplied SCALED INTEGERS (train elsewhere, ship
-    * the table): integer summation makes the score independent of
-    * evaluation order and bit-reproducible by the SQL oracle, the repo's
-    * exactness pattern (Qdef). Thresholding/ranking on the linear score is
-    * equivalent to doing so on the sigmoid (monotone), so no float ever
-    * appears. Pure per-row projection — no shuffle; the weight table
-    * travels as a literal (broadcast-equivalent) and costs
-    * 8·|buckets| bytes.
-    */
   /** Per-document n-gram novelty report — the boilerplate signal: what
     * fraction of a doc's DISTINCT word n-grams appear in at most `rareDf`
     * documents corpus-wide. Low rare_frac = the doc is assembled from
@@ -560,6 +563,24 @@ object TextAnalysis {
       minified.as("is_minified"))
   }
 
+  /** fastText-style hashed linear text scorer (Joulin, Grave, Bojanowski &
+    * Mikolov, "Bag of tricks for efficient text classification", EACL
+    * 2017; Weinberger et al.'s hashing trick, ICML 2009) — the shape of
+    * the quality classifiers big-corpus curation pipelines gate on: every
+    * word n-gram (n = 1..maxNgram, the min-1 [[graft.functions.NGramSupport.wordNGrams]]
+    * semantics) hashes into one of `weights.length` buckets via the
+    * portable md5-prefix hash, and the score is the exact BIGINT sum of
+    * the hit buckets' integer weights.
+    *
+    * Weights are caller-supplied SCALED INTEGERS (train elsewhere, ship
+    * the table): integer summation makes the score independent of
+    * evaluation order and bit-reproducible by the SQL oracle, the repo's
+    * exactness pattern (Qdef). Thresholding/ranking on the linear score is
+    * equivalent to doing so on the sigmoid (monotone), so no float ever
+    * appears. Pure per-row projection — no shuffle; the weight table
+    * travels as a literal (broadcast-equivalent) and costs
+    * 8·|buckets| bytes.
+    */
   def hashedLinearScore(text: Column, weights: Array[Long], maxNgram: Int = 2): Column = {
     require(weights.nonEmpty, "need a non-empty weight table")
     require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")

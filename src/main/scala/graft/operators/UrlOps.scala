@@ -79,10 +79,16 @@ object UrlOps {
     */
   def domainReport(df: DataFrame, urlCol: Column, tokens: Column): DataFrame = {
     val dom = registeredDomain(canonicalizeUrl(urlCol))
+    // persisted: the per-domain aggregate feeds TWO actions — the eager
+    // total check below and the returned plan — and without the cache the
+    // canonicalize+groupBy pipeline scans the corpus twice. Domain-sized
+    // (one row per registered domain), so the cache is tiny; Spark's
+    // ContextCleaner reclaims it once the result plan is unreferenced.
     val agg = df
       .select(dom.as("domain"), tokens.cast("long").as("__tok"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("docs"), sum(col("__tok")).as("tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // A NULL sum (empty input or all-null token counts) would NPE at
     // getLong and a zero total would render NULL permilles — fail loudly
     // with the actual problem instead.
@@ -141,8 +147,15 @@ object UrlOps {
     val w = Window
       .partitionBy(col("canonical_url"))
       .orderBy(quality.desc, col(idCol).asc)
+    // a row with NO usable URL (null or blank canonical) has no dedup
+    // identity and passes through unexamined: the bare window would put
+    // every such row in ONE partition and keep exactly one survivor —
+    // 10,000 null-url docs silently deleting 9,999 of themselves. (The
+    // window expression still evaluates for those rows; the `when` just
+    // discards its rank — one pass, no union split.)
+    val hasKey = col("canonical_url").isNotNull && trim(col("canonical_url")) =!= ""
     df.withColumn("canonical_url", canonicalizeUrl(urlCol))
-      .withColumn("__rk", row_number().over(w))
+      .withColumn("__rk", when(hasKey, row_number().over(w)).otherwise(1))
       .filter(col("__rk") === 1)
       .drop("__rk")
   }
@@ -193,6 +206,13 @@ object UrlOps {
     require(
       Seq("canonical_url", "corpus_id", "corpus_quality").forall(index.columns.contains),
       "index must come from canonicalUrlCorpusIndex: (canonical_url, corpus_id, corpus_quality)")
+    // same clobber guard as every sibling: a batch already carrying the
+    // index's column names would hit an ambiguous-reference
+    // AnalysisException at the filter below with no hint of the cause
+    require(
+      Seq("corpus_id", "corpus_quality").forall(!batch.columns.contains(_)),
+      "canonicalUrlProbeDedup joins index columns corpus_id/corpus_quality; the batch " +
+        "already carries one — rename or drop it first")
     val inBatch = canonicalUrlDedup(batch, idCol, urlCol, quality)
     // beats = the window's (quality DESC NULLS LAST, id ASC) order as a
     // predicate: non-null quality beats null, higher beats lower, the id
@@ -302,8 +322,15 @@ object UrlOps {
     *         trap_permille = top_n·1000 DIV n_urls
     */
   def urlTrapReport(df: DataFrame, urlCol: Column): DataFrame = {
-    val host = regexp_extract(urlCol, "^https?://([^/:?#]+)", 1)
-    val rawPath = regexp_extract(urlCol, "^https?://[^/?#]+([^?#]*)", 1)
+    // scheme match case-insensitive and host case-folded (RFC 3986 §3.1/
+    // §3.2.2: scheme and host compare case-insensitively — raw crawl
+    // frontiers really do carry 'HTTP://WWW.Site.COM/...'): a sensitive
+    // match binned every such URL under a phantom "" host whose single
+    // "/" template read as a 1000-permille trap, while Site.com vs
+    // site.com split one real host's stats across case variants. Paths
+    // stay case-sensitive (they are).
+    val host = lower(regexp_extract(urlCol, "(?i)^https?://([^/:?#]+)", 1))
+    val rawPath = regexp_extract(urlCol, "(?i)^https?://[^/?#]+([^?#]*)", 1)
     val path = when(rawPath === "", "/").otherwise(rawPath)
     val perTemplate = df
       .select(host.as("host"),

@@ -693,8 +693,8 @@ object UrlQueries {
                              WHEN doc_id % 3 = 1 THEN '/page/' || (doc_id % 7)
                              ELSE '/item/' || (doc_id % 4) || '/view' END AS url
                  FROM documents),
-      p AS (SELECT regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host,
-                   regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+      p AS (SELECT lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS host,
+                   regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
                                   '[0-9]+', '{N}', 'g') AS template,
                    url
             FROM u),

@@ -340,4 +340,36 @@ class TfIdfSpec extends SparkSpec {
       .select($"doc_id").as[Long].head()
     assert(top == 4L)
   }
+
+  test("null text/id is total across the per-row text stages (no -1 counts, no phantom chunks)") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a real line with plenty of words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "t")
+    // tokenChunks: NULL text -> NULL array -> explode drops it (the old
+    // behavior minted a phantom {start:0, ntok:-1, chunk:""} chunk)
+    val chunks = df.select($"doc_id", explode(TextAnalysis.tokenChunks($"t", 4, 4)).as("c"))
+    assert(chunks.filter($"doc_id" === 2L).count() == 0)
+    assert(chunks.filter($"c.ntok" < 0).count() == 0)
+    // c4LineFilter / gopherRules: null text behaves like empty text,
+    // never negative counts
+    val c4 = TextAnalysis.c4LineFilter(df, "t").filter($"doc_id" === 2L).head()
+    assert(c4.getAs[Int]("n_lines") >= 0 && c4.getAs[Int]("n_kept_lines") == 0)
+    val g = TextAnalysis.gopherRules(df, "t").filter($"doc_id" === 2L).head()
+    assert(g.getAs[Long]("n_words") == 0L && !g.getAs[Boolean]("gopher_pass"))
+    // fimTransform: fim is FALSE (not NULL) so the row lands in the
+    // non-fim branch of a split instead of vanishing from both
+    val fim = TextAnalysis.fimTransform(df, "doc_id", "t", 1, 2, minChars = 4)
+    assert(fim.filter($"fim".isNull).count() == 0)
+    assert(fim.filter(!$"fim").count() + fim.filter($"fim").count() == 2)
+  }
+
+  test("sentenceChunks rejects an idCol that collides with its outputs") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "one sentence. two sentence.")).toDF("chunk_id", "t")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.sentenceChunks(df, "chunk_id", "t", 8)
+    }
+    assert(e.getMessage.contains("chunk_id"),
+      "the old carve-out let the withColumn silently overwrite the document key")
+  }
 }

@@ -195,4 +195,34 @@ class UrlSpec extends SparkSpec {
     // top tie (2 vs 2) breaks to the lexicographically LARGER template
     assert(ok.getString(3) == "/page/{N}" && ok.getLong(4) == 2 && ok.getLong(5) == 400L)
   }
+
+  test("keyless rows (null/blank url) pass canonical dedup unexamined, never collapse") {
+    import graft.operators.UrlOps
+    val df = Seq(
+      (1L, "https://a.org/x", 10L),
+      (2L, "https://a.org/x?utm_source=t", 9L), // canonical dup of 1 -> dropped
+      (3L, null.asInstanceOf[String], 5L),
+      (4L, null.asInstanceOf[String], 4L),
+      (5L, "   ", 3L)
+    ).toDF("doc_id", "url", "q")
+    val kept = UrlOps.canonicalUrlDedup(df, "doc_id", $"url", $"q")
+      .select($"doc_id").as[Long].collect().toSet
+    // the bare window put every null-url doc in ONE partition and kept
+    // exactly one — thousands of docs silently deleting each other
+    assert(kept == Set(1L, 3L, 4L, 5L), s"got $kept")
+  }
+
+  test("urlTrapReport folds scheme/host case (RFC 3986) instead of minting a phantom host") {
+    import graft.operators.UrlOps
+    val urls = Seq(
+      "HTTP://WWW.Site.COM/cal/2024/5",
+      "http://www.site.com/cal/2024/6",
+      "http://www.site.com/cal/2024/7"
+    ).toDF("url")
+    val rows = UrlOps.urlTrapReport(urls, $"url").collect()
+    assert(rows.length == 1, s"case variants must fold to ONE host: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[String]("host") == "www.site.com")
+    assert(r.getAs[Long]("n_urls") == 3L && r.getAs[String]("top_template") == "/cal/{N}/{N}")
+  }
 }
