@@ -24,6 +24,8 @@ object Scd {
     * no QUALIFY so the windowed column is filtered then dropped.
     */
   def currentState(df: DataFrame, key: Column, order: Column*): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "currentState writes helper column __rn; the input already has one — rename it first")
     val w = Window.partitionBy(key).orderBy(order.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -36,13 +38,18 @@ object Scd {
     * `QUALIFY ROW_NUMBER() OVER (...) = 1`. Catalyst plans the window once;
     * the helper column never outlives the filter.
     */
-  def qualify(df: DataFrame, predicate: Column): DataFrame =
+  def qualify(df: DataFrame, predicate: Column): DataFrame = {
+    require(!df.columns.contains("__qualify"),
+      "qualify writes helper column __qualify; the input already has one — rename it first")
     df.withColumn("__qualify", predicate)
       .filter(col("__qualify"))
       .drop("__qualify")
+  }
 
   /** W2 — change detection: previous content hash alongside each row. */
   def withPrevHash(df: DataFrame, key: Column, hash: Column, order: Column*): DataFrame = {
+    require(!df.columns.contains("prev_hash"),
+      "withPrevHash writes output column prev_hash; the input already has one — rename it first")
     val w = Window.partitionBy(key).orderBy(order: _*)
     df.withColumn("prev_hash", lag(hash, 1).over(w))
   }
@@ -51,6 +58,11 @@ object Scd {
     * observation), numbered ascending per entity as `version`.
     */
   def withVersions(df: DataFrame, key: Column, hash: Column, order: Column*): DataFrame = {
+    // a pre-existing version column would be silently overwritten (and a
+    // pre-existing prev_hash silently DELETED by the internal drop —
+    // withPrevHash's own guard catches that one)
+    require(!df.columns.contains("version"),
+      "withVersions writes output column version; the input already has one — rename it first")
     val changed = withPrevHash(df, key, hash, order: _*)
       .filter(col("prev_hash").isNull || hash =!= col("prev_hash"))
     val w = Window.partitionBy(key).orderBy(order: _*)
@@ -116,6 +128,16 @@ object Scd {
     * `hashCol` — the graceful degradation a ≫10⁹-entity lake needs.
     * `forceBroadcast = true` restores the hint for callers that know the
     * bound (e.g. a dimension registry).
+    *
+    * KNOWN LIMITATION (reference parity, database.py:65-78 loads ALL
+    * distinct hashes): the anti-join is against the full HISTORY, so a
+    * content REVERT (A → B → back to A) matches the historical hash and
+    * is never re-recorded — currentState then reports B forever while
+    * the live source shows A. The SCD2-correct form dedups against each
+    * entity's LATEST hash only, which needs (key, order) in this
+    * signature — the follow-up API change; callers that must record
+    * reverts today can pass `existing = currentState(existing, ...)`
+    * themselves, which is exactly that semantics.
     */
   def refreshDedup(
       newRows: DataFrame,
@@ -134,6 +156,19 @@ object Scd {
   /** S9 — upsert for a small dimension table (vanilla Spark has no MERGE):
     * union the updates over the base and keep the newest row per key via W1.
     */
-  def upsert(base: DataFrame, updates: DataFrame, key: Column, order: Column*): DataFrame =
-    currentState(base.unionByName(updates, allowMissingColumns = true), key, order: _*)
+  def upsert(base: DataFrame, updates: DataFrame, key: Column, order: Column*): DataFrame = {
+    // MERGE semantics need a DETERMINISTIC winner at order-value ties:
+    // updates beat base (ON CONFLICT DO UPDATE always takes the update —
+    // CityRegistry stamps a whole batch with one timestamp, so ties are
+    // the NORMAL case there), and duplicate keys inside one updates batch
+    // resolve by row-content hash — stable across runs, where a bare
+    // row_number over an exact tie picks by shuffle arrival order and a
+    // corrected URL landed in the registry only sometimes.
+    require(!base.columns.contains("__src") && !updates.columns.contains("__src"),
+      "upsert writes helper column __src; an input already has one — rename it first")
+    val all = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val tie = xxhash64(to_json(struct(all.columns.filter(_ != "__src").map(col): _*)))
+    currentState(all, key, (order :+ col("__src") :+ tie): _*).drop("__src")
+  }
 }

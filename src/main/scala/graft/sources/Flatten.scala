@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * (MD5(pid + canonical JSON), source.py:182-194) and propagated to
   * children by the explode — no join needed.
   *
-  * Everything is narrow (select/explode): zero shuffles; flattening runs at
-  * scan speed no matter the corpus size, and each output table is written
-  * independently.
+  * Flattening itself is narrow (select/explode) and runs at scan speed;
+  * the ONE wide step is the in-batch uuid dedup (U2) — a window exchange
+  * on the uuid that each of the 8 outputs re-executes over the engine's
+  * cached scrape, made safe by a deterministic keep-rule (the
+  * torn-snapshot note at the dedup site).
   */
 object Flatten {
 
@@ -75,6 +77,16 @@ object Flatten {
     * (deterministic MD5 of pid + canonical JSON, order-independent) but feed
     * it only the entity's immutable identity (pid, town_name), so version
     * chains stay attached across re-scrapes.
+    *
+    * KNOWN LIMITATION of that identity choice: town_name is scraped from
+    * the page's own label, so a site-side rendering change ("ANDOVER" →
+    * "Andover, CT"), or one variant page omitting lblTownName, still
+    * mints new uuids for the whole town and splits every chain. The
+    * fully-stable identity is the INGEST SCOPE key (the city the engine
+    * already threads through Lake paths), which is deliberately outside
+    * this function's signature today — promoting it into the uuid basis
+    * is the follow-up, and needs a one-time uuid migration story for
+    * existing lakes.
     */
   private val identityFields = Seq("town_name")
 
@@ -87,9 +99,26 @@ object Flatten {
     // U2 — in-batch dedup on uuid BEFORE fan-out (the reference's
     // seen_uuids skip, vgsi/source.py:595-601): a duplicate scrape of one
     // entity within a batch is dropped entirely — children included.
-    val withUuid = base
+    // DETERMINISTIC keep-rule, not dropDuplicates: per-key first()
+    // depends on shuffle arrival order, and each of the 8 returned frames
+    // re-executes the dedup independently — two scrapes of one entity
+    // with DIFFERENT content (retry, overlapping batch) could leave
+    // properties from scrape A and buildings from scrape B, a torn
+    // parent/child snapshot. The window orders on the full row's JSON
+    // hash, so EVERY (re)execution picks the same survivor — which is
+    // what makes the per-table re-execution safe. (No persist here: the
+    // engine's results cache bounds the recompute to this window, and a
+    // persist inside flatten materializes from the pre-cache plan,
+    // re-running the scrape itself — measured as doubled accumulators.)
+    val withUuid0 = base
       .withColumn("uuid", Canonical.deterministicUuid(col("property.pid"), canon))
-      .dropDuplicates("uuid")
+    val pick = xxhash64(to_json(struct(base.columns.map(col): _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("uuid")).orderBy(pick.asc)
+    val withUuid = withUuid0
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
 
     val properties = withUuid.select(
       col("uuid") +: col("property.pid").as("pid") +:

@@ -65,4 +65,27 @@ class FlattenSpec extends SparkSpec {
     assert(row.getString(0) == "Colonial")
     assert(row.getString(1) == """{"ac_and_vent":"Central","zz_later_key":"zlast"}""")
   }
+
+  test("in-batch uuid dedup is deterministic and never tears the parent/child snapshot") {
+    // two scrapes of ONE entity (same identity -> same uuid) with
+    // different content: the survivor must be the same scrape in EVERY
+    // table and on every re-execution — dropDuplicates' arrival-order
+    // first() could hand properties scrape A and buildings scrape B
+    val a = FakeSource.prop(42L, "alice", 100.0)
+    val b = FakeSource.prop(42L, "bob", 200.0)
+      .copy(buildings = FakeSource.prop(42L, "bob", 200.0).buildings ++
+        FakeSource.prop(42L, "bob", 200.0).buildings.map(x => x.copy(year_built = Some(1902))))
+    def snapshot(): (String, Long) = {
+      val t = Flatten.flatten(spark.createDataset(Seq(a, b)))
+      val owner = t("properties").select($"owner").as[String].head()
+      val nBuildings = t("buildings").count()
+      (owner, nBuildings)
+    }
+    val runs = (1 to 3).map(_ => snapshot())
+    assert(runs.distinct.size == 1, s"survivor must be stable across executions: $runs")
+    val (owner, nb) = runs.head
+    // the pair must be INTERNALLY consistent: alice has 1 building, bob 2
+    assert((owner == "alice" && nb == 1L) || (owner == "bob" && nb == 2L),
+      s"torn snapshot: properties from one scrape, buildings from the other ($owner, $nb)")
+  }
 }

@@ -91,4 +91,26 @@ class ScdSpec extends SparkSpec {
       .toMap
     assert(got == Map("k1" -> "new", "k2" -> "keep", "k3" -> "ins"))
   }
+
+  test("upsert: updates beat base at order ties; duplicate update keys resolve stably") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val base = Seq(("k1", "https://old.example.org/", t0)).toDF("city_key", "url", "updated_at")
+    val updates = Seq(("k1", "https://new.example.org/", t0)).toDF("city_key", "url", "updated_at")
+    // ON CONFLICT DO UPDATE always takes the update — CityRegistry stamps
+    // a whole batch with ONE timestamp, so the tie is the normal case
+    val won = Scd.upsert(base, updates, $"city_key", $"updated_at")
+      .select($"url").as[String].head()
+    assert(won == "https://new.example.org/", s"the update must win the tie, got $won")
+    // duplicate keys WITHIN one updates batch at the same order value:
+    // stable winner across runs (content-hash tiebreak, not arrival order)
+    val dups = Seq(
+      ("k2", "https://a.example.org/", t0),
+      ("k2", "https://b.example.org/", t0)).toDF("city_key", "url", "updated_at")
+    val winners = (1 to 3).map { _ =>
+      Scd.upsert(base, dups, $"city_key", $"updated_at")
+        .filter($"city_key" === "k2").select($"url").as[String].head()
+    }
+    assert(winners.distinct.size == 1, s"tie winner must be run-stable: $winners")
+  }
 }
