@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * Flags (reference defaults): --workers 4, --rate 5, --max-errors 50,
   * --data-dir data, --download-photos (off) with --photo-dir photos,
-  * admin fetch-cities --cities-url (the VGSI index).
+  * admin fetch-cities --cities-url (the VGSI index). TLS verification is
+  * ON by default (a deliberate departure from the reference's hardcoded
+  * verify=False); --no-verify-tls is the per-invocation opt-out for
+  * self-signed gis hosts, --verify-tls the explicit affirmation.
   */
 object Main {
 
@@ -33,8 +36,11 @@ object Main {
     "entry-id-min", "entry-id-max", "base-url", "photo-dir", "cities-url"
   )
 
-  // value-less switches (the reference's store_true args, source.py:900-909)
-  private val BoolFlags = Set("download-photos")
+  // value-less switches (the reference's store_true args, source.py:900-909);
+  // verify-tls/no-verify-tls are graft's own pair — unlike the reference
+  // (verify=False hardcoded), verification is ON by default and
+  // --no-verify-tls is the explicit opt-out for self-signed gis hosts
+  private val BoolFlags = Set("download-photos", "verify-tls", "no-verify-tls")
 
   private def parseArgs(argv: Array[String]): Args = {
     val (args, pending) = argv.foldLeft((Args(), Option.empty[String])) {
@@ -71,6 +77,13 @@ object Main {
       maxConsecutiveErrors = args.flag("max-errors", "50").toInt,
       photoDir = photoDir
     )
+    // TLS verification: ON unless --no-verify-tls (the reference hardcodes
+    // verify=False for its self-signed gis hosts; here that is an explicit,
+    // per-invocation opt-out — the CA-signed index/photo hosts verify by
+    // default). --verify-tls is accepted for symmetry/explicitness.
+    if (args.flags.contains("verify-tls") && args.flags.contains("no-verify-tls"))
+      sys.error("--verify-tls and --no-verify-tls are mutually exclusive")
+    val verifyTls = !args.flags.contains("no-verify-tls")
 
     try args.positional.head match {
       case "load" | "refresh" =>
@@ -91,9 +104,9 @@ object Main {
         // vgsiUrl concatenates, so a slashless base would 404 every pid as
         // '<base>Parcel.aspx?pid=N' until the circuit breaker kills the run
         val baseUrl = if (baseUrl0.endsWith("/")) baseUrl0 else baseUrl0 + "/"
-        val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
+        val source = VgsiSource(baseUrl, VgsiSource.httpFetch(verifyTls = verifyTls),
           ratePerSec = args.flag("rate", "5").toDouble,
-          photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes()))
+          photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes(verifyTls = verifyTls)))
         val stats =
           if (cmd == "load") {
             val min = args.flag("entry-id-min", "1").toLong
@@ -127,7 +140,7 @@ object Main {
                 s"(CT data refreshes via CtDataSource.loadAll with live counts)")
             case Some(baseUrl) =>
               try {
-                val source = VgsiSource(baseUrl, VgsiSource.httpFetch(),
+                val source = VgsiSource(baseUrl, VgsiSource.httpFetch(verifyTls = verifyTls),
                   ratePerSec = args.flag("rate", "5").toDouble)
                 val stats = Engine.runRefresh(spark, source, root, scope, config)
                 println(s"refresh $scope: scraped=${stats.scraped} errors=${stats.errors}")
@@ -160,7 +173,7 @@ object Main {
             // the reference's `admin vgsi --fetch-cities` (source.py:900,
             // 706-736): scrape the VGSI index, upsert the city registry
             val url = args.flag("cities-url", VgsiSource.CitiesUrl)
-            val cities = VgsiSource.parseCities(VgsiSource.httpGet(url))
+            val cities = VgsiSource.parseCities(VgsiSource.httpGet(url, verifyTls = verifyTls))
             if (cities.isEmpty) sys.error(s"no VGSI city links found at $url")
             CityRegistry.upsert(spark, root,
               spark.createDataFrame(cities)
@@ -204,7 +217,8 @@ object Main {
   private def usage(): Unit = println(
     """usage: graft <load|refresh|refresh-all|admin> [args]
       |  load vgsi <city> --entry-id-min 1 --entry-id-max 1000 [--workers 4 --rate 5 --data-dir data --base-url URL]
-      |                   [--download-photos --photo-dir photos]
+      |                   [--download-photos --photo-dir photos] [--no-verify-tls]
+      |  (TLS certificate verification is ON by default; --no-verify-tls opts out for self-signed gis hosts)
       |  refresh vgsi <city> [flags]
       |  refresh-all [--data-dir data]
       |  admin scopes|tables <scope>|compact <scope>|checkpoint <scope>|current <scope>|history <scope> <uuid>

@@ -290,7 +290,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
   private def cachedSchema(base: Identifier): StructType = {
-    val path = Lake.tablePath(root, base.namespace()(0), base.name)
+    // scopeOf, not namespace()(0) — same contract as loadTable/createTable:
+    // a multi-part namespace must not silently truncate to its head and an
+    // empty one must not throw AIOOBE. Every current caller pre-gates via
+    // tableExists/listTables, but the path derivation must not depend on it.
+    val path = Lake.tablePath(root, scopeOf(base.namespace()), base.name)
     val key = try {
       var h = 1125899906842597L
       val it = fs.listFiles(new Path(path), true)

@@ -183,6 +183,9 @@ object CorpusPipeline {
     * pre-trim length).
     */
   def applyDomainCap(docs: DataFrame, idCol: String, textCol: String, dc: DomainCap): DataFrame = {
+    require(!docs.columns.contains("__cap_tokens") && !docs.columns.contains("__cap_keep"),
+      "applyDomainCap reserves __cap_tokens/__cap_keep as helper columns — an input " +
+        "already carrying one would be silently clobbered before the budget computation")
     val id = col(idCol)
     val canon = UrlOps.canonicalizeUrl(col(dc.urlCol))
     val dom = dc.pslRules match {

@@ -66,40 +66,65 @@ object VectorIndex {
     * crash-convergent either way; the lease exists to fail FAST, not to be
     * the last line of defense.
     */
-  final class WriterLease private[VectorIndex] (
+  final class WriterLease private[graft] (
       fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path,
       token: String
   ) {
-    private def currentHolder(): Option[String] =
-      try {
-        val in = fs.open(path)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
+    /** Holder read with bounded retries: a single transient store failure
+      * must not be read as "no holder" — `None` from this method means the
+      * holder could not be established even after retries, and every
+      * caller treats that as NOT PROVABLY OURS (skip the mutation), never
+      * as "free". Without the distinction, a stale-window takeover plus
+      * one transient read failure let release() delete — and heartbeat()
+      * refresh — the USURPER's live lease, the exact race the ownership
+      * check exists to close.
+      */
+    private def currentHolder(): Option[String] = {
+      var attempt = 0
+      while (attempt < 3) {
+        try {
+          val in = fs.open(path)
+          try return Some(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return Some("") // gone: provably not ours
+          case scala.util.control.NonFatal(_)   => attempt += 1
+        }
+      }
+      None
+    }
 
     /** Refresh the lease mtime — and FIRST verify we still hold it: after
       * a stale-window takeover, setTimes on the usurper's file would
       * silently refresh THEIR lease while both writers keep going; the
       * ownership check turns that into the loud failure the lease is for.
+      * An UNREADABLE holder skips the refresh entirely (not provably ours
+      * to touch) — the safe failure direction: a skipped beat risks only
+      * our own staleness takeover, which the next successful heartbeat
+      * reports loudly.
       */
     def heartbeat(): Unit = {
       currentHolder() match {
-        case Some(c) if c != token =>
+        case Some(c) if c == token =>
+          try fs.setTimes(path, System.currentTimeMillis(), -1)
+          catch { case scala.util.control.NonFatal(_) => } // next write refreshes it
+        case Some(c) =>
           throw new IllegalStateException(
             s"writer lease $path was taken over mid-operation (now held by: $c) — " +
               "this op outlived the staleness window; abort rather than race the new holder")
-        case _ => // ours, or transiently unreadable — refresh below
+        case None => // unreadable after retries: skip the refresh, don't touch a maybe-usurper
       }
-      try fs.setTimes(path, System.currentTimeMillis(), -1)
-      catch { case scala.util.control.NonFatal(_) => } // next write refreshes it
     }
 
-    /** Release only a lease we still own: deleting a usurper's lease would
-      * hand the NEXT op a free acquisition while the usurper still writes.
+    /** Release only a lease we PROVABLY still own: deleting a usurper's
+      * lease would hand the NEXT op a free acquisition while the usurper
+      * still writes, and an unreadable holder is not proof of ownership —
+      * leave it to age past the staleness window instead.
       */
     def release(): Unit =
-      if (currentHolder().forall(_ == token)) {
+      if (currentHolder().contains(token)) {
         if (fs.exists(path) && !fs.delete(path, false))
           throw new java.io.IOException(s"could not release writer lease $path")
       }
@@ -109,6 +134,17 @@ object VectorIndex {
     spark.conf.getOption("spark.graft.vectorIndex.leaseStaleMs")
       .map(_.toLong)
       .getOrElse(30L * 60L * 1000L)
+
+  /** A WriterLease handle over an EXISTING (or absent) lease file without
+    * acquiring it — spec-only seam for unit-testing the ownership
+    * semantics (release must not delete a usurper's lease; heartbeat must
+    * fail loudly on takeover) that the public ops only hit in mid-op race
+    * windows no deterministic test can schedule.
+    */
+  private[graft] def leaseHandle(dir: String, spark: SparkSession, token: String): WriterLease = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/__writer_lease")
+    new WriterLease(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, token)
+  }
 
   private def acquireLease(dir: String, spark: SparkSession, op: String): WriterLease = {
     val fs = new org.apache.hadoop.fs.Path(dir)

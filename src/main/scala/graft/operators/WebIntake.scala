@@ -86,10 +86,14 @@ object WebIntake {
     * `Disallow: &#47;*?sid=` never matched `https://h.com?sid=1`), and the
     * kept fragment broke `$`-anchored rules (`Disallow: /p$` missed
     * `https://h.com/p#frag`). Same authority split as
-    * [[UrlOps.urlTrapReport]].
+    * [[UrlOps.urlTrapReport]] — including its `(?i)` scheme fold: RFC 3986
+    * schemes are case-insensitive, and a case-sensitive match here sent an
+    * `HTTP://Host/private?x=1` target through as pq="" → path "/", so
+    * path-specific Disallow rules were evaluated against "/" instead of
+    * the real path. The PATH itself stays case-sensitive (it is).
     */
   private def robotsMatchTarget(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val pq = regexp_extract(url, "^https?://[^/?#]+([^#]*)", 1)
+    val pq = regexp_extract(url, "(?i)^https?://[^/?#]+([^#]*)", 1)
     when(pq === "", "/")
       .when(pq.startsWith("?"), concat(lit("/"), pq))
       .otherwise(pq)
@@ -234,7 +238,12 @@ object WebIntake {
             col("__http.body"), HttpExprs.httpCharset(col("__http.content_type"))))
           .otherwise(graft.functions.CharsetExprs.decodeSniffed(col("__payload"))))
       .drop("__wt", "__payload", "__http")
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      // (?i) + lower(): scheme AND host are case-insensitive per RFC 3986
+      // — an uppercase-scheme target_uri must still resolve a host, and a
+      // `B.example.org` variant must hit the same robots row as
+      // `b.example.org` (robots tables key on the folded host; the same
+      // fold urlTrapReport applies). The URL itself stays untouched.
+      .withColumn("host", lower(regexp_extract(col("url"), "(?i)^https?://([^/:?#]+)", 1)))
       .withColumn("path", robotsMatchTarget(col("url")))
     val records =
       if (audits.isDefined)
@@ -367,10 +376,16 @@ object WebIntake {
     import org.apache.spark.sql.expressions.Window
     val cand = frontier
       .select(col("resolved_url").as("raw"))
-      .filter(col("raw").isNotNull && col("raw").rlike("^https?://"))
+      // (?i) on all three: RFC 3986 schemes are case-insensitive, and a
+      // frontier href like HTTP://h/p must neither be dropped by the
+      // http(s)-only gate nor lose its host for the robots join.
+      // canonicalizeUrl folds scheme+host to lowercase, so the post-
+      // canonicalization extracts see lowercase anyway — the fold here
+      // guards the gate and keeps the twin extracts consistent.
+      .filter(col("raw").isNotNull && col("raw").rlike("(?i)^https?://"))
       .select(UrlOps.canonicalizeUrl(col("raw")).as("url"))
       .distinct()
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      .withColumn("host", regexp_extract(col("url"), "(?i)^https?://([^/:?#]+)", 1))
       .withColumn("path", robotsMatchTarget(col("url")))
     val novel = cand.join(
       urlIndex.select(col("canonical_url").as("url")), Seq("url"), "left_anti")

@@ -13,11 +13,16 @@ import java.time.Duration
   */
 object VgsiSource {
 
-  /** The reference's TLS stance, scoped to ONE client: VGSI hosts serve
-    * self-signed certs, so the reference builds a dedicated session with
-    * verification off rather than disabling it process-wide
-    * (source.py:30-33 — `_session.verify = False`). `verifyTls = true`
-    * restores full verification for deployments fronted by a proper CA.
+  /** Trust-all context for the reference's TLS stance, scoped to ONE
+    * client: some gis.vgsi.com city hosts serve self-signed certs, so the
+    * reference builds a dedicated session with verification off rather
+    * than disabling it process-wide (source.py:30-33 —
+    * `_session.verify = False`). Unlike the reference, verification is ON
+    * by default here — www.vgsi.com (the city index) and photo hosts
+    * present CA-signed certs, and silently accepting any cert for those
+    * invites MITM of the scrape — so this context is built only when a
+    * caller explicitly opts out (`--no-verify-tls` on the CLI) for the
+    * self-signed city hosts.
     */
   private def trustAllContext(): javax.net.ssl.SSLContext = {
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
@@ -54,7 +59,7 @@ object VgsiSource {
   /** java.net.http GET with the reference's timeout (30 s); retries/backoff
     * live in the engine's Retry wrapper (S5 policy).
     */
-  def httpFetch(timeoutSec: Long = 30, verifyTls: Boolean = false): (String, Long) => String = {
+  def httpFetch(timeoutSec: Long = 30, verifyTls: Boolean = true): (String, Long) => String = {
     lazy val client = newClient(timeoutSec, verifyTls)
     (baseUrl, pid) => send(client, VgsiParser.vgsiUrl(baseUrl, pid), timeoutSec).body()
   }
@@ -62,13 +67,13 @@ object VgsiSource {
   /** Plain GET of one URL (the city-index page). Same client policy as
     * [[httpFetch]].
     */
-  def httpGet(url: String, timeoutSec: Long = 30, verifyTls: Boolean = false): String =
+  def httpGet(url: String, timeoutSec: Long = 30, verifyTls: Boolean = true): String =
     send(newClient(timeoutSec, verifyTls), url, timeoutSec).body()
 
   /** Binary GET (photo bytes) as a reusable fetcher for
     * [[VgsiSource.photoFetch]].
     */
-  def httpGetBytes(timeoutSec: Long = 30, verifyTls: Boolean = false): String => Array[Byte] = {
+  def httpGetBytes(timeoutSec: Long = 30, verifyTls: Boolean = true): String => Array[Byte] = {
     lazy val client = newClient(timeoutSec, verifyTls)
     url => {
       val req = HttpRequest.newBuilder(URI.create(url))

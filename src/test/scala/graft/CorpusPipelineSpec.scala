@@ -190,6 +190,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(dropped > 0 && dropped < 4, s"tight NULL-bucket budget keeps a prefix: $tightReasons")
   }
 
+  test("applyDomainCap refuses an input already carrying its reserved helper columns") {
+    // house-style guard (Scd/Streams/TextAnalysis siblings): a caller's
+    // __cap_tokens would be silently clobbered before the budget math
+    val dc = CorpusPipeline.DomainCap("url", capTokens = 100L, numShards = 4)
+    val clash = Seq((1L, "some text", "https://a.com/1", 5L))
+      .toDF("doc_id", "text", "url", "__cap_tokens")
+    val e = intercept[IllegalArgumentException](
+      CorpusPipeline.applyDomainCap(clash, "doc_id", "text", dc))
+    assert(e.getMessage.contains("__cap_tokens"), e.getMessage)
+    val clash2 = Seq((1L, "some text", "https://a.com/1", 5L))
+      .toDF("doc_id", "text", "url", "__cap_keep")
+    intercept[IllegalArgumentException](
+      CorpusPipeline.applyDomainCap(clash2, "doc_id", "text", dc))
+  }
+
   test("compactPartitioned merges files per partition and preserves the layout") {
     val root = tmpDir("plake")
     (1 to 5).foreach { i =>

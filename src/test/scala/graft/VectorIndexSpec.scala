@@ -690,6 +690,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(found == 1L)
   }
 
+  test("writer lease ownership: release never deletes a usurper's lease; heartbeat fails loudly") {
+    val dir = tmpDir("vindex_lease_own")
+    val leaseFile = java.nio.file.Paths.get(dir, "__writer_lease")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+
+    // our lease, our token: release deletes it
+    java.nio.file.Files.writeString(leaseFile, "op=append pid=1 at=1")
+    val ours = VectorIndex.leaseHandle(dir, spark, "op=append pid=1 at=1")
+    ours.heartbeat() // ours → refresh succeeds silently
+    ours.release()
+    assert(!java.nio.file.Files.exists(leaseFile), "owner release must delete its own lease")
+
+    // stale-window takeover happened mid-op: the file now carries the
+    // USURPER's token. Our release must leave it alone (deleting it would
+    // hand the next op a free acquisition while the usurper still writes),
+    // and our heartbeat must abort loudly instead of refreshing THEIR mtime.
+    java.nio.file.Files.writeString(leaseFile, "op=retrain pid=2 at=2")
+    val usurped = VectorIndex.leaseHandle(dir, spark, "op=append pid=1 at=1")
+    val before = java.nio.file.Files.getLastModifiedTime(leaseFile)
+    val e = intercept[IllegalStateException](usurped.heartbeat())
+    assert(e.getMessage.contains("taken over"), e.getMessage)
+    usurped.release()
+    assert(java.nio.file.Files.exists(leaseFile), "release must not delete a usurper's lease")
+    assert(java.nio.file.Files.getLastModifiedTime(leaseFile) == before,
+      "a failed heartbeat must not refresh the usurper's mtime")
+
+    // lease file GONE mid-op (takeover delete window): not provably ours —
+    // heartbeat aborts, release no-ops without recreating or throwing
+    java.nio.file.Files.delete(leaseFile)
+    val orphan = VectorIndex.leaseHandle(dir, spark, "op=append pid=1 at=1")
+    intercept[IllegalStateException](orphan.heartbeat())
+    orphan.release()
+    assert(!java.nio.file.Files.exists(leaseFile))
+  }
+
   test("writer lease: a crashed holder is taken over after the staleness window") {
     val dir = tmpDir("vindex_lease_stale")
     val corpus = clustered.toDF("vec_id", "embedding")

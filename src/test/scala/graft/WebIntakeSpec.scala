@@ -79,6 +79,26 @@ class WebIntakeSpec extends SparkSpec {
       Set("https://a.example.org/page0", "https://b.example.org/ok/p2"))
   }
 
+  test("RFC 3986 case fold: an uppercase scheme/host target still hits its robots rules") {
+    // pre-fix, 'HTTP://B.example.org/...' failed the case-sensitive
+    // ^https?:// extracts: host "" missed the robots join entirely and the
+    // match target degraded to "/", so the path-specific Disallow never
+    // fired and a blocked page shipped as training text
+    val c = Seq(
+      rec("HTTP://B.example.org/private/p1", page1) +
+        rec("HTTPS://b.example.org/ok/p2", page2)
+    ).toDF("raw").select($"raw".cast("binary").as("content"))
+    val (docs, _, audit) = WebIntake.ingest(c, "content", robots)
+    val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("2_records") == 2L)
+    assert(counts("3_robots_allowed") == 1L,
+      s"the uppercase /private page must die on the b.example.org rules: $counts")
+    val kept = docs.select($"url", $"host").collect()
+    assert(kept.map(_.getString(0)).toSeq == Seq("HTTPS://b.example.org/ok/p2"))
+    assert(kept.map(_.getString(1)).toSeq == Seq("b.example.org"),
+      "host folds to lowercase for the robots join; the URL itself is untouched")
+  }
+
   test("missing robots row allows; a matching Allow carve-out beats a shorter Disallow") {
     val carved = Seq(
       ("b.example.org", "User-agent: *\nDisallow: /private\nAllow: /private/p1\n")
@@ -194,6 +214,30 @@ class WebIntakeSpec extends SparkSpec {
       ("new.example.org", "https://new.example.org/p1", 900L, None, 1),
       ("new.example.org", "https://new.example.org/p2", 900L, None, 2),
       ("b.example.org", "https://b.example.org/ok/x", 300L, Some(2000L), 1)))
+  }
+
+  test("planFrontier: an uppercase-scheme href survives the http(s) gate and robots-gates on its real path") {
+    // resolveUrl passes absolute refs through AS WRITTEN ('HTTP://…' stays
+    // uppercase) — pre-fix the case-sensitive ^https?:// rlike dropped the
+    // candidate entirely, so a frontier fed by wild-web hrefs silently
+    // lost every uppercase-scheme link
+    val frontier = Seq(
+      ("https://s.org/a", "HTTP://New.example.org/p1"),
+      ("https://s.org/a", "HTTPS://b.example.org/private/x")
+    ).toDF("src_url", "href")
+      .withColumn("resolved_url",
+        graft.functions.ResolveUrlExprs.resolveUrl($"src_url", $"href"))
+    val robotsT = Seq(
+      ("b.example.org", "User-agent: *\nDisallow: /private\n")
+    ).toDF("host", "robots_txt")
+    val emptyIdx = Seq.empty[(String, String, Int)].toDF("canonical_url", "corpus_id", "corpus_quality")
+    val ranks = Seq(("new.example.org", 7L)).toDF("id", "rank")
+    val plan = WebIntake.planFrontier(frontier, robotsT, emptyIdx, ranks)
+      .select($"host", $"url", $"rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // canonicalizeUrl folds scheme+host, so the plan carries the lowercase
+    // form; the robots-blocked uppercase candidate still dies on its path
+    assert(plan == Seq(("new.example.org", "http://new.example.org/p1", 7L)))
   }
 
   test("response records: 2xx+html gate, header charset beats a lying meta") {
