@@ -391,8 +391,8 @@ object Engine {
           val dedupAgainstLake = existingTables.contains(table)
           // per-batch re-read of the lake's hash side is a CONSIDERED
           // trade, not an oversight: parquet column pruning means each
-          // anti-join scans only the 32-byte row_hash column (never the
-          // table), and a refresh run's wall clock is politeness-bounded
+          // anti-join scans only the (key, scraped_at, row_hash) triplet
+          // (never the table), and a refresh run's wall clock is politeness-bounded
           // (~5 fetches/s) — the pruned rescan is noise against the fetch
           // time while staying memory-free. The alternative (persist
           // Lake.existingHashes once per run and union each batch's
@@ -403,8 +403,13 @@ object Engine {
           // path) that want the cached form should preload
           // Lake.existingHashes themselves and call Scd.refreshDedup
           // directly.
+          // refreshDedupForLake → per-entity-LATEST dedup (uuid /
+          // property_uuid + scraped_at are always present on this path):
+          // a content revert (A→B→A) re-records and the SCD2 chain shows
+          // all three versions, where the old full-history anti-join
+          // suppressed the revert forever (the r14-documented limitation).
           val toWrite =
-            if (dedupAgainstLake) Scd.refreshDedup(stamped, Lake.read(spark, root, scope, table))
+            if (dedupAgainstLake) Scd.refreshDedupForLake(stamped, Lake.read(spark, root, scope, table))
             else stamped
           // Refresh can dedup a non-empty batch down to zero rows — probe
           // so a no-change refresh writes no schema-only file (file-count

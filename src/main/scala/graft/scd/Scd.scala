@@ -133,11 +133,9 @@ object Scd {
     * distinct hashes): the anti-join is against the full HISTORY, so a
     * content REVERT (A → B → back to A) matches the historical hash and
     * is never re-recorded — currentState then reports B forever while
-    * the live source shows A. The SCD2-correct form dedups against each
-    * entity's LATEST hash only, which needs (key, order) in this
-    * signature — the follow-up API change; callers that must record
-    * reverts today can pass `existing = currentState(existing, ...)`
-    * themselves, which is exactly that semantics.
+    * the live source shows A. This form is kept for reference-parity
+    * callers; the SCD2-correct form is [[refreshDedupLatest]], which the
+    * engines' refresh paths use (via [[refreshDedupForLake]]).
     */
   def refreshDedup(
       newRows: DataFrame,
@@ -151,6 +149,76 @@ object Scd {
       Seq(hashCol),
       "left_anti"
     )
+  }
+
+  /** J2, SCD2-correct form — refresh dedup against each entity's LATEST
+    * observation only: an incoming row is dropped iff its content hash
+    * appears in SOME entity's most-recent snapshot, so a content revert
+    * (A → B → back to A) re-records and the version chain shows all three
+    * states — the semantics [[refreshDedup]]'s full-history anti-join
+    * (reference parity) cannot give. Crash-rerun idempotency is preserved:
+    * re-appending an unchanged batch still matches the latest hashes and
+    * drops.
+    *
+    * The latest SNAPSHOT, not the latest row: `rank() == 1` over the
+    * descending order keeps EVERY row tied at the entity's newest order
+    * value — child tables record several rows per entity per scrape
+    * (buildings, ownership…), and a `row_number`-style top-1 would dedup
+    * against one arbitrary child and re-record its identical siblings
+    * forever. The anti-join joins on the hash alone: the canonical row
+    * hash covers the row's identity fields (pid / property_uuid), so
+    * equal hashes ARE the same entity's content.
+    *
+    * Scale shape: the existing side is pruned to (key, order, hash) before
+    * the window — a 3-column parquet scan — then one hash-partition
+    * shuffle on the key (the same minimal plan as every SCD operator
+    * here; bucketing by the key removes it). The surviving hash set is
+    * ≤ one snapshot per entity — no larger than [[refreshDedup]]'s
+    * distinct-history set — and the broadcast decision stays with AQE
+    * (same rationale as [[refreshDedup]]; `forceBroadcast` restores the
+    * hint for known-bounded callers).
+    */
+  def refreshDedupLatest(
+      newRows: DataFrame,
+      existing: DataFrame,
+      key: Column,
+      order: Seq[Column],
+      hashCol: String = "row_hash",
+      forceBroadcast: Boolean = false
+  ): DataFrame = {
+    require(order.nonEmpty, "refreshDedupLatest needs at least one order column")
+    val orderAliases = order.zipWithIndex.map { case (c, i) => c.as(s"__rd_o$i") }
+    val pruned = existing.select(key.as("__rd_key") +: orderAliases :+ col(hashCol).as("__rd_hash"): _*)
+    val w = Window.partitionBy(col("__rd_key"))
+      .orderBy(order.indices.map(i => col(s"__rd_o$i").desc): _*)
+    val latest = pruned
+      .withColumn("__rd_rank", rank().over(w))
+      .filter(col("__rd_rank") === 1)
+      .select(col("__rd_hash").as(hashCol))
+      .distinct()
+    newRows.join(
+      if (forceBroadcast) broadcast(latest) else latest,
+      Seq(hashCol),
+      "left_anti"
+    )
+  }
+
+  /** The ENGINES' refresh dedup: per-entity-latest ([[refreshDedupLatest]])
+    * when the frame carries the lake's stamp convention — an identity
+    * column (`uuid` for parents, `property_uuid` for children) plus the
+    * `scraped_at` stamp — and the reference-parity full-history
+    * [[refreshDedup]] when it doesn't (CT open-data tables carry no
+    * per-row entity key, so latest-only semantics are undefined there).
+    * One entry point so the batch engine, the CT source, and the
+    * streaming refresh twin cannot drift on this decision.
+    */
+  def refreshDedupForLake(newRows: DataFrame, existing: DataFrame): DataFrame = {
+    val both = newRows.columns.toSet.intersect(existing.columns.toSet)
+    Seq("uuid", "property_uuid").find(both.contains) match {
+      case Some(k) if both.contains("scraped_at") =>
+        refreshDedupLatest(newRows, existing, col(k), Seq(col("scraped_at")))
+      case _ => refreshDedup(newRows, existing)
+    }
   }
 
   /** S9 — upsert for a small dimension table (vanilla Spark has no MERGE):

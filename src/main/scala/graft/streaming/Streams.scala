@@ -96,9 +96,13 @@ object Streams {
         // its intra-session set, database.py:139-149), then anti-join the
         // lake's existing hashes
         val fresh = batch.dropDuplicates("row_hash")
+        // refreshDedupForLake: per-entity-latest when the staged rows carry
+        // the stamp convention (uuid/property_uuid + scraped_at) so reverts
+        // re-record, full-history otherwise — the same decision as the
+        // batch engine, by construction
         val toWrite =
           if (Lake.tables(spark, root, scope).contains(table))
-            Scd.refreshDedup(fresh, Lake.read(spark, root, scope, table))
+            Scd.refreshDedupForLake(fresh, Lake.read(spark, root, scope, table))
           else fresh
         Lake.append(toWrite, root, scope, table)
       }

@@ -102,6 +102,42 @@ class EngineSpec extends SparkSpec {
     assert(hist5.count() == 1)
   }
 
+  test("content revert A->B->A yields THREE versions (per-entity-latest refresh dedup)") {
+    // the reference's version-growth law (tests/test_engine.py:429-546)
+    // extended to a revert: a yearly assessment revaluation that gets
+    // rolled back must appear in the SCD2 chain. The old full-history
+    // anti-join matched the historical hash and suppressed the third
+    // state forever (currentState reported B while the source showed A).
+    val root = tmpDir("lake_revert")
+    val ids = (1L to 5L).toSeq
+    val a = mkData(ids.map(i => i -> (1000.0 * i)).toMap)
+    val b = mkData(ids.map(i => i -> (if (i == 3) 7777.0 else 1000.0 * i)).toMap)
+
+    Engine.runLoad(spark, new FakeSource(a), ids, root, "revertville",
+      IngestConfig(workers = 2, checkpoint = false))
+    val sB = Engine.runRefresh(spark, new FakeSource(b), root, "revertville",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(sB.rowsWritten("properties") == 1)
+    val sA = Engine.runRefresh(spark, new FakeSource(a), root, "revertville",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(sA.rowsWritten("properties") == 1, "the revert must re-record")
+
+    val props = Lake.read(spark, root, "revertville", "properties")
+    val hist3 = Scd.withVersions(props.filter($"pid" === 3), $"uuid", $"row_hash", $"scraped_at")
+    assert(hist3.count() == 3, "A->B->A is three versions")
+    // current state reflects the revert
+    val cur = Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash")
+    assert(cur.filter($"pid" === 3).select($"assessment_value").as[Double].head() == 3000.0)
+    // untouched entities stay single-version (idempotency intact)
+    assert(Scd.withVersions(props.filter($"pid" === 5), $"uuid", $"row_hash", $"scraped_at").count() == 1)
+    // the reverted entity's OWNERSHIP child (value-bearing) reverts with it
+    // — a consistent snapshot, not a torn parent-only revert
+    val own = Lake.read(spark, root, "revertville", "ownership")
+    val pid3own = own.join(props.filter($"pid" === 3).select($"uuid".as("property_uuid")).distinct(),
+      Seq("property_uuid"))
+    assert(pid3own.count() == 3, "ownership re-records across A->B->A too")
+  }
+
   test("duplicate entry ids in one batch write once across ALL tables (U2)") {
     val root = tmpDir("lake")
     val data = mkData(Map(1L -> 100.0, 2L -> 200.0))

@@ -58,6 +58,55 @@ class ScdSpec extends SparkSpec {
     assert(kept.select($"row_hash").as[String].collect().toSeq == Seq("h3"))
   }
 
+  test("refreshDedupLatest re-records a content revert; full-history refreshDedup suppresses it") {
+    // u1's chain is h1 → h2; an incoming REVERT back to h1 must re-record
+    // under SCD2 semantics (the r14-documented limitation of the
+    // full-history form)
+    val revert = Seq(("u1", 4, "h1", 100)).toDF("uuid", "t", "row_hash", "value")
+    assert(Scd.refreshDedup(revert, lake).isEmpty, "full-history form suppresses the revert (reference parity)")
+    val kept = Scd.refreshDedupLatest(revert, lake, $"uuid", Seq($"t"))
+    assert(kept.select($"row_hash").as[String].collect().toSeq == Seq("h1"))
+    // and the chain then shows all three states
+    val v = Scd.withVersions(lake.unionByName(revert), $"uuid", $"row_hash", $"t")
+    assert(v.filter($"uuid" === "u1").select($"version").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // unchanged content still dedups (crash-rerun idempotency preserved)
+    val rerun = Seq(("u1", 4, "h2", 200), ("u2", 4, "h9", 900)).toDF("uuid", "t", "row_hash", "value")
+    assert(Scd.refreshDedupLatest(rerun, lake, $"uuid", Seq($"t")).isEmpty)
+  }
+
+  test("refreshDedupLatest dedups against the whole latest SNAPSHOT, not a top-1 row") {
+    // a child table: one property, TWO identical outbuildings recorded at
+    // t=2 (the latest scrape). A row_number-style top-1 basis would keep
+    // one hash and re-record the sibling forever; rank keeps both.
+    val children = Seq(
+      ("p1", 1, "old"),
+      ("p1", 2, "shed"), ("p1", 2, "shed"), ("p1", 2, "barn")
+    ).toDF("property_uuid", "t", "row_hash")
+    val rerun = Seq(("p1", 3, "shed"), ("p1", 3, "barn"), ("p1", 3, "silo"))
+      .toDF("property_uuid", "t", "row_hash")
+    val kept = Scd.refreshDedupLatest(rerun, children, $"property_uuid", Seq($"t"))
+      .select($"row_hash").as[String].collect().toSeq
+    assert(kept == Seq("silo"), s"only the genuinely new child survives: $kept")
+    // and a revert to the PRE-latest child set re-records it
+    val revert = Seq(("p1", 3, "old")).toDF("property_uuid", "t", "row_hash")
+    assert(Scd.refreshDedupLatest(revert, children, $"property_uuid", Seq($"t")).count() == 1L)
+  }
+
+  test("refreshDedupForLake dispatches on the lake stamp convention") {
+    // uuid + scraped_at present → per-entity-latest (the revert records)
+    val lk = Seq(("u1", 1, "h1"), ("u1", 2, "h2")).toDF("uuid", "scraped_at", "row_hash")
+    val revert = Seq(("u1", 3, "h1")).toDF("uuid", "scraped_at", "row_hash")
+    assert(Scd.refreshDedupForLake(revert, lk).count() == 1L)
+    // no identity column → reference-parity full history (the revert drops)
+    val lkNoKey = lk.withColumnRenamed("uuid", "business_key")
+    val revNoKey = revert.withColumnRenamed("uuid", "business_key")
+    assert(Scd.refreshDedupForLake(revNoKey, lkNoKey).isEmpty)
+    // identity but no scraped_at stamp → full history too
+    val lkNoStamp = lk.withColumnRenamed("scraped_at", "t")
+    val revNoStamp = revert.withColumnRenamed("scraped_at", "t")
+    assert(Scd.refreshDedupForLake(revNoStamp, lkNoStamp).isEmpty)
+  }
+
   test("fieldChanges reports the exact changed columns, null-safely") {
     val obs = Seq(
       ("u1", 1, Some("a"), Some(10)),
