@@ -80,9 +80,41 @@ object Bench {
     // observed with a smaller warm-up); calling canaryOnce() itself keeps
     // the warm-up and the measured job from ever drifting apart
     canaryOnce()
+    // PER-SWEEP canary rejection (round-14 verdict): the whole-run flags
+    // below can't reject a run where 2 of 3 sweeps were loaded — min-of-3
+    // silently degrades to min-of-1 and the committed total carries the
+    // load. So each sweep must PASS the canary before it runs: a canary
+    // > 1.5x ref is rejected and retried after a short pause (load on this
+    // host is usually a transient co-tenant burst), up to 4 attempts.
+    // Retries are recorded (canary_retries) so a clean report provably ran
+    // all-sweeps-idle; if a sweep NEVER passes, it runs anyway — flagged
+    // loud via canary_sweep_loaded — because a flagged record beats a
+    // missing one for the per-round driver (tools/round_bench.sh turns the
+    // flag into a hard gate for the committed reports).
+    val MaxCanaryAttempts = 4
+    var canaryRetries = 0
+    var canarySweepLoaded = false
+    def canaryGate(): Double = {
+      var c = canaryOnce()
+      var attempt = 1
+      while (c > 1.5 * CanaryRef && attempt < MaxCanaryAttempts) {
+        System.err.println(f"[bench] canary $c%.3f s > 1.5x ref $CanaryRef%.3f s — " +
+          s"host loaded, rejecting sweep attempt $attempt and retrying")
+        canaryRetries += 1
+        Thread.sleep(5000)
+        c = canaryOnce()
+        attempt += 1
+      }
+      if (c > 1.5 * CanaryRef) {
+        canarySweepLoaded = true
+        System.err.println(f"[bench] canary still $c%.3f s after $MaxCanaryAttempts attempts — " +
+          "running the sweep LOADED; this report must not be committed as a perf record")
+      }
+      c
+    }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val sweeps = (1 to 3).map { _ =>
-      canaries += canaryOnce()
+      canaries += canaryGate()
       selected.map { case (name, fn) => name -> once(name, fn) }
     }
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -114,7 +146,7 @@ object Bench {
     // per-sweep deltas do not.
     val canaryDrift = canaries.nonEmpty && canaries.max > 2.0 * canaries.min
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"cpus":$cpus}"""
     println(line)
     if (canaryLoaded)
       System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
@@ -130,12 +162,13 @@ object Bench {
     // and the canary record, the audit trail that distinguishes a loaded
     // host from a real regression without a re-run — is therefore also
     // written to a JSON file with a stable schema
-    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,canary_drift,cpus,sf},
+    // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,
+    //  canary_drift,canary_retries,canary_sweep_loaded,cpus,sf},
     // queries sorted by name. Path override: SPARK_GRAFT_BENCH_REPORT.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"cpus":$cpus,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"cpus":$cpus,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {

@@ -397,7 +397,15 @@ object ScaleBench {
     val scales =
       if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq else Seq(1, 3, 10)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
-    val queries = only.fold(Queries)(f => Queries.filter(f.contains))
+    // SCALE_ONLY may also INJECT SparkEntry query names outside the static
+    // list (tools/round_bench.sh's 30x spot-check of the round's worst
+    // sf1-ratio queries is computed at run time, so it can't be a static
+    // entry here). An injected query still runs against the scaled scratch
+    // dir — which materializes only documents/embeddings/customer500/events
+    // — so the per-query try below reports -1 for anything whose tables
+    // aren't scalable instead of killing the whole sweep.
+    val queries = only.fold(Queries)(f =>
+      (Queries ++ f.toSeq.sorted.filter(SparkEntry.queries.contains)).distinct.filter(f.contains))
     val doVindex = only.forall(f => f.contains("vindex"))
     val doEr = only.forall(f => f.contains("entity_resolve"))
     val doAv = only.forall(f => f.contains("av_sniff"))
@@ -424,7 +432,16 @@ object ScaleBench {
       val dir = materialize(spark, baseDir, scratch, k)
       val queryTimes = queries.map { q =>
         var rows = 0L
-        val t = time2(spark) { rows = SparkEntry.queries(q)(spark, dir).count() }
+        val t =
+          try time2(spark) { rows = SparkEntry.queries(q)(spark, dir).count() }
+          catch {
+            case e: Throwable =>
+              // -1 = failure marker, same contract as graft.Bench: an
+              // injected query whose tables the scratch dir doesn't
+              // materialize must not kill the static curves
+              System.err.println(s"[scale] $q FAILED at x$k: ${e.getMessage}")
+              -1.0
+          }
         val extra = if (q == "q62_neardup_clusters") s""","cc_rounds":${Graph.lastRounds}""" else ""
         println(s"""{"bench":"scale","scale":$k,"query":"$q","sec":$t,"rows":$rows$extra}""")
         q -> t
