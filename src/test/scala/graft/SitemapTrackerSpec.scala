@@ -102,4 +102,65 @@ class SitemapTrackerSpec extends SparkSpec {
         s"cumulative parity broke: $batch vs ${r3(u)} / ${r6b(v)}")
     } finally q.stop()
   }
+
+  test("crash/restart soak: a mid-stream kill resumes from the checkpoint with identical verdicts") {
+    // the same soak the other trackers carry: kill the query between
+    // micro-batches, restart from the SAME checkpoint, and require the
+    // carried state to judge post-crash events exactly as an uninterrupted
+    // run would (oracle: the batch operator on the cumulative snapshot).
+    // u1/u2 are the discriminators — if the checkpointed state were lost,
+    // u1's post-crash fetch is a fetch-only URL (silent, verdict stuck at
+    // "new") and u2's post-crash declaration reads "new" instead of being
+    // judged fresh against the remembered fetch.
+    val staging = tmpDir("sm_soak_staging")
+    val cp = tmpDir("sm_soak_cp")
+    val schema = org.apache.spark.sql.Encoders.product[RefreshEvent].schema
+    def stage(evs: Seq[RefreshEvent]): Unit =
+      evs.toDS().repartition(1).write.mode("append").parquet(staging)
+    // foreachBatch, not the memory sink: only fault-tolerant sinks may
+    // recover from a checkpoint (the memory sink refuses with
+    // "does not support recovering"), and checkpoint recovery IS the soak
+    def start(buf: scala.collection.mutable.ArrayBuffer[SitemapTracker.RefreshVerdict]) =
+      SitemapTracker.track(
+          spark.readStream.schema(schema).parquet(staging).as[RefreshEvent])
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[SitemapTracker.RefreshVerdict], _: Long) =>
+          val rows = ds.collect()
+          buf.synchronized { buf ++= rows }
+          () // the overload resolver needs the Scala (…) => Unit shape
+        }
+        .start()
+    def decl(url: String, ms: Option[Long]) = RefreshEvent(url, true, ms, None)
+    def fetch(url: String, ms: Long) = RefreshEvent(url, false, None, Some(ms))
+    def asMap(buf: scala.collection.mutable.ArrayBuffer[SitemapTracker.RefreshVerdict]) =
+      buf.map(v => v.url -> ((v.declared_ms, v.last_fetch_ms, v.verdict))).toMap
+
+    val bufA = scala.collection.mutable.ArrayBuffer[SitemapTracker.RefreshVerdict]()
+    stage(Seq(decl("u1", Some(1000L)), fetch("u2", 5000L), decl("u3", None)))
+    val qa = start(bufA)
+    try { qa.processAllAvailable() } finally qa.stop() // the "crash"
+
+    val bufB = scala.collection.mutable.ArrayBuffer[SitemapTracker.RefreshVerdict]()
+    stage(Seq(fetch("u1", 2000L), decl("u2", Some(4000L)),
+      fetch("u3", 7000L), decl("u4", Some(9000L))))
+    val qb = start(bufB)
+    try { qb.processAllAvailable() } finally qb.stop()
+
+    val a = asMap(bufA)
+    val b = asMap(bufB)
+    assert(b.keySet == Set("u1", "u2", "u3", "u4"),
+      s"the resumed run must re-emit every touched URL from carried state: $b")
+    val latest = a ++ b // every touched URL re-emits, so run-B rows supersede
+    // oracle: the batch operator over the cumulative snapshot
+    val entries = Seq(
+      ("u1", "1970-01-01T00:00:01Z"), ("u2", "1970-01-01T00:00:04Z"),
+      ("u3", null), ("u4", "1970-01-01T00:00:09Z")).toDF("loc", "lastmod")
+    val fetched = fetchedDf("u1" -> 2000L, "u2" -> 5000L, "u3" -> 7000L)
+    val oracle = verdictMap(WebIntake.sitemapRefreshPlan(entries, fetched)
+      .select("url", "declared_ms", "last_fetch_ms", "verdict").collect())
+    assert(latest == oracle, s"kill/resume diverged from the uninterrupted law:\n$latest\nvs\n$oracle")
+    assert(latest("u1")._3 == "fresh" && latest("u2")._3 == "fresh" &&
+      latest("u3")._3 == "undated" && latest("u4")._3 == "new")
+  }
 }
