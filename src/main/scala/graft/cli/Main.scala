@@ -190,6 +190,16 @@ object Main {
             Lake.tables(spark, root, scope)
               .foreach(t => Lake.compactIfNeeded(spark, root, scope, t, minFiles = 2))
             println(s"compacted $scope")
+          case "migrate-uuid" =>
+            // one-shot identity migration: page-town uuids -> scope-keyed
+            // (UuidMigration scaladoc). Single-writer op like compact:
+            // run it with no engine writing the scope.
+            val scope = requireScope(operand(2, "scope"))
+            val (entities, tables) = graft.lake.UuidMigration.migrate(spark, root, scope)
+            println(
+              if (tables == 0L) s"$scope already scope-keyed; nothing to do"
+              else s"migrated $scope: $entities uuids remapped across $tables tables " +
+                s"(audit in ${graft.lake.UuidMigration.MappingTable})")
           case "checkpoint" => println(Checkpoints.load(spark, root, requireScope(operand(2, "scope"))))
           case "current" =>
             val props = Lake.read(spark, root, requireScope(operand(2, "scope")), "properties")
@@ -222,6 +232,7 @@ object Main {
       |  refresh vgsi <city> [flags]
       |  refresh-all [--data-dir data]
       |  admin scopes|tables <scope>|compact <scope>|checkpoint <scope>|current <scope>|history <scope> <uuid>
+      |  admin migrate-uuid <scope>   (one-shot page-town -> scope-keyed uuid identity migration)
       |  admin fetch-cities [--cities-url URL]
       |  admin sql "SELECT * FROM graft.<scope>.<table> WHERE ..."
       |""".stripMargin)

@@ -234,9 +234,24 @@ object Engine {
     val writtenTotals = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     var ranAny = false
 
+    // uuid identity is the LAKE's property, not the run's: a fresh scope
+    // starts scope-keyed (stable against page-label rendering,
+    // UuidMigration scaladoc) and is marked so at creation; a pre-marker
+    // lake stays on the legacy page-town basis until its one-shot
+    // migration — flipping here without the history rewrite would split
+    // every existing chain.
+    val scopeKey: Option[String] = {
+      import graft.lake.UuidMigration
+      if (Lake.tables(spark, root, scope).isEmpty)
+        UuidMigration.markScopeKeyed(spark, root, scope)
+      if (UuidMigration.identityOf(spark, root, scope) == UuidMigration.ScopeKeyIdentity)
+        Some(scope)
+      else None
+    }
+
     batches.foreach { batch =>
       ranAny = true
-      val written = runBatch(spark, source, batch, root, scope, config, refresh, okAcc, errAcc, invAcc)
+      val written = runBatch(spark, source, batch, root, scope, config, refresh, okAcc, errAcc, invAcc, scopeKey)
       written.foreach { case (t, n) => writtenTotals(t) += n }
       // Checkpoint after every completed batch (D8): loads advance the
       // last-id cursor; refresh runs leave the load cursor untouched
@@ -272,7 +287,8 @@ object Engine {
       refresh: Boolean,
       okAcc: LongAccumulator,
       errAcc: LongAccumulator,
-      invAcc: LongAccumulator
+      invAcc: LongAccumulator,
+      scopeKey: Option[String]
   ): Map[String, Long] = {
     import spark.implicits._
     val src = source
@@ -331,7 +347,7 @@ object Engine {
       }
 
     val scrapedAt = new java.sql.Timestamp(System.currentTimeMillis())
-    val tables = Flatten.flatten(results)
+    val tables = Flatten.flatten(results, scopeKey)
 
     // Cache the nested results once: all 8 table writes share the scrape.
     results.cache()

@@ -312,6 +312,38 @@ object Lake {
     fs.delete(new Path(old), true)
   }
 
+  /** Whole-table TRANSFORMING rewrite under [[compact]]'s exact swap
+    * discipline (tmp write → move-aside → promote → clear, stranded-swap
+    * recovery first, checked renames with rollback): read the live table,
+    * apply `transform`, swap the result in atomically. Same single-WRITER
+    * requirement as compact (run with no concurrent appender); concurrent
+    * READERS keep the same lock-free guarantee — the full row set exists
+    * at `<table>` or `<table>.__old` at every instant. This is the
+    * maintenance primitive behind [[UuidMigration]]'s one-shot identity
+    * rewrite; `transform` must be idempotent for crash-rerun convergence
+    * (a rerun re-reads whichever side the crash left live).
+    */
+  def rewriteTable(spark: SparkSession, root: String, scope: String, table: String)(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val path = tablePath(root, scope, table)
+    val tmp = s"$path.__rewrite_tmp"
+    val old = s"$path.__old"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStrandedSwap(fs, path)
+    transform(spark.read.option("mergeSchema", "true").parquet(path))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    fs.delete(new Path(old), true) // clear a COMPLETED swap's leftover aside
+    if (!fs.rename(new Path(path), new Path(old)))
+      throw new java.io.IOException(s"rewriteTable: could not move $path aside")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      val restored = fs.rename(new Path(old), new Path(path))
+      throw new java.io.IOException(
+        s"rewriteTable: could not move rewritten data into $path " +
+          (if (restored) "(rolled back)" else s"(ROLLBACK FAILED — data is at $old, recover manually)"))
+    }
+    fs.delete(new Path(old), true)
+  }
+
   /** The compaction rewrite itself: read `src`, write `dst` as zstd parquet
     * sized for a cluster. `files > 0` forces an exact output file count
     * (coalesce). Otherwise BIN-PACK BY BYTES: the scan's own FilePartition

@@ -1,0 +1,154 @@
+package graft.lake
+
+import graft.functions.Canonical
+import graft.sources.Flatten
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** One-shot migration of a VGSI scope from the legacy PAGE-SCRAPED uuid
+  * identity (pid + the page's own town_name label — reference parity,
+  * /root/reference/scrapers/vgsi/source.py:182-194) to the SCOPE-KEYED
+  * identity (pid + ingest scope key, [[Flatten.scopeKeyedUuid]]): a
+  * site-side label rendering change ("ANDOVER" → "Andover, CT") mints new
+  * uuids under the legacy basis and silently splits every SCD2 chain in
+  * the town; the scope key is the operator's own stable name and cannot
+  * drift with the page.
+  *
+  * Which identity a lake uses is SELF-DESCRIBING via a scope-level marker
+  * file (`_uuid_identity`): new lakes are marked scope-keyed at creation
+  * by the engine, pre-marker lakes default to legacy until migrated, and
+  * the engine consults [[identityOf]] every run — so switching the basis
+  * WITHOUT rewriting history (which would itself split every chain) is
+  * impossible by construction.
+  *
+  * [[migrate]] is the rewrite: for every table carrying the identity
+  * (uuid on properties, property_uuid on the 7 children) it recomputes
+  * the column FROM pid — not via a mapping join, which makes a crashed
+  * run's rerun idempotent (recompute of an already-migrated row is a
+  * no-op) — under [[Lake.rewriteTable]]'s atomic swap discipline, and
+  * recomputes `row_hash` alongside (the uuid sits INSIDE the canonical
+  * hash surface; without the recompute every entity would record one
+  * spurious "change" on its first post-migration scrape). The
+  * old→new mapping is still written first as the `uuid_migration` audit
+  * table (old_uuid, new_uuid, pid) for external consumers holding legacy
+  * uuids. Marker flips LAST: a crash anywhere mid-migration leaves the
+  * scope reading legacy, and re-running converges.
+  *
+  * Scale shape: per table one scan + one column recompute + one swap —
+  * no joins, no shuffles (the mapping distinct is the only exchange, on
+  * the properties table's entity count). Same single-writer requirement
+  * as [[Lake.compact]]: run post-session, never while an engine writes
+  * the scope.
+  */
+object UuidMigration {
+
+  val ScopeKeyIdentity = "scope_key"
+  val PageTownIdentity = "page_town"
+  val MappingTable = "uuid_migration"
+
+  private def markerPath(root: String, scope: String) = s"$root/$scope/_uuid_identity"
+
+  /** The identity basis this scope's uuids use: the marker's word when
+    * present; otherwise legacy for a scope with existing tables (it
+    * predates the marker) and scope-keyed for a fresh one (the engine
+    * marks it at creation, this is the same default).
+    */
+  def identityOf(spark: SparkSession, root: String, scope: String): String = {
+    val p = new Path(markerPath(root, scope))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    } else if (Lake.tables(spark, root, scope).nonEmpty) PageTownIdentity
+    else ScopeKeyIdentity
+  }
+
+  /** Stamp the scope as scope-keyed (atomic tmp+rename — a torn marker
+    * read must be impossible; a half-written marker would silently flip
+    * the engine back to legacy and fork the chains the migration just
+    * unified).
+    */
+  def markScopeKeyed(spark: SparkSession, root: String, scope: String): Unit = {
+    val p = new Path(markerPath(root, scope))
+    val tmp = new Path(markerPath(root, scope) + ".__tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(ScopeKeyIdentity.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish uuid identity marker $p")
+  }
+
+  /** Run the migration. Returns (entities remapped, tables rewritten).
+    * Idempotent: a rerun after any crash converges (recompute-from-pid
+    * rewrites are no-ops on migrated rows; the mapping append anti-joins
+    * out rows already recorded; an already-marked scope short-circuits).
+    */
+  def migrate(spark: SparkSession, root: String, scope: String): (Long, Long) = {
+    if (identityOf(spark, root, scope) == ScopeKeyIdentity &&
+        new Path(markerPath(root, scope))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new Path(markerPath(root, scope))))
+      return (0L, 0L) // already migrated (marker present)
+    val tables = Lake.tables(spark, root, scope)
+    require(tables.contains("properties"),
+      s"uuid migration needs a properties table under $root/$scope (found: ${tables.mkString(", ")})")
+
+    // 1) audit mapping FIRST (crash-safe ordering: once any table is
+    // rewritten, the old uuids exist nowhere else). Recompute-from-pid
+    // reruns produce old==new rows for already-migrated data — filtered —
+    // and the anti-join keeps a partial first run's rows from doubling.
+    val props = Lake.read(spark, root, scope, "properties")
+    val mapping = props
+      .select(col("uuid").as("old_uuid"), col("pid"))
+      .distinct()
+      .withColumn("new_uuid", Flatten.scopeKeyedUuid(col("pid"), scope))
+      .filter(col("old_uuid") =!= col("new_uuid"))
+      .select("old_uuid", "new_uuid", "pid")
+    val toRecord =
+      if (tables.contains(MappingTable))
+        mapping.join(
+          Lake.read(spark, root, scope, MappingTable).select("old_uuid"),
+          Seq("old_uuid"), "left_anti")
+      else mapping
+    val cached = toRecord.persist()
+    val entities =
+      try {
+        val n = cached.count()
+        if (n > 0L) Lake.append(cached, root, scope, MappingTable)
+        n
+      } finally cached.unpersist(blocking = false)
+
+    // 2) rewrite every identity-bearing table (schema-probed, not a fixed
+    // list: a lake missing some child tables, or carrying a custom one
+    // with the FK pair, migrates whole)
+    var rewritten = 0L
+    tables.filterNot(_ == MappingTable).foreach { t =>
+      val cols = Lake.read(spark, root, scope, t).columns.toSet
+      val keyCol =
+        if (cols.contains("uuid")) Some("uuid")
+        else if (cols.contains("property_uuid")) Some("property_uuid")
+        else None
+      keyCol.filter(_ => cols.contains("pid")).foreach { k =>
+        Lake.rewriteTable(spark, root, scope, t) { df =>
+          val remapped = df.withColumn(k, Flatten.scopeKeyedUuid(col("pid"), scope))
+          // the uuid is inside the canonical hash surface: recompute so a
+          // post-migration scrape of UNCHANGED content hashes equal to the
+          // stored history instead of recording one phantom version per
+          // entity. rowHash excludes the metadata cols (row_hash,
+          // scraped_at) by contract, so this is the stamp-time surface.
+          remapped.withColumn("row_hash", Canonical.rowHash(remapped))
+        }
+        rewritten += 1
+      }
+    }
+
+    // 3) flip the identity marker LAST
+    markScopeKeyed(spark, root, scope)
+    (entities, rewritten)
+  }
+}

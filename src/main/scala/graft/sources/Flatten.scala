@@ -78,19 +78,34 @@ object Flatten {
     * it only the entity's immutable identity (pid, town_name), so version
     * chains stay attached across re-scrapes.
     *
-    * KNOWN LIMITATION of that identity choice: town_name is scraped from
-    * the page's own label, so a site-side rendering change ("ANDOVER" →
-    * "Andover, CT"), or one variant page omitting lblTownName, still
-    * mints new uuids for the whole town and splits every chain. The
-    * fully-stable identity is the INGEST SCOPE key (the city the engine
-    * already threads through Lake paths), which is deliberately outside
-    * this function's signature today — promoting it into the uuid basis
-    * is the follow-up, and needs a one-time uuid migration story for
-    * existing lakes.
+    * KNOWN LIMITATION of that identity choice (the `scopeKey = None`
+    * legacy form): town_name is scraped from the page's own label, so a
+    * site-side rendering change ("ANDOVER" → "Andover, CT"), or one
+    * variant page omitting lblTownName, still mints new uuids for the
+    * whole town and splits every chain. The fully-stable identity is the
+    * INGEST SCOPE key (the city the engine already threads through Lake
+    * paths) — pass it as `scopeKey` and the uuid basis becomes
+    * (pid, scope_key), immune to page rendering. The engine does this for
+    * every lake marked scope-keyed ([[graft.lake.UuidMigration]]: new
+    * lakes are marked at creation; existing lakes migrate one-shot via
+    * `UuidMigration.migrate`, which rewrites the uuid/property_uuid
+    * columns of all 8 tables to this exact basis). The legacy form stays
+    * for unmigrated lakes — switching the basis WITHOUT migrating would
+    * itself split every chain.
     */
   private val identityFields = Seq("town_name")
 
-  def flatten(ds: Dataset[ScrapeResult]): Map[String, DataFrame] = {
+  /** The scope-keyed uuid basis — ONE definition shared by [[flatten]] and
+    * [[graft.lake.UuidMigration]], so a migrated lake's rewritten uuids and
+    * every future scrape's minted uuids agree byte-for-byte. Same uuid
+    * contract as the legacy basis (deterministic MD5 of pid + canonical
+    * JSON, order-independent); only the identity payload differs.
+    */
+  def scopeKeyedUuid(pid: org.apache.spark.sql.Column, scopeKey: String): org.apache.spark.sql.Column =
+    Canonical.deterministicUuid(pid,
+      Canonical.canonicalJsonOf("pid" -> pid, "scope_key" -> lit(scopeKey)))
+
+  def flatten(ds: Dataset[ScrapeResult], scopeKey: Option[String] = None): Map[String, DataFrame] = {
     val base = ds.toDF()
     val canon = Canonical.canonicalJsonOf(
       ("pid" -> col("property.pid")) +:
@@ -111,7 +126,10 @@ object Flatten {
     // persist inside flatten materializes from the pre-cache plan,
     // re-running the scrape itself — measured as doubled accumulators.)
     val withUuid0 = base
-      .withColumn("uuid", Canonical.deterministicUuid(col("property.pid"), canon))
+      .withColumn("uuid", scopeKey match {
+        case Some(s) => scopeKeyedUuid(col("property.pid"), s)
+        case None => Canonical.deterministicUuid(col("property.pid"), canon)
+      })
     val pick = xxhash64(to_json(struct(base.columns.map(col): _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("uuid")).orderBy(pick.asc)

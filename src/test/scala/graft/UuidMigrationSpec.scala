@@ -1,0 +1,121 @@
+package graft
+
+import graft.ingest.{Engine, IngestConfig}
+import graft.lake.{Lake, UuidMigration}
+import graft.scd.Scd
+import graft.sources.Flatten
+import org.apache.spark.sql.functions._
+
+/** The scope-keyed uuid identity migration (round-14 verdict #2): a lake
+  * built under the legacy page-town basis survives a site-side label
+  * rendering change with UNBROKEN version chains after the one-shot
+  * migration — where the unmigrated basis mints new uuids for the whole
+  * town and orphans every history.
+  */
+@org.scalatest.tags.Slow
+class UuidMigrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1L to 5L).toSeq
+  private def data(label: String, bump: Set[Long] = Set.empty) =
+    ids.map { i =>
+      val base = FakeSource.prop(i, s"Owner$i", if (bump(i)) 9999.0 else 1000.0 * i)
+      i -> base.copy(property = base.property.copy(town_name = Some(label)))
+    }.toMap
+
+  /** Build the lake the way a PRE-marker engine did: legacy flatten basis,
+    * stamp, append — no identity marker (an r14 lake on disk).
+    */
+  private def legacyLake(root: String, scope: String, label: String): Unit = {
+    val results = spark.createDataset(data(label).values.toSeq)
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    Flatten.flatten(results, scopeKey = None).foreach { case (t, df) =>
+      val stamped = Lake.stampMetadata(df, ts)
+      if (!stamped.isEmpty) Lake.append(stamped, root, scope, t)
+    }
+  }
+
+  test("legacy lake + label change WITHOUT migration splits every chain (the documented failure)") {
+    val root = tmpDir("uuidmig_bad")
+    legacyLake(root, "andover", "ANDOVER")
+    assert(UuidMigration.identityOf(spark, root, "andover") == UuidMigration.PageTownIdentity,
+      "a pre-marker lake with tables must read as legacy")
+    // the engine keeps the legacy basis on an unmigrated lake (no silent
+    // flip) — so the rendering change mints 5 new uuids and currentState
+    // doubles: the failure the migration exists to prevent
+    Engine.runRefresh(spark, new FakeSource(data("Andover, CT")), root, "andover",
+      IngestConfig(workers = 2, checkpoint = false))
+    val props = Lake.read(spark, root, "andover", "properties")
+    val cur = Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash")
+    assert(cur.count() == 10L, "split chains: every pid now has TWO current entities")
+  }
+
+  test("migrate: chains survive a label change; unchanged content re-dedups; audit mapping written") {
+    val root = tmpDir("uuidmig_good")
+    legacyLake(root, "andover", "ANDOVER")
+    val beforeUuids = Lake.read(spark, root, "andover", "properties")
+      .select($"pid", $"uuid").as[(Long, String)].collect().toMap
+
+    val (entities, tables) = UuidMigration.migrate(spark, root, "andover")
+    assert(entities == 5L, s"5 entities remapped, got $entities")
+    assert(tables >= 4L, s"properties + children rewritten, got $tables")
+    assert(UuidMigration.identityOf(spark, root, "andover") == UuidMigration.ScopeKeyIdentity)
+
+    // mapping audit: old -> new, new matches both the rewritten lake and
+    // the shared basis function
+    val mapping = Lake.read(spark, root, "andover", UuidMigration.MappingTable)
+      .select($"pid", $"old_uuid", $"new_uuid").as[(Long, String, String)].collect()
+    assert(mapping.length == 5 && mapping.forall { case (p, o, n) => o == beforeUuids(p) && o != n })
+    val expected = spark.createDataset(ids).toDF("pid")
+      .select($"pid", Flatten.scopeKeyedUuid($"pid", "andover").as("u"))
+      .as[(Long, String)].collect().toMap
+    assert(mapping.forall { case (p, _, n) => n == expected(p) })
+    // children carry the SAME remapped identity (FK integrity)
+    val own = Lake.read(spark, root, "andover", "ownership")
+    assert(own.join(Lake.read(spark, root, "andover", "properties").select($"uuid"),
+      own("property_uuid") === col("uuid")).count() == own.count())
+
+    // a migrated-lake refresh with IDENTICAL content writes NOTHING: the
+    // row_hash recompute must be byte-exact with stamp-time hashing, else
+    // every entity records one phantom version here
+    val same = Engine.runRefresh(spark, new FakeSource(data("ANDOVER")), root, "andover",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(same.rowsWritten("properties") == 0,
+      s"phantom versions after migration: ${same.rowsWritten}")
+
+    // the label rendering change: same uuid, version 2 — a recorded content
+    // change on a CONTINUOUS chain, not a new entity
+    Engine.runRefresh(spark, new FakeSource(data("Andover, CT")), root, "andover",
+      IngestConfig(workers = 2, checkpoint = false))
+    val props = Lake.read(spark, root, "andover", "properties")
+    val cur = Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash")
+    assert(cur.count() == 5L, "chains survive: one current entity per pid")
+    assert(cur.select($"town_name").as[String].collect().forall(_ == "Andover, CT"))
+    val versions = Scd.withVersions(props, $"uuid", $"row_hash", $"scraped_at")
+      .groupBy($"uuid").agg(max($"version").as("v"))
+      .select($"v").as[Int].collect()
+    assert(versions.length == 5 && versions.forall(_ == 2),
+      s"every entity: v1 (ANDOVER) + v2 (Andover, CT): ${versions.toSeq}")
+
+    // idempotency: a second migrate is a marked-scope no-op
+    assert(UuidMigration.migrate(spark, root, "andover") == ((0L, 0L)))
+  }
+
+  test("a fresh lake is scope-keyed from birth: label changes never split, no migration needed") {
+    val root = tmpDir("uuidmig_fresh")
+    Engine.runLoad(spark, new FakeSource(data("ANDOVER")), ids, root, "andover",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(UuidMigration.identityOf(spark, root, "andover") == UuidMigration.ScopeKeyIdentity,
+      "runLoad must mark a fresh scope at creation")
+    Engine.runRefresh(spark, new FakeSource(data("Andover, CT")), root, "andover",
+      IngestConfig(workers = 2, checkpoint = false))
+    val props = Lake.read(spark, root, "andover", "properties")
+    assert(Scd.currentState(props, $"uuid", $"scraped_at", $"row_hash").count() == 5L)
+    // and the minted uuids are exactly the shared scope-keyed basis
+    val minted = props.select($"pid", $"uuid").distinct().as[(Long, String)].collect().toMap
+    val expected = spark.createDataset(ids).toDF("pid")
+      .select($"pid", Flatten.scopeKeyedUuid($"pid", "andover").as("u"))
+      .as[(Long, String)].collect().toMap
+    assert(minted == expected)
+  }
+}
