@@ -41,7 +41,9 @@ object Bench {
     // Optional comma-separated name filter for local iteration on a subset
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q62_neardup_clusters,q63_neardup_dropped);
     // the driver never sets it, so its runs always cover every query.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // trim like ScaleBench's SCALE_ONLY: "a, b" with natural spacing must
+    // not silently match nothing
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq
@@ -145,8 +147,14 @@ object Bench {
     // across the sweeps ⇒ canary_drift — totals remain usable (mins), raw
     // per-sweep deltas do not.
     val canaryDrift = canaries.nonEmpty && canaries.max > 2.0 * canaries.min
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"cpus":$cpus}"""
+    // the headline total sums only SUCCEEDED queries — summing the -1.0
+    // failure markers would make a failed query LOWER the total, reading
+    // as a phantom improvement; the failure list rides alongside so the
+    // record (and tools/round_bench.sh) can gate on it machine-readably
+    val failed = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"failed":$failedJson,"cpus":$cpus}"""
     println(line)
     if (canaryLoaded)
       System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
@@ -163,12 +171,12 @@ object Bench {
     // host from a real regression without a re-run — is therefore also
     // written to a JSON file with a stable schema
     // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,
-    //  canary_drift,canary_retries,canary_sweep_loaded,cpus,sf},
+    //  canary_drift,canary_retries,canary_sweep_loaded,failed,cpus,sf},
     // queries sorted by name. Path override: SPARK_GRAFT_BENCH_REPORT.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"cpus":$cpus,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {

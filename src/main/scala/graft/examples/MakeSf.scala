@@ -40,13 +40,25 @@ object MakeSf {
       }
     }.reduce(_ unionByName _)
 
+  /** (mtime:length) of every base table the corpus derives from — a
+    * lineitem-only fingerprint let a regenerated documents.parquet reuse a
+    * stale scaled corpus labeled fresh, so the two-point bench compared
+    * DIFFERENT corpora across scales.
+    */
+  private[examples] def baseFingerprint(baseDir: String, tables: Seq[String]): String =
+    tables.map { t =>
+      val f = new java.io.File(s"$baseDir/$t.parquet")
+      s"$t=${f.lastModified}:${f.length}"
+    }.mkString(",")
+
+  private val BaseTables = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
   def materialize(spark: SparkSession, baseDir: String, outDir: String, k: Int): String = {
     val marker = new java.io.File(s"$outDir/_READY")
-    val baseFp = {
-      val f = new java.io.File(s"$baseDir/lineitem.parquet")
-      s"${f.lastModified}:${f.length}"
-    }
-    val tag = s"$baseDir@$baseFp*$k#v3" // v3: embeddings aligned to doc stride
+    val baseFp = baseFingerprint(baseDir, BaseTables)
+    val tag = s"$baseDir@$baseFp*$k#v4" // v4: full-base fingerprint
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (fresh) return outDir
@@ -83,17 +95,39 @@ object MakeSf {
     // events: disjoint event_id spaces (q156/q159's URL key is
     // event_id DIV 4 — ScaleBench's scaleEvents semantics: a bigger web,
     // not deeper histories) and disjoint user spaces (funnel/retention see
-    // k× users with the base behavior, not users with k× duplicate events)
-    write(
-      replicate(read("events"), k,
-        "event_id" -> 1000000000L, "user_id" -> 100000000L),
-      "events")
+    // k× users with the base behavior, not users with k× duplicate events).
+    // The fixed strides carry the same silent-collision risk span() guards
+    // against for the relational keys, so assert the base fits them — a
+    // regenerated larger base (or chaining MakeSf onto a prior scaled
+    // output, where event_id reaches k×1e9) would otherwise merge copy
+    // c's URL/user histories into copy c+1's with no error.
+    val events = read("events")
+    val (evStride, usrStride) = (1000000000L, 100000000L)
+    locally {
+      val r = events.agg(
+        min(col("event_id")).cast("long"), max(col("event_id")).cast("long"),
+        min(col("user_id")).cast("long"), max(col("user_id")).cast("long")).head()
+      require(r.getLong(0) >= 0L && r.getLong(1) < evStride,
+        s"event_id range [${r.getLong(0)}, ${r.getLong(1)}] exceeds the $evStride copy stride")
+      require(r.getLong(2) >= 0L && r.getLong(3) < usrStride,
+        s"user_id range [${r.getLong(2)}, ${r.getLong(3)}] exceeds the $usrStride copy stride")
+    }
+    write(replicate(events, k, "event_id" -> evStride, "user_id" -> usrStride), "events")
     // CONTIGUOUS doc/vec id spaces (per-copy stride = base row count), not
     // ScaleBench's disjoint 100M ones: the media fixtures pack doc_id into
     // bounded code spaces (audio tones < 7^6, video frames < 8^7) and a
     // 100M offset overflows them — measured as q115/q127 failing at sf1.
     // Contiguous ids are also what the driver's own sf scaling produces.
     val nDocs = span(read("documents"), "doc_id")
+    // the contiguous embeddings stride silently requires vec_id ⊂ [0, nDocs)
+    // (base pairs vec_id i with doc_id i — see the embeddings note below);
+    // assert it instead of trusting today's 1999 < 5000 layout
+    locally {
+      val r = read("embeddings")
+        .agg(min(col("vec_id")).cast("long"), max(col("vec_id")).cast("long")).head()
+      require(r.getLong(0) >= 0L && r.getLong(1) < nDocs,
+        s"vec_id range [${r.getLong(0)}, ${r.getLong(1)}] escapes the documents stride $nDocs")
+    }
     write(ScaleBench.scaleDocs(spark, baseDir, k, idOffset = nDocs), "documents")
     // embeddings replicate with the DOCUMENTS' stride, not their own row
     // count: the base corpus pairs vec_id i with doc_id i (vecs 0..1999 of

@@ -278,11 +278,12 @@ object ScaleBench {
     // file's (mtime, size) too: the driver regenerates testdata IN PLACE,
     // so a path-only tag cannot see the swap. The #v2 suffix versions the
     // LAYOUT (customer500 added for the entity-resolution curve).
-    val baseFp = {
-      val f = new java.io.File(s"$baseDir/documents.parquet")
-      s"${f.lastModified}:${f.length}"
-    }
-    val tag = s"$baseDir@$baseFp#v3" // v3: + events.parquet (q156)
+    // fingerprint EVERY base this scratch derives from (the MakeSf fix):
+    // a documents-only tag reused a stale corpus when events/customer/
+    // embeddings regenerated independently
+    val baseFp = MakeSf.baseFingerprint(baseDir,
+      Seq("documents", "embeddings", "customer", "events"))
+    val tag = s"$baseDir@$baseFp#v4" // v4: full-base fingerprint
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == tag
     if (!fresh) {
@@ -766,8 +767,16 @@ object ScaleBench {
         val nearV = baseV.select(
           (col("vec_id") + twinOff).as("vec_id"),
           transform(col("emb"), (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("emb"))
-        val u = baseV.unionByName(nearV)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the twin-union fixture to parquet, NOT persist():
+        // time2 clears the session cache before every timed run (so the
+        // near-dup family can't serve rep 2 from rep 1's blocks), which
+        // also evicted this persist before it was ever used — every timed
+        // body silently re-built the union and the measured walls carried
+        // fixture reconstruction. A parquet fixture gives the timed bodies
+        // the production shape: a flat scan of an on-disk corpus.
+        val uPath = s"$dir/lsh_knob_twins.parquet"
+        baseV.unionByName(nearV).write.mode("overwrite").parquet(uPath)
+        val u = spark.read.parquet(uPath)
         val nPlanted = baseV.count()
         def runForm(bits: Int, tag: String): Seq[(String, Double)] = {
           val planes = Similarity.hyperplanes(4 * bits, 64)
@@ -815,7 +824,6 @@ object ScaleBench {
             .filter(col("doc_b") === col("doc_a") + twinOff).count()
         require(viaDefault == viaExplicit,
           s"default-geometry overload disagrees with explicit planes at bits=$autoBits: $viaDefault vs $viaExplicit")
-        u.unpersist()
         fixed ++ scaled ++ auto
       }
       // Incremental gram-index maintenance: at corpus scale k, a snapshot
@@ -967,26 +975,30 @@ object ScaleBench {
       // OUTPUT row count (the honest cost of repeats — scan-side explode),
       // not super-linearly.
       val repeatsTimes = if (!doRepeats) Nil else {
-        val withTok = spark.read.parquet(s"$dir/documents.parquet")
+        // parquet fixture, not persist(): time2's pre-run clearCache
+        // evicted the persist before first use, so every timed body
+        // re-paid the token-split scan — a constant floor distorting the
+        // "wall tracks output rows" law at small e (same fix as lsh_knob)
+        val tokPath = s"$dir/repeats_tok.parquet"
+        spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("source"),
             size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val totals = withTok.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          Seq(1, 4, 16).map { e =>
-            val budgets = totals.view.mapValues(_ * e).toMap
-            var rows = 0L
-            val t = time2(spark) {
-              rows = Sampling.tokenBudgetMixtureWithRepeats(
-                withTok, col("source"), col("doc_id"), col("n_tokens"),
-                budgets, numShards = 64, maxEpochs = 32).count()
-            }
-            println(
-              s"""{"bench":"scale","scale":$k,"query":"repeats_e$e","sec":$t,"rows":$rows}""")
-            s"repeats_e$e" -> t
+          .write.mode("overwrite").parquet(tokPath)
+        val withTok = spark.read.parquet(tokPath)
+        val totals = withTok.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Seq(1, 4, 16).map { e =>
+          val budgets = totals.view.mapValues(_ * e).toMap
+          var rows = 0L
+          val t = time2(spark) {
+            rows = Sampling.tokenBudgetMixtureWithRepeats(
+              withTok, col("source"), col("doc_id"), col("n_tokens"),
+              budgets, numShards = 64, maxEpochs = 32).count()
           }
-        } finally withTok.unpersist()
+          println(
+            s"""{"bench":"scale","scale":$k,"query":"repeats_e$e","sec":$t,"rows":$rows}""")
+          s"repeats_e$e" -> t
+        }
       }
       // q126 family: sentence-boundary chunking — sentence explode at the
       // scan plus one per-doc window prefix sum; must scale linearly with
@@ -1098,7 +1110,15 @@ object ScaleBench {
       (if (doBpeTrain) Seq("bpe_train_local", "bpe_train_wordfreq", "bpe_train_rescan") else Nil)
     val summary = names.map { q =>
       val t1 = results(k0).toMap.apply(q)
-      val g = scales.map(k => f"${results(k).toMap.apply(q) / t1}%.1f").mkString("[", ",", "]")
+      // a -1 failure marker (an injected query whose tables the scratch
+      // doesn't materialize, or a thrown run) must read as a marked
+      // failure in the committed summary, never as a negative "curve"
+      val g =
+        if (t1 <= 0) scales.map(_ => "null").mkString("[", ",", "]")
+        else scales.map { k =>
+          val t = results(k).toMap.apply(q)
+          if (t <= 0) "null" else f"${t / t1}%.1f"
+        }.mkString("[", ",", "]")
       s""""$q":{"sec_${k0}x":$t1,"growth":$g}"""
     }.mkString("{", ",", "}")
     println(s"""{"bench":"scale_summary","base":"$baseDir","scales":[${scales.mkString(",")}],"queries":$summary}""")

@@ -118,18 +118,25 @@ object Graph {
       val strEdges = edges
         .select(col(srcCol).cast("string").as("os"), col(dstCol).cast("string").as("od"))
         .filter($"os".isNotNull && $"od".isNotNull)
-      val mapping = strEdges
-        .select($"os".as("orig"))
-        .unionByName(strEdges.select($"od".as("orig")))
+      // the mapping covers every NON-NULL endpoint of the ORIGINAL edges —
+      // not just fully-non-null ones: the integral path keeps the non-null
+      // side of a half-null edge as a singleton node (greatest/least skip
+      // nulls there), and the two paths must agree, so a node whose only
+      // edges have a null partner must survive here too
+      val mapping = edges
+        .select(col(srcCol).cast("string").as("orig"))
+        .unionByName(edges.select(col(dstCol).cast("string").as("orig")))
         .filter($"orig".isNotNull)
         .distinct()
         .select(xxhash64($"orig").as("h"), $"orig")
         .localCheckpoint(false)
       val comp =
         ccLongIds(strEdges.select(xxhash64($"os").as("s"), xxhash64($"od").as("d")), maxIter)
-      comp
-        .join(mapping, comp("id") === mapping("h"))
-        .select($"orig".as("__node"), $"component")
+      // left join + coalesce-to-self: ids absent from the CC body (their
+      // only edges were half-null) are their own singleton component
+      mapping
+        .join(comp, mapping("h") === comp("id"), "left")
+        .select($"orig".as("__node"), coalesce($"component", $"h").as("component"))
         .join(
           mapping.select($"h".as("component"), $"orig".as("__rep")),
           Seq("component"))
@@ -278,8 +285,12 @@ object Graph {
       .filter($"__s".isNotNull && $"__d".isNotNull)
       .distinct()
     // out-degree rides with each edge so every iteration is a single
-    // equi-join against ranks; persisted once, reclaimed by ContextCleaner
-    // when the caller's result frame is garbage-collected (house lifecycle)
+    // equi-join against ranks; persisted once and EXPLICITLY unpersisted
+    // below after the final ranks checkpoint — the CacheManager holds a
+    // strong reference until unpersist, so "reclaimed when the result is
+    // GC'd" is not a lifecycle that exists, and a long-lived session
+    // calling this per crawl round would accumulate edge-sized caches
+    // without bound
     val eo = e
       .join(e.groupBy("__s").agg(count(lit(1)).as("__outdeg")), Seq("__s"))
       .persist()
@@ -330,6 +341,13 @@ object Graph {
       if (!redistributeDangling && it % 10 == 0 && it < iterations)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    // eager checkpoint decouples the result from the persisted helper
+    // frames, which can then be released immediately — the one extra
+    // materialization is graph-sized and callers act on the result anyway
+    val out = ranks.localCheckpoint(true)
+    eo.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    if (dangling != null) dangling.unpersist(blocking = false)
+    out
   }
 }

@@ -90,6 +90,8 @@ object Sampling {
     */
   def stratified(df: DataFrame, strata: Seq[Column], key: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
+    require(!df.columns.contains("__rn"),
+      "stratified writes helper column __rn; the input already has one — rename it first")
     val w = Window.partitionBy(strata: _*).orderBy(hash60(key).asc, key.asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
@@ -110,6 +112,8 @@ object Sampling {
     */
   def shard(df: DataFrame, key: Column, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    Seq("shard", "pos").foreach(c => require(!df.columns.contains(c),
+      s"shard writes output column $c; the input already has one — rename it first"))
     val h = hash60(key)
     val w = Window.partitionBy(pmod(h, lit(numShards))).orderBy(h.asc, key.asc)
     df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
@@ -138,6 +142,8 @@ object Sampling {
       maxTokens: Long
   ): DataFrame = {
     require(numShards > 0 && maxTokens > 0, "need positive numShards and maxTokens")
+    Seq("shard", "n_tokens", "bin", "__cum").foreach(c => require(!df.columns.contains(c),
+      s"packSequences writes column $c; the input already has one — rename it first"))
     val h = hash60(key)
     val shardCol = pmod(h, lit(numShards)).cast("int")
     val w = Window
@@ -191,6 +197,9 @@ object Sampling {
       maxTokens: Long
   ): DataFrame = {
     require(numShards > 0 && maxTokens > 0, "need positive numShards and maxTokens")
+    Seq("comp", "shard", "pos", "n_tokens", "bin", "__cum", "__cid", "__comp").foreach(c =>
+      require(!df.columns.contains(c),
+        s"similarityOrderedPack writes column $c; the input already has one — rename it first"))
     val comps = Graph
       .connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("id").as("__cid"), col("component").as("__comp"))
@@ -209,7 +218,10 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withComp
       .withColumn("shard", shardCol)
-      .withColumn("pos", (row_number().over(wRank) - 1).cast("long"))
+      // 1-based like shard()'s pos — ONE contract for the output column
+      // across the packing family (a 0-based variant here was an
+      // off-by-one trap for loaders written against shard())
+      .withColumn("pos", row_number().over(wRank).cast("long"))
       .withColumn("n_tokens", tokens.cast("long"))
       .withColumn("__cum", sum(col("n_tokens")).over(wCum))
       .withColumn("bin", expr(s"(__cum - n_tokens) DIV ${maxTokens}L"))
@@ -623,14 +635,21 @@ object Sampling {
       numBuckets: Int = 4096
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    // persisted: the frame feeds BOTH the bucket-stats aggregate and the
-    // scoring join probe — without it the bigram explode + md5 hashing
-    // (the expensive stage) runs twice per action
+    // lazy localCheckpoint, not persist: the frame feeds BOTH the
+    // bucket-stats aggregate and the scoring join probe — without sharing,
+    // the bigram explode + md5 hashing (the expensive stage) runs twice
+    // per action. A persist() here registers in the CacheManager, which
+    // holds a strong reference until explicit unpersist — a leak at
+    // exploded-bigram scale for an operator with no post-action hook to
+    // release it. localCheckpoint's RDD-level storage is reclaimed by the
+    // ContextCleaner once the caller drops the result plan (the Graph CC
+    // lifecycle), at the documented cost that a task failure retries the
+    // job instead of recomputing lineage.
     val feats = df
       .select(col(idCol).as("__id"), isTarget.as("__tgt"),
         explode(graft.functions.HashExprs.wordNGrams(col(textCol), 2)).as("__g"))
       .select(col("__id"), col("__tgt"), (hash60(col("__g")) % numBuckets).as("__b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val stats = feats
       .groupBy(col("__b"))
       .agg(

@@ -518,7 +518,7 @@ object SimilarityQueries {
                   FROM dc),
         ordered AS (SELECT doc_id, comp, tok,
                            CAST(hc % 8 AS INT) AS shard,
-                           CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+                           CAST(row_number() OVER w AS BIGINT) AS pos,
                            CAST(sum(tok) OVER (PARTITION BY hc % 8 ORDER BY hc, comp, hd, doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                     FROM keyed

@@ -38,17 +38,30 @@ class GraphSpec extends SparkSpec {
     assert(Set("vendor-a", "vendor-b", "vendor-c").contains(got("vendor-a")))
   }
 
-  test("null endpoints drop; fractional ids route hashed (no truncation merge)") {
+  test("null endpoints drop as EDGES, survivors are singletons; fractional ids route hashed") {
     // xxhash64(null) is the SEED (42L) — without the pre-hash filter every
-    // null endpoint is one shared phantom node merging unrelated components
+    // null endpoint is one shared phantom node merging unrelated components.
+    // The EDGE drops; its non-null endpoint stays as a singleton — the
+    // integral path's semantics (greatest/least skip nulls there, the node
+    // list keeps the survivor), and the two id-type regimes must agree: a
+    // doc whose only pair has a null partner must not vanish from the
+    // component map just because its ids happen to be strings.
     val withNulls = Seq(
       (null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "y"),
       ("a", "b")
     ).toDF("s", "d")
     val got = Graph.connectedComponents(withNulls, "s", "d")
       .as[(String, String)].collect().toMap
-    assert(got.keySet == Set("a", "b"), s"null-endpoint edges must drop entirely: $got")
+    assert(got.keySet == Set("a", "b", "x", "y"),
+      s"half-null survivors must stay as singletons: $got")
     assert(got("a") == got("b"))
+    assert(got("x") == "x" && got("y") == "y", s"x/y are their own components: $got")
+    // and the integral path agrees on the same shape
+    val gotNum = Graph.connectedComponents(
+      Seq((java.lang.Long.valueOf(7L), null.asInstanceOf[java.lang.Long]),
+        (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L))).toDF("s", "d"),
+      "s", "d").as[(Long, Long)].collect().toMap
+    assert(gotNum == Map(7L -> 7L, 1L -> 1L, 2L -> 1L), s"integral path: $gotNum")
     // fractional ids: cast("long") would collide 1.2 and 1.7 on node 1 and
     // wrongly merge {1.2, 5.0} with {1.7, 9.0}; the hashed path keeps them apart
     val frac = Seq((1.2, 5.0), (1.7, 9.0)).toDF("s", "d")
@@ -218,17 +231,23 @@ class GraphSpec extends SparkSpec {
     assert(again == total)
   }
 
-  test("pageRankExact: deep runs carry a bounded lineage (localCheckpoint every 10)") {
+  test("pageRankExact: results are lineage-free and the helper caches are released") {
     val edges = Seq("a" -> "b", "b" -> "a", "a" -> "c").toDF("s", "d")
     def planNodes(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.logical.collect { case n => n }.size
-    val shallow = Graph.pageRankExact(edges, "s", "d", iterations = 9)
+    spark.sharedState.cacheManager.clearCache()
     val deep = Graph.pageRankExact(edges, "s", "d", iterations = 25)
-    // after the checkpoint at iteration 20, the 25-round frame's lineage is
-    // 5 rounds over a materialized leaf — SHORTER than an unchckpointed
-    // 9-round lineage, not 2.8× longer
-    assert(planNodes(deep) < planNodes(shallow),
-      s"deep=${planNodes(deep)} shallow=${planNodes(shallow)}")
+    // the returned frame is an EAGER checkpoint: lineage is one leaf
+    // regardless of iteration depth (the mid-run every-10 checkpoints
+    // bound the analyzer cost of the in-loop actions; the final one makes
+    // the result independent of the persisted helpers)
+    assert(planNodes(deep) <= 2, s"deep=${planNodes(deep)}")
+    // ...which is what lets the operator release eo/nodes/dangling
+    // immediately: a long-lived session calling this per crawl round must
+    // not accumulate edge-sized cache entries (CacheManager holds strong
+    // refs until unpersist — GC never reclaims them)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRankExact must unpersist its helper frames before returning")
     // and it still executes to the deterministic fixed-iteration result
     val r = deep.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r.keySet == Set("a", "b", "c") && r.values.forall(_ >= 150000000L))

@@ -103,6 +103,23 @@ class SamplingSpec extends SparkSpec {
     assert(runOn(docs.repartition(1)) == runOn(docs.repartition(13, $"grp")))
   }
 
+  test("output-column collision guards: shard/packSequences/stratified/similarityOrderedPack refuse") {
+    // the house rule (leakageFreeSplit, the repeats epoch guard): writing
+    // over a caller's existing column is silent data loss, not a default
+    val hasShard = Seq((1L, 9)).toDF("k", "shard")
+    intercept[IllegalArgumentException](Sampling.shard(hasShard, $"k", 4))
+    val hasPos = Seq((1L, 9L)).toDF("k", "pos")
+    intercept[IllegalArgumentException](Sampling.shard(hasPos, $"k", 4))
+    val hasBin = Seq((1L, 3L, 7)).toDF("k", "t", "bin")
+    intercept[IllegalArgumentException](Sampling.packSequences(hasBin, $"k", $"t", 4, 64L))
+    val hasRn = Seq((1L, "a", 2)).toDF("k", "s", "__rn")
+    intercept[IllegalArgumentException](Sampling.stratified(hasRn, Seq($"s"), $"k", 1))
+    val hasComp = Seq((1L, 3L, "x")).toDF("doc_id", "tok", "comp")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](
+      Sampling.similarityOrderedPack(hasComp, "doc_id", $"tok", noPairs, 4, 64L))
+  }
+
   test("packSequences: bins fill to capacity, respect document boundaries, and are deterministic") {
     val sized = docs.withColumn("ntok", ($"id" % 37 + 3).cast("long"))
     val out = Sampling.packSequences(sized, $"id", $"ntok", numShards = 4, maxTokens = 100L).cache()

@@ -31,7 +31,7 @@ class SimilarityPackSpec extends SparkSpec {
     val rows = packed.select($"shard", $"pos", $"doc_id", $"comp").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     rows.groupBy(_._1).foreach { case (shard, rs) =>
-      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq, s"shard $shard pos gap")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"shard $shard pos gap")
     }
     val singleton = rows.find(_._3 == 25L).get
     assert(singleton._4 == 25L)

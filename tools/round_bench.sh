@@ -68,10 +68,14 @@ for name, rep in (("sf0.1", a), ("sf1", b)):
     # the committed reports must be idle-host by construction
     if rep.get("canary_loaded") or rep.get("canary_sweep_loaded"):
         bad = True
-fails = sorted(q for q, t in b["queries"].items() if t < 0)
-if fails:
-    print(f"[round_bench] FAIL: {len(fails)} sf1 queries errored: {fails[:10]}")
-    bad = True
+for name, rep in (("sf0.1", a), ("sf1", b)):
+    # gate BOTH scales: an sf0.1-only failure used to pass (and, before
+    # the `failed` field + succeeded-only total, silently LOWERED the
+    # committed total — a phantom improvement)
+    fails = rep.get("failed") or sorted(q for q, t in rep["queries"].items() if t < 0)
+    if fails:
+        print(f"[round_bench] FAIL: {len(fails)} {name} queries errored: {fails[:10]}")
+        bad = True
 worst = sorted(((b["queries"][q] / a["queries"][q], q)
                 for q in b["queries"]
                 if a["queries"].get(q, 0) > 0.05 and b["queries"][q] > 0),
