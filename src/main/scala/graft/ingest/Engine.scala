@@ -242,7 +242,10 @@ object Engine {
     // every existing chain.
     val scopeKey: Option[String] = {
       import graft.lake.UuidMigration
-      if (Lake.tables(spark, root, scope).isEmpty)
+      // scopeHasAnyData, NOT Lake.tables.isEmpty: a legacy scope whose
+      // only table sits at `.__old` mid-crashed-swap lists zero tables,
+      // and marking it scope-keyed here would irreversibly fork its chains
+      if (!UuidMigration.scopeHasAnyData(spark, root, scope))
         UuidMigration.markScopeKeyed(spark, root, scope)
       if (UuidMigration.identityOf(spark, root, scope) == UuidMigration.ScopeKeyIdentity)
         Some(scope)
@@ -380,7 +383,14 @@ object Engine {
           count(lit(1)).as("entries"),
           childSizes.map(c => coalesce(sum(sz(col(c))), lit(0L)).as(c)) :+
             coalesce(
-              sum(aggregate(col("buildings"), lit(0), (acc, b) => acc + sz(b.getField("sub_areas")))),
+              // count only sub_areas that SURVIVE Flatten's empty-code
+              // footer filter: a batch whose sub_areas are all "Total"
+              // footer rows would otherwise pass this emptiness probe and
+              // append a zero-row frame — creating the schema-only table
+              // the probe exists to prevent
+              sum(aggregate(col("buildings"), lit(0), (acc, b) =>
+                acc + sz(filter(b.getField("sub_areas"),
+                  s => s.getField("code").isNotNull && s.getField("code") =!= "")))),
               lit(0L)
             ).as("sub_areas"): _*
         )

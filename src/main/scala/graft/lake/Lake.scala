@@ -65,6 +65,38 @@ object Lake {
     recoverStrandedSwap(fs, path)
   }
 
+  /** Recovery sweep for crashed PER-LEAF swaps at every partition level:
+    * data stranded at `.X.__old` with no live `X` promotes back; a
+    * completed swap's leftover aside (or stale tmp) is dropped. Runs
+    * before EVERY partitioned write, not only before compaction — an
+    * append that recreated a crashed leaf with only new rows would turn
+    * the next compaction's live-exists aside-delete into permanent loss
+    * of the pre-crash copy (the exact append-recreates-then-delete
+    * pattern [[recoverStrandedSwap]]'s scaladoc describes at whole-table
+    * level). Cost: one recursive listing — the same listing partitioned
+    * discovery pays anyway.
+    */
+  private def recoverPartitionStrands(fs: org.apache.hadoop.fs.FileSystem, base: Path): Unit = {
+    if (!fs.exists(base)) return
+    def childDirs(p: Path): Seq[Path] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    def sweep(p: Path): Unit = {
+      val children = childDirs(p)
+      children.filter(c => c.getName.startsWith(".") && c.getName.endsWith(".__old")).foreach { o =>
+        val live = new Path(p, o.getName.stripPrefix(".").stripSuffix(".__old"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(o, live))
+            throw new java.io.IOException(s"lake: could not promote crashed leaf swap $o")
+        } else fs.delete(o, true)
+      }
+      children.filter(_.getName.endsWith(".__compact_tmp")).foreach(t => fs.delete(t, true))
+      children
+        .filter(c => !c.getName.startsWith(".") && !c.getName.startsWith("_") && c.getName.contains("="))
+        .foreach(sweep)
+    }
+    sweep(base)
+  }
+
   /** Append one batch to a table (ZSTD parquet, new files only).
     *
     * Writer contract (shared by [[appendPartitioned]] and [[compact]]):
@@ -104,6 +136,13 @@ object Lake {
   ): Unit = {
     val path = tablePath(root, scope, table)
     recoverBeforeWrite(df, path)
+    // leaf-level strand recovery too: a crashed per-leaf compaction swap
+    // leaves the partition's only copy at `.X.__old`, and appending a new
+    // live leaf over it would set up the next compaction sweep to delete
+    // that only copy (see recoverPartitionStrands)
+    recoverPartitionStrands(
+      new Path(path).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration),
+      new Path(path))
     df.write
       .mode("append")
       .option("compression", "zstd")
@@ -445,22 +484,7 @@ object Lake {
       else partDirs.flatMap(leafDirs)
     }
 
-    // recovery sweep for crashed swaps at every partition level: data
-    // stranded at `.X.__old` with no live `X` promotes back; a completed
-    // swap's leftover aside (or stale tmp) is dropped
-    def recover(p: Path): Unit = {
-      val children = childDirs(p)
-      children.filter(c => c.getName.startsWith(".") && c.getName.endsWith(".__old")).foreach { o =>
-        val live = new Path(p, o.getName.stripPrefix(".").stripSuffix(".__old"))
-        if (!fs.exists(live)) {
-          if (!fs.rename(o, live))
-            throw new java.io.IOException(s"compactPartitioned: could not promote crashed swap $o")
-        } else fs.delete(o, true)
-      }
-      children.filter(_.getName.endsWith(".__compact_tmp")).foreach(t => fs.delete(t, true))
-      children.filter(c => !hidden(c.getName) && c.getName.contains("=")).foreach(recover)
-    }
-    recover(base)
+    recoverPartitionStrands(fs, base)
 
     leafDirs(base).filterNot(_ == base).foreach { leaf =>
       val nFiles = fs.listStatus(leaf).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

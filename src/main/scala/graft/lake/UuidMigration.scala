@@ -49,10 +49,25 @@ object UuidMigration {
 
   private def markerPath(root: String, scope: String) = s"$root/$scope/_uuid_identity"
 
+  /** Any EVIDENCE of a pre-existing lake under the scope — including a
+    * table hidden mid-crashed-swap (`<table>.__old` / work dirs, which
+    * [[Lake.tables]] deliberately filters out of the TABLE listing). The
+    * fresh-scope decision must use this, not the table listing: marking a
+    * legacy scope scope-keyed because its only table happened to sit at
+    * `.__old` during a crashed compaction would irreversibly split every
+    * chain, with migrate() then short-circuiting on the marker.
+    */
+  private[graft] def scopeHasAnyData(spark: SparkSession, root: String, scope: String): Boolean = {
+    val p = new Path(s"$root/$scope")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.isDirectory)
+  }
+
   /** The identity basis this scope's uuids use: the marker's word when
-    * present; otherwise legacy for a scope with existing tables (it
-    * predates the marker) and scope-keyed for a fresh one (the engine
-    * marks it at creation, this is the same default).
+    * present; otherwise legacy for a scope with ANY existing data —
+    * crashed-swap strands included, see [[scopeHasAnyData]] — (it
+    * predates the marker) and scope-keyed for a truly fresh one (the
+    * engine marks it at creation, this is the same default).
     */
   def identityOf(spark: SparkSession, root: String, scope: String): String = {
     val p = new Path(markerPath(root, scope))
@@ -61,7 +76,7 @@ object UuidMigration {
       val in = fs.open(p)
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
-    } else if (Lake.tables(spark, root, scope).nonEmpty) PageTownIdentity
+    } else if (scopeHasAnyData(spark, root, scope)) PageTownIdentity
     else ScopeKeyIdentity
   }
 
@@ -98,6 +113,28 @@ object UuidMigration {
     require(tables.contains("properties"),
       s"uuid migration needs a properties table under $root/$scope (found: ${tables.mkString(", ")})")
 
+    // schema pre-pass, and FAIL before touching anything: an identity-
+    // bearing table without a pid column cannot be recomputed — silently
+    // skipping it and flipping the marker anyway would strand its legacy
+    // FKs against a rewritten properties table forever (migrate would then
+    // short-circuit on the marker and never heal it)
+    val plan: Seq[(String, String)] = tables.filterNot(_ == MappingTable).flatMap { t =>
+      val cols = Lake.read(spark, root, scope, t).columns.toSet
+      val keyCol =
+        if (cols.contains("uuid")) Some("uuid")
+        else if (cols.contains("property_uuid")) Some("property_uuid")
+        else None
+      keyCol match {
+        case Some(k) if cols.contains("pid") => Some(t -> k)
+        case Some(k) =>
+          throw new IllegalStateException(
+            s"uuid migration: table '$t' carries identity column '$k' but no 'pid' to recompute " +
+              "it from — migrating around it would leave mixed identities and dangling FKs; " +
+              "drop or remap that table first, then re-run")
+        case None => None // no identity column: nothing to rewrite
+      }
+    }
+
     // 1) audit mapping FIRST (crash-safe ordering: once any table is
     // rewritten, the old uuids exist nowhere else). Recompute-from-pid
     // reruns produce old==new rows for already-migrated data — filtered —
@@ -123,28 +160,21 @@ object UuidMigration {
         n
       } finally cached.unpersist(blocking = false)
 
-    // 2) rewrite every identity-bearing table (schema-probed, not a fixed
-    // list: a lake missing some child tables, or carrying a custom one
-    // with the FK pair, migrates whole)
+    // 2) rewrite every identity-bearing table (schema-probed by the
+    // pre-pass above, not a fixed list: a lake missing some child tables,
+    // or carrying a custom one with the FK pair, migrates whole)
     var rewritten = 0L
-    tables.filterNot(_ == MappingTable).foreach { t =>
-      val cols = Lake.read(spark, root, scope, t).columns.toSet
-      val keyCol =
-        if (cols.contains("uuid")) Some("uuid")
-        else if (cols.contains("property_uuid")) Some("property_uuid")
-        else None
-      keyCol.filter(_ => cols.contains("pid")).foreach { k =>
-        Lake.rewriteTable(spark, root, scope, t) { df =>
-          val remapped = df.withColumn(k, Flatten.scopeKeyedUuid(col("pid"), scope))
-          // the uuid is inside the canonical hash surface: recompute so a
-          // post-migration scrape of UNCHANGED content hashes equal to the
-          // stored history instead of recording one phantom version per
-          // entity. rowHash excludes the metadata cols (row_hash,
-          // scraped_at) by contract, so this is the stamp-time surface.
-          remapped.withColumn("row_hash", Canonical.rowHash(remapped))
-        }
-        rewritten += 1
+    plan.foreach { case (t, k) =>
+      Lake.rewriteTable(spark, root, scope, t) { df =>
+        val remapped = df.withColumn(k, Flatten.scopeKeyedUuid(col("pid"), scope))
+        // the uuid is inside the canonical hash surface: recompute so a
+        // post-migration scrape of UNCHANGED content hashes equal to the
+        // stored history instead of recording one phantom version per
+        // entity. rowHash excludes the metadata cols (row_hash,
+        // scraped_at) by contract, so this is the stamp-time surface.
+        remapped.withColumn("row_hash", Canonical.rowHash(remapped))
       }
+      rewritten += 1
     }
 
     // 3) flip the identity marker LAST

@@ -319,27 +319,30 @@ object Dedup {
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      // cosine BEFORE the pair-dedup shuffle, never after: the distinct
+      // used to run over rows still CARRYING both embedding arrays
+      // (~1 KB/row at 64 dims — an 8 GB spill-prone exchange at a 10M-
+      // candidate corpus, measured 7.8× wall at 3× data in the r15 30×
+      // spot), where computing the dot map-side first ships 24-byte
+      // (id, id, cos) rows and lets the threshold prune the exchange down
+      // to the qualifying pairs. A multi-band collision pays the dot once
+      // per colliding band — map-side codegen'd arithmetic, noise against
+      // the exchange it replaces — and duplicate pairs carry IDENTICAL
+      // cos, so filter-then-distinct returns exactly the same rows.
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        col("a.emb").as("ea"),
-        col("b.emb").as("eb"),
-        col("a.nrm").as("na"),
-        col("b.nrm").as("nb")
-      )
-      .dropDuplicates("doc_a", "doc_b")
-      .select(
-        col("doc_a"),
-        col("doc_b"),
         // NULL, not NaN, on a zero-norm vector: Spark's NaN compares GREATER
         // than everything, so `NaN >= threshold` is TRUE and a single failed
         // (all-zero) embedding would "near-duplicate" its whole bucket;
         // NULL >= threshold is NULL and filters out (same contract as
         // Similarity.cosine)
-        nanvl(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), lit(null).cast("double"))
-          .as("cos")
+        nanvl(
+          Similarity.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")),
+          lit(null).cast("double")).as("cos")
       )
       .filter(col("cos") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Embedding near-dup pairs through a PERSISTED [[VectorIndex]] — the

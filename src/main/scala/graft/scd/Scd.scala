@@ -90,6 +90,8 @@ object Scd {
     * First observations get an empty list and `is_first` = true.
     */
   def fieldChanges(df: DataFrame, key: Column, fields: Seq[String], order: Column*): DataFrame = {
+    Seq("is_first", "changed_fields").foreach(c => require(!df.columns.contains(c),
+      s"fieldChanges writes output column $c; the input already has one — rename it first"))
     val w = Window.partitionBy(key).orderBy(order: _*)
     val markers = fields.sorted.map { f =>
       when(!(col(f) <=> lag(col(f), 1).over(w)), lit(f)).otherwise(lit(null).cast("string"))
@@ -134,8 +136,8 @@ object Scd {
     * content REVERT (A → B → back to A) matches the historical hash and
     * is never re-recorded — currentState then reports B forever while
     * the live source shows A. This form is kept for reference-parity
-    * callers; the SCD2-correct form is [[refreshDedupLatest]], which the
-    * engines' refresh paths use (via [[refreshDedupForLake]]).
+    * callers; the SCD2-correct form is [[refreshDedupSnapshot]], which
+    * the engines' refresh paths use (via [[refreshDedupForLake]]).
     */
   def refreshDedup(
       newRows: DataFrame,
@@ -151,34 +153,38 @@ object Scd {
     )
   }
 
-  /** J2, SCD2-correct form — refresh dedup against each entity's LATEST
-    * observation only: an incoming row is dropped iff its content hash
-    * appears in SOME entity's most-recent snapshot, so a content revert
-    * (A → B → back to A) re-records and the version chain shows all three
-    * states — the semantics [[refreshDedup]]'s full-history anti-join
-    * (reference parity) cannot give. Crash-rerun idempotency is preserved:
-    * re-appending an unchanged batch still matches the latest hashes and
-    * drops.
+  /** J2, SCD2-correct form — SNAPSHOT refresh dedup: an entity's incoming
+    * rows append WHOLE iff the multiset of their content hashes differs
+    * from the entity's latest STORED snapshot's, and drop whole otherwise.
+    * A content revert (A → B → back to A) re-records and the version
+    * chain shows all three states — the semantics [[refreshDedup]]'s
+    * full-history anti-join (reference parity) cannot give — and
+    * crash-rerun idempotency is preserved (an unchanged batch's multiset
+    * matches and drops).
     *
-    * The latest SNAPSHOT, not the latest row: `rank() == 1` over the
-    * descending order keeps EVERY row tied at the entity's newest order
-    * value — child tables record several rows per entity per scrape
-    * (buildings, ownership…), and a `row_number`-style top-1 would dedup
-    * against one arbitrary child and re-record its identical siblings
-    * forever. The anti-join joins on the hash alone: the canonical row
-    * hash covers the row's identity fields (pid / property_uuid), so
-    * equal hashes ARE the same entity's content.
+    * Set-compare per ENTITY, never per row: child tables record several
+    * rows per entity per scrape (buildings, ownership…) and the lake is
+    * append-only, so per-row dedup against "rows at the entity's max
+    * order value" is UNSOUND — after any partial change only the changed
+    * rows carry the new stamp, the unchanged siblings fall out of the
+    * "latest" window, and every later refresh of STATIC data re-appends
+    * half the snapshot in alternation, forever (one spurious append per
+    * refresh, and every latest-snapshot read returns a torn subset).
+    * Appending the whole changed snapshot keeps "the entity's rows at its
+    * max order value" a COMPLETE, coherent state — which is also what
+    * makes this very dedup's basis well-defined on the next round.
+    * Single-row parents (properties) degenerate to the plain
+    * one-hash compare.
     *
-    * Scale shape: the existing side is pruned to (key, order, hash) before
-    * the window — a 3-column parquet scan — then one hash-partition
-    * shuffle on the key (the same minimal plan as every SCD operator
-    * here; bucketing by the key removes it). The surviving hash set is
-    * ≤ one snapshot per entity — no larger than [[refreshDedup]]'s
-    * distinct-history set — and the broadcast decision stays with AQE
-    * (same rationale as [[refreshDedup]]; `forceBroadcast` restores the
-    * hint for known-bounded callers).
+    * Scale shape: the existing side is pruned to (key, order, hash) — a
+    * 3-column parquet scan — then ONE hash-partition shuffle on the key
+    * shared by the rank window and the signature aggregate (same required
+    * distribution, no second exchange; bucketing by the key removes it).
+    * The incoming side aggregates batch-sized data; the changed-key set is
+    * the delta (small in refresh steady-state) and AQE picks its join
+    * shape (`forceBroadcast` restores the hint for known-bounded callers).
     */
-  def refreshDedupLatest(
+  def refreshDedupSnapshot(
       newRows: DataFrame,
       existing: DataFrame,
       key: Column,
@@ -186,37 +192,49 @@ object Scd {
       hashCol: String = "row_hash",
       forceBroadcast: Boolean = false
   ): DataFrame = {
-    require(order.nonEmpty, "refreshDedupLatest needs at least one order column")
+    require(order.nonEmpty, "refreshDedupSnapshot needs at least one order column")
+    require(!newRows.columns.contains("__rd_key"),
+      "refreshDedupSnapshot uses helper column __rd_key; the input already has one — rename it first")
     val orderAliases = order.zipWithIndex.map { case (c, i) => c.as(s"__rd_o$i") }
     val pruned = existing.select(key.as("__rd_key") +: orderAliases :+ col(hashCol).as("__rd_hash"): _*)
     val w = Window.partitionBy(col("__rd_key"))
       .orderBy(order.indices.map(i => col(s"__rd_o$i").desc): _*)
-    val latest = pruned
+    // multiset signature of the entity's latest snapshot: rank (not
+    // row_number) keeps every row tied at the newest order value;
+    // sort_array makes the signature row-order independent
+    val latestSig = pruned
       .withColumn("__rd_rank", rank().over(w))
       .filter(col("__rd_rank") === 1)
-      .select(col("__rd_hash").as(hashCol))
-      .distinct()
-    newRows.join(
-      if (forceBroadcast) broadcast(latest) else latest,
-      Seq(hashCol),
-      "left_anti"
-    )
+      .groupBy(col("__rd_key"))
+      .agg(sort_array(collect_list(col("__rd_hash"))).as("__rd_sig"))
+    val incomingSig = newRows
+      .groupBy(key.as("__rd_key"))
+      .agg(sort_array(collect_list(col(hashCol))).as("__rd_new_sig"))
+    val changedKeys = incomingSig
+      .join(
+        if (forceBroadcast) broadcast(latestSig) else latestSig,
+        Seq("__rd_key"), "left")
+      .filter(col("__rd_sig").isNull || col("__rd_sig") =!= col("__rd_new_sig"))
+      .select(col("__rd_key"))
+    // null-safe semi-join: a null-keyed incoming group (no entity ever
+    // stored) must append, not silently vanish on null === null
+    newRows.join(changedKeys, key <=> col("__rd_key"), "left_semi")
   }
 
-  /** The ENGINES' refresh dedup: per-entity-latest ([[refreshDedupLatest]])
-    * when the frame carries the lake's stamp convention — an identity
-    * column (`uuid` for parents, `property_uuid` for children) plus the
-    * `scraped_at` stamp — and the reference-parity full-history
-    * [[refreshDedup]] when it doesn't (CT open-data tables carry no
-    * per-row entity key, so latest-only semantics are undefined there).
-    * One entry point so the batch engine, the CT source, and the
+  /** The ENGINES' refresh dedup: per-entity snapshot set-compare
+    * ([[refreshDedupSnapshot]]) when the frame carries the lake's stamp
+    * convention — an identity column (`uuid` for parents, `property_uuid`
+    * for children) plus the `scraped_at` stamp — and the reference-parity
+    * full-history [[refreshDedup]] when it doesn't (CT open-data tables
+    * carry no per-row entity key, so snapshot semantics are undefined
+    * there). One entry point so the batch engine, the CT source, and the
     * streaming refresh twin cannot drift on this decision.
     */
   def refreshDedupForLake(newRows: DataFrame, existing: DataFrame): DataFrame = {
     val both = newRows.columns.toSet.intersect(existing.columns.toSet)
     Seq("uuid", "property_uuid").find(both.contains) match {
       case Some(k) if both.contains("scraped_at") =>
-        refreshDedupLatest(newRows, existing, col(k), Seq(col("scraped_at")))
+        refreshDedupSnapshot(newRows, existing, col(k), Seq(col("scraped_at")))
       case _ => refreshDedup(newRows, existing)
     }
   }

@@ -253,6 +253,23 @@ class EngineSpec extends SparkSpec {
       "a crash-before-checkpoint rerun must not permanently double the batch")
   }
 
+  test("footer-only sub_areas never create a schema-only table (preCount matches the flatten filter)") {
+    // a batch whose every sub_area is the 'Total' footer row (empty code —
+    // dropped by Flatten) must not pass the emptiness probe: the raw array
+    // count said >0, the flatten output had zero rows, and the append
+    // created the schema-only table dir the probe exists to prevent
+    val base = FakeSource.prop(1L, "alice", 100.0)
+    val footerOnly = base.copy(buildings = base.buildings.map(b =>
+      b.copy(sub_areas = Seq(SubArea("", None, None, None)))))
+    val root = tmpDir("lake_footer")
+    val st = Engine.runLoad(spark, new FakeSource(Map(1L -> footerOnly)), Seq(1L), root, "f",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(st.rowsWritten.getOrElse("sub_areas", 0L) == 0L)
+    assert(!Lake.tables(spark, root, "f").contains("sub_areas"),
+      "no sub_areas table dir for a footer-only batch")
+    assert(Lake.tables(spark, root, "f").contains("properties"), "siblings still write")
+  }
+
   test("a null child Seq never cancels a sibling entry's table write") {
     val root = tmpDir("lake")
     // entry 1 carries a real building; entry 2's source handed back null

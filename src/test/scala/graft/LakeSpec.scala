@@ -161,6 +161,32 @@ class LakeSpec extends SparkSpec {
     assert(!new java.io.File(table, ".day=2024-01-01.__old").exists())
   }
 
+  test("appendPartitioned recovers a crashed leaf swap FIRST — never sets up the delete-the-only-copy") {
+    val root = tmpDir("lake")
+    (1 to 5).foreach { i =>
+      Lake.appendPartitioned(
+        Seq((i, "2024-01-01"), (i, "2024-01-02")).toDF("id", "day"),
+        root, "s", "t", Seq("day"))
+    }
+    val table = new java.io.File(s"$root/s/t")
+    // crash mid-leaf-swap: the partition's ONLY copy is at `.X.__old`
+    val leaf = new java.io.File(table, "day=2024-01-02")
+    val aside = new java.io.File(table, ".day=2024-01-02.__old")
+    assert(leaf.renameTo(aside))
+    // an append to the table must PROMOTE the stranded leaf before it
+    // writes — without the sweep, the append recreates the live leaf with
+    // only new rows and the NEXT compaction's live-exists aside-delete
+    // destroys every pre-crash row of the partition
+    Lake.appendPartitioned(Seq((99, "2024-01-02")).toDF("id", "day"), root, "s", "t", Seq("day"))
+    assert(!aside.exists(), "the stranded leaf must be promoted, not left for the sweep to delete")
+    val afterAppend = Lake.read(spark, root, "s", "t")
+    assert(afterAppend.filter($"day" === "2024-01-02").count() == 6, "5 pre-crash + 1 appended")
+    Lake.compactPartitioned(spark, root, "s", "t", minFilesPerPartition = 2)
+    val back = Lake.read(spark, root, "s", "t")
+    assert(back.count() == 11 && back.filter($"day" === "2024-01-02").count() == 6,
+      "compaction after the recovered append must keep every row")
+  }
+
   test("compact keeps data and reduces file count") {
     val root = tmpDir("lake")
     (1 to 5).foreach(i => Lake.append(Seq((i, s"v$i")).toDF("id", "v"), root, "s", "t"))

@@ -58,38 +58,64 @@ class ScdSpec extends SparkSpec {
     assert(kept.select($"row_hash").as[String].collect().toSeq == Seq("h3"))
   }
 
-  test("refreshDedupLatest re-records a content revert; full-history refreshDedup suppresses it") {
+  test("refreshDedupSnapshot re-records a content revert; full-history refreshDedup suppresses it") {
     // u1's chain is h1 → h2; an incoming REVERT back to h1 must re-record
     // under SCD2 semantics (the r14-documented limitation of the
     // full-history form)
     val revert = Seq(("u1", 4, "h1", 100)).toDF("uuid", "t", "row_hash", "value")
     assert(Scd.refreshDedup(revert, lake).isEmpty, "full-history form suppresses the revert (reference parity)")
-    val kept = Scd.refreshDedupLatest(revert, lake, $"uuid", Seq($"t"))
+    val kept = Scd.refreshDedupSnapshot(revert, lake, $"uuid", Seq($"t"))
     assert(kept.select($"row_hash").as[String].collect().toSeq == Seq("h1"))
     // and the chain then shows all three states
     val v = Scd.withVersions(lake.unionByName(revert), $"uuid", $"row_hash", $"t")
     assert(v.filter($"uuid" === "u1").select($"version").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
     // unchanged content still dedups (crash-rerun idempotency preserved)
     val rerun = Seq(("u1", 4, "h2", 200), ("u2", 4, "h9", 900)).toDF("uuid", "t", "row_hash", "value")
-    assert(Scd.refreshDedupLatest(rerun, lake, $"uuid", Seq($"t")).isEmpty)
+    assert(Scd.refreshDedupSnapshot(rerun, lake, $"uuid", Seq($"t")).isEmpty)
   }
 
-  test("refreshDedupLatest dedups against the whole latest SNAPSHOT, not a top-1 row") {
+  test("refreshDedupSnapshot: changed child-sets append WHOLE; duplicate siblings compare as a multiset") {
     // a child table: one property, TWO identical outbuildings recorded at
-    // t=2 (the latest scrape). A row_number-style top-1 basis would keep
-    // one hash and re-record the sibling forever; rank keeps both.
+    // t=2 (the latest scrape). The multiset signature keeps both 'shed's;
+    // an incoming set that differs in ANY member appends in full, so the
+    // stored latest snapshot stays a complete coherent state
     val children = Seq(
       ("p1", 1, "old"),
       ("p1", 2, "shed"), ("p1", 2, "shed"), ("p1", 2, "barn")
     ).toDF("property_uuid", "t", "row_hash")
-    val rerun = Seq(("p1", 3, "shed"), ("p1", 3, "barn"), ("p1", 3, "silo"))
+    val changed = Seq(("p1", 3, "shed"), ("p1", 3, "barn"), ("p1", 3, "silo"))
       .toDF("property_uuid", "t", "row_hash")
-    val kept = Scd.refreshDedupLatest(rerun, children, $"property_uuid", Seq($"t"))
-      .select($"row_hash").as[String].collect().toSeq
-    assert(kept == Seq("silo"), s"only the genuinely new child survives: $kept")
-    // and a revert to the PRE-latest child set re-records it
-    val revert = Seq(("p1", 3, "old")).toDF("property_uuid", "t", "row_hash")
-    assert(Scd.refreshDedupLatest(revert, children, $"property_uuid", Seq($"t")).count() == 1L)
+    val kept = Scd.refreshDedupSnapshot(changed, children, $"property_uuid", Seq($"t"))
+      .select($"row_hash").as[String].collect().sorted.toSeq
+    assert(kept == Seq("barn", "shed", "silo"),
+      s"a changed snapshot appends WHOLE (coherent state), got: $kept")
+    // identical re-scrape of the stored latest multiset drops whole —
+    // including the duplicate sibling (a SET compare would wrongly match
+    // {shed, barn} against {shed, shed, barn})
+    val same = Seq(("p1", 3, "shed"), ("p1", 3, "shed"), ("p1", 3, "barn"))
+      .toDF("property_uuid", "t", "row_hash")
+    assert(Scd.refreshDedupSnapshot(same, children, $"property_uuid", Seq($"t")).isEmpty)
+    val dropped = Seq(("p1", 3, "shed"), ("p1", 3, "barn"))
+      .toDF("property_uuid", "t", "row_hash")
+    assert(Scd.refreshDedupSnapshot(dropped, children, $"property_uuid", Seq($"t")).count() == 2L,
+      "losing one duplicate sibling IS a change")
+  }
+
+  test("refreshDedupSnapshot: static data after a partial change never oscillates (regression)") {
+    // the review-caught unsoundness of per-ROW dedup against the latest
+    // stamp: load {A,B}@1, partial change to {A,B'}@2 appended only B'@2 —
+    // then A is outside the 'latest' window and every later refresh of
+    // STATIC {A,B'} re-appends half the snapshot in alternation, forever.
+    // Snapshot semantics: the t=2 refresh appends BOTH rows (coherent
+    // state), and the t=3 identical refresh appends NOTHING.
+    val lake0 = Seq(("p1", 1, "hA"), ("p1", 1, "hB")).toDF("property_uuid", "t", "row_hash")
+    val r1 = Seq(("p1", 2, "hA"), ("p1", 2, "hB2")).toDF("property_uuid", "t", "row_hash")
+    val kept1 = Scd.refreshDedupSnapshot(r1, lake0, $"property_uuid", Seq($"t"))
+    assert(kept1.count() == 2L, "partial change appends the whole new snapshot")
+    val lake1 = lake0.unionByName(kept1)
+    val r2 = Seq(("p1", 3, "hA"), ("p1", 3, "hB2")).toDF("property_uuid", "t", "row_hash")
+    assert(Scd.refreshDedupSnapshot(r2, lake1, $"property_uuid", Seq($"t")).isEmpty,
+      "static data after the change must append NOTHING — the oscillation bug")
   }
 
   test("refreshDedupForLake dispatches on the lake stamp convention") {

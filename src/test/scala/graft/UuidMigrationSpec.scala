@@ -101,6 +101,54 @@ class UuidMigrationSpec extends SparkSpec {
     assert(UuidMigration.migrate(spark, root, "andover") == ((0L, 0L)))
   }
 
+  test("a legacy table hidden mid-crashed-swap still reads as legacy (no irreversible mismark)") {
+    // Lake.tables filters `.__` work dirs, so a legacy scope whose only
+    // table sits at properties.__old during a crashed compaction lists
+    // ZERO tables — a tables-based fresh check would mark it scope-keyed,
+    // irreversibly forking every chain (migrate then short-circuits on the
+    // marker). The identity decision must see crash strands as data.
+    val root = tmpDir("uuidmig_swap")
+    // a legacy scope whose ONLY table is properties (children empty every
+    // batch — the review's exact scenario)
+    val results = spark.createDataset(data("ANDOVER").values.toSeq)
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    Lake.append(
+      Lake.stampMetadata(Flatten.flatten(results, scopeKey = None)("properties"), ts),
+      root, "andover", "properties")
+    val table = new java.io.File(s"$root/andover/properties")
+    assert(table.renameTo(new java.io.File(s"$root/andover/properties.__old")))
+    assert(Lake.tables(spark, root, "andover").isEmpty,
+      "precondition: the table listing hides the crash strand")
+    assert(UuidMigration.identityOf(spark, root, "andover") == UuidMigration.PageTownIdentity,
+      "crash strands ARE evidence of an existing lake")
+    // an engine LOAD heals the swap (recoverBeforeWrite promotes on the
+    // first append) and must keep the scope legacy — not mark it
+    // scope-keyed off the empty table listing
+    Engine.runLoad(spark, new FakeSource(data("ANDOVER")), ids, root, "andover",
+      IngestConfig(workers = 2, checkpoint = false))
+    assert(UuidMigration.identityOf(spark, root, "andover") == UuidMigration.PageTownIdentity,
+      "the engine must not mark a crashed legacy scope as scope-keyed")
+    val uuids = Lake.read(spark, root, "andover", "properties")
+      .select($"uuid").distinct().as[String].collect()
+    assert(uuids.length == 5, s"legacy identity preserved across the heal: ${uuids.length} uuids")
+  }
+
+  test("migrate refuses a scope with an identity-bearing table it cannot recompute (no pid)") {
+    val root = tmpDir("uuidmig_nopid")
+    legacyLake(root, "andover", "ANDOVER")
+    // a custom table carrying the FK but no pid: silently skipping it and
+    // flipping the marker would strand its legacy FKs forever
+    val someUuid = Lake.read(spark, root, "andover", "properties")
+      .select($"uuid").as[String].head()
+    Lake.append(Seq((someUuid, "note")).toDF("property_uuid", "note"), root, "andover", "annotations")
+    val e = intercept[IllegalStateException](UuidMigration.migrate(spark, root, "andover"))
+    assert(e.getMessage.contains("annotations"), e.getMessage)
+    assert(UuidMigration.identityOf(spark, root, "andover") == UuidMigration.PageTownIdentity,
+      "an aborted migration must leave the scope legacy and re-runnable")
+    assert(!Lake.tables(spark, root, "andover").contains(UuidMigration.MappingTable),
+      "abort must happen before anything is written")
+  }
+
   test("a fresh lake is scope-keyed from birth: label changes never split, no migration needed") {
     val root = tmpDir("uuidmig_fresh")
     Engine.runLoad(spark, new FakeSource(data("ANDOVER")), ids, root, "andover",
