@@ -138,10 +138,17 @@ object Main {
             case None =>
               println(s"skip $scope: not a registered VGSI city " +
                 s"(CT data refreshes via CtDataSource.loadAll with live counts)")
-            case Some(baseUrl) =>
+            case Some(baseUrl0) =>
               try {
+                // same slash normalization (and photo wiring) as the
+                // load/refresh branch: fetch-cities stores hrefs verbatim,
+                // and a slashless base 404s every pid as
+                // '<base>Parcel.aspx?pid=N' until the breaker kills the
+                // scope — refresh-all used to skip both
+                val baseUrl = if (baseUrl0.endsWith("/")) baseUrl0 else baseUrl0 + "/"
                 val source = VgsiSource(baseUrl, VgsiSource.httpFetch(verifyTls = verifyTls),
-                  ratePerSec = args.flag("rate", "5").toDouble)
+                  ratePerSec = args.flag("rate", "5").toDouble,
+                  photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes(verifyTls = verifyTls)))
                 val stats = Engine.runRefresh(spark, source, root, scope, config)
                 println(s"refresh $scope: scraped=${stats.scraped} errors=${stats.errors}")
               } catch {

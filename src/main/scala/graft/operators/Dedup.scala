@@ -67,6 +67,12 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): DataFrame = {
+    // same divisibility contract as embedNearDupPairs' planes/bands: a
+    // silent truncation would band only the first rows*bands hashes and
+    // quietly change the precision/recall geometry the caller tuned
+    require(numHashes % bands == 0,
+      s"numHashes $numHashes not divisible by bands $bands — the remainder hashes would be " +
+        "computed and never banded")
     val rows = numHashes / bands
     df.select(col(idCol).as("doc_id"), minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
       .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
@@ -1264,8 +1270,13 @@ object Dedup {
           .sortedStructIntersectSize(col("da.ranked"), col("db.ranked"))
           .as("inter"),
         col("da.sz").cast("long").as("__sa"))
-      .filter(col("inter") * 1000 >= lit(thresholdPermille.toLong) * col("__sa"))
-      .select(col("doc_a"), col("doc_b"), expr("inter * 1000 DIV __sa").as("containment_permille"))
+      // long arithmetic like the candidate stage's identical pattern: an
+      // INT `inter * 1000` wraps negative past ~2.1M shared grams under
+      // non-ANSI semantics, silently rejecting a true containment pair
+      // (and emitting a negative permille)
+      .filter(col("inter").cast("long") * 1000L >= lit(thresholdPermille.toLong) * col("__sa"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(inter AS BIGINT) * 1000 DIV __sa").as("containment_permille"))
   }
 
   /** [[containmentPairs]]' candidate stage, exposed for the ScaleBench

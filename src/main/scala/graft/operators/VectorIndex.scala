@@ -368,14 +368,17 @@ object VectorIndex {
       // against another's codebooks. The tombstone (dropped before the
       // first overwrite, cleared after the last) makes every reader refuse
       // the window loudly (readMeta throws on it); a crashed rebuild heals
-      // by rebuilding, which is what the caller was doing anyway. A FIRST
-      // build on an empty dir needs none — there is no generation to mix.
+      // by rebuilding, which is what the caller was doing anyway. FIRST
+      // builds need it too — there is no generation to mix, but a crash
+      // between the codebooks write and the meta write (quantizationError
+      // is a corpus-scale job in between) leaves artifacts readMeta's
+      // pre-meta-era fallback opens as residual=false, silently
+      // flat-decoding a residual-coded index; the tombstone makes that
+      // window loud as well.
       val tomb = new org.apache.hadoop.fs.Path(s"$dir/__rebuild")
-      val hadIndex = fsb.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) ||
-        fsb.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))
-      if (hadIndex) fsb.create(tomb, true).close()
+      fsb.create(tomb, true).close()
       val h = buildBody(corpus, idCol, vecCol, dir, kLists, m, ksub, seed, residual, qerrSampleFraction)
-      if (hadIndex && !fsb.delete(tomb, false))
+      if (!fsb.delete(tomb, false))
         throw new java.io.IOException(s"build: could not clear rebuild tombstone $tomb")
       h
     } finally lease.release()
@@ -461,10 +464,36 @@ object VectorIndex {
     * Caller contract: ids must not collide with vectors already in the
     * index (same as any append-only store).
     */
+  /** Background lease heartbeat around ONE long Spark action: retrain/
+    * rebalance heartbeat between their phases, but append's encode+write
+    * is a single action with no driver-side seam — without a beat it
+    * crosses the staleness window on a large batch and a concurrent op
+    * takes over and races the in-flight postings write. The daemon thread
+    * refreshes at a third of the window; a takeover detected mid-run
+    * surfaces as the loud failure the lease promises (after the body —
+    * the action cannot be safely interrupted midway, but the caller must
+    * never see a silent success).
+    */
+  private def withHeartbeat[T](lease: WriterLease, spark: SparkSession)(body: => T): T = {
+    val interval = math.max(leaseStaleMs(spark) / 3, 1000L)
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "vindex-lease-heartbeat"); t.setDaemon(true); t
+    })
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    exec.scheduleAtFixedRate(
+      () => try lease.heartbeat() catch { case t: Throwable => failed.set(t) },
+      interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try {
+      val r = body
+      Option(failed.get()).foreach(t => throw t)
+      r
+    } finally exec.shutdownNow()
+  }
+
   def append(h0: Handle, newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     val spark = newVectors.sparkSession
     val lease = acquireLease(h0.dir, spark, "append")
-    try {
+    try withHeartbeat(lease, spark) {
       // roll-forward + reload: appending with a pre-retrain handle's
       // codebooks after a promoted commit would mix encodings in one list
       val h = freshHandle(h0, spark)

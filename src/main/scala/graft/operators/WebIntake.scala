@@ -156,7 +156,9 @@ object WebIntake {
         col("__h.body").as("content"))
       .filter(col("mime").startsWith("image/") || col("mime").startsWith("audio/") ||
         col("mime").startsWith("video/"))
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      // same RFC 3986 fold as extractDocs: scheme case-insensitive, host
+      // lowercased — an uppercase-scheme asset must not lose its host
+      .withColumn("host", lower(regexp_extract(col("url"), "(?i)^https?://([^/:?#]+)", 1)))
       .select(col("url"), col("host"), col("mime"), col("content"))
   }
 
@@ -437,7 +439,11 @@ object WebIntake {
     import org.apache.spark.sql.expressions.Window
     val due = schedule
       .filter(col("next_fetch_ms") <= nowMs)
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      // RFC 3986 fold (the extractDocs rule): without it an uppercase
+      // scheme/host yields host "" — the row joins no hostRanks entry and
+      // lands in the shared ""-host queue, where the per-host cap silently
+      // drops due URLs; case variants of one host also split its queue
+      .withColumn("host", lower(regexp_extract(col("url"), "(?i)^https?://([^/:?#]+)", 1)))
     val ranked = due
       .join(hostRanks.select(col("id").as("host"), col("rank")), Seq("host"), "left")
       .withColumn("rank", coalesce(col("rank"), lit(0L)))

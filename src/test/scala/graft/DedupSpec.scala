@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never
   }
 
+  test("minhashBuckets refuses a non-divisible (numHashes, bands) geometry") {
+    // silent truncation banded only the first rows*bands hashes — the
+    // caller's tuned precision/recall geometry quietly changed
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.minhashBuckets(docs, "doc_id", "text", numHashes = 12, bands = 5))
+    assert(e.getMessage.contains("divisible"), e.getMessage)
+  }
+
   test("crossSplitPairs reports only pairs straddling the split") {
     // 1/2/4 are mutual (near-)dups; 3 never pairs — all pairs inside train
     val sameSide = Dedup

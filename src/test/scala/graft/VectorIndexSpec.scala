@@ -956,6 +956,24 @@ class VectorIndexSpec extends SparkSpec {
     val h2 = VectorIndex.build(df, "vec_id", "embedding", dir, kLists = 4, m = 4, ksub = 8)
     assert(!Files.exists(Paths.get(dir, "__rebuild")))
     assert(VectorIndex.query(h2, queries, nProbe = 2, k = 3).count() > 0)
+
+    // FIRST builds drop the tombstone too: a crash between the codebooks
+    // write and the meta write (quantizationError runs in between) leaves
+    // artifacts readMeta's pre-meta-era fallback would open as
+    // residual=false — silently flat-decoding residual codes. Simulate
+    // that exact crash state on a fresh dir: artifacts, no meta, tombstone.
+    val dir2 = tmpDir("vindex_tomb_first")
+    VectorIndex.build(df, "vec_id", "embedding", dir2, kLists = 4, m = 4, ksub = 8)
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => deleteRec(c))
+      Files.deleteIfExists(p)
+    }
+    deleteRec(Paths.get(dir2, "meta"))
+    Files.write(Paths.get(dir2, "__rebuild"), Array.empty[Byte])
+    assert(intercept[IllegalStateException] { VectorIndex.open(spark, dir2) }
+      .getMessage.contains("rebuild"),
+      "a crashed FIRST build must refuse loudly, not open via the legacy no-meta fallback")
   }
 
   test("null embeddings never index: no NULL-adist rank-1 poisoning") {

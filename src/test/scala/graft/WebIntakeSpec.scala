@@ -473,6 +473,19 @@ class WebIntakeSpec extends SparkSpec {
     val physical = out.queryExecution.executedPlan.toString
     assert(physical.contains("WindowGroupLimit"),
       s"recrawl per-host cap should plan as WindowGroupLimit:\n$physical")
+
+    // RFC 3986 fold: an uppercase scheme/host due URL must resolve its
+    // REAL host (pre-fix it read host "" — no rank, and the shared
+    // ""-host queue's cap silently dropped due URLs)
+    val mixed = Seq(
+      ("HTTP://B.org/up", 1000L, false),
+      ("https://b.org/low", 2000L, false)
+    ).toDF("url", "next_fetch_ms", "if_unchanged")
+    val foldedRows = WebIntake.recrawlFrontier(mixed, ranks, nowMs = 5000L)
+      .select($"host", $"url", $"rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(foldedRows == Seq(("b.org", "HTTP://B.org/up", 9L), ("b.org", "https://b.org/low", 9L)),
+      s"case variants must share one folded host queue and its rank: $foldedRows")
   }
 
   test("planFrontier: maxFetchPerHost caps a trap host's queue") {

@@ -94,6 +94,14 @@ print("[round_bench] two-point gate green")
 PY
 
 TOP3="$(cat "$TOP3_FILE")"; rm -f "$TOP3_FILE"
+if [ -z "$TOP3" ]; then
+  # no query cleared the 0.05 s ratio floor — nothing to spot-check; an
+  # empty SCALE_ONLY would match no query and fail the gate as if
+  # ScaleBench had crashed
+  echo "[round_bench] 30x spot skipped: no sf1 ratios above the measurement floor"
+  echo "[round_bench] gate green (two-point; spot not applicable)"
+  exit 0
+fi
 echo "[round_bench] 30x spot on worst sf1 ratios: $TOP3"
 SPOT_LOG="$(mktemp)"
 SPARK_GRAFT_SCALE_ONLY="$TOP3" \
