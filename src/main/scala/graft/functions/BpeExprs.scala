@@ -170,7 +170,47 @@ object BpeSupport {
       bytes(j) = b.toByte
       j += 1
     }
+    // the documented NULL-on-corrupt contract covers the ASSEMBLED bytes
+    // too: an id stream ending mid-multibyte-sequence passes every
+    // CharToByte check yet is not UTF-8 — fromBytes would mint a malformed
+    // UTF8String that corrupts downstream comparisons/parquet (and the
+    // SQL mirror errors on the same input)
+    if (!isValidUtf8(bytes)) return null
     UTF8String.fromBytes(bytes)
+  }
+
+  /** Strict UTF-8 validity (RFC 3629: no overlongs, no surrogates, max
+    * U+10FFFF) — the [[decodeIds]] byte-path gate.
+    */
+  private def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else {
+        val (len, lo, hi) =
+          if (c >= 0xC2 && c <= 0xDF) (2, 0x80, 0xBF)
+          else if (c == 0xE0) (3, 0xA0, 0xBF)
+          else if (c >= 0xE1 && c <= 0xEC) (3, 0x80, 0xBF)
+          else if (c == 0xED) (3, 0x80, 0x9F) // no surrogates
+          else if (c >= 0xEE && c <= 0xEF) (3, 0x80, 0xBF)
+          else if (c == 0xF0) (4, 0x90, 0xBF)
+          else if (c >= 0xF1 && c <= 0xF3) (4, 0x80, 0xBF)
+          else if (c == 0xF4) (4, 0x80, 0x8F) // max U+10FFFF
+          else return false
+        if (i + len > b.length) return false
+        val c1 = b(i + 1) & 0xFF
+        if (c1 < lo || c1 > hi) return false
+        var k = i + 2
+        while (k < i + len) {
+          val ck = b(k) & 0xFF
+          if (ck < 0x80 || ck > 0xBF) return false
+          k += 1
+        }
+        i += len
+      }
+    }
+    true
   }
 
   /** A word's BYTE-LEVEL atom sequence: UTF-8 bytes through
@@ -189,12 +229,23 @@ object BpeSupport {
     out
   }
 
-  /** GPT-2 bpe(): token count of ONE word under the merges table. */
+  /** GPT-2 bpe(): token count of ONE word under the merges table. Atoms
+    * are CODEPOINTS, not UTF-16 code units: a charAt walk atomized an
+    * astral-plane character (emoji, rare CJK) into its two surrogate
+    * halves — diverging from the codepoint-indexed DuckDB oracle AND
+    * emitting lone-surrogate symbols UTF8String mangles to '?'.
+    */
   def tokenizeWord(word: String, ranks: Ranks): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms = new Array[String](word.length)
+    val syms = new Array[String](word.codePointCount(0, word.length))
     var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var k = 0
+    while (i < word.length) {
+      val len = Character.charCount(word.codePointAt(i))
+      syms(k) = word.substring(i, i + len)
+      k += 1
+      i += len
+    }
     tokenize(syms, ranks)
   }
 
@@ -242,16 +293,15 @@ object BpeSupport {
     syms
   }
 
-  /** Total BPE token count of a document: sum over whitespace words. */
+  /** Total BPE token count of a document: sum over whitespace words —
+    * UnigramSupport.eachWord, the one shared boundary iterator (five
+    * hand-rolled split("\\s+") copies used to drift independently and
+    * allocate a String[] per row on the hottest count path).
+    */
   def countTokens(text: UTF8String, ranks: Ranks): Int = {
     if (text == null) return 0
-    val words = text.toString.split("\\s+")
     var total = 0
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) total += tokenizeWord(words(i), ranks).length
-      i += 1
-    }
+    UnigramSupport.eachWord(text)(w => total += tokenizeWord(w, ranks).length)
     total
   }
 
@@ -260,20 +310,15 @@ object BpeSupport {
     */
   def tokenIds(text: UTF8String, ranks: Ranks, vocab: java.util.HashMap[String, Integer]): GenericArrayData = {
     if (text == null) return new GenericArrayData(Array.emptyIntArray)
-    val words = text.toString.split("\\s+")
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) {
-        val toks = tokenizeWord(words(i), ranks)
-        var j = 0
-        while (j < toks.length) {
-          val id = vocab.get(toks(j))
-          out += (if (id == null) -1 else id.intValue())
-          j += 1
-        }
+    UnigramSupport.eachWord(text) { w =>
+      val toks = tokenizeWord(w, ranks)
+      var j = 0
+      while (j < toks.length) {
+        val id = vocab.get(toks(j))
+        out += (if (id == null) -1 else id.intValue())
+        j += 1
       }
-      i += 1
     }
     new GenericArrayData(out.toArray)
   }
@@ -281,13 +326,8 @@ object BpeSupport {
   /** Byte-level [[countTokens]]: sum of [[tokenizeWordBytes]] lengths. */
   def countTokensBytes(text: UTF8String, ranks: Ranks): Int = {
     if (text == null) return 0
-    val words = text.toString.split("\\s+")
     var total = 0
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) total += tokenizeWordBytes(words(i), ranks).length
-      i += 1
-    }
+    UnigramSupport.eachWord(text)(w => total += tokenizeWordBytes(w, ranks).length)
     total
   }
 
@@ -297,20 +337,15 @@ object BpeSupport {
       ranks: Ranks,
       vocab: java.util.HashMap[String, Integer]): GenericArrayData = {
     if (text == null) return new GenericArrayData(Array.emptyIntArray)
-    val words = text.toString.split("\\s+")
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) {
-        val toks = tokenizeWordBytes(words(i), ranks)
-        var j = 0
-        while (j < toks.length) {
-          val id = vocab.get(toks(j))
-          out += (if (id == null) -1 else id.intValue())
-          j += 1
-        }
+    UnigramSupport.eachWord(text) { w =>
+      val toks = tokenizeWordBytes(w, ranks)
+      var j = 0
+      while (j < toks.length) {
+        val id = vocab.get(toks(j))
+        out += (if (id == null) -1 else id.intValue())
+        j += 1
       }
-      i += 1
     }
     new GenericArrayData(out.toArray)
   }
@@ -327,22 +362,16 @@ object BpeSupport {
 
   private def pairsOf(text: UTF8String, ranks: Ranks, byteLevel: Boolean): GenericArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val words = text.toString.split("\\s+")
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) {
-        val syms =
-          if (byteLevel) tokenizeWordBytes(words(i), ranks) else tokenizeWord(words(i), ranks)
-        var j = 0
-        while (j < syms.length - 1) {
-          out += org.apache.spark.sql.catalyst.InternalRow(
-            UTF8String.fromString(syms(j)),
-            UTF8String.fromString(syms(j + 1)))
-          j += 1
-        }
+    UnigramSupport.eachWord(text) { w =>
+      val syms = if (byteLevel) tokenizeWordBytes(w, ranks) else tokenizeWord(w, ranks)
+      var j = 0
+      while (j < syms.length - 1) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(syms(j)),
+          UTF8String.fromString(syms(j + 1)))
+        j += 1
       }
-      i += 1
     }
     new GenericArrayData(out.toArray)
   }
@@ -371,8 +400,10 @@ object BpeSupport {
     * by BpeSpec's randomized property.
     */
   def duckWordCountSql(wordExpr: String, merges: Seq[(String, String)]): String =
-    s"CASE WHEN len($wordExpr) = 0 THEN 0 " +
-      s"ELSE len(${duckWordSymbolsSql(wordExpr, merges)}) END"
+    // no empty-word CASE: duckWordSymbolsSql already yields CAST([] AS
+    // VARCHAR[]) for the empty word, whose len() is the same 0 (the byte
+    // twin documents the identical reasoning)
+    s"len(${duckWordSymbolsSql(wordExpr, merges)})"
 
   /** The per-word chain's FINAL SYMBOL LIST (empty for the empty word) —
     * the building block both the token count and the vocabulary-membership
@@ -400,8 +431,11 @@ object BpeSupport {
     * whitespace-split words of `textExpr`.
     */
   def duckDocCountSql(textExpr: String, merges: Seq[(String, String)]): String =
-    s"""CAST(coalesce(list_sum([${duckWordCountSql("w", merges)}
-       | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
+    // NULL text stays NULL (the engine expressions are nullIntolerant);
+    // the coalesce exists for the zero-WORD document, not the null one
+    s"""CASE WHEN ($textExpr) IS NULL THEN NULL
+       | ELSE CAST(coalesce(list_sum([${duckWordCountSql("w", merges)}
+       | for w in regexp_split_to_array($textExpr, '[ \\t\\n\\v\\f\\r]+')]), 0) AS BIGINT) END""".stripMargin
 
   /** Whole-document OUT-OF-VOCABULARY symbol count under (merges, vocab):
     * the chain's final symbols filtered by vocabulary membership — the
@@ -412,8 +446,9 @@ object BpeSupport {
       textExpr: String, merges: Seq[(String, String)], vocab: Seq[String]): String = {
     val lst = vocab.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
     val sym = duckWordSymbolsSql("w", merges)
-    s"""CAST(coalesce(list_sum([len(list_filter($sym, s -> NOT list_contains([$lst], s)))
-       | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
+    s"""CASE WHEN ($textExpr) IS NULL THEN NULL
+       | ELSE CAST(coalesce(list_sum([len(list_filter($sym, s -> NOT list_contains([$lst], s)))
+       | for w in regexp_split_to_array($textExpr, '[ \\t\\n\\v\\f\\r]+')]), 0) AS BIGINT) END""".stripMargin
   }
 
   /** [[ByteToChar]] as a SQL string literal: character b+1 is byte b's
@@ -479,8 +514,9 @@ object BpeSupport {
 
   /** Whole-document byte-level DuckDB token count. */
   def duckByteDocCountSql(textExpr: String, merges: Seq[(String, String)]): String =
-    s"""CAST(coalesce(list_sum([${duckByteWordCountSql("w", merges)}
-       | for w in regexp_split_to_array($textExpr, '\\s+')]), 0) AS BIGINT)""".stripMargin
+    s"""CASE WHEN ($textExpr) IS NULL THEN NULL
+       | ELSE CAST(coalesce(list_sum([${duckByteWordCountSql("w", merges)}
+       | for w in regexp_split_to_array($textExpr, '[ \\t\\n\\v\\f\\r]+')]), 0) AS BIGINT) END""".stripMargin
 }
 
 /** INT BPE token count of a string column (codegen-enabled). */

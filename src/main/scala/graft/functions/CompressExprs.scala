@@ -30,16 +30,28 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
   * different zlib build may emit a few bytes more or less.
   */
 object CompressSupport {
+  // one native Deflater per (thread, level), reset per row: allocating and
+  // end()ing a native zlib stream per ROW dominated small-document
+  // workloads on this scan hot path (the quality gates run it on every
+  // document); reset() yields byte-identical output. Keyed by level (the
+  // expression is constructed with one level, but two expressions at
+  // different levels may share a task thread).
+  private val deflaters =
+    new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
+      override def initialValue() = new java.util.HashMap[Int, java.util.zip.Deflater]()
+    }
+
   def deflatedSize(bytes: Array[Byte], level: Int): Int = {
-    val d = new java.util.zip.Deflater(level, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val pool = deflaters.get()
+    var d = pool.get(level)
+    if (d == null) { d = new java.util.zip.Deflater(level, true); pool.put(level, d) }
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

@@ -69,11 +69,33 @@ object UnigramSupport {
     Model(m, maxLen, unkCost)
   }
 
-  /** Viterbi DP for one word: (totalCostMilli, nTokens, backLengths).
-    * backLengths(i) = length of the best piece ENDING at position i.
+  /** Codepoint boundary offsets of `word`: bounds(k) is the char offset
+    * where codepoint k starts, bounds(last) = word.length. The DP below
+    * steps by CODEPOINT, not UTF-16 code unit — a code-unit DP priced an
+    * astral-plane character (emoji, rare CJK) as TWO unk tokens (its
+    * surrogate halves) where the generated DuckDB oracle's
+    * codepoint-indexed substr prices one, silently diverging (n_tokens,
+    * total_cost_milli) on real web text.
     */
-  private def viterbi(word: String, m: Model): (Long, Int, Array[Int]) = {
-    val n = word.length
+  private def codepointBounds(word: String): Array[Int] = {
+    val out = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      out(k) = i; k += 1
+      i += Character.charCount(word.codePointAt(i))
+    }
+    out(k) = word.length
+    out
+  }
+
+  /** Viterbi DP for one word: (totalCostMilli, nTokens, backLengths,
+    * codepointBounds). backLengths(i) = CODEPOINT length of the best
+    * piece ENDING at codepoint position i.
+    */
+  private def viterbi(word: String, m: Model): (Long, Int, Array[Int], Array[Int]) = {
+    val bounds = codepointBounds(word)
+    val n = bounds.length - 1
     val dpCost = new Array[Long](n + 1)
     val dpTok = new Array[Int](n + 1)
     val back = new Array[Int](n + 1)
@@ -82,10 +104,12 @@ object UnigramSupport {
       var bestCost = Long.MaxValue
       var bestTok = Int.MaxValue
       var bestJ = -1
+      // a piece of j codepoints is at least j chars, so maxPieceLen (chars)
+      // still bounds the candidate window
       val jMax = math.min(m.maxPieceLen, i)
       var j = 1
       while (j <= jMax) {
-        val piece = word.substring(i - j, i)
+        val piece = word.substring(bounds(i - j), bounds(i))
         val c0 = m.costs.get(piece)
         val c: java.lang.Long = if (c0 == null && j == 1) m.unkCost else c0
         if (c != null) {
@@ -103,18 +127,20 @@ object UnigramSupport {
       dpCost(i) = bestCost; dpTok(i) = bestTok; back(i) = bestJ
       i += 1
     }
-    (dpCost(n), dpTok(n), back)
+    (dpCost(n), dpTok(n), back, bounds)
   }
 
-  /** The pre-tokenizer boundary class: ASCII whitespace ONLY, matching
-    * the trainer's split, the q160 fixture and the generated DuckDB
-    * replay (RE2's \s is ASCII-only) — a broader Java predicate here
+  /** The pre-tokenizer boundary class: ASCII whitespace ONLY — exactly
+    * Java's \s = [ \t\n\u000B\f\r], which the generated DuckDB
+    * replays spell as the explicit class '[ \t\n\v\f\r]+' (RE2's \s
+    * OMITS \v/U+000B, so the bare '\s+' the oracles used to emit split
+    * differently on vertical-tab text). A broader Java predicate here
     * would split words the oracle keeps whole (U+3000 et al.) and the
     * per-doc counts would silently diverge on CJK text.
     */
   private def isAsciiWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
-  private def eachWord[A](text: UTF8String)(f: String => Unit): Unit = {
+  private[functions] def eachWord[A](text: UTF8String)(f: String => Unit): Unit = {
     val s = text.toString
     var i = 0
     val n = s.length
@@ -141,13 +167,13 @@ object UnigramSupport {
   def tokens(text: UTF8String, m: Model): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     eachWord(text) { w =>
-      val (_, nTok, back) = viterbi(w, m)
+      val (_, nTok, back, bounds) = viterbi(w, m)
       val pieces = new Array[Any](nTok)
-      var i = w.length
+      var i = bounds.length - 1 // codepoint positions, like the DP
       var k = nTok - 1
       while (i > 0) {
         val j = back(i)
-        pieces(k) = UTF8String.fromString(w.substring(i - j, i))
+        pieces(k) = UTF8String.fromString(w.substring(bounds(i - j), bounds(i)))
         i -= j
         k -= 1
       }
@@ -174,7 +200,7 @@ object UnigramSupport {
     val chain = duckDpChain("w", pieces, unkCost, maxLen)
     val list = (0 to maxLen).map(i => s"dp$i").mkString(", ")
     s"""WITH words AS (
-       |  SELECT $idCol AS __id, unnest(regexp_split_to_array($textExpr, '\\s+')) AS w0
+       |  SELECT $idCol AS __id, unnest(regexp_split_to_array($textExpr, '[ \\t\\n\\v\\f\\r]+')) AS w0
        |  FROM $table),
        |trunc AS (SELECT __id, substr(w0, 1, $maxLen) AS w FROM words WHERE len(w0) > 0),
        |dp AS (SELECT __id, w, CAST(0 AS BIGINT) AS dp0, $chain FROM trunc),
@@ -182,8 +208,11 @@ object UnigramSupport {
        |agg AS (SELECT __id, CAST(SUM(packed % 1024) AS BIGINT) AS n_tokens,
        |               CAST(SUM(packed // 1024) AS BIGINT) AS total_cost_milli
        |        FROM pk GROUP BY __id)
-       |SELECT t.$idCol, COALESCE(agg.n_tokens, 0) AS n_tokens,
-       |       COALESCE(agg.total_cost_milli, 0) AS total_cost_milli
+       |SELECT t.$idCol,
+       |       CASE WHEN ($textExpr) IS NULL THEN NULL
+       |            ELSE COALESCE(agg.n_tokens, 0) END AS n_tokens,
+       |       CASE WHEN ($textExpr) IS NULL THEN NULL
+       |            ELSE COALESCE(agg.total_cost_milli, 0) END AS total_cost_milli
        |FROM $table t LEFT JOIN agg ON t.$idCol = agg.__id
        |ORDER BY t.$idCol""".stripMargin
   }

@@ -449,7 +449,7 @@ object DedupQueries {
     Some(s"""
       WITH RECURSIVE $reachCte,
       comp AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id),
-      t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+      t AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+') AS toks FROM documents),
       m AS (SELECT doc_id, len(toks) AS n,
                    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','on','for'))) AS n_stop,
                    list_sum(list_transform(toks, w -> len(w))) AS total_len
@@ -892,7 +892,7 @@ object DedupQueries {
       WITH ds AS (SELECT doc_id, text FROM documents
                   WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0),
       ${minhashPairsCte.replace("FROM documents", "FROM ds")},
-      toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM ds),
+      toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+') AS t FROM ds),
       gs AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))])) AS gs FROM toks),
       g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM gs),
       sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),

@@ -86,7 +86,7 @@ object SamplingQueries {
         .orderBy($"doc_id")
     },
     Some(s"""
-      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+') AS toks FROM documents),
       m AS (SELECT doc_id, len(toks) AS n,
                    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','on','for'))) AS n_stop,
                    list_sum(list_transform(toks, w -> len(w))) AS total_len
@@ -177,7 +177,7 @@ object SamplingQueries {
     },
     Some(s"""
       WITH t AS (SELECT doc_id,
-                        CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n,
+                        CAST(len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT) AS n,
                         ${duckHash("doc_id")} AS h
                  FROM documents),
       c AS (SELECT doc_id, CAST(h % 4 AS INT) AS shard, n,
@@ -296,7 +296,7 @@ object SamplingQueries {
         .orderBy($"doc_id")
     },
     Some(tokenBudgetOracleSql(
-      "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)"))
+      "CAST(len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT)"))
   )
 
   /** The merges table q106 budgets with: a tiny well-formed English-pair
@@ -528,7 +528,7 @@ object SamplingQueries {
         .orderBy($"doc_id")
     },
     Some(tokenBudgetOracleSql(
-      "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)",
+      "CAST(len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT)",
       budgetCte = Some("""
       srcw AS (SELECT grp, CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE)) * 67108864) AS BIGINT) AS w
                FROM base0 GROUP BY grp),
@@ -566,7 +566,7 @@ object SamplingQueries {
         .orderBy($"doc_id", $"epoch")
     },
     Some {
-      val tok = "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)"
+      val tok = "CAST(len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT)"
       val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
       s"""
       WITH base0 AS (SELECT doc_id, source AS grp, $tok AS tok, $h AS h FROM documents),
@@ -624,7 +624,7 @@ object SamplingQueries {
       },
       Some(s"""
         WITH toks AS (SELECT doc_id, source = 'src0' AS tgt,
-                             regexp_split_to_array(lower(text), '\\s+') AS t
+                             regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+') AS t
                       FROM documents),
         bi AS (SELECT doc_id, tgt,
                       unnest([array_to_string(t[i:i+1], ' ') for i in range(1, greatest(len(t), 2))]) AS g

@@ -370,11 +370,11 @@ object SimilarityQueries {
     */
   private def bm25CtesSql(termsInList: String, k: Int): String = s"""
       nn AS (SELECT count(*) AS n,
-                    CAST(sum(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS s
+                    CAST(sum(len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'))) AS BIGINT) AS s
              FROM documents),
       tok AS (SELECT doc_id,
-                     len(regexp_split_to_array(lower(text), '\\s+')) AS dl,
-                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+                     len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS dl,
+                     unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS term
               FROM documents),
       tf AS (SELECT doc_id, dl, term, count(*) AS tf
              FROM tok WHERE term IN ($termsInList) GROUP BY 1, 2, 3),

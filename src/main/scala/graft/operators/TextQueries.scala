@@ -200,7 +200,7 @@ object TextQueries {
     // B^(k-1) ... B^0 mod M, same as HashSupport.winnowing's table
     val pw = Array.iterate(1L, k)(_ * B % M).reverse
     val pwLit = pw.mkString("[", ", ", "]")
-    s"""norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    s"""norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS t FROM documents),
        |cs AS (SELECT doc_id, [ord(substr(t, i, 1))::BIGINT for i in range(1, len(t)+1)] AS c FROM norm),
        |hs AS (SELECT doc_id, [list_sum([(c[i+j-1] * $pwLit[j]) % $M for j in range(1, $k+1)]) % $M
        |                       for i in range(1, len(c)-$k+2)] AS hs
@@ -687,7 +687,7 @@ object TextQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
         feats AS (SELECT doc_id, unnest(
                     [t[i] for i in range(1, len(t) + 1)] ||
                     [array_to_string(t[i:i+1], ' ') for i in range(1, greatest(len(t), 2))]) AS f

@@ -96,7 +96,7 @@ object UrlQueries {
     },
     Some(
       SamplingQueries.tokenBudgetOracleSql(
-        tokExpr = "CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)",
+        tokExpr = "CAST(len(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT)",
         groupExpr = UrlOps.duckDomainSql(UrlOps.duckCanonicalSql(rawUrlSql)),
         groupName = "domain",
         budgets = Seq("example.com" -> 2000L, "example.co.uk" -> 1000L, "sample.org" -> 500L)

@@ -79,6 +79,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("codepoint atoms: astral-plane characters are ONE atom, never surrogate halves") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = ranks(merges)
+    val emoji = new String(Character.toChars(0x1F600)) // U+1F600, 2 UTF-16 units
+    // char-level: one codepoint atom — the oracle's '(.)' atomization
+    // counts codepoints, and a charAt walk read TWO (the surrogate pair),
+    // diverging the gate and emitting lone-surrogate symbols UTF8String
+    // mangles to '?'
+    assert(BpeSupport.tokenizeWord(emoji, r).toSeq == Seq(emoji))
+    assert(BpeSupport.countTokens(UTF8String.fromString(s"the $emoji"), r) == 2)
+    // adjacent pairs over a mixed word never contain a lone surrogate
+    val syms = BpeSupport.tokenizeWord(s"a$emoji", r)
+    assert(syms.toSeq == Seq("a", emoji))
+    assert(!syms.exists(s0 => s0.length == 1 && Character.isSurrogate(s0.charAt(0))))
+    // byte-level path was always codepoint-safe (UTF-8 bytes): 4 atoms
+    assert(BpeSupport.byteAtoms(emoji).length == 4)
+  }
+
+  test("whitespace boundary is exactly Java \\s (incl. U+000B), matching the oracle's explicit class") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = ranks(merges)
+    // x<VT>y: two words on the engine side; the generated oracle now
+    // splits on '[ \t\n\v\f\r]+' (RE2's bare \s OMITS \v, so the old
+    // oracle kept one word and the counts silently diverged)
+    assert(BpeSupport.countTokens(UTF8String.fromString("x\u000By"), r) == 2)
+    assert(BpeSupport.duckDocCountSql("text", merges).contains("""[ \t\n\v\f\r]+"""),
+      "the oracle must spell the Java-\\s class explicitly")
+  }
+
   test("self-pairs follow GPT-2's symbol-pairwise walk (engine semantics beyond the SQL replay)") {
     val r = ranks(Seq(("a", "a"), ("aa", "aa")))
     assert(BpeSupport.tokenizeWord("aaaaaa", r).toSeq == Seq("aaaa", "aa"),
@@ -228,6 +257,21 @@ class BpeSpec extends SparkSpec {
       .select($"id", BpeExprs.bpeByteDecodeIds($"ids", badVocab).as("t"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(bout(1L).contains("a") && bout(2L).isEmpty)
+    // byte-level: an id stream whose ASSEMBLED bytes are not UTF-8 (a lead
+    // byte with no continuation — every symbol individually passes the
+    // alphabet check) must decode to NULL, never mint a malformed
+    // UTF8String (the SQL mirror errors on the same input)
+    val leadOnly = Seq(String.valueOf(BpeSupport.ByteToChar(0xC3))) // lone 0xC3
+    val mout = Seq((1L, Seq(0))).toDF("id", "ids")
+      .select(BpeExprs.bpeByteDecodeIds($"ids", leadOnly).as("t"))
+      .collect()
+    assert(mout.head.isNullAt(0), "truncated multi-byte sequence must decode to NULL")
+    // and a VALID multi-byte assembly still round-trips
+    val okVocab = Seq(BpeSupport.byteAtoms("é").mkString) // "Ã©" merged symbol
+    val vout = Seq((1L, Seq(0))).toDF("id", "ids")
+      .select(BpeExprs.bpeByteDecodeIds($"ids", okVocab).as("t"))
+      .collect()
+    assert(vout.head.getString(0) == "é")
   }
 
   test("oracle SQL escapes apostrophes in merge symbols; Ranks equality is structural") {

@@ -55,6 +55,16 @@ class UnigramSpec extends SparkSpec {
     assert(count("ab cb") == 3) // "ab" + "c","b" (no piece spans the space)
   }
 
+  test("astral-plane characters price as ONE unk codepoint, not two surrogate halves") {
+    // the DuckDB replay's substr/len are codepoint-indexed; a code-unit
+    // DP priced an emoji as TWO unk tokens and diverged (n_tokens, cost)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(count(s"a$emoji") == 2, "piece 'a' + one unk codepoint")
+    assert(cost(s"a$emoji") == 3L + unk)
+    assert(toks(s"a$emoji") == Seq("a", emoji), "the unk token is the WHOLE codepoint")
+    assert(count(emoji) == 1 && cost(emoji) == unk)
+  }
+
   test("trainer: deterministic across runs, singles never pruned, vocab size hit") {
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog",
