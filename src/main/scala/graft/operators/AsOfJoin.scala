@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * the same cost as any window query — and no quadratic intermediate, so it
   * survives 100 TB wherever a plain window does. Right rows sort BEFORE left
   * rows at equal timestamps (inclusive at-or-before semantics); ties among
-  * right rows at the same timestamp resolve to the greatest tiebreak value.
+  * right rows at the same timestamp resolve to the greatest tiebreak value
+  * (native type, NULL ties lowest), then to the payload's content hash —
+  * one stable winner on any partitioning. NULL-keyed rows follow equi-join
+  * semantics: a null-keyed left row attaches nothing, a null-keyed right
+  * row matches nothing.
   */
 object AsOfJoin {
 
@@ -52,25 +56,41 @@ object AsOfJoin {
       s"rightTie '$rightTie' must be numeric: a lossy cast would NULL the tiebreak and make " +
         "equal-timestamp picks partition-layout-dependent")
 
+    val tieType = right.schema(rightTie).dataType
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(Long.MaxValue))
+      // left rows already sort after every equal-ts right row via __side;
+      // their tie value is inert (typed null, no magic constant needed)
+      .withColumn("__tie", lit(null).cast(tieType))
+      .withColumn("__th", lit(0L))
       .withColumn("__p", lit(null).cast(org.apache.spark.sql.types.StructType(
         right.select(payload.map(col): _*).schema.fields)))
     val r = right
       // a NULL-timestamped right row is at-or-before nothing (matching the
       // inequality-join semantics); dropped here, NOT sorted nulls-first
-      // where it would wrongly attach to every left row
+      // where it would wrongly attach to every left row. NULL-KEYED right
+      // rows likewise: SQL equi-joins never match NULL = NULL, and the
+      // window's partitionBy WOULD group them with null-keyed left rows —
+      // silently attaching unrelated reference rows.
       .filter(col(rightTs).isNotNull)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__tie", col(rightTie).cast("long"))
+      // the tiebreak keeps its NATIVE type: the old cast("long") truncated
+      // fractional ties (2.9 and 2.1 both -> 2), making equal-timestamp
+      // picks partition-layout-dependent — the exact nondeterminism the
+      // numeric require exists to prevent
+      .withColumn("__tie", col(rightTie))
       .withColumn("__p", struct(payload.map(col): _*))
+      // content hash as the FINAL disambiguator (the upsert tie rule):
+      // several right rows tied on (ts, tie) — or tied at NULL tie — must
+      // still resolve to ONE stable winner across partitionings
+      .withColumn("__th", xxhash64(to_json(col("__p"))))
       .drop(payload: _*)
 
     // Same column order on both union legs.
-    val cols = keys ++ Seq("__ts", "__side", "__tie", "__p")
+    val cols = keys ++ Seq("__ts", "__side", "__tie", "__th", "__p")
     val leftCarry = left.columns.filterNot(cols.contains)
     val lRows = l.select((cols ++ leftCarry).map(col): _*)
     val rRows = r.select(cols.map(col): _*)
@@ -79,7 +99,8 @@ object AsOfJoin {
 
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(col("__ts").asc, col("__side").asc,
+        col("__tie").asc_nulls_first, col("__th").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lRows

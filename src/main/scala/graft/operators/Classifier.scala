@@ -52,11 +52,19 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val feats = (1 to maxNgram)
-      .map(n => graft.functions.HashExprs.wordNGrams(col(textCol), n))
-      .reduce(concat(_, _))
-    val bucketOf = (f: org.apache.spark.sql.Column) =>
-      (conv(substring(md5(f), 1, 15), 16, 10).cast("long") % numBuckets).cast("int")
+    // one extra pass over the (small, labeled) training set: a single NULL
+    // text/id/label otherwise dies deep in the typed mapGroups path as an
+    // opaque executor NPE/encoder error after task retries
+    val dirty = docs
+      .filter(col(idCol).isNull || col(textCol).isNull || col(labelCol).isNull)
+      .count()
+    require(dirty == 0L,
+      s"trainHashedPerceptron: $dirty labeled rows have a NULL id/text/label — " +
+        "clean or filter them explicitly; silently dropping training signal is not a default")
+    // the SHARED feature/bucket definitions (TextAnalysis) — train/score
+    // bit-parity rests on them being one copy
+    val feats = TextAnalysis.hashedNgramFeatures(col(textCol), maxNgram)
+    val bucketOf = (f: org.apache.spark.sql.Column) => TextAnalysis.featureBucket(f, numBuckets)
     val h = Sampling.hash60(col(idCol))
     val prepared = docs
       .select(

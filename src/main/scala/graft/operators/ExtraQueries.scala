@@ -402,10 +402,11 @@ object ExtraQueries {
   )
 
   /** Conversion funnel ([[Funnel.stages]]): signup → view → purchase in
-    * timestamp order per user, stage counts. Ordering matters (a purchase
-    * before the signup must not convert) — the oracle chains three
-    * min-at-or-after aggregations; the Spark side folds the same chain over
-    * per-user arrays in ONE shuffle.
+    * timestamp order per user within the 2-day gap, stage counts. Ordering
+    * matters (a purchase before the signup must not convert) and
+    * "converted" means A CHAIN EXISTS — the oracle materializes every
+    * achievable step time via gap-window joins; the Spark side folds the
+    * same achievable sets over per-user arrays in ONE shuffle.
     */
   private val q70 = Q(
     "q70_funnel",
@@ -424,18 +425,25 @@ object ExtraQueries {
     },
     Some("""
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-      s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
-      s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
-             WHERE event_type = 'view' AND us >= t1 AND us <= t1 + 172800000000 GROUP BY 1),
-      s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
-             WHERE event_type = 'purchase' AND us >= t2 AND us <= t2 + 172800000000 GROUP BY 1)
+      -- exists-a-chain semantics (the engine's achievable-set fold): every
+      -- ACHIEVABLE step-i completion time, not the greedy earliest — a
+      -- greedy min-chain undercounts when only a LATER step-(i-1) event
+      -- keeps step i inside its gap window
+      s1 AS (SELECT user_id, us FROM e WHERE event_type = 'signup'),
+      s2 AS (SELECT DISTINCT e.user_id, e.us FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND e.us >= s1.us AND e.us <= s1.us + 172800000000),
+      s3 AS (SELECT DISTINCT e.user_id, e.us FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND e.us >= s2.us AND e.us <= s2.us + 172800000000),
+      u1 AS (SELECT DISTINCT user_id FROM s1),
+      u2 AS (SELECT DISTINCT user_id FROM s2),
+      u3 AS (SELECT DISTINCT user_id FROM s3)
       SELECT stage, CAST(count(*) AS BIGINT) AS users FROM (
-        SELECT s1.user_id,
-               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
-                         WHEN s2.user_id IS NOT NULL THEN 2
+        SELECT u1.user_id,
+               CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+                         WHEN u2.user_id IS NOT NULL THEN 2
                          ELSE 1 END AS INT) AS stage
-        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-                LEFT JOIN s3 ON s1.user_id = s3.user_id
+        FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+                LEFT JOIN u3 ON u1.user_id = u3.user_id
       ) GROUP BY stage ORDER BY stage
     """.trim)
   )

@@ -38,20 +38,34 @@ object Funnel {
       collect_list(when(col(typeCol) === s, col(tsCol))).as(s"ts_$i")
     }
     val g = events.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
-    // fold the chain: t0 = min step-0 time; t_i = min step-i time >= t_{i-1}.
-    // A null t_{i-1} nulls the filter lambda -> empty array -> null t_i, so
-    // the chain shorts out exactly where the funnel breaks.
-    val t0 = array_min(col("ts_0"))
-    val times = steps.indices.drop(1).foldLeft(Seq(t0)) { (acc, i) =>
-      val prev = acc.last
-      val inWindow = maxGap match {
-        case Some(g) => (x: Column) => x >= prev && x <= prev + lit(g)
-        case None    => (x: Column) => x >= prev
-      }
-      acc :+ array_min(filter(col(s"ts_$i"), inWindow))
+    val reached: Seq[Column] = maxGap match {
+      case None =>
+        // no gap: greedy earliest-next-step is provably optimal — fold
+        // t0 = min step-0 time; t_i = min step-i time >= t_{i-1}. A null
+        // t_{i-1} nulls the filter lambda -> empty array -> null t_i, so
+        // the chain shorts out exactly where the funnel breaks.
+        val t0 = array_min(col("ts_0"))
+        steps.indices.drop(1).foldLeft(Seq(t0)) { (acc, i) =>
+          acc :+ array_min(filter(col(s"ts_$i"), x => x >= acc.last))
+        }.map(_.isNotNull)
+      case Some(gap) =>
+        // WITH a gap, greedy-earliest UNDERCOUNTS: picking the earliest
+        // step-(i-1) time can strand step i outside its window when a
+        // later in-window step-(i-1) event would have chained (A@0, B@1,
+        // B@9, C@15 with gap 10 converts via B@9 — min-B@1 misses it).
+        // "Converted" means A CHAIN EXISTS, so track every ACHIEVABLE
+        // step-i completion time: step-i events within the gap after SOME
+        // achievable step-(i-1) time. Per-user cost is |ts_i|·|ach_{i-1}|
+        // array work — bounded by per-user step events (the pathological-
+        // user pre-aggregation note above applies unchanged).
+        steps.indices.drop(1).foldLeft(Seq(col("ts_0"))) { (acc, i) =>
+          val prev = acc.last
+          acc :+ filter(col(s"ts_$i"),
+            x => exists(prev, p => x >= p && x <= p + lit(gap)))
+        }.map(size(_) > 0)
     }
-    val stage: Column = times.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
-      when(t.isNotNull, i + 1).otherwise(acc)
+    val stage: Column = reached.zipWithIndex.foldLeft(lit(0)) { case (acc, (ok, i)) =>
+      when(ok, i + 1).otherwise(acc)
     }
     g.select(stage.as("stage"))
       .filter(col("stage") >= 1)

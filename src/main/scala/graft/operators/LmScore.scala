@@ -125,7 +125,11 @@ object LmScore {
         when(col("cntB").isNotNull && col("__pos") >= 1, 1L).otherwise(0L).as("hit"))
       .groupBy("doc_id")
       .agg(
-        sum(col("cost")).as("c"),
+        // DECIMAL(38,0) sum (the q151 widening rule): per-token costs reach
+        // tv*Scale ~ 1e15 at the require's ceiling, so a 100k-token all-OOV
+        // document — exactly what the fluency gate must REJECT — wrapped a
+        // Long sum negative under ANSI-off and scored as maximally fluent
+        sum(col("cost").cast("decimal(38,0)")).cast("long").as("c"),
         count(lit(1)).as("n_tokens"),
         sum(col("hit")).as("bigram_hits"))
       .select(
@@ -153,7 +157,9 @@ object LmScore {
         coalesce(expr(s"${tv * Scale}L DIV (cnt + 1L)"), lit(tv * Scale)).as("cost")
       )
       .groupBy("doc_id")
-      .agg(sum(col("cost")).as("c"), count(lit(1)).as("n_tokens"))
+      // decimal-widened like scoreBigram's sum (same overflow argument)
+      .agg(sum(col("cost").cast("decimal(38,0)")).cast("long").as("c"),
+        count(lit(1)).as("n_tokens"))
       .select(
         col("doc_id"),
         col("n_tokens"),

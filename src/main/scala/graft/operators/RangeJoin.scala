@@ -49,10 +49,19 @@ object RangeJoin {
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"point/interval column collision: ${dup.mkString(", ")}")
     val pts = points.withColumn("__bucket", floorDiv(s"`$pointCol`", bucketWidth))
-    val ivs = intervals.withColumn(
-      "__bucket",
-      explode(sequence(floorDiv(s"`$startCol`", bucketWidth), floorDiv(s"`$endCol`", bucketWidth)))
-    )
+    // inverted intervals (end < start) generate NOTHING — the SQL oracle's
+    // generate_series contract — where a bare sequence() auto-steps -1 and
+    // exploded a corrupt row into O(interval/width) DESCENDING buckets.
+    // NOTE the remaining envelope: a genuinely open-ended interval (e.g. an
+    // end = Long.MaxValue validity sentinel) wants buckets ~ range/width,
+    // which sequence() refuses past the array limit — clamp sentinel ends
+    // to the points' max before calling, that is the semantics you meant.
+    val ivs = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn(
+        "__bucket",
+        explode(sequence(floorDiv(s"`$startCol`", bucketWidth), floorDiv(s"`$endCol`", bucketWidth)))
+      )
     pts
       .join(ivs, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))

@@ -15,6 +15,22 @@ object TextAnalysis {
   val StopWords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
+  /** The hashed n-gram feature stream and its bucket function — ONE
+    * definition shared by [[hashedLinearScore]] and
+    * [[Classifier.trainHashedPerceptron]]: a trained weight table is only
+    * valid under the scorer's EXACT bucket mapping, and two drifting
+    * copies would silently degrade the classifier to noise (training
+    * still converges, scoring still runs — just against the wrong
+    * indices).
+    */
+  private[operators] def hashedNgramFeatures(text: Column, maxNgram: Int): Column =
+    (1 to maxNgram)
+      .map(n => graft.functions.HashExprs.wordNGrams(text, n))
+      .reduce(concat(_, _))
+
+  private[operators] def featureBucket(f: Column, numBuckets: Int): Column =
+    (conv(substring(md5(f), 1, 15), 16, 10).cast("long") % numBuckets).cast("int")
+
   /** Marker-word language ID sets. Ties / no markers fall through to 'en'. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
@@ -586,11 +602,7 @@ object TextAnalysis {
     require(maxNgram >= 1, s"maxNgram must be >= 1, got $maxNgram")
     val b = weights.length
     val w = array(weights.map(lit): _*)
-    val feats = (1 to maxNgram)
-      .map(n => graft.functions.HashExprs.wordNGrams(text, n))
-      .reduce(concat(_, _))
-    val bucket = (f: Column) =>
-      (conv(substring(md5(f), 1, 15), 16, 10).cast("long") % b).cast("int")
-    aggregate(feats, lit(0L), (acc, f) => acc + element_at(w, bucket(f) + 1))
+    val feats = hashedNgramFeatures(text, maxNgram)
+    aggregate(feats, lit(0L), (acc, f) => acc + element_at(w, featureBucket(f, b) + 1))
   }
 }

@@ -53,7 +53,10 @@ object TfIdf {
   ): DataFrame = {
     val n = df.count()
     val tf = df
-      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      // TextAnalysis.tokens — the engine-standard tokenizer; an inline
+      // split here would silently drift from every other operator's (and
+      // the oracles') token stream if the definition ever moves
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -72,7 +75,12 @@ object TfIdf {
       .select(
         col("doc_id"),
         col("term"),
-        (col("tf") * (lit((n + 1) * 100L).cast("long") / (col("df") + 1)).cast("long")).as("w")
+        // true INTEGER division (the oracle's `//`), not double-divide +
+        // truncating cast: the doubles agree only while (n+1)*100 fits
+        // 2^53 exactly — past ~9e13 docs the truncated double quotient can
+        // differ from the exact integer one, breaking the documented
+        // bit-reproducibility contract
+        (col("tf") * expr(s"${(n + 1) * 100L}L DIV (df + 1)")).as("w")
       )
   }
 
@@ -160,10 +168,17 @@ object TfIdf {
     // the index is built lowercased; match query terms case-insensitively
     // rather than silently scoring an uppercase term as absent
     val normTerms = terms.map(_.toLowerCase)
-    val toksOf = split(lower(col(textCol)), "\\s+")
+    val toksOf = TextAnalysis.tokens(col(textCol))
     // corpus stats: one driver-scalar row (the same footprint as
-    // TfIdf.weights' count()) — N docs and S total tokens
-    val stats = df.agg(count(lit(1)).as("n"), sum(size(toksOf)).as("s")).collect()(0)
+    // TfIdf.weights' count()) — N docs and S total tokens.
+    // greatest(size, 0): size(NULL toks) is -1 under ANSI-off, so a
+    // null-text row SUBTRACTED from S; and coalesce: an all-null corpus
+    // summed to NULL and getLong NPE'd the driver where the guarded
+    // empty-corpus path below returns 0 rows
+    val stats = df
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(greatest(size(toksOf), lit(0))), lit(0L)).as("s"))
+      .collect()(0)
     val n = stats.getLong(0)
     // empty-corpus early return preserving the caller's id TYPE (a
     // long-typed placeholder would silently change schema for string keys)

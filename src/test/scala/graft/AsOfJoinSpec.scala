@@ -70,6 +70,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(3), "null-ts right row must not attach")
   }
 
+  test("fractional tiebreaks keep their native precision; NULL keys follow equi-join semantics") {
+    // the old cast("long") collided 2.9 and 2.1 on tie=2 and the pick
+    // became partition-layout-dependent
+    val left = Seq(("k", 10L)).toDF("k", "ts")
+    val right = Seq(("k", 5L, 2.1, "low"), ("k", 5L, 2.9, "high"))
+      .toDF("k", "rts", "tie", "pay")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", "tie")
+      .select($"pay").as[String].head()
+    assert(got == "high", s"greatest NATIVE tie must win: $got")
+    // NULL keys: a null-keyed left row attaches nothing; a null-keyed
+    // right row matches nothing (the window's partitionBy WOULD have
+    // grouped them together)
+    val lN = Seq((null.asInstanceOf[String], 10L), ("k", 10L)).toDF("k", "ts")
+    val rN = Seq((null.asInstanceOf[String], 5L, 1.0, "ghost"), ("k", 5L, 1.0, "real"))
+      .toDF("k", "rts", "tie", "pay")
+    val rows = AsOfJoin.backward(lN, rN, Seq("k"), "ts", "rts", "tie")
+      .select($"k", $"pay").collect()
+      .map(r => Option(r.getString(0)) -> Option(r.getString(1))).toMap
+    assert(rows(Some("k")).contains("real"))
+    assert(rows(None).isEmpty, s"NULL = NULL must not match: $rows")
+  }
+
   test("a non-numeric tiebreak column is rejected instead of silently cast to NULL") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")

@@ -41,6 +41,16 @@ class ClassifierSpec extends SparkSpec {
     assert(wrong == 0, s"$wrong of ${scored.length} held-out docs misclassified")
   }
 
+  test("a NULL id/text/label in the labeled set is rejected loudly, not an executor NPE") {
+    // WordNGrams is nullIntolerant: a NULL text used to surface as an
+    // opaque NPE at buckets.foreach deep in mapGroups after task retries
+    val dirty = labeled(5).unionByName(
+      Seq((9999L, null.asInstanceOf[String], true)).toDF("doc_id", "text", "label"))
+    val e = intercept[IllegalArgumentException](
+      Classifier.trainHashedPerceptron(dirty, "doc_id", "text", "label", numBuckets = 1 << 8))
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("determinism: same data and config yield the identical integer table, any partitioning") {
     val train = labeled(30)
     val w1 = Classifier.trainHashedPerceptron(train.repartition(3), "doc_id", "text", "label", 1 << 10)

@@ -36,6 +36,24 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(2 -> 1L))
   }
 
+  test("maxGap converts when ANY chain exists, not only the greedy-earliest one") {
+    // A@0, B@1, B@9, C@15 with gap 10: greedy takes B@1 and strands C
+    // (window [1,11] empty) — but A@0 -> B@9 -> C@15 is a valid chain, so
+    // the user HAS converted. The achievable-set fold finds it.
+    val events = ev(
+      (1L, "signup", 0L), (1L, "view", 1L), (1L, "view", 9L), (1L, "purchase", 15L))
+    val got = Funnel.stages(events, "user_id", "event_type", "us",
+        Seq("signup", "view", "purchase"), maxGap = Some(10L))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(3 -> 1L), s"the non-greedy chain must convert: $got")
+    // and the gap still BINDS: no view within 10 of any signup -> stage 1
+    val stranded = ev((2L, "signup", 0L), (2L, "view", 11L), (2L, "purchase", 12L))
+    val got2 = Funnel.stages(stranded, "user_id", "event_type", "us",
+        Seq("signup", "view", "purchase"), maxGap = Some(10L))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1 -> 1L), s"out-of-window steps must not convert: $got2")
+  }
+
   test("Profile.numeric on castable-to-double strings: numeric extremes, not lexicographic") {
     val df = Seq(("9", "1"), ("10", "1.0")).toDF("a", "b")
     val rows = Profile.numeric(df, Seq("a", "b")).collect()

@@ -67,6 +67,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
 
+  test("an inverted interval (end < start) matches nothing — never a descending bucket blowup") {
+    val points = Seq(Tuple1(5L)).toDF("p")
+    val ivs = Seq((100L, 0L, "corrupt"), (0L, 10L, "ok")).toDF("s", "e", "tag")
+    val got = RangeJoin.pointInInterval(points, "p", ivs, "s", "e", 4L)
+      .select($"tag").as[String].collect().toSeq
+    assert(got == Seq("ok"),
+      "generate_series semantics: an inverted interval generates NOTHING " +
+        s"(sequence() would have auto-stepped -1 into O(range) buckets): $got")
+  }
+
   test("property: random intervals — bucketized results equal naive for several widths") {
     val rnd = new scala.util.Random(42)
     def randIntervals(n: Int, tag: String) = (1 to n).map { i =>
