@@ -43,6 +43,20 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", shufflePartitions)
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
+    // getOrCreate RETURNS AN EXISTING SESSION UNCHANGED, silently
+    // discarding every builder config above — including the analyzer
+    // extensions, which are injectable only at construction. That
+    // misconfiguration is invisible until a __current view fails to
+    // resolve or an ANSI cast throws where the engine expects NULL; fail
+    // HERE with the cause instead. (ansi/timezone are runtime-settable
+    // and healed; the extensions are not.)
+    if (s.conf.getOption("spark.sql.extensions").forall(!_.contains("graft.functions.GraftExtensions")))
+      throw new IllegalStateException(
+        "GraftSession.local() joined a pre-existing SparkSession built WITHOUT " +
+          "graft.functions.GraftExtensions — analyzer rules cannot be added after " +
+          "construction; stop the existing session first or build it via GraftSession.configure")
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.sparkContext.setLogLevel("WARN")
     // graft_* SQL functions available in every graft session (cluster
     // deployments get the same via spark.sql.extensions=GraftExtensions).

@@ -90,6 +90,9 @@ object CityRegistry {
         .select("url")
         .collect()
         .headOption
-        .map(_.getString(0))
+        // flatMap over Option(...): a registry row with a NULL url must be
+        // a MISS, not Some(null) — the CLI's .orElse would otherwise treat
+        // the lookup as a hit and hand the scraper a null base URL
+        .flatMap(r => Option(r.getString(0)))
     }
 }

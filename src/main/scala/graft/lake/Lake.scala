@@ -65,6 +65,29 @@ object Lake {
     recoverStrandedSwap(fs, path)
   }
 
+  /** Promote every table in `scope` stranded at `<table>.__old` by a
+    * crashed whole-table swap (same writer-only contract as
+    * [[recoverStrandedSwap]], which each WRITE entry point runs for its
+    * own table) — for maintenance jobs like [[UuidMigration.migrate]]
+    * that PLAN over the table listing: a stranded table is invisible to
+    * [[tables]] (work-dir filter), and planning around it would rewrite
+    * the rest of the scope while the strand later promotes back
+    * un-rewritten.
+    */
+  private[graft] def recoverScopeStrands(spark: SparkSession, root: String, scope: String): Unit = {
+    val p = new Path(s"$root/$scope")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(".__old"))
+      .foreach { st =>
+        val live = new Path(p, st.getPath.getName.stripSuffix(".__old"))
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"lake: found crashed swap at ${st.getPath} but could not promote it back to $live")
+      }
+  }
+
   /** Recovery sweep for crashed PER-LEAF swaps at every partition level:
     * data stranded at `.X.__old` with no live `X` promotes back; a
     * completed swap's leftover aside (or stale tmp) is dropped. Runs
@@ -369,6 +392,16 @@ object Lake {
     val old = s"$path.__old"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStrandedSwap(fs, path)
+    // FLAT tables only: partition discovery would fold col=value dirs into
+    // ordinary columns and the overwrite would write them back FLAT —
+    // destroying the layout and leaving the next appendPartitioned to mix
+    // hive dirs with flat files (the same hazard compactIfNeeded dispatches
+    // around). A per-leaf rewrite variant is the fix if one is ever needed.
+    val partitioned = fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path)).exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"rewriteTable rewrites FLAT tables; $path is hive-partitioned — a whole-table " +
+        "rewrite would destroy its layout")
     transform(spark.read.option("mergeSchema", "true").parquet(path))
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
     fs.delete(new Path(old), true) // clear a COMPLETED swap's leftover aside

@@ -48,7 +48,7 @@ case class ResolveScdViews(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation
-        if u.multipartIdentifier.length >= 2 &&
+        if u.multipartIdentifier.nonEmpty &&
           GraftCatalog.viewSuffixes.exists(u.multipartIdentifier.last.endsWith) =>
       val resolved = u.multipartIdentifier match {
         case Seq(cat, ns, table) =>
@@ -58,6 +58,16 @@ case class ResolveScdViews(spark: SparkSession) extends Rule[LogicalPlan] {
           spark.sessionState.catalogManager.currentCatalog match {
             case g: GraftCatalog => viewPlan(g, Identifier.of(Array(ns), table))
             case _               => None
+          }
+        case Seq(table) =>
+          // one-part name after `USE graft.<scope>`: current catalog +
+          // current namespace — `SELECT * FROM properties__current` must
+          // resolve wherever bare `properties` does
+          spark.sessionState.catalogManager.currentCatalog match {
+            case g: GraftCatalog =>
+              val ns = spark.sessionState.catalogManager.currentNamespace
+              if (ns.nonEmpty) viewPlan(g, Identifier.of(ns, table)) else None
+            case _ => None
           }
         case _ => None
       }

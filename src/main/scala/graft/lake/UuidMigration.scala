@@ -109,6 +109,11 @@ object UuidMigration {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(new Path(markerPath(root, scope))))
       return (0L, 0L) // already migrated (marker present)
+    // promote crashed-swap strands FIRST: a table sitting at `<t>.__old`
+    // is invisible to the listing, and migrating around it would flip the
+    // marker with that table still on legacy uuids — permanently, since
+    // the marker short-circuit would then refuse to heal it
+    Lake.recoverScopeStrands(spark, root, scope)
     val tables = Lake.tables(spark, root, scope)
     require(tables.contains("properties"),
       s"uuid migration needs a properties table under $root/$scope (found: ${tables.mkString(", ")})")

@@ -46,17 +46,33 @@ object ZOrder {
     * `bitsPerCol` bits via its min/max (one small aggregate job).
     */
   def zValue(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 16): Column = {
-    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) :+
+      count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nonEmpty = row.getLong(2 * cols.size) > 0
     val nb = (1L << bitsPerCol) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
-      // null min/max = empty input (or all-null column): constant rank
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
-      else {
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) {
+        // a non-empty input with null min/max means the column does not
+        // CAST to double (strings, dates, all-null) — a silent lit(0)
+        // rank would quietly defeat the clustering the caller asked for
+        // while they believe filters on it prune
+        require(!nonEmpty,
+          s"zOrder column '$c' has no double-castable range on a non-empty input " +
+            "(string/date/all-null column?) — cluster on numeric/timestamp columns, " +
+            "or pre-derive a numeric key (hash, epoch) for it")
+        lit(0L)
+      } else {
         val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        require(!lo.isNaN && !hi.isNaN,
+          s"zOrder column '$c' contains NaN — every row would rank identically " +
+            "(NaN poisons the normalization); filter or nanvl them first")
         if (hi == lo) lit(0L)
         else
-          least(greatest(((col(c).cast("double") - lo) * nb / (hi - lo)), lit(0.0)), lit(nb.toDouble))
+          // nanvl: a NaN VALUE (min/max can still be clean when ANSI-off
+          // min/max skip NaN orderings oddly) must not rank as nb
+          least(greatest(nanvl((col(c).cast("double") - lo) * nb / (hi - lo), lit(0.0)), lit(0.0)),
+            lit(nb.toDouble))
             .cast("long")
       }
     }

@@ -208,6 +208,21 @@ class CatalogSpec extends SparkSpec {
     assert(views == Set("properties__current", "properties__versions"), s"views: $views")
   }
 
+  test("one-part view names resolve after USE, wherever bare table names do") {
+    val root = mkScdLake()
+    GraftCatalog.register(spark, "graftuse", root)
+    try {
+      spark.sql("USE graftuse.vgsi")
+      // bare `properties` resolves via the current namespace — the bare
+      // __current view must resolve in the same session state (the rule
+      // used to require >= 2 name parts, so only the view failed)
+      assert(spark.sql("SELECT count(*) FROM properties").as[Long].head() == 50)
+      assert(spark.sql("SELECT count(*) FROM properties__current").as[Long].head() == 10)
+      assert(spark.sql("SELECT payload FROM properties__current WHERE uuid = 'uuid-7'")
+        .as[String].head() == "state-7-3")
+    } finally spark.sql("USE spark_catalog")
+  }
+
   test("__versions agrees with Scd.withVersions row-for-row when hashes are NULL") {
     // Scd.withVersions uses =!= (NULL-propagating): a NULL hash is never a
     // change. The view must match — NOT(<=>) would count NULL↔value

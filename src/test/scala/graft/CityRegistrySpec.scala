@@ -31,6 +31,16 @@ class CityRegistrySpec extends SparkSpec {
     assert(created1 == created0) // created_at survives the update
   }
 
+  test("a NULL stored url is a lookup MISS, never Some(null)") {
+    // the CLI's --base-url .orElse(cityUrl(...)) would treat Some(null) as
+    // a hit and hand the scraper a null base URL
+    val root = tmpDir("cities_null")
+    CityRegistry.upsert(spark, root,
+      Seq(("ghost", "Ghost", "ct", null.asInstanceOf[String], "vgsi"))
+        .toDF("city_key", "city_name", "state", "url", "type"))
+    assert(CityRegistry.cityUrl(spark, root, "ghost").isEmpty)
+  }
+
   test("crashed swap: readers serve from .__old WITHOUT mutating; the next writer heals") {
     val root = tmpDir("cities")
     val v1 = Seq(("a", "A", "ct", "http://a/", "vgsi")).toDF("city_key", "city_name", "state", "url", "type")

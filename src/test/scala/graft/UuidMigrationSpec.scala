@@ -133,6 +133,26 @@ class UuidMigrationSpec extends SparkSpec {
     assert(uuids.length == 5, s"legacy identity preserved across the heal: ${uuids.length} uuids")
   }
 
+  test("migrate recovers a crashed-swap strand first — never flips the marker around it") {
+    // a child table stranded at buildings.__old is invisible to the table
+    // listing; planning around it would rewrite everything else, flip the
+    // marker, and the strand's later promotion would dangle its legacy FKs
+    // forever (the marker short-circuit refuses to heal)
+    val root = tmpDir("uuidmig_strand")
+    legacyLake(root, "andover", "ANDOVER")
+    val table = new java.io.File(s"$root/andover/buildings")
+    assert(table.exists(), "fixture writes buildings")
+    assert(table.renameTo(new java.io.File(s"$root/andover/buildings.__old")))
+    val (_, tables) = UuidMigration.migrate(spark, root, "andover")
+    assert(new java.io.File(s"$root/andover/buildings").exists(),
+      "migrate must promote the strand before planning")
+    val bld = Lake.read(spark, root, "andover", "buildings")
+    val props = Lake.read(spark, root, "andover", "properties")
+    assert(bld.join(props.select($"uuid"), bld("property_uuid") === col("uuid")).count() == bld.count(),
+      "the recovered table must be migrated with the rest — no dangling FKs")
+    assert(tables >= 4L)
+  }
+
   test("migrate refuses a scope with an identity-bearing table it cannot recompute (no pid)") {
     val root = tmpDir("uuidmig_nopid")
     legacyLake(root, "andover", "ANDOVER")

@@ -71,6 +71,21 @@ class ZOrderSpec extends SparkSpec {
     assert(z == 7L)
   }
 
+  test("non-castable and NaN-poisoned columns are rejected, never silently unclustered") {
+    // a string column casts to null min/max: the old lit(0) fallback made
+    // z-ordering on it a silent no-op while the caller believed url
+    // filters prune
+    val strs = Seq((1L, "a"), (2L, "b")).toDF("x", "s")
+    val e = intercept[IllegalArgumentException](ZOrder.zValue(strs, Seq("x", "s")))
+    assert(e.getMessage.contains("'s'"), e.getMessage)
+    // one NaN poisons the normalization for EVERY row (all rank nb)
+    val nans = Seq((1L, 1.0), (2L, Double.NaN)).toDF("x", "d")
+    intercept[IllegalArgumentException](ZOrder.zValue(nans, Seq("x", "d")))
+    // the empty input still degrades gracefully (no range to require)
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    ZOrder.zValue(empty, Seq("x", "y")) // must not throw
+  }
+
   test("constant column degrades gracefully (rank 0, no division by zero)") {
     val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "c")
     val dir = Files.createTempDirectory("zorder3").toString
