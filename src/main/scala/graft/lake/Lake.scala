@@ -28,6 +28,72 @@ object Lake {
   def tablePath(root: String, scope: String, table: String): String =
     s"$root/$scope/$table"
 
+  private def leaseStaleMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lake.leaseStaleMs")
+      .map(_.toLong)
+      .getOrElse(30L * 60L * 1000L)
+
+  private def leaseWaitMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lake.leaseWaitMs")
+      .map(_.toLong)
+      .getOrElse(60L * 1000L)
+
+  // scope leases HELD by the current thread (qualified URIs): makes
+  // withScopeLease re-entrant, so a maintenance job that takes the scope
+  // lease for its whole run (UuidMigration.migrate) can call the leased
+  // mutation primitives (append/rewriteTable) without deadlocking on its
+  // own lease. Thread-local, not process-wide: two DRIVER threads of one
+  // JVM racing a scope are exactly the writers the lease must serialize.
+  private val heldScopeLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Run `body` holding the SCOPE's writer lease — the lake's
+    * single-writer contract, ENFORCED (it used to be documentation only:
+    * "the caller's scheduler must serialize writers"). Every mutation
+    * entry point ([[append]], [[appendPartitioned]], [[compact]],
+    * [[compactPartitioned]], [[rewriteTable]]) takes it, and maintenance
+    * jobs that must see a QUIESCENT scope across several mutations
+    * ([[UuidMigration.migrate]]) take it once around their whole run —
+    * re-entrant within a thread, so the inner per-mutation acquisitions
+    * are no-ops under an outer hold.
+    *
+    * Policy (vs the VectorIndex maintenance lease's fail-fast): a
+    * contended acquisition WAITS up to `spark.graft.lake.leaseWaitMs`
+    * (default 60 s) before failing loud — an engine's append landing
+    * while a post-session compaction finishes should serialize behind
+    * it, not fail the batch. A lease older than
+    * `spark.graft.lake.leaseStaleMs` (default 30 min) is a crashed
+    * writer and is taken over; a daemon heartbeat refreshes ours at a
+    * third of that window so a long rewrite isn't mistaken for a crash.
+    * Readers stay lock-free (the [[read]]/[[withReadRetry]] contract is
+    * unchanged — the swap discipline already serves them).
+    */
+  def withScopeLease[T](spark: SparkSession, root: String, scope: String, op: String)(
+      body: => T): T = {
+    val dir = new Path(s"$root/$scope")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(dir).toString
+    val held = heldScopeLeases.get()
+    if (held.contains(key)) body // re-entrant: an outer hold covers us
+    else {
+      val stale = leaseStaleMs(spark)
+      val lease = WriterLease.acquire(
+        key, spark, op,
+        staleMs = stale,
+        waitMs = leaseWaitMs(spark),
+        what = s"lake scope $key",
+        staleConf = "spark.graft.lake.leaseStaleMs")
+      held += key
+      try WriterLease.withHeartbeat(lease, stale)(body)
+      finally {
+        held -= key
+        lease.release()
+      }
+    }
+  }
+
   /** Stamp engine metadata: ingestion timestamp (one per batch, not per row —
     * database.py:128) and the canonical content hash.
     */
@@ -123,32 +189,31 @@ object Lake {
   /** Append one batch to a table (ZSTD parquet, new files only).
     *
     * Writer contract (shared by [[appendPartitioned]] and [[compact]]):
-    * ONE writer per table at a time — the caller's scheduler must
-    * serialize appends and compactions on the same table, exactly as the
-    * reference serializes through its single process. The contract is not
-    * enforced here: `recoverBeforeWrite` cannot distinguish a CRASHED
-    * swap from a LIVE compact inside its two-rename window, so an append
-    * racing a live compact may promote `.__old` back mid-swap — compact's
-    * checked renames then fail the compact (rollback, no data loss), but
-    * the concurrent write has still broken the table's quiescence.
-    * Cross-process writers that cannot rely on a scheduler should guard
-    * the table with a lease (the [[VectorIndex]] writer-lease pattern).
+    * ONE writer per scope at a time, ENFORCED by [[withScopeLease]] —
+    * the enforcement matters because `recoverBeforeWrite` cannot
+    * distinguish a CRASHED swap from a LIVE compact inside its
+    * two-rename window: an append racing a live compact could promote
+    * `.__old` back mid-swap (compact's checked renames would fail the
+    * compact — rollback, no data loss — but the table's quiescence would
+    * be broken). Under the lease, a concurrent writer serializes behind
+    * the holder (bounded wait) or fails loud with the holder named.
     */
-  def append(df: DataFrame, root: String, scope: String, table: String): Unit = {
-    val path = tablePath(root, scope, table)
-    recoverBeforeWrite(df, path)
-    df.write
-      .mode("append")
-      .option("compression", "zstd")
-      .parquet(path)
-  }
+  def append(df: DataFrame, root: String, scope: String, table: String): Unit =
+    withScopeLease(df.sparkSession, root, scope, s"append:$table") {
+      val path = tablePath(root, scope, table)
+      recoverBeforeWrite(df, path)
+      df.write
+        .mode("append")
+        .option("compression", "zstd")
+        .parquet(path)
+    }
 
   /** Partitioned append: the given columns become directory levels
     * (`table/col=value/...`), so equality/range predicates on them prune at
     * file-listing time — no row-group is even opened. The right layout for
     * time-partitioned lakes at 100 TB (partition by ingest date; scope is
-    * already a directory level). Same one-writer-per-table contract as
-    * [[append]].
+    * already a directory level). Same lease-enforced one-writer-per-scope
+    * contract as [[append]].
     */
   def appendPartitioned(
       df: DataFrame,
@@ -156,7 +221,7 @@ object Lake {
       scope: String,
       table: String,
       partitionCols: Seq[String]
-  ): Unit = {
+  ): Unit = withScopeLease(df.sparkSession, root, scope, s"appendPartitioned:$table") {
     val path = tablePath(root, scope, table)
     recoverBeforeWrite(df, path)
     // leaf-level strand recovery too: a crashed per-leaf compaction swap
@@ -328,11 +393,12 @@ object Lake {
     * listings. Unlike the reference (single file), `target` scales with
     * table size — one file per ~128MB is the useful default on a cluster.
     *
-    * SINGLE WRITER per table assumed (same as the reference's post-session
-    * compaction): an append landing between the tmp rewrite and the swap
-    * would be moved aside and deleted with `old`. Run compaction only when
-    * no concurrent writer can touch the table (e.g. post-session, as
-    * [[graft.ingest.Engine]] does).
+    * SINGLE WRITER per scope ENFORCED by [[withScopeLease]] (the hazard it
+    * closes: an append landing between the tmp rewrite and the swap would
+    * be moved aside and deleted with `old` — under the lease that append
+    * serializes behind the compaction or fails loud). Run compaction
+    * post-session anyway (as [[graft.ingest.Engine]] does) so the rewrite
+    * reads a settled table.
     *
     * Concurrent READERS are supported lock-free: at every instant the full
     * row set exists at `<table>` or `<table>.__old`, and nothing is deleted
@@ -350,7 +416,7 @@ object Lake {
       table: String,
       target: Int = 0,
       targetFileBytes: Long = 128L * 1024 * 1024
-  ): Unit = {
+  ): Unit = withScopeLease(spark, root, scope, s"compact:$table") {
     val path = tablePath(root, scope, table)
     val tmp = s"$path.__compact_tmp"
     val old = s"$path.__old"
@@ -377,8 +443,8 @@ object Lake {
   /** Whole-table TRANSFORMING rewrite under [[compact]]'s exact swap
     * discipline (tmp write → move-aside → promote → clear, stranded-swap
     * recovery first, checked renames with rollback): read the live table,
-    * apply `transform`, swap the result in atomically. Same single-WRITER
-    * requirement as compact (run with no concurrent appender); concurrent
+    * apply `transform`, swap the result in atomically. Same lease-enforced
+    * single-WRITER contract as compact ([[withScopeLease]]); concurrent
     * READERS keep the same lock-free guarantee — the full row set exists
     * at `<table>` or `<table>.__old` at every instant. This is the
     * maintenance primitive behind [[UuidMigration]]'s one-shot identity
@@ -386,7 +452,8 @@ object Lake {
     * (a rerun re-reads whichever side the crash left live).
     */
   def rewriteTable(spark: SparkSession, root: String, scope: String, table: String)(
-      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+    withScopeLease(spark, root, scope, s"rewriteTable:$table") {
     val path = tablePath(root, scope, table)
     val tmp = s"$path.__rewrite_tmp"
     val old = s"$path.__old"
@@ -502,7 +569,7 @@ object Lake {
       table: String,
       minFilesPerPartition: Int = 4,
       targetFileBytes: Long = 128L * 1024 * 1024
-  ): Unit = {
+  ): Unit = withScopeLease(spark, root, scope, s"compactPartitioned:$table") {
     val base = new Path(tablePath(root, scope, table))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return

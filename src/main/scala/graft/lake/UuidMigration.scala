@@ -84,26 +84,63 @@ object UuidMigration {
     * read must be impossible; a half-written marker would silently flip
     * the engine back to legacy and fork the chains the migration just
     * unified).
+    *
+    * The marker is WRITE-ONCE (its only value is ever [[ScopeKeyIdentity]];
+    * nothing writes a legacy marker), so a marker that already reads
+    * scope-keyed short-circuits and the normal path is a single
+    * tmp→marker rename with NO deleted-marker window — the old
+    * delete-then-rename left an instant where [[identityOf]] saw no
+    * marker and fell back to legacy for a fully-rewritten lake. Only the
+    * repair of a TORN marker (unreadable/partial content — which
+    * [[identityOf]] already reads as legacy, the same verdict the window
+    * would give) still replaces the file; that path runs under the
+    * migration's scope lease.
     */
   def markScopeKeyed(spark: SparkSession, root: String, scope: String): Unit = {
     val p = new Path(markerPath(root, scope))
     val tmp = new Path(markerPath(root, scope) + ".__tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readsScopeKeyed: Boolean =
+      try {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim ==
+          ScopeKeyIdentity
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (fs.exists(p) && readsScopeKeyed) return // write-once: already published
     fs.mkdirs(p.getParent)
     val out = fs.create(tmp, true)
     try out.write(ScopeKeyIdentity.getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not publish uuid identity marker $p")
+    if (!fs.rename(tmp, p)) {
+      // rename refused (dst exists on an HDFS-like store). A racer may
+      // have published the identical marker first — fine; otherwise the
+      // existing marker is torn and must be replaced: the deleted-marker
+      // window now exists ONLY on this repair path, where the torn file
+      // already read as legacy anyway.
+      if (readsScopeKeyed) { fs.delete(tmp, false); return }
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not publish uuid identity marker $p")
+    }
   }
 
   /** Run the migration. Returns (entities remapped, tables rewritten).
     * Idempotent: a rerun after any crash converges (recompute-from-pid
     * rewrites are no-ops on migrated rows; the mapping append anti-joins
     * out rows already recorded; an already-marked scope short-circuits).
+    *
+    * Holds the SCOPE's writer lease for the whole run
+    * ([[Lake.withScopeLease]]): the migration plans over the table
+    * listing and rewrites tables one by one, so an engine append landing
+    * between two of its rewrites would either carry the OLD identity
+    * into a just-migrated table or dodge the rewrite entirely — the
+    * race that used to be fenced only by the "run post-session"
+    * convention. The inner [[Lake.append]]/[[Lake.rewriteTable]] calls
+    * re-enter the held lease.
     */
-  def migrate(spark: SparkSession, root: String, scope: String): (Long, Long) = {
+  def migrate(spark: SparkSession, root: String, scope: String): (Long, Long) =
+    Lake.withScopeLease(spark, root, scope, "uuid-migration") {
     if (identityOf(spark, root, scope) == ScopeKeyIdentity &&
         new Path(markerPath(root, scope))
           .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -50,85 +50,17 @@ object VectorIndex {
       version: Int = 1
   )
 
-  /** Fail-fast writer lease over the index directory: every maintenance op
+  /** Writer lease over the index directory: every maintenance op
     * ([[append]]/[[rebalanceIfNeeded]]/[[retrainIfDrifted]]/[[remove]])
-    * holds `__writer_lease` for its duration, taken with a create-EXCLUSIVE
-    * (`fs.create(…, overwrite=false)` — atomic on HDFS and local FS), so a
-    * second concurrent maintenance op throws instead of racing the
-    * staged-commit markers. A lease whose mtime is older than the staleness
-    * window (default 30 min; conf `spark.graft.vectorIndex.leaseStaleMs`)
-    * is a crashed writer and is taken over. [[WriterLease.heartbeat]]
-    * refreshes the mtime mid-operation so a long re-encode isn't mistaken
-    * for a crash. Best-effort fencing: exclusive-create is atomic, the
-    * stale-takeover window is not — two writers both deciding the same
-    * lease is stale can race the delete; true fencing needs the store's
-    * conditional ops. The staged-commit discipline underneath stays
-    * crash-convergent either way; the lease exists to fail FAST, not to be
-    * the last line of defense.
+    * holds `__writer_lease` for its duration — the shared
+    * [[graft.lake.WriterLease]] machinery (generalized FROM here, so the
+    * lake's mutation paths enforce the same single-writer contract), with
+    * this index's fail-FAST policy: a second concurrent maintenance op
+    * throws immediately (waitMs = 0) instead of queueing behind a
+    * long retrain. Staleness window default 30 min; conf
+    * `spark.graft.vectorIndex.leaseStaleMs`.
     */
-  final class WriterLease private[graft] (
-      fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path,
-      token: String
-  ) {
-    /** Holder read with bounded retries: a single transient store failure
-      * must not be read as "no holder" — `None` from this method means the
-      * holder could not be established even after retries, and every
-      * caller treats that as NOT PROVABLY OURS (skip the mutation), never
-      * as "free". Without the distinction, a stale-window takeover plus
-      * one transient read failure let release() delete — and heartbeat()
-      * refresh — the USURPER's live lease, the exact race the ownership
-      * check exists to close.
-      */
-    private def currentHolder(): Option[String] = {
-      var attempt = 0
-      while (attempt < 3) {
-        try {
-          val in = fs.open(path)
-          try return Some(new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-          finally in.close()
-        } catch {
-          case _: java.io.FileNotFoundException => return Some("") // gone: provably not ours
-          case scala.util.control.NonFatal(_)   => attempt += 1
-        }
-      }
-      None
-    }
-
-    /** Refresh the lease mtime — and FIRST verify we still hold it: after
-      * a stale-window takeover, setTimes on the usurper's file would
-      * silently refresh THEIR lease while both writers keep going; the
-      * ownership check turns that into the loud failure the lease is for.
-      * An UNREADABLE holder skips the refresh entirely (not provably ours
-      * to touch) — the safe failure direction: a skipped beat risks only
-      * our own staleness takeover, which the next successful heartbeat
-      * reports loudly.
-      */
-    def heartbeat(): Unit = {
-      currentHolder() match {
-        case Some(c) if c == token =>
-          try fs.setTimes(path, System.currentTimeMillis(), -1)
-          catch { case scala.util.control.NonFatal(_) => } // next write refreshes it
-        case Some(c) =>
-          throw new IllegalStateException(
-            s"writer lease $path was taken over mid-operation (now held by: $c) — " +
-              "this op outlived the staleness window; abort rather than race the new holder")
-        case None => // unreadable after retries: skip the refresh, don't touch a maybe-usurper
-      }
-    }
-
-    /** Release only a lease we PROVABLY still own: deleting a usurper's
-      * lease would hand the NEXT op a free acquisition while the usurper
-      * still writes, and an unreadable holder is not proof of ownership —
-      * leave it to age past the staleness window instead.
-      */
-    def release(): Unit =
-      if (currentHolder().contains(token)) {
-        if (fs.exists(path) && !fs.delete(path, false))
-          throw new java.io.IOException(s"could not release writer lease $path")
-      }
-  }
+  private[graft] type WriterLease = graft.lake.WriterLease
 
   private def leaseStaleMs(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.vectorIndex.leaseStaleMs")
@@ -141,49 +73,16 @@ object VectorIndex {
     * fail loudly on takeover) that the public ops only hit in mid-op race
     * windows no deterministic test can schedule.
     */
-  private[graft] def leaseHandle(dir: String, spark: SparkSession, token: String): WriterLease = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/__writer_lease")
-    new WriterLease(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, token)
-  }
+  private[graft] def leaseHandle(dir: String, spark: SparkSession, token: String): WriterLease =
+    graft.lake.WriterLease.handle(dir, spark, token)
 
-  private def acquireLease(dir: String, spark: SparkSession, op: String): WriterLease = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/__writer_lease")
-    // crashed-writer takeover: a lease past the staleness window is dead
-    if (fs.exists(p)) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-      if (age > leaseStaleMs(spark)) fs.delete(p, false)
-    }
-    def contention(e: java.io.IOException): Nothing = {
-      val holder =
-        try {
-          val in = fs.open(p)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
-      throw new IllegalStateException(
-        s"VectorIndex at $dir: another maintenance op holds the writer lease ($holder); " +
-          s"refusing to race its staged commits — this '$op' must wait or the " +
-          "crashed lease ages past spark.graft.vectorIndex.leaseStaleMs",
-        e)
-    }
-    val out =
-      try fs.create(p, false) // create-exclusive: the atomic acquisition
-      catch {
-        // only an EXISTING lease is contention; every other IOException
-        // (permissions, quota, transient store failure) must surface as
-        // itself — misreporting it as "another op holds the lease" steers
-        // the operator into waiting out a 30-minute staleness window for
-        // a lease that does not exist
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
-        case e: java.io.IOException if fs.exists(p) => contention(e)
-      }
-    val token = s"op=$op pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}"
-    try out.write(token.getBytes("UTF-8"))
-    finally out.close()
-    new WriterLease(fs, p, token)
-  }
+  private def acquireLease(dir: String, spark: SparkSession, op: String): WriterLease =
+    graft.lake.WriterLease.acquire(
+      dir, spark, op,
+      staleMs = leaseStaleMs(spark),
+      waitMs = 0L, // maintenance ops fail fast rather than queue
+      what = s"VectorIndex at $dir",
+      staleConf = "spark.graft.vectorIndex.leaseStaleMs")
 
   /** Index metadata: monotone version (bumped by every geometry/encoding
     * change), encoding mode, and the BUILD-TIME mean quantization error —
@@ -474,21 +373,8 @@ object VectorIndex {
     * the action cannot be safely interrupted midway, but the caller must
     * never see a silent success).
     */
-  private def withHeartbeat[T](lease: WriterLease, spark: SparkSession)(body: => T): T = {
-    val interval = math.max(leaseStaleMs(spark) / 3, 1000L)
-    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "vindex-lease-heartbeat"); t.setDaemon(true); t
-    })
-    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    exec.scheduleAtFixedRate(
-      () => try lease.heartbeat() catch { case t: Throwable => failed.set(t) },
-      interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try {
-      val r = body
-      Option(failed.get()).foreach(t => throw t)
-      r
-    } finally exec.shutdownNow()
-  }
+  private def withHeartbeat[T](lease: WriterLease, spark: SparkSession)(body: => T): T =
+    graft.lake.WriterLease.withHeartbeat(lease, leaseStaleMs(spark))(body)
 
   def append(h0: Handle, newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     val spark = newVectors.sparkSession

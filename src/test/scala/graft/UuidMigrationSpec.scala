@@ -186,4 +186,33 @@ class UuidMigrationSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(minted == expected)
   }
+
+  test("markScopeKeyed is write-once: re-marking never touches the published marker; a torn one repairs") {
+    val root = tmpDir("uuidmig_marker")
+    UuidMigration.markScopeKeyed(spark, root, "m")
+    assert(UuidMigration.identityOf(spark, root, "m") == UuidMigration.ScopeKeyIdentity)
+    val f = new java.io.File(s"$root/m/_uuid_identity")
+    assert(f.exists())
+    // pin a sentinel mtime, re-mark: the already-published marker must not
+    // be rewritten (the old delete-then-rename left a window where a
+    // reader saw NO marker and read a fully-rewritten lake as legacy)
+    assert(f.setLastModified(1234567000L))
+    UuidMigration.markScopeKeyed(spark, root, "m")
+    assert(f.lastModified() == 1234567000L,
+      "an already-published marker must not be deleted or rewritten")
+    assert(UuidMigration.identityOf(spark, root, "m") == UuidMigration.ScopeKeyIdentity)
+    // a TORN marker (partial content — reads as neither identity) repairs;
+    // torn THROUGH the Hadoop FS so the checksum sidecar matches (a raw
+    // NIO write would make every read fail on ChecksumException instead)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$root/m/_uuid_identity")
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(p, true)
+      try out.write("scope_k".getBytes("UTF-8")) finally out.close()
+    }
+    assert(UuidMigration.identityOf(spark, root, "m") != UuidMigration.ScopeKeyIdentity)
+    UuidMigration.markScopeKeyed(spark, root, "m")
+    assert(UuidMigration.identityOf(spark, root, "m") == UuidMigration.ScopeKeyIdentity,
+      "a torn marker must be repaired")
+  }
 }
