@@ -154,7 +154,16 @@ object Main {
               } catch {
                 case e: Exception =>
                   failures += 1
-                  System.err.println(s"refresh $scope failed: ${e.getMessage}")
+                  // print the CAUSE CHAIN, not just the top message: the
+                  // engine wraps scrape failures ("circuit breaker: N
+                  // consecutive errors"), and the actionable message —
+                  // e.g. the TLS-handshake hint naming --no-verify-tls —
+                  // lives down the chain
+                  val chain = Iterator.iterate(e: Throwable)(_.getCause)
+                    .takeWhile(_ != null).take(4)
+                    .map(t => Option(t.getMessage).getOrElse(t.getClass.getSimpleName))
+                    .distinct.mkString(" <- ")
+                  System.err.println(s"refresh $scope failed: $chain")
               }
           }
         }

@@ -36,6 +36,16 @@ object CompressSupport {
   // document); reset() yields byte-identical output. Keyed by level (the
   // expression is constructed with one level, but two expressions at
   // different levels may share a task thread).
+  //
+  // NATIVE FOOTPRINT BOUND (invisible to JVM heap accounting): each pooled
+  // Deflater pins ~256 KB of zlib state, so the pool holds at most
+  // executor-threads × levels-used (≤ 10, in practice 1) × ~256 KB —
+  // ~8 MB on a 32-thread executor, constant for the executor's life. No
+  // explicit end() hook is needed for THREAD DEATH: since JDK 12
+  // (JDK-8212129) Deflater registers its zlib stream with a Cleaner, so
+  // when a dead thread's ThreadLocal map becomes unreachable the native
+  // state is freed at the next GC — the pool bounds live usage, the
+  // Cleaner reclaims the rest.
   private val deflaters =
     new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
       override def initialValue() = new java.util.HashMap[Int, java.util.zip.Deflater]()

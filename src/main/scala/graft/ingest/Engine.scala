@@ -429,13 +429,17 @@ object Engine {
           // path) that want the cached form should preload
           // Lake.existingHashes themselves and call Scd.refreshDedup
           // directly.
-          // refreshDedupForLake → per-entity-LATEST dedup (uuid /
-          // property_uuid + scraped_at are always present on this path):
-          // a content revert (A→B→A) re-records and the SCD2 chain shows
-          // all three versions, where the old full-history anti-join
-          // suppressed the revert forever (the r14-documented limitation).
+          // EXPLICIT snapshot mode on the identity column Flatten's table
+          // contract declares (never sniffed from the frame — a schema
+          // rename or a coincidental column name must not silently flip
+          // the write path's dedup semantics): a content revert (A→B→A)
+          // re-records and the SCD2 chain shows all three versions, where
+          // the old full-history anti-join suppressed the revert forever
+          // (the r14-documented limitation).
           val toWrite =
-            if (dedupAgainstLake) Scd.refreshDedupForLake(stamped, Lake.read(spark, root, scope, table))
+            if (dedupAgainstLake)
+              Scd.refreshDedupForLake(stamped, Lake.read(spark, root, scope, table),
+                Scd.RefreshDedupMode.Snapshot(Flatten.identityColumnOf(table)))
             else stamped
           // Refresh can dedup a non-empty batch down to zero rows — probe
           // so a no-change refresh writes no schema-only file (file-count

@@ -35,6 +35,19 @@ object LmScore {
   /** Integer scale of the per-token cost (thousandths). */
   val Scale = 1000L
 
+  /** DECIMAL(38,0)-widened long sum, CLAMPED at Long.MaxValue (the q151
+    * widening rule plus the r15-ADVICE clamp): per-token costs reach
+    * tv*Scale ~ 1e15 at the require's ceiling, so a 100k-token all-OOV
+    * document — exactly what the fluency gate must REJECT — wrapped a
+    * plain Long sum negative under ANSI-off and scored as maximally
+    * fluent; and a raw decimal→long CAST of a genuinely overflowing total
+    * is NULL under ANSI-off, so the worst document's score would VANISH
+    * from every score filter instead of reading maximally non-fluent.
+    * least() + cast makes overflow read as max cost.
+    */
+  private[graft] def clampedLongSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(sum(c.cast("decimal(38,0)")), lit(Long.MaxValue).cast("decimal(38,0)")).cast("long")
+
   /** Unigram counts (term, cnt) of the reference slice, tokenized the
     * engine-standard way (lowercase, split on runs of whitespace).
     */
@@ -125,11 +138,9 @@ object LmScore {
         when(col("cntB").isNotNull && col("__pos") >= 1, 1L).otherwise(0L).as("hit"))
       .groupBy("doc_id")
       .agg(
-        // DECIMAL(38,0) sum (the q151 widening rule): per-token costs reach
-        // tv*Scale ~ 1e15 at the require's ceiling, so a 100k-token all-OOV
-        // document — exactly what the fluency gate must REJECT — wrapped a
-        // Long sum negative under ANSI-off and scored as maximally fluent
-        sum(col("cost").cast("decimal(38,0)")).cast("long").as("c"),
+        // widened + clamped (see clampedLongSum): overflow must read as
+        // max cost, never wrap negative or cast to NULL
+        clampedLongSum(col("cost")).as("c"),
         count(lit(1)).as("n_tokens"),
         sum(col("hit")).as("bigram_hits"))
       .select(
@@ -157,8 +168,8 @@ object LmScore {
         coalesce(expr(s"${tv * Scale}L DIV (cnt + 1L)"), lit(tv * Scale)).as("cost")
       )
       .groupBy("doc_id")
-      // decimal-widened like scoreBigram's sum (same overflow argument)
-      .agg(sum(col("cost").cast("decimal(38,0)")).cast("long").as("c"),
+      // widened + clamped like scoreBigram's sum (same overflow argument)
+      .agg(clampedLongSum(col("cost")).as("c"),
         count(lit(1)).as("n_tokens"))
       .select(
         col("doc_id"),

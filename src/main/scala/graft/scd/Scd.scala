@@ -221,22 +221,61 @@ object Scd {
     newRows.join(changedKeys, key <=> col("__rd_key"), "left_semi")
   }
 
-  /** The ENGINES' refresh dedup: per-entity snapshot set-compare
-    * ([[refreshDedupSnapshot]]) when the frame carries the lake's stamp
-    * convention — an identity column (`uuid` for parents, `property_uuid`
-    * for children) plus the `scraped_at` stamp — and the reference-parity
-    * full-history [[refreshDedup]] when it doesn't (CT open-data tables
-    * carry no per-row entity key, so snapshot semantics are undefined
-    * there). One entry point so the batch engine, the CT source, and the
-    * streaming refresh twin cannot drift on this decision.
+  /** Which dedup semantics a lake write uses — passed EXPLICITLY by
+    * callers that know their table's stamp convention statically
+    * (the VGSI engine via [[graft.sources.Flatten.identityColumnOf]],
+    * the CT source which has no per-row entity key), so a coincidental
+    * column name or a schema rename can never silently flip the
+    * semantics of the core write path (it could under the old
+    * column-sniff dispatch; the sniff survives only as the logged
+    * fallback for genuinely dynamic frames).
+    */
+  sealed trait RefreshDedupMode
+  object RefreshDedupMode {
+    /** Per-entity snapshot multiset compare ([[refreshDedupSnapshot]]):
+      * reverts re-record; requires a per-row entity key + order stamp.
+      */
+    final case class Snapshot(key: String, order: String = "scraped_at") extends RefreshDedupMode
+    /** Reference-parity full-history anti-join ([[refreshDedup]]). */
+    case object FullHistory extends RefreshDedupMode
+  }
+
+  /** The ENGINES' refresh dedup, mode chosen by the CALLER: per-entity
+    * snapshot set-compare for frames with an entity identity, the
+    * reference-parity full-history anti-join otherwise. One entry point
+    * so the batch engine, the CT source, and the streaming refresh twin
+    * cannot drift on what each mode MEANS — while what mode a table GETS
+    * is each caller's static knowledge, not a column sniff.
+    */
+  def refreshDedupForLake(
+      newRows: DataFrame,
+      existing: DataFrame,
+      mode: RefreshDedupMode
+  ): DataFrame = mode match {
+    case RefreshDedupMode.Snapshot(k, o) =>
+      refreshDedupSnapshot(newRows, existing, col(k), Seq(col(o)))
+    case RefreshDedupMode.FullHistory =>
+      refreshDedup(newRows, existing)
+  }
+
+  /** Guarded FALLBACK for genuinely dynamic frames (the generic staged
+    * file-stream, where no static table contract exists): infer the mode
+    * from the stamp convention's column names and LOG which form was
+    * chosen — an operator staging a frame that coincidentally carries
+    * `uuid`+`scraped_at` should be able to see the semantics switch in
+    * the log rather than discover it from dedup behavior. Callers with
+    * static knowledge must use the explicit-mode overload.
     */
   def refreshDedupForLake(newRows: DataFrame, existing: DataFrame): DataFrame = {
     val both = newRows.columns.toSet.intersect(existing.columns.toSet)
-    Seq("uuid", "property_uuid").find(both.contains) match {
-      case Some(k) if both.contains("scraped_at") =>
-        refreshDedupSnapshot(newRows, existing, col(k), Seq(col("scraped_at")))
-      case _ => refreshDedup(newRows, existing)
+    val mode = Seq("uuid", "property_uuid").find(both.contains) match {
+      case Some(k) if both.contains("scraped_at") => RefreshDedupMode.Snapshot(k)
+      case _ => RefreshDedupMode.FullHistory
     }
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"refreshDedupForLake: inferred $mode from columns " +
+        s"(explicit-mode overload avoids the sniff)")
+    refreshDedupForLake(newRows, existing, mode)
   }
 
   /** S9 — upsert for a small dimension table (vanilla Spark has no MERGE):

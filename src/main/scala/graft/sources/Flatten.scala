@@ -105,6 +105,17 @@ object Flatten {
     Canonical.deterministicUuid(pid,
       Canonical.canonicalJsonOf("pid" -> pid, "scope_key" -> lit(scopeKey)))
 
+  /** The identity column the VGSI stamp convention gives each flattened
+    * table — `uuid` on the parent, the `property_uuid` FK on every child
+    * (the pair every [[flatten]] frame carries by construction). This is
+    * the STATIC contract the engine passes to
+    * [[graft.scd.Scd.refreshDedupForLake]]'s explicit-mode overload:
+    * dedup semantics on the write path must come from the table contract,
+    * never from sniffing the frame's column names.
+    */
+  def identityColumnOf(table: String): String =
+    if (table == "properties") "uuid" else "property_uuid"
+
   def flatten(ds: Dataset[ScrapeResult], scopeKey: Option[String] = None): Map[String, DataFrame] = {
     val base = ds.toDF()
     val canon = Canonical.canonicalJsonOf(

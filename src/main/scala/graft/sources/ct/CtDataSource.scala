@@ -145,13 +145,16 @@ object CtDataSource {
       val stamped = stamped0.dropDuplicates("row_hash")
       // Dedup against ANY existing table (not just refresh): makes reruns
       // after a crash-before-checkpoint idempotent.
-      // refreshDedupForLake resolves to the reference-parity FULL-history
-      // anti-join here (CT rows carry no uuid/property_uuid identity, so
-      // per-entity-latest is undefined) — one shared entry point with the
-      // VGSI engine and the streaming twin, one place deciding which
+      // EXPLICIT FullHistory mode (reference-parity anti-join): CT rows
+      // carry no uuid/property_uuid identity, so per-entity-latest is
+      // undefined here — and this source KNOWS that statically, so it
+      // says so rather than letting a column sniff decide (a dataset that
+      // happened to ship a `uuid` column would otherwise silently switch
+      // the write path to snapshot semantics)
       val toWrite =
         if (Lake.tables(spark, root, Scope).contains(table))
-          Scd.refreshDedupForLake(stamped, Lake.read(spark, root, Scope, table))
+          Scd.refreshDedupForLake(stamped, Lake.read(spark, root, Scope, table),
+            Scd.RefreshDedupMode.FullHistory)
         else stamped
       // emptiness probe + write from ONE persisted materialization: a
       // no-change refresh must not append a schema-only parquet file, and

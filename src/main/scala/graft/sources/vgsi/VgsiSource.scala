@@ -56,26 +56,49 @@ object VgsiSource {
     resp
   }
 
+  /** Rethrow a TLS handshake failure WITH THE FLAG THAT HEALS IT named:
+    * verification is on by default (a deliberate hardening over the
+    * reference's verify=False), but the primary scrape targets —
+    * self-signed gis.vgsi.com city hosts — then fail every fetch, and
+    * the bare SSLHandshakeException gives the operator no hint that
+    * `--no-verify-tls` (CLI) / `verifyTls = false` is the opt-out. Only
+    * wraps when verification was actually ON (with it off, a handshake
+    * failure is a different problem the hint would mis-diagnose).
+    */
+  private[graft] def tlsHint[T](verifyTls: Boolean, url: String)(body: => T): T =
+    try body
+    catch {
+      case e: javax.net.ssl.SSLHandshakeException if verifyTls =>
+        throw new RuntimeException(
+          s"TLS handshake failed for $url with certificate verification ON — " +
+            "gis.vgsi.com city hosts are commonly self-signed; pass --no-verify-tls " +
+            "(CLI) or verifyTls = false to opt out for these hosts",
+          e)
+    }
+
   /** java.net.http GET with the reference's timeout (30 s); retries/backoff
     * live in the engine's Retry wrapper (S5 policy).
     */
   def httpFetch(timeoutSec: Long = 30, verifyTls: Boolean = true): (String, Long) => String = {
     lazy val client = newClient(timeoutSec, verifyTls)
-    (baseUrl, pid) => send(client, VgsiParser.vgsiUrl(baseUrl, pid), timeoutSec).body()
+    (baseUrl, pid) => {
+      val url = VgsiParser.vgsiUrl(baseUrl, pid)
+      tlsHint(verifyTls, url)(send(client, url, timeoutSec).body())
+    }
   }
 
   /** Plain GET of one URL (the city-index page). Same client policy as
     * [[httpFetch]].
     */
   def httpGet(url: String, timeoutSec: Long = 30, verifyTls: Boolean = true): String =
-    send(newClient(timeoutSec, verifyTls), url, timeoutSec).body()
+    tlsHint(verifyTls, url)(send(newClient(timeoutSec, verifyTls), url, timeoutSec).body())
 
   /** Binary GET (photo bytes) as a reusable fetcher for
     * [[VgsiSource.photoFetch]].
     */
   def httpGetBytes(timeoutSec: Long = 30, verifyTls: Boolean = true): String => Array[Byte] = {
     lazy val client = newClient(timeoutSec, verifyTls)
-    url => {
+    url => tlsHint(verifyTls, url) {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofSeconds(timeoutSec)).GET().build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())

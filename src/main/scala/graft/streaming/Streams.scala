@@ -96,10 +96,12 @@ object Streams {
         // its intra-session set, database.py:139-149), then anti-join the
         // lake's existing hashes
         val fresh = batch.dropDuplicates("row_hash")
-        // refreshDedupForLake: per-entity-latest when the staged rows carry
-        // the stamp convention (uuid/property_uuid + scraped_at) so reverts
-        // re-record, full-history otherwise — the same decision as the
-        // batch engine, by construction
+        // the SNIFFING fallback is deliberate here and only here: this
+        // reader stages arbitrary external files with no static table
+        // contract to consult, so the stamp-convention column sniff (which
+        // LOGS the mode it picked) is the honest dispatch — the batch
+        // engine and the CT source, which do know their tables, pass the
+        // mode explicitly
         val toWrite =
           if (Lake.tables(spark, root, scope).contains(table))
             Scd.refreshDedupForLake(fresh, Lake.read(spark, root, scope, table))

@@ -51,4 +51,23 @@ class IngestUtilSpec extends SparkSpec {
     }
     assert(calls == 1)
   }
+
+  test("TLS handshake failure names the healing flag when verification is ON, passes through when OFF") {
+    import graft.sources.vgsi.VgsiSource
+    def boom = new javax.net.ssl.SSLHandshakeException("PKIX path building failed")
+    // verification ON: wrapped with the actionable hint, original as cause
+    val e = intercept[RuntimeException] {
+      VgsiSource.tlsHint(verifyTls = true, "https://gis.vgsi.com/x")(throw boom)
+    }
+    assert(e.getMessage.contains("--no-verify-tls"), e.getMessage)
+    assert(e.getMessage.contains("https://gis.vgsi.com/x"), e.getMessage)
+    assert(e.getCause.isInstanceOf[javax.net.ssl.SSLHandshakeException])
+    // verification OFF: a handshake failure is a DIFFERENT problem the
+    // hint would mis-diagnose - passes through unwrapped
+    intercept[javax.net.ssl.SSLHandshakeException] {
+      VgsiSource.tlsHint(verifyTls = false, "u")(throw boom)
+    }
+    // non-TLS results/failures untouched
+    assert(VgsiSource.tlsHint(verifyTls = true, "u")(42) == 42)
+  }
 }

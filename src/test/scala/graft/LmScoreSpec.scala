@@ -85,4 +85,18 @@ class LmScoreSpec extends SparkSpec {
     // doc 3: single OOV token = tv*1000 = 6000, no bigram positions
     assert(got(3L) == ((1L, 0L, 6000.0 / 1000)))
   }
+
+  test("clampedLongSum: an overflowing decimal total clamps to Long.MaxValue, never NULL or wraparound") {
+    // the all-OOV worst case the fluency gate must REJECT: under ANSI-off a
+    // plain long sum wraps negative (maximally fluent!) and a raw
+    // decimal->long cast of the widened sum is NULL (vanishes from filters)
+    val over = Seq(Long.MaxValue, Long.MaxValue, 5L).toDF("cost")
+    val r = over.agg(LmScore.clampedLongSum($"cost").as("s")).head()
+    assert(!r.isNullAt(0), "overflow must not cast to NULL")
+    assert(r.getLong(0) == Long.MaxValue, s"overflow must clamp to max cost, got ${r.getLong(0)}")
+    // non-overflowing totals stay exact
+    val exact = Seq(1L, 2L, 3L).toDF("cost")
+      .agg(LmScore.clampedLongSum($"cost").as("s")).head().getLong(0)
+    assert(exact == 6L)
+  }
 }

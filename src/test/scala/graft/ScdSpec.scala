@@ -188,4 +188,34 @@ class ScdSpec extends SparkSpec {
     }
     assert(winners.distinct.size == 1, s"tie winner must be run-stable: $winners")
   }
+
+  test("refreshDedupForLake: the CALLER's explicit mode wins over what a column sniff would pick") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2026-01-02 00:00:00")
+    val t3 = Timestamp.valueOf("2026-01-03 00:00:00")
+    // entity e1's history: A then B; the incoming batch REVERTS to A
+    val existing = Seq(("e1", t1, "hashA"), ("e1", t2, "hashB"))
+      .toDF("uuid", "scraped_at", "row_hash")
+    val incoming = Seq(("e1", t3, "hashA")).toDF("uuid", "scraped_at", "row_hash")
+
+    // explicit FullHistory suppresses the revert EVEN THOUGH uuid+scraped_at
+    // are present (the sniff would have flipped to snapshot semantics —
+    // the silent switch the explicit mode exists to prevent)
+    assert(Scd.refreshDedupForLake(incoming, existing, Scd.RefreshDedupMode.FullHistory).count() == 0L)
+    // explicit Snapshot re-records it
+    assert(Scd.refreshDedupForLake(incoming, existing, Scd.RefreshDedupMode.Snapshot("uuid")).count() == 1L)
+    // the sniffing FALLBACK (dynamic frames only) infers snapshot here
+    assert(Scd.refreshDedupForLake(incoming, existing).count() == 1L)
+
+    // a RENAMED identity column: the sniff can only fall back to
+    // full-history (suppressing the revert); a caller that knows its key
+    // statically passes it and keeps snapshot semantics
+    val exR = existing.withColumnRenamed("uuid", "entity_id")
+    val inR = incoming.withColumnRenamed("uuid", "entity_id")
+    assert(Scd.refreshDedupForLake(inR, exR).count() == 0L,
+      "sniff on a renamed key degrades to full-history")
+    assert(Scd.refreshDedupForLake(inR, exR, Scd.RefreshDedupMode.Snapshot("entity_id")).count() == 1L,
+      "the explicit key keeps snapshot semantics under any column name")
+  }
 }
