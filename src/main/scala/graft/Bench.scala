@@ -115,10 +115,40 @@ object Bench {
       c
     }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
-    val sweeps = (1 to 3).map { _ =>
+    val sweepBuf = scala.collection.mutable.ArrayBuffer[Seq[(String, Option[Double])]]()
+    for (_ <- 1 to 3) {
       canaries += canaryGate()
-      selected.map { case (name, fn) => name -> once(name, fn) }
+      sweepBuf += selected.map { case (name, fn) => name -> once(name, fn) }
     }
+    // WHOLE-RUN drift rejection (round-15 verdict): per-sweep gating
+    // passes sweeps that are individually under 1.5x ref yet still 2x
+    // apart from each other (r15's committed record: canaries
+    // [0.167, 0.125, 0.261] → canary_drift=true) — one sweep ran on a
+    // measurably busier host than another. When the post-hoc max/min
+    // across ACCEPTED sweeps exceeds 2, re-run the outlier sweep
+    // (bounded: 2 re-runs), replacing it only when the re-run's canary
+    // actually improves on it — a re-run landing on an even busier host
+    // must not replace a better record. Per-query times merge
+    // new-or-old so a replacement made for TIMING hygiene can never
+    // manufacture a failure for a query that already succeeded.
+    val MaxDriftReruns = 2
+    var driftReruns = 0
+    while (canaries.max > 2.0 * canaries.min && driftReruns < MaxDriftReruns) {
+      val outlier = canaries.indexOf(canaries.max)
+      System.err.println(f"[bench] whole-run canary drift (max/min = " +
+        f"${canaries.max / canaries.min}%.2f > 2): re-running outlier sweep ${outlier + 1} " +
+        f"(canary ${canaries(outlier)}%.3f s)")
+      driftReruns += 1
+      val c = canaryGate()
+      if (c < canaries(outlier)) {
+        val rerun = selected.map { case (name, fn) => name -> once(name, fn) }
+        val old = sweepBuf(outlier).toMap
+        sweepBuf(outlier) = rerun.map { case (n, t) => n -> t.orElse(old.getOrElse(n, None)) }
+        canaries(outlier) = c
+      } else
+        System.err.println(f"[bench] re-run canary $c%.3f s did not improve on the outlier — keeping the original sweep")
+    }
+    val sweeps = sweepBuf.toSeq
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val rawTimes = selected.map { case (name, _) =>
       name -> sweeps.map(_.collectFirst { case (`name`, t) => t }.flatten)
@@ -154,7 +184,7 @@ object Bench {
     val failed = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"failed":$failedJson,"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"drift_reruns":$driftReruns,"failed":$failedJson,"cpus":$cpus}"""
     println(line)
     if (canaryLoaded)
       System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
@@ -176,7 +206,7 @@ object Bench {
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"drift_reruns":$driftReruns,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {
