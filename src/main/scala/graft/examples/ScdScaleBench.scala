@@ -164,6 +164,49 @@ object ScdScaleBench {
     Seq("j2_refresh_auto" -> tAuto, "j2_refresh_shuffle" -> tShuffle)
   }
 
+  /** The ENGINES' refresh dedup at scale ([[Scd.refreshDedupSnapshot]],
+    * on both engines' refresh path since r15 via `refreshDedupForLake`):
+    * per-entity multiset compare of the incoming batch against the
+    * entity's latest stored snapshot. The batch is every entity's latest
+    * snapshot with HALF the entities perturbed (odd user_id → one changed
+    * hash): changed entities must append WHOLE, unchanged ones drop
+    * WHOLE — the row law `kept == changed-entity rows` is exact and
+    * checked at every axis. The batch is MATERIALIZED to parquet outside
+    * the timed body (its own window over the lake must not pollute the
+    * measurement); the timed cost is the design claim under test — a
+    * 3-column pruned scan of the existing side plus ONE key shuffle
+    * shared by the rank window and the signature aggregate (the law
+    * should track the lake's entity count like q14's, not blow up).
+    */
+  private def benchRefreshSnapshot(spark: SparkSession, dir: String, ax: Axis): Seq[(String, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val lake = spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("row_hash", md5(col("props")))
+    val batchPath = s"$dir/snapshot_batch.parquet"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+    lake
+      .withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .withColumn(
+        "row_hash",
+        when(pmod(col("user_id"), lit(2)) === 1, md5(concat(col("props"), lit("#new"))))
+          .otherwise(col("row_hash")))
+      .write.mode("overwrite").parquet(batchPath)
+    val batch = spark.read.parquet(batchPath)
+    val changedRows = batch.filter(pmod(col("user_id"), lit(2)) === 1).count()
+    var kept = 0L
+    val t = time2(spark) {
+      kept = Scd
+        .refreshDedupSnapshot(batch, lake, col("user_id"), Seq(col("ts")))
+        .count()
+    }
+    require(kept == changedRows,
+      s"snapshot refresh row law violated at ${ax.label}: kept $kept, expected $changedRows")
+    Seq("snapshot_refresh" -> t)
+  }
+
   /** Compaction at scale: the scaled table written as ~100·factor small
     * files (the post-many-refreshes state), then byte-targeted
     * `Lake.compact`. The curve to watch is sec per byte — flat means the
@@ -228,7 +271,8 @@ object ScdScaleBench {
         println(s"""{"bench":"scd_scale","axis":"${ax.label}","factor":${ax.factor},"query":"$q","sec":$t,"rows":$rows}""")
         q -> t
       }
-      val extras = benchRefresh(spark, dir, ax) ++ benchCompact(spark, dir, ax)
+      val extras = benchRefresh(spark, dir, ax) ++ benchRefreshSnapshot(spark, dir, ax) ++
+        benchCompact(spark, dir, ax)
       extras.foreach { case (q, t) =>
         println(s"""{"bench":"scd_scale","axis":"${ax.label}","factor":${ax.factor},"query":"$q","sec":$t}""")
       }
@@ -236,7 +280,7 @@ object ScdScaleBench {
     }.toMap
 
     val base = axes.minBy(_.factor)
-    val names = Queries ++ Seq("j2_refresh_auto", "j2_refresh_shuffle", "compact")
+    val names = Queries ++ Seq("j2_refresh_auto", "j2_refresh_shuffle", "snapshot_refresh", "compact")
     val summary = names.map { q =>
       val t1 = results(base).toMap.apply(q)
       val g = axes.map(ax => s""""${ax.label}":${f"${results(ax).toMap.apply(q) / t1}%.1f"}""").mkString("{", ",", "}")

@@ -64,4 +64,58 @@ class PlanChecksSpec extends SparkSpec {
     val q77 = PlanChecks.inspect(SparkEntry.queries("q77_lm_quality")(spark, dir))
     assert(q77.broadcastHashJoins >= 1 && q77.sortMergeJoins == 0, q77.render)
   }
+
+  test("refreshDedupSnapshot existing side: 3-column pruned scan, ONE key shuffle shared by window and aggregate") {
+    import graft.scd.Scd
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+
+    // existing side carries a 4th column the snapshot compare never needs:
+    // the operator's internal select must prune it OUT of the scan
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val existing = orders.select(
+      col("o_custkey").as("uuid"),
+      col("o_orderdate").as("scraped_at"),
+      md5(col("o_orderpriority")).as("row_hash"),
+      col("o_totalprice"))
+    val incoming = spark.read.parquet(s"$dir/orders.parquet").select(
+      col("o_custkey").as("uuid"),
+      col("o_orderdate").as("scraped_at"),
+      md5(concat(col("o_orderpriority"), lit("#new"))).as("row_hash"))
+    val out = Scd.refreshDedupSnapshot(incoming, existing, col("uuid"), Seq(col("scraped_at")))
+    out.count() // materialize so AQE's final stages are inspectable
+
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }
+    val all = nodes(out.queryExecution.executedPlan)
+    val win = all.collectFirst { case w: WindowExec => w }
+      .getOrElse(fail("no WindowExec in the plan"))
+    // scan -> ONE exchange -> window: the rank window's required
+    // distribution is the only shuffle the existing side pays
+    val below = nodes(win)
+    assert(below.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"existing side must shuffle exactly once below the window:\n$win")
+    // ...and the signature aggregate REUSES that distribution: the topmost
+    // aggregate whose subtree contains the window sees no second exchange
+    val aggAbove = all.collectFirst {
+      case h: BaseAggregateExec if nodes(h).exists(_ eq win) => h
+    }.getOrElse(fail("no aggregate above the window"))
+    assert(nodes(aggAbove).count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"the signature aggregate must share the window's key shuffle, not add one:\n$aggAbove")
+    // column pruning: the existing-side scan reads only the 3 columns the
+    // compare needs (o_custkey, o_orderdate, o_orderpriority) — o_totalprice is
+    // pruned out even though the caller's frame carries it
+    val scan = below.collectFirst {
+      case n if n.nodeName.startsWith("Scan parquet") || n.nodeName.startsWith("BatchScan") => n
+    }.getOrElse(fail("no parquet scan below the window"))
+    assert(scan.output.size == 3,
+      s"existing-side scan must be pruned to 3 columns, got ${scan.output.map(_.name)}")
+    assert(!scan.output.map(_.name).contains("o_totalprice"), scan.output.map(_.name).toString)
+  }
 }
