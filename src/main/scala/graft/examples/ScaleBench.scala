@@ -166,6 +166,38 @@ object ScaleBench {
     (0 until n).map(i => s((i + c) % n)).mkString
   }
 
+  /** Extension ring for cipher copies PAST the ASCII alphabet's period-36
+    * (the x100 decade, round-16 verdict): 100 caseless/lowercase BMP
+    * letters — Cyrillic а–я, Greek α–ω, Armenian ա–ֆ, Georgian ა–ე — all
+    * FIXED UNDER lower() (validated at construction), so case-folding can
+    * never fold two copies together (the k>26 hazard that motivated the
+    * period require). Copies 36..135 map the 36-char source alphabet into
+    * windows of this ring: images are disjoint from every ASCII-cipher
+    * copy (ring ∩ ascii = ∅) and windows at distinct offsets of a
+    * 100-ring are pairwise distinct, so every copy's text stays a
+    * per-character bijection with no cross-copy coincidence. Copies 0–35
+    * keep the EXACT historical ASCII rotation — materialized corpora and
+    * committed curves at k ≤ 36 are byte-identical.
+    */
+  private val ExtensionRing: String = {
+    val r = ((0x430 to 0x44F) ++ (0x3B1 to 0x3C9) ++ (0x561 to 0x586) ++ (0x10D0 to 0x10D4))
+      .map(_.toChar).mkString
+    require(r.length == 100, s"ring is ${r.length} chars")
+    require(r.toLowerCase == r, "ring must be fixed under case folding")
+    require(r.distinct == r, "ring chars must be distinct")
+    r
+  }
+
+  /** Target alphabet for cipher copy `c`: the historical ASCII rotation
+    * below 36, an extension-ring window above.
+    */
+  private def cipherTarget(alphabet: String, c: Int): String = {
+    require(c < 36 + ExtensionRing.length,
+      s"cipher ring exhausted: copy $c >= ${36 + ExtensionRing.length}")
+    if (c < 36) rotated(alphabet, c)
+    else (0 until alphabet.length).map(i => ExtensionRing((i + c - 36) % ExtensionRing.length)).mkString
+  }
+
   /** `idOffset` is the per-copy doc_id stride. ScaleBench's own curves use
     * the default disjoint 100M spaces; MakeSf passes the base table's row
     * count for CONTIGUOUS ids — the media fixtures pack doc_id into
@@ -186,13 +218,14 @@ object ScaleBench {
     // the lowercasing analyzers) and rotate one 36-char lowercase+digit
     // alphabet — bijective under folding, period 36 > every scale we run.
     val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
-    require(k <= 36, s"cipher period is 36, scale $k would collide copies")
+    require(k <= 36 + ExtensionRing.length,
+      s"cipher ring exhausted at ${36 + ExtensionRing.length}, got scale $k")
     (0 until k).map { c =>
       if (c == 0) base
       else
         base.select(
           (col("doc_id") + c * idOffset).as("doc_id"),
-          translate(lower(col("text")), alphabet, rotated(alphabet, c)).as("text"),
+          translate(lower(col("text")), alphabet, cipherTarget(alphabet, c)).as("text"),
           col("lang"),
           col("source"),
           col("n_chars")
@@ -211,14 +244,24 @@ object ScaleBench {
     require(
       base.filter(size(col("embedding")) =!= dim).isEmpty,
       "scaleEmbeddings: ragged base embedding dimensions")
-    require(k <= dim, s"rotation period is $dim, scale $k would collide copies")
+    // rotation period is dim; past it (the x100 decade), copy c composes
+    // the rotation by c % dim with a GLOBAL SIGN FLIP — still orthogonal
+    // (within-copy cosine structure preserved exactly), and copy c vs
+    // c - dim are antipodal (cosine -1), so case k <= 2*dim copies can
+    // never coincide. Copies below dim keep the historical pure rotation.
+    require(k <= 2 * dim, s"rotation+flip period is ${2 * dim}, scale $k would collide copies")
     (0 until k).map { c =>
       if (c == 0) base
       else {
         val e = col("embedding")
+        val r = c % dim
+        val rot =
+          if (r == 0) e
+          else concat(slice(e, r + 1, dim - r), slice(e, 1, r))
+        val vec = if (c < dim) rot else transform(rot, x => -x)
         base.select(
           (col("vec_id") + c * idOffset).as("vec_id"),
-          concat(slice(e, c + 1, dim - c), slice(e, 1, c)).as("embedding"),
+          vec.as("embedding"),
           col("label")
         )
       }
@@ -256,13 +299,14 @@ object ScaleBench {
       .filter(col("c_custkey") < 500)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
-    require(k <= 36, s"cipher period is 36, scale $k would collide copies")
+    require(k <= 36 + ExtensionRing.length,
+      s"cipher ring exhausted at ${36 + ExtensionRing.length}, got scale $k")
     (0 until k).map { c =>
       if (c == 0) base
       else
         base.select(
           (col("c_custkey") + c * IdOffset).as("c_custkey"),
-          translate(lower(col("c_name")), alphabet, rotated(alphabet, c)).as("c_name"),
+          translate(lower(col("c_name")), alphabet, cipherTarget(alphabet, c)).as("c_name"),
           col("c_acctbal")
         )
     }.reduce(_ unionByName _)
@@ -425,7 +469,17 @@ object ScaleBench {
     val doVideo = only.forall(f => f.contains("video_fp"))
     val doRepeats = only.forall(f => f.exists(_.startsWith("repeats")))
     val doChunks = only.forall(f => f.exists(_.startsWith("sentence_chunks")))
-    val spark = graft.GraftSession.local()
+    // SPARK_GRAFT_SCALE_SHUFFLE_PARTITIONS: hold PER-PARTITION shuffle
+    // volume constant across the decades instead of partition COUNT — the
+    // cluster norm (a real job sizes partitions to data; AQE can coalesce
+    // down but never split an unskewed sort above this number). The x100
+    // decade at the default 32 puts ~3 GB of gram rows into each sort
+    // partition and the spill turns a linear law super-linear
+    // (q133: 12.4x wall at 3.33x data, reproduced twice — measured and
+    // recorded in SCALE.md round 16).
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SCALE_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(32)
+    val spark = graft.GraftSession.local(shufflePartitions = shufflePartitions)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).agg(sum(col("id"))).collect() // session warm-up
 

@@ -36,8 +36,15 @@ object CityRegistry {
 
   /** Upsert (city_key unique): newest row per key wins, `created_at` of the
     * first observation is preserved for existing keys.
+    *
+    * Runs under the `_meta` writer lease ([[Lake.withScopeLease]], r16):
+    * the read-merge-swap below is not atomic, so two concurrent
+    * fetch-cities runs could each merge against the pre-swap registry and
+    * the loser's keys would silently vanish — the same lost-update shape
+    * the scope lease closes for lake tables.
     */
-  def upsert(spark: SparkSession, root: String, cities: DataFrame): Unit = {
+  def upsert(spark: SparkSession, root: String, cities: DataFrame): Unit =
+    Lake.withScopeLease(spark, root, "_meta", "cities-upsert") {
     val now = current_timestamp()
     val incoming = cities
       .withColumn("created_at", now)

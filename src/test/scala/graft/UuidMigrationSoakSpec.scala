@@ -1,0 +1,144 @@
+package graft
+
+import graft.examples.ScdScaleBench
+import graft.functions.Canonical
+import graft.lake.{Lake, UuidMigration}
+import graft.sources.Flatten
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** UuidMigration at the x30 lake, with the crash rehearsal the toy-size
+  * UuidMigrationSpec cannot give (round-16 verdict item): build a
+  * 3M-entity legacy lake from the ScaleBench corpus discipline
+  * (ScdScaleBench.scaleEvents at e30), construct the exact intermediate
+  * state a kill mid-migration leaves — mapping written, ONE of two
+  * tables rewritten, a second table stranded mid-swap at `.__old`,
+  * marker unflipped — rerun, and assert full convergence plus
+  * audit-table correctness BY DISTRIBUTED COUNTS (nothing data-scaled is
+  * collected). Wall clock is printed per phase for the SCALE.md record:
+  * the rewrite is one scan+recompute per table, and the numbers should
+  * read like two table-sized parquet rewrites, not like joins.
+  */
+class UuidMigrationSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scope = "soaktown"
+
+  /** Legacy VGSI-shaped lake: properties (pid, uuid, payload) + buildings
+    * (pid, property_uuid, bid) — uuids on a page-label basis the
+    * migration must replace. 3M rows per table at e=30.
+    */
+  private def buildLegacyLake(root: String, e: Int): Long = {
+    val ev = ScdScaleBench.scaleEvents(spark, "/root/testdata/sf0.1", e, 1)
+    val legacyUuid = md5(concat(lit("page-town-basis:"), col("event_id")))
+    val stamp = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val props = ev.select(
+      col("event_id").as("pid"),
+      legacyUuid.as("uuid"),
+      col("event_type").as("address"),
+      col("props").as("owner"))
+    Lake.append(Lake.stampMetadata(props, stamp), root, scope, "properties")
+    val kids = ev.select(
+      col("event_id").as("pid"),
+      legacyUuid.as("property_uuid"),
+      (pmod(col("event_id"), lit(3)) + 1).as("bid"),
+      col("value").as("building_area"))
+    Lake.append(Lake.stampMetadata(kids, stamp), root, scope, "buildings")
+    props.count()
+  }
+
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  /** Rows whose identity column does NOT equal the scope-keyed recompute —
+    * must be 0 after convergence (distributed count, never collected).
+    */
+  private def unmigrated(df: DataFrame, keyCol: String): Long =
+    df.filter(col(keyCol) =!= Flatten.scopeKeyedUuid(col("pid"), scope)).count()
+
+  test("x30 lake: kill after mapping write + one table rewritten + one table mid-swap -> rerun converges; audit table exact") {
+    val root = tmpDir("uuidmig_soak")
+    val entities = timed("build 2x3M-row legacy lake")(buildLegacyLake(root, 30))
+    assert(entities == 3000000L)
+    assert(UuidMigration.identityOf(spark, root, scope) == UuidMigration.PageTownIdentity)
+
+    // ---- construct the crash state a mid-migration kill leaves ----------
+    // (1) the audit mapping is written (migrate's step 1 runs first by its
+    //     crash-safe ordering) — replicate it exactly
+    timed("crash state: mapping write") {
+      val props = Lake.read(spark, root, scope, "properties")
+      val mapping = props
+        .select(col("uuid").as("old_uuid"), col("pid"))
+        .distinct()
+        .withColumn("new_uuid", Flatten.scopeKeyedUuid(col("pid"), scope))
+        .filter(col("old_uuid") =!= col("new_uuid"))
+        .select("old_uuid", "new_uuid", "pid")
+      Lake.append(mapping, root, scope, UuidMigration.MappingTable)
+    }
+    // (2) ONE of the two identity tables is already rewritten (the kill
+    //     landed between table rewrites)
+    timed("crash state: buildings rewritten") {
+      Lake.rewriteTable(spark, root, scope, "buildings") { df =>
+        val remapped = df.withColumn("property_uuid", Flatten.scopeKeyedUuid(col("pid"), scope))
+        remapped.withColumn("row_hash", Canonical.rowHash(remapped))
+      }
+    }
+    // (3) the OTHER table is stranded mid-swap: live dir moved aside, the
+    //     crash hit between rewriteTable's two renames
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$root/$scope/properties"),
+        new org.apache.hadoop.fs.Path(s"$root/$scope/properties.__old")))
+    }
+    // marker is NOT flipped (migrate flips it last) — the scope still
+    // reads legacy, so a rerun is still willing to heal it
+    assert(UuidMigration.identityOf(spark, root, scope) == UuidMigration.PageTownIdentity)
+
+    // ---- the rerun must converge -----------------------------------------
+    val (remapped, rewritten) = timed("rerun migrate() over the crash state") {
+      UuidMigration.migrate(spark, root, scope)
+    }
+    // the stranded table promoted back and both tables were (re)rewritten;
+    // the mapping anti-join recorded ZERO new entities (all 3M were already
+    // in the audit table — rows must not double)
+    assert(remapped == 0L, s"rerun must not re-record mapped entities, got $remapped")
+    assert(rewritten == 2L)
+    assert(UuidMigration.identityOf(spark, root, scope) == UuidMigration.ScopeKeyIdentity)
+
+    // convergence by distributed counts
+    val props = Lake.read(spark, root, scope, "properties")
+    val kids = Lake.read(spark, root, scope, "buildings")
+    assert(props.count() == 3000000L && kids.count() == 3000000L,
+      "no rows lost or doubled across the crash-rerun")
+    assert(unmigrated(props, "uuid") == 0L, "every property must be scope-keyed")
+    assert(unmigrated(kids, "property_uuid") == 0L, "every child FK must be scope-keyed")
+    // row_hash was recomputed over the rewritten identity (no phantom
+    // version on the next scrape): stored hash == recompute, everywhere
+    val hashDrift = props
+      .filter(col("row_hash") =!= Canonical.rowHash(props)).count() // rowHash excludes metadata cols
+    assert(hashDrift == 0L, s"$hashDrift properties carry a stale row_hash")
+    // stamps untouched by the rewrite
+    assert(props.select(countDistinct(col("scraped_at"))).as[Long].head() == 1L)
+
+    // audit table exact: one row per entity, old->new is the page-town ->
+    // scope-keyed bijection, no duplicates from the partial first run
+    val audit = Lake.read(spark, root, scope, UuidMigration.MappingTable)
+    assert(audit.count() == 3000000L, "audit must hold exactly one row per entity")
+    assert(audit.select(countDistinct(col("old_uuid"))).as[Long].head() == 3000000L)
+    assert(audit.filter(col("new_uuid") =!= Flatten.scopeKeyedUuid(col("pid"), scope)).count() == 0L)
+
+    // idempotence: a THIRD run short-circuits on the marker
+    assert(UuidMigration.migrate(spark, root, scope) == ((0L, 0L)))
+
+    // cleanup the ~GB-scale scratch promptly (tmpDir is per-run)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+}
