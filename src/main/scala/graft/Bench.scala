@@ -133,20 +133,36 @@ object Bench {
     // manufacture a failure for a query that already succeeded.
     val MaxDriftReruns = 2
     var driftReruns = 0
+    // every canary that was measured but does NOT back a recorded sweep
+    // (a replaced outlier's, or a discarded re-run's) — preserved so the
+    // audit trail still shows what the drift rule fired on and healed
+    val discardedCanaries = scala.collection.mutable.ArrayBuffer[Double]()
     while (canaries.max > 2.0 * canaries.min && driftReruns < MaxDriftReruns) {
       val outlier = canaries.indexOf(canaries.max)
       System.err.println(f"[bench] whole-run canary drift (max/min = " +
         f"${canaries.max / canaries.min}%.2f > 2): re-running outlier sweep ${outlier + 1} " +
         f"(canary ${canaries(outlier)}%.3f s)")
       driftReruns += 1
+      // a DISCARDED re-run's gate outcomes must not poison the record:
+      // canary_sweep_loaded (a hard gate in round_bench) and the retry
+      // count describe RECORDED sweeps — snapshot both and restore unless
+      // the replacement is accepted (an accepted re-run IS a recorded
+      // sweep, so its flags legitimately stand)
+      val savedSweepLoaded = canarySweepLoaded
+      val savedRetries = canaryRetries
       val c = canaryGate()
       if (c < canaries(outlier)) {
         val rerun = selected.map { case (name, fn) => name -> once(name, fn) }
         val old = sweepBuf(outlier).toMap
         sweepBuf(outlier) = rerun.map { case (n, t) => n -> t.orElse(old.getOrElse(n, None)) }
+        discardedCanaries += canaries(outlier) // the drifted value the rule healed
         canaries(outlier) = c
-      } else
+      } else {
+        canarySweepLoaded = savedSweepLoaded
+        canaryRetries = savedRetries
+        discardedCanaries += c
         System.err.println(f"[bench] re-run canary $c%.3f s did not improve on the outlier — keeping the original sweep")
+      }
     }
     val sweeps = sweepBuf.toSeq
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -163,6 +179,7 @@ object Bench {
       s"\"" + k + "\":" + ts.map(_.fold("-1.0")(fmt)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
+    val discardedJson = discardedCanaries.map(fmt).mkString("[", ",", "]")
     // Floor detection on the MIN canary: the per-query min already
     // survives a one-sweep load window (that is what interleaving is for);
     // the record is corrupted only when every sweep ran slow — i.e. the
@@ -184,7 +201,7 @@ object Bench {
     val failed = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"drift_reruns":$driftReruns,"failed":$failedJson,"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"drift_reruns":$driftReruns,"canary_discarded":$discardedJson,"failed":$failedJson,"cpus":$cpus}"""
     println(line)
     if (canaryLoaded)
       System.err.println(s"[bench] WARNING: canary drift >1.5x reference " +
@@ -206,7 +223,7 @@ object Bench {
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {
       val report =
-        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"drift_reruns":$driftReruns,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sweeps":3,"queries":$qs,"raw":$raw,"canary":$canaryJson,"canary_ref":$CanaryRef,"canary_loaded":$canaryLoaded,"canary_drift":$canaryDrift,"canary_retries":$canaryRetries,"canary_sweep_loaded":$canarySweepLoaded,"drift_reruns":$driftReruns,"canary_discarded":$discardedJson,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), report + "\n")
       System.err.println(s"[bench] full per-query report written to $reportPath")
     } catch {

@@ -275,7 +275,11 @@ object Engine {
     }
 
     if (ranAny && config.compactAfter)
-      Lake.tables(spark, root, scope).foreach(t => Lake.compactIfNeeded(spark, root, scope, t))
+      // one lease hold for the whole post-run compaction sweep (inner
+      // per-table compacts re-enter), same rationale as the batch writes
+      Lake.withScopeLease(spark, root, scope, "post-run-compaction") {
+        Lake.tables(spark, root, scope).foreach(t => Lake.compactIfNeeded(spark, root, scope, t))
+      }
 
     IngestStats(okAcc.value, errAcc.value, invAcc.value, writtenTotals.toMap)
   }
@@ -403,6 +407,15 @@ object Engine {
       // per batch — on object stores, 8 LIST round-trips computing the
       // same Seq)
       val existingTables = Lake.tables(spark, root, scope)
+      // ONE scope-lease hold for the whole batch's table writes (the
+      // per-append acquisitions inside re-enter it for free): 8 separate
+      // acquire/release cycles per batch would cost ~5 FS round-trips and
+      // a heartbeat-thread spin-up EACH on the hot write path, and would
+      // let a concurrent maintenance op interleave between two tables of
+      // one batch. The scrape itself is already materialized (results is
+      // cached by the sizeRow aggregate above), so the hold spans only
+      // the writes, never the politeness-bounded fetching.
+      Lake.withScopeLease(spark, root, scope, "engine-batch-writes") {
       tables.map { case (table, df) =>
         if (preCounts.getOrElse(table, 1L) == 0L) table -> 0L // nothing scraped for this table
         else {
@@ -463,6 +476,7 @@ object Engine {
             table -> obs.get("rows").asInstanceOf[Long]
           }
         }
+      }
       }
     } finally results.unpersist()
   }

@@ -36,7 +36,12 @@ object Lake {
   private def leaseWaitMs(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.lake.leaseWaitMs")
       .map(_.toLong)
-      .getOrElse(60L * 1000L)
+      // 10 min, not seconds: the lease is SCOPE-granular, so an append to
+      // table A legally queues behind a long compaction of sibling table
+      // B — the wait must comfortably cover a big table's rewrite, or the
+      // serialization the lease introduces turns into spurious loud
+      // failures on healthy workloads (waiting costs only a 100 ms poll)
+      .getOrElse(10L * 60L * 1000L)
 
   // scope leases HELD by the current thread (qualified URIs): makes
   // withScopeLease re-entrant, so a maintenance job that takes the scope
@@ -61,7 +66,7 @@ object Lake {
     *
     * Policy (vs the VectorIndex maintenance lease's fail-fast): a
     * contended acquisition WAITS up to `spark.graft.lake.leaseWaitMs`
-    * (default 60 s) before failing loud — an engine's append landing
+    * (default 10 min) before failing loud — an engine's append landing
     * while a post-session compaction finishes should serialize behind
     * it, not fail the batch. A lease older than
     * `spark.graft.lake.leaseStaleMs` (default 30 min) is a crashed
@@ -69,6 +74,17 @@ object Lake {
     * third of that window so a long rewrite isn't mistaken for a crash.
     * Readers stay lock-free (the [[read]]/[[withReadRetry]] contract is
     * unchanged — the swap discipline already serves them).
+    *
+    * GRANULARITY TRADE (deliberate): the lease is per-SCOPE, so two
+    * writers on DIFFERENT tables of one scope — safe under the old
+    * per-table convention — now serialize. Scope granularity is what
+    * makes [[UuidMigration.migrate]] sound: a per-table lease cannot
+    * stop a fresh engine run (whose identity basis was resolved
+    * pre-marker) from appending legacy rows to an already-rewritten
+    * table mid-migration. The cost is queueing, bounded by the wait
+    * budget; same-JVM batch writers amortize it by holding the lease
+    * once per batch (the [[graft.ingest.Engine]] pattern — re-entrancy
+    * makes the per-table inner acquisitions free).
     */
   def withScopeLease[T](spark: SparkSession, root: String, scope: String, op: String)(
       body: => T): T = {

@@ -66,7 +66,24 @@ final class WriterLease private[graft] (
     currentHolder() match {
       case Some(c) if c == token =>
         try fs.setTimes(path, System.currentTimeMillis(), -1)
-        catch { case scala.util.control.NonFatal(_) => } // next write refreshes it
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // setTimes is UNSUPPORTED on object stores (S3A throws) — a
+            // silently skipped refresh there would let a LIVE long op age
+            // past the staleness window and be taken over, the exact race
+            // the heartbeat exists to prevent. Fall back to rewriting the
+            // lease with the SAME token (an overwrite PUT refreshes the
+            // object's mtime); ownership was just verified above, and a
+            // reader catching the sub-millisecond rewrite window hits
+            // currentHolder's not-provably-ours handling, which never
+            // treats it as free. A failed rewrite leaves the next beat to
+            // retry.
+            try {
+              val out = fs.create(path, true)
+              try out.write(token.getBytes("UTF-8"))
+              finally out.close()
+            } catch { case scala.util.control.NonFatal(_) => }
+        }
       case Some(c) =>
         throw new IllegalStateException(
           s"writer lease $path was taken over mid-operation (now held by: $c) — " +
@@ -137,11 +154,17 @@ object WriterLease {
         e)
     val deadline = System.currentTimeMillis() + waitMs
     while (true) {
-      // crashed-writer takeover: a lease past the staleness window is dead
-      if (fs.exists(p)) {
-        val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-        if (age > staleMs) fs.delete(p, false)
-      }
+      // crashed-writer takeover: a lease past the staleness window is dead.
+      // The exists/getFileStatus pair races the holder's RELEASE — the
+      // poll loop samples exactly the moment the lease frees — so a
+      // vanished-underneath file must read as "free, try the create",
+      // never escape as a raw FileNotFoundException out of an append.
+      try {
+        if (fs.exists(p)) {
+          val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+          if (age > staleMs) fs.delete(p, false)
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
       val created =
         try Some(fs.create(p, false)) // create-exclusive: the atomic acquisition
         catch {
@@ -149,7 +172,11 @@ object WriterLease {
           // (permissions, quota, transient store failure) must surface as
           // itself — misreporting it as "another op holds the lease" steers
           // the operator into waiting out a staleness window for a lease
-          // that does not exist
+          // that does not exist. (The fs.exists re-check can race a
+          // release too; a racing-release IOException lands in the
+          // FileAlreadyExists arm on real stores, and a next-iteration
+          // retry is always safe, so an escaped raw failure here means a
+          // genuinely broken store, which SHOULD surface.)
           case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
             if (System.currentTimeMillis() >= deadline) contention(e); None
           case e: java.io.IOException if fs.exists(p) =>
@@ -158,8 +185,18 @@ object WriterLease {
       created match {
         case Some(out) =>
           val token = s"op=$op pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}"
-          try out.write(token.getBytes("UTF-8"))
-          finally out.close()
+          // a failed token write must not strand the just-created file as
+          // an empty lease nobody can release (it would brick the scope
+          // until the staleness window ages it out) — best-effort delete
+          // before rethrowing
+          try {
+            try out.write(token.getBytes("UTF-8"))
+            finally out.close()
+          } catch {
+            case e: Throwable =>
+              try fs.delete(p, false) catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
           return new WriterLease(fs, p, token)
         case None => Thread.sleep(100) // contended within the wait budget: poll
       }

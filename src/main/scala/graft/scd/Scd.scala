@@ -253,6 +253,23 @@ object Scd {
       mode: RefreshDedupMode
   ): DataFrame = mode match {
     case RefreshDedupMode.Snapshot(k, o) =>
+      // contract precheck with a DIAGNOSABLE error: an existing lake
+      // table that does not carry the stamp convention (e.g. a foreign
+      // schema staged into an engine scope under a colliding table name)
+      // would otherwise fail deep inside the snapshot plan as an
+      // unresolved-column AnalysisException on every batch, with nothing
+      // pointing at the mode/contract mismatch
+      // (the snapshot plan reads key+order+hash from the existing side
+      // but only key+hash from the incoming batch)
+      Seq(("incoming batch", newRows, Seq(k)), ("existing lake table", existing, Seq(k, o)))
+        .foreach { case (side, df, need) =>
+          val missing = need.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"refreshDedupForLake(Snapshot($k, $o)): the $side is missing column(s) " +
+              s"${missing.mkString(", ")} — this table does not follow the stamp convention " +
+              "the caller declared (was a foreign schema staged into this scope under an " +
+              "engine table name?); resolve the collision or dedup it with FullHistory")
+        }
       refreshDedupSnapshot(newRows, existing, col(k), Seq(col(o)))
     case RefreshDedupMode.FullHistory =>
       refreshDedup(newRows, existing)

@@ -218,4 +218,20 @@ class ScdSpec extends SparkSpec {
     assert(Scd.refreshDedupForLake(inR, exR, Scd.RefreshDedupMode.Snapshot("entity_id")).count() == 1L,
       "the explicit key keeps snapshot semantics under any column name")
   }
+
+  test("refreshDedupForLake Snapshot precheck: a foreign schema fails naming the contract, not unresolved-column") {
+    import java.sql.Timestamp
+    val incoming = Seq(("e1", Timestamp.valueOf("2026-01-01 00:00:00"), "h"))
+      .toDF("uuid", "scraped_at", "row_hash")
+    // a foreign schema staged into an engine scope under a colliding
+    // table name: no uuid/scraped_at — the old deep AnalysisException
+    // said nothing about the mode/contract mismatch
+    val foreign = Seq((1, "x", "h")).toDF("id", "payload", "row_hash")
+    val e = intercept[IllegalArgumentException] {
+      Scd.refreshDedupForLake(incoming, foreign, Scd.RefreshDedupMode.Snapshot("uuid"))
+    }
+    assert(e.getMessage.contains("stamp convention"), e.getMessage)
+    assert(e.getMessage.contains("uuid"), e.getMessage)
+    assert(e.getMessage.contains("FullHistory"), e.getMessage)
+  }
 }
