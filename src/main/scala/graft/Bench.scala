@@ -94,30 +94,37 @@ object Bench {
     // missing one for the per-round driver (tools/round_bench.sh turns the
     // flag into a hard gate for the committed reports).
     val MaxCanaryAttempts = 4
-    var canaryRetries = 0
-    var canarySweepLoaded = false
-    def canaryGate(): Double = {
+    // canaryGate returns the sweep's (canary, stillLoaded, retriesSpent):
+    // the loaded flag and the retry count belong to ONE sweep's record,
+    // not to a global mutable — the drift loop below REPLACES whole
+    // sweeps, and a report flag must describe the sweeps actually
+    // recorded (a replaced loaded sweep's flag must leave with it; a
+    // discarded re-run's must never enter).
+    def canaryGate(): (Double, Boolean, Int) = {
       var c = canaryOnce()
       var attempt = 1
+      var retries = 0
       while (c > 1.5 * CanaryRef && attempt < MaxCanaryAttempts) {
         System.err.println(f"[bench] canary $c%.3f s > 1.5x ref $CanaryRef%.3f s — " +
           s"host loaded, rejecting sweep attempt $attempt and retrying")
-        canaryRetries += 1
+        retries += 1
         Thread.sleep(5000)
         c = canaryOnce()
         attempt += 1
       }
-      if (c > 1.5 * CanaryRef) {
-        canarySweepLoaded = true
+      val stillLoaded = c > 1.5 * CanaryRef
+      if (stillLoaded)
         System.err.println(f"[bench] canary still $c%.3f s after $MaxCanaryAttempts attempts — " +
           "running the sweep LOADED; this report must not be committed as a perf record")
-      }
-      c
+      (c, stillLoaded, retries)
     }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val sweepLoaded = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val sweepRetries = scala.collection.mutable.ArrayBuffer[Int]()
     val sweepBuf = scala.collection.mutable.ArrayBuffer[Seq[(String, Option[Double])]]()
     for (_ <- 1 to 3) {
-      canaries += canaryGate()
+      val (c, loaded, retries) = canaryGate()
+      canaries += c; sweepLoaded += loaded; sweepRetries += retries
       sweepBuf += selected.map { case (name, fn) => name -> once(name, fn) }
     }
     // WHOLE-RUN drift rejection (round-15 verdict): per-sweep gating
@@ -143,28 +150,31 @@ object Bench {
         f"${canaries.max / canaries.min}%.2f > 2): re-running outlier sweep ${outlier + 1} " +
         f"(canary ${canaries(outlier)}%.3f s)")
       driftReruns += 1
-      // a DISCARDED re-run's gate outcomes must not poison the record:
-      // canary_sweep_loaded (a hard gate in round_bench) and the retry
-      // count describe RECORDED sweeps — snapshot both and restore unless
-      // the replacement is accepted (an accepted re-run IS a recorded
-      // sweep, so its flags legitimately stand)
-      val savedSweepLoaded = canarySweepLoaded
-      val savedRetries = canaryRetries
-      val c = canaryGate()
+      // flags ride their sweep: an accepted re-run REPLACES the outlier's
+      // canary, loaded flag, and retry count wholesale (so a replaced
+      // LOADED sweep stops flagging the record — the drift rule healed
+      // it), and a discarded re-run's outcomes never enter the record at
+      // all (canary_sweep_loaded is a hard gate in round_bench; poisoning
+      // it from a measurement that backs nothing would reject a clean
+      // record)
+      val (c, loaded, retries) = canaryGate()
       if (c < canaries(outlier)) {
         val rerun = selected.map { case (name, fn) => name -> once(name, fn) }
         val old = sweepBuf(outlier).toMap
         sweepBuf(outlier) = rerun.map { case (n, t) => n -> t.orElse(old.getOrElse(n, None)) }
         discardedCanaries += canaries(outlier) // the drifted value the rule healed
         canaries(outlier) = c
+        sweepLoaded(outlier) = loaded
+        sweepRetries(outlier) = retries
       } else {
-        canarySweepLoaded = savedSweepLoaded
-        canaryRetries = savedRetries
         discardedCanaries += c
         System.err.println(f"[bench] re-run canary $c%.3f s did not improve on the outlier — keeping the original sweep")
       }
     }
     val sweeps = sweepBuf.toSeq
+    // report flags computed from the RECORDED sweeps only
+    val canarySweepLoaded = sweepLoaded.exists(identity)
+    val canaryRetries = sweepRetries.sum
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val rawTimes = selected.map { case (name, _) =>
       name -> sweeps.map(_.collectFirst { case (`name`, t) => t }.flatten)
@@ -218,7 +228,8 @@ object Bench {
     // host from a real regression without a re-run — is therefore also
     // written to a JSON file with a stable schema
     // {metric,value,unit,sweeps,queries,raw,canary,canary_ref,canary_loaded,
-    //  canary_drift,canary_retries,canary_sweep_loaded,failed,cpus,sf},
+    //  canary_drift,canary_retries,canary_sweep_loaded,drift_reruns,
+    //  canary_discarded,failed,cpus,sf},
     // queries sorted by name. Path override: SPARK_GRAFT_BENCH_REPORT.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT", "bench_report.json")
     try {

@@ -67,22 +67,45 @@ final class WriterLease private[graft] (
       case Some(c) if c == token =>
         try fs.setTimes(path, System.currentTimeMillis(), -1)
         catch {
-          case scala.util.control.NonFatal(_) =>
+          case _: UnsupportedOperationException =>
             // setTimes is UNSUPPORTED on object stores (S3A throws) — a
             // silently skipped refresh there would let a LIVE long op age
             // past the staleness window and be taken over, the exact race
             // the heartbeat exists to prevent. Fall back to rewriting the
             // lease with the SAME token (an overwrite PUT refreshes the
-            // object's mtime); ownership was just verified above, and a
-            // reader catching the sub-millisecond rewrite window hits
-            // currentHolder's not-provably-ours handling, which never
-            // treats it as free. A failed rewrite leaves the next beat to
-            // retry.
+            // object's mtime); ownership was just verified above. This
+            // arm fires ONLY for unsupported — a transiently-failing but
+            // SUPPORTED setTimes must not take the rewrite path, because
+            // the rewrite replaces the file's TOKEN: under an
+            // A-stalls/B-takes-over race, setTimes leaves B's token in
+            // place (A's next beat detects the takeover loudly) while a
+            // rewrite would clobber it (A would never detect B). On
+            // no-setTimes stores that residual race is part of the
+            // documented best-effort takeover window; conditional ops are
+            // the real fix there.
             try {
               val out = fs.create(path, true)
               try out.write(token.getBytes("UTF-8"))
               finally out.close()
-            } catch { case scala.util.control.NonFatal(_) => }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                // the create may have TRUNCATED the file before the write
+                // failed: an empty fresh-mtime lease is unreadable-as-ours
+                // (next beat reads "" and aborts) and unreleasable (not
+                // provably ours), bricking the scope for the staleness
+                // window — same empty-lease state acquire() deletes on its
+                // failed token write. Best-effort delete; a deleted lease
+                // costs at worst OUR op a loud abort at the next beat,
+                // never a silent double-writer.
+                try {
+                  val in = fs.open(path)
+                  val content =
+                    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+                    finally in.close()
+                  if (content.isEmpty) fs.delete(path, false)
+                } catch { case scala.util.control.NonFatal(_) => }
+            }
+          case scala.util.control.NonFatal(_) => // transient: next beat refreshes it
         }
       case Some(c) =>
         throw new IllegalStateException(

@@ -260,8 +260,12 @@ object Scd {
       // unresolved-column AnalysisException on every batch, with nothing
       // pointing at the mode/contract mismatch
       // (the snapshot plan reads key+order+hash from the existing side
-      // but only key+hash from the incoming batch)
-      Seq(("incoming batch", newRows, Seq(k)), ("existing lake table", existing, Seq(k, o)))
+      // but only key+hash from the incoming batch; row_hash is in BOTH
+      // need lists — a foreign frame carrying uuid+scraped_at but no
+      // row_hash would otherwise still die as the deep unresolved-column
+      // error this precheck exists to replace)
+      Seq(("incoming batch", newRows, Seq(k, "row_hash")),
+          ("existing lake table", existing, Seq(k, o, "row_hash")))
         .foreach { case (side, df, need) =>
           val missing = need.filterNot(df.columns.contains)
           require(missing.isEmpty,

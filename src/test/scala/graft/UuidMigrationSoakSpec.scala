@@ -29,22 +29,28 @@ class UuidMigrationSoakSpec extends SparkSpec {
     * migration must replace. 3M rows per table at e=30.
     */
   private def buildLegacyLake(root: String, e: Int): Long = {
+    // persist the 30-way union once: each append (and the count) would
+    // otherwise regenerate the full 3M-row pipeline from the base scan,
+    // tripling the recorded build wall
     val ev = ScdScaleBench.scaleEvents(spark, "/root/testdata/sf0.1", e, 1)
-    val legacyUuid = md5(concat(lit("page-town-basis:"), col("event_id")))
-    val stamp = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
-    val props = ev.select(
-      col("event_id").as("pid"),
-      legacyUuid.as("uuid"),
-      col("event_type").as("address"),
-      col("props").as("owner"))
-    Lake.append(Lake.stampMetadata(props, stamp), root, scope, "properties")
-    val kids = ev.select(
-      col("event_id").as("pid"),
-      legacyUuid.as("property_uuid"),
-      (pmod(col("event_id"), lit(3)) + 1).as("bid"),
-      col("value").as("building_area"))
-    Lake.append(Lake.stampMetadata(kids, stamp), root, scope, "buildings")
-    props.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val legacyUuid = md5(concat(lit("page-town-basis:"), col("event_id")))
+      val stamp = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+      val props = ev.select(
+        col("event_id").as("pid"),
+        legacyUuid.as("uuid"),
+        col("event_type").as("address"),
+        col("props").as("owner"))
+      Lake.append(Lake.stampMetadata(props, stamp), root, scope, "properties")
+      val kids = ev.select(
+        col("event_id").as("pid"),
+        legacyUuid.as("property_uuid"),
+        (pmod(col("event_id"), lit(3)) + 1).as("bid"),
+        col("value").as("building_area"))
+      Lake.append(Lake.stampMetadata(kids, stamp), root, scope, "buildings")
+      Lake.read(spark, root, scope, "properties").count() // from the written table
+    } finally ev.unpersist(blocking = false)
   }
 
   private def timed[T](label: String)(body: => T): T = {
