@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * the rewrite is one scan+recompute per table, and the numbers should
   * read like two table-sized parquet rewrites, not like joins.
   */
+@org.scalatest.tags.Slow
 class UuidMigrationSoakSpec extends SparkSpec {
   import spark.implicits._
 

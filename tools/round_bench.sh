@@ -38,6 +38,12 @@ SF1_DIR="${SPARK_GRAFT_SF1_DIR:-/tmp/graft_sf1}"
 SCALE_MAX="${SPARK_GRAFT_SCALE_MAX:-12}"
 SPOT_MAX="${SPARK_GRAFT_SPOT_MAX:-6}"
 SCALE_SCRATCH="${SPARK_GRAFT_SCALE_SCRATCH:-/tmp/graft_scale}"
+# "1,10,30" is the standing per-round spot; set "1,10,30,100" to re-pin
+# the x100 decade when a span/posting-family plan changes (costs ~25 min
+# extra; the x100 laws are recorded in SCALE.md round 16 — run with
+# SPARK_GRAFT_SCALE_SHUFFLE_PARTITIONS sized to the decade and
+# SPARK_DRIVER_MEM>=28g, see the SCALE.md notes)
+SPOT_SCALES="${SPARK_GRAFT_SPOT_SCALES:-1,10,30}"
 
 echo "[round_bench] materializing sf1 at $SF1_DIR (no-op when fresh)"
 sbt -batch "runMain graft.examples.MakeSf $SF01 $SF1_DIR 10" | grep make_sf
@@ -126,7 +132,7 @@ fi
 echo "[round_bench] 30x spot on worst sf1 ratios: $TOP3"
 SPOT_LOG="$(mktemp)"
 SPARK_GRAFT_SCALE_ONLY="$TOP3" \
-  sbt -batch "runMain graft.examples.ScaleBench $SF01 $SCALE_SCRATCH 1,10,30" \
+  sbt -batch "runMain graft.examples.ScaleBench $SF01 $SCALE_SCRATCH $SPOT_SCALES" \
   2>&1 | tee /dev/stderr | grep '"bench":"scale"' > "$SPOT_LOG" || true
 
 python3 - "$SPOT_MAX" "$SPOT_LOG" "$OVER_LIST" <<'PY'
