@@ -85,6 +85,21 @@ object Main {
       sys.error("--verify-tls and --no-verify-tls are mutually exclusive")
     val verifyTls = !args.flags.contains("no-verify-tls")
 
+    // ONE construction path for every branch that scrapes a VGSI city:
+    // the load/refresh and refresh-all branches used to duplicate the
+    // slash normalization and source wiring, and both the normalization
+    // and the photo wiring were each missed once in refresh-all before
+    // being re-duplicated — a helper removes the divergence channel.
+    // (Slash rule: vgsiUrl concatenates, so a slashless base would 404
+    // every pid as '<base>Parcel.aspx?pid=N' until the breaker kills the
+    // run — the reference normalizes too, source.py:928-929.)
+    def vgsiSourceFor(baseUrl0: String): VgsiSource = {
+      val baseUrl = if (baseUrl0.endsWith("/")) baseUrl0 else baseUrl0 + "/"
+      VgsiSource(baseUrl, VgsiSource.httpFetch(verifyTls = verifyTls),
+        ratePerSec = args.flag("rate", "5").toDouble,
+        photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes(verifyTls = verifyTls)))
+    }
+
     try args.positional.head match {
       case "load" | "refresh" =>
         if (args.positional.length < 3) {
@@ -100,13 +115,12 @@ object Main {
         val baseUrl0 = args.flags.get("base-url")
           .orElse(CityRegistry.cityUrl(spark, root, city))
           .getOrElse(sys.error(s"city '$city' not in registry; pass --base-url"))
-        // the reference normalizes before building URLs (source.py:928-929):
-        // vgsiUrl concatenates, so a slashless base would 404 every pid as
-        // '<base>Parcel.aspx?pid=N' until the circuit breaker kills the run
-        val baseUrl = if (baseUrl0.endsWith("/")) baseUrl0 else baseUrl0 + "/"
-        val source = VgsiSource(baseUrl, VgsiSource.httpFetch(verifyTls = verifyTls),
-          ratePerSec = args.flag("rate", "5").toDouble,
-          photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes(verifyTls = verifyTls)))
+        val source = vgsiSourceFor(baseUrl0)
+        // captured BEFORE the run: the post-refresh report must show what
+        // THIS refresh changed (the reference passes its refresh start
+        // time, source.py:956-961) — a fixed last-24h window re-reported
+        // the morning's changes after a no-op evening refresh
+        val refreshStart = new java.sql.Timestamp(System.currentTimeMillis())
         val stats =
           if (cmd == "load") {
             val min = args.flag("entry-id-min", "1").toLong
@@ -122,7 +136,7 @@ object Main {
             .filter(props.columns.contains)
           Scd
             .changedSince(props, col("uuid"), col("row_hash"),
-              current_timestamp() - expr("INTERVAL 1 DAY"), col("scraped_at"))
+              lit(refreshStart), col("scraped_at"))
             .select(display.map(col): _*)
             .show(20, truncate = false)
         }
@@ -133,22 +147,29 @@ object Main {
         // CT scope belongs to CtDataSource and needs live dataset counts,
         // so it is skipped here with a notice rather than failed.
         var failures = 0
+        // registry loaded ONCE into a map: a per-scope CityRegistry.cityUrl
+        // was a full parquet read + collect job per lookup for a ~90-row
+        // dimension table
+        val registry: Map[String, String] = CityRegistry.load(spark, root)
+          .map(_.select(col("city_key"), col("url")).collect()
+            .flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _)).toMap)
+          .getOrElse(Map.empty)
         Lake.scopes(spark, root).foreach { scope =>
-          CityRegistry.cityUrl(spark, root, scope) match {
+          registry.get(scope) match {
+            case None if scope == graft.sources.ct.CtDataSource.Scope =>
+              println(s"skip $scope: CT open data refreshes via CtDataSource.loadAll " +
+                "(needs live dataset counts)")
             case None =>
-              println(s"skip $scope: not a registered VGSI city " +
-                s"(CT data refreshes via CtDataSource.loadAll with live counts)")
+              // HONEST skip, and a skip the operator can act on: a scope
+              // loaded with an explicit --base-url (supported for
+              // unregistered cities) is NOT CT data, and a message
+              // claiming so while exiting 0 hid that it never refreshed
+              System.err.println(s"skip $scope: not in the city registry — refresh it " +
+                s"individually: graft refresh vgsi $scope --base-url <url> " +
+                "(or register it via admin fetch-cities)")
             case Some(baseUrl0) =>
               try {
-                // same slash normalization (and photo wiring) as the
-                // load/refresh branch: fetch-cities stores hrefs verbatim,
-                // and a slashless base 404s every pid as
-                // '<base>Parcel.aspx?pid=N' until the breaker kills the
-                // scope — refresh-all used to skip both
-                val baseUrl = if (baseUrl0.endsWith("/")) baseUrl0 else baseUrl0 + "/"
-                val source = VgsiSource(baseUrl, VgsiSource.httpFetch(verifyTls = verifyTls),
-                  ratePerSec = args.flag("rate", "5").toDouble,
-                  photoFetch = photoDir.map(_ => VgsiSource.httpGetBytes(verifyTls = verifyTls)))
+                val source = vgsiSourceFor(baseUrl0)
                 val stats = Engine.runRefresh(spark, source, root, scope, config)
                 println(s"refresh $scope: scraped=${stats.scraped} errors=${stats.errors}")
               } catch {
@@ -228,9 +249,16 @@ object Main {
           case "sql" =>
             // the reference's DuckDB-on-the-lake workflow (README.md:125-136)
             // as a one-liner: the lake mounts as catalog `graft`, the query
-            // addresses tables as graft.<scope>.<table>
+            // addresses tables as graft.<scope>.<table>. Checked operand
+            // like the sibling subcommands: a forgotten query must be a
+            // usage error, not spark.sql("")'s ParseException stack trace
+            val query = args.positional.drop(2).mkString(" ").trim
+            if (query.isEmpty) {
+              usage()
+              sys.error("admin sql: missing query operand")
+            }
             graft.lake.GraftCatalog.register(spark, "graft", root)
-            spark.sql(args.positional.drop(2).mkString(" ")).show(50, truncate = false)
+            spark.sql(query).show(50, truncate = false)
           case other => sys.error(s"unknown admin command: $other")
         }
 

@@ -210,7 +210,7 @@ object Flatten {
       "properties" -> properties,
       "buildings" -> buildings,
       "sub_areas" -> subAreas,
-      "ownership" -> child("ownership", Seq("owner", "sale_price", "sale_date")),
+      "ownership" -> child("ownership", Seq("owner", "sale_price", "sale_date", "extra_fields")),
       "appraisals" -> child("appraisals", Seq("valuation_year", "improvements", "land", "total")),
       "assessments" -> child("assessments", Seq("valuation_year", "improvements", "land", "total")),
       "extra_features" -> child("extra_features", Seq("code", "sub_code", "description", "value")),

@@ -29,7 +29,15 @@ final case class Building(
 final case class Ownership(
     owner: Option[String],
     sale_price: Option[Double],
-    sale_date: Option[String]
+    sale_date: Option[String],
+    /** Unmapped grdSales columns (certificate, book & page, instrument, …)
+      * as sorted-key JSON — the reference's schema-on-read keeps every
+      * header-keyed value, so dropping them was silent data loss vs the
+      * port target. NULL when the grid has no extra columns, and NULLs are
+      * excluded from the canonical hash surface, so legacy rows' hashes
+      * are unchanged.
+      */
+    extra_fields: Option[String] = None
 )
 
 final case class Valuation(

@@ -152,10 +152,17 @@ object VgsiParser {
       property = property,
       buildings = buildings,
       ownership = tableRows(html, "MainContent_grdSales").map { r =>
+        // unmapped sales-grid columns (certificate, book & page,
+        // instrument, …) ride extra_fields JSON instead of being dropped:
+        // the reference's parse_table_rows keeps every header-keyed value
+        // (schema-on-read), so a typed model that discards them loses
+        // ownership-history data the reference lake carries
+        val extras = r.view.filterKeys(k => !Set("owner", "sale_price", "sale_date")(k)).toMap
         Ownership(
           owner = r.get("owner").flatMap(cleanString),
           sale_price = r.get("sale_price").flatMap(money),
-          sale_date = r.get("sale_date").flatMap(cleanString)
+          sale_date = r.get("sale_date").flatMap(cleanString),
+          extra_fields = if (extras.nonEmpty) Some(toJson(extras)) else None
         )
       },
       appraisals = tableRows(html, "MainContent_grdHistoryValuesAppr").map(valuation),
@@ -179,13 +186,19 @@ object VgsiParser {
     value = r.get("value").orElse(r.get("assessed_value")).flatMap(money)
   )
 
-  /** Indexed building blocks: prefixes MainContent_ctl0{bid+2}, probing up
-    * to building_count+3 slots; a block with neither year nor area is
-    * skipped (source.py:340-411).
+  /** Indexed building blocks: zero-padded two-digit prefixes
+    * MainContent_ctl02..ctl09, ctl10, ... probing up to building_count+3
+    * slots; a block with neither year nor area is skipped
+    * (source.py:340-411). DELIBERATE DIVERGENCE from the reference's
+    * literal `"ctl0" + str(i)` (source.py:350): that spelling yields
+    * "ctl010"/"ctl011" for slots >= 10, which can never match ASP.NET's
+    * actual zero-padded auto-ids (ctl10, ctl11, ...), so the reference
+    * silently drops every building past the 8th on large parcels (condo
+    * complexes) with no error. %02d matches both ranges.
     */
   def parseBuildings(html: String, spans: Map[String, String], buildingCount: Int): Seq[Building] =
     (0 until buildingCount + 3).flatMap { bid =>
-      val prefix = s"MainContent_ctl0${bid + 2}"
+      val prefix = f"MainContent_ctl${bid + 2}%02d"
       val year = spans.get(s"${prefix}_lblYearBuilt")
       val area = spans.get(s"${prefix}_lblBldArea")
       if (year.isEmpty && area.isEmpty) None
@@ -225,21 +238,32 @@ object VgsiParser {
       .toMap
 
   /** Sub-area rows; empty code (the "Total" footer) skipped
-    * (source.py:434-459).
+    * (source.py:434-459). Body cells are td-ONLY like the reference's
+    * `tr.find_all("td")` and the sibling [[parseConstruction]]: a
+    * footer/label th (`<th>Total:</th>`) must neither shift every column
+    * left by one nor smuggle a non-empty "Total:" code past the
+    * empty-code filter — with td-only cells such a row drops to < 4
+    * cells and is skipped, exactly as the reference skips it.
     */
   def parseSubAreas(html: String, prefix: String): Seq[SubArea] =
     Html.tableRows(html, s"${prefix}_grdSub").getOrElse(Nil) match {
       case rows if rows.length < 2 => Nil
-      case rows =>
-        rows.tail.collect {
-          case cells if cells.length >= 4 && cells.head.trim.nonEmpty =>
-            SubArea(
-              code = cells.head.trim,
-              description = cleanString(cells(1)),
-              gross_area = toDouble(cells(2).replace(",", "")),
-              living_area = toDouble(cells(3).replace(",", ""))
-            )
-        }
+      case _ =>
+        // the th+td list above proves a header row exists; the body is
+        // re-read td-only (the header row yields an empty cell list,
+        // dropped by tail — the tableRows pattern)
+        Html.tableRows(html, s"${prefix}_grdSub", cellTags = "td")
+          .getOrElse(Nil)
+          .tail
+          .collect {
+            case cells if cells.length >= 4 && cells.head.trim.nonEmpty =>
+              SubArea(
+                code = cells.head.trim,
+                description = cleanString(cells(1)),
+                gross_area = toDouble(cells(2).replace(",", "")),
+                living_area = toDouble(cells(3).replace(",", ""))
+              )
+          }
     }
 
   /** Generic normalized-header table (source.py:462-501): header row

@@ -230,4 +230,59 @@ class VgsiParserSpec extends AnyFunSuite {
       "newhaven" -> "https://gis.vgsi.com/newhavenct/Default.aspx",
       "hartford" -> "https://gis.vgsi.com/hartfordct/"))
   }
+
+  test("sub-area body cells are td-only: a th footer/label row cannot shift columns or forge a code") {
+    val html = """
+      <span id="MainContent_lblPid">7</span>
+      <span id="MainContent_ctl02_lblYearBuilt">1980</span>
+      <table id="MainContent_ctl02_grdSub">
+        <tr><th>Code</th><th>Description</th><th>Gross Area</th><th>Living Area</th></tr>
+        <tr><td>BAS</td><td>Base</td><td>1,000</td><td>800</td></tr>
+        <tr><th>Total:</th><td></td><td>2,400</td><td>1,800</td></tr>
+        <tr><th>Label</th><td>FOP</td><td>Porch</td><td>120</td></tr>
+      </table>
+    """
+    val subs = VgsiParser.parseSubAreas(html, "MainContent_ctl02")
+    // the reference's tr.find_all("td") sees 3 cells in both th-led rows
+    // and skips them (<4); a th+td read minted SubArea(code="Total:",
+    // gross_area=2400) and shifted the label row's columns left by one
+    assert(subs.map(_.code) == Seq("BAS"), subs.toString)
+    assert(subs.head.gross_area.contains(1000.0))
+  }
+
+  test("buildings at slots >= 10 parse via zero-padded ctl ids (the reference drops them)") {
+    // a 9-building parcel: slot 8 -> ctl10 under ASP.NET's zero-padded
+    // auto-ids; the reference's literal "ctl0"+str probe looks for
+    // "ctl010" and silently loses every building past the 8th
+    val spans9 = (0 until 9).map { b =>
+      val p = f"MainContent_ctl${b + 2}%02d"
+      s"""<span id="${p}_lblYearBuilt">${1950 + b}</span>
+          <span id="${p}_lblBldArea">${1000 + b}</span>"""
+    }.mkString("\n")
+    val html = s"""<span id="MainContent_lblPid">9</span>$spans9"""
+    val bs = VgsiParser.parseBuildings(html, graft.sources.vgsi.Html.spanIndex(html), 9)
+    assert(bs.length == 9, s"expected all 9 buildings, got ${bs.map(_.bid)}")
+    assert(bs.map(_.year_built.get) == (1950 until 1959))
+    assert(bs.last.bid == 8) // the slot the reference's ctl010 probe loses
+  }
+
+  test("ownership keeps unmapped sales-grid columns as extra_fields JSON") {
+    val html = """
+      <span id="MainContent_lblPid">11</span>
+      <span id="MainContent_lblAddress">1 Elm</span>
+      <table id="MainContent_grdSales">
+        <tr><th>Owner</th><th>Sale Price</th><th>Certificate</th><th>Book &amp; Page</th><th>Instrument</th><th>Sale Date</th></tr>
+        <tr><td>DOE JOHN</td><td>$350,000</td><td>C-12</td><td>1024/ 33</td><td>WD</td><td>05/15/2020</td></tr>
+        <tr><td>SMITH A</td><td>$100</td><td></td><td></td><td></td><td>01/01/1999</td></tr>
+      </table>
+    """
+    val r = VgsiParser.parse(html, 11L)
+    val first = r.ownership.head
+    assert(first.owner.contains("DOE JOHN") && first.sale_price.contains(350000.0))
+    val extras = first.extra_fields.getOrElse(fail("extra_fields must carry the unmapped columns"))
+    assert(extras.contains("\"certificate\": \"C-12\""), extras)
+    assert(extras.contains("book_and_page") && extras.contains("instrument"), extras)
+    // a row with no extra values carries NULL (and hashes like a legacy row)
+    assert(r.ownership(1).extra_fields.isEmpty, r.ownership(1).toString)
+  }
 }
