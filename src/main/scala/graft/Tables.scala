@@ -11,7 +11,26 @@ import org.apache.spark.sql.functions._
   * into the scan (visible as PushedFilters/ReadSchema in explain output).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a test-lake table with its schema served from the per-JVM memo:
+    * a bare `spark.read.parquet` INFERS the schema with a footer-reading
+    * driver job per call (~50 ms here — measured as five serial "parquet
+    * at Tables" jobs inside one 5-table query's construction), and a bench
+    * that constructs hundreds of queries pays it per table per query.
+    * Passing the schema explicitly skips inference entirely — the standard
+    * production discipline at any scale (at 100 TB the footer-sampling job
+    * is a real driver stall). The memo holds METADATA only (a StructType
+    * per path), never rows: every query still computes from the parquet
+    * files. Keyed by full path, so different SF dirs (or testdata
+    * generations with drifted physical types — see [[events]]) never share
+    * an entry; the test lake is immutable for a session's lifetime, which
+    * is what makes the memo sound.
+    */
+  def t(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = Tables.schemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -41,4 +60,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** (path → schema) memo backing [[Tables.t]] — metadata only, per JVM. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 }

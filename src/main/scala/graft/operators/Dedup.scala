@@ -74,7 +74,12 @@ object Dedup {
       s"numHashes $numHashes not divisible by bands $bands — the remainder hashes would be " +
         "computed and never banded")
     val rows = numHashes / bands
-    df.select(col(idCol).as("doc_id"), minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    // fan out BEFORE the signature projection: the per-shingle md5 pass is
+    // the heavy map work, and a sub-split input (one parquet row group, a
+    // small refresh batch) would otherwise run it on ONE task ([[Par]])
+    Par
+      .fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__mh_text")))
+      .select(col("doc_id"), minhashSignature(col("__mh_text"), shingleK, numHashes).as("sig"))
       .select(col("doc_id"), posexplode(lshBandBuckets(col("sig"), bands, rows)))
       .toDF("doc_id", "band", "bucket")
   }
@@ -93,7 +98,11 @@ object Dedup {
     // persisted for the same both-sides-read-it reason as
     // bandedFingerprintPairs: the signature (one md5 per shingle × the
     // whole corpus) is the heavy part, and under AQE's broadcast choice
-    // the self-join sides share no exchange — uncached it runs twice
+    // the self-join sides share no exchange — uncached it runs twice.
+    // LAZY persist, not [[Par.eager]]: a blocking count here serializes
+    // stages AQE otherwise overlaps, and the r16 fan-out already makes the
+    // worst-case duplicated materialization parallel (measured: eager cost
+    // q62/q63/q89 +9–14% with no win on any minhash query)
     val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed
@@ -130,6 +139,9 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): DataFrame = {
+    // lazy persist (not [[Par.eager]] — the q62/q63 measurement): the
+    // aggregate and join-back consumers usually share the reused
+    // (band, bucket) exchange, and a blocking count only serializes them
     val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centers = bucketed.groupBy(col("band"), col("bucket"))
@@ -180,7 +192,9 @@ object Dedup {
       blocks: Int = 6
   ): DataFrame =
     bandedFingerprintPairs(
-      df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp")),
+      Par
+        .fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__shtext")))
+        .select(col("doc_id"), simhash64(col("__shtext")).as("fp")),
       maxHamming,
       blocks,
       bits = 64
@@ -202,7 +216,9 @@ object Dedup {
       blocks: Int = 6
   ): DataFrame =
     bandedFingerprintPairs(
-      df.select(col(idCol).as("doc_id"), simhash32(col(textCol)).as("fp")),
+      Par
+        .fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__shtext")))
+        .select(col("doc_id"), simhash32(col("__shtext")).as("fp")),
       maxHamming,
       blocks,
       bits = 32
@@ -232,10 +248,7 @@ object Dedup {
       blocks: Int = 6
   ): DataFrame =
     bandedFingerprintPairs(
-      df.select(
-          col(idCol).as("doc_id"),
-          graft.functions.MediaExprs.imageDHash64(col(contentCol)).as("fp"))
-        .filter(col("fp").isNotNull),
+      phashFps(df, idCol, contentCol),
       maxHamming,
       blocks,
       bits = 64
@@ -320,7 +333,9 @@ object Dedup {
       )
       // both-sides-read-it persist (the bandedFingerprintPairs rationale):
       // per-row norms + per-band hyperplane projections otherwise compute
-      // once per self-join side
+      // once per self-join side (lazy on purpose — the r16 eager/fan-out
+      // experiment measured q54 1.55x worse: the extra exchange + blocking
+      // count cost more than the cheap duplicated projection)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed
       .as("a")
@@ -420,10 +435,16 @@ object Dedup {
       maxDfCount: Long = 1000L
   ): DataFrame = {
     val nDocs = df.count()
-    val fps = df.select(
-      col(idCol).as("doc_id"),
-      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp")
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fanned out (the rolling-hash fingerprint pass is the heavy map work;
+    // a sub-split input runs it on one task); lazy persist — a blocking
+    // count here serializes stages AQE overlaps (the q62/q24 measurement)
+    val fps = Par
+      .fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__wtext")))
+      .select(
+        col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("__wtext"), k, w)).as("fp")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency per fingerprint via a groupBy AGGREGATE joined back
     // — NOT a count window over fp: the aggregate partial-aggregates
     // map-side (the hottest boilerplate fingerprint collapses to one row per
@@ -464,17 +485,21 @@ object Dedup {
       blocks: Int,
       bits: Int = 64
   ): DataFrame = {
-    // Persisted because BOTH sides of the band-key self-join read the
-    // fingerprint frame, and under AQE's broadcast choice the sides do NOT
-    // share an exchange — without the cache the fingerprint computation
+    // EAGERLY persisted because BOTH sides of the band-key self-join read
+    // the fingerprint frame, and under AQE's broadcast choice the sides do
+    // NOT share an exchange — without the cache the fingerprint computation
     // (the per-row image decode / PCM Goertzel pass, the heaviest scan
     // expressions in the engine) runs once per side (measured at sf0.1:
     // q105 6.4→3.6 s, q115 4.5→2.6 s, q117 5.8→3.2 s, q52 1.0→0.6 s,
-    // targeted min-of-3). The cached rows are just
+    // targeted min-of-3). The r16 refinement: AQE submits the two sides
+    // CONCURRENTLY, so even the lazy persist lost the race and both stages
+    // paid the full decode (measured: q105's sides as two overlapping
+    // 5.2 s single-task stages); [[Par.eager]] materializes the blocks
+    // before the join plan is handed back. The cached rows are just
     // (doc_id, fp[, confirm hash]) — bytes per doc, not the media. Blocks
     // are reclaimed by Spark's ContextCleaner once the result plan is
     // unreferenced (the winnowingOverlapPairs lifecycle contract).
-    val cached = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = Par.eager(fps)
     val keyed = fingerprintBandKeys(cached, maxHamming, blocks, bits)
     keyed
       .as("a")
@@ -535,11 +560,23 @@ object Dedup {
     fps.select(col("*"), explode(array(keys: _*)).as("bk"))
   }
 
-  private def phashFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.select(
-        col(idCol).as("doc_id"),
-        graft.functions.MediaExprs.imageDHash64(col(contentCol)).as("fp"))
+  /** (doc_id, fp) with the fingerprint expression evaluated EXACTLY ONCE
+    * per row. The naive select(expr).filter(isnotnull) shape lets the
+    * optimizer rewrite the filter below the projection as
+    * isnotnull(<expr>) — the heaviest scan expression in the engine (the
+    * image/PCM/AVI decode) then runs TWICE per row, once in the Filter and
+    * once in the Project (the dualFps comment's measurement: +50% on
+    * q117). A Generate's generator expression is never inlined into
+    * parents, so explode(array(expr)) is a one-eval barrier; explode of a
+    * one-element array is exactly one output row per input row (a null
+    * element yields a null row — filtered, same contract as before).
+    */
+  private def fpOnce(df: DataFrame, idCol: String, fp: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(array(fp)).as("fp"))
       .filter(col("fp").isNotNull)
+
+  private def phashFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    fpOnce(df, idCol, graft.functions.MediaExprs.imageDHash64(col(contentCol)))
 
   /** Band-keyed dHash table of a photo corpus — the STATIC side of the
     * incremental perceptual dedup probe. Build once (and persist) per
@@ -676,9 +713,10 @@ object Dedup {
     // measured +50% on q117). A Generate's generator expression is never
     // inlined into parents, so the decode runs exactly once per row and
     // the field reads reference its output attribute.
-    // same both-sides-read-it persist rationale as bandedFingerprintPairs
-    val cached = dualFps(df, idCol, contentCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same both-sides-read-it EAGER persist rationale as
+    // bandedFingerprintPairs (AQE submits the sides concurrently; a lazy
+    // persist pays the decode once per side)
+    val cached = Par.eager(dualFps(df, idCol, contentCol))
     val keyed = fingerprintBandKeys(cached, maxHamming, blocks, bits = 64)
     keyed
       .as("a")
@@ -754,10 +792,7 @@ object Dedup {
   }
 
   private def audioFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.select(
-        col(idCol).as("doc_id"),
-        graft.functions.AudioExprs.audioFingerprint(col(contentCol)).as("fp"))
-      .filter(col("fp").isNotNull)
+    fpOnce(df, idCol, graft.functions.AudioExprs.audioFingerprint(col(contentCol)))
 
   /** Audio-content near-dup pairs: the 49-bit perceptual energy-map
     * fingerprint ([[graft.functions.AudioFpSupport]] — Haitsma-Kalker-style
@@ -848,10 +883,7 @@ object Dedup {
   }
 
   private def videoFps(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.select(
-        col(idCol).as("doc_id"),
-        graft.functions.VideoExprs.videoFingerprint(col(contentCol)).as("fp"))
-      .filter(col("fp").isNotNull)
+    fpOnce(df, idCol, graft.functions.VideoExprs.videoFingerprint(col(contentCol)))
 
   /** Video-content near-dup pairs: the 64-bit frame-sampled perceptual
     * fingerprint ([[graft.functions.VideoFpSupport]] — 8 slice-midpoint
@@ -1133,7 +1165,12 @@ object Dedup {
     // The ranked doc table feeds both prefix-join sides and both verify
     // sides: persist it so shingling + ranking run once. ContextCleaner
     // reclaims the blocks once the result plan is unreferenced; at cluster
-    // scale swap for an explicit checkpoint.
+    // scale swap for an explicit checkpoint. (The r16 fan-out experiment
+    // REGRESSED this family ~15% — the persisted 32-partition cache turns
+    // every downstream micro-stage into 32 tasks, AQE cannot coalesce
+    // inside cached plans, and the duplicated explode here is cheap enough
+    // that racing consumers already overlapped it — so the input stays
+    // as-scanned.)
     val grams = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
@@ -1591,8 +1628,14 @@ object Dedup {
     // which de-canonicalizes the exchange and doubles the scan — so only
     // alias when the name actually changes
     val docId = if (idCol == "doc_id") col("doc_id") else col(idCol).as("doc_id")
-    val positions = df
-      .select(docId, normText(textCol).as("__t"))
+    // fan out the raw projection BEFORE normalize+explode: the gram
+    // explode is the heavy map work (30x the input bytes), and a sub-split
+    // input otherwise runs it on one task ([[Par.fanOutSmall]] — no-op at
+    // corpus scale). Sits below the shared (gram, salt) exchange, so both
+    // consumers' subtrees stay identical (the ReuseExchange law above).
+    val positions = Par
+      .fanOutSmall(df.select(docId, col(textCol).as("__raw")))
+      .select(col("doc_id"), normText("__raw").as("__t"))
       .withColumn(
         "__pg",
         explode(
@@ -1738,8 +1781,9 @@ object Dedup {
     */
   def substringGramIndex(corpus: DataFrame, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
-    corpus
-      .select(normText(textCol).as("__t"))
+    Par
+      .fanOutSmall(corpus.select(col(textCol).as("__raw")))
+      .select(normText("__raw").as("__t"))
       .withColumn(
         "gram",
         explode(
@@ -1822,8 +1866,9 @@ object Dedup {
   ): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val positions = probe
-      .select(col(idCol).as("doc_id"), normText(textCol).as("__t"))
+    val positions = Par
+      .fanOutSmall(probe.select(col(idCol).as("doc_id"), col(textCol).as("__raw")))
+      .select(col("doc_id"), normText("__raw").as("__t"))
       .withColumn(
         "__pg",
         explode(

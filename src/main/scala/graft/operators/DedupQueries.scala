@@ -833,18 +833,26 @@ object DedupQueries {
       val photos = Multimodal.phashPhotoFixture(ids.filter(decade === 0), "doc_id")
       val clips = Multimodal.audioClipFixture(ids.filter(decade === 1), "doc_id")
       val videos = Multimodal.videoClipFixture(ids.filter(decade === 2), "doc_id")
-      val textPairs = Dedup
-        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4)
+      // the three media pair operators EAGERLY materialize their fingerprint
+      // caches (Par.eager — the decode runs once, not once per join side);
+      // building them from a thread pool overlaps those independent jobs
+      // (Spark schedules concurrent jobs FIFO with back-fill) instead of
+      // paying decade-render + decode three times back to back
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val textPairsF = Future(Dedup
+        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4))
+      val imageF = Future(Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3))
+      val audioF = Future(Dedup.audioNearDupPairs(clips, "doc_id", "content", maxHamming = 1))
+      val videoF = Future(Dedup.videoNearDupPairs(videos, "doc_id", "content", maxHamming = 1))
       Profile.crossModalDupProfile(
         T.documents, "doc_id", "source",
         Seq(
-          "text" -> textPairs.select($"doc_a", $"doc_b"),
-          "image" -> Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3)
-            .select($"doc_a", $"doc_b"),
-          "audio" -> Dedup.audioNearDupPairs(clips, "doc_id", "content", maxHamming = 1)
-            .select($"doc_a", $"doc_b"),
-          "video" -> Dedup.videoNearDupPairs(videos, "doc_id", "content", maxHamming = 1)
-            .select($"doc_a", $"doc_b")))
+          "text" -> Await.result(textPairsF, Duration.Inf).select($"doc_a", $"doc_b"),
+          "image" -> Await.result(imageF, Duration.Inf).select($"doc_a", $"doc_b"),
+          "audio" -> Await.result(audioF, Duration.Inf).select($"doc_a", $"doc_b"),
+          "video" -> Await.result(videoF, Duration.Inf).select($"doc_a", $"doc_b")))
     },
     Some(s"""
       WITH $minhashPairsCte,

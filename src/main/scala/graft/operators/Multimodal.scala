@@ -632,8 +632,8 @@ object Multimodal {
   def phashPhotoFixture(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids
-      .select(col(idCol).cast("long"))
+    graft.operators.Par
+      .fanOutSmall(ids.select(col(idCol).cast("long")))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -705,8 +705,8 @@ object Multimodal {
   def dualHashPhotoFixture(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids
-      .select(col(idCol).cast("long"))
+    graft.operators.Par
+      .fanOutSmall(ids.select(col(idCol).cast("long")))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -817,8 +817,8 @@ object Multimodal {
   def audioClipFixture(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids
-      .select(col(idCol).cast("long"))
+    graft.operators.Par
+      .fanOutSmall(ids.select(col(idCol).cast("long")))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -981,8 +981,8 @@ object Multimodal {
   def videoClipFixture(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids
-      .select(col(idCol).cast("long"))
+    graft.operators.Par
+      .fanOutSmall(ids.select(col(idCol).cast("long")))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>

@@ -76,7 +76,12 @@ object UrlQueries {
     (s, dir) => {
       val T = Tables(s, dir); import s.implicits._
       val dom = UrlOps.registeredDomain(UrlOps.canonicalizeUrl(rawUrl($"doc_id")))
-      val withTok = T.documents
+      // fan out the scan before the heavy per-row expressions (URL
+      // canonicalization regex chain + tokenizer): a sub-split input would
+      // run both on one task ([[graft.operators.Par.fanOutSmall]] — no-op
+      // at corpus scale)
+      val withTok = graft.operators.Par
+        .fanOutSmall(T.documents)
         .withColumn("n_tokens", size(split(lower($"text"), "\\s+")).cast("long"))
       Sampling
         .tokenBudgetMixture(

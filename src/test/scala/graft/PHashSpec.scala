@@ -170,11 +170,15 @@ class PHashSpec extends SparkSpec {
     val df = Multimodal.phashPhotoFixture((1L to 50L).toDF("doc_id"), "doc_id")
       .select($"doc_id", MediaExprs.imageDHash64($"content").as("h"))
       .filter($"h".isNotNull)
-    val line = df.queryExecution.executedPlan.toString
-      .linesIterator.find(_.toLowerCase.contains("imagedhash")).getOrElse("")
-    assert(line.trim.matches("""^(\+- )?\*\(\d+\) (Filter|Project) .*"""),
-      s"dhash must stay inside codegen, got: $line")
-    assert(df.count() == 50)
+    // collect() FIRST, and via collect not count: the fixture's fan-out
+    // repartition makes the plan adaptive, codegen spans only appear in
+    // the AQE-FINAL plan, and count() plans its own cloned QueryExecution
+    // (this df's plan would stay isFinalPlan=false — the PlanPeek rule)
+    assert(df.collect().length == 50)
+    val starred = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.toLowerCase.contains("imagedhash"))
+      .exists(_.trim.matches("""^[+\-: ]*\*\(\d+\) (Filter|Project) .*"""))
+    assert(starred, "dhash must run inside a whole-stage-codegen span")
   }
 
   test("phashNearDupPairs finds exactly the planted pairs; corrupt rows never pair") {
