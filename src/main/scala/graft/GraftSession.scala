@@ -25,6 +25,13 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // canChangeCachedPlanOutputPartitioning stays at its default (false):
+    // the r17 experiment that set it true (letting AQE coalesce exchanges
+    // inside cached plans) was a net loss — q41 −25% but q24 +20%,
+    // q56/q62/q63 and the media family +5–13% — because the persisted
+    // gram/bucket/fingerprint tables here are BYTE-small but feed
+    // CPU-heavy downstream work (verify joins, band joins), exactly the
+    // case where byte-derived coalescing under-parallelizes.
     // Schema drift across append batches is the norm in the reference lake
     // (union_by_name, /root/reference/src/engine/database.py:275).
     .config("spark.sql.parquet.mergeSchema", "false") // opt-in per read

@@ -44,8 +44,16 @@ object JobProfile {
       val n = fn(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"%nrep $r: $name $wall%.2f s ($n rows)")
-      // drain asynchronously-delivered listener events before reading
-      Thread.sleep(300)
+      // drain asynchronously-delivered listener events before reading:
+      // poll until the queue sizes stabilize (a fixed 300 ms sleep dropped
+      // events that arrived later under load; the bus itself is
+      // private[spark], so stabilization is the accessible proxy)
+      var seen = (-1, -1)
+      var cur = (done.size(), stages.size())
+      var spins = 0
+      while (seen != cur && spins < 50) {
+        seen = cur; Thread.sleep(100); cur = (done.size(), stages.size()); spins += 1
+      }
       import scala.jdk.CollectionConverters._
       val js = done.asScala.toSeq.sortBy(_._1)
       println(f"  ${js.size} jobs, sum ${js.map(_._2).sum / 1e3}%.2f s")

@@ -102,7 +102,13 @@ object Dedup {
     // LAZY persist, not [[Par.eager]]: a blocking count here serializes
     // stages AQE otherwise overlaps, and the r16 fan-out already makes the
     // worst-case duplicated materialization parallel (measured: eager cost
-    // q62/q63/q89 +9–14% with no win on any minhash query)
+    // q62/q63/q89 +9–14% with no win on any minhash query).
+    // NOT settled to data-sized partitioning before the persist: the r17
+    // settleSmall/REBALANCE experiment coalesced this cache to ~1 partition
+    // at sf0.1 and regressed q25/q62/q63/q87/q89 by 7–13% — the downstream
+    // band-bucket join work is CPU-heavy per byte, so byte-derived
+    // partition counts under-parallelize it (same trade as the grams
+    // family note in ngramJaccardPairs).
     val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed
@@ -141,7 +147,9 @@ object Dedup {
   ): DataFrame = {
     // lazy persist (not [[Par.eager]] — the q62/q63 measurement): the
     // aggregate and join-back consumers usually share the reused
-    // (band, bucket) exchange, and a blocking count only serializes them
+    // (band, bucket) exchange, and a blocking count only serializes them.
+    // Not settled/rebalanced before the persist — the same r17 negative
+    // measurement as minhashCandidatePairs' (q62/q63 +10%).
     val bucketed = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centers = bucketed.groupBy(col("band"), col("bucket"))
@@ -197,7 +205,8 @@ object Dedup {
         .select(col("doc_id"), simhash64(col("__shtext")).as("fp")),
       maxHamming,
       blocks,
-      bits = 64
+      bits = 64,
+      eagerFp = false // codegen'd text hash: cheap fingerprint, lazy persist
     )
 
   /** 32-bit twin of [[simhash64Pairs]] — same Manku multi-table permuted
@@ -221,7 +230,8 @@ object Dedup {
         .select(col("doc_id"), simhash32(col("__shtext")).as("fp")),
       maxHamming,
       blocks,
-      bits = 32
+      bits = 32,
+      eagerFp = false // codegen'd text hash: cheap fingerprint, lazy persist
     )
 
   /** Image-content near-dup pairs: 64-bit perceptual dHash
@@ -483,10 +493,11 @@ object Dedup {
       fps: DataFrame,
       maxHamming: Int,
       blocks: Int,
-      bits: Int = 64
+      bits: Int = 64,
+      eagerFp: Boolean = true
   ): DataFrame = {
-    // EAGERLY persisted because BOTH sides of the band-key self-join read
-    // the fingerprint frame, and under AQE's broadcast choice the sides do
+    // Persisted because BOTH sides of the band-key self-join read the
+    // fingerprint frame, and under AQE's broadcast choice the sides do
     // NOT share an exchange — without the cache the fingerprint computation
     // (the per-row image decode / PCM Goertzel pass, the heaviest scan
     // expressions in the engine) runs once per side (measured at sf0.1:
@@ -499,7 +510,17 @@ object Dedup {
     // (doc_id, fp[, confirm hash]) — bytes per doc, not the media. Blocks
     // are reclaimed by Spark's ContextCleaner once the result plan is
     // unreferenced (the winnowingOverlapPairs lifecycle contract).
-    val cached = Par.eager(fps)
+    //
+    // `eagerFp` keys on the FINGERPRINT COST, set by the caller: eager for
+    // the media decodes above (where losing the AQE race duplicates
+    // seconds of decode per side), LAZY for the codegen'd text simhashes —
+    // there the blocking count() + cache write overhead EXCEEDS the cheap
+    // duplicated projection it would save (the r16 verdict's q52 ×0.64
+    // regression; the same measurement that kept minhash/embed-LSH lazy at
+    // the persist sites above).
+    val cached =
+      if (eagerFp) Par.eager(fps)
+      else fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = fingerprintBandKeys(cached, maxHamming, blocks, bits)
     keyed
       .as("a")
