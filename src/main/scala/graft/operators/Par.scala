@@ -71,6 +71,28 @@ private[graft] object Par {
     if (est * 4 < BigInt(maxSplit) * cores) df.repartition(cores) else df
   }
 
+  /** Keyed twin of [[fanOutSmall]]: hash-repartition a SMALL frame to
+    * `defaultParallelism` on `cols` right before a groupBy/window on the
+    * same key, so the aggregation runs wide instead of at whatever
+    * partition count AQE's BYTE-based coalescing picks (a collect_list /
+    * ObjectHashAggregate over a byte-small frame is CPU-heavy per byte —
+    * measured: q24's ranked-gram-array build ran as ONE 300 ms task at
+    * sf0.1 and TWO 1.2 s tasks at sf1 under the byte rule). The aggregate
+    * reuses the repartition's hash partitioning, so this REPLACES the
+    * aggregate's own exchange rather than adding one. Same size gate as
+    * [[fanOutSmall]]: corpus-scale inputs pass through untouched and AQE
+    * keeps sizing them by bytes, which is right when partitions are
+    * already core-saturating.
+    */
+  def fanOutSmallBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est * 4 < BigInt(maxSplit) * cores) df.repartition(cores, cols: _*) else df
+  }
+
   // NOTE (r17 negative experiment, kept as a record): a `settleSmall`
   // helper — REBALANCE-hint a small frame before persisting it, so the
   // cache does not inherit the fan-out's cores-wide partitioning, with

@@ -39,6 +39,13 @@ object Profile {
         max(col(c).cast("double")).as(s"mx_$c")
       )
     ) :+ count(lit(1)).as("n_rows")
+    // NOT fanned out ([[Par.fanOutSmall]]) despite the single-task
+    // expand+partial-agg stage a one-row-group input produces (q69 at
+    // sf0.1): the r17 measurement showed the round-robin shuffle breaks
+    // the vectorized columnar scan→agg path and the row-based Expand then
+    // costs ~10× the CPU it parallelizes (1.85 s → 21 s aggregate CPU,
+    // flat wall). At corpus scale the scan has real splits and the
+    // partial aggregation is already wide.
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
       .map(c => s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`")
