@@ -20,15 +20,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     * production discipline at any scale (at 100 TB the footer-sampling job
     * is a real driver stall). The memo holds METADATA only (a StructType
     * per path), never rows: every query still computes from the parquet
-    * files. Keyed by full path, so different SF dirs (or testdata
-    * generations with drifted physical types — see [[events]]) never share
-    * an entry; the test lake is immutable for a session's lifetime, which
-    * is what makes the memo sound.
+    * files. Keyed by (full path, mtime, length), so different SF dirs (or
+    * testdata generations with drifted physical types — see [[events]])
+    * never share an entry — and a table REWRITTEN at the same path within
+    * one JVM (testdata refresh, MakeSf overwrite in a long session) gets a
+    * fresh inference instead of a silently stale StructType (added columns
+    * vanishing, physical-type drift erroring). The stat call is
+    * microseconds against the ~50 ms footer job it replaces.
     */
   def t(name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = s"$path@${f.lastModified}:${f.length}"
     val schema = Tables.schemaCache.computeIfAbsent(
-      path, p => spark.read.parquet(p).schema)
+      key, _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

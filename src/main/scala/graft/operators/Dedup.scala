@@ -1186,16 +1186,15 @@ object Dedup {
     // The ranked doc table feeds both prefix-join sides and both verify
     // sides: persist it so shingling + ranking run once. ContextCleaner
     // reclaims the blocks once the result plan is unreferenced; at cluster
-    // scale swap for an explicit checkpoint. The r17 profile showed the
-    // trigram+md5 explode running as ONE task at sf0.1 (sub-split input)
-    // — and TWICE concurrently (the lazy-persist AQE race), 0.58 s each —
-    // so the input fans out first ([[Par.fanOutSmall]], the minhash
-    // recipe: a duplicated-but-32-way-parallel materialization beats a
-    // duplicated serial one; r16's fan-out experiment predated the
-    // one-task-duplication diagnosis and measured a different shape).
-    val grams = Par
-      .fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__jtext")))
-      .select(col("doc_id"), explode(array_distinct(wordTrigrams(col("__jtext")))).as("gs"))
+    // scale swap for an explicit checkpoint. (Fan-out history: r16's
+    // input fan-out regressed ~15%; the r17 retry — fanOutSmall here plus
+    // fanOutSmallBy(doc_id) before the collect_list aggregate — fixed the
+    // single-task duplicated explode in warm profiles (2.09→1.39 s) but
+    // read flat on q24 and −15% on q133 in the cold interleaved bench,
+    // so the as-scanned shape stays; the racing consumers overlap the
+    // cheap duplicated explode.)
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
         col("doc_id"),
         conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g")
@@ -1216,12 +1215,8 @@ object Dedup {
     // One gram-set view per doc: rarity-sorted (df, g) structs. The rarity
     // order is itself a total order, so the same array feeds both the prefix
     // slice and the two-pointer verification merge.
-    // fanOutSmallBy: the collect_list aggregate is CPU-heavy per byte, so
-    // AQE's byte-derived partition count under-parallelizes it (one 300 ms
-    // task at sf0.1); the keyed repartition replaces the aggregate's own
-    // exchange, adding none
-    val docs = Par
-      .fanOutSmallBy(grams.join(dfTable, Seq("g")), col("doc_id"))
+    val docs = grams
+      .join(dfTable, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
       .select(col("doc_id"), col("ranked"), size(col("ranked")).as("sz"))
@@ -1360,11 +1355,8 @@ object Dedup {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       "thresholdPermille must be in [1, 1000]")
     require(dfCap >= 1L, "dfCap must be positive")
-    // fan out the sub-split scan before the trigram+md5 explode — the q24
-    // measurement (one task, duplicated by the lazy-persist AQE race)
-    val grams = Par
-      .fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__ctext")))
-      .select(col("doc_id"), explode(array_distinct(wordTrigrams(col("__ctext")))).as("gs"))
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(array_distinct(wordTrigrams(col(textCol)))).as("gs"))
       .select(
         col("doc_id"),
         conv(substring(md5(col("gs")), 1, 15), 16, 10).cast("long").as("g"))
@@ -1379,11 +1371,8 @@ object Dedup {
     // it. The same (df, g)-sorted array feeds the prefix slice, the B
     // index, and the verify merge; docs persists for those reads.
     val dfTable = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // fanOutSmallBy: parallelize the CPU-heavy collect_list aggregate past
-    // AQE's byte-derived count (the q24 measurement); replaces the
-    // aggregate's own exchange
-    val docs = Par
-      .fanOutSmallBy(grams.join(dfTable, Seq("g")), col("doc_id"))
+    val docs = grams
+      .join(dfTable, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
       .select(col("doc_id"), col("ranked"), size(col("ranked")).as("sz"))

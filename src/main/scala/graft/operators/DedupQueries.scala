@@ -838,21 +838,29 @@ object DedupQueries {
       // building them from a thread pool overlaps those independent jobs
       // (Spark schedules concurrent jobs FIFO with back-fill) instead of
       // paying decade-render + decode three times back to back
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val textPairsF = Future(Dedup
-        .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4))
-      val imageF = Future(Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3))
-      val audioF = Future(Dedup.audioNearDupPairs(clips, "doc_id", "content", maxHamming = 1))
-      val videoF = Future(Dedup.videoNearDupPairs(videos, "doc_id", "content", maxHamming = 1))
+      // one Future.sequence + one Await: a modality whose construction
+      // throws fails the WHOLE build at this single point (the r16 shape
+      // awaited each Future in turn, so a late failure left earlier
+      // orphaned Spark jobs running); `blocking` marks the Spark actions
+      // inside so the global pool grows past them instead of starving
+      val pairsF = Future.sequence(Seq(
+        Future(blocking(Dedup
+          .minhashCandidatePairs(T.documents, "doc_id", "text", shingleK = 5, numHashes = 12, bands = 4))),
+        Future(blocking(Dedup.phashNearDupPairs(photos, "doc_id", "content", maxHamming = 3))),
+        Future(blocking(Dedup.audioNearDupPairs(clips, "doc_id", "content", maxHamming = 1))),
+        Future(blocking(Dedup.videoNearDupPairs(videos, "doc_id", "content", maxHamming = 1)))))
+      val Seq(textPairs, imagePairs, audioPairs, videoPairs) =
+        Await.result(pairsF, Duration.Inf)
       Profile.crossModalDupProfile(
         T.documents, "doc_id", "source",
         Seq(
-          "text" -> Await.result(textPairsF, Duration.Inf).select($"doc_a", $"doc_b"),
-          "image" -> Await.result(imageF, Duration.Inf).select($"doc_a", $"doc_b"),
-          "audio" -> Await.result(audioF, Duration.Inf).select($"doc_a", $"doc_b"),
-          "video" -> Await.result(videoF, Duration.Inf).select($"doc_a", $"doc_b")))
+          "text" -> textPairs.select($"doc_a", $"doc_b"),
+          "image" -> imagePairs.select($"doc_a", $"doc_b"),
+          "audio" -> audioPairs.select($"doc_a", $"doc_b"),
+          "video" -> videoPairs.select($"doc_a", $"doc_b")))
     },
     Some(s"""
       WITH $minhashPairsCte,

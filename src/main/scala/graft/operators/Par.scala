@@ -83,6 +83,12 @@ private[graft] object Par {
     * [[fanOutSmall]]: corpus-scale inputs pass through untouched and AQE
     * keeps sizing them by bytes, which is right when partitions are
     * already core-saturating.
+    *
+    * r17 measurement note: applied to the PPJoin gram family this won in
+    * warm single-query profiles (q24 2.09→1.39 s) but read flat-to-worse
+    * in the cold interleaved bench (q133 −15%), so no bench-surface
+    * operator currently uses it; it remains for refresh-batch compositions
+    * where the warm-session profile is the relevant regime.
     */
   def fanOutSmallBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
     if (df.isStreaming) return df
